@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShims
+
+/** Public Column-level API over graft's custom Catalyst expressions, plus
+  * composed helpers built from `org.apache.spark.sql.functions` only.
+  */
+object GraftFunctions {
+  private def col2e(c: Column) = GraftShims.expression(c)
+  private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftShims.column(e)
+
+  /** Deterministic signed feature-hash embedding (reference: memo_cli.py:158-167). */
+  def embedText(c: Column, dim: Int = VectorKernels.DefaultDim): Column =
+    e2col(HashEmbed(col2e(c), dim))
+
+  def tokenCount(c: Column): Column = e2col(TokenCount(col2e(c)))
+
+  def vecDot(a: Column, b: Column): Column = e2col(DotProduct(col2e(a), col2e(b)))
+
+  def vecCosine(a: Column, b: Column): Column =
+    e2col(CosineSimilarity(col2e(a), col2e(b)))
+
+  def vecNorm(c: Column): Column = e2col(L2Norm(col2e(c)))
+
+  def vecNormalize(c: Column): Column = e2col(L2Normalize(col2e(c)))
+
+  def simhash64(c: Column): Column = e2col(SimHash(col2e(c)))
+
+  def minhashSig(c: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
+    e2col(MinHashSig(col2e(c), numHashes, shingleSize))
+
+  /** Tokens per the embed tokenizer, as pure built-ins (codegen'd). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")
+
+  /** Whitespace-normalize: collapse runs, trim (memo_cli.py:138-139). */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Blank-body predicate (memo_cli.py:142-143). */
+  def isBlank(c: Column): Column = c.isNull || trim(c) === ""
+
+  /** Register SQL-callable names for the custom expressions. */
+  def registerAll(spark: SparkSession): Unit = {
+    GraftShims.registerFunction(spark, "hash_embed",
+      es => HashEmbed(es.head, VectorKernels.DefaultDim))
+    GraftShims.registerFunction(spark, "token_count", es => TokenCount(es.head))
+    GraftShims.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
+    GraftShims.registerFunction(spark, "vec_cosine",
+      es => CosineSimilarity(es(0), es(1)))
+    GraftShims.registerFunction(spark, "vec_norm", es => L2Norm(es.head))
+    GraftShims.registerFunction(spark, "vec_normalize", es => L2Normalize(es.head))
+    GraftShims.registerFunction(spark, "simhash64", es => SimHash(es.head))
+  }
+}

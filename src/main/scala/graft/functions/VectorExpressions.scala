@@ -1,0 +1,226 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the vector hot path. Each generates a
+  * single static call into [[VectorKernels]] from `doGenCode`, so parent
+  * operators stay inside whole-stage codegen (no UDF serialization, no
+  * interpreter fallback in the per-row loop).
+  *
+  * Semantics derive from the reference engine (/root/reference/memo_cli.py):
+  * embed_text_hash :158-167, normalize :131-135, scoring :288-298.
+  */
+private[graft] object VectorExprUtil {
+  private val K = "graft.functions.VectorKernels"
+  def kernels: String = K
+
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def checkArray(dt: DataType, side: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$side must be ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+  }
+}
+
+/** Signed feature-hash embedding of a text column → ARRAY<FLOAT>(dim). */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "hash_embed"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash_embed expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hashEmbed(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.hashEmbed($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+/** Count of `[a-z0-9_]+` tokens in a string (the embed tokenizer). */
+case class TokenCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_count expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.tokenCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** Dot product of two float/double vectors, accumulated in double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private lazy val lf = VectorExprUtil.isFloatArray(left.dataType)
+  private lazy val rf = VectorExprUtil.isFloatArray(right.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorExprUtil.checkArray(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorExprUtil.checkArray(right.dataType, "right")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.dot($a, $b, $lf, $rf);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity; 0.0 when either norm is ~0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  private lazy val lf = VectorExprUtil.isFloatArray(left.dataType)
+  private lazy val rf = VectorExprUtil.isFloatArray(right.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorExprUtil.checkArray(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorExprUtil.checkArray(right.dataType, "right")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.cosine($a, $b, $lf, $rf);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) norm of a vector. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  private lazy val cf = VectorExprUtil.isFloatArray(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkArray(child.dataType, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.l2Norm(a.asInstanceOf[ArrayData], cf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.l2Norm($a, $cf);")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** L2-normalize a vector → ARRAY<FLOAT>; zero vector if norm <= 1e-8. */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+
+  private lazy val cf = VectorExprUtil.isFloatArray(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkArray(child.dataType, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.l2Normalize(a.asInstanceOf[ArrayData], cf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.l2Normalize($a, $cf);")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash fingerprint of a text column. */
+case class SimHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.simHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.simHash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** MinHash signature (ARRAY<BIGINT>) over word-shingles of a text column. */
+case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      VectorKernels.minHashSignature(input.asInstanceOf[UTF8String], numHashes, shingleSize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(${VectorExprUtil.kernels}.minHashSignature($c, $numHashes, $shingleSize));")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop JVM kernels shared by interpreted eval AND generated code.
+  *
+  * The custom Catalyst expressions in [[VectorExpressions]] emit a single
+  * static call to these from `doGenCode`, which keeps the surrounding
+  * operators inside whole-stage codegen while the inner loop stays a
+  * monomorphic, JIT-friendly scalar loop.
+  *
+  * Embedding spec (deterministic replacement for the reference's
+  * process-seeded `hash()` — see /root/reference/memo_cli.py:158-167 and
+  * SURVEY.md §1.4):
+  *   - lowercase, tokenize on `[a-z0-9_]+` runs
+  *   - h = MurmurHash3.stringHash(token, seed=42)  (stable across JVMs)
+  *   - bucket = floorMod(h, dim); sign = +1 if bit 24 of h is 0 else -1
+  *   - sum signed counts per bucket, then L2-normalize (zero vector if
+  *     norm <= 1e-8, matching memo_cli.py:131-135)
+  */
+object VectorKernels {
+  final val DefaultDim = 384
+  final val HashSeed = 42
+
+  /** Split lowercased text into `[a-z0-9_]+` tokens without regex. */
+  def tokenize(text: String): Array[String] = {
+    val s = text
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+      if (isTok) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  def tokenCount(text: UTF8String): Int = {
+    if (text == null) return 0
+    val s = text.toString
+    var count = 0
+    var inTok = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+      if (isTok && !inTok) { count += 1; inTok = true }
+      else if (!isTok) inTok = false
+      i += 1
+    }
+    count
+  }
+
+  /** Signed feature-hash embedding; output length = dim, L2-normalized. */
+  def hashEmbedFloats(text: String, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    val toks = tokenize(text)
+    var i = 0
+    while (i < toks.length) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), HashSeed)
+      val bucket = java.lang.Math.floorMod(h, dim)
+      val sign = if (((h >>> 24) & 1) == 0) 1.0f else -1.0f
+      v(bucket) += sign
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < dim) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm > 1e-8) {
+      i = 0
+      while (i < dim) { v(i) = (v(i) / norm).toFloat; i += 1 }
+    } else {
+      java.util.Arrays.fill(v, 0.0f)
+    }
+    v
+  }
+
+  def hashEmbed(text: UTF8String, dim: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(hashEmbedFloats(text.toString, dim))
+
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Dot product over float/double arrays; accumulates in double. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(a, i, aFloat) * get(b, i, bFloat); i += 1 }
+    s
+  }
+
+  def l2Norm(a: ArrayData, aFloat: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = get(a, i, aFloat); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** L2-normalize; zero vector when norm <= 1e-8 (memo_cli.py:131-135). */
+  def l2Normalize(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = get(a, i, aFloat); ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm > 1e-8) {
+      i = 0
+      while (i < n) { out(i) = (get(a, i, aFloat) / norm).toFloat; i += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val na = l2Norm(a, aFloat)
+    val nb = l2Norm(b, bFloat)
+    if (na <= 1e-12 || nb <= 1e-12) 0.0
+    else dot(a, b, aFloat, bFloat) / (na * nb)
+  }
+
+  /** SimHash over token murmur hashes → 64-bit fingerprint. */
+  def simHash64(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val toks = tokenize(text.toString)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h32a = scala.util.hashing.MurmurHash3.stringHash(toks(i), HashSeed)
+      val h32b = scala.util.hashing.MurmurHash3.stringHash(toks(i), 1337)
+      val h = (h32a.toLong << 32) | (h32b.toLong & 0xffffffffL)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) fp |= (1L << bit); bit += 1 }
+    fp
+  }
+
+  /** MinHash signature over token n-gram shingles (word shingles). */
+  def minHashSignature(text: UTF8String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val sig = Array.fill[Long](numHashes)(Long.MaxValue)
+    if (text == null) return sig
+    val toks = tokenize(text.toString)
+    if (toks.length < shingleSize) return sig
+    var i = 0
+    while (i <= toks.length - shingleSize) {
+      val shingle = toks.slice(i, i + shingleSize).mkString(" ")
+      val base = scala.util.hashing.MurmurHash3.stringHash(shingle, HashSeed)
+      val base2 = scala.util.hashing.MurmurHash3.stringHash(shingle, 7919)
+      var k = 0
+      while (k < numHashes) {
+        // (a*x + b*y + k) style double hashing — deterministic family
+        val hk = (base.toLong * (2L * k + 1) + base2.toLong * (k + 1) + k).toLong & 0x7fffffffffffffffL
+        if (hk < sig(k)) sig(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}

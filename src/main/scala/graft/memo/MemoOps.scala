@@ -1,0 +1,194 @@
+package graft.memo
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.filter.FilterAlgebra
+import graft.functions.GraftFunctions._
+
+/** Core memo-engine operators, re-expressed Spark-first.
+  *
+  * Reference semantics (/root/reference/memo_cli.py):
+  *  - recall = full scored ranking + post-filter + top-k (:288-298, :489-521)
+  *  - analyze = filter → count/project/stats with pagination (:636-693)
+  *  - mutations: dense-id append (:434-440), compaction + re-sequencing
+  *    (:334-366)
+  *
+  * The reference ranks the ENTIRE index per query (search k = ntotal,
+  * memo_cli.py:291), so exact brute-force scoring is semantically faithful —
+  * and SKILL.md:244-249 sanctions pushing the metadata predicate below the
+  * scoring, which is exactly what Catalyst does when the filter sits on the
+  * scan. At cluster scale: the corpus stays partitioned, the query vector is
+  * broadcast, and top-k compiles to TakeOrderedAndProject (per-partition
+  * heaps + single driver merge — no global sort shuffle).
+  */
+object MemoOps {
+  val DefaultK = 2
+  val MaxK = 100
+  val ScoreFloor = -0.9
+
+  /** Clamp k to [1, MaxK] (memo_cli.py:798-802). */
+  def clampK(k: Int): Int = math.max(1, math.min(MaxK, k))
+
+  /** Recall: score every record against the query vector, apply the
+    * metadata filter (if any), the score floor, and the blank-body skip,
+    * then take top-k of the survivors (filter BEFORE limit — V4).
+    *
+    * `records` needs (id, body, metadata, embedding).
+    */
+  def recall(
+      records: DataFrame,
+      queryVec: Column,
+      k: Int,
+      filterExpr: Option[String] = None): DataFrame = {
+    val kk = clampK(k)
+    val scored = records
+      .withColumn("raw_score", vecCosine(col("embedding"), queryVec))
+    val withFilter = filterExpr match {
+      case Some(f) => scored.filter(FilterAlgebra.compile(f, col("metadata")))
+      case None => scored
+    }
+    withFilter
+      .filter(col("raw_score") >= ScoreFloor && !isBlank(col("body")))
+      .withColumn("score", round(col("raw_score"), 4))
+      .orderBy(desc("score"), col("id"))
+      .limit(kk)
+      .select(col("id"), col("score"), col("body"))
+  }
+
+  /** Analyze match count (A1/A2): records without metadata never match. */
+  def analyzeCount(records: DataFrame, filterExpr: String): DataFrame =
+    records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+      .agg(count(lit(1)).as("matched"))
+
+  /** Analyze projection (A3/A5): fields are `id`, `metadata`, or
+    * (possibly dotted) metadata keys; deterministic id order + pagination. */
+  def analyzeProject(
+      records: DataFrame,
+      filterExpr: String,
+      fields: Seq[String],
+      limit: Int = 100,
+      offset: Int = 0): DataFrame = {
+    require(limit >= 1, "limit must be >= 1")
+    require(offset >= 0, "offset must be >= 0")
+    val matched =
+      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+    val cols = fields.map {
+      case "id" => col("id")
+      case "metadata" => to_json(col("metadata")).as("metadata")
+      case key => FilterAlgebra.resolveValue(col("metadata"), key)
+        .as(key.replace('.', '_'))
+    }
+    matched.orderBy(col("id")).offset(offset).limit(limit).select(cols: _*)
+  }
+
+  /** Default analyze fields (A4): id + first 3 metadata keys sorted. */
+  def defaultFields(records: DataFrame, filterExpr: String): Seq[String] = {
+    val matched =
+      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+    val keys = matched.select(explode(map_keys(col("metadata"))).as("k"))
+      .distinct().orderBy(col("k")).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    "id" +: keys
+  }
+
+  /** Stats: top-4 values + "other" rollup (A8, memo_cli.py:592-597). */
+  def statsTopK(records: DataFrame, filterExpr: String, key: String,
+      topN: Int = 4): DataFrame = {
+    val matched =
+      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+    val counts = matched
+      .select(FilterAlgebra.resolveValue(col("metadata"), key).as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(desc("cnt"), col("value")).limit(topN)
+    val other = counts.join(top.select(col("value")), Seq("value"), "left_anti")
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt").isNotNull)
+      .select(lit("other").as("value"), col("cnt"))
+    top.unionByName(other).orderBy(desc("cnt"), col("value"))
+  }
+
+  /** Stats: numeric min/max/avg over string-coerced values (A9). */
+  def statsNumeric(records: DataFrame, filterExpr: String, key: String): DataFrame = {
+    val matched =
+      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+    val v = FilterAlgebra.resolveValue(col("metadata"), key).try_cast(DoubleType)
+    matched.select(v.as("v")).filter(col("v").isNotNull)
+      .agg(round(min(col("v")), 2).as("vmin"),
+        round(max(col("v")), 2).as("vmax"),
+        round(avg(col("v")), 2).as("vavg"))
+  }
+
+  /** Stats: ISO date range (A10) — min/max as yyyy-MM-dd strings. */
+  def statsDates(records: DataFrame, filterExpr: String, key: String): DataFrame = {
+    val matched =
+      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+    val v = to_timestamp(FilterAlgebra.resolveValue(col("metadata"), key))
+    matched.select(v.as("v")).filter(col("v").isNotNull)
+      .agg(date_format(min(col("v")), "yyyy-MM-dd").as("dmin"),
+        date_format(max(col("v")), "yyyy-MM-dd").as("dmax"))
+  }
+
+  /** Stats: distinct-value cardinality of a key (A7). */
+  def cardinality(records: DataFrame, filterExpr: String, key: String): DataFrame = {
+    val matched =
+      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+    matched.agg(countDistinct(
+      FilterAlgebra.resolveValue(col("metadata"), key)).as("n_distinct"))
+  }
+
+  /** Assign contiguous sequential ids `start, start+1, ...` in `orderCol`
+    * order. Scale path: range-repartition + per-partition sort +
+    * zipWithIndex — no single-partition window, works at any row count.
+    * (Dense-id invariant: memo_cli.py:102-108, :435.) */
+  def withSequentialIds(
+      df: DataFrame,
+      orderCol: String,
+      idName: String,
+      start: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val schema = sorted.schema.add(idName, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (start + i))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Compaction (M4, memo_cli.py:334-366): drop deleted/blank rows and
+    * re-sequence ids densely 0..n-1 in old-id order. */
+  def reindex(records: DataFrame): DataFrame = {
+    val kept = records.filter(
+      !coalesce(element_at(col("metadata"), "deleted") === "true", lit(false))
+        && !isBlank(col("body")))
+    withSequentialIds(kept, "id", "new_id")
+      .withColumnRenamed("id", "old_id")
+      .withColumnRenamed("new_id", "id")
+  }
+
+  /** Append a batch with dense new ids = max(existing)+1... (M1). */
+  def appendIds(existing: DataFrame, batch: DataFrame, orderCol: String): DataFrame = {
+    val maxId = existing.agg(max(col("id"))).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    withSequentialIds(batch, orderCol, "new_id", maxId + 1)
+  }
+
+  /** Overwrite-by-id validation (M2, memo_cli.py:424-433): every override id
+    * must already exist, else the whole batch aborts. Returns merged df. */
+  def overwrite(existing: DataFrame, replacements: DataFrame): DataFrame = {
+    val missing = replacements.select(col("id"))
+      .join(existing.select(col("id")), Seq("id"), "left_anti")
+      .limit(1).collect()
+    if (missing.nonEmpty) {
+      throw new IllegalArgumentException(
+        s"Cannot overwrite non-existent ID ${missing(0).getLong(0)}")
+    }
+    existing.join(replacements.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(replacements)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for large-scale text pipelines.
+  *
+  * All candidate generation is hash/bucket based (equi-join shuffles on
+  * bucket keys), never all-pairs; verification (exact Jaccard / Hamming /
+  * cosine) runs only on bucket-colocated candidates. This is the shape that
+  * survives 100 TB: dedup cost ~ O(n) map work + skew-bounded bucket joins.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical key. */
+  def exactByKey(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Exact text dedup: group on the full text (hash-shuffled). */
+  def exactText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+      .select(col("keep_id"), col("n_dupes"))
+
+  /** Word n-gram shingles of the embed tokenizer's tokens. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = tokens(textCol)
+    array_distinct(filter(
+      transform(toks, (_, i) =>
+        when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => s.isNotNull))
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs, verified by signature
+    * agreement (estimated Jaccard).
+    *
+    * shingle → minhash signature (narrow, per row) → band hashes → explode →
+    * equi-join on (band, hash) bucket → estimate Jaccard from full-signature
+    * agreement → threshold. */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSig(col(textCol), numHashes, 3).as("sig"))
+    val banded = sig.withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band_id"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("band_hash")))))
+      .select(col("id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+    val l = banded.select(col("id").as("a"), col("sig").as("siga"),
+      col("band_id"), col("band_hash"))
+    val r = banded.select(col("id").as("b"), col("sig").as("sigb"),
+      col("band_id"), col("band_hash"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("siga"), col("sigb")).distinct()
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprints, banded into 16-bit
+    * chunks (pigeonhole: hamming <= 3 ⇒ at least one identical chunk),
+    * verified by exact Hamming distance. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val chunked = fp.withColumn("chunk",
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk_id"),
+            shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))
+              .as("chunk_val"))): _*)))
+      .select(col("id"), col("fp"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+    val l = chunked.select(col("id").as("a"), col("fp").as("fpa"),
+      col("chunk_id"), col("chunk_val"))
+    val r = chunked.select(col("id").as("b"), col("fp").as("fpb"),
+      col("chunk_id"), col("chunk_val"))
+    l.join(r, Seq("chunk_id", "chunk_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("fpa"), col("fpb")).distinct()
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (a, b, texta, textb). */
+  def ngramJaccard(pairs: DataFrame, n: Int = 3): DataFrame = {
+    pairs
+      .withColumn("sa", shingles(col("texta"), n))
+      .withColumn("sb", shingles(col("textb"), n))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via SRP-LSH buckets. */
+  def embeddingNearDups(df: DataFrame, idCol: String, dim: Int,
+      minCosine: Double): DataFrame =
+    Similarity.lshNearDupPairs(df, idCol, dim, minCosine)
+}

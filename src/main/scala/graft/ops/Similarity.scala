@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Exact brute-force is the semantic baseline (the reference ranks the whole
+  * index per query — memo_cli.py:291); the LSH-bucketed variant is the scale
+  * path: sign-random-projection signatures computed per row (narrow), then a
+  * bucket equi-join replaces the all-pairs cross product.
+  */
+object Similarity {
+
+  /** Exact top-k for a single broadcast query vector. Compiles to a scan +
+    * TakeOrderedAndProject — no shuffle of the corpus. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, queryVec: DataFrame,
+      k: Int): DataFrame = {
+    corpus.crossJoin(broadcast(queryVec))
+      .withColumn("score", round(vecDot(col("embedding"), col("qv")), 4))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Exact top-k per query for a (small, broadcastable) query set:
+    * broadcast-NL join then per-query window head. */
+  def bruteForceTopKBatch(corpus: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(desc("score"), col(idCol))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("score", round(vecDot(col("embedding"), col("qv")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"))
+  }
+
+  /** Deterministic sign-random-projection (SRP) LSH signature: `nBits`
+    * pseudo-random hyperplanes derived from murmur-hashed (bit, dim) pairs;
+    * the signature is the bit-pattern of sign(v · plane).
+    *
+    * Computed with built-in higher-order functions only — per-row, narrow,
+    * no shuffle; at 100 TB this runs entirely inside the scan stage. */
+  def srpSignature(vec: Column, dim: Int, nBits: Int = 16): Column = {
+    // plane(b)(i) = ±1 from a deterministic hash of (b, i)
+    val bitScores: Seq[Column] = (0 until nBits).map { b =>
+      val prods = (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((b, i))
+        val sign = if ((h & 1) == 0) 1.0 else -1.0
+        element_at(vec, i + 1).cast("double") * lit(sign)
+      }
+      val dot = prods.reduce(_ + _)
+      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitScores.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate near-neighbor pairs: equi-join on SRP bucket,
+    * exact cosine re-rank inside buckets. Returns pairs (a, b, score) with
+    * a < b and score >= minScore. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, dim: Int,
+      minScore: Double, nBits: Int = 12): DataFrame = {
+    val sig = corpus
+      .withColumn("bucket", srpSignature(col("embedding"), dim, nBits))
+      .select(col(idCol).as("id"), col("bucket"), col("embedding"))
+    val l = sig.select(col("id").as("a"), col("bucket"),
+      col("embedding").as("ea"))
+    val r = sig.select(col("id").as("b"), col("bucket"),
+      col("embedding").as("eb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("score", round(vecCosine(col("ea"), col("eb")), 4))
+      .filter(col("score") >= minScore)
+      .select(col("a"), col("b"), col("score"))
+  }
+
+  /** Exact all-pairs top-N most similar (for oracle-checked correctness;
+    * quadratic — keep corpus bounded or use [[lshNearDupPairs]] at scale). */
+  def exactTopPairs(corpus: DataFrame, idCol: String, topN: Int): DataFrame = {
+    val l = corpus.select(col(idCol).as("a"), col("embedding").as("ea"))
+    val r = corpus.select(col(idCol).as("b"), col("embedding").as("eb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("score", round(vecDot(col("ea"), col("eb")), 4))
+      .orderBy(desc("score"), col("a"), col("b"))
+      .limit(topN)
+      .select(col("a"), col("b"), col("score"))
+  }
+}

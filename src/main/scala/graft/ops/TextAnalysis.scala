@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All per-row and
+  * narrow — they run inside the scan stage at any scale.
+  */
+object TextAnalysis {
+
+  /** Per-language marker token sets for the n-gram/stopword heuristic. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"))
+
+  /** Whitespace/punct-normalized canonical form used for fingerprints. */
+  def canonicalText(c: Column): Column = normalizeWhitespace(lower(c))
+
+  /** MD5 content fingerprint over the canonical form (oracle-friendly). */
+  def fingerprintMd5(c: Column): Column = md5(canonicalText(c).cast("binary"))
+
+  /** Quality features: chars, tokens, distinct-token ratio, mean token
+    * length, alpha ratio. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_raw"),
+      size(toks).as("n_tokens"),
+      round(size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("uniq_ratio"),
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / greatest(size(toks), lit(1)), 4).as("mean_tok_len"),
+      round(length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
+        .cast("double") / greatest(length(col(textCol)), lit(1)), 4)
+        .as("alpha_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with diverse
+    * tokens and high alpha ratio. Deterministic, documented formula. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, idCol, textCol)
+    f.withColumn("quality", round(
+      least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        col("uniq_ratio") * 0.3 + col("alpha_ratio") * 0.3, 4))
+      .select(col(idCol), col("quality"))
+  }
+
+  /** Language ID: argmax of marker-token hit counts; 'und' when no marker
+    * token appears. Heuristic, deterministic. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val hits = aggregate(toks, lit(0),
+        (acc, t) => acc + when(t.isin(ms: _*), 1).otherwise(0))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    df.select(col(idCol),
+      when(greatest(scores: _*).getField("hits") > 0,
+        greatest(scores: _*).getField("lang")).otherwise(lit("und"))
+        .as("predicted_lang"))
+  }
+}

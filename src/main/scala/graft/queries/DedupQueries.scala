@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Dedup
+
+/** Deduplication coverage over `documents`. The testdata has no natural
+  * near-duplicates, so the near-dup queries union the corpus with mutated
+  * copies (doc_id + 100000, one word appended) — the expected duplicate
+  * pairs are then exactly (d, d+100000), which the specs assert and the
+  * exact-dedup oracles cross-check.
+  */
+object DedupQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Corpus ∪ slightly-mutated copies (near-dups by construction). */
+  def withMutants(s: SparkSession, dir: String, every: Int = 5): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mutants = docs.filter(col("doc_id") % every === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzzmutation")).as("text"))
+    docs.unionByName(mutants)
+  }
+
+  /** Exact dedup by full text: every text unique → n_dupes all 1; the
+    * oracle proves the groupBy-text plumbing. */
+  private val q40ExactText: Q = (s, dir) =>
+    Dedup.exactText(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  /** Exact dedup by composite key (lang, source). */
+  private val q41ExactKey: Q = (s, dir) =>
+    Dedup.exactByKey(Tables(s, dir, "documents"), "doc_id",
+        Seq(col("lang"), col("source")))
+      .orderBy(col("lang"), col("source"))
+
+  /** MinHash+LSH near-dup pairs — must recover the planted mutant pairs. */
+  private val q42MinHash: Q = (s, dir) =>
+    Dedup.minHashPairs(withMutants(s, dir), "doc_id", "text",
+        numHashes = 128, bands = 32, minJaccard = 0.5)
+      .orderBy(col("a"), col("b"))
+
+  /** SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints). */
+  private val q43SimHash: Q = (s, dir) =>
+    Dedup.simHashPairs(withMutants(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+
+  /** Exact n-gram Jaccard on the planted pairs (verification stage). */
+  private val q44NgramJaccard: Q = (s, dir) => {
+    val docs = withMutants(s, dir)
+    val l = docs.select(col("doc_id").as("a"), col("text").as("texta"))
+    val r = docs.select(col("doc_id").as("b"), col("text").as("textb"))
+    val pairs = l.join(r, col("b") === col("a") + 100000)
+    Dedup.ngramJaccard(pairs).orderBy(col("a"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q40_dedup_exact_text" -> q40ExactText,
+    "q41_dedup_exact_key" -> q41ExactKey,
+    "q42_dedup_minhash" -> q42MinHash,
+    "q43_dedup_simhash" -> q43SimHash,
+    "q44_ngram_jaccard" -> q44NgramJaccard,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact_text" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q41_dedup_exact_key" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics in batch form (the streaming equivalents — same
+  * transforms behind readStream + watermark — are exercised in the
+  * StreamingSpec): tumbling windows, sessionization, JSON props.
+  */
+object EventQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour window counts per event type. */
+  private val q60Tumbling: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization (30-min inactivity gap) via gaps-and-islands — the
+    * batch twin of session_window/flatMapGroupsWithState. */
+  private val q61Sessionize: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON props extraction + aggregation. */
+  private val q62JsonProps: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** Sliding-window style: per user running total of purchase values over
+    * the previous 5 events (window frame). */
+  private val q63Running: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    Tables(s, dir, "events")
+      .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("run_sum"))
+      .orderBy(col("event_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q60_tumbling" -> q60Tumbling,
+    "q61_sessionize" -> q61Sessionize,
+    "q62_json_props" -> q62JsonProps,
+    "q63_running" -> q63Running,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q61_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q62_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        |   AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q63_running" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.memo.MemoOps
+import graft.functions.GraftFunctions._
+
+/** Memo-engine surface (SURVEY.md §2.3-2.6) exercised over the driver's
+  * `documents` + `embeddings` tables: filter algebra (P1-P12), analyze
+  * (A1-A10), recall (V3/V4), and the mutation invariants (M1/M4) — each with
+  * a DuckDB oracle on the same raw columns.
+  *
+  * The memo `metadata` map is synthesized from documents columns, so the
+  * oracle can state the same predicate directly against the raw table.
+  */
+object MemoQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** documents → memo records: (id, body, metadata MAP<STRING,STRING>). */
+  def memoRecords(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      col("text").as("body"),
+      map(
+        lit("lang"), col("lang"),
+        lit("source"), col("source"),
+        lit("n_chars"), col("n_chars").cast("string"),
+        lit("tags"), to_json(array(col("lang"), col("source")))
+      ).as("metadata"))
+
+  /** Memo records + embedding column joined from the embeddings table. */
+  def memoRecordsWithIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    memoRecords(s, dir).join(idx, Seq("id"))
+  }
+
+  private val q20AnalyzeCount: Q = (s, dir) =>
+    MemoOps.analyzeCount(memoRecords(s, dir),
+      "{lang: en, n_chars: {$gte: 200}}")
+
+  private val q21AnalyzeProject: Q = (s, dir) =>
+    MemoOps.analyzeProject(memoRecords(s, dir),
+      "{source: {$prefix: src1}}",
+      fields = Seq("id", "lang", "source"), limit = 50, offset = 5)
+
+  private val q22StatsTop4: Q = (s, dir) =>
+    MemoOps.statsTopK(memoRecords(s, dir), "{}", "source")
+
+  private val q23StatsNumeric: Q = (s, dir) =>
+    MemoOps.statsNumeric(memoRecords(s, dir), "{lang: en}", "n_chars")
+
+  private val q25Cardinality: Q = (s, dir) =>
+    MemoOps.cardinality(memoRecords(s, dir), "{lang: en}", "source")
+
+  /** $contains on a JSON-encoded list value + numeric $gte (P6 + P3). */
+  private val q26FilterContains: Q = (s, dir) =>
+    memoRecords(s, dir)
+      .filter(graft.filter.FilterAlgebra.compile(
+        "{tags: {$contains: en}, n_chars: {$gte: 100}}", col("metadata")))
+      .select(col("id")).orderBy(col("id"))
+
+  /** $or of bare equality and $prefix (P9 + P1 + P5). */
+  private val q27FilterOr: Q = (s, dir) =>
+    memoRecords(s, dir)
+      .filter(graft.filter.FilterAlgebra.compile(
+        "$or: [{lang: de}, {source: {$prefix: src1}}]", col("metadata")))
+      .select(col("id")).orderBy(col("id"))
+
+  /** $ne with string coercion on a numeric value (P2 string-coerced). */
+  private val q28FilterNe: Q = (s, dir) =>
+    memoRecords(s, dir)
+      .filter(graft.filter.FilterAlgebra.compile(
+        "{n_chars: {$ne: 200}, lang: {$ne: en}}", col("metadata")))
+      .select(col("id")).orderBy(col("id"))
+
+  /** $and with two range conditions on one key (P8 + P3/P4). */
+  private val q29FilterAndRange: Q = (s, dir) =>
+    memoRecords(s, dir)
+      .filter(graft.filter.FilterAlgebra.compile(
+        "$and: [{n_chars: {$gte: 100}}, {n_chars: {$lte: 300}}]",
+        col("metadata")))
+      .select(col("id")).orderBy(col("id"))
+
+  /** Recall (V3+V4): filtered exact ranking with score floor + top-k. */
+  private val q71Recall: Q = (s, dir) => {
+    val recs = memoRecordsWithIndex(s, dir)
+    val qv = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val scored = recs.crossJoin(broadcast(qv))
+    MemoOps.recall(scored, queryVec = col("qv"), k = 10,
+      filterExpr = Some("{lang: en}"))
+      .select(col("id"), col("score"))
+  }
+
+  /** Compaction + dense re-sequencing (M4): ids 0..n-1 in old-id order. */
+  private val q72Reindex: Q = (s, dir) => {
+    val recs = memoRecords(s, dir).withColumn("metadata",
+      map_concat(col("metadata"),
+        map(lit("deleted"),
+          when(col("id") % 7 === 0, lit("true")).otherwise(lit("false")))))
+    MemoOps.reindex(recs).select(col("id").as("new_id"), col("old_id"))
+      .orderBy(col("old_id"))
+  }
+
+  /** Dense-id append (M1): new ids continue from max(existing)+1. */
+  private val q73AppendIds: Q = (s, dir) => {
+    val docs = memoRecords(s, dir)
+    val batch = docs.filter(
+      graft.filter.FilterAlgebra.compile("{source: src5}", col("metadata")))
+    MemoOps.appendIds(docs, batch, "id")
+      .select(col("new_id"), col("id").as("old_id"))
+      .orderBy(col("old_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q20_analyze_count" -> q20AnalyzeCount,
+    "q21_analyze_project" -> q21AnalyzeProject,
+    "q22_stats_top4" -> q22StatsTop4,
+    "q23_stats_numeric" -> q23StatsNumeric,
+    "q25_cardinality" -> q25Cardinality,
+    "q26_filter_contains" -> q26FilterContains,
+    "q27_filter_or" -> q27FilterOr,
+    "q28_filter_ne" -> q28FilterNe,
+    "q29_filter_and_range" -> q29FilterAndRange,
+    "q71_recall" -> q71Recall,
+    "q72_reindex" -> q72Reindex,
+    "q73_append_ids" -> q73AppendIds,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_analyze_count" ->
+      "SELECT count(*) AS matched FROM documents WHERE lang = 'en' AND n_chars >= 200",
+    "q21_analyze_project" ->
+      """SELECT doc_id AS id, lang, source FROM documents
+        |WHERE source LIKE 'src1%' ORDER BY id LIMIT 50 OFFSET 5""".stripMargin,
+    "q22_stats_top4" ->
+      """WITH counts AS (
+        |  SELECT source AS value, count(*) AS cnt FROM documents GROUP BY source),
+        |top AS (SELECT value, cnt FROM counts ORDER BY cnt DESC, value LIMIT 4)
+        |SELECT value, cnt FROM top
+        |UNION ALL
+        |SELECT 'other' AS value, CAST(sum(cnt) AS BIGINT) AS cnt FROM counts
+        |WHERE value NOT IN (SELECT value FROM top)
+        |ORDER BY cnt DESC, value""".stripMargin,
+    "q23_stats_numeric" ->
+      """SELECT round(min(CAST(n_chars AS DOUBLE)),2) AS vmin,
+        | round(max(CAST(n_chars AS DOUBLE)),2) AS vmax,
+        | round(avg(CAST(n_chars AS DOUBLE)),2) AS vavg
+        |FROM documents WHERE lang = 'en'""".stripMargin,
+    "q25_cardinality" ->
+      "SELECT count(DISTINCT source) AS n_distinct FROM documents WHERE lang = 'en'",
+    "q26_filter_contains" ->
+      """SELECT doc_id AS id FROM documents
+        |WHERE (lang = 'en' OR source = 'en') AND n_chars >= 100
+        |ORDER BY id""".stripMargin,
+    "q27_filter_or" ->
+      """SELECT doc_id AS id FROM documents
+        |WHERE lang = 'de' OR source LIKE 'src1%' ORDER BY id""".stripMargin,
+    "q28_filter_ne" ->
+      """SELECT doc_id AS id FROM documents
+        |WHERE CAST(n_chars AS VARCHAR) <> '200' AND lang <> 'en'
+        |ORDER BY id""".stripMargin,
+    "q29_filter_and_range" ->
+      """SELECT doc_id AS id FROM documents
+        |WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY id""".stripMargin,
+    "q71_recall" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (SELECT e.vec_id AS id, unnest(e.embedding) AS x,
+        |            unnest(q.qe) AS y
+        |          FROM embeddings e CROSS JOIN q),
+        |scores AS (SELECT id,
+        |    sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |    (sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) *
+        |     sqrt(sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS raw
+        |  FROM pairs GROUP BY id)
+        |SELECT s.id, round(s.raw, 4) AS score
+        |FROM scores s JOIN documents d ON d.doc_id = s.id
+        |WHERE d.lang = 'en' AND s.raw >= -0.9 AND trim(d.text) <> ''
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    "q72_reindex" ->
+      """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS new_id,
+        | doc_id AS old_id
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY old_id""".stripMargin,
+    "q73_append_ids" ->
+      """SELECT (SELECT max(doc_id) FROM documents)
+        |   + row_number() OVER (ORDER BY doc_id) AS new_id,
+        | doc_id AS old_id
+        |FROM documents WHERE source = 'src5' ORDER BY old_id""".stripMargin,
+  )
+}

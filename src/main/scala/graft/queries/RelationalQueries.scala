@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator coverage (SURVEY.md §2.8): scans, filters,
+  * aggregation, joins of every flavor, windows, rollup/cube, set ops,
+  * distinct, sort/limit/offset. Every query here is deterministic (explicit
+  * ORDER BY with unique tiebreaks) and has a DuckDB oracle; doubles are
+  * rounded on both sides so hash-compare is stable.
+  *
+  * Scale notes per query are in the Scaladoc of each entry — small dims are
+  * broadcast, aggregations are partial (map-side) by construction, and every
+  * filter/projection sits directly on the parquet scan so Catalyst pushes
+  * it down.
+  */
+object RelationalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: single scan, partial agg, tiny result. */
+  private val q01PricingSummary: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + projection pushed to the parquet scan; top-N net revenue. */
+  private val q02FilterPushdown: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-02-01") && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
+      .orderBy(desc("net"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** TPC-H Q3-style: filtered dim ⨝ fact ⨝ fact, grouped revenue top-N.
+    * customer is small → broadcast; orders⨝lineitem shuffles on orderkey. */
+  private val q03TopRevenue: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Broadcast-join a small dim (part) into the fact scan; agg by brand. */
+  private val q04BrandRevenue: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Multi-way dim chain: region ⨝ nation ⨝ customer ⨝ orders (all dims
+    * broadcast; only orders is large). */
+  private val q05RegionOrders: Q = (s, dir) => {
+    val region = Tables(s, dir, "region")
+    val nation = Tables(s, dir, "nation")
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders")
+    ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers having a >450k order. */
+  private val q06SemiJoin: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  private val q07AntiJoin: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window top-1-per-group: each customer's largest order. */
+  private val q08WindowTopOrder: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("top_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Rollup on (returnflag, linestatus) with subtotal + grand-total rows. */
+  private val q09Rollup: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** Cube on (orderstatus, orderpriority). */
+  private val q10Cube: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** DISTINCT projection. */
+  private val q11Distinct: Q = (s, dir) => {
+    Tables(s, dir, "customer")
+      .select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment"))
+  }
+
+  /** INTERSECT: customers with both an open and a finished order. */
+  private val q12Intersect: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+    val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    o.intersect(f).orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT: customers with an open order but no pending order. */
+  private val q13Except: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+    val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val p = ord.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    o.except(p).orderBy(col("o_custkey"))
+  }
+
+  /** ORDER BY + OFFSET + LIMIT pagination (TakeOrderedAndProject). */
+  private val q14SortPage: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(desc("price"), col("o_orderkey"))
+      .offset(10).limit(20)
+  }
+
+  /** Equi + range (theta) join: lineitems priced far off part list price. */
+  private val q15RangeJoin: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    li.join(broadcast(part),
+        li("l_partkey") === part("p_partkey") &&
+          li("l_extendedprice") > part("p_retailprice") * 30.0)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rich"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** As-of join via union + window: for each error event, the most recent
+    * prior purchase ts of the same user (no cross join, single shuffle by
+    * user_id — the scalable as-of pattern). */
+  private val q16AsOf: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("purchase_ts",
+        when(col("event_type") === "purchase", col("ts")))
+      .withColumn("asof_ts", max(col("purchase_ts")).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("last_purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_pushdown" -> q02FilterPushdown,
+    "q03_top_revenue" -> q03TopRevenue,
+    "q04_brand_revenue" -> q04BrandRevenue,
+    "q05_region_orders" -> q05RegionOrders,
+    "q06_semi_join" -> q06SemiJoin,
+    "q07_anti_join" -> q07AntiJoin,
+    "q08_window_top_order" -> q08WindowTopOrder,
+    "q09_rollup" -> q09Rollup,
+    "q10_cube" -> q10Cube,
+    "q11_distinct" -> q11Distinct,
+    "q12_intersect" -> q12Intersect,
+    "q13_except" -> q13Except,
+    "q14_sort_page" -> q14SortPage,
+    "q15_range_join" -> q15RangeJoin,
+    "q16_asof" -> q16AsOf,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_discount),2) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice*(1-l_discount),2) AS net
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+        |  AND l_discount >= 0.05
+        |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q03_top_revenue" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_brand_revenue" ->
+      """SELECT p_brand,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q05_region_orders" ->
+      """SELECT r_name, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q09_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+        | coalesce(l_linestatus,'ALL') AS ls,
+        | count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q10_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q11_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q12_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q13_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q14_sort_page" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+    "q15_range_join" ->
+      """SELECT p_brand, count(*) AS n_rich
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_extendedprice > p_retailprice * 30.0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q16_asof" ->
+      """SELECT event_id,
+        | strftime(asof_ts, '%Y-%m-%d %H:%M:%S') AS last_purchase
+        |FROM (SELECT event_id, event_type,
+        |        max(CASE WHEN event_type = 'purchase' THEN ts END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS asof_ts
+        |      FROM events)
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.ops.TextAnalysis
+
+/** Text-analysis coverage over `documents`: token counting (custom codegen
+  * expression, cross-checked against a regex oracle), quality features,
+  * language ID, MD5 fingerprints.
+  */
+object TextQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** token_count custom expression ≡ regex split (oracle parity). */
+  private val q50TokenCount: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality features — all built-in HOFs, SQL-expressible oracle. */
+  private val q51Quality: Q = (s, dir) =>
+    TextAnalysis.qualityFeatures(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Heuristic language ID (rows-only; spec-tested for determinism). */
+  private val q52LangId: Q = (s, dir) =>
+    TextAnalysis.langId(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** MD5 fingerprint over canonicalized text. */
+  private val q53Fingerprint: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val defs: Map[String, Q] = Map(
+    "q50_token_count" -> q50TokenCount,
+    "q51_quality" -> q51Quality,
+    "q52_langid" -> q52LangId,
+    "q53_fingerprint" -> q53Fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_token_count" ->
+      """SELECT doc_id, CAST(len(list_filter(
+        |  regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |  x -> x <> '')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_raw,
+        |  CAST(len(ts) AS INT) AS n_tokens,
+        |  round(CAST(len(list_distinct(ts)) AS DOUBLE) /
+        |    greatest(len(ts), 1), 4) AS uniq_ratio,
+        |  round(CAST(coalesce(list_aggregate(
+        |      list_transform(ts, x -> length(x)), 'sum'), 0) AS DOUBLE) /
+        |    greatest(len(ts), 1), 4) AS mean_tok_len,
+        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "q53_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.ops.Similarity
+
+/** Vector pipeline coverage: embedding build (V1), norms (F5), exact kNN
+  * ranking (V3/F6), all-pairs similarity, and the LSH scale path.
+  */
+object VectorQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** L2 norms of the stored embeddings (F5/F6 arithmetic parity check). */
+  private val q30VecNorm: Q = (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), round(vecNorm(col("embedding")), 4).as("norm"))
+      .orderBy(col("vec_id"))
+
+  /** Exact brute-force top-k against one broadcast query vector (V3). */
+  private val q31KnnExact: Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.bruteForceTopK(emb, "vec_id", qv, 20)
+  }
+
+  /** Exact top-3 neighbors per query for a small query set (batch kNN). */
+  private val q32KnnBatch: Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Similarity.bruteForceTopKBatch(emb, "vec_id", queries, "query_id", 3)
+      .orderBy(col("query_id"), desc("score"), col("vec_id"))
+  }
+
+  /** Exact all-pairs top-50 most-similar embedding pairs. */
+  private val q33TopPairs: Q = (s, dir) =>
+    Similarity.exactTopPairs(
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 300), "vec_id", 50)
+
+  /** Embedding index build over documents (V1): hash-embed each non-blank
+    * body; emit id + vector norm (1.0 by construction) + dim. Hash embeds
+    * aren't SQL-expressible → rows-only check; determinism and norm
+    * invariants are asserted in the ScalaTest specs. */
+  private val q34IndexBuild: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .filter(!isBlank(col("text")))
+      .select(col("doc_id"),
+        embedText(col("text")).as("embedding"))
+      .select(col("doc_id"), round(vecNorm(col("embedding")), 4).as("norm"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("doc_id"))
+
+  /** LSH near-dup pairs over embeddings (approximate scale path) —
+    * rows-only: approximate results have no SQL oracle. */
+  private val q35LshPairs: Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.lshNearDupPairs(emb, "vec_id", dim = 64,
+        minScore = -1.0, nBits = 8)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q30_vec_norm" -> q30VecNorm,
+    "q31_knn_exact" -> q31KnnExact,
+    "q32_knn_batch" -> q32KnnBatch,
+    "q33_top_pairs" -> q33TopPairs,
+    "q34_index_build" -> q34IndexBuild,
+    "q35_lsh_pairs" -> q35LshPairs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_vec_norm" ->
+      """SELECT vec_id,
+        | round(sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))),4) AS norm
+        |FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q31_knn_exact" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+        |          FROM embeddings e CROSS JOIN q)
+        |SELECT vec_id, round(sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),4) AS score
+        |FROM pairs GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "q32_knn_batch" ->
+      """WITH queries AS (SELECT vec_id AS query_id, embedding AS qe
+        |                 FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.query_id, e.vec_id, unnest(e.embedding) AS x,
+        |            unnest(q.qe) AS y
+        |          FROM embeddings e CROSS JOIN queries q),
+        |scores AS (SELECT query_id, vec_id,
+        |    round(sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),4) AS score
+        |  FROM pairs GROUP BY query_id, vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id) AS rn FROM scores)
+        |SELECT query_id, vec_id, score FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+    "q33_top_pairs" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+        |            unnest(l.embedding) AS x, unnest(r.embedding) AS y
+        |          FROM sub l JOIN sub r ON l.vec_id < r.vec_id)
+        |SELECT a, b, round(sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),4) AS score
+        |FROM pairs GROUP BY a, b ORDER BY score DESC, a, b LIMIT 50""".stripMargin,
+  )
+}
