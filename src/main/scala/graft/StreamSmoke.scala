@@ -1,0 +1,41 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** End-to-end streaming smoke: MemoryStream → tumbling-window agg →
+  * memory sink; prints the materialized windows. */
+object StreamSmoke {
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("smoke_windows")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(
+      Ev(0, Timestamp.valueOf("2026-01-01 00:05:00"), 1, "view", 1.0, "{}"),
+      Ev(1, Timestamp.valueOf("2026-01-01 00:40:00"), 1, "view", 2.5, "{}"),
+      Ev(2, Timestamp.valueOf("2026-01-01 01:10:00"), 2, "purchase", 9.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("smoke_windows").orderBy("hour", "event_type").collect()
+    rows.foreach(r => println(s"window: $r"))
+    require(rows.length == 2, s"expected 2 windows, got ${rows.length}")
+    q.stop()
+    spark.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming event analytics. Each transform takes the events
+  * schema (event_id, ts TIMESTAMP, user_id, event_type, value, props) and is
+  * batch/stream agnostic — the same logical plan runs under `readStream`
+  * with watermarks (incremental state, late-data eviction) or as a batch
+  * DataFrame (the EventQueries twins, used for the DuckDB oracle).
+  *
+  * At scale: all aggregations shuffle once on their grouping key; state
+  * store size is bounded by the watermark horizon.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour window counts/sums per event type, 2h watermark. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Session windows with a 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"))
+
+  /** Per-user running event count + total value via mapGroupsWithState —
+    * the custom-state path (KeyValueGroupedDataset) for semantics window
+    * aggs can't express. */
+  case class UserStat(userId: Long, nEvents: Long, total: Double)
+
+  def runningUserStats(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.nEvents
+          var tot = prev.total
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserStat(uid, n, math.round(tot * 100.0) / 100.0)
+          state.update(next)
+          next
+      }
+  }
+}

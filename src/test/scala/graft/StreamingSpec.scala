@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Streaming ≡ batch parity: the same EventStreams transform fed through a
+  * MemoryStream must produce the rows the batch plan produces. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkEv(id: Long, minute: Int, user: Long, typ: String,
+      v: Double): Ev =
+    Ev(id, Timestamp.valueOf(f"2026-01-01 00:$minute%02d:00"), user, typ, v, "{}")
+
+  private val sample = Seq(
+    mkEv(0, 1, 1, "view", 1.0), mkEv(1, 5, 1, "view", 2.0),
+    mkEv(2, 9, 2, "purchase", 10.0), mkEv(3, 30, 1, "view", 3.0),
+    mkEv(4, 59, 2, "error", 0.0))
+
+  test("tumbling window agg over a MemoryStream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(sample: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling_out")
+      .orderBy("hour", "event_type").collect().toSeq
+    q.stop()
+    val batch = EventStreams.tumblingCounts(sample.toDF())
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows close on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(sample: _*)
+    q.processAllAvailable()
+    val rows = spark.table("sessions_out")
+      .select("user_id", "n_events").as[(Long, Long)]
+      .collect().toSeq.sorted
+    q.stop()
+    // user 1: events at :01,:05 then :30 (gap 25min < 30 → same session) = 1 session of 3
+    // user 2: :09 and :59 → gap 50min → two sessions (1 event each)
+    assert(rows == Seq((1L, 3L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("mapGroupsWithState accumulates per-user running stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.runningUserStats(input.toDF())
+      .writeStream.format("memory").queryName("stats_out")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(sample.take(3): _*)
+    q.processAllAvailable()
+    input.addData(sample.drop(3): _*)
+    q.processAllAvailable()
+    val last = spark.table("stats_out")
+      .groupBy("userId").agg(max("nEvents").as("n"), max("total").as("t"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    q.stop()
+    assert(last == Seq((1L, 3L, 6.0), (2L, 2L, 10.0)))
+  }
+}
