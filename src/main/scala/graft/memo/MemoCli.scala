@@ -1,0 +1,191 @@
+package graft.memo
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI façade mirroring the reference's command surface and stdout contract
+  * (/root/reference/SKILL.md:96-151, memo_cli.py:727-949):
+  *
+  *   memo-cli -f <base> save <file.yaml>
+  *   memo-cli -f <base> recall [-k N] [--filter EXPR] [--yaml] <query...>
+  *   memo-cli -f <base> analyze --filter EXPR [--fields a,b] [--stats KEY]
+  *                      [--limit N] [--offset N]
+  *   memo-cli -f <base> clean
+  *   memo-cli -f <base> reindex
+  *
+  * Only result text goes to stdout; Spark logging stays on stderr.
+  */
+object MemoCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try System.exit(run(spark, args.toList))
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Int = {
+    val (flags, rest) = parseGlobal(args)
+    val baseOpt = flags.get("-f")
+    if (baseOpt.isEmpty || rest.isEmpty) {
+      System.err.println(
+        "Usage: memo-cli -f <base> {save|recall|analyze|clean|reindex} ...")
+      return 2
+    }
+    val engine = new MemoEngine(spark, baseOpt.get)
+    try rest match {
+      case "save" :: file :: Nil => cmdSave(engine, file)
+      case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
+      case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
+      case "clean" :: Nil => cmdClean(engine, baseOpt.get)
+      case "reindex" :: Nil => cmdReindex(engine, baseOpt.get)
+      case other =>
+        System.err.println(s"Error: unknown command: ${other.mkString(" ")}")
+        2
+    } catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"Error: ${e.getMessage}")
+        1
+    }
+  }
+
+  private def parseGlobal(args: List[String]): (Map[String, String], List[String]) =
+    args match {
+      case "-f" :: base :: rest => (Map("-f" -> base), rest)
+      case other => (Map.empty, other)
+    }
+
+  private def cmdSave(engine: MemoEngine, file: String): Int = {
+    val p = Paths.get(file)
+    if (!Files.exists(p)) {
+      System.err.println(s"Error: save file not found: $file")
+      return 1
+    }
+    engine.save(Files.readString(p)).foreach { case (id, firstLine) =>
+      println(s"Memorized: '$firstLine' (ID: $id)")
+    }
+    0
+  }
+
+  /** recall arg grammar (memo_cli.py:759-803): -k N (clamped), --filter,
+    * --yaml; remaining words are the query. */
+  private def cmdRecall(engine: MemoEngine, args: List[String]): Int = {
+    var k = MemoOps.DefaultK
+    var filter: Option[String] = None
+    var yaml = false
+    val query = new StringBuilder
+    var it = args
+    while (it.nonEmpty) it match {
+      case "-k" :: v :: rest =>
+        k = MemoOps.clampK(v.toInt); it = rest
+      case "--filter" :: f :: rest => filter = Some(f); it = rest
+      case "--yaml" :: rest => yaml = true; it = rest
+      case w :: rest =>
+        if (query.nonEmpty) query.append(' ')
+        query.append(w); it = rest
+      case Nil => ()
+    }
+    val rows = engine.recall(query.toString, k, filter).collect()
+    if (yaml) {
+      if (rows.isEmpty) println("results: []")
+      else {
+        println("results:")
+        rows.foreach { r =>
+          println(s"- id: ${r.getLong(0)}")
+          println(f"  score: ${r.getDouble(1)}%.4f")
+          println("  body: |-")
+          r.getString(2).split("\n", -1).foreach(ln => println(s"    $ln"))
+        }
+      }
+    } else {
+      println(s"Top $k results:")
+      rows.foreach { r =>
+        println(f"  [${r.getLong(0)}] Score: ${r.getDouble(1)}%.4f |")
+        val lines = r.getString(2).split("\n", -1)
+        (if (lines.isEmpty) Seq("") else lines.toSeq)
+          .foreach(ln => println(s"      $ln"))
+      }
+    }
+    0
+  }
+
+  /** analyze arg grammar (memo_cli.py:806-880): --filter REQUIRED,
+    * --fields a,b,c / --stats KEY / --limit / --offset. */
+  private def cmdAnalyze(engine: MemoEngine, args: List[String]): Int = {
+    var filter: Option[String] = None
+    var fields: Seq[String] = Seq.empty
+    var stats: Option[String] = None
+    var limit = 100
+    var offset = 0
+    var it = args
+    while (it.nonEmpty) it match {
+      case "--filter" :: f :: rest => filter = Some(f); it = rest
+      case "--fields" :: f :: rest =>
+        fields = f.split(",").map(_.trim).filter(_.nonEmpty).toSeq; it = rest
+      case "--stats" :: s :: rest => stats = Some(s); it = rest
+      case "--limit" :: v :: rest => limit = v.toInt; it = rest
+      case "--offset" :: v :: rest => offset = v.toInt; it = rest
+      case other :: _ =>
+        System.err.println(s"Error: unexpected analyze argument: $other")
+        return 2
+      case Nil => ()
+    }
+    if (filter.isEmpty) {
+      System.err.println("Error: analyze requires --filter")
+      return 2
+    }
+    if (limit < 1) { System.err.println("Error: --limit must be >= 1"); return 2 }
+    if (offset < 0) { System.err.println("Error: --offset must be >= 0"); return 2 }
+    println(s"Matched: ${engine.analyzeCount(filter.get)}")
+    stats match {
+      case Some(key) =>
+        val top = engine.analyzeStats(filter.get, key).collect()
+        println(s"Stats for '$key':")
+        top.foreach { r =>
+          println(s"  ${r.getString(0)}: ${r.getLong(1)}")
+        }
+      case None =>
+        val df = engine.analyzeProject(filter.get, fields, limit, offset)
+        val headers = df.columns.map(c => if (c == "id") "ID" else c).toSeq
+        val rows = df.collect().map(_.toSeq.map {
+          case null => ""
+          case v => String.valueOf(v)
+        })
+        printTable(headers, rows.toSeq)
+    }
+    0
+  }
+
+  /** Aligned two-space table (memo_cli.py:568-578). */
+  def printTable(headers: Seq[String], rows: Seq[Seq[String]]): Unit = {
+    if (headers.isEmpty) return
+    val widths = headers.indices.map { i =>
+      (headers(i).length +: rows.map(_(i).length)).max
+    }
+    def fmt(cells: Seq[String]): String =
+      cells.zipWithIndex.map { case (c, i) => c.padTo(widths(i), ' ') }
+        .mkString("  ").replaceAll("\\s+$", "")
+    println(fmt(headers))
+    rows.foreach(r => println(fmt(r)))
+  }
+
+  private def cmdClean(engine: MemoEngine, base: String): Int = {
+    if (engine.clean()) println(s"Cleared memory database ($base)")
+    else println(s"Database already empty ($base)")
+    0
+  }
+
+  private def cmdReindex(engine: MemoEngine, base: String): Int = {
+    val dropped = engine.reindex()
+    println(s"Rebuilt index from $base")
+    println(s"Wrote index: $base")
+    if (dropped > 0) println(s"Compacted: dropped $dropped blank/deleted entries")
+    0
+  }
+}

@@ -1,0 +1,151 @@
+package graft.memo
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filter.FilterAlgebra
+import graft.functions.GraftFunctions._
+import graft.functions.VectorKernels
+
+/** The user-facing memo engine: save / recall / analyze / reindex / clean
+  * over a versioned Parquet store — the Spark-first equivalent of the
+  * reference CLI's `<base>.yaml` + `<base>.memo` pair
+  * (/root/reference/memo_cli.py:47-58, SKILL.md:8-21).
+  *
+  * Store layout (`basePath/`):
+  *   CURRENT            — text file holding the live version number
+  *   v<N>/records       — parquet (id, body, metadata MAP<STRING,STRING>)
+  *   v<N>/index         — parquet (id, embedding ARRAY<FLOAT>), derived
+  *
+  * Every mutation writes a complete new version then atomically swings the
+  * CURRENT pointer — the Spark-native analogue of the reference's
+  * whole-file rewrite (memo_cli.py:448-449), but atomic: a crash mid-write
+  * leaves the old version live, and the index can always be re-derived
+  * (same recovery philosophy as the reference's reindex).
+  */
+class MemoEngine(spark: SparkSession, basePath: String) {
+  private val base = Paths.get(basePath)
+  private def currentFile = base.resolve("CURRENT")
+
+  def exists: Boolean = Files.exists(currentFile)
+
+  private def currentVersion: Option[Long] =
+    if (!exists) None
+    else Some(Files.readString(currentFile).trim.toLong)
+
+  private def versionDir(v: Long): Path = base.resolve(s"v$v")
+
+  /** The live records table; empty-schema table when the DB doesn't exist. */
+  def records: DataFrame = currentVersion match {
+    case Some(v) => spark.read.parquet(versionDir(v).resolve("records").toString)
+    case None => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], YamlIO.recordSchema)
+  }
+
+  /** The derived embedding index for the live version. */
+  def index: DataFrame = currentVersion match {
+    case Some(v) => spark.read.parquet(versionDir(v).resolve("index").toString)
+    case None => records.select(col("id"), embedText(col("body")).as("embedding"))
+  }
+
+  /** Write records (+ freshly derived index) as the next version and swing
+    * the pointer. Index is written first (reference write order,
+    * memo_cli.py:448-449), but the pointer swap makes the pair atomic. */
+  private def commit(newRecords: DataFrame): Long = {
+    val v = currentVersion.getOrElse(-1L) + 1
+    Files.createDirectories(versionDir(v))
+    val recs = newRecords.select(col("id"), col("body"), col("metadata"))
+    recs.filter(!isBlank(col("body")))
+      .select(col("id"), embedText(col("body")).as("embedding"))
+      .write.mode("overwrite").parquet(versionDir(v).resolve("index").toString)
+    recs.write.mode("overwrite").parquet(versionDir(v).resolve("records").toString)
+    val tmp = base.resolve("CURRENT.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Save a YAML batch: entries with `id` overwrite (must exist — whole
+    * batch aborts otherwise, memo_cli.py:424-433); entries without append
+    * with dense ids. Returns (id, note) per entry in input order. */
+  def save(batchYaml: String): Seq[(Long, String)] = {
+    import spark.implicits._
+    val entries = YamlIO.parseSaveBatch(batchYaml)
+    if (entries.isEmpty) return Seq.empty
+    val existing = records.cache()
+    val existingIds = existing.select("id").as[Long].collect().toSet
+    entries.foreach {
+      case (Some(id), _, _) if !existingIds.contains(id) =>
+        throw new IllegalArgumentException(
+          s"Cannot overwrite non-existent ID $id")
+      case _ => ()
+    }
+    val maxId = if (existingIds.isEmpty) -1L else existingIds.max
+    var nextId = maxId
+    val resolved = entries.map {
+      case (Some(id), body, meta) => (id, body, meta)
+      case (None, body, meta) => nextId += 1; (nextId, body, meta)
+    }
+    val overwriteIds = resolved.map(_._1).toSet
+    val batchDf = resolved.toDF("id", "body", "metadata")
+    val merged = existing.filter(!col("id").isin(overwriteIds.toSeq: _*))
+      .unionByName(batchDf)
+    commit(merged)
+    existing.unpersist()
+    resolved.map { case (id, body, _) =>
+      val firstLine = body.linesIterator.nextOption().getOrElse("")
+      (id, firstLine)
+    }
+  }
+
+  /** Recall: exact full ranking + filter + score floor + top-k
+    * (memo_cli.py:288-298, 489-521). Returns (id, score, body). */
+  def recall(query: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None): DataFrame = {
+    val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
+    val qvCol = lit(qv) // broadcast literal — no shuffle of the corpus
+    val recs = records.join(index, Seq("id"))
+    MemoOps.recall(recs, qvCol, k, filterExpr)
+  }
+
+  /** Analyze projection/count/stats — see [[MemoOps]]. */
+  def analyzeCount(filterExpr: String): Long =
+    MemoOps.analyzeCount(records, filterExpr).collect()(0).getLong(0)
+
+  def analyzeProject(filterExpr: String, fields: Seq[String],
+      limit: Int = 100, offset: Int = 0): DataFrame = {
+    val fs = if (fields.nonEmpty) fields
+             else MemoOps.defaultFields(records, filterExpr)
+    MemoOps.analyzeProject(records, filterExpr, fs, limit, offset)
+  }
+
+  def analyzeStats(filterExpr: String, key: String): DataFrame =
+    MemoOps.statsTopK(records, filterExpr, key)
+
+  /** Reindex/compaction (memo_cli.py:334-366): drop blank/deleted, dense
+    * re-sequence, rebuild the index. Returns number of dropped records. */
+  def reindex(): Long = {
+    val before = records.count()
+    val compacted = MemoOps.reindex(records).select("id", "body", "metadata")
+    val after = compacted.count()
+    commit(compacted)
+    before - after
+  }
+
+  /** Drop the database (memo_cli.py:308-331). True if anything existed. */
+  def clean(): Boolean = {
+    if (!Files.exists(base)) return false
+    val existed = exists
+    Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    existed
+  }
+
+  /** Import a full DB YAML (replaces the store), export the live table. */
+  def importYaml(text: String): Long = commit(YamlIO.importTable(spark, text))
+  def exportYaml(): String = YamlIO.exportTable(records)
+}

@@ -44,20 +44,31 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, minJaccard: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // Signatures are computed once and shared across the three consumers
+    // below (band join left/right + verification joins); without the persist
+    // the fat 128-long arrays would be recomputed per branch AND shuffled
+    // through the candidate join. At 100 TB this would be a checkpointed
+    // table instead.
     val sig = df.select(col(idCol).as("id"),
-      minhashSig(col(textCol), numHashes, 3).as("sig"))
-    val banded = sig.withColumn("band",
+      minhashSig(col(textCol), numHashes, 3).as("sig")).persist()
+    // Candidate generation carries only (id, band_id, band_hash) — the
+    // narrow columns — through the shuffle.
+    val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band_id"),
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("band_hash")))))
-      .select(col("id"), col("sig"), col("band.band_id"), col("band.band_hash"))
-    val l = banded.select(col("id").as("a"), col("sig").as("siga"),
-      col("band_id"), col("band_hash"))
-    val r = banded.select(col("id").as("b"), col("sig").as("sigb"),
-      col("band_id"), col("band_hash"))
-    l.join(r, Seq("band_id", "band_hash"))
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("band_hash"))))
+          .as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+    val candidates = banded.select(col("id").as("a"), col("band_id"), col("band_hash"))
+      .join(banded.select(col("id").as("b"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("siga"), col("sigb")).distinct()
+      .select(col("a"), col("b")).distinct()
+    // Verification: re-attach signatures to the (deduplicated, much smaller)
+    // candidate set and estimate Jaccard from full-signature agreement.
+    candidates
+      .join(sig.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sig.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("siga"), col("sigb"),
             (x, y) => when(x === y, 1).otherwise(0)),

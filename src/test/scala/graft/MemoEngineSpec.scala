@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.memo.{MemoEngine, YamlIO}
+
+/** Golden lifecycle replay (reference SKILL.md:96-143): save → recall →
+  * filtered recall → analyze → reindex → clean against a versioned Parquet
+  * store. Scores differ from the reference (deterministic murmur3 embedding
+  * replaces its process-seeded hash) but every structural contract holds. */
+class MemoEngineSpec extends SparkTestBase {
+
+  private def freshEngine(): (MemoEngine, String) = {
+    val dir = Files.createTempDirectory("memo_engine").toString
+    (new MemoEngine(spark, s"$dir/db"), s"$dir/db")
+  }
+
+  private val saveBatch =
+    """---
+      |body: I am allergic to peanuts.
+      |metadata:
+      |  source: user
+      |  category: health
+      |---
+      |body: User prefers dark mode.
+      |metadata:
+      |  source: user
+      |  category: ui
+      |""".stripMargin
+
+  test("save assigns dense ids from 0 and reports first lines") {
+    val (engine, _) = freshEngine()
+    val out = engine.save(saveBatch)
+    assert(out == Seq((0L, "I am allergic to peanuts."),
+      (1L, "User prefers dark mode.")))
+    assert(engine.records.count() == 2)
+    assert(engine.index.count() == 2)
+    engine.clean()
+  }
+
+  test("recall ranks semantically related notes; filter restricts") {
+    val (engine, _) = freshEngine()
+    engine.save(saveBatch)
+    engine.save("---\nbody: peanut allergy emergency plan\nmetadata: {source: doc}\n")
+    val hits = engine.recall("peanuts allergy", k = 2).collect()
+    assert(hits.length == 2)
+    // both peanut notes outrank the dark-mode note
+    assert(hits.map(_.getLong(0)).toSet == Set(0L, 2L))
+    // notes 0 and 1 both carry source:user; the doc note (id 2) is excluded
+    // and the peanut note must rank first among the survivors
+    val filtered = engine.recall("peanuts allergy", k = 2,
+      filterExpr = Some("{source: user}")).collect()
+    assert(filtered.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(filtered(0).getDouble(1) > filtered(1).getDouble(1))
+    engine.clean()
+  }
+
+  test("save with id overwrites; unknown id aborts whole batch") {
+    val (engine, _) = freshEngine()
+    engine.save(saveBatch)
+    engine.save("---\nid: 1\nbody: Updated note text for id 1.\nmetadata: {source: user}\n")
+    val bodies = engine.records.orderBy("id").collect().map(_.getString(1))
+    assert(bodies(1) == "Updated note text for id 1.")
+    intercept[IllegalArgumentException] {
+      engine.save("---\nid: 99\nbody: nope\n")
+    }
+    // failed batch must not have changed the store
+    assert(engine.records.count() == 2)
+    engine.clean()
+  }
+
+  test("reindex compacts deleted records and re-sequences ids") {
+    val (engine, _) = freshEngine()
+    engine.save(saveBatch)
+    engine.save("---\nid: 0\nbody: gone\nmetadata: {deleted: true}\n")
+    val dropped = engine.reindex()
+    assert(dropped == 1)
+    val recs = engine.records.orderBy("id").collect()
+    assert(recs.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(recs(0).getString(1) == "User prefers dark mode.")
+    engine.clean()
+  }
+
+  test("clean removes the store; second clean reports already empty") {
+    val (engine, _) = freshEngine()
+    engine.save(saveBatch)
+    assert(engine.clean())
+    assert(!engine.exists)
+    assert(!engine.clean())
+  }
+
+  test("yaml export → import round-trips records exactly") {
+    val (engine, _) = freshEngine()
+    engine.save(saveBatch)
+    engine.save("---\nbody: |-\n  multi line\n  note body\nmetadata: {tags: [a, b]}\n")
+    val yaml = engine.exportYaml()
+    val (engine2, _) = freshEngine()
+    engine2.importYaml(yaml)
+    val a = engine.records.orderBy("id").collect().toSeq
+    val b = engine2.records.orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.exists(_.getString(1) == "multi line\nnote body"))
+    engine.clean(); engine2.clean()
+  }
+
+  test("duplicate ids in an imported DB are rejected") {
+    intercept[IllegalArgumentException] {
+      YamlIO.importTable(spark,
+        "---\nid: 0\nbody: a\n---\nid: 0\nbody: b\n")
+    }
+  }
+
+  test("save entry with blank body is rejected") {
+    val (engine, _) = freshEngine()
+    intercept[IllegalArgumentException] {
+      engine.save("---\nbody: '   '\n")
+    }
+    engine.clean()
+  }
+}
