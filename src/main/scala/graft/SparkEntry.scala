@@ -32,12 +32,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ MemoQueries.defs ++ VectorQueries.defs ++
-      DedupQueries.defs ++ TextQueries.defs ++ EventQueries.defs
+      DedupQueries.defs ++ TextQueries.defs ++ EventQueries.defs ++
+      ScaleQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (hash
     * embeddings, LSH candidates, heuristic lang-id) → rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ MemoQueries.oracles ++ VectorQueries.oracles ++
-      DedupQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles
+      DedupQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
+      ScaleQueries.oracles
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the scale path
+  * beside brute-force exact ranking (reference semantics ranks everything,
+  * memo_cli.py:291; this trades recall for a ~nlist/nprobe scan reduction).
+  *
+  * Build: k-means coarse quantizer (MLlib, fixed seed) over a sample →
+  * centroids broadcast → every vector assigned to its nearest centroid cell.
+  * The index DataFrame is partitioned by cell, so a query reads only its
+  * probed cells — at 100 TB the cells map to parquet partitions and
+  * partition pruning skips the rest of the corpus.
+  *
+  * Search: query→centroid distances picked driver-side (nlist is small),
+  * exact cosine re-rank inside the nprobe nearest cells.
+  */
+object IvfIndex {
+
+  /** Train the coarse quantizer; returns nlist centroid vectors. */
+  def trainCentroids(corpus: DataFrame, embCol: String, nlist: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Float]] = {
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val sampled = (if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus)
+      .select(toVec(col(embCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .fit(sampled)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  private def nearestCell(centroids: Array[Array[Float]]): Column => Column = {
+    val cf = udf((a: Seq[Float]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0; var i = 0
+        val n = math.min(ctr.length, a.length)
+        while (i < n) { val t = a(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    (e: Column) => cf(e)
+  }
+
+  /** Assign every vector to its cell; result is hash-partitioned by cell so
+    * each query's probe touches few partitions. */
+  def build(corpus: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val cell = nearestCell(centroids)
+    corpus.select(col(idCol).as("id"), col(embCol).as("embedding"))
+      .withColumn("cell_id", cell(col("embedding")))
+      .repartition(col("cell_id"))
+  }
+
+  /** Probe order of cells for a query vector (driver-side, nlist small). */
+  def probeCells(centroids: Array[Array[Float]], query: Array[Float],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (ctr, i) =>
+      var d = 0.0; var j = 0
+      val n = math.min(ctr.length, query.length)
+      while (j < n) { val t = query(j) - ctr(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+
+  /** ANN top-k: scan only the probed cells, exact cosine re-rank. */
+  def search(index: DataFrame, centroids: Array[Array[Float]],
+      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val cells = probeCells(centroids, query, nprobe)
+    index.filter(col("cell_id").isin(cells: _*))
+      .withColumn("score", round(vecCosine(col("embedding"), lit(query)), 4))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+      .select(col("id"), col("score"))
+  }
+
+  /** Recall@k of IVF against exact brute force for one query (the
+    * quality-vs-cost diagnostic a tuning loop would monitor). */
+  def recallAtK(corpus: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Float]], query: Array[Float], k: Int,
+      nprobe: Int): Double = {
+    val exact = corpus
+      .withColumn("score", vecCosine(col(embCol), lit(query)))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k).select(col(idCol)).collect().map(_.getLong(0)).toSet
+    val approx = search(build(corpus, idCol, embCol, centroids),
+      centroids, query, k, nprobe)
+      .collect().map(_.getLong(0)).toSet
+    exact.intersect(approx).size.toDouble / k
+  }
+}
