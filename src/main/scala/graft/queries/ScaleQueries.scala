@@ -57,11 +57,47 @@ object ScaleQueries {
       .orderBy(col("id"))
   }
 
+  /** S1/S2: YAML export → import roundtrip must reproduce the table. */
+  private val q75YamlRoundtrip: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        map(lit("lang"), col("lang")).as("metadata"))
+    val yaml = graft.memo.YamlIO.exportTable(docs)
+    graft.memo.YamlIO.importTable(s, yaml)
+      .select(col("id"), col("body")).orderBy(col("id"))
+  }
+
+  /** F7: ISO datetime parse — null on failure (to_timestamp contract). */
+  private val q76IsoParse: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        date_format(to_timestamp(date_format(col("ts"),
+          "yyyy-MM-dd'T'HH:mm:ss")), "yyyy-MM-dd HH:mm:ss").as("parsed"),
+        try_to_timestamp(col("props")).isNull.as("unparseable_is_null"))
+      .orderBy(col("event_id"))
+
+  /** A4: default analyze fields = id + first 3 metadata keys sorted. */
+  private val q77DefaultFields: Q = (s, dir) => {
+    val recs = MemoQueries.memoRecords(s, dir)
+    val fields = MemoOps.defaultFields(recs, "{lang: en}")
+    MemoOps.analyzeProject(recs, "{lang: en}", fields, limit = 20, offset = 0)
+  }
+
+  /** Composite quality score (documented deterministic formula). */
+  private val q55QualityScore: Q = (s, dir) =>
+    graft.ops.TextAnalysis.qualityScore(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
     "q36_ivf_ann" -> q36IvfAnn,
     "q64_multimodal" -> q64Multimodal,
     "q24_stats_dates" -> q24StatsDates,
     "q74_overwrite" -> q74Overwrite,
+    "q75_yaml_roundtrip" -> q75YamlRoundtrip,
+    "q76_iso_parse" -> q76IsoParse,
+    "q77_default_fields" -> q77DefaultFields,
+    "q55_quality_score" -> q55QualityScore,
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,5 +110,29 @@ object ScaleQueries {
         | substring(CASE WHEN doc_id % 11 = 0
         |   THEN 'UPDATED ' || text ELSE text END, 1, 12) AS head
         |FROM documents ORDER BY id""".stripMargin,
+    "q75_yaml_roundtrip" ->
+      "SELECT doc_id AS id, text AS body FROM documents ORDER BY id",
+    "q76_iso_parse" ->
+      """SELECT event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS parsed,
+        | TRUE AS unparseable_is_null
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q77_default_fields" ->
+      """SELECT doc_id AS id, lang, CAST(n_chars AS VARCHAR) AS n_chars,
+        | source
+        |FROM documents WHERE lang = 'en' ORDER BY id LIMIT 20""".stripMargin,
+    "q55_quality_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |  least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  CAST(len(list_distinct(ts)) AS DOUBLE) /
+        |    greatest(len(ts), 1) * 0.3 +
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS DOUBLE) / greatest(length(text), 1) * 0.3, 4) AS quality
+        |FROM toks ORDER BY doc_id""".stripMargin,
   )
 }
