@@ -36,6 +36,24 @@ object StreamSmoke {
     rows.foreach(r => println(s"window: $r"))
     require(rows.length == 2, s"expected 2 windows, got ${rows.length}")
     q.stop()
+
+    // streaming dedup leg: send the same 3 events twice, expect 3 out
+    val input2 = MemoryStream[Ev]
+    val q2 = EventStreams.dedupedEvents(input2.toDF())
+      .writeStream.format("memory").queryName("smoke_dedup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input2.addData(
+      Ev(0, Timestamp.valueOf("2026-01-01 00:05:00"), 1, "view", 1.0, "{}"),
+      Ev(1, Timestamp.valueOf("2026-01-01 00:06:00"), 1, "view", 2.0, "{}"),
+      Ev(2, Timestamp.valueOf("2026-01-01 00:07:00"), 2, "view", 3.0, "{}"))
+    input2.addData(
+      Ev(0, Timestamp.valueOf("2026-01-01 00:05:00"), 1, "view", 1.0, "{}"),
+      Ev(1, Timestamp.valueOf("2026-01-01 00:06:00"), 1, "view", 2.0, "{}"))
+    q2.processAllAvailable()
+    val n = spark.table("smoke_dedup").count()
+    println(s"dedup: 5 events in (2 dupes) -> $n unique out")
+    require(n == 3, s"expected 3 deduped events, got $n")
+    q2.stop()
     spark.stop()
   }
 }

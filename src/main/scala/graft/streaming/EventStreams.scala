@@ -34,6 +34,13 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n_events"))
 
+  /** Streaming exact dedup: drop repeated event_ids arriving within the
+    * watermark horizon — state is bounded by the watermark, so this runs
+    * indefinitely at any rate (the streaming twin of exact-dedup). */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running event count + total value via mapGroupsWithState —
     * the custom-state path (KeyValueGroupedDataset) for semantics window
     * aggs can't express. */

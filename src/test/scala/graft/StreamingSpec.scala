@@ -60,6 +60,21 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq((1L, 3L), (2L, 1L), (2L, 1L)))
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupedEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(sample: _*)
+    input.addData(sample.take(2): _*) // duplicates of ids 0 and 1
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id").as[Long]
+      .collect().toSeq.sorted
+    q.stop()
+    assert(ids == Seq(0L, 1L, 2L, 3L, 4L)) // each id exactly once
+  }
+
   test("mapGroupsWithState accumulates per-user running stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
