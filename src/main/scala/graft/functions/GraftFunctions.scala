@@ -29,6 +29,9 @@ object GraftFunctions {
 
   def simhash64(c: Column): Column = e2col(SimHash(col2e(c)))
 
+  def srpSignature(c: Column, nBits: Int = 16): Column =
+    e2col(SrpSignature(col2e(c), nBits))
+
   def minhashSig(c: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
     e2col(MinHashSig(col2e(c), numHashes, shingleSize))
 

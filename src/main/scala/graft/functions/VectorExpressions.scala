@@ -200,6 +200,28 @@ case class SimHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Sign-random-projection LSH bucket (LONG bit-pattern) of a vector. */
+case class SrpSignature(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_signature"
+
+  private lazy val cf = VectorExprUtil.isFloatArray(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkArray(child.dataType, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.srpSignature(a.asInstanceOf[ArrayData], cf, nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.srpSignature($a, $cf, $nBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
 /** MinHash signature (ARRAY<BIGINT>) over word-shingles of a text column. */
 case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
     extends UnaryExpression {

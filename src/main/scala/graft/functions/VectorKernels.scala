@@ -154,6 +154,48 @@ object VectorKernels {
     fp
   }
 
+  /** Sign-random-projection LSH bucket: bit b of the result is
+    * sign(v · plane_b) where plane_b(i) = ±1 from murmur(productHash((b,i))).
+    * Semantics identical to the Column-expression formulation it replaces
+    * (deterministic, data-independent hyperplanes). */
+  private val srpPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Byte]]()
+
+  /** ±1 hyperplane signs, row-major [b*dim + i], memoized per (nBits, dim). */
+  private def srpPlanes(nBits: Int, dim: Int): Array[Byte] =
+    srpPlaneCache.computeIfAbsent((nBits, dim), { case (nb, d) =>
+      val out = new Array[Byte](nb * d)
+      var b = 0
+      while (b < nb) {
+        var i = 0
+        while (i < d) {
+          val h = scala.util.hashing.MurmurHash3.productHash((b, i))
+          out(b * d + i) = if ((h & 1) == 0) 1 else -1
+          i += 1
+        }
+        b += 1
+      }
+      out
+    })
+
+  def srpSignature(v: ArrayData, vFloat: Boolean, nBits: Int): Long = {
+    val dim = v.numElements()
+    val planes = srpPlanes(nBits, dim)
+    var sigAcc = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += get(v, i, vFloat) * planes(b * dim + i)
+        i += 1
+      }
+      if (dot >= 0) sigAcc |= (1L << b)
+      b += 1
+    }
+    sigAcc
+  }
+
   /** MinHash signature over token n-gram shingles (word shingles). */
   def minHashSignature(text: UTF8String, numHashes: Int, shingleSize: Int): Array[Long] = {
     val sig = Array.fill[Long](numHashes)(Long.MaxValue)

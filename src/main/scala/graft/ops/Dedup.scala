@@ -114,7 +114,7 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs via SRP-LSH buckets. */
-  def embeddingNearDups(df: DataFrame, idCol: String, dim: Int,
+  def embeddingNearDups(df: DataFrame, idCol: String,
       minCosine: Double): DataFrame =
-    Similarity.lshNearDupPairs(df, idCol, dim, minCosine)
+    Similarity.lshNearDupPairs(df, idCol, minCosine)
 }

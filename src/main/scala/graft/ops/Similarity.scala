@@ -39,33 +39,14 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("score"))
   }
 
-  /** Deterministic sign-random-projection (SRP) LSH signature: `nBits`
-    * pseudo-random hyperplanes derived from murmur-hashed (bit, dim) pairs;
-    * the signature is the bit-pattern of sign(v · plane).
-    *
-    * Computed with built-in higher-order functions only — per-row, narrow,
-    * no shuffle; at 100 TB this runs entirely inside the scan stage. */
-  def srpSignature(vec: Column, dim: Int, nBits: Int = 16): Column = {
-    // plane(b)(i) = ±1 from a deterministic hash of (b, i)
-    val bitScores: Seq[Column] = (0 until nBits).map { b =>
-      val prods = (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((b, i))
-        val sign = if ((h & 1) == 0) 1.0 else -1.0
-        element_at(vec, i + 1).cast("double") * lit(sign)
-      }
-      val dot = prods.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitScores.reduce(_ + _)
-  }
-
-  /** LSH-bucketed approximate near-neighbor pairs: equi-join on SRP bucket,
-    * exact cosine re-rank inside buckets. Returns pairs (a, b, score) with
-    * a < b and score >= minScore. */
-  def lshNearDupPairs(corpus: DataFrame, idCol: String, dim: Int,
+  /** LSH-bucketed approximate near-neighbor pairs: equi-join on the SRP
+    * bucket (codegen'd [[graft.functions.SrpSignature]] — per-row, narrow,
+    * runs inside the scan stage at any scale), exact cosine re-rank inside
+    * buckets. Returns pairs (a, b, score) with a < b and score >= minScore. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String,
       minScore: Double, nBits: Int = 12): DataFrame = {
     val sig = corpus
-      .withColumn("bucket", srpSignature(col("embedding"), dim, nBits))
+      .withColumn("bucket", srpSignature(col("embedding"), nBits))
       .select(col(idCol).as("id"), col("bucket"), col("embedding"))
     val l = sig.select(col("id").as("a"), col("bucket"),
       col("embedding").as("ea"))

@@ -57,8 +57,7 @@ object VectorQueries {
     * rows-only: approximate results have no SQL oracle. */
   private val q35LshPairs: Q = (s, dir) => {
     val emb = Tables(s, dir, "embeddings")
-    Similarity.lshNearDupPairs(emb, "vec_id", dim = 64,
-        minScore = -1.0, nBits = 8)
+    Similarity.lshNearDupPairs(emb, "vec_id", minScore = -1.0, nBits = 8)
       .orderBy(col("a"), col("b"))
   }
 

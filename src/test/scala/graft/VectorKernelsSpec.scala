@@ -69,6 +69,20 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(hamming <= 16, s"hamming=$hamming")
   }
 
+  test("srp signature is deterministic and sign-sensitive") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def sig(v: Array[Float], bits: Int) = VectorKernels.srpSignature(
+      UnsafeArrayData.fromPrimitiveArray(v), true, bits)
+    val v = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    assert(sig(v, 12) == sig(v, 12))
+    // negating the vector flips every bucket bit
+    val neg = v.map(x => -x)
+    assert(sig(v, 12) != sig(neg, 12))
+    // scaling doesn't change the bucket (sign-only)
+    val scaled = v.map(_ * 7.5f)
+    assert(sig(v, 12) == sig(scaled, 12))
+  }
+
   test("minhash signature estimates Jaccard for near-identical texts") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
