@@ -144,12 +144,7 @@ object MemoCli {
     if (offset < 0) { System.err.println("Error: --offset must be >= 0"); return 2 }
     println(s"Matched: ${engine.analyzeCount(filter.get)}")
     stats match {
-      case Some(key) =>
-        val top = engine.analyzeStats(filter.get, key).collect()
-        println(s"Stats for '$key':")
-        top.foreach { r =>
-          println(s"  ${r.getString(0)}: ${r.getLong(1)}")
-        }
+      case Some(key) => printStats(engine, filter.get, key)
       case None =>
         val df = engine.analyzeProject(filter.get, fields, limit, offset)
         val headers = df.columns.map(c => if (c == "id") "ID" else c).toSeq
@@ -160,6 +155,56 @@ object MemoCli {
         printTable(headers, rows.toSeq)
     }
     0
+  }
+
+  /** Stats block (memo_cli.py:581-633): cardinality, top-4 + other rollup,
+    * then numeric min/max/avg if ALL values parse as numbers, else date
+    * range if ALL values ISO-parse. */
+  private def printStats(engine: MemoEngine, filterExpr: String, key: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val recs = engine.records
+      .filter(graft.filter.FilterAlgebra.compile(filterExpr, col("metadata")))
+    val values = recs
+      .select(graft.filter.FilterAlgebra.resolveValue(col("metadata"), key).as("v"))
+      .filter(col("v").isNotNull)
+    println(s"Key: $key")
+    val counts = values.groupBy("v").count()
+      .orderBy(desc("count"), col("v")).collect()
+    println(s"Cardinality (distinct values): ${counts.length}")
+    println("Cardinality by value:")
+    counts.take(4).foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+    if (counts.length > 4) {
+      val other = counts.drop(4).map(_.getLong(1)).sum
+      println(s"  other (aggregate of ${counts.length - 4} additional values): $other")
+    }
+    if (counts.isEmpty) return
+    val stats = values.agg(
+      count(lit(1)).as("n"),
+      count(col("v").try_cast("double")).as("n_num"),
+      min(col("v").try_cast("double")).as("nmin"),
+      max(col("v").try_cast("double")).as("nmax"),
+      avg(col("v").try_cast("double")).as("navg"),
+      count(try_to_timestamp(col("v"))).as("n_date"),
+      date_format(min(try_to_timestamp(col("v"))), "yyyy-MM-dd").as("dmin"),
+      date_format(max(try_to_timestamp(col("v"))), "yyyy-MM-dd").as("dmax")
+    ).collect()(0)
+    val n = stats.getLong(0)
+    def g(x: Double): String = {
+      val s = "%g".format(x)
+      if (s.contains('.') && !s.contains('e') && !s.contains('E'))
+        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    if (stats.getLong(1) == n) {
+      println("Range (numeric):")
+      println(s"  min: ${g(stats.getDouble(2))}")
+      println(s"  max: ${g(stats.getDouble(3))}")
+      println(f"  avg: ${stats.getDouble(4)}%.2f")
+    } else if (stats.getLong(5) == n) {
+      println("Range (date-like):")
+      println(s"  start: ${stats.getString(6)}")
+      println(s"  end:   ${stats.getString(7)}")
+    }
   }
 
   /** Aligned two-space table (memo_cli.py:568-578). */

@@ -113,6 +113,17 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Near-dup REMOVAL: keep the smallest id of every duplicate pair chain
+    * (drop any row that appears as the larger side of a candidate pair).
+    * One anti-join — the standard corpus-cleaning step after candidate
+    * generation. */
+  def removeNearDups(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8): DataFrame = {
+    val drop = minHashPairs(df, idCol, textCol, minJaccard = minJaccard)
+      .select(col("b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs via SRP-LSH buckets. */
   def embeddingNearDups(df: DataFrame, idCol: String,
       minCosine: Double): DataFrame =

@@ -15,7 +15,10 @@ object ScaleQueries {
   /** IVF ANN top-20 (rows-only: approximate; recall floor is spec-tested). */
   private val q36IvfAnn: Q = (s, dir) => {
     val emb = Tables(s, dir, "embeddings")
-    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    // train on a sample: centroids only gate probe cells, and at 100 TB the
+    // quantizer would always be fit on a sample, never the full corpus
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16,
+      sampleFraction = 0.3)
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     IvfIndex.search(IvfIndex.build(emb, "vec_id", "embedding", centroids),

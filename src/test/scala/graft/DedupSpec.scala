@@ -40,6 +40,20 @@ class DedupSpec extends SparkTestBase {
     assert(jac > 0.5, s"min planted jaccard=$jac")
   }
 
+  test("removeNearDups leaves a corpus with no remaining candidate pairs") {
+    val docs = DedupQueries.withMutants(spark, sfDir)
+    val cleaned = Dedup.removeNearDups(docs, "doc_id", "text", minJaccard = 0.5)
+    // the larger side of every pair is dropped, so no pair can survive
+    val leftover = Dedup.minHashPairs(cleaned, "doc_id", "text",
+      minJaccard = 0.5).count()
+    assert(leftover == 0, s"$leftover near-dup pairs survived cleaning")
+    // most planted mutants are gone (short docs may miss the threshold)
+    val originals = Tables(spark, sfDir, "documents").count()
+    val planted = docs.count() - originals
+    val mutantsLeft = cleaned.filter(col("doc_id") >= 100000).count()
+    assert(mutantsLeft <= planted / 10, s"$mutantsLeft of $planted mutants survived")
+  }
+
   test("exact text dedup finds the exact duplicate copies") {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") % 10 === 0)
