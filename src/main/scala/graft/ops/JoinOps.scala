@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join utilities for the shapes AQE alone doesn't give you.
+  *
+  * - Salted join: explicit skew-spreading when one key dominates (AQE's
+  *   skew-join splits oversized partitions at runtime, but salting is the
+  *   deterministic pre-plan form and works for aggregations too).
+  * - Co-partitioned join: pre-repartition both sides once by the join key so
+  *   repeated joins on the same key reuse the exchange (Spark's
+  *   ReuseExchange + ENSURE_REQUIREMENTS skip the second shuffle). At rest
+  *   this is table bucketing; in-flight it is repartition-then-join.
+  */
+object JoinOps {
+
+  /** Equi-join with the left (large, possibly skewed) side salted: the
+    * small right side is replicated `saltFactor` times so each (key, salt)
+    * bucket joins independently. Right side must be broadcast-small OR the
+    * replication cost accepted. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("__salt",
+      (abs(xxhash64(monotonically_increasing_id())) % saltFactor).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Repartition both sides by their join keys so the join itself adds no
+    * exchange, and later joins on the same keys reuse the partitioning. */
+  def coPartitioned(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      partitions: Int): (DataFrame, DataFrame) =
+    (left.repartition(partitions, col(leftKey)),
+      right.repartition(partitions, col(rightKey)))
+
+  /** Per-key running count of exchanges in a physical plan (test helper). */
+  def countExchanges(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan
+    var n = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => n += 1
+      case _ => ()
+    }
+    n
+  }
+}

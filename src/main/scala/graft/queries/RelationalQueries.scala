@@ -204,7 +204,20 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Skew-spreading salted join (same rows as the plain join — oracle
+    * proves equivalence; the salt only changes the physical distribution). */
+  private val q17SaltedJoin: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.ops.JoinOps.saltedJoin(li, part, "l_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("p_brand"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q17_salted_join" -> q17SaltedJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue" -> q03TopRevenue,
@@ -224,6 +237,10 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_salted_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.JoinOps
+
+class JoinOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join returns identical rows to the plain join") {
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "tag")
+    val plain = large.join(small, Seq("key")).select("key", "v", "tag")
+      .collect().toSet
+    val salted = JoinOps.saltedJoin(large, small, "key", saltFactor = 8)
+      .select("key", "v", "tag").collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_.getString(0) == "hot") == 100)
+  }
+
+  test("co-partitioned repeated joins reuse the exchange") {
+    val orders = Tables(spark, sfDir, "orders")
+    val li = Tables(spark, sfDir, "lineitem")
+    // disable auto-broadcast so the join genuinely shuffles
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") { // AQE hides exchanges in its wrapper node
+      val (l, r) = JoinOps.coPartitioned(
+        li.select(col("l_orderkey"), col("l_quantity")),
+        orders.select(col("o_orderkey"), col("o_totalprice")),
+        "l_orderkey", "o_orderkey", partitions = 8)
+      // repartition exchanges: one per side; the join adds none
+      val joined = l.join(r, l("l_orderkey") === r("o_orderkey"))
+      val n = JoinOps.countExchanges(joined)
+      assert(n == 2, s"expected only the 2 repartition exchanges, saw $n")
+    }
+  }
+
+  private def withSqlConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
