@@ -216,8 +216,19 @@ object RelationalQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** Seeded Bernoulli sample (rows-only: sampling algorithms differ across
+    * engines, so no value oracle — driver checks rows > 0; determinism
+    * under the fixed seed is what matters at scale). */
+  private val q18Sample: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .sample(withReplacement = false, 0.1, seed = 42)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q17_salted_join" -> q17SaltedJoin,
+    "q18_sample" -> q18Sample,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue" -> q03TopRevenue,
