@@ -35,6 +35,9 @@ object GraftFunctions {
   def minhashSig(c: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
     e2col(MinHashSig(col2e(c), numHashes, shingleSize))
 
+  def winnowFingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
+    e2col(WinnowFingerprint(col2e(c), k, w))
+
   /** Tokens per the embed tokenizer, as pure built-ins (codegen'd). */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")

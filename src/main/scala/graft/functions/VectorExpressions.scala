@@ -222,6 +222,31 @@ case class SrpSignature(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Winnowing rolling-hash fingerprint (ARRAY<BIGINT>) of a text column. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      VectorKernels.winnowing(input.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(${VectorExprUtil.kernels}.winnowing($c, $k, $w));")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
 /** MinHash signature (ARRAY<BIGINT>) over word-shingles of a text column. */
 case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
     extends UnaryExpression {

@@ -196,6 +196,58 @@ object VectorKernels {
     sigAcc
   }
 
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 — public
+    * algorithm): rolling Rabin-Karp hashes over character k-grams of the
+    * canonical text, then the minimum hash of each w-hash window (rightmost
+    * tie-break). Returns the sorted distinct selected hashes — guarantees
+    * any match of length >= w+k-1 shares a fingerprint. */
+  def winnowing(text: UTF8String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val s = {
+      val toks = tokenize(text.toString)
+      if (toks.isEmpty) return Array.empty
+      toks.mkString(" ")
+    }
+    val n = s.length
+    if (n < k) return Array.empty
+    val B = 257L
+    val M = 0x7fffffffL // Mersenne-ish modulus keeps hashes positive
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = (pow * B) % M; i += 1 }
+    val nHashes = n - k + 1
+    val hashes = new Array[Long](nHashes)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nHashes) {
+      h = ((h - (s.charAt(i - 1) * pow) % M + M * 257) % M * B +
+        s.charAt(i + k - 1)) % M
+      hashes(i) = h
+      i += 1
+    }
+    if (nHashes <= w) return Array(hashes.min)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= nHashes) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      selected.add(hashes(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   /** MinHash signature over token n-gram shingles (word shingles). */
   def minHashSignature(text: UTF8String, numHashes: Int, shingleSize: Int): Array[Long] = {
     val sig = Array.fill[Long](numHashes)(Long.MaxValue)

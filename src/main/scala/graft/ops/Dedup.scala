@@ -113,6 +113,22 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs: explode the rolling-hash
+    * fingerprints, equi-join on hash (inverted index — the MOSS approach),
+    * keep pairs sharing >= minShared fingerprints. Same bucket-join shape
+    * as MinHash: O(n) map work + equi-join, no all-pairs. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 5): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      explode(winnowFingerprint(col(textCol), k, w)).as("h"))
+    fp.select(col("id").as("a"), col("h"))
+      .join(fp.select(col("id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-dup REMOVAL: keep the smallest id of every duplicate pair chain
     * (drop any row that appears as the larger side of a candidate pair).
     * One anti-join — the standard corpus-cleaning step after candidate

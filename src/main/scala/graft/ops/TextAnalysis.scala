@@ -25,8 +25,13 @@ object TextAnalysis {
   /** MD5 content fingerprint over the canonical form (oracle-friendly). */
   def fingerprintMd5(c: Column): Column = md5(canonicalText(c).cast("binary"))
 
+  /** English stopwords used for the stopword-ratio quality signal. */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in",
+    "is", "that", "it", "for", "on", "with", "as", "at", "by", "or", "be")
+
   /** Quality features: chars, tokens, distinct-token ratio, mean token
-    * length, alpha ratio. */
+    * length, alpha / punctuation / stopword ratios. All narrow per-row
+    * built-ins — run inside the scan stage at any scale. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     df.select(
@@ -39,8 +44,19 @@ object TextAnalysis {
         .cast("double") / greatest(size(toks), lit(1)), 4).as("mean_tok_len"),
       round(length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
         .cast("double") / greatest(length(col(textCol)), lit(1)), 4)
-        .as("alpha_ratio"))
+        .as("alpha_ratio"),
+      round(length(regexp_replace(col(textCol), "[^.,;:!?'\"()\\[\\]{}-]", ""))
+        .cast("double") / greatest(length(col(textCol)), lit(1)), 4)
+        .as("punct_ratio"),
+      round(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("stopword_ratio"))
   }
+
+  /** BPE-ish token-count estimate: letter runs, digit runs, and punctuation
+    * runs each count as one token (a cheap, deterministic proxy for
+    * subword tokenizer counts — the pattern is portable regex). */
+  def bpeTokenEstimate(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
 
   /** Composite quality score in [0,1]: favors mid-length docs with diverse
     * tokens and high alpha ratio. Deterministic, documented formula —

@@ -56,12 +56,20 @@ object DedupQueries {
     Dedup.ngramJaccard(pairs).orderBy(col("a"))
   }
 
+  /** Winnowing inverted-index near-dup pairs (rows-only; planted-pair
+    * recovery is spec-asserted). */
+  private val q45Winnow: Q = (s, dir) =>
+    Dedup.winnowPairs(withMutants(s, dir), "doc_id", "text")
+      .filter(col("b") === col("a") + 100000)
+      .orderBy(col("a"))
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact_text" -> q40ExactText,
     "q41_dedup_exact_key" -> q41ExactKey,
     "q42_dedup_minhash" -> q42MinHash,
     "q43_dedup_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
+    "q45_winnow_pairs" -> q45Winnow,
   )
 
   val oracles: Map[String, String] = Map(

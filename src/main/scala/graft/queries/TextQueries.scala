@@ -37,11 +37,19 @@ object TextQueries {
         TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish token-count estimate (portable regex, DuckDB oracle). */
+  private val q56BpeTokens: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
     "q50_token_count" -> q50TokenCount,
     "q51_quality" -> q51Quality,
     "q52_langid" -> q52LangId,
     "q53_fingerprint" -> q53Fingerprint,
+    "q56_bpe_tokens" -> q56BpeTokens,
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,8 +73,19 @@ object TextQueries {
         |      list_transform(ts, x -> length(x)), 'sum'), 0) AS DOUBLE) /
         |    greatest(len(ts), 1), 4) AS mean_tok_len,
         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |      AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio
+        |      AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio,
+        |  round(CAST(length(regexp_replace(text,
+        |      '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+        |      AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(ts, x -> x IN ('the','a','an','of',
+        |      'and','to','in','is','that','it','for','on','with','as','at',
+        |      'by','or','be'))) AS DOUBLE) /
+        |    greatest(len(ts), 1), 4) AS stopword_ratio
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q56_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q53_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

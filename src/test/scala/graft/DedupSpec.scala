@@ -54,6 +54,14 @@ class DedupSpec extends SparkTestBase {
     assert(mutantsLeft <= planted / 10, s"$mutantsLeft of $planted mutants survived")
   }
 
+  test("winnowing inverted index recovers planted pairs") {
+    val docs = DedupQueries.withMutants(spark, sfDir)
+    val planted = docs.filter(col("doc_id") >= 100000).count()
+    val recovered = Dedup.winnowPairs(docs, "doc_id", "text")
+      .filter(col("b") === col("a") + 100000).count()
+    assert(recovered >= planted * 9 / 10, s"recovered $recovered of $planted")
+  }
+
   test("exact text dedup finds the exact duplicate copies") {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") % 10 === 0)

@@ -69,6 +69,23 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(hamming <= 16, s"hamming=$hamming")
   }
 
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    def fp(s: String) = VectorKernels.winnowing(
+      UTF8String.fromString(s), 5, 4).toSet
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base + " again"
+    val other = "completely different content about spark query engines and parquet files"
+    val (a, b, c) = (fp(base), fp(near), fp(other))
+    assert(a == fp(base)) // deterministic
+    val overlapNear = a.intersect(b).size.toDouble / a.size
+    val overlapOther = a.intersect(c).size.toDouble / a.size
+    assert(overlapNear > 0.7, s"near overlap $overlapNear")
+    assert(overlapOther < 0.2, s"other overlap $overlapOther")
+    // whitespace/case canonicalization: same fingerprint
+    assert(fp("The  Quick   Brown fox!") == fp("the quick brown fox"))
+    assert(fp("").isEmpty)
+  }
+
   test("srp signature is deterministic and sign-sensitive") {
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
     def sig(v: Array[Float], bits: Int) = VectorKernels.srpSignature(
