@@ -60,17 +60,18 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: favors mid-length docs with diverse
     * tokens and high alpha ratio. Deterministic, documented formula —
-    * computed from UNROUNDED features (one final round only, so the score
-    * is oracle-comparable without intermediate-rounding boundary drift). */
+    * computed from UNROUNDED features, then FLOOR-truncated to 4 decimals:
+    * both engines produce bit-identical IEEE doubles for the sum, and floor
+    * (unlike round) has no half-way mode ambiguity across engines. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val nToks = size(toks).cast("double")
     val uniq = size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1))
     val alpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
       .cast("double") / greatest(length(col(textCol)), lit(1))
+    val raw = least(nToks / 100.0, lit(1.0)) * 0.4 + uniq * 0.3 + alpha * 0.3
     df.select(col(idCol),
-      round(least(nToks / 100.0, lit(1.0)) * 0.4 + uniq * 0.3 + alpha * 0.3, 4)
-        .as("quality"))
+      (floor(raw * 10000.0) / 10000.0).as("quality"))
   }
 
   /** Language ID: argmax of marker-token hit counts; 'und' when no marker

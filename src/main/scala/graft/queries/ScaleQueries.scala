@@ -130,12 +130,13 @@ object ScaleQueries {
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
         |      x -> x <> '') AS ts
         |  FROM documents)
-        |SELECT doc_id, round(
+        |SELECT doc_id, floor((
         |  least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) * 0.4 +
         |  CAST(len(list_distinct(ts)) AS DOUBLE) /
         |    greatest(len(ts), 1) * 0.3 +
         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |      AS DOUBLE) / greatest(length(text), 1) * 0.3, 4) AS quality
+        |      AS DOUBLE) / greatest(length(text), 1) * 0.3) * 10000.0)
+        |  / 10000.0 AS quality
         |FROM toks ORDER BY doc_id""".stripMargin,
   )
 }
