@@ -54,6 +54,17 @@ object StreamSmoke {
     println(s"dedup: 5 events in (2 dupes) -> $n unique out")
     require(n == 3, s"expected 3 deduped events, got $n")
     q2.stop()
+
+    // file-source leg: stream the driver's events parquet end-to-end
+    val q3 = EventStreams.tumblingCounts(
+        EventStreams.eventFileStream(spark, "/root/testdata/sf0.001"))
+      .writeStream.format("memory").queryName("smoke_file")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    q3.processAllAvailable()
+    val fileRows = spark.table("smoke_file").count()
+    println(s"file stream: $fileRows windows from events.parquet")
+    require(fileRows > 0, "file stream produced no windows")
+    q3.stop()
     spark.stop()
   }
 }

@@ -226,9 +226,18 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** HLL sketch distinct count next to the exact count (rows-only: sketch
+    * estimates are engine-specific; the spec asserts the error bound). */
+  private val q19ApproxDistinct: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+        countDistinct(col("o_custkey")).as("exact"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q17_salted_join" -> q17SaltedJoin,
     "q18_sample" -> q18Sample,
+    "q19_approx_distinct" -> q19ApproxDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue" -> q03TopRevenue,

@@ -15,6 +15,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** File-source stream over the driver's events parquet: explicit schema
+    * (file streams can't infer), nanosecond ts read as long then converted —
+    * the production shape for directory-watching ingestion at scale. */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
   /** Tumbling 1-hour window counts/sums per event type, 2h watermark. */
   def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -75,6 +75,21 @@ class StreamingSpec extends SparkTestBase {
     assert(ids == Seq(0L, 1L, 2L, 3L, 4L)) // each id exactly once
   }
 
+  test("file-source stream over events parquet matches the batch aggregate") {
+    val streamed = EventStreams.tumblingCounts(
+        EventStreams.eventFileStream(spark, sfDir))
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode(OutputMode.Complete()).start()
+    streamed.processAllAvailable()
+    val got = spark.table("file_stream_out")
+      .orderBy("hour", "event_type").collect().toSeq
+    streamed.stop()
+    val batch = EventStreams.tumblingCounts(Tables(spark, sfDir, "events"))
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState accumulates per-user running stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
