@@ -234,10 +234,46 @@ object RelationalQueries {
         countDistinct(col("o_custkey")).as("exact"))
   }
 
+  /** TPC-H Q17 shape: correlated per-part average pushed through a self
+    * aggregation + join (Catalyst rewrites the correlation to one shuffle). */
+  private val q80SmallQty: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    li.join(avgQty, li("l_partkey") === avgQty("ap_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** GROUP BY ... HAVING: customers with more than 15 orders. */
+  private val q81Having: Q = (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n_orders") > 15)
+      .orderBy(col("o_custkey"))
+
+  /** Join after aggregation: order details for the top-10 spend customers
+    * (the aggregated side is tiny → broadcast into the fact scan). */
+  private val q82TopCustOrders: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+    val top = ord.groupBy(col("o_custkey").as("top_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      .orderBy(desc("spend"), col("top_custkey")).limit(10)
+    ord.join(broadcast(top), ord("o_custkey") === top("top_custkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q17_salted_join" -> q17SaltedJoin,
     "q18_sample" -> q18Sample,
     "q19_approx_distinct" -> q19ApproxDistinct,
+    "q80_small_qty" -> q80SmallQty,
+    "q81_having" -> q81Having,
+    "q82_top_cust_orders" -> q82TopCustOrders,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue" -> q03TopRevenue,
@@ -261,6 +297,28 @@ object RelationalQueries {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q80_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS ap_partkey,
+        |        avg(l_quantity) * 0.5 AS half_avg
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l.l_partkey = a.ap_partkey
+        |WHERE l.l_quantity < a.half_avg""".stripMargin,
+    "q81_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q82_top_cust_orders" ->
+      """WITH top AS (
+        |  SELECT o_custkey AS top_custkey,
+        |    round(sum(o_totalprice),2) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |  ORDER BY spend DESC, top_custkey LIMIT 10)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, spend
+        |FROM orders JOIN top ON o_custkey = top_custkey
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
