@@ -17,6 +17,7 @@ object SparkEntry {
 
   /** Flagship: semantic recall over documents at sf0.001 (rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
+    graft.plans.GraftOptimizations.install(spark)
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val q = "fast table scan merge query"
     docs
@@ -29,11 +30,19 @@ object SparkEntry {
       .select(col("doc_id").as("id"), col("score"), col("text").as("body"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every query
+    * installs the graft optimizer rules into the caller's session first
+    * (idempotent) so the normalized-cosine rewrite fires under the driver
+    * harness too. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ MemoQueries.defs ++ VectorQueries.defs ++
+    (RelationalQueries.defs ++ MemoQueries.defs ++ VectorQueries.defs ++
       DedupQueries.defs ++ TextQueries.defs ++ EventQueries.defs ++
-      ScaleQueries.defs
+      ScaleQueries.defs).map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        graft.plans.GraftOptimizations.install(s)
+        fn(s, dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (hash

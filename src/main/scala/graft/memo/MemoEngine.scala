@@ -27,6 +27,7 @@ import graft.functions.VectorKernels
   * (same recovery philosophy as the reference's reindex).
   */
 class MemoEngine(spark: SparkSession, basePath: String) {
+  graft.plans.GraftOptimizations.install(spark)
   private val base = Paths.get(basePath)
   private def currentFile = base.resolve("CURRENT")
 
