@@ -1,0 +1,114 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+
+import graft.memo.MemoCli
+
+/** Golden transcript replay of the CLI lifecycle (reference
+  * SKILL.md:96-151): exact stdout contract for save / recall / filtered
+  * recall / analyze / stats / reindex / clean. */
+class CliSpec extends SparkTestBase {
+
+  private def run(args: String*): (Int, String) = {
+    val out = new ByteArrayOutputStream()
+    val code = Console.withOut(out)(MemoCli.run(spark, args.toList))
+    (code, out.toString)
+  }
+
+  private def withDb(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("cli_spec").toString
+    try f(s"$dir/db") finally ()
+  }
+
+  private def writeTemp(content: String): String = {
+    val p = Files.createTempFile("cli_in", ".yaml")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private val batch = writeTemp(
+    """---
+      |body: I am allergic to peanuts.
+      |metadata: {source: user, category: health}
+      |---
+      |body: User prefers dark mode.
+      |metadata: {source: user, category: ui}
+      |""".stripMargin)
+
+  test("save prints Memorized lines with dense ids") {
+    withDb { db =>
+      val (code, out) = run("-f", db, "save", batch)
+      assert(code == 0)
+      assert(out ==
+        "Memorized: 'I am allergic to peanuts.' (ID: 0)\n" +
+        "Memorized: 'User prefers dark mode.' (ID: 1)\n")
+      run("-f", db, "clean")
+    }
+  }
+
+  test("recall prints the block format with banner") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      val (code, out) = run("-f", db, "recall", "-k", "2", "peanuts", "info")
+      assert(code == 0)
+      val lines = out.split("\n")
+      assert(lines(0) == "Top 2 results:")
+      assert(lines(1).matches("""  \[0\] Score: \d\.\d{4} \|"""))
+      assert(lines(2) == "      I am allergic to peanuts.")
+      run("-f", db, "clean")
+    }
+  }
+
+  test("analyze prints Matched + aligned table with ID header") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      val (code, out) = run("-f", db, "analyze",
+        "--filter", "{source: user}", "--fields", "id,source,category")
+      assert(code == 0)
+      assert(out ==
+        """Matched: 2
+          |ID  source  category
+          |0   user    health
+          |1   user    ui
+          |""".stripMargin)
+      run("-f", db, "clean")
+    }
+  }
+
+  test("analyze --stats prints cardinality block and numeric range") {
+    withDb { db =>
+      run("-f", db, "save", writeTemp(
+        "---\nbody: a\nmetadata: {p: 3}\n---\nbody: b\nmetadata: {p: 1}\n"))
+      val (code, out) = run("-f", db, "analyze", "--filter", "{}", "--stats", "p")
+      assert(code == 0)
+      assert(out.contains("Matched: 2\n"))
+      assert(out.contains("Cardinality (distinct values): 2\n"))
+      assert(out.contains("Range (numeric):\n  min: 1\n  max: 3\n  avg: 2.00\n"))
+      run("-f", db, "clean")
+    }
+  }
+
+  test("clean and reindex messages; analyze without --filter errors") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      val (c1, o1) = run("-f", db, "reindex")
+      assert(c1 == 0)
+      assert(o1.startsWith(s"Rebuilt index from $db\nWrote index: $db\n"))
+      val (c2, o2) = run("-f", db, "clean")
+      assert(c2 == 0 && o2 == s"Cleared memory database ($db)\n")
+      val (c3, o3) = run("-f", db, "clean")
+      assert(c3 == 0 && o3 == s"Database already empty ($db)\n")
+      val (c4, _) = run("-f", db, "analyze", "--fields", "id")
+      assert(c4 == 2)
+    }
+  }
+
+  test("recall --yaml emits results list; empty DB gives results: []") {
+    withDb { db =>
+      val (code, out) = run("-f", db, "recall", "--yaml", "anything")
+      assert(code == 0)
+      assert(out == "results: []\n")
+    }
+  }
+}
