@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions for the scale-critical queries: filters reach the
+  * parquet scan, dims broadcast, top-k compiles to TakeOrderedAndProject,
+  * aggregations are partial (map-side) — the properties ARCHITECTURE.md
+  * claims, pinned in CI. */
+class PlanSpec extends SparkTestBase {
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String = physical(df).toString
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q01: shipdate filter is pushed to the parquet scan; agg is partial") {
+    val s = planString(q("q01_pricing_summary"))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$s")
+    assert(s.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q03: both dims join via broadcast, fact scans pruned columns") {
+    val s = planString(q("q03_top_revenue"))
+    assert(s.split("BroadcastHashJoin").length >= 3, "expected 2 broadcast joins")
+    assert(s.contains("TakeOrderedAndProject"), "top-N should avoid a global sort")
+    assert(!s.contains("SortMergeJoin"), "dims must not shuffle")
+  }
+
+  test("recall (q71): top-k compiles to TakeOrderedAndProject, no corpus shuffle") {
+    val s = planString(q("q71_recall"))
+    assert(s.contains("TakeOrderedAndProject"), "per-partition heap expected")
+    assert(!s.contains("SortMergeJoin"), "corpus must not shuffle for recall")
+  }
+
+  test("q02: projection pruning reaches the scan (ReadSchema is narrow)") {
+    val s = planString(q("q02_filter_pushdown"))
+    val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_partkey") && !read.contains("l_tax"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("entry: normalized-cosine rule rewrote scoring to vec_dot") {
+    val s = planString(SparkEntry.entry(spark))
+    assert(s.contains("vec_dot"), s"expected vec_dot in entry plan")
+    assert(!s.contains("vec_cosine"), "cosine should have been rewritten")
+  }
+}
