@@ -267,6 +267,17 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exact interpolated percentiles per group (single-pass sort-based agg;
+    * both engines use linear interpolation → oracle-comparable). */
+  private val q83Percentiles: Q = (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Map[String, Q] = Map(
     "q17_salted_join" -> q17SaltedJoin,
     "q18_sample" -> q18Sample,
@@ -274,6 +285,7 @@ object RelationalQueries {
     "q80_small_qty" -> q80SmallQty,
     "q81_having" -> q81Having,
     "q82_top_cust_orders" -> q82TopCustOrders,
+    "q83_percentiles" -> q83Percentiles,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue" -> q03TopRevenue,
@@ -310,6 +322,12 @@ object RelationalQueries {
         | round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY o_custkey HAVING count(*) > 15
         |ORDER BY o_custkey""".stripMargin,
+    "q83_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q82_top_cust_orders" ->
       """WITH top AS (
         |  SELECT o_custkey AS top_custkey,
