@@ -65,6 +65,17 @@ object StreamSmoke {
     println(s"file stream: $fileRows windows from events.parquet")
     require(fileRows > 0, "file stream produced no windows")
     q3.stop()
+
+    // stream-stream interval join leg over the real events file stream
+    val q4 = EventStreams.errorThenPurchase(
+        EventStreams.eventFileStream(spark, "/root/testdata/sf0.001"))
+      .writeStream.format("memory").queryName("smoke_join")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    q4.processAllAvailable()
+    val joins = spark.table("smoke_join").count()
+    println(s"stream-stream join: $joins error->purchase pairs")
+    require(joins > 0, "interval join produced no pairs")
+    q4.stop()
     spark.stop()
   }
 }

@@ -47,6 +47,28 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n_events"))
 
+  /** Stream-stream interval join: for each error event, the purchases by
+    * the same user within `within` AFTER the error. Watermarks bound both
+    * join states; the time-range condition lets Spark evict rows once the
+    * interval passes — the canonical watermarked stream-stream join shape. */
+  def errorThenPurchase(events: DataFrame, within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("purchase_ts") >= col("error_ts") &&
+        col("purchase_ts") <= col("error_ts") + expr(s"INTERVAL $within"))
+      .select(col("error_id"), col("purchase_id"), col("e_user").as("user_id"),
+        col("value"))
+  }
+
   /** Streaming exact dedup: drop repeated event_ids arriving within the
     * watermark horizon — state is bounded by the watermark, so this runs
     * indefinitely at any rate (the streaming twin of exact-dedup). */

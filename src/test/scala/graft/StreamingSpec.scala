@@ -60,6 +60,24 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq((1L, 3L), (2L, 1L), (2L, 1L)))
   }
 
+  test("stream-stream interval join pairs errors with later purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.errorThenPurchase(input.toDF())
+      .writeStream.format("memory").queryName("joined_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      mkEv(0, 5, 1, "error", 0.0),
+      mkEv(1, 15, 1, "purchase", 9.5),   // within 30min of error 0 → match
+      mkEv(2, 50, 1, "purchase", 4.0),   // 45min later → outside interval
+      mkEv(3, 10, 2, "purchase", 7.0))   // different user, no error
+    q.processAllAvailable()
+    val rows = spark.table("joined_out")
+      .select("error_id", "purchase_id").as[(Long, Long)].collect().toSeq
+    q.stop()
+    assert(rows == Seq((0L, 1L)))
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
