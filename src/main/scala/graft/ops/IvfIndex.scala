@@ -1,9 +1,6 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -23,20 +20,75 @@ import graft.functions.GraftFunctions._
   */
 object IvfIndex {
 
-  /** Train the coarse quantizer; returns nlist centroid vectors. */
+  /** Train the coarse quantizer: collect a bounded, deterministically
+    * ordered sample to the driver and run Lloyd's iterations locally.
+    *
+    * A coarse quantizer never needs the full corpus — at 100 TB you sample
+    * ~10-100k vectors (a few MB) and train in milliseconds on the driver;
+    * only the ASSIGNMENT pass (build) is distributed. This replaces ~15
+    * MLlib jobs of scheduling overhead with one collect. 8 Lloyd
+    * iterations suffice: cells only gate which partitions a probe reads. */
   def trainCentroids(corpus: DataFrame, embCol: String, nlist: Int,
-      sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Float]] = {
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      maxSample: Int = 20000, maxIter: Int = 8): Array[Array[Float]] = {
     val sampled = (if (sampleFraction < 1.0)
         corpus.sample(withReplacement = false, sampleFraction, seed)
       else corpus)
-      .select(toVec(col(embCol)).as("features"))
-    // A coarse quantizer doesn't need convergence — cells only gate which
-    // partitions a probe reads; 8 iterations is plenty and halves build time.
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
-      .fit(sampled)
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
+      .select(col(embCol).as("e"))
+      // deterministic order independent of partition layout
+      .withColumn("h", xxhash64(col("e")))
+      .orderBy("h").limit(maxSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sampled.length >= nlist, s"sample ${sampled.length} < nlist $nlist")
+    val dim = sampled(0).length
+    // init: hash-ordered sample is pseudo-random → take the first nlist
+    val centroids = Array.tabulate(nlist)(i => sampled(i).clone())
+    val assign = new Array[Int](sampled.length)
+    var iter = 0
+    while (iter < maxIter) {
+      var changed = false
+      var r = 0
+      while (r < sampled.length) {
+        val v = sampled(r)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          val ctr = centroids(c)
+          while (i < dim) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(r) != best) { assign(r) = best; changed = true }
+        r += 1
+      }
+      if (!changed && iter > 0) iter = maxIter
+      else {
+        val sums = Array.ofDim[Double](nlist, dim)
+        val counts = new Array[Int](nlist)
+        r = 0
+        while (r < sampled.length) {
+          val c = assign(r); val v = sampled(r)
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+          counts(c) += 1
+          r += 1
+        }
+        var c = 0
+        while (c < nlist) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dim) {
+              centroids(c)(i) = (sums(c)(i) / counts(c)).toFloat
+              i += 1
+            }
+          }
+          c += 1
+        }
+      }
+      iter += 1
+    }
+    centroids
   }
 
   private def nearestCell(centroids: Array[Array[Float]]): Column => Column = {
