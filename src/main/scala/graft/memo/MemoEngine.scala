@@ -78,14 +78,22 @@ class MemoEngine(spark: SparkSession, basePath: String) {
     val entries = YamlIO.parseSaveBatch(batchYaml)
     if (entries.isEmpty) return Seq.empty
     val existing = records.cache()
-    val existingIds = existing.select("id").as[Long].collect().toSet
-    entries.foreach {
-      case (Some(id), _, _) if !existingIds.contains(id) =>
+    // Scale note: only driver-side state here is the (small) input batch.
+    // Override validation probes the store for JUST the batch's ids; the
+    // max id comes from an aggregate — never a full id collect.
+    val overrideIds = entries.collect { case (Some(id), _, _) => id }
+    if (overrideIds.nonEmpty) {
+      val found = existing.select("id")
+        .filter(col("id").isin(overrideIds: _*)).as[Long].collect().toSet
+      overrideIds.find(!found.contains(_)).foreach { id =>
         throw new IllegalArgumentException(
           s"Cannot overwrite non-existent ID $id")
-      case _ => ()
+      }
     }
-    val maxId = if (existingIds.isEmpty) -1L else existingIds.max
+    val maxId = existing.agg(max(col("id"))).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
     var nextId = maxId
     val resolved = entries.map {
       case (Some(id), body, meta) => (id, body, meta)
