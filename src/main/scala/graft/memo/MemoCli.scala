@@ -168,16 +168,21 @@ object MemoCli {
       .select(graft.filter.FilterAlgebra.resolveValue(col("metadata"), key).as("v"))
       .filter(col("v").isNotNull)
     println(s"Key: $key")
-    val counts = values.groupBy("v").count()
-      .orderBy(desc("count"), col("v")).collect()
-    println(s"Cardinality (distinct values): ${counts.length}")
+    // bounded driver-side state: top-4 rows + two scalars — never the full
+    // histogram (the value cardinality is unbounded at scale)
+    val top = values.groupBy("v").count()
+      .orderBy(desc("count"), col("v")).limit(4).collect()
+    val totals = values.agg(count(lit(1)).as("n"),
+      countDistinct(col("v")).as("d")).collect()(0)
+    val (total, distinct) = (totals.getLong(0), totals.getLong(1))
+    println(s"Cardinality (distinct values): $distinct")
     println("Cardinality by value:")
-    counts.take(4).foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
-    if (counts.length > 4) {
-      val other = counts.drop(4).map(_.getLong(1)).sum
-      println(s"  other (aggregate of ${counts.length - 4} additional values): $other")
+    top.foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+    if (distinct > 4) {
+      val other = total - top.map(_.getLong(1)).sum
+      println(s"  other (aggregate of ${distinct - 4} additional values): $other")
     }
-    if (counts.isEmpty) return
+    if (total == 0) return
     val stats = values.agg(
       count(lit(1)).as("n"),
       count(col("v").try_cast("double")).as("n_num"),
