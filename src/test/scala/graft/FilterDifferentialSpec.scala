@@ -128,6 +128,23 @@ class FilterDifferentialSpec extends SparkTestBase {
     } else base
   }
 
+  test("dotted keys against JSON-object values agree with get_json_object") {
+    import spark.implicits._
+    val metas = Seq(
+      (0L, Map("user" -> """{"name":"ada","role":"eng"}""")),
+      (1L, Map("user" -> """{"name":"bob"}""")),
+      (2L, Map("user" -> "plain-string")),
+      (3L, Map("other" -> "x")))
+    val df = metas.toDF("id", "metadata")
+    def ids(expr: String): Set[Long] =
+      df.filter(FilterAlgebra.compile(expr, org.apache.spark.sql.functions.col("metadata")))
+        .select("id").as[Long].collect().toSet
+    assert(ids("{user.name: ada}") == Set(0L))
+    assert(ids("{user.name: {$ne: ada}}") == Set(1L)) // bob; plain/missing → false
+    assert(ids("{user.name: {$prefix: a}}") == Set(0L))
+    assert(ids("{user.role: eng}") == Set(0L))
+  }
+
   test("compiled predicate agrees with the reference evaluator on 40x60 random cases") {
     import spark.implicits._
     val metas = (0 until 60).map(i => (i.toLong, randomMeta()))
