@@ -1,31 +1,38 @@
 package graft.filter
 
+import scala.collection.immutable.VectorMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.memo.MetaCodec
+import graft.functions.GraftFunctions.{metaNum, metaPyStr}
 
 /** Mongo-style metadata filter algebra (reference: /root/reference
   * memo_cli.py:179-241, SKILL.md:183-249), compiled to a Catalyst Column
-  * predicate over a `metadata MAP<STRING,STRING>` column.
+  * predicate over a `metadata MAP<STRING,STRING>` column holding
+  * [[graft.memo.MetaCodec]] typed-encoded values.
   *
-  * Storage encoding (this engine's spec): scalar metadata values are stored
-  * as their canonical string rendering (booleans lowercase); list values as
-  * JSON arrays of coerced strings; nested maps as JSON objects. The
-  * reference's dynamic typing is recovered through the same string-coercion
-  * comparison semantics it uses (memo_cli.py:179-198):
+  * Because values carry their original YAML type, the compiled predicate
+  * reproduces the reference's TYPED comparison semantics exactly
+  * (memo_cli.py:179-222):
   *
-  *  - bare equality / $ne: string-coerced equality; list values match if ANY
-  *    element matches (P1/P2)
-  *  - $gte/$lte: numeric compare iff BOTH sides parse as numbers, else
-  *    lexicographic string compare (P3/P4)
-  *  - $prefix: strings only — numeric-looking or JSON-encoded values never
-  *    match (P5, memo_cli.py:216-217)
-  *  - $contains: lists only — any element string-equals the operand (P6)
-  *  - implicit AND over top-level keys; $and / $or combinators (P7-P9)
-  *  - missing key → false (P10); record without metadata never matches (P11)
-  *  - malformed operator maps → false (P12)
+  *  - bare equality / $ne: Python str()-coerced equality; list values match
+  *    if ANY element's str() matches (P1/P2)
+  *  - $gte/$lte: numeric compare iff BOTH sides are Python numbers
+  *    (int/float/bool — a quoted "2" stays a string and compares
+  *    lexicographically), else str() lexicographic compare (P3/P4)
+  *  - $prefix: `isinstance(value, str)` only — a string-typed "2.5" CAN
+  *    prefix-match; an int 25 cannot (P5)
+  *  - $contains: lists only — any element str()-equals str(operand) (P6)
+  *  - implicit AND over top-level keys; $and / $or combinators; empty
+  *    $and is vacuously TRUE (all([])), empty $or FALSE (any([])) (P7-P9)
+  *  - filter keys are LITERAL flat metadata keys — no dotted traversal
+  *    (`eval_condition` does `key not in data`, memo_cli.py:202-204)
+  *  - missing key → false (P10); record without metadata never matches
+  *    (P11); malformed operator maps / unknown ops → false (P12)
   */
 object FilterAlgebra {
 
@@ -46,41 +53,44 @@ object FilterAlgebra {
       s"Invalid filter expression: $expr"))
   }
 
+  /** java → scala conversion preserving mapping order (Python dicts are
+    * insertion-ordered; order matters for str() of dict operands). */
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, x) => String.valueOf(k) -> toScala(x) }.toMap
+      VectorMap.from(m.asScala.map { case (k, x) =>
+        String.valueOf(k) -> toScala(x) })
     case l: java.util.List[_] => l.asScala.map(toScala).toList
     case other => other
   }
 
-  /** Canonical string rendering used for both storage and comparison. */
-  def coerceString(v: Any): String = v match {
-    case null => ""
-    case b: Boolean => if (b) "true" else "false"
-    case b: java.lang.Boolean => if (b) "true" else "false"
-    case d: Double if d.isWhole && math.abs(d) < 1e15 =>
-      // YAML float that is integral renders without trailing .0 ambiguity?
-      // Keep Java's rendering for doubles; ints stay ints upstream.
-      d.toString
-    case other => other.toString
-  }
+  /** Python str() of a parsed filter operand. */
+  def operandStr(v: Any): String = MetaCodec.pyStr(MetaCodec.encode(v))
 
-  private def toNum(v: Any): Option[Double] = v match {
-    case n: java.lang.Number => Some(n.doubleValue())
-    case s: String => s.toDoubleOption
-    case b: Boolean => None
-    case _ => None
+  /** Numeric value of the operand iff it is a Python number (incl. bool). */
+  private def operandNum(v: Any): Option[Double] = {
+    val t = MetaCodec.encode(v)
+    if (MetaCodec.isNumeric(t)) Some(MetaCodec.numValue(t)) else None
   }
 
   private val strArray = ArrayType(StringType)
 
-  /** Resolve a possibly-dotted key against the metadata map column. */
-  def resolveValue(metadata: Column, key: String): Column = {
-    val parts = key.split('.')
-    if (parts.length == 1) element_at(metadata, key)
-    else get_json_object(element_at(metadata, parts.head),
-      "$." + parts.tail.mkString("."))
+  /** Resolve a FILTER key: literal flat metadata lookup (the reference's
+    * `key not in data` — dotted keys are plain keys, memo_cli.py:202-204). */
+  def resolveValue(metadata: Column, key: String): Column =
+    element_at(metadata, key)
+
+  /** Resolve an ANALYZE field: strips a leading `metadata.` prefix then
+    * does a flat lookup (reference resolve_field_value, memo_cli.py:543-549). */
+  def resolveField(metadata: Column, field: String): Column = {
+    val key =
+      if (field.startsWith("metadata.")) field.substring("metadata.".length)
+      else field
+    element_at(metadata, key)
   }
+
+  /** List elements of a typed `l` value, as typed strings. */
+  private def listElems(v: Column): Column =
+    from_json(v.substr(lit(2), length(v)), strArray)
 
   /** Compile a parsed filter map to a predicate Column. Includes the
     * no-metadata gate (P11). */
@@ -109,11 +119,13 @@ object FilterAlgebra {
         compileMap(m.asInstanceOf[Map[String, Any]], metadata)
       case _ => lit(false)
     }
-    if (subs.isEmpty) lit(false)
+    // all([]) is vacuously true; any([]) is false (memo_cli.py:226-238)
+    if (subs.isEmpty) lit(and)
     else if (and) subs.reduce(_ && _) else subs.reduce(_ || _)
   }
 
-  /** Condition on one key's value; `v` may be null (missing key → false). */
+  /** Condition on one key's value; `v` null means the key is missing →
+    * false for every operator (memo_cli.py:202-204). */
   private def keyCondition(v: Column, cond: Any): Column = cond match {
     case m: Map[_, _] =>
       val mm = m.asInstanceOf[Map[String, Any]]
@@ -132,21 +144,24 @@ object FilterAlgebra {
     case operand => v.isNotNull && bareEquals(v, operand)
   }
 
-  /** String-coerced equality; list values match on ANY element (P1). */
+  /** str()-coerced equality; list values match on ANY element (P1,
+    * memo_cli.py:195-198). */
   private def bareEquals(v: Column, operand: Any): Column = {
-    val opStr = lit(coerceString(operand))
-    val asList = from_json(v, strArray)
-    when(v.startsWith("["), coalesce(exists(asList, e => e === opStr), lit(false)))
-      .otherwise(v === opStr)
+    val opStr = lit(operandStr(operand))
+    when(v.startsWith("l"),
+      coalesce(exists(listElems(v), e => metaPyStr(e) === opStr), lit(false)))
+      .otherwise(metaPyStr(v) === opStr)
   }
 
-  /** Numeric compare iff both sides numeric, else lexicographic (P3/P4). */
+  /** Numeric compare iff BOTH sides are Python numbers, else str()
+    * lexicographic (P3/P4, memo_cli.py:179-192). */
   private def compareOp(v: Column, operand: Any, gte: Boolean): Column = {
-    val opStr = lit(coerceString(operand))
-    val strCmp = if (gte) v >= opStr else v <= opStr
-    val guarded = toNum(operand) match {
+    val opStr = lit(operandStr(operand))
+    val vStr = metaPyStr(v)
+    val strCmp = if (gte) vStr >= opStr else vStr <= opStr
+    val guarded = operandNum(operand) match {
       case Some(d) =>
-        val vNum = v.try_cast(DoubleType)
+        val vNum = metaNum(v)
         when(vNum.isNotNull, if (gte) vNum >= lit(d) else vNum <= lit(d))
           .otherwise(strCmp)
       case None => strCmp
@@ -154,19 +169,16 @@ object FilterAlgebra {
     v.isNotNull && guarded
   }
 
-  /** Strings only: numeric-looking or JSON-encoded values never match (P5). */
-  private def prefixOp(v: Column, operand: Any): Column = {
-    val opStr = coerceString(operand)
-    v.isNotNull &&
-      v.try_cast(DoubleType).isNull &&
-      !v.startsWith("[") && !v.startsWith("{") &&
-      v.startsWith(lit(opStr))
-  }
+  /** `isinstance(value, str) and value.startswith(str(operand))` (P5,
+    * memo_cli.py:216-217): the typed encoding makes this a single
+    * prefix test on "s" + operand. */
+  private def prefixOp(v: Column, operand: Any): Column =
+    v.isNotNull && v.startsWith(lit("s" + operandStr(operand)))
 
-  /** Lists only: any element string-equals operand (P6). */
+  /** Lists only: any element str()-equals str(operand) (P6). */
   private def containsOp(v: Column, operand: Any): Column = {
-    val opStr = lit(coerceString(operand))
-    v.isNotNull && v.startsWith("[") &&
-      coalesce(exists(from_json(v, strArray), e => e === opStr), lit(false))
+    val opStr = lit(operandStr(operand))
+    v.isNotNull && v.startsWith("l") &&
+      coalesce(exists(listElems(v), e => metaPyStr(e) === opStr), lit(false))
   }
 }

@@ -46,8 +46,33 @@ object GraftFunctions {
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** Blank-body predicate (memo_cli.py:142-143). */
-  def isBlank(c: Column): Column = c.isNull || trim(c) === ""
+  /** Blank-body predicate (memo_cli.py:142-143): `\s`-aware — a body of
+    * tabs/newlines-only is blank, matching the reference's
+    * normalize_whitespace-then-empty check (Spark `trim` strips 0x20 only). */
+  def isBlank(c: Column): Column = c.isNull || normalizeWhitespace(c) === ""
+
+  // ---- typed-metadata expressions ([[MetaExpressions]], MetaCodec docs)
+
+  /** Python str() of a typed metadata value. */
+  def metaPyStr(c: Column): Column = e2col(MetaPyStr(col2e(c)))
+
+  /** format_cell display of a typed metadata value. */
+  def metaDisplay(c: Column): Column = e2col(MetaDisplay(col2e(c)))
+
+  /** YAML flow rendering of a typed metadata value. */
+  def metaFlowYaml(c: Column): Column = e2col(MetaFlowYaml(col2e(c)))
+
+  /** YAML scalar quoting of a raw string (flow-map keys). */
+  def metaYamlScalar(c: Column): Column = e2col(MetaYamlScalar(col2e(c)))
+
+  /** Python bool() truthiness of a typed metadata value. */
+  def metaTruthy(c: Column): Column = e2col(MetaTruthy(col2e(c)))
+
+  /** Double for Python-numeric typed values (int/float/bool), else NULL. */
+  def metaNum(c: Column): Column = e2col(MetaNum(col2e(c)))
+
+  /** Body-YAML deleted probe (memo_cli.py:145-154). */
+  def bodyDeleted(c: Column): Column = e2col(BodyDeleted(col2e(c)))
 
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {

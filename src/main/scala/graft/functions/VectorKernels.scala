@@ -61,8 +61,15 @@ object VectorKernels {
     count
   }
 
+  /** Embed invocations in THIS JVM — a test hook for pinning the write
+    * path's incremental behavior (a 1-row save must not re-embed the
+    * corpus). Single atomic add per call; negligible next to the
+    * tokenize/hash work it counts. Only meaningful in local mode. */
+  val embedCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Signed feature-hash embedding; output length = dim, L2-normalized. */
   def hashEmbedFloats(text: String, dim: Int): Array[Float] = {
+    embedCalls.incrementAndGet()
     val v = new Array[Float](dim)
     val toks = tokenize(text)
     var i = 0

@@ -31,20 +31,19 @@ object MemoCli {
   }
 
   def run(spark: SparkSession, args: List[String]): Int = {
-    val (flags, rest) = parseGlobal(args)
-    val baseOpt = flags.get("-f")
+    val (baseOpt, verbose, rest) = parseGlobal(args)
     if (baseOpt.isEmpty || rest.isEmpty) {
       System.err.println(
-        "Usage: memo-cli -f <base> {save|recall|analyze|clean|reindex} ...")
+        "Usage: memo-cli -f <base> [-v] {save|recall|analyze|clean|reindex} ...")
       return 2
     }
     val engine = new MemoEngine(spark, baseOpt.get)
     try rest match {
-      case "save" :: file :: Nil => cmdSave(engine, file)
+      case "save" :: file :: Nil => cmdSave(engine, file, verbose)
       case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
       case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
       case "clean" :: Nil => cmdClean(engine, baseOpt.get)
-      case "reindex" :: Nil => cmdReindex(engine, baseOpt.get)
+      case "reindex" :: Nil => cmdReindex(engine, baseOpt.get, verbose)
       case other =>
         System.err.println(s"Error: unknown command: ${other.mkString(" ")}")
         2
@@ -55,19 +54,37 @@ object MemoCli {
     }
   }
 
-  private def parseGlobal(args: List[String]): (Map[String, String], List[String]) =
-    args match {
-      case "-f" :: base :: rest => (Map("-f" -> base), rest)
-      case other => (Map.empty, other)
-    }
+  /** Verbose diagnostics to stderr — stdout stays result-only
+    * (memo_cli.py:38-40, SKILL.md "Output contract"). */
+  def vlog(enabled: Boolean, msg: String): Unit =
+    if (enabled) System.err.println(msg)
 
-  private def cmdSave(engine: MemoEngine, file: String): Int = {
+  /** Global flags scan: `-f <base>` and `-v` anywhere before/between
+    * positionals (memo_cli.py:727-757). */
+  private def parseGlobal(args: List[String]): (Option[String], Boolean, List[String]) = {
+    var base: Option[String] = None
+    var verbose = false
+    val positional = List.newBuilder[String]
+    var it = args
+    while (it.nonEmpty) it match {
+      case "-v" :: rest => verbose = true; it = rest
+      case "-f" :: b :: rest if b.trim.nonEmpty => base = Some(b); it = rest
+      case "-f" :: _ => return (None, verbose, Nil)
+      case a :: rest => positional += a; it = rest
+      case Nil => ()
+    }
+    (base, verbose, positional.result())
+  }
+
+  private def cmdSave(engine: MemoEngine, file: String, verbose: Boolean): Int = {
     val p = Paths.get(file)
     if (!Files.exists(p)) {
       System.err.println(s"Error: save file not found: $file")
       return 1
     }
-    engine.save(Files.readString(p)).foreach { case (id, firstLine) =>
+    val saved = engine.save(Files.readString(p))
+    vlog(verbose, s"Indexed ${saved.size} records incrementally")
+    saved.foreach { case (id, firstLine) =>
       println(s"Memorized: '$firstLine' (ID: $id)")
     }
     0
@@ -157,16 +174,21 @@ object MemoCli {
     0
   }
 
-  /** Stats block (memo_cli.py:581-633): cardinality, top-4 + other rollup,
-    * then numeric min/max/avg if ALL values parse as numbers, else date
-    * range if ALL values ISO-parse. */
+  /** Stats block (memo_cli.py:581-633): cardinality over format_cell
+    * renderings, top-4 + other rollup, then numeric min/max/avg if ALL
+    * values coerce numerically (typed numbers directly, strings via
+    * float(str(v))), else date range if ALL values ISO-parse. */
   private def printStats(engine: MemoEngine, filterExpr: String, key: String): Unit = {
     import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.metaDisplay
     val recs = engine.records
       .filter(graft.filter.FilterAlgebra.compile(filterExpr, col("metadata")))
     val values = recs
-      .select(graft.filter.FilterAlgebra.resolveValue(col("metadata"), key).as("v"))
-      .filter(col("v").isNotNull)
+      .select(graft.filter.FilterAlgebra.resolveField(col("metadata"), key).as("raw"))
+      .filter(col("raw").isNotNull && col("raw") =!= "z") // None = missing
+      .select(col("raw"), metaDisplay(col("raw")).as("v"),
+        MemoOps.statsNumericValue(col("raw")).as("num"),
+        MemoOps.statsDateValue(col("raw")).as("dt"))
     println(s"Key: $key")
     // bounded driver-side state: top-4 rows + two scalars — never the full
     // histogram (the value cardinality is unbounded at scale)
@@ -185,13 +207,13 @@ object MemoCli {
     if (total == 0) return
     val stats = values.agg(
       count(lit(1)).as("n"),
-      count(col("v").try_cast("double")).as("n_num"),
-      min(col("v").try_cast("double")).as("nmin"),
-      max(col("v").try_cast("double")).as("nmax"),
-      avg(col("v").try_cast("double")).as("navg"),
-      count(try_to_timestamp(col("v"))).as("n_date"),
-      date_format(min(try_to_timestamp(col("v"))), "yyyy-MM-dd").as("dmin"),
-      date_format(max(try_to_timestamp(col("v"))), "yyyy-MM-dd").as("dmax")
+      count(col("num")).as("n_num"),
+      min(col("num")).as("nmin"),
+      max(col("num")).as("nmax"),
+      avg(col("num")).as("navg"),
+      count(col("dt")).as("n_date"),
+      date_format(min(col("dt")), "yyyy-MM-dd").as("dmin"),
+      date_format(max(col("dt")), "yyyy-MM-dd").as("dmax")
     ).collect()(0)
     val n = stats.getLong(0)
     def g(x: Double): String = {
@@ -231,8 +253,10 @@ object MemoCli {
     0
   }
 
-  private def cmdReindex(engine: MemoEngine, base: String): Int = {
+  private def cmdReindex(engine: MemoEngine, base: String, verbose: Boolean): Int = {
     val dropped = engine.reindex()
+    vlog(verbose, s"Rebuilt index with ${engine.records.count()} vectors " +
+      s"(skipped 0 blank records)") // blanks dropped by compaction itself
     println(s"Rebuilt index from $base")
     println(s"Wrote index: $base")
     if (dropped > 0) println(s"Compacted: dropped $dropped blank/deleted entries")

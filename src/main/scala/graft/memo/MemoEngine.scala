@@ -52,16 +52,36 @@ class MemoEngine(spark: SparkSession, basePath: String) {
     case None => records.select(col("id"), embedText(col("body")).as("embedding"))
   }
 
-  /** Write records (+ freshly derived index) as the next version and swing
-    * the pointer. Index is written first (reference write order,
-    * memo_cli.py:448-449), but the pointer swap makes the pair atomic. */
-  private def commit(newRecords: DataFrame): Long = {
+  /** Write records (+ derived index) as the next version and swing the
+    * pointer. Index is written first (reference write order,
+    * memo_cli.py:448-449), but the pointer swap makes the pair atomic.
+    *
+    * `changedIds` = the ids this mutation touched. When present and a prior
+    * version exists, the index is derived INCREMENTALLY: prior index rows
+    * for untouched ids are reused verbatim and only the changed rows are
+    * embedded — the reference's append path is incremental the same way
+    * (memo_cli.py:436-437); full rebuild stays for reindex/import
+    * (memo_cli.py:442-443, 359). At scale this turns a 1-row save from
+    * O(corpus) embedding work into O(1) + a columnar copy of the prior
+    * index (no shuffle: filter + union preserve partitioning). */
+  private def commit(newRecords: DataFrame,
+      changedIds: Option[Seq[Long]] = None): Long = {
     val v = currentVersion.getOrElse(-1L) + 1
     Files.createDirectories(versionDir(v))
     val recs = newRecords.select(col("id"), col("body"), col("metadata"))
-    recs.filter(!isBlank(col("body")))
-      .select(col("id"), embedText(col("body")).as("embedding"))
-      .write.mode("overwrite").parquet(versionDir(v).resolve("index").toString)
+    val embedded = (changedIds match {
+      case Some(ids) if exists =>
+        val changed =
+          if (ids.isEmpty) recs.limit(0) else recs.filter(col("id").isin(ids: _*))
+        index.filter(if (ids.isEmpty) lit(true) else !col("id").isin(ids: _*))
+          .unionByName(changed.filter(!isBlank(col("body")))
+            .select(col("id"), embedText(col("body")).as("embedding")))
+      case _ =>
+        recs.filter(!isBlank(col("body")))
+          .select(col("id"), embedText(col("body")).as("embedding"))
+    })
+    embedded.write.mode("overwrite")
+      .parquet(versionDir(v).resolve("index").toString)
     recs.write.mode("overwrite").parquet(versionDir(v).resolve("records").toString)
     val tmp = base.resolve("CURRENT.tmp")
     Files.writeString(tmp, v.toString)
@@ -103,7 +123,7 @@ class MemoEngine(spark: SparkSession, basePath: String) {
     val batchDf = resolved.toDF("id", "body", "metadata")
     val merged = existing.filter(!col("id").isin(overwriteIds.toSeq: _*))
       .unionByName(batchDf)
-    commit(merged)
+    commit(merged, changedIds = Some(resolved.map(_._1)))
     existing.unpersist()
     resolved.map { case (id, body, _) =>
       val firstLine = body.linesIterator.nextOption().getOrElse("")

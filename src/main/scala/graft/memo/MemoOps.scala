@@ -76,11 +76,20 @@ object MemoOps {
       records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
     val cols = fields.map {
       case "id" => col("id")
-      case "metadata" => to_json(col("metadata")).as("metadata")
-      case key => FilterAlgebra.resolveValue(col("metadata"), key)
+      case "metadata" => flowMetadata(col("metadata")).as("metadata")
+      case key => metaDisplay(FilterAlgebra.resolveField(col("metadata"), key))
         .as(key.replace('.', '_'))
     }
     matched.orderBy(col("id")).offset(offset).limit(limit).select(cols: _*)
+  }
+
+  /** format_cell rendering of the WHOLE metadata map: YAML flow
+    * (memo_cli.py:552-557 dumps dict/list values flow-style). */
+  def flowMetadata(metadata: Column): Column = {
+    val parts = transform(map_entries(metadata), e =>
+      concat(metaYamlScalar(e.getField("key")), lit(": "),
+        metaFlowYaml(e.getField("value"))))
+    concat(lit("{"), array_join(parts, ", "), lit("}"))
   }
 
   /** Default analyze fields (A4): id + first 3 metadata keys sorted. */
@@ -93,14 +102,19 @@ object MemoOps {
     "id" +: keys
   }
 
+  /** Non-missing values of a stats key: reference print_stats collects
+    * `value is not None` — explicit YAML nulls ("z") count as missing
+    * (memo_cli.py:582-586) — then counts format_cell renderings. */
+  private def statsValues(records: DataFrame, filterExpr: String, key: String): DataFrame =
+    records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+      .select(FilterAlgebra.resolveField(col("metadata"), key).as("raw"))
+      .filter(col("raw").isNotNull && col("raw") =!= "z")
+
   /** Stats: top-4 values + "other" rollup (A8, memo_cli.py:592-597). */
   def statsTopK(records: DataFrame, filterExpr: String, key: String,
       topN: Int = 4): DataFrame = {
-    val matched =
-      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
-    val counts = matched
-      .select(FilterAlgebra.resolveValue(col("metadata"), key).as("value"))
-      .filter(col("value").isNotNull)
+    val counts = statsValues(records, filterExpr, key)
+      .select(metaDisplay(col("raw")).as("value"))
       .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
     val top = counts.orderBy(desc("cnt"), col("value")).limit(topN)
     val other = counts.join(top.select(col("value")), Seq("value"), "left_anti")
@@ -110,34 +124,41 @@ object MemoOps {
     top.unionByName(other).orderBy(desc("cnt"), col("value"))
   }
 
-  /** Stats: numeric min/max/avg over string-coerced values (A9). */
-  def statsNumeric(records: DataFrame, filterExpr: String, key: String): DataFrame = {
-    val matched =
-      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
-    val v = FilterAlgebra.resolveValue(col("metadata"), key).try_cast(DoubleType)
-    matched.select(v.as("v")).filter(col("v").isNotNull)
+  /** Reference numeric coercion for stats (memo_cli.py:601-609):
+    * Python numbers (int/float/bool) directly, else `float(str(value))` —
+    * so a string-typed "42" IS numeric for stats (unlike the filter
+    * algebra's typed compare); containers/None never are. */
+  def statsNumericValue(raw: Column): Column =
+    coalesce(metaNum(raw),
+      when(raw.startsWith("s"),
+        raw.substr(lit(2), length(raw)).try_cast(DoubleType)))
+
+  /** Stats: numeric min/max/avg (A9). */
+  def statsNumeric(records: DataFrame, filterExpr: String, key: String): DataFrame =
+    statsValues(records, filterExpr, key)
+      .select(statsNumericValue(col("raw")).as("v")).filter(col("v").isNotNull)
       .agg(round(min(col("v")), 2).as("vmin"),
         round(max(col("v")), 2).as("vmax"),
         round(avg(col("v")), 2).as("vavg"))
-  }
+
+  /** ISO-parseable timestamp of a stats value; reference parse_iso_datetime
+    * only accepts strings (memo_cli.py:700-712). */
+  def statsDateValue(raw: Column): Column =
+    try_to_timestamp(when(raw.startsWith("s"),
+      regexp_replace(raw.substr(lit(2), length(raw)), "Z$", "+00:00")))
 
   /** Stats: ISO date range (A10) — min/max as yyyy-MM-dd strings. */
-  def statsDates(records: DataFrame, filterExpr: String, key: String): DataFrame = {
-    val matched =
-      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
-    val v = to_timestamp(FilterAlgebra.resolveValue(col("metadata"), key))
-    matched.select(v.as("v")).filter(col("v").isNotNull)
+  def statsDates(records: DataFrame, filterExpr: String, key: String): DataFrame =
+    statsValues(records, filterExpr, key)
+      .select(statsDateValue(col("raw")).as("v")).filter(col("v").isNotNull)
       .agg(date_format(min(col("v")), "yyyy-MM-dd").as("dmin"),
         date_format(max(col("v")), "yyyy-MM-dd").as("dmax"))
-  }
 
-  /** Stats: distinct-value cardinality of a key (A7). */
-  def cardinality(records: DataFrame, filterExpr: String, key: String): DataFrame = {
-    val matched =
-      records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
-    matched.agg(countDistinct(
-      FilterAlgebra.resolveValue(col("metadata"), key)).as("n_distinct"))
-  }
+  /** Stats: distinct-value cardinality of a key (A7) — distinct
+    * format_cell renderings, missing/None excluded (memo_cli.py:588-590). */
+  def cardinality(records: DataFrame, filterExpr: String, key: String): DataFrame =
+    statsValues(records, filterExpr, key)
+      .agg(countDistinct(metaDisplay(col("raw"))).as("n_distinct"))
 
   /** Assign contiguous sequential ids `start, start+1, ...` in `orderCol`
     * order. Scale path: range-repartition + per-partition sort +
@@ -158,12 +179,18 @@ object MemoOps {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Reference is_deleted_record (memo_cli.py:145-154): metadata `deleted`
+    * Python-truthy (1, "yes", even "false" — any non-empty string), OR the
+    * body YAML-parses to a mapping with a truthy `deleted`. */
+  def isDeleted(metadata: Column, body: Column): Column =
+    coalesce(metaTruthy(element_at(metadata, "deleted")), lit(false)) ||
+      coalesce(bodyDeleted(body), lit(false))
+
   /** Compaction (M4, memo_cli.py:334-366): drop deleted/blank rows and
     * re-sequence ids densely 0..n-1 in old-id order. */
   def reindex(records: DataFrame): DataFrame = {
     val kept = records.filter(
-      !coalesce(element_at(col("metadata"), "deleted") === "true", lit(false))
-        && !isBlank(col("body")))
+      !isDeleted(col("metadata"), col("body")) && !isBlank(col("body")))
     withSequentialIds(kept, "id", "new_id")
       .withColumnRenamed("id", "old_id")
       .withColumnRenamed("new_id", "id")

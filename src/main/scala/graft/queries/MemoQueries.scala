@@ -18,16 +18,20 @@ import graft.functions.GraftFunctions._
 object MemoQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** documents → memo records: (id, body, metadata MAP<STRING,STRING>). */
+  /** documents → memo records: (id, body, metadata MAP<STRING,STRING>).
+    * Metadata values use [[graft.memo.MetaCodec]]'s typed encoding: lang and
+    * source are strings ("s"), n_chars an int ("i"), tags a list ("l" +
+    * JSON array of typed element strings). */
   def memoRecords(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
       col("doc_id").as("id"),
       col("text").as("body"),
       map(
-        lit("lang"), col("lang"),
-        lit("source"), col("source"),
-        lit("n_chars"), col("n_chars").cast("string"),
-        lit("tags"), to_json(array(col("lang"), col("source")))
+        lit("lang"), concat(lit("s"), col("lang")),
+        lit("source"), concat(lit("s"), col("source")),
+        lit("n_chars"), concat(lit("i"), col("n_chars").cast("string")),
+        lit("tags"), concat(lit("l"), to_json(array(
+          concat(lit("s"), col("lang")), concat(lit("s"), col("source")))))
       ).as("metadata"))
 
   /** Memo records + embedding column joined from the embeddings table. */
@@ -95,12 +99,35 @@ object MemoQueries {
       .select(col("id"), col("score"))
   }
 
-  /** Compaction + dense re-sequencing (M4): ids 0..n-1 in old-id order. */
+  /** Compaction + dense re-sequencing (M4): ids 0..n-1 in old-id order.
+    * `deleted` is a typed BOOL — a string "false" would be Python-truthy
+    * and deleted (that semantics is pinned by q78). */
   private val q72Reindex: Q = (s, dir) => {
     val recs = memoRecords(s, dir).withColumn("metadata",
       map_concat(col("metadata"),
         map(lit("deleted"),
-          when(col("id") % 7 === 0, lit("true")).otherwise(lit("false")))))
+          when(col("id") % 7 === 0, lit("bTrue")).otherwise(lit("bFalse")))))
+    MemoOps.reindex(recs).select(col("id").as("new_id"), col("old_id"))
+      .orderBy(col("old_id"))
+  }
+
+  /** F10/M3 truthiness matrix: deleted via int 1/0, non-empty string
+    * (INCLUDING "false" — Python-truthy), bool, explicit null, and the
+    * body-YAML variant (`deleted: true` body). Oracle replicates the
+    * truth table arithmetically. */
+  private val q78DeleteTruthiness: Q = (s, dir) => {
+    val recs = memoRecords(s, dir)
+      .withColumn("body",
+        when(col("id") % 10 === 7, lit("deleted: true")).otherwise(col("body")))
+      .withColumn("metadata", map_concat(col("metadata"),
+        map(lit("deleted"),
+          when(col("id") % 4 === 0,
+            concat(lit("i"), (col("id") % 3 === 0).cast("int").cast("string")))
+          .when(col("id") % 4 === 1,
+            when(col("id") % 3 === 0, lit("sfalse")).otherwise(lit("s")))
+          .when(col("id") % 4 === 2,
+            when(col("id") % 3 === 0, lit("bTrue")).otherwise(lit("bFalse")))
+          .otherwise(lit("z")))))
     MemoOps.reindex(recs).select(col("id").as("new_id"), col("old_id"))
       .orderBy(col("old_id"))
   }
@@ -128,6 +155,7 @@ object MemoQueries {
     "q71_recall" -> q71Recall,
     "q72_reindex" -> q72Reindex,
     "q73_append_ids" -> q73AppendIds,
+    "q78_delete_truthiness" -> q78DeleteTruthiness,
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +217,19 @@ object MemoQueries {
         |   + row_number() OVER (ORDER BY doc_id) AS new_id,
         | doc_id AS old_id
         |FROM documents WHERE source = 'src5' ORDER BY old_id""".stripMargin,
+    // q78 truth table: deleted ⟺ Python-truthy metadata.deleted OR the
+    // body-YAML variant. By construction of the query's id-derived variants:
+    //   id%4==0 → int id%3==0?1:0 (truthy iff 1)
+    //   id%4==1 → "false" if id%3==0 (non-empty ⇒ TRUTHY) else "" (falsy)
+    //   id%4==2 → bool id%3==0
+    //   id%4==3 → None (falsy)
+    //   body "deleted: true" iff id%10==7
+    // ⇒ deleted ⟺ (id%4<3 AND id%3==0) OR id%10==7
+    "q78_delete_truthiness" ->
+      """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS new_id,
+        | doc_id AS old_id
+        |FROM documents
+        |WHERE NOT ((doc_id % 4 < 3 AND doc_id % 3 = 0) OR doc_id % 10 = 7)
+        |ORDER BY old_id""".stripMargin,
   )
 }

@@ -43,8 +43,8 @@ object ScaleQueries {
     Tables(s, dir, "events").select(
       col("event_id").as("id"),
       col("event_type").as("body"),
-      map(lit("day"), date_format(col("ts"), "yyyy-MM-dd"),
-        lit("etype"), col("event_type")).as("metadata"))
+      map(lit("day"), concat(lit("s"), date_format(col("ts"), "yyyy-MM-dd")),
+        lit("etype"), concat(lit("s"), col("event_type"))).as("metadata"))
 
   private val q24StatsDates: Q = (s, dir) =>
     MemoOps.statsDates(eventMemoRecords(s, dir), "{etype: purchase}", "day")
@@ -64,7 +64,7 @@ object ScaleQueries {
   private val q75YamlRoundtrip: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("body"),
-        map(lit("lang"), col("lang")).as("metadata"))
+        map(lit("lang"), concat(lit("s"), col("lang"))).as("metadata"))
     val yaml = graft.memo.YamlIO.exportTable(docs)
     graft.memo.YamlIO.importTable(s, yaml)
       .select(col("id"), col("body")).orderBy(col("id"))

@@ -1,121 +1,160 @@
 package graft
 
+import scala.collection.immutable.VectorMap
+
 import org.apache.spark.sql.functions._
 
 import graft.filter.FilterAlgebra
+import graft.memo.MetaCodec
 
 /** Differential test: FilterAlgebra's compiled Column predicate vs an
-  * independent in-test evaluator of the reference semantics
-  * (memo_cli.py:179-241), over randomized metadata + filter pairs.
-  * Catches drift in the subtlest surface (string coercion, list-any,
-  * numeric-else-lexicographic compare, missing-key/malformed rules). */
+  * independent in-test evaluator of the reference's TYPED semantics
+  * (memo_cli.py:179-241), over randomized typed metadata + filter pairs.
+  *
+  * The metadata side is generated as parsed-YAML typed values (ints,
+  * floats, bools, strings — including numeric-looking quoted strings —
+  * lists, nested maps, None), stored via [[MetaCodec.encode]], and the
+  * model evaluates Python semantics over the ORIGINAL typed values:
+  * numeric compare iff both sides are Python numbers (bool included),
+  * str()-coercion elsewhere, `$prefix` on `isinstance(value, str)` only.
+  * Catches exactly the type-fidelity drift the round-1 string encoding
+  * had (quoted "2" comparing numerically, "2.5" refusing $prefix).
+  */
 class FilterDifferentialSpec extends SparkTestBase {
 
-  /** Reference evaluator over the stored string encoding. */
+  /** Reference evaluator over original typed values (memo_cli.py:179-241).
+    * Deliberately independent of MetaCodec: its own str()/repr() model.
+    * Generated doubles are restricted to halves so Java toString ==
+    * Python repr. */
   private object Ref {
-    def coerce(v: Any): String = FilterAlgebra.coerceString(v)
-
-    private def parseList(s: String): Option[Seq[String]] =
-      if (!s.startsWith("[")) None
-      else {
-        // values are JSON arrays of strings produced by our encoder
-        val inner = s.stripPrefix("[").stripSuffix("]").trim
-        if (inner.isEmpty) Some(Seq.empty)
-        else Some(inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-      }
-
-    private def bareEquals(value: String, operand: Any): Boolean =
-      parseList(value) match {
-        case Some(elems) => elems.contains(coerce(operand))
-        case None => value == coerce(operand)
-      }
-
-    private def cmp(value: String, operand: Any, gte: Boolean): Boolean = {
-      val num = operand match {
-        case n: java.lang.Number => Some(n.doubleValue())
-        case s: String => s.toDoubleOption
-        case _ => None
-      }
-      (num, value.toDoubleOption) match {
-        case (Some(o), Some(v)) => if (gte) v >= o else v <= o
-        case _ =>
-          val o = coerce(operand)
-          if (gte) value >= o else value <= o
-      }
+    def pyRepr(v: Any): String = v match {
+      case s: String => "'" + s + "'" // generator strings have no quotes
+      case other => pyStr(other)
     }
 
-    def keyCond(value: Option[String], cond: Any): Boolean = cond match {
+    def pyStr(v: Any): String = v match {
+      case null => "None"
+      case b: Boolean => if (b) "True" else "False"
+      case l: Seq[_] => l.map(pyRepr).mkString("[", ", ", "]")
       case m: Map[_, _] =>
-        val mm = m.asInstanceOf[Map[String, Any]]
-        if (mm.size != 1) false
-        else value match {
-          case None => false
-          case Some(v) => mm.head match {
-            case ("$ne", op) => !bareEquals(v, op)
-            case ("$gte", op) => cmp(v, op, gte = true)
-            case ("$lte", op) => cmp(v, op, gte = false)
+        m.map { case (k, x) => pyRepr(k) + ": " + pyRepr(x) }
+          .mkString("{", ", ", "}")
+      case other => other.toString
+    }
+
+    private def isNum(v: Any): Boolean = v match {
+      case _: Int | _: Long | _: Double | _: Boolean => true
+      case _ => false
+    }
+
+    private def num(v: Any): Double = v match {
+      case b: Boolean => if (b) 1.0 else 0.0
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: Double => d
+      case other => sys.error(s"not numeric: $other")
+    }
+
+    /** compare_values (memo_cli.py:179-192). */
+    private def cmp(l: Any, r: Any): Int =
+      if (isNum(l) && isNum(r)) java.lang.Double.compare(num(l), num(r))
+      else pyStr(l).compareTo(pyStr(r))
+
+    /** bare_equals (memo_cli.py:195-198). */
+    private def bareEquals(v: Any, operand: Any): Boolean = v match {
+      case l: Seq[_] => l.exists(e => pyStr(e) == pyStr(operand))
+      case _ => pyStr(v) == pyStr(operand)
+    }
+
+    /** eval_condition (memo_cli.py:201-222). */
+    private def evalCond(data: Map[String, Any], key: String, cond: Any): Boolean = {
+      if (!data.contains(key)) return false
+      val value = data(key)
+      cond match {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          if (mm.size != 1) false
+          else mm.head match {
+            case ("$gte", op) => cmp(value, op) >= 0
+            case ("$lte", op) => cmp(value, op) <= 0
+            case ("$ne", op) => !bareEquals(value, op)
             case ("$prefix", op) =>
-              v.toDoubleOption.isEmpty && !v.startsWith("[") &&
-                !v.startsWith("{") && v.startsWith(coerce(op))
-            case ("$contains", op) =>
-              parseList(v).exists(_.contains(coerce(op)))
+              value.isInstanceOf[String] &&
+                value.asInstanceOf[String].startsWith(pyStr(op))
+            case ("$contains", op) => value match {
+              case l: Seq[_] => l.exists(e => pyStr(e) == pyStr(op))
+              case _ => false
+            }
             case _ => false
           }
-        }
-      case op => value.exists(bareEquals(_, op))
+        case op => bareEquals(value, op)
+      }
     }
 
-    def matches(meta: Map[String, String], filter: Map[String, Any]): Boolean =
-      meta.nonEmpty && filter.forall {
+    /** matches_filter (memo_cli.py:225-241): implicit AND; $and = all
+      * (vacuously true on []), $or = any (false on []); recursion into
+      * sub-filters; non-list combinator operand → false. */
+    def matchesFilter(data: Map[String, Any], filt: Map[String, Any]): Boolean =
+      filt.forall {
         case ("$and", l: List[_]) =>
-          l.nonEmpty && l.forall {
-            case m: Map[_, _] => matchesInner(meta, m.asInstanceOf[Map[String, Any]])
+          l.forall {
+            case m: Map[_, _] =>
+              matchesFilter(data, m.asInstanceOf[Map[String, Any]])
             case _ => false
           }
         case ("$or", l: List[_]) =>
           l.exists {
-            case m: Map[_, _] => matchesInner(meta, m.asInstanceOf[Map[String, Any]])
+            case m: Map[_, _] =>
+              matchesFilter(data, m.asInstanceOf[Map[String, Any]])
             case _ => false
           }
-        case (key, cond) => keyCond(meta.get(key), cond)
+        case ("$and" | "$or", _) => false
+        case (key, cond) => evalCond(data, key, cond)
       }
 
-    private def matchesInner(meta: Map[String, String], m: Map[String, Any]): Boolean =
-      m.forall { case (k, cond) => keyCond(meta.get(k), cond) }
+    /** P11 gate: records without metadata never match. */
+    def matches(data: Map[String, Any], filt: Map[String, Any]): Boolean =
+      data.nonEmpty && matchesFilter(data, filt)
   }
 
   private val rnd = new scala.util.Random(4242)
   private val keys = Seq("alpha", "beta", "gamma")
-  private val words = Seq("apple", "banana", "cherry", "user", "user_input", "")
+  private val words =
+    Seq("apple", "banana", "cherry", "user", "user_input", "", "2", "007",
+      "2.5", "false", "2026-03-14")
 
-  private def randomValue(): String = rnd.nextInt(5) match {
-    case 0 => rnd.nextInt(20).toString
-    case 1 => (rnd.nextDouble() * 10).toString
-    case 2 => words(rnd.nextInt(words.length))
-    case 3 => // JSON list
-      val n = rnd.nextInt(3)
-      (0 until n).map(_ => "\"" + words(rnd.nextInt(words.length - 1)) + "\"")
-        .mkString("[", ",", "]")
-    case 4 => "2026-0" + (1 + rnd.nextInt(9)) + "-1" + rnd.nextInt(10)
-  }
-
-  private def randomMeta(): Map[String, String] =
-    keys.filter(_ => rnd.nextBoolean())
-      .map(k => k -> randomValue()).toMap
-
-  private def randomOperand(): Any = rnd.nextInt(3) match {
+  /** A typed scalar as parse-yaml would produce it. */
+  private def randomScalar(): Any = rnd.nextInt(5) match {
     case 0 => rnd.nextInt(20)
-    case 1 => words(rnd.nextInt(words.length - 1))
-    case 2 => "2026-0" + (1 + rnd.nextInt(9)) + "-1" + rnd.nextInt(10)
+    case 1 => rnd.nextInt(40) / 2.0 // halves: Java toString == Python repr
+    case 2 => rnd.nextBoolean()
+    case 3 => words(rnd.nextInt(words.length))
+    case 4 => null
   }
 
-  private def randomCond(): Any = rnd.nextInt(7) match {
-    case 0 => randomOperand() // bare equality
+  private def randomValue(): Any = rnd.nextInt(8) match {
+    case 6 => List.fill(rnd.nextInt(3))(randomScalar())
+    case 7 => VectorMap("k" -> randomScalar())
+    case _ => randomScalar()
+  }
+
+  private def randomMeta(): Map[String, Any] =
+    VectorMap.from(keys.filter(_ => rnd.nextBoolean()).map(_ -> randomValue()))
+
+  private def randomOperand(): Any = rnd.nextInt(6) match {
+    case 0 => rnd.nextInt(20)
+    case 1 => rnd.nextInt(40) / 2.0
+    case 2 => rnd.nextBoolean()
+    case _ => words(rnd.nextInt(words.length))
+  }
+
+  private def randomCond(): Any = rnd.nextInt(8) match {
+    case 0 | 7 => randomOperand() // bare equality
     case 1 => Map("$ne" -> randomOperand())
     case 2 => Map("$gte" -> randomOperand())
     case 3 => Map("$lte" -> randomOperand())
-    case 4 => Map("$prefix" -> words(rnd.nextInt(words.length - 1)))
-    case 5 => Map("$contains" -> words(rnd.nextInt(words.length - 1)))
+    case 4 => Map("$prefix" -> randomOperand())
+    case 5 => Map("$contains" -> randomOperand())
     case 6 => Map("$bogus" -> 1) // unknown operator → false
   }
 
@@ -123,34 +162,61 @@ class FilterDifferentialSpec extends SparkTestBase {
     val base: Map[String, Any] = keys.filter(_ => rnd.nextInt(3) == 0)
       .map(k => k -> randomCond()).toMap
     if (depth > 0 && rnd.nextInt(3) == 0) {
-      val sub = List.fill(1 + rnd.nextInt(2))(randomFilter(0))
+      val sub = List.fill(rnd.nextInt(3))(randomFilter(0)) // 0 → vacuous case
       base + (if (rnd.nextBoolean()) "$and" -> sub else "$or" -> sub)
     } else base
   }
 
-  test("dotted keys against JSON-object values agree with get_json_object") {
+  test("filter keys are literal flat metadata keys (no dotted traversal)") {
     import spark.implicits._
     val metas = Seq(
-      (0L, Map("user" -> """{"name":"ada","role":"eng"}""")),
-      (1L, Map("user" -> """{"name":"bob"}""")),
-      (2L, Map("user" -> "plain-string")),
-      (3L, Map("other" -> "x")))
+      (0L, Map("user.name" -> "sada")), // literal dotted key, typed string
+      (1L, Map("user" -> ("m" + """{"name":"sada"}"""))), // nested map value
+      (2L, Map("user" -> "splain-string")),
+      (3L, Map("other" -> "sx")))
     val df = metas.toDF("id", "metadata")
     def ids(expr: String): Set[Long] =
-      df.filter(FilterAlgebra.compile(expr, org.apache.spark.sql.functions.col("metadata")))
+      df.filter(FilterAlgebra.compile(expr, col("metadata")))
         .select("id").as[Long].collect().toSet
+    // reference eval_condition: `key not in data` — "user.name" is a plain
+    // key; it never traverses into the nested map under "user"
     assert(ids("{user.name: ada}") == Set(0L))
-    assert(ids("{user.name: {$ne: ada}}") == Set(1L)) // bob; plain/missing → false
     assert(ids("{user.name: {$prefix: a}}") == Set(0L))
-    assert(ids("{user.role: eng}") == Set(0L))
+    assert(ids("{user.name: {$ne: bob}}") == Set(0L)) // others: missing key
+    // nested map matches only via whole-value str() equality
+    assert(ids("{user: \"{'name': 'ada'}\"}") == Set(1L))
   }
 
-  test("compiled predicate agrees with the reference evaluator on 40x60 random cases") {
+  test("analyze fields strip a leading metadata. prefix then flat-lookup") {
     import spark.implicits._
-    val metas = (0 until 60).map(i => (i.toLong, randomMeta()))
-    val df = metas.toDF("id", "metadata").cache()
+    val df = Seq((0L, Map("source" -> "sweb", "metadata" -> "sMETA")))
+      .toDF("id", "metadata")
+    def one(field: String): String =
+      df.select(FilterAlgebra.resolveField(col("metadata"), field)).head.getString(0)
+    assert(one("metadata.source") == "sweb") // strips prefix → flat lookup
+    assert(one("source") == "sweb")
+    assert(one("metadata") == "sMETA") // bare "metadata" is itself a flat key
+  }
+
+  test("empty combinators: $and [] is vacuously true, $or [] false") {
+    import spark.implicits._
+    val df = Seq((0L, Map("alpha" -> "sx"))).toDF("id", "metadata")
+    def n(f: Map[String, Any]): Long =
+      df.filter(FilterAlgebra.compile(f, col("metadata"))).count()
+    assert(n(Map("$and" -> List.empty[Any])) == 1L)
+    assert(n(Map("$or" -> List.empty[Any])) == 0L)
+    assert(n(Map("$and" -> "bogus")) == 0L) // non-list combinator → false
+  }
+
+  test("compiled predicate agrees with the typed reference model on 60x80 random cases") {
+    import spark.implicits._
+    val metas = (0 until 80).map(i => (i.toLong, randomMeta()))
+    val stored = metas.map { case (id, m) =>
+      (id, m.map { case (k, v) => k -> MetaCodec.encode(v) })
+    }
+    val df = stored.toDF("id", "metadata").cache()
     var checked = 0
-    (0 until 40).foreach { _ =>
+    (0 until 60).foreach { _ =>
       val filter = randomFilter()
       val sparkIds = df.filter(FilterAlgebra.compile(filter, col("metadata")))
         .select("id").as[Long].collect().toSet
@@ -163,6 +229,6 @@ class FilterDifferentialSpec extends SparkTestBase {
       checked += 1
     }
     df.unpersist()
-    assert(checked == 40)
+    assert(checked == 60)
   }
 }

@@ -81,6 +81,36 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("append-only save embeds ONLY the new rows (V2 incremental index)") {
+    import graft.functions.VectorKernels
+    val (engine, _) = freshEngine()
+    // seed a 60-record corpus in one save
+    val seed = (0 until 60).map(i =>
+      s"---\nbody: seed note number $i with words\nmetadata: {k: v$i}\n").mkString
+    engine.save(seed)
+    // settle: recall once so any lazy embeds are flushed
+    engine.recall("seed", k = 1).collect()
+    val before = VectorKernels.embedCalls.get()
+    engine.save("---\nbody: one brand new note\nmetadata: {k: new}\n")
+    val cost = VectorKernels.embedCalls.get() - before
+    // 1 changed row (+1 for the recall-free path margin); a full rebuild
+    // would be >= 60
+    assert(cost <= 5, s"append re-embedded $cost rows — not incremental")
+    assert(engine.index.count() == 61)
+    // overwrite of one id is also incremental and replaces its vector
+    val before2 = VectorKernels.embedCalls.get()
+    engine.save("---\nid: 3\nbody: replacement text\nmetadata: {k: v3}\n")
+    assert(VectorKernels.embedCalls.get() - before2 <= 5)
+    assert(engine.index.count() == 61)
+    // and the replaced vector matches a fresh embedding of the new body
+    val vec = engine.index.filter(org.apache.spark.sql.functions.col("id") === 3)
+      .collect()(0).getSeq[Float](1)
+    val want = VectorKernels.hashEmbedFloats("replacement text",
+      VectorKernels.DefaultDim).toSeq
+    assert(vec == want)
+    engine.clean()
+  }
+
   test("clean removes the store; second clean reports already empty") {
     val (engine, _) = freshEngine()
     engine.save(saveBatch)

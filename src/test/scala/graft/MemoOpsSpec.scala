@@ -14,10 +14,10 @@ class MemoOpsSpec extends SparkTestBase {
 
   private def records: DataFrame =
     Seq(
-      (0L, "alpha beta gamma", Map("lang" -> "en")),
-      (1L, "alpha beta delta", Map("lang" -> "en")),
-      (2L, "unrelated words entirely", Map("lang" -> "de")),
-      (3L, "   ", Map("lang" -> "en")),          // blank body — skipped
+      (0L, "alpha beta gamma", Map("lang" -> "sen")),
+      (1L, "alpha beta delta", Map("lang" -> "sen")),
+      (2L, "unrelated words entirely", Map("lang" -> "sde")),
+      (3L, "   ", Map("lang" -> "sen")),          // blank body — skipped
       (4L, "alpha beta gamma", Map.empty[String, String]) // no metadata
     ).toDF("id", "body", "metadata")
       .withColumn("embedding", embedText(col("body")))
@@ -50,14 +50,55 @@ class MemoOpsSpec extends SparkTestBase {
 
   test("reindex drops deleted/blank and re-sequences ids densely") {
     val recs = Seq(
-      (0L, "keep a", Map("x" -> "1")),
-      (1L, "drop me", Map("deleted" -> "true")),
-      (2L, "keep b", Map("x" -> "1")),
-      (3L, " ", Map("x" -> "1")) // blank → dropped
+      (0L, "keep a", Map("x" -> "i1")),
+      (1L, "drop me", Map("deleted" -> "bTrue")),
+      (2L, "keep b", Map("x" -> "i1")),
+      (3L, " ", Map("x" -> "i1")) // blank → dropped
     ).toDF("id", "body", "metadata")
     val out = MemoOps.reindex(recs).select("id", "old_id").as[(Long, Long)]
       .collect().sortBy(_._1)
     assert(out.toSeq == Seq((0L, 0L), (1L, 2L)))
+  }
+
+  test("isDeleted follows Python truthiness over metadata AND body YAML") {
+    import graft.memo.MetaCodec
+    // (typed metadata `deleted` value, body, expected deleted)
+    val cases = Seq(
+      (Some("bTrue"), "x", true),
+      (Some("bFalse"), "x", false),
+      (Some("i1"), "x", true),
+      (Some("i0"), "x", false),
+      (Some("f0.5"), "x", true),
+      (Some("f0.0"), "x", false),
+      (Some("sfalse"), "x", true), // non-empty string — Python-truthy!
+      (Some("syes"), "x", true),
+      (Some("s"), "x", false), // empty string — falsy
+      (Some("z"), "x", false), // explicit null — falsy
+      (Some("l[]"), "x", false),
+      (Some("l[\"si\"]"), "x", true),
+      (None, "x", false),
+      // body-YAML variant (memo_cli.py:148-154)
+      (None, "deleted: true", true),
+      (None, "deleted: 1", true),
+      (None, "deleted: \"false\"", true), // quoted string — truthy
+      (None, "deleted: false", false),
+      (None, "deleted: null", false),
+      (None, "note: deleted", false), // no deleted key
+      (None, "- deleted", false), // not a mapping
+      (None, ": : :", false) // unparseable YAML — never deleted
+    )
+    // sanity: the encoder produces the sigils the table assumes
+    assert(MetaCodec.encode(java.lang.Boolean.TRUE) == "bTrue")
+    assert(MetaCodec.encode("false") == "sfalse")
+    val df = cases.zipWithIndex.map { case ((meta, body, _), i) =>
+      (i.toLong, body, meta.map(v => Map("deleted" -> v)).getOrElse(Map.empty))
+    }.toDF("id", "body", "metadata")
+    val got = df.select(col("id"),
+        MemoOps.isDeleted(col("metadata"), col("body")).as("del"))
+      .as[(Long, Boolean)].collect().toMap
+    cases.zipWithIndex.foreach { case ((meta, body, want), i) =>
+      assert(got(i.toLong) == want, s"case $i: meta=$meta body=$body")
+    }
   }
 
   test("appendIds continues from max(existing)+1 in order") {
@@ -82,7 +123,7 @@ class MemoOpsSpec extends SparkTestBase {
     val recs = (0 until 20).map { i =>
       val v = if (i < 8) "a" else if (i < 13) "b" else if (i < 16) "c"
               else if (i < 18) "d" else if (i < 19) "e" else "f"
-      (i.toLong, s"body$i", Map("k" -> v))
+      (i.toLong, s"body$i", Map("k" -> ("s" + v)))
     }.toDF("id", "body", "metadata")
     val out = MemoOps.statsTopK(recs, "{}", "k").as[(String, Long)].collect()
     assert(out.take(4).toSeq == Seq(("a", 8L), ("b", 5L), ("c", 3L), ("d", 2L)))
@@ -91,8 +132,8 @@ class MemoOpsSpec extends SparkTestBase {
 
   test("statsDates yields ISO min/max when all values parse") {
     val recs = Seq(
-      (0L, "a", Map("ts" -> "2026-01-05")),
-      (1L, "b", Map("ts" -> "2026-03-01"))
+      (0L, "a", Map("ts" -> "s2026-01-05")),
+      (1L, "b", Map("ts" -> "s2026-03-01"))
     ).toDF("id", "body", "metadata")
     val out = MemoOps.statsDates(recs, "{}", "ts").as[(String, String)].collect()
     assert(out.toSeq == Seq(("2026-01-05", "2026-03-01")))

@@ -1,45 +1,82 @@
 package graft
 
-import graft.memo.YamlIO
+import graft.memo.{MetaCodec, YamlIO}
 
-/** YamlIO edge cases: quoting, special characters, nested metadata
-  * encodings, validation failures. */
+/** YamlIO edge cases: typed-encoding round-trips, quoting, special
+  * characters, validation failures, distributed bulk import. */
 class YamlIOSpec extends SparkTestBase {
 
-  test("export quotes values that need it and round-trips them") {
-    import org.apache.spark.sql.functions._
+  test("export quotes values that need it and round-trips them typed") {
     import spark.implicits._
     val recs = Seq(
-      (0L, "body with: colon", Map("k" -> "value: with colon")),
-      (1L, "body 'quoted'", Map("weird key!" -> "it's quoted")),
-      (2L, "unicode ünïcödé", Map("k" -> "café"))
+      (0L, "body with: colon", Map("k" -> "svalue: with colon")),
+      (1L, "body 'quoted'", Map("weird key!" -> "sit's quoted")),
+      (2L, "unicode ünïcödé", Map("k" -> "scafé")),
+      // numeric-looking / YAML-keyword strings MUST survive as strings
+      (3L, "tricky scalars", Map(
+        "a" -> "s007", "b" -> "s1e5", "c" -> "snull", "d" -> "strue",
+        "e" -> "s2.5", "f" -> "i7", "g" -> "f2.5", "h" -> "bTrue",
+        "i" -> "z"))
     ).toDF("id", "body", "metadata")
     val yaml = YamlIO.exportTable(recs)
-    val back = YamlIO.importTable(spark, yaml)
-      .orderBy("id").collect()
-    assert(back.length == 3)
+    val back = YamlIO.importTable(spark, yaml).orderBy("id").collect()
+    assert(back.length == 4)
     assert(back(0).getString(1) == "body with: colon")
-    assert(back(0).getMap[String, String](2)("k") == "value: with colon")
-    assert(back(1).getMap[String, String](2)("weird key!") == "it's quoted")
+    assert(back(0).getMap[String, String](2)("k") == "svalue: with colon")
+    assert(back(1).getMap[String, String](2)("weird key!") == "sit's quoted")
     assert(back(2).getString(1) == "unicode ünïcödé")
+    val tricky = back(3).getMap[String, String](2)
+    assert(tricky("a") == "s007") // not re-parsed to int 7
+    assert(tricky("b") == "s1e5") // not float 100000.0
+    assert(tricky("c") == "snull") // not None
+    assert(tricky("d") == "strue") // not bool
+    assert(tricky("e") == "s2.5")
+    assert(tricky("f") == "i7") // int stays int
+    assert(tricky("g") == "f2.5") // float stays float
+    assert(tricky("h") == "bTrue")
+    assert(tricky("i") == "z") // None stays None
   }
 
-  test("nested metadata encodes as JSON and resolves with dotted keys") {
+  test("export preserves body trailing-newline chomping") {
+    import spark.implicits._
+    val recs = Seq(
+      (0L, "no trailing", Map.empty[String, String]),
+      (1L, "one trailing\n", Map.empty[String, String]),
+      (2L, "two trailing\n\n", Map.empty[String, String]),
+      (3L, "interior\n\nblanks kept", Map.empty[String, String])
+    ).toDF("id", "body", "metadata")
+    val back = YamlIO.importTable(spark, YamlIO.exportTable(recs))
+      .orderBy("id").collect()
+    assert(back(0).getString(1) == "no trailing")
+    assert(back(1).getString(1) == "one trailing\n")
+    assert(back(2).getString(1) == "two trailing\n\n")
+    assert(back(3).getString(1) == "interior\n\nblanks kept")
+  }
+
+  test("nested metadata keeps original YAML types through import") {
     val recs = YamlIO.importTable(spark,
       """---
         |id: 0
         |body: nested
         |metadata:
         |  user: {name: ada, langs: [scala, python]}
+        |  count: 7
+        |  quoted: "007"
         |""".stripMargin)
+    val meta = recs.collect()(0).getMap[String, String](2)
+    assert(meta("count") == "i7")
+    assert(meta("quoted") == "s007") // PyYAML keeps quoted scalars strings
+    assert(MetaCodec.sigil(meta("user")) == 'm')
+    // nested map renders as Python str(dict) for filters / YAML flow for cells
+    assert(MetaCodec.pyStr(meta("user")) ==
+      "{'name': 'ada', 'langs': ['scala', 'python']}")
+    assert(MetaCodec.flowYaml(meta("user")) ==
+      "{name: ada, langs: [scala, python]}")
+    // filter keys are literal: no dotted traversal (reference semantics)
     import org.apache.spark.sql.functions._
-    val v = recs.select(
-      graft.filter.FilterAlgebra.resolveValue(col("metadata"), "user.name"))
-      .collect()(0).getString(0)
-    assert(v == "ada")
     val filtered = recs.filter(graft.filter.FilterAlgebra.compile(
       "{user.name: ada}", col("metadata"))).count()
-    assert(filtered == 1)
+    assert(filtered == 0)
   }
 
   test("save batch validation: bad id types and non-map metadata rejected") {
@@ -51,12 +88,33 @@ class YamlIOSpec extends SparkTestBase {
     assert(YamlIO.parseSaveBatch("---\n---\nbody: ok\n").length == 1)
   }
 
-  test("boolean and numeric metadata values coerce canonically") {
+  test("metadata values encode with their original YAML types") {
     val batch = YamlIO.parseSaveBatch(
-      "---\nbody: x\nmetadata: {flag: true, n: 7, f: 2.5}\n")
+      "---\nbody: x\nmetadata: {flag: true, n: 7, f: 2.5, s: '7', nil: null}\n")
     val meta = batch.head._3
-    assert(meta("flag") == "true")
-    assert(meta("n") == "7")
-    assert(meta("f") == "2.5")
+    assert(meta("flag") == "bTrue")
+    assert(meta("n") == "i7")
+    assert(meta("f") == "f2.5")
+    assert(meta("s") == "s7") // quoted → string
+    assert(meta("nil") == "z")
+  }
+
+  test("bulk import parses distributed and still rejects duplicate ids") {
+    val n = YamlIO.BulkParseThreshold + 50
+    val docs = (0 until n).map { i =>
+      s"---\nid: $i\nbody: |-\n  doc $i line\nmetadata: {k: v$i}\n"
+    }.mkString
+    val df = YamlIO.importTable(spark, docs)
+    assert(df.rdd.getNumPartitions > 1) // actually distributed
+    assert(df.count() == n)
+    val r = df.filter(df("id") === 42).collect()(0)
+    assert(r.getString(1) == "doc 42 line")
+    assert(r.getMap[String, String](2)("k") == "sv42")
+    df.unpersist()
+    // duplicate id anywhere in the bulk batch aborts
+    val dup = docs + s"---\nid: 7\nbody: dup\n"
+    val e = intercept[IllegalArgumentException](
+      YamlIO.importTable(spark, dup).count())
+    assert(e.getMessage.toLowerCase.contains("duplicate"))
   }
 }
