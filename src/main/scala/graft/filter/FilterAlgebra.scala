@@ -57,9 +57,11 @@ object FilterAlgebra {
     * insertion-ordered; order matters for str() of dict operands). */
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
-      VectorMap.from(m.asScala.map { case (k, x) =>
+      // .iterator preserves insertion order (a .map on the wrapper would
+      // rebuild into an unordered HashMap)
+      VectorMap.from(m.asScala.iterator.map { case (k, x) =>
         String.valueOf(k) -> toScala(x) })
-    case l: java.util.List[_] => l.asScala.map(toScala).toList
+    case l: java.util.List[_] => l.asScala.iterator.map(toScala).toList
     case other => other
   }
 

@@ -53,15 +53,18 @@ object MetaCodec {
     case bd: java.math.BigDecimal => "f" + pyFloatRepr(bd.doubleValue)
     case s: String => "s" + s
     case l: java.util.List[_] =>
-      "l" + l.asScala.map(e => jsonQuote(encode(e))).mkString("[", ",", "]")
+      "l" + l.asScala.iterator.map(e => jsonQuote(encode(e)))
+        .mkString("[", ",", "]")
     case m: java.util.Map[_, _] =>
-      "m" + m.asScala.map { case (k, x) =>
+      // .iterator keeps the source mapping's insertion order (a .map on the
+      // wrapper would rebuild into an unordered HashMap)
+      "m" + m.asScala.iterator.map { case (k, x) =>
         jsonQuote(String.valueOf(k)) + ":" + jsonQuote(encode(x))
       }.mkString("{", ",", "}")
     case l: Seq[_] =>
-      "l" + l.map(e => jsonQuote(encode(e))).mkString("[", ",", "]")
+      "l" + l.iterator.map(e => jsonQuote(encode(e))).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
-      "m" + m.map { case (k, x) =>
+      "m" + m.iterator.map { case (k, x) =>
         jsonQuote(String.valueOf(k)) + ":" + jsonQuote(encode(x))
       }.mkString("{", ",", "}")
     case other => "s" + other.toString

@@ -54,10 +54,7 @@ object YamlIO {
             s"Invalid id in save entry: $bad")
         }
         val meta = mm.get("metadata") match {
-          case Some(mp: java.util.Map[_, _]) =>
-            mp.asScala.map { case (k, v) =>
-              String.valueOf(k) -> encodeMetaValue(v)
-            }.toMap
+          case Some(mp: java.util.Map[_, _]) => orderedMeta(mp)
           case Some(null) | None => Map.empty[String, String]
           case Some(bad) => throw new IllegalArgumentException(
             s"metadata must be a mapping, got: $bad")
@@ -81,13 +78,21 @@ object YamlIO {
       case _ => throw new IllegalArgumentException(s"Record $id missing body")
     }
     val meta = mm.get("metadata") match {
-      case Some(mp: java.util.Map[_, _]) =>
-        mp.asScala.map { case (k, v) =>
-          String.valueOf(k) -> encodeMetaValue(v) }.toMap
+      case Some(mp: java.util.Map[_, _]) => orderedMeta(mp)
       case _ => Map.empty[String, String]
     }
     (id, body, meta)
   }
+
+  /** Encode a metadata mapping preserving KEY ORDER (Python dicts are
+    * insertion-ordered; format_cell's flow dump and YAML export must render
+    * keys in original order). Iterate via `.iterator` — `.map` on the java
+    * wrapper would rebuild into an unordered HashMap — and materialize as
+    * ListMap (insertion-ordered AND java-serializable, unlike VectorMap). */
+  private def orderedMeta(mp: java.util.Map[_, _]): Map[String, String] =
+    scala.collection.immutable.ListMap.from(
+      mp.asScala.iterator.map { case (k, v) =>
+        String.valueOf(k) -> encodeMetaValue(v) })
 
   /** Split a multi-doc YAML text on explicit `---` document starts at
     * column 0. Literal-block body lines are always indented, so a bare

@@ -40,9 +40,15 @@ object Dedup {
     *
     * shingle → minhash signature (narrow, per row) → band hashes → explode →
     * equi-join on (band, hash) bucket → estimate Jaccard from full-signature
-    * agreement → threshold. */
+    * agreement → threshold.
+    *
+    * Defaults: 64 hashes / 16 bands (r=4 rows per band, s-curve threshold
+    * (1/16)^(1/4) ≈ 0.5 — matched to minJaccard). Half the signature
+    * compute and band-join volume of 128/32 in the same quality class;
+    * bump both for thresholds below ~0.4. */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128, bands: Int = 32, minJaccard: Double = 0.5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     val rows = numHashes / bands
     // Signatures are computed once and shared across the three consumers
     // below (band join left/right + verification joins); without the persist
@@ -53,12 +59,14 @@ object Dedup {
       minhashSig(col(textCol), numHashes, 3).as("sig")).persist()
     // Candidate generation carries only (id, band_id, band_hash) — the
     // narrow columns — through the shuffle.
-    val banded = sig.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band_id"),
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("band_hash"))))
-          .as("band"))
-      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+    val banded = BucketCap.cap(
+      sig.select(col("id"),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band_id"),
+              xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("band_hash"))))
+            .as("band"))
+        .select(col("id"), col("band.band_id"), col("band.band_hash")),
+      Seq("band_id", "band_hash"), "id", bucketCap)
     val candidates = banded.select(col("id").as("a"), col("band_id"), col("band_hash"))
       .join(banded.select(col("id").as("b"), col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"))
@@ -81,14 +89,16 @@ object Dedup {
     * chunks (pigeonhole: hamming <= 3 ⇒ at least one identical chunk),
     * verified by exact Hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
-    val chunked = fp.withColumn("chunk",
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("chunk_id"),
-            shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))
-              .as("chunk_val"))): _*)))
-      .select(col("id"), col("fp"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+    val chunked = BucketCap.cap(
+      fp.withColumn("chunk",
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("chunk_id"),
+              shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))
+                .as("chunk_val"))): _*)))
+        .select(col("id"), col("fp"), col("chunk.chunk_id"), col("chunk.chunk_val")),
+      Seq("chunk_id", "chunk_val"), "id", bucketCap)
     val l = chunked.select(col("id").as("a"), col("fp").as("fpa"),
       col("chunk_id"), col("chunk_val"))
     val r = chunked.select(col("id").as("b"), col("fp").as("fpb"),
@@ -118,9 +128,12 @@ object Dedup {
     * keep pairs sharing >= minShared fingerprints. Same bucket-join shape
     * as MinHash: O(n) map work + equi-join, no all-pairs. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4, minShared: Int = 5): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
-      explode(winnowFingerprint(col(textCol), k, w)).as("h"))
+      k: Int = 5, w: Int = 4, minShared: Int = 5,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+    val fp = BucketCap.cap(
+      df.select(col(idCol).as("id"),
+        explode(winnowFingerprint(col(textCol), k, w)).as("h")),
+      Seq("h"), "id", bucketCap)
     fp.select(col("id").as("a"), col("h"))
       .join(fp.select(col("id").as("b"), col("h")), Seq("h"))
       .filter(col("a") < col("b"))

@@ -66,10 +66,13 @@ object Similarity {
     * runs inside the scan stage at any scale), exact cosine re-rank inside
     * buckets. Returns pairs (a, b, score) with a < b and score >= minScore. */
   def lshNearDupPairs(corpus: DataFrame, idCol: String,
-      minScore: Double, nBits: Int = 12): DataFrame = {
-    val sig = corpus
-      .withColumn("bucket", srpSignature(col("embedding"), nBits))
-      .select(col(idCol).as("id"), col("bucket"), col("embedding"))
+      minScore: Double, nBits: Int = 12,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+    val sig = BucketCap.cap(
+      corpus
+        .withColumn("bucket", srpSignature(col("embedding"), nBits))
+        .select(col(idCol).as("id"), col("bucket"), col("embedding")),
+      Seq("bucket"), "id", bucketCap)
     val l = sig.select(col("id").as("a"), col("bucket"),
       col("embedding").as("ea"))
     val r = sig.select(col("id").as("b"), col("bucket"),
@@ -81,9 +84,21 @@ object Similarity {
       .select(col("a"), col("b"), col("score"))
   }
 
-  /** Exact all-pairs top-N most similar (for oracle-checked correctness;
-    * quadratic — keep corpus bounded or use [[lshNearDupPairs]] at scale). */
-  def exactTopPairs(corpus: DataFrame, idCol: String, topN: Int): DataFrame = {
+  /** Hard ceiling for [[exactTopPairs]]'s quadratic self-join. */
+  val ExactPairsMaxRows = 10000L
+
+  /** Exact all-pairs top-N most similar — an oracle/correctness tool, NOT a
+    * scale path: the self-join is quadratic, so the op REFUSES a corpus
+    * above [[ExactPairsMaxRows]] (≈50M scored pairs) instead of silently
+    * melting at 100×. Use [[lshNearDupPairs]] (bucketed, capped) + exact
+    * re-rank for unbounded corpora. The count() guard is one cheap action
+    * against the (necessarily small) input. */
+  def exactTopPairs(corpus: DataFrame, idCol: String, topN: Int,
+      maxRows: Long = ExactPairsMaxRows): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"exactTopPairs is quadratic: corpus has $n rows (limit $maxRows); " +
+        "bound the input or use lshNearDupPairs + exact re-rank")
     val l = corpus.select(col(idCol).as("a"), col("embedding").as("ea"))
     val r = corpus.select(col(idCol).as("b"), col("embedding").as("eb"))
     l.join(r, col("a") < col("b"))

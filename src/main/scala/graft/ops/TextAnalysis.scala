@@ -83,9 +83,11 @@ object TextAnalysis {
         (acc, t) => acc + when(t.isin(ms: _*), 1).otherwise(0))
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
-    df.select(col(idCol),
-      when(greatest(scores: _*).getField("hits") > 0,
-        greatest(scores: _*).getField("lang")).otherwise(lit("und"))
-        .as("predicted_lang"))
+    // two projections: CollapseProject keeps the non-cheap greatest(...) in
+    // its own project, so the marker scan evaluates once per row, not twice
+    df.select(col(idCol), greatest(scores: _*).as("best"))
+      .select(col(idCol),
+        when(col("best.hits") > 0, col("best.lang")).otherwise(lit("und"))
+          .as("predicted_lang"))
   }
 }

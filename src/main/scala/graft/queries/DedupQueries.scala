@@ -39,7 +39,7 @@ object DedupQueries {
   /** MinHash+LSH near-dup pairs — must recover the planted mutant pairs. */
   private val q42MinHash: Q = (s, dir) =>
     Dedup.minHashPairs(withMutants(s, dir), "doc_id", "text",
-        numHashes = 128, bands = 32, minJaccard = 0.5)
+        minJaccard = 0.5)
       .orderBy(col("a"), col("b"))
 
   /** SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints). */
@@ -80,5 +80,31 @@ object DedupQueries {
       """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // exact 3-gram Jaccard over the planted (d, d+100000) mutant pairs —
+    // shingles are distinct triples of the embed tokenizer's tokens
+    "q44_ngram_jaccard" ->
+      """WITH pairs AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b,
+        |    text AS texta, text || ' zzzmutation' AS textb
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT a, b,
+        |    list_filter(regexp_split_to_array(lower(texta), '[^a-z0-9_]+'),
+        |      x -> x <> '') AS ta,
+        |    list_filter(regexp_split_to_array(lower(textb), '[^a-z0-9_]+'),
+        |      x -> x <> '') AS tb
+        |  FROM pairs),
+        |sh AS (
+        |  SELECT a, b,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ta) - 2, 0)),
+        |      i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) AS sa,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tb) - 2, 0)),
+        |      i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2])) AS sb
+        |  FROM tok)
+        |SELECT a, b, round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+        |FROM sh ORDER BY a""".stripMargin,
   )
 }

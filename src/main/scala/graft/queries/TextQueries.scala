@@ -90,5 +90,34 @@ object TextQueries {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // argmax of marker-token hit counts; struct-greatest ties resolve to the
+    // lexicographically largest lang code (zh > fr > es > en > de)
+    "q52_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |    x -> x <> '') AS ts
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ts, t -> t IN ('the','a','of','and','to','in',
+        |      'is','that'))) AS h_en,
+        |    len(list_filter(ts, t -> t IN ('el','la','de','que','y','en',
+        |      'un','los'))) AS h_es,
+        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist',
+        |      'von','ein','nicht'))) AS h_de,
+        |    len(list_filter(ts, t -> t IN ('le','la','de','et','un','est',
+        |      'que','pour'))) AS h_fr,
+        |    len(list_filter(ts, t -> t IN ('de5','shi4','le5','zai4','you3',
+        |      'wo3','ta1','men5'))) AS h_zh
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en,h_es,h_de,h_fr,h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = greatest(h_en,h_es,h_de,h_fr,h_zh) THEN 'zh'
+        |       WHEN h_fr = greatest(h_en,h_es,h_de,h_fr,h_zh) THEN 'fr'
+        |       WHEN h_es = greatest(h_en,h_es,h_de,h_fr,h_zh) THEN 'es'
+        |       WHEN h_en = greatest(h_en,h_es,h_de,h_fr,h_zh) THEN 'en'
+        |       ELSE 'de' END AS predicted_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
   )
 }

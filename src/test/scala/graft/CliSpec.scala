@@ -104,6 +104,99 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("golden lifecycle transcript replay (SKILL.md:96-143)") {
+    // byte-identical to the reference transcript modulo two documented
+    // drifts: (1) scores differ — deterministic murmur3 embedding replaces
+    // the reference's process-seeded hash; (2) the recall banner omits the
+    // query (matching memo_cli.py:472 — SKILL.md's banner drifted from its
+    // own code); (3) store paths are one base dir, not a .memo/.yaml pair.
+    withDb { db =>
+      val input = writeTemp(
+        """---
+          |body: I am allergic to peanuts.
+          |metadata: {source: user, category: health}
+          |---
+          |body: User prefers dark mode.
+          |metadata: {source: user, category: ui}
+          |""".stripMargin)
+      val (c1, o1) = run("-f", db, "save", input)
+      assert(c1 == 0)
+      assert(o1 ==
+        "Memorized: 'I am allergic to peanuts.' (ID: 0)\n" +
+        "Memorized: 'User prefers dark mode.' (ID: 1)\n")
+      val (c2, o2) = run("-f", db, "recall", "-k", "2", "health", "info")
+      assert(c2 == 0)
+      val l2 = o2.split("\n", -1)
+      assert(l2(0) == "Top 2 results:")
+      assert(l2(1).matches("""  \[\d+\] Score: -?\d\.\d{4} \|"""))
+      assert(l2(2).startsWith("      "))
+      val (c3, o3) = run("-f", db, "recall", "-k", "3",
+        "--filter", "{source: user}", "what", "do", "I", "know")
+      assert(c3 == 0)
+      assert(o3.startsWith("Top 3 results:\n"))
+      val (c4, o4) = run("-f", db, "analyze",
+        "--filter", "{source: user}", "--fields", "id,source,category")
+      assert(c4 == 0)
+      assert(o4 ==
+        """Matched: 2
+          |ID  source  category
+          |0   user    health
+          |1   user    ui
+          |""".stripMargin)
+      val (c5, o5) = run("-f", db, "reindex")
+      assert(c5 == 0)
+      assert(o5 == s"Rebuilt index from $db\nWrote index: $db\n")
+      val (c6, o6) = run("-f", db, "clean")
+      assert(c6 == 0)
+      assert(o6 == s"Cleared memory database ($db)\n")
+    }
+  }
+
+  test("analyze renders whole-metadata cells as YAML flow (format_cell)") {
+    withDb { db =>
+      run("-f", db, "save", writeTemp(
+        "---\nbody: a note\nmetadata: {source: user, n: 7, pi: 2.5, ok: true}\n"))
+      val (code, out) = run("-f", db, "analyze",
+        "--filter", "{source: user}", "--fields", "id,metadata")
+      assert(code == 0)
+      // PyYAML flow dump: unquoted plain scalars, typed values rendered
+      // as YAML (int 7, float 2.5, bool true), insertion order kept
+      assert(out ==
+        """Matched: 1
+          |ID  metadata
+          |0   {source: user, n: 7, pi: 2.5, ok: true}
+          |""".stripMargin)
+      run("-f", db, "clean")
+    }
+  }
+
+  test("-v routes diagnostics to stderr; stdout stays result-only") {
+    withDb { db =>
+      val errBuf = new ByteArrayOutputStream()
+      val oldErr = System.err
+      val (code, out) =
+        try {
+          System.setErr(new java.io.PrintStream(errBuf, true))
+          run("-f", db, "-v", "save", batch)
+        } finally System.setErr(oldErr)
+      assert(code == 0)
+      assert(out ==
+        "Memorized: 'I am allergic to peanuts.' (ID: 0)\n" +
+        "Memorized: 'User prefers dark mode.' (ID: 1)\n")
+      assert(errBuf.toString.contains("Indexed 2 records incrementally"))
+      // without -v the diagnostic is absent
+      val errBuf2 = new ByteArrayOutputStream()
+      val (code2, _) =
+        try {
+          System.setErr(new java.io.PrintStream(errBuf2, true))
+          run("-f", db, "reindex")
+        } finally System.setErr(oldErr)
+      assert(code2 == 0)
+      assert(!errBuf2.toString.contains("Rebuilt index with"))
+      run("-f", db, "clean")
+    }
+  }
+
   test("recall --yaml emits results list; empty DB gives results: []") {
     withDb { db =>
       val (code, out) = run("-f", db, "recall", "--yaml", "anything")

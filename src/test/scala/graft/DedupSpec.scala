@@ -12,8 +12,7 @@ class DedupSpec extends SparkTestBase {
   test("minhash LSH recovers planted near-dup pairs with high recall") {
     val docs = DedupQueries.withMutants(spark, sfDir)
     val planted = docs.filter(col("doc_id") >= 100000).count()
-    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
-        numHashes = 128, bands = 32, minJaccard = 0.5)
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", minJaccard = 0.5)
       .filter(col("b") === col("a") + 100000).count()
     assert(planted > 0)
     // short docs mutate past the 0.5 Jaccard threshold legitimately —
@@ -60,6 +59,58 @@ class DedupSpec extends SparkTestBase {
     val recovered = Dedup.winnowPairs(docs, "doc_id", "text")
       .filter(col("b") === col("a") + 100000).count()
     assert(recovered >= planted * 9 / 10, s"recovered $recovered of $planted")
+  }
+
+  test("hot LSH buckets are capped: no quadratic blowup, cold pairs kept") {
+    import spark.implicits._
+    import graft.ops.BucketCap
+    // 1000 docs sharing identical boilerplate (one degenerate bucket per
+    // band) + one planted near-dup pair off in a cold region
+    val boiler = "standard corporate boilerplate header legal notice " +
+      "all rights reserved confidential do not distribute"
+    val hot = (0L until 1000L).map(i => (i, boiler))
+    val planted = Seq(
+      (5000L, "unique quarterly revenue report for the northwest region office"),
+      (5001L, "unique quarterly revenue report for the northwest region branch"))
+    val docs = (hot ++ planted).toDF("doc_id", "text")
+    val cap = 32
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      minJaccard = 0.5, bucketCap = cap).collect()
+    // without the cap the hot mass alone is C(1000,2) ≈ 500k pairs; capped,
+    // each band keeps the same 32 lowest ids → ≤ C(32,2) hot pairs
+    val hotPairs = pairs.count(r => r.getLong(0) < 1000)
+    assert(hotPairs <= cap * (cap - 1) / 2, s"hot bucket produced $hotPairs pairs")
+    assert(hotPairs > 0, "capped bucket should still yield some dup pairs")
+    // the planted cold pair survives capping
+    assert(pairs.exists(r => r.getLong(0) == 5000L && r.getLong(1) == 5001L),
+      "planted cold near-dup pair lost")
+    // simhash and winnowing are capped the same way
+    // (simhash recall for planted pairs is covered by the mutants spec; a
+    // one-word SUBSTITUTION can legitimately exceed the hamming budget)
+    val simPairs = Dedup.simHashPairs(docs, "doc_id", "text", bucketCap = cap)
+    assert(simPairs.filter(col("a") < 1000).count() <= cap.toLong * cap)
+    val winPairs = Dedup.winnowPairs(docs, "doc_id", "text", bucketCap = cap)
+    assert(winPairs.filter(col("a") < 1000).count() <= cap.toLong * cap)
+    // dropped mass is observable for tuning
+    val banded = docs.select(col("doc_id").as("id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("bkt"))
+    val report = BucketCap.oversized(banded, Seq("bkt"), cap).collect()
+    assert(report.length == 1 && report(0).getAs[Long]("dropped") == 1000L - cap)
+  }
+
+  test("exactTopPairs refuses an unbounded corpus (quadratic guard)") {
+    import spark.implicits._
+    val big = spark.range(20001)
+      .select(col("id"), array(lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.exactTopPairs(big, "id", 10)
+    }
+    assert(e.getMessage.contains("quadratic"))
+    // a bounded corpus still works
+    val small = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("id", "embedding")
+    val top = graft.ops.Similarity.exactTopPairs(small, "id", 1).collect()
+    assert(top.length == 1 && top(0).getLong(0) == 0L && top(0).getLong(1) == 1L)
   }
 
   test("exact text dedup finds the exact duplicate copies") {

@@ -48,6 +48,17 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unused columns: $read")
   }
 
+  test("no CartesianProduct in any query plan except explicitly-bounded q33") {
+    // q33 bounds its corpus to 300 rows before the (guarded) all-pairs op;
+    // everything else must be hash/broadcast/bucket joins at any scale
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val s = planString(q(name))
+      if (s.contains("CartesianProduct") && name != "q33_top_pairs") Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cartesian joins in: ${offenders.mkString(", ")}")
+  }
+
   test("entry: normalized-cosine rule rewrote scoring to vec_dot") {
     val s = planString(SparkEntry.entry(spark))
     assert(s.contains("vec_dot"), s"expected vec_dot in entry plan")
