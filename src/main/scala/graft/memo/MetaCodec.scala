@@ -262,10 +262,25 @@ object MetaCodec {
     case _ => yamlScalar(t, flow = false)
   }
 
+  /** Scalars a YAML 1.1 resolver (the reference's PyYAML) would type as
+    * something other than a string even though YAML 1.2 (snakeyaml here)
+    * keeps them strings: bool/null words (yes/on/…), leading-zero octal
+    * ints ("007"), hex/binary/underscored numbers, sexagesimals, .inf/.nan,
+    * ISO dates/timestamps. Quoting these keeps the export readable by BOTH
+    * resolvers as the same string. Over-quoting is always safe. */
+  private val Yaml11Ambiguous = java.util.regex.Pattern.compile(
+    "^(?:yes|Yes|YES|no|No|NO|true|True|TRUE|false|False|FALSE" +
+      "|on|On|ON|off|Off|OFF|~|null|Null|NULL" +
+      "|[-+]?(?:0b[01_]+|0o?[0-7_]+|0x[0-9a-fA-F_]+|[0-9][0-9_]*(?::[0-5]?[0-9])*)" +
+      "|[-+]?(?:\\.[0-9_]+|[0-9][0-9_]*(?:\\.[0-9_]*)?)(?:[eE][-+]?[0-9]+)?" +
+      "|[-+]?\\.(?:inf|Inf|INF)|\\.(?:nan|NaN|NAN)" +
+      "|[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}([Tt ].*)?)$")
+
   /** Quote a string scalar for YAML emission. Plain only when it is
-    * structurally safe AND re-parses (via snakeyaml) to exactly itself —
-    * so "007", "true", "1e5", "null" etc all get quoted and round-trip as
-    * strings (reference keeps them typed via PyYAML's own resolver). */
+    * structurally safe AND re-parses (via snakeyaml) to exactly itself AND
+    * is not YAML-1.1-ambiguous — so "007", "true", "1e5", "null", "yes"
+    * etc all get quoted and round-trip as strings under both resolvers
+    * (reference keeps them typed via PyYAML's own resolver). */
   def yamlScalar(s: String, flow: Boolean): String = {
     if (s.isEmpty) return "''"
     if (s.exists(c => c < ' ' || c == '\u007f')) return jsonQuote(s)
@@ -273,6 +288,7 @@ object MetaCodec {
       !s.head.isWhitespace && !s.last.isWhitespace &&
         s.forall(c => plainChar(c, flow)) &&
         !s.contains(": ") && !s.endsWith(":") && !s.startsWith("#") &&
+        !Yaml11Ambiguous.matcher(s).matches() &&
         reparsesToSelf(s)
     if (plainOk) s
     else "'" + s.replace("'", "''") + "'"

@@ -172,24 +172,50 @@ object YamlIO {
     val rows = records.select("id", "body", "metadata")
       .orderBy("id").collect()
     val sb = new StringBuilder
-    rows.foreach { r =>
-      val id = r.getLong(0)
-      val body = r.getString(1)
-      val meta = Option(r.getMap[String, String](2))
-        .map(_.toSeq).getOrElse(Seq.empty)
-      sb.append("---\n")
-      sb.append(s"id: $id\n")
-      if (meta.isEmpty) sb.append("metadata: {}\n")
-      else {
-        sb.append("metadata:\n")
-        meta.foreach { case (k, v) =>
-          sb.append("  ").append(MetaCodec.yamlScalar(k, flow = false))
-            .append(": ").append(MetaCodec.exportValue(v)).append("\n")
-        }
-      }
-      appendBody(sb, body)
-    }
+    rows.foreach(r => appendRecord(sb,
+      r.getLong(0), r.getString(1),
+      Option(r.getMap[String, String](2)).map(_.toSeq).getOrElse(Seq.empty)))
     sb.toString
+  }
+
+  /** Distributed export (S2 at scale): render each record's YAML document
+    * on the executors and return `(id, doc)` — write `doc` with the text
+    * sink for sharded output. `repartitionByRange(id)` + in-partition sort
+    * makes shard files globally id-ordered (shard N's docs all precede
+    * shard N+1's), so concatenating part files reproduces [[exportTable]]
+    * byte-for-byte; the driver never materializes the table. */
+  def exportRecordsDistributed(records: DataFrame, shards: Int = 0): DataFrame = {
+    val spark = records.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = records.select("id", "body", "metadata")
+    val arranged =
+      (if (shards > 0) base.repartitionByRange(shards, col("id"))
+       else base.repartitionByRange(col("id")))
+        .sortWithinPartitions("id")
+    arranged.map { r =>
+      val sb = new StringBuilder
+      appendRecord(sb, r.getLong(0), r.getString(1),
+        Option(r.getMap[String, String](2)).map(_.toSeq).getOrElse(Seq.empty))
+      (r.getLong(0), sb.toString)
+    }.toDF("id", "doc")
+  }
+
+  /** One record as an explicit-start YAML document (shared by the driver
+    * and distributed exporters — byte-identical output). */
+  private def appendRecord(sb: StringBuilder, id: Long, body: String,
+      meta: Seq[(String, String)]): Unit = {
+    sb.append("---\n")
+    sb.append(s"id: $id\n")
+    if (meta.isEmpty) sb.append("metadata: {}\n")
+    else {
+      sb.append("metadata:\n")
+      meta.foreach { case (k, v) =>
+        sb.append("  ").append(MetaCodec.yamlScalar(k, flow = false))
+          .append(": ").append(MetaCodec.exportValue(v)).append("\n")
+      }
+    }
+    appendBody(sb, body)
   }
 
   private def appendBody(sb: StringBuilder, body: String): Unit = {

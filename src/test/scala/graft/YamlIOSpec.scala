@@ -99,6 +99,26 @@ class YamlIOSpec extends SparkTestBase {
     assert(meta("nil") == "z")
   }
 
+  test("distributed export shards concatenate to the driver export") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val recs = (0L until 300L).map { i =>
+      (i, s"doc $i body\nsecond line", Map("k" -> s"sv$i", "n" -> s"i$i"))
+    }.toDF("id", "body", "metadata")
+    val driver = YamlIO.exportTable(recs)
+    val sharded = YamlIO.exportRecordsDistributed(recs, shards = 4)
+    // per-record docs, globally ordered across range shards
+    val docs = sharded.select("id", "doc").as[(Long, String)]
+      .collect()
+    assert(docs.map(_._1).toSeq == docs.map(_._1).sorted.toSeq)
+    assert(docs.map(_._2).mkString == driver)
+    // round-trips through the importer too
+    val back = YamlIO.importTable(spark, docs.map(_._2).mkString)
+    assert(back.count() == 300)
+    assert(back.filter(col("id") === 7).collect()(0)
+      .getMap[String, String](2)("n") == "i7")
+  }
+
   test("bulk import parses distributed and still rejects duplicate ids") {
     val n = YamlIO.BulkParseThreshold + 50
     val docs = (0 until n).map { i =>
