@@ -31,6 +31,7 @@ object MemoCli {
   }
 
   def run(spark: SparkSession, args: List[String]): Int = {
+    if (args.contains("--help")) { printHelp(); return 0 }
     val (baseOpt, verbose, rest) = parseGlobal(args)
     if (baseOpt.isEmpty || rest.isEmpty) {
       System.err.println(
@@ -52,6 +53,38 @@ object MemoCli {
         System.err.println(s"Error: ${e.getMessage}")
         1
     }
+  }
+
+  /** Usage text (reference print_help, memo_cli.py:695-724 — same command
+    * surface; store is one base directory instead of a .memo/.yaml pair). */
+  private def printHelp(): Unit = {
+    println("Usage:")
+    println("  memo --help")
+    println("  memo -f <base> [-v] save <yaml_file>")
+    println("  memo -f <base> [-v] recall [-k <N>] [--filter <expr>] [--yaml] <query>")
+    println("  memo -f <base> [-v] analyze --filter <expr> [--fields <list>] " +
+      "[--stats <key>] [--limit <N>] [--offset <N>]")
+    println("  memo -f <base> [-v] clean")
+    println("  memo -f <base> [-v] reindex")
+    println()
+    println("Commands:")
+    println("  save                Insert/update memory records from YAML input file")
+    println("  recall              Semantic recall from the <base> store")
+    println("  analyze             Metadata-only reporting from the <base> store")
+    println("  clean               Remove the <base> store")
+    println("  reindex             Rebuild the index from records (full regenerate)")
+    println()
+    println("Options:")
+    println("  -f <base>           REQUIRED DB base directory")
+    println("  -v                 Verbose logs to stderr")
+    println("  <yaml_file>        YAML file for save input (single or multi-doc using ---)")
+    println("  --filter <expr>    Filter recall results by metadata")
+    println("  --yaml             recall only: emit YAML results with id, score, body")
+    println("  --fields <list>    analyze only: comma-separated columns (e.g. id,source,metadata)")
+    println("  --stats <key>      analyze only: cardinality + numeric/date-like range for key")
+    println("  --limit <N>        analyze only: max rows to print (default: 100)")
+    println("  --offset <N>       analyze only: rows to skip before printing (default: 0)")
+    println("  --help             Show this help")
   }
 
   /** Verbose diagnostics to stderr — stdout stays result-only

@@ -197,6 +197,14 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("--help prints usage to stdout and exits 0 (memo_cli.py:695-724)") {
+    val (code, out) = run("--help")
+    assert(code == 0)
+    assert(out.startsWith("Usage:\n  memo --help\n"))
+    assert(out.contains("  recall              Semantic recall"))
+    assert(out.contains("  --stats <key>"))
+  }
+
   test("recall --yaml emits results list; empty DB gives results: []") {
     withDb { db =>
       val (code, out) = run("-f", db, "recall", "--yaml", "anything")
