@@ -3,6 +3,8 @@ package graft.memo
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,17 +18,23 @@ import graft.functions.VectorKernels
   * (/root/reference/memo_cli.py:47-58, SKILL.md:8-21).
   *
   * Store layout (`basePath/`):
-  *   CURRENT            — text file holding the live version number
-  *   v<N>/records       — parquet (id, body, metadata MAP<STRING,STRING>)
-  *   v<N>/index         — parquet (id, embedding ARRAY<FLOAT>), derived
+  *   CURRENT              — text file holding the live version number
+  *   v<N>/records         — parquet (id, body, metadata MAP<STRING,STRING>)
+  *   v<N>/index           — parquet (id, embedding ARRAY<FLOAT>), derived
+  *   v<N>/records.manifest / index.manifest — the segment dirs this version
+  *                          reads: just its own dir for a snapshot version,
+  *                          prior segments + its own for an append delta
   *
-  * Every mutation writes a complete new version then atomically swings the
-  * CURRENT pointer — the Spark-native analogue of the reference's
-  * whole-file rewrite (memo_cli.py:448-449), but atomic: a crash mid-write
-  * leaves the old version live, and the index can always be re-derived
-  * (same recovery philosophy as the reference's reindex).
+  * Every mutation writes a new version then atomically swings the CURRENT
+  * pointer — a crash mid-write leaves the old version live, and the index
+  * can always be re-derived (the reference's reindex recovery philosophy,
+  * memo_cli.py:448-449, made atomic). Append-only saves are log-structured
+  * deltas: O(batch) records + embeddings written, prior segments referenced
+  * untouched; overwrite/reindex/import write compacting snapshots, and an
+  * append chain compacts itself at `maxSegments` to bound read fan-in.
   */
-class MemoEngine(spark: SparkSession, basePath: String) {
+class MemoEngine(spark: SparkSession, basePath: String,
+    maxSegments: Int = MemoEngine.DefaultMaxSegments) {
   graft.plans.GraftOptimizations.install(spark)
   private val base = Paths.get(basePath)
   private def currentFile = base.resolve("CURRENT")
@@ -39,16 +47,33 @@ class MemoEngine(spark: SparkSession, basePath: String) {
 
   private def versionDir(v: Long): Path = base.resolve(s"v$v")
 
-  /** The live records table; empty-schema table when the DB doesn't exist. */
+  /** Segment list for `records`/`index` of version v. A version is either a
+    * full snapshot (manifest = its own dir) or an append delta (manifest =
+    * prior segments + its own dir). Missing manifest = plain dir layout. */
+  private def segments(v: Long, kind: String): Seq[String] = {
+    val mf = versionDir(v).resolve(s"$kind.manifest")
+    if (Files.exists(mf))
+      Files.readAllLines(mf).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+    else Seq(versionDir(v).resolve(kind).toString)
+  }
+
+  private def writeManifest(v: Long, kind: String, segs: Seq[String]): Unit =
+    Files.writeString(versionDir(v).resolve(s"$kind.manifest"),
+      segs.mkString("", "\n", "\n"))
+
+  /** The live records table; empty-schema table when the DB doesn't exist.
+    * Appends are log-structured: the read unions the base snapshot with the
+    * appended segments (ids are disjoint by construction — appends mint new
+    * ids; overwrites force a fresh snapshot). */
   def records: DataFrame = currentVersion match {
-    case Some(v) => spark.read.parquet(versionDir(v).resolve("records").toString)
+    case Some(v) => spark.read.parquet(segments(v, "records"): _*)
     case None => spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], YamlIO.recordSchema)
   }
 
   /** The derived embedding index for the live version. */
   def index: DataFrame = currentVersion match {
-    case Some(v) => spark.read.parquet(versionDir(v).resolve("index").toString)
+    case Some(v) => spark.read.parquet(segments(v, "index"): _*)
     case None => records.select(col("id"), embedText(col("body")).as("embedding"))
   }
 
@@ -83,11 +108,44 @@ class MemoEngine(spark: SparkSession, basePath: String) {
     embedded.write.mode("overwrite")
       .parquet(versionDir(v).resolve("index").toString)
     recs.write.mode("overwrite").parquet(versionDir(v).resolve("records").toString)
+    writeManifest(v, "records", Seq(versionDir(v).resolve("records").toString))
+    writeManifest(v, "index", Seq(versionDir(v).resolve("index").toString))
+    swingPointer(v)
+    v
+  }
+
+  /** Append-only commit: write ONLY the batch rows as a new segment and
+    * extend the manifests — prior segment files are referenced, not
+    * rewritten. A 1-row append is O(1) write work regardless of corpus
+    * size (the reference appends vectors incrementally but rewrites its
+    * whole YAML file, memo_cli.py:436-448 — this path beats it on both).
+    * Falls back to a compacting full commit when the chain reaches
+    * `maxSegments`, bounding read fan-in. */
+  private def commitAppend(batch: DataFrame, batchIds: Seq[Long]): Long = {
+    val prior = currentVersion.get
+    if (segments(prior, "records").size >= maxSegments)
+      return commit(records.unionByName(batch),
+        changedIds = Some(batchIds)) // compact: reuses index, embeds batch only
+    val v = prior + 1
+    Files.createDirectories(versionDir(v))
+    val recs = batch.select(col("id"), col("body"), col("metadata"))
+    recs.filter(!isBlank(col("body")))
+      .select(col("id"), embedText(col("body")).as("embedding"))
+      .write.mode("overwrite").parquet(versionDir(v).resolve("index").toString)
+    recs.write.mode("overwrite").parquet(versionDir(v).resolve("records").toString)
+    writeManifest(v, "records",
+      segments(prior, "records") :+ versionDir(v).resolve("records").toString)
+    writeManifest(v, "index",
+      segments(prior, "index") :+ versionDir(v).resolve("index").toString)
+    swingPointer(v)
+    v
+  }
+
+  private def swingPointer(v: Long): Unit = {
     val tmp = base.resolve("CURRENT.tmp")
     Files.writeString(tmp, v.toString)
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    v
   }
 
   /** Save a YAML batch: entries with `id` overwrite (must exist — whole
@@ -121,9 +179,16 @@ class MemoEngine(spark: SparkSession, basePath: String) {
     }
     val overwriteIds = resolved.map(_._1).toSet
     val batchDf = resolved.toDF("id", "body", "metadata")
-    val merged = existing.filter(!col("id").isin(overwriteIds.toSeq: _*))
-      .unionByName(batchDf)
-    commit(merged, changedIds = Some(resolved.map(_._1)))
+    if (overrideIds.isEmpty && exists) {
+      // pure append: new segment + manifest extension, O(batch) write work
+      commitAppend(batchDf, resolved.map(_._1))
+    } else {
+      // overwrite (or first save): fresh records snapshot for latest-wins
+      // reads; the index is still derived incrementally from the prior one
+      val merged = existing.filter(!col("id").isin(overwriteIds.toSeq: _*))
+        .unionByName(batchDf)
+      commit(merged, changedIds = Some(resolved.map(_._1)))
+    }
     existing.unpersist()
     resolved.map { case (id, body, _) =>
       val firstLine = body.linesIterator.nextOption().getOrElse("")
@@ -177,4 +242,10 @@ class MemoEngine(spark: SparkSession, basePath: String) {
   /** Import a full DB YAML (replaces the store), export the live table. */
   def importYaml(text: String): Long = commit(YamlIO.importTable(spark, text))
   def exportYaml(): String = YamlIO.exportTable(records)
+}
+
+object MemoEngine {
+  /** Append-chain length that triggers compaction back to one snapshot —
+    * bounds the scan fan-in (number of parquet dirs a read unions). */
+  val DefaultMaxSegments = 64
 }

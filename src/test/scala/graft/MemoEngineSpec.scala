@@ -97,6 +97,13 @@ class MemoEngineSpec extends SparkTestBase {
     // would be >= 60
     assert(cost <= 5, s"append re-embedded $cost rows — not incremental")
     assert(engine.index.count() == 61)
+    // log-structured append: the new version references the PRIOR segment
+    // files (no O(corpus) records rewrite) and adds an O(batch) delta
+    val segs = engine.records.inputFiles.map(_.replaceFirst("/[^/]+$", "")).distinct
+    assert(segs.exists(_.contains("/v0/")) && segs.exists(_.contains("/v1/")),
+      s"expected v0 reuse + v1 delta, got: ${segs.mkString(", ")}")
+    val delta = spark.read.parquet(segs.find(_.contains("/v1/")).get)
+    assert(delta.count() == 1, "append delta must hold only the batch rows")
     // overwrite of one id is also incremental and replaces its vector
     val before2 = VectorKernels.embedCalls.get()
     engine.save("---\nid: 3\nbody: replacement text\nmetadata: {k: v3}\n")
@@ -108,6 +115,27 @@ class MemoEngineSpec extends SparkTestBase {
     val want = VectorKernels.hashEmbedFloats("replacement text",
       VectorKernels.DefaultDim).toSeq
     assert(vec == want)
+    // the overwrite compacted records back to a single snapshot
+    val segs2 = engine.records.inputFiles
+      .map(_.replaceFirst("/[^/]+$", "")).distinct
+    assert(segs2.length == 1, s"overwrite should snapshot, got: ${segs2.toSeq}")
+    engine.clean()
+  }
+
+  test("append chain compacts at maxSegments, results unchanged") {
+    val dir = Files.createTempDirectory("memo_engine").toString
+    val engine = new graft.memo.MemoEngine(spark, s"$dir/db", maxSegments = 3)
+    (0 until 5).foreach { i =>
+      engine.save(s"---\nbody: note number $i\nmetadata: {i: $i}\n")
+    }
+    assert(engine.records.count() == 5)
+    assert(engine.index.count() == 5)
+    // chain never exceeds maxSegments dirs
+    val segs = engine.records.inputFiles.map(_.replaceFirst("/[^/]+$", "")).distinct
+    assert(segs.length <= 3, s"chain too long: ${segs.toSeq}")
+    // contents intact after compaction
+    val bodies = engine.records.orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(bodies == (0 until 5).map(i => s"note number $i"))
     engine.clean()
   }
 
