@@ -249,12 +249,7 @@ object MemoCli {
       date_format(max(col("dt")), "yyyy-MM-dd").as("dmax")
     ).collect()(0)
     val n = stats.getLong(0)
-    def g(x: Double): String = {
-      val s = "%g".format(x)
-      if (s.contains('.') && !s.contains('e') && !s.contains('E'))
-        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      else s
-    }
+    def g(x: Double): String = MemoCli.pyG(x)
     if (stats.getLong(1) == n) {
       println("Range (numeric):")
       println(s"  min: ${g(stats.getDouble(2))}")
@@ -264,6 +259,27 @@ object MemoCli {
       println("Range (date-like):")
       println(s"  start: ${stats.getString(6)}")
       println(s"  end:   ${stats.getString(7)}")
+    }
+  }
+
+  /** Python `%g` rendering (used by the reference's stats range lines,
+    * memo_cli.py:615-616): 6 significant digits, trailing zeros stripped in
+    * BOTH fixed and exponent forms — Java's %g keeps them ("2.50000e+06"
+    * where Python prints "2.5e+06"). */
+  def pyG(x: Double): String = {
+    val s = "%g".format(x)
+    val ei = s.indexWhere(c => c == 'e' || c == 'E')
+    if (ei < 0) {
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    } else {
+      val (mant, exp) = (s.substring(0, ei), s.substring(ei))
+      val m =
+        if (mant.contains('.'))
+          mant.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        else mant
+      m + exp
     }
   }
 

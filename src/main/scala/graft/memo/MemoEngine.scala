@@ -230,6 +230,29 @@ class MemoEngine(spark: SparkSession, basePath: String,
     before - after
   }
 
+  /** Garbage-collect version directories not reachable from the live
+    * version's manifests (superseded snapshots and compacted-away deltas).
+    * Safe any time: the live version and every segment dir it references
+    * are kept, and the CURRENT pointer is untouched. Returns the number of
+    * version dirs removed. Run after compactions/overwrites to reclaim
+    * space — without it, storage grows O(versions × corpus). */
+  def vacuum(): Int = currentVersion match {
+    case None => 0
+    case Some(v) =>
+      val live = (segments(v, "records") ++ segments(v, "index"))
+        .map(p => Paths.get(p).getParent.getFileName.toString)
+        .toSet + s"v$v"
+      val stale = Files.list(base).iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d+") &&
+          !live.contains(p.getFileName.toString))
+      stale.foreach { d =>
+        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      stale.size
+  }
+
   /** Drop the database (memo_cli.py:308-331). True if anything existed. */
   def clean(): Boolean = {
     if (!Files.exists(base)) return false

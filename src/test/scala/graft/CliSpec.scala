@@ -197,6 +197,16 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("stats %g matches Python for fixed and exponent forms") {
+    val cases = Seq(
+      2500000.0 -> "2.5e+06", 1000000.0 -> "1e+06", 1234567.0 -> "1.23457e+06",
+      123456.789 -> "123457", 0.00012345 -> "0.00012345", 1.5 -> "1.5",
+      100.0 -> "100", 999999.0 -> "999999")
+    cases.foreach { case (v, want) =>
+      assert(MemoCli.pyG(v) == want, s"%g of $v")
+    }
+  }
+
   test("--help prints usage to stdout and exits 0 (memo_cli.py:695-724)") {
     val (code, out) = run("--help")
     assert(code == 0)

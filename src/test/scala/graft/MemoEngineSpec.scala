@@ -139,6 +139,22 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("vacuum reclaims unreferenced versions, keeps live segment chain") {
+    val dir = Files.createTempDirectory("memo_engine").toString
+    val engine = new graft.memo.MemoEngine(spark, s"$dir/db")
+    engine.save("---\nbody: first note\n") // v0 snapshot
+    engine.save("---\nbody: second note\n") // v1 delta (references v0)
+    // both versions are live (v1's manifest references v0's segment)
+    assert(engine.vacuum() == 0)
+    engine.save("---\nid: 0\nbody: replaced\n") // v2 overwrite → snapshot
+    val removed = engine.vacuum() // v0 + v1 now unreachable
+    assert(removed == 2, s"expected 2 stale versions, removed $removed")
+    val bodies = engine.records.orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(bodies == Seq("replaced", "second note"))
+    assert(engine.index.count() == 2)
+    engine.clean()
+  }
+
   test("clean removes the store; second clean reports already empty") {
     val (engine, _) = freshEngine()
     engine.save(saveBatch)

@@ -48,6 +48,16 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unused columns: $read")
   }
 
+  test("q42: bucket cap compiles to map-side WindowGroupLimit before the exchange") {
+    // Spark 4 rewrites the rn<=cap filter into WindowGroupLimit pushed
+    // BELOW the shuffle — each mapper keeps at most cap rows per bucket
+    // before anything moves. This is the property that makes the skew
+    // guard nearly free; pin it so a refactor can't silently lose it.
+    val s = planString(q("q42_dedup_minhash"))
+    assert(s.contains("WindowGroupLimit"), "bucket cap lost its group-limit pushdown")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("no CartesianProduct in any query plan except explicitly-bounded q33") {
     // q33 bounds its corpus to 300 rows before the (guarded) all-pairs op;
     // everything else must be hash/broadcast/bucket joins at any scale
