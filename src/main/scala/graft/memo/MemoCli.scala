@@ -217,7 +217,7 @@ object MemoCli {
     val recs = engine.records
       .filter(graft.filter.FilterAlgebra.compile(filterExpr, col("metadata")))
     val values = recs
-      .select(graft.filter.FilterAlgebra.resolveField(col("metadata"), key).as("raw"))
+      .select(MemoOps.rawField(key).as("raw"))
       .filter(col("raw").isNotNull && col("raw") =!= "z") // None = missing
       .select(col("raw"), metaDisplay(col("raw")).as("v"),
         MemoOps.statsNumericValue(col("raw")).as("num"),

@@ -102,12 +102,24 @@ object MemoOps {
     "id" +: keys
   }
 
+  /** Typed raw value of an analyze/stats field, as the reference's
+    * resolve_field_value (memo_cli.py:543-549): "id" → the record id (an
+    * int), "metadata" → the whole mapping (map values are already typed
+    * encodings, so to_json IS the m-payload), else a flat metadata lookup
+    * (leading `metadata.` stripped). */
+  def rawField(key: String): Column = key match {
+    case "id" => concat(lit("i"), col("id").cast("string"))
+    case "metadata" =>
+      when(col("metadata").isNotNull, concat(lit("m"), to_json(col("metadata"))))
+    case k => FilterAlgebra.resolveField(col("metadata"), k)
+  }
+
   /** Non-missing values of a stats key: reference print_stats collects
     * `value is not None` — explicit YAML nulls ("z") count as missing
     * (memo_cli.py:582-586) — then counts format_cell renderings. */
   private def statsValues(records: DataFrame, filterExpr: String, key: String): DataFrame =
     records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))
-      .select(FilterAlgebra.resolveField(col("metadata"), key).as("raw"))
+      .select(rawField(key).as("raw"))
       .filter(col("raw").isNotNull && col("raw") =!= "z")
 
   /** Stats: top-4 values + "other" rollup (A8, memo_cli.py:592-597). */

@@ -197,6 +197,34 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("--stats id and --stats metadata resolve like resolve_field_value") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      val (c1, o1) = run("-f", db, "analyze", "--filter", "{}", "--stats", "id")
+      assert(c1 == 0)
+      // ids are ints → numeric range over doc ids (memo_cli.py:543-549)
+      assert(o1 ==
+        """Matched: 2
+          |Key: id
+          |Cardinality (distinct values): 2
+          |Cardinality by value:
+          |  0: 1
+          |  1: 1
+          |Range (numeric):
+          |  min: 0
+          |  max: 1
+          |  avg: 0.50
+          |""".stripMargin)
+      val (c2, o2) = run("-f", db, "analyze", "--filter", "{}", "--stats", "metadata")
+      assert(c2 == 0)
+      // whole-mapping stats count format_cell (flow YAML) renderings
+      assert(o2.contains("{source: user, category: health}: 1\n"))
+      assert(o2.contains("{source: user, category: ui}: 1\n"))
+      assert(!o2.contains("Range (numeric)")) // dicts never coerce
+      run("-f", db, "clean")
+    }
+  }
+
   test("stats %g matches Python for fixed and exponent forms") {
     val cases = Seq(
       2500000.0 -> "2.5e+06", 1000000.0 -> "1e+06", 1234567.0 -> "1.23457e+06",

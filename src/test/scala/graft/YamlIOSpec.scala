@@ -119,6 +119,54 @@ class YamlIOSpec extends SparkTestBase {
       .getMap[String, String](2)("n") == "i7")
   }
 
+  test("fuzz: random typed metadata survives export → import exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val strings = Seq("plain", "with space", "007", "1e5", "null", "true",
+      "yes", "on", "~", "a:b", "a: b", "it's", "\"quoted\"", "# hash",
+      "- dash", "[brack]", "{brace}", "0x1F", "0b101", "1_000", "1:30",
+      "2026-03-14", ".inf", "café ünï", "", " lead", "trail ", "multi\nline",
+      "tab\tchar")
+    def scalar(): Any = rnd.nextInt(5) match {
+      case 0 => Int.box(rnd.nextInt(2000) - 1000)
+      case 1 => Double.box((rnd.nextInt(4000) - 2000) / 8.0)
+      case 2 => Boolean.box(rnd.nextBoolean())
+      case 3 => strings(rnd.nextInt(strings.length))
+      case 4 => null
+    }
+    def value(): Any = rnd.nextInt(10) match {
+      case 8 => (0 until rnd.nextInt(4)).map(_ => scalar()).toList
+      case 9 =>
+        val m = new java.util.LinkedHashMap[String, Any]()
+        (0 until 1 + rnd.nextInt(3)).foreach(i => m.put(s"k$i", scalar()))
+        m
+      case _ => scalar()
+    }
+    val docs = (0L until 200L).map { i =>
+      val meta = scala.collection.immutable.ListMap.from(
+        (0 until rnd.nextInt(5)).map(j =>
+          s"key$j" -> YamlIO.encodeMetaValue(value())))
+      val body = rnd.nextInt(4) match {
+        case 0 => s"single line $i"
+        case 1 => s"multi\nline\ndoc $i"
+        case 2 => s"trailing newline $i\n"
+        case 3 => s"  indented first line $i\nrest"
+      }
+      (i, body, meta)
+    }
+    val df = docs.toDF("id", "body", "metadata")
+    val back = YamlIO.importTable(spark, YamlIO.exportTable(df))
+      .orderBy("id").collect()
+    assert(back.length == 200)
+    docs.zip(back).foreach { case ((id, body, meta), row) =>
+      assert(row.getLong(0) == id)
+      assert(row.getString(1) == body, s"body drift at id=$id")
+      val gotMeta = Option(row.getMap[String, String](2))
+        .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+      assert(gotMeta == meta.toSeq.sortBy(_._1), s"metadata drift at id=$id")
+    }
+  }
+
   test("bulk import parses distributed and still rejects duplicate ids") {
     val n = YamlIO.BulkParseThreshold + 50
     val docs = (0 until n).map { i =>
