@@ -117,8 +117,8 @@ object MemoCli {
     }
     val saved = engine.save(Files.readString(p))
     vlog(verbose, s"Indexed ${saved.size} records incrementally")
-    saved.foreach { case (id, firstLine) =>
-      println(s"Memorized: '$firstLine' (ID: $id)")
+    saved.foreach { case (id, body) =>
+      println(s"Memorized: '$body' (ID: $id)") // full body (memo_cli.py:430)
     }
     0
   }

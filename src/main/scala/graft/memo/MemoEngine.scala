@@ -164,8 +164,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
       val found = existing.select("id")
         .filter(col("id").isin(overrideIds: _*)).as[Long].collect().toSet
       overrideIds.find(!found.contains(_)).foreach { id =>
-        throw new IllegalArgumentException(
-          s"Cannot overwrite non-existent ID $id")
+        // message mirrors memo_cli.py:427
+        throw new IllegalArgumentException(s"override id $id does not exist")
       }
     }
     val maxId = existing.agg(max(col("id"))).collect()(0) match {
@@ -190,10 +190,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
       commit(merged, changedIds = Some(resolved.map(_._1)))
     }
     existing.unpersist()
-    resolved.map { case (id, body, _) =>
-      val firstLine = body.linesIterator.nextOption().getOrElse("")
-      (id, firstLine)
-    }
+    // the reference echoes the FULL body, newlines and all
+    // (memo_cli.py:430, 440: f"Memorized: '{note}' ...")
+    resolved.map { case (id, body, _) => (id, body) }
   }
 
   /** Recall: exact full ranking + filter + score floor + top-k

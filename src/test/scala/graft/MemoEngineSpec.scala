@@ -28,13 +28,16 @@ class MemoEngineSpec extends SparkTestBase {
       |  category: ui
       |""".stripMargin
 
-  test("save assigns dense ids from 0 and reports first lines") {
+  test("save assigns dense ids from 0 and echoes full bodies") {
     val (engine, _) = freshEngine()
     val out = engine.save(saveBatch)
     assert(out == Seq((0L, "I am allergic to peanuts."),
       (1L, "User prefers dark mode.")))
     assert(engine.records.count() == 2)
     assert(engine.index.count() == 2)
+    // multi-line bodies echo verbatim (memo_cli.py:430 prints the note)
+    val multi = engine.save("---\nbody: |-\n  line one\n  line two\n")
+    assert(multi == Seq((2L, "line one\nline two")))
     engine.clean()
   }
 
