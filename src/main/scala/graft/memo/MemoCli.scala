@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
+import graft.filter.FilterAlgebra
+
 /** CLI façade mirroring the reference's command surface and stdout contract
   * (/root/reference/SKILL.md:96-151, memo_cli.py:727-949):
   *
@@ -30,28 +32,50 @@ object MemoCli {
     finally spark.stop()
   }
 
+  /** Dispatch contract mirrors memo_cli.py:880-949: no positional or a
+    * leading help word → usage on stdout, exit 0; missing -f → error +
+    * usage, exit 1; arity errors and unknown commands → exit 1. */
   def run(spark: SparkSession, args: List[String]): Int = {
-    if (args.contains("--help")) { printHelp(); return 0 }
-    val (baseOpt, verbose, rest) = parseGlobal(args)
-    if (baseOpt.isEmpty || rest.isEmpty) {
-      System.err.println(
-        "Usage: memo-cli -f <base> [-v] {save|recall|analyze|clean|reindex} ...")
-      return 2
-    }
-    val engine = new MemoEngine(spark, baseOpt.get)
-    try rest match {
-      case "save" :: file :: Nil => cmdSave(engine, file, verbose)
-      case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
-      case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
-      case "clean" :: Nil => cmdClean(engine, baseOpt.get)
-      case "reindex" :: Nil => cmdReindex(engine, baseOpt.get, verbose)
-      case other =>
-        System.err.println(s"Error: unknown command: ${other.mkString(" ")}")
-        2
-    } catch {
-      case e: IllegalArgumentException =>
-        System.err.println(s"Error: ${e.getMessage}")
-        1
+    parseGlobal(args) match {
+      case Left(rc) => rc
+      case Right((baseOpt, verbose, rest)) =>
+        if (rest.isEmpty || rest.head == "--help" || rest.head == "help") {
+          printHelp(); return 0
+        }
+        if (baseOpt.isEmpty) {
+          System.err.println("Error: -f <base> is required")
+          printHelp()
+          return 1
+        }
+        val engine = new MemoEngine(spark, baseOpt.get)
+        try rest match {
+          case "clean" :: extra =>
+            if (extra.nonEmpty) {
+              System.err.println("Error: clean does not accept extra arguments")
+              1
+            } else cmdClean(engine, baseOpt.get)
+          case "reindex" :: extra =>
+            if (extra.nonEmpty) {
+              System.err.println("Error: reindex does not accept extra arguments")
+              1
+            } else cmdReindex(engine, baseOpt.get, verbose)
+          case "save" :: saveArgs =>
+            if (saveArgs.length != 1) {
+              System.err.println("Error: save requires exactly one <yaml_file>")
+              1
+            } else cmdSave(engine, saveArgs.head, verbose)
+          case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
+          case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
+          case other :: _ =>
+            System.err.println(s"Error: unknown command '$other'")
+            printHelp()
+            1
+          case Nil => 1 // unreachable: rest.isEmpty handled above
+        } catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"Error: ${e.getMessage}")
+            1
+        }
     }
   }
 
@@ -93,20 +117,28 @@ object MemoCli {
     if (enabled) System.err.println(msg)
 
   /** Global flags scan: `-f <base>` and `-v` anywhere before/between
-    * positionals (memo_cli.py:727-757). */
-  private def parseGlobal(args: List[String]): (Option[String], Boolean, List[String]) = {
+    * positionals (memo_cli.py:727-757). Left(rc) on malformed -f. */
+  private def parseGlobal(
+      args: List[String]): Either[Int, (Option[String], Boolean, List[String])] = {
     var base: Option[String] = None
     var verbose = false
     val positional = List.newBuilder[String]
     var it = args
     while (it.nonEmpty) it match {
       case "-v" :: rest => verbose = true; it = rest
-      case "-f" :: b :: rest if b.trim.nonEmpty => base = Some(b); it = rest
-      case "-f" :: _ => return (None, verbose, Nil)
+      case "-f" :: Nil =>
+        System.err.println("Error: -f requires a value")
+        return Left(1)
+      case "-f" :: b :: rest =>
+        if (b.trim.isEmpty) {
+          System.err.println("Error: -f requires a non-empty value")
+          return Left(1)
+        }
+        base = Some(b); it = rest
       case a :: rest => positional += a; it = rest
       case Nil => ()
     }
-    (base, verbose, positional.result())
+    Right((base, verbose, positional.result()))
   }
 
   private def cmdSave(engine: MemoEngine, file: String, verbose: Boolean): Int = {
@@ -123,25 +155,46 @@ object MemoCli {
     0
   }
 
-  /** recall arg grammar (memo_cli.py:759-803): -k N (clamped), --filter,
-    * --yaml; remaining words are the query. */
+  /** recall arg grammar (memo_cli.py:758-803): -k N (clamped), --filter,
+    * --yaml; remaining words are the query, which must be non-empty. */
   private def cmdRecall(engine: MemoEngine, args: List[String]): Int = {
     var k = MemoOps.DefaultK
     var filter: Option[String] = None
     var yaml = false
-    val query = new StringBuilder
+    val queryParts = List.newBuilder[String]
     var it = args
     while (it.nonEmpty) it match {
-      case "-k" :: v :: rest =>
-        k = MemoOps.clampK(v.toInt); it = rest
+      case "-k" :: rest =>
+        val v = rest.headOption.flatMap(_.toIntOption)
+        if (v.isEmpty) {
+          System.err.println("Error: -k requires an integer")
+          return 1
+        }
+        k = MemoOps.clampK(v.get); it = rest.tail
+      case "--filter" :: Nil =>
+        System.err.println("Error: --filter requires a filter expression")
+        return 1
       case "--filter" :: f :: rest => filter = Some(f); it = rest
       case "--yaml" :: rest => yaml = true; it = rest
-      case w :: rest =>
-        if (query.nonEmpty) query.append(' ')
-        query.append(w); it = rest
+      case w :: rest => queryParts += w; it = rest
       case Nil => ()
     }
-    val rows = engine.recall(query.toString, k, filter).collect()
+    val query = queryParts.result().mkString(" ").trim
+    if (query.isEmpty) {
+      System.err.println("Error: recall requires <query>")
+      return 1
+    }
+    // banner precedes filter validation (memo_cli.py:471-486)
+    if (!yaml) println(s"Top $k results:")
+    filter.foreach { f =>
+      try FilterAlgebra.parse(f)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"Error: invalid --filter expression: ${e.getMessage}")
+          return 1
+      }
+    }
+    val rows = engine.recall(query, k, filter).collect()
     if (yaml) {
       if (rows.isEmpty) println("results: []")
       else {
@@ -154,7 +207,7 @@ object MemoCli {
         }
       }
     } else {
-      println(s"Top $k results:")
+      // banner already printed above (before filter validation)
       rows.foreach { r =>
         println(f"  [${r.getLong(0)}] Score: ${r.getDouble(1)}%.4f |")
         val lines = r.getString(2).split("\n", -1)
@@ -165,33 +218,52 @@ object MemoCli {
     0
   }
 
-  /** analyze arg grammar (memo_cli.py:806-880): --filter REQUIRED,
-    * --fields a,b,c / --stats KEY / --limit / --offset. */
+  /** analyze arg grammar (memo_cli.py:805-880): --filter REQUIRED and
+    * non-blank, --fields a,b,c (non-empty) / --stats KEY (non-blank) /
+    * --limit >= 1 / --offset >= 0; unknown options error. All errors
+    * mirror the reference's messages and exit 1. */
   private def cmdAnalyze(engine: MemoEngine, args: List[String]): Int = {
     var filter: Option[String] = None
     var fields: Seq[String] = Seq.empty
     var stats: Option[String] = None
     var limit = 100
     var offset = 0
+    def err(msg: String): Int = { System.err.println(s"Error: $msg"); 1 }
     var it = args
     while (it.nonEmpty) it match {
+      case "--filter" :: Nil =>
+        return err("--filter requires a filter expression")
       case "--filter" :: f :: rest => filter = Some(f); it = rest
+      case "--fields" :: Nil =>
+        return err("--fields requires a comma-separated field list")
       case "--fields" :: f :: rest =>
-        fields = f.split(",").map(_.trim).filter(_.nonEmpty).toSeq; it = rest
-      case "--stats" :: s :: rest => stats = Some(s); it = rest
-      case "--limit" :: v :: rest => limit = v.toInt; it = rest
-      case "--offset" :: v :: rest => offset = v.toInt; it = rest
-      case other :: _ =>
-        System.err.println(s"Error: unexpected analyze argument: $other")
-        return 2
+        fields = f.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (fields.isEmpty) return err("--fields requires at least one field")
+        it = rest
+      case "--stats" :: Nil => return err("--stats requires a key")
+      case "--stats" :: s :: rest =>
+        if (s.trim.isEmpty) return err("--stats requires a non-empty key")
+        stats = Some(s.trim); it = rest
+      case "--limit" :: rest =>
+        val v = rest.headOption.flatMap(_.toIntOption)
+        if (v.isEmpty) return err("--limit requires an integer")
+        limit = v.get; it = rest.tail
+      case "--offset" :: rest =>
+        val v = rest.headOption.flatMap(_.toIntOption)
+        if (v.isEmpty) return err("--offset requires an integer")
+        offset = v.get; it = rest.tail
+      case other :: _ => return err(s"unknown analyze option '$other'")
       case Nil => ()
     }
-    if (filter.isEmpty) {
-      System.err.println("Error: analyze requires --filter")
-      return 2
+    if (filter.forall(_.trim.isEmpty))
+      return err("analyze requires --filter <expr>")
+    if (limit < 1) return err("--limit must be >= 1")
+    if (offset < 0) return err("--offset must be >= 0")
+    try FilterAlgebra.parse(filter.get)
+    catch {
+      case e: IllegalArgumentException =>
+        return err(s"invalid --filter expression: ${e.getMessage}")
     }
-    if (limit < 1) { System.err.println("Error: --limit must be >= 1"); return 2 }
-    if (offset < 0) { System.err.println("Error: --offset must be >= 0"); return 2 }
     println(s"Matched: ${engine.analyzeCount(filter.get)}")
     stats match {
       case Some(key) => printStats(engine, filter.get, key)

@@ -100,7 +100,7 @@ class CliSpec extends SparkTestBase {
       val (c3, o3) = run("-f", db, "clean")
       assert(c3 == 0 && o3 == s"Database already empty ($db)\n")
       val (c4, _) = run("-f", db, "analyze", "--fields", "id")
-      assert(c4 == 2)
+      assert(c4 == 1) // reference arg errors exit 1 (memo_cli.py:873)
     }
   }
 
@@ -241,6 +241,52 @@ class CliSpec extends SparkTestBase {
     assert(out.startsWith("Usage:\n  memo --help\n"))
     assert(out.contains("  recall              Semantic recall"))
     assert(out.contains("  --stats <key>"))
+    // bare invocation and `help` word also print usage, exit 0
+    assert(run() == (0, out))
+    assert(run("help") == (0, out))
+  }
+
+  test("arg errors mirror the reference's messages and exit codes") {
+    withDb { db =>
+      def errOf(args: String*): (Int, String) = {
+        val errBuf = new ByteArrayOutputStream()
+        val oldErr = System.err
+        val code =
+          try {
+            System.setErr(new java.io.PrintStream(errBuf, true))
+            run(args: _*)._1
+          } finally System.setErr(oldErr)
+        (code, errBuf.toString)
+      }
+      // missing -f → error + help, exit 1
+      val (c1, e1) = errOf("recall", "x")
+      assert(c1 == 1 && e1.contains("Error: -f <base> is required"))
+      // recall contract
+      assert(errOf("-f", db, "recall") ==
+        ((1, "Error: recall requires <query>\n")))
+      assert(errOf("-f", db, "recall", "-k", "abc", "q") ==
+        ((1, "Error: -k requires an integer\n")))
+      assert(errOf("-f", db, "recall", "--filter") ==
+        ((1, "Error: --filter requires a filter expression\n")))
+      // analyze contract
+      assert(errOf("-f", db, "analyze", "--filter", "{}", "--bogus") ==
+        ((1, "Error: unknown analyze option '--bogus'\n")))
+      assert(errOf("-f", db, "analyze", "--filter", "  ") ==
+        ((1, "Error: analyze requires --filter <expr>\n")))
+      assert(errOf("-f", db, "analyze", "--filter", "{}", "--limit", "x") ==
+        ((1, "Error: --limit requires an integer\n")))
+      assert(errOf("-f", db, "analyze", "--filter", "{}", "--fields", ", ,") ==
+        ((1, "Error: --fields requires at least one field\n")))
+      assert(errOf("-f", db, "analyze", "--filter", "{}", "--stats", " ") ==
+        ((1, "Error: --stats requires a non-empty key\n")))
+      // arity errors
+      assert(errOf("-f", db, "clean", "extra") ==
+        ((1, "Error: clean does not accept extra arguments\n")))
+      assert(errOf("-f", db, "save") ==
+        ((1, "Error: save requires exactly one <yaml_file>\n")))
+      val (c2, e2) = errOf("-f", db, "frobnicate")
+      assert(c2 == 1 && e2 == "Error: unknown command 'frobnicate'\n")
+    }
   }
 
   test("recall --yaml emits results list; empty DB gives results: []") {
