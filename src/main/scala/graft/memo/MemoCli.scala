@@ -144,7 +144,7 @@ object MemoCli {
   private def cmdSave(engine: MemoEngine, file: String, verbose: Boolean): Int = {
     val p = Paths.get(file)
     if (!Files.exists(p)) {
-      System.err.println(s"Error: save file not found: $file")
+      System.err.println(s"Error: failed to read input file '$file'")
       return 1
     }
     val saved = engine.save(Files.readString(p))
@@ -202,20 +202,33 @@ object MemoCli {
         rows.foreach { r =>
           println(s"- id: ${r.getLong(0)}")
           println(f"  score: ${r.getDouble(1)}%.4f")
-          println("  body: |-")
-          r.getString(2).split("\n", -1).foreach(ln => println(s"    $ln"))
+          // literal block with PyYAML chomping: |- no trailing newline,
+          // | exactly one, |+ several (safe_dump of LiteralString)
+          val body = r.getString(2)
+          val trailing = body.length - body.reverse.dropWhile(_ == '\n').length
+          val chomp = if (trailing == 0) "-" else if (trailing == 1) "" else "+"
+          println(s"  body: |$chomp")
+          splitLines(body.substring(0, body.length - trailing))
+            .foreach(ln => println(s"    $ln"))
+          (1 until trailing).foreach(_ => println())
         }
       }
     } else {
       // banner already printed above (before filter validation)
       rows.foreach { r =>
         println(f"  [${r.getLong(0)}] Score: ${r.getDouble(1)}%.4f |")
-        val lines = r.getString(2).split("\n", -1)
-        (if (lines.isEmpty) Seq("") else lines.toSeq)
-          .foreach(ln => println(s"      $ln"))
+        splitLines(r.getString(2)).foreach(ln => println(s"      $ln"))
       }
     }
     0
+  }
+
+  /** Python `text.splitlines() or [""]` (memo_cli.py:303): no element for
+    * a single trailing newline, interior blanks kept, empty text → [""]. */
+  private def splitLines(text: String): Seq[String] = {
+    val parts = text.split("\n", -1).toSeq
+    val trimmed = if (parts.nonEmpty && parts.last.isEmpty) parts.dropRight(1) else parts
+    if (trimmed.isEmpty) Seq("") else trimmed
   }
 
   /** analyze arg grammar (memo_cli.py:805-880): --filter REQUIRED and

@@ -41,27 +41,36 @@ object YamlIO {
     * required non-blank; optional non-negative id for overwrite —
     * memo_cli.py:369-400). Returns (id option, body, metadata). */
   def parseSaveBatch(text: String): Seq[(Option[Long], String, Map[String, String])] =
-    loadAll(text).flatMap {
-      case null => None
-      case m: java.util.Map[_, _] =>
-        val mm = m.asScala.map { case (k, v) => String.valueOf(k) -> v }.toMap
-        val body = mm.get("body").map(String.valueOf).getOrElse("")
-        if (body.trim.isEmpty)
-          throw new IllegalArgumentException("Save entry requires a non-empty 'body'")
-        val id = mm.get("id").map {
-          case n: java.lang.Number if n.longValue() >= 0 => n.longValue()
-          case bad => throw new IllegalArgumentException(
-            s"Invalid id in save entry: $bad")
-        }
-        val meta = mm.get("metadata") match {
-          case Some(mp: java.util.Map[_, _]) => orderedMeta(mp)
-          case Some(null) | None => Map.empty[String, String]
-          case Some(bad) => throw new IllegalArgumentException(
-            s"metadata must be a mapping, got: $bad")
-        }
-        Some((id, body, meta))
-      case bad =>
-        throw new IllegalArgumentException(s"Save entry must be a mapping: $bad")
+    {
+      val entries = loadAll(text).flatMap {
+        case null => None
+        case m: java.util.Map[_, _] =>
+          val mm = m.asScala.map { case (k, v) => String.valueOf(k) -> v }.toMap
+          if (!mm.contains("body")) throw new IllegalArgumentException(
+            "each YAML document requires 'body'") // memo_cli.py:381
+          val body = mm.get("body") match {
+            case Some(s: String) if s.trim.nonEmpty => s
+            case _ => throw new IllegalArgumentException(
+              "body must be a non-empty string") // memo_cli.py:385
+          }
+          val id = mm.get("id").map {
+            case n: java.lang.Number if n.longValue() >= 0 => n.longValue()
+            case _ => throw new IllegalArgumentException(
+              "id must be a non-negative integer when provided")
+          }
+          val meta = mm.get("metadata") match {
+            case Some(mp: java.util.Map[_, _]) => orderedMeta(mp)
+            case Some(null) | None => Map.empty[String, String]
+            case Some(_) => throw new IllegalArgumentException(
+              "metadata must be a mapping when provided")
+          }
+          Some((id, body, meta))
+        case _ =>
+          throw new IllegalArgumentException("each YAML document must be a mapping")
+      }
+      if (entries.isEmpty)
+        throw new IllegalArgumentException("input YAML contains no entries")
+      entries
     }
 
   /** Parse one full-DB YAML document into (id, body, metadata) — validation
