@@ -77,8 +77,11 @@ object MemoOps {
     val cols = fields.map {
       case "id" => col("id")
       case "metadata" => flowMetadata(col("metadata")).as("metadata")
+      // alias keeps the EXACT field text — the reference prints the field
+      // as typed (headers show "metadata.source", memo_cli.py:691); a
+      // dotted alias is a plain column NAME here, nothing resolves it
       case key => metaDisplay(FilterAlgebra.resolveField(col("metadata"), key))
-        .as(key.replace('.', '_'))
+        .as(key)
     }
     matched.orderBy(col("id")).offset(offset).limit(limit).select(cols: _*)
   }

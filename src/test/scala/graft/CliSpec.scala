@@ -197,6 +197,22 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("dotted --fields keep their exact text in table headers") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      val (code, out) = run("-f", db, "analyze",
+        "--filter", "{source: user}", "--fields", "id,metadata.source")
+      assert(code == 0)
+      assert(out ==
+        """Matched: 2
+          |ID  metadata.source
+          |0   user
+          |1   user
+          |""".stripMargin)
+      run("-f", db, "clean")
+    }
+  }
+
   test("--stats id and --stats metadata resolve like resolve_field_value") {
     withDb { db =>
       run("-f", db, "save", batch)
