@@ -141,10 +141,13 @@ class FilterDifferentialSpec extends SparkTestBase {
   private def randomMeta(): Map[String, Any] =
     VectorMap.from(keys.filter(_ => rnd.nextBoolean()).map(_ -> randomValue()))
 
-  private def randomOperand(): Any = rnd.nextInt(6) match {
+  private def randomOperand(): Any = rnd.nextInt(8) match {
     case 0 => rnd.nextInt(20)
     case 1 => rnd.nextInt(40) / 2.0
     case 2 => rnd.nextBoolean()
+    case 6 => // container operand: reference str()-coerces it whole
+      List.fill(rnd.nextInt(3))(words(rnd.nextInt(words.length)))
+    case 7 => VectorMap("k" -> rnd.nextInt(5))
     case _ => words(rnd.nextInt(words.length))
   }
 
