@@ -141,11 +141,24 @@ object MemoCli {
     Right((base, verbose, positional.result()))
   }
 
+  /** Save inputs at or above this size skip the driver String entirely and
+    * go through the distributed file parse ([[MemoEngine.saveFromPath]]). */
+  val BulkSaveBytes: Long = 8L << 20
+
   private def cmdSave(engine: MemoEngine, file: String, verbose: Boolean): Int = {
     val p = Paths.get(file)
     if (!Files.exists(p)) {
       System.err.println(s"Error: failed to read input file '$file'")
       return 1
+    }
+    if (Files.size(p) >= BulkSaveBytes) {
+      var n = 0L
+      engine.saveFromPath(p.toString).foreach { case (id, body) =>
+        println(s"Memorized: '$body' (ID: $id)")
+        n += 1
+      }
+      vlog(verbose, s"Indexed $n records incrementally")
+      return 0
     }
     val saved = engine.save(Files.readString(p))
     vlog(verbose, s"Indexed ${saved.size} records incrementally")

@@ -88,17 +88,22 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * (memo_cli.py:436-437); full rebuild stays for reindex/import
     * (memo_cli.py:442-443, 359). At scale this turns a 1-row save from
     * O(corpus) embedding work into O(1) + a columnar copy of the prior
-    * index (no shuffle: filter + union preserve partitioning). */
+    * index (no shuffle: filter + union preserve partitioning).
+    *
+    * `changedIds` is a single-column (`id`) DataFrame, not a driver list:
+    * a CLI-sized batch arrives as a tiny local relation (the joins below
+    * broadcast it), while a bulk distributed save passes its full batch
+    * and the same joins become ordinary shuffle joins — no O(batch)
+    * literal ever lands in the plan or on the driver. */
   private def commit(newRecords: DataFrame,
-      changedIds: Option[Seq[Long]] = None): Long = {
+      changedIds: Option[DataFrame] = None): Long = {
     val v = currentVersion.getOrElse(-1L) + 1
     Files.createDirectories(versionDir(v))
     val recs = newRecords.select(col("id"), col("body"), col("metadata"))
     val embedded = (changedIds match {
       case Some(ids) if exists =>
-        val changed =
-          if (ids.isEmpty) recs.limit(0) else recs.filter(col("id").isin(ids: _*))
-        index.filter(if (ids.isEmpty) lit(true) else !col("id").isin(ids: _*))
+        val changed = recs.join(ids, Seq("id"), "left_semi")
+        index.join(ids, Seq("id"), "left_anti")
           .unionByName(changed.filter(!isBlank(col("body")))
             .select(col("id"), embedText(col("body")).as("embedding")))
       case _ =>
@@ -121,7 +126,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * whole YAML file, memo_cli.py:436-448 — this path beats it on both).
     * Falls back to a compacting full commit when the chain reaches
     * `maxSegments`, bounding read fan-in. */
-  private def commitAppend(batch: DataFrame, batchIds: Seq[Long]): Long = {
+  private def commitAppend(batch: DataFrame, batchIds: DataFrame): Long = {
     val prior = currentVersion.get
     if (segments(prior, "records").size >= maxSegments)
       return commit(records.unionByName(batch),
@@ -177,22 +182,80 @@ class MemoEngine(spark: SparkSession, basePath: String,
       case (Some(id), body, meta) => (id, body, meta)
       case (None, body, meta) => nextId += 1; (nextId, body, meta)
     }
-    val overwriteIds = resolved.map(_._1).toSet
     val batchDf = resolved.toDF("id", "body", "metadata")
+    val idsDf = batchDf.select("id")
     if (overrideIds.isEmpty && exists) {
       // pure append: new segment + manifest extension, O(batch) write work
-      commitAppend(batchDf, resolved.map(_._1))
+      commitAppend(batchDf, idsDf)
     } else {
       // overwrite (or first save): fresh records snapshot for latest-wins
       // reads; the index is still derived incrementally from the prior one
-      val merged = existing.filter(!col("id").isin(overwriteIds.toSeq: _*))
+      val merged = existing.join(idsDf, Seq("id"), "left_anti")
         .unionByName(batchDf)
-      commit(merged, changedIds = Some(resolved.map(_._1)))
+      commit(merged, changedIds = Some(idsDf))
     }
     existing.unpersist()
     // the reference echoes the FULL body, newlines and all
     // (memo_cli.py:430, 440: f"Memorized: '{note}' ...")
     resolved.map { case (id, body, _) => (id, body) }
+  }
+
+  /** Bulk save from a YAML file PATH — the distributed twin of [[save]]
+    * for batches too big to hold as a driver String. The file is parsed on
+    * executors ([[YamlIO.parseSavePath]]); override-id validation is an
+    * anti-join; fresh ids are assigned in file order via a sorted
+    * `zipWithIndex`; and the commit paths receive the batch ids as a
+    * DataFrame, so nothing O(batch) lives on the driver. Returns the
+    * (id, body) echoes as a file-ordered streaming iterator — the caller
+    * prints them one at a time (the echo itself is inherently O(batch)
+    * OUTPUT, but never O(batch) driver MEMORY). */
+  def saveFromPath(path: String): Iterator[(Long, String)] = {
+    import spark.implicits._
+    val entries = YamlIO.parseSavePath(spark, path).cache()
+    try {
+      if (entries.isEmpty) throw new IllegalArgumentException(
+        "input YAML contains no entries")
+      val overrides = entries.filter(col("id").isNotNull)
+      val missing = overrides.join(records.select("id"), Seq("id"), "left_anti")
+        .orderBy(col("file"), col("off")).select("id").limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"override id ${missing(0).getLong(0)} does not exist") // memo_cli.py:427
+      val maxId = records.agg(max(col("id"))).collect()(0) match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      val hasOverrides = overrides.limit(1).count() > 0
+      // fresh ids: dense, minted in input order (file, off) — distributed
+      // via sort + zipWithIndex, never a single-partition window
+      val minted = entries.filter(col("id").isNull)
+        .sort(col("file"), col("off")).rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), r.getLong(1),
+            maxId + 1 + i, r.getString(3), r.getMap[String, String](4))
+        }
+      val mintedDf = spark.createDataFrame(minted, YamlIO.saveEntrySchema)
+      val resolved = overrides.unionByName(mintedDf).cache()
+      val batchDf = resolved.select("id", "body", "metadata")
+      val idsDf = resolved.select("id")
+      if (!hasOverrides && exists) commitAppend(batchDf, idsDf)
+      else commit(
+        records.join(idsDf, Seq("id"), "left_anti").unionByName(batchDf),
+        changedIds = Some(idsDf))
+      val echo = resolved.orderBy(col("file"), col("off"))
+        .select(col("id"), col("body")).as[(Long, String)]
+        .toLocalIterator.asScala
+      new Iterator[(Long, String)] {
+        def hasNext: Boolean = {
+          val h = echo.hasNext
+          if (!h) { resolved.unpersist(); entries.unpersist() }
+          h
+        }
+        def next(): (Long, String) = echo.next()
+      }
+    } catch {
+      case e: Exception =>
+        entries.unpersist()
+        throw YamlIO.asUserError(e)
+    }
   }
 
   /** Recall: exact full ranking + filter + score floor + top-k
@@ -261,9 +324,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
     existed
   }
 
-  /** Import a full DB YAML (replaces the store), export the live table. */
+  /** Import a full DB YAML (replaces the store), export the live table.
+    * The String forms are CLI-batch-sized conveniences; the path forms are
+    * the scale path — file(s) parsed/rendered entirely on executors, no
+    * corpus-sized String on the driver (reference S1/S2 file scan,
+    * memo_cli.py:66-128). */
   def importYaml(text: String): Long = commit(YamlIO.importTable(spark, text))
   def exportYaml(): String = YamlIO.exportTable(records)
+  def importYamlPath(path: String): Long = {
+    val df = try YamlIO.importPath(spark, path)
+             catch { case e: Exception => throw YamlIO.asUserError(e) }
+    try commit(df) finally df.unpersist()
+  }
+  def exportYamlPath(path: String, shards: Int = 0): Unit =
+    YamlIO.exportPath(records, path, shards)
 }
 
 object MemoEngine {

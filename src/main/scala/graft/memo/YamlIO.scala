@@ -2,6 +2,9 @@ package graft.memo
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+import org.apache.spark.rdd.{NewHadoopRDD, RDD}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -42,35 +45,41 @@ object YamlIO {
     * memo_cli.py:369-400). Returns (id option, body, metadata). */
   def parseSaveBatch(text: String): Seq[(Option[Long], String, Map[String, String])] =
     {
-      val entries = loadAll(text).flatMap {
-        case null => None
-        case m: java.util.Map[_, _] =>
-          val mm = m.asScala.map { case (k, v) => String.valueOf(k) -> v }.toMap
-          if (!mm.contains("body")) throw new IllegalArgumentException(
-            "each YAML document requires 'body'") // memo_cli.py:381
-          val body = mm.get("body") match {
-            case Some(s: String) if s.trim.nonEmpty => s
-            case _ => throw new IllegalArgumentException(
-              "body must be a non-empty string") // memo_cli.py:385
-          }
-          val id = mm.get("id").map {
-            case n: java.lang.Number if n.longValue() >= 0 => n.longValue()
-            case _ => throw new IllegalArgumentException(
-              "id must be a non-negative integer when provided")
-          }
-          val meta = mm.get("metadata") match {
-            case Some(mp: java.util.Map[_, _]) => orderedMeta(mp)
-            case Some(null) | None => Map.empty[String, String]
-            case Some(_) => throw new IllegalArgumentException(
-              "metadata must be a mapping when provided")
-          }
-          Some((id, body, meta))
-        case _ =>
-          throw new IllegalArgumentException("each YAML document must be a mapping")
-      }
+      val entries = loadAll(text).flatMap(parseSaveEntry)
       if (entries.isEmpty)
         throw new IllegalArgumentException("input YAML contains no entries")
       entries
+    }
+
+  /** Validate one parsed save-input document (memo_cli.py:369-400). Shared
+    * by the driver-side [[parseSaveBatch]] and the distributed
+    * [[parseSavePath]] so both paths throw the identical error contract. */
+  private def parseSaveEntry(doc: Any): Option[(Option[Long], String, Map[String, String])] =
+    doc match {
+      case null => None
+      case m: java.util.Map[_, _] =>
+        val mm = m.asScala.map { case (k, v) => String.valueOf(k) -> v }.toMap
+        if (!mm.contains("body")) throw new IllegalArgumentException(
+          "each YAML document requires 'body'") // memo_cli.py:381
+        val body = mm.get("body") match {
+          case Some(s: String) if s.trim.nonEmpty => s
+          case _ => throw new IllegalArgumentException(
+            "body must be a non-empty string") // memo_cli.py:385
+        }
+        val id = mm.get("id").map {
+          case n: java.lang.Number if n.longValue() >= 0 => n.longValue()
+          case _ => throw new IllegalArgumentException(
+            "id must be a non-negative integer when provided")
+        }
+        val meta = mm.get("metadata") match {
+          case Some(mp: java.util.Map[_, _]) => orderedMeta(mp)
+          case Some(null) | None => Map.empty[String, String]
+          case Some(_) => throw new IllegalArgumentException(
+            "metadata must be a mapping when provided")
+        }
+        Some((id, body, meta))
+      case _ =>
+        throw new IllegalArgumentException("each YAML document must be a mapping")
     }
 
   /** Parse one full-DB YAML document into (id, body, metadata) — validation
@@ -134,7 +143,74 @@ object YamlIO {
   private def importDistributed(spark: SparkSession, docs: Seq[String]): DataFrame = {
     val slices = math.min(spark.sparkContext.defaultParallelism,
       math.max(1, docs.length / 256))
-    val rdd = spark.sparkContext.parallelize(docs, slices).mapPartitions { it =>
+    importDocsRdd(spark, spark.sparkContext.parallelize(docs, slices))
+  }
+
+  /** Distributed full-DB import from a file PATH (reference S1 as a file
+    * scan, memo_cli.py:66-109, at scale): the YAML never exists as one
+    * driver-held String. The file is split on `---` document separators by
+    * a Hadoop record-delimiter scan ([[docRdd]]) — splittable, so a 100 TB
+    * multi-doc file fans out across executors — and each doc parses inside
+    * `mapPartitions`. Accepts a single file or a directory of shards (as
+    * written by [[exportPath]]); the duplicate-id check runs as an
+    * aggregation. `maxSplitBytes` forces smaller input splits (testing). */
+  def importPath(spark: SparkSession, path: String,
+      maxSplitBytes: Long = 0L): DataFrame =
+    importDocsRdd(spark, docRdd(spark, path, maxSplitBytes).map(_._3))
+
+  /** Split YAML file(s) into per-document text fragments, distributed.
+    *
+    * Uses `textinputformat.record.delimiter` = `"\n---\n"`: the 5-byte
+    * sequence only occurs where a line is exactly `---` at column 0, which
+    * in this format is always a document separator (metadata lines are
+    * 2-space indented, non-empty body lines too, and embedded newlines in
+    * scalars are JSON-quoted). Two repairs per record: (a) the scan eats
+    * the doc's trailing `\n` as part of the delimiter — restored for every
+    * record except the file-final one (`offset + byteLen == fileLen`),
+    * which matters for `|+` bodies whose trailing blank lines are content;
+    * (b) each file's first record carries the leading `---` line — stripped.
+    */
+  private[memo] def docRdd(spark: SparkSession, path: String,
+      maxSplitBytes: Long = 0L): RDD[(String, Long, String)] = {
+    val sc = spark.sparkContext
+    val conf = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n---\n")
+    if (maxSplitBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    // file lengths resolved once on the driver (O(#files) namenode calls)
+    // so executors can tell the file-final record apart without FS access
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(hPath).isDirectory)
+        fs.listStatus(hPath).toSeq.filter { s =>
+          val n = s.getPath.getName; s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      else Seq(fs.getFileStatus(hPath))
+    val fileLens = sc.broadcast(
+      statuses.map(s => s.getPath.toString -> s.getLen).toMap)
+    sc.newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .asInstanceOf[NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        val fileLen = fileLens.value(file)
+        it.flatMap { case (off, text) =>
+          val offset = off.get()
+          val isFileLast = offset + text.getLength >= fileLen
+          val raw = text.toString // copy now: Hadoop reuses the Text buffer
+          val headless =
+            if (offset == 0L && (raw.startsWith("---\n") || raw == "---"))
+              raw.stripPrefix("---").stripPrefix("\n")
+            else raw
+          val doc = if (isFileLast) headless else headless + "\n"
+          if (doc.trim.isEmpty) None else Some((file, offset, doc))
+        }
+      }
+  }
+
+  private def importDocsRdd(spark: SparkSession, docs: RDD[String]): DataFrame = {
+    val rdd = docs.mapPartitions { it =>
       it.flatMap { doc =>
         loadAll(doc).flatMap {
           case null => None
@@ -160,6 +236,37 @@ object YamlIO {
     }
     df
   }
+
+  /** Schema of [[parseSavePath]]: input-order key (file, off) + the parsed
+    * entry; `id` is null for append entries (no id in the doc). */
+  val saveEntrySchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("off", LongType, nullable = false),
+    StructField("id", LongType, nullable = true),
+    StructField("body", StringType, nullable = false),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
+
+  /** Distributed save-input parse (S3 at scale): split + validate the batch
+    * file on executors with the same error contract as [[parseSaveBatch]].
+    * `(file, off)` orders entries exactly as they appear in the input, so
+    * id assignment and echo order match the reference's sequential loop
+    * (memo_cli.py:404-440) without a driver-held batch String. */
+  def parseSavePath(spark: SparkSession, path: String,
+      maxSplitBytes: Long = 0L): DataFrame = {
+    val rdd = docRdd(spark, path, maxSplitBytes).mapPartitions { it =>
+      it.flatMap { case (file, off, doc) =>
+        loadAll(doc).flatMap(parseSaveEntry).map { case (id, body, meta) =>
+          Row(file, off, id.map(Long.box).orNull, body, meta)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, saveEntrySchema)
+  }
+
+  /** Unwrap the root IllegalArgumentException from a Spark job failure so
+    * distributed parse errors surface with the reference's message. */
+  private[memo] def asUserError(e: Throwable): Throwable =
+    rootIllegalArgument(e).getOrElse(e)
 
   private def rootIllegalArgument(e: Throwable): Option[IllegalArgumentException] = {
     var cur = e
@@ -208,6 +315,19 @@ object YamlIO {
         Option(r.getMap[String, String](2)).map(_.toSeq).getOrElse(Seq.empty))
       (r.getLong(0), sb.toString)
     }.toDF("id", "doc")
+  }
+
+  /** Distributed export to a directory of shard files (S2 at scale): each
+    * range-partition renders and writes its own part file; concatenating
+    * the part files in name order reproduces [[exportTable]] byte-for-byte
+    * ([[importPath]] reads the directory back directly). The driver never
+    * holds the corpus. The text sink appends one `\n` per row, so the
+    * rendered doc's own trailing `\n` is stripped before writing. */
+  def exportPath(records: DataFrame, path: String, shards: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    exportRecordsDistributed(records, shards)
+      .select(expr("substring(doc, 1, length(doc) - 1)").as("value"))
+      .write.mode("overwrite").text(path)
   }
 
   /** One record as an explicit-start YAML document (shared by the driver

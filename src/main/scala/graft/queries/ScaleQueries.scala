@@ -60,13 +60,20 @@ object ScaleQueries {
       .orderBy(col("id"))
   }
 
-  /** S1/S2: YAML export → import roundtrip must reproduce the table. */
+  /** S1/S2: YAML export → import roundtrip must reproduce the table.
+    * Runs entirely through the distributed path-based interchange: export
+    * renders sharded YAML on executors, import is a splittable Hadoop scan
+    * of the shard directory — the corpus never exists as one driver String
+    * (the scale story for a 100 TB interchange file). */
   private val q75YamlRoundtrip: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("body"),
         map(lit("lang"), concat(lit("s"), col("lang"))).as("metadata"))
-    val yaml = graft.memo.YamlIO.exportTable(docs)
-    graft.memo.YamlIO.importTable(s, yaml)
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q75_${dir.hashCode.toHexString}").toString
+    graft.memo.YamlIO.exportPath(docs, out)
+    graft.memo.YamlIO.importPath(s, out)
       .select(col("id"), col("body")).orderBy(col("id"))
   }
 

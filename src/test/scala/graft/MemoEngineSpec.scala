@@ -187,6 +187,47 @@ class MemoEngineSpec extends SparkTestBase {
     }
   }
 
+  test("saveFromPath: distributed bulk save mints dense ids in file order") {
+    val (engine, _) = freshEngine()
+    engine.save(saveBatch) // ids 0, 1
+    val f = Files.createTempFile("save_bulk", ".yaml")
+    val docs = new StringBuilder("---\nid: 0\nbody: replaced zero\n")
+    (0 until 30).foreach(i =>
+      docs.append(s"---\nbody: |-\n  bulk note $i\nmetadata: {n: $i}\n"))
+    Files.writeString(f, docs.toString)
+    val out = engine.saveFromPath(f.toString).toSeq
+    // echoes come back in file order: the override first, then appends
+    assert(out.head == ((0L, "replaced zero")))
+    assert(out.tail.map(_._1) == (2L until 32L))
+    assert(out(1)._2 == "bulk note 0")
+    assert(engine.records.count() == 32)
+    assert(engine.index.count() == 32)
+    val recs = engine.records
+    assert(recs.filter(recs("id") === 0).collect()(0).getString(1)
+      == "replaced zero")
+    // unknown override id aborts the whole batch before any mutation
+    val bad = Files.createTempFile("save_bad", ".yaml")
+    Files.writeString(bad, "---\nid: 99\nbody: nope\n")
+    val e = intercept[IllegalArgumentException](engine.saveFromPath(bad.toString))
+    assert(e.getMessage.contains("override id 99"))
+    assert(engine.records.count() == 32)
+    engine.clean()
+  }
+
+  test("path yaml export → import round-trips the store distributed") {
+    val (engine, _) = freshEngine()
+    engine.save(saveBatch)
+    engine.save("---\nbody: |-\n  multi line\n  note body\nmetadata: {tags: [a, b]}\n")
+    val dir = Files.createTempDirectory("yaml_engine").resolve("db.yaml.d")
+    engine.exportYamlPath(dir.toString)
+    val (engine2, _) = freshEngine()
+    engine2.importYamlPath(dir.toString)
+    val a = engine.records.orderBy("id").collect().toSeq
+    val b = engine2.records.orderBy("id").collect().toSeq
+    assert(a == b)
+    engine.clean(); engine2.clean()
+  }
+
   test("save entry with blank body is rejected") {
     val (engine, _) = freshEngine()
     intercept[IllegalArgumentException] {

@@ -167,6 +167,50 @@ class YamlIOSpec extends SparkTestBase {
     }
   }
 
+  test("path import/export: multi-split shard dir round-trips byte-exactly") {
+    import spark.implicits._
+    val recs = (0L until 400L).map { i =>
+      val body = (i % 5) match {
+        case 0 => s"doc $i\nsecond line"
+        case 1 => s"one trailing $i\n"
+        case 2 => s"keep blanks $i\n\n\n" // |+ chomp — exercises \n restore
+        case 3 => s"  indented first $i\nrest"
+        case _ => s"plain $i"
+      }
+      (i, body, Map("k" -> s"sv$i", "n" -> s"i$i"))
+    }
+    val df = recs.toDF("id", "body", "metadata")
+    val dir = java.nio.file.Files.createTempDirectory("yaml_path")
+      .resolve("shards").toString
+    YamlIO.exportPath(df, dir, shards = 4)
+    // concatenated shard bytes reproduce the driver render exactly
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val concat = parts.map(f => java.nio.file.Files.readString(f.toPath)).mkString
+    assert(concat == YamlIO.exportTable(df))
+    // read back with tiny splits so records straddle split boundaries
+    val back = YamlIO.importPath(spark, dir, maxSplitBytes = 512)
+    assert(back.rdd.getNumPartitions > 4) // genuinely multi-split
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 400)
+    recs.zip(rows).foreach { case ((id, body, meta), row) =>
+      assert(row.getLong(0) == id)
+      assert(row.getString(1) == body, s"body drift at id=$id")
+      assert(row.getMap[String, String](2).toMap == meta, s"meta drift id=$id")
+    }
+    back.unpersist()
+  }
+
+  test("path import: duplicate ids across splits abort") {
+    val f = java.nio.file.Files.createTempDirectory("yaml_dup").resolve("db.yaml")
+    val docs = (0 until 50).map(i => s"---\nid: $i\nbody: |-\n  d $i\n").mkString +
+      "---\nid: 7\nbody: dup\n"
+    java.nio.file.Files.writeString(f, docs)
+    val e = intercept[IllegalArgumentException](
+      YamlIO.importPath(spark, f.toString, maxSplitBytes = 256).count())
+    assert(e.getMessage.toLowerCase.contains("duplicate"))
+  }
+
   test("bulk import parses distributed and still rejects duplicate ids") {
     val n = YamlIO.BulkParseThreshold + 50
     val docs = (0 until n).map { i =>
