@@ -24,6 +24,18 @@ object DedupQueries {
     docs.unionByName(mutants)
   }
 
+  /** Corpus ∪ IDENTICAL copies. Identical text means identical signatures,
+    * so every near-dup scheme recovers every planted pair by construction
+    * (same minhash bands / same simhash chunks / same fingerprints — no
+    * probabilistic banding miss, no threshold edge). That determinism is
+    * what lets the (a, a+100000) pair-set be a DuckDB oracle; recall on
+    * MUTATED copies stays spec-asserted in DedupSpec. */
+  def withTwins(s: SparkSession, dir: String, every: Int = 5): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % every === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
   /** Exact dedup by full text: every text unique → n_dupes all 1; the
     * oracle proves the groupBy-text plumbing. */
   private val q40ExactText: Q = (s, dir) =>
@@ -36,16 +48,23 @@ object DedupQueries {
         Seq(col("lang"), col("source")))
       .orderBy(col("lang"), col("source"))
 
-  /** MinHash+LSH near-dup pairs — must recover the planted mutant pairs. */
+  /** MinHash+LSH near-dup pairs over the twin-planted corpus, projected to
+    * the planted pair-set: full pipeline (signature → bands → bucket join →
+    * signature-agreement verify) runs over corpus ∪ twins; the planted
+    * restriction makes the result — including est_jaccard, which must come
+    * out exactly 1.0 for identical signatures — DuckDB-expressible. */
   private val q42MinHash: Q = (s, dir) =>
-    Dedup.minHashPairs(withMutants(s, dir), "doc_id", "text",
+    Dedup.minHashPairs(withTwins(s, dir), "doc_id", "text",
         minJaccard = 0.5)
-      .orderBy(col("a"), col("b"))
+      .filter(col("b") === col("a") + 100000)
+      .orderBy(col("a"))
 
-  /** SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints). */
+  /** SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints), planted
+    * projection — identical text pins hamming to exactly 0. */
   private val q43SimHash: Q = (s, dir) =>
-    Dedup.simHashPairs(withMutants(s, dir), "doc_id", "text", maxHamming = 3)
-      .orderBy(col("a"), col("b"))
+    Dedup.simHashPairs(withTwins(s, dir), "doc_id", "text", maxHamming = 3)
+      .filter(col("b") === col("a") + 100000)
+      .orderBy(col("a"))
 
   /** Exact n-gram Jaccard on the planted pairs (verification stage). */
   private val q44NgramJaccard: Q = (s, dir) => {
@@ -56,11 +75,12 @@ object DedupQueries {
     Dedup.ngramJaccard(pairs).orderBy(col("a"))
   }
 
-  /** Winnowing inverted-index near-dup pairs (rows-only; planted-pair
-    * recovery is spec-asserted). */
+  /** Winnowing inverted-index near-dup pairs, planted projection (n_shared
+    * depends on the fingerprint multiset, so only (a, b) is oracled). */
   private val q45Winnow: Q = (s, dir) =>
-    Dedup.winnowPairs(withMutants(s, dir), "doc_id", "text")
+    Dedup.winnowPairs(withTwins(s, dir), "doc_id", "text")
       .filter(col("b") === col("a") + 100000)
+      .select(col("a"), col("b"))
       .orderBy(col("a"))
 
   val defs: Map[String, Q] = Map(
@@ -80,6 +100,19 @@ object DedupQueries {
       """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // planted twin pair-sets: identical text ⇒ deterministic complete
+    // recovery with est_jaccard exactly 1.0 / hamming exactly 0
+    "q42_dedup_minhash" ->
+      """SELECT doc_id AS a, doc_id + 100000 AS b,
+        | CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY a""".stripMargin,
+    "q43_dedup_simhash" ->
+      """SELECT doc_id AS a, doc_id + 100000 AS b,
+        | CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY a""".stripMargin,
+    "q45_winnow_pairs" ->
+      """SELECT doc_id AS a, doc_id + 100000 AS b
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY a""".stripMargin,
     // exact 3-gram Jaccard over the planted (d, d+100000) mutant pairs —
     // shingles are distinct triples of the embed tokenizer's tokens
     "q44_ngram_jaccard" ->
