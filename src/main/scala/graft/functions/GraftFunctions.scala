@@ -38,6 +38,10 @@ object GraftFunctions {
   def winnowFingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     e2col(WinnowFingerprint(col2e(c), k, w))
 
+  /** IVF cell assignment against a driver-trained centroid matrix. */
+  def nearestCentroid(c: Column, centroids: Array[Array[Float]]): Column =
+    e2col(NearestCentroid(col2e(c), centroids))
+
   /** Tokens per the embed tokenizer, as pure built-ins (codegen'd). */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")

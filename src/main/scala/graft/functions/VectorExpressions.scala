@@ -247,6 +247,34 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer assignment: index of the nearest centroid by
+  * squared-L2. The centroid matrix is a plan constant (driver-trained, a few
+  * KB) injected into generated code via `addReferenceObj` — the full-corpus
+  * assignment pass stays inside whole-stage codegen with no UDF
+  * serialization per row. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val cf = VectorExprUtil.isFloatArray(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkArray(child.dataType, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCentroid(a.asInstanceOf[ArrayData], cf, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.nearestCentroid($a, $cf, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** MinHash signature (ARRAY<BIGINT>) over word-shingles of a text column. */
 case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
     extends UnaryExpression {

@@ -131,6 +131,26 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Index of the nearest centroid (squared-L2) — the IVF coarse-quantizer
+    * assignment, shaped for codegen (the centroid matrix arrives as a
+    * constant reference object, the vector as columnar ArrayData). */
+  def nearestCentroid(a: ArrayData, aFloat: Boolean,
+      centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      val n = math.min(ctr.length, a.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = get(a, i, aFloat) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val na = l2Norm(a, aFloat)
     val nb = l2Norm(b, bFloat)

@@ -91,32 +91,27 @@ object IvfIndex {
     centroids
   }
 
-  private def nearestCell(centroids: Array[Array[Float]]): Column => Column = {
-    val cf = udf((a: Seq[Float]) => {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val ctr = centroids(c)
-        var d = 0.0; var i = 0
-        val n = math.min(ctr.length, a.length)
-        while (i < n) { val t = a(i) - ctr(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    })
-    (e: Column) => cf(e)
-  }
-
   /** Assign every vector to its cell; result is hash-partitioned by cell so
-    * each query's probe touches few partitions. */
+    * each query's probe touches few partitions. Assignment is the codegen
+    * [[graft.functions.NearestCentroid]] expression — the one full-corpus
+    * pass stays inside whole-stage codegen, no per-row UDF serialization. */
   def build(corpus: DataFrame, idCol: String, embCol: String,
-      centroids: Array[Array[Float]]): DataFrame = {
-    val cell = nearestCell(centroids)
+      centroids: Array[Array[Float]]): DataFrame =
     corpus.select(col(idCol).as("id"), col(embCol).as("embedding"))
-      .withColumn("cell_id", cell(col("embedding")))
+      .withColumn("cell_id", nearestCentroid(col("embedding"), centroids))
       .repartition(col("cell_id"))
-  }
+
+  /** Persist a built index as a `partitionBy(cell_id)` parquet layout: one
+    * directory per cell, so a probe's cell filter is answered at FILE
+    * LISTING time — at 100 TB a 4-of-64-cell probe literally never opens
+    * the other 60 cells' files. [[search]] over [[load]] shows the pruning
+    * as `PartitionFilters` on the scan. */
+  def persist(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** Read a persisted index back (cell_id is the partition column). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Probe order of cells for a query vector (driver-side, nlist small). */
   def probeCells(centroids: Array[Array[Float]], query: Array[Float],
@@ -134,6 +129,35 @@ object IvfIndex {
     val cells = probeCells(centroids, query, nprobe)
     index.filter(col("cell_id").isin(cells: _*))
       .withColumn("score", round(vecCosine(col("embedding"), lit(query)), 4))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+      .select(col("id"), col("score"))
+  }
+
+  /** ANN top-k with the query vector kept IN the plan (no driver action):
+    * the probe-cell choice is computed from a broadcast of the tiny centroid
+    * table, and the query joins the index as a broadcast literal — the
+    * declarative twin of [[search]] for queries that arrive as a DataFrame.
+    * Over a [[load]]-ed partitioned index the cell join is eligible for
+    * dynamic partition pruning; [[search]]'s literal filter is the
+    * statically-pruned path. */
+  def searchDf(index: DataFrame, centroids: Array[Array[Float]],
+      queryDf: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queryDf.select(col(queryDf.columns.head).as("q"))
+    val ctrDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell_id", "ctr")
+    // rank cells by ||q - ctr||²; ||q||² is constant per query, so
+    // ||ctr||² - 2·q·ctr orders identically to probeCells
+    val cells = q.crossJoin(broadcast(ctrDf))
+      .withColumn("d", vecNorm(col("ctr")) * vecNorm(col("ctr"))
+        - lit(2.0) * vecDot(col("q"), col("ctr")))
+      .orderBy(col("d"), col("cell_id")).limit(nprobe)
+      .select(col("cell_id"))
+    index.join(broadcast(cells), Seq("cell_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(vecCosine(col("embedding"), col("q")), 4))
       .orderBy(desc("score"), col("id"))
       .limit(k)
       .select(col("id"), col("score"))

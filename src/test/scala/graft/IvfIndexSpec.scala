@@ -1,10 +1,14 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 import graft.ops.IvfIndex
 
-/** IVF ANN quality: deterministic build and acceptable recall vs exact. */
+/** IVF ANN quality: deterministic build, acceptable recall vs exact, and
+  * the storage story — a persisted `partitionBy(cell_id)` index whose probe
+  * prunes at the partition level. */
 class IvfIndexSpec extends SparkTestBase {
 
   test("ivf search recall@10 >= 0.5 with nprobe=4/16 cells") {
@@ -20,6 +24,73 @@ class IvfIndexSpec extends SparkTestBase {
     val full = IvfIndex.recallAtK(emb, "vec_id", "embedding",
       centroids, query, k = 10, nprobe = 16)
     assert(full == 1.0, s"recall@10 with all cells probed = $full")
+  }
+
+  test("persisted index probe is a storage-level partition prune") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    val path = java.nio.file.Files.createTempDirectory("ivf")
+      .resolve("idx").toString
+    IvfIndex.persist(IvfIndex.build(emb, "vec_id", "embedding", centroids), path)
+    val idx = IvfIndex.load(spark, path)
+    val query = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val res = IvfIndex.search(idx, centroids, query, k = 10, nprobe = 4)
+    val scan = (res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }).collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+      s"cell filter did not become a partition filter: ${scan.partitionFilters}")
+    val pruned = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    val total = scan.relation.location.listFiles(Nil, Nil)
+    assert(pruned.length <= 4, s"probe read ${pruned.length} partitions")
+    assert(total.length > pruned.length,
+      s"no pruning: ${pruned.length} of ${total.length} partitions")
+    // and the pruned scan still returns the right ANN results
+    val viaMem = IvfIndex.search(
+      IvfIndex.build(emb, "vec_id", "embedding", centroids),
+      centroids, query, k = 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    assert(res.collect().map(_.getLong(0)).toSeq == viaMem)
+  }
+
+  test("searchDf keeps the query in the plan and matches search()") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", centroids)
+    val query = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val viaDriver = IvfIndex.search(idx, centroids, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val queryDf = emb.filter(col("vec_id") === 1).select("embedding")
+    val viaPlan = IvfIndex.searchDf(idx, centroids, queryDf, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaPlan == viaDriver)
+  }
+
+  test("cell assignment is codegen (no ScalaUDF) and matches a driver loop") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 8)
+    val built = IvfIndex.build(emb, "vec_id", "embedding", centroids)
+    built.queryExecution.optimizedPlan.foreach(_.expressions.foreach(e =>
+      e.foreach { x =>
+        assert(!x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF],
+          "build plan contains a ScalaUDF")
+      }))
+    val sample = built.limit(50).collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- centroids.indices) {
+        var d = 0.0
+        for (i <- centroids(c).indices) {
+          val t = v(i) - centroids(c)(i); d += t * t
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      assert(r.getInt(2) == best, s"assignment drift for id ${r.getLong(0)}")
+    }
   }
 
   test("training is deterministic under the fixed seed") {
