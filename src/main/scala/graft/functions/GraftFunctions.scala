@@ -78,16 +78,59 @@ object GraftFunctions {
   /** Body-YAML deleted probe (memo_cli.py:145-154). */
   def bodyDeleted(c: Column): Column = e2col(BodyDeleted(col2e(c)))
 
-  /** Register SQL-callable names for the custom expressions. */
+  /** Register SQL-callable names for ALL custom expressions, with arity
+    * checks and literal-int tuning parameters where the Column API takes
+    * them (`minhash_sig(text [, num_hashes, shingle_size])` etc.). */
   def registerAll(spark: SparkSession): Unit = {
-    GraftShims.registerFunction(spark, "hash_embed",
-      es => HashEmbed(es.head, VectorKernels.DefaultDim))
-    GraftShims.registerFunction(spark, "token_count", es => TokenCount(es.head))
-    GraftShims.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
-    GraftShims.registerFunction(spark, "vec_cosine",
-      es => CosineSimilarity(es(0), es(1)))
-    GraftShims.registerFunction(spark, "vec_norm", es => L2Norm(es.head))
-    GraftShims.registerFunction(spark, "vec_normalize", es => L2Normalize(es.head))
-    GraftShims.registerFunction(spark, "simhash64", es => SimHash(es.head))
+    type E = org.apache.spark.sql.catalyst.expressions.Expression
+
+    def intLit(name: String, arg: String, e: E): Int = e match {
+      case l if l.foldable &&
+          l.dataType == org.apache.spark.sql.types.IntegerType =>
+        l.eval().asInstanceOf[Int]
+      case _ => throw new IllegalArgumentException(
+        s"$name: $arg must be a literal INT")
+    }
+    def badArity(name: String, want: String, got: Int): Nothing =
+      throw new IllegalArgumentException(
+        s"$name expects $want argument(s), got $got")
+    def reg(name: String, want: String)(b: PartialFunction[Seq[E], E]): Unit =
+      GraftShims.registerFunction(spark, name,
+        es => b.applyOrElse(es,
+          (bad: Seq[E]) => badArity(name, want, bad.length)))
+
+    reg("hash_embed", "1 or 2") {
+      case Seq(t) => HashEmbed(t, VectorKernels.DefaultDim)
+      case Seq(t, d) => HashEmbed(t, intLit("hash_embed", "dim", d))
+    }
+    reg("token_count", "1") { case Seq(t) => TokenCount(t) }
+    reg("vec_dot", "2") { case Seq(a, b) => DotProduct(a, b) }
+    reg("vec_cosine", "2") { case Seq(a, b) => CosineSimilarity(a, b) }
+    reg("vec_norm", "1") { case Seq(a) => L2Norm(a) }
+    reg("vec_normalize", "1") { case Seq(a) => L2Normalize(a) }
+    reg("simhash64", "1") { case Seq(t) => SimHash(t) }
+    reg("srp_signature", "1 or 2") {
+      case Seq(a) => SrpSignature(a, 16)
+      case Seq(a, n) => SrpSignature(a, intLit("srp_signature", "n_bits", n))
+    }
+    reg("minhash_sig", "1 or 3") {
+      case Seq(t) => MinHashSig(t, 128, 3)
+      case Seq(t, n, s) => MinHashSig(t,
+        intLit("minhash_sig", "num_hashes", n),
+        intLit("minhash_sig", "shingle_size", s))
+    }
+    reg("winnow_fingerprint", "1 or 3") {
+      case Seq(t) => WinnowFingerprint(t, 5, 4)
+      case Seq(t, k, w) => WinnowFingerprint(t,
+        intLit("winnow_fingerprint", "k", k),
+        intLit("winnow_fingerprint", "w", w))
+    }
+    reg("meta_pystr", "1") { case Seq(v) => MetaPyStr(v) }
+    reg("meta_display", "1") { case Seq(v) => MetaDisplay(v) }
+    reg("meta_flow_yaml", "1") { case Seq(v) => MetaFlowYaml(v) }
+    reg("meta_yaml_scalar", "1") { case Seq(v) => MetaYamlScalar(v) }
+    reg("meta_truthy", "1") { case Seq(v) => MetaTruthy(v) }
+    reg("meta_num", "1") { case Seq(v) => MetaNum(v) }
+    reg("body_deleted", "1") { case Seq(v) => BodyDeleted(v) }
   }
 }

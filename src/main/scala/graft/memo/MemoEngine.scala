@@ -32,6 +32,17 @@ import graft.functions.VectorKernels
   * deltas: O(batch) records + embeddings written, prior segments referenced
   * untouched; overwrite/reindex/import write compacting snapshots, and an
   * append chain compacts itself at `maxSegments` to bound read fan-in.
+  *
+  * CONCURRENCY CONTRACT — single writer. The CURRENT swing
+  * ([[swingPointer]]) is atomic against READERS (a reader sees either the
+  * old or the new version, never a torn state) but carries no
+  * compare-and-swap against a second concurrent WRITER: two writers
+  * committing simultaneously can both write v(N+1) and the last swing
+  * wins, orphaning the other's commit (vacuum() then reclaims it — no
+  * corruption, but one write is silently lost). The reference is likewise
+  * a single-process CLI (one store = one YAML/pickle pair); callers that
+  * need multi-writer semantics must serialize commits externally (a job
+  * queue or a lock service owning the CURRENT file).
   */
 class MemoEngine(spark: SparkSession, basePath: String,
     maxSegments: Int = MemoEngine.DefaultMaxSegments) {
@@ -155,7 +166,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** Save a YAML batch: entries with `id` overwrite (must exist — whole
     * batch aborts otherwise, memo_cli.py:424-433); entries without append
-    * with dense ids. Returns (id, note) per entry in input order. */
+    * with dense ids. Returns (id, note) per entry in input order.
+    *
+    * SIZE CONTRACT — CLI-batch-shaped: the batch arrives as one driver
+    * String and the parsed entries live on the driver, so this path
+    * assumes entries ≪ corpus (interactive saves, small imports). Batches
+    * too big to hold on the driver go through [[saveFromPath]], which
+    * parses, validates, and mints ids entirely on executors. */
   def save(batchYaml: String): Seq[(Long, String)] = {
     import spark.implicits._
     val entries = YamlIO.parseSaveBatch(batchYaml)

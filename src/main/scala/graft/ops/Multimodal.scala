@@ -4,6 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Input/output rows of [[Multimodal.decodeAndFeaturize]] — top-level case
+  * classes so Spark can derive Encoders (an inner class can't be encoded). */
+private[graft] case class MediaIn(media_id: Long, kind: String,
+    payload: Array[Byte])
+private[graft] case class MediaDecoded(media_id: Long, kind: String,
+    width: Int, height: Int, mean_intensity: Double, n_sampled_frames: Int,
+    features: Array[Float])
+
 /** Multimodal-column plumbing for training-data pipelines: media travels as
   * an opaque `binary` column with a typed metadata struct; decode /
   * feature-extract / resize / frame-sample run per-partition so one task
@@ -83,35 +91,28 @@ object Multimodal {
         lit("fake").as("codec")).as("meta"))
   }
 
-  private val decodedSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("mean_intensity", DoubleType, nullable = false),
-    StructField("n_sampled_frames", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false),
-      nullable = false)))
-
   /** Decode + feature-extract, one codec instance per partition. Narrow (no
     * shuffle): at 100 TB this runs inside the scan stage, and partition
-    * sizing is controlled by spark.sql.files.maxPartitionBytes. */
+    * sizing is controlled by spark.sql.files.maxPartitionBytes.
+    *
+    * A typed `Dataset.mapPartitions` — NOT an `.rdd` hop — so the stage
+    * composes with Catalyst planning on both sides: upstream column pruning
+    * still reaches the source scan, and exactly one
+    * deserialize→decode→serialize boundary exists (pinned in
+    * MultimodalSpec). */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("media_id", "kind", "payload").rdd
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaIn]
       .mapPartitions { rows =>
         // per-partition codec setup would go here (expensive init amortized)
-        rows.map { r =>
-          val id = r.getLong(0)
-          val kind = r.getString(1)
-          val payload = r.getAs[Array[Byte]](2)
-          val (w, h, mean) = FakeCodec.decodeImage(payload)
-          val frames = FakeCodec.sampleFrames(payload, 64, 4)
-          Row(id, kind, w, h,
+        rows.map { m =>
+          val (w, h, mean) = FakeCodec.decodeImage(m.payload)
+          val frames = FakeCodec.sampleFrames(m.payload, 64, 4)
+          MediaDecoded(m.media_id, m.kind, w, h,
             math.round(mean * 10000.0) / 10000.0,
-            frames.length, FakeCodec.features(payload).toSeq)
+            frames.length, FakeCodec.features(m.payload))
         }
-      }
-    spark.createDataFrame(out, decodedSchema)
+      }.toDF()
   }
 }

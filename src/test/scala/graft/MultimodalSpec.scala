@@ -30,6 +30,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f.sum - 1.0f) < 1e-3)
   }
 
+  test("decode stage is one typed boundary, not an RDD hop") {
+    val media = Multimodal.syntheticMedia(
+      Tables(spark, sfDir, "documents"), "doc_id")
+    val out = Multimodal.decodeAndFeaturize(media)
+      .filter(col("width") >= 0).select("media_id", "width")
+    val lp = out.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ExistingRDD"), "decode fell back to an RDD scan")
+    assert("DeserializeToObject".r.findAllIn(lp).length == 1,
+      s"expected exactly one object boundary:\n$lp")
+    assert("SerializeFromObject".r.findAllIn(lp).length == 1)
+  }
+
   test("decode handles null/empty payloads without failing") {
     import spark.implicits._
     val media = Seq(
