@@ -113,6 +113,32 @@ object IvfIndex {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Ensure a persisted index exists at `path` for this corpus and return
+    * its centroids — the build-once / probe-many lifecycle of a real ANN
+    * index. The centroid matrix and a validity stamp (corpus row count +
+    * nlist) are stored beside the parquet in `_ivf_centroids` (underscore
+    * prefix: invisible to the parquet reader); a stamp mismatch triggers a
+    * full retrain + rewrite. Training stays a bounded driver sample
+    * ([[trainCentroids]]); the assignment pass is distributed codegen. */
+  def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int, path: String, sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    val metaFile = java.nio.file.Paths.get(path, "_ivf_centroids")
+    val stamp = s"${corpus.count()}:$nlist"
+    if (java.nio.file.Files.exists(metaFile)) {
+      val lines = java.nio.file.Files.readAllLines(metaFile)
+      if (lines.size() > 0 && lines.get(0) == stamp)
+        return (1 until lines.size()).map(i =>
+          lines.get(i).split(",").map(_.toFloat)).toArray
+    }
+    val centroids = trainCentroids(corpus, embCol, nlist,
+      sampleFraction = sampleFraction)
+    persist(build(corpus, idCol, embCol, centroids), path)
+    val body = (stamp +: centroids.toSeq.map(_.mkString(",")))
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(metaFile, body)
+    centroids
+  }
+
   /** Probe order of cells for a query vector (driver-side, nlist small). */
   def probeCells(centroids: Array[Array[Float]], query: Array[Float],
       nprobe: Int): Seq[Int] =

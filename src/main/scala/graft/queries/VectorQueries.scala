@@ -53,12 +53,21 @@ object VectorQueries {
         size(col("embedding")).as("dim"))
       .orderBy(col("doc_id"))
 
-  /** LSH near-dup pairs over embeddings (approximate scale path) —
-    * rows-only: approximate results have no SQL oracle. */
+  /** LSH near-dup pairs over the twin-planted embeddings, projected to the
+    * planted pair-set: identical embeddings give identical SRP signatures,
+    * so every planted pair is bucket-colocated by construction and the
+    * exact cosine re-rank pins score = 1.0 — which makes the result
+    * DuckDB-expressible (same twin construction as q42/q43/q45). The full
+    * pipeline (signature → bucket join → re-rank) still runs over
+    * corpus ∪ twins; recall quality on perturbed vectors stays
+    * spec-asserted (SketchSpec). */
   private val q35LshPairs: Q = (s, dir) => {
-    val emb = Tables(s, dir, "embeddings")
-    Similarity.lshNearDupPairs(emb, "vec_id", minScore = -1.0, nBits = 8)
-      .orderBy(col("a"), col("b"))
+    val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val twins = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Similarity.lshNearDupPairs(twins, "vec_id", minScore = -1.0, nBits = 8)
+      .filter(col("b") === col("a") + 100000)
+      .orderBy(col("a"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -102,5 +111,10 @@ object VectorQueries {
         |          FROM sub l JOIN sub r ON l.vec_id < r.vec_id)
         |SELECT a, b, round(sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),4) AS score
         |FROM pairs GROUP BY a, b ORDER BY score DESC, a, b LIMIT 50""".stripMargin,
+    // planted twin pairs: identical embeddings ⇒ bucket-colocated, cosine 1.0
+    "q35_lsh_pairs" ->
+      """SELECT vec_id AS a, vec_id + 100000 AS b,
+        | CAST(1.0 AS DOUBLE) AS score
+        |FROM embeddings WHERE vec_id % 5 = 0 ORDER BY a""".stripMargin,
   )
 }

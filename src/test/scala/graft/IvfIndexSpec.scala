@@ -93,6 +93,21 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("buildIfAbsent reuses a valid persisted index, rebuilds on stamp change") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_ba")
+      .resolve("idx").toString
+    val c1 = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    // second call must round-trip the identical centroids from disk
+    val c2 = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // stamp mismatch (different nlist) forces a rebuild
+    val c3 = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 4, path)
+    assert(c3.length == 4)
+    assert(IvfIndex.load(spark, path)
+      .select("cell_id").distinct().count() <= 4)
+  }
+
   test("training is deterministic under the fixed seed") {
     val emb = Tables(spark, sfDir, "embeddings")
     val c1 = IvfIndex.trainCentroids(emb, "embedding", nlist = 8)
