@@ -56,11 +56,28 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Sliding windows (1h window / 30min slide) — the SAME
+    * [[graft.streaming.EventStreams.slidingCounts]] plan run in batch mode
+    * (withWatermark is a no-op on batch); each event lands in exactly two
+    * windows, which the oracle expands explicitly. */
+  private val q65Sliding: Q = (s, dir) =>
+    graft.streaming.EventStreams.slidingCounts(Tables(s, dir, "events"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Interval join (errors → purchases within 30min by the same user) —
+    * the stream-stream join plan ([[graft.streaming.EventStreams
+    * .errorThenPurchase]]) run in batch mode, oracled in SQL. */
+  private val q66ErrorPurchase: Q = (s, dir) =>
+    graft.streaming.EventStreams.errorThenPurchase(Tables(s, dir, "events"))
+      .orderBy(col("error_id"), col("purchase_id"))
+
   val defs: Map[String, Q] = Map(
     "q60_tumbling" -> q60Tumbling,
     "q61_sessionize" -> q61Sessionize,
     "q62_json_props" -> q62JsonProps,
     "q63_running" -> q63Running,
+    "q65_sliding" -> q65Sliding,
+    "q66_error_purchase" -> q66ErrorPurchase,
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,5 +105,24 @@ object EventQueries {
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS run_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    // each event belongs to the two 1h windows whose 30min-aligned starts
+    // are floor30(ts) and floor30(ts) - 30min — expanded via a 2-row cross
+    "q65_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    to_timestamp(CAST(floor(epoch(ts)/1800)*1800 - k*1800 AS BIGINT))
+        |      AS ws
+        |  FROM events CROSS JOIN (VALUES (0),(1)) t(k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        | count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q66_error_purchase" ->
+      """SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+        | e.user_id, p.value
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+        |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+        |ORDER BY error_id, purchase_id""".stripMargin,
   )
 }

@@ -37,6 +37,19 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total"))
 
+  /** Sliding window counts per event type (each event lands in
+    * window/slide overlapping windows); same plan runs batch or streamed
+    * with the watermark bounding state. */
+  def slidingCounts(events: DataFrame, win: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+
   /** Session windows with a 30-minute inactivity gap per user. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
@@ -75,6 +88,57 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Explicit-state sessionization via flatMapGroupsWithState with an
+    * event-time timeout: sessions close either when a same-user event
+    * arrives past the gap (emitted inline) or when the WATERMARK passes
+    * last-event + gap (emitted by the timeout callback) — the
+    * custom-state twin of [[sessionCounts]], for session semantics
+    * `session_window` can't express (e.g. emitting each closed session
+    * exactly once in append mode). State per user is one (start, last, n)
+    * triple, evicted on close: bounded by active users, not history. */
+  case class SessState(start: Long, last: Long, n: Long)
+  case class ClosedSession(userId: Long, sessStart: java.sql.Timestamp,
+      nEvents: Long)
+
+  def sessionizeWithState(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").as("uid"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, new java.sql.Timestamp(s.start), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            val out = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  out += ClosedSession(uid, new java.sql.Timestamp(s.start), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None => cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 
   /** Per-user running event count + total value via mapGroupsWithState —
     * the custom-state path (KeyValueGroupedDataset) for semantics window

@@ -108,6 +108,58 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("sliding window agg over a MemoryStream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.slidingCounts(input.toDF(),
+        win = "10 minutes", slide = "5 minutes")
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(sample: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sliding_out")
+      .orderBy("win_start", "event_type").collect().toSeq
+    q.stop()
+    val batch = EventStreams.slidingCounts(sample.toDF(),
+        win = "10 minutes", slide = "5 minutes")
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    // event at :01 must appear in the 23:55 and 00:00 windows → 2 rows min
+    assert(streamed.size >= 2)
+  }
+
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionizeWithState(input.toDF(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("state_sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: events at :01 and :05 (one session), then a gap
+    input.addData(mkEv(0, 1, 1, "view", 1.0), mkEv(1, 5, 1, "view", 2.0))
+    q.processAllAvailable()
+    // same user far past the gap → closes the first session inline
+    input.addData(Ev(2, java.sql.Timestamp.valueOf("2026-01-01 03:00:00"),
+      1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // another user much later advances the watermark past 03:00 + gap →
+    // user 1's second session times out and is emitted by the callback
+    input.addData(Ev(3, java.sql.Timestamp.valueOf("2026-01-01 09:00:00"),
+      2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    input.addData(Ev(4, java.sql.Timestamp.valueOf("2026-01-01 12:00:00"),
+      2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("state_sessions_out")
+      .select("userId", "sessStart", "nEvents")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSeq.sortBy(_._2.getTime)
+    q.stop()
+    assert(rows.map(r => (r._1, r._2.toString, r._3)) == Seq(
+      (1L, "2026-01-01 00:01:00.0", 2L),  // closed inline by the 03:00 event
+      (1L, "2026-01-01 03:00:00.0", 1L),  // closed by event-time timeout
+      (2L, "2026-01-01 09:00:00.0", 1L))) // timed out once watermark hit 10:00
+  }
+
   test("mapGroupsWithState accumulates per-user running stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
