@@ -39,7 +39,10 @@ object FilterAlgebra {
   /** Parse a YAML-flow filter expression; outer braces optional
     * (memo_cli.py:170-176). Returns the raw map; throws on unparseable. */
   def parse(expr: String): Map[String, Any] = {
-    val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder().build()
+    // PyYAML 1.1 scalar typing, matching the reference's safe_load of the
+    // filter string (yes/on → bool, 007 → int — graft.memo.Yaml11Schema)
+    val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
+      .setSchema(new graft.memo.Yaml11Schema()).build()
     def tryLoad(s: String): Option[Any] =
       try Some(new org.snakeyaml.engine.v2.api.Load(settings).loadFromString(s))
       catch { case _: Exception => None }

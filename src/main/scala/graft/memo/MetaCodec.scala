@@ -191,7 +191,10 @@ object MetaCodec {
     if (body == null) return false
     val parsed =
       try {
-        val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder().build()
+        // PyYAML 1.1 typing: `deleted: yes` is a truthy bool here, matching
+        // the reference's safe_load of the body (memo_cli.py:145-154)
+        val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
+          .setSchema(new Yaml11Schema()).build()
         new org.snakeyaml.engine.v2.api.Load(settings).loadFromString(body)
       } catch { case _: Exception => return false }
     parsed match {
@@ -303,7 +306,10 @@ object MetaCodec {
 
   private def reparsesToSelf(s: String): Boolean =
     try {
-      val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder().build()
+      // the 1.1 schema makes this check exact for BOTH resolvers: any
+      // scalar PyYAML would type as non-string fails here and gets quoted
+      val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
+        .setSchema(new Yaml11Schema()).build()
       new org.snakeyaml.engine.v2.api.Load(settings).loadFromString(s) match {
         case r: String => r == s
         case _ => false

@@ -32,7 +32,9 @@ object YamlIO {
   val BulkParseThreshold = 512
 
   private def loadAll(text: String): Seq[Any] = {
-    val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder().build()
+    // [[Yaml11Schema]]: PyYAML-compatible scalar typing (reference parity)
+    val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
+      .setSchema(new Yaml11Schema()).build()
     new org.snakeyaml.engine.v2.api.Load(settings)
       .loadAllFromString(text).asScala.toSeq
   }

@@ -167,6 +167,50 @@ class YamlIOSpec extends SparkTestBase {
     }
   }
 
+  test("import resolves scalars with PyYAML 1.1 semantics") {
+    val recs = YamlIO.importTable(spark,
+      """---
+        |id: 0
+        |body: b
+        |metadata:
+        |  y: yes
+        |  n: Off
+        |  oct: 007
+        |  hex: 0x1F
+        |  bin: 0b101
+        |  us: 1_000
+        |  sex: 1:30
+        |  f: 1.5
+        |  fe: 1.5e+3
+        |  fe_nosign: 1.5e3
+        |  ninf: -.inf
+        |  tilde: ~
+        |  date: 2026-03-14
+        |  huge: 999999999999999999999999
+        |""".stripMargin)
+    val meta = recs.collect()(0).getMap[String, String](2)
+    assert(meta("y") == "bTrue") // yes → bool (YAML 1.1)
+    assert(meta("n") == "bFalse") // Off → bool
+    assert(meta("oct") == "i7") // leading zero = octal
+    assert(meta("hex") == "i31")
+    assert(meta("bin") == "i5")
+    assert(meta("us") == "i1000") // underscores stripped
+    assert(meta("sex") == "i90") // sexagesimal 1:30
+    assert(meta("f") == "f1.5")
+    assert(meta("fe") == "f1500.0") // exponent WITH sign is a float
+    assert(meta("fe_nosign") == "s1.5e3") // PyYAML quirk: no sign → string
+    assert(meta("ninf") == "f-inf")
+    assert(meta("tilde") == "z")
+    assert(meta("date") == "s2026-03-14") // timestamp typing not mirrored
+    assert(meta("huge") == "s999999999999999999999999") // beyond Long → string
+    // filter expressions get the same typing: yes matches a stored bool
+    import org.apache.spark.sql.functions._
+    assert(recs.filter(graft.filter.FilterAlgebra.compile(
+      "{y: yes}", col("metadata"))).count() == 1)
+    assert(recs.filter(graft.filter.FilterAlgebra.compile(
+      "{oct: 7}", col("metadata"))).count() == 1)
+  }
+
   test("path import/export: multi-split shard dir round-trips byte-exactly") {
     import spark.implicits._
     val recs = (0L until 400L).map { i =>
