@@ -64,6 +64,16 @@ object MemoCli {
               System.err.println("Error: save requires exactly one <yaml_file>")
               1
             } else cmdSave(engine, saveArgs.head, verbose)
+          case "import" :: importArgs =>
+            if (importArgs.length != 1) {
+              System.err.println("Error: import requires exactly one <yaml_path>")
+              1
+            } else cmdImport(engine, importArgs.head, verbose)
+          case "export" :: exportArgs =>
+            if (exportArgs.length != 1) {
+              System.err.println("Error: export requires exactly one <out_dir>")
+              1
+            } else cmdExport(engine, exportArgs.head, verbose)
           case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
           case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
           case other :: _ =>
@@ -97,6 +107,8 @@ object MemoCli {
     println("  analyze             Metadata-only reporting from the <base> store")
     println("  clean               Remove the <base> store")
     println("  reindex             Rebuild the index from records (full regenerate)")
+    println("  import              Replace the store from a full-DB YAML file/dir (migration)")
+    println("  export              Write the store as sharded full-DB YAML (migration)")
     println()
     println("Options:")
     println("  -f <base>           REQUIRED DB base directory")
@@ -165,6 +177,29 @@ object MemoCli {
     saved.foreach { case (id, body) =>
       println(s"Memorized: '$body' (ID: $id)") // full body (memo_cli.py:430)
     }
+    0
+  }
+
+  /** Migration verbs (extensions — the reference's store IS its YAML file,
+    * memo_cli.py:47-58, so switching to this engine means one import; both
+    * run the DISTRIBUTED interchange path, no corpus String on the driver). */
+  private def cmdImport(engine: MemoEngine, path: String, verbose: Boolean): Int = {
+    if (!Files.exists(Paths.get(path))) {
+      System.err.println(s"Error: failed to read input file '$path'")
+      return 1
+    }
+    engine.importYamlPath(path)
+    val n = engine.records.count()
+    vlog(verbose, s"Imported $n records into the store")
+    println(s"Imported $n records")
+    0
+  }
+
+  private def cmdExport(engine: MemoEngine, path: String, verbose: Boolean): Int = {
+    val n = engine.records.count()
+    engine.exportYamlPath(path)
+    vlog(verbose, s"Exported $n records to $path")
+    println(s"Exported $n records")
     0
   }
 

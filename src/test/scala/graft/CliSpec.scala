@@ -36,6 +36,30 @@ class CliSpec extends SparkTestBase {
       |metadata: {source: user, category: ui}
       |""".stripMargin)
 
+  test("export/import migration verbs round-trip the store distributed") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      val outDir = Files.createTempDirectory("cli_mig").resolve("db.yaml.d")
+      val (ec, eout) = run("-f", db, "export", outDir.toString)
+      assert(ec == 0)
+      assert(eout == "Exported 2 records\n")
+      withDb { db2 =>
+        val (ic, iout) = run("-f", db2, "import", outDir.toString)
+        assert(ic == 0)
+        assert(iout == "Imported 2 records\n")
+        // migrated store answers recall like the original
+        val (_, r) = run("-f", db2, "recall", "-k", "1", "peanuts")
+        assert(r.contains("I am allergic to peanuts."))
+        run("-f", db2, "clean")
+      }
+      // arity + missing-file errors
+      assert(run("-f", db, "import")._1 == 1)
+      assert(run("-f", db, "import", "/nope/missing.yaml")._1 == 1)
+      assert(run("-f", db, "export")._1 == 1)
+      run("-f", db, "clean")
+    }
+  }
+
   test("save prints Memorized lines with dense ids") {
     withDb { db =>
       val (code, out) = run("-f", db, "save", batch)
