@@ -219,9 +219,16 @@ object RelationalQueries {
   /** Seeded Bernoulli sample (rows-only: sampling algorithms differ across
     * engines, so no value oracle — driver checks rows > 0; determinism
     * under the fixed seed is what matters at scale). */
+  /** Deterministic ~10% hash sample: keep rows whose md5(key) falls under
+    * a fixed hex threshold. This is the sampling a training pipeline should
+    * use — the selected set is a pure function of the KEY (reproducible
+    * across runs, partitionings, and engines — which also makes it
+    * DuckDB-oracle-able), unlike `DataFrame.sample`, whose seeded draw
+    * depends on partition layout. Bernoulli `.sample` stays in use where
+    * per-run sampling is wanted (quantizer training, IvfIndex). */
   private val q18Sample: Q = (s, dir) => {
     Tables(s, dir, "orders")
-      .sample(withReplacement = false, 0.1, seed = 42)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "1a")
       .select(col("o_orderkey"), col("o_orderstatus"))
       .orderBy(col("o_orderkey"))
   }
@@ -305,6 +312,11 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // md5 is identical in both engines, so the hash-sampled row set is exact
+    "q18_sample" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY o_orderkey""".stripMargin,
     "q17_salted_join" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
