@@ -41,8 +41,7 @@ object FilterAlgebra {
   def parse(expr: String): Map[String, Any] = {
     // PyYAML 1.1 scalar typing, matching the reference's safe_load of the
     // filter string (yes/on → bool, 007 → int — graft.memo.Yaml11Schema)
-    val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
-      .setSchema(new graft.memo.Yaml11Schema()).build()
+    val settings = graft.memo.Yaml11Schema.loadSettings
     def tryLoad(s: String): Option[Any] =
       try Some(new org.snakeyaml.engine.v2.api.Load(settings).loadFromString(s))
       catch { case _: Exception => None }

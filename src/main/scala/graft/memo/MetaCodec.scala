@@ -193,9 +193,8 @@ object MetaCodec {
       try {
         // PyYAML 1.1 typing: `deleted: yes` is a truthy bool here, matching
         // the reference's safe_load of the body (memo_cli.py:145-154)
-        val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
-          .setSchema(new Yaml11Schema()).build()
-        new org.snakeyaml.engine.v2.api.Load(settings).loadFromString(body)
+        new org.snakeyaml.engine.v2.api.Load(Yaml11Schema.loadSettings)
+          .loadFromString(body)
       } catch { case _: Exception => return false }
     parsed match {
       case m: java.util.Map[_, _] =>
@@ -308,9 +307,8 @@ object MetaCodec {
     try {
       // the 1.1 schema makes this check exact for BOTH resolvers: any
       // scalar PyYAML would type as non-string fails here and gets quoted
-      val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
-        .setSchema(new Yaml11Schema()).build()
-      new org.snakeyaml.engine.v2.api.Load(settings).loadFromString(s) match {
+      new org.snakeyaml.engine.v2.api.Load(Yaml11Schema.loadSettings)
+        .loadFromString(s) match {
         case r: String => r == s
         case _ => false
       }

@@ -33,7 +33,8 @@ class Yaml11Schema extends CoreSchema {
 
   override def getScalarResolver: ScalarResolver = PyResolver
 
-  override def getSchemaTagConstructors: java.util.Map[Tag, ConstructNode] = {
+  // built once per schema instance — queried on every parse
+  private lazy val constructors: java.util.Map[Tag, ConstructNode] = {
     val m = new java.util.HashMap[Tag, ConstructNode](super.getSchemaTagConstructors)
     m.put(Tag.BOOL, (node: Node) => {
       val v = scalar(node).toLowerCase
@@ -41,13 +42,23 @@ class Yaml11Schema extends CoreSchema {
     })
     m.put(Tag.INT, (node: Node) => pyInt(scalar(node)))
     m.put(Tag.FLOAT, (node: Node) => pyFloat(scalar(node)))
-    m
+    java.util.Collections.unmodifiableMap(m)
   }
+
+  override def getSchemaTagConstructors: java.util.Map[Tag, ConstructNode] =
+    constructors
 
   private def scalar(node: Node): String = node.asInstanceOf[ScalarNode].getValue
 }
 
 object Yaml11Schema {
+  /** Shared parse settings (immutable, thread-safe; `Load` instances are
+    * created per call). Built once per JVM — body-YAML probes run per ROW,
+    * so rebuilding schema + settings there would be measurable churn. */
+  val loadSettings: org.snakeyaml.engine.v2.api.LoadSettings =
+    org.snakeyaml.engine.v2.api.LoadSettings.builder()
+      .setSchema(new Yaml11Schema()).build()
+
   // PyYAML resolver.py implicit patterns (public PyYAML source, YAML 1.1)
   private val BoolP = Pattern.compile(
     "^(?:yes|Yes|YES|no|No|NO|true|True|TRUE|false|False|FALSE" +

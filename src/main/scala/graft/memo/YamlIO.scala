@@ -33,9 +33,7 @@ object YamlIO {
 
   private def loadAll(text: String): Seq[Any] = {
     // [[Yaml11Schema]]: PyYAML-compatible scalar typing (reference parity)
-    val settings = org.snakeyaml.engine.v2.api.LoadSettings.builder()
-      .setSchema(new Yaml11Schema()).build()
-    new org.snakeyaml.engine.v2.api.Load(settings)
+    new org.snakeyaml.engine.v2.api.Load(Yaml11Schema.loadSettings)
       .loadAllFromString(text).asScala.toSeq
   }
 
