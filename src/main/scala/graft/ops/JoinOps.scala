@@ -36,6 +36,19 @@ object JoinOps {
     (left.repartition(partitions, col(leftKey)),
       right.repartition(partitions, col(rightKey)))
 
+  /** At-rest co-location: write a table bucketed (and sorted) on its join
+    * key. Two tables bucketed with the SAME bucket count on their join keys
+    * join with NO exchange and NO sort on either side — the scan itself
+    * reports the hash partitioning/ordering. This is the storage-level form
+    * of [[coPartitioned]]: at 100 TB you bucket the fact tables once at
+    * ingest and every subsequent key join skips its shuffle. The table is
+    * external (data at `path`); `buckets` must match across join partners. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Per-key running count of exchanges in a physical plan (test helper). */
   def countExchanges(df: DataFrame): Int = {
     val plan = df.queryExecution.executedPlan

@@ -36,6 +36,35 @@ class JoinOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed tables join with zero exchanges and zero sorts") {
+    val dir = java.nio.file.Files.createTempDirectory("bucketed")
+    JoinOps.writeBucketed(
+      Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice"),
+      "bk_orders", s"$dir/orders", "o_orderkey", buckets = 8)
+    JoinOps.writeBucketed(
+      Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity"),
+      "bk_lineitem", s"$dir/lineitem", "l_orderkey", buckets = 8)
+    try withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("bk_lineitem").join(spark.table("bk_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      assert(JoinOps.countExchanges(joined) == 0,
+        "bucketed join must not shuffle either side")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"exchange in bucketed join:\n$plan")
+      // sortBy at write time also removes the SMJ's sorts
+      assert(plan.contains("SortMergeJoin"))
+      // and it still computes the right answer
+      val expected = Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
+
   private def withSqlConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
