@@ -44,7 +44,34 @@ object TextQueries {
         TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end training-data CURATION pipeline, composed entirely from
+    * the deterministic operators so the whole chain is oracle-checkable:
+    * language filter → quality floor → exact-dedup (keep smallest id per
+    * identical text) → reproducible md5 train/eval split → per-split
+    * corpus stats. The near-dup (MinHash) removal stage would slot in
+    * after exact dedup ([[graft.ops.Dedup.removeNearDups]], covered by
+    * q42-q45/DedupSpec) — omitted here so DuckDB can replay the pipeline
+    * exactly. */
+  private val q57Curation: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val keep = docs.join(scored, Seq("doc_id"))
+      .filter(col("lang") === "en" && col("quality") >= 0.45)
+    val keepIds = keep.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = keep.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    deduped
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e",
+          lit("train")).otherwise(lit("eval")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(tokenCount(col("text"))), 4).as("avg_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("split"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q57_curation" -> q57Curation,
     "q50_token_count" -> q50TokenCount,
     "q51_quality" -> q51Quality,
     "q52_langid" -> q52LangId,
@@ -53,6 +80,30 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_curation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, lang, CAST(len(ts) AS INT) AS n_tokens,
+        |    floor((least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |      CAST(len(list_distinct(ts)) AS DOUBLE) /
+        |        greatest(len(ts), 1) * 0.3 +
+        |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |          AS DOUBLE) / greatest(length(text), 1) * 0.3) * 10000.0)
+        |      / 10000.0 AS quality
+        |  FROM toks),
+        |keep AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.45),
+        |dedup AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY text),
+        |kept AS (SELECT k.* FROM keep k JOIN dedup d ON k.doc_id = d.doc_id)
+        |SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |         THEN 'train' ELSE 'eval' END AS split,
+        |  count(*) AS n_docs,
+        |  round(avg(n_tokens), 4) AS avg_tokens,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
     "q50_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(
         |  regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
