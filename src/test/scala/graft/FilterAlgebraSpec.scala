@@ -137,6 +137,18 @@ class FilterAlgebraSpec extends SparkTestBase {
     intercept[IllegalArgumentException](FilterAlgebra.parse("[1, 2"))
   }
 
+  test("filter strings type operands with PyYAML 1.1 semantics") {
+    // stored: int 7, bool True, string "007" (typed encodings)
+    val meta = Map("n" -> "i7", "b" -> "bTrue", "s" -> "s007")
+    assert(matches(meta, "{n: 007}")) // octal int 7 == stored int 7
+    assert(matches(meta, "{s: '007'}")) // quoted stays the string "007"
+    assert(!matches(meta, "{s: 007}")) // int 7 str()s to "7", not "007"
+    assert(matches(meta, "{b: yes}")) // 1.1 bool word
+    assert(matches(meta, "{b: 'True'}")) // str(True) == "True"
+    assert(!matches(meta, "{b: 'yes'}")) // quoted "yes" is not "True"
+    assert(matches(meta, "{n: {$gte: 0x7}}")) // hex int operand
+  }
+
   test("filter keys are literal — no dotted traversal into nested maps") {
     // reference eval_condition: `key not in data` — "user.name" is a plain
     // (missing) key here, NOT a path into the nested map under "user"
