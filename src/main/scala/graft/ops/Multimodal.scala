@@ -11,6 +11,8 @@ private[graft] case class MediaIn(media_id: Long, kind: String,
 private[graft] case class MediaDecoded(media_id: Long, kind: String,
     width: Int, height: Int, mean_intensity: Double, n_sampled_frames: Int,
     features: Array[Float])
+private[graft] case class MediaFrame(media_id: Long, kind: String,
+    frame_idx: Int, frame: Array[Byte])
 
 /** Multimodal-column plumbing for training-data pipelines: media travels as
   * an opaque `binary` column with a typed metadata struct; decode /
@@ -89,6 +91,35 @@ object Multimodal {
         lit(44100).as("sample_rate"),
         (col(idCol) % 100 + 1).cast("int").as("n_frames"),
         lit("fake").as("codec")).as("meta"))
+  }
+
+  /** Payload→payload transform (resize): binary in, binary out, the same
+    * typed per-partition shape as the decode stage — the payload column
+    * stays opaque for downstream stages, so resize chains ahead of decode
+    * or export without breaking the schema contract. */
+  def resizePayloads(media: DataFrame, size: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaIn]
+      .mapPartitions(_.map(m =>
+        MediaIn(m.media_id, m.kind, FakeCodec.resize(m.payload, size))))
+      .toDF()
+  }
+
+  /** Frame sampling (video → frames): one input row explodes into one row
+    * per sampled frame — the fan-out transform of the family (decode is
+    * 1:1, resize is 1:1, sampling is 1:N). */
+  def sampleFramePayloads(media: DataFrame, frameBytes: Int,
+      everyNth: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaIn]
+      .flatMap { m =>
+        FakeCodec.sampleFrames(m.payload, frameBytes, everyNth)
+          .zipWithIndex.map { case (f, i) =>
+            MediaFrame(m.media_id, m.kind, i, f)
+          }
+      }.toDF()
   }
 
   /** Decode + feature-extract, one codec instance per partition. Narrow (no

@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkTestBase {
     assert("SerializeFromObject".r.findAllIn(lp).length == 1)
   }
 
+  test("resize is payload→payload; frame sampling fans out 1:N") {
+    val media = Multimodal.syntheticMedia(
+      Tables(spark, sfDir, "documents"), "doc_id")
+    val resized = Multimodal.resizePayloads(media, size = 8)
+    assert(resized.columns.toSeq == Seq("media_id", "kind", "payload"))
+    val lens = resized.collect().map(_.getAs[Array[Byte]](2).length).toSet
+    assert(lens == Set(64)) // every payload exactly size*size bytes
+    // frames: payload bytes grouped into 64-byte frames, every 2nd kept
+    val frames = Multimodal.sampleFramePayloads(media, frameBytes = 64,
+      everyNth = 2)
+    assert(frames.columns.toSeq ==
+      Seq("media_id", "kind", "frame_idx", "frame"))
+    val one = frames.filter(col("media_id") === 1)
+      .orderBy("frame_idx").collect()
+    val payloadLen = media.filter(col("media_id") === 1)
+      .collect()(0).getAs[Array[Byte]]("payload").length
+    val expected = (0 until (payloadLen + 63) / 64).count(_ % 2 == 0)
+    assert(one.length == expected)
+    assert(one.map(_.getInt(2)).toSeq == (0 until expected))
+  }
+
   test("decode handles null/empty payloads without failing") {
     import spark.implicits._
     val media = Seq(
