@@ -18,6 +18,10 @@ object GraftFunctions {
 
   def tokenCount(c: Column): Column = e2col(TokenCount(col2e(c)))
 
+  def distinctTokenCount(c: Column): Column = e2col(DistinctTokenCount(col2e(c)))
+
+  def letterCount(c: Column): Column = e2col(LetterCount(col2e(c)))
+
   def vecDot(a: Column, b: Column): Column = e2col(DotProduct(col2e(a), col2e(b)))
 
   def vecCosine(a: Column, b: Column): Column =
@@ -104,6 +108,8 @@ object GraftFunctions {
       case Seq(t, d) => HashEmbed(t, intLit("hash_embed", "dim", d))
     }
     reg("token_count", "1") { case Seq(t) => TokenCount(t) }
+    reg("distinct_token_count", "1") { case Seq(t) => DistinctTokenCount(t) }
+    reg("letter_count", "1") { case Seq(t) => LetterCount(t) }
     reg("vec_dot", "2") { case Seq(a, b) => DotProduct(a, b) }
     reg("vec_cosine", "2") { case Seq(a, b) => CosineSimilarity(a, b) }
     reg("vec_norm", "1") { case Seq(a) => L2Norm(a) }

@@ -81,6 +81,52 @@ case class TokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Count of distinct `[a-z0-9_]+` tokens (embed tokenizer's set size). */
+case class DistinctTokenCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "distinct_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"distinct_token_count expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.distinctTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.distinctTokenCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctTokenCount =
+    copy(child = newChild)
+}
+
+/** Count of ASCII letters in a string (alpha-ratio numerator). */
+case class LetterCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "letter_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"letter_count expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.letterCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.letterCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LetterCount =
+    copy(child = newChild)
+}
+
 /** Dot product of two float/double vectors, accumulated in double. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -131,6 +131,32 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Count of DISTINCT `[a-z0-9_]+` tokens (the embed tokenizer's token
+    * set size) — one pass, no array materialization. */
+  def distinctTokenCount(text: UTF8String): Int = {
+    if (text == null) return 0
+    val toks = tokenize(text.toString)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    seen.size
+  }
+
+  /** Count of ASCII letters — the alpha-ratio numerator without building
+    * a stripped copy of the string per row. */
+  def letterCount(text: UTF8String): Int = {
+    if (text == null) return 0
+    val s = text.toString
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Index of the nearest centroid (squared-L2) — the IVF coarse-quantizer
     * assignment, shaped for codegen (the centroid matrix arrives as a
     * constant reference object, the vector as columnar ArrayData). */

@@ -63,15 +63,23 @@ object TextAnalysis {
     * computed from UNROUNDED features, then FLOOR-truncated to 4 decimals:
     * both engines produce bit-identical IEEE doubles for the sum, and floor
     * (unlike round) has no half-way mode ambiguity across engines. */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nToks = size(toks).cast("double")
-    val uniq = size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1))
-    val alpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
-      .cast("double") / greatest(length(col(textCol)), lit(1))
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), qualityCol(col(textCol)).as("quality"))
+
+  /** The quality score as a composable Column (pure projection — pipelines
+    * add it with `withColumn` instead of joining a scored table back).
+    * Built from the codegen kernel expressions (token_count,
+    * distinct_token_count, letter_count) rather than HOF array pipelines:
+    * same values, but one tokenizer pass per term, no per-row array
+    * materialization, and a ~10× smaller generated-code footprint (the HOF
+    * form dominated the query's whole-stage-codegen COMPILE time). */
+  def qualityCol(text: Column): Column = {
+    val nToks = tokenCount(text).cast("double")
+    val uniq = distinctTokenCount(text).cast("double") /
+      greatest(tokenCount(text), lit(1))
+    val alpha = letterCount(text).cast("double") / greatest(length(text), lit(1))
     val raw = least(nToks / 100.0, lit(1.0)) * 0.4 + uniq * 0.3 + alpha * 0.3
-    df.select(col(idCol),
-      (floor(raw * 10000.0) / 10000.0).as("quality"))
+    floor(raw * 10000.0) / 10000.0
   }
 
   /** Language ID: argmax of marker-token hit counts; 'und' when no marker

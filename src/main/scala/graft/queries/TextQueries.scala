@@ -53,13 +53,15 @@ object TextQueries {
     * q42-q45/DedupSpec) — omitted here so DuckDB can replay the pipeline
     * exactly. */
   private val q57Curation: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
-    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
-    val keep = docs.join(scored, Seq("doc_id"))
+    val keep = Tables(s, dir, "documents")
+      .withColumn("quality", TextAnalysis.qualityCol(col("text")))
       .filter(col("lang") === "en" && col("quality") >= 0.45)
-    val keepIds = keep.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    val deduped = keep.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
-    deduped
+    // exact-dedup, one shuffle: window-min over md5(text) — the dedup key
+    // the exchange hashes on is a 32-byte digest, and no join back is
+    // needed (vs groupBy(text) + semi-join = two shuffles of full text)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    keep.withColumn("min_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("min_id"))
       .withColumn("split",
         when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e",
           lit("train")).otherwise(lit("eval")))
