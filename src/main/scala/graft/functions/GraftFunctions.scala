@@ -91,7 +91,11 @@ object GraftFunctions {
     def intLit(name: String, arg: String, e: E): Int = e match {
       case l if l.foldable &&
           l.dataType == org.apache.spark.sql.types.IntegerType =>
-        l.eval().asInstanceOf[Int]
+        l.eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case _ => throw new IllegalArgumentException( // NULL literal
+            s"$name: $arg must be a literal INT")
+        }
       case _ => throw new IllegalArgumentException(
         s"$name: $arg must be a literal INT")
     }

@@ -234,7 +234,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
         "input YAML contains no entries")
       val overrides = entries.filter(col("id").isNotNull)
       val missing = overrides.join(records.select("id"), Seq("id"), "left_anti")
-        .orderBy(col("file"), col("off")).select("id").limit(1).collect()
+        .orderBy(col("file"), col("off"), col("seq"))
+        .select("id").limit(1).collect()
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"override id ${missing(0).getLong(0)} does not exist") // memo_cli.py:427
       val maxId = records.agg(max(col("id"))).collect()(0) match {
@@ -242,22 +243,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
         case r => r.getLong(0)
       }
       val hasOverrides = overrides.limit(1).count() > 0
-      // fresh ids: dense, minted in input order (file, off) — distributed
-      // via sort + zipWithIndex, never a single-partition window
+      // fresh ids: dense, minted in input order (file, off, seq) —
+      // distributed via sort + zipWithIndex, never a single-partition window
       val minted = entries.filter(col("id").isNull)
-        .sort(col("file"), col("off")).rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row(r.getString(0), r.getLong(1),
-            maxId + 1 + i, r.getString(3), r.getMap[String, String](4))
+        .sort(col("file"), col("off"), col("seq")).rdd.zipWithIndex()
+        .map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), r.getLong(1), r.getInt(2),
+            maxId + 1 + i, r.getString(4), r.getMap[String, String](5))
         }
       val mintedDf = spark.createDataFrame(minted, YamlIO.saveEntrySchema)
       val resolved = overrides.unionByName(mintedDf).cache()
       val batchDf = resolved.select("id", "body", "metadata")
       val idsDf = resolved.select("id")
-      if (!hasOverrides && exists) commitAppend(batchDf, idsDf)
-      else commit(
-        records.join(idsDf, Seq("id"), "left_anti").unionByName(batchDf),
-        changedIds = Some(idsDf))
-      val echo = resolved.orderBy(col("file"), col("off"))
+      try {
+        if (!hasOverrides && exists) commitAppend(batchDf, idsDf)
+        else commit(
+          records.join(idsDf, Seq("id"), "left_anti").unionByName(batchDf),
+          changedIds = Some(idsDf))
+      } catch {
+        case e: Exception => resolved.unpersist(); throw e
+      }
+      val echo = resolved.orderBy(col("file"), col("off"), col("seq"))
         .select(col("id"), col("body")).as[(Long, String)]
         .toLocalIterator.asScala
       new Iterator[(Long, String)] {

@@ -237,26 +237,31 @@ object YamlIO {
     df
   }
 
-  /** Schema of [[parseSavePath]]: input-order key (file, off) + the parsed
-    * entry; `id` is null for append entries (no id in the doc). */
+  /** Schema of [[parseSavePath]]: input-order key (file, off, seq) + the
+    * parsed entry; `id` is null for append entries (no id in the doc). */
   val saveEntrySchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("off", LongType, nullable = false),
+    StructField("seq", IntegerType, nullable = false),
     StructField("id", LongType, nullable = true),
     StructField("body", StringType, nullable = false),
     StructField("metadata", MapType(StringType, StringType), nullable = true)))
 
   /** Distributed save-input parse (S3 at scale): split + validate the batch
     * file on executors with the same error contract as [[parseSaveBatch]].
-    * `(file, off)` orders entries exactly as they appear in the input, so
-    * id assignment and echo order match the reference's sequential loop
-    * (memo_cli.py:404-440) without a driver-held batch String. */
+    * `(file, off, seq)` orders entries exactly as they appear in the input
+    * — `seq` disambiguates multiple docs inside ONE scanned fragment (a
+    * CRLF or `--- `-separated file the byte-delimiter scan can't split;
+    * `loadAll` still parses every doc) — so id assignment and echo order
+    * match the reference's sequential loop (memo_cli.py:404-440) without a
+    * driver-held batch String. */
   def parseSavePath(spark: SparkSession, path: String,
       maxSplitBytes: Long = 0L): DataFrame = {
     val rdd = docRdd(spark, path, maxSplitBytes).mapPartitions { it =>
       it.flatMap { case (file, off, doc) =>
-        loadAll(doc).flatMap(parseSaveEntry).map { case (id, body, meta) =>
-          Row(file, off, id.map(Long.box).orNull, body, meta)
+        loadAll(doc).flatMap(parseSaveEntry).zipWithIndex.map {
+          case ((id, body, meta), j) =>
+            Row(file, off, j, id.map(Long.box).orNull, body, meta)
         }
       }
     }

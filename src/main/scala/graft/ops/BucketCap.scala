@@ -40,8 +40,17 @@ object BucketCap {
     * measured 1.7× slower here: three exchanges of the pre-join rows
     * instead of one.) Dropped mass is observable via [[oversized]] — at
     * cluster scale wire that into job metrics rather than the hot path. */
+  /** Caps at or above this are treated as "uncapped": [[cap]] returns the
+    * input unchanged instead of paying a per-bucket sort for a limit no
+    * bucket reaches (Spark also stops rewriting rn<=N filters into
+    * map-side WindowGroupLimit above its group-limit threshold, so a huge
+    * cap would otherwise buy a full window sort for nothing). Used by the
+    * completeness-exact oracle queries. */
+  val Uncapped: Int = 1 << 20
+
   def cap(df: DataFrame, bucketCols: Seq[String], ord: String,
       capN: Int = DefaultCap): DataFrame = {
+    if (capN >= Uncapped) return df
     val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(ord))
     df.withColumn("__bc_rn", row_number().over(w))
       .filter(col("__bc_rn") <= capN)

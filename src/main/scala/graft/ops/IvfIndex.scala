@@ -116,26 +116,37 @@ object IvfIndex {
   /** Ensure a persisted index exists at `path` for this corpus and return
     * its centroids — the build-once / probe-many lifecycle of a real ANN
     * index. The centroid matrix and a validity stamp (corpus row count +
-    * nlist) are stored beside the parquet in `_ivf_centroids` (underscore
-    * prefix: invisible to the parquet reader); a stamp mismatch triggers a
-    * full retrain + rewrite. Training stays a bounded driver sample
-    * ([[trainCentroids]]); the assignment pass is distributed codegen. */
+    * nlist + sample fraction) are stored beside the parquet in
+    * `_ivf_centroids` (underscore prefix: invisible to the parquet reader;
+    * read/written through the HADOOP filesystem of `path`, so the check
+    * works on HDFS/object stores, not just the driver's local disk); a
+    * stamp mismatch triggers a full retrain + rewrite. The stamp is a
+    * pragmatic freshness check — data regenerated IN PLACE with an
+    * identical row count reuses the old index; delete the path (or the
+    * stamp file) to force a rebuild after such a rewrite. Training stays a
+    * bounded driver sample ([[trainCentroids]]); the assignment pass is
+    * distributed codegen. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, path: String, sampleFraction: Double = 1.0): Array[Array[Float]] = {
-    val metaFile = java.nio.file.Paths.get(path, "_ivf_centroids")
-    val stamp = s"${corpus.count()}:$nlist"
-    if (java.nio.file.Files.exists(metaFile)) {
-      val lines = java.nio.file.Files.readAllLines(metaFile)
-      if (lines.size() > 0 && lines.get(0) == stamp)
-        return (1 until lines.size()).map(i =>
-          lines.get(i).split(",").map(_.toFloat)).toArray
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
+    val fs = metaPath.getFileSystem(conf)
+    val stamp = s"${corpus.count()}:$nlist:$sampleFraction"
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      if (lines.headOption.contains(stamp))
+        return lines.tail.map(_.split(",").map(_.toFloat)).toArray
     }
     val centroids = trainCentroids(corpus, embCol, nlist,
       sampleFraction = sampleFraction)
     persist(build(corpus, idCol, embCol, centroids), path)
     val body = (stamp +: centroids.toSeq.map(_.mkString(",")))
       .mkString("", "\n", "\n")
-    java.nio.file.Files.writeString(metaFile, body)
+    val out = fs.create(metaPath, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     centroids
   }
 
@@ -172,6 +183,11 @@ object IvfIndex {
     val spark = index.sparkSession
     import spark.implicits._
     val q = queryDf.select(col(queryDf.columns.head).as("q"))
+    // single-query contract: with >1 rows the pooled cell limit and the
+    // unkeyed top-k would silently mix queries — refuse instead
+    require(q.limit(2).count() == 1,
+      "searchDf expects exactly one query row; for query batches use " +
+        "Similarity.bruteForceTopKBatch or call searchDf per query")
     val ctrDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell_id", "ctr")
     // rank cells by ||q - ctr||²; ||q||² is constant per query, so

@@ -54,15 +54,20 @@ object DedupQueries {
     * restriction makes the result — including est_jaccard, which must come
     * out exactly 1.0 for identical signatures — DuckDB-expressible. */
   private val q42MinHash: Q = (s, dir) =>
+    // completeness-exact oracle leg: BucketCap evicts the LARGEST ids first
+    // — exactly the planted twins — so the oracle queries raise the cap
+    // beyond any bucket at the verified scales; the capped default stays
+    // the production path (hot-bucket eviction is DedupSpec's cap test)
     Dedup.minHashPairs(withTwins(s, dir), "doc_id", "text",
-        minJaccard = 0.5)
+        minJaccard = 0.5, bucketCap = 1 << 20)
       .filter(col("b") === col("a") + 100000)
       .orderBy(col("a"))
 
   /** SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints), planted
     * projection — identical text pins hamming to exactly 0. */
   private val q43SimHash: Q = (s, dir) =>
-    Dedup.simHashPairs(withTwins(s, dir), "doc_id", "text", maxHamming = 3)
+    Dedup.simHashPairs(withTwins(s, dir), "doc_id", "text", maxHamming = 3,
+        bucketCap = 1 << 20) // see q42: oracle leg needs no twin eviction
       .filter(col("b") === col("a") + 100000)
       .orderBy(col("a"))
 
@@ -78,7 +83,8 @@ object DedupQueries {
   /** Winnowing inverted-index near-dup pairs, planted projection (n_shared
     * depends on the fingerprint multiset, so only (a, b) is oracled). */
   private val q45Winnow: Q = (s, dir) =>
-    Dedup.winnowPairs(withTwins(s, dir), "doc_id", "text")
+    Dedup.winnowPairs(withTwins(s, dir), "doc_id", "text",
+        bucketCap = 1 << 20) // see q42: oracle leg needs no twin eviction
       .filter(col("b") === col("a") + 100000)
       .select(col("a"), col("b"))
       .orderBy(col("a"))

@@ -106,12 +106,15 @@ object EventQueries {
         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS run_sum
         |FROM events ORDER BY event_id""".stripMargin,
     // each event belongs to the two 1h windows whose 30min-aligned starts
-    // are floor30(ts) and floor30(ts) - 30min — expanded via a 2-row cross
+    // are floor30(ts) and floor30(ts) - 30min — expanded via a 2-row cross.
+    // make_timestamp keeps the value a NAIVE timestamp: to_timestamp would
+    // return TIMESTAMPTZ and strftime would then render it in the HOST
+    // session timezone, silently diverging from Spark's UTC on non-UTC hosts
     "q65_sliding" ->
       """WITH w AS (
         |  SELECT event_type,
-        |    to_timestamp(CAST(floor(epoch(ts)/1800)*1800 - k*1800 AS BIGINT))
-        |      AS ws
+        |    make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - k*1800)
+        |      * 1000000 AS BIGINT)) AS ws
         |  FROM events CROSS JOIN (VALUES (0),(1)) t(k))
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         | count(*) AS n

@@ -216,9 +216,6 @@ object RelationalQueries {
       .orderBy(col("p_brand"))
   }
 
-  /** Seeded Bernoulli sample (rows-only: sampling algorithms differ across
-    * engines, so no value oracle — driver checks rows > 0; determinism
-    * under the fixed seed is what matters at scale). */
   /** Deterministic ~10% hash sample: keep rows whose md5(key) falls under
     * a fixed hex threshold. This is the sampling a training pipeline should
     * use — the selected set is a pure function of the KEY (reproducible

@@ -82,7 +82,10 @@ object ScaleQueries {
       System.getProperty("java.io.tmpdir"),
       s"graft_q75_${dir.hashCode.toHexString}").toString
     graft.memo.YamlIO.exportPath(docs, out)
-    graft.memo.YamlIO.importPath(s, out)
+    // unpersist the importer's internal cache: its dup-id check (which runs
+    // eagerly inside importPath) was the only other consumer here, and a
+    // pinned copy of the corpus must not accumulate across bench runs
+    graft.memo.YamlIO.importPath(s, out).unpersist()
       .select(col("id"), col("body")).orderBy(col("id"))
   }
 

@@ -65,7 +65,13 @@ object VectorQueries {
     val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
     val twins = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    Similarity.lshNearDupPairs(twins, "vec_id", minScore = -1.0, nBits = 8)
+    // the ORACLE leg must be completeness-exact, and BucketCap evicts the
+    // LARGEST ids first — which is precisely the planted twins — so this
+    // query raises the cap beyond any bucket at the verified scales. The
+    // capped default stays the production path (hot-bucket behavior is
+    // DedupSpec's cap test, and q42-q45 run with the default cap).
+    Similarity.lshNearDupPairs(twins, "vec_id", minScore = -1.0, nBits = 8,
+        bucketCap = 1 << 20)
       .filter(col("b") === col("a") + 100000)
       .orderBy(col("a"))
   }

@@ -123,8 +123,13 @@ object EventStreams {
             var cur = state.getOption
             times.foreach { t =>
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                // merge iff the event's [t, t+gap) window overlaps the
+                // session's [start, last+gap) window — an out-of-order
+                // (late but within-watermark) event can EXTEND THE START
+                // backwards, matching session_window's merge semantics
+                case Some(s) if t <= s.last + gapMs && t >= s.start - gapMs =>
+                  cur = Some(SessState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   out += ClosedSession(uid, new java.sql.Timestamp(s.start), s.n)
                   cur = Some(SessState(t, t, 1))

@@ -48,14 +48,21 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unused columns: $read")
   }
 
-  test("q42: bucket cap compiles to map-side WindowGroupLimit before the exchange") {
+  test("default bucket cap compiles to map-side WindowGroupLimit before the exchange") {
     // Spark 4 rewrites the rn<=cap filter into WindowGroupLimit pushed
     // BELOW the shuffle — each mapper keeps at most cap rows per bucket
     // before anything moves. This is the property that makes the skew
     // guard nearly free; pin it so a refactor can't silently lose it.
-    val s = planString(q("q42_dedup_minhash"))
+    // Pinned on the DEFAULT-capped operator (the oracle query q42 runs
+    // its completeness leg uncapped — BucketCap.Uncapped passthrough).
+    val capped = graft.ops.Dedup.minHashPairs(
+      graft.queries.DedupQueries.withMutants(spark, sfDir),
+      "doc_id", "text", minJaccard = 0.5)
+    val s = physical(capped).toString
     assert(s.contains("WindowGroupLimit"), "bucket cap lost its group-limit pushdown")
     assert(!s.contains("CartesianProduct"))
+    // and the uncapped oracle leg stays cartesian-free too
+    assert(!planString(q("q42_dedup_minhash")).contains("CartesianProduct"))
   }
 
   test("no CartesianProduct in any query plan except explicitly-bounded q33") {

@@ -83,6 +83,10 @@ class SqlFunctionsSpec extends SparkTestBase {
     val e3 = intercept[Exception](
       spark.sql("SELECT hash_embed('a', cast(rand() * 4 as int))").collect())
     assert(e3.getMessage.contains("dim must be a literal INT"))
+    // a NULL literal is foldable but must NOT silently unbox to 0
+    val e4 = intercept[Exception](
+      spark.sql("SELECT minhash_sig('a', CAST(NULL AS INT), 3)").collect())
+    assert(e4.getMessage.contains("num_hashes must be a literal INT"))
   }
 
   test("SQL and Column APIs produce identical embeddings") {

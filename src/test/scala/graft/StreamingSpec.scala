@@ -160,6 +160,33 @@ class StreamingSpec extends SparkTestBase {
       (2L, "2026-01-01 09:00:00.0", 1L))) // timed out once watermark hit 10:00
   }
 
+  test("sessionizeWithState merges a late within-watermark event backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionizeWithState(input.toDF(), gapMinutes = 30,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(0, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+      1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // 09:50 is late but inside the 2h watermark: it must EXTEND the
+    // session's start backwards, like session_window would merge it
+    input.addData(Ev(1, java.sql.Timestamp.valueOf("2026-01-01 09:50:00"),
+      1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // same-user event past the gap closes the session inline
+    input.addData(Ev(2, java.sql.Timestamp.valueOf("2026-01-01 15:00:00"),
+      1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("late_sessions_out")
+      .select("userId", "sessStart", "nEvents")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    q.stop()
+    assert(rows.map(r => (r._1, r._2.toString, r._3)) ==
+      Seq((1L, "2026-01-01 09:50:00.0", 2L)))
+  }
+
   test("mapGroupsWithState accumulates per-user running stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
