@@ -245,6 +245,24 @@ class YamlIOSpec extends SparkTestBase {
     back.unpersist()
   }
 
+  test("path interchange edges: empty table and no-trailing-newline file") {
+    // empty store → export writes no docs → import reads an empty table
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      YamlIO.recordSchema)
+    val dir = java.nio.file.Files.createTempDirectory("yaml_empty")
+      .resolve("d").toString
+    YamlIO.exportPath(empty, dir)
+    assert(YamlIO.importPath(spark, dir).count() == 0)
+    // a hand-edited file whose last record has no trailing newline
+    val f = java.nio.file.Files.createTempDirectory("yaml_nonl")
+      .resolve("db.yaml")
+    java.nio.file.Files.writeString(f,
+      "---\nid: 0\nbody: |-\n  first\n---\nid: 1\nbody: |-\n  last line")
+    val rows = YamlIO.importPath(spark, f.toString).orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("first", "last line"))
+  }
+
   test("path import: duplicate ids across splits abort") {
     val f = java.nio.file.Files.createTempDirectory("yaml_dup").resolve("db.yaml")
     val docs = (0 until 50).map(i => s"---\nid: $i\nbody: |-\n  d $i\n").mkString +
