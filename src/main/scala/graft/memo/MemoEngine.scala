@@ -361,6 +361,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
   }
   def exportYamlPath(path: String, shards: Int = 0): Unit =
     YamlIO.exportPath(records, path, shards)
+
+  /** JSONL interchange (training-data format) — distributed both ways. */
+  def importJsonlPath(path: String): Long = {
+    val df = try JsonlIO.importPath(spark, path)
+             catch { case e: Exception => throw YamlIO.asUserError(e) }
+    try commit(df) finally df.unpersist()
+  }
+  def exportJsonlPath(path: String, shards: Int = 0): Unit =
+    JsonlIO.exportPath(records, path, shards)
 }
 
 object MemoEngine {

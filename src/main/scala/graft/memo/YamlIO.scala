@@ -209,8 +209,8 @@ object YamlIO {
       }
   }
 
-  private def importDocsRdd(spark: SparkSession, docs: RDD[String]): DataFrame = {
-    val rdd = docs.mapPartitions { it =>
+  private def importDocsRdd(spark: SparkSession, docs: RDD[String]): DataFrame =
+    importRows(spark, docs.mapPartitions { it =>
       it.flatMap { doc =>
         loadAll(doc).flatMap {
           case null => None
@@ -220,7 +220,13 @@ object YamlIO {
           case bad => throw new IllegalArgumentException(s"Bad record: $bad")
         }
       }
-    }
+    })
+
+  /** Finish a distributed record import: materialize (cache), run the
+    * duplicate-id check as an aggregation, surface parse errors with the
+    * reference message. Shared by the YAML and JSONL importers; the caller
+    * owns the returned DataFrame's cache (unpersist when done). */
+  private[memo] def importRows(spark: SparkSession, rdd: RDD[Row]): DataFrame = {
     val df = spark.createDataFrame(rdd, recordSchema)
     df.cache()
     try {

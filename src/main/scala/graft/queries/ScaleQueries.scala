@@ -89,6 +89,26 @@ object ScaleQueries {
       .select(col("id"), col("body")).orderBy(col("id"))
   }
 
+  /** JSONL roundtrip (the training-data interchange format): export the
+    * documents as sharded JSONL on executors, read back via the splittable
+    * text scan — typed metadata survives exactly ([[graft.memo.JsonlIO]]).
+    * Fully distributed like q75's YAML twin. */
+  private val q58JsonlRoundtrip: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        map(lit("lang"), concat(lit("s"), col("lang")),
+          lit("n_chars"), concat(lit("i"), col("n_chars"))).as("metadata"))
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q58_${dir.hashCode.toHexString}").toString
+    graft.memo.JsonlIO.exportPath(docs, out)
+    graft.memo.JsonlIO.importPath(s, out).unpersist()
+      .select(col("id"), col("body"),
+        element_at(col("metadata"), "lang").as("lang_enc"),
+        element_at(col("metadata"), "n_chars").as("nchars_enc"))
+      .orderBy(col("id"))
+  }
+
   /** F7: ISO datetime parse — null on failure (to_timestamp contract). */
   private val q76IsoParse: Q = (s, dir) =>
     Tables(s, dir, "events")
@@ -117,6 +137,7 @@ object ScaleQueries {
     "q24_stats_dates" -> q24StatsDates,
     "q74_overwrite" -> q74Overwrite,
     "q75_yaml_roundtrip" -> q75YamlRoundtrip,
+    "q58_jsonl_roundtrip" -> q58JsonlRoundtrip,
     "q76_iso_parse" -> q76IsoParse,
     "q77_default_fields" -> q77DefaultFields,
     "q55_quality_score" -> q55QualityScore,
@@ -134,6 +155,12 @@ object ScaleQueries {
         |FROM documents ORDER BY id""".stripMargin,
     "q75_yaml_roundtrip" ->
       "SELECT doc_id AS id, text AS body FROM documents ORDER BY id",
+    // typed encodings are deterministic: 's'+lang, 'i'+n_chars
+    "q58_jsonl_roundtrip" ->
+      """SELECT doc_id AS id, text AS body,
+        | 's' || lang AS lang_enc,
+        | 'i' || CAST(n_chars AS VARCHAR) AS nchars_enc
+        |FROM documents ORDER BY id""".stripMargin,
     "q76_iso_parse" ->
       """SELECT event_id,
         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS parsed,
