@@ -107,8 +107,8 @@ object MemoCli {
     println("  analyze             Metadata-only reporting from the <base> store")
     println("  clean               Remove the <base> store")
     println("  reindex             Rebuild the index from records (full regenerate)")
-    println("  import              Replace the store from a full-DB YAML file/dir (migration)")
-    println("  export              Write the store as sharded full-DB YAML (migration)")
+    println("  import              Replace the store from a full-DB YAML/JSONL file or dir (migration)")
+    println("  export              Write the store as sharded full-DB YAML/JSONL (migration)")
     println()
     println("Options:")
     println("  -f <base>           REQUIRED DB base directory")
@@ -182,13 +182,17 @@ object MemoCli {
 
   /** Migration verbs (extensions — the reference's store IS its YAML file,
     * memo_cli.py:47-58, so switching to this engine means one import; both
-    * run the DISTRIBUTED interchange path, no corpus String on the driver). */
+    * run the DISTRIBUTED interchange path, no corpus String on the driver).
+    * Paths containing ".jsonl" route through the JSONL interchange. */
+  private def isJsonl(path: String): Boolean = path.contains(".jsonl")
+
   private def cmdImport(engine: MemoEngine, path: String, verbose: Boolean): Int = {
     if (!Files.exists(Paths.get(path))) {
       System.err.println(s"Error: failed to read input file '$path'")
       return 1
     }
-    engine.importYamlPath(path)
+    if (isJsonl(path)) engine.importJsonlPath(path)
+    else engine.importYamlPath(path)
     val n = engine.records.count()
     vlog(verbose, s"Imported $n records into the store")
     println(s"Imported $n records")
@@ -197,7 +201,8 @@ object MemoCli {
 
   private def cmdExport(engine: MemoEngine, path: String, verbose: Boolean): Int = {
     val n = engine.records.count()
-    engine.exportYamlPath(path)
+    if (isJsonl(path)) engine.exportJsonlPath(path)
+    else engine.exportYamlPath(path)
     vlog(verbose, s"Exported $n records to $path")
     println(s"Exported $n records")
     0

@@ -52,6 +52,15 @@ class CliSpec extends SparkTestBase {
         assert(r.contains("I am allergic to peanuts."))
         run("-f", db2, "clean")
       }
+      // a .jsonl path routes through the JSONL interchange
+      val jl = Files.createTempDirectory("cli_mig_jl").resolve("dump.jsonl.d")
+      assert(run("-f", db, "export", jl.toString) == ((0, "Exported 2 records\n")))
+      withDb { db3 =>
+        assert(run("-f", db3, "import", jl.toString)._2 == "Imported 2 records\n")
+        val (_, r3) = run("-f", db3, "recall", "-k", "1", "peanuts")
+        assert(r3.contains("I am allergic to peanuts."))
+        run("-f", db3, "clean")
+      }
       // arity + missing-file errors
       assert(run("-f", db, "import")._1 == 1)
       assert(run("-f", db, "import", "/nope/missing.yaml")._1 == 1)
