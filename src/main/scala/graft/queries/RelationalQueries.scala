@@ -42,7 +42,10 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1997-01-01") &&
         col("l_shipdate") < lit("1997-02-01") && col("l_discount") >= 0.05)
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
+        // floor(x*100+0.5)/100, not round(x,2): identical IEEE ops in both
+        // engines, so no HALF_UP-vs-binary boundary drift (values are >= 0)
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100.0
+          + 0.5) / 100.0).as("net"))
       .orderBy(desc("net"), col("l_orderkey"), col("l_linenumber"))
       .limit(100)
   }
@@ -277,9 +280,13 @@ object RelationalQueries {
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+        // floor-form rounding (see q02): cross-engine-exact at boundaries
+        (floor(expr("percentile(l_extendedprice, 0.25)") * 100.0 + 0.5) / 100.0)
+          .as("p25"),
+        (floor(expr("percentile(l_extendedprice, 0.5)") * 100.0 + 0.5) / 100.0)
+          .as("p50"),
+        (floor(expr("percentile(l_extendedprice, 0.75)") * 100.0 + 0.5) / 100.0)
+          .as("p75"))
       .orderBy(col("l_returnflag"))
 
   val defs: Map[String, Q] = Map(
@@ -333,9 +340,9 @@ object RelationalQueries {
         |ORDER BY o_custkey""".stripMargin,
     "q83_percentiles" ->
       """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        | floor(quantile_cont(l_extendedprice, 0.25)*100.0 + 0.5)/100.0 AS p25,
+        | floor(quantile_cont(l_extendedprice, 0.5)*100.0 + 0.5)/100.0 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.75)*100.0 + 0.5)/100.0 AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q82_top_cust_orders" ->
       """WITH top AS (
@@ -360,7 +367,7 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(l_extendedprice*(1-l_discount),2) AS net
+        | floor(l_extendedprice*(1-l_discount)*100.0 + 0.5)/100.0 AS net
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
