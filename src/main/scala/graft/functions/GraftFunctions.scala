@@ -46,6 +46,14 @@ object GraftFunctions {
   def nearestCentroid(c: Column, centroids: Array[Array[Float]]): Column =
     e2col(NearestCentroid(col2e(c), centroids))
 
+  /** Round to 2 decimals in floor form — `floor(x*100 + 0.5)/100` — the
+    * cross-engine-exact rounding for oracle-compared money values:
+    * `round(x, 2)` pits Spark's shortest-repr HALF_UP against DuckDB's
+    * binary multiply-round, which disagree for doubles one ULP off a .xx5
+    * boundary; the floor form is the same IEEE op sequence in both engines
+    * (the matching DuckDB SQL is `floor(x*100.0 + 0.5)/100.0`). */
+  def round2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
+
   /** Tokens per the embed tokenizer, as pure built-ins (codegen'd). */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")

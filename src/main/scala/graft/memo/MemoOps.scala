@@ -152,9 +152,9 @@ object MemoOps {
   def statsNumeric(records: DataFrame, filterExpr: String, key: String): DataFrame =
     statsValues(records, filterExpr, key)
       .select(statsNumericValue(col("raw")).as("v")).filter(col("v").isNotNull)
-      .agg(round(min(col("v")), 2).as("vmin"),
-        round(max(col("v")), 2).as("vmax"),
-        round(avg(col("v")), 2).as("vavg"))
+      .agg(round2(min(col("v"))).as("vmin"),
+        round2(max(col("v"))).as("vmax"),
+        round2(avg(col("v"))).as("vavg"))
 
   /** ISO-parseable timestamp of a stats value; reference parse_iso_datetime
     * only accepts strings (memo_cli.py:700-712). */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.round2
 
 /** Event-stream analytics in batch form (the streaming equivalents — same
   * transforms behind readStream + watermark — are exercised in the
@@ -19,7 +20,7 @@ object EventQueries {
       .groupBy(date_format(date_trunc("hour", col("ts")),
           "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("value"))).as("total"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Sessionization (30-min inactivity gap) via gaps-and-islands — the
@@ -51,7 +52,7 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-4, 0)
     Tables(s, dir, "events")
-      .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+      .withColumn("run_sum", round2(sum(col("value")).over(w)))
       .select(col("event_id"), col("user_id"), col("run_sum"))
       .orderBy(col("event_id"))
   }
@@ -83,7 +84,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q60_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-        | event_type, count(*) AS n, round(sum(value),2) AS total
+        | event_type, count(*) AS n, floor((sum(value))*100.0 + 0.5)/100.0 AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q61_sessionize" ->
       """WITH flagged AS (
@@ -102,8 +103,8 @@ object EventQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q63_running" ->
       """SELECT event_id, user_id,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS run_sum
+        | floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))*100.0 + 0.5)/100.0 AS run_sum
         |FROM events ORDER BY event_id""".stripMargin,
     // each event belongs to the two 1h windows whose 30min-aligned starts
     // are floor30(ts) and floor30(ts) - 30min — expanded via a 2-row cross.

@@ -174,9 +174,9 @@ object MemoQueries {
         |WHERE value NOT IN (SELECT value FROM top)
         |ORDER BY cnt DESC, value""".stripMargin,
     "q23_stats_numeric" ->
-      """SELECT round(min(CAST(n_chars AS DOUBLE)),2) AS vmin,
-        | round(max(CAST(n_chars AS DOUBLE)),2) AS vmax,
-        | round(avg(CAST(n_chars AS DOUBLE)),2) AS vavg
+      """SELECT floor((min(CAST(n_chars AS DOUBLE)))*100.0 + 0.5)/100.0 AS vmin,
+        | floor((max(CAST(n_chars AS DOUBLE)))*100.0 + 0.5)/100.0 AS vmax,
+        | floor((avg(CAST(n_chars AS DOUBLE)))*100.0 + 0.5)/100.0 AS vavg
         |FROM documents WHERE lang = 'en'""".stripMargin,
     "q25_cardinality" ->
       "SELECT count(DISTINCT source) AS n_distinct FROM documents WHERE lang = 'en'",

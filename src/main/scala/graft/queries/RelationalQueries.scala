@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.round2
 
 /** Relational operator coverage (SURVEY.md §2.8): scans, filters,
   * aggregation, joins of every flavor, windows, rollup/cube, set ops,
@@ -26,12 +27,12 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round2(sum(col("l_quantity"))).as("sum_qty"),
+        round2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 2).as("avg_disc"),
+        round2(avg(col("l_quantity"))).as("avg_qty"),
+        round2(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -42,10 +43,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1997-01-01") &&
         col("l_shipdate") < lit("1997-02-01") && col("l_discount") >= 0.05)
       .select(col("l_orderkey"), col("l_linenumber"),
-        // floor(x*100+0.5)/100, not round(x,2): identical IEEE ops in both
-        // engines, so no HALF_UP-vs-binary boundary drift (values are >= 0)
-        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100.0
-          + 0.5) / 100.0).as("net"))
+        // round2 = floor(x*100+0.5)/100: identical IEEE ops in both engines,
+        // so no HALF_UP-vs-binary rounding-boundary drift vs the oracle
+        round2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
       .orderBy(desc("net"), col("l_orderkey"), col("l_linenumber"))
       .limit(100)
   }
@@ -60,7 +60,7 @@ object RelationalQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))
       .orderBy(desc("revenue"), col("o_orderkey"))
       .limit(10)
@@ -73,7 +73,7 @@ object RelationalQueries {
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
@@ -92,7 +92,7 @@ object RelationalQueries {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        round2(sum(col("o_totalprice"))).as("total"))
       .orderBy(col("r_name"))
   }
 
@@ -122,7 +122,7 @@ object RelationalQueries {
     ord.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("top_price"))
+        round2(col("o_totalprice")).as("top_price"))
       .orderBy(col("o_custkey"))
   }
 
@@ -130,7 +130,7 @@ object RelationalQueries {
   private val q09Rollup: Q = (s, dir) => {
     Tables(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("l_quantity"))).as("qty"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("qty"))
@@ -173,7 +173,7 @@ object RelationalQueries {
   /** ORDER BY + OFFSET + LIMIT pagination (TakeOrderedAndProject). */
   private val q14SortPage: Q = (s, dir) => {
     Tables(s, dir, "orders")
-      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .select(col("o_orderkey"), round2(col("o_totalprice")).as("price"))
       .orderBy(desc("price"), col("o_orderkey"))
       .offset(10).limit(20)
   }
@@ -215,7 +215,7 @@ object RelationalQueries {
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
     graft.ops.JoinOps.saltedJoin(li, part, "l_partkey", saltFactor = 8)
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("l_quantity"))).as("qty"))
       .orderBy(col("p_brand"))
   }
 
@@ -249,7 +249,7 @@ object RelationalQueries {
       .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
     li.join(avgQty, li("l_partkey") === avgQty("ap_partkey"))
       .filter(col("l_quantity") < col("half_avg"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      .agg(round2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
   /** GROUP BY ... HAVING: customers with more than 15 orders. */
@@ -257,7 +257,7 @@ object RelationalQueries {
     Tables(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        round2(sum(col("o_totalprice"))).as("total"))
       .filter(col("n_orders") > 15)
       .orderBy(col("o_custkey"))
 
@@ -266,11 +266,11 @@ object RelationalQueries {
   private val q82TopCustOrders: Q = (s, dir) => {
     val ord = Tables(s, dir, "orders")
     val top = ord.groupBy(col("o_custkey").as("top_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      .agg(round2(sum(col("o_totalprice"))).as("spend"))
       .orderBy(desc("spend"), col("top_custkey")).limit(10)
     ord.join(broadcast(top), ord("o_custkey") === top("top_custkey"))
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"), col("spend"))
+        round2(col("o_totalprice")).as("price"), col("spend"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -322,11 +322,11 @@ object RelationalQueries {
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
         |ORDER BY o_orderkey""".stripMargin,
     "q17_salted_join" ->
-      """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
+      """SELECT p_brand, count(*) AS n, floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q80_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT floor((sum(l_extendedprice) / 7.0)*100.0 + 0.5)/100.0 AS avg_yearly
         |FROM lineitem l
         |JOIN (SELECT l_partkey AS ap_partkey,
         |        avg(l_quantity) * 0.5 AS half_avg
@@ -335,7 +335,7 @@ object RelationalQueries {
         |WHERE l.l_quantity < a.half_avg""".stripMargin,
     "q81_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        | round(sum(o_totalprice),2) AS total
+        | floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS total
         |FROM orders GROUP BY o_custkey HAVING count(*) > 15
         |ORDER BY o_custkey""".stripMargin,
     "q83_percentiles" ->
@@ -347,19 +347,19 @@ object RelationalQueries {
     "q82_top_cust_orders" ->
       """WITH top AS (
         |  SELECT o_custkey AS top_custkey,
-        |    round(sum(o_totalprice),2) AS spend
+        |    floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS spend
         |  FROM orders GROUP BY o_custkey
         |  ORDER BY spend DESC, top_custkey LIMIT 10)
-        |SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, spend
+        |SELECT o_custkey, o_orderkey, floor((o_totalprice)*100.0 + 0.5)/100.0 AS price, spend
         |FROM orders JOIN top ON o_custkey = top_custkey
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),2) AS avg_qty,
-        | round(avg(l_discount),2) AS avg_disc,
+        | floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS sum_qty,
+        | floor((sum(l_extendedprice))*100.0 + 0.5)/100.0 AS sum_base_price,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS sum_disc_price,
+        | floor((avg(l_quantity))*100.0 + 0.5)/100.0 AS avg_qty,
+        | floor((avg(l_discount))*100.0 + 0.5)/100.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -375,7 +375,7 @@ object RelationalQueries {
         |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "q03_top_revenue" ->
       """SELECT o_orderkey,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -384,13 +384,13 @@ object RelationalQueries {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q04_brand_revenue" ->
       """SELECT p_brand,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100.0 + 0.5)/100.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q05_region_orders" ->
       """SELECT r_name, count(*) AS n_orders,
-        | round(sum(o_totalprice),2) AS total
+        | floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -406,14 +406,14 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q08_window_top_order" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS top_price
+      """SELECT o_custkey, o_orderkey, floor((o_totalprice)*100.0 + 0.5)/100.0 AS top_price
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q09_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rf,
         | coalesce(l_linestatus,'ALL') AS ls,
-        | count(*) AS n, round(sum(l_quantity),2) AS qty
+        | count(*) AS n, floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q10_cube" ->
@@ -434,7 +434,7 @@ object RelationalQueries {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_custkey""".stripMargin,
     "q14_sort_page" ->
-      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+      """SELECT o_orderkey, floor((o_totalprice)*100.0 + 0.5)/100.0 AS price FROM orders
         |ORDER BY price DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
     "q15_range_join" ->
       """SELECT p_brand, count(*) AS n_rich
