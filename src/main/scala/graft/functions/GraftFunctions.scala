@@ -54,6 +54,12 @@ object GraftFunctions {
     * (the matching DuckDB SQL is `floor(x*100.0 + 0.5)/100.0`). */
   def round2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
 
+  /** 4-decimal sibling of [[round2]], for oracle-compared RATIONAL values
+    * (jaccard fractions, token ratios, averages of ints) — exact fractions
+    * like 3/32 land precisely on a .xxxx5 boundary, where `round(x, 4)`
+    * diverges between engines (DuckDB SQL: `floor(x*10000.0+0.5)/10000.0`). */
+  def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
   /** Tokens per the embed tokenizer, as pure built-ins (codegen'd). */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")

@@ -77,10 +77,10 @@ object Dedup {
     candidates
       .join(sig.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
       .join(sig.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
-      .withColumn("est_jaccard", round(
+      .withColumn("est_jaccard", round4(
         aggregate(zip_with(col("siga"), col("sigb"),
             (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes))
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("est_jaccard"))
   }
@@ -117,9 +117,9 @@ object Dedup {
     pairs
       .withColumn("sa", shingles(col("texta"), n))
       .withColumn("sb", shingles(col("textb"), n))
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", round4(
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 4))
+          size(array_union(col("sa"), col("sb")))))
       .select(col("a"), col("b"), col("jaccard"))
   }
 

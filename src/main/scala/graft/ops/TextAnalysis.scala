@@ -38,18 +38,18 @@ object TextAnalysis {
       col(idCol),
       length(col(textCol)).as("n_chars_raw"),
       size(toks).as("n_tokens"),
-      round(size(array_distinct(toks)).cast("double") /
-        greatest(size(toks), lit(1)), 4).as("uniq_ratio"),
-      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast("double") / greatest(size(toks), lit(1)), 4).as("mean_tok_len"),
-      round(length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
-        .cast("double") / greatest(length(col(textCol)), lit(1)), 4)
+      round4(size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1))).as("uniq_ratio"),
+      round4(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / greatest(size(toks), lit(1))).as("mean_tok_len"),
+      round4(length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
+        .cast("double") / greatest(length(col(textCol)), lit(1)))
         .as("alpha_ratio"),
-      round(length(regexp_replace(col(textCol), "[^.,;:!?'\"()\\[\\]{}-]", ""))
-        .cast("double") / greatest(length(col(textCol)), lit(1)), 4)
+      round4(length(regexp_replace(col(textCol), "[^.,;:!?'\"()\\[\\]{}-]", ""))
+        .cast("double") / greatest(length(col(textCol)), lit(1)))
         .as("punct_ratio"),
-      round(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
-        greatest(size(toks), lit(1)), 4).as("stopword_ratio"))
+      round4(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+        greatest(size(toks), lit(1))).as("stopword_ratio"))
   }
 
   /** BPE-ish token-count estimate: letter runs, digit runs, and punctuation

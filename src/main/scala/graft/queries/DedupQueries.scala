@@ -142,8 +142,9 @@ object DedupQueries {
         |      generate_series(1, greatest(len(tb) - 2, 0)),
         |      i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2])) AS sb
         |  FROM tok)
-        |SELECT a, b, round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
-        |  len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+        |SELECT a, b, floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(sa, sb))) * 10000.0 + 0.5)/10000.0
+        |  AS jaccard
         |FROM sh ORDER BY a""".stripMargin,
   )
 }

@@ -67,8 +67,8 @@ object TextQueries {
           lit("train")).otherwise(lit("eval")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(tokenCount(col("text"))), 4).as("avg_tokens"),
-        round(avg(col("quality")), 4).as("avg_quality"))
+        round4(avg(tokenCount(col("text")))).as("avg_tokens"),
+        round4(avg(col("quality"))).as("avg_quality"))
       .orderBy(col("split"))
   }
 
@@ -103,8 +103,8 @@ object TextQueries {
         |SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
         |         THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n_docs,
-        |  round(avg(n_tokens), 4) AS avg_tokens,
-        |  round(avg(quality), 4) AS avg_quality
+        |  floor((avg(n_tokens))*10000.0 + 0.5)/10000.0 AS avg_tokens,
+        |  floor((avg(quality))*10000.0 + 0.5)/10000.0 AS avg_quality
         |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
     "q50_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(
@@ -120,20 +120,20 @@ object TextQueries {
         |SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars_raw,
         |  CAST(len(ts) AS INT) AS n_tokens,
-        |  round(CAST(len(list_distinct(ts)) AS DOUBLE) /
-        |    greatest(len(ts), 1), 4) AS uniq_ratio,
-        |  round(CAST(coalesce(list_aggregate(
+        |  floor((CAST(len(list_distinct(ts)) AS DOUBLE) /
+        |    greatest(len(ts), 1))*10000.0 + 0.5)/10000.0 AS uniq_ratio,
+        |  floor((CAST(coalesce(list_aggregate(
         |      list_transform(ts, x -> length(x)), 'sum'), 0) AS DOUBLE) /
-        |    greatest(len(ts), 1), 4) AS mean_tok_len,
-        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |      AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio,
-        |  round(CAST(length(regexp_replace(text,
+        |    greatest(len(ts), 1))*10000.0 + 0.5)/10000.0 AS mean_tok_len,
+        |  floor((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS DOUBLE) / greatest(length(text), 1))*10000.0 + 0.5)/10000.0 AS alpha_ratio,
+        |  floor((CAST(length(regexp_replace(text,
         |      '[^.,;:!?''"()\[\]{}-]', '', 'g'))
-        |      AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
-        |  round(CAST(len(list_filter(ts, x -> x IN ('the','a','an','of',
+        |      AS DOUBLE) / greatest(length(text), 1))*10000.0 + 0.5)/10000.0 AS punct_ratio,
+        |  floor((CAST(len(list_filter(ts, x -> x IN ('the','a','an','of',
         |      'and','to','in','is','that','it','for','on','with','as','at',
         |      'by','or','be'))) AS DOUBLE) /
-        |    greatest(len(ts), 1), 4) AS stopword_ratio
+        |    greatest(len(ts), 1))*10000.0 + 0.5)/10000.0 AS stopword_ratio
         |FROM toks ORDER BY doc_id""".stripMargin,
     "q56_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,
