@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * incremental (batch-vs-corpus) dedup, train/eval decontamination,
+  * sequence packing, stratified sampling, and PII redaction.
+  *
+  * Every operator is shaped for the 100-TB case: the corpus side of a join
+  * is never shuffled when a broadcast of the small side suffices, candidate
+  * blowups are bounded (occupancy / document-frequency caps), and the one
+  * inherently sequential computation (global prefix sums for packing) is a
+  * two-pass range-partition algorithm, not a single-partition window.
+  */
+object Curation {
+
+  // ---- incremental dedup -------------------------------------------------
+
+  /** Near-dup candidates of an incoming BATCH against an existing CORPUS —
+    * the incremental-ingest complement of [[Dedup.minHashPairs]] (which
+    * self-joins one corpus).
+    *
+    * Scale shape: the batch is small (an ingest increment), so its banded
+    * signatures are BROADCAST and the corpus is scanned exactly once with
+    * no corpus-sized shuffle anywhere: scan → signature+bands (narrow) →
+    * broadcast hash join → signature-agreement filter → distinct over the
+    * (small) surviving pairs. Signature agreement is computed before the
+    * distinct so only the narrow (batch_id, corpus_id, est_jaccard) triple
+    * is ever exchanged; a pair matching in several bands re-scores the same
+    * cheap zip — bounded by `bands` — instead of shuffling two 64-element
+    * signature arrays per candidate.
+    *
+    * The occupancy cap is applied to the BATCH side only (tiny window): a
+    * hot corpus bucket against a broadcast batch fans out linearly in the
+    * bucket's size — candidates a verification stage prunes — never
+    * quadratically, so the corpus needs no capping shuffle. At 100 TB the
+    * corpus signatures would come from a persisted signature table
+    * maintained by [[graft.memo.MemoEngine]]-style incremental appends
+    * rather than being recomputed per batch. */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5,
+      batchBucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame, idAs: String, sigAs: String) =
+      df.select(col(idCol).as(idAs),
+          minhashSig(col(textCol), numHashes, 3).as(sigAs))
+        .select(col(idAs), col(sigAs),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band_id"),
+              xxhash64(slice(col(sigAs), b * rows + 1, lit(rows)))
+                .as("band_hash")))).as("band"))
+        .select(col(idAs), col(sigAs), col("band.band_id"),
+          col("band.band_hash"))
+    val batchBanded = BucketCap.cap(banded(batch, "batch_id", "sigb"),
+      Seq("band_id", "band_hash"), "batch_id", batchBucketCap)
+    banded(corpus, "corpus_id", "sigc")
+      .join(broadcast(batchBanded), Seq("band_id", "band_hash"))
+      .withColumn("est_jaccard", round4(
+        aggregate(zip_with(col("sigb"), col("sigc"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+      .distinct()
+  }
+
+  /** Incremental-ingest ADMISSION: the rows of `batch` that near-dup nothing
+    * in `corpus` (one anti-join over [[dedupAgainstCorpus]]). */
+  def admitNew(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double = 0.8): DataFrame = {
+    val dups = dedupAgainstCorpus(batch, corpus, idCol, textCol,
+        minJaccard = minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
+
+  // ---- decontamination ---------------------------------------------------
+
+  /** Train/eval contamination check: for every eval document, the number of
+    * distinct word `n`-grams it shares with ANY training document — the
+    * standard pre-release decontamination sweep (an eval row whose n-grams
+    * appear in training data leaks the benchmark).
+    *
+    * Shape: both sides explode to distinct n-grams (narrow); the train side
+    * collapses to a distinct n-gram SET with a document-frequency cap —
+    * n-grams present in more than `maxTrainDf` training documents are
+    * boilerplate (licence headers, navigation chrome), not contamination
+    * evidence, and dropping them is also what bounds the join fan-out on a
+    * skewed corpus. One shuffle per side on the n-gram key, then an
+    * inverted-index equi-join and a per-eval-doc count. At 100 TB the train
+    * n-gram set is the big side; it is built once per train snapshot and
+    * reused across eval sweeps (persist or write out the distinct set). */
+  def decontaminate(evalDf: DataFrame, trainDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Long = 1,
+      maxTrainDf: Long = Long.MaxValue): DataFrame = {
+    val trainGrams = {
+      val g = trainDf.select(col(idCol).as("train_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("ng"))
+      if (maxTrainDf == Long.MaxValue) g.select(col("ng")).distinct()
+      else g.groupBy(col("ng"))
+        .agg(countDistinct(col("train_id")).as("df"))
+        .filter(col("df") <= maxTrainDf)
+        .select(col("ng"))
+    }
+    evalDf.select(col(idCol).as("eval_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("ng"))
+      .join(trainGrams, Seq("ng"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // ---- sequence packing --------------------------------------------------
+
+  /** Assign every document to a fixed-size token bin (training-sequence
+    * packing): documents are laid out in `idCol` order, token counts are
+    * prefix-summed, and a document lands in the bin its first token falls
+    * into — `bin_id = floor(start_offset / seqLen)`.
+    *
+    * The global prefix sum is the textbook two-pass range-partition
+    * algorithm, NOT a single-partition window (which would serialize the
+    * whole corpus through one task): range-partition on `idCol`, per
+    * partition compute local running sums, collect only the per-partition
+    * TOTALS (numPartitions rows) to the driver, prefix-sum those into
+    * partition offsets, broadcast the offsets back, and add. Wall-clock is
+    * two narrow passes plus one range shuffle at any corpus size.
+    *
+    * Returns (idCol, n_tokens, start_offset, bin_id). */
+  def packBins(df: DataFrame, idCol: String, nTokens: Column,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = df.sparkSession
+    // The partition layout must be IDENTICAL in the totals pass and the
+    // offsets-apply pass — RangePartitioner samples its bounds, so pin the
+    // layout by persisting the partitioned rows (a 100-TB run would
+    // materialize this as a sorted table instead).
+    val parts = df.select(col(idCol), nTokens.cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      // per-partition totals: numPartitions rows — the ONLY driver traffic
+      val totals = parts.groupBy(col("__pid"))
+        .agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // exclusive prefix sum in pid (= range) order → partition offsets
+      val offs = totals.map(_._1).zip(
+        totals.map(_._2).scanLeft(0L)(_ + _).init)
+      val offDf = spark.createDataFrame(offs.toSeq).toDF("__pid", "__off")
+      val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      val out = parts.join(broadcast(offDf), Seq("__pid"))
+        .withColumn("__cum", sum(col("n_tokens")).over(w) + col("__off"))
+        .withColumn("start_offset", col("__cum") - col("n_tokens"))
+        .withColumn("bin_id",
+          floor(col("start_offset").cast("double") / seqLen).cast("long"))
+        .select(col(idCol), col("n_tokens"), col("start_offset"), col("bin_id"))
+      // Materialize before unpersisting: `out` still reads `parts`.
+      out.localCheckpoint(eager = true)
+    } finally parts.unpersist()
+  }
+
+  /** Per-bin packing summary: documents and tokens per `seqLen`-token bin. */
+  def packSummary(df: DataFrame, idCol: String, nTokens: Column,
+      seqLen: Int): DataFrame =
+    packBins(df, idCol, nTokens, seqLen)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+
+  // ---- stratified sampling -----------------------------------------------
+
+  /** Deterministic stratified sample: per-stratum rates, decided by an
+    * md5-threshold on the row id — the reproducible (seed-free, engine-free)
+    * version of `DataFrame.stat.sampleBy`. A row survives iff the first 6
+    * hex chars of `md5(id)` sort below `floor(rate * 16^6)` in hex — a pure
+    * per-row predicate that pushes into the scan, samples the same rows on
+    * every engine and every rerun, and never shuffles.
+    *
+    * Strata absent from `rates` are dropped (rate 0). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be within [0, 1]")
+    val key = substring(md5(col(idCol).cast("string")), 1, 6)
+    val pred = rates.foldLeft(lit(false)) { case (acc, (stratum, rate)) =>
+      val keep =
+        if (rate >= 1.0) lit(true)
+        else key < lit(f"${(rate * (1 << 24)).toLong}%06x")
+      acc || (col(strataCol) === stratum && keep)
+    }
+    df.filter(pred)
+  }
+
+  // ---- PII redaction -----------------------------------------------------
+
+  /** Portable (RE2-safe, engine-identical) PII patterns. Both are anchored
+    * to common literal shapes on purpose: curation-scale redaction wants
+    * high precision; recall tails (obfuscated addresses, international
+    * formats) belong to stratum-specific passes. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails and phone numbers, reporting per-row counts: returns
+    * (idCol, n_emails, n_phones, redacted). Pure per-row scan work —
+    * codegen regexes, no shuffle, safe at any scale. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      // group 0 = the whole match (the patterns define no capture groups)
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+        .as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]").as("redacted"))
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.ops.Curation
+
+/** Curation operators: recall/behavior on MUTATED plants (the oracle
+  * queries cover the deterministic twin constructions), scale-shape plan
+  * assertions, and equivalence of the two-pass prefix sum against a
+  * single-partition window twin. */
+class CurationSpec extends SparkTestBase {
+
+  private def docs = Tables(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("incremental dedup recovers mutated batch docs against the corpus") {
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzzmutation")).as("text"))
+    val planted = batch.count()
+    val hits = Curation.dedupAgainstCorpus(batch, docs, "doc_id", "text",
+        minJaccard = 0.5)
+      .filter(col("corpus_id") === col("batch_id") - 100000).count()
+    assert(planted > 0)
+    // short docs can mutate past the threshold legitimately (as DedupSpec)
+    assert(hits >= planted * 9 / 10, s"recovered $hits of $planted")
+  }
+
+  test("incremental dedup joins the batch broadcast — corpus side unshuffled") {
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val plan = Curation.dedupAgainstCorpus(batch, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join for the batch side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle into a sort-merge join:\n$plan")
+  }
+
+  test("admitNew drops twin batch rows, admits genuinely new ones") {
+    val twins = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val fresh = spark.createDataFrame(Seq(
+      (900001L, "entirely novel document about submarine volcano gardens"),
+      (900002L, "another unrelated text mentioning glacial archery rules")))
+      .toDF("doc_id", "text")
+    val admitted = Curation.admitNew(twins.unionByName(fresh), docs,
+      "doc_id", "text", minJaccard = 0.8)
+    assert(admitted.filter(col("doc_id") < 900000).count() == 0,
+      "twin batch rows must be rejected")
+    assert(admitted.filter(col("doc_id") >= 900000).count() == 2,
+      "novel batch rows must be admitted")
+  }
+
+  test("decontaminate flags planted train copies with full shingle overlap") {
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val naturalEval = docs.filter(col("doc_id") % 2 === 1)
+    val plantedIds = train.filter(col("doc_id") % 10 === 0)
+    val evalDf = naturalEval.unionByName(
+      plantedIds.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val out = Curation.decontaminate(evalDf, train, "doc_id", "text", n = 3)
+    val flagged = out.filter(col("eval_id") >= 100000)
+    assert(flagged.count() == plantedIds.count(),
+      "every planted train copy must be flagged")
+    // a planted copy shares ALL its distinct trigrams with the train set
+    val expect = plantedIds
+      .select((col("doc_id") + 100000).as("eval_id"),
+        size(graft.ops.Dedup.shingles(col("text"), 3)).cast("long")
+          .as("n_expected"))
+    val mismatched = flagged.join(expect, Seq("eval_id"))
+      .filter(col("n_shared") =!= col("n_expected")).count()
+    assert(mismatched == 0, "planted copies must share their full shingle set")
+  }
+
+  test("decontaminate df-cap drops boilerplate n-grams") {
+    import spark.implicits._
+    val boiler = "all rights reserved confidential"
+    val train = (0L until 50L).map(i => (i, s"$boiler doc number $i"))
+      .toDF("doc_id", "text")
+    val evalDf = Seq((1000L, boiler)).toDF("doc_id", "text")
+    // uncapped: the boilerplate trigrams are shared
+    assert(Curation.decontaminate(evalDf, train, "doc_id", "text").count() == 1)
+    // capped at df<=10: every shared trigram appears in all 50 train docs
+    assert(Curation.decontaminate(evalDf, train, "doc_id", "text",
+      maxTrainDf = 10).count() == 0)
+  }
+
+  test("two-pass packBins equals the single-partition window twin") {
+    val twoPass = Curation.packBins(docs, "doc_id",
+      tokenCount(col("text")), seqLen = 2048)
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val twin = docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id",
+        floor(col("start_offset").cast("double") / 2048).cast("long"))
+    assert(twoPass.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(twoPass).count() == 0,
+      "distributed prefix sum must equal the sequential window")
+    // bins are contiguous from 0 and every bin holds >= 1 doc
+    val bins = twoPass.select(col("bin_id")).distinct()
+      .orderBy(col("bin_id")).collect().map(_.getLong(0))
+    assert(bins.head == 0L && bins.sameElements(bins.indices.map(_.toLong)))
+  }
+
+  test("stratified sample: rate 1 keeps all, absent stratum drops, rerun identical") {
+    val full = Tables(spark, sfDir, "documents")
+    val out = Curation.stratifiedSample(full, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0))
+    val zhAll = full.filter(col("lang") === "zh").count()
+    assert(out.filter(col("lang") === "zh").count() == zhAll)
+    assert(out.filter(!col("lang").isin("en", "zh")).count() == 0)
+    val en = out.filter(col("lang") === "en").count().toDouble
+    val enAll = full.filter(col("lang") === "en").count().toDouble
+    assert(en / enAll > 0.3 && en / enAll < 0.7,
+      s"en sample rate ${en / enAll} far from 0.5")
+    // determinism: same rows on rerun
+    val again = Curation.stratifiedSample(full, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0))
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
+
+  test("redactPii removes every planted address and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at alice.smith+work@sub.example.co.uk today"),
+      (2L, "call 415-555-0134 or 212-555-9876 now"),
+      (3L, "both bob@ex.org and 650-555-0000 appear"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val out = Curation.redactPii(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getInt(1) == 1 && out(0).getString(3).contains("[EMAIL]"))
+    assert(out(1).getInt(2) == 2 &&
+      !out(1).getString(3).matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"))
+    assert(out(2).getInt(1) == 1 && out(2).getInt(2) == 1)
+    assert(out(3).getInt(1) == 0 && out(3).getInt(2) == 0 &&
+      out(3).getString(3) == "no pii here at all")
+    // nothing matching either pattern survives redaction
+    val residual = Curation.redactPii(df, "doc_id", "text")
+      .filter(col("redacted").rlike(Curation.EmailPattern) ||
+        col("redacted").rlike(Curation.PhonePattern)).count()
+    assert(residual == 0)
+  }
+}
