@@ -42,6 +42,10 @@ object GraftFunctions {
   def winnowFingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     e2col(WinnowFingerprint(col2e(c), k, w))
 
+  /** Distinct word n-gram shingles of the embed tokenizer's tokens. */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    e2col(WordShingles(col2e(c), n))
+
   /** IVF cell assignment against a driver-trained centroid matrix. */
   def nearestCentroid(c: Column, centroids: Array[Array[Float]]): Column =
     e2col(NearestCentroid(col2e(c), centroids))
@@ -148,6 +152,10 @@ object GraftFunctions {
       case Seq(t, k, w) => WinnowFingerprint(t,
         intLit("winnow_fingerprint", "k", k),
         intLit("winnow_fingerprint", "w", w))
+    }
+    reg("word_shingles", "1 or 2") {
+      case Seq(t) => WordShingles(t, 3)
+      case Seq(t, n) => WordShingles(t, intLit("word_shingles", "n", n))
     }
     reg("meta_pystr", "1") { case Seq(v) => MetaPyStr(v) }
     reg("meta_display", "1") { case Seq(v) => MetaDisplay(v) }

@@ -321,6 +321,34 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles (ARRAY<STRING>, space-joined) of a text
+  * column — the candidate-key unit for n-gram Jaccard and decontamination.
+  * One linear kernel pass per row; replaces a HOF pipeline whose lambda
+  * re-evaluated the tokenizer per element. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"n must be >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** MinHash signature (ARRAY<BIGINT>) over word-shingles of a text column. */
 case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
     extends UnaryExpression {

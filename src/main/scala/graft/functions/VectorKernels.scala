@@ -343,4 +343,37 @@ object VectorKernels {
     }
     sig
   }
+
+  /** Distinct word n-gram shingles (space-joined, first-occurrence order) —
+    * the kernel twin of the HOF pipeline
+    * `array_distinct(transform(tokens, slice+concat_ws))`. The HOF form
+    * re-evaluates `size(tokens(text))` inside the per-element lambda
+    * (quadratic in token count) and bloats whole-stage codegen; this is one
+    * linear pass. Set-equality with the HOF form is spec-asserted. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    if (text == null) return empty
+    val toks = tokenize(text.toString)
+    val m = toks.length - n + 1
+    if (m <= 0) return empty
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -25,15 +25,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
       .select(col("keep_id"), col("n_dupes"))
 
-  /** Word n-gram shingles of the embed tokenizer's tokens. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val toks = tokens(textCol)
-    array_distinct(filter(
-      transform(toks, (_, i) =>
-        when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      s => s.isNotNull))
-  }
+  /** Word n-gram shingles of the embed tokenizer's tokens (codegen kernel;
+    * [[DedupSpec]] asserts set-equality with the equivalent HOF pipeline). */
+  def shingles(textCol: Column, n: Int = 3): Column = wordShingles(textCol, n)
 
   /** MinHash+LSH near-duplicate candidate pairs, verified by signature
     * agreement (estimated Jaccard).

@@ -113,6 +113,33 @@ class DedupSpec extends SparkTestBase {
     assert(top.length == 1 && top(0).getLong(0) == 0L && top(0).getLong(1) == 1L)
   }
 
+  test("kernel word_shingles equals the HOF pipeline on the real corpus") {
+    import graft.functions.GraftFunctions.tokens
+    val docs = Tables(spark, sfDir, "documents")
+    // the HOF twin the kernel replaced (order-insensitive set equality;
+    // both construct distinct space-joined n-grams of the embed tokenizer)
+    def hofShingles(n: Int) = {
+      val toks = tokens(col("text"))
+      array_distinct(filter(
+        transform(toks, (_, i) =>
+          when(i + n <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+    }
+    for (n <- Seq(1, 2, 3, 5)) {
+      val mismatch = docs.select(
+        array_sort(Dedup.shingles(col("text"), n)).as("k"),
+        array_sort(hofShingles(n)).as("h"))
+        .filter(col("k") =!= col("h")).count()
+      assert(mismatch == 0, s"kernel/HOF shingle mismatch at n=$n")
+    }
+    // degenerate inputs: fewer tokens than n, empty, punctuation-only
+    import spark.implicits._
+    val edge = Seq("one two", "", "?!.,", "single").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).collect()
+    assert(edge.forall(_.getSeq[String](0).isEmpty))
+  }
+
   test("exact text dedup finds the exact duplicate copies") {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") % 10 === 0)

@@ -34,13 +34,17 @@ class SqlFunctionsSpec extends SparkTestBase {
         |  srp_signature(hash_embed('a document')) AS srp,
         |  srp_signature(hash_embed('a document'), 8) AS srp8,
         |  size(winnow_fingerprint('some longer text to fingerprint here')) AS wf,
-        |  size(winnow_fingerprint('some longer text to fingerprint here', 5, 4)) AS wf2
+        |  size(winnow_fingerprint('some longer text to fingerprint here', 5, 4)) AS wf2,
+        |  word_shingles('a b c d') AS ws,
+        |  word_shingles('a b c d', 2) AS ws2
         |""".stripMargin).collect()(0)
     assert(row.getInt(0) == 128)
     assert(row.getInt(1) == 64)
     assert(row.getLong(3) < 256L) // 8-bit signature fits a byte
     assert(row.getInt(4) > 0)
     assert(row.getInt(4) == row.getInt(5)) // explicit defaults match
+    assert(row.getSeq[String](6) == Seq("a b c", "b c d"))
+    assert(row.getSeq[String](7) == Seq("a b", "b c", "c d"))
   }
 
   test("meta expressions are callable from SQL on typed encodings") {
