@@ -122,46 +122,51 @@ object Curation {
     * prefix-summed, and a document lands in the bin its first token falls
     * into — `bin_id = floor(start_offset / seqLen)`.
     *
-    * The global prefix sum is the textbook two-pass range-partition
-    * algorithm, NOT a single-partition window (which would serialize the
-    * whole corpus through one task): range-partition on `idCol`, per
-    * partition compute local running sums, collect only the per-partition
-    * TOTALS (numPartitions rows) to the driver, prefix-sum those into
-    * partition offsets, broadcast the offsets back, and add. Wall-clock is
-    * two narrow passes plus one range shuffle at any corpus size.
+    * The global prefix sum is the textbook two-pass range-group algorithm,
+    * NOT a single-partition window (which would serialize the whole corpus
+    * through one task): rows are bucketed into `numGroups` contiguous id
+    * ranges, per group a windowed local running sum, and the per-group
+    * TOTALS (numGroups rows — the only driver traffic) are prefix-summed
+    * into group offsets and broadcast back. The range grouping is a PURE
+    * COLUMN FUNCTION of the id against the (min, max) span — unlike
+    * `repartitionByRange`, whose sampled bounds differ between the totals
+    * pass and the apply pass, it needs no persist/checkpoint to be
+    * consistent, and costs one tiny min/max aggregate instead of a
+    * sampling job. Uniform-ish id spacing gives balanced groups; heavily
+    * clustered ids only skew group SIZES, never correctness.
     *
     * Returns (idCol, n_tokens, start_offset, bin_id). */
   def packBins(df: DataFrame, idCol: String, nTokens: Column,
-      seqLen: Int): DataFrame = {
+      seqLen: Int, numGroups: Int = 0): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = df.sparkSession
-    // The partition layout must be IDENTICAL in the totals pass and the
-    // offsets-apply pass — RangePartitioner samples its bounds, so pin the
-    // layout by persisting the partitioned rows (a 100-TB run would
-    // materialize this as a sorted table instead).
-    val parts = df.select(col(idCol), nTokens.cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    try {
-      // per-partition totals: numPartitions rows — the ONLY driver traffic
-      val totals = parts.groupBy(col("__pid"))
-        .agg(sum(col("n_tokens")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      // exclusive prefix sum in pid (= range) order → partition offsets
-      val offs = totals.map(_._1).zip(
-        totals.map(_._2).scanLeft(0L)(_ + _).init)
-      val offDf = spark.createDataFrame(offs.toSeq).toDF("__pid", "__off")
-      val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-      val out = parts.join(broadcast(offDf), Seq("__pid"))
-        .withColumn("__cum", sum(col("n_tokens")).over(w) + col("__off"))
-        .withColumn("start_offset", col("__cum") - col("n_tokens"))
-        .withColumn("bin_id",
-          floor(col("start_offset").cast("double") / seqLen).cast("long"))
-        .select(col(idCol), col("n_tokens"), col("start_offset"), col("bin_id"))
-      // Materialize before unpersisting: `out` still reads `parts`.
-      out.localCheckpoint(eager = true)
-    } finally parts.unpersist()
+    val base = df.select(col(idCol).cast("long").as(idCol),
+      nTokens.cast("long").as("n_tokens"))
+    val bounds = base.agg(min(col(idCol)), max(col(idCol))).head()
+    if (bounds.isNullAt(0)) // empty input
+      return base.select(col(idCol), col("n_tokens"),
+        lit(0L).as("start_offset"), lit(0L).as("bin_id"))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val groups = math.max(1, if (numGroups > 0) numGroups
+      else spark.sessionState.conf.numShufflePartitions)
+    val span = hi - lo + 1
+    // group = floor((id - lo) * groups / span) ∈ [0, groups): contiguous,
+    // order-preserving ranges (exact in double well past any real id span)
+    val parts = base.withColumn("__pid",
+      floor((col(idCol) - lo).cast("double") * groups / span).cast("int"))
+    val totals = parts.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix sum in group (= id-range) order → group offsets
+    val offs = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = spark.createDataFrame(offs.toSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    parts.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) + col("__off"))
+      .withColumn("start_offset", col("__cum") - col("n_tokens"))
+      .withColumn("bin_id",
+        floor(col("start_offset").cast("double") / seqLen).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"), col("bin_id"))
   }
 
   /** Per-bin packing summary: documents and tokens per `seqLen`-token bin. */
