@@ -37,6 +37,20 @@ object TextQueries {
         TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary report: top-20 terms by document frequency (with
+    * term+total-frequency detail) — the vocab/stopword audit step of a
+    * curation pipeline. Explode → hash agg (map-side partials absorb the
+    * token blowup) → TakeOrderedAndProject; deterministic total order via
+    * the term tiebreak. */
+  private val q54Vocab: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+      .orderBy(desc("doc_freq"), col("term"))
+      .limit(20)
+
   /** BPE-ish token-count estimate (portable regex, DuckDB oracle). */
   private val q56BpeTokens: Q = (s, dir) =>
     Tables(s, dir, "documents")
@@ -78,6 +92,7 @@ object TextQueries {
     "q51_quality" -> q51Quality,
     "q52_langid" -> q52LangId,
     "q53_fingerprint" -> q53Fingerprint,
+    "q54_vocab" -> q54Vocab,
     "q56_bpe_tokens" -> q56BpeTokens,
   )
 
@@ -135,6 +150,16 @@ object TextQueries {
         |      'by','or','be'))) AS DOUBLE) /
         |    greatest(len(ts), 1))*10000.0 + 0.5)/10000.0 AS stopword_ratio
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q54_vocab" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS doc_freq,
+        |  count(*) AS term_freq
+        |FROM t GROUP BY term
+        |ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
     "q56_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,
         |  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS INT) AS n_bpe
