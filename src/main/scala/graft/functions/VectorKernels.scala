@@ -24,7 +24,16 @@ object VectorKernels {
   final val DefaultDim = 384
   final val HashSeed = 42
 
-  /** Split lowercased text into `[a-z0-9_]+` tokens without regex. */
+  /** Split lowercased text into `[a-z0-9_]+` tokens without regex.
+    *
+    * ASCII contract (shared by every kernel built on this tokenizer —
+    * counts, embeds, minhash, shingles): only `A-Z` is lowercased and only
+    * ASCII `[a-z0-9_]` continues a token. Exotic codepoints whose Unicode
+    * lowercase IS ASCII (e.g. U+212A KELVIN SIGN → 'k') act as separators
+    * here but not under engine `lower()`s — identical to how the SQL-side
+    * `tokens()` regex and the DuckDB oracles behave on ASCII corpora, and
+    * divergent off it. Non-Latin text tokenizes to the gaps BETWEEN
+    * non-ASCII runs on every path alike. */
   def tokenize(text: String): Array[String] = {
     val s = text
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -45,6 +45,9 @@ object Curation {
       textCol: String, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.5,
       batchBucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) " +
+        "(bands > numHashes would hash empty slices into one degenerate bucket)")
     val rows = numHashes / bands
     def banded(df: DataFrame, idAs: String, sigAs: String) =
       df.select(col(idCol).as(idAs),
@@ -70,11 +73,19 @@ object Curation {
   }
 
   /** Incremental-ingest ADMISSION: the rows of `batch` that near-dup nothing
-    * in `corpus` (one anti-join over [[dedupAgainstCorpus]]). */
+    * in `corpus` (one anti-join over [[dedupAgainstCorpus]]). Defaults to
+    * UNCAPPED batch buckets: an admission gate trades the capped variant's
+    * skew insurance for recall (a batch doc evicted from its hot buckets
+    * could be admitted despite being a duplicate), and the cap's only cost
+    * here is a window over the small batch side anyway — hot corpus
+    * buckets fan out linearly against a broadcast batch, never
+    * quadratically. Pass a finite `batchBucketCap` to reinstate capping
+    * for boilerplate-heavy batches. */
   def admitNew(batch: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, minJaccard: Double = 0.8): DataFrame = {
+      textCol: String, minJaccard: Double = 0.8,
+      batchBucketCap: Int = BucketCap.Uncapped): DataFrame = {
     val dups = dedupAgainstCorpus(batch, corpus, idCol, textCol,
-        minJaccard = minJaccard)
+        minJaccard = minJaccard, batchBucketCap = batchBucketCap)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(dups, Seq(idCol), "left_anti")
   }
@@ -140,8 +151,14 @@ object Curation {
       seqLen: Int, numGroups: Int = 0): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = df.sparkSession
+    // null ids have no place in a total order — dropped, not crashed on;
+    // null token counts pack as 0. nTokens is evaluated in the totals pass
+    // and the final pass (the bounds pass prunes it) — two-pass is the
+    // algorithm's shape, and at 100 TB the narrow (id, n_tokens)
+    // projection would be a materialized intermediate.
     val base = df.select(col(idCol).cast("long").as(idCol),
-      nTokens.cast("long").as("n_tokens"))
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+      .filter(col(idCol).isNotNull)
     val bounds = base.agg(min(col(idCol)), max(col(idCol))).head()
     if (bounds.isNullAt(0)) // empty input
       return base.select(col(idCol), col("n_tokens"),
@@ -160,7 +177,10 @@ object Curation {
     // exclusive prefix sum in group (= id-range) order → group offsets
     val offs = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
     val offDf = spark.createDataFrame(offs.toSeq).toDF("__pid", "__off")
+    // explicit ROWS frame: the default RANGE frame would sum all PEERS of
+    // a duplicate id into each dup's cumulative value, breaking the tiling
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parts.join(broadcast(offDf), Seq("__pid"))
       .withColumn("__cum", sum(col("n_tokens")).over(w) + col("__off"))
       .withColumn("start_offset", col("__cum") - col("n_tokens"))
@@ -210,16 +230,20 @@ object Curation {
   val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   /** Redact emails and phone numbers, reporting per-row counts: returns
-    * (idCol, n_emails, n_phones, redacted). Pure per-row scan work —
-    * codegen regexes, no shuffle, safe at any scale. */
-  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * (idCol, n_emails, n_phones, redacted). Redaction is sequential
+    * (emails first), and n_phones is counted on the email-redacted text so
+    * counts always agree with the output — a phone-shaped string consumed
+    * by an email match (digits are legal in a local part) is one email,
+    * not a phantom phone. Pure per-row scan work — codegen regexes, no
+    * shuffle, safe at any scale. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailRedacted = regexp_replace(col(textCol), EmailPattern, "[EMAIL]")
     df.select(col(idCol),
       // group 0 = the whole match (the patterns define no capture groups)
       size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
         .as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+      size(regexp_extract_all(emailRedacted, lit(PhonePattern), lit(0)))
         .as("n_phones"),
-      regexp_replace(
-        regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
-        PhonePattern, "[PHONE]").as("redacted"))
+      regexp_replace(emailRedacted, PhonePattern, "[PHONE]").as("redacted"))
+  }
 }

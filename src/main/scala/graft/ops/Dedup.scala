@@ -43,6 +43,9 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
       bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) " +
+        "(bands > numHashes would hash empty slices into one degenerate bucket)")
     val rows = numHashes / bands
     // Signatures are computed once and shared across the three consumers
     // below (band join left/right + verification joins); without the persist

@@ -162,15 +162,19 @@ object CurationQueries {
         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |    ELSE text END AS text
         |  FROM documents)
+        |, er AS (
+        |  SELECT doc_id, text, regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        |    AS email_redacted
+        |  FROM planted)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
         |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(email_redacted,
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
-        |  regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  regexp_replace(email_redacted,
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
-        |FROM planted ORDER BY doc_id""".stripMargin,
+        |FROM er ORDER BY doc_id""".stripMargin,
   )
 }

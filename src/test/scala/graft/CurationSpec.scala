@@ -100,10 +100,43 @@ class CurationSpec extends SparkTestBase {
     assert(twoPass.exceptAll(twin).count() == 0 &&
       twin.exceptAll(twoPass).count() == 0,
       "distributed prefix sum must equal the sequential window")
-    // bins are contiguous from 0 and every bin holds >= 1 doc
-    val bins = twoPass.select(col("bin_id")).distinct()
-      .orderBy(col("bin_id")).collect().map(_.getLong(0))
-    assert(bins.head == 0L && bins.sameElements(bins.indices.map(_.toLong)))
+    // the [start, start + n_tokens) intervals tile [0, total) exactly
+    val tile = twoPass.agg(
+      min(col("start_offset")).as("lo"),
+      max(col("start_offset") + col("n_tokens")).as("hi"),
+      sum(col("n_tokens")).as("total")).collect()(0)
+    assert(tile.getLong(0) == 0L && tile.getLong(1) == tile.getLong(2),
+      "packing intervals must tile the token stream without gaps/overlaps")
+  }
+
+  test("packBins handles duplicate and null ids (ROWS frame, null drop)") {
+    import spark.implicits._
+    // two rows share id=10 — the RANGE-frame default would give both the
+    // same cumulative sum; the explicit ROWS frame must keep tiling exact
+    val df = Seq((Some(10L), 100), (Some(10L), 200), (Some(20L), 50),
+      (None: Option[Long], 999)).toDF("id", "n")
+    val out = Curation.packBins(df, "id", col("n"), seqLen = 128)
+    assert(out.count() == 3, "null ids must be dropped, not crash")
+    val starts = out.orderBy(col("start_offset"))
+      .select(col("start_offset"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(starts.map(_._1).toSeq == Seq(0L, 100L, 300L) ||
+      starts.map(_._1).toSeq == Seq(0L, 200L, 300L),
+      s"duplicate-id rows must pack consecutively, got ${starts.toSeq}")
+    assert(starts.last._1 + starts.last._2 == 350L)
+  }
+
+  test("LSH band parameters are validated") {
+    val e = intercept[IllegalArgumentException] {
+      Curation.dedupAgainstCorpus(docs, docs, "doc_id", "text",
+        numHashes = 64, bands = 128)
+    }
+    assert(e.getMessage.contains("must divide"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.minHashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 10)
+    }
+    assert(e2.getMessage.contains("must divide"))
   }
 
   test("stratified sample: rate 1 keeps all, absent stratum drops, rerun identical") {
@@ -129,7 +162,8 @@ class CurationSpec extends SparkTestBase {
       (1L, "mail me at alice.smith+work@sub.example.co.uk today"),
       (2L, "call 415-555-0134 or 212-555-9876 now"),
       (3L, "both bob@ex.org and 650-555-0000 appear"),
-      (4L, "no pii here at all")).toDF("doc_id", "text")
+      (4L, "no pii here at all"),
+      (5L, "reach 415-555-0134@example.com")).toDF("doc_id", "text")
     val out = Curation.redactPii(df, "doc_id", "text")
       .orderBy(col("doc_id")).collect()
     assert(out(0).getInt(1) == 1 && out(0).getString(3).contains("[EMAIL]"))
@@ -138,6 +172,10 @@ class CurationSpec extends SparkTestBase {
     assert(out(2).getInt(1) == 1 && out(2).getInt(2) == 1)
     assert(out(3).getInt(1) == 0 && out(3).getInt(2) == 0 &&
       out(3).getString(3) == "no pii here at all")
+    // a phone-shaped local part is consumed by the email match: counts must
+    // agree with the redacted output (1 email, 0 phones)
+    assert(out(4).getInt(1) == 1 && out(4).getInt(2) == 0 &&
+      out(4).getString(3) == "reach [EMAIL]")
     // nothing matching either pattern survives redaction
     val residual = Curation.redactPii(df, "doc_id", "text")
       .filter(col("redacted").rlike(Curation.EmailPattern) ||
