@@ -76,6 +76,28 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"cartesian joins in: ${offenders.mkString(", ")}")
   }
 
+  test("q54: vocabulary top-k avoids a global sort; agg is partial") {
+    val s = planString(q("q54_vocab"))
+    assert(s.contains("TakeOrderedAndProject"), "top-20 should be a heap")
+    assert(s.contains("partial_count"), "no map-side partial aggregation")
+  }
+
+  test("q48: packing runs on one windowed data shuffle plus broadcast offsets") {
+    val s = planString(q("q48_pack_bins"))
+    assert(s.contains("Window"), "prefix sum should be a partitioned window")
+    assert(s.contains("BroadcastExchange"), "offsets must broadcast")
+    // window exchange + summary agg exchange + final sort — nothing else
+    assert(s.split("\\bExchange\\b").length - 1 <= 3,
+      s"unexpected extra shuffles in:\n$s")
+    assert(!s.contains("SortMergeJoin"), "the offsets join must not shuffle")
+  }
+
+  test("q49: stratified sample is a pure scan predicate (no join, no agg)") {
+    val s = planString(q("q49_stratified_sample"))
+    assert(!s.contains("Join"), "sampleBy-equivalent must not join")
+    assert(!s.contains("HashAggregate"), "sampling must not aggregate")
+  }
+
   test("entry: normalized-cosine rule rewrote scoring to vec_dot") {
     val s = planString(SparkEntry.entry(spark))
     assert(s.contains("vec_dot"), s"expected vec_dot in entry plan")
