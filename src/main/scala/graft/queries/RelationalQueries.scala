@@ -233,12 +233,19 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  /** HLL sketch distinct count next to the exact count (rows-only: sketch
-    * estimates are engine-specific; the spec asserts the error bound). */
+  /** HLL sketch distinct count checked against the exact count. The raw
+    * estimate is engine-specific (not oracle-able), so the query emits the
+    * exact count (hash-verified) plus the sketch's relative-error bound as a
+    * boolean — the HLL still runs end-to-end and the oracle pins both
+    * (rsd 0.02 ⇒ observed error ≤0.6% at every test SF; 5% is ~2.5σ). The
+    * tighter statistical properties stay asserted in SketchSpec. */
   private val q19ApproxDistinct: Q = (s, dir) => {
     Tables(s, dir, "orders")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
         countDistinct(col("o_custkey")).as("exact"))
+      .select(col("exact"),
+        (abs(col("approx") - col("exact")) <= col("exact") * 0.05)
+          .as("hll_within_5pct"))
   }
 
   /** TPC-H Q17 shape: correlated per-part average pushed through a self
@@ -316,6 +323,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the HLL estimate itself is engine-specific; the exact count is
+    // hash-verified and the estimate's 5% error bound is pinned as a boolean
+    "q19_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS exact,
+        | TRUE AS hll_within_5pct
+        |FROM orders""".stripMargin,
     // md5 is identical in both engines, so the hash-sampled row set is exact
     "q18_sample" ->
       """SELECT o_orderkey, o_orderstatus FROM orders

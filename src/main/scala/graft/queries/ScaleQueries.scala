@@ -34,9 +34,12 @@ object ScaleQueries {
       k = 20, nprobe = 4)
   }
 
-  /** Multimodal decode + featurize over synthetic binary payloads
-    * (rows-only: the stub codec is not SQL-expressible; schema/batch
-    * contract is spec-tested). */
+  /** Multimodal decode + featurize over synthetic binary payloads. The stub
+    * codec is pure byte arithmetic on `repeat(sha256(id), 4)`, so DuckDB can
+    * replay it exactly — the oracle hash-verifies that the typed
+    * `mapPartitions` decode stage round-trips every payload byte unchanged
+    * (the check a real codec swap would inherit). Batch/schema contracts
+    * stay spec-tested in MultimodalSpec. */
   private val q64Multimodal: Q = (s, dir) => {
     val media = Multimodal.syntheticMedia(
       Tables(s, dir, "documents"), "doc_id")
@@ -144,6 +147,30 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replay the deterministic stub codec: payload = utf8(repeat(sha256,4)),
+    // width/height from first/last byte, mean over all byte values (exact
+    // binary fractions: n=256 ⇒ both engines' floor-form rounding agrees),
+    // 256-byte payload / 64-byte frames / every 4th ⇒ always 1 frame
+    "q64_multimodal" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    repeat(sha256(CAST(doc_id AS VARCHAR)), 4) AS s
+        |  FROM documents),
+        |st AS (
+        |  SELECT media_id, sum(ascii(substr(s, CAST(i AS INT), 1))) AS tot,
+        |    count(*) AS n
+        |  FROM (SELECT media_id, s, unnest(range(1, length(s) + 1)) AS i
+        |        FROM p)
+        |  GROUP BY media_id)
+        |SELECT p.media_id, p.kind,
+        |  16 + ascii(substr(p.s, 1, 1)) % 16 AS width,
+        |  16 + ascii(substr(p.s, length(p.s), 1)) % 16 AS height,
+        |  floor(CAST(st.tot AS DOUBLE) / st.n * 10000.0 + 0.5) / 10000.0
+        |    AS mean_intensity,
+        |  1 AS n_sampled_frames
+        |FROM p JOIN st USING (media_id) ORDER BY media_id""".stripMargin,
     "q24_stats_dates" ->
       """SELECT strftime(min(ts), '%Y-%m-%d') AS dmin,
         | strftime(max(ts), '%Y-%m-%d') AS dmax

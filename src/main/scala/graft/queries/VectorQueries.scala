@@ -41,9 +41,12 @@ object VectorQueries {
       Tables(s, dir, "embeddings").filter(col("vec_id") < 300), "vec_id", 50)
 
   /** Embedding index build over documents (V1): hash-embed each non-blank
-    * body; emit id + vector norm (1.0 by construction) + dim. Hash embeds
-    * aren't SQL-expressible → rows-only check; determinism and norm
-    * invariants are asserted in the ScalaTest specs. */
+    * body; emit id + vector norm + dim. The embed VALUES aren't
+    * SQL-expressible (determinism and bucket arithmetic are spec-asserted),
+    * but the projected invariants are: the kernel L2-normalizes every
+    * non-empty token multiset (norm 1.0) and zeroes the empty one (norm
+    * 0.0, a tokenless non-blank body like "!!!"), and dim is fixed — so
+    * DuckDB can replay the row set from the tokenizer contract alone. */
   private val q34IndexBuild: Q = (s, dir) =>
     Tables(s, dir, "documents")
       .filter(!isBlank(col("text")))
@@ -117,6 +120,16 @@ object VectorQueries {
         |          FROM sub l JOIN sub r ON l.vec_id < r.vec_id)
         |SELECT a, b, round(sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),4) AS score
         |FROM pairs GROUP BY a, b ORDER BY score DESC, a, b LIMIT 50""".stripMargin,
+    // embed invariants: L2-norm is 1.0 iff the body has a token, dim fixed
+    "q34_index_build" ->
+      """SELECT doc_id,
+        | CASE WHEN regexp_matches(lower(text), '[a-z0-9_]')
+        |   THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS norm,
+        | 384 AS dim
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+        |ORDER BY doc_id""".stripMargin,
     // planted twin pairs: identical embeddings ⇒ bucket-colocated, cosine 1.0
     "q35_lsh_pairs" ->
       """SELECT vec_id AS a, vec_id + 100000 AS b,
