@@ -128,26 +128,71 @@ object IvfIndex {
     * distributed codegen. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, path: String, sampleFraction: Double = 1.0): Array[Array[Float]] = {
-    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
-    val fs = metaPath.getFileSystem(conf)
+    val (fs, metaPath) = metaLocation(corpus, path)
     val stamp = s"${corpus.count()}:$nlist:$sampleFraction"
-    if (fs.exists(metaPath)) {
-      val in = fs.open(metaPath)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
-      if (lines.headOption.contains(stamp))
-        return lines.tail.map(_.split(",").map(_.toFloat)).toArray
+    readMeta(fs, metaPath) match {
+      case Some((`stamp`, centroids)) => centroids
+      case _ =>
+        val centroids = trainCentroids(corpus, embCol, nlist,
+          sampleFraction = sampleFraction)
+        persist(build(corpus, idCol, embCol, centroids), path)
+        writeMeta(fs, metaPath, stamp, centroids)
+        centroids
     }
-    val centroids = trainCentroids(corpus, embCol, nlist,
-      sampleFraction = sampleFraction)
-    persist(build(corpus, idCol, embCol, centroids), path)
+  }
+
+  /** Append a batch to a persisted index WITHOUT retraining or rewriting —
+    * the maintenance path [[buildIfAbsent]]'s full-rebuild stamp check
+    * doesn't cover. Centroids are REUSED from the stored stamp file (a
+    * coarse quantizer does not need retraining for an ingest increment;
+    * cell balance drifts only as the data distribution does), the batch is
+    * codegen-assigned to cells, and its rows land as NEW files inside the
+    * existing `cell_id=` partition directories (`mode("append")` +
+    * `partitionBy` — existing files are never read or rewritten, so the
+    * cost is O(batch) regardless of index size). The stamp's row count is
+    * advanced so a later [[buildIfAbsent]] over the grown corpus validates
+    * against the index instead of retraining it.
+    *
+    * Returns the (reused) centroids. */
+  def append(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Array[Array[Float]] = {
+    val (fs, metaPath) = metaLocation(batch, path)
+    val (stamp, centroids) = readMeta(fs, metaPath).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF index at $path — run buildIfAbsent before append"))
+    val Array(count, nlist, sampleFraction) = stamp.split(":", 3)
+    val n = batch.count()
+    build(batch, idCol, embCol, centroids)
+      .write.mode("append").partitionBy("cell_id").parquet(path)
+    writeMeta(fs, metaPath, s"${count.toLong + n}:$nlist:$sampleFraction",
+      centroids)
+    centroids
+  }
+
+  private def metaLocation(df: DataFrame, path: String) = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
+    (metaPath.getFileSystem(conf), metaPath)
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      metaPath: org.apache.hadoop.fs.Path): Option[(String, Array[Array[Float]])] = {
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines.headOption.map(stamp =>
+      (stamp, lines.tail.map(_.split(",").map(_.toFloat)).toArray))
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      metaPath: org.apache.hadoop.fs.Path, stamp: String,
+      centroids: Array[Array[Float]]): Unit = {
     val body = (stamp +: centroids.toSeq.map(_.mkString(",")))
       .mkString("", "\n", "\n")
     val out = fs.create(metaPath, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    centroids
   }
 
   /** Probe order of cells for a query vector (driver-side, nlist small). */
@@ -160,15 +205,19 @@ object IvfIndex {
       (i, d)
     }.sortBy(_._2).take(nprobe).map(_._1).toSeq
 
-  /** ANN top-k: scan only the probed cells, exact cosine re-rank. */
+  /** ANN top-k: scan only the probed cells, exact cosine re-rank. Emits
+    * (id, cell_id, score) — the cell is free to carry and makes the
+    * deterministic re-rank replayable by an external oracle given the
+    * centroid matrix. Scores use the cross-engine floor-form rounding
+    * ([[graft.functions.GraftFunctions.round4]]). */
   def search(index: DataFrame, centroids: Array[Array[Float]],
       query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val cells = probeCells(centroids, query, nprobe)
     index.filter(col("cell_id").isin(cells: _*))
-      .withColumn("score", round(vecCosine(col("embedding"), lit(query)), 4))
+      .withColumn("score", round4(vecCosine(col("embedding"), lit(query))))
       .orderBy(desc("score"), col("id"))
       .limit(k)
-      .select(col("id"), col("score"))
+      .select(col("id"), col("cell_id"), col("score"))
   }
 
   /** ANN top-k with the query vector kept IN the plan (no driver action):
@@ -199,10 +248,63 @@ object IvfIndex {
       .select(col("cell_id"))
     index.join(broadcast(cells), Seq("cell_id"))
       .crossJoin(broadcast(q))
-      .withColumn("score", round(vecCosine(col("embedding"), col("q")), 4))
+      .withColumn("score", round4(vecCosine(col("embedding"), col("q"))))
       .orderBy(desc("score"), col("id"))
       .limit(k)
-      .select(col("id"), col("score"))
+      .select(col("id"), col("cell_id"), col("score"))
+  }
+
+  /** Batch ANN: top-k per query over each query's own probed cells — the
+    * serving shape of a pipeline's ANN workload (thousands of queries, one
+    * pass), where per-query [[searchDf]] calls would re-plan and re-scan
+    * the index once per query.
+    *
+    * Shape: queries × centroids ranks probe cells per query (a broadcast
+    * nested-loop over Q×nlist rows — both sides tiny), then the
+    * (query_id, qv, cell_id) probe set BROADCASTS into one scan of the
+    * index: a query's candidates are exactly the rows of its probed cells,
+    * scored with exact cosine inside the scan stage, and reduced to k rows
+    * per query per partition by the bounded-heap
+    * [[graft.functions.TopKAggregator]] BEFORE the only shuffle (which
+    * carries ≤ Q×k×partitions rows). No per-query jobs, no corpus shuffle,
+    * no cartesian against the corpus. The probe set carries each query
+    * vector `nprobe` times (Q × nprobe × dim floats broadcast) — fine into
+    * the tens of thousands of queries; beyond that, range-split the query
+    * batch and union the results.
+    *
+    * `queries` columns: (queryIdCol: castable to long, qvCol: array of
+    * float). Returns (query_id, id, score), unordered (top-k set per
+    * query; order downstream). */
+  def searchBatch(index: DataFrame, centroids: Array[Array[Float]],
+      queries: DataFrame, queryIdCol: String, qvCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val ctrDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell_id", "ctr")
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(qvCol).as("qv"))
+    // rank cells per query: ||ctr||² - 2·q·ctr orders as squared L2
+    // distance (||q||² is constant per query) — same form as searchDf
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d"), col("cell_id"))
+    val probes = q.crossJoin(broadcast(ctrDf))
+      .withColumn("d", vecNorm(col("ctr")) * vecNorm(col("ctr"))
+        - lit(2.0) * vecDot(col("qv"), col("ctr")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+    val agg = graft.functions.TopKAggregator.topK(k).toColumn
+    index.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("score", round4(vecCosine(col("embedding"), col("qv"))))
+      .select(col("query_id").as[Long],
+        struct(col("id").cast("long").as("_1"), col("score").as("_2"))
+          .as[(Long, Double)])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
+      .toDF("query_id", "id", "score")
   }
 
   /** Recall@k of IVF against exact brute force for one query (the

@@ -33,12 +33,13 @@ object Similarity {
     * queries×k×partitions rows instead of corpus×queries (the window
     * row_number formulation shuffles everything). */
   def bruteForceTopKBatch(corpus: DataFrame, idCol: String,
-      queries: DataFrame, queryIdCol: String, k: Int): DataFrame = {
+      queries: DataFrame, queryIdCol: String, k: Int,
+      scoreFn: (Column, Column) => Column = vecDot(_, _)): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val agg = graft.functions.TopKAggregator.topK(k).toColumn
     corpus.crossJoin(broadcast(queries))
-      .withColumn("score", round(vecDot(col("embedding"), col("qv")), 4))
+      .withColumn("score", round(scoreFn(col("embedding"), col("qv")), 4))
       .select(col(queryIdCol).as[Long],
         struct(col(idCol).cast("long").as("_1"), col("score").as("_2"))
           .as[(Long, Double)])

@@ -12,15 +12,20 @@ import graft.ops.{IvfIndex, Multimodal}
 object ScaleQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** IVF ANN top-20 (rows-only: approximate; recall floor is spec-tested).
-    * Probe-time measurement over a PERSISTED `partitionBy(cell_id)` parquet
-    * index — the build-once / probe-many lifecycle of a real ANN index
-    * (index build cost is measured separately by q34): first call trains a
-    * bounded-sample quantizer, runs the codegen assignment pass, and writes
-    * the cell-partitioned layout; every probe then reads only the nprobe
-    * cells' files via partition pruning, with the query vector kept in the
-    * plan ([[IvfIndex.searchDf]] — no driver action fetches it). */
-  private val q36IvfAnn: Q = (s, dir) => {
+  /** Centroids from the latest IVF build in this JVM. Centroid training is
+    * engine-side (hash-ordered sample + Lloyd's — not SQL-replayable), but
+    * everything DOWNSTREAM of the centroid matrix is deterministic double
+    * arithmetic, so [[oracles]] exports the trained matrix as a literal
+    * DuckDB VALUES table and replays assignment + probe + re-rank exactly.
+    * The driver harness runs every query before reading the oracle map
+    * (Verify.scala), so the cache is always populated there; when it is
+    * not (the map inspected cold), the IVF oracles are simply omitted and
+    * those queries fall back to the rows-only check. */
+  @volatile private var lastIvfCentroids: Option[Array[Array[Float]]] = None
+
+  /** Shared build-once index for q36/q37 (stamp-checked; first caller pays
+    * the build, every probe after that is partition-pruned reads). */
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
     val emb = Tables(s, dir, "embeddings")
     val idxPath = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -29,9 +34,37 @@ object ScaleQueries {
     // quantizer would always be fit on a sample, never the full corpus
     val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding",
       nlist = 16, idxPath, sampleFraction = 0.3)
-    val queryDf = emb.filter(col("vec_id") === 0).select("embedding")
-    IvfIndex.searchDf(IvfIndex.load(s, idxPath), centroids, queryDf,
-      k = 20, nprobe = 4)
+    lastIvfCentroids = Some(centroids)
+    (IvfIndex.load(s, idxPath), centroids)
+  }
+
+  /** IVF ANN top-20 over a PERSISTED `partitionBy(cell_id)` parquet index —
+    * the build-once / probe-many lifecycle of a real ANN index (index build
+    * cost is measured separately by q34): first call trains a
+    * bounded-sample quantizer, runs the codegen assignment pass, and writes
+    * the cell-partitioned layout; every probe then reads only the nprobe
+    * cells' files via partition pruning, with the query vector kept in the
+    * plan ([[IvfIndex.searchDf]] — no driver action fetches it). Oracled by
+    * a full DuckDB replay against the exported centroid matrix. */
+  private val q36IvfAnn: Q = (s, dir) => {
+    val (index, centroids) = ivfIndex(s, dir)
+    val queryDf = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
+    IvfIndex.searchDf(index, centroids, queryDf, k = 20, nprobe = 4)
+  }
+
+  /** Batch ANN serving: top-3 per query for a query batch in ONE pass over
+    * the probed cells ([[IvfIndex.searchBatch]] — per-query probe cells,
+    * broadcast probe set, bounded-heap top-k before the only shuffle). The
+    * q37 twin of q32's exact batch kNN, on the approximate scale path. */
+  private val q37IvfBatch: Q = (s, dir) => {
+    val (index, centroids) = ivfIndex(s, dir)
+    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    IvfIndex.searchBatch(index, centroids, queries, "query_id", "qv",
+        k = 3, nprobe = 4)
+      .select(col("query_id"), col("id").as("vec_id"), col("score"))
+      .orderBy(col("query_id"), desc("score"), col("vec_id"))
   }
 
   /** Multimodal decode + featurize over synthetic binary payloads. The stub
@@ -136,6 +169,7 @@ object ScaleQueries {
 
   val defs: Map[String, Q] = Map(
     "q36_ivf_ann" -> q36IvfAnn,
+    "q37_ivf_batch" -> q37IvfBatch,
     "q64_multimodal" -> q64Multimodal,
     "q24_stats_dates" -> q24StatsDates,
     "q74_overwrite" -> q74Overwrite,
@@ -146,7 +180,109 @@ object ScaleQueries {
     "q55_quality_score" -> q55QualityScore,
   )
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB list literal of the trained centroid matrix. Each float is
+    * rendered as its EXACT widened double (Double.toString shortest-repr
+    * round-trips), so DuckDB's arithmetic sees bit-identical operands to
+    * the JVM kernels'. */
+  private def centroidValues(cs: Array[Array[Float]]): String =
+    cs.zipWithIndex.map { case (c, i) =>
+      c.map(f => f.toDouble.toString).mkString(s"($i, [", ", ", "]::DOUBLE[])")
+    }.mkString(",\n  ")
+
+  /** Shared replay CTEs: corpus cell assignment (argmin squared L2 against
+    * the exported centroids, first cell on ties — NearestCentroid's
+    * contract) given a `ctr(cell_id, ctr)` VALUES table. */
+  private def ivfAssignCtes(cs: Array[Array[Float]]): String =
+    s"""ctr(cell_id, ctr) AS (VALUES
+       |  ${centroidValues(cs)}),
+       |ap AS (SELECT e.vec_id, c.cell_id, unnest(e.embedding) AS x,
+       |         unnest(c.ctr) AS y
+       |       FROM embeddings e CROSS JOIN ctr c),
+       |ad AS (SELECT vec_id, cell_id,
+       |         sum((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)) AS d
+       |       FROM ap GROUP BY vec_id, cell_id),
+       |asg AS (SELECT vec_id, cell_id FROM (
+       |         SELECT vec_id, cell_id, row_number() OVER (
+       |           PARTITION BY vec_id ORDER BY d, cell_id) AS rn FROM ad)
+       |        WHERE rn = 1)""".stripMargin
+
+  /** Full DuckDB replay of q36/q37: the centroid matrix is engine-trained
+    * but everything after it — cell assignment, probe ranking
+    * (||ctr||² − 2·q·ctr, searchDf's exact form including the
+    * sqrt(ss)·sqrt(ss) norm product), exact cosine, floor-form round — is
+    * deterministic double arithmetic both engines compute identically.
+    * Emitted only after an IVF query has run in this JVM (Verify runs all
+    * queries before dumping oracle_sql.json). */
+  private def ivfOracles: Map[String, String] = lastIvfCentroids match {
+    case None => Map.empty
+    case Some(cs) => Map(
+      "q36_ivf_ann" ->
+        s"""WITH ${ivfAssignCtes(cs)},
+           |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |cp AS (SELECT c.cell_id, unnest(c.ctr) AS y, unnest(q.qe) AS x
+           |       FROM ctr c CROSS JOIN qv q),
+           |cd AS (SELECT cell_id,
+           |         sqrt(sum(y*y)) * sqrt(sum(y*y))
+           |           - 2 * sum(CAST(x AS DOUBLE) * y) AS d
+           |       FROM cp GROUP BY cell_id),
+           |probe AS (SELECT cell_id FROM (
+           |           SELECT cell_id, row_number() OVER (
+           |             ORDER BY d, cell_id) AS rn FROM cd)
+           |          WHERE rn <= 4),
+           |cand AS (SELECT a.vec_id, a.cell_id
+           |         FROM asg a JOIN probe USING (cell_id)),
+           |sp AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+           |         unnest(q.qe) AS qx
+           |       FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q),
+           |sc AS (SELECT vec_id,
+           |         floor(sum(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) /
+           |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+           |            sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))))
+           |           * 10000.0 + 0.5) / 10000.0 AS score
+           |       FROM sp GROUP BY vec_id)
+           |SELECT s.vec_id AS id, c.cell_id, s.score
+           |FROM sc s JOIN cand c USING (vec_id)
+           |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+      "q37_ivf_batch" ->
+        s"""WITH ${ivfAssignCtes(cs)},
+           |queries AS (SELECT vec_id AS query_id, embedding AS qe
+           |            FROM embeddings WHERE vec_id < 5),
+           |cp AS (SELECT q.query_id, c.cell_id, unnest(c.ctr) AS y,
+           |         unnest(q.qe) AS x
+           |       FROM ctr c CROSS JOIN queries q),
+           |cd AS (SELECT query_id, cell_id,
+           |         sqrt(sum(y*y)) * sqrt(sum(y*y))
+           |           - 2 * sum(CAST(x AS DOUBLE) * y) AS d
+           |       FROM cp GROUP BY query_id, cell_id),
+           |probe AS (SELECT query_id, cell_id FROM (
+           |           SELECT query_id, cell_id, row_number() OVER (
+           |             PARTITION BY query_id ORDER BY d, cell_id) AS rn
+           |           FROM cd)
+           |          WHERE rn <= 4),
+           |cand AS (SELECT p.query_id, a.vec_id
+           |         FROM asg a JOIN probe p USING (cell_id)),
+           |sp AS (SELECT c.query_id, c.vec_id, unnest(e.embedding) AS x,
+           |         unnest(q.qe) AS qx
+           |       FROM cand c JOIN embeddings e USING (vec_id)
+           |            JOIN queries q USING (query_id)),
+           |sc AS (SELECT query_id, vec_id,
+           |         floor(sum(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) /
+           |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+           |            sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))))
+           |           * 10000.0 + 0.5) / 10000.0 AS score
+           |       FROM sp GROUP BY query_id, vec_id)
+           |SELECT query_id, vec_id, score FROM (
+           |  SELECT query_id, vec_id, score, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM sc)
+           |WHERE rn <= 3
+           |ORDER BY query_id, score DESC, vec_id""".stripMargin)
+  }
+
+  /** Static oracles + the dynamically exported IVF replays. */
+  def oracles: Map[String, String] = staticOracles ++ ivfOracles
+
+  private val staticOracles: Map[String, String] = Map(
     // replay the deterministic stub codec: payload = utf8(repeat(sha256,4)),
     // width/height from first/last byte, mean over all byte values (exact
     // binary fractions: n=256 ⇒ both engines' floor-form rounding agrees),

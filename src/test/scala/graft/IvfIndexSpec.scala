@@ -62,10 +62,10 @@ class IvfIndexSpec extends SparkTestBase {
     val query = emb.filter(col("vec_id") === 1)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     val viaDriver = IvfIndex.search(idx, centroids, query, k = 10, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     val queryDf = emb.filter(col("vec_id") === 1).select("embedding")
     val viaPlan = IvfIndex.searchDf(idx, centroids, queryDf, k = 10, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(viaPlan == viaDriver)
   }
 
@@ -106,6 +106,109 @@ class IvfIndexSpec extends SparkTestBase {
     assert(c3.length == 4)
     assert(IvfIndex.load(spark, path)
       .select("cell_id").distinct().count() <= 4)
+  }
+
+  test("searchBatch: recall floor vs brute force, exact at full probe") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", centroids)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, hits) => q -> hits.map(_._2).toSet }
+    val exact = sets(graft.ops.Similarity.bruteForceTopKBatch(
+      emb, "vec_id", queries, "query_id", 10,
+      graft.functions.GraftFunctions.vecCosine(_, _)))
+    val approx = sets(IvfIndex.searchBatch(idx, centroids, queries,
+      "query_id", "qv", k = 10, nprobe = 4))
+    assert(approx.keySet == exact.keySet, "a query lost its result group")
+    val recalls = exact.map { case (q, ids) =>
+      approx(q).intersect(ids).size.toDouble / ids.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 = $avg (per-query: $recalls)")
+    // probing every cell = exact brute force, per query
+    val full = sets(IvfIndex.searchBatch(idx, centroids, queries,
+      "query_id", "qv", k = 10, nprobe = 16))
+    assert(full == exact, "nprobe=nlist must equal exact top-k")
+  }
+
+  test("searchBatch job count does not grow with the query batch") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", centroids)
+    def jobsFor(nQueries: Int): Int = {
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val group = s"ivf-batch-$nQueries"
+      spark.sparkContext.setJobGroup(group, group)
+      try IvfIndex.searchBatch(idx, centroids, queries, "query_id", "qv",
+        k = 5, nprobe = 4).count()
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j2 = jobsFor(2)
+    val j10 = jobsFor(10)
+    assert(j10 <= j2 + 1,
+      s"job count grew with the batch: $j2 jobs for 2 queries, $j10 for 10")
+    // and the plan never falls back to a cartesian against the corpus
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val plan = IvfIndex.searchBatch(idx, centroids, queries, "query_id",
+      "qv", k = 5, nprobe = 4).queryExecution.executedPlan
+    plan.foreach { n =>
+      assert(!n.isInstanceOf[
+        org.apache.spark.sql.execution.joins.CartesianProductExec],
+        "searchBatch plan contains a CartesianProduct")
+    }
+  }
+
+  test("append reuses centroids and never rewrites existing cell files") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("ivf_app")
+      .resolve("idx").toString
+    val c1 = IvfIndex.buildIfAbsent(seed, "vec_id", "embedding", 8, path)
+    def dataFiles() = {
+      val root = java.nio.file.Paths.get(path)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = dataFiles()
+    val c2 = IvfIndex.append(batch, "vec_id", "embedding", path)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "append must reuse the stored centroids")
+    val after = dataFiles()
+    before.foreach { case (f, mtime) =>
+      assert(after.contains(f), s"append removed existing file $f")
+      assert(after(f) == mtime, s"append rewrote existing file $f")
+    }
+    assert(after.size > before.size, "append added no files")
+    val idx = IvfIndex.load(spark, path)
+    assert(idx.count() == emb.count(), "appended index lost rows")
+    // stamp advanced: buildIfAbsent over the grown corpus validates the
+    // appended index instead of retraining + rewriting
+    val c3 = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    assert(c3.map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq,
+      "grown-corpus buildIfAbsent retrained despite a valid appended stamp")
+    assert(dataFiles() == after, "grown-corpus buildIfAbsent rewrote files")
+    // recall on the grown index: full probe still equals exact
+    val query = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val exact = emb
+      .withColumn("score",
+        graft.functions.GraftFunctions.vecCosine(col("embedding"),
+          lit(query)))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val grown = IvfIndex.search(idx, c2, query, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(grown == exact, "full-probe search over appended index drifted")
   }
 
   test("training is deterministic under the fixed seed") {
