@@ -317,7 +317,12 @@ object VectorKernels {
     * and re-hashing a shingle string — ~2.5× faster on the per-row scan
     * stage with the same estimator quality (still a seeded double-hashing
     * family, k-th hash = a·(2k+1) + b·(k+1) + k). */
+  /** MinHash invocations in THIS JVM — the [[embedCalls]] twin for pinning
+    * that artifact-backed dedup never recomputes corpus signatures. */
+  val minhashCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   def minHashSignature(text: UTF8String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    minhashCalls.incrementAndGet()
     val sig = Array.fill[Long](numHashes)(Long.MaxValue)
     if (text == null) return sig
     val toks = tokenize(text.toString)
@@ -359,7 +364,12 @@ object VectorKernels {
     * re-evaluates `size(tokens(text))` inside the per-element lambda
     * (quadratic in token count) and bloats whole-stage codegen; this is one
     * linear pass. Set-equality with the HOF form is spec-asserted. */
+  /** Shingle invocations in THIS JVM — pins that snapshot-backed
+    * decontamination sweeps never re-shingle the train corpus. */
+  val shingleCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    shingleCalls.incrementAndGet()
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.empty[Any])
     if (text == null) return empty

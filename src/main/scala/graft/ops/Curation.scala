@@ -38,30 +38,49 @@ object Curation {
     * hot corpus bucket against a broadcast batch fans out linearly in the
     * bucket's size — candidates a verification stage prunes — never
     * quadratically, so the corpus needs no capping shuffle. At 100 TB the
-    * corpus signatures would come from a persisted signature table
-    * maintained by [[graft.memo.MemoEngine]]-style incremental appends
-    * rather than being recomputed per batch. */
+    * corpus signatures come from the persisted artifact
+    * ([[Dedup.writeSignatures]] / [[dedupAgainstSignatures]], maintained by
+    * [[ingest]]'s appends) rather than being recomputed per batch — this
+    * text-vs-text form recomputes them and exists for one-shot jobs. */
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5,
+      batchBucketCap: Int = BucketCap.DefaultCap): DataFrame =
+    dedupAgainstSignatures(batch,
+      Dedup.computeSignatures(corpus, idCol, textCol, numHashes),
+      idCol, textCol, numHashes, bands, minJaccard, batchBucketCap)
+
+  /** [[dedupAgainstCorpus]] against a PERSISTED corpus signature table
+    * (schema (id, sig) — [[Dedup.writeSignatures]]/[[Dedup.loadSignatures]]):
+    * the batch is minhashed fresh (O(batch)); the corpus side only scans
+    * the 64-longs-per-row artifact, never the corpus text. This is the
+    * per-ingest cost model a 100 TB deployment needs — corpus text is
+    * touched once at artifact build, not once per batch. `numHashes` must
+    * match the artifact's family (the artifact stamp enforces it for
+    * artifacts maintained through [[Dedup.appendSignatures]]). */
+  def dedupAgainstSignatures(batch: DataFrame, corpusSigs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.5,
       batchBucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) " +
         "(bands > numHashes would hash empty slices into one degenerate bucket)")
     val rows = numHashes / bands
-    def banded(df: DataFrame, idAs: String, sigAs: String) =
-      df.select(col(idCol).as(idAs),
-          minhashSig(col(textCol), numHashes, 3).as(sigAs))
-        .select(col(idAs), col(sigAs),
+    def band(df: DataFrame, idAs: String, sigAs: String) =
+      df.select(col(idAs), col(sigAs),
           explode(transform(sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band_id"),
               xxhash64(slice(col(sigAs), b * rows + 1, lit(rows)))
                 .as("band_hash")))).as("band"))
         .select(col(idAs), col(sigAs), col("band.band_id"),
           col("band.band_hash"))
-    val batchBanded = BucketCap.cap(banded(batch, "batch_id", "sigb"),
+    val batchBanded = BucketCap.cap(
+      band(batch.select(col(idCol).as("batch_id"),
+          minhashSig(col(textCol), numHashes, 3).as("sigb")),
+        "batch_id", "sigb"),
       Seq("band_id", "band_hash"), "batch_id", batchBucketCap)
-    banded(corpus, "corpus_id", "sigc")
+    band(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sigc")),
+        "corpus_id", "sigc")
       .join(broadcast(batchBanded), Seq("band_id", "band_hash"))
       .withColumn("est_jaccard", round4(
         aggregate(zip_with(col("sigb"), col("sigc"),
@@ -83,11 +102,48 @@ object Curation {
     * for boilerplate-heavy batches. */
   def admitNew(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, minJaccard: Double = 0.8,
+      batchBucketCap: Int = BucketCap.Uncapped): DataFrame =
+    admitAgainst(batch,
+      dedupAgainstCorpus(batch, corpus, idCol, textCol,
+        minJaccard = minJaccard, batchBucketCap = batchBucketCap), idCol)
+
+  /** [[admitNew]] against a persisted signature artifact — no corpus text
+    * touched. */
+  def admitNewAgainstSignatures(batch: DataFrame, corpusSigs: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double = 0.8,
+      batchBucketCap: Int = BucketCap.Uncapped): DataFrame =
+    admitAgainst(batch,
+      dedupAgainstSignatures(batch, corpusSigs, idCol, textCol,
+        minJaccard = minJaccard, batchBucketCap = batchBucketCap), idCol)
+
+  private def admitAgainst(batch: DataFrame, dups: DataFrame,
+      idCol: String): DataFrame =
+    batch.join(dups.select(col("batch_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** One full incremental-ingest cycle against a persisted signature
+    * artifact: admit the batch rows that near-dup nothing in the artifact,
+    * then append the ADMITTED rows' signatures so the next batch dedups
+    * against them too ([[graft.memo.MemoEngine.commitAppend]]'s
+    * admit-then-maintain pattern at corpus scale). Total cost is O(batch)
+    * minhash work + one scan of the signature artifact — the corpus text is
+    * never read. Returns the admitted rows. */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+      sigPath: String, minJaccard: Double = 0.8,
       batchBucketCap: Int = BucketCap.Uncapped): DataFrame = {
-    val dups = dedupAgainstCorpus(batch, corpus, idCol, textCol,
-        minJaccard = minJaccard, batchBucketCap = batchBucketCap)
-      .select(col("batch_id").as(idCol)).distinct()
-    batch.join(dups, Seq(idCol), "left_anti")
+    val sigs = Dedup.loadSignatures(batch.sparkSession, sigPath)
+    val admitted = admitNewAgainstSignatures(batch, sigs, idCol, textCol,
+      minJaccard, batchBucketCap)
+    // TRUNCATE the lineage (not just cache it) before appending: the append
+    // below writes to the very path the anti-join reads, and Spark recaches
+    // plans by path on write — a persist()ed admitted set would re-evaluate
+    // against the grown artifact and reject its own rows as duplicates of
+    // themselves. The admitted set is batch-sized, so an eager local
+    // checkpoint is cheap; a production pipeline would equivalently land
+    // admitted rows to their own table between the two steps.
+    val pinned = admitted.localCheckpoint(true)
+    Dedup.appendSignatures(pinned, idCol, textCol, sigPath)
+    pinned
   }
 
   // ---- decontamination ---------------------------------------------------
@@ -108,23 +164,77 @@ object Curation {
     * reused across eval sweeps (persist or write out the distinct set). */
   def decontaminate(evalDf: DataFrame, trainDf: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Long = 1,
-      maxTrainDf: Long = Long.MaxValue): DataFrame = {
-    val trainGrams = {
-      val g = trainDf.select(col(idCol).as("train_id"),
-        explode(Dedup.shingles(col(textCol), n)).as("ng"))
-      if (maxTrainDf == Long.MaxValue) g.select(col("ng")).distinct()
-      else g.groupBy(col("ng"))
-        .agg(countDistinct(col("train_id")).as("df"))
-        .filter(col("df") <= maxTrainDf)
-        .select(col("ng"))
-    }
+      maxTrainDf: Long = Long.MaxValue): DataFrame =
+    decontaminateAgainstGrams(evalDf,
+      trainGramSet(trainDf, idCol, textCol, n, maxTrainDf),
+      idCol, textCol, n, minShared)
+
+  /** The distinct (df-capped) train n-gram set — the expensive side of a
+    * decontamination sweep, and the thing [[writeTrainGrams]] snapshots. */
+  private def trainGramSet(trainDf: DataFrame, idCol: String, textCol: String,
+      n: Int, maxTrainDf: Long): DataFrame = {
+    val g = trainDf.select(col(idCol).as("train_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("ng"))
+    if (maxTrainDf == Long.MaxValue) g.select(col("ng")).distinct()
+    else g.groupBy(col("ng"))
+      .agg(countDistinct(col("train_id")).as("df"))
+      .filter(col("df") <= maxTrainDf)
+      .select(col("ng"))
+  }
+
+  /** Decontamination against an already-built gram set (one column `ng`). */
+  def decontaminateAgainstGrams(evalDf: DataFrame, trainGrams: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minShared: Long = 1): DataFrame =
     evalDf.select(col(idCol).as("eval_id"),
         explode(Dedup.shingles(col(textCol), n)).as("ng"))
       .join(trainGrams, Seq("ng"))
       .groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  /** Snapshot a train corpus's distinct n-gram set as a parquet artifact
+    * with an `_grams_meta` stamp (train row count + n + df cap) — built
+    * once per train snapshot, reused across every eval sweep (the reuse a
+    * per-sweep rebuild forfeits: at 100 TB the train shingle explosion is
+    * the dominant cost of decontamination, and it is identical for every
+    * benchmark swept). */
+  def writeTrainGrams(trainDf: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): Unit = {
+    trainGramSet(trainDf, idCol, textCol, n, maxTrainDf)
+      .write.mode("overwrite").parquet(path)
+    writeMetaFile(trainDf, path, "_grams_meta",
+      s"${trainDf.count()}:$n:$maxTrainDf")
   }
+
+  /** Ensure a valid gram snapshot exists (stamp check — same freshness
+    * contract as [[Dedup.signaturesIfAbsent]]) and return it. */
+  def trainGramsIfAbsent(trainDf: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): DataFrame = {
+    val stamp = s"${trainDf.count()}:$n:$maxTrainDf"
+    if (!readMetaFile(trainDf, path, "_grams_meta").contains(stamp))
+      writeTrainGrams(trainDf, idCol, textCol, path, n, maxTrainDf)
+    trainDf.sparkSession.read.parquet(path)
+  }
+
+  /** Decontaminate an eval set against a gram SNAPSHOT: `n` comes from the
+    * snapshot's stamp, so the eval side always shingles with the family the
+    * artifact was built with. */
+  def decontaminateAgainstSnapshot(evalDf: DataFrame, idCol: String,
+      textCol: String, path: String, minShared: Long = 1): DataFrame = {
+    val stamp = readMetaFile(evalDf, path, "_grams_meta").getOrElse(
+      throw new IllegalStateException(
+        s"no gram snapshot at $path — writeTrainGrams first"))
+    val n = stamp.split(":", 3)(1).toInt
+    decontaminateAgainstGrams(evalDf,
+      evalDf.sparkSession.read.parquet(path), idCol, textCol, n, minShared)
+  }
+
+  private def readMetaFile(df: DataFrame, path: String,
+      name: String): Option[String] = ArtifactMeta.read(df, path, name)
+
+  private def writeMetaFile(df: DataFrame, path: String, name: String,
+      stamp: String): Unit = ArtifactMeta.write(df, path, name, stamp)
 
   // ---- sequence packing --------------------------------------------------
 

@@ -52,8 +52,7 @@ object Dedup {
     // the fat 128-long arrays would be recomputed per branch AND shuffled
     // through the candidate join. At 100 TB this would be a checkpointed
     // table instead.
-    val sig = df.select(col(idCol).as("id"),
-      minhashSig(col(textCol), numHashes, 3).as("sig")).persist()
+    val sig = computeSignatures(df, idCol, textCol, numHashes).persist()
     // Candidate generation carries only (id, band_id, band_hash) — the
     // narrow columns — through the shuffle.
     val banded = BucketCap.cap(
@@ -81,6 +80,71 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("est_jaccard"))
   }
+
+  // ---- persisted signature artifact --------------------------------------
+
+  /** The MinHash signature table of a corpus: (id, sig). The columnar form
+    * every signature consumer ([[minHashPairs]]'s verification,
+    * [[graft.ops.Curation.dedupAgainstCorpus]]'s corpus side) derives its
+    * inputs from. */
+  def computeSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
+
+  /** Persist a corpus's MinHash signatures as a parquet artifact with a
+    * `_minhash_meta` stamp (row count + hash-family config) — the same
+    * build-once lifecycle the memo index and the IVF index have. At 100 TB
+    * the signature table is the thing that makes incremental dedup O(batch):
+    * each ingest scans the ARTIFACT (64 longs/row, ~3 orders of magnitude
+    * narrower than the text corpus) instead of re-minhashing the corpus. */
+  def writeSignatures(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 64, shingleSize: Int = 3): Unit = {
+    computeSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .write.mode("overwrite").parquet(path)
+    // count on the pruned input (no signature evaluation)
+    writeSigMeta(df, path, s"${df.count()}:$numHashes:$shingleSize")
+  }
+
+  /** Ensure a valid signature artifact exists for this corpus (stamp =
+    * count + hash config; same pragmatic freshness contract as
+    * [[IvfIndex.buildIfAbsent]]) and return it. */
+  def signaturesIfAbsent(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val stamp = s"${corpus.count()}:$numHashes:$shingleSize"
+    if (!readSigMeta(corpus, path).contains(stamp))
+      writeSignatures(corpus, idCol, textCol, path, numHashes, shingleSize)
+    loadSignatures(corpus.sparkSession, path)
+  }
+
+  /** Append a batch's signatures to an existing artifact — the maintenance
+    * half of the incremental-ingest cycle (admitted rows join the corpus,
+    * so their signatures join the artifact). O(batch): existing files are
+    * never read or rewritten; the stamp's count advances so a later
+    * [[signaturesIfAbsent]] over the grown corpus validates. The hash
+    * config is read from the stamp — a mixed-family artifact would
+    * silently miss every cross-generation duplicate, so config drift is
+    * impossible by construction. */
+  def appendSignatures(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val stamp = readSigMeta(batch, path).getOrElse(throw new IllegalStateException(
+      s"no signature artifact at $path — writeSignatures first"))
+    val Array(count, numHashes, shingleSize) = stamp.split(":", 3)
+    computeSignatures(batch, idCol, textCol, numHashes.toInt, shingleSize.toInt)
+      .write.mode("append").parquet(path)
+    writeSigMeta(batch, path,
+      s"${count.toLong + batch.count()}:$numHashes:$shingleSize")
+  }
+
+  /** Read a persisted signature artifact: (id, sig). */
+  def loadSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  private def readSigMeta(df: DataFrame, path: String): Option[String] =
+    ArtifactMeta.read(df, path, "_minhash_meta")
+
+  private def writeSigMeta(df: DataFrame, path: String, stamp: String): Unit =
+    ArtifactMeta.write(df, path, "_minhash_meta", stamp)
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints, banded into 16-bit
     * chunks (pigeonhole: hamming <= 3 ⇒ at least one identical chunk),

@@ -53,6 +53,75 @@ class CurationSpec extends SparkTestBase {
       "novel batch rows must be admitted")
   }
 
+  test("artifact-backed dedup computes ZERO corpus signatures per batch") {
+    import graft.functions.VectorKernels
+    import graft.ops.Dedup
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val nCorpus = corpus.count()
+    val sigPath = java.nio.file.Files.createTempDirectory("sigs")
+      .resolve("minhash").toString
+    // build the artifact once — this is the one corpus-text pass
+    Dedup.writeSignatures(corpus, "doc_id", "text", sigPath)
+    val sigs = Dedup.loadSignatures(spark, sigPath)
+    // batch 1 against the artifact: only the BATCH is minhashed
+    val batch1 = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val nBatch1 = batch1.count()
+    val before = VectorKernels.minhashCalls.get()
+    val hits = Curation.dedupAgainstSignatures(batch1, sigs, "doc_id",
+      "text", minJaccard = 0.5).count()
+    val cost1 = VectorKernels.minhashCalls.get() - before
+    assert(hits >= nBatch1, "artifact path lost the planted twins")
+    assert(cost1 <= nBatch1 * 2,
+      s"batch-1 dedup ran $cost1 minhash calls for a $nBatch1-row batch " +
+        s"(corpus is $nCorpus rows — it was re-signed)")
+    // batch 2: same artifact, still zero corpus recompute
+    val batch2 = corpus.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val nBatch2 = batch2.count()
+    val before2 = VectorKernels.minhashCalls.get()
+    Curation.dedupAgainstSignatures(batch2, sigs, "doc_id", "text",
+      minJaccard = 0.5).count()
+    val cost2 = VectorKernels.minhashCalls.get() - before2
+    assert(cost2 <= nBatch2 * 2,
+      s"batch-2 dedup ran $cost2 minhash calls for a $nBatch2-row batch")
+  }
+
+  test("ingest admits fresh rows, rejects twins, and appends the artifact") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val sigPath = java.nio.file.Files.createTempDirectory("sigs_ing")
+      .resolve("minhash").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", sigPath)
+    val twins = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val fresh = Seq(
+      (900001L, "completely novel sentence about quantum llama farming"),
+      (900002L, "another unseen passage regarding submarine cartography"))
+      .toDF("doc_id", "text")
+    val admitted = Curation.ingest(twins.unionByName(fresh), "doc_id",
+      "text", sigPath)
+    assert(admitted.collect().map(_.getLong(0)).toSet ==
+      Set(900001L, 900002L), "ingest admitted the wrong rows")
+    // artifact grew by exactly the admitted rows
+    assert(Dedup.loadSignatures(spark, sigPath).count() ==
+      corpus.count() + 2, "artifact row count wrong after append")
+    // a re-ingest of the same fresh rows is now rejected BY the artifact
+    val again = Curation.ingest(fresh, "doc_id", "text", sigPath)
+    assert(again.count() == 0, "re-ingested rows were not deduped")
+    admitted.unpersist(); again.unpersist()
+  }
+
+  test("appendSignatures refuses a path with no artifact") {
+    val fresh = docs.limit(1).select(col("doc_id"), col("text"))
+    val err = intercept[IllegalStateException] {
+      graft.ops.Dedup.appendSignatures(fresh, "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("nosigs").toString + "/none")
+    }
+    assert(err.getMessage.contains("writeSignatures"))
+  }
+
   test("decontaminate flags planted train copies with full shingle overlap") {
     val train = docs.filter(col("doc_id") % 2 === 0)
     val naturalEval = docs.filter(col("doc_id") % 2 === 1)
@@ -71,6 +140,52 @@ class CurationSpec extends SparkTestBase {
     val mismatched = flagged.join(expect, Seq("eval_id"))
       .filter(col("n_shared") =!= col("n_expected")).count()
     assert(mismatched == 0, "planted copies must share their full shingle set")
+  }
+
+  test("snapshot-backed decontamination sweeps never re-shingle the train set") {
+    import graft.functions.VectorKernels
+    val train = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val nTrain = train.count()
+    val gramsPath = java.nio.file.Files.createTempDirectory("grams")
+      .resolve("g3").toString
+    // snapshot build — the ONE train shingle pass
+    Curation.writeTrainGrams(train, "doc_id", "text", gramsPath, n = 3)
+    def sweep(mod: Int): (Long, Seq[(Long, Long)]) = {
+      val evalDf = docs.filter(col("doc_id") % 2 === 1)
+        .filter(col("doc_id") % 3 === mod)
+        .unionByName(train.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val nEval = evalDf.count()
+      val before = VectorKernels.shingleCalls.get()
+      val out = Curation.decontaminateAgainstSnapshot(evalDf, "doc_id",
+          "text", gramsPath)
+        .orderBy("eval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val cost = VectorKernels.shingleCalls.get() - before
+      assert(cost <= nEval * 3,
+        s"sweep re-shingled $cost times for $nEval eval rows " +
+          s"(train is $nTrain rows — it was rebuilt)")
+      (nEval, out)
+    }
+    val (_, out1) = sweep(0)
+    sweep(1); sweep(2)
+    // snapshot path result == direct recompute result
+    val evalDf = docs.filter(col("doc_id") % 2 === 1)
+      .filter(col("doc_id") % 3 === 0)
+      .unionByName(train.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val direct = Curation.decontaminate(evalDf, train, "doc_id", "text",
+        n = 3)
+      .orderBy("eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out1 == direct, "snapshot sweep diverged from direct recompute")
+    // stamp guard: a snapshot-less path refuses
+    val err = intercept[IllegalStateException] {
+      Curation.decontaminateAgainstSnapshot(evalDf, "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("nog").toString + "/none")
+    }
+    assert(err.getMessage.contains("writeTrainGrams"))
   }
 
   test("decontaminate df-cap drops boilerplate n-grams") {
