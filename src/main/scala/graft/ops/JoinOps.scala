@@ -49,6 +49,19 @@ object JoinOps {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Re-attach an existing [[writeBucketed]] layout to a NEW session's
+    * catalog without touching the data — bucketing lives in table METADATA
+    * (the files carry only the bucket-suffix naming), so a fresh session
+    * must re-declare the bucket spec to get exchange-free joins. This is
+    * the at-rest half of the bucket lifecycle: write once at ingest,
+    * register per session, join shuffle-free forever. */
+  def registerBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, schemaDdl: String, key: String,
+      buckets: Int): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($schemaDdl) " +
+      s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
+      s"INTO $buckets BUCKETS LOCATION '$path'")
+
   /** Per-key running count of exchanges in a physical plan (test helper). */
   def countExchanges(df: DataFrame): Int = {
     val plan = df.queryExecution.executedPlan

@@ -67,6 +67,57 @@ object ScaleQueries {
       .orderBy(col("query_id"), desc("score"), col("vec_id"))
   }
 
+  /** Build-once/register-per-session lifecycle for an at-rest bucketed
+    * table: first run writes the bucketed layout (stamped), later sessions
+    * re-attach the existing files to their catalog without rewriting —
+    * the ingest-time bucketing a 100 TB deployment amortizes across every
+    * subsequent join. */
+  private def bucketedTable(s: SparkSession, dir: String, name: String,
+      key: String, buckets: Int)(make: => DataFrame): String = {
+    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    val tbl = s"graft_q38_${name}_$tag"
+    if (s.catalog.tableExists(tbl)) return tbl
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"${tbl}_data").toString
+    val df = make
+    val stamp = s"${df.count()}:$buckets:$key"
+    if (graft.ops.ArtifactMeta.read(df, path, "_bucket_meta").contains(stamp))
+      graft.ops.JoinOps.registerBucketed(s, tbl, path, df.schema.toDDL,
+        key, buckets)
+    else {
+      graft.ops.JoinOps.writeBucketed(df, tbl, path, key, buckets)
+      graft.ops.ArtifactMeta.write(df, path, "_bucket_meta", stamp)
+    }
+    tbl
+  }
+
+  /** The join side of q38, exposed for the plan pin: two at-rest bucketed
+    * tables joined on their bucket key — NO exchange and NO sort on either
+    * side (the scans themselves report the hash partitioning/ordering).
+    * The merge hint keeps the small side from being broadcast, since the
+    * point is the storage-level co-location. */
+  def q38BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ordersTbl = bucketedTable(s, dir, "orders", "o_custkey", 8) {
+      Tables(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+    }
+    val custTbl = bucketedTable(s, dir, "cust", "c_custkey", 8) {
+      Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    }
+    s.table(ordersTbl).hint("merge")
+      .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
+  }
+
+  /** Revenue per market segment over the two bucketed tables — the at-rest
+    * co-located join under the driver harness (plan shape pinned in
+    * PlanSpec: zero exchanges below the join). */
+  private val q38Bucketed: Q = (s, dir) =>
+    q38BucketedJoin(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.GraftFunctions.round2(sum(col("o_totalprice")))
+          .as("total"))
+      .orderBy(col("c_mktsegment"))
+
   /** Multimodal decode + featurize over synthetic binary payloads. The stub
     * codec is pure byte arithmetic on `repeat(sha256(id), 4)`, so DuckDB can
     * replay it exactly — the oracle hash-verifies that the typed
@@ -170,6 +221,7 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "q36_ivf_ann" -> q36IvfAnn,
     "q37_ivf_batch" -> q37IvfBatch,
+    "q38_bucketed_join" -> q38Bucketed,
     "q64_multimodal" -> q64Multimodal,
     "q24_stats_dates" -> q24StatsDates,
     "q74_overwrite" -> q74Overwrite,
@@ -283,6 +335,13 @@ object ScaleQueries {
   def oracles: Map[String, String] = staticOracles ++ ivfOracles
 
   private val staticOracles: Map[String, String] = Map(
+    // the bucketed copies hold exactly the source tables' rows, so the
+    // oracle replays the join from the original parquet
+    "q38_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // replay the deterministic stub codec: payload = utf8(repeat(sha256,4)),
     // width/height from first/last byte, mean over all byte values (exact
     // binary fractions: n=256 ⇒ both engines' floor-form rounding agrees),

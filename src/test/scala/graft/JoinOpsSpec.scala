@@ -52,7 +52,8 @@ class JoinOpsSpec extends SparkTestBase {
         "bucketed join must not shuffle either side")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"exchange in bucketed join:\n$plan")
-      // sortBy at write time also removes the SMJ's sorts
+      // the SMJ keeps LOCAL per-bucket sorts (Spark ≥3.1 drops the scan's
+      // sort-order propagation behind a legacy flag) — no data movement
       assert(plan.contains("SortMergeJoin"))
       // and it still computes the right answer
       val expected = Tables(spark, sfDir, "lineitem")

@@ -92,6 +92,33 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("SortMergeJoin"), "the offsets join must not shuffle")
   }
 
+  test("q38: at-rest bucketed join has no exchange or sort below the join") {
+    val joined = graft.queries.ScaleQueries.q38BucketedJoin(spark, sfDir)
+    val smjs = physical(joined).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.nonEmpty, "bucketed join did not compile to SortMergeJoin")
+    // Only the EXCHANGE matters for the scale claim: Spark ≥3.1 does not
+    // propagate bucket sort order from the scan (legacy
+    // bucketedTableScan.outputOrdering flag), so the SMJ keeps cheap
+    // LOCAL per-bucket sorts — no data movement, partition-local work.
+    smjs.foreach(_.children.foreach(_.foreach { n =>
+      assert(!n.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec],
+        s"exchange below the bucketed join:\n${physical(joined)}")
+    }))
+    // and the full q38 keeps the join exchange-free (only agg/sort above)
+    val s = planString(q("q38_bucketed_join"))
+    assert(s.contains("SortMergeJoin"), s"q38 lost the merge join:\n$s")
+  }
+
+  test("q37: batch IVF probe joins broadcast — no corpus shuffle, no cartesian") {
+    val s = planString(q("q37_ivf_batch"))
+    assert(!s.contains("CartesianProduct"), s"cartesian in q37:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"probe set did not broadcast into the index scan:\n$s")
+  }
+
   test("q49: stratified sample is a pure scan predicate (no join, no agg)") {
     val s = planString(q("q49_stratified_sample"))
     assert(!s.contains("Join"), "sampleBy-equivalent must not join")
