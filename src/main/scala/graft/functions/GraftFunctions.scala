@@ -50,6 +50,9 @@ object GraftFunctions {
   def nearestCentroid(c: Column, centroids: Array[Array[Float]]): Column =
     e2col(NearestCentroid(col2e(c), centroids))
 
+  def nearestCells(c: Column, centroids: Array[Array[Float]],
+      nprobe: Int): Column = e2col(NearestCells(col2e(c), centroids, nprobe))
+
   /** Round to 2 decimals in floor form — `floor(x*100 + 0.5)/100` — the
     * cross-engine-exact rounding for oracle-compared money values:
     * `round(x, 2)` pits Spark's shortest-repr HALF_UP against DuckDB's

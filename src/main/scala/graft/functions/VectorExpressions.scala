@@ -321,6 +321,36 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest centroid ids in rank order (ARRAY<INT>) — the
+  * per-row probe-cell choice of an IVF search, as one narrow projection:
+  * explode it to get (row, cell_id) probe pairs with NO centroid join and
+  * NO per-query window/shuffle. Same squared-L2 + smaller-id tie contract
+  * as [[NearestCentroid]] (probing 1 cell ≡ the assignment). */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]],
+    nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  private lazy val cf = VectorExprUtil.isFloatArray(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (nprobe < 1)
+      TypeCheckResult.TypeCheckFailure(s"nprobe must be >= 1, got $nprobe")
+    else VectorExprUtil.checkArray(child.dataType, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCells(a.asInstanceOf[ArrayData], cf, centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.nearestCells($a, $cf, $ref, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram shingles (ARRAY<STRING>, space-joined) of a text
   * column — the candidate-key unit for n-gram Jaccard and decontamination.
   * One linear kernel pass per row; replaces a HOF pipeline whose lambda

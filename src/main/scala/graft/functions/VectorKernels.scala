@@ -186,6 +186,43 @@ object VectorKernels {
     best
   }
 
+  /** The `nprobe` nearest centroids by squared-L2, in rank order (ties →
+    * smaller cell id) — the per-row probe-cell choice of a batch IVF
+    * search. Same distance arithmetic as [[nearestCentroid]]; a partial
+    * selection over nlist distances (nlist is small by construction). */
+  def nearestCells(a: ArrayData, aFloat: Boolean,
+      centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val nlist = centroids.length
+    val d = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val ctr = centroids(c)
+      val n = math.min(ctr.length, a.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { val t = get(a, i, aFloat) - ctr(i); s += t * t; i += 1 }
+      d(c) = s
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Any](k)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < nlist) {
+        if (!taken(c) && d(c) < bestD) { bestD = d(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val na = l2Norm(a, aFloat)
     val nb = l2Norm(b, bFloat)

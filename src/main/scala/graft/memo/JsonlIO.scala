@@ -74,7 +74,10 @@ object JsonlIO {
       .write.mode("overwrite").text(path)
 
   /** Driver-side render (CLI-batch-sized twin of [[exportPath]]). */
-  def exportTable(records: DataFrame): String = {
+  def exportTable(records: DataFrame,
+      maxRows: Long = YamlIO.DriverExportMaxRows): String = {
+    YamlIO.guardDriverExport(records, "JsonlIO.exportTable", "exportPath",
+      maxRows)
     val sb = new StringBuilder
     records.select("id", "body", "metadata").orderBy("id").collect()
       .foreach { r =>

@@ -353,7 +353,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * corpus-sized String on the driver (reference S1/S2 file scan,
     * memo_cli.py:66-128). */
   def importYaml(text: String): Long = commit(YamlIO.importTable(spark, text))
-  def exportYaml(): String = YamlIO.exportTable(records)
+  def exportYaml(maxRows: Long = YamlIO.DriverExportMaxRows): String =
+    YamlIO.exportTable(records, maxRows)
   def importYamlPath(path: String): Long = {
     val df = try YamlIO.importPath(spark, path)
              catch { case e: Exception => throw YamlIO.asUserError(e) }

@@ -295,7 +295,9 @@ object YamlIO {
     * Scalars are quoted so that re-importing reproduces the identical typed
     * values ("007" stays a string, 1 stays an int); body chomping preserves
     * trailing newlines (`|-` none, `|` one, `|+` several). */
-  def exportTable(records: DataFrame): String = {
+  def exportTable(records: DataFrame,
+      maxRows: Long = DriverExportMaxRows): String = {
+    guardDriverExport(records, "YamlIO.exportTable", "exportPath", maxRows)
     val rows = records.select("id", "body", "metadata")
       .orderBy("id").collect()
     val sb = new StringBuilder
@@ -303,6 +305,26 @@ object YamlIO {
       r.getLong(0), r.getString(1),
       Option(r.getMap[String, String](2)).map(_.toSeq).getOrElse(Seq.empty)))
     sb.toString
+  }
+
+  /** Ceiling for the driver-materializing export twins. The String forms
+    * exist for CLI-batch-sized stores (the reference's whole database is a
+    * file a human edits); an unbounded corpus must go through the sharded
+    * path forms, the way `save` switches to the bulk path at 8 MB. 50k
+    * records ≈ tens of MB of YAML — comfortably a driver String, far below
+    * any corpus that needs the distributed path. */
+  val DriverExportMaxRows = 50000L
+
+  /** Refuse to render an over-large table on the driver, pointing the
+    * caller at the distributed path form. Bounded probe: scans at most
+    * maxRows+1 rows, never the full table. */
+  private[memo] def guardDriverExport(records: DataFrame, form: String,
+      pathForm: String, maxRows: Long = DriverExportMaxRows): Unit = {
+    val n = records.limit(maxRows.min(Int.MaxValue - 1L).toInt + 1).count()
+    if (n > maxRows) throw new IllegalArgumentException(
+      s"$form renders the whole table as one driver String and refuses " +
+        s"more than $maxRows rows (this table has >= $n); use $pathForm " +
+        "for sharded distributed export")
   }
 
   /** Distributed export (S2 at scale): render each record's YAML document

@@ -237,15 +237,11 @@ object IvfIndex {
     require(q.limit(2).count() == 1,
       "searchDf expects exactly one query row; for query batches use " +
         "Similarity.bruteForceTopKBatch or call searchDf per query")
-    val ctrDf = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell_id", "ctr")
-    // rank cells by ||q - ctr||²; ||q||² is constant per query, so
-    // ||ctr||² - 2·q·ctr orders identically to probeCells
-    val cells = q.crossJoin(broadcast(ctrDf))
-      .withColumn("d", vecNorm(col("ctr")) * vecNorm(col("ctr"))
-        - lit(2.0) * vecDot(col("q"), col("ctr")))
-      .orderBy(col("d"), col("cell_id")).limit(nprobe)
-      .select(col("cell_id"))
+    // probe cells as ONE narrow projection of the query row — the centroid
+    // matrix rides into codegen as a plan constant (nearestCells), so there
+    // is no centroid join and no rank shuffle
+    val cells = q.select(explode(nearestCells(col("q"), centroids, nprobe))
+      .as("cell_id"))
     index.join(broadcast(cells), Seq("cell_id"))
       .crossJoin(broadcast(q))
       .withColumn("score", round4(vecCosine(col("embedding"), col("q"))))
@@ -280,20 +276,13 @@ object IvfIndex {
       k: Int, nprobe: Int): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val ctrDf = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell_id", "ctr")
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(qvCol).as("qv"))
-    // rank cells per query: ||ctr||² - 2·q·ctr orders as squared L2
-    // distance (||q||² is constant per query) — same form as searchDf
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("d"), col("cell_id"))
-    val probes = q.crossJoin(broadcast(ctrDf))
-      .withColumn("d", vecNorm(col("ctr")) * vecNorm(col("ctr"))
-        - lit(2.0) * vecDot(col("qv"), col("ctr")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell_id"))
+    // per-query probe cells as one narrow projection (nearestCells keeps
+    // the centroid matrix a codegen plan constant) — no centroid join, no
+    // per-query rank window, no shuffle before the probe-set broadcast
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(nearestCells(col("qv"), centroids, nprobe)).as("cell_id"))
     val agg = graft.functions.TopKAggregator.topK(k).toColumn
     index.join(broadcast(probes), Seq("cell_id"))
       .withColumn("score", round4(vecCosine(col("embedding"), col("qv"))))

@@ -23,19 +23,31 @@ object ScaleQueries {
     * those queries fall back to the rows-only check. */
   @volatile private var lastIvfCentroids: Option[Array[Array[Float]]] = None
 
+  /** Per-session index HANDLES: an ANN serving deployment opens its index
+    * once and probes it many times — revalidating the stamp (a corpus
+    * count job) and re-listing the parquet layout per query would charge
+    * every probe an open cost no real serving path pays. First use in a
+    * session builds/validates via [[IvfIndex.buildIfAbsent]]; the handle
+    * (loaded DataFrame + centroids) is then reused. */
+  private val ivfHandles = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Array[Array[Float]])]()
+
   /** Shared build-once index for q36/q37 (stamp-checked; first caller pays
     * the build, every probe after that is partition-pruned reads). */
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
-    val emb = Tables(s, dir, "embeddings")
-    val idxPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q36_ivf_${dir.hashCode.toHexString}").toString
-    // train on a sample: centroids only gate probe cells, and at 100 TB the
-    // quantizer would always be fit on a sample, never the full corpus
-    val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding",
-      nlist = 16, idxPath, sampleFraction = 0.3)
-    lastIvfCentroids = Some(centroids)
-    (IvfIndex.load(s, idxPath), centroids)
+    val handle = ivfHandles.computeIfAbsent((s, dir), { case (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val idxPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q36_ivf_${dir.hashCode.toHexString}").toString
+      // train on a sample: centroids only gate probe cells, and at 100 TB
+      // the quantizer would always be fit on a sample, never the corpus
+      val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding",
+        nlist = 16, idxPath, sampleFraction = 0.3)
+      (IvfIndex.load(s, idxPath), centroids)
+    })
+    lastIvfCentroids = Some(handle._2)
+    handle
   }
 
   /** IVF ANN top-20 over a PERSISTED `partitionBy(cell_id)` parquet index —
@@ -259,10 +271,10 @@ object ScaleQueries {
        |        WHERE rn = 1)""".stripMargin
 
   /** Full DuckDB replay of q36/q37: the centroid matrix is engine-trained
-    * but everything after it — cell assignment, probe ranking
-    * (||ctr||² − 2·q·ctr, searchDf's exact form including the
-    * sqrt(ss)·sqrt(ss) norm product), exact cosine, floor-form round — is
-    * deterministic double arithmetic both engines compute identically.
+    * but everything after it — cell assignment AND probe ranking (both the
+    * kernel's squared-L2 against the exported centroids, ties to the
+    * smaller cell), exact cosine, floor-form round — is deterministic
+    * double arithmetic both engines compute identically.
     * Emitted only after an IVF query has run in this JVM (Verify runs all
     * queries before dumping oracle_sql.json). */
   private def ivfOracles: Map[String, String] = lastIvfCentroids match {
@@ -271,15 +283,10 @@ object ScaleQueries {
       "q36_ivf_ann" ->
         s"""WITH ${ivfAssignCtes(cs)},
            |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |cp AS (SELECT c.cell_id, unnest(c.ctr) AS y, unnest(q.qe) AS x
-           |       FROM ctr c CROSS JOIN qv q),
-           |cd AS (SELECT cell_id,
-           |         sqrt(sum(y*y)) * sqrt(sum(y*y))
-           |           - 2 * sum(CAST(x AS DOUBLE) * y) AS d
-           |       FROM cp GROUP BY cell_id),
            |probe AS (SELECT cell_id FROM (
            |           SELECT cell_id, row_number() OVER (
-           |             ORDER BY d, cell_id) AS rn FROM cd)
+           |             ORDER BY d, cell_id) AS rn
+           |           FROM ad WHERE vec_id = 0)
            |          WHERE rn <= 4),
            |cand AS (SELECT a.vec_id, a.cell_id
            |         FROM asg a JOIN probe USING (cell_id)),
@@ -299,17 +306,10 @@ object ScaleQueries {
         s"""WITH ${ivfAssignCtes(cs)},
            |queries AS (SELECT vec_id AS query_id, embedding AS qe
            |            FROM embeddings WHERE vec_id < 5),
-           |cp AS (SELECT q.query_id, c.cell_id, unnest(c.ctr) AS y,
-           |         unnest(q.qe) AS x
-           |       FROM ctr c CROSS JOIN queries q),
-           |cd AS (SELECT query_id, cell_id,
-           |         sqrt(sum(y*y)) * sqrt(sum(y*y))
-           |           - 2 * sum(CAST(x AS DOUBLE) * y) AS d
-           |       FROM cp GROUP BY query_id, cell_id),
-           |probe AS (SELECT query_id, cell_id FROM (
-           |           SELECT query_id, cell_id, row_number() OVER (
-           |             PARTITION BY query_id ORDER BY d, cell_id) AS rn
-           |           FROM cd)
+           |probe AS (SELECT vec_id AS query_id, cell_id FROM (
+           |           SELECT vec_id, cell_id, row_number() OVER (
+           |             PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+           |           FROM ad WHERE vec_id < 5)
            |          WHERE rn <= 4),
            |cand AS (SELECT p.query_id, a.vec_id
            |         FROM asg a JOIN probe p USING (cell_id)),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.memo.{MetaCodec, YamlIO}
+import graft.memo.{JsonlIO, MetaCodec, YamlIO}
 
 /** YamlIO edge cases: typed-encoding round-trips, quoting, special
   * characters, validation failures, distributed bulk import. */
@@ -290,5 +290,22 @@ class YamlIOSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       YamlIO.importTable(spark, dup).count())
     assert(e.getMessage.toLowerCase.contains("duplicate"))
+  }
+
+  test("driver-sized export twins refuse an over-cap table (use the path form)") {
+    import spark.implicits._
+    val recs = (0L until 5L).map(i => (i, s"body $i", Map("k" -> "sv")))
+      .toDF("id", "body", "metadata")
+    val err = intercept[IllegalArgumentException] {
+      YamlIO.exportTable(recs, maxRows = 3)
+    }
+    assert(err.getMessage.contains("exportPath"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      JsonlIO.exportTable(recs, maxRows = 3)
+    }
+    assert(err2.getMessage.contains("exportPath"), err2.getMessage)
+    // under the cap both still render
+    assert(YamlIO.exportTable(recs, maxRows = 5).nonEmpty)
+    assert(JsonlIO.exportTable(recs, maxRows = 5).nonEmpty)
   }
 }
