@@ -13,11 +13,29 @@ import org.apache.spark.sql.SparkSession
   * exports) stamp-check their artifact, so the repeat measures the steady
   * state (probe/export), not a rebuild.
   *
+  * Output is truncation-proof: one short JSON line PER QUERY as it
+  * finishes, then the single contract line (total + full queries map, values
+  * rounded to 0.1 ms) last. A tail capture that cuts the head of the run
+  * still holds every late query twice and the contract line whole; round 4
+  * lost q01–q13 to exactly this.
+  *
+  * Two streaming throughput entries (s90/s91: events/sec through the
+  * tumbling agg and flatMapGroupsWithState sessionization over a
+  * MemoryStream, noop sink) ride beside the batch queries — the state-store
+  * cost the batch twins can't see. Their `queries` values are seconds like
+  * every other entry; the rates are in the `streaming` object.
+  *
   * SPARK_GRAFT_BENCH_ONLY=q60_tumbling,q32_knn_batch restricts the run (an
   * isolation harness for chasing one query's number; the driver never sets
   * it).
   */
 object Bench {
+  private val StreamEvents = 100000
+
+  private def fmt(v: Double): String =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: bench runs at local[32] (builder prompt)
@@ -36,18 +54,38 @@ object Bench {
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
+    def best(run: () => Unit): Double =
+      (0 until runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try run() catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.min
+    val results = selected.map { case (name, fn) =>
+      val t = best(() => { fn(spark, sfDir).count(); () })
+      println(s"""{"metric":"query","name":"$name","sec":${fmt(t)}}""")
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Streaming throughput smoke (state-store cost; see scaladoc).
+    val streamEntries = Seq(
+      "s90_stream_tumbling" -> ((n: Int) =>
+        graft.streaming.StreamBench.tumblingEps(spark, n)),
+      "s91_stream_sessionize" -> ((n: Int) =>
+        graft.streaming.StreamBench.sessionizeEps(spark, n)))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, eps) =>
+        val rate = (0 until runs).map(_ => eps(StreamEvents)).max
+        val sec = StreamEvents / rate
+        println(s"""{"metric":"query","name":"$name","sec":${fmt(sec)},"events_per_sec":${fmt(rate)}}""")
+        (name, sec, rate)
+      }
+    val all = results ++ streamEntries.map(e => e._1 -> e._2)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val streaming = streamEntries
+      .map { case (k, _, r) => "\"" + k + "_eps\":" + fmt(r) }
+      .mkString("{", ",", "}")
+    val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

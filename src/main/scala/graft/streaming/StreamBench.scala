@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Synthetic event row for the streaming throughput smoke (top-level so
+  * Spark can derive its Encoder). Mirrors the events table schema. */
+case class BenchEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Streaming throughput smoke: drive a bounded event set through a
+  * stateful EventStreams transform via MemoryStream and report events/sec.
+  *
+  * The batch twins (EventQueries) verify the CORRECTNESS of the streaming
+  * plans against DuckDB; this measures the thing the twins can't see — the
+  * state-store cost per micro-batch (HDFS-backed state store puts/gets,
+  * watermark eviction, timeout scans). A regression in state handling
+  * (e.g. an accidental per-batch full-state scan) would leave every batch
+  * twin green and only show up here.
+  *
+  * Events are fed in `nBatches` micro-batches so the run exercises state
+  * HANDOFF between batches (a single addData would collapse the run into
+  * one batch with no carried state). The sink is `noop`: nothing is
+  * collected, so the number is transform + state cost, not sink cost.
+  */
+object StreamBench {
+
+  /** Deterministic synthetic events: one per second from a fixed epoch,
+    * cycling users and event types — enough key cardinality to spread the
+    * state store, no randomness so every round measures the same work. */
+  def syntheticEvents(n: Int, users: Int = 256): IndexedSeq[BenchEvent] = {
+    val epoch = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("view", "click", "purchase", "error")
+    (0 until n).map { i =>
+      BenchEvent(i.toLong, new Timestamp(epoch + i * 1000L),
+        (i % users).toLong, types(i % types.length), (i % 100) / 10.0, "{}")
+    }
+  }
+
+  /** Wall-clock seconds to stream `events` through `f` in `nBatches`
+    * micro-batches (noop sink, fresh checkpoint). */
+  def runSeconds(spark: SparkSession, events: IndexedSeq[BenchEvent],
+      nBatches: Int)(f: DataFrame => Dataset[_]): Double = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bench")
+    val input = MemoryStream[BenchEvent]
+    val out = f(input.toDF())
+    val t0 = System.nanoTime()
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .start()
+    try {
+      val per = math.max(1, events.length / math.max(1, nBatches))
+      events.grouped(per).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      // best-effort cleanup of the throwaway checkpoint
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Events/sec through the tumbling-window aggregation. */
+  def tumblingEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
+    val events = syntheticEvents(n)
+    n / runSeconds(spark, events, nBatches)(df =>
+      EventStreams.tumblingCounts(df))
+  }
+
+  /** Events/sec through flatMapGroupsWithState sessionization (the
+    * explicit-state path — per-key state puts/gets + event-time timeouts). */
+  def sessionizeEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
+    val events = syntheticEvents(n)
+    n / runSeconds(spark, events, nBatches)(df =>
+      EventStreams.sessionizeWithState(df, gapMinutes = 30))
+  }
+}

@@ -187,6 +187,20 @@ class StreamingSpec extends SparkTestBase {
       Seq((1L, "2026-01-01 09:50:00.0", 2L)))
   }
 
+  test("streaming throughput smoke holds a conservative floor") {
+    // The BENCH streaming entries (s90/s91) run through this same harness;
+    // the floor is deliberately loose — it catches a state-store
+    // catastrophe (e.g. an accidental per-batch full-state rescan turning
+    // throughput quadratic), not VM weather. 20k events in up to 40 s.
+    val n = 20000
+    val tumbling = graft.streaming.StreamBench.tumblingEps(spark, n,
+      nBatches = 4)
+    assert(tumbling >= 500.0, s"tumbling throughput $tumbling events/s")
+    val sess = graft.streaming.StreamBench.sessionizeEps(spark, n,
+      nBatches = 4)
+    assert(sess >= 500.0, s"sessionize throughput $sess events/s")
+  }
+
   test("mapGroupsWithState accumulates per-user running stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
