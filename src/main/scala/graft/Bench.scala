@@ -13,17 +13,24 @@ import org.apache.spark.sql.SparkSession
   * exports) stamp-check their artifact, so the repeat measures the steady
   * state (probe/export), not a rebuild.
   *
-  * Output is truncation-proof: one short JSON line PER QUERY as it
-  * finishes, then the single contract line (total + full queries map, values
-  * rounded to 0.1 ms) last. A tail capture that cuts the head of the run
-  * still holds every late query twice and the contract line whole; round 4
-  * lost q01–q13 to exactly this.
+  * Output is sized for the driver's 2000-char tail capture (round 5's
+  * contract line overflowed it and parsed as null): one full-precision JSON
+  * line PER QUERY as it finishes (log detail), then a compact streaming
+  * line, then the contract line LAST — batch queries only, values at 2
+  * decimals, ~1850 chars including sbt's trailer. `value` is the BATCH
+  * total: the two streaming entries take ~9 s each by design (they measure
+  * state-store throughput, not plan cost), so folding them in would make
+  * every round-over-round total comparison read as a 2× regression.
   *
   * Two streaming throughput entries (s90/s91: events/sec through the
   * tumbling agg and flatMapGroupsWithState sessionization over a
   * MemoryStream, noop sink) ride beside the batch queries — the state-store
-  * cost the batch twins can't see. Their `queries` values are seconds like
-  * every other entry; the rates are in the `streaming` object.
+  * cost the batch twins can't see. They are reported on their own
+  * `"metric":"streaming"` line (sec + events/sec per entry).
+  *
+  * A query whose every run throws is reported as sec -1 with an
+  * `"error":true` marker and lands in the contract line's `errors` list —
+  * a broken query must not masquerade as a fast one.
   *
   * SPARK_GRAFT_BENCH_ONLY=q60_tumbling,q32_knn_batch restricts the run (an
   * isolation harness for chasing one query's number; the driver never sets
@@ -35,6 +42,13 @@ object Bench {
   private def fmt(v: Double): String =
     java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+
+  /** Contract-line precision: 2 decimals keeps 77 queries + overhead under
+    * the driver's 2000-char tail capture (10 ms resolution is enough for
+    * round-over-round comparison; full precision is on the per-query lines). */
+  private def fmt2(v: Double): String =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,15 +68,19 @@ object Bench {
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def best(run: () => Unit): Double =
-      (0 until runs).map { _ =>
+    // min of the runs that SUCCEEDED; -1 (with an error marker) if none did
+    def best(run: () => Unit): Double = {
+      val ok = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        try { run(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (ok.isEmpty) -1.0 else ok.min
+    }
     val results = selected.map { case (name, fn) =>
       val t = best(() => { fn(spark, sfDir).count(); () })
-      println(s"""{"metric":"query","name":"$name","sec":${fmt(t)}}""")
+      val err = if (t < 0) ""","error":true""" else ""
+      println(s"""{"metric":"query","name":"$name","sec":${fmt(t)}$err}""")
       name -> t
     }
     // Streaming throughput smoke (state-store cost; see scaladoc).
@@ -73,19 +91,30 @@ object Bench {
         graft.streaming.StreamBench.sessionizeEps(spark, n)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, eps) =>
-        val rate = (0 until runs).map(_ => eps(StreamEvents)).max
-        val sec = StreamEvents / rate
-        println(s"""{"metric":"query","name":"$name","sec":${fmt(sec)},"events_per_sec":${fmt(rate)}}""")
+        val rates = (0 until runs).flatMap { _ =>
+          try Some(eps(StreamEvents)) catch { case _: Throwable => None }
+        }
+        val rate = if (rates.isEmpty) -1.0 else rates.max
+        val sec = if (rate > 0) StreamEvents / rate else -1.0
+        val err = if (rate < 0) ""","error":true""" else ""
+        println(s"""{"metric":"query","name":"$name","sec":${fmt(sec)},"events_per_sec":${fmt(rate)}$err}""")
         (name, sec, rate)
       }
-    val all = results ++ streamEntries.map(e => e._1 -> e._2)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    if (streamEntries.nonEmpty) {
+      val s = streamEntries.map { case (k, sec, r) =>
+        "\"" + k + "\":{\"sec\":" + fmt2(sec) + ",\"eps\":" + r.round + "}"
+      }.mkString(",")
+      println(s"""{"metric":"streaming",$s}""")
+    }
+    // Contract line LAST, batch-only, 2-decimal values: it must fit whole
+    // inside the driver's 2000-char tail together with sbt's trailer.
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
-    val streaming = streamEntries
-      .map { case (k, _, r) => "\"" + k + "_eps\":" + fmt(r) }
-      .mkString("{", ",", "}")
-    val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":$streaming,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,27 +48,37 @@ object StreamBench {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bench")
     val input = MemoryStream[BenchEvent]
     val out = f(input.toDF())
-    val t0 = System.nanoTime()
     val q = out.writeStream.format("noop")
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append")
       .start()
+    // Timed window: feed + process only. Query start-up, stop(), and the
+    // checkpoint cleanup below are harness cost, not transform/state cost —
+    // including them (cleanup file count grows with batches × partitions)
+    // would bias events/sec downward by a run-dependent amount.
+    var elapsed = 0.0
     try {
       val per = math.max(1, events.length / math.max(1, nBatches))
+      val t0 = System.nanoTime()
       events.grouped(per).foreach { chunk =>
         input.addData(chunk: _*)
         q.processAllAvailable()
       }
+      elapsed = (System.nanoTime() - t0) / 1e9
     } finally {
       q.stop()
-      // best-effort cleanup of the throwaway checkpoint
+      // best-effort cleanup of the throwaway checkpoint; per-file failures
+      // are ignored individually so one locked file doesn't strand the tree
+      val walk = java.nio.file.Files.walk(ckpt)
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => () }
+        walk.iterator().asScala.toSeq.reverse.foreach { p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      } finally walk.close()
     }
-    (System.nanoTime() - t0) / 1e9
+    elapsed
   }
 
   /** Events/sec through the tumbling-window aggregation. */
