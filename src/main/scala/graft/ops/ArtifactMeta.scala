@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** One-line stamp files beside persisted artifacts (IVF index, signature
   * table, gram snapshot): an underscore-prefixed file the parquet reader
@@ -23,6 +24,32 @@ private[graft] object ArtifactMeta {
         .nextOption().map(_.trim)
       finally in.close()
     }
+  }
+
+  /** (row count, content fingerprint) of `df` in ONE aggregation pass.
+    *
+    * The fingerprint is the exact decimal sum of `xxhash64` over `cols`
+    * (all columns when empty) — it closes the freshness hole a bare row
+    * count leaves open: data regenerated IN PLACE with an identical count
+    * now invalidates the artifact, for the price of one column scan per
+    * build check. Properties the stamp machinery leans on:
+    *
+    *  - order-independent (sum commutes — repartition/compaction of the
+    *    source parquet does not change it);
+    *  - ADDITIVE: fingerprint(corpus ∪ batch) = fingerprint(corpus) +
+    *    fingerprint(batch), so the O(batch) append paths can advance a
+    *    stored fingerprint without rescanning the corpus;
+    *  - overflow-free: accumulated as decimal(38,0). Signed xxhash64
+    *    values are uniform around zero, so the running sum stays ~√n·2⁶³ —
+    *    astronomically far from 10³⁸ even at 100 TB row counts.
+    */
+  def fingerprint(df: DataFrame, cols: Seq[String] = Nil): (Long, BigInt) = {
+    val hashed = (if (cols.isEmpty) df.columns.toSeq else cols).map(df(_))
+    val row = df.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(hashed: _*).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head()
+    (row.getLong(0), BigInt(row.getDecimal(1).toBigInteger))
   }
 
   def write(df: DataFrame, path: String, name: String, stamp: String): Unit = {

@@ -204,14 +204,24 @@ object Curation {
     trainGramSet(trainDf, idCol, textCol, n, maxTrainDf)
       .write.mode("overwrite").parquet(path)
     writeMetaFile(trainDf, path, "_grams_meta",
-      s"${trainDf.count()}:$n:$maxTrainDf")
+      s"${gramStamp(trainDf, idCol, textCol, n, maxTrainDf)}")
+  }
+
+  /** count + gram config + content fingerprint ([[ArtifactMeta.fingerprint]]
+    * over id + text): an in-place train-set regeneration with an identical
+    * row count invalidates the snapshot. */
+  private def gramStamp(trainDf: DataFrame, idCol: String, textCol: String,
+      n: Int, maxTrainDf: Long): String = {
+    val (cnt, fp) = ArtifactMeta.fingerprint(trainDf, Seq(idCol, textCol))
+    s"$cnt:$n:$maxTrainDf:fp$fp"
   }
 
   /** Ensure a valid gram snapshot exists (stamp check — same freshness
-    * contract as [[Dedup.signaturesIfAbsent]]) and return it. */
+    * contract as [[Dedup.signaturesIfAbsent]]; a pre-fingerprint stamp is
+    * upgraded by one rebuild) and return it. */
   def trainGramsIfAbsent(trainDf: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): DataFrame = {
-    val stamp = s"${trainDf.count()}:$n:$maxTrainDf"
+    val stamp = gramStamp(trainDf, idCol, textCol, n, maxTrainDf)
     if (!readMetaFile(trainDf, path, "_grams_meta").contains(stamp))
       writeTrainGrams(trainDf, idCol, textCol, path, n, maxTrainDf)
     trainDf.sparkSession.read.parquet(path)

@@ -93,25 +93,32 @@ object Dedup {
       minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
 
   /** Persist a corpus's MinHash signatures as a parquet artifact with a
-    * `_minhash_meta` stamp (row count + hash-family config) — the same
-    * build-once lifecycle the memo index and the IVF index have. At 100 TB
-    * the signature table is the thing that makes incremental dedup O(batch):
-    * each ingest scans the ARTIFACT (64 longs/row, ~3 orders of magnitude
-    * narrower than the text corpus) instead of re-minhashing the corpus. */
+    * `_minhash_meta` stamp (row count + hash-family config + content
+    * fingerprint) — the same build-once lifecycle the memo index and the
+    * IVF index have. At 100 TB the signature table is the thing that makes
+    * incremental dedup O(batch): each ingest scans the ARTIFACT (64
+    * longs/row, ~3 orders of magnitude narrower than the text corpus)
+    * instead of re-minhashing the corpus. The fingerprint
+    * ([[ArtifactMeta.fingerprint]] over id + text) makes in-place data
+    * regeneration with an identical row count invalidate the artifact —
+    * the freshness hole a count-only stamp leaves open. */
   def writeSignatures(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 64, shingleSize: Int = 3): Unit = {
     computeSignatures(df, idCol, textCol, numHashes, shingleSize)
       .write.mode("overwrite").parquet(path)
-    // count on the pruned input (no signature evaluation)
-    writeSigMeta(df, path, s"${df.count()}:$numHashes:$shingleSize")
+    // one agg on the pruned input (no signature evaluation)
+    val (n, fp) = ArtifactMeta.fingerprint(df, Seq(idCol, textCol))
+    writeSigMeta(df, path, s"$n:$numHashes:$shingleSize:fp$fp")
   }
 
   /** Ensure a valid signature artifact exists for this corpus (stamp =
-    * count + hash config; same pragmatic freshness contract as
-    * [[IvfIndex.buildIfAbsent]]) and return it. */
+    * count + hash config + content fingerprint; same freshness contract as
+    * [[IvfIndex.buildIfAbsent]]) and return it. A pre-fingerprint stamp
+    * (older artifact) never matches, so it is upgraded by one rebuild. */
   def signaturesIfAbsent(corpus: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val stamp = s"${corpus.count()}:$numHashes:$shingleSize"
+    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, textCol))
+    val stamp = s"$n:$numHashes:$shingleSize:fp$fp"
     if (!readSigMeta(corpus, path).contains(stamp))
       writeSignatures(corpus, idCol, textCol, path, numHashes, shingleSize)
     loadSignatures(corpus.sparkSession, path)
@@ -129,11 +136,18 @@ object Dedup {
       path: String): Unit = {
     val stamp = readSigMeta(batch, path).getOrElse(throw new IllegalStateException(
       s"no signature artifact at $path — writeSignatures first"))
-    val Array(count, numHashes, shingleSize) = stamp.split(":", 3)
+    val Array(count, numHashes, shingleSize, fp) = stamp.split(":", 4) match {
+      case a if a.length == 4 && a(3).startsWith("fp") => a
+      case _ => throw new IllegalStateException(
+        s"signature artifact at $path predates content-fingerprint stamps — " +
+          "rebuild it with writeSignatures")
+    }
     computeSignatures(batch, idCol, textCol, numHashes.toInt, shingleSize.toInt)
       .write.mode("append").parquet(path)
-    writeSigMeta(batch, path,
-      s"${count.toLong + batch.count()}:$numHashes:$shingleSize")
+    // fingerprints are additive sums, so the stamp advances in O(batch)
+    val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
+    writeSigMeta(batch, path, s"${count.toLong + bn}:$numHashes:$shingleSize" +
+      s":fp${BigInt(fp.drop(2)) + bfp}")
   }
 
   /** Read a persisted signature artifact: (id, sig). */

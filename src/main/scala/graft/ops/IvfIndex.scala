@@ -115,28 +115,32 @@ object IvfIndex {
 
   /** Ensure a persisted index exists at `path` for this corpus and return
     * its centroids — the build-once / probe-many lifecycle of a real ANN
-    * index. The centroid matrix and a validity stamp (corpus row count +
-    * nlist + sample fraction) are stored beside the parquet in
-    * `_ivf_centroids` (underscore prefix: invisible to the parquet reader;
-    * read/written through the HADOOP filesystem of `path`, so the check
-    * works on HDFS/object stores, not just the driver's local disk); a
-    * stamp mismatch triggers a full retrain + rewrite. The stamp is a
-    * pragmatic freshness check — data regenerated IN PLACE with an
-    * identical row count reuses the old index; delete the path (or the
-    * stamp file) to force a rebuild after such a rewrite. Training stays a
-    * bounded driver sample ([[trainCentroids]]); the assignment pass is
-    * distributed codegen. */
+    * index. The centroid matrix, a validity stamp (corpus row count +
+    * nlist + sample fraction + content fingerprint), and the per-cell
+    * occupancy are stored beside the parquet in `_ivf_centroids`
+    * (underscore prefix: invisible to the parquet reader; read/written
+    * through the HADOOP filesystem of `path`, so the check works on
+    * HDFS/object stores, not just the driver's local disk); a stamp
+    * mismatch triggers a full retrain + rewrite. The fingerprint
+    * ([[ArtifactMeta.fingerprint]] over id + embedding) closes the
+    * count-only freshness hole: data regenerated IN PLACE with an
+    * identical row count now invalidates the index, at the cost of one
+    * column scan per build check. Training stays a bounded driver sample
+    * ([[trainCentroids]]); the assignment pass is distributed codegen. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, path: String, sampleFraction: Double = 1.0): Array[Array[Float]] = {
     val (fs, metaPath) = metaLocation(corpus, path)
-    val stamp = s"${corpus.count()}:$nlist:$sampleFraction"
+    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
+    val stamp = s"$n:$nlist:$sampleFraction:fp$fp"
     readMeta(fs, metaPath) match {
-      case Some((`stamp`, centroids)) => centroids
+      case Some(m) if m.stamp == stamp => m.centroids
       case _ =>
         val centroids = trainCentroids(corpus, embCol, nlist,
           sampleFraction = sampleFraction)
         persist(build(corpus, idCol, embCol, centroids), path)
-        writeMeta(fs, metaPath, stamp, centroids)
+        writeMeta(fs, metaPath,
+          Meta(stamp, Some(cellOccupancy(corpus.sparkSession, path, nlist)),
+            centroids))
         centroids
     }
   }
@@ -157,17 +161,88 @@ object IvfIndex {
   def append(batch: DataFrame, idCol: String, embCol: String,
       path: String): Array[Array[Float]] = {
     val (fs, metaPath) = metaLocation(batch, path)
-    val (stamp, centroids) = readMeta(fs, metaPath).getOrElse(
+    val meta = readMeta(fs, metaPath).getOrElse(
       throw new IllegalStateException(
         s"no IVF index at $path — run buildIfAbsent before append"))
-    val Array(count, nlist, sampleFraction) = stamp.split(":", 3)
-    val n = batch.count()
-    build(batch, idCol, embCol, centroids)
+    val Array(count, nlist, sampleFraction, fp) = meta.stamp.split(":", 4) match {
+      case a if a.length == 4 && a(3).startsWith("fp") => a
+      case _ => throw new IllegalStateException(
+        s"IVF index at $path predates content-fingerprint stamps — " +
+          "delete it (or its _ivf_centroids) and rebuild")
+    }
+    val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    build(batch, idCol, embCol, meta.centroids)
       .write.mode("append").partitionBy("cell_id").parquet(path)
-    writeMeta(fs, metaPath, s"${count.toLong + n}:$nlist:$sampleFraction",
-      centroids)
-    centroids
+    // stamp advances additively in O(batch); occupancy is re-read from the
+    // grown layout (a partition-column-only scan — parquet answers it from
+    // directory names + footer row counts, no data pages)
+    writeMeta(fs, metaPath, Meta(
+      s"${count.toLong + bn}:$nlist:$sampleFraction:fp${BigInt(fp.drop(2)) + bfp}",
+      Some(cellOccupancy(batch.sparkSession, path, nlist.toInt)),
+      meta.centroids))
+    meta.centroids
   }
+
+  /** Per-cell row counts of a persisted index, indexed by cell_id. Reads
+    * only the partition column: answered from the directory layout and
+    * parquet footer row counts, so it is metadata-cost even on a huge
+    * index. */
+  def cellOccupancy(spark: org.apache.spark.sql.SparkSession, path: String,
+      nlist: Int): Array[Long] = {
+    val occ = new Array[Long](nlist)
+    load(spark, path).groupBy("cell_id").count().collect().foreach { r =>
+      val c = r.getInt(0)
+      if (c >= 0 && c < nlist) occ(c) = r.getLong(1)
+    }
+    occ
+  }
+
+  /** max/median occupancy over non-empty cells — the drift signal
+    * [[compact]] triggers on (1.0 = perfectly balanced). */
+  def occupancySkew(occ: Seq[Long]): Double = {
+    val nz = occ.filter(_ > 0).sorted
+    if (nz.isEmpty) 1.0
+    else nz.last.toDouble / math.max(1L, nz(nz.length / 2)).toDouble
+  }
+
+  /** Rebalance a persisted index whose cell occupancy has drifted past
+    * `maxSkew` — the maintenance op [[append]] needs: append reuses the
+    * stored centroids forever, so a drifting data distribution piles new
+    * rows into a few hot cells and probe cost/recall degrade silently.
+    *
+    * The skew CHECK is metadata-only (occupancy rides in the stamp file,
+    * maintained by build and every append); only when it trips does the
+    * index pay a retrain (bounded driver sample, as always) + full
+    * rewrite. Returns true iff a rewrite happened. After compaction the
+    * stamp carries the corpus fingerprint, so a following [[buildIfAbsent]]
+    * over the same corpus validates without rebuilding. */
+  def compact(corpus: DataFrame, idCol: String, embCol: String,
+      path: String, maxSkew: Double = 4.0): Boolean = {
+    val (fs, metaPath) = metaLocation(corpus, path)
+    val meta = readMeta(fs, metaPath).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF index at $path — run buildIfAbsent before compact"))
+    val nlist = meta.stamp.split(":", 3)(1).toInt
+    // old artifacts without stored occupancy: one partition-column scan
+    val occ = meta.occupancy.getOrElse(
+      cellOccupancy(corpus.sparkSession, path, nlist))
+    if (occupancySkew(occ.toSeq) <= maxSkew) false
+    else {
+      val sampleFraction = meta.stamp.split(":", 4)(2).toDouble
+      val centroids = trainCentroids(corpus, embCol, nlist,
+        sampleFraction = sampleFraction)
+      persist(build(corpus, idCol, embCol, centroids), path)
+      val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
+      writeMeta(fs, metaPath, Meta(s"$n:$nlist:$sampleFraction:fp$fp",
+        Some(cellOccupancy(corpus.sparkSession, path, nlist)), centroids))
+      true
+    }
+  }
+
+  /** Parsed `_ivf_centroids` content: validity stamp, per-cell occupancy
+    * (absent on pre-compaction artifacts), centroid matrix. */
+  private[graft] case class Meta(stamp: String, occupancy: Option[Array[Long]],
+      centroids: Array[Array[Float]])
 
   private def metaLocation(df: DataFrame, path: String) = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -175,21 +250,35 @@ object IvfIndex {
     (metaPath.getFileSystem(conf), metaPath)
   }
 
+  /** Parse the lines of an `_ivf_centroids` file: stamp line, optional
+    * `occ:` line, centroid rows. Exposed so an oracle exporter can read a
+    * persisted index's centroids straight off disk (the oracle map must be
+    * a pure function of on-disk state, not of JVM history). */
+  private[graft] def parseMetaLines(lines: Seq[String]): Option[Meta] =
+    lines.headOption.map { stamp =>
+      val (occ, ctrLines) = lines.tail match {
+        case o +: rest if o.startsWith("occ:") =>
+          (Some(o.drop(4).split(",").filter(_.nonEmpty).map(_.toLong)), rest)
+        case rest => (None, rest)
+      }
+      Meta(stamp, occ, ctrLines.map(_.split(",").map(_.toFloat)).toArray)
+    }
+
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
-      metaPath: org.apache.hadoop.fs.Path): Option[(String, Array[Array[Float]])] = {
+      metaPath: org.apache.hadoop.fs.Path): Option[Meta] = {
     if (!fs.exists(metaPath)) return None
     val in = fs.open(metaPath)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    lines.headOption.map(stamp =>
-      (stamp, lines.tail.map(_.split(",").map(_.toFloat)).toArray))
+    parseMetaLines(lines)
   }
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
-      metaPath: org.apache.hadoop.fs.Path, stamp: String,
-      centroids: Array[Array[Float]]): Unit = {
-    val body = (stamp +: centroids.toSeq.map(_.mkString(",")))
+      metaPath: org.apache.hadoop.fs.Path, meta: Meta): Unit = {
+    val body = (meta.stamp +:
+        (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
+          meta.centroids.toSeq.map(_.mkString(","))))
       .mkString("", "\n", "\n")
     val out = fs.create(metaPath, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -264,20 +353,45 @@ object IvfIndex {
     * [[graft.functions.TopKAggregator]] BEFORE the only shuffle (which
     * carries ≤ Q×k×partitions rows). No per-query jobs, no corpus shuffle,
     * no cartesian against the corpus. The probe set carries each query
-    * vector `nprobe` times (Q × nprobe × dim floats broadcast) — fine into
-    * the tens of thousands of queries; beyond that, range-split the query
-    * batch and union the results.
+    * vector `nprobe` times (Q × nprobe × dim floats broadcast), so the
+    * broadcast grows with the batch: above `maxBatch` queries the operator
+    * RANGE-SPLITS the batch itself — hash-partitions the query ids into
+    * ⌈Q/maxBatch⌉ slices, runs the same probe join per slice, and unions —
+    * bounding each broadcast at ~maxBatch query vectors while every slice
+    * still reads only its own probed cells. (Per-query results are
+    * independent, so the union is exactly the unsplit result.) Sizing the
+    * split costs a bounded `limit(maxBatch+1).count()` probe, and a full
+    * count only when it actually overflows.
     *
     * `queries` columns: (queryIdCol: castable to long, qvCol: array of
     * float). Returns (query_id, id, score), unordered (top-k set per
     * query; order downstream). */
   def searchBatch(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, queryIdCol: String, qvCol: String,
+      k: Int, nprobe: Int, maxBatch: Int = 8192): DataFrame = {
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(qvCol).as("qv"))
+    if (q.limit(maxBatch + 1).count() <= maxBatch)
+      searchBatchSlice(index, centroids, q, k, nprobe)
+    else {
+      val slices = ((q.count() - 1) / maxBatch + 1).toInt
+      // hash-sliced: ~maxBatch queries per slice in expectation (ids are
+      // opaque, so uniform xxhash64 beats assuming a dense id range)
+      (0 until slices).map { i =>
+        searchBatchSlice(index, centroids,
+          q.filter(pmod(xxhash64(col("query_id")), lit(slices)) === i),
+          k, nprobe)
+      }.reduce(_.unionAll(_))
+    }
+  }
+
+  /** One bounded slice of [[searchBatch]] (queries already projected to
+    * (query_id, qv)). */
+  private def searchBatchSlice(index: DataFrame,
+      centroids: Array[Array[Float]], q: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
-      col(qvCol).as("qv"))
     // per-query probe cells as one narrow projection (nearestCells keeps
     // the centroid matrix a codegen plan constant) — no centroid join, no
     // per-query rank window, no shuffle before the probe-set broadcast

@@ -12,43 +12,75 @@ import graft.ops.{IvfIndex, Multimodal}
 object ScaleQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Centroids from the latest IVF build in this JVM. Centroid training is
-    * engine-side (hash-ordered sample + Lloyd's — not SQL-replayable), but
-    * everything DOWNSTREAM of the centroid matrix is deterministic double
-    * arithmetic, so [[oracles]] exports the trained matrix as a literal
-    * DuckDB VALUES table and replays assignment + probe + re-rank exactly.
-    * The driver harness runs every query before reading the oracle map
-    * (Verify.scala), so the cache is always populated there; when it is
-    * not (the map inspected cold), the IVF oracles are simply omitted and
-    * those queries fall back to the rows-only check. */
+  /** Centroids from the latest IVF build in this JVM — a hot-path shortcut
+    * only. Centroid training is engine-side (hash-ordered sample +
+    * Lloyd's — not SQL-replayable), but everything DOWNSTREAM of the
+    * centroid matrix is deterministic double arithmetic, so [[oracles]]
+    * exports the trained matrix as a literal DuckDB VALUES table and
+    * replays assignment + probe + re-rank exactly. When this JVM has not
+    * run an IVF query, [[ivfOracles]] falls back to reading the matrix off
+    * the persisted index's `_ivf_centroids` artifact, so the oracle map is
+    * a pure function of on-disk state (cold-JVM inspection emits the same
+    * replays the warm path does). */
   @volatile private var lastIvfCentroids: Option[Array[Array[Float]]] = None
+
+  /** Test hook: forget the in-JVM centroid shortcut so a spec can exercise
+    * the cold (artifact-backed) oracle path. */
+  private[graft] def resetIvfOracleCache(): Unit = lastIvfCentroids = None
+
+  private val MaxIvfHandles = 8
 
   /** Per-session index HANDLES: an ANN serving deployment opens its index
     * once and probes it many times — revalidating the stamp (a corpus
-    * count job) and re-listing the parquet layout per query would charge
-    * every probe an open cost no real serving path pays. First use in a
-    * session builds/validates via [[IvfIndex.buildIfAbsent]]; the handle
-    * (loaded DataFrame + centroids) is then reused. */
-  private val ivfHandles = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, Array[Array[Float]])]()
+    * fingerprint job) and re-listing the parquet layout per query would
+    * charge every probe an open cost no real serving path pays. First use
+    * in a session builds/validates via [[IvfIndex.buildIfAbsent]]; the
+    * handle (loaded DataFrame + centroids) is then reused. Access-order
+    * LRU capped at [[MaxIvfHandles]] and cleared on application end, so a
+    * long-lived JVM cycling through many short sessions can't accumulate
+    * handles without bound. */
+  private val ivfHandles = new java.util.LinkedHashMap[
+      (SparkSession, String), (DataFrame, Array[Array[Float]])](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String), (DataFrame, Array[Array[Float]])]): Boolean =
+      size() > MaxIvfHandles
+  }
+  private val ivfListenerArmed = new java.util.concurrent.atomic.AtomicBoolean
+
+  private[graft] def ivfHandleCount: Int =
+    ivfHandles.synchronized(ivfHandles.size)
 
   /** Shared build-once index for q36/q37 (stamp-checked; first caller pays
     * the build, every probe after that is partition-pruned reads). */
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
-    val handle = ivfHandles.computeIfAbsent((s, dir), { case (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      val idxPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q36_ivf_${dir.hashCode.toHexString}").toString
-      // train on a sample: centroids only gate probe cells, and at 100 TB
-      // the quantizer would always be fit on a sample, never the corpus
-      val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding",
-        nlist = 16, idxPath, sampleFraction = 0.3)
-      (IvfIndex.load(s, idxPath), centroids)
-    })
+    if (ivfListenerArmed.compareAndSet(false, true))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          ivfHandles.synchronized(ivfHandles.clear())
+          ivfListenerArmed.set(false)
+        }
+      })
+    val handle = ivfHandles.synchronized {
+      Option(ivfHandles.get((s, dir))).getOrElse {
+        val emb = Tables(s, dir, "embeddings")
+        val idxPath = ivfIndexPath(dir)
+        // train on a sample: centroids only gate probe cells, and at 100 TB
+        // the quantizer would always be fit on a sample, never the corpus
+        val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding",
+          nlist = 16, idxPath, sampleFraction = 0.3)
+        val h = (IvfIndex.load(s, idxPath), centroids)
+        ivfHandles.put((s, dir), h)
+        h
+      }
+    }
     lastIvfCentroids = Some(handle._2)
     handle
   }
+
+  private def ivfIndexPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_q36_ivf_${dir.hashCode.toHexString}").toString
 
   /** IVF ANN top-20 over a PERSISTED `partitionBy(cell_id)` parquet index —
     * the build-once / probe-many lifecycle of a real ANN index (index build
@@ -84,7 +116,7 @@ object ScaleQueries {
     * re-attach the existing files to their catalog without rewriting —
     * the ingest-time bucketing a 100 TB deployment amortizes across every
     * subsequent join. */
-  private def bucketedTable(s: SparkSession, dir: String, name: String,
+  private[graft] def bucketedTable(s: SparkSession, dir: String, name: String,
       key: String, buckets: Int)(make: => DataFrame): String = {
     val tag = (dir.hashCode & 0x7fffffff).toHexString
     val tbl = s"graft_q38_${name}_$tag"
@@ -92,7 +124,12 @@ object ScaleQueries {
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"${tbl}_data").toString
     val df = make
-    val stamp = s"${df.count()}:$buckets:$key"
+    // count + content fingerprint: an in-place source regeneration with an
+    // identical row count invalidates the bucketed copy (ArtifactMeta
+    // scaladoc) — the stamp check costs one scan of the (already pruned)
+    // join columns, paid once per session at registration
+    val (n, fp) = graft.ops.ArtifactMeta.fingerprint(df)
+    val stamp = s"$n:$buckets:$key:fp$fp"
     if (graft.ops.ArtifactMeta.read(df, path, "_bucket_meta").contains(stamp))
       graft.ops.JoinOps.registerBucketed(s, tbl, path, df.schema.toDDL,
         key, buckets)
@@ -275,9 +312,14 @@ object ScaleQueries {
     * kernel's squared-L2 against the exported centroids, ties to the
     * smaller cell), exact cosine, floor-form round — is deterministic
     * double arithmetic both engines compute identically.
-    * Emitted only after an IVF query has run in this JVM (Verify runs all
-    * queries before dumping oracle_sql.json). */
-  private def ivfOracles: Map[String, String] = lastIvfCentroids match {
+    * The matrix comes from the in-JVM shortcut when an IVF query has run
+    * here, and otherwise from the newest persisted index's
+    * `_ivf_centroids` artifact — the oracle map is a pure function of
+    * on-disk state, not of JVM history (a cold JVM inspecting the map
+    * still emits the replays as long as the index exists). Only with no
+    * index anywhere are the IVF oracles omitted (rows-only fallback). */
+  private def ivfOracles: Map[String, String] =
+    lastIvfCentroids.orElse(centroidsFromDisk) match {
     case None => Map.empty
     case Some(cs) => Map(
       "q36_ivf_ann" ->
@@ -329,6 +371,33 @@ object ScaleQueries {
            |  FROM sc)
            |WHERE rn <= 3
            |ORDER BY query_id, score DESC, vec_id""".stripMargin)
+  }
+
+  /** Centroid matrix of the most recently written persisted q36 index, off
+    * its `_ivf_centroids` stamp file. The index paths are tmpdir-local by
+    * construction ([[ivfIndexPath]]), so plain file IO suffices; when
+    * several sf dirs have indexes, the newest stamp wins — it belongs to
+    * the queries most recently run against this tmpdir. */
+  private def centroidsFromDisk: Option[Array[Array[Float]]] = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val metas = try {
+      val s = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft_q36_ivf_"))
+          .map(_.resolve("_ivf_centroids"))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .toVector
+      } finally s.close()
+    } catch { case _: java.io.IOException => Vector.empty }
+    metas.sortBy(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+      .lastOption.flatMap { p =>
+        import scala.jdk.CollectionConverters._
+        IvfIndex.parseMetaLines(
+            java.nio.file.Files.readAllLines(p).asScala.toVector)
+          .map(_.centroids).filter(_.nonEmpty)
+      }
   }
 
   /** Static oracles + the dynamically exported IVF replays. */

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ArtifactMeta, Curation, Dedup, IvfIndex}
+import graft.queries.ScaleQueries
+
+/** Content-fingerprint freshness across all four stamped artifact families
+  * (IVF index, MinHash signatures, train-gram snapshot, bucketed tables):
+  * data regenerated IN PLACE with an IDENTICAL row count must invalidate
+  * the artifact — the hole a count-only stamp leaves open — while an
+  * unchanged source must keep reusing it (no rewrite).
+  *
+  * "Rebuilt" is asserted from the artifact's data files: Spark writes fresh
+  * randomized part-file names on every overwrite, so an unchanged file-name
+  * set proves reuse and a changed set proves a rewrite. */
+class ArtifactStampSpec extends SparkTestBase {
+
+  private def dataFiles(path: String): Set[String] = {
+    val root = java.nio.file.Paths.get(path)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    finally s.close()
+  }
+
+  /** 50 documents; `mutate` rewrites the text in place (same ids, same
+    * count, different bytes — the regeneration scenario). */
+  private def docs: DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+  private def mutated(df: DataFrame): DataFrame =
+    df.withColumn("text", concat(col("text"), lit(" regenerated")))
+
+  test("fingerprint is order-independent and additive") {
+    val a = Tables(spark, sfDir, "documents").filter(col("doc_id") < 100)
+    val b = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val cols = Seq("doc_id", "text")
+    val (na, fa) = ArtifactMeta.fingerprint(a, cols)
+    val (nb, fb) = ArtifactMeta.fingerprint(b, cols)
+    val (nu, fu) = ArtifactMeta.fingerprint(a.unionAll(b), cols)
+    assert((na + nb, fa + fb) == ((nu, fu)), "fingerprint must be additive")
+    val (nr, fr) = ArtifactMeta.fingerprint(a.repartition(7), cols)
+    assert((na, fa) == ((nr, fr)), "fingerprint must ignore row order")
+    val (nm, fm) = ArtifactMeta.fingerprint(mutated(a), cols)
+    assert(nm == na && fm != fa, "content change must move the fingerprint")
+  }
+
+  test("minhash signatures: same-count content change rebuilds the artifact") {
+    val path = java.nio.file.Files.createTempDirectory("sig_fp")
+      .resolve("sigs").toString
+    Dedup.signaturesIfAbsent(docs, "doc_id", "text", path, 16, 3)
+    val first = dataFiles(path)
+    Dedup.signaturesIfAbsent(docs, "doc_id", "text", path, 16, 3)
+    assert(dataFiles(path) == first, "unchanged corpus must reuse the artifact")
+    val sigs = Dedup.signaturesIfAbsent(mutated(docs), "doc_id", "text",
+      path, 16, 3)
+    assert(dataFiles(path) != first,
+      "same-count content change must rebuild the signature artifact")
+    // and the rebuilt artifact carries the NEW corpus's signatures
+    val expected = Dedup.computeSignatures(mutated(docs), "doc_id", "text",
+      16, 3).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs.collect().foreach(r =>
+      assert(r.getSeq[Long](1) == expected(r.getLong(0))))
+  }
+
+  test("train grams: same-count content change rebuilds the snapshot") {
+    val path = java.nio.file.Files.createTempDirectory("grams_fp")
+      .resolve("grams").toString
+    Curation.trainGramsIfAbsent(docs, "doc_id", "text", path, n = 3)
+    val first = dataFiles(path)
+    Curation.trainGramsIfAbsent(docs, "doc_id", "text", path, n = 3)
+    assert(dataFiles(path) == first, "unchanged train set must reuse the snapshot")
+    Curation.trainGramsIfAbsent(mutated(docs), "doc_id", "text", path, n = 3)
+    assert(dataFiles(path) != first,
+      "same-count content change must rebuild the gram snapshot")
+  }
+
+  test("ivf index: same-count content change rebuilds the index") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_fp")
+      .resolve("idx").toString
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    val first = dataFiles(path)
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    assert(dataFiles(path) == first, "unchanged corpus must reuse the index")
+    val scaled = emb.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.25f)))
+    IvfIndex.buildIfAbsent(scaled, "vec_id", "embedding", 8, path)
+    assert(dataFiles(path) != first,
+      "same-count content change must rebuild the IVF index")
+  }
+
+  test("bucketed table: same-count content change rewrites the layout") {
+    // a throwaway "dir" tag isolates this lifecycle from q38's real tables
+    val tag = java.nio.file.Files.createTempDirectory("bkt_fp").toString
+    val src = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).limit(40)
+    def make(df: DataFrame): String =
+      ScaleQueries.bucketedTable(spark, tag, "t", "c_custkey", 4)(df)
+    val tbl = make(src)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"${tbl}_data").toString
+    val first = dataFiles(path)
+    spark.sql(s"DROP TABLE $tbl")
+    make(src)
+    assert(dataFiles(path) == first,
+      "unchanged source must re-register, not rewrite")
+    spark.sql(s"DROP TABLE $tbl")
+    make(src.withColumn("c_mktsegment", lit("REGEN")))
+    assert(dataFiles(path) != first,
+      "same-count content change must rewrite the bucketed layout")
+  }
+}

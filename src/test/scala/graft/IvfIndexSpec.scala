@@ -217,4 +217,116 @@ class IvfIndexSpec extends SparkTestBase {
     val c2 = IvfIndex.trainCentroids(emb, "embedding", nlist = 8)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
+
+  test("compact: metadata-only no-op when balanced, rebalance when skewed") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_cmp")
+      .resolve("idx").toString
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    def files() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val fresh = files()
+    // below-threshold skew: the check reads only the stamp, nothing moves
+    assert(!IvfIndex.compact(emb, "vec_id", "embedding", path,
+      maxSkew = 1e9), "compact must no-op when occupancy is within bounds")
+    assert(files() == fresh, "a no-op compact rewrote index files")
+
+    // a drifting ingest: a tight cluster (one vector + per-dim jitter) that
+    // the frozen centroids funnel into one hot cell
+    val v0 = emb.filter(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val hot = (0 until 500).map { i =>
+      val v = v0.clone()
+      v(i % v.length) += 0.002f * ((i % 7) + 1)
+      (10000L + i, v)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(hot, "vec_id", "embedding", path)
+    val occBefore = IvfIndex.cellOccupancy(spark, path, 8)
+    val skewBefore = IvfIndex.occupancySkew(occBefore.toSeq)
+    assert(skewBefore > 4.0,
+      s"hot-cluster append should skew occupancy, got $skewBefore")
+
+    val grown = emb.select(col("vec_id"), col("embedding")).unionAll(hot)
+    assert(IvfIndex.compact(grown, "vec_id", "embedding", path,
+      maxSkew = 4.0), "compact must trigger above the skew threshold")
+    val occAfter = IvfIndex.cellOccupancy(spark, path, 8)
+    val skewAfter = IvfIndex.occupancySkew(occAfter.toSeq)
+    assert(skewAfter < skewBefore,
+      s"retrain did not rebalance: $skewBefore -> $skewAfter")
+    assert(occAfter.sum == grown.count(), "compaction lost rows")
+
+    // the compacted index still answers exactly at full probe...
+    val meta = IvfIndex.buildIfAbsent(grown, "vec_id", "embedding", 8, path)
+    assert(files().nonEmpty)
+    // score with search()'s own round4: the hot cluster is a wall of
+    // near-ties, so the comparison must use the same rounding + id
+    // tie-break the operator does
+    val exact = grown
+      .withColumn("score", graft.functions.GraftFunctions.round4(
+        graft.functions.GraftFunctions.vecCosine(col("embedding"), lit(v0))))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val viaIdx = IvfIndex.search(IvfIndex.load(spark, path), meta, v0,
+      k = 10, nprobe = 8).collect().map(_.getLong(0)).toSet
+    assert(viaIdx == exact, "full-probe search drifted through compaction")
+    // ...and the recall floor holds again at a partial probe
+    val part = IvfIndex.search(IvfIndex.load(spark, path), meta, v0,
+      k = 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    assert(part.intersect(exact).size >= 5,
+      s"recall@10 after compaction = ${part.intersect(exact).size / 10.0}")
+  }
+
+  test("buildIfAbsent validates the compacted stamp without rebuilding") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_cmp2")
+      .resolve("idx").toString
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path,
+      sampleFraction = 0.5)
+    // force a rewrite regardless of skew, then ensure the stamp it wrote
+    // is the one buildIfAbsent computes (fingerprint + config round-trip)
+    IvfIndex.compact(emb, "vec_id", "embedding", path, maxSkew = 0.0)
+    def files() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val compacted = files()
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path,
+      sampleFraction = 0.5)
+    assert(files() == compacted,
+      "buildIfAbsent rebuilt over a freshly compacted index")
+  }
+
+  test("searchBatch range-splits above maxBatch with identical results") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", centroids)
+    val queries = emb.filter(col("vec_id") < 9)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val whole = IvfIndex.searchBatch(idx, centroids, queries, "query_id",
+      "qv", k = 5, nprobe = 4)
+    val split = IvfIndex.searchBatch(idx, centroids, queries, "query_id",
+      "qv", k = 5, nprobe = 4, maxBatch = 2)
+    // the oversized batch actually took the sliced path (a Union of
+    // per-slice probe joins), and the union IS the unsplit answer
+    assert(split.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.nonEmpty, "maxBatch=2 with 9 queries did not range-split")
+    assert(whole.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "an in-bounds batch must not split")
+    assert(rows(split) == rows(whole),
+      "range-split changed the result set")
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.ScaleQueries
+
+/** Serving-lifecycle hygiene around the q36/q37 index handles and their
+  * oracle export: the handle cache must stay bounded when a long-lived JVM
+  * cycles through many sessions, and the oracle map must be derivable from
+  * the persisted index alone (a pure function of on-disk state — a cold
+  * JVM that never ran an IVF query still emits the full DuckDB replay). */
+class IvfServingSpec extends SparkTestBase {
+
+  test("index handle cache stays bounded across many sessions") {
+    // prime once so the on-disk index exists (first call pays the build)
+    SparkEntry.queries("q36_ivf_ann")(spark, sfDir).count()
+    (0 until 12).foreach { _ =>
+      val s = spark.newSession()
+      SparkEntry.queries("q36_ivf_ann")(s, sfDir).count()
+    }
+    val n = ScaleQueries.ivfHandleCount
+    assert(n <= 8, s"handle cache grew unbounded: $n entries after 13 sessions")
+  }
+
+  test("ivf oracles come from the on-disk artifact when the JVM is cold") {
+    // ensure the artifact exists and capture the warm-path oracle
+    SparkEntry.queries("q36_ivf_ann")(spark, sfDir).count()
+    // the disk fallback picks the NEWEST index when several sf dirs have
+    // one (tmpdir can carry artifacts from earlier bench runs) — make this
+    // suite's artifact the newest, as it would be after a real query run
+    val meta = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q36_ivf_${sfDir.hashCode.toHexString}", "_ivf_centroids")
+    java.nio.file.Files.setLastModifiedTime(meta,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val warm = SparkEntry.oracleSql
+    assert(warm.contains("q36_ivf_ann") && warm.contains("q37_ivf_batch"))
+    // simulate a cold JVM: forget the in-memory centroid shortcut
+    ScaleQueries.resetIvfOracleCache()
+    val cold = SparkEntry.oracleSql
+    assert(cold.contains("q36_ivf_ann"),
+      "cold oracle map lost the IVF replay despite a persisted index")
+    // the artifact round-trips the exact centroids, so the replay SQL the
+    // cold path emits is byte-identical to the warm one
+    assert(cold("q36_ivf_ann") == warm("q36_ivf_ann"))
+    assert(cold("q37_ivf_batch") == warm("q37_ivf_batch"))
+  }
+}
