@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.immutable.VectorMap
-
 import org.apache.spark.sql.functions._
 
 import graft.filter.FilterAlgebra
@@ -117,58 +115,9 @@ class FilterDifferentialSpec extends SparkTestBase {
       data.nonEmpty && matchesFilter(data, filt)
   }
 
-  private val rnd = new scala.util.Random(4242)
-  private val keys = Seq("alpha", "beta", "gamma")
-  private val words =
-    Seq("apple", "banana", "cherry", "user", "user_input", "", "2", "007",
-      "2.5", "false", "2026-03-14")
-
-  /** A typed scalar as parse-yaml would produce it. */
-  private def randomScalar(): Any = rnd.nextInt(5) match {
-    case 0 => rnd.nextInt(20)
-    case 1 => rnd.nextInt(40) / 2.0 // halves: Java toString == Python repr
-    case 2 => rnd.nextBoolean()
-    case 3 => words(rnd.nextInt(words.length))
-    case 4 => null
-  }
-
-  private def randomValue(): Any = rnd.nextInt(8) match {
-    case 6 => List.fill(rnd.nextInt(3))(randomScalar())
-    case 7 => VectorMap("k" -> randomScalar())
-    case _ => randomScalar()
-  }
-
-  private def randomMeta(): Map[String, Any] =
-    VectorMap.from(keys.filter(_ => rnd.nextBoolean()).map(_ -> randomValue()))
-
-  private def randomOperand(): Any = rnd.nextInt(8) match {
-    case 0 => rnd.nextInt(20)
-    case 1 => rnd.nextInt(40) / 2.0
-    case 2 => rnd.nextBoolean()
-    case 6 => // container operand: reference str()-coerces it whole
-      List.fill(rnd.nextInt(3))(words(rnd.nextInt(words.length)))
-    case 7 => VectorMap("k" -> rnd.nextInt(5))
-    case _ => words(rnd.nextInt(words.length))
-  }
-
-  private def randomCond(): Any = rnd.nextInt(8) match {
-    case 0 | 7 => randomOperand() // bare equality
-    case 1 => Map("$ne" -> randomOperand())
-    case 2 => Map("$gte" -> randomOperand())
-    case 3 => Map("$lte" -> randomOperand())
-    case 4 => Map("$prefix" -> randomOperand())
-    case 5 => Map("$contains" -> randomOperand())
-    case 6 => Map("$bogus" -> 1) // unknown operator → false
-  }
-
-  private def randomFilter(depth: Int = 1): Map[String, Any] = {
-    val base: Map[String, Any] = keys.filter(_ => rnd.nextInt(3) == 0)
-      .map(k => k -> randomCond()).toMap
-    if (depth > 0 && rnd.nextInt(3) == 0) {
-      val sub = List.fill(rnd.nextInt(3))(randomFilter(0)) // 0 → vacuous case
-      base + (if (rnd.nextBoolean()) "$and" -> sub else "$or" -> sub)
-    } else base
-  }
+  /** Typed case generator shared with FilterLiveReferenceSpec. */
+  private val gen = new FilterCaseGen(4242)
+  import gen.{randomFilter, randomMeta}
 
   test("filter keys are literal flat metadata keys (no dotted traversal)") {
     import spark.implicits._

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.filter.FilterAlgebra
+import graft.memo.MetaCodec
+
+/** Differential test against the LIVE reference: the same random typed
+  * (metadata, filter) cases are piped through memo_cli.py's own
+  * `matches_filter`/`eval_condition` (imported in a child python with
+  * faiss stubbed — the filter algebra is pure Python) and through
+  * FilterAlgebra's compiled Column predicate, and the verdict matrices
+  * are diffed. FilterDifferentialSpec checks Spark against an independent
+  * in-test MODEL of the semantics; this closes the last gap — the model
+  * itself could mis-read memo_cli.py:179-241, the reference cannot.
+  *
+  * The suite cancels (rather than fails) when no python3 is available or
+  * the reference source is absent, so the build does not depend on the
+  * reference being present. */
+class FilterLiveReferenceSpec extends SparkTestBase {
+
+  private val refCli = sys.env.getOrElse("GRAFT_REF_CLI",
+    "/root/reference/memo_cli.py")
+
+  /** Run the harness over all (meta, filter) pairs; one '1'/'0' row per
+    * filter. Left = could not run (cancel reason). */
+  private def referenceVerdicts(metas: Seq[Map[String, Any]],
+      filters: Seq[Map[String, Any]]): Either[String, Seq[String]] = {
+    if (!java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(refCli)))
+      return Left(s"reference CLI not present at $refCli")
+    val harness = java.nio.file.Files.createTempFile("ref_filter", ".py")
+    val in = getClass.getResourceAsStream("/ref_filter_harness.py")
+    try java.nio.file.Files.copy(in, harness,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    val payload = "{\"metas\":" +
+      metas.map(FilterCaseGen.toJson).mkString("[", ",", "]") +
+      ",\"filters\":" +
+      filters.map(FilterCaseGen.toJson).mkString("[", ",", "]") + "}"
+    val pb = new ProcessBuilder("python3", harness.toString, refCli)
+    pb.environment().put("PYTHONHASHSEED", "0")
+    val proc =
+      try pb.start()
+      catch { case e: java.io.IOException => return Left(s"no python3: $e") }
+    proc.getOutputStream.write(payload.getBytes("UTF-8"))
+    proc.getOutputStream.close()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      .getLines().toVector
+    val err = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
+      .mkString
+    if (proc.waitFor() != 0) Left(s"harness failed: ${err.take(500)}")
+    else Right(out)
+  }
+
+  test("compiled predicate agrees with the LIVE reference on 100x100 random cases") {
+    import spark.implicits._
+    val gen = new FilterCaseGen(20260812L)
+    val metas = (0 until 100).map(_ => gen.randomMeta())
+    val filters = (0 until 100).map(_ => gen.randomFilter())
+    val ref = referenceVerdicts(metas, filters) match {
+      case Left(reason) => cancel(reason)
+      case Right(rows) => rows
+    }
+    assert(ref.length == filters.length &&
+      ref.forall(_.length == metas.length), "harness shape mismatch")
+
+    val stored = metas.zipWithIndex.map { case (m, id) =>
+      (id.toLong, m.map { case (k, v) => k -> MetaCodec.encode(v) })
+    }
+    val df = stored.toDF("id", "metadata").cache()
+    try {
+      var divergences = List.empty[String]
+      filters.zipWithIndex.foreach { case (filter, fi) =>
+        val sparkIds = df.filter(FilterAlgebra.compile(filter, col("metadata")))
+          .select("id").as[Long].collect().toSet
+        val refIds = ref(fi).zipWithIndex.collect {
+          case ('1', mi) => mi.toLong
+        }.toSet
+        if (sparkIds != refIds)
+          divergences ::= s"filter=$filter\nspark=$sparkIds\nref=$refIds\n" +
+            s"diff metas=${(sparkIds ++ refIds -- (sparkIds & refIds)).toSeq
+              .sorted.map(i => metas(i.toInt)).mkString("; ")}"
+      }
+      assert(divergences.isEmpty,
+        s"${divergences.length} divergent filters vs the live reference:\n" +
+          divergences.take(3).mkString("\n---\n"))
+    } finally df.unpersist()
+  }
+}
