@@ -371,10 +371,13 @@ object IvfIndex {
       k: Int, nprobe: Int, maxBatch: Int = 8192): DataFrame = {
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(qvCol).as("qv"))
-    if (q.limit(maxBatch + 1).count() <= maxBatch)
+    // size guard on the id column only: the bound check must not pay a
+    // scan of the (wide) query vectors
+    val ids = q.select("query_id")
+    if (ids.limit(maxBatch + 1).count() <= maxBatch)
       searchBatchSlice(index, centroids, q, k, nprobe)
     else {
-      val slices = ((q.count() - 1) / maxBatch + 1).toInt
+      val slices = ((ids.count() - 1) / maxBatch + 1).toInt
       // hash-sliced: ~maxBatch queries per slice in expectation (ids are
       // opaque, so uniform xxhash64 beats assuming a dense id range)
       (0 until slices).map { i =>
