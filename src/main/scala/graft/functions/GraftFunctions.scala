@@ -53,6 +53,14 @@ object GraftFunctions {
   def nearestCells(c: Column, centroids: Array[Array[Float]],
       nprobe: Int): Column = e2col(NearestCells(col2e(c), centroids, nprobe))
 
+  /** Product-quantization encode against a driver-trained codebook. */
+  def pqEncode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    e2col(PqEncode(col2e(c), codebooks))
+
+  /** ADC inner-product score of a PQ code column against a query LUT. */
+  def pqAdcScore(c: Column, lut: Array[Array[Double]]): Column =
+    e2col(PqAdcScore(col2e(c), lut))
+
   /** Round to 2 decimals in floor form — `floor(x*100 + 0.5)/100` — the
     * cross-engine-exact rounding for oracle-compared money values:
     * `round(x, 2)` pits Spark's shortest-repr HALF_UP against DuckDB's

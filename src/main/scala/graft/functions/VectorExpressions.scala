@@ -403,3 +403,58 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/** Product-quantization encode (BINARY, one byte per subspace): per-subspace
+  * argmin against a driver-trained codebook riding into generated code as a
+  * constant reference object — the full-corpus encode pass stays inside
+  * whole-stage codegen, like [[NearestCentroid]]'s assignment. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  private lazy val cf = VectorExprUtil.isFloatArray(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkArray(child.dataType, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqEncode(a.asInstanceOf[ArrayData], cf, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.pqEncode($a, $cf, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** ADC inner-product score (DOUBLE) of a PQ code column against a query's
+  * lookup table (a plan constant — [[graft.ops.PqIndex.adcLut]]). Scoring
+  * never touches the raw vector column: the scan underneath reads only
+  * (id, code) — the I/O shape that makes PQ serving pay off at 100 TB. */
+case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score expects BINARY codes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqAdc(a.asInstanceOf[Array[Byte]], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lut", lut, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.pqAdc($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
+    copy(child = newChild)
+}

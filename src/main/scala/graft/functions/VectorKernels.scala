@@ -432,4 +432,50 @@ object VectorKernels {
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Product-quantization encode: per-subspace argmin (squared-L2 in
+    * double, subspace dims ascending, ties → smaller code) against a
+    * driver-trained codebook `[subspace][code][subdim]`. One byte per
+    * subspace (ksub <= 256 by construction). Same distance/tie contract as
+    * [[nearestCentroid]], so a one-subspace codebook degenerates to it. */
+  def pqEncode(a: ArrayData, aFloat: Boolean,
+      codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val sub = cb(0).length
+      val n = math.min(sub, math.max(0, a.numElements() - off))
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val ctr = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < n) { val t = get(a, off + i, aFloat) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      off += sub
+      j += 1
+    }
+    out
+  }
+
+  /** ADC (asymmetric distance computation) inner-product score:
+    * Σ_j lut(j)(code_j), accumulated in double in subspace order. The LUT
+    * is the query's per-subspace dot products against every code centroid
+    * ([[graft.ops.PqIndex.adcLut]]) — a plan constant, so scoring a row is
+    * m table lookups + adds: no decode, no touching the raw vector. */
+  def pqAdc(codes: Array[Byte], lut: Array[Array[Double]]): Double = {
+    var s = 0.0
+    val m = math.min(codes.length, lut.length)
+    var j = 0
+    while (j < m) { s += lut(j)(codes(j) & 0xff); j += 1 }
+    s
+  }
 }

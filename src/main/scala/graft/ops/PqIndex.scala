@@ -1,0 +1,275 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Product quantization (PQ): compress an embedding column into m one-byte
+  * subspace codes and serve top-k by ADC (asymmetric distance computation)
+  * lookup-table scans over the CODES, never the raw vectors.
+  *
+  * Why this is the 100 TB vector-serving shape (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — the same
+  * quantizer family the reference's FAISS backend ships as IndexPQ /
+  * IndexIVFPQ; the reference itself holds every raw vector in RAM,
+  * memo_cli.py:245): a 384-dim float32 embedding is 1536 bytes; m=48 codes
+  * are 48 bytes — a 32× smaller scan. At 100 TB of raw vectors the ADC pass
+  * reads ~3 TB instead, and each row costs m lookup-adds instead of a
+  * 384-dim dot product. Exactness is recovered where it matters by an
+  * exact re-rank of the small ADC candidate set against the raw vectors
+  * ([[searchAdcRefine]]).
+  *
+  * Training mirrors [[IvfIndex.trainCentroids]]: a coarse quantizer never
+  * needs the full corpus — a bounded, hash-ordered (layout-independent)
+  * driver sample and per-subspace Lloyd iterations, so the only
+  * distributed passes are encode (codegen [[graft.functions.PqEncode]])
+  * and the ADC scans.
+  */
+object PqIndex {
+
+  /** Train per-subspace codebooks: `[subspace][code][subdim]`.
+    *
+    * Deterministic by construction (hash-ordered sample, init = first ksub
+    * sample subvectors, squared-L2 argmin with ties → smaller code, fixed
+    * iteration count) — the property that lets an external oracle replay
+    * everything DOWNSTREAM of the returned matrix exactly.
+    *
+    * @param m    number of subspaces (must divide the embedding dim)
+    * @param ksub codes per subspace (<= 256: codes are bytes at rest)
+    */
+  def trainCodebooks(corpus: DataFrame, embCol: String, m: Int, ksub: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      maxSample: Int = 20000, maxIter: Int = 8): Array[Array[Array[Float]]] = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    val sampled = (if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus)
+      .select(col(embCol).as("e"))
+      .withColumn("h", xxhash64(col("e")))
+      .orderBy("h").limit(maxSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sampled.length >= ksub, s"sample ${sampled.length} < ksub $ksub")
+    val dim = sampled(0).length
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val off = j * sub
+      val subVecs = sampled.map(v => java.util.Arrays.copyOfRange(v, off, off + sub))
+      kmeans(subVecs, ksub, maxIter)
+    }
+  }
+
+  /** Lloyd's k-means over driver-side sample vectors — the same init/tie
+    * contract as [[IvfIndex.trainCentroids]] (init = first k, argmin with
+    * first-wins ties, empty clusters keep their previous centroid). */
+  private def kmeans(sampled: Array[Array[Float]], k: Int,
+      maxIter: Int): Array[Array[Float]] = {
+    val dim = sampled(0).length
+    val centroids = Array.tabulate(k)(i => sampled(i).clone())
+    val assign = new Array[Int](sampled.length)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      var changed = false
+      var r = 0
+      while (r < sampled.length) {
+        val v = sampled(r)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          val ctr = centroids(c)
+          while (i < dim) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(r) != best) { assign(r) = best; changed = true }
+        r += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      r = 0
+      while (r < sampled.length) {
+        val c = assign(r); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += sampled(r)(i); i += 1 }
+        r += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            centroids(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1
+          }
+        }
+        c += 1
+      }
+      converged = !changed
+      iter += 1
+    }
+    centroids
+  }
+
+  /** The query's ADC lookup table: `lut(j)(c)` = inner product of the
+    * query's j-th subvector with codebook centroid c of subspace j,
+    * accumulated in double with dims ascending — the fixed evaluation
+    * order an external replay reproduces. A few KB; rides into codegen as
+    * a plan constant via [[graft.functions.PqAdcScore]]. */
+  def adcLut(codebooks: Array[Array[Array[Float]]],
+      query: Array[Float]): Array[Array[Double]] = {
+    var off = 0
+    codebooks.map { cb =>
+      val sub = cb(0).length
+      val row = cb.map { ctr =>
+        var s = 0.0
+        var i = 0
+        val n = math.min(sub, math.max(0, query.length - off))
+        while (i < n) { s += query(off + i).toDouble * ctr(i); i += 1 }
+        s
+      }
+      off += sub
+      row
+    }
+  }
+
+  /** Encode a corpus into its codes table: (id, code BINARY of m bytes). */
+  def encode(corpus: DataFrame, idCol: String, embCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      pqEncode(col(embCol), codebooks).as("code"))
+
+  /** ADC top-k over a codes table: m lookup-adds per row, narrow scan,
+    * one bounded sort. Emits (id, adc_score), floor-form rounded for
+    * cross-engine comparison. */
+  def searchAdc(codes: DataFrame, codebooks: Array[Array[Array[Float]]],
+      query: Array[Float], k: Int): DataFrame =
+    codes.withColumn("adc_score", round4(pqAdcScore(col("code"), adcLut(codebooks, query))))
+      .orderBy(desc("adc_score"), col("id"))
+      .limit(k)
+      .select(col("id"), col("adc_score"))
+
+  /** ADC candidates + exact re-rank: take `k * refine` rows by ADC score
+    * off the codes table, then score ONLY those against the raw vectors
+    * (broadcast semi-join back into the corpus) with exact cosine. The
+    * standard PQ serving recipe: the 32×-cheaper scan finds the
+    * neighborhood, the exact pass fixes the order (quantization error never
+    * reaches the final ranking — only recall of the candidate set is
+    * approximate, and `refine` buys it back cheaply). */
+  def searchAdcRefine(corpus: DataFrame, idCol: String, embCol: String,
+      codes: DataFrame, codebooks: Array[Array[Array[Float]]],
+      query: Array[Float], k: Int, refine: Int = 4): DataFrame = {
+    val cand = searchAdc(codes, codebooks, query, k * refine).select("id")
+    corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
+      .withColumn("score", round4(vecCosine(col(embCol), lit(query))))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  // ---- persisted codes artifact ------------------------------------------
+
+  private val MetaName = "_pq_codebooks"
+
+  /** Parsed `_pq_codebooks` content: validity stamp + codebook matrix
+    * (j-major, code-minor rows; reshaped via the stamp's m and ksub). */
+  private[graft] case class Meta(stamp: String,
+      codebooks: Array[Array[Array[Float]]])
+
+  private[graft] def parseMetaLines(lines: Seq[String]): Option[Meta] =
+    lines.headOption.flatMap { stamp =>
+      stamp.split(":") match {
+        case Array(_, mStr, kStr, _*) =>
+          val (m, ksub) = (mStr.toInt, kStr.toInt)
+          val rows = lines.tail.map(_.split(",").map(_.toFloat)).toArray
+          if (rows.length != m * ksub) None
+          else Some(Meta(stamp, Array.tabulate(m)(j =>
+            Array.tabulate(ksub)(c => rows(j * ksub + c)))))
+        case _ => None
+      }
+    }
+
+  private def metaLocation(df: DataFrame, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaName)
+    (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readMeta(df: DataFrame, path: String): Option[Meta] = {
+    val (fs, p) = metaLocation(df, path)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    parseMetaLines(lines)
+  }
+
+  private def writeMeta(df: DataFrame, path: String, meta: Meta): Unit = {
+    val (fs, p) = metaLocation(df, path)
+    val body = (meta.stamp +: meta.codebooks.toSeq.flatMap(_.toSeq)
+        .map(_.mkString(","))).mkString("", "\n", "\n")
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def stampOf(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, ksub: Int, sampleFraction: Double): String = {
+    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol))
+    s"$n:$m:$ksub:$sampleFraction:fp$fp"
+  }
+
+  /** Ensure a valid persisted codes table exists at `path` for this corpus
+    * and return its codebooks — the build-once / probe-many lifecycle
+    * ([[IvfIndex.buildIfAbsent]]'s contract: stamp = row count + config +
+    * content fingerprint; any mismatch retrains and re-encodes). The
+    * artifact is (id, code) parquet — m bytes per row, the thing ADC scans
+    * instead of the corpus. */
+  def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, ksub: Int, path: String,
+      sampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
+    val stamp = stampOf(corpus, idCol, embCol, m, ksub, sampleFraction)
+    readMeta(corpus, path) match {
+      case Some(meta) if meta.stamp == stamp => meta.codebooks
+      case _ =>
+        val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
+        encode(corpus, idCol, embCol, cbs)
+          .write.mode("overwrite").parquet(path)
+        writeMeta(corpus, path, Meta(stamp, cbs))
+        cbs
+    }
+  }
+
+  /** Read a persisted codes table back. */
+  def loadCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Codebooks of a persisted codes table, straight off its stamp file —
+    * for oracle exporters that must be a pure function of on-disk state. */
+  def codebooksAt(spark: SparkSession, path: String): Option[Array[Array[Array[Float]]]] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    parseMetaLines(lines).map(_.codebooks)
+  }
+
+  /** Recall@k of PQ+refine against exact brute force for one query — the
+    * quality-vs-cost diagnostic (bigger `refine` → recall → 1). */
+  def recallAtK(corpus: DataFrame, idCol: String, embCol: String,
+      codes: DataFrame, codebooks: Array[Array[Array[Float]]],
+      query: Array[Float], k: Int, refine: Int): Double = {
+    val exact = corpus
+      .withColumn("score", round4(vecCosine(col(embCol), lit(query))))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k).select(col(idCol)).collect().map(_.getLong(0)).toSet
+    val approx = searchAdcRefine(corpus, idCol, embCol, codes, codebooks,
+        query, k, refine)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSet
+    if (exact.isEmpty) 1.0
+    else exact.intersect(approx).size.toDouble / exact.size
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.ops.PqIndex
+import graft.functions.GraftFunctions._
+
+/** Product quantization: deterministic training/encode, the ADC exactness
+  * property on codebook-aligned vectors, refine recall vs exact, and the
+  * storage story — the ADC scan reads only (id, code), never the raw
+  * vectors. */
+class PqIndexSpec extends SparkTestBase {
+
+  private def emb = Tables(spark, sfDir, "embeddings")
+
+  private def queryVec(id: Long): Array[Float] =
+    emb.filter(col("vec_id") === id)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  test("training and encode are deterministic across reruns and layouts") {
+    val cb1 = PqIndex.trainCodebooks(emb, "embedding", m = 8, ksub = 16)
+    val cb2 = PqIndex.trainCodebooks(emb.repartition(7), "embedding", m = 8, ksub = 16)
+    assert(cb1.length == 8 && cb1.forall(_.length == 16))
+    assert(cb1.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq,
+      "codebooks differ across partition layouts")
+    val c1 = PqIndex.encode(emb, "vec_id", "embedding", cb1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    val c2 = PqIndex.encode(emb.repartition(5), "vec_id", "embedding", cb1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(c1.toSeq == c2.toSeq, "codes differ across partition layouts")
+  }
+
+  test("ADC is exact when every subvector IS a codebook centroid") {
+    import spark.implicits._
+    // corpus rows assembled from codebook centroids: quantization error is
+    // exactly zero, so ADC == the true inner product (same double-sum
+    // order), and encode must pick the assembling codes back out
+    val cbs = PqIndex.trainCodebooks(emb, "embedding", m = 8, ksub = 16)
+    val rows = (0 until 16).map { c =>
+      (c.toLong, cbs.flatMap(_.apply(c)).toSeq)
+    }
+    val aligned = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val codes = PqIndex.encode(aligned, "vec_id", "embedding", cbs)
+    codes.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Array[Byte]](1).toSeq == Seq.fill(8)(id.toByte),
+        s"encode of centroid-aligned vector $id drifted")
+    }
+    val q = queryVec(3)
+    val lut = PqIndex.adcLut(cbs, q)
+    val adc = codes.withColumn("s", pqAdcScore(col("code"), lut))
+      .orderBy("id").select("s").collect().map(_.getDouble(0))
+    val exact = aligned.orderBy("vec_id")
+      .select(vecDot(col("embedding"), lit(q))).collect().map(_.getDouble(0))
+    adc.zip(exact).zipWithIndex.foreach { case ((a, e), i) =>
+      assert(math.abs(a - e) < 1e-9, s"row $i: adc $a != exact $e")
+    }
+  }
+
+  test("encode tie goes to the smaller code (nearestCentroid contract)") {
+    import spark.implicits._
+    // a 2-subspace codebook with code 0 and 1 identical in subspace 0:
+    // any vector ties them, and must encode to 0
+    val cbs: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 1f), Array(1f, 1f), Array(0f, 0f)),
+      Array(Array(0f, 0f), Array(2f, 2f), Array(3f, 3f)))
+    val df = Seq((1L, Seq(1f, 1f, 2f, 2f))).toDF("vec_id", "embedding")
+    val code = PqIndex.encode(df, "vec_id", "embedding", cbs)
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(code(0) == 0, s"tie broke to code ${code(0)}, not 0")
+    assert(code(1) == 1)
+  }
+
+  test("refine recall@10 >= 0.8 and full-refine == exact") {
+    val cbs = PqIndex.trainCodebooks(emb, "embedding", m = 8, ksub = 16)
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cbs)
+    val q = queryVec(1)
+    val r8 = PqIndex.recallAtK(emb, "vec_id", "embedding", codes, cbs,
+      q, k = 10, refine = 8)
+    assert(r8 >= 0.8, s"recall@10 with refine=8: $r8")
+    // refining over the whole corpus degenerates to exact search
+    val n = emb.count().toInt
+    val rAll = PqIndex.recallAtK(emb, "vec_id", "embedding", codes, cbs,
+      q, k = 10, refine = n / 10 + 1)
+    assert(rAll == 1.0, s"recall@10 with full refine: $rAll")
+  }
+
+  test("persisted codes artifact: stamped build-once, content change rebuilds") {
+    val path = java.nio.file.Files.createTempDirectory("pq")
+      .resolve("codes").toString
+    val cbs = PqIndex.buildIfAbsent(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, path)
+    val files1 = codeFiles(path)
+    assert(files1.nonEmpty)
+    // same corpus → stamp matches → no rewrite, identical codebooks back
+    val cbs2 = PqIndex.buildIfAbsent(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, path)
+    assert(codeFiles(path) == files1, "valid artifact was rewritten")
+    assert(cbs.flatten.flatten.toSeq == cbs2.flatten.flatten.toSeq)
+    // same row count, different content → fingerprint mismatch → rebuild
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1)
+    PqIndex.buildIfAbsent(shifted, "vec_id", "embedding",
+      m = 8, ksub = 16, path)
+    assert(codeFiles(path) != files1,
+      "content change with identical row count did not rebuild")
+    // loadCodes round-trips the encode
+    PqIndex.buildIfAbsent(emb, "vec_id", "embedding", m = 8, ksub = 16, path)
+    val stored = PqIndex.loadCodes(spark, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    val fresh = PqIndex.encode(emb, "vec_id", "embedding", cbs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    assert(stored == fresh)
+    // and the on-disk codebooks match the returned ones (oracle path)
+    val offDisk = PqIndex.codebooksAt(spark, path).get
+    assert(offDisk.flatten.flatten.toSeq == cbs.flatten.flatten.toSeq)
+  }
+
+  test("ADC scan over the codes artifact never reads the raw vectors") {
+    val path = java.nio.file.Files.createTempDirectory("pq")
+      .resolve("codes").toString
+    val cbs = PqIndex.buildIfAbsent(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, path)
+    val res = PqIndex.searchAdc(PqIndex.loadCodes(spark, path), cbs,
+      queryVec(1), k = 10)
+    val scans = (res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("id", "code")),
+        s"ADC scan reads beyond (id, code): $read")
+    }
+    assert(res.count() == 10)
+  }
+
+  private def codeFiles(path: String): Set[String] = {
+    val d = new java.io.File(path)
+    d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+  }
+}
