@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.memo.MemoOps
-import graft.ops.{IvfIndex, Multimodal}
+import graft.ops.{IvfIndex, Multimodal, PqIndex}
 
 /** Scale-path + remaining-inventory coverage: IVF ANN, multimodal decode
   * plumbing, date-range stats (A10), overwrite merge (M2). */
@@ -45,22 +45,38 @@ object ScaleQueries {
         (SparkSession, String), (DataFrame, Array[Array[Float]])]): Boolean =
       size() > MaxIvfHandles
   }
+  /** PQ twin of [[ivfHandles]]: codes table + codebooks per (session, sf
+    * dir), same LRU/lifecycle. */
+  private val pqHandles = new java.util.LinkedHashMap[
+      (SparkSession, String), (DataFrame, Array[Array[Array[Float]]])](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String), (DataFrame, Array[Array[Array[Float]]])]): Boolean =
+      size() > MaxIvfHandles
+  }
   private val ivfListenerArmed = new java.util.concurrent.atomic.AtomicBoolean
 
   private[graft] def ivfHandleCount: Int =
     ivfHandles.synchronized(ivfHandles.size)
+  private[graft] def pqHandleCount: Int =
+    pqHandles.synchronized(pqHandles.size)
 
-  /** Shared build-once index for q36/q37 (stamp-checked; first caller pays
-    * the build, every probe after that is partition-pruned reads). */
-  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
+  /** One application-end listener clears every per-session artifact handle
+    * (IVF and PQ) — armed by whichever index query runs first. */
+  private def armHandleCleanup(s: SparkSession): Unit =
     if (ivfListenerArmed.compareAndSet(false, true))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           ivfHandles.synchronized(ivfHandles.clear())
+          pqHandles.synchronized(pqHandles.clear())
           ivfListenerArmed.set(false)
         }
       })
+
+  /** Shared build-once index for q36/q37 (stamp-checked; first caller pays
+    * the build, every probe after that is partition-pruned reads). */
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
+    armHandleCleanup(s)
     val handle = ivfHandles.synchronized {
       Option(ivfHandles.get((s, dir))).getOrElse {
         val emb = Tables(s, dir, "embeddings")
@@ -81,6 +97,68 @@ object ScaleQueries {
   private def ivfIndexPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_q36_ivf_${dir.hashCode.toHexString}").toString
+
+  /** PQ serving config for q39/q67 at embedding dim 64: m=8 one-byte codes
+    * per row vs 256 raw bytes — the same 32× scan compression the
+    * production 384-dim/m=48 shape has. ksub=16 keeps the oracle's
+    * codebook literal small; recall comes from the refine pass. */
+  private val PqM = 8
+  private val PqKsub = 16
+
+  @volatile private var lastPqCodebooks: Option[Array[Array[Array[Float]]]] = None
+
+  /** Test hook: forget the in-JVM codebook shortcut ([[resetIvfOracleCache]]
+    * twin). */
+  private[graft] def resetPqOracleCache(): Unit = lastPqCodebooks = None
+
+  private def pqIndexPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_q39_pq_${dir.hashCode.toHexString}").toString
+
+  /** Shared build-once PQ codes artifact for q39/q67 ([[ivfIndex]]'s
+    * lifecycle: stamp-checked build, per-session handle, LRU + cleanup). */
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Array[Float]]]) = {
+    armHandleCleanup(s)
+    val handle = pqHandles.synchronized {
+      Option(pqHandles.get((s, dir))).getOrElse {
+        val emb = Tables(s, dir, "embeddings")
+        val path = pqIndexPath(dir)
+        val cbs = PqIndex.buildIfAbsent(emb, "vec_id", "embedding",
+          PqM, PqKsub, path)
+        val h = (PqIndex.loadCodes(s, path), cbs)
+        pqHandles.put((s, dir), h)
+        h
+      }
+    }
+    lastPqCodebooks = Some(handle._2)
+    handle
+  }
+
+  /** The query vector for q39/q67 (vec_id 0) — fetched at the driver
+    * because PQ serving computes the ADC lookup table there by design
+    * (the LUT is a plan constant, [[PqIndex.adcLut]]). */
+  private def pqQueryVec(s: SparkSession, dir: String): Array[Float] =
+    Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  /** PQ ADC top-20 over the at-rest codes artifact: the 32×-narrower scan
+    * (8 code bytes vs 256 embedding bytes per row; the scan's ReadSchema
+    * never includes the raw vectors — pinned in PqIndexSpec). Oracled by a
+    * full DuckDB replay against the exported codebooks. */
+  private val q39PqAdc: Q = (s, dir) => {
+    val (codes, cbs) = pqIndex(s, dir)
+    PqIndex.searchAdc(codes, cbs, pqQueryVec(s, dir), k = 20)
+  }
+
+  /** PQ candidates + exact re-rank (the full PQ serving recipe): ADC
+    * top-40 off the codes artifact, exact cosine over just those 40 raw
+    * vectors, top-10. Quantization error affects only candidate RECALL,
+    * never the final ordering. */
+  private val q67PqRefine: Q = (s, dir) => {
+    val (codes, cbs) = pqIndex(s, dir)
+    PqIndex.searchAdcRefine(Tables(s, dir, "embeddings"), "vec_id",
+      "embedding", codes, cbs, pqQueryVec(s, dir), k = 10, refine = 4)
+  }
 
   /** IVF ANN top-20 over a PERSISTED `partitionBy(cell_id)` parquet index —
     * the build-once / probe-many lifecycle of a real ANN index (index build
@@ -270,6 +348,8 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "q36_ivf_ann" -> q36IvfAnn,
     "q37_ivf_batch" -> q37IvfBatch,
+    "q39_pq_adc" -> q39PqAdc,
+    "q67_pq_refine" -> q67PqRefine,
     "q38_bucketed_join" -> q38Bucketed,
     "q64_multimodal" -> q64Multimodal,
     "q24_stats_dates" -> q24StatsDates,
@@ -373,6 +453,109 @@ object ScaleQueries {
            |ORDER BY query_id, score DESC, vec_id""".stripMargin)
   }
 
+  /** DuckDB VALUES literal of the PQ codebooks as FULL-DIM rows: each
+    * (sub_id, code) row carries a dim-length DOUBLE array that is the
+    * centroid inside its subspace and NULL outside. The NULL padding lets
+    * the replay use the same zip-unnest idiom as [[ivfAssignCtes]] with no
+    * position bookkeeping: `(x - y)` is NULL outside the subspace and
+    * `sum` skips NULLs, so per-(vec, sub, code) sums see exactly the
+    * subspace dims. Floats are rendered as exact widened doubles
+    * ([[centroidValues]]'s contract). */
+  private def pqCodebookValues(cbs: Array[Array[Array[Float]]]): String = {
+    val sub = cbs(0)(0).length
+    val dim = cbs.length * sub
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (ctr, c) =>
+        val padded = Array.fill[String](dim)("NULL")
+        var i = 0
+        while (i < sub) { padded(j * sub + i) = ctr(i).toDouble.toString; i += 1 }
+        s"($j, $c, [${padded.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n  ")
+  }
+
+  /** Shared PQ replay CTEs given a `cb(sub_id, code, ctr)` VALUES table:
+    * per-subspace encode (argmin squared-L2, ties → smaller code —
+    * pqEncode's contract), the query's ADC lookup table, and the floor-form
+    * rounded ADC score per vector. */
+  private def pqAdcCtes(cbs: Array[Array[Array[Float]]]): String =
+    s"""cb(sub_id, code, ctr) AS (VALUES
+       |  ${pqCodebookValues(cbs)}),
+       |pd AS (SELECT e.vec_id, c.sub_id, c.code, unnest(e.embedding) AS x,
+       |         unnest(c.ctr) AS y
+       |       FROM embeddings e CROSS JOIN cb c),
+       |dist AS (SELECT vec_id, sub_id, code,
+       |           sum((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)) AS d
+       |         FROM pd WHERE y IS NOT NULL GROUP BY vec_id, sub_id, code),
+       |enc AS (SELECT vec_id, sub_id, code FROM (
+       |          SELECT vec_id, sub_id, code, row_number() OVER (
+       |            PARTITION BY vec_id, sub_id ORDER BY d, code) AS rn
+       |          FROM dist)
+       |        WHERE rn = 1),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qp AS (SELECT c.sub_id, c.code, unnest(q.qe) AS qx, unnest(c.ctr) AS y
+       |       FROM cb c CROSS JOIN qv q),
+       |ql AS (SELECT sub_id, code, sum(CAST(qx AS DOUBLE) * y) AS lut
+       |       FROM qp WHERE y IS NOT NULL GROUP BY sub_id, code),
+       |adc AS (SELECT e.vec_id,
+       |          floor(sum(l.lut) * 10000.0 + 0.5) / 10000.0 AS adc_score
+       |        FROM enc e JOIN ql l USING (sub_id, code)
+       |        GROUP BY e.vec_id)""".stripMargin
+
+  /** Full DuckDB replays of q39/q67 ([[ivfOracles]]'s contract: the
+    * codebooks are engine-trained, everything downstream is deterministic
+    * double arithmetic). Matrix from the in-JVM shortcut, else from the
+    * newest persisted codes artifact's `_pq_codebooks` stamp. */
+  private def pqOracles: Map[String, String] =
+    lastPqCodebooks.orElse(pqCodebooksFromDisk) match {
+      case None => Map.empty
+      case Some(cbs) => Map(
+        "q39_pq_adc" ->
+          s"""WITH ${pqAdcCtes(cbs)}
+             |SELECT vec_id AS id, adc_score FROM adc
+             |ORDER BY adc_score DESC, id LIMIT 20""".stripMargin,
+        "q67_pq_refine" ->
+          s"""WITH ${pqAdcCtes(cbs)},
+             |cand AS (SELECT vec_id FROM adc
+             |         ORDER BY adc_score DESC, vec_id LIMIT 40),
+             |sp AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+             |         unnest(q.qe) AS qx
+             |       FROM embeddings e JOIN cand USING (vec_id)
+             |            CROSS JOIN qv q),
+             |sc AS (SELECT vec_id,
+             |         floor(sum(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) /
+             |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+             |            sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))))
+             |           * 10000.0 + 0.5) / 10000.0 AS score
+             |       FROM sp GROUP BY vec_id)
+             |SELECT vec_id, score FROM sc
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+    }
+
+  /** Codebooks of the most recently written persisted q39 codes artifact —
+    * [[centroidsFromDisk]]'s PQ twin. */
+  private def pqCodebooksFromDisk: Option[Array[Array[Array[Float]]]] = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val metas = try {
+      val s = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft_q39_pq_"))
+          .map(_.resolve("_pq_codebooks"))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .toVector
+      } finally s.close()
+    } catch { case _: java.io.IOException => Vector.empty }
+    metas.sortBy(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+      .lastOption.flatMap { p =>
+        import scala.jdk.CollectionConverters._
+        PqIndex.parseMetaLines(
+            java.nio.file.Files.readAllLines(p).asScala.toVector)
+          .map(_.codebooks)
+      }
+  }
+
   /** Centroid matrix of the most recently written persisted q36 index, off
     * its `_ivf_centroids` stamp file. The index paths are tmpdir-local by
     * construction ([[ivfIndexPath]]), so plain file IO suffices; when
@@ -400,8 +583,8 @@ object ScaleQueries {
       }
   }
 
-  /** Static oracles + the dynamically exported IVF replays. */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracles
+  /** Static oracles + the dynamically exported IVF and PQ replays. */
+  def oracles: Map[String, String] = staticOracles ++ ivfOracles ++ pqOracles
 
   private val staticOracles: Map[String, String] = Map(
     // the bucketed copies hold exactly the source tables' rows, so the

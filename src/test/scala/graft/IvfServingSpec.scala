@@ -43,4 +43,32 @@ class IvfServingSpec extends SparkTestBase {
     assert(cold("q36_ivf_ann") == warm("q36_ivf_ann"))
     assert(cold("q37_ivf_batch") == warm("q37_ivf_batch"))
   }
+
+  test("pq handle cache stays bounded across many sessions") {
+    SparkEntry.queries("q39_pq_adc")(spark, sfDir).count()
+    (0 until 12).foreach { _ =>
+      val s = spark.newSession()
+      SparkEntry.queries("q39_pq_adc")(s, sfDir).count()
+    }
+    val n = ScaleQueries.pqHandleCount
+    assert(n <= 8, s"pq handle cache grew unbounded: $n entries after 13 sessions")
+  }
+
+  test("pq oracles come from the on-disk artifact when the JVM is cold") {
+    SparkEntry.queries("q39_pq_adc")(spark, sfDir).count()
+    val meta = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q39_pq_${sfDir.hashCode.toHexString}", "_pq_codebooks")
+    java.nio.file.Files.setLastModifiedTime(meta,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val warm = SparkEntry.oracleSql
+    assert(warm.contains("q39_pq_adc") && warm.contains("q67_pq_refine"))
+    ScaleQueries.resetPqOracleCache()
+    val cold = SparkEntry.oracleSql
+    assert(cold.contains("q39_pq_adc"),
+      "cold oracle map lost the PQ replay despite a persisted codes artifact")
+    // the stamp round-trips the exact codebooks → byte-identical replay SQL
+    assert(cold("q39_pq_adc") == warm("q39_pq_adc"))
+    assert(cold("q67_pq_refine") == warm("q67_pq_refine"))
+  }
 }
