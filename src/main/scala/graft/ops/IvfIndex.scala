@@ -284,13 +284,17 @@ object IvfIndex {
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Probe order of cells for a query vector (driver-side, nlist small). */
+  /** Probe order of cells for a query vector (driver-side, nlist small).
+    * Same DOUBLE distance arithmetic and smaller-id tie contract as the
+    * [[graft.functions.VectorKernels.nearestCells]] kernel, so the static
+    * and in-plan probe paths rank identically and both replay in an
+    * external oracle. */
   def probeCells(centroids: Array[Array[Float]], query: Array[Float],
       nprobe: Int): Seq[Int] =
     centroids.zipWithIndex.map { case (ctr, i) =>
       var d = 0.0; var j = 0
       val n = math.min(ctr.length, query.length)
-      while (j < n) { val t = query(j) - ctr(j); d += t * t; j += 1 }
+      while (j < n) { val t = query(j).toDouble - ctr(j); d += t * t; j += 1 }
       (i, d)
     }.sortBy(_._2).take(nprobe).map(_._1).toSeq
 

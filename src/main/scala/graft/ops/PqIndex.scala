@@ -257,6 +257,120 @@ object PqIndex {
     parseMetaLines(lines).map(_.codebooks)
   }
 
+  // ---- IVF-PQ: cell-partitioned codes ------------------------------------
+
+  /** Parsed `_ivfpq_meta` content: stamp + coarse centroids + codebooks.
+    * Layout: stamp line (carries nlist/m/ksub for reshaping), `nlist`
+    * centroid rows, then m×ksub codebook rows (j-major). */
+  private[graft] case class IvfPqMeta(stamp: String,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
+
+  private[graft] def parseIvfPqMetaLines(lines: Seq[String]): Option[IvfPqMeta] =
+    lines.headOption.flatMap { stamp =>
+      stamp.split(":") match {
+        case Array(_, nlistStr, mStr, kStr, _*) =>
+          val (nlist, m, ksub) = (nlistStr.toInt, mStr.toInt, kStr.toInt)
+          val rows = lines.tail.map(_.split(",").map(_.toFloat)).toArray
+          if (rows.length != nlist + m * ksub) None
+          else Some(IvfPqMeta(stamp, rows.take(nlist),
+            Array.tabulate(m)(j =>
+              Array.tabulate(ksub)(c => rows(nlist + j * ksub + c)))))
+        case _ => None
+      }
+    }
+
+  private val IvfPqMetaName = "_ivfpq_meta"
+
+  private def readIvfPqMeta(df: DataFrame, path: String): Option[IvfPqMeta] = {
+    val p = new org.apache.hadoop.fs.Path(path, IvfPqMetaName)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    parseIvfPqMetaLines(lines)
+  }
+
+  private def writeIvfPqMeta(df: DataFrame, path: String,
+      meta: IvfPqMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, IvfPqMetaName)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val body = (meta.stamp +:
+        (meta.centroids.toSeq.map(_.mkString(",")) ++
+          meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(","))))
+      .mkString("", "\n", "\n")
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Ensure a persisted IVF-PQ index exists at `path`: a
+    * `partitionBy(cell_id)` parquet of (id, code) — the two scale levers
+    * COMPOSED, which is what a 100 TB ANN deployment actually runs. A
+    * probe prunes to nprobe cell directories at file-listing time
+    * ([[IvfIndex.persist]]'s property) and then scans only m-byte codes
+    * inside them ([[searchAdc]]'s property): a 4-of-64-cell probe over
+    * PQ codes reads ~1/16 of the files at ~1/32 of the bytes per row —
+    * three orders of magnitude off the raw-vector full scan before any
+    * ranking work happens. One quantizer pass each (coarse + PQ, both
+    * bounded driver samples), one codegen encode pass, one write. */
+  def buildIfAbsentIvfPq(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int, m: Int, ksub: Int, path: String,
+      sampleFraction: Double = 1.0): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol))
+    val stamp = s"$n:$nlist:$m:$ksub:$sampleFraction:fp$fp"
+    readIvfPqMeta(corpus, path) match {
+      case Some(meta) if meta.stamp == stamp => (meta.centroids, meta.codebooks)
+      case _ =>
+        val centroids = IvfIndex.trainCentroids(corpus, embCol, nlist,
+          sampleFraction)
+        val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
+        corpus.select(col(idCol).as("id"),
+            pqEncode(col(embCol), cbs).as("code"),
+            nearestCentroid(col(embCol), centroids).as("cell_id"))
+          .repartition(col("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+        writeIvfPqMeta(corpus, path, IvfPqMeta(stamp, centroids, cbs))
+        (centroids, cbs)
+    }
+  }
+
+  /** Matrices of a persisted IVF-PQ index off its stamp file (oracle
+    * path — pure function of on-disk state). */
+  def ivfPqMetaAt(spark: SparkSession,
+      path: String): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = {
+    val p = new org.apache.hadoop.fs.Path(path, IvfPqMetaName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    parseIvfPqMetaLines(lines).map(m => (m.centroids, m.codebooks))
+  }
+
+  /** IVF-PQ search: partition-pruned cells → ADC top k×refine over the
+    * m-byte codes → exact cosine re-rank of just those candidates against
+    * the raw vectors. Probe-cell choice is [[IvfIndex.probeCells]]'s
+    * (squared-L2, ties → smaller cell — the replayable contract). */
+  def searchIvfPq(codes: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], query: Array[Float],
+      k: Int, nprobe: Int, refine: Int = 4): DataFrame = {
+    val cells = IvfIndex.probeCells(centroids, query, nprobe)
+    val cand = codes.filter(col("cell_id").isin(cells: _*))
+      .withColumn("adc_score",
+        round4(pqAdcScore(col("code"), adcLut(codebooks, query))))
+      .orderBy(desc("adc_score"), col("id"))
+      .limit(k * refine)
+      .select("id")
+    corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
+      .withColumn("score", round4(vecCosine(col(embCol), lit(query))))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Recall@k of PQ+refine against exact brute force for one query — the
     * quality-vs-cost diagnostic (bigger `refine` → recall → 1). */
   def recallAtK(corpus: DataFrame, idCol: String, embCol: String,

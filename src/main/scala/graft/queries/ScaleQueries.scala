@@ -53,6 +53,16 @@ object ScaleQueries {
         (SparkSession, String), (DataFrame, Array[Array[Array[Float]]])]): Boolean =
       size() > MaxIvfHandles
   }
+
+  /** IVF-PQ handle: cell-partitioned codes + both quantizer matrices. */
+  private val ivfPqHandles = new java.util.LinkedHashMap[
+      (SparkSession, String),
+      (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]])](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String),
+        (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]])]): Boolean =
+      size() > MaxIvfHandles
+  }
   private val ivfListenerArmed = new java.util.concurrent.atomic.AtomicBoolean
 
   private[graft] def ivfHandleCount: Int =
@@ -69,6 +79,7 @@ object ScaleQueries {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           ivfHandles.synchronized(ivfHandles.clear())
           pqHandles.synchronized(pqHandles.clear())
+          ivfPqHandles.synchronized(ivfPqHandles.clear())
           ivfListenerArmed.set(false)
         }
       })
@@ -158,6 +169,44 @@ object ScaleQueries {
     val (codes, cbs) = pqIndex(s, dir)
     PqIndex.searchAdcRefine(Tables(s, dir, "embeddings"), "vec_id",
       "embedding", codes, cbs, pqQueryVec(s, dir), k = 10, refine = 4)
+  }
+
+  @volatile private var lastIvfPqMeta: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = None
+
+  /** Test hook ([[resetIvfOracleCache]] twin). */
+  private[graft] def resetIvfPqOracleCache(): Unit = lastIvfPqMeta = None
+
+  private def ivfPqPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_q68_ivfpq_${dir.hashCode.toHexString}").toString
+
+  private def ivfPqIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    armHandleCleanup(s)
+    val handle = ivfPqHandles.synchronized {
+      Option(ivfPqHandles.get((s, dir))).getOrElse {
+        val emb = Tables(s, dir, "embeddings")
+        val path = ivfPqPath(dir)
+        val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id",
+          "embedding", nlist = 16, m = PqM, ksub = PqKsub, path)
+        val h = (PqIndex.loadCodes(s, path), cents, cbs)
+        ivfPqHandles.put((s, dir), h)
+        h
+      }
+    }
+    lastIvfPqMeta = Some((handle._2, handle._3))
+    handle
+  }
+
+  /** IVF-PQ: the two scale levers composed — a 4-of-16-cell partition
+    * prune AND the 32×-narrower ADC code scan inside the surviving cells,
+    * then exact re-rank. What a 100 TB ANN deployment actually runs; at
+    * that scale the candidate stage reads ~1/4 of the files at ~1/32 of
+    * the bytes per row before any ranking work. */
+  private val q68IvfPq: Q = (s, dir) => {
+    val (codes, cents, cbs) = ivfPqIndex(s, dir)
+    PqIndex.searchIvfPq(codes, Tables(s, dir, "embeddings"), "vec_id",
+      "embedding", cents, cbs, pqQueryVec(s, dir), k = 10, nprobe = 4,
+      refine = 4)
   }
 
   /** IVF ANN top-20 over a PERSISTED `partitionBy(cell_id)` parquet index —
@@ -350,6 +399,7 @@ object ScaleQueries {
     "q37_ivf_batch" -> q37IvfBatch,
     "q39_pq_adc" -> q39PqAdc,
     "q67_pq_refine" -> q67PqRefine,
+    "q68_ivfpq" -> q68IvfPq,
     "q38_bucketed_join" -> q38Bucketed,
     "q64_multimodal" -> q64Multimodal,
     "q24_stats_dates" -> q24StatsDates,
@@ -532,6 +582,63 @@ object ScaleQueries {
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     }
 
+  /** Full DuckDB replay of q68: coarse assignment + probe (the IVF CTEs)
+    * composed with encode + LUT + ADC (the PQ CTEs), candidate cut, exact
+    * cosine re-rank — every stage downstream of the two engine-trained
+    * matrices is deterministic double arithmetic. */
+  private def ivfPqOracles: Map[String, String] =
+    lastIvfPqMeta.orElse(ivfPqMetaFromDisk) match {
+      case None => Map.empty
+      case Some((cs, cbs)) => Map(
+        "q68_ivfpq" ->
+          s"""WITH ${ivfAssignCtes(cs)},
+             |${pqAdcCtes(cbs)},
+             |probe AS (SELECT cell_id FROM (
+             |           SELECT cell_id, row_number() OVER (
+             |             ORDER BY d, cell_id) AS rn
+             |           FROM ad WHERE vec_id = 0)
+             |          WHERE rn <= 4),
+             |cand0 AS (SELECT a.vec_id FROM asg a JOIN probe USING (cell_id)),
+             |adcc AS (SELECT adc.vec_id FROM adc JOIN cand0 USING (vec_id)
+             |         ORDER BY adc_score DESC, adc.vec_id LIMIT 40),
+             |sp AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+             |         unnest(q.qe) AS qx
+             |       FROM embeddings e JOIN adcc USING (vec_id)
+             |            CROSS JOIN qv q),
+             |sc AS (SELECT vec_id,
+             |         floor(sum(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) /
+             |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+             |            sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))))
+             |           * 10000.0 + 0.5) / 10000.0 AS score
+             |       FROM sp GROUP BY vec_id)
+             |SELECT vec_id, score FROM sc
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+    }
+
+  /** Matrices of the most recently written persisted q68 index —
+    * [[centroidsFromDisk]]'s IVF-PQ twin. */
+  private def ivfPqMetaFromDisk: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val metas = try {
+      val s = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft_q68_ivfpq_"))
+          .map(_.resolve("_ivfpq_meta"))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .toVector
+      } finally s.close()
+    } catch { case _: java.io.IOException => Vector.empty }
+    metas.sortBy(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+      .lastOption.flatMap { p =>
+        import scala.jdk.CollectionConverters._
+        PqIndex.parseIvfPqMetaLines(
+            java.nio.file.Files.readAllLines(p).asScala.toVector)
+          .map(m => (m.centroids, m.codebooks))
+      }
+  }
+
   /** Codebooks of the most recently written persisted q39 codes artifact —
     * [[centroidsFromDisk]]'s PQ twin. */
   private def pqCodebooksFromDisk: Option[Array[Array[Array[Float]]]] = {
@@ -583,8 +690,10 @@ object ScaleQueries {
       }
   }
 
-  /** Static oracles + the dynamically exported IVF and PQ replays. */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracles ++ pqOracles
+  /** Static oracles + the dynamically exported IVF, PQ, and IVF-PQ
+    * replays. */
+  def oracles: Map[String, String] =
+    staticOracles ++ ivfOracles ++ pqOracles ++ ivfPqOracles
 
   private val staticOracles: Map[String, String] = Map(
     // the bucketed copies hold exactly the source tables' rows, so the

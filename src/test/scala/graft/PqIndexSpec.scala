@@ -138,6 +138,70 @@ class PqIndexSpec extends SparkTestBase {
     assert(res.count() == 10)
   }
 
+  test("ivf-pq probe: partition prune AND narrow scan on the same read") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val codes = PqIndex.loadCodes(spark, path)
+    val q = queryVec(1)
+    val res = PqIndex.searchIvfPq(codes, emb, "vec_id", "embedding",
+      cents, cbs, q, k = 10, nprobe = 4)
+    val scans = (res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }).collect { case f: FileSourceScanExec => f }
+    // the codes scan: pruned to the probed cells at file-listing time AND
+    // reading only (id, code) — both scale levers on one read
+    val codeScan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("ivfpq"))).get
+    assert(codeScan.partitionFilters.exists(
+      _.references.exists(_.name == "cell_id")),
+      s"cell filter not a partition filter: ${codeScan.partitionFilters}")
+    val pruned = codeScan.relation.location
+      .listFiles(codeScan.partitionFilters, codeScan.dataFilters)
+    val total = codeScan.relation.location.listFiles(Nil, Nil)
+    assert(pruned.length <= 4 && total.length > pruned.length,
+      s"no partition pruning: ${pruned.length} of ${total.length}")
+    assert(codeScan.requiredSchema.fieldNames.toSet.subsetOf(Set("id", "code")),
+      s"codes scan reads beyond (id, code): ${codeScan.requiredSchema.fieldNames.toSeq}")
+    // full probe + full refine degenerates to exact search
+    val n = emb.count().toInt
+    val full = PqIndex.searchIvfPq(codes, emb, "vec_id", "embedding",
+        cents, cbs, q, k = 10, nprobe = 16, refine = n / 10 + 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = emb
+      .withColumn("score", round4(vecCosine(col("embedding"), lit(q))))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+      .select(col("vec_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "full-probe full-refine IVF-PQ != exact search")
+  }
+
+  test("ivf-pq artifact: stamp round-trips both matrices, content change rebuilds") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val (cents2, cbs2) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    assert(cents.flatten.toSeq == cents2.flatten.toSeq)
+    assert(cbs.flatten.flatten.toSeq == cbs2.flatten.flatten.toSeq)
+    val offDisk = PqIndex.ivfPqMetaAt(spark, path).get
+    assert(offDisk._1.flatten.toSeq == cents.flatten.toSeq)
+    assert(offDisk._2.flatten.flatten.toSeq == cbs.flatten.flatten.toSeq)
+    // content change with identical row count → rebuild
+    val before = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "_ivfpq_meta"))
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1)
+    PqIndex.buildIfAbsentIvfPq(shifted, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val after = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "_ivfpq_meta"))
+    assert(after.compareTo(before) > 0,
+      "content change with identical row count did not rebuild")
+  }
+
   private def codeFiles(path: String): Set[String] = {
     val d = new java.io.File(path)
     d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
