@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
   * contract line overflowed it and parsed as null): one full-precision JSON
   * line PER QUERY as it finishes (log detail), then a compact streaming
   * line, then the contract line LAST — batch queries only, values at 2
-  * decimals, ~1850 chars including sbt's trailer. `value` is the BATCH
+  * decimals, keyed by the unique qNN prefix (the contract's own example
+  * key shape; BenchContractSpec pins budget + uniqueness). `value` is the BATCH
   * total: the two streaming entries take ~9 s each by design (they measure
   * state-store throughput, not plan cost), so folding them in would make
   * every round-over-round total comparison read as a 2× regression.
@@ -43,12 +44,21 @@ object Bench {
     java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
 
-  /** Contract-line precision: 2 decimals keeps 77 queries + overhead under
+  /** Contract-line precision: 2 decimals keeps 80+ queries + overhead under
     * the driver's 2000-char tail capture (10 ms resolution is enough for
     * round-over-round comparison; full precision is on the per-query lines). */
   private def fmt2(v: Double): String =
     java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+
+  /** Contract-line key: the unique `qNN` prefix (the driver contract's own
+    * example key shape, `{"q1":sec,…}`) — ~9 chars/query shorter than the
+    * full names, which is what keeps the line inside the tail capture as
+    * the query count grows (BenchContractSpec pins budget AND prefix
+    * uniqueness). Full names remain on the per-query `"metric":"query"`
+    * lines. */
+  private[graft] def contractKey(name: String): String =
+    name.takeWhile(_ != '_')
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,15 +116,18 @@ object Bench {
       }.mkString(",")
       println(s"""{"metric":"streaming",$s}""")
     }
-    // Contract line LAST, batch-only, 2-decimal values: it must fit whole
-    // inside the driver's 2000-char tail together with sbt's trailer.
+    // Contract line LAST, batch-only, 2-decimal values, qNN keys, basename
+    // sf: it must fit whole inside the driver's 2000-char tail together
+    // with sbt's trailer.
     val failed = results.filter(_._2 < 0).map(_._1)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+    val qs = results.map { case (k, v) => "\"" + contractKey(k) + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+      else failed.map("\"" + contractKey(_) + "\"")
+        .mkString(""","errors":[""", ",", "]")
+    val sfShort = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

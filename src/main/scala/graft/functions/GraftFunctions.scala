@@ -61,6 +61,10 @@ object GraftFunctions {
   def pqAdcScore(c: Column, lut: Array[Array[Double]]): Column =
     e2col(PqAdcScore(col2e(c), lut))
 
+  /** Reconstruct the quantized vector from a PQ code column. */
+  def pqDecode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    e2col(PqDecode(col2e(c), codebooks))
+
   /** Round to 2 decimals in floor form — `floor(x*100 + 0.5)/100` — the
     * cross-engine-exact rounding for oracle-compared money values:
     * `round(x, 2)` pits Spark's shortest-repr HALF_UP against DuckDB's

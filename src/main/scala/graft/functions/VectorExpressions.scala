@@ -431,6 +431,34 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** PQ decode (ARRAY<FLOAT>): reconstruct the quantized vector from its
+  * codes — each subspace contributes its stored code's centroid. The
+  * batch-serving scoring path: decode once per row inside the scan stage,
+  * then an ordinary dot per query ([[graft.ops.PqIndex.searchBatchAdc]]). */
+case class PqDecode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_decode expects BINARY codes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqDecode(a.asInstanceOf[Array[Byte]], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.pqDecode($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
+    copy(child = newChild)
+}
+
 /** ADC inner-product score (DOUBLE) of a PQ code column against a query's
   * lookup table (a plan constant — [[graft.ops.PqIndex.adcLut]]). Scoring
   * never touches the raw vector column: the scan underneath reads only

@@ -466,6 +466,28 @@ object VectorKernels {
     out
   }
 
+  /** PQ decode: reconstruct the quantized vector (each subspace's centroid
+    * for the stored code) — the batch-serving path scores MANY queries
+    * against one row, where per-query LUTs can't be plan constants; decode
+    * once per row, then dot per query. */
+  def pqDecode(codes: Array[Byte],
+      codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = math.min(codes.length, codebooks.length)
+    var dim = 0
+    var j = 0
+    while (j < m) { dim += codebooks(j)(0).length; j += 1 }
+    val out = new Array[Float](dim)
+    var off = 0
+    j = 0
+    while (j < m) {
+      val ctr = codebooks(j)(codes(j) & 0xff)
+      System.arraycopy(ctr, 0, out, off, ctr.length)
+      off += ctr.length
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC (asymmetric distance computation) inner-product score:
     * Σ_j lut(j)(code_j), accumulated in double in subspace order. The LUT
     * is the query's per-subspace dot products against every code centroid

@@ -371,6 +371,42 @@ object PqIndex {
       .select(col(idCol), col("score"))
   }
 
+  /** Batch ADC serving over a cell-partitioned codes table — q37's
+    * [[IvfIndex.searchBatch]] shape on compressed storage: per-query probe
+    * cells as one narrow projection (the codegen `nearestCells` plan
+    * constant), the probe set broadcast into ONE scan of the codes, each
+    * row DECODED once inside the scan stage ([[graft.functions.PqDecode]])
+    * and dotted against every probing query, bounded-heap top-k per query
+    * before the only shuffle. Per-query LUTs can't be plan constants for a
+    * query BATCH, so scoring decodes instead: same I/O (m bytes/row), the
+    * dot costs what the raw-vector dot would — the scan savings are the
+    * point. Queries: (queryIdCol castable to long, qvCol array<float>).
+    * Returns (query_id, id, adc_score), unordered top-k set per query.
+    * Oversized batches: slice upstream as [[IvfIndex.searchBatch]] does —
+    * per-query results are independent, so unions compose. */
+  def searchBatchAdc(codes: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      queryIdCol: String, qvCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val probes = queries
+      .select(col(queryIdCol).cast("long").as("query_id"), col(qvCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(nearestCells(col("qv"), centroids, nprobe)).as("cell_id"))
+    val agg = graft.functions.TopKAggregator.topK(k).toColumn
+    codes.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("adc_score",
+        round4(vecDot(pqDecode(col("code"), codebooks), col("qv"))))
+      .select(col("query_id").as[Long],
+        struct(col("id").cast("long").as("_1"), col("adc_score").as("_2"))
+          .as[(Long, Double)])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
+      .toDF("query_id", "id", "adc_score")
+  }
+
   /** Recall@k of PQ+refine against exact brute force for one query — the
     * quality-vs-cost diagnostic (bigger `refine` → recall → 1). */
   def recallAtK(corpus: DataFrame, idCol: String, embCol: String,

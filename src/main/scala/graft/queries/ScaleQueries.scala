@@ -209,6 +209,20 @@ object ScaleQueries {
       refine = 4)
   }
 
+  /** Batch ADC serving over the IVF-PQ artifact (q37's shape on compressed
+    * storage): top-3 per query for a query batch in one pass over the
+    * probed cells' code files — decode-once-per-row, dot per probing
+    * query, bounded-heap top-k before the only shuffle. */
+  private val q69PqBatch: Q = (s, dir) => {
+    val (codes, cents, cbs) = ivfPqIndex(s, dir)
+    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    PqIndex.searchBatchAdc(codes, cents, cbs, queries, "query_id", "qv",
+        k = 3, nprobe = 4)
+      .select(col("query_id"), col("id").as("vec_id"), col("adc_score"))
+      .orderBy(col("query_id"), desc("adc_score"), col("vec_id"))
+  }
+
   /** IVF ANN top-20 over a PERSISTED `partitionBy(cell_id)` parquet index —
     * the build-once / probe-many lifecycle of a real ANN index (index build
     * cost is measured separately by q34): first call trains a
@@ -400,6 +414,7 @@ object ScaleQueries {
     "q39_pq_adc" -> q39PqAdc,
     "q67_pq_refine" -> q67PqRefine,
     "q68_ivfpq" -> q68IvfPq,
+    "q69_pq_batch" -> q69PqBatch,
     "q38_bucketed_join" -> q38Bucketed,
     "q64_multimodal" -> q64Multimodal,
     "q24_stats_dates" -> q24StatsDates,
@@ -524,11 +539,10 @@ object ScaleQueries {
     }.mkString(",\n  ")
   }
 
-  /** Shared PQ replay CTEs given a `cb(sub_id, code, ctr)` VALUES table:
-    * per-subspace encode (argmin squared-L2, ties → smaller code —
-    * pqEncode's contract), the query's ADC lookup table, and the floor-form
-    * rounded ADC score per vector. */
-  private def pqAdcCtes(cbs: Array[Array[Array[Float]]]): String =
+  /** Corpus-encode replay CTEs given a `cb(sub_id, code, ctr)` VALUES
+    * table: per-subspace encode (argmin squared-L2, ties → smaller code —
+    * pqEncode's contract) of every corpus vector. */
+  private def pqEncodeCtes(cbs: Array[Array[Array[Float]]]): String =
     s"""cb(sub_id, code, ctr) AS (VALUES
        |  ${pqCodebookValues(cbs)}),
        |pd AS (SELECT e.vec_id, c.sub_id, c.code, unnest(e.embedding) AS x,
@@ -541,7 +555,12 @@ object ScaleQueries {
        |          SELECT vec_id, sub_id, code, row_number() OVER (
        |            PARTITION BY vec_id, sub_id ORDER BY d, code) AS rn
        |          FROM dist)
-       |        WHERE rn = 1),
+       |        WHERE rn = 1)""".stripMargin
+
+  /** [[pqEncodeCtes]] + the single-query (vec_id 0) ADC lookup table and
+    * the floor-form rounded ADC score per vector. */
+  private def pqAdcCtes(cbs: Array[Array[Array[Float]]]): String =
+    s"""${pqEncodeCtes(cbs)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qp AS (SELECT c.sub_id, c.code, unnest(q.qe) AS qx, unnest(c.ctr) AS y
        |       FROM cb c CROSS JOIN qv q),
@@ -612,7 +631,38 @@ object ScaleQueries {
              |           * 10000.0 + 0.5) / 10000.0 AS score
              |       FROM sp GROUP BY vec_id)
              |SELECT vec_id, score FROM sc
-             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+        "q69_pq_batch" ->
+          s"""WITH ${ivfAssignCtes(cs)},
+             |${pqEncodeCtes(cbs)},
+             |qs AS (SELECT vec_id AS query_id, embedding AS qe
+             |       FROM embeddings WHERE vec_id < 5),
+             |qp AS (SELECT s.query_id, c.sub_id, c.code, unnest(s.qe) AS qx,
+             |         unnest(c.ctr) AS y
+             |       FROM cb c CROSS JOIN qs s),
+             |ql AS (SELECT query_id, sub_id, code,
+             |         sum(CAST(qx AS DOUBLE) * y) AS lut
+             |       FROM qp WHERE y IS NOT NULL
+             |       GROUP BY query_id, sub_id, code),
+             |probe AS (SELECT vec_id AS query_id, cell_id FROM (
+             |           SELECT vec_id, cell_id, row_number() OVER (
+             |             PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+             |           FROM ad WHERE vec_id < 5)
+             |          WHERE rn <= 4),
+             |cand AS (SELECT p.query_id, a.vec_id
+             |         FROM asg a JOIN probe p USING (cell_id)),
+             |sc AS (SELECT c.query_id, c.vec_id,
+             |         floor(sum(l.lut) * 10000.0 + 0.5) / 10000.0 AS adc_score
+             |       FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+             |            JOIN ql l ON l.query_id = c.query_id
+             |              AND l.sub_id = e.sub_id AND l.code = e.code
+             |       GROUP BY c.query_id, c.vec_id)
+             |SELECT query_id, vec_id, adc_score FROM (
+             |  SELECT query_id, vec_id, adc_score, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS rn
+             |  FROM sc)
+             |WHERE rn <= 3
+             |ORDER BY query_id, adc_score DESC, vec_id""".stripMargin)
     }
 
   /** Matrices of the most recently written persisted q68 index —

@@ -178,6 +178,43 @@ class PqIndexSpec extends SparkTestBase {
     assert(full == exact, "full-probe full-refine IVF-PQ != exact search")
   }
 
+  test("decode reconstructs centroid-aligned vectors exactly") {
+    import spark.implicits._
+    val cbs = PqIndex.trainCodebooks(emb, "embedding", m = 8, ksub = 16)
+    val rows = (0 until 16).map(c => (c.toLong, cbs.flatMap(_.apply(c)).toSeq))
+    val aligned = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val back = PqIndex.encode(aligned, "vec_id", "embedding", cbs)
+      .withColumn("recon", pqDecode(col("code"), cbs))
+      .orderBy("id").select("recon")
+      .collect().map(_.getSeq[Float](0).toSeq)
+    rows.zip(back).foreach { case ((id, orig), recon) =>
+      assert(orig == recon, s"decode of centroid-aligned vector $id drifted")
+    }
+  }
+
+  test("batch ADC at full probe matches flat per-query ADC ranking") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val codes = PqIndex.loadCodes(spark, path)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = PqIndex.searchBatchAdc(codes, cents, cbs, queries,
+        "query_id", "qv", k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val q = queryVec(qid)
+      // flat ADC over the same codes (codebooks identical by determinism)
+      val flat = PqIndex.searchAdc(codes.select("id", "code"), cbs, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == flat,
+        s"batch ADC for query $qid diverges from flat ADC")
+    }
+  }
+
   test("ivf-pq artifact: stamp round-trips both matrices, content change rebuilds") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq")
       .resolve("idx").toString
