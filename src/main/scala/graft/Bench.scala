@@ -23,11 +23,11 @@ import org.apache.spark.sql.SparkSession
   * state-store throughput, not plan cost), so folding them in would make
   * every round-over-round total comparison read as a 2× regression.
   *
-  * Two streaming throughput entries (s90/s91: events/sec through the
-  * tumbling agg and flatMapGroupsWithState sessionization over a
-  * MemoryStream, noop sink) ride beside the batch queries — the state-store
-  * cost the batch twins can't see. They are reported on their own
-  * `"metric":"streaming"` line (sec + events/sec per entry).
+  * Three streaming throughput entries (s90/s91/s92: events/sec through the
+  * tumbling agg, flatMapGroupsWithState sessionization, and watermarked
+  * dedup over a MemoryStream, noop sink) ride beside the batch queries —
+  * the state-store cost the batch twins can't see. They are reported on
+  * their own `"metric":"streaming"` line (sec + events/sec per entry).
   *
   * A query whose every run throws is reported as sec -1 with an
   * `"error":true` marker and lands in the contract line's `errors` list —
@@ -98,7 +98,9 @@ object Bench {
       "s90_stream_tumbling" -> ((n: Int) =>
         graft.streaming.StreamBench.tumblingEps(spark, n)),
       "s91_stream_sessionize" -> ((n: Int) =>
-        graft.streaming.StreamBench.sessionizeEps(spark, n)))
+        graft.streaming.StreamBench.sessionizeEps(spark, n)),
+      "s92_stream_dedup" -> ((n: Int) =>
+        graft.streaming.StreamBench.dedupEps(spark, n)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, eps) =>
         val rates = (0 until runs).flatMap { _ =>

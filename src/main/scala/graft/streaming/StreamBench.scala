@@ -95,4 +95,15 @@ object StreamBench {
     n / runSeconds(spark, events, nBatches)(df =>
       EventStreams.sessionizeWithState(df, gapMinutes = 30))
   }
+
+  /** Events/sec through watermark-bounded streaming dedup
+    * (dropDuplicatesWithinWatermark — the third state-store shape beside
+    * the windowed agg and the explicit-state sessionizer: per-key
+    * presence state with watermark eviction, the ingest-admission cost of
+    * a streaming pipeline). */
+  def dedupEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
+    val events = syntheticEvents(n)
+    n / runSeconds(spark, events, nBatches)(df =>
+      EventStreams.dedupedEvents(df))
+  }
 }

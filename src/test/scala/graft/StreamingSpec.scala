@@ -205,9 +205,13 @@ class StreamingSpec extends SparkTestBase {
       nBatches = 4)
     assert(sess > 0 && java.lang.Double.isFinite(sess),
       s"sessionize throughput $sess events/s")
+    val dedup = graft.streaming.StreamBench.dedupEps(spark, n, nBatches = 4)
+    assert(dedup > 0 && java.lang.Double.isFinite(dedup),
+      s"dedup throughput $dedup events/s")
     if (sys.env.get("SPARK_GRAFT_SLOW_TESTS").exists(_.nonEmpty)) {
       assert(tumbling >= 500.0, s"tumbling floor: $tumbling events/s")
       assert(sess >= 500.0, s"sessionize floor: $sess events/s")
+      assert(dedup >= 500.0, s"dedup floor: $dedup events/s")
     }
   }
 
