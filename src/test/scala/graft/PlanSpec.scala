@@ -119,6 +119,22 @@ class PlanSpec extends SparkTestBase {
       s"probe set did not broadcast into the index scan:\n$s")
   }
 
+  test("q39: ADC top-k is a bounded TakeOrdered over the codes scan — no shuffle, no join") {
+    val s = planString(q("q39_pq_adc"))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"ADC top-k did not compile to TakeOrderedAndProject:\n$s")
+    assert(!s.contains("Join"), s"flat ADC must not join:\n$s")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"flat ADC must not hash-shuffle the codes:\n$s")
+  }
+
+  test("q69: batch ADC probe joins broadcast — no corpus shuffle, no cartesian") {
+    val s = planString(q("q69_pq_batch"))
+    assert(!s.contains("CartesianProduct"), s"cartesian in q69:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"probe set did not broadcast into the codes scan:\n$s")
+  }
+
   test("q49: stratified sample is a pure scan predicate (no join, no agg)") {
     val s = planString(q("q49_stratified_sample"))
     assert(!s.contains("Join"), "sampleBy-equivalent must not join")
