@@ -382,15 +382,39 @@ object PqIndex {
     * dot costs what the raw-vector dot would — the scan savings are the
     * point. Queries: (queryIdCol castable to long, qvCol array<float>).
     * Returns (query_id, id, adc_score), unordered top-k set per query.
-    * Oversized batches: slice upstream as [[IvfIndex.searchBatch]] does —
-    * per-query results are independent, so unions compose. */
+    * Above `maxBatch` queries the batch auto range-splits exactly as
+    * [[IvfIndex.searchBatch]] does (hash slices, per-slice probe joins,
+    * union — per-query results are independent, so the union is the
+    * unsplit answer with each broadcast bounded). */
   def searchBatchAdc(codes: DataFrame, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
-      queryIdCol: String, qvCol: String, k: Int, nprobe: Int): DataFrame = {
+      queryIdCol: String, qvCol: String, k: Int, nprobe: Int,
+      maxBatch: Int = 8192): DataFrame = {
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(qvCol).as("qv"))
+    // size guard on the id column only (no scan of the wide vectors)
+    val ids = q.select("query_id")
+    if (ids.limit(maxBatch + 1).count() <= maxBatch)
+      searchBatchAdcSlice(codes, centroids, codebooks, q, k, nprobe)
+    else {
+      val slices = ((ids.count() - 1) / maxBatch + 1).toInt
+      (0 until slices).map { i =>
+        searchBatchAdcSlice(codes, centroids, codebooks,
+          q.filter(pmod(xxhash64(col("query_id")), lit(slices)) === i),
+          k, nprobe)
+      }.reduce(_.unionAll(_))
+    }
+  }
+
+  /** One bounded slice of [[searchBatchAdc]] (queries already projected to
+    * (query_id, qv)). */
+  private def searchBatchAdcSlice(codes: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val probes = queries
-      .select(col(queryIdCol).cast("long").as("query_id"), col(qvCol).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(nearestCells(col("qv"), centroids, nprobe)).as("cell_id"))
     val agg = graft.functions.TopKAggregator.topK(k).toColumn

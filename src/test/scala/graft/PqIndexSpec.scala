@@ -215,6 +215,22 @@ class PqIndexSpec extends SparkTestBase {
     }
   }
 
+  test("batch ADC range-splits above maxBatch with identical results") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val codes = PqIndex.loadCodes(spark, path)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def run(maxBatch: Int) =
+      PqIndex.searchBatchAdc(codes, cents, cbs, queries, "query_id", "qv",
+          k = 3, nprobe = 4, maxBatch = maxBatch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(run(2) == run(100), "split batch ADC diverges from unsplit")
+  }
+
   test("ivf-pq artifact: stamp round-trips both matrices, content change rebuilds") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq")
       .resolve("idx").toString
