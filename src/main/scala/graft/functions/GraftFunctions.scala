@@ -65,6 +65,12 @@ object GraftFunctions {
   def pqDecode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
     e2col(PqDecode(col2e(c), codebooks))
 
+  /** ADC score of a PQ code column against a query COLUMN (batch serving) —
+    * bit-identical to the [[pqAdcScore]] LUT path. */
+  def pqAdcDot(codes: Column, query: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    e2col(PqAdcDot(col2e(codes), col2e(query), codebooks))
+
   /** Round to 2 decimals in floor form — `floor(x*100 + 0.5)/100` — the
     * cross-engine-exact rounding for oracle-compared money values:
     * `round(x, 2)` pits Spark's shortest-repr HALF_UP against DuckDB's

@@ -433,8 +433,9 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
 
 /** PQ decode (ARRAY<FLOAT>): reconstruct the quantized vector from its
   * codes — each subspace contributes its stored code's centroid. The
-  * batch-serving scoring path: decode once per row inside the scan stage,
-  * then an ordinary dot per query ([[graft.ops.PqIndex.searchBatchAdc]]). */
+  * reconstruction utility (diagnostics, downstream consumers that want a
+  * dense vector back); scoring paths use [[PqAdcScore]]/[[PqAdcDot]],
+  * which skip materializing the decoded array. */
 case class PqDecode(child: Expression, codebooks: Array[Array[Array[Float]]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
@@ -485,4 +486,37 @@ case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
     copy(child = newChild)
+}
+
+/** ADC inner-product score (DOUBLE) of a PQ code column against a query
+  * COLUMN — the batch-serving twin of [[PqAdcScore]], for plans where the
+  * query is a join-produced column and a per-query LUT can't be a plan
+  * constant. Bit-identical arithmetic to the LUT path (per-subspace
+  * partials summed in subspace order, [[VectorKernels.pqAdcDot]]), so flat
+  * and batch serving round the same way at floor-form boundaries. */
+case class PqAdcDot(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+
+  private lazy val rf = VectorExprUtil.isFloatArray(right.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case BinaryType => VectorExprUtil.checkArray(right.dataType, "query")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dot expects BINARY codes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.pqAdcDot(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[ArrayData], rf, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.pqAdcDot($a, $b, $rf, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDot =
+    copy(left = l, right = r)
 }

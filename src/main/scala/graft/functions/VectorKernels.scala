@@ -467,9 +467,9 @@ object VectorKernels {
   }
 
   /** PQ decode: reconstruct the quantized vector (each subspace's centroid
-    * for the stored code) — the batch-serving path scores MANY queries
-    * against one row, where per-query LUTs can't be plan constants; decode
-    * once per row, then dot per query. */
+    * for the stored code) — the reconstruction utility; scoring goes
+    * through [[pqAdc]]/[[pqAdcDot]], which never materialize the decoded
+    * array. */
   def pqDecode(codes: Array[Byte],
       codebooks: Array[Array[Array[Float]]]): ArrayData = {
     val m = math.min(codes.length, codebooks.length)
@@ -499,5 +499,32 @@ object VectorKernels {
     var j = 0
     while (j < m) { s += lut(j)(codes(j) & 0xff); j += 1 }
     s
+  }
+
+  /** ADC score straight from codes + a query COLUMN — the batch-serving
+    * path, where per-query LUTs can't be plan constants. Arithmetic is
+    * bit-identical to [[pqAdc]] over [[graft.ops.PqIndex.adcLut]]: each
+    * subspace's partial is accumulated in double with subdims ascending,
+    * then partials are summed in subspace order. A sequential full-dim dot
+    * over the decoded vector groups the additions differently and can
+    * round the other way at a floor-form boundary — this kernel exists so
+    * the flat and batch paths (and their oracle replays) agree exactly. */
+  def pqAdcDot(codes: Array[Byte], q: ArrayData, qFloat: Boolean,
+      codebooks: Array[Array[Array[Float]]]): Double = {
+    var total = 0.0
+    var off = 0
+    val m = math.min(codes.length, codebooks.length)
+    var j = 0
+    while (j < m) {
+      val ctr = codebooks(j)(codes(j) & 0xff)
+      val n = math.min(ctr.length, math.max(0, q.numElements() - off))
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += get(q, off + i, qFloat) * ctr(i); i += 1 }
+      total += s
+      off += ctr.length
+      j += 1
+    }
+    total
   }
 }

@@ -200,11 +200,18 @@ object Curation {
     * the dominant cost of decontamination, and it is identical for every
     * benchmark swept). */
   def writeTrainGrams(trainDf: DataFrame, idCol: String, textCol: String,
-      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): Unit = {
+      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): Unit =
+    writeTrainGramsStamped(trainDf, idCol, textCol, path, n, maxTrainDf,
+      gramStamp(trainDf, idCol, textCol, n, maxTrainDf))
+
+  /** [[writeTrainGrams]] with a precomputed stamp — callers that already
+    * fingerprinted for their freshness check (a full text scan) reuse it. */
+  private def writeTrainGramsStamped(trainDf: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int, maxTrainDf: Long,
+      stamp: String): Unit = {
     trainGramSet(trainDf, idCol, textCol, n, maxTrainDf)
       .write.mode("overwrite").parquet(path)
-    writeMetaFile(trainDf, path, "_grams_meta",
-      s"${gramStamp(trainDf, idCol, textCol, n, maxTrainDf)}")
+    writeMetaFile(trainDf, path, "_grams_meta", stamp)
   }
 
   /** count + gram config + content fingerprint ([[ArtifactMeta.fingerprint]]
@@ -223,7 +230,8 @@ object Curation {
       path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): DataFrame = {
     val stamp = gramStamp(trainDf, idCol, textCol, n, maxTrainDf)
     if (!readMetaFile(trainDf, path, "_grams_meta").contains(stamp))
-      writeTrainGrams(trainDf, idCol, textCol, path, n, maxTrainDf)
+      writeTrainGramsStamped(trainDf, idCol, textCol, path, n, maxTrainDf,
+        stamp)
     trainDf.sparkSession.read.parquet(path)
   }
 

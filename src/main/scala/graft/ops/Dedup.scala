@@ -103,12 +103,26 @@ object Dedup {
     * regeneration with an identical row count invalidate the artifact —
     * the freshness hole a count-only stamp leaves open. */
   def writeSignatures(df: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 64, shingleSize: Int = 3): Unit = {
+      path: String, numHashes: Int = 64, shingleSize: Int = 3): Unit =
+    writeSignaturesStamped(df, idCol, textCol, path, numHashes, shingleSize,
+      sigStamp(df, idCol, textCol, numHashes, shingleSize))
+
+  /** One agg on the pruned input (no signature evaluation). */
+  private def sigStamp(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): String = {
+    val (n, fp) = ArtifactMeta.fingerprint(df, Seq(idCol, textCol))
+    s"$n:$numHashes:$shingleSize:fp$fp"
+  }
+
+  /** [[writeSignatures]] with a precomputed stamp, so callers that already
+    * fingerprinted for their freshness check (the rebuild's most expensive
+    * step — a full text-column scan) don't pay it twice. */
+  private def writeSignaturesStamped(df: DataFrame, idCol: String,
+      textCol: String, path: String, numHashes: Int, shingleSize: Int,
+      stamp: String): Unit = {
     computeSignatures(df, idCol, textCol, numHashes, shingleSize)
       .write.mode("overwrite").parquet(path)
-    // one agg on the pruned input (no signature evaluation)
-    val (n, fp) = ArtifactMeta.fingerprint(df, Seq(idCol, textCol))
-    writeSigMeta(df, path, s"$n:$numHashes:$shingleSize:fp$fp")
+    writeSigMeta(df, path, stamp)
   }
 
   /** Ensure a valid signature artifact exists for this corpus (stamp =
@@ -117,10 +131,10 @@ object Dedup {
     * (older artifact) never matches, so it is upgraded by one rebuild. */
   def signaturesIfAbsent(corpus: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, textCol))
-    val stamp = s"$n:$numHashes:$shingleSize:fp$fp"
+    val stamp = sigStamp(corpus, idCol, textCol, numHashes, shingleSize)
     if (!readSigMeta(corpus, path).contains(stamp))
-      writeSignatures(corpus, idCol, textCol, path, numHashes, shingleSize)
+      writeSignaturesStamped(corpus, idCol, textCol, path, numHashes,
+        shingleSize, stamp)
     loadSignatures(corpus.sparkSession, path)
   }
 

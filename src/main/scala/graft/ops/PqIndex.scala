@@ -190,32 +190,46 @@ object PqIndex {
       }
     }
 
-  private def metaLocation(df: DataFrame, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path, MetaName)
-    (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def readMeta(df: DataFrame, path: String): Option[Meta] = {
-    val (fs, p) = metaLocation(df, path)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+  /** Lines of `<path>/<name>`, via the path's Hadoop filesystem (the one
+    * open/read/close sequence every meta reader shares). */
+  private def readMetaFileLines(conf: org.apache.hadoop.conf.Configuration,
+      path: String, name: String): Option[Vector[String]] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector)
       finally in.close()
-    parseMetaLines(lines)
+    }
   }
 
-  private def writeMeta(df: DataFrame, path: String, meta: Meta): Unit = {
-    val (fs, p) = metaLocation(df, path)
-    val body = (meta.stamp +: meta.codebooks.toSeq.flatMap(_.toSeq)
-        .map(_.mkString(","))).mkString("", "\n", "\n")
+  private def writeMetaFileLines(conf: org.apache.hadoop.conf.Configuration,
+      path: String, name: String, lines: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
+  private def hconf(df: DataFrame) =
+    df.sparkSession.sparkContext.hadoopConfiguration
+
+  private def readMeta(df: DataFrame, path: String): Option[Meta] =
+    readMetaFileLines(hconf(df), path, MetaName).flatMap(parseMetaLines)
+
+  private def writeMeta(df: DataFrame, path: String, meta: Meta): Unit =
+    writeMetaFileLines(hconf(df), path, MetaName,
+      meta.stamp +: meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(",")))
+
+  /** Stamp = row count + PQ config + content fingerprint over (id,
+    * embedding) — regenerating the EMBEDDINGS in place (new model, same
+    * ids, same count) must invalidate the codes artifact, so the vectors
+    * themselves are in the fingerprint, not just the keys. */
   private def stampOf(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, ksub: Int, sampleFraction: Double): String = {
-    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol))
+    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
     s"$n:$m:$ksub:$sampleFraction:fp$fp"
   }
 
@@ -246,16 +260,9 @@ object PqIndex {
 
   /** Codebooks of a persisted codes table, straight off its stamp file —
     * for oracle exporters that must be a pure function of on-disk state. */
-  def codebooksAt(spark: SparkSession, path: String): Option[Array[Array[Array[Float]]]] = {
-    val p = new org.apache.hadoop.fs.Path(path, MetaName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    parseMetaLines(lines).map(_.codebooks)
-  }
+  def codebooksAt(spark: SparkSession, path: String): Option[Array[Array[Array[Float]]]] =
+    readMetaFileLines(spark.sparkContext.hadoopConfiguration, path, MetaName)
+      .flatMap(parseMetaLines).map(_.codebooks)
 
   // ---- IVF-PQ: cell-partitioned codes ------------------------------------
 
@@ -281,28 +288,15 @@ object PqIndex {
 
   private val IvfPqMetaName = "_ivfpq_meta"
 
-  private def readIvfPqMeta(df: DataFrame, path: String): Option[IvfPqMeta] = {
-    val p = new org.apache.hadoop.fs.Path(path, IvfPqMetaName)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    parseIvfPqMetaLines(lines)
-  }
+  private def readIvfPqMeta(df: DataFrame, path: String): Option[IvfPqMeta] =
+    readMetaFileLines(hconf(df), path, IvfPqMetaName).flatMap(parseIvfPqMetaLines)
 
   private def writeIvfPqMeta(df: DataFrame, path: String,
-      meta: IvfPqMeta): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, IvfPqMetaName)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val body = (meta.stamp +:
+      meta: IvfPqMeta): Unit =
+    writeMetaFileLines(hconf(df), path, IvfPqMetaName,
+      meta.stamp +:
         (meta.centroids.toSeq.map(_.mkString(",")) ++
           meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(","))))
-      .mkString("", "\n", "\n")
-    val out = fs.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-  }
 
   /** Ensure a persisted IVF-PQ index exists at `path`: a
     * `partitionBy(cell_id)` parquet of (id, code) — the two scale levers
@@ -317,7 +311,9 @@ object PqIndex {
   def buildIfAbsentIvfPq(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, m: Int, ksub: Int, path: String,
       sampleFraction: Double = 1.0): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol))
+    // (id, embedding) fingerprint — [[stampOf]]'s contract: in-place
+    // embedding regeneration invalidates, not just id/count changes
+    val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
     val stamp = s"$n:$nlist:$m:$ksub:$sampleFraction:fp$fp"
     readIvfPqMeta(corpus, path) match {
       case Some(meta) if meta.stamp == stamp => (meta.centroids, meta.codebooks)
@@ -338,16 +334,9 @@ object PqIndex {
   /** Matrices of a persisted IVF-PQ index off its stamp file (oracle
     * path — pure function of on-disk state). */
   def ivfPqMetaAt(spark: SparkSession,
-      path: String): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = {
-    val p = new org.apache.hadoop.fs.Path(path, IvfPqMetaName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    parseIvfPqMetaLines(lines).map(m => (m.centroids, m.codebooks))
-  }
+      path: String): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
+    readMetaFileLines(spark.sparkContext.hadoopConfiguration, path, IvfPqMetaName)
+      .flatMap(parseIvfPqMetaLines).map(m => (m.centroids, m.codebooks))
 
   /** IVF-PQ search: partition-pruned cells → ADC top k×refine over the
     * m-byte codes → exact cosine re-rank of just those candidates against
@@ -375,12 +364,15 @@ object PqIndex {
     * [[IvfIndex.searchBatch]] shape on compressed storage: per-query probe
     * cells as one narrow projection (the codegen `nearestCells` plan
     * constant), the probe set broadcast into ONE scan of the codes, each
-    * row DECODED once inside the scan stage ([[graft.functions.PqDecode]])
-    * and dotted against every probing query, bounded-heap top-k per query
-    * before the only shuffle. Per-query LUTs can't be plan constants for a
-    * query BATCH, so scoring decodes instead: same I/O (m bytes/row), the
-    * dot costs what the raw-vector dot would — the scan savings are the
-    * point. Queries: (queryIdCol castable to long, qvCol array<float>).
+    * (row, probing query) pair scored by the codegen code-vs-query ADC
+    * kernel ([[graft.functions.PqAdcDot]] — bit-identical arithmetic to
+    * the flat LUT path, so batch and flat serving agree at floor-form
+    * rounding boundaries), bounded-heap top-k per query before the only
+    * shuffle. Per-query LUTs can't be plan constants for a query BATCH, so
+    * the kernel walks codebook centroids directly: same I/O (m bytes/row),
+    * the arithmetic costs what the raw-vector dot would — the scan savings
+    * are the point. Queries: (queryIdCol castable to long, qvCol
+    * array<float>).
     * Returns (query_id, id, adc_score), unordered top-k set per query.
     * Above `maxBatch` queries the batch auto range-splits exactly as
     * [[IvfIndex.searchBatch]] does (hash slices, per-slice probe joins,
@@ -420,7 +412,7 @@ object PqIndex {
     val agg = graft.functions.TopKAggregator.topK(k).toColumn
     codes.join(broadcast(probes), Seq("cell_id"))
       .withColumn("adc_score",
-        round4(vecDot(pqDecode(col("code"), codebooks), col("qv"))))
+        round4(pqAdcDot(col("code"), col("qv"), codebooks)))
       .select(col("query_id").as[Long],
         struct(col("id").cast("long").as("_1"), col("adc_score").as("_2"))
           .as[(Long, Double)])

@@ -665,17 +665,22 @@ object ScaleQueries {
              |ORDER BY query_id, adc_score DESC, vec_id""".stripMargin)
     }
 
-  /** Matrices of the most recently written persisted q68 index —
-    * [[centroidsFromDisk]]'s IVF-PQ twin. */
-  private def ivfPqMetaFromDisk: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = {
+  /** Stamp-file lines of the most recently written artifact whose tmpdir
+    * directory name starts with `prefix` — the shared scan behind the
+    * disk-backed oracle fallbacks. The artifact paths are tmpdir-local by
+    * construction ([[ivfIndexPath]] and twins), so plain file IO suffices;
+    * when several sf dirs have artifacts, the newest stamp wins — it
+    * belongs to the queries most recently run against this tmpdir. */
+  private def newestMetaFromDisk[T](prefix: String, metaName: String)(
+      parse: Vector[String] => Option[T]): Option[T] = {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val metas = try {
       val s = java.nio.file.Files.list(tmp)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("graft_q68_ivfpq_"))
-          .map(_.resolve("_ivfpq_meta"))
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .map(_.resolve(metaName))
           .filter(java.nio.file.Files.isRegularFile(_))
           .toVector
       } finally s.close()
@@ -683,62 +688,27 @@ object ScaleQueries {
     metas.sortBy(java.nio.file.Files.getLastModifiedTime(_).toMillis)
       .lastOption.flatMap { p =>
         import scala.jdk.CollectionConverters._
-        PqIndex.parseIvfPqMetaLines(
-            java.nio.file.Files.readAllLines(p).asScala.toVector)
-          .map(m => (m.centroids, m.codebooks))
+        parse(java.nio.file.Files.readAllLines(p).asScala.toVector)
       }
   }
+
+  /** Matrices of the most recently written persisted q68 index —
+    * [[centroidsFromDisk]]'s IVF-PQ twin. */
+  private def ivfPqMetaFromDisk: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
+    newestMetaFromDisk("graft_q68_ivfpq_", "_ivfpq_meta")(
+      PqIndex.parseIvfPqMetaLines(_).map(m => (m.centroids, m.codebooks)))
 
   /** Codebooks of the most recently written persisted q39 codes artifact —
     * [[centroidsFromDisk]]'s PQ twin. */
-  private def pqCodebooksFromDisk: Option[Array[Array[Array[Float]]]] = {
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val metas = try {
-      val s = java.nio.file.Files.list(tmp)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("graft_q39_pq_"))
-          .map(_.resolve("_pq_codebooks"))
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .toVector
-      } finally s.close()
-    } catch { case _: java.io.IOException => Vector.empty }
-    metas.sortBy(java.nio.file.Files.getLastModifiedTime(_).toMillis)
-      .lastOption.flatMap { p =>
-        import scala.jdk.CollectionConverters._
-        PqIndex.parseMetaLines(
-            java.nio.file.Files.readAllLines(p).asScala.toVector)
-          .map(_.codebooks)
-      }
-  }
+  private def pqCodebooksFromDisk: Option[Array[Array[Array[Float]]]] =
+    newestMetaFromDisk("graft_q39_pq_", "_pq_codebooks")(
+      PqIndex.parseMetaLines(_).map(_.codebooks))
 
   /** Centroid matrix of the most recently written persisted q36 index, off
-    * its `_ivf_centroids` stamp file. The index paths are tmpdir-local by
-    * construction ([[ivfIndexPath]]), so plain file IO suffices; when
-    * several sf dirs have indexes, the newest stamp wins — it belongs to
-    * the queries most recently run against this tmpdir. */
-  private def centroidsFromDisk: Option[Array[Array[Float]]] = {
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val metas = try {
-      val s = java.nio.file.Files.list(tmp)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("graft_q36_ivf_"))
-          .map(_.resolve("_ivf_centroids"))
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .toVector
-      } finally s.close()
-    } catch { case _: java.io.IOException => Vector.empty }
-    metas.sortBy(java.nio.file.Files.getLastModifiedTime(_).toMillis)
-      .lastOption.flatMap { p =>
-        import scala.jdk.CollectionConverters._
-        IvfIndex.parseMetaLines(
-            java.nio.file.Files.readAllLines(p).asScala.toVector)
-          .map(_.centroids).filter(_.nonEmpty)
-      }
-  }
+    * its `_ivf_centroids` stamp file. */
+  private def centroidsFromDisk: Option[Array[Array[Float]]] =
+    newestMetaFromDisk("graft_q36_ivf_", "_ivf_centroids")(
+      IvfIndex.parseMetaLines(_).map(_.centroids).filter(_.nonEmpty))
 
   /** Static oracles + the dynamically exported IVF, PQ, and IVF-PQ
     * replays. */

@@ -67,16 +67,21 @@ object StreamBench {
       elapsed = (System.nanoTime() - t0) / 1e9
     } finally {
       q.stop()
-      // best-effort cleanup of the throwaway checkpoint; per-file failures
-      // are ignored individually so one locked file doesn't strand the tree
-      val walk = java.nio.file.Files.walk(ckpt)
+      // best-effort cleanup of the throwaway checkpoint: per-file failures
+      // are ignored individually so one locked file doesn't strand the
+      // tree, and traversal failures (e.g. UncheckedIOException when a tmp
+      // reaper races the walk) must not fail a measurement that already
+      // completed — the whole block is advisory
       try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse.foreach { p =>
-          try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: java.io.IOException => () }
-        }
-      } finally walk.close()
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach { p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+          }
+        } finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     elapsed
   }

@@ -19,8 +19,11 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("worst-case contract line fits the 2000-char tail with sbt trailer") {
-    val line = """{"metric":"total","value":999.99,"unit":"sec","queries":{""" +
-      names.map(n => "\"" + Bench.contractKey(n) + "\":99.99").mkString(",") +
+    // model every per-query value at 7 chars (9999.99 — a >2.7h query) and
+    // the total at 8: a pathologically slow round must still emit a line
+    // the driver can parse, not only a healthy sub-second one
+    val line = """{"metric":"total","value":99999.99,"unit":"sec","queries":{""" +
+      names.map(n => "\"" + Bench.contractKey(n) + "\":9999.99").mkString(",") +
       ""","errors":["q99"]},"sf":"sf0.1"}"""
     val budget = 2000 - 70
     assert(line.length <= budget,

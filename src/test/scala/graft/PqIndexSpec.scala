@@ -60,6 +60,27 @@ class PqIndexSpec extends SparkTestBase {
     }
   }
 
+  test("pqAdcDot is bit-identical to the LUT path (batch == flat serving)") {
+    // the batch kernel (code vs query column) must reproduce the flat
+    // path's doubles EXACTLY — same per-subspace grouping — or floor-form
+    // rounding can disagree at a boundary and break the oracle replay
+    val cbs = PqIndex.trainCodebooks(emb, "embedding", m = 8, ksub = 16)
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cbs)
+    (0 until 5).foreach { qi =>
+      val q = queryVec(qi)
+      val viaLut = codes
+        .withColumn("s", pqAdcScore(col("code"), PqIndex.adcLut(cbs, q)))
+        .orderBy("id").select("s").collect().map(_.getDouble(0))
+      val viaDot = codes
+        .withColumn("s", pqAdcDot(col("code"),
+          lit(q).cast("array<float>"), cbs))
+        .orderBy("id").select("s").collect().map(_.getDouble(0))
+      viaLut.zip(viaDot).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"query $qi row $i: lut $a != dot $b (not bitwise)")
+      }
+    }
+  }
+
   test("encode tie goes to the smaller code (nearestCentroid contract)") {
     import spark.implicits._
     // a 2-subspace codebook with code 0 and 1 identical in subspace 0:
@@ -106,6 +127,16 @@ class PqIndexSpec extends SparkTestBase {
       m = 8, ksub = 16, path)
     assert(codeFiles(path) != files1,
       "content change with identical row count did not rebuild")
+    // EMBEDDING-only regeneration (ids and count unchanged) must also
+    // rebuild: the codes are a function of the vectors, so the stamp
+    // fingerprints (id, embedding), not just the keys
+    val filesShifted = codeFiles(path)
+    val reEmbedded = shifted.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(2f)))
+    PqIndex.buildIfAbsent(reEmbedded, "vec_id", "embedding",
+      m = 8, ksub = 16, path)
+    assert(codeFiles(path) != filesShifted,
+      "embedding regeneration with identical ids did not rebuild")
     // loadCodes round-trips the encode
     PqIndex.buildIfAbsent(emb, "vec_id", "embedding", m = 8, ksub = 16, path)
     val stored = PqIndex.loadCodes(spark, path).orderBy("id")
@@ -253,6 +284,15 @@ class PqIndexSpec extends SparkTestBase {
       java.nio.file.Paths.get(path, "_ivfpq_meta"))
     assert(after.compareTo(before) > 0,
       "content change with identical row count did not rebuild")
+    // embedding-only regeneration must also rebuild ([[stampOf]] contract)
+    val reEmbedded = shifted.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(2f)))
+    PqIndex.buildIfAbsentIvfPq(reEmbedded, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val after2 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "_ivfpq_meta"))
+    assert(after2.compareTo(after) > 0,
+      "embedding regeneration with identical ids did not rebuild")
   }
 
   private def codeFiles(path: String): Set[String] = {
