@@ -266,20 +266,27 @@ object PqIndex {
 
   // ---- IVF-PQ: cell-partitioned codes ------------------------------------
 
-  /** Parsed `_ivfpq_meta` content: stamp + coarse centroids + codebooks.
-    * Layout: stamp line (carries nlist/m/ksub for reshaping), `nlist`
-    * centroid rows, then m×ksub codebook rows (j-major). */
+  /** Parsed `_ivfpq_meta` content: stamp + per-cell occupancy (absent on
+    * pre-lifecycle artifacts) + coarse centroids + codebooks. Layout:
+    * stamp line (carries nlist/m/ksub for reshaping), optional `occ:`
+    * line, `nlist` centroid rows, then m×ksub codebook rows (j-major). */
   private[graft] case class IvfPqMeta(stamp: String,
-      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
+      occupancy: Option[Array[Long]], centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]])
 
   private[graft] def parseIvfPqMetaLines(lines: Seq[String]): Option[IvfPqMeta] =
     lines.headOption.flatMap { stamp =>
       stamp.split(":") match {
         case Array(_, nlistStr, mStr, kStr, _*) =>
           val (nlist, m, ksub) = (nlistStr.toInt, mStr.toInt, kStr.toInt)
-          val rows = lines.tail.map(_.split(",").map(_.toFloat)).toArray
+          val (occ, matrixLines) = lines.tail match {
+            case o +: rest if o.startsWith("occ:") =>
+              (Some(o.drop(4).split(",").filter(_.nonEmpty).map(_.toLong)), rest)
+            case rest => (None, rest)
+          }
+          val rows = matrixLines.map(_.split(",").map(_.toFloat)).toArray
           if (rows.length != nlist + m * ksub) None
-          else Some(IvfPqMeta(stamp, rows.take(nlist),
+          else Some(IvfPqMeta(stamp, occ, rows.take(nlist),
             Array.tabulate(m)(j =>
               Array.tabulate(ksub)(c => rows(nlist + j * ksub + c)))))
         case _ => None
@@ -295,7 +302,8 @@ object PqIndex {
       meta: IvfPqMeta): Unit =
     writeMetaFileLines(hconf(df), path, IvfPqMetaName,
       meta.stamp +:
-        (meta.centroids.toSeq.map(_.mkString(",")) ++
+        (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
+          meta.centroids.toSeq.map(_.mkString(",")) ++
           meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(","))))
 
   /** Ensure a persisted IVF-PQ index exists at `path`: a
@@ -321,13 +329,121 @@ object PqIndex {
         val centroids = IvfIndex.trainCentroids(corpus, embCol, nlist,
           sampleFraction)
         val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
-        corpus.select(col(idCol).as("id"),
-            pqEncode(col(embCol), cbs).as("code"),
-            nearestCentroid(col(embCol), centroids).as("cell_id"))
+        encodeIvfPq(corpus, idCol, embCol, centroids, cbs)
           .repartition(col("cell_id"))
           .write.mode("overwrite").partitionBy("cell_id").parquet(path)
-        writeIvfPqMeta(corpus, path, IvfPqMeta(stamp, centroids, cbs))
+        writeIvfPqMeta(corpus, path, IvfPqMeta(stamp,
+          Some(IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist)),
+          centroids, cbs))
         (centroids, cbs)
+    }
+  }
+
+  /** The IVF-PQ row shape: (id, code, cell_id) — one codegen pass doing
+    * both quantizations. */
+  private def encodeIvfPq(df: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    df.select(col(idCol).as("id"),
+      pqEncode(col(embCol), codebooks).as("code"),
+      nearestCentroid(col(embCol), centroids).as("cell_id"))
+
+  /** Append a batch to a persisted codes table WITHOUT retraining or
+    * rewriting — [[IvfIndex.append]]'s contract on the PQ artifact: the
+    * codebooks are REUSED from the stamp file (a quantizer does not need
+    * retraining for an ingest increment; quantization error drifts only as
+    * the data distribution does, and [[searchAdcRefine]]'s exact re-rank
+    * absorbs it), the batch is codegen-encoded, and its rows land as NEW
+    * files (`mode("append")` — existing files are never read or rewritten,
+    * so the cost is O(batch) regardless of artifact size). The stamp
+    * advances additively ([[ArtifactMeta.fingerprint]] is an additive
+    * sum), so a later [[buildIfAbsent]] over the grown corpus validates
+    * instead of re-encoding.
+    *
+    * Returns the (reused) codebooks. */
+  def append(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Array[Array[Array[Float]]] = {
+    val meta = readMeta(batch, path).getOrElse(throw new IllegalStateException(
+      s"no PQ codes artifact at $path — run buildIfAbsent before append"))
+    val Array(count, m, ksub, sampleFraction, fp) =
+      meta.stamp.split(":", 5) match {
+        case a if a.length == 5 && a(4).startsWith("fp") => a
+        case _ => throw new IllegalStateException(
+          s"PQ artifact at $path predates content-fingerprint stamps — " +
+            "delete it (or its _pq_codebooks) and rebuild")
+      }
+    val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    encode(batch, idCol, embCol, meta.codebooks)
+      .write.mode("append").parquet(path)
+    writeMeta(batch, path, Meta(
+      s"${count.toLong + bn}:$m:$ksub:$sampleFraction:fp${BigInt(fp.drop(2)) + bfp}",
+      meta.codebooks))
+    meta.codebooks
+  }
+
+  /** [[append]] for a persisted IVF-PQ index: both quantizers reused from
+    * the stamp file, the batch lands as new files inside the existing
+    * `cell_id=` partitions, the stamp advances additively, and the stored
+    * per-cell occupancy is refreshed (a partition-column-only scan) so
+    * [[compactIvfPq]]'s drift check stays metadata-only.
+    *
+    * Returns the (reused) (centroids, codebooks). */
+  def appendIvfPq(batch: DataFrame, idCol: String, embCol: String,
+      path: String): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val meta = readIvfPqMeta(batch, path).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF-PQ index at $path — run buildIfAbsentIvfPq before append"))
+    val Array(count, nlist, m, ksub, sampleFraction, fp) =
+      meta.stamp.split(":", 6) match {
+        case a if a.length == 6 && a(5).startsWith("fp") => a
+        case _ => throw new IllegalStateException(
+          s"IVF-PQ index at $path predates content-fingerprint stamps — " +
+            "delete it (or its _ivfpq_meta) and rebuild")
+      }
+    val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    encodeIvfPq(batch, idCol, embCol, meta.centroids, meta.codebooks)
+      .write.mode("append").partitionBy("cell_id").parquet(path)
+    writeIvfPqMeta(batch, path, IvfPqMeta(
+      s"${count.toLong + bn}:$nlist:$m:$ksub:$sampleFraction" +
+        s":fp${BigInt(fp.drop(2)) + bfp}",
+      Some(IvfIndex.cellOccupancy(batch.sparkSession, path, nlist.toInt)),
+      meta.centroids, meta.codebooks))
+    (meta.centroids, meta.codebooks)
+  }
+
+  /** Rebalance a persisted IVF-PQ index whose cell occupancy has drifted
+    * past `maxSkew` — [[IvfIndex.compact]]'s contract on the composed
+    * artifact: [[appendIvfPq]] reuses both quantizers forever, so a
+    * drifting distribution piles rows into hot cells (probe cost degrades)
+    * AND ages the codebooks (ADC candidate quality degrades); when the
+    * metadata-only skew check trips, both are retrained from the current
+    * corpus and the codes rewritten. Returns true iff a rewrite happened.
+    * After compaction the stamp carries the corpus fingerprint, so a
+    * following [[buildIfAbsentIvfPq]] validates without rebuilding. */
+  def compactIvfPq(corpus: DataFrame, idCol: String, embCol: String,
+      path: String, maxSkew: Double = 4.0): Boolean = {
+    val meta = readIvfPqMeta(corpus, path).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF-PQ index at $path — run buildIfAbsentIvfPq before compact"))
+    val parts = meta.stamp.split(":", 6)
+    val (nlist, m, ksub) = (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+    val occ = meta.occupancy.getOrElse(
+      IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist))
+    if (IvfIndex.occupancySkew(occ.toSeq) <= maxSkew) false
+    else {
+      val sampleFraction = parts(4).toDouble
+      val centroids = IvfIndex.trainCentroids(corpus, embCol, nlist,
+        sampleFraction)
+      val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
+      encodeIvfPq(corpus, idCol, embCol, centroids, cbs)
+        .repartition(col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+      val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
+      writeIvfPqMeta(corpus, path, IvfPqMeta(
+        s"$n:$nlist:$m:$ksub:$sampleFraction:fp$fp",
+        Some(IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist)),
+        centroids, cbs))
+      true
     }
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-import graft.ops.PqIndex
+import graft.ops.{IvfIndex, PqIndex}
 import graft.functions.GraftFunctions._
 
 /** Product quantization: deterministic training/encode, the ADC exactness
@@ -293,6 +293,112 @@ class PqIndexSpec extends SparkTestBase {
       java.nio.file.Paths.get(path, "_ivfpq_meta"))
     assert(after2.compareTo(after) > 0,
       "embedding regeneration with identical ids did not rebuild")
+  }
+
+  test("append reuses codebooks, never rewrites files, advances the stamp") {
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("pq_app")
+      .resolve("codes").toString
+    val cbs = PqIndex.buildIfAbsent(seed, "vec_id", "embedding",
+      m = 8, ksub = 16, path)
+    val before = dataFilesWithMtime(path)
+    val cbs2 = PqIndex.append(batch, "vec_id", "embedding", path)
+    assert(cbs.flatten.flatten.toSeq == cbs2.flatten.flatten.toSeq,
+      "append must reuse the stored codebooks")
+    val after = dataFilesWithMtime(path)
+    before.foreach { case (f, mtime) =>
+      assert(after.contains(f), s"append removed existing file $f")
+      assert(after(f) == mtime, s"append rewrote existing file $f")
+    }
+    assert(after.size > before.size, "append added no files")
+    // appended rows carry the codes the ORIGINAL codebooks produce
+    val stored = PqIndex.loadCodes(spark, path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    val fresh = PqIndex.encode(emb, "vec_id", "embedding", cbs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    assert(stored == fresh, "appended artifact diverges from a fresh encode")
+    // stamp advanced: buildIfAbsent over the grown corpus validates
+    PqIndex.buildIfAbsent(emb, "vec_id", "embedding", m = 8, ksub = 16, path)
+    assert(dataFilesWithMtime(path) == after,
+      "grown-corpus buildIfAbsent re-encoded despite a valid appended stamp")
+  }
+
+  test("ivf-pq append lands in existing cell partitions; compact rebalances") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_app")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, path)
+    // balanced: the compact check is metadata-only and must no-op
+    val fresh = dataFilesWithMtime(path)
+    assert(!PqIndex.compactIvfPq(emb, "vec_id", "embedding", path,
+      maxSkew = 1e9), "compact must no-op when occupancy is within bounds")
+    assert(dataFilesWithMtime(path) == fresh, "a no-op compact rewrote files")
+
+    // a drifting ingest: a tight cluster the frozen centroids funnel into
+    // one hot cell (IvfIndexSpec's compaction shape on the PQ artifact)
+    val v0 = queryVec(1)
+    val hot = (0 until 500).map { i =>
+      val v = v0.clone()
+      v(i % v.length) += 0.002f * ((i % 7) + 1)
+      (10000L + i, v)
+    }.toDF("vec_id", "embedding")
+    val (cents2, cbs2) = PqIndex.appendIvfPq(hot, "vec_id", "embedding", path)
+    assert(cents2.flatten.toSeq == cents.flatten.toSeq &&
+      cbs2.flatten.flatten.toSeq == cbs.flatten.flatten.toSeq,
+      "append must reuse both stored quantizers")
+    val after = dataFilesWithMtime(path)
+    fresh.foreach { case (f, mtime) =>
+      assert(after.contains(f) && after(f) == mtime,
+        s"append rewrote or removed existing file $f")
+    }
+    assert(PqIndex.loadCodes(spark, path).count() == emb.count() + 500,
+      "appended index lost rows")
+    val skewBefore = IvfIndex.occupancySkew(
+      IvfIndex.cellOccupancy(spark, path, 8).toSeq)
+    assert(skewBefore > 4.0,
+      s"hot-cluster append should skew occupancy, got $skewBefore")
+
+    val grown = emb.select(col("vec_id"), col("embedding")).unionAll(hot)
+    assert(PqIndex.compactIvfPq(grown, "vec_id", "embedding", path,
+      maxSkew = 4.0), "compact must trigger above the skew threshold")
+    val skewAfter = IvfIndex.occupancySkew(
+      IvfIndex.cellOccupancy(spark, path, 8).toSeq)
+    assert(skewAfter < skewBefore,
+      s"retrain did not rebalance: $skewBefore -> $skewAfter")
+    assert(PqIndex.loadCodes(spark, path).count() == grown.count(),
+      "compaction lost rows")
+    // compacted stamp validates: buildIfAbsentIvfPq must not rebuild
+    val compacted = dataFilesWithMtime(path)
+    PqIndex.buildIfAbsentIvfPq(grown, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, path)
+    assert(dataFilesWithMtime(path) == compacted,
+      "buildIfAbsentIvfPq rebuilt over a freshly compacted index")
+    // serving still works end-to-end on the compacted index: full probe +
+    // full refine degenerates to exact search
+    val meta = PqIndex.ivfPqMetaAt(spark, path).get
+    val exact = grown
+      .withColumn("score", round4(vecCosine(col("embedding"), lit(v0))))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val viaIdx = PqIndex.searchIvfPq(PqIndex.loadCodes(spark, path), grown,
+        "vec_id", "embedding", meta._1, meta._2, v0, k = 10, nprobe = 8,
+        refine = grown.count().toInt / 10 + 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIdx == exact,
+      "full-probe full-refine search drifted through compaction")
+  }
+
+  private def dataFilesWithMtime(path: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    try s.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+    finally s.close()
   }
 
   private def codeFiles(path: String): Set[String] = {
