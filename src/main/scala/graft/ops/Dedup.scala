@@ -242,8 +242,4 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** Embedding-cosine near-duplicate pairs via SRP-LSH buckets. */
-  def embeddingNearDups(df: DataFrame, idCol: String,
-      minCosine: Double): DataFrame =
-    Similarity.lshNearDupPairs(df, idCol, minCosine)
 }
