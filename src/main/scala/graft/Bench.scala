@@ -23,11 +23,12 @@ import org.apache.spark.sql.SparkSession
   * state-store throughput, not plan cost), so folding them in would make
   * every round-over-round total comparison read as a 2× regression.
   *
-  * Three streaming throughput entries (s90/s91/s92: events/sec through the
-  * tumbling agg, flatMapGroupsWithState sessionization, and watermarked
-  * dedup over a MemoryStream, noop sink) ride beside the batch queries —
-  * the state-store cost the batch twins can't see. They are reported on
-  * their own `"metric":"streaming"` line (sec + events/sec per entry).
+  * Four streaming throughput entries (s90/s91/s92/s93: events/sec through
+  * the tumbling agg, flatMapGroupsWithState sessionization, watermarked
+  * dedup, and the stream-stream interval join over a MemoryStream, noop
+  * sink) ride beside the batch queries — the state-store cost the batch
+  * twins can't see. They are reported on their own `"metric":"streaming"`
+  * line (sec + events/sec per entry).
   *
   * A query whose every run throws is reported as sec -1 with an
   * `"error":true` marker and lands in the contract line's `errors` list —
@@ -100,7 +101,9 @@ object Bench {
       "s91_stream_sessionize" -> ((n: Int) =>
         graft.streaming.StreamBench.sessionizeEps(spark, n)),
       "s92_stream_dedup" -> ((n: Int) =>
-        graft.streaming.StreamBench.dedupEps(spark, n)))
+        graft.streaming.StreamBench.dedupEps(spark, n)),
+      "s93_stream_join" -> ((n: Int) =>
+        graft.streaming.StreamBench.joinEps(spark, n)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, eps) =>
         val rates = (0 until runs).flatMap { _ =>

@@ -308,6 +308,56 @@ object ScaleQueries {
           .as("total"))
       .orderBy(col("c_mktsegment"))
 
+  /** Build-once `partitionBy(ship month)` copy of lineitem — the at-rest
+    * layout dynamic partition pruning needs (same stamp lifecycle as the
+    * q38 bucketed tables: count + content fingerprint, paid once per
+    * freshness check). At 100 TB you partition the fact table by its time
+    * key at ingest; every time-bounded join after that reads only the
+    * surviving month directories. */
+  private[graft] def dppLineitem(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q70_dpp_${dir.hashCode.toHexString}").toString
+    val src = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("l_shipmonth"))
+    val (n, fp) = graft.ops.ArtifactMeta.fingerprint(src)
+    val stamp = s"$n:l_shipmonth:fp$fp"
+    if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp)) {
+      src.repartition(col("l_shipmonth"))
+        .write.mode("overwrite").partitionBy("l_shipmonth").parquet(path)
+      graft.ops.ArtifactMeta.write(src, path, "_dpp_meta", stamp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The join side of q70, exposed for the plan pin: partitioned fact ⨝
+    * filtered dim on the PARTITION column. The dim's surviving months are
+    * only known at runtime (they come through a distinct aggregate), so
+    * static partition pruning can't fire — Catalyst plants a dynamic
+    * pruning subquery that REUSES the dim's broadcast, and the fact scan
+    * opens only the probed month directories at file-listing time
+    * (PlanSpec pins `dynamicpruning` on the scan's PartitionFilters). The
+    * storage-level complement of the q38 bucketed join: bucketing kills
+    * the join shuffle, partitioning kills the scan. */
+  def q70DppJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = dppLineitem(s, dir)
+    val months = Tables(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996 &&
+        quarter(col("o_orderdate")) === 1)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+    fact.join(broadcast(months), col("l_shipmonth") === col("m"))
+  }
+
+  /** Revenue per ship month over the dynamically pruned fact scan. */
+  private val q70Dpp: Q = (s, dir) =>
+    q70DppJoin(s, dir)
+      .groupBy(col("l_shipmonth"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.GraftFunctions.round2(sum(col("l_extendedprice")))
+          .as("revenue"))
+      .orderBy(col("l_shipmonth"))
+
   /** Multimodal decode + featurize over synthetic binary payloads. The stub
     * codec is pure byte arithmetic on `repeat(sha256(id), 4)`, so DuckDB can
     * replay it exactly — the oracle hash-verifies that the typed
@@ -416,6 +466,7 @@ object ScaleQueries {
     "q68_ivfpq" -> q68IvfPq,
     "q69_pq_batch" -> q69PqBatch,
     "q38_bucketed_join" -> q38Bucketed,
+    "q70_dpp_join" -> q70Dpp,
     "q64_multimodal" -> q64Multimodal,
     "q24_stats_dates" -> q24StatsDates,
     "q74_overwrite" -> q74Overwrite,
@@ -723,6 +774,18 @@ object ScaleQueries {
         | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the partitioned copy holds exactly lineitem's rows, so the oracle
+    // replays the month join from the original parquet
+    "q70_dpp_join" ->
+      """WITH m AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1996
+        |             AND quarter(o_orderdate) = 1)
+        |SELECT strftime(l_shipdate, '%Y-%m') AS l_shipmonth,
+        | count(*) AS n_items,
+        | floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM lineitem JOIN m ON strftime(l_shipdate, '%Y-%m') = m.m
+        |GROUP BY l_shipmonth ORDER BY l_shipmonth""".stripMargin,
     // replay the deterministic stub codec: payload = utf8(repeat(sha256,4)),
     // width/height from first/last byte, mean over all byte values (exact
     // binary fractions: n=256 ⇒ both engines' floor-form rounding agrees),

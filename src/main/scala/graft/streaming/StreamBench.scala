@@ -111,4 +111,16 @@ object StreamBench {
     n / runSeconds(spark, events, nBatches)(df =>
       EventStreams.dedupedEvents(df))
   }
+
+  /** Events/sec through the watermarked stream-stream interval join — the
+    * fourth state-store shape: BOTH join sides buffer rows in state until
+    * the watermark passes the interval condition, so per-event cost is a
+    * state probe of the opposite side plus eviction bookkeeping (the
+    * heaviest of the four; a regression in join-state eviction shows up
+    * here and nowhere else). */
+  def joinEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
+    val events = syntheticEvents(n)
+    n / runSeconds(spark, events, nBatches)(df =>
+      EventStreams.errorThenPurchase(df))
+  }
 }

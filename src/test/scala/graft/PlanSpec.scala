@@ -112,6 +112,33 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("SortMergeJoin"), s"q38 lost the merge join:\n$s")
   }
 
+  test("q70: fact scan is dynamically partition-pruned through the dim join") {
+    val joined = graft.queries.ScaleQueries.q70DppJoin(spark, sfDir)
+    val scans = physical(joined).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("graft_q70_dpp_")) => sc
+    }
+    assert(scans.nonEmpty, "q70 lost the partitioned fact scan")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .DynamicPruningExpression])),
+        s"fact scan has no dynamic pruning filter:\n$sc")
+    }
+    // the runtime filter must actually prune: 1996-Q1 order months are a
+    // strict subset of lineitem's ship months, so the post-execution scan
+    // reads fewer partitions than the layout holds
+    joined.count()
+    val pruned = scans.head.metrics.get("numPartitions")
+      .orElse(scans.head.metrics.get("partitionsRead")).map(_.value)
+    val total = new java.io.File(
+      scans.head.relation.location.rootPaths.head.toUri.getPath)
+      .listFiles().count(_.getName.startsWith("l_shipmonth="))
+    pruned.foreach(p =>
+      assert(p < total, s"dynamic pruning read all $total partitions"))
+  }
+
   test("q37: batch IVF probe joins broadcast — no corpus shuffle, no cartesian") {
     val s = planString(q("q37_ivf_batch"))
     assert(!s.contains("CartesianProduct"), s"cartesian in q37:\n$s")

@@ -188,7 +188,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("streaming throughput smoke completes and reports a positive rate") {
-    // The BENCH streaming entries (s90/s91) run through this same harness.
+    // The BENCH streaming entries (s90-s93) run through this same harness.
     // The unit suite asserts only that both paths complete and yield finite
     // positive rates — a wall-clock floor here is flaky on a loaded shared
     // VM (local[4], contention-prone). Set SPARK_GRAFT_SLOW_TESTS=1 to also
@@ -208,10 +208,14 @@ class StreamingSpec extends SparkTestBase {
     val dedup = graft.streaming.StreamBench.dedupEps(spark, n, nBatches = 4)
     assert(dedup > 0 && java.lang.Double.isFinite(dedup),
       s"dedup throughput $dedup events/s")
+    val join = graft.streaming.StreamBench.joinEps(spark, n, nBatches = 4)
+    assert(join > 0 && java.lang.Double.isFinite(join),
+      s"stream-stream join throughput $join events/s")
     if (sys.env.get("SPARK_GRAFT_SLOW_TESTS").exists(_.nonEmpty)) {
       assert(tumbling >= 500.0, s"tumbling floor: $tumbling events/s")
       assert(sess >= 500.0, s"sessionize floor: $sess events/s")
       assert(dedup >= 500.0, s"dedup floor: $dedup events/s")
+      assert(join >= 500.0, s"stream-stream join floor: $join events/s")
     }
   }
 
