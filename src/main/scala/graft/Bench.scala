@@ -19,9 +19,10 @@ import org.apache.spark.sql.SparkSession
   * line, then the contract line LAST — batch queries only, values at 2
   * decimals, keyed by the unique qNN prefix (the contract's own example
   * key shape; BenchContractSpec pins budget + uniqueness). `value` is the BATCH
-  * total: the two streaming entries take ~9 s each by design (they measure
-  * state-store throughput, not plan cost), so folding them in would make
-  * every round-over-round total comparison read as a 2× regression.
+  * total: the streaming entries take ~10 s each by design (they measure
+  * state-store throughput, not plan cost), so folding them in would
+  * swamp the batch total and make every round-over-round comparison read
+  * as a regression.
   *
   * Four streaming throughput entries (s90/s91/s92/s93: events/sec through
   * the tumbling agg, flatMapGroupsWithState sessionization, watermarked

@@ -54,6 +54,16 @@ object ScaleQueries {
       size() > MaxIvfHandles
   }
 
+  /** DPP fact handle: the month-partitioned lineitem copy per (session,
+    * sf dir) — the stamp check (a fingerprint agg over the source) runs
+    * once per session, like every other serving artifact, not per query. */
+  private val dppHandles = new java.util.LinkedHashMap[
+      (SparkSession, String), DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String), DataFrame]): Boolean =
+      size() > MaxIvfHandles
+  }
+
   /** IVF-PQ handle: cell-partitioned codes + both quantizer matrices. */
   private val ivfPqHandles = new java.util.LinkedHashMap[
       (SparkSession, String),
@@ -80,6 +90,7 @@ object ScaleQueries {
           ivfHandles.synchronized(ivfHandles.clear())
           pqHandles.synchronized(pqHandles.clear())
           ivfPqHandles.synchronized(ivfPqHandles.clear())
+          dppHandles.synchronized(dppHandles.clear())
           ivfListenerArmed.set(false)
         }
       })
@@ -315,20 +326,27 @@ object ScaleQueries {
     * key at ingest; every time-bounded join after that reads only the
     * surviving month directories. */
   private[graft] def dppLineitem(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q70_dpp_${dir.hashCode.toHexString}").toString
-    val src = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_extendedprice"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("l_shipmonth"))
-    val (n, fp) = graft.ops.ArtifactMeta.fingerprint(src)
-    val stamp = s"$n:l_shipmonth:fp$fp"
-    if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp)) {
-      src.repartition(col("l_shipmonth"))
-        .write.mode("overwrite").partitionBy("l_shipmonth").parquet(path)
-      graft.ops.ArtifactMeta.write(src, path, "_dpp_meta", stamp)
+    armHandleCleanup(s)
+    dppHandles.synchronized {
+      Option(dppHandles.get((s, dir))).getOrElse {
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_q70_dpp_${dir.hashCode.toHexString}").toString
+        val src = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("l_shipmonth"))
+        val (n, fp) = graft.ops.ArtifactMeta.fingerprint(src)
+        val stamp = s"$n:l_shipmonth:fp$fp"
+        if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp)) {
+          src.repartition(col("l_shipmonth"))
+            .write.mode("overwrite").partitionBy("l_shipmonth").parquet(path)
+          graft.ops.ArtifactMeta.write(src, path, "_dpp_meta", stamp)
+        }
+        val df = s.read.parquet(path)
+        dppHandles.put((s, dir), df)
+        df
+      }
     }
-    s.read.parquet(path)
   }
 
   /** The join side of q70, exposed for the plan pin: partitioned fact ⨝

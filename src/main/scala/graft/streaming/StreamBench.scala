@@ -29,8 +29,12 @@ object StreamBench {
 
   /** Deterministic synthetic events: one per second from a fixed epoch,
     * cycling users and event types — enough key cardinality to spread the
-    * state store, no randomness so every round measures the same work. */
-  def syntheticEvents(n: Int, users: Int = 256): IndexedSeq[BenchEvent] = {
+    * state store, no randomness so every round measures the same work.
+    * `users` defaults to 255, COPRIME with the 4 event types: with a user
+    * count divisible by 4 each user would only ever emit one type, the
+    * error/purchase user sets would be disjoint, and the stream-stream
+    * join bench ([[joinEps]]) would measure a join that never matches. */
+  def syntheticEvents(n: Int, users: Int = 255): IndexedSeq[BenchEvent] = {
     val epoch = Timestamp.valueOf("2026-01-01 00:00:00").getTime
     val types = Array("view", "click", "purchase", "error")
     (0 until n).map { i =>

@@ -114,11 +114,17 @@ class PlanSpec extends SparkTestBase {
 
   test("q70: fact scan is dynamically partition-pruned through the dim join") {
     val joined = graft.queries.ScaleQueries.q70DppJoin(spark, sfDir)
-    val scans = physical(joined).collect {
-      case sc: org.apache.spark.sql.execution.FileSourceScanExec
-          if sc.relation.location.rootPaths.exists(
-            _.toString.contains("graft_q70_dpp_")) => sc
-    }
+    // recurse into AQE query stages: after execution the scans live inside
+    // QueryStageExec wrappers, which plain collect treats as leaves
+    def factScans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          factScans(q.plan)
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.relation.location.rootPaths.exists(
+              _.toString.contains("graft_q70_dpp_")) => Seq(sc)
+      }.flatten
+    val scans = factScans(physical(joined))
     assert(scans.nonEmpty, "q70 lost the partitioned fact scan")
     scans.foreach { sc =>
       assert(sc.partitionFilters.exists(_.exists(
@@ -127,16 +133,25 @@ class PlanSpec extends SparkTestBase {
         s"fact scan has no dynamic pruning filter:\n$sc")
     }
     // the runtime filter must actually prune: 1996-Q1 order months are a
-    // strict subset of lineitem's ship months, so the post-execution scan
-    // reads fewer partitions than the layout holds
-    joined.count()
-    val pruned = scans.head.metrics.get("numPartitions")
-      .orElse(scans.head.metrics.get("partitionsRead")).map(_.value)
+    // strict subset of lineitem's ship months. Execute THIS Dataset (so the
+    // metrics land on this QueryExecution's scan nodes — a count() would
+    // plan a fresh one) and read the scan's partition metric off the FINAL
+    // adaptive plan.
+    joined.collect()
+    val executed = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val ranScans = factScans(executed)
+    assert(ranScans.nonEmpty, "executed plan lost the partitioned fact scan")
+    val pruned = ranScans.head.metrics.get("numPartitions").map(_.value)
+    assert(pruned.nonEmpty, "fact scan reports no numPartitions metric — " +
+      "the pruning assertion below would be vacuous")
     val total = new java.io.File(
-      scans.head.relation.location.rootPaths.head.toUri.getPath)
+      ranScans.head.relation.location.rootPaths.head.toUri.getPath)
       .listFiles().count(_.getName.startsWith("l_shipmonth="))
-    pruned.foreach(p =>
-      assert(p < total, s"dynamic pruning read all $total partitions"))
+    pruned.foreach(p => assert(p > 0 && p < total,
+      s"dynamic pruning read $p of $total partitions (expected 0 < p < total)"))
   }
 
   test("q37: batch IVF probe joins broadcast — no corpus shuffle, no cartesian") {

@@ -211,6 +211,13 @@ class StreamingSpec extends SparkTestBase {
     val join = graft.streaming.StreamBench.joinEps(spark, n, nBatches = 4)
     assert(join > 0 && java.lang.Double.isFinite(join),
       s"stream-stream join throughput $join events/s")
+    // the s93 workload must actually produce matches — with a user count
+    // divisible by the type count every user emits one type and the join
+    // measures nothing but misses (run the transform in batch to check)
+    val matched = EventStreams.errorThenPurchase(
+      spark.createDataFrame(graft.streaming.StreamBench.syntheticEvents(n)))
+      .count()
+    assert(matched > 0, "s93's synthetic stream yields zero join matches")
     if (sys.env.get("SPARK_GRAFT_SLOW_TESTS").exists(_.nonEmpty)) {
       assert(tumbling >= 500.0, s"tumbling floor: $tumbling events/s")
       assert(sess >= 500.0, s"sessionize floor: $sess events/s")
