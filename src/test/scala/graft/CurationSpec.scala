@@ -113,6 +113,69 @@ class CurationSpec extends SparkTestBase {
     admitted.unpersist(); again.unpersist()
   }
 
+  test("one ingest cycle maintains signatures AND the vector index in O(batch)") {
+    // the composed steady state a 100 TB pipeline runs per arriving batch:
+    // admission against the signature artifact (text side) + index append
+    // for the admitted rows (vector side) — no corpus text re-minhashed,
+    // no existing index file touched, both stamps advanced so the next
+    // cycle validates both artifacts without rebuild
+    import graft.functions.VectorKernels
+    import graft.ops.{Dedup, PqIndex}
+    import spark.implicits._
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val emb = Tables(spark, sfDir, "embeddings")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val base = java.nio.file.Files.createTempDirectory("ingest_full")
+    val sigPath = base.resolve("minhash").toString
+    val idxPath = base.resolve("ivfpq").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", sigPath)
+    PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, idxPath)
+    def indexFiles() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idxPath))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val filesBefore = indexFiles()
+    // arriving batch: twins (must be rejected) + fresh rows with embeddings
+    val twins = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val fresh = Seq(
+      (900001L, "completely novel sentence about quantum llama farming"),
+      (900002L, "another unseen passage regarding submarine cartography"))
+      .toDF("doc_id", "text")
+    val batch = twins.unionByName(fresh)
+    val before = VectorKernels.minhashCalls.get()
+    val admitted = Curation.ingest(batch, "doc_id", "text", sigPath)
+    val cost = VectorKernels.minhashCalls.get() - before
+    val nBatch = batch.count()
+    assert(cost <= nBatch * 2,
+      s"ingest ran $cost minhash calls for a $nBatch-row batch " +
+        s"(corpus is ${corpus.count()} rows — it was re-signed)")
+    // vector side: embed only the ADMITTED rows, append to the index
+    val admittedVecs = admitted.select(col("doc_id").as("vec_id"),
+      vecNormalize(embedText(col("text"), dim)).as("embedding"))
+    PqIndex.appendIvfPq(admittedVecs, "vec_id", "embedding", idxPath)
+    val filesAfter = indexFiles()
+    filesBefore.foreach { case (f, m) =>
+      assert(filesAfter.contains(f) && filesAfter(f) == m,
+        s"index append rewrote or removed $f during ingest")
+    }
+    assert(PqIndex.loadCodes(spark, idxPath).count() ==
+      emb.count() + admitted.count(), "index lost rows through the cycle")
+    // both stamps advanced: the next cycle's freshness checks validate
+    val grownCorpus = corpus.unionByName(admitted)
+    Dedup.signaturesIfAbsent(grownCorpus, "doc_id", "text", sigPath)
+    assert(Dedup.loadSignatures(spark, sigPath).count() ==
+      grownCorpus.count(), "signature artifact rebuilt or lost rows")
+    assert(indexFiles() == filesAfter,
+      "a no-op validation touched the index layout")
+    admitted.unpersist()
+  }
+
   test("appendSignatures refuses a path with no artifact") {
     val fresh = docs.limit(1).select(col("doc_id"), col("text"))
     val err = intercept[IllegalStateException] {
