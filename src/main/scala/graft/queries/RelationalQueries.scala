@@ -296,6 +296,31 @@ object RelationalQueries {
           .as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** The percentile SCALE path (q19's pattern on quantiles): exact
+    * interpolated percentiles are a sort-based agg — at 100 TB the thing
+    * you can no longer afford — while `approx_percentile` is a mergeable
+    * quantile sketch (fixed memory, map-side partials). The sketch
+    * estimate is engine-specific (not oracle-able), so the query emits the
+    * exact values (hash-verified) plus the sketch's relative error as
+    * booleans, keeping the approximation's quality visible to the harness
+    * while the sketch runs end-to-end. */
+  private val q84ApproxPercentiles: Q = (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (floor(expr("percentile(l_extendedprice, 0.5)") * 100.0 + 0.5) / 100.0)
+          .as("p50"),
+        (floor(expr("percentile(l_extendedprice, 0.95)") * 100.0 + 0.5) / 100.0)
+          .as("p95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+      .select(col("l_returnflag"), col("p50"), col("p95"),
+        (abs(col("ap50") - col("p50")) <= col("p50") * 0.01)
+          .as("sketch_p50_within_1pct"),
+        (abs(col("ap95") - col("p95")) <= col("p95") * 0.01)
+          .as("sketch_p95_within_1pct"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Map[String, Q] = Map(
     "q17_salted_join" -> q17SaltedJoin,
     "q18_sample" -> q18Sample,
@@ -304,6 +329,7 @@ object RelationalQueries {
     "q81_having" -> q81Having,
     "q82_top_cust_orders" -> q82TopCustOrders,
     "q83_percentiles" -> q83Percentiles,
+    "q84_approx_percentiles" -> q84ApproxPercentiles,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue" -> q03TopRevenue,
@@ -356,6 +382,15 @@ object RelationalQueries {
         | floor(quantile_cont(l_extendedprice, 0.25)*100.0 + 0.5)/100.0 AS p25,
         | floor(quantile_cont(l_extendedprice, 0.5)*100.0 + 0.5)/100.0 AS p50,
         | floor(quantile_cont(l_extendedprice, 0.75)*100.0 + 0.5)/100.0 AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the sketch estimate itself is engine-specific; the oracle pins the
+    // exact values and that the sketch landed inside its error bound
+    "q84_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.5)*100.0 + 0.5)/100.0 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.95)*100.0 + 0.5)/100.0 AS p95,
+        | TRUE AS sketch_p50_within_1pct,
+        | TRUE AS sketch_p95_within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q82_top_cust_orders" ->
       """WITH top AS (
