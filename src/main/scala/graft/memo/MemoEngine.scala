@@ -72,6 +72,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
     Files.writeString(versionDir(v).resolve(s"$kind.manifest"),
       segs.mkString("", "\n", "\n"))
 
+  /** The streaming exactly-once watermark: the highest micro-batch id
+    * committed into the live chain ([[streamAppend]]'s dedup key). The
+    * marker lives INSIDE the version directory — written before the
+    * CURRENT swing, so it becomes visible atomically with the data it
+    * describes — and every commit carries the latest value forward into
+    * its new version, so it survives interleaved non-stream mutations and
+    * vacuum (which always keeps the live version). */
+  private def streamMarker(v: Long): Path = versionDir(v).resolve("stream_batch")
+
+  private[memo] def lastStreamBatchId: Option[Long] = currentVersion.flatMap { v =>
+    val p = streamMarker(v)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Carry the watermark into version v (an override for the committing
+    * stream batch, else the prior version's value). Call BEFORE
+    * [[swingPointer]]. */
+  private def carryStreamMarker(v: Long, markBatch: Option[Long]): Unit =
+    markBatch.orElse(lastStreamBatchId).foreach(b =>
+      Files.writeString(streamMarker(v), b.toString))
+
   /** The live records table; empty-schema table when the DB doesn't exist.
     * Appends are log-structured: the read unions the base snapshot with the
     * appended segments (ids are disjoint by construction — appends mint new
@@ -107,7 +128,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * and the same joins become ordinary shuffle joins — no O(batch)
     * literal ever lands in the plan or on the driver. */
   private def commit(newRecords: DataFrame,
-      changedIds: Option[DataFrame] = None): Long = {
+      changedIds: Option[DataFrame] = None,
+      markBatch: Option[Long] = None): Long = {
     val v = currentVersion.getOrElse(-1L) + 1
     Files.createDirectories(versionDir(v))
     val recs = newRecords.select(col("id"), col("body"), col("metadata"))
@@ -126,6 +148,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     recs.write.mode("overwrite").parquet(versionDir(v).resolve("records").toString)
     writeManifest(v, "records", Seq(versionDir(v).resolve("records").toString))
     writeManifest(v, "index", Seq(versionDir(v).resolve("index").toString))
+    carryStreamMarker(v, markBatch)
     swingPointer(v)
     v
   }
@@ -137,11 +160,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * whole YAML file, memo_cli.py:436-448 — this path beats it on both).
     * Falls back to a compacting full commit when the chain reaches
     * `maxSegments`, bounding read fan-in. */
-  private def commitAppend(batch: DataFrame, batchIds: DataFrame): Long = {
+  private def commitAppend(batch: DataFrame, batchIds: DataFrame,
+      markBatch: Option[Long] = None): Long = {
     val prior = currentVersion.get
     if (segments(prior, "records").size >= maxSegments)
       return commit(records.unionByName(batch),
-        changedIds = Some(batchIds)) // compact: reuses index, embeds batch only
+        changedIds = Some(batchIds), // compact: reuses index, embeds batch only
+        markBatch = markBatch)
     val v = prior + 1
     Files.createDirectories(versionDir(v))
     val recs = batch.select(col("id"), col("body"), col("metadata"))
@@ -153,6 +178,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
       segments(prior, "records") :+ versionDir(v).resolve("records").toString)
     writeManifest(v, "index",
       segments(prior, "index") :+ versionDir(v).resolve("index").toString)
+    carryStreamMarker(v, markBatch)
     swingPointer(v)
     v
   }
@@ -279,6 +305,50 @@ class MemoEngine(spark: SparkSession, basePath: String,
         entries.unpersist()
         throw YamlIO.asUserError(e)
     }
+  }
+
+  /** Exactly-once streaming ingestion — attach as a `foreachBatch` sink:
+    *
+    * {{{
+    * bodies.writeStream.foreachBatch(engine.streamAppend _)
+    *   .option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * Each micro-batch lands as ONE append-only commit (O(batch) write
+    * work, auto-compacting every `maxSegments` like every other append).
+    * Structured Streaming delivers to foreachBatch at-least-once;
+    * exactly-once lands here because the micro-batch id rides the version
+    * commit ([[carryStreamMarker]]): a replayed `batchId` at or below the
+    * recorded watermark is detected and skipped, so a crash between the
+    * sink call and the checkpoint advance cannot double-ingest. Fresh ids
+    * are minted densely from max(id)+1 in sorted-body order — a
+    * deterministic function of the batch CONTENT, so a replay that does
+    * slip through (impossible by the watermark, but the property is free)
+    * would mint the same ids. Blank bodies are dropped (M1's contract);
+    * an all-blank batch commits nothing. Expects columns
+    * (body STRING[, metadata MAP<STRING,STRING>]). The single-writer
+    * contract above applies while a stream is attached. */
+  def streamAppend(batch: DataFrame, batchId: Long): Unit = {
+    if (lastStreamBatchId.exists(_ >= batchId)) return
+    val withMeta =
+      if (batch.columns.contains("metadata")) batch
+      else batch.withColumn("metadata", lit(null).cast("map<string,string>"))
+    val cleaned = withMeta.filter(!isBlank(col("body")))
+      .select(col("body"), col("metadata"))
+    if (cleaned.isEmpty) return
+    val maxId = records.agg(max(col("id"))).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val minted = cleaned.sort(col("body")).rdd.zipWithIndex()
+      .map { case (r, i) =>
+        org.apache.spark.sql.Row(maxId + 1 + i, r.getString(0),
+          r.getMap[String, String](1))
+      }
+    val batchDf = spark.createDataFrame(minted, YamlIO.recordSchema)
+    if (exists) commitAppend(batchDf, batchDf.select("id"),
+      markBatch = Some(batchId))
+    else commit(batchDf, markBatch = Some(batchId))
   }
 
   /** Recall: exact full ranking + filter + score floor + top-k

@@ -228,6 +228,50 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean(); engine2.clean()
   }
 
+  test("streamAppend: exactly-once streaming ingestion into the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (engine, _) = freshEngine()
+    val ckpt = Files.createTempDirectory("memo_stream_ckpt").toString
+    val input = MemoryStream[String]
+    val q = input.toDF().select(col("value").as("body"))
+      .writeStream.foreachBatch(engine.streamAppend _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData("note one about kafka", "note two about parquet")
+      q.processAllAvailable()
+      input.addData("note three about spark", "   ") // blank body dropped
+      q.processAllAvailable()
+      input.addData("note four about duckdb")
+      q.processAllAvailable()
+    } finally q.stop()
+    // every non-blank body landed once, ids dense 0..n-1, index derived
+    assert(engine.records.count() == 4)
+    assert(engine.index.count() == 4)
+    val ids = engine.records.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L, 3L), s"ids not dense: ${ids.toSeq}")
+    // recall works over the streamed corpus end-to-end
+    assert(engine.recall("kafka", k = 1).collect().nonEmpty)
+    // at-least-once replay: re-delivering an already-committed batch id
+    // (what Structured Streaming does after a crash between the sink call
+    // and the checkpoint advance) must be a no-op
+    val replay = Seq("note one about kafka", "note two about parquet")
+      .toDF("body")
+    engine.streamAppend(replay, batchId = 0L)
+    assert(engine.records.count() == 4,
+      "replayed micro-batch was ingested twice")
+    // a NON-stream mutation must not lose the watermark (it is carried
+    // forward through every commit), so a replay after it is still a no-op
+    engine.save("---\nbody: manual note between batches\n")
+    engine.streamAppend(replay, batchId = 2L)
+    assert(engine.records.count() == 5,
+      "replay after an interleaved manual save was ingested twice")
+    engine.clean()
+  }
+
   test("save entry with blank body is rejected") {
     val (engine, _) = freshEngine()
     intercept[IllegalArgumentException] {
