@@ -72,26 +72,37 @@ class MemoEngine(spark: SparkSession, basePath: String,
     Files.writeString(versionDir(v).resolve(s"$kind.manifest"),
       segs.mkString("", "\n", "\n"))
 
-  /** The streaming exactly-once watermark: the highest micro-batch id
-    * committed into the live chain ([[streamAppend]]'s dedup key). The
-    * marker lives INSIDE the version directory — written before the
-    * CURRENT swing, so it becomes visible atomically with the data it
-    * describes — and every commit carries the latest value forward into
-    * its new version, so it survives interleaved non-stream mutations and
-    * vacuum (which always keeps the live version). */
+  /** The streaming exactly-once watermark: (checkpoint lineage, highest
+    * micro-batch id) committed into the live chain ([[streamSink]]'s
+    * dedup key). The marker lives INSIDE the version directory — written
+    * before the CURRENT swing, so it becomes visible atomically with the
+    * data it describes — and every commit carries the latest value
+    * forward into its new version, so it survives interleaved non-stream
+    * mutations and vacuum (which always keeps the live version). Format:
+    * `<batchId>:<lineage>` (batch id first — lineage strings may contain
+    * colons). */
   private def streamMarker(v: Long): Path = versionDir(v).resolve("stream_batch")
 
-  private[memo] def lastStreamBatchId: Option[Long] = currentVersion.flatMap { v =>
-    val p = streamMarker(v)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  private[memo] def lastStreamMark: Option[(String, Long)] =
+    currentVersion.flatMap { v =>
+      val p = streamMarker(v)
+      if (!Files.exists(p)) None
+      else Files.readString(p).trim.split(":", 2) match {
+        case Array(id, lineage) => Some((lineage, id.toLong))
+        case Array(id) => Some((DefaultLineage, id.toLong))
+      }
+    }
 
   /** Carry the watermark into version v (an override for the committing
     * stream batch, else the prior version's value). Call BEFORE
     * [[swingPointer]]. */
-  private def carryStreamMarker(v: Long, markBatch: Option[Long]): Unit =
-    markBatch.orElse(lastStreamBatchId).foreach(b =>
-      Files.writeString(streamMarker(v), b.toString))
+  private def carryStreamMarker(v: Long,
+      markBatch: Option[(String, Long)]): Unit =
+    markBatch.orElse(lastStreamMark).foreach { case (l, b) =>
+      Files.writeString(streamMarker(v), s"$b:$l")
+    }
+
+  private val DefaultLineage = "default"
 
   /** The live records table; empty-schema table when the DB doesn't exist.
     * Appends are log-structured: the read unions the base snapshot with the
@@ -129,7 +140,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * literal ever lands in the plan or on the driver. */
   private def commit(newRecords: DataFrame,
       changedIds: Option[DataFrame] = None,
-      markBatch: Option[Long] = None): Long = {
+      markBatch: Option[(String, Long)] = None): Long = {
     val v = currentVersion.getOrElse(-1L) + 1
     Files.createDirectories(versionDir(v))
     val recs = newRecords.select(col("id"), col("body"), col("metadata"))
@@ -161,7 +172,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * Falls back to a compacting full commit when the chain reaches
     * `maxSegments`, bounding read fan-in. */
   private def commitAppend(batch: DataFrame, batchIds: DataFrame,
-      markBatch: Option[Long] = None): Long = {
+      markBatch: Option[(String, Long)] = None): Long = {
     val prior = currentVersion.get
     if (segments(prior, "records").size >= maxSegments)
       return commit(records.unionByName(batch),
@@ -264,10 +275,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         .select("id").limit(1).collect()
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"override id ${missing(0).getLong(0)} does not exist") // memo_cli.py:427
-      val maxId = records.agg(max(col("id"))).collect()(0) match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+      val maxId = maxRecordId
       val hasOverrides = overrides.limit(1).count() > 0
       // fresh ids: dense, minted in input order (file, off, seq) —
       // distributed via sort + zipWithIndex, never a single-partition window
@@ -307,48 +315,88 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }
   }
 
+  /** max(id) over the live records — the dense-mint base. O(chain scan of
+    * one column); the streaming path avoids calling it per batch via
+    * [[mintCache]]. */
+  private def maxRecordId: Long =
+    records.agg(max(col("id"))).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+
+  /** (live version, max id) as of this engine's last streaming commit —
+    * valid only while the live version is still the one the cache was
+    * advanced to (single-writer contract: only this engine mutates, so an
+    * interleaved manual save bumps the version and forces one recompute).
+    * Spares a continuous stream the per-batch O(corpus) max-id scan. */
+  @volatile private var mintCache: Option[(Long, Long)] = None
+
   /** Exactly-once streaming ingestion — attach as a `foreachBatch` sink:
     *
     * {{{
-    * bodies.writeStream.foreachBatch(engine.streamAppend _)
+    * bodies.writeStream.foreachBatch(engine.streamSink(ckpt) _)
     *   .option("checkpointLocation", ckpt).start()
     * }}}
+    *
+    * `lineage` must be a stable identifier of the CHECKPOINT lineage (the
+    * checkpoint path is the natural choice). Structured Streaming batch
+    * ids restart from 0 under a new/changed checkpoint; scoping the
+    * watermark by lineage means a watermark recorded under an old
+    * checkpoint never silently swallows the new lineage's first batches —
+    * it is superseded instead (the Delta `txnAppId`/`txnVersion` idiom).
     *
     * Each micro-batch lands as ONE append-only commit (O(batch) write
     * work, auto-compacting every `maxSegments` like every other append).
     * Structured Streaming delivers to foreachBatch at-least-once;
-    * exactly-once lands here because the micro-batch id rides the version
-    * commit ([[carryStreamMarker]]): a replayed `batchId` at or below the
-    * recorded watermark is detected and skipped, so a crash between the
-    * sink call and the checkpoint advance cannot double-ingest. Fresh ids
-    * are minted densely from max(id)+1 in sorted-body order — a
-    * deterministic function of the batch CONTENT, so a replay that does
-    * slip through (impossible by the watermark, but the property is free)
-    * would mint the same ids. Blank bodies are dropped (M1's contract);
-    * an all-blank batch commits nothing. Expects columns
-    * (body STRING[, metadata MAP<STRING,STRING>]). The single-writer
-    * contract above applies while a stream is attached. */
-  def streamAppend(batch: DataFrame, batchId: Long): Unit = {
-    if (lastStreamBatchId.exists(_ >= batchId)) return
+    * exactly-once lands here because the (lineage, batchId) pair rides
+    * the version commit ([[carryStreamMarker]]): a replayed `batchId` at
+    * or below the recorded watermark of the SAME lineage is detected and
+    * skipped, so a crash between the sink call and the checkpoint advance
+    * cannot double-ingest. Fresh ids are minted densely from max(id)+1 in
+    * sorted-body order — a deterministic function of the batch CONTENT.
+    * Blank bodies are dropped (M1's contract); an all-blank batch commits
+    * nothing. Expects columns (body STRING[, metadata
+    * MAP<STRING,STRING>]). The single-writer contract above applies while
+    * a stream is attached. */
+  def streamSink(lineage: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => streamIngest(batch, batchId, lineage)
+
+  /** [[streamSink]] bound to the default lineage — for single-checkpoint
+    * deployments: `foreachBatch(engine.streamAppend _)`. */
+  def streamAppend(batch: DataFrame, batchId: Long): Unit =
+    streamIngest(batch, batchId, DefaultLineage)
+
+  private def streamIngest(batch: DataFrame, batchId: Long,
+      lineage: String): Unit = {
+    if (lastStreamMark.exists { case (l, b) => l == lineage && b >= batchId })
+      return
     val withMeta =
       if (batch.columns.contains("metadata")) batch
       else batch.withColumn("metadata", lit(null).cast("map<string,string>"))
     val cleaned = withMeta.filter(!isBlank(col("body")))
       .select(col("body"), col("metadata"))
-    if (cleaned.isEmpty) return
-    val maxId = records.agg(max(col("id"))).collect()(0) match {
-      case r if r.isNullAt(0) => -1L
-      case r => r.getLong(0)
+    val maxId = mintCache match {
+      case Some((ver, m)) if currentVersion.contains(ver) => m
+      case _ => maxRecordId
     }
     val minted = cleaned.sort(col("body")).rdd.zipWithIndex()
       .map { case (r, i) =>
         org.apache.spark.sql.Row(maxId + 1 + i, r.getString(0),
           r.getMap[String, String](1))
       }
-    val batchDf = spark.createDataFrame(minted, YamlIO.recordSchema)
-    if (exists) commitAppend(batchDf, batchDf.select("id"),
-      markBatch = Some(batchId))
-    else commit(batchDf, markBatch = Some(batchId))
+    // persist: the commit evaluates the mint pipeline for the index write,
+    // the records write, and (on compaction commits) the id joins — without
+    // a pin each one re-runs the global sort over the source micro-batch
+    val batchDf = spark.createDataFrame(minted, YamlIO.recordSchema).cache()
+    try {
+      val n = batchDf.count()
+      if (n == 0) return
+      val v =
+        if (exists) commitAppend(batchDf, batchDf.select("id"),
+          markBatch = Some((lineage, batchId)))
+        else commit(batchDf, markBatch = Some((lineage, batchId)))
+      mintCache = Some((v, maxId + n))
+    } finally batchDf.unpersist()
   }
 
   /** Recall: exact full ranking + filter + score floor + top-k

@@ -269,6 +269,18 @@ class MemoEngineSpec extends SparkTestBase {
     engine.streamAppend(replay, batchId = 2L)
     assert(engine.records.count() == 5,
       "replay after an interleaved manual save was ingested twice")
+    // a NEW checkpoint lineage restarts batch ids at 0 — its first batches
+    // are real new data, and the old lineage's watermark must NOT swallow
+    // them (the silent-data-loss hazard the lineage scoping exists for)
+    engine.streamSink("checkpoint-B")(
+      Seq("fresh note after checkpoint change").toDF("body"), 0L)
+    assert(engine.records.count() == 6,
+      "new-lineage batch 0 was dropped by the old lineage's watermark")
+    // and the new lineage's own watermark dedups ITS replays
+    engine.streamSink("checkpoint-B")(
+      Seq("fresh note after checkpoint change").toDF("body"), 0L)
+    assert(engine.records.count() == 6,
+      "new-lineage replay was ingested twice")
     engine.clean()
   }
 
