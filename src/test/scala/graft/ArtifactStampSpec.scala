@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.ops.{ArtifactMeta, Curation, Dedup, IvfIndex}
 import graft.queries.ScaleQueries
 
-/** Content-fingerprint freshness across all four stamped artifact families
-  * (IVF index, MinHash signatures, train-gram snapshot, bucketed tables):
-  * data regenerated IN PLACE with an IDENTICAL row count must invalidate
-  * the artifact — the hole a count-only stamp leaves open — while an
-  * unchanged source must keep reusing it (no rewrite).
+/** Content-fingerprint freshness across the stamped artifact families
+  * covered here (IVF index, MinHash signatures, train-gram snapshot,
+  * bucketed tables — the PQ, IVF-PQ, and month-partitioned families are
+  * pinned in PqIndexSpec and the q70 machinery): data regenerated IN
+  * PLACE with an IDENTICAL row count must invalidate the artifact — the
+  * hole a count-only stamp leaves open — while an unchanged source must
+  * keep reusing it (no rewrite).
   *
   * "Rebuilt" is asserted from the artifact's data files: Spark writes fresh
   * randomized part-file names on every overwrite, so an unchanged file-name
