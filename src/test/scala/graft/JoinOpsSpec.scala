@@ -66,6 +66,48 @@ class JoinOpsSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salt)") {
+    // the runtime complement of saltedJoin: ARCHITECTURE claims AQE
+    // handles skew for fact-fact joins — pin it. One hot key dominates the
+    // left side; with the skew thresholds scaled to test size, the final
+    // adaptive plan must mark the sort-merge join as a skew join.
+    val hot = (1 to 50000).map(i => (1L, s"payload_$i"))
+    val spread = (1 to 5000).map(i => ((i % 100 + 2).toLong, s"p_$i"))
+    val left = (hot ++ spread).toDF("key", "payload")
+    val right = (1 to 101).map(i => (i.toLong, s"tag_$i")).toDF("key", "tag")
+    withSqlConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val joined = left.join(right, Seq("key"))
+      // execute THIS Dataset (count() would plan a fresh QueryExecution
+      // and leave this one's adaptive plan unexecuted — the same trap the
+      // q70 metrics pin documents)
+      assert(joined.collect().length == 55000)
+      val executed = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      def smjs(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] =
+        p.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            smjs(q.plan)
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            Seq(j)
+        }.flatten
+      val joins = smjs(executed)
+      assert(joins.nonEmpty, s"no SortMergeJoin in final plan:\n$executed")
+      assert(joins.exists(_.isSkewJoin),
+        s"AQE did not mark the skewed join (isSkewJoin=false):\n$executed")
+    }
+  }
+
   private def withSqlConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
