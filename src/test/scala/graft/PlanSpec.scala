@@ -112,6 +112,17 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("SortMergeJoin"), s"q38 lost the merge join:\n$s")
   }
 
+  test("q16: as-of is a window over one user shuffle — no join, no range cross-product") {
+    val s = planString(q("q16_asof"))
+    assert(s.contains("Window"), s"as-of lost its window form:\n$s")
+    assert(!s.contains("Join"), s"as-of must not join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"range cross-product in q16:\n$s")
+    // one hash exchange for the window partitioning (plus the final sort's
+    // range exchange) — nothing else moves data
+    assert(s.split("Exchange hashpartitioning").length - 1 == 1,
+      s"as-of should shuffle ONCE on the partition key:\n$s")
+  }
+
   test("q70: fact scan is dynamically partition-pruned through the dim join") {
     val joined = graft.queries.ScaleQueries.q70DppJoin(spark, sfDir)
     // recurse into AQE query stages: after execution the scans live inside
