@@ -31,11 +31,15 @@ object CurationQueries {
     // per batch, only the artifact is scanned, never the corpus text.
     // Signatures are deterministic, so the result is identical to the
     // recompute form and the oracle carries over unchanged.
-    val sigPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q46_sigs_${dir.hashCode.toHexString}").toString
-    val sigs = graft.ops.Dedup.signaturesIfAbsent(corpus, "doc_id", "text",
-      sigPath)
+    // validate-once-per-session ([[SessionHandles]]): the stamp check is a
+    // corpus fingerprint agg — an ingest pipeline pays it at artifact open,
+    // not per arriving batch
+    val sigs = SessionHandles.cached(s, s"q46_sigs:$dir") {
+      val sigPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q46_sigs_${dir.hashCode.toHexString}").toString
+      graft.ops.Dedup.signaturesIfAbsent(corpus, "doc_id", "text", sigPath)
+    }
     // oracle leg runs uncapped (see q42: caps evict the largest ids, which
     // are exactly the planted twins); capped behavior is CurationSpec's job
     Curation.dedupAgainstSignatures(batch, sigs, "doc_id", "text",
@@ -59,10 +63,13 @@ object CurationQueries {
     // eval sweeps run against the train-gram SNAPSHOT (built once per sf
     // dir, stamp-checked) — the reuse path a per-sweep rebuild forfeits.
     // The gram set is deterministic, so the oracle carries over unchanged.
-    val gramsPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q47_grams_${dir.hashCode.toHexString}").toString
-    Curation.trainGramsIfAbsent(train, "doc_id", "text", gramsPath, n = 3)
+    val gramsPath = SessionHandles.cached(s, s"q47_grams:$dir") {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q47_grams_${dir.hashCode.toHexString}").toString
+      Curation.trainGramsIfAbsent(train, "doc_id", "text", p, n = 3)
+      p
+    }
     Curation.decontaminateAgainstSnapshot(evalDf, "doc_id", "text", gramsPath)
       .orderBy(col("eval_id"))
   }
