@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * artifact once per session, not once per query. Access-order LRU bound
   * + application-end eviction, so a long-lived JVM cycling short
   * sessions can't accumulate handles. */
-private[queries] object SessionHandles {
+private[graft] object SessionHandles {
   private val MaxHandles = 32
   private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val handles = new java.util.LinkedHashMap[

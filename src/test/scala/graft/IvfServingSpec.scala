@@ -54,6 +54,18 @@ class IvfServingSpec extends SparkTestBase {
     assert(n <= 8, s"pq handle cache grew unbounded: $n entries after 13 sessions")
   }
 
+  test("shared session-handle cache stays bounded across many sessions") {
+    // q46's signature handle goes through SessionHandles — cycle sessions
+    // and assert the generic cache honors its LRU bound like the others
+    SparkEntry.queries("q46_dedup_incremental")(spark, sfDir).count()
+    (0 until 40).foreach { _ =>
+      val s = spark.newSession()
+      SparkEntry.queries("q46_dedup_incremental")(s, sfDir).count()
+    }
+    val n = graft.queries.SessionHandles.size
+    assert(n <= 32, s"session-handle cache grew unbounded: $n entries")
+  }
+
   test("pq oracles come from the on-disk artifact when the JVM is cold") {
     SparkEntry.queries("q39_pq_adc")(spark, sfDir).count()
     val meta = java.nio.file.Paths.get(

@@ -390,6 +390,22 @@ class PqIndexSpec extends SparkTestBase {
       "full-probe full-refine search drifted through compaction")
   }
 
+  test("append refuses a path with no artifact (both layouts)") {
+    val none = java.nio.file.Files.createTempDirectory("pq_none").toString
+    val e1 = intercept[IllegalStateException] {
+      PqIndex.append(emb, "vec_id", "embedding", s"$none/codes")
+    }
+    assert(e1.getMessage.contains("buildIfAbsent"))
+    val e2 = intercept[IllegalStateException] {
+      PqIndex.appendIvfPq(emb, "vec_id", "embedding", s"$none/ivfpq")
+    }
+    assert(e2.getMessage.contains("buildIfAbsentIvfPq"))
+    val e3 = intercept[IllegalStateException] {
+      PqIndex.compactIvfPq(emb, "vec_id", "embedding", s"$none/ivfpq")
+    }
+    assert(e3.getMessage.contains("buildIfAbsentIvfPq"))
+  }
+
   private def dataFilesWithMtime(path: String): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
