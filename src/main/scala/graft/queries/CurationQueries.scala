@@ -33,13 +33,18 @@ object CurationQueries {
     // recompute form and the oracle carries over unchanged.
     // validate-once-per-session ([[SessionHandles]]): the stamp check is a
     // corpus fingerprint agg — an ingest pipeline pays it at artifact open,
-    // not per arriving batch
-    val sigs = SessionHandles.cached(s, s"q46_sigs:$dir") {
-      val sigPath = java.nio.file.Paths.get(
+    // not per arriving batch. Cache the validated PATH, not the DataFrame:
+    // a cached DataFrame would pin the artifact's file listing and make a
+    // same-session appendSignatures invisible (the ingest cycle's contract
+    // is that the grown artifact is seen); loading fresh is plan-only cost.
+    val sigPath = SessionHandles.cached(s, s"q46_sigs:$dir") {
+      val p = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft_q46_sigs_${dir.hashCode.toHexString}").toString
-      graft.ops.Dedup.signaturesIfAbsent(corpus, "doc_id", "text", sigPath)
+      graft.ops.Dedup.signaturesIfAbsent(corpus, "doc_id", "text", p)
+      p
     }
+    val sigs = graft.ops.Dedup.loadSignatures(s, sigPath)
     // oracle leg runs uncapped (see q42: caps evict the largest ids, which
     // are exactly the planted twins); capped behavior is CurationSpec's job
     Curation.dedupAgainstSignatures(batch, sigs, "doc_id", "text",

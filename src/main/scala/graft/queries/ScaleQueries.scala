@@ -28,89 +28,29 @@ object ScaleQueries {
     * the cold (artifact-backed) oracle path. */
   private[graft] def resetIvfOracleCache(): Unit = lastIvfCentroids = None
 
-  private val MaxIvfHandles = 8
-
-  /** Per-session index HANDLES: an ANN serving deployment opens its index
-    * once and probes it many times — revalidating the stamp (a corpus
-    * fingerprint job) and re-listing the parquet layout per query would
-    * charge every probe an open cost no real serving path pays. First use
-    * in a session builds/validates via [[IvfIndex.buildIfAbsent]]; the
-    * handle (loaded DataFrame + centroids) is then reused. Access-order
-    * LRU capped at [[MaxIvfHandles]] and cleared on application end, so a
-    * long-lived JVM cycling through many short sessions can't accumulate
-    * handles without bound. */
-  private val ivfHandles = new java.util.LinkedHashMap[
-      (SparkSession, String), (DataFrame, Array[Array[Float]])](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), (DataFrame, Array[Array[Float]])]): Boolean =
-      size() > MaxIvfHandles
-  }
-  /** PQ twin of [[ivfHandles]]: codes table + codebooks per (session, sf
-    * dir), same LRU/lifecycle. */
-  private val pqHandles = new java.util.LinkedHashMap[
-      (SparkSession, String), (DataFrame, Array[Array[Array[Float]]])](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), (DataFrame, Array[Array[Array[Float]]])]): Boolean =
-      size() > MaxIvfHandles
-  }
-
-  /** DPP fact handle: the month-partitioned lineitem copy per (session,
-    * sf dir) — the stamp check (a fingerprint agg over the source) runs
-    * once per session, like every other serving artifact, not per query. */
-  private val dppHandles = new java.util.LinkedHashMap[
-      (SparkSession, String), DataFrame](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), DataFrame]): Boolean =
-      size() > MaxIvfHandles
-  }
-
-  /** IVF-PQ handle: cell-partitioned codes + both quantizer matrices. */
-  private val ivfPqHandles = new java.util.LinkedHashMap[
-      (SparkSession, String),
-      (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]])](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String),
-        (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]])]): Boolean =
-      size() > MaxIvfHandles
-  }
-  private val ivfListenerArmed = new java.util.concurrent.atomic.AtomicBoolean
-
-  private[graft] def ivfHandleCount: Int =
-    ivfHandles.synchronized(ivfHandles.size)
-  private[graft] def pqHandleCount: Int =
-    pqHandles.synchronized(pqHandles.size)
-
-  /** One application-end listener clears every per-session artifact handle
-    * (IVF and PQ) — armed by whichever index query runs first. */
-  private def armHandleCleanup(s: SparkSession): Unit =
-    if (ivfListenerArmed.compareAndSet(false, true))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          ivfHandles.synchronized(ivfHandles.clear())
-          pqHandles.synchronized(pqHandles.clear())
-          ivfPqHandles.synchronized(ivfPqHandles.clear())
-          dppHandles.synchronized(dppHandles.clear())
-          ivfListenerArmed.set(false)
-        }
-      })
+  /** Per-session serving HANDLES, all through [[SessionHandles]]: an ANN
+    * serving deployment opens its index once and probes it many times —
+    * revalidating the stamp (a corpus fingerprint job) and re-listing the
+    * parquet layout per query would charge every probe an open cost no
+    * real serving path pays. First use in a session builds/validates; the
+    * handle is then reused, with the cache's LRU bound and
+    * application-end eviction. NOTE the handle pins the artifact's file
+    * LISTING: a same-session append to the artifact needs a fresh session
+    * (or handle eviction) to become visible — serving-handle semantics. */
+  private[graft] def ivfHandleCount: Int = SessionHandles.size
+  private[graft] def pqHandleCount: Int = SessionHandles.size
 
   /** Shared build-once index for q36/q37 (stamp-checked; first caller pays
     * the build, every probe after that is partition-pruned reads). */
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
-    armHandleCleanup(s)
-    val handle = ivfHandles.synchronized {
-      Option(ivfHandles.get((s, dir))).getOrElse {
-        val emb = Tables(s, dir, "embeddings")
-        val idxPath = ivfIndexPath(dir)
-        // train on a sample: centroids only gate probe cells, and at 100 TB
-        // the quantizer would always be fit on a sample, never the corpus
-        val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding",
-          nlist = 16, idxPath, sampleFraction = 0.3)
-        val h = (IvfIndex.load(s, idxPath), centroids)
-        ivfHandles.put((s, dir), h)
-        h
-      }
+    val handle = SessionHandles.cached(s, s"q36_ivf:$dir") {
+      val emb = Tables(s, dir, "embeddings")
+      val idxPath = ivfIndexPath(dir)
+      // train on a sample: centroids only gate probe cells, and at 100 TB
+      // the quantizer would always be fit on a sample, never the corpus
+      val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding",
+        nlist = 16, idxPath, sampleFraction = 0.3)
+      (IvfIndex.load(s, idxPath), centroids)
     }
     lastIvfCentroids = Some(handle._2)
     handle
@@ -140,17 +80,12 @@ object ScaleQueries {
   /** Shared build-once PQ codes artifact for q39/q67 ([[ivfIndex]]'s
     * lifecycle: stamp-checked build, per-session handle, LRU + cleanup). */
   private def pqIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Array[Float]]]) = {
-    armHandleCleanup(s)
-    val handle = pqHandles.synchronized {
-      Option(pqHandles.get((s, dir))).getOrElse {
-        val emb = Tables(s, dir, "embeddings")
-        val path = pqIndexPath(dir)
-        val cbs = PqIndex.buildIfAbsent(emb, "vec_id", "embedding",
-          PqM, PqKsub, path)
-        val h = (PqIndex.loadCodes(s, path), cbs)
-        pqHandles.put((s, dir), h)
-        h
-      }
+    val handle = SessionHandles.cached(s, s"q39_pq:$dir") {
+      val emb = Tables(s, dir, "embeddings")
+      val path = pqIndexPath(dir)
+      val cbs = PqIndex.buildIfAbsent(emb, "vec_id", "embedding",
+        PqM, PqKsub, path)
+      (PqIndex.loadCodes(s, path), cbs)
     }
     lastPqCodebooks = Some(handle._2)
     handle
@@ -192,17 +127,12 @@ object ScaleQueries {
       s"graft_q68_ivfpq_${dir.hashCode.toHexString}").toString
 
   private def ivfPqIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    armHandleCleanup(s)
-    val handle = ivfPqHandles.synchronized {
-      Option(ivfPqHandles.get((s, dir))).getOrElse {
-        val emb = Tables(s, dir, "embeddings")
-        val path = ivfPqPath(dir)
-        val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id",
-          "embedding", nlist = 16, m = PqM, ksub = PqKsub, path)
-        val h = (PqIndex.loadCodes(s, path), cents, cbs)
-        ivfPqHandles.put((s, dir), h)
-        h
-      }
+    val handle = SessionHandles.cached(s, s"q68_ivfpq:$dir") {
+      val emb = Tables(s, dir, "embeddings")
+      val path = ivfPqPath(dir)
+      val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id",
+        "embedding", nlist = 16, m = PqM, ksub = PqKsub, path)
+      (PqIndex.loadCodes(s, path), cents, cbs)
     }
     lastIvfPqMeta = Some((handle._2, handle._3))
     handle
@@ -325,28 +255,29 @@ object ScaleQueries {
     * freshness check). At 100 TB you partition the fact table by its time
     * key at ingest; every time-bounded join after that reads only the
     * surviving month directories. */
-  private[graft] def dppLineitem(s: SparkSession, dir: String): DataFrame = {
-    armHandleCleanup(s)
-    dppHandles.synchronized {
-      Option(dppHandles.get((s, dir))).getOrElse {
-        val path = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_q70_dpp_${dir.hashCode.toHexString}").toString
-        val src = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice"),
-            date_format(col("l_shipdate"), "yyyy-MM").as("l_shipmonth"))
-        val (n, fp) = graft.ops.ArtifactMeta.fingerprint(src)
-        val stamp = s"$n:l_shipmonth:fp$fp"
-        if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp)) {
-          src.repartition(col("l_shipmonth"))
-            .write.mode("overwrite").partitionBy("l_shipmonth").parquet(path)
-          graft.ops.ArtifactMeta.write(src, path, "_dpp_meta", stamp)
-        }
-        val df = s.read.parquet(path)
-        dppHandles.put((s, dir), df)
-        df
-      }
+  private[graft] def dppLineitem(s: SparkSession, dir: String): DataFrame =
+    SessionHandles.cached(s, s"q70_dpp:$dir") {
+      s.read.parquet(dppLineitemIfAbsent(s, dir))
     }
+
+  /** Ensure the month-partitioned copy exists and is fresh (stamp = count
+    * + content fingerprint, [[graft.ops.ArtifactMeta]]); returns its path.
+    * Exposed for the stamp spec. */
+  private[graft] def dppLineitemIfAbsent(s: SparkSession, dir: String): String = {
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q70_dpp_${dir.hashCode.toHexString}").toString
+    val src = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("l_shipmonth"))
+    val (n, fp) = graft.ops.ArtifactMeta.fingerprint(src)
+    val stamp = s"$n:l_shipmonth:fp$fp"
+    if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp)) {
+      src.repartition(col("l_shipmonth"))
+        .write.mode("overwrite").partitionBy("l_shipmonth").parquet(path)
+      graft.ops.ArtifactMeta.write(src, path, "_dpp_meta", stamp)
+    }
+    path
   }
 
   /** The join side of q70, exposed for the plan pin: partitioned fact ⨝

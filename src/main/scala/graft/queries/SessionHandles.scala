@@ -3,20 +3,26 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 
 /** Per-(session, key) handle cache — the build-once / validate-once-per-
-  * session lifecycle every artifact-backed query shares (ScaleQueries'
-  * serving-handle pattern, generalized): the first use in a session pays
-  * the stamp check (a corpus fingerprint aggregation) or the build;
-  * every later use reuses the handle, because a real pipeline opens its
-  * artifact once per session, not once per query. Access-order LRU bound
-  * + application-end eviction, so a long-lived JVM cycling short
-  * sessions can't accumulate handles. */
+  * session lifecycle every artifact-backed query shares: the first use in
+  * a session pays the stamp check (a corpus fingerprint aggregation) or
+  * the build; every later use reuses the handle, because a real pipeline
+  * opens its artifact once per session, not once per query. Access-order
+  * LRU bound + application-end eviction, so a long-lived JVM cycling
+  * short sessions can't accumulate handles. */
 private[graft] object SessionHandles {
   private val MaxHandles = 32
   private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One memo cell per (session, key): the cell is registered under the
+    * map lock but its value is computed OUTSIDE it (`lazy val`
+    * synchronizes per cell), so two sessions opening DIFFERENT artifacts
+    * build concurrently while the same key still builds exactly once. */
+  private final class Cell(mk: () => AnyRef) { lazy val value: AnyRef = mk() }
+
   private val handles = new java.util.LinkedHashMap[
-      (SparkSession, String), AnyRef](16, 0.75f, true) {
+      (SparkSession, String), Cell](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String), AnyRef]): Boolean =
+        e: java.util.Map.Entry[(SparkSession, String), Cell]): Boolean =
       size() > MaxHandles
   }
 
@@ -32,17 +38,16 @@ private[graft] object SessionHandles {
 
   def cached[T <: AnyRef](s: SparkSession, key: String)(make: => T): T = {
     arm(s)
-    handles.synchronized {
-      Option(handles.get((s, key))) match {
-        case Some(v) => v.asInstanceOf[T]
-        case None =>
-          val v = make
-          handles.put((s, key), v)
-          v
+    val cell = handles.synchronized {
+      Option(handles.get((s, key))).getOrElse {
+        val c = new Cell(() => make)
+        handles.put((s, key), c)
+        c
       }
     }
+    cell.value.asInstanceOf[T]
   }
 
-  /** Test hook: current handle count (IvfServingSpec-style bound checks). */
+  /** Test hook: current handle count (IvfServingSpec bound checks). */
   private[graft] def size: Int = handles.synchronized(handles.size())
 }

@@ -8,11 +8,11 @@ import graft.queries.ScaleQueries
 
 /** Content-fingerprint freshness across the stamped artifact families
   * covered here (IVF index, MinHash signatures, train-gram snapshot,
-  * bucketed tables — the PQ, IVF-PQ, and month-partitioned families are
-  * pinned in PqIndexSpec and the q70 machinery): data regenerated IN
-  * PLACE with an IDENTICAL row count must invalidate the artifact — the
-  * hole a count-only stamp leaves open — while an unchanged source must
-  * keep reusing it (no rewrite).
+  * bucketed tables, month-partitioned fact copy — the PQ and IVF-PQ
+  * families are pinned in PqIndexSpec): data regenerated IN PLACE with an
+  * IDENTICAL row count must invalidate the artifact — the hole a
+  * count-only stamp leaves open — while an unchanged source must keep
+  * reusing it (no rewrite).
   *
   * "Rebuilt" is asserted from the artifact's data files: Spark writes fresh
   * randomized part-file names on every overwrite, so an unchanged file-name
@@ -94,6 +94,29 @@ class ArtifactStampSpec extends SparkTestBase {
     IvfIndex.buildIfAbsent(scaled, "vec_id", "embedding", 8, path)
     assert(dataFiles(path) != first,
       "same-count content change must rebuild the IVF index")
+  }
+
+  test("month-partitioned fact copy: same-count content change rebuilds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp_stamp").toString
+    def writeSrc(price: Double): Unit =
+      Seq((1L, price, "1996-01-05"), (2L, price + 1, "1996-02-07"))
+        .toDF("l_orderkey", "l_extendedprice", "ship")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          to_date(col("ship")).as("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    writeSrc(10.0)
+    val path = graft.queries.ScaleQueries.dppLineitemIfAbsent(spark, dir)
+    val files1 = dataFiles(path)
+    assert(files1.nonEmpty)
+    // unchanged source → reuse
+    graft.queries.ScaleQueries.dppLineitemIfAbsent(spark, dir)
+    assert(dataFiles(path) == files1, "fresh partitioned copy was rewritten")
+    // same row count, different content → fingerprint mismatch → rebuild
+    writeSrc(99.0)
+    graft.queries.ScaleQueries.dppLineitemIfAbsent(spark, dir)
+    assert(dataFiles(path) != files1,
+      "content change with identical row count did not rebuild")
   }
 
   test("bucketed table: same-count content change rewrites the layout") {

