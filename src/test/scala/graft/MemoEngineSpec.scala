@@ -142,6 +142,26 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("streamed micro-batches compact at maxSegments; watermark survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_engine").toString
+    val engine = new graft.memo.MemoEngine(spark, s"$dir/db", maxSegments = 3)
+    (0 until 6).foreach { b =>
+      engine.streamAppend(Seq(s"streamed note $b").toDF("body"), b.toLong)
+    }
+    assert(engine.records.count() == 6)
+    assert(engine.index.count() == 6)
+    // the stream's append chain compacts like any other append chain
+    val segs = engine.records.inputFiles.map(_.replaceFirst("/[^/]+$", "")).distinct
+    assert(segs.length <= 3, s"chain too long: ${segs.toSeq}")
+    // the watermark rode through the compacting commit: a replay of the
+    // last batch is still a no-op
+    engine.streamAppend(Seq("streamed note 5").toDF("body"), 5L)
+    assert(engine.records.count() == 6,
+      "replay after a compacting commit was ingested twice")
+    engine.clean()
+  }
+
   test("vacuum reclaims unreferenced versions, keeps live segment chain") {
     val dir = Files.createTempDirectory("memo_engine").toString
     val engine = new graft.memo.MemoEngine(spark, s"$dir/db")
