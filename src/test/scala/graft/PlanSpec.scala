@@ -65,15 +65,22 @@ class PlanSpec extends SparkTestBase {
     assert(!planString(q("q42_dedup_minhash")).contains("CartesianProduct"))
   }
 
-  test("no CartesianProduct in any query plan except explicitly-bounded q33") {
+  test("no CartesianProduct or ScalaUDF in any query plan (q33 cartesian excepted)") {
     // q33 bounds its corpus to 300 rows before the (guarded) all-pairs op;
-    // everything else must be hash/broadcast/bucket joins at any scale
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    // everything else must be hash/broadcast/bucket joins at any scale.
+    // And no plan may fall back to a ScalaUDF: every custom function is a
+    // codegen Expression — a UDF in a hot path breaks whole-stage codegen
+    // and serializes per row.
+    val (cartesian, udfs) = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val s = planString(q(name))
-      if (s.contains("CartesianProduct") && name != "q33_top_pairs") Some(name)
-      else None
-    }
-    assert(offenders.isEmpty, s"cartesian joins in: ${offenders.mkString(", ")}")
+      (if (s.contains("CartesianProduct") && name != "q33_top_pairs") Some(name)
+       else None,
+       if (s.contains("ScalaUDF")) Some(name) else None)
+    }.unzip
+    assert(cartesian.flatten.isEmpty,
+      s"cartesian joins in: ${cartesian.flatten.mkString(", ")}")
+    assert(udfs.flatten.isEmpty,
+      s"ScalaUDF fallback in: ${udfs.flatten.mkString(", ")}")
   }
 
   test("q54: vocabulary top-k avoids a global sort; agg is partial") {
