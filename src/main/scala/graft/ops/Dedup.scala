@@ -236,8 +236,10 @@ object Dedup {
     * One anti-join — the standard corpus-cleaning step after candidate
     * generation. */
   def removeNearDups(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.8): DataFrame = {
-    val drop = minHashPairs(df, idCol, textCol, minJaccard = minJaccard)
+      minJaccard: Double = 0.8,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+    val drop = minHashPairs(df, idCol, textCol, minJaccard = minJaccard,
+        bucketCap = bucketCap)
       .select(col("b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
