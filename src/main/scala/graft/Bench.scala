@@ -24,16 +24,17 @@ import org.apache.spark.sql.SparkSession
   * swamp the batch total and make every round-over-round comparison read
   * as a regression.
   *
-  * Four streaming throughput entries (s90/s91/s92/s93: events/sec through
+  * Five streaming throughput entries (s90/s91/s92/s93: events/sec through
   * the tumbling agg, flatMapGroupsWithState sessionization, watermarked
   * dedup, and the stream-stream interval join over a MemoryStream, noop
-  * sink) ride beside the batch queries — the state-store cost the batch
-  * twins can't see. They are reported on their own `"metric":"streaming"`
-  * line (sec + events/sec per entry). Stream entries run ONCE regardless
-  * of SPARK_GRAFT_BENCH_RUNS: each already amortizes noise over 100k
-  * events and ~16 micro-batches (their cost is per-batch state commits,
-  * measured once at ~10-40 s each), where the sub-second batch queries
-  * need min-of-n to shed VM weather.
+  * sink; s94: ingestion INTO the versioned store through the exactly-once
+  * foreachBatch sink) ride beside the batch queries — the state-store and
+  * commit-path cost the batch twins can't see. They are reported on their
+  * own `"metric":"streaming"` line (sec + events/sec per entry). Stream
+  * entries run ONCE regardless of SPARK_GRAFT_BENCH_RUNS: each already
+  * amortizes noise over 100k events and ~16 micro-batches (their cost is
+  * per-batch state/commit work, measured once at ~10-40 s each), where
+  * the sub-second batch queries need min-of-n to shed VM weather.
   *
   * A query whose every run throws is reported as sec -1 with an
   * `"error":true` marker and lands in the contract line's `errors` list —
@@ -108,7 +109,9 @@ object Bench {
       "s92_stream_dedup" -> ((n: Int) =>
         graft.streaming.StreamBench.dedupEps(spark, n)),
       "s93_stream_join" -> ((n: Int) =>
-        graft.streaming.StreamBench.joinEps(spark, n)))
+        graft.streaming.StreamBench.joinEps(spark, n)),
+      "s94_stream_ingest" -> ((n: Int) =>
+        graft.streaming.StreamBench.ingestEps(spark, n)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, eps) =>
         // one TIMED run per entry (see scaladoc: 100k events already

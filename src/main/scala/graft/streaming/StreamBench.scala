@@ -71,21 +71,7 @@ object StreamBench {
       elapsed = (System.nanoTime() - t0) / 1e9
     } finally {
       q.stop()
-      // best-effort cleanup of the throwaway checkpoint: per-file failures
-      // are ignored individually so one locked file doesn't strand the
-      // tree, and traversal failures (e.g. UncheckedIOException when a tmp
-      // reaper races the walk) must not fail a measurement that already
-      // completed — the whole block is advisory
-      try {
-        val walk = java.nio.file.Files.walk(ckpt)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse.foreach { p =>
-            try java.nio.file.Files.deleteIfExists(p)
-            catch { case _: java.io.IOException => () }
-          }
-        } finally walk.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      deleteTree(ckpt)
     }
     elapsed
   }
@@ -127,4 +113,57 @@ object StreamBench {
     n / runSeconds(spark, events, nBatches)(df =>
       EventStreams.errorThenPurchase(df))
   }
+
+  /** Events/sec ingesting INTO the versioned memo store through the
+    * exactly-once `streamAppend` sink — the write-side number the noop
+    * sinks above can't see: per micro-batch this pays the embed pass, two
+    * parquet segment writes, manifest extension, and the CURRENT pointer
+    * swing. A regression in the commit path (e.g. an accidental full
+    * rewrite instead of an append delta) shows up only here. */
+  def ingestEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_ingest")
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString)
+    val input = MemoryStream[BenchEvent]
+    val q = input.toDF()
+      .select(org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.lit("event"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type")).as("body"))
+      .writeStream.foreachBatch(engine.streamAppend _)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .start()
+    var elapsed = 0.0
+    try {
+      val events = syntheticEvents(n)
+      val per = math.max(1, events.length / math.max(1, nBatches))
+      val t0 = System.nanoTime()
+      events.grouped(per).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      elapsed = (System.nanoTime() - t0) / 1e9
+    } finally {
+      q.stop()
+      deleteTree(base)
+    }
+    n / elapsed
+  }
+
+  /** Best-effort recursive delete of a throwaway directory: per-file
+    * failures are ignored individually, and traversal failures must not
+    * fail a measurement that already completed. */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach { p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      } finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -211,6 +211,9 @@ class StreamingSpec extends SparkTestBase {
     val join = graft.streaming.StreamBench.joinEps(spark, n, nBatches = 4)
     assert(join > 0 && java.lang.Double.isFinite(join),
       s"stream-stream join throughput $join events/s")
+    val ingest = graft.streaming.StreamBench.ingestEps(spark, n, nBatches = 4)
+    assert(ingest > 0 && java.lang.Double.isFinite(ingest),
+      s"store-ingest throughput $ingest events/s")
     // the s93 workload must actually produce matches — with a user count
     // divisible by the type count every user emits one type and the join
     // measures nothing but misses (run the transform in batch to check)
