@@ -43,6 +43,24 @@ object StreamBench {
     }
   }
 
+  /** The timed window every throughput entry shares: chunk `events` into
+    * `nBatches` micro-batches, feed + process, and return seconds for the
+    * feed+process loop ONLY. Query start-up, stop(), and cleanup are
+    * harness cost, not transform/state/commit cost — including them
+    * (cleanup file count grows with batches × partitions) would bias
+    * events/sec downward by a run-dependent amount. */
+  private def feedSeconds(input: MemoryStream[BenchEvent],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      events: IndexedSeq[BenchEvent], nBatches: Int): Double = {
+    val per = math.max(1, events.length / math.max(1, nBatches))
+    val t0 = System.nanoTime()
+    events.grouped(per).foreach { chunk =>
+      input.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Wall-clock seconds to stream `events` through `f` in `nBatches`
     * micro-batches (noop sink, fresh checkpoint). */
   def runSeconds(spark: SparkSession, events: IndexedSeq[BenchEvent],
@@ -56,24 +74,11 @@ object StreamBench {
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append")
       .start()
-    // Timed window: feed + process only. Query start-up, stop(), and the
-    // checkpoint cleanup below are harness cost, not transform/state cost —
-    // including them (cleanup file count grows with batches × partitions)
-    // would bias events/sec downward by a run-dependent amount.
-    var elapsed = 0.0
-    try {
-      val per = math.max(1, events.length / math.max(1, nBatches))
-      val t0 = System.nanoTime()
-      events.grouped(per).foreach { chunk =>
-        input.addData(chunk: _*)
-        q.processAllAvailable()
-      }
-      elapsed = (System.nanoTime() - t0) / 1e9
-    } finally {
+    try feedSeconds(input, q, events, nBatches)
+    finally {
       q.stop()
       deleteTree(ckpt)
     }
-    elapsed
   }
 
   /** Events/sec through the tumbling-window aggregation. */
@@ -135,20 +140,12 @@ object StreamBench {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .outputMode("append")
       .start()
-    var elapsed = 0.0
-    try {
-      val events = syntheticEvents(n)
-      val per = math.max(1, events.length / math.max(1, nBatches))
-      val t0 = System.nanoTime()
-      events.grouped(per).foreach { chunk =>
-        input.addData(chunk: _*)
-        q.processAllAvailable()
+    val elapsed =
+      try feedSeconds(input, q, syntheticEvents(n), nBatches)
+      finally {
+        q.stop()
+        deleteTree(base)
       }
-      elapsed = (System.nanoTime() - t0) / 1e9
-    } finally {
-      q.stop()
-      deleteTree(base)
-    }
     n / elapsed
   }
 

@@ -188,7 +188,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("streaming throughput smoke completes and reports a positive rate") {
-    // The BENCH streaming entries (s90-s93) run through this same harness.
+    // The BENCH streaming entries (s90-s94) run through this same harness.
     // The unit suite asserts only that both paths complete and yield finite
     // positive rates — a wall-clock floor here is flaky on a loaded shared
     // VM (local[4], contention-prone). Set SPARK_GRAFT_SLOW_TESTS=1 to also
@@ -226,6 +226,9 @@ class StreamingSpec extends SparkTestBase {
       assert(sess >= 500.0, s"sessionize floor: $sess events/s")
       assert(dedup >= 500.0, s"dedup floor: $dedup events/s")
       assert(join >= 500.0, s"stream-stream join floor: $join events/s")
+      // the commit-path catastrophe s94 exists to catch: an O(corpus)
+      // rewrite per micro-batch would land far below this floor
+      assert(ingest >= 100.0, s"store-ingest floor: $ingest events/s")
     }
   }
 
