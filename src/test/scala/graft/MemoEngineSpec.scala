@@ -162,6 +162,28 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("a torn commit is invisible to readers and reclaimed by vacuum") {
+    // the crash window: a version directory was written but the process
+    // died before the CURRENT pointer swung. Readers must keep seeing the
+    // prior version (the pointer IS the commit), and vacuum must reclaim
+    // the orphan.
+    val dir = Files.createTempDirectory("memo_engine").toString
+    val engine = new graft.memo.MemoEngine(spark, s"$dir/db")
+    engine.save("---\nbody: committed note\n") // v0, pointer at 0
+    val torn = java.nio.file.Paths.get(s"$dir/db", "v1")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("records.manifest"),
+      torn.resolve("records").toString + "\n")
+    assert(engine.records.count() == 1, "torn commit leaked into reads")
+    assert(engine.records.collect()(0).getString(1) == "committed note")
+    assert(engine.vacuum() == 1, "vacuum did not reclaim the torn version")
+    assert(!Files.exists(torn))
+    // the store still accepts the next commit (it reuses the version slot)
+    engine.save("---\nbody: after the crash\n")
+    assert(engine.records.count() == 2)
+    engine.clean()
+  }
+
   test("vacuum reclaims unreferenced versions, keeps live segment chain") {
     val dir = Files.createTempDirectory("memo_engine").toString
     val engine = new graft.memo.MemoEngine(spark, s"$dir/db")
