@@ -50,6 +50,10 @@ object GraftFunctions {
   def nearestCentroid(c: Column, centroids: Array[Array[Float]]): Column =
     e2col(NearestCentroid(col2e(c), centroids))
 
+  /** Squared-L2 distance to the nearest centroid (quantization error). */
+  def nearestCentroidDist(c: Column, centroids: Array[Array[Float]]): Column =
+    e2col(NearestCentroidDist(col2e(c), centroids))
+
   def nearestCells(c: Column, centroids: Array[Array[Float]],
       nprobe: Int): Column = e2col(NearestCells(col2e(c), centroids, nprobe))
 

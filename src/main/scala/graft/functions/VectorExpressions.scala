@@ -321,6 +321,32 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Squared-L2 distance to the nearest centroid (DOUBLE) —
+  * [[NearestCentroid]]'s distance twin, for the quantization-error
+  * diagnostic ([[graft.ops.IvfIndex.quantizationError]]). */
+case class NearestCentroidDist(child: Expression,
+    centroids: Array[Array[Float]]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nearest_centroid_dist"
+
+  private lazy val cf = VectorExprUtil.isFloatArray(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkArray(child.dataType, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCentroidDist(a.asInstanceOf[ArrayData], cf, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.nearestCentroidDist($a, $cf, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDist =
+    copy(child = newChild)
+}
+
 /** The `nprobe` nearest centroid ids in rank order (ARRAY<INT>) — the
   * per-row probe-cell choice of an IVF search, as one narrow projection:
   * explode it to get (row, cell_id) probe pairs with NO centroid join and

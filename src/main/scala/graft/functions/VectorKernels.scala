@@ -186,6 +186,25 @@ object VectorKernels {
     best
   }
 
+  /** Squared-L2 distance to the nearest centroid — [[nearestCentroid]]'s
+    * distance twin (same loop, returns bestD): the per-row term of the
+    * quantization-error diagnostic. */
+  def nearestCentroidDist(a: ArrayData, aFloat: Boolean,
+      centroids: Array[Array[Float]]): Double = {
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      val n = math.min(ctr.length, a.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = get(a, i, aFloat) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
+  }
+
   /** The `nprobe` nearest centroids by squared-L2, in rank order (ties →
     * smaller cell id) — the per-row probe-cell choice of a batch IVF
     * search. Same distance arithmetic as [[nearestCentroid]]; a partial

@@ -91,6 +91,48 @@ object IvfIndex {
     centroids
   }
 
+  /** Distributed Lloyd refinement over the FULL corpus, starting from
+    * (sample-trained) centroids — the EM step at corpus scale, for builds
+    * willing to pay `iters` extra scans to buy back sample bias. Each
+    * iteration: one codegen assignment pass + per-(cell, dim) means via
+    * EXACT DECIMAL sums — decimal addition is associative, so the means
+    * (and therefore the refined matrix) are LAYOUT-INDEPENDENT, preserving
+    * [[trainCentroids]]' determinism contract where a double sum would
+    * drift with partitioning. Driver traffic per iteration is the centroid
+    * matrix itself (nlist × dim aggregate rows). Empty cells keep their
+    * previous centroid (Lloyd's convention, as in [[trainCentroids]]). */
+  def refineCentroids(corpus: DataFrame, embCol: String,
+      centroids: Array[Array[Float]], iters: Int = 1): Array[Array[Float]] = {
+    var ctr = centroids
+    (0 until iters).foreach { _ =>
+      val rows = corpus
+        .select(nearestCentroid(col(embCol), ctr).as("cell_id"),
+          posexplode(col(embCol)).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = ctr.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        val n = r.getLong(3)
+        if (c >= 0 && c < next.length && p >= 0 && p < next(c).length && n > 0)
+          next(c)(p) =
+            (BigDecimal(r.getDecimal(2)) / BigDecimal(n)).toFloat
+      }
+      ctr = next
+    }
+    ctr
+  }
+
+  /** Mean squared quantization error of the corpus against `centroids` —
+    * the diagnostic [[refineCentroids]] improves (codegen assignment
+    * distance, one aggregate). */
+  def quantizationError(corpus: DataFrame, embCol: String,
+      centroids: Array[Array[Float]]): Double =
+    corpus.select(nearestCentroidDist(col(embCol), centroids).as("d"))
+      .agg(avg(col("d"))).collect()(0).getDouble(0)
+
   /** Assign every vector to its cell; result is hash-partitioned by cell so
     * each query's probe touches few partitions. Assignment is the codegen
     * [[graft.functions.NearestCentroid]] expression — the one full-corpus

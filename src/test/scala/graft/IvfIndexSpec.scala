@@ -218,6 +218,31 @@ class IvfIndexSpec extends SparkTestBase {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("distributed refinement cuts sample bias, stays layout-independent") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // a deliberately biased start: train on a thin sample
+    val coarse = IvfIndex.trainCentroids(emb, "embedding", nlist = 8,
+      sampleFraction = 0.05)
+    val before = IvfIndex.quantizationError(emb, "embedding", coarse)
+    val refined = IvfIndex.refineCentroids(emb, "embedding", coarse, iters = 2)
+    val after = IvfIndex.quantizationError(emb, "embedding", refined)
+    // Lloyd iterations never increase the objective
+    assert(after <= before + 1e-9,
+      s"refinement worsened quantization error: $before -> $after")
+    // decimal means make the refined matrix layout-independent: the same
+    // refinement over a repartitioned corpus is bit-identical
+    val refined2 = IvfIndex.refineCentroids(emb.repartition(7), "embedding",
+      coarse, iters = 2)
+    assert(refined.map(_.toSeq).toSeq == refined2.map(_.toSeq).toSeq,
+      "refined centroids differ across partition layouts")
+    // an empty cell keeps its previous centroid
+    val far = coarse.map(_.clone())
+    far(7) = far(7).map(_ + 1e6f) // nothing assigns to a centroid 1e6 away
+    val keep = IvfIndex.refineCentroids(emb, "embedding", far, iters = 1)
+    assert(keep(7).toSeq == far(7).toSeq,
+      "empty cell's centroid moved during refinement")
+  }
+
   test("compact: metadata-only no-op when balanced, rebalance when skewed") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
