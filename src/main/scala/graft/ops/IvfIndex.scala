@@ -109,14 +109,18 @@ object IvfIndex {
         .select(nearestCentroid(col(embCol), ctr).as("cell_id"),
           posexplode(col(embCol)).as(Seq("pos", "x")))
         .groupBy("cell_id", "pos")
+        // count the SUMMED values (non-null), not rows: a null element
+        // must neither deflate the mean nor null the sum out from under a
+        // positive count
         .agg(sum(col("x").cast("decimal(38,18)")).as("s"),
-          count(lit(1)).as("n"))
+          count(col("x")).as("n"))
         .collect()
       val next = ctr.map(_.clone())
       rows.foreach { r =>
         val c = r.getInt(0); val p = r.getInt(1)
         val n = r.getLong(3)
-        if (c >= 0 && c < next.length && p >= 0 && p < next(c).length && n > 0)
+        if (c >= 0 && c < next.length && p >= 0 && p < next(c).length &&
+            n > 0 && r.getDecimal(2) != null)
           next(c)(p) =
             (BigDecimal(r.getDecimal(2)) / BigDecimal(n)).toFloat
       }
@@ -127,11 +131,13 @@ object IvfIndex {
 
   /** Mean squared quantization error of the corpus against `centroids` —
     * the diagnostic [[refineCentroids]] improves (codegen assignment
-    * distance, one aggregate). */
+    * distance, one aggregate). NaN on an empty (or all-null) corpus. */
   def quantizationError(corpus: DataFrame, embCol: String,
-      centroids: Array[Array[Float]]): Double =
-    corpus.select(nearestCentroidDist(col(embCol), centroids).as("d"))
-      .agg(avg(col("d"))).collect()(0).getDouble(0)
+      centroids: Array[Array[Float]]): Double = {
+    val row = corpus.select(nearestCentroidDist(col(embCol), centroids).as("d"))
+      .agg(avg(col("d"))).collect()(0)
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
 
   /** Assign every vector to its cell; result is hash-partitioned by cell so
     * each query's probe touches few partitions. Assignment is the codegen
@@ -170,15 +176,23 @@ object IvfIndex {
     * column scan per build check. Training stays a bounded driver sample
     * ([[trainCentroids]]); the assignment pass is distributed codegen. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
-      nlist: Int, path: String, sampleFraction: Double = 1.0): Array[Array[Float]] = {
+      nlist: Int, path: String, sampleFraction: Double = 1.0,
+      refineIters: Int = 0): Array[Array[Float]] = {
     val (fs, metaPath) = metaLocation(corpus, path)
     val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
-    val stamp = s"$n:$nlist:$sampleFraction:fp$fp"
+    // refineIters rides in the stamp: changing the refinement config must
+    // invalidate like any other config change, and a paid refinement must
+    // not be silently discarded by the next freshness check
+    val stamp = s"$n:$nlist:$sampleFraction:$refineIters:fp$fp"
     readMeta(fs, metaPath) match {
       case Some(m) if m.stamp == stamp => m.centroids
       case _ =>
-        val centroids = trainCentroids(corpus, embCol, nlist,
+        val sampled = trainCentroids(corpus, embCol, nlist,
           sampleFraction = sampleFraction)
+        val centroids =
+          if (refineIters > 0) refineCentroids(corpus, embCol, sampled,
+            refineIters)
+          else sampled
         persist(build(corpus, idCol, embCol, centroids), path)
         writeMeta(fs, metaPath,
           Meta(stamp, Some(cellOccupancy(corpus.sparkSession, path, nlist)),
@@ -206,12 +220,13 @@ object IvfIndex {
     val meta = readMeta(fs, metaPath).getOrElse(
       throw new IllegalStateException(
         s"no IVF index at $path — run buildIfAbsent before append"))
-    val Array(count, nlist, sampleFraction, fp) = meta.stamp.split(":", 4) match {
-      case a if a.length == 4 && a(3).startsWith("fp") => a
-      case _ => throw new IllegalStateException(
-        s"IVF index at $path predates content-fingerprint stamps — " +
-          "delete it (or its _ivf_centroids) and rebuild")
-    }
+    val Array(count, nlist, sampleFraction, refineIters, fp) =
+      meta.stamp.split(":", 5) match {
+        case a if a.length == 5 && a(4).startsWith("fp") => a
+        case _ => throw new IllegalStateException(
+          s"IVF index at $path predates refinement-aware stamps — " +
+            "delete it (or its _ivf_centroids) and rebuild")
+      }
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
     build(batch, idCol, embCol, meta.centroids)
       .write.mode("append").partitionBy("cell_id").parquet(path)
@@ -219,7 +234,8 @@ object IvfIndex {
     // grown layout (a partition-column-only scan — parquet answers it from
     // directory names + footer row counts, no data pages)
     writeMeta(fs, metaPath, Meta(
-      s"${count.toLong + bn}:$nlist:$sampleFraction:fp${BigInt(fp.drop(2)) + bfp}",
+      s"${count.toLong + bn}:$nlist:$sampleFraction:$refineIters" +
+        s":fp${BigInt(fp.drop(2)) + bfp}",
       Some(cellOccupancy(batch.sparkSession, path, nlist.toInt)),
       meta.centroids))
     meta.centroids
@@ -264,19 +280,29 @@ object IvfIndex {
     val meta = readMeta(fs, metaPath).getOrElse(
       throw new IllegalStateException(
         s"no IVF index at $path — run buildIfAbsent before compact"))
-    val nlist = meta.stamp.split(":", 3)(1).toInt
+    val parts = meta.stamp.split(":", 5)
+    val nlist = parts(1).toInt
     // old artifacts without stored occupancy: one partition-column scan
     val occ = meta.occupancy.getOrElse(
       cellOccupancy(corpus.sparkSession, path, nlist))
     if (occupancySkew(occ.toSeq) <= maxSkew) false
     else {
-      val sampleFraction = meta.stamp.split(":", 4)(2).toDouble
-      val centroids = trainCentroids(corpus, embCol, nlist,
+      val sampleFraction = parts(2).toDouble
+      // pre-refinement stamps (4 fields) compact to refineIters = 0
+      val refineIters =
+        if (parts.length == 5 && !parts(3).startsWith("fp")) parts(3).toInt
+        else 0
+      val sampled = trainCentroids(corpus, embCol, nlist,
         sampleFraction = sampleFraction)
+      val centroids =
+        if (refineIters > 0) refineCentroids(corpus, embCol, sampled,
+          refineIters)
+        else sampled
       persist(build(corpus, idCol, embCol, centroids), path)
       val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
-      writeMeta(fs, metaPath, Meta(s"$n:$nlist:$sampleFraction:fp$fp",
-        Some(cellOccupancy(corpus.sparkSession, path, nlist)), centroids))
+      writeMeta(fs, metaPath,
+        Meta(s"$n:$nlist:$sampleFraction:$refineIters:fp$fp",
+          Some(cellOccupancy(corpus.sparkSession, path, nlist)), centroids))
       true
     }
   }

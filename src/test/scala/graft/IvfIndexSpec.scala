@@ -241,6 +241,22 @@ class IvfIndexSpec extends SparkTestBase {
     val keep = IvfIndex.refineCentroids(emb, "embedding", far, iters = 1)
     assert(keep(7).toSeq == far(7).toSeq,
       "empty cell's centroid moved during refinement")
+    // lifecycle: refinement rides the stamp — a refined build revalidates
+    // (the paid scans are not discarded) and the knob is a config change
+    val path = java.nio.file.Files.createTempDirectory("ivf_refined")
+      .resolve("idx").toString
+    val built = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path,
+      sampleFraction = 0.05, refineIters = 2)
+    assert(built.map(_.toSeq).toSeq == refined.map(_.toSeq).toSeq,
+      "persisted matrix is not the refined one")
+    val reloaded = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path,
+      sampleFraction = 0.05, refineIters = 2)
+    assert(reloaded.map(_.toSeq).toSeq == built.map(_.toSeq).toSeq,
+      "refined build did not revalidate — the refinement was re-paid")
+    val plain = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path,
+      sampleFraction = 0.05)
+    assert(plain.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq,
+      "knob change must rebuild to the unrefined matrix")
   }
 
   test("compact: metadata-only no-op when balanced, rebalance when skewed") {
