@@ -24,6 +24,10 @@ import graft.functions.VectorKernels
   *   v<N>/records.manifest / index.manifest — the segment dirs this version
   *                          reads: just its own dir for a snapshot version,
   *                          prior segments + its own for an append delta
+  *   .staging/<token>     — in-flight commit preparation (promoted to v<N>
+  *                          by one atomic rename; crashed leftovers are
+  *                          reclaimed by vacuum once stale)
+  *   COMMIT_LOCK          — lock file serializing the publish step
   *
   * Every mutation writes a new version then atomically swings the CURRENT
   * pointer — a crash mid-write leaves the old version live, and the index
@@ -33,22 +37,31 @@ import graft.functions.VectorKernels
   * untouched; overwrite/reindex/import write compacting snapshots, and an
   * append chain compacts itself at `maxSegments` to bound read fan-in.
   *
-  * CONCURRENCY CONTRACT — single writer. The CURRENT swing
-  * ([[swingPointer]]) is atomic against READERS (a reader sees either the
-  * old or the new version, never a torn state) but carries no
-  * compare-and-swap against a second concurrent WRITER: two writers
-  * committing simultaneously can both write v(N+1) and the last swing
-  * wins, orphaning the other's commit (vacuum() then reclaims it — no
-  * corruption, but one write is silently lost). The reference is likewise
-  * a single-process CLI (one store = one YAML/pickle pair); callers that
-  * need multi-writer semantics must serialize commits externally (a job
-  * queue or a lock service owning the CURRENT file).
+  * CONCURRENCY CONTRACT — multi-writer, optimistic. The CURRENT swing is
+  * atomic against READERS (a reader sees either the old or the new
+  * version, never a torn state), and commits carry a compare-and-swap
+  * against concurrent WRITERS: each mutation records the version it
+  * derived its new state from, prepares the version data in a private
+  * staging directory, and publishes under the store's commit lock only if
+  * CURRENT still points at that version ([[finalizeCommit]]). A writer
+  * that lost the race gets [[MemoEngine.ConcurrentCommitException]] and
+  * the mutation re-runs from the new live version
+  * ([[MemoEngine.retryOnConflict]]) — the Delta Lake protocol shape
+  * (prepare → verify expected version → atomic publish), so an append
+  * racing a compaction or a second append can never be silently lost,
+  * and two appends can never mint the same ids. The lock is a JVM mutex
+  * plus an OS file lock on `COMMIT_LOCK` (released by the OS if the
+  * holder dies), which covers multiple JVMs on a shared filesystem; an
+  * object store with no rename/lock primitive needs an external commit
+  * coordinator — the same boundary Delta draws with its LogStore.
   */
 class MemoEngine(spark: SparkSession, basePath: String,
     maxSegments: Int = MemoEngine.DefaultMaxSegments) {
+  import MemoEngine.ConcurrentCommitException
   graft.plans.GraftOptimizations.install(spark)
   private val base = Paths.get(basePath)
   private def currentFile = base.resolve("CURRENT")
+  private def stagingRoot = base.resolve(".staging")
 
   def exists: Boolean = Files.exists(currentFile)
 
@@ -68,8 +81,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
     else Seq(versionDir(v).resolve(kind).toString)
   }
 
-  private def writeManifest(v: Long, kind: String, segs: Seq[String]): Unit =
-    Files.writeString(versionDir(v).resolve(s"$kind.manifest"),
+  /** Manifests are PREPARED in the staging dir but name the FINAL version
+    * paths — they only have to be correct once the staging dir is promoted
+    * to v`v` by [[finalizeCommit]]'s rename. */
+  private def writeManifest(staging: Path, v: Long, kind: String,
+      segs: Seq[String]): Unit =
+    Files.writeString(staging.resolve(s"$kind.manifest"),
       segs.mkString("", "\n", "\n"))
 
   /** The streaming exactly-once watermark: (checkpoint lineage, highest
@@ -93,13 +110,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
     }
 
-  /** Carry the watermark into version v (an override for the committing
-    * stream batch, else the prior version's value). Call BEFORE
-    * [[swingPointer]]. */
-  private def carryStreamMarker(v: Long,
+  /** Carry the watermark into the staged version (an override for the
+    * committing stream batch, else the prior version's value). Prepared in
+    * staging so it becomes visible atomically with the promoting rename. */
+  private def carryStreamMarker(staging: Path,
       markBatch: Option[(String, Long)]): Unit =
     markBatch.orElse(lastStreamMark).foreach { case (l, b) =>
-      Files.writeString(streamMarker(v), s"$b:$l")
+      Files.writeString(staging.resolve("stream_batch"), s"$b:$l")
     }
 
   private val DefaultLineage = "default"
@@ -120,9 +137,14 @@ class MemoEngine(spark: SparkSession, basePath: String,
     case None => records.select(col("id"), embedText(col("body")).as("embedding"))
   }
 
-  /** Write records (+ derived index) as the next version and swing the
-    * pointer. Index is written first (reference write order,
-    * memo_cli.py:448-449), but the pointer swap makes the pair atomic.
+  /** Write records (+ derived index) as the next version and publish via
+    * [[finalizeCommit]]. Index is written first (reference write order,
+    * memo_cli.py:448-449), but the promoting rename + pointer swap make
+    * the pair atomic. `expectedPrior` is the live version the caller
+    * derived `newRecords` from — the optimistic-concurrency token: if
+    * another writer commits in between, publication fails with
+    * [[MemoEngine.ConcurrentCommitException]] and the caller's
+    * [[MemoEngine.retryOnConflict]] re-runs the mutation from fresh state.
     *
     * `changedIds` = the ids this mutation touched. When present and a prior
     * version exists, the index is derived INCREMENTALLY: prior index rows
@@ -139,29 +161,34 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * and the same joins become ordinary shuffle joins — no O(batch)
     * literal ever lands in the plan or on the driver. */
   private def commit(newRecords: DataFrame,
+      expectedPrior: Option[Long],
       changedIds: Option[DataFrame] = None,
       markBatch: Option[(String, Long)] = None): Long = {
-    val v = currentVersion.getOrElse(-1L) + 1
-    Files.createDirectories(versionDir(v))
-    val recs = newRecords.select(col("id"), col("body"), col("metadata"))
-    val embedded = (changedIds match {
-      case Some(ids) if exists =>
-        val changed = recs.join(ids, Seq("id"), "left_semi")
-        index.join(ids, Seq("id"), "left_anti")
-          .unionByName(changed.filter(!isBlank(col("body")))
-            .select(col("id"), embedText(col("body")).as("embedding")))
-      case _ =>
-        recs.filter(!isBlank(col("body")))
-          .select(col("id"), embedText(col("body")).as("embedding"))
-    })
-    embedded.write.mode("overwrite")
-      .parquet(versionDir(v).resolve("index").toString)
-    recs.write.mode("overwrite").parquet(versionDir(v).resolve("records").toString)
-    writeManifest(v, "records", Seq(versionDir(v).resolve("records").toString))
-    writeManifest(v, "index", Seq(versionDir(v).resolve("index").toString))
-    carryStreamMarker(v, markBatch)
-    swingPointer(v)
-    v
+    val v = expectedPrior.getOrElse(-1L) + 1
+    val staging = newStaging()
+    try {
+      val recs = newRecords.select(col("id"), col("body"), col("metadata"))
+      val embedded = (changedIds match {
+        case Some(ids) if expectedPrior.isDefined =>
+          val changed = recs.join(ids, Seq("id"), "left_semi")
+          index.join(ids, Seq("id"), "left_anti")
+            .unionByName(changed.filter(!isBlank(col("body")))
+              .select(col("id"), embedText(col("body")).as("embedding")))
+        case _ =>
+          recs.filter(!isBlank(col("body")))
+            .select(col("id"), embedText(col("body")).as("embedding"))
+      })
+      embedded.write.mode("overwrite")
+        .parquet(staging.resolve("index").toString)
+      recs.write.mode("overwrite").parquet(staging.resolve("records").toString)
+      writeManifest(staging, v, "records",
+        Seq(versionDir(v).resolve("records").toString))
+      writeManifest(staging, v, "index",
+        Seq(versionDir(v).resolve("index").toString))
+      carryStreamMarker(staging, markBatch)
+      finalizeCommit(staging, v, expectedPrior)
+      v
+    } finally deleteTree(staging) // no-op when promoted or conflict-cleaned
   }
 
   /** Append-only commit: write ONLY the batch rows as a new segment and
@@ -170,28 +197,33 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * size (the reference appends vectors incrementally but rewrites its
     * whole YAML file, memo_cli.py:436-448 — this path beats it on both).
     * Falls back to a compacting full commit when the chain reaches
-    * `maxSegments`, bounding read fan-in. */
+    * `maxSegments`, bounding read fan-in. `expectedPrior` = the live
+    * version the batch was minted against (see [[commit]]). */
   private def commitAppend(batch: DataFrame, batchIds: DataFrame,
+      expectedPrior: Long,
       markBatch: Option[(String, Long)] = None): Long = {
-    val prior = currentVersion.get
-    if (segments(prior, "records").size >= maxSegments)
-      return commit(records.unionByName(batch),
+    if (segments(expectedPrior, "records").size >= maxSegments)
+      return commit(records.unionByName(batch), Some(expectedPrior),
         changedIds = Some(batchIds), // compact: reuses index, embeds batch only
         markBatch = markBatch)
-    val v = prior + 1
-    Files.createDirectories(versionDir(v))
-    val recs = batch.select(col("id"), col("body"), col("metadata"))
-    recs.filter(!isBlank(col("body")))
-      .select(col("id"), embedText(col("body")).as("embedding"))
-      .write.mode("overwrite").parquet(versionDir(v).resolve("index").toString)
-    recs.write.mode("overwrite").parquet(versionDir(v).resolve("records").toString)
-    writeManifest(v, "records",
-      segments(prior, "records") :+ versionDir(v).resolve("records").toString)
-    writeManifest(v, "index",
-      segments(prior, "index") :+ versionDir(v).resolve("index").toString)
-    carryStreamMarker(v, markBatch)
-    swingPointer(v)
-    v
+    val v = expectedPrior + 1
+    val staging = newStaging()
+    try {
+      val recs = batch.select(col("id"), col("body"), col("metadata"))
+      recs.filter(!isBlank(col("body")))
+        .select(col("id"), embedText(col("body")).as("embedding"))
+        .write.mode("overwrite").parquet(staging.resolve("index").toString)
+      recs.write.mode("overwrite").parquet(staging.resolve("records").toString)
+      writeManifest(staging, v, "records",
+        segments(expectedPrior, "records") :+
+          versionDir(v).resolve("records").toString)
+      writeManifest(staging, v, "index",
+        segments(expectedPrior, "index") :+
+          versionDir(v).resolve("index").toString)
+      carryStreamMarker(staging, markBatch)
+      finalizeCommit(staging, v, Some(expectedPrior))
+      v
+    } finally deleteTree(staging) // no-op when promoted or conflict-cleaned
   }
 
   private def swingPointer(v: Long): Unit = {
@@ -200,6 +232,52 @@ class MemoEngine(spark: SparkSession, basePath: String,
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** A fresh private staging directory for one commit attempt. Unique per
+    * attempt (across threads AND processes), under the store base so the
+    * promoting rename stays on one filesystem. */
+  private def newStaging(): Path = {
+    Files.createDirectories(stagingRoot)
+    Files.createTempDirectory(stagingRoot, "commit-")
+  }
+
+  /** Test seam: invoked once per commit attempt just before publication —
+    * lets specs interleave a foreign commit into the race window
+    * deterministically instead of relying on thread timing. Noop in
+    * production. */
+  private[memo] var beforePublishHook: () => Unit = () => ()
+
+  /** Publish a prepared staging directory as version `v` — the
+    * compare-and-swap at the heart of the multi-writer contract. Under the
+    * store's commit lock: verify CURRENT still points at `expectedPrior`
+    * (the version this mutation derived its state from), clear any torn
+    * v`v` left by a crashed writer (safe: while the lock is held and
+    * CURRENT < v, a populated v`v` can only be a corpse — live writers
+    * prepare in private staging), then atomically rename staging → v`v`
+    * and swing the pointer. A failed verify deletes the staging attempt
+    * and throws [[MemoEngine.ConcurrentCommitException]]. */
+  private def finalizeCommit(staging: Path, v: Long,
+      expectedPrior: Option[Long]): Unit = {
+    beforePublishHook()
+    MemoEngine.withCommitLock(base) {
+      if (currentVersion != expectedPrior) {
+        deleteTree(staging)
+        throw new ConcurrentCommitException(
+          s"commit of v$v lost the race: expected live version " +
+          s"${expectedPrior.getOrElse("<none>")} but found " +
+          s"${currentVersion.getOrElse("<none>")}")
+      }
+      val target = versionDir(v)
+      if (Files.exists(target)) deleteTree(target)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      swingPointer(v)
+    }
+  }
+
+  private def deleteTree(root: Path): Unit =
+    if (Files.exists(root))
+      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
 
   /** Save a YAML batch: entries with `id` overwrite (must exist — whole
     * batch aborts otherwise, memo_cli.py:424-433); entries without append
@@ -214,44 +292,49 @@ class MemoEngine(spark: SparkSession, basePath: String,
     import spark.implicits._
     val entries = YamlIO.parseSaveBatch(batchYaml)
     if (entries.isEmpty) return Seq.empty
-    val existing = records.cache()
-    // Scale note: only driver-side state here is the (small) input batch.
-    // Override validation probes the store for JUST the batch's ids; the
-    // max id comes from an aggregate — never a full id collect.
-    val overrideIds = entries.collect { case (Some(id), _, _) => id }
-    if (overrideIds.nonEmpty) {
-      val found = existing.select("id")
-        .filter(col("id").isin(overrideIds: _*)).as[Long].collect().toSet
-      overrideIds.find(!found.contains(_)).foreach { id =>
-        // message mirrors memo_cli.py:427
-        throw new IllegalArgumentException(s"override id $id does not exist")
-      }
+    MemoEngine.retryOnConflict {
+      val v0 = currentVersion // the optimistic-concurrency token
+      val existing = records.cache()
+      try {
+        // Scale note: only driver-side state here is the (small) input
+        // batch. Override validation probes the store for JUST the batch's
+        // ids; the max id comes from an aggregate — never a full id collect.
+        val overrideIds = entries.collect { case (Some(id), _, _) => id }
+        if (overrideIds.nonEmpty) {
+          val found = existing.select("id")
+            .filter(col("id").isin(overrideIds: _*)).as[Long].collect().toSet
+          overrideIds.find(!found.contains(_)).foreach { id =>
+            // message mirrors memo_cli.py:427
+            throw new IllegalArgumentException(s"override id $id does not exist")
+          }
+        }
+        val maxId = existing.agg(max(col("id"))).collect()(0) match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        var nextId = maxId
+        val resolved = entries.map {
+          case (Some(id), body, meta) => (id, body, meta)
+          case (None, body, meta) => nextId += 1; (nextId, body, meta)
+        }
+        val batchDf = resolved.toDF("id", "body", "metadata")
+        val idsDf = batchDf.select("id")
+        (v0, overrideIds.isEmpty) match {
+          case (Some(prior), true) =>
+            // pure append: new segment + manifest extension, O(batch) write
+            commitAppend(batchDf, idsDf, expectedPrior = prior)
+          case _ =>
+            // overwrite (or first save): fresh records snapshot for
+            // latest-wins reads; the index is still derived incrementally
+            val merged = existing.join(idsDf, Seq("id"), "left_anti")
+              .unionByName(batchDf)
+            commit(merged, v0, changedIds = Some(idsDf))
+        }
+        // the reference echoes the FULL body, newlines and all
+        // (memo_cli.py:430, 440: f"Memorized: '{note}' ...")
+        resolved.map { case (id, body, _) => (id, body) }
+      } finally existing.unpersist()
     }
-    val maxId = existing.agg(max(col("id"))).collect()(0) match {
-      case r if r.isNullAt(0) => -1L
-      case r => r.getLong(0)
-    }
-    var nextId = maxId
-    val resolved = entries.map {
-      case (Some(id), body, meta) => (id, body, meta)
-      case (None, body, meta) => nextId += 1; (nextId, body, meta)
-    }
-    val batchDf = resolved.toDF("id", "body", "metadata")
-    val idsDf = batchDf.select("id")
-    if (overrideIds.isEmpty && exists) {
-      // pure append: new segment + manifest extension, O(batch) write work
-      commitAppend(batchDf, idsDf)
-    } else {
-      // overwrite (or first save): fresh records snapshot for latest-wins
-      // reads; the index is still derived incrementally from the prior one
-      val merged = existing.join(idsDf, Seq("id"), "left_anti")
-        .unionByName(batchDf)
-      commit(merged, changedIds = Some(idsDf))
-    }
-    existing.unpersist()
-    // the reference echoes the FULL body, newlines and all
-    // (memo_cli.py:430, 440: f"Memorized: '{note}' ...")
-    resolved.map { case (id, body, _) => (id, body) }
   }
 
   /** Bulk save from a YAML file PATH — the distributed twin of [[save]]
@@ -269,6 +352,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     try {
       if (entries.isEmpty) throw new IllegalArgumentException(
         "input YAML contains no entries")
+      MemoEngine.retryOnConflict {
+      val v0 = currentVersion // the optimistic-concurrency token
       val overrides = entries.filter(col("id").isNotNull)
       val missing = overrides.join(records.select("id"), Seq("id"), "left_anti")
         .orderBy(col("file"), col("off"), col("seq"))
@@ -290,23 +375,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
       val batchDf = resolved.select("id", "body", "metadata")
       val idsDf = resolved.select("id")
       try {
-        if (!hasOverrides && exists) commitAppend(batchDf, idsDf)
-        else commit(
-          records.join(idsDf, Seq("id"), "left_anti").unionByName(batchDf),
-          changedIds = Some(idsDf))
+        (v0, hasOverrides) match {
+          case (Some(prior), false) =>
+            commitAppend(batchDf, idsDf, expectedPrior = prior)
+          case _ => commit(
+            records.join(idsDf, Seq("id"), "left_anti").unionByName(batchDf),
+            v0, changedIds = Some(idsDf))
+        }
+        val echo = resolved.orderBy(col("file"), col("off"), col("seq"))
+          .select(col("id"), col("body")).as[(Long, String)]
+          .toLocalIterator.asScala
+        new Iterator[(Long, String)] {
+          def hasNext: Boolean = {
+            val h = echo.hasNext
+            if (!h) { resolved.unpersist(); entries.unpersist() }
+            h
+          }
+          def next(): (Long, String) = echo.next()
+        }
       } catch {
         case e: Exception => resolved.unpersist(); throw e
       }
-      val echo = resolved.orderBy(col("file"), col("off"), col("seq"))
-        .select(col("id"), col("body")).as[(Long, String)]
-        .toLocalIterator.asScala
-      new Iterator[(Long, String)] {
-        def hasNext: Boolean = {
-          val h = echo.hasNext
-          if (!h) { resolved.unpersist(); entries.unpersist() }
-          h
-        }
-        def next(): (Long, String) = echo.next()
       }
     } catch {
       case e: Exception =>
@@ -326,9 +415,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** (live version, max id) as of this engine's last streaming commit —
     * valid only while the live version is still the one the cache was
-    * advanced to (single-writer contract: only this engine mutates, so an
-    * interleaved manual save bumps the version and forces one recompute).
-    * Spares a continuous stream the per-batch O(corpus) max-id scan. */
+    * advanced to; ANY interleaved commit (this engine or another writer)
+    * bumps the version and forces one recompute, and a stale hit that
+    * slips through is caught by the commit's optimistic verify. Spares a
+    * continuous stream the per-batch O(corpus) max-id scan. */
   @volatile private var mintCache: Option[(Long, Long)] = None
 
   /** Exactly-once streaming ingestion — attach as a `foreachBatch` sink:
@@ -356,8 +446,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * sorted-body order — a deterministic function of the batch CONTENT.
     * Blank bodies are dropped (M1's contract); an all-blank batch commits
     * nothing. Expects columns (body STRING[, metadata
-    * MAP<STRING,STRING>]). The single-writer contract above applies while
-    * a stream is attached. */
+    * MAP<STRING,STRING>]). Other writers MAY commit while a stream is
+    * attached — the optimistic-concurrency contract above serializes
+    * them; the stream's [[mintCache]] just takes an O(corpus) max-id
+    * rescan on the next batch after a foreign commit. */
   def streamSink(lineage: String): (DataFrame, Long) => Unit =
     (batch, batchId) => streamIngest(batch, batchId, lineage)
 
@@ -367,16 +459,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
     streamIngest(batch, batchId, DefaultLineage)
 
   private def streamIngest(batch: DataFrame, batchId: Long,
-      lineage: String): Unit = {
+      lineage: String): Unit = MemoEngine.retryOnConflict {
+    // re-checked per attempt: a replay racing another writer must still
+    // be detected against the freshest committed watermark
     if (lastStreamMark.exists { case (l, b) => l == lineage && b >= batchId })
       return
+    val v0 = currentVersion // the optimistic-concurrency token
     val withMeta =
       if (batch.columns.contains("metadata")) batch
       else batch.withColumn("metadata", lit(null).cast("map<string,string>"))
     val cleaned = withMeta.filter(!isBlank(col("body")))
       .select(col("body"), col("metadata"))
     val maxId = mintCache match {
-      case Some((ver, m)) if currentVersion.contains(ver) => m
+      case Some((ver, m)) if v0.contains(ver) => m
       case _ => maxRecordId
     }
     val minted = cleaned.sort(col("body")).rdd.zipWithIndex()
@@ -391,10 +486,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     try {
       val n = batchDf.count()
       if (n == 0) return
-      val v =
-        if (exists) commitAppend(batchDf, batchDf.select("id"),
-          markBatch = Some((lineage, batchId)))
-        else commit(batchDf, markBatch = Some((lineage, batchId)))
+      val v = v0 match {
+        case Some(prior) => commitAppend(batchDf, batchDf.select("id"),
+          expectedPrior = prior, markBatch = Some((lineage, batchId)))
+        case None => commit(batchDf, v0, markBatch = Some((lineage, batchId)))
+      }
       mintCache = Some((v, maxId + n))
     } finally batchDf.unpersist()
   }
@@ -425,11 +521,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** Reindex/compaction (memo_cli.py:334-366): drop blank/deleted, dense
     * re-sequence, rebuild the index. Returns number of dropped records. */
-  def reindex(): Long = {
+  def reindex(): Long = MemoEngine.retryOnConflict {
+    val v0 = currentVersion // the optimistic-concurrency token
     val before = records.count()
     val compacted = MemoOps.reindex(records).select("id", "body", "metadata")
     val after = compacted.count()
-    commit(compacted)
+    commit(compacted, v0)
     before - after
   }
 
@@ -437,23 +534,31 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * version's manifests (superseded snapshots and compacted-away deltas).
     * Safe any time: the live version and every segment dir it references
     * are kept, and the CURRENT pointer is untouched. Returns the number of
-    * version dirs removed. Run after compactions/overwrites to reclaim
-    * space — without it, storage grows O(versions × corpus). */
-  def vacuum(): Int = currentVersion match {
-    case None => 0
-    case Some(v) =>
-      val live = (segments(v, "records") ++ segments(v, "index"))
-        .map(p => Paths.get(p).getParent.getFileName.toString)
-        .toSet + s"v$v"
-      val stale = Files.list(base).iterator().asScala.toSeq
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.matches("v\\d+") &&
-          !live.contains(p.getFileName.toString))
-      stale.foreach { d =>
-        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-      stale.size
+    * version dirs removed (crashed staging attempts older than
+    * `stagingTtlMs` are also swept, uncounted — a fresh one may belong to
+    * an in-flight writer, which is why age gates the sweep). Run after
+    * compactions/overwrites to reclaim space — without it, storage grows
+    * O(versions × corpus). */
+  def vacuum(stagingTtlMs: Long = MemoEngine.DefaultStagingTtlMs): Int = {
+    if (Files.isDirectory(stagingRoot)) {
+      val cutoff = System.currentTimeMillis() - stagingTtlMs
+      Files.list(stagingRoot).iterator().asScala.toSeq
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(deleteTree)
+    }
+    currentVersion match {
+      case None => 0
+      case Some(v) =>
+        val live = (segments(v, "records") ++ segments(v, "index"))
+          .map(p => Paths.get(p).getParent.getFileName.toString)
+          .toSet + s"v$v"
+        val stale = Files.list(base).iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.matches("v\\d+") &&
+            !live.contains(p.getFileName.toString))
+        stale.foreach(deleteTree)
+        stale.size
+    }
   }
 
   /** Drop the database (memo_cli.py:308-331). True if anything existed. */
@@ -470,13 +575,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the scale path — file(s) parsed/rendered entirely on executors, no
     * corpus-sized String on the driver (reference S1/S2 file scan,
     * memo_cli.py:66-128). */
-  def importYaml(text: String): Long = commit(YamlIO.importTable(spark, text))
+  def importYaml(text: String): Long = {
+    val df = YamlIO.importTable(spark, text)
+    MemoEngine.retryOnConflict { commit(df, currentVersion) }
+  }
   def exportYaml(maxRows: Long = YamlIO.DriverExportMaxRows): String =
     YamlIO.exportTable(records, maxRows)
   def importYamlPath(path: String): Long = {
     val df = try YamlIO.importPath(spark, path)
              catch { case e: Exception => throw YamlIO.asUserError(e) }
-    try commit(df) finally df.unpersist()
+    try MemoEngine.retryOnConflict { commit(df, currentVersion) }
+    finally df.unpersist()
   }
   def exportYamlPath(path: String, shards: Int = 0): Unit =
     YamlIO.exportPath(records, path, shards)
@@ -485,7 +594,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def importJsonlPath(path: String): Long = {
     val df = try JsonlIO.importPath(spark, path)
              catch { case e: Exception => throw YamlIO.asUserError(e) }
-    try commit(df) finally df.unpersist()
+    try MemoEngine.retryOnConflict { commit(df, currentVersion) }
+    finally df.unpersist()
   }
   def exportJsonlPath(path: String, shards: Int = 0): Unit =
     JsonlIO.exportPath(records, path, shards)
@@ -495,4 +605,70 @@ object MemoEngine {
   /** Append-chain length that triggers compaction back to one snapshot —
     * bounds the scan fan-in (number of parquet dirs a read unions). */
   val DefaultMaxSegments = 64
+
+  /** Staging dirs older than this are crash corpses, reclaimable by
+    * [[MemoEngine.vacuum]] — generous so a slow in-flight writer (a big
+    * import's parquet write) is never swept mid-commit. */
+  val DefaultStagingTtlMs: Long = 60L * 60 * 1000
+
+  /** Mutation attempts before an optimistic-concurrency loser gives up —
+    * each retry re-runs the full mutation from the new live version, so
+    * this bounds work under sustained contention, not correctness. */
+  val DefaultCommitAttempts = 5
+
+  /** A commit lost the optimistic race: the live version moved between the
+    * mutation reading its state and publishing its result. The store is
+    * untouched by the loser; re-run the mutation from fresh state (the
+    * engine's public mutations do so automatically via
+    * [[retryOnConflict]]). */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** One lock monitor per store path — required because OS file locks are
+    * held per JVM (a second FileChannel.lock in the same JVM throws
+    * OverlappingFileLockException rather than queueing). The map holds one
+    * bare Object per DISTINCT store path the JVM ever touches — bytes per
+    * store, not a handle cache, so no eviction is needed. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize the publish step of a commit: JVM mutex (threads) + OS file
+    * lock on `COMMIT_LOCK` (other processes on a shared filesystem; the OS
+    * releases it if the holder dies, so a crashed committer can never
+    * wedge the store the way a lock FILE would). */
+  private[memo] def withCommitLock[T](base: Path)(f: => T): T = {
+    val key = base.toAbsolutePath.normalize.toString
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(base)
+      val ch = java.nio.channels.FileChannel.open(base.resolve("COMMIT_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Run `body` (a full mutation: read live state → derive → commit),
+    * re-running it when the commit loses the optimistic race. Each attempt
+    * observes the NEW live version, so retried appends re-mint their ids
+    * above the winner's — the lost-update anomaly cannot happen. Losers
+    * back off with jitter so two writers in lockstep desynchronize instead
+    * of trading conflicts until the attempt budget drains. */
+  private[memo] def retryOnConflict[T](body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= DefaultCommitAttempts) throw e
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(10L * attempt, 50L * attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -1,0 +1,116 @@
+package graft.memo
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.SparkTestBase
+
+/** Multi-writer optimistic-concurrency contract of the versioned store
+  * (MemoEngine scaladoc "CONCURRENCY CONTRACT"): a commit publishes only
+  * if CURRENT still points at the version the mutation derived its state
+  * from; losers retry from fresh state. The reference CLI is single-
+  * process (one YAML/pickle pair per store) so this surface is engine-
+  * only — at scale it is what lets a streaming ingest and a batch
+  * compaction share one store without a lost write.
+  *
+  * Lives in package graft.memo to reach the `beforePublishHook` test seam,
+  * which makes the race window deterministic instead of timing-dependent. */
+class MemoConcurrencySpec extends SparkTestBase {
+
+  private def freshStore(): String =
+    Files.createTempDirectory("memo_occ").toString + "/db"
+
+  test("a commit that loses the race is detected, retried, loses nothing") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    e1.save("---\nbody: base\n") // v0
+    // inject a foreign commit into e1's race window, exactly once
+    var injections = 0
+    e1.beforePublishHook = () => if (injections == 0) {
+      injections += 1
+      e2.save("---\nbody: interloper\n")
+    }
+    e1.save("---\nbody: racer\n")
+    e1.beforePublishHook = () => ()
+    assert(injections == 1)
+    val rows = e1.records.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._2).toSet == Set("base", "interloper", "racer"),
+      s"a write was lost: ${rows.toSeq}")
+    // the retry re-minted the loser's id ABOVE the winner's — dense, no dup
+    assert(rows.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L),
+      s"ids not dense/distinct after the retry: ${rows.toSeq}")
+    // the loser's abandoned attempt left no staging corpse behind
+    val staging = Paths.get(db, ".staging")
+    assert(!Files.list(staging).iterator().hasNext,
+      "conflict-cleaned staging should be empty")
+    e1.clean()
+  }
+
+  test("exhausted retries surface ConcurrentCommitException, store intact") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    e1.save("---\nbody: base\n")
+    // every attempt loses: a foreign commit lands in every race window
+    var foreign = 0
+    e1.beforePublishHook = () => { foreign += 1; e2.save(s"---\nbody: f$foreign\n") }
+    val e = intercept[MemoEngine.ConcurrentCommitException] {
+      e1.save("---\nbody: doomed\n")
+    }
+    e1.beforePublishHook = () => ()
+    assert(e.getMessage.contains("lost the race"))
+    assert(foreign == MemoEngine.DefaultCommitAttempts)
+    val bodies = e1.records.collect().map(_.getString(1)).toSet
+    assert(!bodies.contains("doomed"), "a failed commit leaked data")
+    assert(bodies == (1 to foreign).map(i => s"f$i").toSet + "base")
+    e1.clean()
+  }
+
+  test("interleaved appenders on one store never lose a write") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    val perWriter = 4
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // no seed commit: the writers also race the FIRST commit (both see an
+      // absent store; exactly one may create v0, the other must retry into
+      // an append)
+      val writers = Seq(("a", e1), ("b", e2)).map { case (tag, e) =>
+        Future { (0 until perWriter).foreach(i => e.save(s"---\nbody: $tag$i\n")) }
+      }
+      Await.result(Future.sequence(writers), 120.seconds)
+      val rows = e1.records.collect().map(r => (r.getLong(0), r.getString(1)))
+      val expected = (for (t <- Seq("a", "b"); i <- 0 until perWriter)
+        yield s"$t$i").toSet
+      assert(rows.map(_._2).toSet == expected,
+        s"lost write(s): missing ${expected -- rows.map(_._2)}")
+      assert(rows.map(_._1).sorted.toSeq == (0L until 2L * perWriter).toSeq,
+        s"ids not dense/distinct: ${rows.map(_._1).sorted.toSeq}")
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
+  test("vacuum sweeps stale staging corpses, spares fresh attempts") {
+    val db = freshStore()
+    val engine = new MemoEngine(spark, db)
+    engine.save("---\nbody: note\n")
+    val staging = Paths.get(db, ".staging")
+    val corpse = Files.createDirectory(staging.resolve("commit-corpse"))
+    Files.writeString(corpse.resolve("partial"), "crashed mid-write")
+    Files.setLastModifiedTime(corpse,
+      FileTime.fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val fresh = Files.createDirectory(staging.resolve("commit-fresh"))
+    // staging sweeps are uncounted — the return value stays "stale versions"
+    assert(engine.vacuum() == 0)
+    assert(!Files.exists(corpse), "stale staging corpse not reclaimed")
+    assert(Files.exists(fresh), "fresh (possibly in-flight) attempt swept")
+    engine.clean()
+  }
+}
