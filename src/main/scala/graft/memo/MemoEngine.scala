@@ -188,7 +188,22 @@ class MemoEngine(spark: SparkSession, basePath: String,
       carryStreamMarker(staging, markBatch)
       finalizeCommit(staging, v, expectedPrior)
       v
-    } finally deleteTree(staging) // no-op when promoted or conflict-cleaned
+    } catch reclassifyRaceCollateral(v, expectedPrior)
+    finally deleteTree(staging) // no-op when promoted
+  }
+
+  /** Prep failures CAUSED by losing the race (e.g. the winner's vacuum
+    * reclaimed segments this mutation was still reading) must surface as
+    * [[MemoEngine.ConcurrentCommitException]] so [[MemoEngine.retryOnConflict]]
+    * re-runs the mutation — not as an opaque Spark job failure. If the
+    * live version has NOT moved the failure is genuine; rethrow it. */
+  private def reclassifyRaceCollateral(v: Long, expectedPrior: Option[Long])
+      : PartialFunction[Throwable, Nothing] = {
+    case e: ConcurrentCommitException => throw e
+    case scala.util.control.NonFatal(e) if currentVersion != expectedPrior =>
+      throw new ConcurrentCommitException(
+        s"commit of v$v failed while the live version moved " +
+        s"(collateral of a lost race): $e", e)
   }
 
   /** Append-only commit: write ONLY the batch rows as a new segment and
@@ -223,7 +238,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
       carryStreamMarker(staging, markBatch)
       finalizeCommit(staging, v, Some(expectedPrior))
       v
-    } finally deleteTree(staging) // no-op when promoted or conflict-cleaned
+    } catch reclassifyRaceCollateral(v, Some(expectedPrior))
+    finally deleteTree(staging) // no-op when promoted
   }
 
   private def swingPointer(v: Long): Unit = {
@@ -261,7 +277,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
     beforePublishHook()
     MemoEngine.withCommitLock(base) {
       if (currentVersion != expectedPrior) {
-        deleteTree(staging)
+        // staging cleanup happens in the caller's finally, OUTSIDE the
+        // lock — a loser must not serialize other writers behind an
+        // O(staged-corpus) tree delete
         throw new ConcurrentCommitException(
           s"commit of v$v lost the race: expected live version " +
           s"${expectedPrior.getOrElse("<none>")} but found " +
@@ -275,9 +293,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
   }
 
   private def deleteTree(root: Path): Unit =
-    if (Files.exists(root))
-      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   /** Save a YAML batch: entries with `id` overwrite (must exist — whole
     * batch aborts otherwise, memo_cli.py:424-433); entries without append
@@ -532,41 +553,64 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** Garbage-collect version directories not reachable from the live
     * version's manifests (superseded snapshots and compacted-away deltas).
-    * Safe any time: the live version and every segment dir it references
-    * are kept, and the CURRENT pointer is untouched. Returns the number of
-    * version dirs removed (crashed staging attempts older than
-    * `stagingTtlMs` are also swept, uncounted — a fresh one may belong to
-    * an in-flight writer, which is why age gates the sweep). Run after
-    * compactions/overwrites to reclaim space — without it, storage grows
-    * O(versions × corpus). */
-  def vacuum(stagingTtlMs: Long = MemoEngine.DefaultStagingTtlMs): Int = {
-    if (Files.isDirectory(stagingRoot)) {
-      val cutoff = System.currentTimeMillis() - stagingTtlMs
-      Files.list(stagingRoot).iterator().asScala.toSeq
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .foreach(deleteTree)
+    * Safe any time: it runs under the commit lock, so it cannot observe
+    * (or gut) a version mid-publication — the live version and every
+    * segment dir it references are kept, and the CURRENT pointer is
+    * untouched. Returns the number of version dirs removed (crashed
+    * staging attempts whose NEWEST file is older than `stagingTtlMs` are
+    * also swept, uncounted — newest-in-tree, because an in-flight parquet
+    * write keeps deep files fresh while the staging dir's own mtime
+    * stagnates). Run after compactions/overwrites to reclaim space —
+    * without it, storage grows O(versions × corpus). */
+  def vacuum(stagingTtlMs: Long = MemoEngine.DefaultStagingTtlMs): Int =
+    MemoEngine.withCommitLock(base) {
+      if (Files.isDirectory(stagingRoot)) {
+        val cutoff = System.currentTimeMillis() - stagingTtlMs
+        listDir(stagingRoot).filter(newestMtime(_) < cutoff).foreach(deleteTree)
+      }
+      currentVersion match {
+        case None => 0
+        case Some(v) =>
+          val live = (segments(v, "records") ++ segments(v, "index"))
+            .map(p => Paths.get(p).getParent.getFileName.toString)
+            .toSet + s"v$v"
+          val stale = listDir(base)
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.matches("v\\d+") &&
+              !live.contains(p.getFileName.toString))
+          stale.foreach(deleteTree)
+          stale.size
+      }
     }
-    currentVersion match {
-      case None => 0
-      case Some(v) =>
-        val live = (segments(v, "records") ++ segments(v, "index"))
-          .map(p => Paths.get(p).getParent.getFileName.toString)
-          .toSet + s"v$v"
-        val stale = Files.list(base).iterator().asScala.toSeq
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.matches("v\\d+") &&
-            !live.contains(p.getFileName.toString))
-        stale.foreach(deleteTree)
-        stale.size
-    }
+
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
-  /** Drop the database (memo_cli.py:308-331). True if anything existed. */
+  /** Newest mtime anywhere in `root`'s tree; an entry that vanishes or
+    * errors mid-walk means someone is actively working in it — report
+    * "fresh" so the sweep leaves it alone. */
+  private def newestMtime(root: Path): Long =
+    try {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
+        .map(p => Files.getLastModifiedTime(p).toMillis)
+        .foldLeft(0L)(math.max)
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
+  /** Drop the database (memo_cli.py:308-331). True if anything existed.
+    *
+    * DESTRUCTIVE ADMIN OP — outside the optimistic-concurrency protocol:
+    * dropping a store out from under active writers is undefined (their
+    * version tokens are meaningless against a store rebuilt from scratch,
+    * the ABA case), exactly as deleting the reference CLI's files under a
+    * running process would be. Quiesce writers first. */
   def clean(): Boolean = {
     if (!Files.exists(base)) return false
     val existed = exists
-    Files.walk(base).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    deleteTree(base)
     existed
   }
 
@@ -621,8 +665,8 @@ object MemoEngine {
     * untouched by the loser; re-run the mutation from fresh state (the
     * engine's public mutations do so automatically via
     * [[retryOnConflict]]). */
-  final class ConcurrentCommitException(msg: String)
-    extends RuntimeException(msg)
+  final class ConcurrentCommitException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   /** One lock monitor per store path — required because OS file locks are
     * held per JVM (a second FileChannel.lock in the same JVM throws

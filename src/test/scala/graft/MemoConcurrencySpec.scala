@@ -104,13 +104,22 @@ class MemoConcurrencySpec extends SparkTestBase {
     val staging = Paths.get(db, ".staging")
     val corpse = Files.createDirectory(staging.resolve("commit-corpse"))
     Files.writeString(corpse.resolve("partial"), "crashed mid-write")
-    Files.setLastModifiedTime(corpse,
-      FileTime.fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // staleness is newest-mtime-in-tree: EVERY file must be old
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    Files.setLastModifiedTime(corpse.resolve("partial"), old)
+    Files.setLastModifiedTime(corpse, old)
+    // a corpse-aged dir with ONE fresh file inside is an in-flight writer —
+    // the parquet-write-in-progress shape — and must survive the sweep
+    val inflight = Files.createDirectory(staging.resolve("commit-inflight"))
+    Files.writeString(inflight.resolve("deep"), "task writing")
+    Files.setLastModifiedTime(inflight, old)
     val fresh = Files.createDirectory(staging.resolve("commit-fresh"))
     // staging sweeps are uncounted — the return value stays "stale versions"
     assert(engine.vacuum() == 0)
     assert(!Files.exists(corpse), "stale staging corpse not reclaimed")
     assert(Files.exists(fresh), "fresh (possibly in-flight) attempt swept")
+    assert(Files.exists(inflight),
+      "old dir with a fresh deep file is an active parquet write — swept!")
     engine.clean()
   }
 }
