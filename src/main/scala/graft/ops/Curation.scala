@@ -201,8 +201,10 @@ object Curation {
     * benchmark swept). */
   def writeTrainGrams(trainDf: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): Unit =
-    writeTrainGramsStamped(trainDf, idCol, textCol, path, n, maxTrainDf,
-      gramStamp(trainDf, idCol, textCol, n, maxTrainDf))
+    ArtifactMeta.withBuildLock(trainDf, path) {
+      writeTrainGramsStamped(trainDf, idCol, textCol, path, n, maxTrainDf,
+        gramStamp(trainDf, idCol, textCol, n, maxTrainDf))
+    }
 
   /** [[writeTrainGrams]] with a precomputed stamp — callers that already
     * fingerprinted for their freshness check (a full text scan) reuse it. */
@@ -227,7 +229,8 @@ object Curation {
     * contract as [[Dedup.signaturesIfAbsent]]; a pre-fingerprint stamp is
     * upgraded by one rebuild) and return it. */
   def trainGramsIfAbsent(trainDf: DataFrame, idCol: String, textCol: String,
-      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): DataFrame = {
+      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): DataFrame =
+      ArtifactMeta.withBuildLock(trainDf, path) {
     val stamp = gramStamp(trainDf, idCol, textCol, n, maxTrainDf)
     if (!readMetaFile(trainDf, path, "_grams_meta").contains(stamp))
       writeTrainGramsStamped(trainDf, idCol, textCol, path, n, maxTrainDf,

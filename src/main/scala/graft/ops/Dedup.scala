@@ -104,8 +104,10 @@ object Dedup {
     * the freshness hole a count-only stamp leaves open. */
   def writeSignatures(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 64, shingleSize: Int = 3): Unit =
-    writeSignaturesStamped(df, idCol, textCol, path, numHashes, shingleSize,
-      sigStamp(df, idCol, textCol, numHashes, shingleSize))
+    ArtifactMeta.withBuildLock(df, path) {
+      writeSignaturesStamped(df, idCol, textCol, path, numHashes, shingleSize,
+        sigStamp(df, idCol, textCol, numHashes, shingleSize))
+    }
 
   /** One agg on the pruned input (no signature evaluation). */
   private def sigStamp(df: DataFrame, idCol: String, textCol: String,
@@ -130,7 +132,8 @@ object Dedup {
     * [[IvfIndex.buildIfAbsent]]) and return it. A pre-fingerprint stamp
     * (older artifact) never matches, so it is upgraded by one rebuild. */
   def signaturesIfAbsent(corpus: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+      path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+      ArtifactMeta.withBuildLock(corpus, path) {
     val stamp = sigStamp(corpus, idCol, textCol, numHashes, shingleSize)
     if (!readSigMeta(corpus, path).contains(stamp))
       writeSignaturesStamped(corpus, idCol, textCol, path, numHashes,
@@ -147,7 +150,7 @@ object Dedup {
     * silently miss every cross-generation duplicate, so config drift is
     * impossible by construction. */
   def appendSignatures(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String): Unit = ArtifactMeta.withBuildLock(batch, path) {
     val stamp = readSigMeta(batch, path).getOrElse(throw new IllegalStateException(
       s"no signature artifact at $path — writeSignatures first"))
     val Array(count, numHashes, shingleSize, fp) = stamp.split(":", 4) match {

@@ -177,7 +177,8 @@ object IvfIndex {
     * ([[trainCentroids]]); the assignment pass is distributed codegen. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, path: String, sampleFraction: Double = 1.0,
-      refineIters: Int = 0): Array[Array[Float]] = {
+      refineIters: Int = 0): Array[Array[Float]] =
+      ArtifactMeta.withBuildLock(corpus, path) {
     val (fs, metaPath) = metaLocation(corpus, path)
     val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
     // refineIters rides in the stamp: changing the refinement config must
@@ -215,7 +216,8 @@ object IvfIndex {
     *
     * Returns the (reused) centroids. */
   def append(batch: DataFrame, idCol: String, embCol: String,
-      path: String): Array[Array[Float]] = {
+      path: String): Array[Array[Float]] =
+      ArtifactMeta.withBuildLock(batch, path) {
     val (fs, metaPath) = metaLocation(batch, path)
     val meta = readMeta(fs, metaPath).getOrElse(
       throw new IllegalStateException(
@@ -275,7 +277,8 @@ object IvfIndex {
     * stamp carries the corpus fingerprint, so a following [[buildIfAbsent]]
     * over the same corpus validates without rebuilding. */
   def compact(corpus: DataFrame, idCol: String, embCol: String,
-      path: String, maxSkew: Double = 4.0): Boolean = {
+      path: String, maxSkew: Double = 4.0): Boolean =
+      ArtifactMeta.withBuildLock(corpus, path) {
     val (fs, metaPath) = metaLocation(corpus, path)
     val meta = readMeta(fs, metaPath).getOrElse(
       throw new IllegalStateException(

@@ -241,7 +241,8 @@ object PqIndex {
     * instead of the corpus. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, ksub: Int, path: String,
-      sampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
+      sampleFraction: Double = 1.0): Array[Array[Array[Float]]] =
+      ArtifactMeta.withBuildLock(corpus, path) {
     val stamp = stampOf(corpus, idCol, embCol, m, ksub, sampleFraction)
     readMeta(corpus, path) match {
       case Some(meta) if meta.stamp == stamp => meta.codebooks
@@ -318,7 +319,8 @@ object PqIndex {
     * bounded driver samples), one codegen encode pass, one write. */
   def buildIfAbsentIvfPq(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, m: Int, ksub: Int, path: String,
-      sampleFraction: Double = 1.0): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+      sampleFraction: Double = 1.0): (Array[Array[Float]], Array[Array[Array[Float]]]) =
+      ArtifactMeta.withBuildLock(corpus, path) {
     // (id, embedding) fingerprint — [[stampOf]]'s contract: in-place
     // embedding regeneration invalidates, not just id/count changes
     val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
@@ -362,7 +364,8 @@ object PqIndex {
     *
     * Returns the (reused) codebooks. */
   def append(batch: DataFrame, idCol: String, embCol: String,
-      path: String): Array[Array[Array[Float]]] = {
+      path: String): Array[Array[Array[Float]]] =
+      ArtifactMeta.withBuildLock(batch, path) {
     val meta = readMeta(batch, path).getOrElse(throw new IllegalStateException(
       s"no PQ codes artifact at $path — run buildIfAbsent before append"))
     val Array(count, m, ksub, sampleFraction, fp) =
@@ -389,7 +392,8 @@ object PqIndex {
     *
     * Returns the (reused) (centroids, codebooks). */
   def appendIvfPq(batch: DataFrame, idCol: String, embCol: String,
-      path: String): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+      path: String): (Array[Array[Float]], Array[Array[Array[Float]]]) =
+      ArtifactMeta.withBuildLock(batch, path) {
     val meta = readIvfPqMeta(batch, path).getOrElse(
       throw new IllegalStateException(
         s"no IVF-PQ index at $path — run buildIfAbsentIvfPq before append"))
@@ -421,7 +425,8 @@ object PqIndex {
     * After compaction the stamp carries the corpus fingerprint, so a
     * following [[buildIfAbsentIvfPq]] validates without rebuilding. */
   def compactIvfPq(corpus: DataFrame, idCol: String, embCol: String,
-      path: String, maxSkew: Double = 4.0): Boolean = {
+      path: String, maxSkew: Double = 4.0): Boolean =
+      ArtifactMeta.withBuildLock(corpus, path) {
     val meta = readIvfPqMeta(corpus, path).getOrElse(
       throw new IllegalStateException(
         s"no IVF-PQ index at $path — run buildIfAbsentIvfPq before compact"))

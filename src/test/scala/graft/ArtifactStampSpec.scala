@@ -139,4 +139,63 @@ class ArtifactStampSpec extends SparkTestBase {
     assert(dataFiles(path) != first,
       "same-count content change must rewrite the bucketed layout")
   }
+
+  test("build lock: mutual exclusion per path, re-entrant, parallel paths") {
+    val path = java.nio.file.Files.createTempDirectory("bl").toString + "/a"
+    val other = path + "_other"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val d = docs
+      val racers = (0 until 4).map { _ =>
+        Future {
+          ArtifactMeta.withBuildLock(d, path) {
+            val now = inside.incrementAndGet()
+            maxSeen.getAndUpdate(m => math.max(m, now))
+            // nested acquisition of the SAME path must not deadlock or
+            // throw OverlappingFileLockException (the IfAbsent → write
+            // primitive shape)
+            ArtifactMeta.withBuildLock(d, path) { Thread.sleep(30) }
+            inside.decrementAndGet()
+          }
+        }
+      }
+      // a DIFFERENT path must be lockable while `path` is held
+      val independent = Future {
+        ArtifactMeta.withBuildLock(docs, other) { true }
+      }
+      Await.result(Future.sequence(racers :+ independent.map(_ => 0)),
+        60.seconds)
+      assert(maxSeen.get() == 1,
+        s"build lock admitted ${maxSeen.get()} writers to one artifact path")
+      assert(Await.result(independent, 1.second))
+    } finally pool.shutdown()
+  }
+
+  test("racing signaturesIfAbsent builders yield one valid artifact") {
+    val path = java.nio.file.Files.createTempDirectory("sig_race").toString + "/sigs"
+    val d = docs.cache()
+    val n = d.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val both = Seq.fill(2)(Future {
+        Dedup.signaturesIfAbsent(d, "doc_id", "text", path).count()
+      })
+      assert(Await.result(Future.sequence(both), 120.seconds).toSet == Set(n),
+        "racing builders must both serve the full signature table")
+      // the loser validated the winner's stamp instead of re-appending:
+      // exactly one row per doc survives the race
+      assert(Dedup.loadSignatures(spark, path)
+        .groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "race duplicated signature rows")
+      d.unpersist()
+    } finally pool.shutdown()
+  }
 }
