@@ -668,31 +668,15 @@ object MemoEngine {
   final class ConcurrentCommitException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
-  /** One lock monitor per store path — required because OS file locks are
-    * held per JVM (a second FileChannel.lock in the same JVM throws
-    * OverlappingFileLockException rather than queueing). The map holds one
-    * bare Object per DISTINCT store path the JVM ever touches — bytes per
-    * store, not a handle cache, so no eviction is needed. */
-  private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** Serialize the publish step of a commit: JVM mutex (threads) + OS file
     * lock on `COMMIT_LOCK` (other processes on a shared filesystem; the OS
     * releases it if the holder dies, so a crashed committer can never
-    * wedge the store the way a lock FILE would). */
+    * wedge the store the way a lock FILE would). Shared machinery:
+    * [[graft.PathLocks]]. */
   private[memo] def withCommitLock[T](base: Path)(f: => T): T = {
-    val key = base.toAbsolutePath.normalize.toString
-    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
-    monitor.synchronized {
-      Files.createDirectories(base)
-      val ch = java.nio.channels.FileChannel.open(base.resolve("COMMIT_LOCK"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try f finally lock.release()
-      } finally ch.close()
-    }
+    Files.createDirectories(base)
+    graft.PathLocks.exclusive(base.toAbsolutePath.normalize.toString,
+      Some(base.resolve("COMMIT_LOCK")))(f)
   }
 
   /** Run `body` (a full mutation: read live state → derive → commit),

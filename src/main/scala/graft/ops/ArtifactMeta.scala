@@ -58,51 +58,25 @@ private[graft] object ArtifactMeta {
     try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
   }
 
-  /** One lock monitor per artifact path (bare Objects — bytes per distinct
-    * path, not a handle cache, so no eviction). */
-  private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Re-entrancy guard: paths whose build lock this thread already holds
-    * (an IfAbsent builder calling the write/persist primitive it wraps
-    * must not re-acquire the OS lock — a second FileChannel.lock in one
-    * JVM throws rather than queueing). */
-  private val held: ThreadLocal[scala.collection.mutable.Set[String]] =
-    ThreadLocal.withInitial(() => scala.collection.mutable.Set.empty[String])
-
   /** Serialize builds/maintenance of the artifact at `path`: every
-    * check-then-build (`*IfAbsent`), append, and compaction runs under
-    * this lock, so two jobs racing the same artifact can't double-build
-    * it, interleave parquet overwrites, or clobber each other's stamp
-    * advance — the loser of the race re-checks the stamp the winner wrote
-    * and reuses the artifact. JVM monitor for threads sharing a driver,
-    * plus an OS file lock (`<path>.build_lock`) for separate JVMs when the
-    * artifact lives on a local filesystem; object stores with no lock
-    * primitive fall back to JVM-only serialization — the same external-
-    * coordinator boundary the store's commit lock draws. */
+    * append and compaction runs under this lock, and every
+    * check-then-build (`*IfAbsent`) takes it for the BUILD arm
+    * (double-checked: the fresh-artifact fast path stays lock-free and
+    * N concurrent readers validate in parallel), so two jobs racing the
+    * same artifact can't double-build it, interleave parquet overwrites,
+    * or clobber each other's stamp advance — the loser of the race
+    * re-checks the stamp the winner wrote and reuses the artifact. JVM
+    * monitor + OS file lock (`<path>.build_lock`, sibling of the artifact
+    * so mode("overwrite") can't unlink it while held) on local
+    * filesystems, re-entrant per thread — [[graft.PathLocks]]. */
   def withBuildLock[T](df: DataFrame, path: String)(f: => T): T = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val key = fs.makeQualified(hp).toString
-    if (held.get.contains(key)) return f
-    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
-    monitor.synchronized {
-      held.get += key
-      try {
-        if ("file" == fs.makeQualified(hp).toUri.getScheme) {
-          val local = java.nio.file.Paths.get(
-            fs.makeQualified(hp).toUri.getPath + ".build_lock")
-          Option(local.getParent)
-            .foreach(java.nio.file.Files.createDirectories(_))
-          val ch = java.nio.channels.FileChannel.open(local,
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE)
-          try {
-            val lock = ch.lock()
-            try f finally lock.release()
-          } finally ch.close()
-        } else f
-      } finally held.get -= key
-    }
+    val qualified = fs.makeQualified(hp)
+    val osLock =
+      if ("file" == qualified.toUri.getScheme)
+        Some(java.nio.file.Paths.get(qualified.toUri.getPath + ".build_lock"))
+      else None
+    graft.PathLocks.exclusive(qualified.toString, osLock)(f)
   }
 }

@@ -229,12 +229,15 @@ object Curation {
     * contract as [[Dedup.signaturesIfAbsent]]; a pre-fingerprint stamp is
     * upgraded by one rebuild) and return it. */
   def trainGramsIfAbsent(trainDf: DataFrame, idCol: String, textCol: String,
-      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): DataFrame =
-      ArtifactMeta.withBuildLock(trainDf, path) {
+      path: String, n: Int = 3, maxTrainDf: Long = Long.MaxValue): DataFrame = {
     val stamp = gramStamp(trainDf, idCol, textCol, n, maxTrainDf)
     if (!readMetaFile(trainDf, path, "_grams_meta").contains(stamp))
-      writeTrainGramsStamped(trainDf, idCol, textCol, path, n, maxTrainDf,
-        stamp)
+      ArtifactMeta.withBuildLock(trainDf, path) {
+        // double-checked: reuse a racing builder's finished artifact
+        if (!readMetaFile(trainDf, path, "_grams_meta").contains(stamp))
+          writeTrainGramsStamped(trainDf, idCol, textCol, path, n, maxTrainDf,
+            stamp)
+      }
     trainDf.sparkSession.read.parquet(path)
   }
 

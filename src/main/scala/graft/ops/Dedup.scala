@@ -132,12 +132,15 @@ object Dedup {
     * [[IvfIndex.buildIfAbsent]]) and return it. A pre-fingerprint stamp
     * (older artifact) never matches, so it is upgraded by one rebuild. */
   def signaturesIfAbsent(corpus: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
-      ArtifactMeta.withBuildLock(corpus, path) {
+      path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
     val stamp = sigStamp(corpus, idCol, textCol, numHashes, shingleSize)
-    if (!readSigMeta(corpus, path).contains(stamp))
-      writeSignaturesStamped(corpus, idCol, textCol, path, numHashes,
-        shingleSize, stamp)
+    if (!readSigMeta(corpus, path).contains(stamp)) // fresh: lock-free
+      ArtifactMeta.withBuildLock(corpus, path) {
+        // double-checked: reuse a racing builder's finished artifact
+        if (!readSigMeta(corpus, path).contains(stamp))
+          writeSignaturesStamped(corpus, idCol, textCol, path, numHashes,
+            shingleSize, stamp)
+      }
     loadSignatures(corpus.sparkSession, path)
   }
 

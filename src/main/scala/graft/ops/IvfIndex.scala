@@ -177,8 +177,7 @@ object IvfIndex {
     * ([[trainCentroids]]); the assignment pass is distributed codegen. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, path: String, sampleFraction: Double = 1.0,
-      refineIters: Int = 0): Array[Array[Float]] =
-      ArtifactMeta.withBuildLock(corpus, path) {
+      refineIters: Int = 0): Array[Array[Float]] = {
     val (fs, metaPath) = metaLocation(corpus, path)
     val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
     // refineIters rides in the stamp: changing the refinement config must
@@ -186,19 +185,27 @@ object IvfIndex {
     // not be silently discarded by the next freshness check
     val stamp = s"$n:$nlist:$sampleFraction:$refineIters:fp$fp"
     readMeta(fs, metaPath) match {
-      case Some(m) if m.stamp == stamp => m.centroids
-      case _ =>
-        val sampled = trainCentroids(corpus, embCol, nlist,
-          sampleFraction = sampleFraction)
-        val centroids =
-          if (refineIters > 0) refineCentroids(corpus, embCol, sampled,
-            refineIters)
-          else sampled
-        persist(build(corpus, idCol, embCol, centroids), path)
-        writeMeta(fs, metaPath,
-          Meta(stamp, Some(cellOccupancy(corpus.sparkSession, path, nlist)),
-            centroids))
-        centroids
+      case Some(m) if m.stamp == stamp => m.centroids // fresh: lock-free
+      case _ => ArtifactMeta.withBuildLock(corpus, path) {
+        // double-checked: a racing builder may have finished while we
+        // waited for the lock — its stamp validates and we reuse
+        readMeta(fs, metaPath) match {
+          case Some(m) if m.stamp == stamp => m.centroids
+          case _ =>
+            val sampled = trainCentroids(corpus, embCol, nlist,
+              sampleFraction = sampleFraction)
+            val centroids =
+              if (refineIters > 0) refineCentroids(corpus, embCol, sampled,
+                refineIters)
+              else sampled
+            persist(build(corpus, idCol, embCol, centroids), path)
+            writeMeta(fs, metaPath,
+              Meta(stamp,
+                Some(cellOccupancy(corpus.sparkSession, path, nlist)),
+                centroids))
+            centroids
+        }
+      }
     }
   }
 

@@ -241,17 +241,22 @@ object PqIndex {
     * instead of the corpus. */
   def buildIfAbsent(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, ksub: Int, path: String,
-      sampleFraction: Double = 1.0): Array[Array[Array[Float]]] =
-      ArtifactMeta.withBuildLock(corpus, path) {
+      sampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
     val stamp = stampOf(corpus, idCol, embCol, m, ksub, sampleFraction)
     readMeta(corpus, path) match {
-      case Some(meta) if meta.stamp == stamp => meta.codebooks
-      case _ =>
-        val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
-        encode(corpus, idCol, embCol, cbs)
-          .write.mode("overwrite").parquet(path)
-        writeMeta(corpus, path, Meta(stamp, cbs))
-        cbs
+      case Some(meta) if meta.stamp == stamp => meta.codebooks // lock-free
+      case _ => ArtifactMeta.withBuildLock(corpus, path) {
+        // double-checked: reuse a racing builder's finished artifact
+        readMeta(corpus, path) match {
+          case Some(meta) if meta.stamp == stamp => meta.codebooks
+          case _ =>
+            val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
+            encode(corpus, idCol, embCol, cbs)
+              .write.mode("overwrite").parquet(path)
+            writeMeta(corpus, path, Meta(stamp, cbs))
+            cbs
+        }
+      }
     }
   }
 
@@ -319,25 +324,32 @@ object PqIndex {
     * bounded driver samples), one codegen encode pass, one write. */
   def buildIfAbsentIvfPq(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, m: Int, ksub: Int, path: String,
-      sampleFraction: Double = 1.0): (Array[Array[Float]], Array[Array[Array[Float]]]) =
-      ArtifactMeta.withBuildLock(corpus, path) {
+      sampleFraction: Double = 1.0): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     // (id, embedding) fingerprint — [[stampOf]]'s contract: in-place
     // embedding regeneration invalidates, not just id/count changes
     val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
     val stamp = s"$n:$nlist:$m:$ksub:$sampleFraction:fp$fp"
-    readIvfPqMeta(corpus, path) match {
-      case Some(meta) if meta.stamp == stamp => (meta.centroids, meta.codebooks)
-      case _ =>
-        val centroids = IvfIndex.trainCentroids(corpus, embCol, nlist,
-          sampleFraction)
-        val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
-        encodeIvfPq(corpus, idCol, embCol, centroids, cbs)
-          .repartition(col("cell_id"))
-          .write.mode("overwrite").partitionBy("cell_id").parquet(path)
-        writeIvfPqMeta(corpus, path, IvfPqMeta(stamp,
-          Some(IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist)),
-          centroids, cbs))
-        (centroids, cbs)
+    def fresh() = readIvfPqMeta(corpus, path) match {
+      case Some(meta) if meta.stamp == stamp =>
+        Some((meta.centroids, meta.codebooks))
+      case _ => None
+    }
+    fresh().getOrElse { // fast path: lock-free validate of a fresh index
+      ArtifactMeta.withBuildLock(corpus, path) {
+        // double-checked: reuse a racing builder's finished artifact
+        fresh().getOrElse {
+          val centroids = IvfIndex.trainCentroids(corpus, embCol, nlist,
+            sampleFraction)
+          val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
+          encodeIvfPq(corpus, idCol, embCol, centroids, cbs)
+            .repartition(col("cell_id"))
+            .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+          writeIvfPqMeta(corpus, path, IvfPqMeta(stamp,
+            Some(IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist)),
+            centroids, cbs))
+          (centroids, cbs)
+        }
+      }
     }
   }
 

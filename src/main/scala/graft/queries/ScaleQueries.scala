@@ -215,9 +215,16 @@ object ScaleQueries {
     if (graft.ops.ArtifactMeta.read(df, path, "_bucket_meta").contains(stamp))
       graft.ops.JoinOps.registerBucketed(s, tbl, path, df.schema.toDDL,
         key, buckets)
-    else {
-      graft.ops.JoinOps.writeBucketed(df, tbl, path, key, buckets)
-      graft.ops.ArtifactMeta.write(df, path, "_bucket_meta", stamp)
+    else graft.ops.ArtifactMeta.withBuildLock(df, path) {
+      // double-checked under the build lock: a racing writer may have
+      // finished the layout while we waited — re-attach instead of rewrite
+      if (graft.ops.ArtifactMeta.read(df, path, "_bucket_meta").contains(stamp))
+        graft.ops.JoinOps.registerBucketed(s, tbl, path, df.schema.toDDL,
+          key, buckets)
+      else {
+        graft.ops.JoinOps.writeBucketed(df, tbl, path, key, buckets)
+        graft.ops.ArtifactMeta.write(df, path, "_bucket_meta", stamp)
+      }
     }
     tbl
   }
@@ -272,11 +279,15 @@ object ScaleQueries {
         date_format(col("l_shipdate"), "yyyy-MM").as("l_shipmonth"))
     val (n, fp) = graft.ops.ArtifactMeta.fingerprint(src)
     val stamp = s"$n:l_shipmonth:fp$fp"
-    if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp)) {
-      src.repartition(col("l_shipmonth"))
-        .write.mode("overwrite").partitionBy("l_shipmonth").parquet(path)
-      graft.ops.ArtifactMeta.write(src, path, "_dpp_meta", stamp)
-    }
+    if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp))
+      graft.ops.ArtifactMeta.withBuildLock(src, path) {
+        // double-checked: reuse a racing builder's finished copy
+        if (!graft.ops.ArtifactMeta.read(src, path, "_dpp_meta").contains(stamp)) {
+          src.repartition(col("l_shipmonth"))
+            .write.mode("overwrite").partitionBy("l_shipmonth").parquet(path)
+          graft.ops.ArtifactMeta.write(src, path, "_dpp_meta", stamp)
+        }
+      }
     path
   }
 

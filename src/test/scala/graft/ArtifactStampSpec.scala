@@ -164,15 +164,29 @@ class ArtifactStampSpec extends SparkTestBase {
           }
         }
       }
-      // a DIFFERENT path must be lockable while `path` is held
-      val independent = Future {
-        ArtifactMeta.withBuildLock(docs, other) { true }
-      }
-      Await.result(Future.sequence(racers :+ independent.map(_ => 0)),
-        60.seconds)
+      Await.result(Future.sequence(racers), 60.seconds)
       assert(maxSeen.get() == 1,
         s"build lock admitted ${maxSeen.get()} writers to one artifact path")
-      assert(Await.result(independent, 1.second))
+      // a DIFFERENT path must be lockable WHILE `path` is held: the
+      // holder blocks inside the lock until `release` counts down, which
+      // only happens after the independent acquisition completes — a
+      // regression to one global lock deadlocks here and times out
+      val holding = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = Future {
+        ArtifactMeta.withBuildLock(d, path) {
+          holding.countDown()
+          release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+      }
+      holding.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      val independent = Future {
+        ArtifactMeta.withBuildLock(d, other) { true }
+      }
+      assert(Await.result(independent, 15.seconds),
+        "independent artifact path blocked behind an unrelated build lock")
+      release.countDown()
+      Await.result(holder, 30.seconds)
     } finally pool.shutdown()
   }
 
