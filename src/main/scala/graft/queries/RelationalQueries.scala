@@ -57,8 +57,22 @@ object RelationalQueries {
       .filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables(s, dir, "orders")
     val li = Tables(s, dir, "lineitem")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    // Join ORDER matters here and Catalyst won't reorder it without CBO
+    // stats: the segment filter reaches orders only THROUGH the customer
+    // join, so joining orders⨝customer first shrinks the side that meets
+    // lineitem ~5× (one segment of order keys). The broadcast hint on
+    // that side matters too — the static planner can't size a join
+    // OUTPUT, and its column-pruned estimate of the fact scan looks
+    // smaller, so left alone it builds the hash relation out of the
+    // whole FACT table (measured 20× more build rows). Joining
+    // lineitem⨝orders first (the naive order) is worse still: the full
+    // fact shuffles before a single row is filtered. At 100 TB one
+    // segment of order keys outgrows a broadcast — drop the hint there
+    // and this degrades to a shuffle join on the 5×-shrunk side.
+    val buildingOrders = ord.join(broadcast(cust),
+      ord("o_custkey") === cust("c_custkey"))
+      .select(ord("o_orderkey"))
+    li.join(broadcast(buildingOrders), li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))

@@ -32,6 +32,11 @@ class PlanSpec extends SparkTestBase {
     assert(s.split("BroadcastHashJoin").length >= 3, "expected 2 broadcast joins")
     assert(s.contains("TakeOrderedAndProject"), "top-N should avoid a global sort")
     assert(!s.contains("SortMergeJoin"), "dims must not shuffle")
+    // the FACT side must stream, never build: left alone, the planner's
+    // column-pruned static estimate makes lineitem look broadcastable and
+    // it builds a 20×-bigger hash relation (measured 1.18s → 0.82s)
+    assert(!s.contains("BuildLeft"),
+      "fact table became the hash-relation build side")
   }
 
   test("recall (q71): top-k compiles to TakeOrderedAndProject, no corpus shuffle") {
