@@ -75,7 +75,12 @@ class MemoConcurrencySpec extends SparkTestBase {
     val db = freshStore()
     val e1 = new MemoEngine(spark, db)
     val e2 = new MemoEngine(spark, db)
+    // determinism bound, not a tuning knob: one save can lose at most as
+    // many races as the OTHER writer commits in total, so perWriter <
+    // DefaultCommitAttempts guarantees no attempt budget can exhaust
+    // under ANY thread schedule — this test cannot flake by timing
     val perWriter = 4
+    assert(perWriter < MemoEngine.DefaultCommitAttempts)
     val pool = Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
