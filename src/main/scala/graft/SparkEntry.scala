@@ -37,7 +37,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.defs ++ MemoQueries.defs ++ VectorQueries.defs ++
       DedupQueries.defs ++ TextQueries.defs ++ EventQueries.defs ++
-      ScaleQueries.defs ++ CurationQueries.defs).map { case (name, fn) =>
+      ScaleQueries.defs ++ CurationQueries.defs ++
+      LexicalQueries.defs ++ LayoutQueries.defs).map { case (name, fn) =>
       name -> { (s: SparkSession, dir: String) =>
         graft.plans.GraftOptimizations.install(s)
         fn(s, dir)
@@ -50,5 +51,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ MemoQueries.oracles ++ VectorQueries.oracles ++
       DedupQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
-      ScaleQueries.oracles ++ CurationQueries.oracles
+      ScaleQueries.oracles ++ CurationQueries.oracles ++
+      LexicalQueries.oracles ++ LayoutQueries.oracles
 }

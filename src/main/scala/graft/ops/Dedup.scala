@@ -237,6 +237,37 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Embedding-cosine near-dup pairs, cluster-partitioned (the SemDeDup
+    * shape, Abbas et al. 2023): candidates are pairs sharing a k-means
+    * CELL — input rows must carry (id, embedding, cell_id), e.g. from
+    * [[IvfIndex.build]] or a loaded IVF artifact — so the self-join
+    * shuffles narrowly on cell_id and the quadratic blow-up is bounded
+    * per cell (and capped by `bucketCap` against degenerate hot cells).
+    * Exact cosine verifies inside the cell; duplicates whose members land
+    * in different cells are missed, which is the published
+    * recall/cost trade of the method. No all-pairs anywhere: cost is
+    * O(n) assignment + sum of per-cell squares. */
+  def semanticPairs(assigned: DataFrame, minCos: Double,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+    val capped = BucketCap.cap(
+      assigned.select(col("cell_id"), col("id"), col("embedding")),
+      Seq("cell_id"), "id", bucketCap)
+    val l = capped.select(col("cell_id"), col("id").as("a"),
+      col("embedding").as("ea"))
+    val r = capped.select(col("cell_id"), col("id").as("b"),
+      col("embedding").as("eb"))
+    // pin a shuffle join on cell_id: BOTH sides are the corpus, so the
+    // planner's size estimate must never broadcast one (fine at test SF,
+    // fatal at 100 TB — every executor would hold the full index); the
+    // hinted shuffle hash-partitions both sides on exactly cell_id, which
+    // the upstream assignment repartition already satisfies
+    l.hint("shuffle_hash").join(r, Seq("cell_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("score", round4(vecCosine(col("ea"), col("eb"))))
+      .filter(col("score") >= minCos)
+      .select(col("a"), col("b"), col("cell_id"), col("score"))
+  }
+
   /** Near-dup REMOVAL: keep the smallest id of every duplicate pair chain
     * (drop any row that appears as the larger side of a candidate pair).
     * One anti-join — the standard corpus-cleaning step after candidate

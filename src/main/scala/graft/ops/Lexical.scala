@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.tokens
+
+/** BM25 lexical retrieval over a persisted postings artifact — the
+  * keyword-search twin of the vector serving paths ([[IvfIndex]],
+  * [[PqIndex]]): build the index once, probe it many times with a handful
+  * of query terms.
+  *
+  * The reference ranks memos by embedding cosine only (memo_cli.py:291);
+  * a training-data curation pipeline also needs the LEXICAL side — "find
+  * every document mentioning these terms, best first" — for targeted
+  * audits, contamination spot-checks, and boolean-ish corpus slicing.
+  * BM25 (Robertson/Spärck Jones; the Lucene-default ranking function) is
+  * the standard scoring for that.
+  *
+  * At-rest layout, designed for the 100 TB shape of the problem:
+  *
+  *  - `postings/` — one row per (term, doc) with the term frequency and
+  *    the document length DENORMALIZED in (`term, doc_id, tf, dl`),
+  *    range-partitioned and sorted by term. A query for k terms reads a
+  *    `term IN (...)` slice: the predicate pushes to parquet, and the
+  *    sort means matching row groups are CONTIGUOUS — min/max stats skip
+  *    everything else, so probe I/O scales with the posting lists
+  *    touched, not the corpus. Denormalized `dl` costs one long per
+  *    posting and saves the scoring join against a doc-length table.
+  *  - `termstats/` — ADDITIVE document-frequency deltas (`term, df`).
+  *    Readers aggregate `sum(df)` per term (vocabulary-sized, and the
+  *    probe only reads its own query terms' rows); [[append]] writes the
+  *    batch's delta file without touching existing ones, keeping
+  *    maintenance O(batch). [[compactStats]] folds deltas back to one
+  *    file when the count grows.
+  *  - `_lex_meta` — stamp carrying (docCount, sum of doc lengths, content
+  *    fingerprint). N and avgdl — the corpus-global BM25 inputs — are
+  *    answered from the stamp at probe time (metadata-only, no scan), and
+  *    both advance ADDITIVELY on append ([[ArtifactMeta.fingerprint]]'s
+  *    contract).
+  *
+  * Scoring runs entirely inside whole-stage codegen (arithmetic on tf/dl
+  * plus one `ln`), sums per-term contributions as exact DECIMAL so the
+  * result is independent of Spark's aggregation order, and takes the
+  * top-k with TakeOrderedAndProject — no UDF, no driver loop, one narrow
+  * shuffle on doc_id.
+  */
+object Lexical {
+
+  /** BM25 parameters (the Lucene defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  private val Meta = "_lex_meta"
+
+  private def postingsPath(path: String) = s"$path/postings"
+  private def statsPath(path: String) = s"$path/termstats"
+
+  /** (term, doc_id, tf, dl) postings rows for a corpus — one explode +
+    * one hash aggregation; `dl` counts ALL tokens of the doc (including
+    * duplicates), `tf` the occurrences of this term in it. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** One aggregation for the stamp inputs: doc count, total token count,
+    * content fingerprint over (id, text). */
+  private def lexStamp(docs: DataFrame, idCol: String, textCol: String): String = {
+    val (n, fp) = ArtifactMeta.fingerprint(docs, Seq(idCol, textCol))
+    val sumDl = docs
+      .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
+      .head().getLong(0)
+    s"$n:$sumDl:fp$fp"
+  }
+
+  private def readMeta(df: DataFrame, path: String): Option[String] =
+    ArtifactMeta.read(df, path, Meta)
+
+  /** Parsed stamp: (docCount, sumDocLen, fingerprint). */
+  private def parseStamp(stamp: String): (Long, Long, BigInt) =
+    stamp.split(":", 3) match {
+      case Array(n, s, fp) if fp.startsWith("fp") =>
+        (n.toLong, s.toLong, BigInt(fp.drop(2)))
+      case _ => throw new IllegalStateException(s"bad _lex_meta stamp: $stamp")
+    }
+
+  private def writeStamped(docs: DataFrame, idCol: String, textCol: String,
+      path: String, stamp: String): Unit = {
+    val posts = postings(docs, idCol, textCol)
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+    posts.write.mode("overwrite").parquet(postingsPath(path))
+    val spark = docs.sparkSession
+    spark.read.parquet(postingsPath(path))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(statsPath(path))
+    ArtifactMeta.write(docs, path, Meta, stamp)
+  }
+
+  /** Build the postings artifact (build lock; overwrites any prior). */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    ArtifactMeta.withBuildLock(docs, path) {
+      writeStamped(docs, idCol, textCol, path,
+        lexStamp(docs, idCol, textCol))
+    }
+
+  /** Ensure a fresh postings artifact exists for this corpus (stamp =
+    * count + token total + content fingerprint; the freshness contract of
+    * [[IvfIndex.buildIfAbsent]]). Fresh path is lock-free; the build arm
+    * is double-checked under the artifact lock so racing builders yield
+    * one artifact. */
+  def writeIfAbsent(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val stamp = lexStamp(docs, idCol, textCol)
+    if (!readMeta(docs, path).contains(stamp))
+      ArtifactMeta.withBuildLock(docs, path) {
+        if (!readMeta(docs, path).contains(stamp))
+          writeStamped(docs, idCol, textCol, path, stamp)
+      }
+  }
+
+  /** Append a batch's postings — O(batch): existing postings files are
+    * never read or rewritten, the batch's df delta lands as a new
+    * termstats file, and the stamp advances additively (count, token sum,
+    * fingerprint are all sums — [[ArtifactMeta.fingerprint]]'s additive
+    * contract), so a later [[writeIfAbsent]] over corpus ∪ batch
+    * validates without a rebuild. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = ArtifactMeta.withBuildLock(batch, path) {
+    val prior = readMeta(batch, path).getOrElse(throw new IllegalStateException(
+      s"no lexical artifact at $path — writeIndex first"))
+    val (n0, s0, fp0) = parseStamp(prior)
+    val (nB, fpB) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
+    val posts = postings(batch, idCol, textCol)
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+    posts.write.mode("append").parquet(postingsPath(path))
+    val sB = batch
+      .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
+      .head().getLong(0)
+    postings(batch, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(statsPath(path))
+    ArtifactMeta.write(batch, path, Meta, s"${n0 + nB}:${s0 + sB}:fp${fp0 + fpB}")
+  }
+
+  /** Fold the termstats deltas back into one aggregated layout — the
+    * maintenance companion of [[append]] (run when the delta file count
+    * grows; readers are correct either way, this just bounds the
+    * per-probe stats scan). Runs under the artifact lock. */
+  def compactStats(spark: SparkSession, path: String): Unit = {
+    val stats = spark.read.parquet(statsPath(path))
+    ArtifactMeta.withBuildLock(stats, path) {
+      val folded = spark.read.parquet(statsPath(path))
+        .groupBy("term").agg(sum("df").as("df"))
+      val tmp = statsPath(path) + "_compact"
+      folded.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(statsPath(path)))
+    }
+  }
+
+  /** BM25 top-k over the artifact for a bag of query terms.
+    *
+    * Per (doc, term): `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
+    * with `idf = ln(1 + (N − df + 0.5)/(df + 0.5))` (the Lucene form —
+    * never negative). The idf and the per-term contribution are rounded
+    * to fixed decimals and summed as DECIMAL(18,6): decimal addition is
+    * exact and commutative, so the doc score doesn't depend on which
+    * order Spark's aggregation meets the terms in — the one place BM25
+    * could go nondeterministic across partitionings (and across engines:
+    * the DuckDB oracle replays the identical arithmetic).
+    *
+    * Plan shape: pushed `term IN (...)` scan over sorted postings (row
+    * groups outside the query's lists are skipped on min/max), broadcast
+    * of the vocabulary-row df aggregate, one hash aggregation on doc_id,
+    * TakeOrderedAndProject for the top-k. N and avgdl come off the stamp
+    * — no corpus scan at probe time. */
+  def searchBm25(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchBm25 needs at least one query term")
+    val probe = spark.read.parquet(postingsPath(path))
+    val (n, sumDl, _) = parseStamp(readMeta(probe, path).getOrElse(
+      throw new IllegalStateException(s"no lexical artifact at $path")))
+    val avgDl = sumDl.toDouble / n.toDouble
+    val post = probe.filter(col("term").isin(terms: _*))
+    val df = spark.read.parquet(statsPath(path))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").cast("double").as("df"))
+    // identical operand order to the oracle SQL: see LexicalQueries
+    val idf4 = floor(
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) * 10000.0 + 0.5) / 10000.0
+    // (1−b) and (k1+1) appear as the PRE-EVALUATED literals 0.25 and 2.2:
+    // the oracle SQL carries the same decimal literals, and whether
+    // `1.2 + 1.0` re-rounds to exactly the double of "2.2" is the kind of
+    // last-ulp question neither engine should be asked to agree on
+    val denom = col("tf").cast("double") +
+      lit(K1) * (lit(0.25) + lit(B) * (col("dl").cast("double") / lit(avgDl)))
+    val contrib = idf4 * ((col("tf").cast("double") * lit(2.2)) / denom)
+    post.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"),
+        (floor(contrib * 1000000.0 + 0.5) / 1000000.0)
+          .cast("decimal(18,6)").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).cast("double").as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+}

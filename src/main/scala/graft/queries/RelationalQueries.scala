@@ -335,9 +335,39 @@ object RelationalQueries {
           .as("sketch_p95_within_1pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot (long → wide): per-priority revenue split by order status.
+    * Spark compiles `pivot` with EXPLICIT values into one hash aggregation
+    * over conditional partials — no second pass to discover the pivot
+    * domain, which is the form that scales (a values-less pivot adds a
+    * distinct-collect job before the agg can even be planned). */
+  private val q88Pivot: Q = (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice")))
+      .select(col("o_orderpriority"), round2(col("F")).as("F"),
+        round2(col("O")).as("O"), round2(col("P")).as("P"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (wide → long): per-flag measures melted to (measure, value)
+    * rows — `Dataset.unpivot` plans as a generator projection (Expand), a
+    * narrow map-side op: rows fan out 3× with no shuffle. */
+  private val q89Unpivot: Q = (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round2(sum(col("l_quantity"))).as("sum_qty"),
+        round2(sum(col("l_extendedprice"))).as("sum_price"),
+        round2(sum(col("l_discount"))).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
   val defs: Map[String, Q] = Map(
     "q17_salted_join" -> q17SaltedJoin,
     "q18_sample" -> q18Sample,
+    "q88_pivot" -> q88Pivot,
+    "q89_unpivot" -> q89Unpivot,
     "q19_approx_distinct" -> q19ApproxDistinct,
     "q80_small_qty" -> q80SmallQty,
     "q81_having" -> q81Having,
@@ -363,6 +393,29 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_pivot" ->
+      """SELECT o_orderpriority,
+        |  floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
+        |    * 100.0 + 0.5) / 100.0 AS F,
+        |  floor(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
+        |    * 100.0 + 0.5) / 100.0 AS O,
+        |  floor(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)
+        |    * 100.0 + 0.5) / 100.0 AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q89_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |    floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+        |    floor(sum(l_discount) * 100.0 + 0.5) / 100.0 AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
     // the HLL estimate itself is engine-specific; the exact count is
     // hash-verified and the estimate's 5% error bound is pinned as a boolean
     "q19_approx_distinct" ->

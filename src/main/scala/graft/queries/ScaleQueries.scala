@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.memo.MemoOps
-import graft.ops.{IvfIndex, Multimodal, PqIndex}
+import graft.ops.{BucketCap, Dedup, IvfIndex, Multimodal, PqIndex}
 
 /** Scale-path + remaining-inventory coverage: IVF ANN, multimodal decode
   * plumbing, date-range stats (A10), overwrite merge (M2). */
@@ -162,6 +162,26 @@ object ScaleQueries {
         k = 3, nprobe = 4)
       .select(col("query_id"), col("id").as("vec_id"), col("adc_score"))
       .orderBy(col("query_id"), desc("adc_score"), col("vec_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs, cluster-partitioned (SemDeDup —
+    * [[graft.ops.Dedup.semanticPairs]]): assign corpus ∪ planted twins
+    * (vec_id + 100000, identical embedding — cosine exactly 1.0 after
+    * rounding, cells agree by assignment determinism) to the q36
+    * quantizer's cells, then exact-cosine verify WITHIN cells only. The
+    * embedding-space member of the dedup family: candidate cost is the
+    * sum of per-cell squares, never corpus². Like q42/q43, the oracle leg
+    * runs uncapped (BucketCap evicts LARGEST ids first — exactly the
+    * twins); hot-cell eviction is DedupSpec's cap test. */
+  private val q86SemDedup: Q = (s, dir) => {
+    val (_, centroids) = ivfIndex(s, dir)
+    val emb = Tables(s, dir, "embeddings")
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val assigned = IvfIndex.build(planted, "vec_id", "embedding", centroids)
+    Dedup.semanticPairs(assigned, minCos = 0.95, bucketCap = BucketCap.Uncapped)
+      .orderBy(col("a"), col("b"))
   }
 
   /** IVF ANN top-20 over a PERSISTED `partitionBy(cell_id)` parquet index —
@@ -421,6 +441,7 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "q36_ivf_ann" -> q36IvfAnn,
     "q37_ivf_batch" -> q37IvfBatch,
+    "q86_semdedup" -> q86SemDedup,
     "q39_pq_adc" -> q39PqAdc,
     "q67_pq_refine" -> q67PqRefine,
     "q68_ivfpq" -> q68IvfPq,
@@ -448,13 +469,16 @@ object ScaleQueries {
 
   /** Shared replay CTEs: corpus cell assignment (argmin squared L2 against
     * the exported centroids, first cell on ties — NearestCentroid's
-    * contract) given a `ctr(cell_id, ctr)` VALUES table. */
-  private def ivfAssignCtes(cs: Array[Array[Float]]): String =
+    * contract) given a `ctr(cell_id, ctr)` VALUES table. `src` is the
+    * relation assigned over — the `embeddings` table for q36/q37, the
+    * twin-planted CTE for q86. */
+  private def ivfAssignCtes(cs: Array[Array[Float]],
+      src: String = "embeddings"): String =
     s"""ctr(cell_id, ctr) AS (VALUES
        |  ${centroidValues(cs)}),
        |ap AS (SELECT e.vec_id, c.cell_id, unnest(e.embedding) AS x,
        |         unnest(c.ctr) AS y
-       |       FROM embeddings e CROSS JOIN ctr c),
+       |       FROM $src e CROSS JOIN ctr c),
        |ad AS (SELECT vec_id, cell_id,
        |         sum((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)) AS d
        |       FROM ap GROUP BY vec_id, cell_id),
@@ -500,6 +524,31 @@ object ScaleQueries {
            |SELECT s.vec_id AS id, c.cell_id, s.score
            |FROM sc s JOIN cand c USING (vec_id)
            |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+      // q86: assignment replay over the twin-planted union, then the
+      // within-cell pair join + exact-cosine verify (semanticPairs'
+      // contract: pairs only ever meet inside a shared cell)
+      "q86_semdedup" ->
+        s"""WITH emb2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 5 = 0),
+           |${ivfAssignCtes(cs, "emb2")},
+           |pr AS (SELECT l.vec_id AS a, r.vec_id AS b, l.cell_id
+           |       FROM asg l JOIN asg r USING (cell_id)
+           |       WHERE l.vec_id < r.vec_id),
+           |sp AS (SELECT p.a, p.b, p.cell_id, unnest(ea.embedding) AS x,
+           |         unnest(eb.embedding) AS y
+           |       FROM pr p JOIN emb2 ea ON ea.vec_id = p.a
+           |            JOIN emb2 eb ON eb.vec_id = p.b),
+           |sc AS (SELECT a, b, cell_id,
+           |         floor(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+           |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+           |            sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+           |           * 10000.0 + 0.5) / 10000.0 AS score
+           |       FROM sp GROUP BY a, b, cell_id)
+           |SELECT a, b, cell_id, score FROM sc
+           |WHERE score >= 0.95 ORDER BY a, b""".stripMargin,
       "q37_ivf_batch" ->
         s"""WITH ${ivfAssignCtes(cs)},
            |queries AS (SELECT vec_id AS query_id, embedding AS qe

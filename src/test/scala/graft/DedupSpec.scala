@@ -148,4 +148,47 @@ class DedupSpec extends SparkTestBase {
     val dupGroups = out.filter(col("n_dupes") === 2).count()
     assert(dupGroups == copies.count())
   }
+
+  test("semanticPairs recovers planted embedding twins within cells") {
+    import graft.ops.IvfIndex
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val union = emb.unionByName(planted)
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 4)
+    val assigned = IvfIndex.build(union, "vec_id", "embedding", centroids)
+    val pairs = Dedup.semanticPairs(assigned, minCos = 0.95)
+    // identical embeddings: same cell by determinism, cosine 1.0 → every
+    // planted pair must surface (no cross-cell miss possible for twins)
+    val twinPairs = pairs.filter(col("b") === col("a") + 100000)
+    assert(twinPairs.count() == planted.count(),
+      "every planted identical-embedding pair must be recovered")
+    assert(twinPairs.agg(min(col("score"))).head().getDouble(0) == 1.0)
+    // candidate volume (threshold -1 keeps every within-cell pair) is the
+    // sum of per-cell squares, strictly below the all-pairs C(n,2) — the
+    // SemDeDup cost bound that makes the method survive scale
+    val n = union.count()
+    val candidates = Dedup.semanticPairs(assigned, minCos = -1.0).count()
+    assert(candidates < n * (n - 1) / 2 * 3 / 4,
+      s"candidate volume $candidates suggests all-pairs over $n rows")
+    assert(candidates >= pairs.count(), "threshold can only shrink output")
+  }
+
+  test("semanticPairs caps degenerate hot cells deterministically") {
+    import spark.implicits._
+    // 300 identical embeddings → one hot cell; cap keeps smallest ids
+    val dim = 8
+    val e = Array.fill(dim)(0.5f)
+    val rows = (0L until 300L).map(i => (i, e.toSeq))
+    val assigned = rows.toDF("id", "embedding")
+      .withColumn("cell_id", lit(0))
+    val cap = 16
+    val pairs = Dedup.semanticPairs(assigned, minCos = 0.9, bucketCap = cap)
+      .collect()
+    assert(pairs.length == cap * (cap - 1) / 2,
+      s"capped cell must yield C($cap,2) pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) < cap && r.getLong(1) < cap),
+      "cap must keep the smallest ids")
+  }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Lexical
+
+/** BM25 retrieval over the postings artifact: formula correctness on a
+  * hand-checkable corpus, artifact lifecycle (build-once, O(batch)
+  * append equivalence, stats compaction), and the probe plan (pushed
+  * term filter). */
+class LexicalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.resolve("idx").toString
+  }
+
+  private val corpus = Seq(
+    (0L, "apple banana apple"),       // tf(apple)=2, dl=3
+    (1L, "apple cherry"),             // tf(apple)=1, dl=2
+    (2L, "banana banana banana date"),
+    (3L, "cherry date elderberry fig grape"),
+    (4L, ""))                         // zero tokens: counts toward N only
+
+  test("bm25 matches a hand-computed score on a tiny corpus") {
+    val docs = corpus.toDF("doc_id", "text")
+    val path = tmp("graft_lex_tiny")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    val got = Lexical.searchBm25(spark, path, Seq("apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N=5, sumdl=3+2+4+5+0=14, avgdl=2.8, df(apple)=2
+    val idf = math.floor(math.log(1.0 + (5.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      * 10000.0 + 0.5) / 10000.0
+    def score(tf: Double, dl: Double): Double = {
+      val c = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 2.8))))
+      math.floor(c * 1000000.0 + 0.5) / 1000000.0
+    }
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    assert(math.abs(got(0)._2 - score(2, 3)) < 1e-9)
+    assert(math.abs(got(1)._2 - score(1, 2)) < 1e-9)
+  }
+
+  test("multi-term scores sum per doc; absent terms contribute nothing") {
+    val docs = corpus.toDF("doc_id", "text")
+    val path = tmp("graft_lex_multi")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    val single = Seq("apple", "cherry").map { t =>
+      Lexical.searchBm25(spark, path, Seq(t), k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val both = Lexical.searchBm25(spark, path, Seq("apple", "cherry"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // decimal summation: multi-term score is exactly the sum of the
+    // single-term scores (up to the final decimal→double cast)
+    for ((id, s) <- both)
+      assert(math.abs(s - single.map(_.getOrElse(id, 0.0)).sum) < 1e-9,
+        s"doc $id: $s vs ${single.map(_.getOrElse(id, 0.0)).sum}")
+    assert(!both.contains(4L), "token-less doc must never score")
+  }
+
+  test("append equals a fresh full build, and never rewrites postings files") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val grown = tmp("graft_lex_grown")
+    val full = tmp("graft_lex_full")
+    Lexical.writeIndex(half1, "doc_id", "text", grown)
+    val before = listFiles(grown + "/postings")
+    Lexical.append(half2, "doc_id", "text", grown)
+    val after = listFiles(grown + "/postings")
+    assert(before.subsetOf(after), "append must not rewrite existing files")
+    assert(after.size > before.size, "append must add files")
+    Lexical.writeIndex(docs, "doc_id", "text", full)
+    val terms = Seq("batch", "scan", "vector", "merge")
+    val a = Lexical.searchBm25(spark, grown, terms, 25).collect().toSeq
+    val b = Lexical.searchBm25(spark, full, terms, 25).collect().toSeq
+    assert(a == b, "appended artifact must serve identical rankings")
+    // and the grown artifact validates: no rebuild on writeIfAbsent
+    Lexical.writeIfAbsent(docs, "doc_id", "text", grown)
+    assert(listFiles(grown + "/postings") == after,
+      "writeIfAbsent over the grown corpus must reuse the appended artifact")
+  }
+
+  test("compactStats folds df deltas without changing rankings") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_compact")
+    Lexical.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    Lexical.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+    val terms = Seq("batch", "scan", "vector")
+    val before = Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
+    val filesBefore = listFiles(path + "/termstats").size
+    Lexical.compactStats(spark, path)
+    assert(listFiles(path + "/termstats").size < filesBefore,
+      "compaction must reduce the delta file count")
+    val after = Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
+    assert(before == after)
+  }
+
+  test("content change with identical row count invalidates the stamp") {
+    val docs = corpus.toDF("doc_id", "text")
+    val path = tmp("graft_lex_stale")
+    Lexical.writeIfAbsent(docs, "doc_id", "text", path)
+    val top0 = Lexical.searchBm25(spark, path, Seq("apple"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    val changed = corpus.map { case (id, t) =>
+      (id, if (id == 2L) "apple apple apple apple" else t) }
+      .toDF("doc_id", "text")
+    Lexical.writeIfAbsent(changed, "doc_id", "text", path)
+    val top1 = Lexical.searchBm25(spark, path, Seq("apple"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 != top0 && top1.contains(2L),
+      s"stale artifact served after in-place content change: $top1")
+  }
+
+  test("probe plan pushes the term filter into the postings scan") {
+    val docs = corpus.toDF("doc_id", "text")
+    val path = tmp("graft_lex_plan")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    val plan = Lexical.searchBm25(spark, path, Seq("apple", "cherry"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term IN filter not pushed to parquet:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not be a global sort")
+  }
+
+  private def listFiles(dir: String): Set[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+  }
+}
+
+/** Corpus loader (documents at sfDir, id + text only). */
+private object LexCorpus {
+  def docs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+}
