@@ -216,4 +216,38 @@ object Lexical {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of ranked candidate lists (Cormack et al.
+    * 2009 — the standard hybrid-retrieval combiner): each list
+    * contributes `1/(c + rank)` for the ids it ranked, summed per id.
+    * Rank-based, so the two score scales (BM25 vs cosine) never need
+    * calibrating against each other.
+    *
+    * Inputs are (id, rank) frames whose rank column is 1-based and
+    * DENSE within each k-bounded list (the caller ranks its own top-k —
+    * a window over ≤ k rows, bounded driver-side cost zero). The
+    * contribution is floored to 8 decimals and summed as DECIMAL, the
+    * [[searchBm25]] determinism recipe: the fused score is independent
+    * of Spark's union/aggregation order and replayable bit-exactly by
+    * the oracle. Output: (id, rrf_score, r_1, …, r_n) with each list's
+    * rank carried through (null where a list missed the id). */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.map { case (name, df) =>
+      df.select(col("id"), col("rank").cast("int").as("rank"),
+        lit(name).as("src"))
+    }.reduce(_ unionByName _)
+    val contrib = (floor(
+      lit(1.0) / (lit(c.toDouble) + col("rank").cast("double"))
+        * 100000000.0 + 0.5) / 100000000.0).cast("decimal(18,8)")
+    val rankCols = lists.map { case (name, _) =>
+      min(when(col("src") === name, col("rank"))).as(s"r_$name")
+    }
+    tagged
+      .groupBy(col("id"))
+      .agg(sum(contrib).cast("double").as("rrf_score"), rankCols: _*)
+      .orderBy(desc("rrf_score"), col("id"))
+      .limit(k)
+  }
 }

@@ -1,17 +1,20 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Lexical
+import graft.ops.{Lexical, Similarity}
 
-/** Lexical (BM25) retrieval coverage — the keyword-search side of the
-  * serving surface, over the build-once postings artifact
-  * ([[graft.ops.Lexical]]). The oracle replays the ENTIRE pipeline in
+/** Lexical (BM25) + hybrid retrieval coverage — the keyword-search side
+  * of the serving surface, over the build-once postings artifact
+  * ([[graft.ops.Lexical]]). The oracles replay the ENTIRE pipeline in
   * DuckDB: tokenization (the same regex contract as q50), postings,
-  * document frequencies, and the BM25 formula with identical operand
-  * order, fixed-decimal idf, and exact DECIMAL summation — so the
-  * ranking, not just the row count, is hash-verified.
+  * document frequencies, the BM25 formula with identical operand order,
+  * fixed-decimal idf, exact DECIMAL summation — and for q90 the
+  * reciprocal-rank fusion on top — so the rankings, not just row counts,
+  * are hash-verified.
   */
 object LexicalQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -39,40 +42,96 @@ object LexicalQueries {
   private val q85Bm25: Q = (s, dir) =>
     Lexical.searchBm25(s, lexIndex(s, dir), QueryTerms, k = 20)
 
-  val defs: Map[String, Q] = Map("q85_bm25" -> q85Bm25)
+  /** Hybrid retrieval: BM25 top-50 and exact-cosine top-50 fused by
+    * reciprocal rank ([[Lexical.rrfFuse]]) — the two serving paths this
+    * engine maintains (postings artifact + vector ranking) composed the
+    * way a retrieval stack actually deploys them. Each side's rank window
+    * runs over its own top-50 only (k-bounded, post-limit). */
+  private val q90HybridRrf: Q = (s, dir) => {
+    val w = Window.orderBy(desc("score"), col("id"))
+    val bm = Lexical.searchBm25(s, lexIndex(s, dir), QueryTerms, k = 50)
+      .select(col("doc_id").as("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+    val emb = Tables(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vec = Similarity.bruteForceTopK(emb, "vec_id", qv, k = 50)
+      .select(col("vec_id").as("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+    Lexical.rrfFuse(Seq("bm25" -> bm, "vec" -> vec), k = 15)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q85_bm25" -> q85Bm25,
+    "q90_hybrid_rrf" -> q90HybridRrf)
 
   private def termList: String =
     QueryTerms.map(t => s"'$t'").mkString("(", ",", ")")
 
+  /** The BM25 replay CTE chain (shared by q85 and q90's lexical leg).
+    * Operand order mirrors Lexical.searchBm25 EXACTLY (left-assoc sums,
+    * pre-evaluated 0.25/2.2 literals, idf floored to 4 decimals before
+    * use, per-term contribution floored to 6 and summed as DECIMAL) —
+    * double arithmetic is then bit-identical in both engines, and the
+    * decimal sum is order-independent by construction. */
+  private def bm25Ctes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+       |    x -> x <> '') AS ts
+       |  FROM documents),
+       |meta AS (SELECT count(*) AS n, sum(len(ts)) AS sumdl FROM toks),
+       |post AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+       |tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM post
+       |       WHERE term IN $termList GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |        FROM post WHERE term IN $termList GROUP BY 1),
+       |bsc AS (SELECT t.doc_id,
+       |  CAST(floor(
+       |    (floor(ln(1.0 + (CAST(m.n AS DOUBLE) - d.df + 0.5) /
+       |       (d.df + 0.5)) * 10000.0 + 0.5) / 10000.0) *
+       |    ((CAST(t.tf AS DOUBLE) * 2.2) /
+       |     (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |       (CAST(t.dl AS DOUBLE) /
+       |        (CAST(m.sumdl AS DOUBLE) / CAST(m.n AS DOUBLE))))))
+       |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS s
+       |  FROM tf t JOIN dfx d USING (term) CROSS JOIN meta m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // Operand order mirrors Lexical.searchBm25 EXACTLY (left-assoc sums,
-    // pre-evaluated 0.25/2.2 literals, idf floored to 4 decimals before
-    // use, per-term contribution floored to 6 and summed as DECIMAL) —
-    // double arithmetic is then bit-identical in both engines, and the
-    // decimal sum is order-independent by construction.
     "q85_bm25" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(
-         |    regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
-         |    x -> x <> '') AS ts
-         |  FROM documents),
-         |meta AS (SELECT count(*) AS n, sum(len(ts)) AS sumdl FROM toks),
-         |post AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
-         |tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM post
-         |       WHERE term IN $termList GROUP BY 1, 2, 3),
-         |dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |        FROM post WHERE term IN $termList GROUP BY 1),
-         |sc AS (SELECT t.doc_id,
-         |  CAST(floor(
-         |    (floor(ln(1.0 + (CAST(m.n AS DOUBLE) - d.df + 0.5) /
-         |       (d.df + 0.5)) * 10000.0 + 0.5) / 10000.0) *
-         |    ((CAST(t.tf AS DOUBLE) * 2.2) /
-         |     (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-         |       (CAST(t.dl AS DOUBLE) /
-         |        (CAST(m.sumdl AS DOUBLE) / CAST(m.n AS DOUBLE))))))
-         |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS s
-         |  FROM tf t JOIN dfx d USING (term) CROSS JOIN meta m)
+      s"""WITH $bm25Ctes
          |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score
-         |FROM sc GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+         |FROM bsc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q90: both legs replayed (BM25 chain above; exact dot ranking as in
+    // q31), ranked with the same (score DESC, id) tiebreak, fused with
+    // the identical floor-8 + DECIMAL-sum contribution arithmetic
+    "q90_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |bm AS (SELECT doc_id AS id, CAST(sum(s) AS DOUBLE) AS score
+         |       FROM bsc GROUP BY doc_id
+         |       ORDER BY score DESC, id LIMIT 50),
+         |bmr AS (SELECT id, CAST(row_number() OVER (
+         |          ORDER BY score DESC, id) AS INT) AS r FROM bm),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vp AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+         |         unnest(q.qe) AS y
+         |       FROM embeddings e CROSS JOIN qv q),
+         |vsc AS (SELECT vec_id AS id,
+         |          round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS score
+         |        FROM vp GROUP BY vec_id
+         |        ORDER BY score DESC, id LIMIT 50),
+         |vr AS (SELECT id, CAST(row_number() OVER (
+         |         ORDER BY score DESC, id) AS INT) AS r FROM vsc),
+         |u AS (SELECT id, r, 'bm25' AS src FROM bmr
+         |      UNION ALL
+         |      SELECT id, r, 'vec' AS src FROM vr),
+         |f AS (SELECT id,
+         |        CAST(sum(CAST(floor(1.0 / (60.0 + CAST(r AS DOUBLE))
+         |          * 100000000.0 + 0.5) / 100000000.0
+         |          AS DECIMAL(18,8))) AS DOUBLE) AS rrf_score,
+         |        CAST(min(CASE WHEN src = 'bm25' THEN r END) AS INT) AS r_bm25,
+         |        CAST(min(CASE WHEN src = 'vec' THEN r END) AS INT) AS r_vec
+         |      FROM u GROUP BY id)
+         |SELECT id, rrf_score, r_bm25, r_vec FROM f
+         |ORDER BY rrf_score DESC, id LIMIT 15""".stripMargin)
 }

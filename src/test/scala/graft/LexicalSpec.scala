@@ -114,6 +114,25 @@ class LexicalSpec extends SparkTestBase {
       s"stale artifact served after in-place content change: $top1")
   }
 
+  test("rrfFuse sums reciprocal ranks, null rank where a list missed") {
+    val bm = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Lexical.rrfFuse(Seq("bm25" -> bm, "vec" -> vec), k = 10)
+      .collect()
+    def c(r: Int) = math.floor(1.0 / (60.0 + r) * 1e8 + 0.5) / 1e8
+    val expect = Map(20L -> (c(2) + c(1)), 10L -> c(1), 30L -> c(3),
+      40L -> c(2))
+    assert(out.map(_.getLong(0)).toSet == expect.keySet)
+    assert(out.head.getLong(0) == 20L, "doubly-ranked id must fuse highest")
+    for (r <- out)
+      assert(math.abs(r.getDouble(1) - expect(r.getLong(0))) < 1e-9)
+    val ranks = out.map(r =>
+      r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(ranks(10L) == ((Some(1), None)), "vec must be null for id 10")
+    assert(ranks(40L) == ((None, Some(2))), "bm25 must be null for id 40")
+    assert(ranks(20L) == ((Some(2), Some(1))))
+  }
+
   test("probe plan pushes the term filter into the postings scan") {
     val docs = corpus.toDF("doc_id", "text")
     val path = tmp("graft_lex_plan")
