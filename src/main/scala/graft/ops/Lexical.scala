@@ -30,9 +30,11 @@ import graft.functions.GraftFunctions.tokens
   *  - `termstats/` — ADDITIVE document-frequency deltas (`term, df`).
   *    Readers aggregate `sum(df)` per term (vocabulary-sized, and the
   *    probe only reads its own query terms' rows); [[append]] writes the
-  *    batch's delta file without touching existing ones, keeping
-  *    maintenance O(batch). [[compactStats]] folds deltas back to one
-  *    file when the count grows.
+  *    batch's delta without touching existing ones, keeping maintenance
+  *    O(batch). [[compactStats]] folds deltas back together when the
+  *    count grows. Both tables nest each write in its own
+  *    `ingest=<tag>` partition directory — which is what makes
+  *    [[appendOnce]]'s micro-batch replay idempotent at the data layer.
   *  - `_lex_meta` — stamp carrying (docCount, sum of doc lengths, content
   *    fingerprint). N and avgdl — the corpus-global BM25 inputs — are
   *    answered from the stamp at probe time (metadata-only, no scan), and
@@ -68,38 +70,75 @@ object Lexical {
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
 
-  /** One aggregation for the stamp inputs: doc count, total token count,
-    * content fingerprint over (id, text). */
-  private def lexStamp(docs: DataFrame, idCol: String, textCol: String): String = {
+  /** Parsed `_lex_meta` stamp: core freshness facts (doc count, summed
+    * doc length, content fingerprint) plus the optional stream watermark
+    * (`lineage#batchId`) [[appendOnce]] maintains. */
+  private[graft] final case class LexStamp(n: Long, sumDl: Long, fp: BigInt,
+      mark: Option[(String, Long)]) {
+    def render: String = {
+      val m = mark.map { case (l, b) => s":$l#$b" }.getOrElse("")
+      s"$n:$sumDl:fp$fp$m"
+    }
+  }
+
+  /** One aggregation pass for the core stamp inputs. */
+  private def lexStamp(docs: DataFrame, idCol: String, textCol: String): LexStamp = {
     val (n, fp) = ArtifactMeta.fingerprint(docs, Seq(idCol, textCol))
     val sumDl = docs
       .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
       .head().getLong(0)
-    s"$n:$sumDl:fp$fp"
+    LexStamp(n, sumDl, fp, None)
   }
 
-  private def readMeta(df: DataFrame, path: String): Option[String] =
-    ArtifactMeta.read(df, path, Meta)
+  private def readMeta(df: DataFrame, path: String): Option[LexStamp] =
+    ArtifactMeta.read(df, path, Meta).flatMap(parseStamp)
 
-  /** Parsed stamp: (docCount, sumDocLen, fingerprint). */
-  private def parseStamp(stamp: String): (Long, Long, BigInt) =
-    stamp.split(":", 3) match {
-      case Array(n, s, fp) if fp.startsWith("fp") =>
-        (n.toLong, s.toLong, BigInt(fp.drop(2)))
-      case _ => throw new IllegalStateException(s"bad _lex_meta stamp: $stamp")
+  private def parseStamp(stamp: String): Option[LexStamp] =
+    stamp.split(":", 4).toSeq match {
+      case Seq(n, s, fp, mark) if fp.startsWith("fp") =>
+        mark.split("#", 2) match {
+          case Array(l, b) => Some(LexStamp(n.toLong, s.toLong,
+            BigInt(fp.drop(2)), Some((l, b.toLong))))
+          case _ => None
+        }
+      case Seq(n, s, fp) if fp.startsWith("fp") =>
+        Some(LexStamp(n.toLong, s.toLong, BigInt(fp.drop(2)), None))
+      case _ => None
     }
 
-  private def writeStamped(docs: DataFrame, idCol: String, textCol: String,
-      path: String, stamp: String): Unit = {
-    val posts = postings(docs, idCol, textCol)
+  /** Freshness = core facts agree (the stream watermark is bookkeeping,
+    * not part of the corpus identity). */
+  private def fresh(stored: Option[LexStamp], expect: LexStamp): Boolean =
+    stored.exists(s => (s.n, s.sumDl, s.fp) == ((expect.n, expect.sumDl, expect.fp)))
+
+  /** Every postings/termstats write lands in its own `ingest=<tag>`
+    * partition directory. Readers discover `ingest` as an ordinary
+    * partition column (ignored by the probes); writers get IDEMPOTENT
+    * batch replay for free — rewriting a batch's directory with
+    * `mode("overwrite")` replaces it instead of double-appending, which
+    * is what makes [[appendOnce]] exactly-once by construction. */
+  private def writeDelta(rows: DataFrame, dir: String, tag: String): Unit =
+    rows.write.mode("overwrite").parquet(s"$dir/ingest=$tag")
+
+  private def sortedPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    postings(docs, idCol, textCol)
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", "doc_id")
-    posts.write.mode("overwrite").parquet(postingsPath(path))
+
+  private def writeStamped(docs: DataFrame, idCol: String, textCol: String,
+      path: String, stamp: LexStamp): Unit = {
     val spark = docs.sparkSession
-    spark.read.parquet(postingsPath(path))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(statsPath(path))
-    ArtifactMeta.write(docs, path, Meta, stamp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(postingsPath(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
+    writeDelta(sortedPostings(docs, idCol, textCol), postingsPath(path), "base")
+    writeDelta(
+      spark.read.parquet(postingsPath(path))
+        .groupBy("term").agg(count(lit(1)).as("df")),
+      statsPath(path), "base")
+    ArtifactMeta.write(docs, path, Meta, stamp.render)
   }
 
   /** Build the postings artifact (build lock; overwrites any prior). */
@@ -118,37 +157,71 @@ object Lexical {
   def writeIfAbsent(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val stamp = lexStamp(docs, idCol, textCol)
-    if (!readMeta(docs, path).contains(stamp))
+    if (!fresh(readMeta(docs, path), stamp))
       ArtifactMeta.withBuildLock(docs, path) {
-        if (!readMeta(docs, path).contains(stamp))
+        if (!fresh(readMeta(docs, path), stamp))
           writeStamped(docs, idCol, textCol, path, stamp)
       }
   }
 
   /** Append a batch's postings — O(batch): existing postings files are
     * never read or rewritten, the batch's df delta lands as a new
-    * termstats file, and the stamp advances additively (count, token sum,
-    * fingerprint are all sums — [[ArtifactMeta.fingerprint]]'s additive
-    * contract), so a later [[writeIfAbsent]] over corpus ∪ batch
+    * termstats directory, and the stamp advances additively (count, token
+    * sum, fingerprint are all sums — [[ArtifactMeta.fingerprint]]'s
+    * additive contract), so a later [[writeIfAbsent]] over corpus ∪ batch
     * validates without a rebuild. */
   def append(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = ArtifactMeta.withBuildLock(batch, path) {
-    val prior = readMeta(batch, path).getOrElse(throw new IllegalStateException(
-      s"no lexical artifact at $path — writeIndex first"))
-    val (n0, s0, fp0) = parseStamp(prior)
-    val (nB, fpB) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
-    val posts = postings(batch, idCol, textCol)
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-    posts.write.mode("append").parquet(postingsPath(path))
-    val sB = batch
-      .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
-      .head().getLong(0)
-    postings(batch, idCol, textCol)
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("append").parquet(statsPath(path))
-    ArtifactMeta.write(batch, path, Meta, s"${n0 + nB}:${s0 + sB}:fp${fp0 + fpB}")
-  }
+      path: String): Unit =
+    appendTagged(batch, idCol, textCol, path,
+      "adhoc_" + java.util.UUID.randomUUID().toString.take(8), mark = None)
+
+  /** Exactly-once streaming append — the `foreachBatch` sink shape
+    * (`(df, batchId) => Lexical.appendOnce(df, …, batchId)`), the
+    * postings artifact's twin of `MemoEngine.streamAppend`. Two layers:
+    *
+    *  - the stamp carries a `lineage#batchId` watermark — a replayed
+    *    micro-batch at or below it no-ops, so the additive stamp facts
+    *    (count/token-sum/fingerprint) can never be double-advanced;
+    *  - the batch's rows land in a DETERMINISTIC `ingest=<lineage>_<id>`
+    *    directory written with overwrite — a replay that raced a crash
+    *    BEFORE the stamp advanced rewrites the same directory instead of
+    *    appending beside its orphan, so the data layer is idempotent even
+    *    across the crash window the watermark can't see.
+    *
+    * One stream per artifact (single watermark, matching the store's
+    * default-lineage shape); concurrent ad-hoc [[append]]s compose fine —
+    * they have their own directories and the lock serializes stamps. */
+  def appendOnce(batch: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long, lineage: String = "stream"): Unit =
+    appendTagged(batch, idCol, textCol, path,
+      s"${sanitize(lineage)}_$batchId", mark = Some((sanitize(lineage), batchId)))
+
+  private def sanitize(tag: String): String =
+    tag.replaceAll("[^A-Za-z0-9_-]", "_")
+
+  private def appendTagged(batch: DataFrame, idCol: String, textCol: String,
+      path: String, tag: String, mark: Option[(String, Long)]): Unit =
+    ArtifactMeta.withBuildLock(batch, path) {
+      val prior = readMeta(batch, path).getOrElse(throw new IllegalStateException(
+        s"no lexical artifact at $path — writeIndex first"))
+      mark.foreach { case (lineage, batchId) =>
+        prior.mark.foreach { case (l0, b0) =>
+          if (l0 == lineage && b0 >= batchId) return // replayed batch
+        }
+      }
+      val (nB, fpB) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
+      val sB = batch
+        .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
+        .head().getLong(0)
+      writeDelta(sortedPostings(batch, idCol, textCol), postingsPath(path), tag)
+      writeDelta(
+        postings(batch, idCol, textCol)
+          .groupBy("term").agg(count(lit(1)).as("df")),
+        statsPath(path), tag)
+      ArtifactMeta.write(batch, path, Meta,
+        LexStamp(prior.n + nB, prior.sumDl + sB, prior.fp + fpB,
+          mark.orElse(prior.mark)).render)
+    }
 
   /** Fold the termstats deltas back into one aggregated layout — the
     * maintenance companion of [[append]] (run when the delta file count
@@ -160,7 +233,7 @@ object Lexical {
       val folded = spark.read.parquet(statsPath(path))
         .groupBy("term").agg(sum("df").as("df"))
       val tmp = statsPath(path) + "_compact"
-      folded.write.mode("overwrite").parquet(tmp)
+      writeDelta(folded, tmp, "base")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
@@ -189,16 +262,16 @@ object Lexical {
       k: Int): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one query term")
     val probe = spark.read.parquet(postingsPath(path))
-    val (n, sumDl, _) = parseStamp(readMeta(probe, path).getOrElse(
-      throw new IllegalStateException(s"no lexical artifact at $path")))
-    val avgDl = sumDl.toDouble / n.toDouble
+    val st = readMeta(probe, path).getOrElse(
+      throw new IllegalStateException(s"no lexical artifact at $path"))
+    val avgDl = st.sumDl.toDouble / st.n.toDouble
     val post = probe.filter(col("term").isin(terms: _*))
     val df = spark.read.parquet(statsPath(path))
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))
     // identical operand order to the oracle SQL: see LexicalQueries
     val idf4 = floor(
-      log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+      log(lit(1.0) + (lit(st.n.toDouble) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))) * 10000.0 + 0.5) / 10000.0
     // (1−b) and (k1+1) appear as the PRE-EVALUATED literals 0.25 and 2.2:
     // the oracle SQL carries the same decimal literals, and whether

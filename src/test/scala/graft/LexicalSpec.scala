@@ -114,6 +114,38 @@ class LexicalSpec extends SparkTestBase {
       s"stale artifact served after in-place content change: $top1")
   }
 
+  test("appendOnce: replayed micro-batches never double-count") {
+    import java.nio.file.{Files, Paths}
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_stream")
+    Lexical.writeIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
+    val b0 = docs.filter(col("doc_id") % 3 === 1)
+    val b1 = docs.filter(col("doc_id") % 3 === 2)
+    Lexical.appendOnce(b0, "doc_id", "text", path, batchId = 0)
+    val stampBeforeB1 = Files.readString(Paths.get(path, "_lex_meta"))
+    Lexical.appendOnce(b1, "doc_id", "text", path, batchId = 1)
+    val terms = Seq("batch", "scan", "vector", "merge")
+    val expect = Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
+    val files = listFiles(path + "/postings")
+    // restart replay: watermark at 1 → the whole call no-ops
+    Lexical.appendOnce(b1, "doc_id", "text", path, batchId = 1)
+    assert(listFiles(path + "/postings") == files, "replay must not write")
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq == expect)
+    // crash-window replay: data landed but the stamp did NOT advance
+    // (simulated by restoring the pre-batch stamp) — the deterministic
+    // ingest directory is overwritten in place, never duplicated
+    Files.writeString(Paths.get(path, "_lex_meta"), stampBeforeB1)
+    // the raw rewrite bypassed the Hadoop local FS checksum sidecar
+    Files.deleteIfExists(Paths.get(path, "._lex_meta.crc"))
+    Lexical.appendOnce(b1, "doc_id", "text", path, batchId = 1)
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq == expect,
+      "crash-window replay must rewrite, not double-append")
+    // and the grown artifact still validates as the full corpus
+    Lexical.writeIfAbsent(docs, "doc_id", "text", path)
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq == expect,
+      "writeIfAbsent after stream ingest must reuse, not rebuild")
+  }
+
   test("rrfFuse sums reciprocal ranks, null rank where a list missed") {
     val bm = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
@@ -145,11 +177,20 @@ class LexicalSpec extends SparkTestBase {
       "top-k must not be a global sort")
   }
 
+  /** All parquet files under `dir`, as ingest-relative paths (the layout
+    * nests each batch in its own `ingest=<tag>` directory). */
   private def listFiles(dir: String): Set[String] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Set.empty
-    else d.listFiles().filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName).toSet
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Set.empty
+    else {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSet
+      } finally walk.close()
+    }
   }
 }
 
