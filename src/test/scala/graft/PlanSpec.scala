@@ -206,6 +206,35 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("HashAggregate"), "sampling must not aggregate")
   }
 
+  test("q88: explicit-values pivot is ONE hash agg — no domain-discovery pass") {
+    val s = planString(q("q88_pivot"))
+    // Spark's explicit-values pivot = two stacked hash aggs ((priority,
+    // status) partials, then pivot-first by priority) — two agg exchanges
+    // + the final sort's, and crucially NO separate distinct-collect job
+    // to discover the pivot domain (that's the values-less form's cost)
+    assert(s.contains("HashAggregate"), s"pivot lost its hash agg:\n$s")
+    assert(!s.contains("Join"), s"pivot must not join:\n$s")
+    assert(s.split("Exchange").length <= 4,
+      s"pivot grew an unexpected exchange:\n$s")
+  }
+
+  test("q89: unpivot is a narrow Expand — no extra shuffle for the melt") {
+    val s = planString(q("q89_unpivot"))
+    assert(s.contains("Expand"), s"unpivot did not compile to Expand:\n$s")
+    // exchanges: the agg's and the final sort's — the melt itself adds none
+    assert(s.split("Exchange").length <= 3,
+      s"unpivot added an unexpected exchange:\n$s")
+  }
+
+  test("q86: semantic dedup self-join is a pinned shuffle join on cell_id") {
+    val s = planString(q("q86_semdedup"))
+    assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"),
+      s"cell self-join must shuffle, not broadcast a corpus side:\n$s")
+    assert(!s.contains("BroadcastHashJoin"),
+      s"planner broadcast a corpus side of the cell self-join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in q86:\n$s")
+  }
+
   test("entry: normalized-cosine rule rewrote scoring to vec_dot") {
     val s = planString(SparkEntry.entry(spark))
     assert(s.contains("vec_dot"), s"expected vec_dot in entry plan")
