@@ -72,7 +72,35 @@ object EventQueries {
     graft.streaming.EventStreams.errorThenPurchase(Tables(s, dir, "events"))
       .orderBy(col("error_id"), col("purchase_id"))
 
+  /** Gap-fill / time-spine resample: per-user DAILY rollup joined onto a
+    * generated contiguous day spine (`sequence` + explode — rows are
+    * generated on executors, never the driver), missing days filled with
+    * zero counts and a carry-forward of the last seen daily value
+    * (`last(…, ignoreNulls)` window). The regularization step every
+    * time-series feature pipeline runs before ML consumption; the spine
+    * side scales as days × keys, independent of event volume. */
+  private val q91GapFill: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events").filter(col("user_id") < 5)
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("value"))).as("daily_value"))
+    val span = ev.agg(date_trunc("day", min(col("ts"))).as("lo"),
+      date_trunc("day", max(col("ts"))).as("hi"))
+    val spine = span
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .crossJoin(ev.select(col("user_id")).distinct())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("carried",
+        last(col("daily_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("carried"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q91_gapfill" -> q91GapFill,
     "q60_tumbling" -> q60Tumbling,
     "q61_sessionize" -> q61Sessionize,
     "q62_json_props" -> q62JsonProps,
@@ -82,6 +110,23 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_gapfill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day, value
+        |            FROM events WHERE user_id < 5),
+        |daily AS (SELECT user_id, day, count(*) AS n,
+        |            floor(sum(value) * 100.0 + 0.5) / 100.0 AS daily_value
+        |          FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |         FROM span),
+        |spine AS (SELECT u.user_id, d.day FROM days d
+        |          CROSS JOIN (SELECT DISTINCT user_id FROM ev) u)
+        |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(d.n, 0) AS n,
+        |  last_value(d.daily_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day) AS carried
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
     "q60_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n, floor((sum(value))*100.0 + 0.5)/100.0 AS total

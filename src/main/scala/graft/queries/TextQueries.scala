@@ -86,7 +86,28 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
+  /** Frequent-items sketch beside the exact count — the third member of
+    * the sketch family (q19 HLL distinct, q84 quantile sketch): exact
+    * top-5 terms by total frequency are hash-verified, and the
+    * single-pass frequent-items sketch (`stat.freqItems`, the
+    * Karp/Misra–Gries shape: fixed memory, map-side partials) must have
+    * captured every one of them — items above the support threshold are
+    * in the sketch BY GUARANTEE, so the boolean is deterministic even
+    * though the sketch's full result set (which may carry false
+    * positives) is partitioning-dependent. The sketch result is one
+    * driver-side row (bounded: ≤ 1/support items). */
+  private val q92FreqItems: Q = (s, dir) => {
+    val toks = Tables(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val sketch = toks.stat.freqItems(Seq("term"), 0.01)
+      .head().getSeq[String](0)
+    toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("term")).limit(5)
+      .withColumn("in_sketch", col("term").isin(sketch: _*))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q92_freq_items" -> q92FreqItems,
     "q57_curation" -> q57Curation,
     "q50_token_count" -> q50TokenCount,
     "q51_quality" -> q51Quality,
@@ -97,6 +118,17 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch's guarantee (no false negatives above support) is what
+    // makes TRUE the oracle value for every exact top-5 term — q19/q84's
+    // exact-value-plus-bound-boolean pattern
+    "q92_freq_items" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS freq, TRUE AS in_sketch
+        |FROM t GROUP BY term ORDER BY freq DESC, term LIMIT 5""".stripMargin,
     "q57_curation" ->
       """WITH toks AS (
         |  SELECT doc_id, text, lang,
