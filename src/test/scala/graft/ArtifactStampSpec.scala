@@ -212,4 +212,31 @@ class ArtifactStampSpec extends SparkTestBase {
       d.unpersist()
     } finally pool.shutdown()
   }
+
+  test("racing lexical writeIfAbsent builders yield one valid artifact") {
+    import graft.ops.Lexical
+    val path = java.nio.file.Files.createTempDirectory("lex_race").toString + "/idx"
+    val d = docs.cache()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val terms = Seq("batch", "scan", "vector")
+      val both = Seq.fill(2)(Future {
+        Lexical.writeIfAbsent(d, "doc_id", "text", path)
+        Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
+      })
+      val results = Await.result(Future.sequence(both), 120.seconds)
+      assert(results(0) == results(1),
+        "racing builders must serve identical rankings")
+      // the loser reused the winner's artifact: postings hold exactly one
+      // row per (term, doc) — a double build under append would duplicate
+      val posts = spark.read.parquet(s"$path/postings")
+      assert(posts.groupBy("term", "doc_id").count()
+        .filter(col("count") > 1).isEmpty,
+        "race duplicated postings rows")
+      d.unpersist()
+    } finally pool.shutdown()
+  }
 }
