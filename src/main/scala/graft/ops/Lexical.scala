@@ -226,7 +226,15 @@ object Lexical {
   /** Fold the termstats deltas back into one aggregated layout — the
     * maintenance companion of [[append]] (run when the delta file count
     * grows; readers are correct either way, this just bounds the
-    * per-probe stats scan). Runs under the artifact lock. */
+    * per-probe stats scan). Runs under the artifact lock.
+    *
+    * Ordering contract with [[appendOnce]]: run compaction only when the
+    * ingest stream is quiesced (stopped, or its last batch's stamp
+    * advance observed). Folding erases the per-batch directories, so a
+    * crash-window replay arriving AFTER a fold that already absorbed its
+    * rows would re-land them beside the fold — the one interleaving the
+    * idempotence machinery cannot see. The stamp-watermark path (normal
+    * replay, no crash) is safe in any order. */
   def compactStats(spark: SparkSession, path: String): Unit = {
     val stats = spark.read.parquet(statsPath(path))
     ArtifactMeta.withBuildLock(stats, path) {

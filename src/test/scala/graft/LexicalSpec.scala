@@ -146,6 +146,36 @@ class LexicalSpec extends SparkTestBase {
       "writeIfAbsent after stream ingest must reuse, not rebuild")
   }
 
+  test("appendOnce drives as a real foreachBatch sink over a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp("graft_lex_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lex_ckpt")
+    // seed the artifact (appendOnce maintains, writeIndex creates)
+    Lexical.writeIndex(
+      Seq((1000L, "seed doc about parquet")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Lexical.appendOnce(df, "doc_id", "text", path, id))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      input.addData((0L, "kafka stream topics"), (1L, "parquet files"))
+      q.processAllAvailable()
+      input.addData((2L, "kafka connect parquet sink"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kafka = Lexical.searchBm25(spark, path, Seq("kafka"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kafka == Set(0L, 2L), s"streamed docs not served: $kafka")
+    val parquet = Lexical.searchBm25(spark, path, Seq("parquet"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(parquet == Set(1L, 2L, 1000L))
+  }
+
   test("rrfFuse sums reciprocal ranks, null rank where a list missed") {
     val bm = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
