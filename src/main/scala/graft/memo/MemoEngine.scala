@@ -526,6 +526,43 @@ class MemoEngine(spark: SparkSession, basePath: String,
     MemoOps.recall(recs, qvCol, k, filterExpr)
   }
 
+  /** Hybrid recall (beyond the reference, which ranks by embedding cosine
+    * only — memo_cli.py:291): the query's tokens score the store lexically
+    * (BM25, [[graft.ops.Lexical.scoreBm25]] — artifact-free, the right
+    * shape at memo-store size) while the hash-embedded query vector ranks
+    * it semantically ([[MemoOps.recall]]); the two k-bounded lists merge
+    * by reciprocal rank ([[graft.ops.Lexical.rrfFuse]]). Rank-based
+    * fusion needs no calibration between the BM25 and cosine scales.
+    * Output carries both per-list ranks (null where one list missed) —
+    * a keyword-only hit and a semantic-only hit both surface.
+    *
+    * A query with no tokens degrades to the semantic ranking alone. */
+  def hybridRecall(query: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None, perList: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("score"), col("id"))
+    val vec = recall(query, perList, filterExpr)
+      .select(col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+    val terms = VectorKernels.tokenize(query).toSeq.distinct
+    val lists =
+      if (terms.isEmpty) Seq("vec" -> vec)
+      else {
+        val base = filterExpr match {
+          case Some(f) => records.filter(FilterAlgebra.compile(f, col("metadata")))
+          case None => records
+        }
+        val bm = graft.ops.Lexical.scoreBm25(
+            base.filter(!isBlank(col("body"))), "id", "body", terms, perList)
+          .select(col("doc_id").as("id"), col("score"))
+          .withColumn("rank", row_number().over(w))
+        Seq("bm25" -> bm, "vec" -> vec)
+      }
+    graft.ops.Lexical.rrfFuse(lists, k)
+      .join(records.select(col("id"), col("body")), Seq("id"))
+      .orderBy(desc("rrf_score"), col("id"))
+  }
+
   /** Analyze projection/count/stats — see [[MemoOps]]. */
   def analyzeCount(filterExpr: String): Long =
     MemoOps.analyzeCount(records, filterExpr).collect()(0).getLong(0)

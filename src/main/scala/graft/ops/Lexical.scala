@@ -277,9 +277,38 @@ object Lexical {
     val df = spark.read.parquet(statsPath(path))
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))
+    score(post, df, st.n, avgDl, k)
+  }
+
+  /** BM25 WITHOUT an artifact: postings, document frequencies, and corpus
+    * stats computed inline from `docs` — two scans (stats agg + tokenize
+    * pass) per call. The right tool for one-shot scoring of a modest
+    * corpus (the engine's hybrid recall over a memo store); repeated
+    * serving at scale wants [[writeIfAbsent]] + [[searchBm25]], which
+    * answer the same query from the artifact. Identical scoring contract
+    * (same ranking, bit for bit). */
+  def scoreBm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "scoreBm25 needs at least one query term")
+    val row = docs.agg(count(lit(1)),
+      coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long")).head()
+    val (n, sumDl) = (row.getLong(0), row.getLong(1))
+    val post = postings(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+    // df is derivable from the term-restricted postings themselves: one
+    // row per (term, doc) by construction
+    val df = post.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    score(post, df, n, if (n == 0) 0.0 else sumDl.toDouble / n.toDouble, k)
+  }
+
+  /** Shared scoring tail: (term, doc_id, tf, dl) postings ⋈ broadcast
+    * (term, df) → per-term contribution → DECIMAL sum → top-k. */
+  private def score(post: DataFrame, df: DataFrame, n: Long, avgDl: Double,
+      k: Int): DataFrame = {
     // identical operand order to the oracle SQL: see LexicalQueries
     val idf4 = floor(
-      log(lit(1.0) + (lit(st.n.toDouble) - col("df") + lit(0.5)) /
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))) * 10000.0 + 0.5) / 10000.0
     // (1−b) and (k1+1) appear as the PRE-EVALUATED literals 0.25 and 2.2:
     // the oracle SQL carries the same decimal literals, and whether

@@ -114,6 +114,18 @@ class LexicalSpec extends SparkTestBase {
       s"stale artifact served after in-place content change: $top1")
   }
 
+  test("scoreBm25 (artifact-free) serves the identical ranking to the artifact") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_inline")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    val terms = Seq("batch", "scan", "vector", "merge")
+    val inline = Lexical.scoreBm25(docs, "doc_id", "text", terms, 25)
+      .collect().toSeq
+    val artifact = Lexical.searchBm25(spark, path, terms, 25)
+      .collect().toSeq
+    assert(inline == artifact, "the two serving paths must agree bit-for-bit")
+  }
+
   test("appendOnce: replayed micro-batches never double-count") {
     import java.nio.file.{Files, Paths}
     val docs = LexCorpus.docs(spark, sfDir)

@@ -333,4 +333,41 @@ class MemoEngineSpec extends SparkTestBase {
     }
     engine.clean()
   }
+
+  test("hybridRecall fuses keyword and semantic rankings with both ranks") {
+    val (engine, _) = freshEngine()
+    engine.save(
+      """---
+        |body: zanzibar logistics manifest zanzibar shipping zanzibar
+        |---
+        |body: peanut allergy requires avoiding peanut butter and peanut oil
+        |---
+        |body: daily standup notes about sprint planning and retrospectives
+        |""".stripMargin)
+    // keyword query: the zanzibar doc must win on the BM25 leg and fuse first
+    val hits = engine.hybridRecall("zanzibar shipping", k = 3).collect()
+    assert(hits.nonEmpty)
+    val top = hits.head
+    assert(top.getAs[String]("body").contains("zanzibar"),
+      s"keyword-heavy doc not ranked first: ${top}")
+    // both per-list ranks ride through; the winner was ranked by bm25
+    assert(top.getAs[Integer]("r_bm25") != null, "missing bm25 rank")
+    assert(hits.forall(r => r.getAs[Integer]("r_vec") != null),
+      "semantic leg must rank every non-blank doc")
+    // k bound and ordering contract
+    assert(hits.length <= 3)
+    val scores = hits.map(_.getAs[Double]("rrf_score")).toSeq
+    assert(scores == scores.sorted.reverse, "not ordered by fused score")
+    // token-less query degrades to the semantic ranking alone (no bm25 col)
+    val semantic = engine.hybridRecall("???", k = 2).collect()
+    assert(semantic.nonEmpty)
+    assert(!semantic.head.schema.fieldNames.contains("r_bm25"))
+    // metadata filter applies to BOTH legs
+    engine.save("---\nbody: zanzibar cargo\nmetadata: {lang: sw}\n")
+    val filtered = engine.hybridRecall("zanzibar", k = 5,
+      filterExpr = Some("{lang: sw}")).collect()
+    assert(filtered.map(_.getAs[String]("body")).toSet == Set("zanzibar cargo"),
+      "filter must restrict both retrieval legs")
+    engine.clean()
+  }
 }
