@@ -14,9 +14,22 @@ private[graft] object ArtifactMeta {
     (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
   }
 
+  private def locateS(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** First line of the stamp file, if present. */
-  def read(df: DataFrame, path: String, name: String): Option[String] = {
-    val (fs, p) = locate(df, path, name)
+  def read(df: DataFrame, path: String, name: String): Option[String] =
+    read(df.sparkSession, path, name)
+
+  /** [[read]] without a DataFrame in hand — lets read paths check the
+    * stamp BEFORE touching any data files (so "no artifact" surfaces as
+    * the designed error, not a parquet path failure). */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Option[String] = {
+    val (fs, p) = locateS(spark, path, name)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -24,6 +37,24 @@ private[graft] object ArtifactMeta {
         .nextOption().map(_.trim)
       finally in.close()
     }
+  }
+
+  /** Delete a stamp/marker file (maintenance protocols invalidate the
+    * stamp BEFORE touching data so a crash can never leave a gutted
+    * artifact that still validates). */
+  def delete(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Unit = {
+    val (fs, p) = locateS(spark, path, name)
+    fs.delete(p, false)
+    ()
+  }
+
+  /** [[write]] without a DataFrame in hand. */
+  def write(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String, stamp: String): Unit = {
+    val (fs, p) = locateS(spark, path, name)
+    val out = fs.create(p, true)
+    try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** (row count, content fingerprint) of `df` in ONE aggregation pass.
@@ -69,9 +100,15 @@ private[graft] object ArtifactMeta {
     * monitor + OS file lock (`<path>.build_lock`, sibling of the artifact
     * so mode("overwrite") can't unlink it while held) on local
     * filesystems, re-entrant per thread — [[graft.PathLocks]]. */
-  def withBuildLock[T](df: DataFrame, path: String)(f: => T): T = {
+  def withBuildLock[T](df: DataFrame, path: String)(f: => T): T =
+    withBuildLock(df.sparkSession, path)(f)
+
+  /** [[withBuildLock]] without a DataFrame in hand (maintenance entry
+    * points that only know the artifact path). */
+  def withBuildLock[T](spark: org.apache.spark.sql.SparkSession,
+      path: String)(f: => T): T = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualified = fs.makeQualified(hp)
     val osLock =
       if ("file" == qualified.toUri.getScheme)

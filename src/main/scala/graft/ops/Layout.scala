@@ -78,6 +78,13 @@ object Layout {
       path: String, numFiles: Int, stampStr: String): Unit = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input or an all-null layout column: nothing to cluster —
+      // land the rows as-is (schema preserved) rather than NPE mid-build
+      df.write.mode("overwrite").parquet(path)
+      ArtifactMeta.write(df, path, Meta, stampStr)
+      return
+    }
     val z = zValue(col(colA), r.getDouble(0), r.getDouble(1),
       col(colB), r.getDouble(2), r.getDouble(3))
     df.withColumn("__z", z)

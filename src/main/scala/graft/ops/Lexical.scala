@@ -81,17 +81,23 @@ object Lexical {
     }
   }
 
-  /** One aggregation pass for the core stamp inputs. */
+  /** ONE aggregation pass for all three stamp inputs (count, content
+    * fingerprint, token total) — the freshness fast path is paid once per
+    * session per artifact, so it must not scan the corpus twice. The
+    * fingerprint term replicates [[ArtifactMeta.fingerprint]]'s exact
+    * expression (same additive/order-independent contract). */
   private def lexStamp(docs: DataFrame, idCol: String, textCol: String): LexStamp = {
-    val (n, fp) = ArtifactMeta.fingerprint(docs, Seq(idCol, textCol))
-    val sumDl = docs
-      .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
-      .head().getLong(0)
-    LexStamp(n, sumDl, fp, None)
+    val row = docs.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)),
+      coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long")).head()
+    LexStamp(row.getLong(0), row.getLong(2),
+      BigInt(row.getDecimal(1).toBigInteger), None)
   }
 
-  private def readMeta(df: DataFrame, path: String): Option[LexStamp] =
-    ArtifactMeta.read(df, path, Meta).flatMap(parseStamp)
+  private def readMeta(spark: SparkSession, path: String): Option[LexStamp] =
+    ArtifactMeta.read(spark, path, Meta).flatMap(parseStamp)
 
   private def parseStamp(stamp: String): Option[LexStamp] =
     stamp.split(":", 4).toSeq match {
@@ -106,10 +112,48 @@ object Lexical {
       case _ => None
     }
 
+  /** The append-in-flight journal (`_lex_journal`): written BEFORE an
+    * append touches data, deleted after its stamp advance — so a crash
+    * mid-append is DETECTABLE instead of silently serving an artifact
+    * whose postings contain a batch the df/N stats don't. Content:
+    * `tag|expectedStampAfterAdvance`; a journal whose expected stamp
+    * matches the live one is a completed append's stale marker (the
+    * crash fell between stamp advance and journal delete) and is safe
+    * to ignore. */
+  private val Journal = "_lex_journal"
+
+  private final case class Pending(tag: String, expected: String)
+
+  private def readJournal(spark: SparkSession, path: String): Option[Pending] =
+    ArtifactMeta.read(spark, path, Journal)
+      .map(_.split("\\|", 2))
+      .collect { case Array(t, e) => Pending(t, e) }
+
+  /** Stamp for SERVING: throws the designed errors for a missing
+    * artifact and for one gutted by a crashed append/maintenance run
+    * (checked before any data file is touched). */
+  private def serveStamp(spark: SparkSession, path: String): LexStamp = {
+    val st = readMeta(spark, path).getOrElse(throw new IllegalStateException(
+      s"no lexical artifact at $path — writeIndex first"))
+    readJournal(spark, path).foreach { j =>
+      if (j.expected != st.render)
+        throw new IllegalStateException(
+          s"lexical artifact at $path has an incomplete append '${j.tag}' — " +
+            "rebuild with writeIndex/writeIfAbsent")
+    }
+    st
+  }
+
   /** Freshness = core facts agree (the stream watermark is bookkeeping,
-    * not part of the corpus identity). */
-  private def fresh(stored: Option[LexStamp], expect: LexStamp): Boolean =
-    stored.exists(s => (s.n, s.sumDl, s.fp) == ((expect.n, expect.sumDl, expect.fp)))
+    * not part of the corpus identity) AND no append is in flight /
+    * crashed (a pending journal whose expected stamp isn't live means
+    * the data layer doesn't match the stats — rebuild). */
+  private def fresh(spark: SparkSession, path: String,
+      expect: LexStamp): Boolean =
+    readMeta(spark, path).exists { s =>
+      (s.n, s.sumDl, s.fp) == ((expect.n, expect.sumDl, expect.fp)) &&
+        readJournal(spark, path).forall(_.expected == s.render)
+    }
 
   /** Every postings/termstats write lands in its own `ingest=<tag>`
     * partition directory. Readers discover `ingest` as an ordinary
@@ -131,6 +175,10 @@ object Lexical {
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // invalidate FIRST: a crash mid-rebuild must leave a loudly-invalid
+    // artifact (missing stamp), never a gutted one the old stamp blesses
+    ArtifactMeta.delete(spark, path, Meta)
+    ArtifactMeta.delete(spark, path, Journal)
     fs.delete(new org.apache.hadoop.fs.Path(postingsPath(path)), true)
     fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
     writeDelta(sortedPostings(docs, idCol, textCol), postingsPath(path), "base")
@@ -138,7 +186,7 @@ object Lexical {
       spark.read.parquet(postingsPath(path))
         .groupBy("term").agg(count(lit(1)).as("df")),
       statsPath(path), "base")
-    ArtifactMeta.write(docs, path, Meta, stamp.render)
+    ArtifactMeta.write(spark, path, Meta, stamp.render)
   }
 
   /** Build the postings artifact (build lock; overwrites any prior). */
@@ -156,10 +204,11 @@ object Lexical {
     * one artifact. */
   def writeIfAbsent(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
+    val spark = docs.sparkSession
     val stamp = lexStamp(docs, idCol, textCol)
-    if (!fresh(readMeta(docs, path), stamp))
+    if (!fresh(spark, path, stamp))
       ArtifactMeta.withBuildLock(docs, path) {
-        if (!fresh(readMeta(docs, path), stamp))
+        if (!fresh(spark, path, stamp))
           writeStamped(docs, idCol, textCol, path, stamp)
       }
   }
@@ -199,28 +248,56 @@ object Lexical {
   private def sanitize(tag: String): String =
     tag.replaceAll("[^A-Za-z0-9_-]", "_")
 
+  /** The append commit protocol (shared by [[append]] and [[appendOnce]]):
+    *
+    *  1. reconcile any journal left by a crashed append — a marker whose
+    *     expected stamp is live is a completed append's leftover (drop
+    *     it); OUR tag means this call is the replay repairing the crash
+    *     (proceed); a foreign tag means the artifact's data and stats
+    *     disagree in a way only a rebuild fixes (throw, loudly);
+    *  2. journal the intent (tag + the stamp this append will produce);
+    *  3. land both deltas in the tag's directories (overwrite:
+    *     re-landing after a crash replaces, never duplicates);
+    *  4. advance the stamp; 5. drop the journal.
+    *
+    * A crash at any point leaves either a valid prior artifact with a
+    * detectable pending journal (probes refuse, [[writeIfAbsent]]
+    * rebuilds, an [[appendOnce]] replay repairs in place) or the
+    * completed append — never an undetected torn state. */
   private def appendTagged(batch: DataFrame, idCol: String, textCol: String,
       path: String, tag: String, mark: Option[(String, Long)]): Unit =
     ArtifactMeta.withBuildLock(batch, path) {
-      val prior = readMeta(batch, path).getOrElse(throw new IllegalStateException(
+      val spark = batch.sparkSession
+      val prior = readMeta(spark, path).getOrElse(throw new IllegalStateException(
         s"no lexical artifact at $path — writeIndex first"))
+      readJournal(spark, path).foreach { j =>
+        if (j.expected == prior.render)
+          ArtifactMeta.delete(spark, path, Journal) // completed, stale marker
+        else if (j.tag != tag)
+          throw new IllegalStateException(
+            s"lexical artifact at $path has an incomplete append '${j.tag}' — " +
+              "rebuild with writeIndex/writeIfAbsent before appending")
+      }
       mark.foreach { case (lineage, batchId) =>
         prior.mark.foreach { case (l0, b0) =>
           if (l0 == lineage && b0 >= batchId) return // replayed batch
         }
       }
-      val (nB, fpB) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
-      val sB = batch
-        .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
-        .head().getLong(0)
+      // one aggregation pass for all three additive facts (lexStamp's
+      // shape on the batch)
+      val b = lexStamp(batch, idCol, textCol)
+      val next = LexStamp(prior.n + b.n, prior.sumDl + b.sumDl,
+        prior.fp + b.fp, mark.orElse(prior.mark))
+      ArtifactMeta.write(spark, path, Journal, s"$tag|${next.render}")
       writeDelta(sortedPostings(batch, idCol, textCol), postingsPath(path), tag)
+      // df delta derived from the just-written postings directory — no
+      // second tokenize pass over the batch
       writeDelta(
-        postings(batch, idCol, textCol)
+        spark.read.parquet(s"${postingsPath(path)}/ingest=$tag")
           .groupBy("term").agg(count(lit(1)).as("df")),
         statsPath(path), tag)
-      ArtifactMeta.write(batch, path, Meta,
-        LexStamp(prior.n + nB, prior.sumDl + sB, prior.fp + fpB,
-          mark.orElse(prior.mark)).render)
+      ArtifactMeta.write(spark, path, Meta, next.render)
+      ArtifactMeta.delete(spark, path, Journal)
     }
 
   /** Fold the termstats deltas back into one aggregated layout — the
@@ -235,20 +312,26 @@ object Lexical {
     * rows would re-land them beside the fold — the one interleaving the
     * idempotence machinery cannot see. The stamp-watermark path (normal
     * replay, no crash) is safe in any order. */
-  def compactStats(spark: SparkSession, path: String): Unit = {
-    val stats = spark.read.parquet(statsPath(path))
-    ArtifactMeta.withBuildLock(stats, path) {
+  def compactStats(spark: SparkSession, path: String): Unit =
+    ArtifactMeta.withBuildLock(spark, path) {
+      // refuses a crashed-append artifact; also gives us the stamp to
+      // restore after the destructive swap
+      val st = serveStamp(spark, path)
       val folded = spark.read.parquet(statsPath(path))
         .groupBy("term").agg(sum("df").as("df"))
       val tmp = statsPath(path) + "_compact"
       writeDelta(folded, tmp, "base")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // invalidate across the delete+rename window: a crash inside it
+      // leaves a loudly-invalid artifact (rebuildable), never a valid
+      // stamp pointing at a half-swapped stats table
+      ArtifactMeta.delete(spark, path, Meta)
       fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(statsPath(path)))
+      ArtifactMeta.write(spark, path, Meta, st.render)
     }
-  }
 
   /** BM25 top-k over the artifact for a bag of query terms.
     *
@@ -269,11 +352,12 @@ object Lexical {
   def searchBm25(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one query term")
-    val probe = spark.read.parquet(postingsPath(path))
-    val st = readMeta(probe, path).getOrElse(
-      throw new IllegalStateException(s"no lexical artifact at $path"))
+    // stamp + journal checked BEFORE any data file is touched: a missing
+    // or torn artifact surfaces as the designed error, not a parquet one
+    val st = serveStamp(spark, path)
     val avgDl = st.sumDl.toDouble / st.n.toDouble
-    val post = probe.filter(col("term").isin(terms: _*))
+    val post = spark.read.parquet(postingsPath(path))
+      .filter(col("term").isin(terms: _*))
     val df = spark.read.parquet(statsPath(path))
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))

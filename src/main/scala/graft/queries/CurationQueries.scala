@@ -38,9 +38,7 @@ object CurationQueries {
     // same-session appendSignatures invisible (the ingest cycle's contract
     // is that the grown artifact is seen); loading fresh is plan-only cost.
     val sigPath = SessionHandles.cached(s, s"q46_sigs:$dir") {
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q46_sigs_${dir.hashCode.toHexString}").toString
+      val p = SessionHandles.tmpArtifactPath("q46_sigs", dir)
       graft.ops.Dedup.signaturesIfAbsent(corpus, "doc_id", "text", p)
       p
     }
@@ -69,9 +67,7 @@ object CurationQueries {
     // dir, stamp-checked) — the reuse path a per-sweep rebuild forfeits.
     // The gram set is deterministic, so the oracle carries over unchanged.
     val gramsPath = SessionHandles.cached(s, s"q47_grams:$dir") {
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q47_grams_${dir.hashCode.toHexString}").toString
+      val p = SessionHandles.tmpArtifactPath("q47_grams", dir)
       Curation.trainGramsIfAbsent(train, "doc_id", "text", p, n = 3)
       p
     }

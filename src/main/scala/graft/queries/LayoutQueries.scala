@@ -17,8 +17,7 @@ object LayoutQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   private def zPath(dir: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_q87_zorder_${dir.hashCode.toHexString}").toString
+    SessionHandles.tmpArtifactPath("q87_zorder", dir)
 
   /** Build-once / validate-once-per-session clustered copy. */
   private def zTable(s: SparkSession, dir: String): DataFrame =

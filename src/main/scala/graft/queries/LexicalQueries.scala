@@ -25,8 +25,7 @@ object LexicalQueries {
     Seq("vector", "stream", "merge", "query", "spark")
 
   private def lexPath(dir: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_q85_lex_${dir.hashCode.toHexString}").toString
+    SessionHandles.tmpArtifactPath("q85_lex", dir)
 
   /** Build-once / validate-once-per-session postings artifact (the
     * [[ScaleQueries]] handle lifecycle: first use pays the stamp check or

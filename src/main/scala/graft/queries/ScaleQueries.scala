@@ -57,8 +57,7 @@ object ScaleQueries {
   }
 
   private def ivfIndexPath(dir: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_q36_ivf_${dir.hashCode.toHexString}").toString
+    SessionHandles.tmpArtifactPath("q36_ivf", dir)
 
   /** PQ serving config for q39/q67 at embedding dim 64: m=8 one-byte codes
     * per row vs 256 raw bytes — the same 32× scan compression the
@@ -74,8 +73,7 @@ object ScaleQueries {
   private[graft] def resetPqOracleCache(): Unit = lastPqCodebooks = None
 
   private def pqIndexPath(dir: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_q39_pq_${dir.hashCode.toHexString}").toString
+    SessionHandles.tmpArtifactPath("q39_pq", dir)
 
   /** Shared build-once PQ codes artifact for q39/q67 ([[ivfIndex]]'s
     * lifecycle: stamp-checked build, per-session handle, LRU + cleanup). */
@@ -123,8 +121,7 @@ object ScaleQueries {
   private[graft] def resetIvfPqOracleCache(): Unit = lastIvfPqMeta = None
 
   private def ivfPqPath(dir: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_q68_ivfpq_${dir.hashCode.toHexString}").toString
+    SessionHandles.tmpArtifactPath("q68_ivfpq", dir)
 
   private def ivfPqIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
     val handle = SessionHandles.cached(s, s"q68_ivfpq:$dir") {
@@ -291,9 +288,7 @@ object ScaleQueries {
     * + content fingerprint, [[graft.ops.ArtifactMeta]]); returns its path.
     * Exposed for the stamp spec. */
   private[graft] def dppLineitemIfAbsent(s: SparkSession, dir: String): String = {
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q70_dpp_${dir.hashCode.toHexString}").toString
+    val path = SessionHandles.tmpArtifactPath("q70_dpp", dir)
     val src = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"),
         date_format(col("l_shipdate"), "yyyy-MM").as("l_shipmonth"))
@@ -385,9 +380,7 @@ object ScaleQueries {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("body"),
         map(lit("lang"), concat(lit("s"), col("lang"))).as("metadata"))
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q75_${dir.hashCode.toHexString}").toString
+    val out = SessionHandles.tmpArtifactPath("q75", dir)
     graft.memo.YamlIO.exportPath(docs, out)
     // unpersist the importer's internal cache: its dup-id check (which runs
     // eagerly inside importPath) was the only other consumer here, and a
@@ -405,9 +398,7 @@ object ScaleQueries {
       .select(col("doc_id").as("id"), col("text").as("body"),
         map(lit("lang"), concat(lit("s"), col("lang")),
           lit("n_chars"), concat(lit("i"), col("n_chars"))).as("metadata"))
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q58_${dir.hashCode.toHexString}").toString
+    val out = SessionHandles.tmpArtifactPath("q58", dir)
     graft.memo.JsonlIO.exportPath(docs, out)
     graft.memo.JsonlIO.importPath(s, out).unpersist()
       .select(col("id"), col("body"),

@@ -50,4 +50,12 @@ private[graft] object SessionHandles {
 
   /** Test hook: current handle count (IvfServingSpec bound checks). */
   private[graft] def size: Int = handles.synchronized(handles.size())
+
+  /** The shared tmp-artifact path convention every build-once query
+    * family uses (`graft_<family>_<sf-dir-hash>` under java.io.tmpdir) —
+    * one definition so a future change (collision-safer key, overridable
+    * root) lands everywhere at once. */
+  private[queries] def tmpArtifactPath(family: String, dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${family}_${dir.hashCode.toHexString}").toString
 }

@@ -99,11 +99,21 @@ object TextQueries {
   private val q92FreqItems: Q = (s, dir) => {
     val toks = Tables(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("term"))
-    val sketch = toks.stat.freqItems(Seq("term"), 0.01)
-      .head().getSeq[String](0)
-    toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top5 = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("term")).limit(5)
-      .withColumn("in_sketch", col("term").isin(sketch: _*))
+    // support DERIVED from the data — half the 5th-ranked term's relative
+    // frequency (capped at 1%) — so every exact top-5 term sits strictly
+    // above the threshold and the no-false-negative guarantee holds for
+    // ANY corpus shape, not just the current fixture's
+    val counts = top5.collect()
+    val total = toks.count().toDouble
+    val f5 = counts.map(_.getLong(1)).min.toDouble
+    val support = math.min(0.01, (f5 / total) / 2.0)
+    require(support >= 1e-4,
+      s"top-5 terms too rare for a meaningful sketch (support $support)")
+    val sketch = toks.stat.freqItems(Seq("term"), support)
+      .head().getSeq[String](0)
+    top5.withColumn("in_sketch", col("term").isin(sketch: _*))
   }
 
   val defs: Map[String, Q] = Map(

@@ -158,6 +158,44 @@ class LexicalSpec extends SparkTestBase {
       "writeIfAbsent after stream ingest must reuse, not rebuild")
   }
 
+  test("a crashed append is detected, refused, and repairable") {
+    import java.nio.file.{Files, Paths}
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_torn")
+    Lexical.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    val terms = Seq("batch", "scan")
+    Lexical.searchBm25(spark, path, terms, 5).collect() // healthy baseline
+    // simulate a crash mid-append: journal present, expected stamp ≠ live
+    Files.writeString(Paths.get(path, "_lex_journal"), "adhoc_dead|999:999:fp0\n")
+    val probeErr = intercept[IllegalStateException] {
+      Lexical.searchBm25(spark, path, terms, 5)
+    }
+    assert(probeErr.getMessage.contains("incomplete append"),
+      s"probe must refuse a torn artifact: ${probeErr.getMessage}")
+    // a foreign append must refuse too (its stats would land beside
+    // inconsistent data)
+    val appendErr = intercept[IllegalStateException] {
+      Lexical.append(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", path)
+    }
+    assert(appendErr.getMessage.contains("incomplete append"))
+    // writeIfAbsent sees the pending journal as stale and rebuilds
+    Lexical.writeIfAbsent(docs, "doc_id", "text", path)
+    assert(!Files.exists(Paths.get(path, "_lex_journal")),
+      "rebuild must clear the journal")
+    assert(Lexical.searchBm25(spark, path, terms, 5).collect().nonEmpty)
+    // a journal whose expected stamp IS live is a completed append's
+    // stale marker: probes serve, the next append reconciles it away
+    val live = Files.readString(Paths.get(path, "_lex_meta")).trim
+    Files.writeString(Paths.get(path, "_lex_journal"), s"adhoc_done|$live\n")
+    assert(Lexical.searchBm25(spark, path, terms, 5).collect().nonEmpty,
+      "stale completed-append marker must not block probes")
+    Lexical.append(
+      Seq((900L, "reconcile probe doc")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(!Files.exists(Paths.get(path, "_lex_journal")))
+  }
+
   test("appendOnce drives as a real foreachBatch sink over a MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
