@@ -97,23 +97,31 @@ object TextQueries {
     * positives) is partitioning-dependent. The sketch result is one
     * driver-side row (bounded: ≤ 1/support items). */
   private val q92FreqItems: Q = (s, dir) => {
+    import s.implicits._
     val toks = Tables(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("term"))
-    val top5 = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
-      .orderBy(desc("freq"), col("term")).limit(5)
+    // one tokenize pass feeds both the top-5 and the token total (the
+    // vocabulary-sized aggregate is cached, never the token stream)
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .persist()
+    val top5 = counts.orderBy(desc("freq"), col("term")).limit(5).collect()
+    val total = counts.agg(coalesce(sum(col("freq")), lit(0L)))
+      .head().getLong(0).toDouble
+    counts.unpersist()
     // support DERIVED from the data — half the 5th-ranked term's relative
     // frequency (capped at 1%) — so every exact top-5 term sits strictly
     // above the threshold and the no-false-negative guarantee holds for
     // ANY corpus shape, not just the current fixture's
-    val counts = top5.collect()
-    val total = toks.count().toDouble
-    val f5 = counts.map(_.getLong(1)).min.toDouble
+    val f5 = top5.map(_.getLong(1)).min.toDouble
     val support = math.min(0.01, (f5 / total) / 2.0)
     require(support >= 1e-4,
       s"top-5 terms too rare for a meaningful sketch (support $support)")
     val sketch = toks.stat.freqItems(Seq("term"), support)
-      .head().getSeq[String](0)
-    top5.withColumn("in_sketch", col("term").isin(sketch: _*))
+      .head().getSeq[String](0).toSet
+    // 5 driver-held rows → local result frame (re-executions are free)
+    top5.map(r => (r.getString(0), r.getLong(1), sketch(r.getString(0))))
+      .toSeq.toDF("term", "freq", "in_sketch")
+      .orderBy(desc("freq"), col("term"))
   }
 
   val defs: Map[String, Q] = Map(
