@@ -58,9 +58,13 @@ object Layout {
       b: Column, bMin: Double, bMax: Double): Column =
     morton2(grid16(a, aMin, aMax), grid16(b, bMin, bMax))
 
-  private def stamp(df: DataFrame, colA: String, colB: String): String = {
+  /** Stamp carries the layout CONFIG (columns + file count) beside the
+    * content facts — re-clustering the same data at a different
+    * granularity must rebuild, not silently reuse the old layout. */
+  private def stamp(df: DataFrame, colA: String, colB: String,
+      numFiles: Int): String = {
     val (n, fp) = ArtifactMeta.fingerprint(df)
-    s"$n:$colA:$colB:fp$fp"
+    s"$n:$colA:$colB:f$numFiles:fp$fp"
   }
 
   /** Write `df` z-ordered on (colA, colB) into `numFiles` range-split
@@ -71,7 +75,8 @@ object Layout {
   def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
       numFiles: Int = 32): Unit =
     ArtifactMeta.withBuildLock(df, path) {
-      writeStamped(df, colA, colB, path, numFiles, stamp(df, colA, colB))
+      writeStamped(df, colA, colB, path, numFiles,
+        stamp(df, colA, colB, numFiles))
     }
 
   private def writeStamped(df: DataFrame, colA: String, colB: String,
@@ -101,7 +106,7 @@ object Layout {
     * clustered table. */
   def zOrderedIfAbsent(df: DataFrame, colA: String, colB: String,
       path: String, numFiles: Int = 32): DataFrame = {
-    val s = stamp(df, colA, colB)
+    val s = stamp(df, colA, colB, numFiles)
     if (!ArtifactMeta.read(df, path, Meta).contains(s))
       ArtifactMeta.withBuildLock(df, path) {
         if (!ArtifactMeta.read(df, path, Meta).contains(s))

@@ -124,5 +124,19 @@ class LayoutSpec extends SparkTestBase {
     assert(z.filter(col("v") === "CHANGED").count() == 1,
       "content change with identical count must rebuild")
     assert(Files.exists(Paths.get(path, "_zorder_meta")))
+    // a GRANULARITY change on identical data must rebuild too (the stamp
+    // carries the layout config, not just the content facts)
+    val s2 = sig
+    Layout.zOrderedIfAbsent(df2, "a", "b", path, numFiles = 3)
+    assert(sig != s2, "numFiles change must rewrite the layout")
+  }
+
+  test("empty input lands as an empty stamped layout, not an NPE") {
+    import java.nio.file.{Files, Paths}
+    val path = tmpPath("graft_zorder_empty")
+    val empty = Seq.empty[(Long, Long, String)].toDF("a", "b", "v")
+    Layout.zOrderedIfAbsent(empty, "a", "b", path, numFiles = 2)
+    assert(spark.read.parquet(path).isEmpty)
+    assert(Files.exists(Paths.get(path, "_zorder_meta")))
   }
 }
