@@ -24,17 +24,18 @@ import org.apache.spark.sql.SparkSession
   * swamp the batch total and make every round-over-round comparison read
   * as a regression.
   *
-  * Five streaming throughput entries (s90/s91/s92/s93: events/sec through
+  * Six streaming throughput entries (s90/s91/s92/s93: events/sec through
   * the tumbling agg, flatMapGroupsWithState sessionization, watermarked
   * dedup, and the stream-stream interval join over a MemoryStream, noop
-  * sink; s94: ingestion INTO the versioned store through the exactly-once
-  * foreachBatch sink) ride beside the batch queries — the state-store and
-  * commit-path cost the batch twins can't see. They are reported on their
-  * own `"metric":"streaming"` line (sec + events/sec per entry). Stream
+  * sink; s94/s95: ingestion INTO the versioned store and INTO the BM25
+  * postings artifact through their exactly-once foreachBatch sinks) ride
+  * beside the batch queries — the state-store and commit-path cost the
+  * batch twins can't see. They are reported on their own
+  * `"metric":"streaming"` line (sec + events/sec per entry). Stream
   * entries run ONCE regardless of SPARK_GRAFT_BENCH_RUNS: each already
-  * amortizes noise over 100k events and ~16 micro-batches (their cost is
-  * per-batch state/commit work, measured once at ~10-40 s each), where
-  * the sub-second batch queries need min-of-n to shed VM weather.
+  * amortizes noise over its event volume and ~8-16 micro-batches (their
+  * cost is per-batch state/commit work, measured once at ~10-40 s each),
+  * where the sub-second batch queries need min-of-n to shed VM weather.
   *
   * A query whose every run throws is reported as sec -1 with an
   * `"error":true` marker and lands in the contract line's `errors` list —
@@ -102,26 +103,31 @@ object Bench {
     }
     // Streaming throughput smoke (state-store cost; see scaladoc).
     val streamEntries = Seq(
-      "s90_stream_tumbling" -> ((n: Int) =>
+      ("s90_stream_tumbling", StreamEvents, (n: Int) =>
         graft.streaming.StreamBench.tumblingEps(spark, n)),
-      "s91_stream_sessionize" -> ((n: Int) =>
+      ("s91_stream_sessionize", StreamEvents, (n: Int) =>
         graft.streaming.StreamBench.sessionizeEps(spark, n)),
-      "s92_stream_dedup" -> ((n: Int) =>
+      ("s92_stream_dedup", StreamEvents, (n: Int) =>
         graft.streaming.StreamBench.dedupEps(spark, n)),
-      "s93_stream_join" -> ((n: Int) =>
+      ("s93_stream_join", StreamEvents, (n: Int) =>
         graft.streaming.StreamBench.joinEps(spark, n)),
-      "s94_stream_ingest" -> ((n: Int) =>
-        graft.streaming.StreamBench.ingestEps(spark, n)))
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, eps) =>
-        // one TIMED run per entry (see scaladoc: 100k events already
-        // amortize) — but a transient failure still gets one retry, so a
+      ("s94_stream_ingest", StreamEvents, (n: Int) =>
+        graft.streaming.StreamBench.ingestEps(spark, n)),
+      // per-batch journaled commit work dominates, not event volume — a
+      // fifth of the noop-sink event count keeps the entry's runtime in
+      // line with the others (see lexicalIngestEps scaladoc)
+      ("s95_stream_lex_ingest", StreamEvents / 5, (n: Int) =>
+        graft.streaming.StreamBench.lexicalIngestEps(spark, n)))
+      .filter { case (name, _, _) => only.forall(_.contains(name)) }
+      .map { case (name, events, eps) =>
+        // one TIMED run per entry (see scaladoc: the event volume already
+        // amortizes) — but a transient failure still gets one retry, so a
         // healthy query can't land on the errors list off a one-off blip
         def attempt(): Double =
-          try eps(StreamEvents) catch { case _: Throwable => -1.0 }
+          try eps(events) catch { case _: Throwable => -1.0 }
         val first = attempt()
         val rate = if (first > 0) first else attempt()
-        val sec = if (rate > 0) StreamEvents / rate else -1.0
+        val sec = if (rate > 0) events / rate else -1.0
         val err = if (rate < 0) ""","error":true""" else ""
         println(s"""{"metric":"query","name":"$name","sec":${fmt(sec)},"events_per_sec":${fmt(rate)}$err}""")
         (name, sec, rate)

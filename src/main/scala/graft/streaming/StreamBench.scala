@@ -149,6 +149,45 @@ object StreamBench {
     n / elapsed
   }
 
+  /** Events/sec ingesting into the BM25 postings artifact through the
+    * exactly-once `Lexical.appendOnce` sink — the lexical twin of
+    * [[ingestEps]]: per micro-batch this pays the journaled commit
+    * (intent marker, tokenize + postings delta, stats delta derived from
+    * the written files, stamp advance). A regression in the append
+    * protocol (e.g. an accidental full-corpus rescan in the stamp math)
+    * shows up only here. Fed as documents (one per event); the cost is
+    * per-batch commit work, so the entry runs with a smaller event count
+    * than the noop-sink entries. */
+  def lexicalIngestEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_lex")
+    val idx = base.resolve("idx").toString
+    // seed an empty artifact: appendOnce maintains, writeIndex creates
+    graft.ops.Lexical.writeIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx)
+    val input = MemoryStream[BenchEvent]
+    val q = input.toDF()
+      .select(org.apache.spark.sql.functions.col("event_id").as("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.lit("event doc"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("props")).as("text"))
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ops.Lexical.appendOnce(df, "doc_id", "text", idx, id))
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .start()
+    val elapsed =
+      try feedSeconds(input, q, syntheticEvents(n), nBatches)
+      finally {
+        q.stop()
+        deleteTree(base)
+      }
+    n / elapsed
+  }
+
   /** Best-effort recursive delete of a throwaway directory: per-file
     * failures are ignored individually, and traversal failures must not
     * fail a measurement that already completed. */
