@@ -93,6 +93,10 @@ object GraftFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")
 
+  /** Kernel twin of [[tokens]] (regex-free, invocation-counted — lets a
+    * spec pin "one tokenize pass"; identical output on ASCII text). */
+  def tokensKernel(c: Column): Column = e2col(TokensArray(col2e(c)))
+
   /** Whitespace-normalize: collapse runs, trim (memo_cli.py:138-139). */
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
@@ -155,6 +159,7 @@ object GraftFunctions {
       case Seq(t, d) => HashEmbed(t, intLit("hash_embed", "dim", d))
     }
     reg("token_count", "1") { case Seq(t) => TokenCount(t) }
+    reg("tokens_array", "1") { case Seq(t) => TokensArray(t) }
     reg("distinct_token_count", "1") { case Seq(t) => DistinctTokenCount(t) }
     reg("letter_count", "1") { case Seq(t) => LetterCount(t) }
     reg("vec_dot", "2") { case Seq(a, b) => DotProduct(a, b) }

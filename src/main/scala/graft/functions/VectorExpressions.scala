@@ -58,6 +58,33 @@ case class HashEmbed(child: Expression, dim: Int)
     copy(child = newChild)
 }
 
+/** Token ARRAY of `[a-z0-9_]+` runs (the embed tokenizer) — the kernel
+  * twin of the `split`-built [[GraftFunctions.tokens]] column: identical
+  * output on ASCII corpora (the [[VectorKernels.tokenize]] contract), no
+  * regex in the per-row loop, and an invocation counter so specs can pin
+  * single-pass plans. */
+case class TokensArray(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens_array"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokens_array expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.tokensArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${VectorExprUtil.kernels}.tokensArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensArray =
+    copy(child = newChild)
+}
+
 /** Count of `[a-z0-9_]+` tokens in a string (the embed tokenizer). */
 case class TokenCount(child: Expression)
     extends UnaryExpression {

@@ -52,6 +52,28 @@ object VectorKernels {
     out.toArray
   }
 
+  /** Tokenize invocations in THIS JVM — the [[minhashCalls]] idiom: lets a
+    * spec pin "one tokenize pass over the corpus" (q92's sketch feeds off
+    * the aggregated counts, never a second token scan). Counts calls to
+    * [[tokensArray]] only (the kernel array tokenizer), not the SQL
+    * `split`-based [[graft.functions.GraftFunctions.tokens]]. */
+  val tokenizeCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Token ARRAY per [[tokenize]] — the regex-free kernel twin of the
+    * built-in `tokens()` column (identical output on ASCII corpora; see
+    * the ASCII contract above). */
+  def tokensArray(text: UTF8String): ArrayData = {
+    tokenizeCalls.incrementAndGet()
+    if (text == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val toks = tokenize(text.toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def tokenCount(text: UTF8String): Int = {
     if (text == null) return 0
     val s = text.toString

@@ -80,15 +80,31 @@ object EventQueries {
     * time-series feature pipeline runs before ML consumption; the spine
     * side scales as days × keys, independent of event volume. */
   private val q91GapFill: Q = (s, dir) => {
+    import s.implicits._
     val ev = Tables(s, dir, "events").filter(col("user_id") < 5)
     val daily = ev
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"), round2(sum(col("value"))).as("daily_value"))
-    val span = ev.agg(date_trunc("day", min(col("ts"))).as("lo"),
-      date_trunc("day", max(col("ts"))).as("hi"))
-    val spine = span
-      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-      .crossJoin(ev.select(col("user_id")).distinct())
+    // the spine's two inputs — day bounds and the key set — in ONE
+    // aggregation over one events scan (r6 shape re-scanned events for
+    // span and again for the distinct keys: three scans in the plan).
+    // collect_set is bounded here by the user slice (≤ 5 keys), the
+    // packBins numGroups-bounded-driver-state contract; an unbounded key
+    // domain would keep the keys distributed (the r6 crossJoin shape)
+    val f = ev.agg(date_trunc("day", min(col("ts"))).as("lo"),
+      date_trunc("day", max(col("ts"))).as("hi"),
+      collect_set(col("user_id")).as("users")).head()
+    val users: Seq[Long] =
+      if (f.isNullAt(2)) Seq.empty else f.getSeq[Long](2).sorted
+    val spine =
+      if (f.isNullAt(0) || users.isEmpty)
+        Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "day")
+      else users.toDF("user_id")
+        // generated on EXECUTORS (sequence + explode of literal bounds):
+        // spine cost = days × keys, independent of event volume
+        .crossJoin(s.range(1).select(explode(sequence(
+          lit(f.getTimestamp(0)), lit(f.getTimestamp(1)),
+          expr("interval 1 day"))).as("day")))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     spine.join(daily, Seq("user_id", "day"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
