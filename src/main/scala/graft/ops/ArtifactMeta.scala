@@ -57,6 +57,34 @@ private[graft] object ArtifactMeta {
     try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
   }
 
+  // ---- append-intent journal (the Lexical `_lex_journal` protocol,
+  // shared): an O(batch) append writes data files BEFORE advancing the
+  // stamp, so a crash in that window would leave appended rows served
+  // under the old still-valid stamp — a later buildIfAbsent over the
+  // pre-append corpus would validate against an artifact holding rows
+  // that corpus doesn't. The journal closes the window: write the marker
+  // (carrying the stamp the append will produce) BEFORE the data delta,
+  // drop it after the stamp advance. A marker whose expected stamp IS
+  // live is a completed append's stale leftover (safe to drop); any
+  // other marker means data and stats disagree — refuse and rebuild.
+
+  /** Reconcile a journal before maintenance work: drops a completed
+    * append's stale marker, throws on a genuinely torn artifact. */
+  def journalGuard(spark: org.apache.spark.sql.SparkSession, path: String,
+      journalName: String, liveStamp: String): Unit =
+    read(spark, path, journalName).foreach { expected =>
+      if (expected == liveStamp) delete(spark, path, journalName)
+      else throw new IllegalStateException(
+        s"artifact at $path has an incomplete append (journal " +
+          s"$journalName) — rebuild it before appending or serving")
+    }
+
+  /** True iff a pending journal contradicts the live stamp — freshness
+    * checks treat a torn artifact as stale (forcing the rebuild arm). */
+  def journalTorn(spark: org.apache.spark.sql.SparkSession, path: String,
+      journalName: String, liveStamp: String): Boolean =
+    read(spark, path, journalName).exists(_ != liveStamp)
+
   /** (row count, content fingerprint) of `df` in ONE aggregation pass.
     *
     * The fingerprint is the exact decimal sum of `xxhash64` over `cols`

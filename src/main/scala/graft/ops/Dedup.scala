@@ -134,15 +134,21 @@ object Dedup {
   def signaturesIfAbsent(corpus: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
     val stamp = sigStamp(corpus, idCol, textCol, numHashes, shingleSize)
-    if (!readSigMeta(corpus, path).contains(stamp)) // fresh: lock-free
+    // a journal contradicting the live stamp marks a torn append (crash
+    // between data write and stamp advance) — force the rebuild arm
+    def fresh() = readSigMeta(corpus, path).contains(stamp) &&
+      !ArtifactMeta.journalTorn(corpus.sparkSession, path, SigJournal, stamp)
+    if (!fresh()) // fresh: lock-free
       ArtifactMeta.withBuildLock(corpus, path) {
         // double-checked: reuse a racing builder's finished artifact
-        if (!readSigMeta(corpus, path).contains(stamp))
+        if (!fresh())
           writeSignaturesStamped(corpus, idCol, textCol, path, numHashes,
             shingleSize, stamp)
       }
     loadSignatures(corpus.sparkSession, path)
   }
+
+  private val SigJournal = "_minhash_journal"
 
   /** Append a batch's signatures to an existing artifact — the maintenance
     * half of the incremental-ingest cycle (admitted rows join the corpus,
@@ -162,12 +168,18 @@ object Dedup {
         s"signature artifact at $path predates content-fingerprint stamps — " +
           "rebuild it with writeSignatures")
     }
-    computeSignatures(batch, idCol, textCol, numHashes.toInt, shingleSize.toInt)
-      .write.mode("append").parquet(path)
+    // journal protocol (the Lexical shape): a crash between the data
+    // write and the stamp advance must be detectable, not silently served
+    ArtifactMeta.journalGuard(batch.sparkSession, path, SigJournal, stamp)
     // fingerprints are additive sums, so the stamp advances in O(batch)
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
-    writeSigMeta(batch, path, s"${count.toLong + bn}:$numHashes:$shingleSize" +
-      s":fp${BigInt(fp.drop(2)) + bfp}")
+    val next = s"${count.toLong + bn}:$numHashes:$shingleSize" +
+      s":fp${BigInt(fp.drop(2)) + bfp}"
+    ArtifactMeta.write(batch.sparkSession, path, SigJournal, next)
+    computeSignatures(batch, idCol, textCol, numHashes.toInt, shingleSize.toInt)
+      .write.mode("append").parquet(path)
+    writeSigMeta(batch, path, next)
+    ArtifactMeta.delete(batch.sparkSession, path, SigJournal)
   }
 
   /** Read a persisted signature artifact: (id, sig). */

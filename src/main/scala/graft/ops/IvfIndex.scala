@@ -157,9 +157,29 @@ object IvfIndex {
   def persist(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
-  /** Read a persisted index back (cell_id is the partition column). */
+  /** Append-intent journal + pending-delete tombstones (underscore names:
+    * invisible to the parquet reader scanning `path`). */
+  private val Journal = "_ivf_journal"
+  private def tombDir(path: String) = s"$path/_tombstones"
+
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id"))
+    else None
+  }
+
+  /** Read a persisted index back (cell_id is the partition column),
+    * excluding any docs retracted by [[delete]] that [[applyDeletes]] has
+    * not yet folded away (broadcast anti-join — tombstone volume is
+    * bounded by deletes since the last apply). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    readTombstones(spark, path) match {
+      case Some(tomb) => spark.read.parquet(path)
+        .join(broadcast(tomb), Seq("id"), "left_anti")
+      case None => spark.read.parquet(path)
+    }
 
   /** Ensure a persisted index exists at `path` for this corpus and return
     * its centroids — the build-once / probe-many lifecycle of a real ANN
@@ -184,13 +204,18 @@ object IvfIndex {
     // invalidate like any other config change, and a paid refinement must
     // not be silently discarded by the next freshness check
     val stamp = s"$n:$nlist:$sampleFraction:$refineIters:fp$fp"
+    // a pending journal that contradicts the live stamp marks a torn
+    // append (crash between data write and stamp advance): the stamp can
+    // no longer be trusted to describe the data — force the rebuild arm
+    def torn() = ArtifactMeta.journalTorn(corpus.sparkSession, path, Journal,
+      readMeta(fs, metaPath).map(_.stamp).getOrElse(""))
     readMeta(fs, metaPath) match {
-      case Some(m) if m.stamp == stamp => m.centroids // fresh: lock-free
+      case Some(m) if m.stamp == stamp && !torn() => m.centroids // fresh: lock-free
       case _ => ArtifactMeta.withBuildLock(corpus, path) {
         // double-checked: a racing builder may have finished while we
         // waited for the lock — its stamp validates and we reuse
         readMeta(fs, metaPath) match {
-          case Some(m) if m.stamp == stamp => m.centroids
+          case Some(m) if m.stamp == stamp && !torn() => m.centroids
           case _ =>
             val sampled = trainCentroids(corpus, embCol, nlist,
               sampleFraction = sampleFraction)
@@ -236,18 +261,121 @@ object IvfIndex {
           s"IVF index at $path predates refinement-aware stamps — " +
             "delete it (or its _ivf_centroids) and rebuild")
       }
+    val spark = batch.sparkSession
+    // journal protocol (the Lexical shape): a crash between the data
+    // write and the stamp advance must be DETECTABLE — without it the
+    // appended rows would serve under the old still-valid stamp and a
+    // later buildIfAbsent over the pre-append corpus would bless them
+    ArtifactMeta.journalGuard(spark, path, Journal, meta.stamp)
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    val next = s"${count.toLong + bn}:$nlist:$sampleFraction:$refineIters" +
+      s":fp${BigInt(fp.drop(2)) + bfp}"
+    ArtifactMeta.write(spark, path, Journal, next)
     build(batch, idCol, embCol, meta.centroids)
       .write.mode("append").partitionBy("cell_id").parquet(path)
     // stamp advances additively in O(batch); occupancy is re-read from the
     // grown layout (a partition-column-only scan — parquet answers it from
     // directory names + footer row counts, no data pages)
-    writeMeta(fs, metaPath, Meta(
-      s"${count.toLong + bn}:$nlist:$sampleFraction:$refineIters" +
-        s":fp${BigInt(fp.drop(2)) + bfp}",
-      Some(cellOccupancy(batch.sparkSession, path, nlist.toInt)),
+    writeMeta(fs, metaPath, Meta(next,
+      Some(cellOccupancy(spark, path, nlist.toInt)),
       meta.centroids))
+    ArtifactMeta.delete(spark, path, Journal)
     meta.centroids
+  }
+
+  /** Retract documents WITHOUT a rebuild — the delete path that keeps
+    * "remove 0.1% of the corpus" from costing a full re-index. O(batch):
+    * the batch's ids land as tombstones (probes exclude them via
+    * [[load]]'s anti-join) and the stamp facts retreat additively
+    * (fingerprints are sums, so subtraction is exact) — a later
+    * [[buildIfAbsent]] over corpus ∖ batch validates against the index
+    * instead of retraining. [[applyDeletes]] folds tombstones away
+    * physically by rewriting only the affected cell partitions.
+    *
+    * ID CONTRACT (the [[graft.ops.Lexical.delete]] dual): the batch must
+    * be exactly rows previously indexed — same ids, same embeddings.
+    * Stamp-checked rebuilds catch drift after the fact. Stored per-cell
+    * occupancy intentionally stays PHYSICAL (tombstoned rows are still
+    * read by probes until applied), so the compaction skew trigger keeps
+    * measuring real probe cost. */
+  def delete(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Unit = ArtifactMeta.withBuildLock(batch, path) {
+    val spark = batch.sparkSession
+    val (fs, metaPath) = metaLocation(batch, path)
+    val meta = readMeta(fs, metaPath).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF index at $path — run buildIfAbsent before delete"))
+    ArtifactMeta.journalGuard(spark, path, Journal, meta.stamp)
+    val parts = meta.stamp.split(":", 5)
+    val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    val n = parts(0).toLong - bn
+    require(n >= 0, s"delete batch exceeds index contents at $path " +
+      s"(${parts(0)} rows, $bn deleted) — id contract violated")
+    val next = (s"$n:${parts(1)}:${parts(2)}:${parts(3)}" +
+      s":fp${BigInt(parts(4).drop(2)) - bfp}")
+    ArtifactMeta.write(spark, path, Journal, next)
+    batch.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(tombDir(path))
+    writeMeta(fs, metaPath, Meta(next, meta.occupancy, meta.centroids))
+    ArtifactMeta.delete(spark, path, Journal)
+  }
+
+  /** Apply pending tombstones physically: rewrite ONLY the cell
+    * partitions that contain deleted ids (a bounded filesystem swap per
+    * affected cell — never a full-index rewrite), then clear the
+    * tombstone table. Returns true iff anything was applied.
+    *
+    * Crash safety: the stamp file is deleted across the swap window
+    * (invalidate-first — a crash leaves a loudly-invalid index that
+    * [[buildIfAbsent]] rebuilds, never a valid stamp over half-swapped
+    * cells). The surviving rows are staged to a sibling directory first:
+    * Spark refuses (correctly) to overwrite a path it is reading, and the
+    * per-cell rename swap is atomic per partition on a real filesystem. */
+  def applyDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = ArtifactMeta.withBuildLock(spark, path) {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
+    val meta = readMeta(fs, metaPath).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF index at $path — run buildIfAbsent before applyDeletes"))
+    ArtifactMeta.journalGuard(spark, path, Journal, meta.stamp)
+    readTombstones(spark, path) match {
+      case None => false
+      case Some(tomb) =>
+        val raw = spark.read.parquet(path)
+        // affected cells: column-pruned semi join (reads id + partition
+        // value only); bounded by nlist, so the collect is tiny
+        val affected = raw.join(broadcast(tomb), Seq("id"), "left_semi")
+          .select("cell_id").distinct().collect().map(_.getInt(0))
+        if (affected.isEmpty) {
+          fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
+          true
+        } else {
+        val staging = new org.apache.hadoop.fs.Path(path + "_apply")
+        fs.delete(staging, true)
+        raw.filter(col("cell_id").isin(affected.toSeq: _*))
+          .join(broadcast(tomb), Seq("id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(staging.toString)
+        ArtifactMeta.delete(spark, path, "_ivf_centroids")
+        affected.foreach { c =>
+          val dst = new org.apache.hadoop.fs.Path(path, s"cell_id=$c")
+          val src = new org.apache.hadoop.fs.Path(staging, s"cell_id=$c")
+          fs.delete(dst, true)
+          // a cell whose every row died has no staged dir — deletion IS
+          // the rewrite for it
+          if (fs.exists(src)) fs.rename(src, dst)
+        }
+        fs.delete(staging, true)
+        fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
+        val nlist = meta.stamp.split(":", 5)(1).toInt
+        writeMeta(fs, metaPath,
+          Meta(meta.stamp, Some(cellOccupancy(spark, path, nlist)),
+            meta.centroids))
+        true
+        }
+    }
   }
 
   /** Per-cell row counts of a persisted index, indexed by cell_id. Reads
@@ -257,7 +385,10 @@ object IvfIndex {
   def cellOccupancy(spark: org.apache.spark.sql.SparkSession, path: String,
       nlist: Int): Array[Long] = {
     val occ = new Array[Long](nlist)
-    load(spark, path).groupBy("cell_id").count().collect().foreach { r =>
+    // raw read, NOT [[load]]: occupancy is deliberately PHYSICAL — probes
+    // still scan tombstoned rows until applyDeletes, so the skew trigger
+    // must count them (and the raw read keeps this metadata-only)
+    spark.read.parquet(path).groupBy("cell_id").count().collect().foreach { r =>
       val c = r.getInt(0)
       if (c >= 0 && c < nlist) occ(c) = r.getLong(1)
     }
@@ -290,6 +421,7 @@ object IvfIndex {
     val meta = readMeta(fs, metaPath).getOrElse(
       throw new IllegalStateException(
         s"no IVF index at $path — run buildIfAbsent before compact"))
+    ArtifactMeta.journalGuard(corpus.sparkSession, path, Journal, meta.stamp)
     val parts = meta.stamp.split(":", 5)
     val nlist = parts(1).toInt
     // old artifacts without stored occupancy: one partition-column scan

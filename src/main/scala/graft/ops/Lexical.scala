@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.tokensKernel
 
 /** BM25 lexical retrieval over a persisted postings artifact — the
   * keyword-search twin of the vector serving paths ([[IvfIndex]],
@@ -34,7 +34,13 @@ import graft.functions.GraftFunctions.tokens
   *    O(batch). [[compactStats]] folds deltas back together when the
   *    count grows. Both tables nest each write in its own
   *    `ingest=<tag>` partition directory — which is what makes
-  *    [[appendOnce]]'s micro-batch replay idempotent at the data layer.
+  *    [[appendOnce]]'s micro-batch replay idempotent at the data layer;
+  *    [[compactPostings]] folds accumulated postings directories back to
+  *    one term-sorted base so probe I/O stays flat under continuous
+  *    ingest.
+  *  - `tombstones/` — doc ids retracted by [[delete]] (O(batch), no
+  *    rebuild): probes anti-join them until [[compactPostings]] applies
+  *    them physically and clears the table.
   *  - `_lex_meta` — stamp carrying (docCount, sum of doc lengths, content
   *    fingerprint). N and avgdl — the corpus-global BM25 inputs — are
   *    answered from the stamp at probe time (metadata-only, no scan), and
@@ -57,6 +63,7 @@ object Lexical {
 
   private def postingsPath(path: String) = s"$path/postings"
   private def statsPath(path: String) = s"$path/termstats"
+  private def tombstonesPath(path: String) = s"$path/tombstones"
 
   /** (term, doc_id, tf, dl) postings rows for a corpus — one explode +
     * one hash aggregation; `dl` counts ALL tokens of the doc (including
@@ -64,7 +71,7 @@ object Lexical {
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        tokens(col(textCol)).as("ts"))
+        tokensKernel(col(textCol)).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
         explode(col("ts")).as("term"))
       .groupBy("term", "doc_id", "dl")
@@ -91,7 +98,7 @@ object Lexical {
       count(lit(1)),
       coalesce(sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)),
-      coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long")).head()
+      coalesce(sum(size(tokensKernel(col(textCol)))), lit(0)).cast("long")).head()
     LexStamp(row.getLong(0), row.getLong(2),
       BigInt(row.getDecimal(1).toBigInteger), None)
   }
@@ -181,6 +188,7 @@ object Lexical {
     ArtifactMeta.delete(spark, path, Journal)
     fs.delete(new org.apache.hadoop.fs.Path(postingsPath(path)), true)
     fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(path)), true)
     writeDelta(sortedPostings(docs, idCol, textCol), postingsPath(path), "base")
     writeDelta(
       spark.read.parquet(postingsPath(path))
@@ -218,7 +226,18 @@ object Lexical {
     * termstats directory, and the stamp advances additively (count, token
     * sum, fingerprint are all sums — [[ArtifactMeta.fingerprint]]'s
     * additive contract), so a later [[writeIfAbsent]] over corpus ∪ batch
-    * validates without a rebuild. */
+    * validates without a rebuild.
+    *
+    * ID CONTRACT: the batch's doc ids must be DISJOINT from every doc
+    * already in the artifact (append means "new documents"). Re-appending
+    * a live id would land duplicate (term, doc) postings rows and an
+    * inflated df delta — that doc's BM25 contribution double-counts and
+    * no error surfaces. The O(batch) guarantee is exactly what forbids a
+    * membership probe here (it would read the corpus-sized postings);
+    * callers that can't prove disjointness should route the overlap
+    * through [[delete]] + append, or rebuild via [[writeIfAbsent]] (whose
+    * stamp check catches any drift). The engine's maintenance paths mint
+    * dense fresh ids, satisfying this by construction. */
   def append(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
     appendTagged(batch, idCol, textCol, path,
@@ -300,6 +319,74 @@ object Lexical {
       ArtifactMeta.delete(spark, path, Journal)
     }
 
+  /** Retract documents from the artifact WITHOUT a rebuild — the delete
+    * path every derived structure needs at scale ("remove 0.1% of the
+    * corpus" must not cost a full re-index). O(batch) work, the dual of
+    * [[append]] under the same journal protocol:
+    *
+    *  - the batch's doc ids land as a tombstone delta
+    *    (`tombstones/ingest=<tag>`); probes exclude tombstoned docs with
+    *    a broadcast anti-join (tombstone volume is bounded by deletes
+    *    since the last [[compactPostings]], which applies them
+    *    physically and clears the table);
+    *  - a NEGATIVE df delta lands in termstats, so per-term document
+    *    frequencies stay exact under the readers' existing `sum(df)`;
+    *  - the stamp facts RETREAT additively (count, token sum,
+    *    fingerprint are sums, so subtraction is exact) — a later
+    *    [[writeIfAbsent]] over corpus ∖ batch validates without a
+    *    rebuild, and a [[searchBm25]] afterwards is bit-identical to one
+    *    over a fresh index of the surviving corpus (pinned by
+    *    LexicalSpec).
+    *
+    * ID CONTRACT (the dual of [[append]]'s): the batch must be exactly
+    * rows previously ingested — same ids, same text. Deleting an absent
+    * id or altered text would skew the subtracted stats with no error
+    * surfaced; [[writeIfAbsent]]'s stamp check catches the drift after
+    * the fact. */
+  def delete(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val tag = "del_" + java.util.UUID.randomUUID().toString.take(8)
+    ArtifactMeta.withBuildLock(batch, path) {
+      val spark = batch.sparkSession
+      val prior = readMeta(spark, path).getOrElse(throw new IllegalStateException(
+        s"no lexical artifact at $path — writeIndex first"))
+      readJournal(spark, path).foreach { j =>
+        if (j.expected == prior.render)
+          ArtifactMeta.delete(spark, path, Journal) // completed, stale marker
+        else if (j.tag != tag)
+          throw new IllegalStateException(
+            s"lexical artifact at $path has an incomplete append '${j.tag}' — " +
+              "rebuild with writeIndex/writeIfAbsent before deleting")
+      }
+      val b = lexStamp(batch, idCol, textCol)
+      val next = LexStamp(prior.n - b.n, prior.sumDl - b.sumDl,
+        prior.fp - b.fp, prior.mark)
+      require(next.n >= 0 && next.sumDl >= 0,
+        s"delete batch exceeds artifact contents at $path " +
+          s"(${prior.n} docs, ${b.n} deleted) — id contract violated")
+      ArtifactMeta.write(spark, path, Journal, s"$tag|${next.render}")
+      writeDelta(batch.select(col(idCol).cast("long").as("doc_id")).distinct(),
+        tombstonesPath(path), tag)
+      // negative df delta from the batch's own postings (O(batch)
+      // tokenize; existing termstats directories are never touched)
+      writeDelta(
+        postings(batch, idCol, textCol).groupBy("term")
+          .agg((-count(lit(1))).as("df")),
+        statsPath(path), tag)
+      ArtifactMeta.write(spark, path, Meta, next.render)
+      ArtifactMeta.delete(spark, path, Journal)
+    }
+  }
+
+  /** Live tombstoned doc ids, if any deletes are pending compaction. */
+  private def readTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("doc_id"))
+    else None
+  }
+
   /** Fold the termstats deltas back into one aggregated layout — the
     * maintenance companion of [[append]] (run when the delta file count
     * grows; readers are correct either way, this just bounds the
@@ -333,6 +420,54 @@ object Lexical {
       ArtifactMeta.write(spark, path, Meta, st.render)
     }
 
+  /** Fold the per-ingest postings directories back into ONE term-sorted
+    * base, applying any pending tombstones physically — the maintenance
+    * that keeps probe I/O flat under continuous ingest. Without it every
+    * [[append]]/[[appendOnce]] leaves a new `ingest=<tag>` directory
+    * forever (one per micro-batch under a streaming sink), and a probe's
+    * `term IN` slice must touch a row-group range in EVERY directory —
+    * file listing and probe I/O growing linearly with ingest history,
+    * exactly the degradation the term-sorted layout exists to prevent.
+    *
+    * Same invalidate-first swap as [[compactStats]] (stamp deleted across
+    * the delete+rename window — a crash inside it leaves a loudly-invalid
+    * artifact, never a valid stamp over a half-swapped table), same
+    * quiesce-the-stream ordering contract with [[appendOnce]]. Tombstoned
+    * docs are dropped and the tombstone table cleared; the stamp is
+    * unchanged (delete already retreated it). Run both compactions
+    * together via [[compact]]. */
+  def compactPostings(spark: SparkSession, path: String): Unit =
+    ArtifactMeta.withBuildLock(spark, path) {
+      val st = serveStamp(spark, path)
+      val live = readTombstones(spark, path) match {
+        case Some(tomb) => spark.read.parquet(postingsPath(path))
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        case None => spark.read.parquet(postingsPath(path))
+      }
+      val folded = live.select("term", "doc_id", "tf", "dl")
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+      val tmp = postingsPath(path) + "_compact"
+      writeDelta(folded, tmp, "base")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ArtifactMeta.delete(spark, path, Meta)
+      fs.delete(new org.apache.hadoop.fs.Path(postingsPath(path)), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(postingsPath(path)))
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(path)), true)
+      ArtifactMeta.write(spark, path, Meta, st.render)
+    }
+
+  /** Full maintenance pass: fold postings (applying tombstones) and
+    * termstats. Lock is re-entrant, so the pair runs as one critical
+    * section. */
+  def compact(spark: SparkSession, path: String): Unit =
+    ArtifactMeta.withBuildLock(spark, path) {
+      compactPostings(spark, path)
+      compactStats(spark, path)
+    }
+
   /** BM25 top-k over the artifact for a bag of query terms.
     *
     * Per (doc, term): `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
@@ -355,9 +490,15 @@ object Lexical {
     // stamp + journal checked BEFORE any data file is touched: a missing
     // or torn artifact surfaces as the designed error, not a parquet one
     val st = serveStamp(spark, path)
-    val avgDl = st.sumDl.toDouble / st.n.toDouble
-    val post = spark.read.parquet(postingsPath(path))
+    val avgDl = if (st.n == 0) 0.0 else st.sumDl.toDouble / st.n.toDouble
+    val post0 = spark.read.parquet(postingsPath(path))
       .filter(col("term").isin(terms: _*))
+    // pending deletes: exclude tombstoned docs (broadcast — bounded by
+    // deletes since the last compactPostings, which folds them away)
+    val post = readTombstones(spark, path) match {
+      case Some(tomb) => post0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      case None => post0
+    }
     val df = spark.read.parquet(statsPath(path))
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))
@@ -375,7 +516,7 @@ object Lexical {
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "scoreBm25 needs at least one query term")
     val row = docs.agg(count(lit(1)),
-      coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long")).head()
+      coalesce(sum(size(tokensKernel(col(textCol)))), lit(0)).cast("long")).head()
     val (n, sumDl) = (row.getLong(0), row.getLong(1))
     val post = postings(docs, idCol, textCol)
       .filter(col("term").isin(terms: _*))

@@ -243,12 +243,16 @@ object PqIndex {
       m: Int, ksub: Int, path: String,
       sampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
     val stamp = stampOf(corpus, idCol, embCol, m, ksub, sampleFraction)
+    // a journal contradicting the live stamp marks a torn append — the
+    // stamp no longer describes the data; force the rebuild arm
+    def ok(meta: Meta) = meta.stamp == stamp &&
+      !ArtifactMeta.journalTorn(corpus.sparkSession, path, Journal, meta.stamp)
     readMeta(corpus, path) match {
-      case Some(meta) if meta.stamp == stamp => meta.codebooks // lock-free
+      case Some(meta) if ok(meta) => meta.codebooks // lock-free
       case _ => ArtifactMeta.withBuildLock(corpus, path) {
         // double-checked: reuse a racing builder's finished artifact
         readMeta(corpus, path) match {
-          case Some(meta) if meta.stamp == stamp => meta.codebooks
+          case Some(meta) if ok(meta) => meta.codebooks
           case _ =>
             val cbs = trainCodebooks(corpus, embCol, m, ksub, sampleFraction)
             encode(corpus, idCol, embCol, cbs)
@@ -260,9 +264,77 @@ object PqIndex {
     }
   }
 
-  /** Read a persisted codes table back. */
+  /** Append-intent journals + pending-delete tombstones (underscore
+    * names: invisible to parquet reads of `path`). */
+  private val Journal = "_pq_journal"
+  private val IvfPqJournal = "_ivfpq_journal"
+  private def tombDir(path: String) = s"$path/_tombstones"
+
+  private def readTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id"))
+    else None
+  }
+
+  /** Read a persisted codes table back (flat or IVF-PQ), excluding any
+    * docs retracted by [[delete]]/[[deleteIvfPq]] (broadcast anti-join —
+    * tombstone volume is bounded by deletes since the last rebuild, which
+    * folds them away). */
   def loadCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    readTombstones(spark, path) match {
+      case Some(tomb) => spark.read.parquet(path)
+        .join(broadcast(tomb), Seq("id"), "left_anti")
+      case None => spark.read.parquet(path)
+    }
+
+  /** Retract documents from a codes artifact WITHOUT a rebuild —
+    * [[IvfIndex.delete]]'s contract on the PQ artifacts: tombstone the
+    * ids (probes exclude them via [[loadCodes]]' anti-join), retreat the
+    * stamp facts additively, journal the window. A later
+    * [[buildIfAbsent]] over corpus ∖ batch validates without re-encoding;
+    * the next full rewrite (rebuild or [[compactIvfPq]]) folds the
+    * tombstones away physically. Same id contract as every delete path:
+    * the batch must be exactly rows previously encoded. */
+  def delete(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Unit =
+    deleteTagged(batch, idCol, embCol, path, Journal, MetaName,
+      splitArity = 5)
+
+  /** [[delete]] for a persisted IVF-PQ index. */
+  def deleteIvfPq(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Unit =
+    deleteTagged(batch, idCol, embCol, path, IvfPqJournal, IvfPqMetaName,
+      splitArity = 6)
+
+  /** Shared tombstone-delete body: both PQ artifacts stamp
+    * `count:<config...>:fp<sum>`, so the retreat rewrites fields 0 and
+    * last and preserves the config middle verbatim. */
+  private def deleteTagged(batch: DataFrame, idCol: String, embCol: String,
+      path: String, journal: String, metaName: String,
+      splitArity: Int): Unit = ArtifactMeta.withBuildLock(batch, path) {
+    val spark = batch.sparkSession
+    val lines = readMetaFileLines(hconf(batch), path, metaName).getOrElse(
+      throw new IllegalStateException(
+        s"no PQ artifact at $path — build before delete"))
+    val stamp = lines.head
+    ArtifactMeta.journalGuard(spark, path, journal, stamp)
+    val parts = stamp.split(":", splitArity)
+    require(parts.length == splitArity && parts.last.startsWith("fp"),
+      s"PQ artifact at $path has a pre-lifecycle stamp — rebuild it")
+    val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    val n = parts(0).toLong - bn
+    require(n >= 0, s"delete batch exceeds artifact contents at $path " +
+      s"(${parts(0)} rows, $bn deleted) — id contract violated")
+    val next = (n.toString +: parts.tail.init :+
+      s"fp${BigInt(parts.last.drop(2)) - bfp}").mkString(":")
+    ArtifactMeta.write(spark, path, journal, next)
+    batch.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(tombDir(path))
+    writeMetaFileLines(hconf(batch), path, metaName, next +: lines.tail)
+    ArtifactMeta.delete(spark, path, journal)
+  }
 
   /** Codebooks of a persisted codes table, straight off its stamp file —
     * for oracle exporters that must be a pure function of on-disk state. */
@@ -330,7 +402,9 @@ object PqIndex {
     val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
     val stamp = s"$n:$nlist:$m:$ksub:$sampleFraction:fp$fp"
     def fresh() = readIvfPqMeta(corpus, path) match {
-      case Some(meta) if meta.stamp == stamp =>
+      case Some(meta) if meta.stamp == stamp &&
+          !ArtifactMeta.journalTorn(corpus.sparkSession, path, IvfPqJournal,
+            meta.stamp) =>
         Some((meta.centroids, meta.codebooks))
       case _ => None
     }
@@ -387,12 +461,17 @@ object PqIndex {
           s"PQ artifact at $path predates content-fingerprint stamps — " +
             "delete it (or its _pq_codebooks) and rebuild")
       }
+    // journal protocol (the Lexical shape): a crash between the data
+    // write and the stamp advance must be detectable, not silently served
+    ArtifactMeta.journalGuard(batch.sparkSession, path, Journal, meta.stamp)
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    val next =
+      s"${count.toLong + bn}:$m:$ksub:$sampleFraction:fp${BigInt(fp.drop(2)) + bfp}"
+    ArtifactMeta.write(batch.sparkSession, path, Journal, next)
     encode(batch, idCol, embCol, meta.codebooks)
       .write.mode("append").parquet(path)
-    writeMeta(batch, path, Meta(
-      s"${count.toLong + bn}:$m:$ksub:$sampleFraction:fp${BigInt(fp.drop(2)) + bfp}",
-      meta.codebooks))
+    writeMeta(batch, path, Meta(next, meta.codebooks))
+    ArtifactMeta.delete(batch.sparkSession, path, Journal)
     meta.codebooks
   }
 
@@ -416,14 +495,18 @@ object PqIndex {
           s"IVF-PQ index at $path predates content-fingerprint stamps — " +
             "delete it (or its _ivfpq_meta) and rebuild")
       }
+    ArtifactMeta.journalGuard(batch.sparkSession, path, IvfPqJournal,
+      meta.stamp)
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
+    val next = s"${count.toLong + bn}:$nlist:$m:$ksub:$sampleFraction" +
+      s":fp${BigInt(fp.drop(2)) + bfp}"
+    ArtifactMeta.write(batch.sparkSession, path, IvfPqJournal, next)
     encodeIvfPq(batch, idCol, embCol, meta.centroids, meta.codebooks)
       .write.mode("append").partitionBy("cell_id").parquet(path)
-    writeIvfPqMeta(batch, path, IvfPqMeta(
-      s"${count.toLong + bn}:$nlist:$m:$ksub:$sampleFraction" +
-        s":fp${BigInt(fp.drop(2)) + bfp}",
+    writeIvfPqMeta(batch, path, IvfPqMeta(next,
       Some(IvfIndex.cellOccupancy(batch.sparkSession, path, nlist.toInt)),
       meta.centroids, meta.codebooks))
+    ArtifactMeta.delete(batch.sparkSession, path, IvfPqJournal)
     (meta.centroids, meta.codebooks)
   }
 
@@ -442,6 +525,8 @@ object PqIndex {
     val meta = readIvfPqMeta(corpus, path).getOrElse(
       throw new IllegalStateException(
         s"no IVF-PQ index at $path — run buildIfAbsentIvfPq before compact"))
+    ArtifactMeta.journalGuard(corpus.sparkSession, path, IvfPqJournal,
+      meta.stamp)
     val parts = meta.stamp.split(":", 6)
     val (nlist, m, ksub) = (parts(1).toInt, parts(2).toInt, parts(3).toInt)
     val occ = meta.occupancy.getOrElse(

@@ -87,6 +87,26 @@ class CurationSpec extends SparkTestBase {
       s"batch-2 dedup ran $cost2 minhash calls for a $nBatch2-row batch")
   }
 
+  test("a torn signature append is refused and rebuilt (journal protocol)") {
+    import graft.ops.Dedup
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val sigPath = java.nio.file.Files.createTempDirectory("sigs_torn")
+      .resolve("minhash").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", sigPath)
+    // crash window: journal present, expected stamp ≠ live
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sigPath, "_minhash_journal"), "999:64:3:fp0\n")
+    val e = intercept[IllegalStateException] {
+      Dedup.appendSignatures(corpus.limit(3), "doc_id", "text", sigPath)
+    }
+    assert(e.getMessage.contains("incomplete append"))
+    // signaturesIfAbsent sees the torn artifact as stale and rebuilds
+    Dedup.signaturesIfAbsent(corpus, "doc_id", "text", sigPath)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(sigPath, "_minhash_journal")))
+    assert(Dedup.loadSignatures(spark, sigPath).count() == corpus.count())
+  }
+
   test("ingest admits fresh rows, rejects twins, and appends the artifact") {
     import graft.ops.Dedup
     import spark.implicits._

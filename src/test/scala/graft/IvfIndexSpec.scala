@@ -211,6 +211,82 @@ class IvfIndexSpec extends SparkTestBase {
     assert(grown == exact, "full-probe search over appended index drifted")
   }
 
+  test("delete tombstones probes out; applyDeletes rewrites only affected cells") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_del")
+      .resolve("idx").toString
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    def dataFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_tombstones"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    // victims: half the members of ONE cell — bounds the later physical
+    // apply to exactly that cell's partition directory
+    val raw = spark.read.parquet(path)
+    val cell = raw.select("cell_id").orderBy("cell_id").head().getInt(0)
+    val cellIds = raw.filter(col("cell_id") === cell).select("id")
+      .collect().map(_.getLong(0)).sorted
+    val victimIds = cellIds.zipWithIndex.collect { case (id, i) if i % 2 == 0 => id }
+    val victims = emb.filter(col("vec_id").isin(victimIds: _*))
+    val survivors = emb.filter(!col("vec_id").isin(victimIds: _*))
+    val before = dataFiles()
+    IvfIndex.delete(victims, "vec_id", "embedding", path)
+    assert(dataFiles() == before, "delete must not touch data files (O(batch))")
+    // probes exclude the victims immediately
+    val served = IvfIndex.load(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victimIds.toSet).isEmpty, "tombstoned ids served")
+    assert(served.size == emb.count() - victimIds.length)
+    // the retreated stamp validates for corpus ∖ batch: NO rebuild
+    IvfIndex.buildIfAbsent(survivors, "vec_id", "embedding", 8, path)
+    assert(dataFiles() == before,
+      "buildIfAbsent over the surviving corpus must reuse, not retrain")
+    // physical apply rewrites ONLY the affected cell's partition
+    assert(IvfIndex.applyDeletes(spark, path))
+    val after = dataFiles()
+    before.filterNot(_._1.contains(s"cell_id=$cell")).foreach {
+      case (f, mtime) =>
+        assert(after.get(f).contains(mtime), s"unaffected cell file touched: $f")
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_tombstones")),
+      "applied tombstones must be cleared")
+    // physically gone: the raw layout no longer holds the victims
+    val phys = spark.read.parquet(path).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(phys == served, "physical apply changed the served set")
+    // and the stamp still validates (apply preserves it)
+    IvfIndex.buildIfAbsent(survivors, "vec_id", "embedding", 8, path)
+    assert(dataFiles() == after, "post-apply buildIfAbsent rebuilt")
+  }
+
+  test("a torn append (journal ≠ stamp) is refused and forces a rebuild") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_torn")
+      .resolve("idx").toString
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    // simulate a crash between the data write and the stamp advance
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_ivf_journal"), "999:8:1.0:0:fp0\n")
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(emb.limit(5), "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("incomplete append"))
+    // freshness check sees the torn artifact as stale → rebuild arm
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_ivf_journal")),
+      "rebuild must clear the journal")
+    // healthy again: append round-trips
+    val ids = IvfIndex.load(spark, path).count()
+    assert(ids == emb.count())
+  }
+
   test("training is deterministic under the fixed seed") {
     val emb = Tables(spark, sfDir, "embeddings")
     val c1 = IvfIndex.trainCentroids(emb, "embedding", nlist = 8)

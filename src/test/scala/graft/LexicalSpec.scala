@@ -257,6 +257,100 @@ class LexicalSpec extends SparkTestBase {
       "top-k must not be a global sort")
   }
 
+  test("compactPostings folds ingest dirs to one term-sorted base") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_pfold")
+    Lexical.writeIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
+    Lexical.append(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
+    Lexical.append(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path)
+    val terms = Seq("batch", "scan", "vector", "merge")
+    val before = Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
+    val dirsBefore = ingestDirs(path + "/postings")
+    assert(dirsBefore.size == 3, s"expected 3 ingest dirs, got $dirsBefore")
+    val filesBefore = listFiles(path + "/postings").size
+    Lexical.compactPostings(spark, path)
+    assert(ingestDirs(path + "/postings") == Set("ingest=base"),
+      "postings must fold to a single base directory")
+    assert(listFiles(path + "/postings").size < filesBefore,
+      "compaction must reduce the probe's file count")
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq == before,
+      "folding must not change rankings")
+    // stamp still validates: no rebuild on writeIfAbsent
+    val files = listFiles(path + "/postings")
+    Lexical.writeIfAbsent(docs, "doc_id", "text", path)
+    assert(listFiles(path + "/postings") == files,
+      "writeIfAbsent after compaction must reuse the folded artifact")
+  }
+
+  test("a crash mid-compactPostings leaves a loudly-invalid artifact") {
+    import java.nio.file.{Files, Paths}
+    val docs = corpus.toDF("doc_id", "text")
+    val path = tmp("graft_lex_ptorn")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    // the protocol invalidates the stamp across the swap window; a crash
+    // there = artifact with no stamp → probes throw the designed error
+    Files.delete(Paths.get(path, "_lex_meta"))
+    Files.deleteIfExists(Paths.get(path, "._lex_meta.crc"))
+    val e = intercept[IllegalStateException] {
+      Lexical.searchBm25(spark, path, Seq("apple"), 5)
+    }
+    assert(e.getMessage.contains("writeIndex first"))
+    Lexical.writeIfAbsent(docs, "doc_id", "text", path) // rebuild repairs
+    assert(Lexical.searchBm25(spark, path, Seq("apple"), 5).collect().nonEmpty)
+  }
+
+  test("delete retracts docs O(batch): scores match a fresh build of the rest") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val victims = docs.filter(col("doc_id") % 7 === 0)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+    val path = tmp("graft_lex_del")
+    val fresh = tmp("graft_lex_del_fresh")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    val postingsFiles = listFiles(path + "/postings")
+    Lexical.delete(victims, "doc_id", "text", path)
+    // O(batch): no postings file was rewritten or removed by the delete
+    assert(listFiles(path + "/postings") == postingsFiles,
+      "delete must not touch postings files")
+    val terms = Seq("batch", "scan", "vector", "merge")
+    val got = Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
+    Lexical.writeIndex(survivors, "doc_id", "text", fresh)
+    val want = Lexical.searchBm25(spark, fresh, terms, 25).collect().toSeq
+    assert(got == want,
+      "post-delete serving must be bit-identical to a fresh index of the rest")
+    assert(got.nonEmpty)
+    // the retreated stamp validates for the surviving corpus: NO rebuild
+    Lexical.writeIfAbsent(survivors, "doc_id", "text", path)
+    assert(listFiles(path + "/postings") == postingsFiles,
+      "writeIfAbsent over corpus ∖ batch must reuse, not rebuild")
+    // compaction applies tombstones physically and clears them
+    Lexical.compact(spark, path)
+    assert(ingestDirs(path + "/postings") == Set("ingest=base"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "tombstones")),
+      "compaction must clear applied tombstones")
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq == want,
+      "physical apply must not change rankings")
+    // deleted ids never resurface
+    val served = Lexical.searchBm25(spark, path, terms, 1000)
+      .collect().map(_.getLong(0)).toSet
+    val victimIds = victims.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victimIds).isEmpty)
+  }
+
+  /** Top-level `ingest=` partition directories under `dir`. */
+  private def ingestDirs(dir: String): Set[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Set.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("ingest=")).toSet
+      } finally s.close()
+    }
+  }
+
   /** All parquet files under `dir`, as ingest-relative paths (the layout
     * nests each batch in its own `ingest=<tag>` directory). */
   private def listFiles(dir: String): Set[String] = {

@@ -390,6 +390,44 @@ class PqIndexSpec extends SparkTestBase {
       "full-probe full-refine search drifted through compaction")
   }
 
+  test("delete tombstones codes out; stamp validates for the survivors") {
+    val path = java.nio.file.Files.createTempDirectory("pq_del")
+      .resolve("codes").toString
+    PqIndex.buildIfAbsent(emb, "vec_id", "embedding", m = 8, ksub = 16, path)
+    val files = codeFiles(path)
+    val victims = emb.filter(col("vec_id") % 9 === 0)
+    val survivors = emb.filter(col("vec_id") % 9 =!= 0)
+    PqIndex.delete(victims, "vec_id", "embedding", path)
+    assert(codeFiles(path) == files, "delete must not touch code files")
+    val served = PqIndex.loadCodes(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val victimIds = victims.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victimIds).isEmpty, "tombstoned ids served")
+    assert(served.size == survivors.count())
+    // retreated stamp validates for corpus ∖ batch: no re-encode
+    PqIndex.buildIfAbsent(survivors, "vec_id", "embedding",
+      m = 8, ksub = 16, path)
+    assert(codeFiles(path) == files,
+      "buildIfAbsent over the survivors must reuse, not re-encode")
+  }
+
+  test("a torn append journal blocks maintenance and forces a rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("pq_torn")
+      .resolve("codes").toString
+    PqIndex.buildIfAbsent(emb, "vec_id", "embedding", m = 8, ksub = 16, path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_pq_journal"), "999:8:16:1.0:fp0\n")
+    val e = intercept[IllegalStateException] {
+      PqIndex.append(emb.limit(5), "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("incomplete append"))
+    // freshness sees the torn artifact as stale → rebuild clears it
+    PqIndex.buildIfAbsent(emb, "vec_id", "embedding", m = 8, ksub = 16, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_pq_journal")))
+    assert(PqIndex.loadCodes(spark, path).count() == emb.count())
+  }
+
   test("append refuses a path with no artifact (both layouts)") {
     val none = java.nio.file.Files.createTempDirectory("pq_none").toString
     val e1 = intercept[IllegalStateException] {
