@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 import graft.filter.FilterAlgebra
 import graft.functions.GraftFunctions._
 import graft.functions.VectorKernels
+import graft.ops.ArtifactMeta
 
 /** The user-facing memo engine: save / recall / analyze / reindex / clean
   * over a versioned Parquet store — the Spark-first equivalent of the
@@ -516,6 +517,77 @@ class MemoEngine(spark: SparkSession, basePath: String,
     } finally batchDf.unpersist()
   }
 
+  /** The store's maintained BM25 postings artifact ([[graft.ops.Lexical]]
+    * layout), living beside the version chain (`_lexical/` — not a
+    * `v<N>` dir, so [[vacuum]] never sweeps it; [[clean]] drops it with
+    * the store). */
+  private def lexDir: String = base.resolve("_lexical").toString
+  private val LexVersionFile = "_store_version"
+
+  /** Bring the postings artifact to the live store version — the
+    * maintenance that makes [[hybridRecall]] O(probe) instead of two
+    * corpus scans per call. Pull-based and exactly-once:
+    *
+    *  - FRESH (artifact's recorded store version == live): zero work, no
+    *    corpus scan — the check is two metadata file reads;
+    *  - BEHIND on an append-only chain (the live manifest EXTENDS the
+    *    recorded version's): each new segment rides
+    *    [[graft.ops.Lexical.appendOnce]] with `batchId` = the segment's
+    *    version under the `storev` lineage — O(new segments), and a
+    *    crash-window replay repairs in place (the journal tag matches);
+    *  - BEHIND on a rewrite (overwrite/reindex/import compacted the
+    *    chain, or the old version was vacuumed): full rebuild, same as
+    *    the first call.
+    *
+    * Maintenance is charged to the reader that needs the artifact (the
+    * streamAppend-rides-the-commit idiom would tax every CLI save for an
+    * artifact most never query); the version watermark makes the lazy
+    * catch-up exactly-once regardless of when it runs. Corpus = records
+    * with non-blank bodies, per segment — the same corpus
+    * [[graft.ops.Lexical.scoreBm25]] sees, so the two hybrid paths rank
+    * identically (LexicalSpec's bit-exactness contract). */
+  private def ensureLexical(): Unit = currentVersion.foreach { v =>
+    def recorded = ArtifactMeta.read(spark, lexDir, LexVersionFile)
+      .flatMap(_.toLongOption)
+    if (!recorded.contains(v))
+      ArtifactMeta.withBuildLock(spark, lexDir) {
+        if (!recorded.contains(v)) { // double-checked under the lock
+          val lexRows = (df: DataFrame) =>
+            df.filter(!isBlank(col("body"))).select(col("id"), col("body"))
+          val segVersion = "^.*/v(\\d+)/records$".r
+          val delta = recorded.flatMap { v0 =>
+            val cur = segments(v, "records")
+            val old = segments(v0, "records")
+            // incremental iff the live manifest extends the recorded
+            // version's AND every new segment path parses to a version
+            // (vacuumed/rewritten chains fall through to a rebuild)
+            if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
+                cur.drop(old.size).forall(segVersion.matches(_)))
+              Some(cur.drop(old.size))
+            else None
+          }
+          delta match {
+            case Some(extra) =>
+              try extra.foreach { seg =>
+                val segVersion(ver) = seg: @unchecked
+                graft.ops.Lexical.appendOnce(
+                  lexRows(spark.read.parquet(seg)), "id", "body", lexDir,
+                  batchId = ver.toLong, lineage = "storev")
+              } catch { case _: IllegalStateException =>
+                // torn/missing artifact beyond the replay path's reach —
+                // rebuild is always correct
+                graft.ops.Lexical.writeIndex(lexRows(records), "id", "body",
+                  lexDir)
+              }
+            case None =>
+              graft.ops.Lexical.writeIndex(lexRows(records), "id", "body",
+                lexDir)
+          }
+          ArtifactMeta.write(spark, lexDir, LexVersionFile, v.toString)
+        }
+      }
+  }
+
   /** Recall: exact full ranking + filter + score floor + top-k
     * (memo_cli.py:288-298, 489-521). Returns (id, score, body). */
   def recall(query: String, k: Int = MemoOps.DefaultK,
@@ -528,15 +600,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** Hybrid recall (beyond the reference, which ranks by embedding cosine
     * only — memo_cli.py:291): the query's tokens score the store lexically
-    * (BM25, [[graft.ops.Lexical.scoreBm25]] — artifact-free, the right
-    * shape at memo-store size) while the hash-embedded query vector ranks
-    * it semantically ([[MemoOps.recall]]); the two k-bounded lists merge
-    * by reciprocal rank ([[graft.ops.Lexical.rrfFuse]]). Rank-based
-    * fusion needs no calibration between the BM25 and cosine scales.
-    * Output carries both per-list ranks (null where one list missed) —
-    * a keyword-only hit and a semantic-only hit both surface.
+    * (BM25) while the hash-embedded query vector ranks it semantically
+    * ([[MemoOps.recall]]); the two k-bounded lists merge by reciprocal
+    * rank ([[graft.ops.Lexical.rrfFuse]]). Rank-based fusion needs no
+    * calibration between the BM25 and cosine scales. Output carries both
+    * per-list ranks (null where one list missed) — a keyword-only hit and
+    * a semantic-only hit both surface.
     *
-    * A query with no tokens degrades to the semantic ranking alone. */
+    * The BM25 leg serves O(probe) from the store's maintained postings
+    * artifact ([[ensureLexical]]) — on a committed store it runs ZERO
+    * tokenize-the-corpus jobs (MemoEngineSpec counter pin). A metadata
+    * filter falls back to the inline scorer over the filtered records
+    * (the postings carry no metadata; both paths rank identically on the
+    * same corpus — LexicalSpec's bit-exactness contract). A query with no
+    * tokens degrades to the semantic ranking alone. */
   def hybridRecall(query: String, k: Int = MemoOps.DefaultK,
       filterExpr: Option[String] = None, perList: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -548,12 +625,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val lists =
       if (terms.isEmpty) Seq("vec" -> vec)
       else {
-        val base = filterExpr match {
-          case Some(f) => records.filter(FilterAlgebra.compile(f, col("metadata")))
-          case None => records
+        val scores = filterExpr match {
+          case Some(f) => graft.ops.Lexical.scoreBm25(
+            records.filter(FilterAlgebra.compile(f, col("metadata")))
+              .filter(!isBlank(col("body"))), "id", "body", terms, perList)
+          case None if currentVersion.isDefined =>
+            ensureLexical()
+            graft.ops.Lexical.searchBm25(spark, lexDir, terms, perList)
+          case None => // empty store: nothing to probe
+            graft.ops.Lexical.scoreBm25(
+              records.filter(!isBlank(col("body"))), "id", "body", terms,
+              perList)
         }
-        val bm = graft.ops.Lexical.scoreBm25(
-            base.filter(!isBlank(col("body"))), "id", "body", terms, perList)
+        val bm = scores
           .select(col("doc_id").as("id"), col("score"))
           .withColumn("rank", row_number().over(w))
         Seq("bm25" -> bm, "vec" -> vec)
@@ -598,11 +682,25 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * also swept, uncounted — newest-in-tree, because an in-flight parquet
     * write keeps deep files fresh while the staging dir's own mtime
     * stagnates). Run after compactions/overwrites to reclaim space —
-    * without it, storage grows O(versions × corpus). */
+    * without it, storage grows O(versions × corpus).
+    *
+    * TTL ASSUMPTION: a live writer touches its staging tree at least once
+    * per `stagingTtlMs` (the default hour is generous for any real
+    * parquet write); a writer stalled longer than that looks like a
+    * corpse and can be swept mid-commit — it then fails its publish and
+    * retries. The cutoff is derived from the FILESYSTEM's clock (a
+    * just-touched probe file's mtime), not the caller's wall clock, so
+    * clock skew between vacuum's host and the shared filesystem can
+    * never eat into a live writer's TTL budget. */
   def vacuum(stagingTtlMs: Long = MemoEngine.DefaultStagingTtlMs): Int =
     MemoEngine.withCommitLock(base) {
       if (Files.isDirectory(stagingRoot)) {
-        val cutoff = System.currentTimeMillis() - stagingTtlMs
+        // "now" in the same clock newestMtime reads — see TTL ASSUMPTION
+        val probe = stagingRoot.resolve(".vacuum_probe")
+        Files.writeString(probe, "")
+        val fsNow = Files.getLastModifiedTime(probe).toMillis
+        Files.deleteIfExists(probe)
+        val cutoff = fsNow - stagingTtlMs
         listDir(stagingRoot).filter(newestMtime(_) < cutoff).foreach(deleteTree)
       }
       currentVersion match {

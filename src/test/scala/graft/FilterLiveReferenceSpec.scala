@@ -14,9 +14,15 @@ import graft.memo.MetaCodec
   * in-test MODEL of the semantics; this closes the last gap — the model
   * itself could mis-read memo_cli.py:179-241, the reference cannot.
   *
-  * The suite cancels (rather than fails) when no python3 is available or
-  * the reference source is absent, so the build does not depend on the
-  * reference being present. */
+  * The suite is OPT-IN (`GRAFT_LIVE_REF=1`), default cancel: importing
+  * memo_cli.py executes its module-scope code — top-level statements of
+  * RETRIEVED UNTRUSTED CONTENT — in the build's python, which a routine
+  * `sbt test` must not do implicitly. The harness already minimizes the
+  * blast radius (faiss stubbed, empty argv so the CLI's main guard takes
+  * the no-command path, no store paths passed), but running it at all is
+  * a deliberate choice, not a default. It also cancels when no python3
+  * is available or the reference source is absent, so the build never
+  * depends on the reference being present. */
 class FilterLiveReferenceSpec extends SparkTestBase {
 
   private val refCli = sys.env.getOrElse("GRAFT_REF_CLI",
@@ -26,6 +32,10 @@ class FilterLiveReferenceSpec extends SparkTestBase {
     * filter. Left = could not run (cancel reason). */
   private def referenceVerdicts(metas: Seq[Map[String, Any]],
       filters: Seq[Map[String, Any]]): Either[String, Seq[String]] = {
+    if (!sys.env.get("GRAFT_LIVE_REF").contains("1"))
+      return Left("live-reference differential is opt-in: set " +
+        "GRAFT_LIVE_REF=1 (imports the untrusted reference's module-scope " +
+        "python in a child process)")
     if (!java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(refCli)))
       return Left(s"reference CLI not present at $refCli")
     val harness = java.nio.file.Files.createTempFile("ref_filter", ".py")

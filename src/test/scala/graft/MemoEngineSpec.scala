@@ -370,4 +370,65 @@ class MemoEngineSpec extends SparkTestBase {
       "filter must restrict both retrieval legs")
     engine.clean()
   }
+
+  test("hybrid recall serves O(probe) off the maintained postings artifact") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorKernels
+    val (engine, _) = freshEngine()
+    engine.save((0 until 30).map(i =>
+      s"---\nbody: corpus note $i about topic${i % 5} and theme${i % 3}\n")
+      .mkString)
+    // the reference ranking: the r6 code path, replicated — inline BM25
+    // over the live records fused with the semantic leg
+    def inline() = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(desc("score"), col("id"))
+      val vec = engine.recall("topic1 theme2", 50)
+        .select(col("id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+      val terms = VectorKernels.tokenize("topic1 theme2").toSeq.distinct
+      val bm = graft.ops.Lexical.scoreBm25(
+          engine.records.filter(
+            !graft.functions.GraftFunctions.isBlank(col("body"))),
+          "id", "body", terms, 50)
+        .select(col("doc_id").as("id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+      graft.ops.Lexical.rrfFuse(Seq("bm25" -> bm, "vec" -> vec), 10)
+        .join(engine.records.select(col("id"), col("body")), Seq("id"))
+        .orderBy(desc("rrf_score"), col("id"))
+        .collect().toSeq
+    }
+    def served() = engine.hybridRecall("topic1 theme2", k = 10).collect().toSeq
+    val want = inline()
+    // first artifact-path call pays the one-time build (tokenizes corpus)
+    assert(served() == want, "artifact leg diverged from the inline scorer")
+    // fresh artifact: ZERO tokenize-the-corpus jobs per recall
+    val before = VectorKernels.tokenizeCalls.get()
+    assert(served() == want)
+    assert(VectorKernels.tokenizeCalls.get() == before,
+      "hybrid recall on a committed store re-tokenized the corpus")
+    // append-only commit: catch-up tokenizes ONLY the new batch
+    engine.save("---\nbody: fresh note about topic1\n")
+    val before2 = VectorKernels.tokenizeCalls.get()
+    val grown = served()
+    val catchUp = VectorKernels.tokenizeCalls.get() - before2
+    assert(catchUp > 0 && catchUp <= 4,
+      s"catch-up cost $catchUp tokenize calls for a 1-doc commit " +
+        "(corpus is 31 docs — it was re-tokenized)")
+    assert(grown == inline(), "post-append artifact diverged")
+    // and once caught up: zero again
+    val before3 = VectorKernels.tokenizeCalls.get()
+    assert(served() == grown)
+    assert(VectorKernels.tokenizeCalls.get() == before3)
+    // rewrite commit (reindex compacts the chain) → artifact rebuilds
+    // once, then serves O(probe) again with unchanged results
+    engine.save("---\nid: 0\nbody: gone\nmetadata: {deleted: true}\n")
+    engine.reindex()
+    val rebuilt = served()
+    assert(rebuilt == inline(), "post-reindex artifact diverged")
+    val before4 = VectorKernels.tokenizeCalls.get()
+    assert(served() == rebuilt)
+    assert(VectorKernels.tokenizeCalls.get() == before4)
+    engine.clean()
+  }
 }
