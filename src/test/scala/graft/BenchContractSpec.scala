@@ -19,12 +19,16 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("worst-case contract line fits the 2000-char tail with sbt trailer") {
-    // model every per-query value at 7 chars (9999.99 — a >2.7h query) and
-    // the total at 8: a pathologically slow round must still emit a line
-    // the driver can parse, not only a healthy sub-second one
+    // model every per-query value at 7 chars (9999.99 — a >2.7h query),
+    // the total at 8, and every streaming entry at a 7-digit eps: a
+    // pathologically slow round must still emit a line the driver can
+    // parse, not only a healthy sub-second one
+    val streamKeys = Seq("s90", "s91", "s92", "s93", "s94", "s95")
     val line = """{"metric":"total","value":99999.99,"unit":"sec","queries":{""" +
       names.map(n => "\"" + Bench.contractKey(n) + "\":9999.99").mkString(",") +
-      ""","errors":["q99"]},"sf":"sf0.1"}"""
+      ""","errors":["q99"],"streams":{""" +
+      streamKeys.map("\"" + _ + "\":9999999").mkString(",") +
+      """},"sf":"sf0.1"}"""
     val budget = 2000 - 70
     assert(line.length <= budget,
       s"contract line worst case ${line.length} chars > $budget — " +

@@ -40,6 +40,70 @@ class LayoutSpec extends SparkTestBase {
     d.resolve("t").toString
   }
 
+  test("mortonN matches the definition and collapses to morton2 at n=2") {
+    val rnd = new scala.util.Random(11)
+    def refN(vals: Seq[Int], bits: Int): Long = {
+      var z = 0L
+      for (j <- vals.indices; i <- 0 until bits)
+        z |= ((vals(j) >> i) & 1).toLong << (i * vals.length + j)
+      z
+    }
+    // n=2 equivalence (the curve q87 serves must be unchanged)
+    val cases2 = Seq.fill(100)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val both = cases2.toDF("a", "b")
+      .select(Layout.morton2(col("a"), col("b")).as("m2"),
+        Layout.mortonN(Seq(col("a"), col("b")), 16).as("mn"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "mortonN(n=2) diverged from morton2"))
+    // 3-D against the bit-at-a-time definition
+    val cases3 = Seq.fill(100)(
+      (rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536)))
+    val got3 = cases3.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.mortonN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+    for ((a, b, c) <- cases3)
+      assert(got3((a, b, c)) == refN(Seq(a, b, c), 16), s"mortonN($a,$b,$c)")
+  }
+
+  test("3-D layout bounds per-file spans on ALL three dimensions") {
+    val files = 16
+    val path = tmpPath("graft_zorder_3d")
+    val dims = Seq("l_partkey", "l_suppkey", "l_quantity")
+    val z = Layout.zOrderedIfAbsent(Tables(spark, sfDir, "lineitem"),
+      dims, path, numFiles = files)
+    // pure reordering
+    val src = Tables(spark, sfDir, "lineitem")
+    assert(z.count() == src.count())
+    def meanNormSpan(c: String): Double = {
+      val lohi = z.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .head()
+      val range = lohi.getDouble(1) - lohi.getDouble(0)
+      Layout.fileSpans(z, c)
+        .select(((col("hi") - col("lo")) / range).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+    }
+    // every clustered dimension bounded (files^(-1/3) ≈ 0.4 of the range
+    // per file in the ideal cube; generous slack for real key skew)
+    dims.foreach { c =>
+      val s = meanNormSpan(c)
+      assert(s < 0.75, s"3-D z-layout: $c files span $s of the range")
+    }
+    // a 3-D box touches a bounded file subset
+    val box = col("l_partkey").between(50, 150) &&
+      col("l_suppkey").between(0, 4) && col("l_quantity").between(1, 25)
+    val touched = z.filter(box).select(input_file_name()).distinct().count()
+    assert(touched < files, s"3-D box hit every one of $files files")
+    assert(z.filter(box).count() > 0)
+    // and the stamp carries the column list: re-clustering on different
+    // columns rebuilds
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_zorder_meta")).trim
+    dims.foreach(c => assert(meta.contains(c), s"stamp missing column $c"))
+  }
+
   test("the layout is a pure reordering of the source rows") {
     val src = Tables(spark, sfDir, "lineitem")
     val z = zLayout(tmpPath("graft_zorder_rt"))
