@@ -37,7 +37,26 @@ object LayoutQueries {
         col("l_suppkey"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  val defs: Map[String, Q] = Map("q87_zorder_slice" -> q87ZOrder)
+  /** 3-D box slice off an n-column Z-ordered copy — the generalized
+    * curve ([[Layout.mortonN]]) serving the access pattern it exists
+    * for; row equivalence against the natural table, file-level claims
+    * in LayoutSpec's 3-D pins. */
+  private val q94ZOrder3d: Q = (s, dir) =>
+    SessionHandles.cached(s, s"q94_zorder3d:$dir") {
+      Layout.zOrderedIfAbsent(Tables(s, dir, "lineitem"),
+        Seq("l_partkey", "l_suppkey", "l_quantity"),
+        SessionHandles.tmpArtifactPath("q94_zorder3d", dir), numFiles = 32)
+    }
+      .filter(col("l_partkey").between(100, 180) &&
+        col("l_suppkey").between(10, 30) &&
+        col("l_quantity").between(5, 30))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val defs: Map[String, Q] = Map(
+    "q87_zorder_slice" -> q87ZOrder,
+    "q94_zorder3d_box" -> q94ZOrder3d)
 
   val oracles: Map[String, String] = Map(
     "q87_zorder_slice" ->
@@ -45,5 +64,12 @@ object LayoutQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 180
         |  AND l_suppkey BETWEEN 10 AND 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q94_zorder3d_box" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 180
+        |  AND l_suppkey BETWEEN 10 AND 30
+        |  AND l_quantity BETWEEN 5 AND 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

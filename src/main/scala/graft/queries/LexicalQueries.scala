@@ -59,9 +59,30 @@ object LexicalQueries {
     Lexical.rrfFuse(Seq("bm25" -> bm, "vec" -> vec), k = 15)
   }
 
+  /** BM25 serving AFTER an O(batch) delete — the artifact lifecycle's
+    * retraction path (tombstones + retreated stamp + negative df deltas,
+    * [[Lexical.delete]]) exercised end-to-end against a DuckDB replay
+    * over the surviving corpus: the tombstone anti-join, the adjusted
+    * stats, and the stamp all have to agree with a from-scratch index of
+    * corpus ∖ batch for the hash to match. Fresh build + delete once per
+    * session (the artifact handle lifecycle); probes serve off the
+    * tombstoned artifact. */
+  private def lexDelIndex(s: SparkSession, dir: String): String =
+    SessionHandles.cached(s, s"q93_lexdel:$dir") {
+      val p = SessionHandles.tmpArtifactPath("q93_lexdel", dir)
+      val docs = Tables(s, dir, "documents")
+      Lexical.writeIndex(docs, "doc_id", "text", p)
+      Lexical.delete(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", p)
+      p
+    }
+
+  private val q93Bm25Delete: Q = (s, dir) =>
+    Lexical.searchBm25(s, lexDelIndex(s, dir), QueryTerms, k = 20)
+
   val defs: Map[String, Q] = Map(
     "q85_bm25" -> q85Bm25,
-    "q90_hybrid_rrf" -> q90HybridRrf)
+    "q90_hybrid_rrf" -> q90HybridRrf,
+    "q93_bm25_delete" -> q93Bm25Delete)
 
   private def termList: String =
     QueryTerms.map(t => s"'$t'").mkString("(", ",", ")")
@@ -72,12 +93,18 @@ object LexicalQueries {
     * use, per-term contribution floored to 6 and summed as DECIMAL) —
     * double arithmetic is then bit-identical in both engines, and the
     * decimal sum is order-independent by construction. */
-  private def bm25Ctes: String =
+  private def bm25Ctes: String = bm25CtesOver("documents")
+
+  /** [[bm25Ctes]] over an arbitrary source relation (q93 replays the
+    * post-delete corpus by filtering the deleted slice out here — the
+    * oracle for "a deleted artifact serves exactly a fresh index of the
+    * survivors"). */
+  private def bm25CtesOver(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(
        |    regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
        |    x -> x <> '') AS ts
-       |  FROM documents),
+       |  FROM $src),
        |meta AS (SELECT count(*) AS n, sum(len(ts)) AS sumdl FROM toks),
        |post AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
        |tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM post
@@ -98,6 +125,11 @@ object LexicalQueries {
   val oracles: Map[String, String] = Map(
     "q85_bm25" ->
       s"""WITH $bm25Ctes
+         |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score
+         |FROM bsc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q93_bm25_delete" ->
+      s"""WITH ${bm25CtesOver("(SELECT * FROM documents WHERE doc_id % 7 <> 0)")}
          |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score
          |FROM bsc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
