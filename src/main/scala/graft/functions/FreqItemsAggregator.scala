@@ -37,8 +37,12 @@ object FreqItemsAggregator {
   private def shrink(k: Int, m: Map[String, Long]): Map[String, Long] =
     if (m.size <= k) m
     else {
-      // (k+1)-th largest value: everything strictly above it survives
-      val cut = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+      // (k+1)-th largest value: everything strictly above it survives.
+      // The per-insert overflow (size == k+1, the reduce hot case) needs
+      // only the minimum — O(size) without the sort.
+      val cut =
+        if (m.size == k + 1) m.valuesIterator.min
+        else m.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
       m.iterator.collect { case (t, v) if v > cut => t -> (v - cut) }.toMap
     }
 

@@ -182,9 +182,51 @@ object Dedup {
     ArtifactMeta.delete(batch.sparkSession, path, SigJournal)
   }
 
-  /** Read a persisted signature artifact: (id, sig). */
+  /** Retract documents from the signature artifact WITHOUT a rebuild —
+    * the delete path of the incremental-dedup lifecycle (rows leave the
+    * corpus, so their signatures must stop matching future batches).
+    * O(batch): ids land as tombstones ([[loadSignatures]] anti-joins
+    * them), the stamp facts retreat additively, the window is journaled.
+    * A later [[signaturesIfAbsent]] over corpus ∖ batch validates
+    * without re-signing; the next full rebuild folds tombstones away.
+    * Same id contract as every delete path: the batch must be exactly
+    * rows previously signed. */
+  def deleteSignatures(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = ArtifactMeta.withBuildLock(batch, path) {
+    val spark = batch.sparkSession
+    val stamp = readSigMeta(batch, path).getOrElse(throw new IllegalStateException(
+      s"no signature artifact at $path — writeSignatures first"))
+    ArtifactMeta.journalGuard(spark, path, SigJournal, stamp)
+    val Array(count, numHashes, shingleSize, fp) = stamp.split(":", 4) match {
+      case a if a.length == 4 && a(3).startsWith("fp") => a
+      case _ => throw new IllegalStateException(
+        s"signature artifact at $path has a pre-lifecycle stamp — rebuild it")
+    }
+    val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
+    val n = count.toLong - bn
+    require(n >= 0, s"delete batch exceeds artifact contents at $path " +
+      s"($count rows, $bn deleted) — id contract violated")
+    val next = s"$n:$numHashes:$shingleSize:fp${BigInt(fp.drop(2)) - bfp}"
+    ArtifactMeta.write(spark, path, SigJournal, next)
+    batch.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/_tombstones")
+    writeSigMeta(batch, path, next)
+    ArtifactMeta.delete(spark, path, SigJournal)
+  }
+
+  /** Read a persisted signature artifact: (id, sig) — excluding any docs
+    * retracted by [[deleteSignatures]] (broadcast anti-join; tombstones
+    * fold away on the next full rebuild). */
   def loadSignatures(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = spark.read.parquet(path)
+      path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(path).join(
+        broadcast(spark.read.parquet(p.toString).select("id")),
+        Seq("id"), "left_anti")
+    else spark.read.parquet(path)
+  }
 
   private def readSigMeta(df: DataFrame, path: String): Option[String] =
     ArtifactMeta.read(df, path, "_minhash_meta")

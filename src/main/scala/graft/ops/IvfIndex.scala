@@ -343,38 +343,51 @@ object IvfIndex {
     readTombstones(spark, path) match {
       case None => false
       case Some(tomb) =>
-        val raw = spark.read.parquet(path)
-        // affected cells: column-pruned semi join (reads id + partition
-        // value only); bounded by nlist, so the collect is tiny
-        val affected = raw.join(broadcast(tomb), Seq("id"), "left_semi")
-          .select("cell_id").distinct().collect().map(_.getInt(0))
-        if (affected.isEmpty) {
-          fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
-          true
-        } else {
-        val staging = new org.apache.hadoop.fs.Path(path + "_apply")
-        fs.delete(staging, true)
-        raw.filter(col("cell_id").isin(affected.toSeq: _*))
-          .join(broadcast(tomb), Seq("id"), "left_anti")
-          .write.mode("overwrite").partitionBy("cell_id")
-          .parquet(staging.toString)
-        ArtifactMeta.delete(spark, path, "_ivf_centroids")
-        affected.foreach { c =>
-          val dst = new org.apache.hadoop.fs.Path(path, s"cell_id=$c")
-          val src = new org.apache.hadoop.fs.Path(staging, s"cell_id=$c")
-          fs.delete(dst, true)
-          // a cell whose every row died has no staged dir — deletion IS
-          // the rewrite for it
-          if (fs.exists(src)) fs.rename(src, dst)
-        }
-        fs.delete(staging, true)
+        swapAffectedCells(spark, path, tomb,
+          invalidate = () => ArtifactMeta.delete(spark, path, "_ivf_centroids"))
         fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
         val nlist = meta.stamp.split(":", 5)(1).toInt
         writeMeta(fs, metaPath,
           Meta(meta.stamp, Some(cellOccupancy(spark, path, nlist)),
             meta.centroids))
         true
-        }
+    }
+  }
+
+  /** The cell-partition swap shared by the IVF and IVF-PQ tombstone
+    * applies: rewrite ONLY the `cell_id=` partitions containing
+    * tombstoned ids, staged to a sibling directory (Spark refuses —
+    * correctly — to overwrite a path it is reading), swapped per cell by
+    * filesystem rename. `invalidate` runs before the first destructive
+    * rename (the caller deletes its stamp file so a crash leaves a
+    * loudly-invalid artifact); the caller restores its stamp after. */
+  private[ops] def swapAffectedCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      tomb: DataFrame, invalidate: () => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.parquet(path)
+    // affected cells: column-pruned semi join (reads id + partition
+    // value only); bounded by nlist, so the collect is tiny
+    val affected = raw.join(broadcast(tomb), Seq("id"), "left_semi")
+      .select("cell_id").distinct().collect().map(_.getInt(0))
+    if (affected.nonEmpty) {
+      val staging = new org.apache.hadoop.fs.Path(path + "_apply")
+      fs.delete(staging, true)
+      raw.filter(col("cell_id").isin(affected.toSeq: _*))
+        .join(broadcast(tomb), Seq("id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(staging.toString)
+      invalidate()
+      affected.foreach { c =>
+        val dst = new org.apache.hadoop.fs.Path(path, s"cell_id=$c")
+        val src = new org.apache.hadoop.fs.Path(staging, s"cell_id=$c")
+        fs.delete(dst, true)
+        // a cell whose every row died has no staged dir — deletion IS
+        // the rewrite for it
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(staging, true)
     }
   }
 

@@ -260,9 +260,24 @@ object Lexical {
     * default-lineage shape); concurrent ad-hoc [[append]]s compose fine —
     * they have their own directories and the lock serializes stamps. */
   def appendOnce(batch: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long, lineage: String = "stream"): Unit =
+      path: String, batchId: Long, lineage: String = "stream",
+      maxIngestDirs: Int = MaxIngestDirs): Unit =
     appendTagged(batch, idCol, textCol, path,
-      s"${sanitize(lineage)}_$batchId", mark = Some((sanitize(lineage), batchId)))
+      s"${sanitize(lineage)}_$batchId", mark = Some((sanitize(lineage), batchId)),
+      maxIngestDirs = maxIngestDirs)
+
+  /** Postings-directory count that triggers [[appendOnce]]'s in-line
+    * compaction (the [[graft.memo.MemoEngine.DefaultMaxSegments]] idea on
+    * the postings artifact: bound the probe's read fan-in). */
+  val MaxIngestDirs = 64
+
+  private def ingestDirCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("ingest="))
+  }
 
   private def sanitize(tag: String): String =
     tag.replaceAll("[^A-Za-z0-9_-]", "_")
@@ -284,7 +299,8 @@ object Lexical {
     * rebuilds, an [[appendOnce]] replay repairs in place) or the
     * completed append — never an undetected torn state. */
   private def appendTagged(batch: DataFrame, idCol: String, textCol: String,
-      path: String, tag: String, mark: Option[(String, Long)]): Unit =
+      path: String, tag: String, mark: Option[(String, Long)],
+      maxIngestDirs: Int = Int.MaxValue): Unit =
     ArtifactMeta.withBuildLock(batch, path) {
       val spark = batch.sparkSession
       val prior = readMeta(spark, path).getOrElse(throw new IllegalStateException(
@@ -317,6 +333,18 @@ object Lexical {
         statsPath(path), tag)
       ArtifactMeta.write(spark, path, Meta, next.render)
       ArtifactMeta.delete(spark, path, Journal)
+      // Automatic fold on the streaming path ("one directory per
+      // micro-batch, forever" is its degradation mode). Folding HERE —
+      // after the stamp advance — is safe against the interleaving the
+      // STANDALONE maintenance call must quiesce for: a replay of this
+      // batch is watermark-detected and no-ops, so the fold can never
+      // erase a directory a replay would re-land beside. The trigger
+      // check is one directory listing per micro-batch.
+      if (mark.isDefined &&
+          ingestDirCount(spark, postingsPath(path)) > maxIngestDirs) {
+        compactPostings(spark, path)
+        compactStats(spark, path)
+      }
     }
 
   /** Retract documents from the artifact WITHOUT a rebuild — the delete
@@ -432,7 +460,10 @@ object Lexical {
     * Same invalidate-first swap as [[compactStats]] (stamp deleted across
     * the delete+rename window — a crash inside it leaves a loudly-invalid
     * artifact, never a valid stamp over a half-swapped table), same
-    * quiesce-the-stream ordering contract with [[appendOnce]]. Tombstoned
+    * quiesce-the-stream ordering contract with [[appendOnce]] when called
+    * STANDALONE. ([[appendOnce]]'s own in-line fold trigger is exempt: it
+    * runs after the batch's stamp advance, so a replay no-ops on the
+    * watermark before any data is touched.) Tombstoned
     * docs are dropped and the tombstone table cleared; the stamp is
     * unchanged (delete already retreated it). Run both compactions
     * together via [[compact]]. */

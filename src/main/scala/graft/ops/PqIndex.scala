@@ -308,6 +308,38 @@ object PqIndex {
     deleteTagged(batch, idCol, embCol, path, IvfPqJournal, IvfPqMetaName,
       splitArity = 6)
 
+  /** Apply pending IVF-PQ tombstones physically — [[IvfIndex.applyDeletes]]
+    * on the composed artifact: rewrite only the affected `cell_id=`
+    * partitions (the shared [[IvfIndex.swapAffectedCells]] swap), clear
+    * the tombstone table, refresh the stored occupancy. Returns true iff
+    * anything was applied. Flat codes have no partitions to swap — their
+    * tombstones fold away on the next full rewrite (rebuild or
+    * [[compactIvfPq]]). */
+  def applyDeletesIvfPq(spark: SparkSession, path: String): Boolean =
+    ArtifactMeta.withBuildLock(spark, path) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val lines = readMetaFileLines(conf, path, IvfPqMetaName)
+      val meta = lines.flatMap(parseIvfPqMetaLines).getOrElse(
+        throw new IllegalStateException(
+          s"no IVF-PQ index at $path — build before applyDeletes"))
+      ArtifactMeta.journalGuard(spark, path, IvfPqJournal, meta.stamp)
+      readTombstones(spark, path) match {
+        case None => false
+        case Some(tomb) =>
+          IvfIndex.swapAffectedCells(spark, path, tomb,
+            invalidate = () => ArtifactMeta.delete(spark, path, IvfPqMetaName))
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(conf)
+          fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
+          val nlist = meta.stamp.split(":", 6)(1).toInt
+          writeMetaFileLines(conf, path, IvfPqMetaName,
+            (meta.stamp +: ("occ:" +
+              IvfIndex.cellOccupancy(spark, path, nlist).mkString(",")) +:
+              lines.get.tail.dropWhile(_.startsWith("occ:"))))
+          true
+      }
+    }
+
   /** Shared tombstone-delete body: both PQ artifacts stamp
     * `count:<config...>:fp<sum>`, so the retreat rewrites fields 0 and
     * last and preserves the config middle verbatim. */

@@ -87,6 +87,34 @@ class CurationSpec extends SparkTestBase {
       s"batch-2 dedup ran $cost2 minhash calls for a $nBatch2-row batch")
   }
 
+  test("deleteSignatures retracts rows: no longer match, stamp validates") {
+    import graft.ops.Dedup
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val sigPath = java.nio.file.Files.createTempDirectory("sigs_del")
+      .resolve("minhash").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", sigPath)
+    val victims = corpus.filter(col("doc_id") % 13 === 0)
+    Dedup.deleteSignatures(victims, "doc_id", "text", sigPath)
+    // retracted rows no longer match an identical incoming batch
+    val probe = victims.select((col("doc_id") + 500000).as("doc_id"),
+      col("text"))
+    val hits = Curation.dedupAgainstSignatures(probe,
+      Dedup.loadSignatures(spark, sigPath), "doc_id", "text",
+      minJaccard = 0.99)
+    val victimIds = victims.select("doc_id").collect().map(_.getLong(0)).toSet
+    val matched = hits.select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(matched.intersect(victimIds).isEmpty,
+      "retracted signatures still matched an incoming twin")
+    // retreated stamp validates for the surviving corpus: no re-sign
+    val survivors = corpus.filter(col("doc_id") % 13 =!= 0)
+    val files = new java.io.File(sigPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    Dedup.signaturesIfAbsent(survivors, "doc_id", "text", sigPath)
+    assert(new java.io.File(sigPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet == files,
+      "signaturesIfAbsent over the survivors must reuse, not re-sign")
+  }
+
   test("a torn signature append is refused and rebuilt (journal protocol)") {
     import graft.ops.Dedup
     val corpus = docs.select(col("doc_id"), col("text"))

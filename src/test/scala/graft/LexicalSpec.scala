@@ -282,6 +282,34 @@ class LexicalSpec extends SparkTestBase {
       "writeIfAbsent after compaction must reuse the folded artifact")
   }
 
+  test("appendOnce auto-folds past maxIngestDirs; replays still no-op") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_autofold")
+    Lexical.writeIndex(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", path)
+    def once(m: Int, id: Long) = Lexical.appendOnce(
+      docs.filter(col("doc_id") % 4 === m), "doc_id", "text", path,
+      batchId = id, maxIngestDirs = 2)
+    once(1, 0) // base + 1 ingest dir: under threshold
+    assert(ingestDirs(path + "/postings").size == 2)
+    once(2, 1) // 3 dirs > 2 → in-line fold back to base
+    assert(ingestDirs(path + "/postings") == Set("ingest=base"),
+      "auto-compact did not fold the postings directories")
+    val terms = Seq("batch", "scan", "vector", "merge")
+    val expect = Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
+    // a replayed folded batch must still no-op on the watermark (the
+    // fold ran after its stamp advance — the safety argument)
+    val files = listFiles(path + "/postings")
+    once(2, 1)
+    assert(listFiles(path + "/postings") == files, "replay wrote after fold")
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq == expect)
+    // stream continues beyond the fold; full corpus serves correctly
+    once(3, 2)
+    val full = tmp("graft_lex_autofold_full")
+    Lexical.writeIndex(docs, "doc_id", "text", full)
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq ==
+      Lexical.searchBm25(spark, full, terms, 25).collect().toSeq)
+  }
+
   test("a crash mid-compactPostings leaves a loudly-invalid artifact") {
     import java.nio.file.{Files, Paths}
     val docs = corpus.toDF("doc_id", "text")

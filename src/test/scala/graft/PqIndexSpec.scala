@@ -411,6 +411,38 @@ class PqIndexSpec extends SparkTestBase {
       "buildIfAbsent over the survivors must reuse, not re-encode")
   }
 
+  test("ivf-pq delete + applyDeletes rewrites only affected cells") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_del")
+      .resolve("idx").toString
+    val (centroids, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id",
+      "embedding", nlist = 8, m = 8, ksub = 16, path)
+    val victims = emb.filter(col("vec_id") % 11 === 0)
+    val victimIds = victims.select("vec_id").collect().map(_.getLong(0)).toSet
+    PqIndex.deleteIvfPq(victims, "vec_id", "embedding", path)
+    // probes exclude immediately
+    val served = PqIndex.loadCodes(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victimIds).isEmpty)
+    assert(served.size == emb.count() - victimIds.size)
+    // physical apply: tombstones gone, raw layout excludes the victims
+    assert(PqIndex.applyDeletesIvfPq(spark, path))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_tombstones")))
+    val phys = spark.read.parquet(path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(phys == served, "physical apply changed the served set")
+    // matrices still round-trip and serving still works
+    val meta = PqIndex.ivfPqMetaAt(spark, path)
+    assert(meta.exists { case (c, b) =>
+      c.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq &&
+        b.flatten.flatten.toSeq == cbs.flatten.flatten.toSeq })
+    val q = queryVec(3)
+    val hits = PqIndex.searchIvfPq(PqIndex.loadCodes(spark, path), emb,
+      "vec_id", "embedding", centroids, cbs, q, k = 10, nprobe = 8,
+      refine = 4)
+    assert(hits.collect().map(_.getLong(0)).toSet.intersect(victimIds).isEmpty)
+  }
+
   test("a torn append journal blocks maintenance and forces a rebuild") {
     val path = java.nio.file.Files.createTempDirectory("pq_torn")
       .resolve("codes").toString
