@@ -266,18 +266,31 @@ object Lexical {
       s"${sanitize(lineage)}_$batchId", mark = Some((sanitize(lineage), batchId)),
       maxIngestDirs = maxIngestDirs)
 
-  /** Postings-directory count that triggers [[appendOnce]]'s in-line
-    * compaction (the [[graft.memo.MemoEngine.DefaultMaxSegments]] idea on
-    * the postings artifact: bound the probe's read fan-in). */
+  /** Fresh-ingest directory count that triggers [[appendOnce]]'s in-line
+    * tiered compaction (the [[graft.memo.MemoEngine.DefaultMaxSegments]]
+    * idea on the postings artifact: bound the probe's read fan-in). */
   val MaxIngestDirs = 64
 
-  private def ingestDirCount(spark: SparkSession, dir: String): Int = {
+  /** Merged-tier directory count that escalates [[compactDeltas]] to the
+    * full corpus fold. Amortization: level-0 merges cost O(recent
+    * batches) every `MaxIngestDirs` appends; the O(corpus) full fold
+    * runs only every `MaxIngestDirs × MaxTierDirs` appends — the
+    * two-level LSM shape, instead of rewriting the corpus every 64
+    * micro-batches forever. */
+  val MaxTierDirs = 8
+
+  private def ingestDirNames(spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(st =>
-      st.isDirectory && st.getPath.getName.startsWith("ingest="))
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("ingest=") =>
+        st.getPath.getName
+    }
   }
+
+  private def isTier(name: String) = name.startsWith("ingest=t1_")
+  private def isBase(name: String) = name == "ingest=base"
 
   private def sanitize(tag: String): String =
     tag.replaceAll("[^A-Za-z0-9_-]", "_")
@@ -333,17 +346,65 @@ object Lexical {
         statsPath(path), tag)
       ArtifactMeta.write(spark, path, Meta, next.render)
       ArtifactMeta.delete(spark, path, Journal)
-      // Automatic fold on the streaming path ("one directory per
+      // Automatic tiered fold on the streaming path ("one directory per
       // micro-batch, forever" is its degradation mode). Folding HERE —
       // after the stamp advance — is safe against the interleaving the
-      // STANDALONE maintenance call must quiesce for: a replay of this
+      // STANDALONE maintenance calls must quiesce for: a replay of this
       // batch is watermark-detected and no-ops, so the fold can never
       // erase a directory a replay would re-land beside. The trigger
       // check is one directory listing per micro-batch.
       if (mark.isDefined &&
-          ingestDirCount(spark, postingsPath(path)) > maxIngestDirs) {
-        compactPostings(spark, path)
+          ingestDirNames(spark, postingsPath(path))
+            .count(n => !isBase(n) && !isTier(n)) > maxIngestDirs) {
+        compactDeltas(spark, path)
         compactStats(spark, path)
+      }
+    }
+
+  /** Tiered postings maintenance — the cheap arm [[appendOnce]]'s
+    * auto-fold runs: merge the LEVEL-0 ingest directories (one per
+    * append/micro-batch) into a single term-sorted tier directory, cost
+    * O(rows in those batches) — the base and prior tiers are never read.
+    * When `fullAfterTiers` merged tiers have accumulated, escalate to
+    * the O(corpus) [[compactPostings]] full fold (which also applies
+    * tombstones). Probe fan-in therefore stays ≤ base + `fullAfterTiers`
+    * + `MaxIngestDirs` directories while full-corpus rewrites happen
+    * every `MaxIngestDirs × fullAfterTiers` appends instead of every
+    * `MaxIngestDirs` — the two-level LSM amortization. Same
+    * invalidate-first swap and standalone quiesce contract as
+    * [[compactPostings]]. */
+  def compactDeltas(spark: SparkSession, path: String,
+      fullAfterTiers: Int = MaxTierDirs): Unit =
+    ArtifactMeta.withBuildLock(spark, path) {
+      val st = serveStamp(spark, path)
+      val names = ingestDirNames(spark, postingsPath(path))
+      val level0 = names.filterNot(n => isBase(n) || isTier(n))
+      if (names.count(isTier) >= fullAfterTiers)
+        compact(spark, path) // deep fold: postings (+tombstones) + stats
+      else if (level0.size >= 2) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // read ONLY the level-0 directories (explicit paths — the base
+        // and tier dirs are untouched), fold to one sorted tier dir
+        val merged = spark.read
+          .parquet(level0.map(n => s"${postingsPath(path)}/$n"): _*)
+          .select("term", "doc_id", "tf", "dl")
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions("term", "doc_id")
+        val tierName =
+          "ingest=t1_" + java.util.UUID.randomUUID().toString.take(8)
+        val tmp = postingsPath(path) + "_deltafold"
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        merged.write.mode("overwrite").parquet(s"$tmp/$tierName")
+        // invalidate-first across the swap window (crash → loudly
+        // invalid, rebuildable — never a valid stamp over a half-swap)
+        ArtifactMeta.delete(spark, path, Meta)
+        level0.foreach(n => fs.delete(
+          new org.apache.hadoop.fs.Path(s"${postingsPath(path)}/$n"), true))
+        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$tierName"),
+          new org.apache.hadoop.fs.Path(s"${postingsPath(path)}/$tierName"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ArtifactMeta.write(spark, path, Meta, st.render)
       }
     }
 

@@ -282,18 +282,20 @@ class LexicalSpec extends SparkTestBase {
       "writeIfAbsent after compaction must reuse the folded artifact")
   }
 
-  test("appendOnce auto-folds past maxIngestDirs; replays still no-op") {
+  test("appendOnce auto-folds level-0 dirs into a tier; replays still no-op") {
     val docs = LexCorpus.docs(spark, sfDir)
     val path = tmp("graft_lex_autofold")
     Lexical.writeIndex(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", path)
     def once(m: Int, id: Long) = Lexical.appendOnce(
       docs.filter(col("doc_id") % 4 === m), "doc_id", "text", path,
-      batchId = id, maxIngestDirs = 2)
-    once(1, 0) // base + 1 ingest dir: under threshold
+      batchId = id, maxIngestDirs = 1)
+    once(1, 0) // base + 1 level-0 dir: at threshold, no fold
     assert(ingestDirs(path + "/postings").size == 2)
-    once(2, 1) // 3 dirs > 2 → in-line fold back to base
-    assert(ingestDirs(path + "/postings") == Set("ingest=base"),
-      "auto-compact did not fold the postings directories")
+    once(2, 1) // 2 level-0 dirs > 1 → cheap tier merge (base untouched)
+    val afterFold = ingestDirs(path + "/postings")
+    assert(afterFold.size == 2 && afterFold.contains("ingest=base") &&
+      afterFold.exists(_.startsWith("ingest=t1_")),
+      s"expected base + one tier dir, got $afterFold")
     val terms = Seq("batch", "scan", "vector", "merge")
     val expect = Lexical.searchBm25(spark, path, terms, 25).collect().toSeq
     // a replayed folded batch must still no-op on the watermark (the
@@ -306,6 +308,12 @@ class LexicalSpec extends SparkTestBase {
     once(3, 2)
     val full = tmp("graft_lex_autofold_full")
     Lexical.writeIndex(docs, "doc_id", "text", full)
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq ==
+      Lexical.searchBm25(spark, full, terms, 25).collect().toSeq)
+    // tier accumulation escalates to the full corpus fold
+    Lexical.compactDeltas(spark, path, fullAfterTiers = 1)
+    assert(ingestDirs(path + "/postings") == Set("ingest=base"),
+      "tier threshold must escalate to the deep fold")
     assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq ==
       Lexical.searchBm25(spark, full, terms, 25).collect().toSeq)
   }
