@@ -265,6 +265,33 @@ class IvfIndexSpec extends SparkTestBase {
     assert(dataFiles() == after, "post-apply buildIfAbsent rebuilt")
   }
 
+  test("tombstoned load keeps partition pruning AND broadcasts the anti-join") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_delplan")
+      .resolve("idx").toString
+    val centroids = IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    IvfIndex.delete(emb.filter(col("vec_id") % 9 === 0), "vec_id",
+      "embedding", path)
+    val query = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val res = IvfIndex.search(IvfIndex.load(spark, path), centroids, query,
+      k = 10, nprobe = 3)
+    val plan = res.queryExecution.executedPlan
+    val scan = (plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }).collect { case f: FileSourceScanExec => f }
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("idx")))
+      .get
+    // the cell filter must still prune partitions THROUGH the anti-join
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+      s"cell filter lost under the tombstone join: ${scan.partitionFilters}")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"tombstone exclusion must be a broadcast anti-join:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"shuffle join in the probe plan:\n$s")
+  }
+
   test("a torn append (journal ≠ stamp) is refused and forces a rebuild") {
     val emb = Tables(spark, sfDir, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("ivf_torn")

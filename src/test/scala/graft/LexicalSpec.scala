@@ -373,6 +373,21 @@ class LexicalSpec extends SparkTestBase {
     assert(served.intersect(victimIds).isEmpty)
   }
 
+  test("tombstoned probe plan: pushed term filter + BROADCAST anti-join") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_delplan")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    Lexical.delete(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", path)
+    val plan = Lexical.searchBm25(spark, path, Seq("batch", "scan"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term IN filter lost under the tombstone join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone exclusion must be a broadcast anti-join, not a shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in the probe plan:\n$plan")
+  }
+
   /** Top-level `ingest=` partition directories under `dir`. */
   private def ingestDirs(dir: String): Set[String] = {
     val root = java.nio.file.Paths.get(dir)
