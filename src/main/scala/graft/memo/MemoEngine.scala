@@ -546,12 +546,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * with non-blank bodies, per segment — the same corpus
     * [[graft.ops.Lexical.scoreBm25]] sees, so the two hybrid paths rank
     * identically (LexicalSpec's bit-exactness contract). */
+  /** Test seam: fires inside [[ensureLexical]]'s locked catch-up arm,
+    * before any artifact work — lets a spec interleave a foreign store
+    * commit deterministically into the window (pinning that the catch-up
+    * is a function of its CAPTURED version, not the live view). Noop in
+    * production. */
+  private[graft] var beforeLexicalBuildHook: () => Unit = () => ()
+
   private def ensureLexical(): Unit = currentVersion.foreach { v =>
     def recorded = ArtifactMeta.read(spark, lexDir, LexVersionFile)
       .flatMap(_.toLongOption)
     if (!recorded.contains(v))
       ArtifactMeta.withBuildLock(spark, lexDir) {
         if (!recorded.contains(v)) { // double-checked under the lock
+          beforeLexicalBuildHook()
           val lexRows = (df: DataFrame) =>
             df.filter(!isBlank(col("body"))).select(col("id"), col("body"))
           val segVersion = "^.*/v(\\d+)/records$".r
@@ -575,13 +583,22 @@ class MemoEngine(spark: SparkSession, basePath: String,
                   batchId = ver.toLong, lineage = "storev")
               } catch { case _: IllegalStateException =>
                 // torn/missing artifact beyond the replay path's reach —
-                // rebuild is always correct
-                graft.ops.Lexical.writeIndex(lexRows(records), "id", "body",
-                  lexDir)
+                // rebuild is always correct (from the captured version's
+                // segments, same reason as the rebuild arm below)
+                graft.ops.Lexical.writeIndex(
+                  lexRows(spark.read.parquet(segments(v, "records"): _*)),
+                  "id", "body", lexDir)
               }
             case None =>
-              graft.ops.Lexical.writeIndex(lexRows(records), "id", "body",
-                lexDir)
+              // rebuild from THE CAPTURED VERSION's segments, never the
+              // live `records` view: a concurrent commit during the
+              // rebuild would otherwise land docs in the artifact that
+              // the recorded version below says are NOT there yet — the
+              // next catch-up would re-append them (duplicate postings,
+              // double-counted df; the disjoint-id contract violated)
+              graft.ops.Lexical.writeIndex(
+                lexRows(spark.read.parquet(segments(v, "records"): _*)),
+                "id", "body", lexDir)
           }
           ArtifactMeta.write(spark, lexDir, LexVersionFile, v.toString)
         }

@@ -85,6 +85,23 @@ private[graft] object ArtifactMeta {
       journalName: String, liveStamp: String): Boolean =
     read(spark, path, journalName).exists(_ != liveStamp)
 
+  /** Exclude pending-delete tombstones from an artifact read: if
+    * `tombDir` exists, anti-join its ids against `df` (broadcast —
+    * tombstone volume is bounded by deletes since the last physical
+    * apply, which clears the table); otherwise `df` unchanged. The one
+    * tombstone-exclusion implementation shared by every artifact family
+    * (postings, IVF, PQ, signatures). */
+  def excludeTombstones(df: DataFrame, tombDir: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) df
+    else df.join(
+      broadcast(spark.read.parquet(p.toString).select(col(idCol))),
+      Seq(idCol), "left_anti")
+  }
+
   /** (row count, content fingerprint) of `df` in ONE aggregation pass.
     *
     * The fingerprint is the exact decimal sum of `xxhash64` over `cols`

@@ -215,18 +215,13 @@ object Dedup {
   }
 
   /** Read a persisted signature artifact: (id, sig) — excluding any docs
-    * retracted by [[deleteSignatures]] (broadcast anti-join; tombstones
-    * fold away on the next full rebuild). */
+    * retracted by [[deleteSignatures]]
+    * ([[ArtifactMeta.excludeTombstones]]; tombstones fold away on the
+    * next full rebuild). */
   def loadSignatures(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(path).join(
-        broadcast(spark.read.parquet(p.toString).select("id")),
-        Seq("id"), "left_anti")
-    else spark.read.parquet(path)
-  }
+      path: String): DataFrame =
+    ArtifactMeta.excludeTombstones(spark.read.parquet(path),
+      s"$path/_tombstones", "id")
 
   private def readSigMeta(df: DataFrame, path: String): Option[String] =
     ArtifactMeta.read(df, path, "_minhash_meta")

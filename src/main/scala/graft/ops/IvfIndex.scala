@@ -172,14 +172,10 @@ object IvfIndex {
 
   /** Read a persisted index back (cell_id is the partition column),
     * excluding any docs retracted by [[delete]] that [[applyDeletes]] has
-    * not yet folded away (broadcast anti-join — tombstone volume is
-    * bounded by deletes since the last apply). */
+    * not yet folded away ([[ArtifactMeta.excludeTombstones]]). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    readTombstones(spark, path) match {
-      case Some(tomb) => spark.read.parquet(path)
-        .join(broadcast(tomb), Seq("id"), "left_anti")
-      case None => spark.read.parquet(path)
-    }
+    ArtifactMeta.excludeTombstones(spark.read.parquet(path),
+      tombDir(path), "id")
 
   /** Ensure a persisted index exists at `path` for this corpus and return
     * its centroids — the build-once / probe-many lifecycle of a real ANN
@@ -306,7 +302,12 @@ object IvfIndex {
       throw new IllegalStateException(
         s"no IVF index at $path — run buildIfAbsent before delete"))
     ArtifactMeta.journalGuard(spark, path, Journal, meta.stamp)
-    val parts = meta.stamp.split(":", 5)
+    val parts = meta.stamp.split(":", 5) match {
+      case a if a.length == 5 && a(4).startsWith("fp") => a
+      case _ => throw new IllegalStateException(
+        s"IVF index at $path predates refinement-aware stamps — " +
+          "delete it (or its _ivf_centroids) and rebuild")
+    }
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
     val n = parts(0).toLong - bn
     require(n >= 0, s"delete batch exceeds index contents at $path " +

@@ -258,7 +258,18 @@ object Lexical {
     *
     * One stream per artifact (single watermark, matching the store's
     * default-lineage shape); concurrent ad-hoc [[append]]s compose fine —
-    * they have their own directories and the lock serializes stamps. */
+    * they have their own directories and the lock serializes stamps.
+    *
+    * SERVING CONCURRENCY: probes are lock-free and correct BETWEEN
+    * maintenance windows. Inside a window they fail LOUDLY, never
+    * silently wrong — during an append the pending journal makes
+    * [[searchBm25]] refuse (the batch's postings may be visible before
+    * its stats), and the in-line fold (like the standalone compactions)
+    * deletes the stamp across its swap, so probes starting there throw
+    * too. A deployment serving queries concurrently with ingest should
+    * either retry refused probes (windows last one micro-batch commit /
+    * one fold) or set `maxIngestDirs = Int.MaxValue` and run
+    * [[compactDeltas]]/[[compact]] in quiet windows instead. */
   def appendOnce(batch: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long, lineage: String = "stream",
       maxIngestDirs: Int = MaxIngestDirs): Unit =
@@ -442,7 +453,9 @@ object Lexical {
       readJournal(spark, path).foreach { j =>
         if (j.expected == prior.render)
           ArtifactMeta.delete(spark, path, Journal) // completed, stale marker
-        else if (j.tag != tag)
+        else
+          // unlike appendOnce there is no replay-repair arm: delete tags
+          // are freshly minted, so any live journal is a crashed run
           throw new IllegalStateException(
             s"lexical artifact at $path has an incomplete append '${j.tag}' — " +
               "rebuild with writeIndex/writeIfAbsent before deleting")
@@ -465,15 +478,6 @@ object Lexical {
       ArtifactMeta.write(spark, path, Meta, next.render)
       ArtifactMeta.delete(spark, path, Journal)
     }
-  }
-
-  /** Live tombstoned doc ids, if any deletes are pending compaction. */
-  private def readTombstones(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("doc_id"))
-    else None
   }
 
   /** Fold the termstats deltas back into one aggregated layout — the
@@ -531,11 +535,8 @@ object Lexical {
   def compactPostings(spark: SparkSession, path: String): Unit =
     ArtifactMeta.withBuildLock(spark, path) {
       val st = serveStamp(spark, path)
-      val live = readTombstones(spark, path) match {
-        case Some(tomb) => spark.read.parquet(postingsPath(path))
-          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-        case None => spark.read.parquet(postingsPath(path))
-      }
+      val live = ArtifactMeta.excludeTombstones(
+        spark.read.parquet(postingsPath(path)), tombstonesPath(path), "doc_id")
       val folded = live.select("term", "doc_id", "tf", "dl")
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id")
@@ -583,14 +584,11 @@ object Lexical {
     // or torn artifact surfaces as the designed error, not a parquet one
     val st = serveStamp(spark, path)
     val avgDl = if (st.n == 0) 0.0 else st.sumDl.toDouble / st.n.toDouble
-    val post0 = spark.read.parquet(postingsPath(path))
-      .filter(col("term").isin(terms: _*))
-    // pending deletes: exclude tombstoned docs (broadcast — bounded by
-    // deletes since the last compactPostings, which folds them away)
-    val post = readTombstones(spark, path) match {
-      case Some(tomb) => post0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      case None => post0
-    }
+    // pending deletes excluded via the shared broadcast anti-join
+    // (bounded by deletes since the last compactPostings)
+    val post = ArtifactMeta.excludeTombstones(
+      spark.read.parquet(postingsPath(path)).filter(col("term").isin(terms: _*)),
+      tombstonesPath(path), "doc_id")
     val df = spark.read.parquet(statsPath(path))
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))

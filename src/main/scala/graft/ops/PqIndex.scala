@@ -279,15 +279,11 @@ object PqIndex {
   }
 
   /** Read a persisted codes table back (flat or IVF-PQ), excluding any
-    * docs retracted by [[delete]]/[[deleteIvfPq]] (broadcast anti-join —
-    * tombstone volume is bounded by deletes since the last rebuild, which
-    * folds them away). */
+    * docs retracted by [[delete]]/[[deleteIvfPq]]
+    * ([[ArtifactMeta.excludeTombstones]]). */
   def loadCodes(spark: SparkSession, path: String): DataFrame =
-    readTombstones(spark, path) match {
-      case Some(tomb) => spark.read.parquet(path)
-        .join(broadcast(tomb), Seq("id"), "left_anti")
-      case None => spark.read.parquet(path)
-    }
+    ArtifactMeta.excludeTombstones(spark.read.parquet(path),
+      tombDir(path), "id")
 
   /** Retract documents from a codes artifact WITHOUT a rebuild —
     * [[IvfIndex.delete]]'s contract on the PQ artifacts: tombstone the

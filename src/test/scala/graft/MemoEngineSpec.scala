@@ -371,6 +371,45 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("lexical catch-up is a function of its CAPTURED version under racing commits") {
+    import org.apache.spark.sql.functions._
+    val (engine, db) = freshEngine()
+    engine.save((0 until 8).map(i => s"---\nbody: seed note $i about alpha\n")
+      .mkString)
+    engine.hybridRecall("alpha", k = 5).collect() // artifact at v_seed
+    // force the rebuild arm on the next catch-up (reindex rewrites the
+    // chain), then interleave a foreign commit INTO the rebuild window:
+    // the rebuild must index the captured version, not the live view —
+    // otherwise the next catch-up re-appends the racer's doc (duplicate
+    // postings rows, double-counted df, inflated N)
+    engine.save("---\nid: 0\nbody: gone\nmetadata: {deleted: true}\n")
+    engine.reindex()
+    engine.beforeLexicalBuildHook = () => {
+      engine.beforeLexicalBuildHook = () => () // fire once
+      engine.save("---\nbody: racer note about alpha zulu\n")
+    }
+    try engine.hybridRecall("alpha zulu", k = 10).collect()
+    finally engine.beforeLexicalBuildHook = () => ()
+    // second call catches up the racer's version; the maintained artifact
+    // must then score BIT-IDENTICALLY to the inline scorer over the live
+    // records (the LexicalSpec equivalence contract) — a double-counted
+    // racer would carry duplicate postings rows, df=2, and an inflated
+    // corpus N, shifting its own score AND every idf
+    engine.hybridRecall("alpha zulu", k = 10).collect()
+    val terms = graft.functions.VectorKernels.tokenize("alpha zulu")
+      .toSeq.distinct
+    val inline = graft.ops.Lexical.scoreBm25(
+      engine.records.filter(
+        !graft.functions.GraftFunctions.isBlank(col("body"))),
+      "id", "body", terms, 50).collect().toSeq
+    val artifact = graft.ops.Lexical.searchBm25(spark, s"$db/_lexical",
+      terms, 50).collect().toSeq
+    assert(artifact == inline,
+      "maintained artifact diverged from the live corpus after a racing " +
+        "commit — the catch-up double-counted or dropped a version")
+    engine.clean()
+  }
+
   test("hybrid recall serves O(probe) off the maintained postings artifact") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorKernels
