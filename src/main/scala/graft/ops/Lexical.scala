@@ -41,11 +41,14 @@ import graft.functions.GraftFunctions.tokensKernel
   *  - `tombstones/` — doc ids retracted by [[delete]] (O(batch), no
   *    rebuild): probes anti-join them until [[compactPostings]] applies
   *    them physically and clears the table.
-  *  - `_lex_meta` — stamp carrying (docCount, sum of doc lengths, content
-  *    fingerprint). N and avgdl — the corpus-global BM25 inputs — are
-  *    answered from the stamp at probe time (metadata-only, no scan), and
-  *    both advance ADDITIVELY on append ([[ArtifactMeta.fingerprint]]'s
-  *    contract).
+  *  - `_lex_meta` — stamp line (docCount, sum of doc lengths, content
+  *    fingerprint) plus the MANIFEST: the live directory list of each
+  *    table. N and avgdl — the corpus-global BM25 inputs — are answered
+  *    from the stamp at probe time (metadata-only, no scan) and advance
+  *    ADDITIVELY on append ([[ArtifactMeta.fingerprint]]'s contract);
+  *    the manifest gates data visibility — every maintenance operation
+  *    publishes its outcome with ONE atomic meta rename, so lock-free
+  *    probes always resolve a complete, consistent directory set.
   *
   * Scoring runs entirely inside whole-stage codegen (arithmetic on tf/dl
   * plus one `ln`), sums per-term contributions as exact DECIMAL so the
@@ -103,8 +106,75 @@ object Lexical {
       BigInt(row.getDecimal(1).toBigInteger), None)
   }
 
+  /** Live directory sets of the artifact's three tables — the MANIFEST
+    * half of `_lex_meta`. Visibility is manifest-gated: probes read
+    * EXACTLY the listed directories, so a maintenance operation that
+    * writes new directories and then atomically swaps the meta file can
+    * never expose a half-swapped state — a concurrent probe sees either
+    * the complete old set or the complete new set. Directories on disk
+    * but not in the manifest are invisible orphans (crashed maintenance
+    * leftovers), swept by the next maintenance run. */
+  private[graft] final case class LexDirs(post: Seq[String],
+      stats: Seq[String], tombs: Seq[String])
+
+  private final case class LexMeta(stamp: LexStamp, dirs: Option[LexDirs])
+
   private def readMeta(spark: SparkSession, path: String): Option[LexStamp] =
-    ArtifactMeta.read(spark, path, Meta).flatMap(parseStamp)
+    readMetaFull(spark, path).map(_.stamp)
+
+  /** Parse the full meta file: stamp line, then `p:`/`s:`/`t:` manifest
+    * lines. A stamp-only file (pre-manifest artifact) yields dirs = None
+    * and readers fall back to filesystem discovery — upgraded in place
+    * by the next maintenance write. */
+  private def readMetaFull(spark: SparkSession, path: String): Option[LexMeta] = {
+    val p = new org.apache.hadoop.fs.Path(path, Meta)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      lines.headOption.flatMap(parseStamp).map { st =>
+        val tagged = lines.tail.filter(_.length > 2)
+        val dirs =
+          if (lines.tail.isEmpty) None
+          else Some(LexDirs(
+            tagged.collect { case l if l.startsWith("p:") => l.drop(2) },
+            tagged.collect { case l if l.startsWith("s:") => l.drop(2) },
+            tagged.collect { case l if l.startsWith("t:") => l.drop(2) }))
+        LexMeta(st, dirs)
+      }
+    }
+  }
+
+  /** Atomically publish stamp + manifest: write a sibling tmp file, then
+    * rename over `_lex_meta` (FileContext OVERWRITE — atomic on POSIX
+    * and HDFS). The single swap makes the stats and the data set they
+    * describe visible together. */
+  private def writeMetaAtomic(spark: SparkSession, path: String,
+      stamp: LexStamp, dirs: LexDirs): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path, Meta)
+    val tmp = new org.apache.hadoop.fs.Path(path, Meta + ".tmp")
+    val fs = dst.getFileSystem(conf)
+    val body = (stamp.render +:
+      (dirs.post.distinct.map("p:" + _) ++ dirs.stats.distinct.map("s:" + _) ++
+        dirs.tombs.distinct.map("t:" + _))).mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The live directory sets, from the manifest or (legacy stamp-only
+    * artifact) from filesystem discovery. */
+  private def resolveDirs(spark: SparkSession, path: String,
+      meta: LexMeta): LexDirs =
+    meta.dirs.getOrElse(LexDirs(
+      ingestDirNames(spark, postingsPath(path)),
+      ingestDirNames(spark, statsPath(path)),
+      ingestDirNames(spark, tombstonesPath(path))))
 
   private def parseStamp(stamp: String): Option[LexStamp] =
     stamp.split(":", 4).toSeq match {
@@ -136,19 +206,22 @@ object Lexical {
       .map(_.split("\\|", 2))
       .collect { case Array(t, e) => Pending(t, e) }
 
-  /** Stamp for SERVING: throws the designed errors for a missing
-    * artifact and for one gutted by a crashed append/maintenance run
-    * (checked before any data file is touched). */
-  private def serveStamp(spark: SparkSession, path: String): LexStamp = {
-    val st = readMeta(spark, path).getOrElse(throw new IllegalStateException(
+  /** Meta for SERVING: throws the designed errors for a missing
+    * artifact and for one whose pending journal contradicts the live
+    * stamp (crashed or in-flight append — checked before any data file
+    * is touched). Compactions never trip this: their manifest swap is
+    * atomic and the stamp file is never deleted, so probes racing a fold
+    * serve the complete old or complete new state. */
+  private def serveMeta(spark: SparkSession, path: String): LexMeta = {
+    val m = readMetaFull(spark, path).getOrElse(throw new IllegalStateException(
       s"no lexical artifact at $path — writeIndex first"))
     readJournal(spark, path).foreach { j =>
-      if (j.expected != st.render)
+      if (j.expected != m.stamp.render)
         throw new IllegalStateException(
           s"lexical artifact at $path has an incomplete append '${j.tag}' — " +
             "rebuild with writeIndex/writeIfAbsent")
     }
-    st
+    m
   }
 
   /** Freshness = core facts agree (the stream watermark is bookkeeping,
@@ -194,7 +267,8 @@ object Lexical {
       spark.read.parquet(postingsPath(path))
         .groupBy("term").agg(count(lit(1)).as("df")),
       statsPath(path), "base")
-    ArtifactMeta.write(spark, path, Meta, stamp.render)
+    writeMetaAtomic(spark, path, stamp,
+      LexDirs(Seq("ingest=base"), Seq("ingest=base"), Nil))
   }
 
   /** Build the postings artifact (build lock; overwrites any prior). */
@@ -260,16 +334,18 @@ object Lexical {
     * default-lineage shape); concurrent ad-hoc [[append]]s compose fine —
     * they have their own directories and the lock serializes stamps.
     *
-    * SERVING CONCURRENCY: probes are lock-free and correct BETWEEN
-    * maintenance windows. Inside a window they fail LOUDLY, never
-    * silently wrong — during an append the pending journal makes
-    * [[searchBm25]] refuse (the batch's postings may be visible before
-    * its stats), and the in-line fold (like the standalone compactions)
-    * deletes the stamp across its swap, so probes starting there throw
-    * too. A deployment serving queries concurrently with ingest should
-    * either retry refused probes (windows last one micro-batch commit /
-    * one fold) or set `maxIngestDirs = Int.MaxValue` and run
-    * [[compactDeltas]]/[[compact]] in quiet windows instead. */
+    * SERVING CONCURRENCY: probes are lock-free, and data visibility is
+    * MANIFEST-GATED — every read resolves the directory set through one
+    * atomically-swapped meta file, so compactions (standalone or the
+    * in-line fold here) never expose a half-swapped state: a racing
+    * probe serves the complete old or the complete new layout. The one
+    * refusal window left is an append in flight — its pending journal
+    * makes [[searchBm25]] throw for the duration of the micro-batch
+    * commit (an in-flight append is indistinguishable from a crashed
+    * one without the lock) — and the one residual race is a probe that
+    * resolved the OLD manifest and lists files after the fold deleted
+    * the superseded directories: it fails LOUDLY (FileNotFound — retry),
+    * never silently wrong. */
   def appendOnce(batch: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long, lineage: String = "stream",
       maxIngestDirs: Int = MaxIngestDirs): Unit =
@@ -301,7 +377,11 @@ object Lexical {
   }
 
   private def isTier(name: String) = name.startsWith("ingest=t1_")
-  private def isBase(name: String) = name == "ingest=base"
+  // "ingest=base" from a fresh build; "ingest=base_<x>" from a full fold
+  // (the old base stays live until the manifest swap, so the folded base
+  // needs a fresh name)
+  private def isBase(name: String) =
+    name == "ingest=base" || name.startsWith("ingest=base_")
 
   private def sanitize(tag: String): String =
     tag.replaceAll("[^A-Za-z0-9_-]", "_")
@@ -327,8 +407,10 @@ object Lexical {
       maxIngestDirs: Int = Int.MaxValue): Unit =
     ArtifactMeta.withBuildLock(batch, path) {
       val spark = batch.sparkSession
-      val prior = readMeta(spark, path).getOrElse(throw new IllegalStateException(
-        s"no lexical artifact at $path — writeIndex first"))
+      val priorMeta = readMetaFull(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no lexical artifact at $path — writeIndex first"))
+      val prior = priorMeta.stamp
       readJournal(spark, path).foreach { j =>
         if (j.expected == prior.render)
           ArtifactMeta.delete(spark, path, Journal) // completed, stale marker
@@ -355,18 +437,20 @@ object Lexical {
         spark.read.parquet(s"${postingsPath(path)}/ingest=$tag")
           .groupBy("term").agg(count(lit(1)).as("df")),
         statsPath(path), tag)
-      ArtifactMeta.write(spark, path, Meta, next.render)
+      // one atomic swap publishes the stamp AND the batch's directories
+      val dirs0 = resolveDirs(spark, path, priorMeta)
+      val dirs = dirs0.copy(post = dirs0.post :+ s"ingest=$tag",
+        stats = dirs0.stats :+ s"ingest=$tag")
+      writeMetaAtomic(spark, path, next, dirs)
       ArtifactMeta.delete(spark, path, Journal)
       // Automatic tiered fold on the streaming path ("one directory per
       // micro-batch, forever" is its degradation mode). Folding HERE —
-      // after the stamp advance — is safe against the interleaving the
-      // STANDALONE maintenance calls must quiesce for: a replay of this
-      // batch is watermark-detected and no-ops, so the fold can never
-      // erase a directory a replay would re-land beside. The trigger
-      // check is one directory listing per micro-batch.
+      // after the batch is fully published — is safe against replay
+      // interleavings: a replay of this batch is watermark-detected and
+      // no-ops before touching data, so the fold can never erase a
+      // directory a replay would re-land beside.
       if (mark.isDefined &&
-          ingestDirNames(spark, postingsPath(path))
-            .count(n => !isBase(n) && !isTier(n)) > maxIngestDirs) {
+          dirs.post.count(n => !isBase(n) && !isTier(n)) > maxIngestDirs) {
         compactDeltas(spark, path)
         compactStats(spark, path)
       }
@@ -382,40 +466,31 @@ object Lexical {
     * + `MaxIngestDirs` directories while full-corpus rewrites happen
     * every `MaxIngestDirs × fullAfterTiers` appends instead of every
     * `MaxIngestDirs` — the two-level LSM amortization. Same
-    * invalidate-first swap and standalone quiesce contract as
-    * [[compactPostings]]. */
+    * manifest-gated swap as [[compactPostings]] (concurrent probes serve
+    * a complete state; a crash leaves the old state serving). */
   def compactDeltas(spark: SparkSession, path: String,
       fullAfterTiers: Int = MaxTierDirs): Unit =
     ArtifactMeta.withBuildLock(spark, path) {
-      val st = serveStamp(spark, path)
-      val names = ingestDirNames(spark, postingsPath(path))
-      val level0 = names.filterNot(n => isBase(n) || isTier(n))
-      if (names.count(isTier) >= fullAfterTiers)
+      val m = serveMeta(spark, path)
+      val dirs = resolveDirs(spark, path, m)
+      val level0 = dirs.post.filterNot(n => isBase(n) || isTier(n))
+      if (dirs.post.count(isTier) >= fullAfterTiers)
         compact(spark, path) // deep fold: postings (+tombstones) + stats
       else if (level0.size >= 2) {
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        sweepOrphans(spark, postingsPath(path), dirs.post)
         // read ONLY the level-0 directories (explicit paths — the base
-        // and tier dirs are untouched), fold to one sorted tier dir
+        // and tier dirs are untouched), fold to one sorted tier dir;
+        // manifest-gated swap as in [[compactPostings]]
         val merged = spark.read
           .parquet(level0.map(n => s"${postingsPath(path)}/$n"): _*)
           .select("term", "doc_id", "tf", "dl")
           .repartitionByRange(col("term"))
           .sortWithinPartitions("term", "doc_id")
-        val tierName =
-          "ingest=t1_" + java.util.UUID.randomUUID().toString.take(8)
-        val tmp = postingsPath(path) + "_deltafold"
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        merged.write.mode("overwrite").parquet(s"$tmp/$tierName")
-        // invalidate-first across the swap window (crash → loudly
-        // invalid, rebuildable — never a valid stamp over a half-swap)
-        ArtifactMeta.delete(spark, path, Meta)
-        level0.foreach(n => fs.delete(
-          new org.apache.hadoop.fs.Path(s"${postingsPath(path)}/$n"), true))
-        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$tierName"),
-          new org.apache.hadoop.fs.Path(s"${postingsPath(path)}/$tierName"))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        ArtifactMeta.write(spark, path, Meta, st.render)
+        val tag = "t1_" + shortId()
+        writeDelta(merged, postingsPath(path), tag)
+        writeMetaAtomic(spark, path, m.stamp, dirs.copy(
+          post = dirs.post.filterNot(level0.toSet) :+ s"ingest=$tag"))
+        deleteDirs(spark, postingsPath(path), level0)
       }
     }
 
@@ -448,8 +523,10 @@ object Lexical {
     val tag = "del_" + java.util.UUID.randomUUID().toString.take(8)
     ArtifactMeta.withBuildLock(batch, path) {
       val spark = batch.sparkSession
-      val prior = readMeta(spark, path).getOrElse(throw new IllegalStateException(
-        s"no lexical artifact at $path — writeIndex first"))
+      val priorMeta = readMetaFull(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no lexical artifact at $path — writeIndex first"))
+      val prior = priorMeta.stamp
       readJournal(spark, path).foreach { j =>
         if (j.expected == prior.render)
           ArtifactMeta.delete(spark, path, Journal) // completed, stale marker
@@ -475,42 +552,59 @@ object Lexical {
         postings(batch, idCol, textCol).groupBy("term")
           .agg((-count(lit(1))).as("df")),
         statsPath(path), tag)
-      ArtifactMeta.write(spark, path, Meta, next.render)
+      // one atomic swap: retreated stamp + tombstone + df-delta dirs
+      val dirs0 = resolveDirs(spark, path, priorMeta)
+      writeMetaAtomic(spark, path, next, dirs0.copy(
+        stats = dirs0.stats :+ s"ingest=$tag",
+        tombs = dirs0.tombs :+ s"ingest=$tag"))
       ArtifactMeta.delete(spark, path, Journal)
     }
   }
 
+  /** Delete directories of a table that the manifest does not reference —
+    * crashed-maintenance leftovers (invisible to probes by construction).
+    * Runs under the lock at the start of every maintenance op. */
+  private def sweepOrphans(spark: SparkSession, tableDir: String,
+      live: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ingestDirNames(spark, tableDir).filterNot(live.toSet).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$n"), true))
+  }
+
+  private def deleteDirs(spark: SparkSession, tableDir: String,
+      names: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    names.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$n"), true))
+  }
+
+  private def shortId() = java.util.UUID.randomUUID().toString.take(8)
+
   /** Fold the termstats deltas back into one aggregated layout — the
     * maintenance companion of [[append]] (run when the delta file count
     * grows; readers are correct either way, this just bounds the
-    * per-probe stats scan). Runs under the artifact lock.
-    *
-    * Ordering contract with [[appendOnce]]: run compaction only when the
-    * ingest stream is quiesced (stopped, or its last batch's stamp
-    * advance observed). Folding erases the per-batch directories, so a
-    * crash-window replay arriving AFTER a fold that already absorbed its
-    * rows would re-land them beside the fold — the one interleaving the
-    * idempotence machinery cannot see. The stamp-watermark path (normal
-    * replay, no crash) is safe in any order. */
+    * per-probe stats scan). Runs under the artifact lock; the swap is
+    * MANIFEST-GATED: the folded directory is written beside the live
+    * ones, one atomic meta rename repoints readers, and only then are
+    * the superseded directories removed — a concurrent probe sees the
+    * complete old set or the complete new set, and a crash anywhere
+    * leaves the old state serving (the new directory is an invisible
+    * orphan, swept by the next maintenance run). */
   def compactStats(spark: SparkSession, path: String): Unit =
     ArtifactMeta.withBuildLock(spark, path) {
-      // refuses a crashed-append artifact; also gives us the stamp to
-      // restore after the destructive swap
-      val st = serveStamp(spark, path)
-      val folded = spark.read.parquet(statsPath(path))
+      val m = serveMeta(spark, path)
+      val dirs = resolveDirs(spark, path, m)
+      sweepOrphans(spark, statsPath(path), dirs.stats)
+      val folded = spark.read
+        .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*)
         .groupBy("term").agg(sum("df").as("df"))
-      val tmp = statsPath(path) + "_compact"
-      writeDelta(folded, tmp, "base")
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // invalidate across the delete+rename window: a crash inside it
-      // leaves a loudly-invalid artifact (rebuildable), never a valid
-      // stamp pointing at a half-swapped stats table
-      ArtifactMeta.delete(spark, path, Meta)
-      fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(statsPath(path)))
-      ArtifactMeta.write(spark, path, Meta, st.render)
+      val tag = "fold_" + shortId()
+      writeDelta(folded, statsPath(path), tag)
+      writeMetaAtomic(spark, path, m.stamp,
+        dirs.copy(stats = Seq(s"ingest=$tag")))
+      deleteDirs(spark, statsPath(path), dirs.stats)
     }
 
   /** Fold the per-ingest postings directories back into ONE term-sorted
@@ -522,34 +616,37 @@ object Lexical {
     * file listing and probe I/O growing linearly with ingest history,
     * exactly the degradation the term-sorted layout exists to prevent.
     *
-    * Same invalidate-first swap as [[compactStats]] (stamp deleted across
-    * the delete+rename window — a crash inside it leaves a loudly-invalid
-    * artifact, never a valid stamp over a half-swapped table), same
-    * quiesce-the-stream ordering contract with [[appendOnce]] when called
-    * STANDALONE. ([[appendOnce]]'s own in-line fold trigger is exempt: it
-    * runs after the batch's stamp advance, so a replay no-ops on the
-    * watermark before any data is touched.) Tombstoned
-    * docs are dropped and the tombstone table cleared; the stamp is
-    * unchanged (delete already retreated it). Run both compactions
-    * together via [[compact]]. */
+    * Manifest-gated swap ([[compactStats]]'s contract): concurrent
+    * probes serve the complete old or complete new state, a crash leaves
+    * the old state serving. The stamp is unchanged ([[delete]] already
+    * retreated it); tombstoned docs are dropped and the tombstone table
+    * cleared in the same swap. Run both compactions together via
+    * [[compact]]. */
   def compactPostings(spark: SparkSession, path: String): Unit =
     ArtifactMeta.withBuildLock(spark, path) {
-      val st = serveStamp(spark, path)
-      val live = ArtifactMeta.excludeTombstones(
-        spark.read.parquet(postingsPath(path)), tombstonesPath(path), "doc_id")
+      val m = serveMeta(spark, path)
+      val dirs = resolveDirs(spark, path, m)
+      sweepOrphans(spark, postingsPath(path), dirs.post)
+      val raw = spark.read
+        .parquet(dirs.post.map(n => s"${postingsPath(path)}/$n"): _*)
+      val live =
+        if (dirs.tombs.isEmpty) raw
+        else raw.join(broadcast(spark.read
+            .parquet(dirs.tombs.map(n => s"${tombstonesPath(path)}/$n"): _*)
+            .select("doc_id")),
+          Seq("doc_id"), "left_anti")
       val folded = live.select("term", "doc_id", "tf", "dl")
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id")
-      val tmp = postingsPath(path) + "_compact"
-      writeDelta(folded, tmp, "base")
-      val fs = new org.apache.hadoop.fs.Path(path)
+      val tag = "base_" + shortId()
+      writeDelta(folded, postingsPath(path), tag)
+      writeMetaAtomic(spark, path, m.stamp,
+        LexDirs(Seq(s"ingest=$tag"), dirs.stats, Nil))
+      deleteDirs(spark, postingsPath(path), dirs.post)
+      // every pending tombstone was consumed by the fold — drop the table
+      new org.apache.hadoop.fs.Path(tombstonesPath(path))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      ArtifactMeta.delete(spark, path, Meta)
-      fs.delete(new org.apache.hadoop.fs.Path(postingsPath(path)), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(postingsPath(path)))
-      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(path)), true)
-      ArtifactMeta.write(spark, path, Meta, st.render)
+        .delete(new org.apache.hadoop.fs.Path(tombstonesPath(path)), true)
     }
 
   /** Full maintenance pass: fold postings (applying tombstones) and
@@ -581,15 +678,27 @@ object Lexical {
       k: Int): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one query term")
     // stamp + journal checked BEFORE any data file is touched: a missing
-    // or torn artifact surfaces as the designed error, not a parquet one
-    val st = serveStamp(spark, path)
+    // or torn artifact surfaces as the designed error, not a parquet one.
+    // All reads resolve through the manifest — the probe sees exactly the
+    // directory set one atomic meta swap published, never a mid-
+    // maintenance mixture.
+    val m = serveMeta(spark, path)
+    val st = m.stamp
+    val dirs = resolveDirs(spark, path, m)
     val avgDl = if (st.n == 0) 0.0 else st.sumDl.toDouble / st.n.toDouble
-    // pending deletes excluded via the shared broadcast anti-join
-    // (bounded by deletes since the last compactPostings)
-    val post = ArtifactMeta.excludeTombstones(
-      spark.read.parquet(postingsPath(path)).filter(col("term").isin(terms: _*)),
-      tombstonesPath(path), "doc_id")
-    val df = spark.read.parquet(statsPath(path))
+    val postRaw = spark.read
+      .parquet(dirs.post.map(n => s"${postingsPath(path)}/$n"): _*)
+      .filter(col("term").isin(terms: _*))
+    // pending deletes excluded via a broadcast anti-join (bounded by
+    // deletes since the last compactPostings)
+    val post =
+      if (dirs.tombs.isEmpty) postRaw
+      else postRaw.join(broadcast(spark.read
+          .parquet(dirs.tombs.map(n => s"${tombstonesPath(path)}/$n"): _*)
+          .select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val df = spark.read
+      .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*)
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))
     score(post, df, st.n, avgDl, k)

@@ -269,8 +269,9 @@ class LexicalSpec extends SparkTestBase {
     assert(dirsBefore.size == 3, s"expected 3 ingest dirs, got $dirsBefore")
     val filesBefore = listFiles(path + "/postings").size
     Lexical.compactPostings(spark, path)
-    assert(ingestDirs(path + "/postings") == Set("ingest=base"),
-      "postings must fold to a single base directory")
+    val foldedDirs = ingestDirs(path + "/postings")
+    assert(foldedDirs.size == 1 && foldedDirs.head.startsWith("ingest=base"),
+      s"postings must fold to a single base directory, got $foldedDirs")
     assert(listFiles(path + "/postings").size < filesBefore,
       "compaction must reduce the probe's file count")
     assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq == before,
@@ -312,19 +313,36 @@ class LexicalSpec extends SparkTestBase {
       Lexical.searchBm25(spark, full, terms, 25).collect().toSeq)
     // tier accumulation escalates to the full corpus fold
     Lexical.compactDeltas(spark, path, fullAfterTiers = 1)
-    assert(ingestDirs(path + "/postings") == Set("ingest=base"),
-      "tier threshold must escalate to the deep fold")
+    val deep = ingestDirs(path + "/postings")
+    assert(deep.size == 1 && deep.head.startsWith("ingest=base"),
+      s"tier threshold must escalate to the deep fold, got $deep")
     assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq ==
       Lexical.searchBm25(spark, full, terms, 25).collect().toSeq)
   }
 
-  test("a crash mid-compactPostings leaves a loudly-invalid artifact") {
+  test("manifest gates visibility: orphan dirs invisible, crash-safe folds") {
     import java.nio.file.{Files, Paths}
     val docs = corpus.toDF("doc_id", "text")
-    val path = tmp("graft_lex_ptorn")
+    val path = tmp("graft_lex_manifest")
     Lexical.writeIndex(docs, "doc_id", "text", path)
-    // the protocol invalidates the stamp across the swap window; a crash
-    // there = artifact with no stamp → probes throw the designed error
+    val expect = Lexical.searchBm25(spark, path, Seq("apple", "banana"), 10)
+      .collect().toSeq
+    // a crashed fold leaves its half-written output as a directory the
+    // manifest does not reference — probes must not see it
+    val orphan = Paths.get(path, "postings", "ingest=t1_orphan")
+    Files.createDirectories(orphan)
+    spark.range(3).selectExpr("'apple' as term", "id + 900 as doc_id",
+      "5L as tf", "5L as dl").write.mode("overwrite").parquet(orphan.toString)
+    assert(Lexical.searchBm25(spark, path, Seq("apple", "banana"), 10)
+      .collect().toSeq == expect,
+      "probe served rows from a directory outside the manifest")
+    // the next maintenance run sweeps the orphan and serving is unchanged
+    Lexical.compactStats(spark, path)
+    Lexical.compactPostings(spark, path)
+    assert(!Files.exists(orphan), "maintenance must sweep orphan dirs")
+    assert(Lexical.searchBm25(spark, path, Seq("apple", "banana"), 10)
+      .collect().toSeq == expect)
+    // a fully missing meta file (a gutted artifact) still refuses loudly
     Files.delete(Paths.get(path, "_lex_meta"))
     Files.deleteIfExists(Paths.get(path, "._lex_meta.crc"))
     val e = intercept[IllegalStateException] {
@@ -360,7 +378,8 @@ class LexicalSpec extends SparkTestBase {
       "writeIfAbsent over corpus ∖ batch must reuse, not rebuild")
     // compaction applies tombstones physically and clears them
     Lexical.compact(spark, path)
-    assert(ingestDirs(path + "/postings") == Set("ingest=base"))
+    val applied = ingestDirs(path + "/postings")
+    assert(applied.size == 1 && applied.head.startsWith("ingest=base"))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "tombstones")),
       "compaction must clear applied tombstones")
