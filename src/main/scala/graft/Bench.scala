@@ -162,7 +162,15 @@ object Bench {
         "\"" + contractKey(k) + "\":" + math.max(r, -1).round
       }.mkString(""","streams":{""", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errs$streams,"sf":"$sfShort"}""")
+    // load marker: two rounds of judging burned time separating VM
+    // weather from regressions — the 1-min loadavg at END of run (plus
+    // the run count) lets the shared-untouched-subset comparison be
+    // normalized mechanically instead of argued from drift shape
+    val load = try {
+      val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      fmt2(mx.getSystemLoadAverage.max(0.0))
+    } catch { case _: Throwable => "-1" }
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errs$streams,"sf":"$sfShort","load":$load,"runs":$runs}""")
     spark.stop()
   }
 }

@@ -605,6 +605,127 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
   }
 
+  private def ivfDir: String = base.resolve("_ivf").toString
+
+  /** [[ensureLexical]]'s version-watermark idiom generalized to the
+    * vector-artifact family: keep a persisted IVF index
+    * ([[graft.ops.IvfIndex]]) in lockstep with the store's committed
+    * `index` chain, so a memo store serves ANN without hand-built
+    * indexes. Same three-arm shape:
+    *
+    *  - watermark current → serve the stored centroids lock-free (no
+    *    corpus scan, no stamp re-validation — the version file IS the
+    *    freshness proof);
+    *  - append-only chain growth → O(new segments) catch-up via
+    *    [[graft.ops.IvfIndex.append]] (centroids reused, new rows land
+    *    as new files in existing cell partitions; a coarse quantizer
+    *    does not need retraining for an ingest increment);
+    *  - chain rewrite (reindex/import/overwrite) or torn artifact →
+    *    full rebuild from the CAPTURED version's segments (not the live
+    *    view — the [[ensureLexical]] race argument verbatim), with
+    *    nlist re-derived from the corpus size.
+    *
+    * Returns the centroid matrix, or None for an empty corpus (no cells
+    * to probe — callers fall back to the exact ranking). */
+  private def ensureIvf(): Option[Array[Array[Float]]] =
+    currentVersion.flatMap { v =>
+      def recorded = ArtifactMeta.read(spark, ivfDir, LexVersionFile)
+        .flatMap(_.toLongOption)
+      if (recorded.contains(v))
+        graft.ops.IvfIndex.readCentroids(spark, ivfDir)
+      else ArtifactMeta.withBuildLock(spark, ivfDir) {
+        if (recorded.contains(v))
+          graft.ops.IvfIndex.readCentroids(spark, ivfDir)
+        else {
+          val segVersion = "^.*/v(\\d+)/index$".r
+          val delta = recorded.flatMap { v0 =>
+            val cur = segments(v, "index")
+            val old = segments(v0, "index")
+            if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
+                cur.drop(old.size).forall(segVersion.matches(_)))
+              Some(cur.drop(old.size))
+            else None
+          }
+          val centroids = delta match {
+            case Some(extra) =>
+              try {
+                extra.foreach(seg => graft.ops.IvfIndex.append(
+                  spark.read.parquet(seg), "id", "embedding", ivfDir))
+                graft.ops.IvfIndex.readCentroids(spark, ivfDir)
+              } catch { case _: IllegalStateException =>
+                rebuildIvf(v) // torn/missing artifact: rebuild is always correct
+              }
+            case None => rebuildIvf(v)
+          }
+          if (centroids.isDefined)
+            ArtifactMeta.write(spark, ivfDir, LexVersionFile, v.toString)
+          centroids
+        }
+      }
+    }
+
+  /** Rebuild arm of [[ensureIvf]]: train + persist from the captured
+    * version's index segments. nlist scales as min(default, corpus size)
+    * so tiny stores train (trainCentroids requires sample ≥ nlist) and
+    * grown stores keep bounded cells. */
+  private def rebuildIvf(v: Long): Option[Array[Array[Float]]] = {
+    val corpus = spark.read.parquet(segments(v, "index"): _*)
+    val n = corpus.count()
+    if (n == 0) None
+    else Some(graft.ops.IvfIndex.buildIfAbsent(corpus, "id", "embedding",
+      math.min(MemoEngine.AnnNlist.toLong, n).toInt, ivfDir))
+  }
+
+  /** Approximate semantic recall over the engine-MAINTAINED IVF artifact
+    * ([[ensureIvf]]): the query embeds driver-side, its `nprobe` nearest
+    * cells prune at FILE-LISTING time (the index is cell-partitioned
+    * parquet), and only those cells' rows pay the exact cosine re-rank —
+    * O(probed cells), not O(corpus), which is the difference between
+    * [[recall]] and a servable ANN path once the store outgrows a
+    * brute-force scan. Approximate by design: a true neighbor in an
+    * unprobed cell is missed (recall quality vs nprobe is pinned in
+    * IvfIndexSpec). Falls back to the exact [[recall]] ranking when the
+    * store is empty/uncommitted (nothing to probe). Returns
+    * (id, score, body). */
+  def annRecall(query: String, k: Int = MemoOps.DefaultK,
+      nprobe: Int = 4): DataFrame =
+    ensureIvf() match {
+      case Some(centroids) =>
+        val qv = graft.functions.VectorKernels.hashEmbedFloats(
+          query, graft.functions.VectorKernels.DefaultDim)
+        graft.ops.IvfIndex.search(
+            graft.ops.IvfIndex.load(spark, ivfDir), centroids, qv, k,
+            math.min(nprobe, centroids.length))
+          .select(col("id"), col("score"))
+          .join(records.select(col("id"), col("body")), Seq("id"))
+          .orderBy(desc("score"), col("id"))
+      case None =>
+        recall(query, k).select(col("id"), col("score"), col("body"))
+    }
+
+  /** Probe the maintained postings artifact, absorbing the transient
+    * refusal window of an in-flight append: a pending journal makes the
+    * lock-free [[graft.ops.Lexical.searchBm25]] throw for the duration
+    * of a micro-batch commit (indistinguishable from a crash without
+    * the lock). A normal commit clears in well under the ~3 s this
+    * backoff covers; a journal still live after that is a real crash
+    * and the final throw carries the rebuild guidance. */
+  private def searchBm25Retrying(terms: Seq[String], k: Int,
+      allowed: Option[DataFrame]): DataFrame = {
+    val maxAttempts = 6
+    var attempt = 1
+    while (true) {
+      try return graft.ops.Lexical.searchBm25(spark, lexDir, terms, k,
+        allowed)
+      catch { case e: graft.ops.Lexical.PendingAppendException =>
+        if (attempt >= maxAttempts) throw e
+        Thread.sleep(100L * attempt)
+        attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Recall: exact full ranking + filter + score floor + top-k
     * (memo_cli.py:288-298, 489-521). Returns (id, score, body). */
   def recall(query: String, k: Int = MemoOps.DefaultK,
@@ -626,11 +747,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
     *
     * The BM25 leg serves O(probe) from the store's maintained postings
     * artifact ([[ensureLexical]]) — on a committed store it runs ZERO
-    * tokenize-the-corpus jobs (MemoEngineSpec counter pin). A metadata
-    * filter falls back to the inline scorer over the filtered records
-    * (the postings carry no metadata; both paths rank identically on the
-    * same corpus — LexicalSpec's bit-exactness contract). A query with no
-    * tokens degrades to the semantic ranking alone. */
+    * tokenize-the-corpus jobs, filtered or not (MemoEngineSpec counter
+    * pins). A metadata filter rides INTO the artifact probe as a
+    * candidate mask: the filter-surviving id set semi-joins the
+    * term-pruned postings before scoring
+    * ([[graft.ops.Lexical.searchBm25]]'s `allowedIds`), exact at every
+    * selectivity. Filter-as-mask semantics (the Lucene convention): idf/
+    * N/avgdl stay global, so a doc scores the same filtered or not —
+    * which is also what keeps the filtered path O(probe); per-filtered-
+    * subset statistics would force a tokenize pass over the survivors.
+    * Only an uncommitted (empty-version) store falls back to the inline
+    * scorer. A probe that lands in an in-flight append's journal window
+    * retries briefly before surfacing the error (the window is a normal
+    * micro-batch commit, not a torn artifact). A query with no tokens
+    * degrades to the semantic ranking alone. */
   def hybridRecall(query: String, k: Int = MemoOps.DefaultK,
       filterExpr: Option[String] = None, perList: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -642,18 +772,22 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val lists =
       if (terms.isEmpty) Seq("vec" -> vec)
       else {
-        val scores = filterExpr match {
-          case Some(f) => graft.ops.Lexical.scoreBm25(
-            records.filter(FilterAlgebra.compile(f, col("metadata")))
-              .filter(!isBlank(col("body"))), "id", "body", terms, perList)
-          case None if currentVersion.isDefined =>
+        val scores =
+          if (currentVersion.isDefined) {
             ensureLexical()
-            graft.ops.Lexical.searchBm25(spark, lexDir, terms, perList)
-          case None => // empty store: nothing to probe
+            // filter → candidate mask over the artifact probe (see
+            // scaladoc); unfiltered → plain probe. Both O(probe).
+            val allowed = filterExpr.map(f =>
+              records.filter(FilterAlgebra.compile(f, col("metadata")))
+                .select(col("id")))
+            searchBm25Retrying(terms, perList, allowed)
+          } else // empty store: no artifact to probe, corpus is tiny
             graft.ops.Lexical.scoreBm25(
-              records.filter(!isBlank(col("body"))), "id", "body", terms,
+              records.filter(filterExpr.map(f =>
+                  FilterAlgebra.compile(f, col("metadata")))
+                  .getOrElse(lit(true)))
+                .filter(!isBlank(col("body"))), "id", "body", terms,
               perList)
-        }
         val bm = scores
           .select(col("doc_id").as("id"), col("score"))
           .withColumn("rank", row_number().over(w))
@@ -801,6 +935,11 @@ object MemoEngine {
   /** Append-chain length that triggers compaction back to one snapshot —
     * bounds the scan fan-in (number of parquet dirs a read unions). */
   val DefaultMaxSegments = 64
+
+  /** Default cell count for the engine-maintained IVF artifact
+    * ([[MemoEngine.annRecall]]); clamped to the corpus size on rebuild
+    * so tiny stores still train. */
+  val AnnNlist = 16
 
   /** Staging dirs older than this are crash corpses, reclaimable by
     * [[MemoEngine.vacuum]] — generous so a slow in-flight writer (a big

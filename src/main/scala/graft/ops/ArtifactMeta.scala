@@ -102,6 +102,41 @@ private[graft] object ArtifactMeta {
       Seq(idCol), "left_anti")
   }
 
+  /** Enforce the tombstone half of the append ID contract: a batch id
+    * that is still PENDING delete (tombstoned, not yet physically
+    * applied) must not be re-appended. The artifact still holds the old
+    * rows for that id, so neither resolution of the overlap is sound
+    * without a physical pass — keeping the tombstone silently anti-joins
+    * the NEW rows out of every probe while the stamp advances to include
+    * them (a permanent stamp/data divergence once compaction drops
+    * both generations), and dropping the tombstone would resurrect the
+    * OLD rows beside the new ones. So the append refuses, loudly, and
+    * the caller applies deletes physically first (`applyHint`).
+    *
+    * O(batch) and lazy: nothing runs unless `tombDir` exists, and the
+    * probe is one broadcast semi-join of the bounded tombstone set
+    * against the batch, stopping at the first hit. */
+  def requireNoPendingTombstones(batch: DataFrame, idCol: String,
+      tombDir: String, applyHint: String): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val tombs = spark.read.parquet(p.toString)
+      val tid = tombs.columns.head
+      val hit = batch
+        .select(col(idCol).cast(tombs.schema.head.dataType).as(tid))
+        .join(broadcast(tombs.select(tid)), Seq(tid), "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty) throw new IllegalStateException(
+        s"append batch contains id '${hit.head.get(0)}' with a pending " +
+          s"delete at $tombDir — a tombstoned id may not be re-appended " +
+          s"until deletes are applied physically ($applyHint): the old " +
+          "rows are still present, so the append would either be masked " +
+          "by the tombstone or merge both generations")
+    }
+  }
+
   /** (row count, content fingerprint) of `df` in ONE aggregation pass.
     *
     * The fingerprint is the exact decimal sum of `xxhash64` over `cols`

@@ -171,6 +171,13 @@ object Dedup {
     // journal protocol (the Lexical shape): a crash between the data
     // write and the stamp advance must be detectable, not silently served
     ArtifactMeta.journalGuard(batch.sparkSession, path, SigJournal, stamp)
+    // tombstone half of the ID CONTRACT (the [[graft.ops.Lexical.append]]
+    // rule): a pending-delete id may not be re-signed — its old signature
+    // rows are still present, so the tombstone would mask the new rows
+    // while the stamp advanced. Signatures apply deletes only on a full
+    // rebuild, hence the hint.
+    ArtifactMeta.requireNoPendingTombstones(batch, idCol,
+      s"$path/_tombstones", "rebuild with writeSignatures first")
     // fingerprints are additive sums, so the stamp advances in O(batch)
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, textCol))
     val next = s"${count.toLong + bn}:$numHashes:$shingleSize" +

@@ -263,6 +263,12 @@ object IvfIndex {
     // appended rows would serve under the old still-valid stamp and a
     // later buildIfAbsent over the pre-append corpus would bless them
     ArtifactMeta.journalGuard(spark, path, Journal, meta.stamp)
+    // tombstone half of the ID CONTRACT (the [[graft.ops.Lexical.append]]
+    // rule): a pending-delete id may not be re-appended until
+    // [[applyDeletes]] — its old rows are still in the cells, so the
+    // tombstone would mask the new rows while the stamp advanced.
+    ArtifactMeta.requireNoPendingTombstones(batch, idCol, tombDir(path),
+      "run applyDeletes first")
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
     val next = s"${count.toLong + bn}:$nlist:$sampleFraction:$refineIters" +
       s":fp${BigInt(fp.drop(2)) + bfp}"
@@ -487,6 +493,17 @@ object IvfIndex {
       }
       Meta(stamp, occ, ctrLines.map(_.split(",").map(_.toFloat)).toArray)
     }
+
+  /** Centroids of a persisted index straight off its stamp file — the
+    * serving read for a caller that maintains freshness EXTERNALLY (the
+    * engine's version watermark): no corpus scan, no stamp
+    * re-validation, no lock. Returns None when no index exists. */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Array[Array[Float]]] = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMeta(fs, metaPath).map(_.centroids).filter(_.nonEmpty)
+  }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
       metaPath: org.apache.hadoop.fs.Path): Option[Meta] = {

@@ -206,6 +206,17 @@ object Lexical {
       .map(_.split("\\|", 2))
       .collect { case Array(t, e) => Pending(t, e) }
 
+  /** Thrown by the LOCK-FREE serving path when a pending append journal
+    * is live. From a probe's seat this is usually TRANSIENT — a normal
+    * micro-batch commit in flight, gone in seconds — and only rarely a
+    * crashed append (which persists). So callers should retry briefly
+    * before escalating to the O(corpus) rebuild; the engine's hybrid
+    * recall does ([[graft.memo.MemoEngine]]). The locked maintenance
+    * paths throw plain IllegalStateException instead: under the build
+    * lock a live foreign journal can only be a crash. */
+  final class PendingAppendException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Meta for SERVING: throws the designed errors for a missing
     * artifact and for one whose pending journal contradicts the live
     * stamp (crashed or in-flight append — checked before any data file
@@ -217,9 +228,10 @@ object Lexical {
       s"no lexical artifact at $path — writeIndex first"))
     readJournal(spark, path).foreach { j =>
       if (j.expected != m.stamp.render)
-        throw new IllegalStateException(
-          s"lexical artifact at $path has an incomplete append '${j.tag}' — " +
-            "rebuild with writeIndex/writeIfAbsent")
+        throw new PendingAppendException(
+          s"lexical artifact at $path has an append '${j.tag}' in flight " +
+            "or crashed — retry shortly; rebuild with " +
+            "writeIndex/writeIfAbsent only if this persists")
     }
     m
   }
@@ -309,9 +321,22 @@ object Lexical {
     * no error surfaces. The O(batch) guarantee is exactly what forbids a
     * membership probe here (it would read the corpus-sized postings);
     * callers that can't prove disjointness should route the overlap
-    * through [[delete]] + append, or rebuild via [[writeIfAbsent]] (whose
-    * stamp check catches any drift). The engine's maintenance paths mint
-    * dense fresh ids, satisfying this by construction. */
+    * through [[delete]] + [[compactPostings]] + append, or rebuild via
+    * [[writeIfAbsent]] (whose stamp check catches any drift). The engine's
+    * maintenance paths mint dense fresh ids, satisfying this by
+    * construction.
+    *
+    * The one half of the contract that IS enforced (because it is
+    * bounded): an id with a PENDING delete — tombstoned but not yet
+    * physically applied by [[compactPostings]] — is rejected with an
+    * error. Such an id is no longer "in the artifact" from the caller's
+    * view, but its old postings rows are still physically present: the
+    * tombstone would mask the re-added rows from every probe while the
+    * stamp advanced to include them, and after compaction the stamp would
+    * permanently describe a doc the data lacks. The tombstone set is
+    * broadcast-sized, so the check costs O(batch), preserving the append
+    * bound. Same rule on every artifact family
+    * ([[ArtifactMeta.requireNoPendingTombstones]]). */
   def append(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
     appendTagged(batch, idCol, textCol, path,
@@ -348,10 +373,25 @@ object Lexical {
     * never silently wrong. */
   def appendOnce(batch: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long, lineage: String = "stream",
-      maxIngestDirs: Int = MaxIngestDirs): Unit =
+      maxIngestDirs: Int = MaxIngestDirs): Unit = {
+    // RESERVED NAMESPACES: maintenance dirs are classified by name
+    // prefix (ingest=t1_* = merged tier, ingest=base* = folded base), so
+    // a user lineage whose sanitized form would mint colliding names
+    // ("t1" → ingest=t1_<batchId>, "base_x" → ingest=base_x_<id>) gets
+    // re-prefixed — otherwise its level-0 dirs would be exempt from
+    // tier folds and miscount the full-fold escalation trigger. The
+    // re-prefixed name is used in the watermark too, keeping replay
+    // detection consistent within the stream.
+    val lin = {
+      val s = sanitize(lineage)
+      if (s == "t1" || s == "base" || s.startsWith("t1_") ||
+          s.startsWith("base_")) "u_" + s
+      else s
+    }
     appendTagged(batch, idCol, textCol, path,
-      s"${sanitize(lineage)}_$batchId", mark = Some((sanitize(lineage), batchId)),
+      s"${lin}_$batchId", mark = Some((lin, batchId)),
       maxIngestDirs = maxIngestDirs)
+  }
 
   /** Fresh-ingest directory count that triggers [[appendOnce]]'s in-line
     * tiered compaction (the [[graft.memo.MemoEngine.DefaultMaxSegments]]
@@ -424,6 +464,26 @@ object Lexical {
           if (l0 == lineage && b0 >= batchId) return // replayed batch
         }
       }
+      val dirs0 = resolveDirs(spark, path, priorMeta)
+      if (dirs0.tombs.nonEmpty) {
+        // tombstone half of the ID CONTRACT (see [[append]]): an id with
+        // a PENDING delete must not be re-appended before
+        // [[compactPostings]] applies it — the old postings rows are
+        // still present, so the tombstone would anti-join the new rows
+        // out of every probe while the stamp advances to include them,
+        // and after the fold the stamp permanently describes a doc the
+        // data lacks. Bounded: the tombstone set is broadcast-sized.
+        val hit = batch.select(col(idCol).cast("long").as("doc_id"))
+          .join(broadcast(spark.read
+              .parquet(dirs0.tombs.map(n => s"${tombstonesPath(path)}/$n"): _*)
+              .select("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .limit(1).collect()
+        if (hit.nonEmpty) throw new IllegalStateException(
+          s"append batch contains doc id ${hit.head.getLong(0)} with a " +
+            s"pending delete at $path — a tombstoned id may not be " +
+            "re-appended until compactPostings applies deletes physically")
+      }
       // one aggregation pass for all three additive facts (lexStamp's
       // shape on the batch)
       val b = lexStamp(batch, idCol, textCol)
@@ -438,7 +498,6 @@ object Lexical {
           .groupBy("term").agg(count(lit(1)).as("df")),
         statsPath(path), tag)
       // one atomic swap publishes the stamp AND the batch's directories
-      val dirs0 = resolveDirs(spark, path, priorMeta)
       val dirs = dirs0.copy(post = dirs0.post :+ s"ingest=$tag",
         stats = dirs0.stats :+ s"ingest=$tag")
       writeMetaAtomic(spark, path, next, dirs)
@@ -673,9 +732,18 @@ object Lexical {
     * groups outside the query's lists are skipped on min/max), broadcast
     * of the vocabulary-row df aggregate, one hash aggregation on doc_id,
     * TakeOrderedAndProject for the top-k. N and avgdl come off the stamp
-    * — no corpus scan at probe time. */
+    * — no corpus scan at probe time.
+    *
+    * `allowedIds` (one `doc_id`-castable column) restricts the ranking to
+    * those documents — FILTER-AS-MASK semantics, the Lucene convention: a
+    * filter narrows the CANDIDATES, not the corpus statistics, so idf/N/
+    * avgdl stay global and a doc's score is the same filtered or not.
+    * Implementation is a semi-join of the term-pruned postings against
+    * the id set BEFORE scoring: exact at every selectivity (no over-fetch
+    * heuristics) and still zero tokenize-the-corpus work — the only
+    * corpus-shaped input is the caller's id set itself. */
   def searchBm25(spark: SparkSession, path: String, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, allowedIds: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one query term")
     // stamp + journal checked BEFORE any data file is touched: a missing
     // or torn artifact surfaces as the designed error, not a parquet one.
@@ -691,12 +759,19 @@ object Lexical {
       .filter(col("term").isin(terms: _*))
     // pending deletes excluded via a broadcast anti-join (bounded by
     // deletes since the last compactPostings)
-    val post =
+    val post0 =
       if (dirs.tombs.isEmpty) postRaw
       else postRaw.join(broadcast(spark.read
           .parquet(dirs.tombs.map(n => s"${tombstonesPath(path)}/$n"): _*)
           .select("doc_id")),
         Seq("doc_id"), "left_anti")
+    // candidate mask (see scaladoc): semi-join BEFORE the score agg so
+    // filtered-out docs never enter the aggregation; left side is already
+    // term-pruned, so AQE broadcasts whichever side is small
+    val post = allowedIds.fold(post0)(ids => post0.join(
+      ids.select(ids.columns.head).toDF("doc_id")
+        .select(col("doc_id").cast("long").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"))
     val df = spark.read
       .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*)
       .filter(col("term").isin(terms: _*))

@@ -492,6 +492,13 @@ object PqIndex {
     // journal protocol (the Lexical shape): a crash between the data
     // write and the stamp advance must be detectable, not silently served
     ArtifactMeta.journalGuard(batch.sparkSession, path, Journal, meta.stamp)
+    // tombstone half of the ID CONTRACT (the [[graft.ops.Lexical.append]]
+    // rule): a pending-delete id may not be re-appended — its old codes
+    // rows are still present, so the tombstone would mask the new rows
+    // while the stamp advanced. Flat codes apply deletes only on a full
+    // rewrite, hence the rebuild hint.
+    ArtifactMeta.requireNoPendingTombstones(batch, idCol, tombDir(path),
+      "rebuild the codes artifact first")
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
     val next =
       s"${count.toLong + bn}:$m:$ksub:$sampleFraction:fp${BigInt(fp.drop(2)) + bfp}"
@@ -525,6 +532,10 @@ object PqIndex {
       }
     ArtifactMeta.journalGuard(batch.sparkSession, path, IvfPqJournal,
       meta.stamp)
+    // tombstone half of the ID CONTRACT — see [[append]]; IVF-PQ has a
+    // physical apply, so the hint names it.
+    ArtifactMeta.requireNoPendingTombstones(batch, idCol, tombDir(path),
+      "run applyDeletesIvfPq first")
     val (bn, bfp) = ArtifactMeta.fingerprint(batch, Seq(idCol, embCol))
     val next = s"${count.toLong + bn}:$nlist:$m:$ksub:$sampleFraction" +
       s":fp${BigInt(fp.drop(2)) + bfp}"

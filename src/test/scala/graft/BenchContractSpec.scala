@@ -28,7 +28,7 @@ class BenchContractSpec extends AnyFunSuite {
       names.map(n => "\"" + Bench.contractKey(n) + "\":9999.99").mkString(",") +
       ""","errors":["q99"],"streams":{""" +
       streamKeys.map("\"" + _ + "\":9999999").mkString(",") +
-      """},"sf":"sf0.1"}"""
+      """},"sf":"sf0.1","load":9999.99,"runs":99}"""
     val budget = 2000 - 70
     assert(line.length <= budget,
       s"contract line worst case ${line.length} chars > $budget — " +

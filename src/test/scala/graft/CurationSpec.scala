@@ -115,6 +115,30 @@ class CurationSpec extends SparkTestBase {
       "signaturesIfAbsent over the survivors must reuse, not re-sign")
   }
 
+  test("a tombstoned id is refused by appendSignatures until a rebuild") {
+    import graft.ops.Dedup
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val sigPath = java.nio.file.Files.createTempDirectory("sigs_reuse")
+      .resolve("minhash").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", sigPath)
+    val vid = corpus.agg(min("doc_id")).head().getLong(0)
+    val reAdd = corpus.filter(col("doc_id") === vid)
+    Dedup.deleteSignatures(reAdd, "doc_id", "text", sigPath)
+    // the old signature rows are still present: re-signing the id would
+    // be masked by the tombstone while the stamp advanced
+    val e = intercept[IllegalStateException] {
+      Dedup.appendSignatures(reAdd, "doc_id", "text", sigPath)
+    }
+    assert(e.getMessage.contains("pending delete"), e.getMessage)
+    // a full rebuild folds tombstones away; the id is appendable again
+    val survivors = corpus.filter(col("doc_id") =!= vid)
+    Dedup.writeSignatures(survivors, "doc_id", "text", sigPath)
+    Dedup.appendSignatures(reAdd, "doc_id", "text", sigPath)
+    val served = Dedup.loadSignatures(spark, sigPath).select("id")
+      .collect().map(_.getLong(0))
+    assert(served.count(_ == vid) == 1, "re-added id must serve exactly once")
+  }
+
   test("a torn signature append is refused and rebuilt (journal protocol)") {
     import graft.ops.Dedup
     val corpus = docs.select(col("doc_id"), col("text"))

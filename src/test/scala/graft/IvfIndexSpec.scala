@@ -265,6 +265,28 @@ class IvfIndexSpec extends SparkTestBase {
     assert(dataFiles() == after, "post-apply buildIfAbsent rebuilt")
   }
 
+  test("a tombstoned id is refused by append until applyDeletes") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf_reuse")
+      .resolve("idx").toString
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    val victims = emb.filter(col("vec_id") % 13 === 0)
+    IvfIndex.delete(victims, "vec_id", "embedding", path)
+    // old rows still live in the cells: a re-append of a pending-delete
+    // id would be masked by the tombstone while the stamp advanced
+    val vid = victims.agg(min("vec_id")).head().getLong(0)
+    val reAdd = emb.filter(col("vec_id") === vid)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(reAdd, "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("pending delete"), e.getMessage)
+    assert(IvfIndex.applyDeletes(spark, path))
+    IvfIndex.append(reAdd, "vec_id", "embedding", path) // now legal
+    val served = IvfIndex.load(spark, path).select("id")
+      .collect().map(_.getLong(0))
+    assert(served.count(_ == vid) == 1, "re-added id must serve exactly once")
+  }
+
   test("tombstoned load keeps partition pruning AND broadcasts the anti-join") {
     val emb = Tables(spark, sfDir, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("ivf_delplan")

@@ -167,10 +167,13 @@ class LexicalSpec extends SparkTestBase {
     Lexical.searchBm25(spark, path, terms, 5).collect() // healthy baseline
     // simulate a crash mid-append: journal present, expected stamp ≠ live
     Files.writeString(Paths.get(path, "_lex_journal"), "adhoc_dead|999:999:fp0\n")
-    val probeErr = intercept[IllegalStateException] {
+    // the lock-free probe can't tell in-flight from crashed — the typed
+    // error + retry-first message let callers absorb the transient case
+    // instead of paying the O(corpus) rebuild a crash needs
+    val probeErr = intercept[Lexical.PendingAppendException] {
       Lexical.searchBm25(spark, path, terms, 5)
     }
-    assert(probeErr.getMessage.contains("incomplete append"),
+    assert(probeErr.getMessage.contains("retry shortly"),
       s"probe must refuse a torn artifact: ${probeErr.getMessage}")
     // a foreign append must refuse too (its stats would land beside
     // inconsistent data)
@@ -320,6 +323,32 @@ class LexicalSpec extends SparkTestBase {
       Lexical.searchBm25(spark, full, terms, 25).collect().toSeq)
   }
 
+  test("reserved tier/base lineages are re-prefixed; replay detection intact") {
+    import spark.implicits._
+    val path = tmp("graft_lex_lineage")
+    Lexical.writeIndex(Seq((1L, "seed doc about batch")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // a user lineage whose sanitized form collides with the maintenance
+    // namespaces (t1_* = merged tier, base* = folded base) must not mint
+    // dirs the fold classifier would miscount as tier/base
+    for ((lin, bid) <- Seq(("t1", 1L), ("base", 1L), ("base_x", 2L))) {
+      Lexical.appendOnce(Seq((100L * bid + lin.length, s"doc via $lin"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, bid, lineage = lin)
+    }
+    val dirs = ingestDirs(path + "/postings")
+    assert(dirs.exists(_.startsWith("ingest=u_t1_")), dirs.toString)
+    assert(dirs.exists(_.startsWith("ingest=u_base_")), dirs.toString)
+    assert(!dirs.exists(d => d.startsWith("ingest=t1_") && !d.startsWith("ingest=u_")),
+      s"user lineage leaked into the tier namespace: $dirs")
+    // replay of the re-prefixed lineage still no-ops (watermark carries
+    // the re-prefixed name consistently)
+    val n0 = Lexical.searchBm25(spark, path, Seq("doc"), 100).collect().length
+    Lexical.appendOnce(Seq((999L, "replayed doc")).toDF("doc_id", "text"),
+      "doc_id", "text", path, 2L, lineage = "base_x")
+    assert(Lexical.searchBm25(spark, path, Seq("doc"), 100)
+      .collect().length == n0, "replayed reserved-lineage batch landed twice")
+  }
+
   test("manifest gates visibility: orphan dirs invisible, crash-safe folds") {
     import java.nio.file.{Files, Paths}
     val docs = corpus.toDF("doc_id", "text")
@@ -390,6 +419,67 @@ class LexicalSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     val victimIds = victims.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(served.intersect(victimIds).isEmpty)
+  }
+
+  test("a tombstoned id is refused by append until deletes apply physically") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val victims = docs.filter(col("doc_id") % 11 === 0)
+    val path = tmp("graft_lex_reuse")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    Lexical.delete(victims, "doc_id", "text", path)
+    // the hazard: the victim's OLD postings rows are still physically
+    // present, so a re-append of its id would be anti-joined out of every
+    // probe while the stamp advanced to include it — and after the fold
+    // the stamp would permanently describe a doc the data lacks
+    val vid = victims.agg(min("doc_id")).head().getLong(0)
+    val reAdd = spark.range(1)
+      .select(lit(vid).as("doc_id"), lit("brand new text").as("text"))
+    val e = intercept[IllegalStateException] {
+      Lexical.append(reAdd, "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("pending delete"), e.getMessage)
+    // disjoint ids still append fine through the same guard
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    Lexical.append(reAdd.select((col("doc_id") + maxId + 1).as("doc_id"),
+      col("text")), "doc_id", "text", path)
+    // physical apply clears the tombstones — the id becomes appendable
+    Lexical.compact(spark, path)
+    Lexical.append(reAdd, "doc_id", "text", path)
+    // and the artifact stays truthful: stamp validates against the
+    // corpus it actually serves (survivors + the two appended rows)
+    val nowCorpus = docs.filter(col("doc_id") % 11 =!= 0)
+      .union(reAdd.select((col("doc_id") + maxId + 1).as("doc_id"),
+        col("text")))
+      .union(reAdd)
+    Lexical.writeIfAbsent(nowCorpus, "doc_id", "text", path)
+    val fresh = tmp("graft_lex_reuse_fresh")
+    Lexical.writeIndex(nowCorpus, "doc_id", "text", fresh)
+    val terms = Seq("batch", "scan", "new")
+    assert(Lexical.searchBm25(spark, path, terms, 25).collect().toSeq ==
+      Lexical.searchBm25(spark, fresh, terms, 25).collect().toSeq)
+  }
+
+  test("searchBm25 allowedIds: filter-as-mask, global stats, exact at any selectivity") {
+    val docs = LexCorpus.docs(spark, sfDir)
+    val path = tmp("graft_lex_mask")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    val terms = Seq("batch", "scan", "vector")
+    // reference: the FULL global ranking, masked post-hoc — filter-as-
+    // mask semantics says the semi-join must reproduce exactly this
+    // (scores unchanged, order = global (score desc, doc_id))
+    val full = Lexical.searchBm25(spark, path, terms, 100000).collect().toSeq
+    val want = full.filter(_.getLong(0) % 2 == 0).take(25)
+    val evens = docs.select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+    val got = Lexical.searchBm25(spark, path, terms, 25,
+      allowedIds = Some(evens)).collect().toSeq
+    assert(got == want, "mask diverged from post-hoc filtered global ranking")
+    // id column name/type from the caller's world is normalized
+    val stringIds = evens.select(col("doc_id").cast("string").as("id"))
+    assert(Lexical.searchBm25(spark, path, terms, 25,
+      allowedIds = Some(stringIds)).collect().toSeq == want)
+    // degenerate mask: empty result, no error, no fallback needed
+    assert(Lexical.searchBm25(spark, path, terms, 25,
+      allowedIds = Some(evens.filter(lit(false)))).collect().isEmpty)
   }
 
   test("tombstoned probe plan: pushed term filter + BROADCAST anti-join") {

@@ -470,4 +470,135 @@ class MemoEngineSpec extends SparkTestBase {
     assert(VectorKernels.tokenizeCalls.get() == before4)
     engine.clean()
   }
+
+  test("annRecall serves ANN off an engine-MAINTAINED IVF artifact, O(new segments)") {
+    import org.apache.spark.sql.functions._
+    val (engine, db) = freshEngine()
+    engine.save((0 until 40).map(i =>
+      s"---\nbody: corpus note $i about topic${i % 5} and theme${i % 3}\n")
+      .mkString)
+    def ivfFiles() = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(s"$db/_ivf")
+      if (!java.nio.file.Files.exists(root)) Map.empty[String, Long]
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    // first call builds the artifact once; ANN hits agree with the exact
+    // ranking's head for a store this small (every cell probed)
+    val hits = engine.annRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist).collect()
+    assert(hits.length == 5)
+    val exact = engine.recall("topic1 theme2", k = 5).collect()
+      .map(_.getLong(0)).toSet
+    assert(hits.map(_.getLong(0)).toSet == exact,
+      "full-probe ANN must agree with the exact ranking")
+    val files1 = ivfFiles()
+    assert(files1.nonEmpty, "no persisted IVF artifact after annRecall")
+    // committed store, current watermark: serving touches NOTHING
+    engine.annRecall("topic1 theme2", k = 5).collect()
+    assert(ivfFiles() == files1, "a warm annRecall rewrote the artifact")
+    // append-only commit: O(new segments) catch-up — every prior file
+    // survives untouched, the batch lands as NEW files
+    engine.save("---\nbody: fresh doc about topic1 theme2\n")
+    val grown = engine.annRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist).collect()
+    val files2 = ivfFiles()
+    files1.foreach { case (f, mtime) =>
+      assert(files2.get(f).contains(mtime),
+        s"append-only catch-up rewrote $f — not O(new segments)")
+    }
+    assert(files2.size > files1.size, "the appended batch landed no files")
+    assert(grown.map(_.getLong(0)).toSet ==
+      engine.recall("topic1 theme2", k = 5).collect().map(_.getLong(0)).toSet)
+    // chain rewrite (reindex) → one rebuild, then warm serving again
+    engine.save("---\nid: 0\nbody: gone\nmetadata: {deleted: true}\n")
+    engine.reindex()
+    val rebuilt = engine.annRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist).collect()
+    assert(rebuilt.map(_.getLong(0)).toSet ==
+      engine.recall("topic1 theme2", k = 5).collect().map(_.getLong(0)).toSet,
+      "post-reindex ANN diverged from the exact ranking")
+    val files3 = ivfFiles()
+    engine.annRecall("topic1 theme2", k = 5).collect()
+    assert(ivfFiles() == files3, "post-rebuild warm serving touched the artifact")
+    engine.clean()
+  }
+
+  test("hybrid recall rides out an in-flight append's journal window") {
+    val (engine, db) = freshEngine()
+    engine.save((0 until 6).map(i => s"---\nbody: note $i about alpha\n")
+      .mkString)
+    engine.hybridRecall("alpha", k = 5).collect() // artifact built
+    val jp = java.nio.file.Paths.get(s"$db/_lexical", "_lex_journal")
+    // an in-flight micro-batch commit: journal live for a moment, then
+    // cleared — the probe's bounded retry must absorb it (the transient
+    // window is NOT a torn artifact; a rebuild would be pure waste)
+    java.nio.file.Files.writeString(jp, "stream_9|999:999:fp0\n")
+    val committer = new Thread(() => {
+      Thread.sleep(350)
+      java.nio.file.Files.deleteIfExists(jp); ()
+    })
+    committer.start()
+    val hits = try engine.hybridRecall("alpha", k = 5).collect()
+    finally committer.join()
+    assert(hits.nonEmpty, "probe must ride out the journal window")
+    // a journal that never clears (a real crashed append) still surfaces
+    // the typed error once the bounded retry is exhausted
+    java.nio.file.Files.writeString(jp, "stream_9|999:999:fp0\n")
+    try intercept[graft.ops.Lexical.PendingAppendException] {
+      engine.hybridRecall("alpha", k = 5).collect()
+    } finally java.nio.file.Files.deleteIfExists(jp)
+    engine.clean()
+  }
+
+  test("FILTERED hybrid recall serves O(probe): zero tokenize jobs, mask semantics") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorKernels
+    val (engine, db) = freshEngine()
+    engine.save((0 until 30).map(i =>
+      s"---\nbody: corpus note $i about topic${i % 5} and theme${i % 3}\n" +
+        s"metadata: {lang: ${if (i % 2 == 0) "en" else "sw"}}\n").mkString)
+    def served() = engine.hybridRecall("topic1 theme2", k = 10,
+      filterExpr = Some("{lang: en}")).collect().toSeq
+    val first = served() // pays the one-time artifact build
+    assert(first.nonEmpty)
+    // the filter restricts BOTH legs (en docs have even ids)
+    assert(first.forall(_.getLong(0) % 2 == 0),
+      "a filtered-out doc surfaced in the fused ranking")
+    // committed store + fresh artifact: the filtered path must run ZERO
+    // tokenize-the-corpus jobs — the filter rides into the artifact
+    // probe as a candidate mask, it no longer routes to the inline scorer
+    val before = VectorKernels.tokenizeCalls.get()
+    assert(served() == first)
+    assert(VectorKernels.tokenizeCalls.get() == before,
+      "filtered hybrid recall on a committed store re-tokenized the corpus")
+    // bit-exactness of the whole fused pipeline against the mask
+    // semantics, replicated by hand: artifact probe under the filter-
+    // surviving id set (global idf/N — LexicalSpec pins that this equals
+    // the post-hoc-masked global ranking), fused with the filtered
+    // semantic leg
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("score"), col("id"))
+    val allowed = engine.records.filter(
+      graft.filter.FilterAlgebra.compile("{lang: en}", col("metadata")))
+      .select(col("id"))
+    val vec = engine.recall("topic1 theme2", 50, Some("{lang: en}"))
+      .select(col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+    val terms = VectorKernels.tokenize("topic1 theme2").toSeq.distinct
+    val bm = graft.ops.Lexical.searchBm25(spark, s"$db/_lexical", terms, 50,
+        allowedIds = Some(allowed))
+      .select(col("doc_id").as("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+    val reference = graft.ops.Lexical.rrfFuse(Seq("bm25" -> bm, "vec" -> vec), 10)
+      .join(engine.records.select(col("id"), col("body")), Seq("id"))
+      .orderBy(desc("rrf_score"), col("id"))
+      .collect().toSeq
+    assert(served() == reference,
+      "filtered hybrid recall diverged from the masked artifact pipeline")
+    engine.clean()
+  }
 }

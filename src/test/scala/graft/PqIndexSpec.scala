@@ -411,6 +411,35 @@ class PqIndexSpec extends SparkTestBase {
       "buildIfAbsent over the survivors must reuse, not re-encode")
   }
 
+  test("a tombstoned id is refused by both append paths until applied") {
+    // flat codes: only a full rewrite applies deletes
+    val flat = java.nio.file.Files.createTempDirectory("pq_reuse")
+      .resolve("codes").toString
+    PqIndex.buildIfAbsent(emb, "vec_id", "embedding", m = 8, ksub = 16, flat)
+    val vid = emb.agg(min("vec_id")).head().getLong(0)
+    val reAdd = emb.filter(col("vec_id") === vid)
+    PqIndex.delete(reAdd, "vec_id", "embedding", flat)
+    val e1 = intercept[IllegalStateException] {
+      PqIndex.append(reAdd, "vec_id", "embedding", flat)
+    }
+    assert(e1.getMessage.contains("pending delete"), e1.getMessage)
+    // ivf-pq: applyDeletesIvfPq clears the way
+    val ivfpq = java.nio.file.Files.createTempDirectory("ivfpq_reuse")
+      .resolve("idx").toString
+    PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, ivfpq)
+    PqIndex.deleteIvfPq(reAdd, "vec_id", "embedding", ivfpq)
+    val e2 = intercept[IllegalStateException] {
+      PqIndex.appendIvfPq(reAdd, "vec_id", "embedding", ivfpq)
+    }
+    assert(e2.getMessage.contains("pending delete"), e2.getMessage)
+    assert(PqIndex.applyDeletesIvfPq(spark, ivfpq))
+    PqIndex.appendIvfPq(reAdd, "vec_id", "embedding", ivfpq) // now legal
+    val served = PqIndex.loadCodes(spark, ivfpq).select("id")
+      .collect().map(_.getLong(0))
+    assert(served.count(_ == vid) == 1, "re-added id must serve exactly once")
+  }
+
   test("ivf-pq delete + applyDeletes rewrites only affected cells") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq_del")
       .resolve("idx").toString
