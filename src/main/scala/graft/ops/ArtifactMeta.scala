@@ -26,17 +26,21 @@ private[graft] object ArtifactMeta {
 
   /** [[read]] without a DataFrame in hand — lets read paths check the
     * stamp BEFORE touching any data files (so "no artifact" surfaces as
-    * the designed error, not a parquet path failure). */
+    * the designed error, not a parquet path failure). Lock-free readers
+    * race marker deletes (a completed append clears its journal), so a
+    * file vanishing between the exists check and the open is answered
+    * the same as one already gone: None. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
       name: String): Option[String] = {
     val (fs, p) = locateS(spark, path, name)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .nextOption().map(_.trim)
-      finally in.close()
-    }
+    else
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .nextOption().map(_.trim)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Delete a stamp/marker file (maintenance protocols invalidate the
@@ -51,10 +55,38 @@ private[graft] object ArtifactMeta {
 
   /** [[write]] without a DataFrame in hand. */
   def write(spark: org.apache.spark.sql.SparkSession, path: String,
-      name: String, stamp: String): Unit = {
+      name: String, stamp: String): Unit =
+    writeAtomic(spark, path, name, stamp + "\n")
+
+  /** Atomically publish `body` as `<path>/<name>`: write a sibling tmp
+    * file, then rename it over the destination, so a lock-free reader
+    * sees the complete old content or the complete new — never a
+    * truncated or MISSING file. The rename needs care per scheme:
+    * Hadoop's `AbstractFileSystem.renameInternal(…, overwrite)` default
+    * (which local/`file:` URIs inherit through `DelegateToFileSystem`)
+    * is DELETE-then-rename — a concurrent reader in that window finds
+    * no file at all, which serving paths would misread as "no artifact"
+    * (the adversarial churn spec caught exactly this). So `file:` goes
+    * through java.nio ATOMIC_MOVE (POSIX rename(2), atomic overwrite);
+    * HDFS keeps FileContext, whose override IS a server-side atomic
+    * overwrite-rename. Writers are already serialized by the build
+    * lock, so the shared tmp name cannot collide. */
+  def writeAtomic(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String, body: String): Unit = {
     val (fs, p) = locateS(spark, path, name)
-    val out = fs.create(p, true)
-    try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
+    val tmp = new org.apache.hadoop.fs.Path(path, name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (Option(fs.getUri.getScheme).contains("file"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // ---- append-intent journal (the Lexical `_lex_journal` protocol,

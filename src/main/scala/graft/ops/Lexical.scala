@@ -131,10 +131,16 @@ object Lexical {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
+      // exists→open races a writeIndex invalidation (the only path that
+      // DELETES the meta); a vanished file is the same answer arrived at
+      // a moment later: no artifact. The atomic publish ([[writeMetaAtomic]])
+      // never leaves the file missing, so this cannot mask a swap.
       val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
+        try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => return None }
       lines.headOption.flatMap(parseStamp).map { st =>
         val tagged = lines.tail.filter(_.length > 2)
         val dirs =
@@ -148,23 +154,18 @@ object Lexical {
     }
   }
 
-  /** Atomically publish stamp + manifest: write a sibling tmp file, then
-    * rename over `_lex_meta` (FileContext OVERWRITE — atomic on POSIX
-    * and HDFS). The single swap makes the stats and the data set they
-    * describe visible together. */
+  /** Atomically publish stamp + manifest over `_lex_meta` (tmp + atomic
+    * overwrite-rename — [[ArtifactMeta.writeAtomic]] has the per-scheme
+    * details; the naive FileContext OVERWRITE is delete-then-rename on
+    * local filesystems, a missing-file window racing probes misread as
+    * "no artifact"). The single swap makes the stats and the data set
+    * they describe visible together. */
   private def writeMetaAtomic(spark: SparkSession, path: String,
       stamp: LexStamp, dirs: LexDirs): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path, Meta)
-    val tmp = new org.apache.hadoop.fs.Path(path, Meta + ".tmp")
-    val fs = dst.getFileSystem(conf)
     val body = (stamp.render +:
       (dirs.post.distinct.map("p:" + _) ++ dirs.stats.distinct.map("s:" + _) ++
         dirs.tombs.distinct.map("t:" + _))).mkString("", "\n", "\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    ArtifactMeta.writeAtomic(spark, path, Meta, body)
   }
 
   /** The live directory sets, from the manifest or (legacy stamp-only

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** One-off profiler for the streaming throughput entries: where does a
+  * micro-batch's time go, and how does it move with the state-partition
+  * count?
+  *
+  * Motivation: s93 (watermarked stream-stream interval join) has measured
+  * 3–5× below its single-state-store siblings every round. The join keeps
+  * FOUR state stores per shuffle partition (each side: key→numValues and
+  * keyWithIndex→value), so at `spark.sql.shuffle.partitions`=32 every
+  * micro-batch pays 128 store commits + checkpoint files for ~12k events
+  * — plausibly commit overhead, not row work. The number of state
+  * partitions is FIXED at query start from `spark.sql.shuffle.partitions`,
+  * so the lever is setting that conf before `.start()` (the production
+  * guidance for state-heavy streams on small-to-medium volumes).
+  *
+  * Prints, per (entry × partition count): events/sec plus the per-batch
+  * mean of addBatch/commit durations and state-operator totals from
+  * `recentProgress` — the breakdown that says "commit overhead" vs "row
+  * work" mechanically.
+  *
+  * Usage: `runMain graft.streaming.StreamProfile [nEvents] [parts,parts,…]`
+  */
+object StreamProfile {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val partList = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(32, 16, 8, 4))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val events = StreamBench.syntheticEvents(n)
+    for (parts <- partList) {
+      profile(spark, s"s93_join parts=$parts", events, parts)(df =>
+        EventStreams.errorThenPurchase(df))
+      profile(spark, s"s90_tumbling parts=$parts", events, parts)(df =>
+        EventStreams.tumblingCounts(df))
+    }
+    spark.stop()
+  }
+
+  /** Run one entry at an explicit state-partition count and print the
+    * throughput + per-batch progress breakdown. Mirrors
+    * [[StreamBench.runSeconds]] with the conf pinned around query start
+    * (state partitioning latches at first start) and progress kept. */
+  def profile(spark: SparkSession, label: String,
+      events: IndexedSeq[BenchEvent], parts: Int, nBatches: Int = 8)(
+      f: DataFrame => Dataset[_]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_prof")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val input = MemoryStream[BenchEvent]
+      val q = f(input.toDF()).writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start()
+      try {
+        val per = math.max(1, events.length / nBatches)
+        val t0 = System.nanoTime()
+        events.grouped(per).foreach { chunk =>
+          input.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        def meanOf(k: String): Long = {
+          val vs = prog.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong))
+          if (vs.isEmpty) -1 else vs.sum / vs.size
+        }
+        val stateCommitMs = prog.flatMap(_.stateOperators.toSeq)
+          .map(_.commitTimeMs).sum / math.max(1, prog.size)
+        val stateRows = prog.flatMap(_.stateOperators.toSeq)
+          .map(_.numRowsTotal).maxOption.getOrElse(0L)
+        println(f"[profile] $label%-24s eps=${events.length / sec}%9.0f " +
+          f"batches=${prog.size}%2d addBatch=${meanOf("addBatch")}%5dms " +
+          f"commitOffsets=${meanOf("commitOffsets")}%4dms " +
+          f"walCommit=${meanOf("walCommit")}%4dms " +
+          f"stateCommit/batch=$stateCommitMs%5dms maxStateRows=$stateRows%7d")
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prior)
+      deleteTree(ckpt)
+    }
+  }
+
+  /** Best-effort recursive delete (throwaway checkpoint dirs). */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach { p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      } finally walk.close()
+    } catch { case _: java.io.IOException => () }
+}

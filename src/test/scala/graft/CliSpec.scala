@@ -185,6 +185,63 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("reindex-after-delete lifecycle end-to-end through the CLI") {
+    // the one lifecycle path q72/q78 pin only at the ops layer: soft-
+    // delete via overwrite, reindex compacts + re-sequences, recall
+    // serves the compacted store — all through the CLI surface
+    withDb { db =>
+      val input = writeTemp(
+        """---
+          |body: Peanut allergy noted.
+          |metadata: {source: user}
+          |---
+          |body: Temporary scratch note.
+          |metadata: {source: user}
+          |---
+          |body: User prefers dark mode.
+          |metadata: {source: user}
+          |""".stripMargin)
+      val (c1, o1) = run("-f", db, "save", input)
+      assert(c1 == 0)
+      assert(o1 ==
+        "Memorized: 'Peanut allergy noted.' (ID: 0)\n" +
+        "Memorized: 'Temporary scratch note.' (ID: 1)\n" +
+        "Memorized: 'User prefers dark mode.' (ID: 2)\n")
+      // soft delete = overwrite the id with deleted: true (the reference
+      // idiom; recall still serves it until reindex compacts)
+      val del = writeTemp(
+        """---
+          |id: 1
+          |body: Temporary scratch note.
+          |metadata: {deleted: true}
+          |""".stripMargin)
+      val (c2, o2) = run("-f", db, "save", del)
+      assert(c2 == 0)
+      assert(o2 == "Memorized: 'Temporary scratch note.' (ID: 1)\n")
+      val (c3, o3) = run("-f", db, "reindex")
+      assert(c3 == 0)
+      assert(o3 == s"Rebuilt index from $db\nWrote index: $db\n" +
+        "Compacted: dropped 1 blank/deleted entries\n")
+      // the compacted store serves dense re-sequenced ids 0..1 and the
+      // deleted note is gone
+      val (c4, o4) = run("-f", db, "recall", "-k", "3", "user", "note")
+      assert(c4 == 0)
+      val lines = o4.split("\n", -1)
+      assert(lines(0) == "Top 3 results:")
+      assert(!o4.contains("Temporary scratch note"),
+        "reindexed-away record still served by recall")
+      val served = lines.drop(1).filter(_.matches("""  \[\d+\].*"""))
+        .map(_.dropWhile(_ != '[').drop(1).takeWhile(_ != ']').toLong).toSet
+      assert(served == Set(0L, 1L),
+        s"expected dense re-sequenced ids 0,1 — got $served")
+      // and analyze agrees: exactly the two survivors remain
+      val (c5, o5) = run("-f", db, "analyze", "--fields", "id",
+        "--filter", "{source: user}")
+      assert(c5 == 0 && o5.startsWith("Matched: 2\n"), o5)
+      run("-f", db, "clean")
+    }
+  }
+
   test("analyze renders whole-metadata cells as YAML flow (format_cell)") {
     withDb { db =>
       run("-f", db, "save", writeTemp(

@@ -323,6 +323,85 @@ class LexicalSpec extends SparkTestBase {
       Lexical.searchBm25(spark, full, terms, 25).collect().toSeq)
   }
 
+  test("adversarial churn: 100 micro-batches + deletes under concurrent probes") {
+    import spark.implicits._
+    val path = tmp("graft_lex_churn")
+    val nBatches = 100
+    val perBatch = 3
+    val maxIngest = 4 // fold every 4 batches; full fold every 4×8
+    val fanInBound = 1 + Lexical.MaxTierDirs + maxIngest + 1 // +1 transient
+    Lexical.writeIndex(
+      Seq((0L, "seed doc alpha batch")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // shared truth the probe thread snapshots BEFORE each probe: a doc
+    // whose delete RETURNED before the snapshot must never be served
+    // (the delete's meta swap happens-before the snapshot update)
+    val deleted = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    val live = scala.collection.mutable.Map(0L -> "seed doc alpha batch")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probeErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probeOk = new java.util.concurrent.atomic.AtomicLong(0)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        val snapshot = new java.util.HashSet(deleted.keySet())
+        try {
+          val ids = Lexical.searchBm25(spark, path, Seq("alpha", "batch"), 500)
+            .collect().map(_.getLong(0))
+          if (ids.exists(snapshot.contains))
+            probeErrors.add(s"served a doc deleted before the probe: " +
+              ids.filter(snapshot.contains).mkString(","))
+          probeOk.incrementAndGet()
+        } catch {
+          // the two DOCUMENTED loud-transient outcomes: an append's
+          // journal window, or a probe that resolved the old manifest
+          // and lost the file-listing race with a fold's cleanup
+          case e: Throwable =>
+            val s = e.toString + Option(e.getCause).fold("")(_.toString)
+            if (!s.contains("PendingAppend") && !s.contains("FileNotFound") &&
+                !s.contains("does not exist"))
+              probeErrors.add(s"unexpected probe failure: $s")
+        }
+      }
+    })
+    prober.start()
+    try {
+      for (b <- 1 to nBatches) {
+        val docs = (0 until perBatch).map { j =>
+          val id = (b.toLong * perBatch) + j
+          id -> s"doc $id alpha batch word${id % 17} term${id % 5}"
+        }
+        docs.foreach { case (id, t) => live(id) = t }
+        Lexical.appendOnce(docs.toDF("doc_id", "text"), "doc_id", "text",
+          path, batchId = b.toLong, maxIngestDirs = maxIngest)
+        if (b % 7 == 0) {
+          // delete one previously-ingested live doc (oldest first so a
+          // victim is never in the batch just appended)
+          val vid = live.keys.min
+          Lexical.delete(Seq((vid, live(vid))).toDF("doc_id", "text"),
+            "doc_id", "text", path)
+          live.remove(vid)
+          deleted.put(vid, true)
+        }
+        val fanIn = ingestDirs(path + "/postings").size
+        assert(fanIn <= fanInBound,
+          s"probe fan-in $fanIn exceeded bound $fanInBound at batch $b")
+      }
+    } finally {
+      stop.set(true)
+      prober.join()
+    }
+    assert(probeErrors.isEmpty, probeErrors.toArray.mkString("\n"))
+    assert(probeOk.get() > 10, s"only ${probeOk.get()} probes completed")
+    // final state ≡ a fresh build of the survivors, bit for bit
+    val fresh = tmp("graft_lex_churn_fresh")
+    Lexical.writeIndex(live.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    val terms = Seq("alpha", "batch", "word3")
+    assert(Lexical.searchBm25(spark, path, terms, 500).collect().toSeq ==
+      Lexical.searchBm25(spark, fresh, terms, 500).collect().toSeq,
+      "churned artifact diverged from a fresh build of the survivors")
+  }
+
   test("reserved tier/base lineages are re-prefixed; replay detection intact") {
     import spark.implicits._
     val path = tmp("graft_lex_lineage")
