@@ -11,6 +11,7 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config(Tables.NanosFlag, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_pricing_summary")

@@ -42,6 +42,7 @@ object ScaleGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(Tables.NanosFlag, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, dest, factor)

@@ -2,23 +2,42 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loader for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session conf that lets the footer reader surface parquet
+    * TIMESTAMP(NANOS) as LongType instead of refusing the file. Harmless
+    * for ordinary µs layouts; our own session builders (Bench / Verify /
+    * Smoke / specs) set it at construction so reads never mutate a live
+    * session. [[apply]] falls back to setting it only on the legacy-nanos
+    * error path, for driver-owned sessions we don't construct. */
+  val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as LongType and convert to a microsecond
-      // timestamp — lossless here (the generator emits whole microseconds).
-      // A re-materialized copy (ScaleGen) carries ordinary µs timestamps,
-      // which the flag leaves untouched — convert only the nanos case.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // The generator's events.ts layout has drifted between rounds
+      // (TIMESTAMP(NANOS) -> plain timestamp[us]); branch on what the
+      // footer actually says rather than assuming either. Plain
+      // timestamp layouts (µs, NTZ or LTZ) pass through untouched;
+      // nanos-as-long gets one lossless conversion (the generator emits
+      // whole microseconds).
+      val df =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("NANOS") &&
+                spark.conf.get(NanosFlag, "false") != "true" =>
+            // legacy-nanos file on a session without the flag (a
+            // driver-owned session): opt in once, then reread
+            spark.conf.set(NanosFlag, "true")
+            spark.read.parquet(s"$dir/$name.parquet")
+        }
       df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case LongType =>
           df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
         case _ => df
       }

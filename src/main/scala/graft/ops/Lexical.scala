@@ -68,6 +68,24 @@ object Lexical {
   private def statsPath(path: String) = s"$path/termstats"
   private def tombstonesPath(path: String) = s"$path/tombstones"
 
+  // The artifact's table schemas are fixed by construction, so probes
+  // declare them EXPLICITLY instead of inferring from footers. This is
+  // both a waste cut (no footer round-trip per probe) and the close of a
+  // real availability race the adversarial churn spec caught: a probe
+  // that resolved the old manifest can reach a superseded directory
+  // mid-delete, and schema INFERENCE over a present-but-emptied directory
+  // throws UNABLE_TO_INFER_SCHEMA — a surface the retry classifier can't
+  // distinguish from corruption. With the schema declared, the same state
+  // reads as empty-or-FileNotFound, both documented transients.
+  import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+  private val PostingsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("dl", LongType), StructField("tf", LongType)))
+  private val StatsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("df", LongType)))
+  private val TombstonesSchema = StructType(Seq(
+    StructField("doc_id", LongType)))
+
   /** (term, doc_id, tf, dl) postings rows for a corpus — one explode +
     * one hash aggregation; `dl` counts ALL tokens of the doc (including
     * duplicates), `tf` the occurrences of this term in it. */
@@ -755,14 +773,14 @@ object Lexical {
     val st = m.stamp
     val dirs = resolveDirs(spark, path, m)
     val avgDl = if (st.n == 0) 0.0 else st.sumDl.toDouble / st.n.toDouble
-    val postRaw = spark.read
+    val postRaw = spark.read.schema(PostingsSchema)
       .parquet(dirs.post.map(n => s"${postingsPath(path)}/$n"): _*)
       .filter(col("term").isin(terms: _*))
     // pending deletes excluded via a broadcast anti-join (bounded by
     // deletes since the last compactPostings)
     val post0 =
       if (dirs.tombs.isEmpty) postRaw
-      else postRaw.join(broadcast(spark.read
+      else postRaw.join(broadcast(spark.read.schema(TombstonesSchema)
           .parquet(dirs.tombs.map(n => s"${tombstonesPath(path)}/$n"): _*)
           .select("doc_id")),
         Seq("doc_id"), "left_anti")
@@ -773,7 +791,7 @@ object Lexical {
       ids.select(ids.columns.head).toDF("doc_id")
         .select(col("doc_id").cast("long").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi"))
-    val df = spark.read
+    val df = spark.read.schema(StatsSchema)
       .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*)
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))

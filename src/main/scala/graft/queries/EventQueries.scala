@@ -31,7 +31,7 @@ object EventQueries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          col("ts") - col("prev_ts") > expr("INTERVAL 1800 SECONDS"), 1)
           .otherwise(0))
       .groupBy(col("user_id"))
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))

@@ -16,16 +16,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** File-source stream over the driver's events parquet: explicit schema
-    * (file streams can't infer), nanosecond ts read as long then converted —
+    * (file streams can't infer), probed ONCE from the static footer so the
+    * stream and batch sides agree whatever ts layout the generator used
+    * (plain timestamp µs today, legacy TIMESTAMP(NANOS)-as-long before) —
     * the production shape for directory-watching ingestion at scale. */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    // Tables handles the legacy-nanos opt-in if the footer needs it; the
+    // second footer read then sees the file schema the stream must declare.
+    graft.Tables(spark, dir, "events")
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // watermarks demand TIMESTAMP (LTZ); reinterpret the naive value
+        // in the session zone (UTC in every harness), which keeps the
+        // stream's wall-clock strings identical to the batch side's NTZ
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour window counts/sums per event type, 2h watermark. */

@@ -14,7 +14,8 @@ object ExplainQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosFlag, "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
