@@ -703,6 +703,157 @@ class MemoEngine(spark: SparkSession, basePath: String,
         recall(query, k).select(col("id"), col("score"), col("body"))
     }
 
+  private def pqDir: String = base.resolve("_ivfpq").toString
+
+  /** [[ensureIvf]]'s idiom on the COMPRESSED vector family: keep a
+    * persisted IVF-PQ index ([[graft.ops.PqIndex]]) in lockstep with the
+    * store's committed `index` chain. Same three arms — watermark-current
+    * serves lock-free off the stored (centroids, codebooks); append-only
+    * growth catches up O(new segments) via
+    * [[graft.ops.PqIndex.appendIvfPq]] (both quantizers reused — an
+    * ingest increment does not retrain); a chain rewrite or torn
+    * artifact rebuilds from the CAPTURED version's segments (the
+    * [[ensureLexical]] race argument verbatim). nlist/ksub clamp to the
+    * corpus size on rebuild so tiny stores still train. */
+  private def ensurePq(): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
+    currentVersion.flatMap { v =>
+      def recorded = ArtifactMeta.read(spark, pqDir, LexVersionFile)
+        .flatMap(_.toLongOption)
+      if (recorded.contains(v))
+        graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
+      else ArtifactMeta.withBuildLock(spark, pqDir) {
+        if (recorded.contains(v))
+          graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
+        else {
+          val segVersion = "^.*/v(\\d+)/index$".r
+          val delta = recorded.flatMap { v0 =>
+            val cur = segments(v, "index")
+            val old = segments(v0, "index")
+            if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
+                cur.drop(old.size).forall(segVersion.matches(_)))
+              Some(cur.drop(old.size))
+            else None
+          }
+          val meta = delta match {
+            case Some(extra) =>
+              try {
+                extra.foreach(seg => graft.ops.PqIndex.appendIvfPq(
+                  spark.read.parquet(seg), "id", "embedding", pqDir))
+                graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
+              } catch { case _: IllegalStateException =>
+                rebuildPq(v) // torn/missing artifact: rebuild is always correct
+              }
+            case None => rebuildPq(v)
+          }
+          if (meta.isDefined)
+            ArtifactMeta.write(spark, pqDir, LexVersionFile, v.toString)
+          meta
+        }
+      }
+    }
+
+  /** Rebuild arm of [[ensurePq]]: train + encode from the captured
+    * version's index segments. */
+  private def rebuildPq(v: Long): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = {
+    val corpus = spark.read.parquet(segments(v, "index"): _*)
+    val n = corpus.count()
+    if (n == 0) None
+    else Some(graft.ops.PqIndex.buildIfAbsentIvfPq(corpus, "id", "embedding",
+      nlist = math.min(MemoEngine.AnnNlist.toLong, n).toInt,
+      m = MemoEngine.AnnPqM,
+      ksub = math.min(MemoEngine.AnnPqKsub.toLong, n).toInt, pqDir))
+  }
+
+  /** Compressed ANN over the engine-MAINTAINED IVF-PQ artifact
+    * ([[ensurePq]]): probe cells prune at file-listing time, the ADC
+    * candidate stage reads the m-byte codes (~32× narrower than the raw
+    * vectors), and only the k×refine survivors pay the exact cosine
+    * re-rank against the store's real embeddings — [[annRecall]]'s probe
+    * economics with the candidate scan compressed on top, which is the
+    * serving shape once even the probed cells' raw vectors outweigh the
+    * I/O budget. Same approximation contract as [[annRecall]] plus PQ
+    * quantization error (absorbed by the refine re-rank at these data
+    * scales; recall-vs-refine is pinned in PqIndexSpec). Falls back to
+    * the exact [[recall]] ranking on an empty/uncommitted store.
+    * Returns (id, score, body). */
+  def pqRecall(query: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
+      refine: Int = 4): DataFrame =
+    ensurePq() match {
+      case Some((centroids, codebooks)) =>
+        val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
+        graft.ops.PqIndex.searchIvfPq(
+            graft.ops.PqIndex.loadCodes(spark, pqDir), index, "id",
+            "embedding", centroids, codebooks, qv, k,
+            math.min(nprobe, centroids.length), refine)
+          .join(records.select(col("id"), col("body")), Seq("id"))
+          .orderBy(desc("score"), col("id"))
+      case None =>
+        recall(query, k).select(col("id"), col("score"), col("body"))
+    }
+
+  private def sigDir: String = base.resolve("_minhash").toString
+
+  /** The version-watermark idiom on the DEDUP family: keep a persisted
+    * MinHash signature artifact ([[graft.ops.Dedup.writeSignatures]])
+    * in lockstep with the store's records, so admission checks scan 64
+    * longs/doc instead of re-minhashing the corpus. Append-only growth
+    * signs just the new segments ([[graft.ops.Dedup.appendSignatures]],
+    * O(batch)); rewrites rebuild from the captured version. Corpus =
+    * non-blank bodies (the [[ensureLexical]] corpus rule). */
+  private def ensureSignatures(): Unit = currentVersion.foreach { v =>
+    def recorded = ArtifactMeta.read(spark, sigDir, LexVersionFile)
+      .flatMap(_.toLongOption)
+    if (!recorded.contains(v))
+      ArtifactMeta.withBuildLock(spark, sigDir) {
+        if (!recorded.contains(v)) { // double-checked under the lock
+          val sigRows = (df: DataFrame) =>
+            df.filter(!isBlank(col("body"))).select(col("id"), col("body"))
+          val segVersion = "^.*/v(\\d+)/records$".r
+          val delta = recorded.flatMap { v0 =>
+            val cur = segments(v, "records")
+            val old = segments(v0, "records")
+            if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
+                cur.drop(old.size).forall(segVersion.matches(_)))
+              Some(cur.drop(old.size))
+            else None
+          }
+          delta match {
+            case Some(extra) =>
+              try extra.foreach { seg =>
+                graft.ops.Dedup.appendSignatures(
+                  sigRows(spark.read.parquet(seg)), "id", "body", sigDir)
+              } catch { case _: IllegalStateException =>
+                graft.ops.Dedup.writeSignatures(
+                  sigRows(spark.read.parquet(segments(v, "records"): _*)),
+                  "id", "body", sigDir)
+              }
+            case None =>
+              graft.ops.Dedup.writeSignatures(
+                sigRows(spark.read.parquet(segments(v, "records"): _*)),
+                "id", "body", sigDir)
+          }
+          ArtifactMeta.write(spark, sigDir, LexVersionFile, v.toString)
+        }
+      }
+  }
+
+  /** Admission gate against the engine-MAINTAINED signature artifact
+    * ([[ensureSignatures]]): the rows of `batch` (id, body) whose body
+    * near-dups NOTHING already stored — the incremental-ingest dedup
+    * cycle ([[graft.ops.Curation.admitNewAgainstSignatures]]) with the
+    * artifact maintenance owned by the engine. Cost is O(batch) minhash
+    * work + one scan of the signature artifact; the stored corpus text
+    * is never read. An empty/uncommitted store admits everything. */
+  def admitNew(batch: DataFrame, minJaccard: Double = 0.8): DataFrame =
+    currentVersion match {
+      case Some(_) =>
+        ensureSignatures()
+        graft.ops.Curation.admitNewAgainstSignatures(batch,
+          graft.ops.Dedup.loadSignatures(spark, sigDir), "id", "body",
+          minJaccard)
+      case None => batch
+    }
+
   /** Probe the maintained postings artifact, absorbing the transient
     * refusal window of an in-flight append: a pending journal makes the
     * lock-free [[graft.ops.Lexical.searchBm25]] throw for the duration
@@ -940,6 +1091,13 @@ object MemoEngine {
     * ([[MemoEngine.annRecall]]); clamped to the corpus size on rebuild
     * so tiny stores still train. */
   val AnnNlist = 16
+
+  /** PQ geometry for the engine-maintained IVF-PQ artifact
+    * ([[MemoEngine.pqRecall]]): m sub-quantizers over the 384-dim hash
+    * embedding, ksub centroids each (one code byte per subspace); ksub
+    * clamps to the corpus size on rebuild so tiny stores still train. */
+  val AnnPqM = 8
+  val AnnPqKsub = 16
 
   /** Staging dirs older than this are crash corpses, reclaimable by
     * [[MemoEngine.vacuum]] — generous so a slow in-flight writer (a big

@@ -161,7 +161,11 @@ object PqIndex {
       codes: DataFrame, codebooks: Array[Array[Array[Float]]],
       query: Array[Float], k: Int, refine: Int = 4): DataFrame = {
     val cand = searchAdc(codes, codebooks, query, k * refine).select("id")
+    // drop the candidate side's id right after the join: with idCol ==
+    // "id" the two would otherwise collide and every later col(idCol)
+    // reference is ambiguous
     corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
+      .drop(cand("id"))
       .withColumn("score", round4(vecCosine(col(embCol), lit(query))))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
@@ -610,7 +614,11 @@ object PqIndex {
       .orderBy(desc("adc_score"), col("id"))
       .limit(k * refine)
       .select("id")
+    // drop the candidate side's id right after the join: with idCol ==
+    // "id" the two would otherwise collide and every later col(idCol)
+    // reference is ambiguous
     corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
+      .drop(cand("id"))
       .withColumn("score", round4(vecCosine(col(embCol), lit(query))))
       .orderBy(desc("score"), col(idCol))
       .limit(k)

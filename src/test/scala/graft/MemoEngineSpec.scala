@@ -601,4 +601,111 @@ class MemoEngineSpec extends SparkTestBase {
       "filtered hybrid recall diverged from the masked artifact pipeline")
     engine.clean()
   }
+
+  /** Parquet files + mtimes under an engine-side artifact dir — the
+    * O(new segments) pin shared by the ensure* specs. */
+  private def artifactFiles(db: String, sub: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(s"$db/$sub")
+    if (!java.nio.file.Files.exists(root)) Map.empty[String, Long]
+    else java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+  }
+
+  test("pqRecall serves compressed ANN off an engine-MAINTAINED IVF-PQ artifact") {
+    val (engine, db) = freshEngine()
+    engine.save((0 until 40).map(i =>
+      s"---\nbody: corpus note $i about topic${i % 5} and theme${i % 3}\n")
+      .mkString)
+    // full probe + refine covering the corpus: the exact re-rank sees
+    // every candidate, so the top-k must equal the exact ranking's head
+    val hits = engine.pqRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist, refine = 8).collect()
+    assert(hits.length == 5)
+    val exact = engine.recall("topic1 theme2", k = 5).collect()
+      .map(_.getLong(0)).toSet
+    assert(hits.map(_.getLong(0)).toSet == exact,
+      "full-probe full-refine PQ ANN must agree with the exact ranking")
+    val files1 = artifactFiles(db, "_ivfpq")
+    assert(files1.nonEmpty, "no persisted IVF-PQ artifact after pqRecall")
+    // committed store, current watermark: serving touches NOTHING
+    engine.pqRecall("topic1 theme2", k = 5).collect()
+    assert(artifactFiles(db, "_ivfpq") == files1,
+      "a warm pqRecall rewrote the artifact")
+    // append-only commit: O(new segments) catch-up — quantizers reused,
+    // prior files untouched, the batch lands as NEW files
+    engine.save("---\nbody: fresh doc about topic1 theme2\n")
+    val grown = engine.pqRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist, refine = 9).collect()
+    val files2 = artifactFiles(db, "_ivfpq")
+    files1.foreach { case (f, mtime) =>
+      assert(files2.get(f).contains(mtime),
+        s"append-only catch-up rewrote $f — not O(new segments)")
+    }
+    assert(files2.size > files1.size, "the appended batch landed no files")
+    assert(grown.map(_.getLong(0)).toSet ==
+      engine.recall("topic1 theme2", k = 5).collect().map(_.getLong(0)).toSet)
+    // chain rewrite (reindex) → one rebuild, then warm serving again
+    engine.save("---\nid: 0\nbody: gone\nmetadata: {deleted: true}\n")
+    engine.reindex()
+    val rebuilt = engine.pqRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist, refine = 9).collect()
+    assert(rebuilt.map(_.getLong(0)).toSet ==
+      engine.recall("topic1 theme2", k = 5).collect().map(_.getLong(0)).toSet,
+      "post-reindex PQ ANN diverged from the exact ranking")
+    val files3 = artifactFiles(db, "_ivfpq")
+    engine.pqRecall("topic1 theme2", k = 5).collect()
+    assert(artifactFiles(db, "_ivfpq") == files3,
+      "post-rebuild warm serving touched the artifact")
+    engine.clean()
+  }
+
+  test("admitNew gates a batch against engine-MAINTAINED signatures, O(batch)") {
+    import spark.implicits._
+    val (engine, db) = freshEngine()
+    engine.save((0 until 20).map(i =>
+      s"---\nbody: stored document number $i retains its own unusual phrasing " +
+        s"about subject${i} and angle${i % 7}\n").mkString)
+    // batch: two verbatim near-dups of stored bodies + two fresh docs
+    val dupA = "stored document number 3 retains its own unusual phrasing " +
+      "about subject3 and angle3"
+    val dupB = "stored document number 11 retains its own unusual phrasing " +
+      "about subject11 and angle4"
+    val batch = Seq(
+      (100L, dupA), (101L, dupB),
+      (102L, "an entirely different incoming text sharing no shingles at all"),
+      (103L, "another genuinely novel candidate body with fresh vocabulary"))
+      .toDF("id", "body")
+    val admitted = engine.admitNew(batch).collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(102L, 103L),
+      s"admission gate wrong: $admitted (dups must be rejected, novel admitted)")
+    val files1 = artifactFiles(db, "_minhash")
+    assert(files1.nonEmpty, "no persisted signature artifact after admitNew")
+    // warm call: watermark current, artifact untouched
+    engine.admitNew(batch).collect()
+    assert(artifactFiles(db, "_minhash") == files1,
+      "a warm admitNew rewrote the signature artifact")
+    // append-only commit: new segment signed O(batch) — prior files
+    // untouched, new files land; a copy of the NEW doc is now rejected
+    engine.save("---\nbody: a just appended memo concerning quarterly basil harvests\n")
+    val probe = Seq(
+      (200L, "a just appended memo concerning quarterly basil harvests"),
+      (201L, "completely unrelated followup content with distinct wording"))
+      .toDF("id", "body")
+    val admitted2 = engine.admitNew(probe).collect().map(_.getLong(0)).toSet
+    assert(admitted2 == Set(201L),
+      s"near-dup of the appended doc must be rejected: $admitted2")
+    val files2 = artifactFiles(db, "_minhash")
+    files1.foreach { case (f, mtime) =>
+      assert(files2.get(f).contains(mtime),
+        s"append-only signature catch-up rewrote $f — not O(batch)")
+    }
+    assert(files2.size > files1.size, "the appended segment landed no files")
+    // empty store admits everything (no artifact to gate against)
+    val (empty, _) = freshEngine()
+    assert(empty.admitNew(probe).count() == 2)
+    engine.clean()
+  }
 }
