@@ -553,56 +553,81 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * production. */
   private[graft] var beforeLexicalBuildHook: () => Unit = () => ()
 
-  private def ensureLexical(): Unit = currentVersion.foreach { v =>
-    def recorded = ArtifactMeta.read(spark, lexDir, LexVersionFile)
-      .flatMap(_.toLongOption)
-    if (!recorded.contains(v))
-      ArtifactMeta.withBuildLock(spark, lexDir) {
-        if (!recorded.contains(v)) { // double-checked under the lock
-          beforeLexicalBuildHook()
-          val lexRows = (df: DataFrame) =>
-            df.filter(!isBlank(col("body"))).select(col("id"), col("body"))
-          val segVersion = "^.*/v(\\d+)/records$".r
+  /** The version-watermark maintenance skeleton every engine-maintained
+    * artifact family shares (lexical postings, IVF, IVF-PQ, minhash
+    * signatures). Fast path: the recorded watermark equals the live
+    * version → serve lock-free, touching nothing. Stale path, under the
+    * artifact's build lock (double-checked): if the live `kind` manifest
+    * EXTENDS the recorded version's and every new segment path parses to
+    * a version (vacuumed/rewritten chains fall through to a rebuild),
+    * catch up O(new segments) via `appendSeg`; otherwise — or if an
+    * append trips on a torn/missing artifact (`IllegalStateException`) —
+    * `rebuild` from THE CAPTURED VERSION's segments, never the live
+    * view: a concurrent commit during the rebuild would otherwise land
+    * docs in the artifact that the recorded watermark below says are NOT
+    * there yet, and the next catch-up would re-append them (duplicate
+    * rows, the disjoint-id contract violated). The watermark advances
+    * only when the family has something to serve (`out.isDefined`), so
+    * an empty corpus re-evaluates next call instead of caching absence. */
+  private def ensureArtifact[A](artDir: String, kind: String,
+      beforeLocked: () => Unit = () => ())(
+      appendSeg: (String, Long) => Unit, rebuild: Long => Option[A],
+      serve: () => Option[A]): Option[A] =
+    currentVersion.flatMap { v =>
+      def recorded = ArtifactMeta.read(spark, artDir, LexVersionFile)
+        .flatMap(_.toLongOption)
+      if (recorded.contains(v)) serve()
+      else ArtifactMeta.withBuildLock(spark, artDir) {
+        if (recorded.contains(v)) serve() // double-checked under the lock
+        else {
+          beforeLocked()
+          val segVersion = ("^.*/v(\\d+)/" + kind + "$").r
+          // each delta segment is (path, the store version that committed
+          // it) — ONE parse, validated and extracted together, so the
+          // gate and the batchId a family derives can never disagree
           val delta = recorded.flatMap { v0 =>
-            val cur = segments(v, "records")
-            val old = segments(v0, "records")
-            // incremental iff the live manifest extends the recorded
-            // version's AND every new segment path parses to a version
-            // (vacuumed/rewritten chains fall through to a rebuild)
+            val cur = segments(v, kind)
+            val old = segments(v0, kind)
+            val extra = cur.drop(old.size).map { seg =>
+              seg match {
+                case segVersion(ver) => Some((seg, ver.toLong))
+                case _ => None
+              }
+            }
             if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
-                cur.drop(old.size).forall(segVersion.matches(_)))
-              Some(cur.drop(old.size))
+                extra.forall(_.isDefined))
+              Some(extra.flatten)
             else None
           }
-          delta match {
+          val out = delta match {
             case Some(extra) =>
-              try extra.foreach { seg =>
-                val segVersion(ver) = seg: @unchecked
-                graft.ops.Lexical.appendOnce(
-                  lexRows(spark.read.parquet(seg)), "id", "body", lexDir,
-                  batchId = ver.toLong, lineage = "storev")
-              } catch { case _: IllegalStateException =>
-                // torn/missing artifact beyond the replay path's reach —
-                // rebuild is always correct (from the captured version's
-                // segments, same reason as the rebuild arm below)
-                graft.ops.Lexical.writeIndex(
-                  lexRows(spark.read.parquet(segments(v, "records"): _*)),
-                  "id", "body", lexDir)
-              }
-            case None =>
-              // rebuild from THE CAPTURED VERSION's segments, never the
-              // live `records` view: a concurrent commit during the
-              // rebuild would otherwise land docs in the artifact that
-              // the recorded version below says are NOT there yet — the
-              // next catch-up would re-append them (duplicate postings,
-              // double-counted df; the disjoint-id contract violated)
-              graft.ops.Lexical.writeIndex(
-                lexRows(spark.read.parquet(segments(v, "records"): _*)),
-                "id", "body", lexDir)
+              try { extra.foreach((appendSeg).tupled); serve() }
+              catch { case _: IllegalStateException => rebuild(v) }
+            case None => rebuild(v)
           }
-          ArtifactMeta.write(spark, lexDir, LexVersionFile, v.toString)
+          if (out.isDefined)
+            ArtifactMeta.write(spark, artDir, LexVersionFile, v.toString)
+          out
         }
       }
+    }
+
+  private def bodyCorpus(paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+      .filter(!isBlank(col("body"))).select(col("id"), col("body"))
+
+  private def ensureLexical(): Unit = {
+    ensureArtifact[Unit](lexDir, "records", beforeLexicalBuildHook)(
+      appendSeg = (seg, ver) => graft.ops.Lexical.appendOnce(
+        bodyCorpus(Seq(seg)), "id", "body", lexDir,
+        batchId = ver, lineage = "storev"),
+      rebuild = v => {
+        graft.ops.Lexical.writeIndex(
+          bodyCorpus(segments(v, "records")), "id", "body", lexDir)
+        Some(())
+      },
+      serve = () => Some(()))
+    ()
   }
 
   private def ivfDir: String = base.resolve("_ivf").toString
@@ -628,41 +653,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * Returns the centroid matrix, or None for an empty corpus (no cells
     * to probe — callers fall back to the exact ranking). */
   private def ensureIvf(): Option[Array[Array[Float]]] =
-    currentVersion.flatMap { v =>
-      def recorded = ArtifactMeta.read(spark, ivfDir, LexVersionFile)
-        .flatMap(_.toLongOption)
-      if (recorded.contains(v))
-        graft.ops.IvfIndex.readCentroids(spark, ivfDir)
-      else ArtifactMeta.withBuildLock(spark, ivfDir) {
-        if (recorded.contains(v))
-          graft.ops.IvfIndex.readCentroids(spark, ivfDir)
-        else {
-          val segVersion = "^.*/v(\\d+)/index$".r
-          val delta = recorded.flatMap { v0 =>
-            val cur = segments(v, "index")
-            val old = segments(v0, "index")
-            if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
-                cur.drop(old.size).forall(segVersion.matches(_)))
-              Some(cur.drop(old.size))
-            else None
-          }
-          val centroids = delta match {
-            case Some(extra) =>
-              try {
-                extra.foreach(seg => graft.ops.IvfIndex.append(
-                  spark.read.parquet(seg), "id", "embedding", ivfDir))
-                graft.ops.IvfIndex.readCentroids(spark, ivfDir)
-              } catch { case _: IllegalStateException =>
-                rebuildIvf(v) // torn/missing artifact: rebuild is always correct
-              }
-            case None => rebuildIvf(v)
-          }
-          if (centroids.isDefined)
-            ArtifactMeta.write(spark, ivfDir, LexVersionFile, v.toString)
-          centroids
-        }
-      }
-    }
+    ensureArtifact(ivfDir, "index")(
+      appendSeg = (seg, _) => graft.ops.IvfIndex.append(
+        spark.read.parquet(seg), "id", "embedding", ivfDir),
+      rebuild = rebuildIvf,
+      serve = () => graft.ops.IvfIndex.readCentroids(spark, ivfDir))
 
   /** Rebuild arm of [[ensureIvf]]: train + persist from the captured
     * version's index segments. nlist scales as min(default, corpus size)
@@ -716,41 +711,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * [[ensureLexical]] race argument verbatim). nlist/ksub clamp to the
     * corpus size on rebuild so tiny stores still train. */
   private def ensurePq(): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
-    currentVersion.flatMap { v =>
-      def recorded = ArtifactMeta.read(spark, pqDir, LexVersionFile)
-        .flatMap(_.toLongOption)
-      if (recorded.contains(v))
-        graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
-      else ArtifactMeta.withBuildLock(spark, pqDir) {
-        if (recorded.contains(v))
-          graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
-        else {
-          val segVersion = "^.*/v(\\d+)/index$".r
-          val delta = recorded.flatMap { v0 =>
-            val cur = segments(v, "index")
-            val old = segments(v0, "index")
-            if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
-                cur.drop(old.size).forall(segVersion.matches(_)))
-              Some(cur.drop(old.size))
-            else None
-          }
-          val meta = delta match {
-            case Some(extra) =>
-              try {
-                extra.foreach(seg => graft.ops.PqIndex.appendIvfPq(
-                  spark.read.parquet(seg), "id", "embedding", pqDir))
-                graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
-              } catch { case _: IllegalStateException =>
-                rebuildPq(v) // torn/missing artifact: rebuild is always correct
-              }
-            case None => rebuildPq(v)
-          }
-          if (meta.isDefined)
-            ArtifactMeta.write(spark, pqDir, LexVersionFile, v.toString)
-          meta
-        }
-      }
-    }
+    ensureArtifact(pqDir, "index")(
+      appendSeg = (seg, _) => graft.ops.PqIndex.appendIvfPq(
+        spark.read.parquet(seg), "id", "embedding", pqDir),
+      rebuild = rebuildPq,
+      serve = () => graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir))
 
   /** Rebuild arm of [[ensurePq]]: train + encode from the captured
     * version's index segments. */
@@ -800,41 +765,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * signs just the new segments ([[graft.ops.Dedup.appendSignatures]],
     * O(batch)); rewrites rebuild from the captured version. Corpus =
     * non-blank bodies (the [[ensureLexical]] corpus rule). */
-  private def ensureSignatures(): Unit = currentVersion.foreach { v =>
-    def recorded = ArtifactMeta.read(spark, sigDir, LexVersionFile)
-      .flatMap(_.toLongOption)
-    if (!recorded.contains(v))
-      ArtifactMeta.withBuildLock(spark, sigDir) {
-        if (!recorded.contains(v)) { // double-checked under the lock
-          val sigRows = (df: DataFrame) =>
-            df.filter(!isBlank(col("body"))).select(col("id"), col("body"))
-          val segVersion = "^.*/v(\\d+)/records$".r
-          val delta = recorded.flatMap { v0 =>
-            val cur = segments(v, "records")
-            val old = segments(v0, "records")
-            if (Files.exists(versionDir(v0)) && cur.startsWith(old) &&
-                cur.drop(old.size).forall(segVersion.matches(_)))
-              Some(cur.drop(old.size))
-            else None
-          }
-          delta match {
-            case Some(extra) =>
-              try extra.foreach { seg =>
-                graft.ops.Dedup.appendSignatures(
-                  sigRows(spark.read.parquet(seg)), "id", "body", sigDir)
-              } catch { case _: IllegalStateException =>
-                graft.ops.Dedup.writeSignatures(
-                  sigRows(spark.read.parquet(segments(v, "records"): _*)),
-                  "id", "body", sigDir)
-              }
-            case None =>
-              graft.ops.Dedup.writeSignatures(
-                sigRows(spark.read.parquet(segments(v, "records"): _*)),
-                "id", "body", sigDir)
-          }
-          ArtifactMeta.write(spark, sigDir, LexVersionFile, v.toString)
-        }
-      }
+  private def ensureSignatures(): Unit = {
+    ensureArtifact[Unit](sigDir, "records")(
+      appendSeg = (seg, _) => graft.ops.Dedup.appendSignatures(
+        bodyCorpus(Seq(seg)), "id", "body", sigDir),
+      rebuild = v => {
+        graft.ops.Dedup.writeSignatures(
+          bodyCorpus(segments(v, "records")), "id", "body", sigDir)
+        Some(())
+      },
+      serve = () => Some(()))
+    ()
   }
 
   /** Admission gate against the engine-MAINTAINED signature artifact

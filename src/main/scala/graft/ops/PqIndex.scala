@@ -314,7 +314,11 @@ object PqIndex {
     * the tombstone table, refresh the stored occupancy. Returns true iff
     * anything was applied. Flat codes have no partitions to swap — their
     * tombstones fold away on the next full rewrite (rebuild or
-    * [[compactIvfPq]]). */
+    * [[compactIvfPq]]). Inherits [[IvfIndex.applyDeletes]]'s
+    * concurrent-probe contract verbatim: a lock-free probe listing files
+    * inside one cell's delete→rename window can transiently miss that
+    * cell — gate probes or serve via the engine watermark idiom when
+    * physical applies run under live traffic. */
   def applyDeletesIvfPq(spark: SparkSession, path: String): Boolean =
     ArtifactMeta.withBuildLock(spark, path) {
       val conf = spark.sparkContext.hadoopConfiguration

@@ -87,21 +87,20 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bench")
-    val prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
-    val q = try {
-      val input0 = MemoryStream[BenchEvent]
-      val out = f(input0.toDF())
-      (input0, out.writeStream.format("noop")
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("append")
-        .start())
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
-    try feedSeconds(q._1, q._2, events, nBatches)
-    finally {
-      q._2.stop()
-      deleteTree(ckpt)
-    }
+    try {
+      val prior = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      val q = try {
+        val input0 = MemoryStream[BenchEvent]
+        val out = f(input0.toDF())
+        (input0, out.writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .start())
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+      try feedSeconds(q._1, q._2, events, nBatches)
+      finally q._2.stop()
+    } finally deleteTree(ckpt)
   }
 
   /** Events/sec through the tumbling-window aggregation. */

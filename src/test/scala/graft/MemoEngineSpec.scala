@@ -706,6 +706,7 @@ class MemoEngineSpec extends SparkTestBase {
     // empty store admits everything (no artifact to gate against)
     val (empty, _) = freshEngine()
     assert(empty.admitNew(probe).count() == 2)
+    empty.clean()
     engine.clean()
   }
 }
