@@ -74,7 +74,14 @@ private[graft] object ArtifactMeta {
   def writeAtomic(spark: org.apache.spark.sql.SparkSession, path: String,
       name: String, body: String): Unit = {
     val (fs, p) = locateS(spark, path, name)
-    val tmp = new org.apache.hadoop.fs.Path(path, name + ".tmp")
+    writeAtomicFs(fs, p, body)
+  }
+
+  /** [[writeAtomic]] for callers that already hold the (fs, path) pair —
+    * same tmp-then-atomic-rename contract. */
+  def writeAtomicFs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val tmp = p.suffix(".tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (Option(fs.getUri.getScheme).contains("file"))
@@ -85,7 +92,7 @@ private[graft] object ArtifactMeta {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     else
       org.apache.hadoop.fs.FileContext
-        .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .getFileContext(p.toUri, fs.getConf)
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
@@ -130,7 +137,16 @@ private[graft] object ArtifactMeta {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) df
     else df.join(
-      broadcast(spark.read.parquet(p.toString).select(col(idCol))),
+      broadcast(spark.read
+        // the tombstone table's schema is fixed by construction (the
+        // id column, typed like the artifact's): declare it instead of
+        // inferring — a probe racing an apply's tombstone-table delete
+        // then sees empty-or-FileNotFound (documented transients), not
+        // UNABLE_TO_INFER_SCHEMA over an emptied directory
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            df.schema(idCol).dataType))))
+        .parquet(p.toString).select(col(idCol))),
       Seq(idCol), "left_anti")
   }
 

@@ -20,6 +20,121 @@ import graft.functions.GraftFunctions._
   */
 object IvfIndex {
 
+  /** Where each cell's LIVE rows are — the manifest half of a
+    * cell-partitioned artifact's meta, [[graft.ops.Lexical]]'s
+    * manifest-gated visibility adapted to `cell_id=` layouts. A cell's
+    * rows live in the ROOT layout (`path/cell_id=<c>`, where build and
+    * every append write) and/or in ONE apply parent
+    * (`path/_apply_<tag>/cell_id=<c>`, where [[applyDeletes]] staged its
+    * last physical rewrite of the cell; underscore prefix → invisible to
+    * a root listing).
+    *
+    * `base == None` is the ungated world (no physical apply has ever
+    * run): the root listing IS the truth and reads are a plain
+    * `spark.read.parquet(path)`. After the first apply the meta pins
+    * `base` (root cells) and `parents` (per-tag cell sets) explicitly,
+    * and every read resolves THROUGH the manifest — a probe sees the
+    * complete directory set one atomic meta swap published, never a
+    * mid-maintenance mixture; superseded dirs are deleted only AFTER the
+    * swap, so a probe on the old manifest fails loudly instead of
+    * silently missing a cell. The loud-transient class (retry resolves
+    * the new manifest): FileNotFound / path-does-not-exist on a deleted
+    * file or cell dir, and `basePath`-option validation failure when an
+    * entire superseded parent died. */
+  private[ops] final case class CellManifest(base: Option[Seq[Int]],
+      parents: Seq[(String, Seq[Int])],
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None) {
+    def gated: Boolean = base.isDefined
+  }
+
+  private[ops] object CellManifest {
+    val Ungated: CellManifest = CellManifest(None, Nil)
+
+    /** Split meta lines: ([manifest lines consumed], rest). Manifest
+      * lines sit between the optional `occ:` line and the matrix rows;
+      * float rows can never start with `base:`/`par:`/`schema:`. */
+    def parse(lines: Seq[String]): (CellManifest, Seq[String]) = {
+      val (mfLines, rest) = lines.span(l =>
+        l.startsWith("base:") || l.startsWith("par:") ||
+          l.startsWith("schema:"))
+      val base = mfLines.find(_.startsWith("base:"))
+        .map(_.drop(5).split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
+      val parents = mfLines.filter(_.startsWith("par:")).map { l =>
+        val Array(tag, cells) = l.drop(4).split("=", 2)
+        (tag, cells.split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
+      }
+      val schema = mfLines.find(_.startsWith("schema:")).map(l =>
+        org.apache.spark.sql.types.DataType.fromJson(l.drop(7))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      (CellManifest(base, parents, schema), rest)
+    }
+
+    def render(m: CellManifest): Seq[String] =
+      m.base.map(b => "base:" + b.mkString(",")).toSeq ++
+        m.parents.map { case (t, cs) => s"par:$t=" + cs.mkString(",") } ++
+        m.dataSchema.map(s => "schema:" + s.json).toSeq
+  }
+
+  private[ops] def applyParentDir(path: String, tag: String): String =
+    s"$path/_apply_$tag"
+
+  /** Cell ids whose `cell_id=` dirs exist under `dir`. */
+  private[ops] def listCellDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("cell_id=")).map(_.drop(8).toInt).sorted
+
+  /** The manifest a freshly-(re)written root layout serves under: every
+    * root cell in base, no apply parents. Metas are ALWAYS gated from
+    * build on — probes then resolve explicit directory sets for the
+    * artifact's whole lifecycle, so a racing maintenance delete is
+    * always the loud FileNotFound transient, never a silently smaller
+    * implicit listing. */
+  private[ops] def freshManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): CellManifest = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    // the data schema rides in the manifest so probes DECLARE it: a
+    // probe racing a maintenance delete then reads an emptied dir as
+    // empty-or-FileNotFound (documented transients), never
+    // UNABLE_TO_INFER_SCHEMA — and skips a footer round-trip besides
+    CellManifest(
+      Some(listCellDirs(
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)),
+      Nil, Some(spark.read.parquet(path).schema))
+  }
+
+  /** The artifact's live physical rows, resolved through the manifest
+    * (tombstoned rows INCLUDED — callers that serve exclude them via
+    * [[ArtifactMeta.excludeTombstones]]; occupancy is deliberately
+    * physical). Ungated manifest → one plain root read, byte-identical
+    * plans to the pre-manifest layout (partition pruning at file listing
+    * either way: explicit dirs carry their `cell_id=` names through
+    * `basePath`). */
+  private[ops] def resolveCellData(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifest: CellManifest): DataFrame =
+    manifest.base match {
+      case None => spark.read.parquet(path)
+      case Some(baseCells) =>
+        def reader(basePath: String) = {
+          val r = spark.read.option("basePath", basePath)
+          manifest.dataSchema.fold(r)(r.schema)
+        }
+        val reads =
+          (if (baseCells.isEmpty) Nil
+           else Seq(reader(path)
+             .parquet(baseCells.map(c => s"$path/cell_id=$c"): _*))) ++
+          manifest.parents.map { case (tag, cells) =>
+            val parent = applyParentDir(path, tag)
+            reader(parent)
+              .parquet(cells.map(c => s"$parent/cell_id=$c"): _*)
+          }
+        reads.reduceOption(_.unionByName(_)).getOrElse(
+          // every row of every cell deleted: an empty, schema-less
+          // artifact — same terminal state the ungated layout reaches
+          spark.read.parquet(path))
+    }
+
   /** Train the coarse quantizer: collect a bounded, deterministically
     * ordered sample to the driver and run Lloyd's iterations locally.
     *
@@ -170,11 +285,23 @@ object IvfIndex {
     else None
   }
 
+  /** The artifact's manifest — ungated when no meta exists (a bare
+    * [[persist]]ed layout) or no apply has run. */
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): CellManifest = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMeta(fs, metaPath).map(_.manifest).getOrElse(CellManifest.Ungated)
+  }
+
   /** Read a persisted index back (cell_id is the partition column),
-    * excluding any docs retracted by [[delete]] that [[applyDeletes]] has
-    * not yet folded away ([[ArtifactMeta.excludeTombstones]]). */
+    * resolved through the cell manifest (complete-old-or-complete-new
+    * visibility under a concurrent [[applyDeletes]]), excluding any docs
+    * retracted by [[delete]] that the apply has not yet folded away
+    * ([[ArtifactMeta.excludeTombstones]]). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    ArtifactMeta.excludeTombstones(spark.read.parquet(path),
+    ArtifactMeta.excludeTombstones(
+      resolveCellData(spark, path, readManifest(spark, path)),
       tombDir(path), "id")
 
   /** Ensure a persisted index exists at `path` for this corpus and return
@@ -220,10 +347,11 @@ object IvfIndex {
                 refineIters)
               else sampled
             persist(build(corpus, idCol, embCol, centroids), path)
+            val fm = freshManifest(corpus.sparkSession, path)
             writeMeta(fs, metaPath,
               Meta(stamp,
-                Some(cellOccupancy(corpus.sparkSession, path, nlist)),
-                centroids))
+                Some(cellOccupancyOf(corpus.sparkSession, path, fm, nlist)),
+                centroids, fm))
             centroids
         }
       }
@@ -273,14 +401,24 @@ object IvfIndex {
     val next = s"${count.toLong + bn}:$nlist:$sampleFraction:$refineIters" +
       s":fp${BigInt(fp.drop(2)) + bfp}"
     ArtifactMeta.write(spark, path, Journal, next)
-    build(batch, idCol, embCol, meta.centroids)
-      .write.mode("append").partitionBy("cell_id").parquet(path)
+    val built = build(batch, idCol, embCol, meta.centroids).cache()
+    built.write.mode("append").partitionBy("cell_id").parquet(path)
+    // the batch's rows land in ROOT cell dirs (possibly recreating dirs
+    // a physical apply moved to a parent) — the manifest's base list
+    // grows by the batch's own cells (never a root listing: a listing
+    // could re-adopt a crashed cleanup's disowned dirs) in the same
+    // meta write that advances the stamp
+    val batchCells = built.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    built.unpersist()
+    val grownManifest = meta.manifest.copy(base = meta.manifest.base.map(b =>
+      (b ++ batchCells).distinct.sorted))
     // stamp advances additively in O(batch); occupancy is re-read from the
     // grown layout (a partition-column-only scan — parquet answers it from
     // directory names + footer row counts, no data pages)
     writeMeta(fs, metaPath, Meta(next,
-      Some(cellOccupancy(spark, path, nlist.toInt)),
-      meta.centroids))
+      Some(cellOccupancyOf(spark, path, grownManifest, nlist.toInt)),
+      meta.centroids, grownManifest))
     ArtifactMeta.delete(spark, path, Journal)
     meta.centroids
   }
@@ -323,7 +461,8 @@ object IvfIndex {
     ArtifactMeta.write(spark, path, Journal, next)
     batch.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(tombDir(path))
-    writeMeta(fs, metaPath, Meta(next, meta.occupancy, meta.centroids))
+    writeMeta(fs, metaPath,
+      Meta(next, meta.occupancy, meta.centroids, meta.manifest))
     ArtifactMeta.delete(spark, path, Journal)
   }
 
@@ -365,51 +504,91 @@ object IvfIndex {
     readTombstones(spark, path) match {
       case None => false
       case Some(tomb) =>
-        swapAffectedCells(spark, path, tomb,
-          invalidate = () => ArtifactMeta.delete(spark, path, "_ivf_centroids"))
+        swapAffectedCells(spark, path, tomb, meta.manifest,
+          publish = m => writeMeta(fs, metaPath, meta.copy(manifest = m)))
         fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
         val nlist = meta.stamp.split(":", 5)(1).toInt
+        val m2 = readMeta(fs, metaPath).getOrElse(meta)
         writeMeta(fs, metaPath,
-          Meta(meta.stamp, Some(cellOccupancy(spark, path, nlist)),
-            meta.centroids))
+          m2.copy(occupancy = Some(cellOccupancy(spark, path, nlist))))
         true
     }
   }
 
   /** The cell-partition swap shared by the IVF and IVF-PQ tombstone
-    * applies: rewrite ONLY the `cell_id=` partitions containing
-    * tombstoned ids, staged to a sibling directory (Spark refuses —
-    * correctly — to overwrite a path it is reading), swapped per cell by
-    * filesystem rename. `invalidate` runs before the first destructive
-    * rename (the caller deletes its stamp file so a crash leaves a
-    * loudly-invalid artifact); the caller restores its stamp after. */
+    * applies — MANIFEST-GATED ([[Lexical]]'s visibility contract on the
+    * `cell_id=` layout): rewrite ONLY the partitions containing
+    * tombstoned ids, staged under an invisible `_apply_<tag>` parent,
+    * published by ONE atomic meta swap (`publish` writes the caller's
+    * stamp file with the new [[CellManifest]]), and only THEN are the
+    * superseded directories deleted. A concurrent lock-free probe
+    * resolves the complete old set or the complete new set; a probe that
+    * raced the post-swap deletes fails loudly (FileNotFound-family, the
+    * documented transient) instead of silently missing a cell; a crash
+    * anywhere leaves the OLD manifest serving correct rows (tombstones
+    * still mask the dead ids) with only invisible orphans to sweep —
+    * which the next apply does, under the lock. */
   private[ops] def swapAffectedCells(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      tomb: DataFrame, invalidate: () => Unit): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val raw = spark.read.parquet(path)
+      tomb: DataFrame, manifest0: CellManifest,
+      publish: CellManifest => Unit): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellsIn(dir: org.apache.hadoop.fs.Path) = listCellDirs(fs, dir)
+    // materialize the base list (pre-manifest artifacts pin it here)
+    val base0 = manifest0.base.getOrElse(cellsIn(hp))
+    // sweep crash orphans: apply parents no manifest references, and —
+    // once gated — root cell dirs the base list disowns (both invisible
+    // to probes by construction; safe under the lock)
+    val liveTags = manifest0.parents.map(_._1).toSet
+    fs.listStatus(hp).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_apply_") && !liveTags.contains(n.drop(7)))
+        fs.delete(p, true)
+      else if (manifest0.gated && n.startsWith("cell_id=") &&
+          !base0.contains(n.drop(8).toInt))
+        fs.delete(p, true)
+    }
+    val live = resolveCellData(spark, path,
+      CellManifest(Some(base0), manifest0.parents, manifest0.dataSchema))
+    // the published manifest must keep declaring the data schema (or pin
+    // it now, for pre-schema metas) — losing it would put later probes
+    // back on footer inference, the exact surface the manifest closes
+    val schema0 = manifest0.dataSchema.orElse(Some(live.schema))
     // affected cells: column-pruned semi join (reads id + partition
     // value only); bounded by nlist, so the collect is tiny
-    val affected = raw.join(broadcast(tomb), Seq("id"), "left_semi")
-      .select("cell_id").distinct().collect().map(_.getInt(0))
+    val affected = live.join(broadcast(tomb), Seq("id"), "left_semi")
+      .select("cell_id").distinct().collect().map(_.getInt(0)).toSet
     if (affected.nonEmpty) {
-      val staging = new org.apache.hadoop.fs.Path(path + "_apply")
-      fs.delete(staging, true)
-      raw.filter(col("cell_id").isin(affected.toSeq: _*))
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val staging = new org.apache.hadoop.fs.Path(applyParentDir(path, tag))
+      live.filter(col("cell_id").isin(affected.toSeq: _*))
         .join(broadcast(tomb), Seq("id"), "left_anti")
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(staging.toString)
-      invalidate()
+      // a cell whose every row died has no staged dir — absence from
+      // every manifest entry IS the rewrite for it
+      val staged = cellsIn(staging)
+      val keptParents = manifest0.parents
+        .map { case (t, cs) => (t, cs.filterNot(affected)) }
+        .filter(_._2.nonEmpty)
+      val next = CellManifest(Some(base0.filterNot(affected)),
+        if (staged.nonEmpty) keptParents :+ ((tag, staged)) else keptParents,
+        schema0)
+      publish(next) // the atomic visibility swap
+      // superseded dirs die only AFTER the swap (old-manifest probes get
+      // the loud transient, never a silent miss)
       affected.foreach { c =>
-        val dst = new org.apache.hadoop.fs.Path(path, s"cell_id=$c")
-        val src = new org.apache.hadoop.fs.Path(staging, s"cell_id=$c")
-        fs.delete(dst, true)
-        // a cell whose every row died has no staged dir — deletion IS
-        // the rewrite for it
-        if (fs.exists(src)) fs.rename(src, dst)
+        if (base0.contains(c))
+          fs.delete(new org.apache.hadoop.fs.Path(path, s"cell_id=$c"), true)
       }
-      fs.delete(staging, true)
+      manifest0.parents.foreach { case (t, cs) =>
+        val pdir = new org.apache.hadoop.fs.Path(applyParentDir(path, t))
+        if (cs.forall(affected)) fs.delete(pdir, true)
+        else cs.filter(affected).foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(pdir, s"cell_id=$c"), true))
+      }
+      if (staged.isEmpty) fs.delete(staging, true)
     }
   }
 
@@ -418,12 +597,19 @@ object IvfIndex {
     * parquet footer row counts, so it is metadata-cost even on a huge
     * index. */
   def cellOccupancy(spark: org.apache.spark.sql.SparkSession, path: String,
-      nlist: Int): Array[Long] = {
+      nlist: Int): Array[Long] =
+    cellOccupancyOf(spark, path, readManifest(spark, path), nlist)
+
+  /** [[cellOccupancy]] against an explicit manifest (callers mid-meta-
+    * write that know the layout better than the file does). */
+  private[ops] def cellOccupancyOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifest: CellManifest, nlist: Int): Array[Long] = {
     val occ = new Array[Long](nlist)
     // raw read, NOT [[load]]: occupancy is deliberately PHYSICAL — probes
     // still scan tombstoned rows until applyDeletes, so the skew trigger
-    // must count them (and the raw read keeps this metadata-only)
-    spark.read.parquet(path).groupBy("cell_id").count().collect().foreach { r =>
+    // must count them (and the read keeps this metadata-only)
+    resolveCellData(spark, path, manifest)
+      .groupBy("cell_id").count().collect().foreach { r =>
       val c = r.getInt(0)
       if (c >= 0 && c < nlist) occ(c) = r.getLong(1)
     }
@@ -477,17 +663,21 @@ object IvfIndex {
         else sampled
       persist(build(corpus, idCol, embCol, centroids), path)
       val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
+      val fm = freshManifest(corpus.sparkSession, path)
       writeMeta(fs, metaPath,
         Meta(s"$n:$nlist:$sampleFraction:$refineIters:fp$fp",
-          Some(cellOccupancy(corpus.sparkSession, path, nlist)), centroids))
+          Some(cellOccupancyOf(corpus.sparkSession, path, fm, nlist)),
+          centroids, fm))
       true
     }
   }
 
   /** Parsed `_ivf_centroids` content: validity stamp, per-cell occupancy
-    * (absent on pre-compaction artifacts), centroid matrix. */
+    * (absent on pre-compaction artifacts), cell manifest (ungated until
+    * the first physical apply), centroid matrix. */
   private[graft] case class Meta(stamp: String, occupancy: Option[Array[Long]],
-      centroids: Array[Array[Float]])
+      centroids: Array[Array[Float]],
+      manifest: CellManifest = CellManifest.Ungated)
 
   private def metaLocation(df: DataFrame, path: String) = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -501,12 +691,14 @@ object IvfIndex {
     * a pure function of on-disk state, not of JVM history). */
   private[graft] def parseMetaLines(lines: Seq[String]): Option[Meta] =
     lines.headOption.map { stamp =>
-      val (occ, ctrLines) = lines.tail match {
+      val (occ, rest0) = lines.tail match {
         case o +: rest if o.startsWith("occ:") =>
           (Some(o.drop(4).split(",").filter(_.nonEmpty).map(_.toLong)), rest)
         case rest => (None, rest)
       }
-      Meta(stamp, occ, ctrLines.map(_.split(",").map(_.toFloat)).toArray)
+      val (manifest, ctrLines) = CellManifest.parse(rest0)
+      Meta(stamp, occ, ctrLines.map(_.split(",").map(_.toFloat)).toArray,
+        manifest)
     }
 
   /** Centroids of a persisted index straight off its stamp file — the
@@ -530,14 +722,17 @@ object IvfIndex {
     parseMetaLines(lines)
   }
 
+  /** Meta writes are ATOMIC (temp + rename): the stamp file doubles as
+    * the cell manifest, so a reader racing a swap must see the complete
+    * old or complete new content, never a torn file. */
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
       metaPath: org.apache.hadoop.fs.Path, meta: Meta): Unit = {
     val body = (meta.stamp +:
         (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
+          CellManifest.render(meta.manifest) ++
           meta.centroids.toSeq.map(_.mkString(","))))
       .mkString("", "\n", "\n")
-    val out = fs.create(metaPath, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    ArtifactMeta.writeAtomicFs(fs, metaPath, body)
   }
 
   /** Probe order of cells for a query vector (driver-side, nlist small).

@@ -208,14 +208,16 @@ object PqIndex {
     }
   }
 
+  /** Atomic (temp + rename): the IVF-PQ stamp file carries the cell
+    * manifest, so a lock-free reader racing a swap must see complete old
+    * or complete new content, never a torn file. */
   private def writeMetaFileLines(conf: org.apache.hadoop.conf.Configuration,
       path: String, name: String, lines: Seq[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)
     val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
+    ArtifactMeta.writeAtomicFs(fs, p, lines.mkString("", "\n", "\n"))
   }
+
 
   private def hconf(df: DataFrame) =
     df.sparkSession.sparkContext.hadoopConfiguration
@@ -285,8 +287,18 @@ object PqIndex {
   /** Read a persisted codes table back (flat or IVF-PQ), excluding any
     * docs retracted by [[delete]]/[[deleteIvfPq]]
     * ([[ArtifactMeta.excludeTombstones]]). */
+  /** The IVF-PQ artifact's manifest — ungated for flat-codes artifacts
+    * (no `_ivfpq_meta`, no cell partitions, no physical apply) and for
+    * pre-manifest layouts. */
+  private def readIvfPqManifest(spark: SparkSession,
+      path: String): IvfIndex.CellManifest =
+    readMetaFileLines(spark.sparkContext.hadoopConfiguration, path,
+      IvfPqMetaName).flatMap(parseIvfPqMetaLines).map(_.manifest)
+      .getOrElse(IvfIndex.CellManifest.Ungated)
+
   def loadCodes(spark: SparkSession, path: String): DataFrame =
-    ArtifactMeta.excludeTombstones(spark.read.parquet(path),
+    ArtifactMeta.excludeTombstones(
+      IvfIndex.resolveCellData(spark, path, readIvfPqManifest(spark, path)),
       tombDir(path), "id")
 
   /** Retract documents from a codes artifact WITHOUT a rebuild —
@@ -330,16 +342,25 @@ object PqIndex {
       readTombstones(spark, path) match {
         case None => false
         case Some(tomb) =>
-          IvfIndex.swapAffectedCells(spark, path, tomb,
-            invalidate = () => ArtifactMeta.delete(spark, path, IvfPqMetaName))
+          // df-less meta write (applyDeletes has no corpus DataFrame):
+          // serialize through the same renderer the df path uses
+          def publishMeta(m: IvfPqMeta): Unit =
+            writeMetaFileLines(conf, path, IvfPqMetaName,
+              m.stamp +:
+                (m.occupancy.map("occ:" + _.mkString(",")).toSeq ++
+                  IvfIndex.CellManifest.render(m.manifest) ++
+                  m.centroids.toSeq.map(_.mkString(",")) ++
+                  m.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(","))))
+          IvfIndex.swapAffectedCells(spark, path, tomb, meta.manifest,
+            publish = mf => publishMeta(meta.copy(manifest = mf)))
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(conf)
           fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
           val nlist = meta.stamp.split(":", 6)(1).toInt
-          writeMetaFileLines(conf, path, IvfPqMetaName,
-            (meta.stamp +: ("occ:" +
-              IvfIndex.cellOccupancy(spark, path, nlist).mkString(",")) +:
-              lines.get.tail.dropWhile(_.startsWith("occ:"))))
+          val m2 = readMetaFileLines(conf, path, IvfPqMetaName)
+            .flatMap(parseIvfPqMetaLines).getOrElse(meta)
+          publishMeta(m2.copy(occupancy = Some(IvfIndex.cellOccupancyOf(
+            spark, path, m2.manifest, nlist))))
           true
       }
     }
@@ -386,23 +407,26 @@ object PqIndex {
     * line, `nlist` centroid rows, then m×ksub codebook rows (j-major). */
   private[graft] case class IvfPqMeta(stamp: String,
       occupancy: Option[Array[Long]], centroids: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]])
+      codebooks: Array[Array[Array[Float]]],
+      manifest: IvfIndex.CellManifest = IvfIndex.CellManifest.Ungated)
 
   private[graft] def parseIvfPqMetaLines(lines: Seq[String]): Option[IvfPqMeta] =
     lines.headOption.flatMap { stamp =>
       stamp.split(":") match {
         case Array(_, nlistStr, mStr, kStr, _*) =>
           val (nlist, m, ksub) = (nlistStr.toInt, mStr.toInt, kStr.toInt)
-          val (occ, matrixLines) = lines.tail match {
+          val (occ, rest0) = lines.tail match {
             case o +: rest if o.startsWith("occ:") =>
               (Some(o.drop(4).split(",").filter(_.nonEmpty).map(_.toLong)), rest)
             case rest => (None, rest)
           }
+          val (manifest, matrixLines) = IvfIndex.CellManifest.parse(rest0)
           val rows = matrixLines.map(_.split(",").map(_.toFloat)).toArray
           if (rows.length != nlist + m * ksub) None
           else Some(IvfPqMeta(stamp, occ, rows.take(nlist),
             Array.tabulate(m)(j =>
-              Array.tabulate(ksub)(c => rows(nlist + j * ksub + c)))))
+              Array.tabulate(ksub)(c => rows(nlist + j * ksub + c))),
+            manifest))
         case _ => None
       }
     }
@@ -417,6 +441,7 @@ object PqIndex {
     writeMetaFileLines(hconf(df), path, IvfPqMetaName,
       meta.stamp +:
         (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
+          IvfIndex.CellManifest.render(meta.manifest) ++
           meta.centroids.toSeq.map(_.mkString(",")) ++
           meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(","))))
 
@@ -454,9 +479,11 @@ object PqIndex {
           encodeIvfPq(corpus, idCol, embCol, centroids, cbs)
             .repartition(col("cell_id"))
             .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+          val fm = IvfIndex.freshManifest(corpus.sparkSession, path)
           writeIvfPqMeta(corpus, path, IvfPqMeta(stamp,
-            Some(IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist)),
-            centroids, cbs))
+            Some(IvfIndex.cellOccupancyOf(corpus.sparkSession, path, fm,
+              nlist)),
+            centroids, cbs, fm))
           (centroids, cbs)
         }
       }
@@ -548,11 +575,20 @@ object PqIndex {
     val next = s"${count.toLong + bn}:$nlist:$m:$ksub:$sampleFraction" +
       s":fp${BigInt(fp.drop(2)) + bfp}"
     ArtifactMeta.write(batch.sparkSession, path, IvfPqJournal, next)
-    encodeIvfPq(batch, idCol, embCol, meta.centroids, meta.codebooks)
-      .write.mode("append").partitionBy("cell_id").parquet(path)
+    val encoded = encodeIvfPq(batch, idCol, embCol, meta.centroids,
+      meta.codebooks).cache()
+    encoded.write.mode("append").partitionBy("cell_id").parquet(path)
+    // base grows by the batch's own cells in the same meta write that
+    // advances the stamp ([[IvfIndex.append]]'s manifest contract)
+    val batchCells = encoded.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    encoded.unpersist()
+    val grown = meta.manifest.copy(base = meta.manifest.base.map(b =>
+      (b ++ batchCells).distinct.sorted))
     writeIvfPqMeta(batch, path, IvfPqMeta(next,
-      Some(IvfIndex.cellOccupancy(batch.sparkSession, path, nlist.toInt)),
-      meta.centroids, meta.codebooks))
+      Some(IvfIndex.cellOccupancyOf(batch.sparkSession, path, grown,
+        nlist.toInt)),
+      meta.centroids, meta.codebooks, grown))
     ArtifactMeta.delete(batch.sparkSession, path, IvfPqJournal)
     (meta.centroids, meta.codebooks)
   }
@@ -577,7 +613,8 @@ object PqIndex {
     val parts = meta.stamp.split(":", 6)
     val (nlist, m, ksub) = (parts(1).toInt, parts(2).toInt, parts(3).toInt)
     val occ = meta.occupancy.getOrElse(
-      IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist))
+      IvfIndex.cellOccupancyOf(corpus.sparkSession, path, meta.manifest,
+        nlist))
     if (IvfIndex.occupancySkew(occ.toSeq) <= maxSkew) false
     else {
       val sampleFraction = parts(4).toDouble
@@ -588,10 +625,11 @@ object PqIndex {
         .repartition(col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id").parquet(path)
       val (n, fp) = ArtifactMeta.fingerprint(corpus, Seq(idCol, embCol))
+      val fm = IvfIndex.freshManifest(corpus.sparkSession, path)
       writeIvfPqMeta(corpus, path, IvfPqMeta(
         s"$n:$nlist:$m:$ksub:$sampleFraction:fp$fp",
-        Some(IvfIndex.cellOccupancy(corpus.sparkSession, path, nlist)),
-        centroids, cbs))
+        Some(IvfIndex.cellOccupancyOf(corpus.sparkSession, path, fm, nlist)),
+        centroids, cbs, fm))
       true
     }
   }

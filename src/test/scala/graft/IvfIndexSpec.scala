@@ -256,10 +256,16 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_tombstones")),
       "applied tombstones must be cleared")
-    // physically gone: the raw layout no longer holds the victims
-    val phys = spark.read.parquet(path).select("id")
+    // physically gone: with the tombstone table cleared (asserted above),
+    // load IS the raw physical state — resolved through the cell manifest,
+    // which now maps the rewritten cell to its _apply_<tag> parent (a
+    // plain root read would not see it)
+    val phys = IvfIndex.load(spark, path).select("id")
       .collect().map(_.getLong(0)).toSet
     assert(phys == served, "physical apply changed the served set")
+    // and no victim row survives in ANY live directory of the manifest
+    assert(phys.intersect(victimIds.toSet).isEmpty,
+      "victim rows still physically present after apply")
     // and the stamp still validates (apply preserves it)
     IvfIndex.buildIfAbsent(survivors, "vec_id", "embedding", 8, path)
     assert(dataFiles() == after, "post-apply buildIfAbsent rebuilt")
@@ -494,5 +500,77 @@ class IvfIndexSpec extends SparkTestBase {
     }.isEmpty, "an in-bounds batch must not split")
     assert(rows(split) == rows(whole),
       "range-split changed the result set")
+  }
+
+  test("adversarial apply churn: probes never silently lose a cell") {
+    // The manifest-gated visibility contract under PHYSICAL apply churn
+    // (the IVF twin of LexicalSpec's fold churn): between a delete and
+    // its apply, tombstones mask the victims, so every SUCCESSFUL
+    // load().count() must sit exactly on the delete ladder — the
+    // pre-manifest per-cell delete-then-rename swap instead produced
+    // counts missing a whole cell's survivors (~60 rows here), silently.
+    // Loud failures are allowed only in the two documented transient
+    // classes (old-manifest probe racing the post-swap deletes).
+    val emb = Tables(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    val path = java.nio.file.Files.createTempDirectory("ivf_churn")
+      .resolve("idx").toString
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    val validCounts = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    validCounts.add(n)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probeErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probeOk = new java.util.concurrent.atomic.AtomicLong(0)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val c = IvfIndex.load(spark, path).count()
+          if (!validCounts.contains(c))
+            probeErrors.add(s"probe saw count $c, not on the delete " +
+              s"ladder $validCounts — a cell went silently missing")
+          probeOk.incrementAndGet()
+        } catch {
+          case e: Throwable =>
+            val s = e.toString + Option(e.getCause).fold("")(_.toString)
+            // the documented loud-transient class: an old-manifest probe
+            // racing the post-swap deletes (missing file, missing dir,
+            // or a parent dir gone entirely — which surfaces as the
+            // basePath option failing validation)
+            // ("Invalid directory": the tombstone table's dir listing
+            // racing its post-apply clear — loud is CORRECT there; an
+            // old-manifest probe silently skipping the mask would serve
+            // the victims instead)
+            if (!s.contains("FileNotFound") && !s.contains("does not exist") &&
+                !s.contains("FILE_NOT_EXIST") && !s.contains("PATH_NOT_FOUND") &&
+                !s.contains("basePath") && !s.contains("Invalid directory"))
+              probeErrors.add(s"unexpected probe failure: $s")
+        }
+      }
+    })
+    val liveIds = scala.collection.mutable.Queue(
+      emb.select("vec_id").collect().map(_.getLong(0)).sorted: _*)
+    prober.start()
+    try {
+      for (_ <- 1 to 12) {
+        val victims = (0 until 5).map(_ => liveIds.dequeue())
+        // the new live count becomes valid BEFORE the delete publishes
+        // it (the probe may see old or new, both on the ladder)
+        validCounts.add(liveIds.size.toLong)
+        IvfIndex.delete(emb.filter(col("vec_id").isin(victims: _*)),
+          "vec_id", "embedding", path)
+        assert(IvfIndex.applyDeletes(spark, path))
+      }
+    } finally {
+      stop.set(true)
+      prober.join()
+    }
+    assert(probeErrors.isEmpty, probeErrors.toArray.mkString("\n"))
+    assert(probeOk.get() > 10, s"only ${probeOk.get()} probes completed")
+    // end state: victims physically gone, survivors all present
+    val finalIds = IvfIndex.load(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == liveIds.toSet, "post-churn contents diverged")
+    emb.unpersist()
+    ()
   }
 }

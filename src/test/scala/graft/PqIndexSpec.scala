@@ -453,13 +453,18 @@ class PqIndexSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(served.intersect(victimIds).isEmpty)
     assert(served.size == emb.count() - victimIds.size)
-    // physical apply: tombstones gone, raw layout excludes the victims
+    // physical apply: tombstones gone; with them cleared, loadCodes IS
+    // the raw physical state, resolved through the cell manifest (the
+    // rewritten cells live under _apply_<tag> parents a plain root read
+    // would miss)
     assert(PqIndex.applyDeletesIvfPq(spark, path))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_tombstones")))
-    val phys = spark.read.parquet(path)
+    val phys = PqIndex.loadCodes(spark, path)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(phys == served, "physical apply changed the served set")
+    assert(phys.intersect(victimIds).isEmpty,
+      "victim rows still physically present after apply")
     // matrices still round-trip and serving still works
     val meta = PqIndex.ivfPqMetaAt(spark, path)
     assert(meta.exists { case (c, b) =>
