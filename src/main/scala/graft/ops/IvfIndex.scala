@@ -467,31 +467,21 @@ object IvfIndex {
   }
 
   /** Apply pending tombstones physically: rewrite ONLY the cell
-    * partitions that contain deleted ids (a bounded filesystem swap per
-    * affected cell — never a full-index rewrite), then clear the
-    * tombstone table. Returns true iff anything was applied.
+    * partitions that contain deleted ids (never a full-index rewrite),
+    * then clear the tombstone table. Returns true iff anything was
+    * applied.
     *
-    * Crash safety: the stamp file is deleted across the swap window
-    * (invalidate-first — a crash leaves a loudly-invalid index that
-    * [[buildIfAbsent]] rebuilds, never a valid stamp over half-swapped
-    * cells). A crash mid-swap also stays CORRECT to serve: cells only
-    * lose already-tombstoned rows, and [[load]]'s tombstone anti-join
-    * masks the same rows in the cells the crash left untouched.
-    *
-    * CONCURRENT-PROBE contract (the honest fine print): the per-cell
-    * swap is delete-then-rename — two metadata ops, not one — so a
-    * lock-free probe whose file listing lands inside one cell's window
-    * can transiently miss that cell's rows (silently: fewer candidates,
-    * no error). The window is per-cell and metadata-sized, but it is
-    * not zero. Serving that must be linearizable under physical-apply
-    * churn should gate probes behind the artifact lock, or use the
-    * engine idiom ([[graft.memo.MemoEngine]]'s `ensure*`), which never
-    * runs applyDeletes under live probes — deletes arrive as chain
-    * rewrites and rebuild behind the version watermark. The airtight
-    * lock-free design is [[Lexical]]'s manifest-gated visibility
-    * (probes resolve a published directory SET; maintenance swaps the
-    * set atomically and deletes only after); adopt that layout here if
-    * IVF serving-under-apply-churn becomes a requirement. */
+    * MANIFEST-GATED ([[Lexical]]'s visibility contract, via
+    * [[swapAffectedCells]]): survivors stage under an invisible
+    * `_apply_<tag>` parent, one atomic stamp-file swap publishes the new
+    * [[CellManifest]], and superseded dirs die only after — a
+    * concurrent lock-free probe serves the complete old or complete new
+    * state, or fails loudly in the documented transient class, never a
+    * silently smaller candidate set (the adversarial apply-churn spec's
+    * count-ladder pin). Crash anywhere leaves the OLD manifest serving
+    * correct rows — cells only lose already-tombstoned rows and
+    * [[load]]'s anti-join masks the same ids — plus invisible orphans
+    * the next apply sweeps under the lock. */
   def applyDeletes(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = ArtifactMeta.withBuildLock(spark, path) {
     val hp = new org.apache.hadoop.fs.Path(path)

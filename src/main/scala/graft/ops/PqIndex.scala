@@ -327,10 +327,10 @@ object PqIndex {
     * anything was applied. Flat codes have no partitions to swap — their
     * tombstones fold away on the next full rewrite (rebuild or
     * [[compactIvfPq]]). Inherits [[IvfIndex.applyDeletes]]'s
-    * concurrent-probe contract verbatim: a lock-free probe listing files
-    * inside one cell's delete→rename window can transiently miss that
-    * cell — gate probes or serve via the engine watermark idiom when
-    * physical applies run under live traffic. */
+    * manifest-gated visibility contract verbatim: the cell manifest
+    * rides in `_ivfpq_meta`, one atomic swap publishes it, and a probe
+    * racing the apply sees complete-old, complete-new, or the documented
+    * loud transient — never a silently smaller candidate set. */
   def applyDeletesIvfPq(spark: SparkSession, path: String): Boolean =
     ArtifactMeta.withBuildLock(spark, path) {
       val conf = spark.sparkContext.hadoopConfiguration
