@@ -40,7 +40,18 @@ object IvfIndex {
     * silently missing a cell. The loud-transient class (retry resolves
     * the new manifest): FileNotFound / path-does-not-exist on a deleted
     * file or cell dir, and `basePath`-option validation failure when an
-    * entire superseded parent died. */
+    * entire superseded parent died.
+    *
+    * Bound (stated exactly): the contract holds unless a probe's single
+    * load call is outrun by TWO complete locked maintenance ops — an
+    * apply moving cell c out of base AND an append recreating root
+    * `cell_id=c` — between its manifest read and its eager file
+    * listing, in which case the recreated dir satisfies the old
+    * manifest's path and serves only the batch's rows for c. Closing
+    * that last window needs a manifest-version re-check after listing
+    * or generation-named dirs; at the maintenance cadences these ops
+    * run at, the two-ops-inside-one-plan-construction race is not a
+    * practical surface. */
   private[ops] final case class CellManifest(base: Option[Seq[Int]],
       parents: Seq[(String, Seq[Int])],
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None) {
@@ -129,10 +140,13 @@ object IvfIndex {
             reader(parent)
               .parquet(cells.map(c => s"$parent/cell_id=$c"): _*)
           }
-        reads.reduceOption(_.unionByName(_)).getOrElse(
-          // every row of every cell deleted: an empty, schema-less
-          // artifact — same terminal state the ungated layout reaches
-          spark.read.parquet(path))
+        reads.reduceOption(_.unionByName(_)).getOrElse {
+          // every row of every cell deleted: serve an EMPTY frame under
+          // the declared schema (without it, inference over a dir of
+          // underscore files would throw UNABLE_TO_INFER_SCHEMA)
+          val r = manifest.dataSchema.fold(spark.read)(spark.read.schema)
+          r.parquet(path)
+        }
     }
 
   /** Train the coarse quantizer: collect a bounded, deterministically
@@ -286,12 +300,22 @@ object IvfIndex {
   }
 
   /** The artifact's manifest — ungated when no meta exists (a bare
-    * [[persist]]ed layout) or no apply has run. */
+    * [[persist]]ed layout). HEADER-ONLY parse: probes call this on every
+    * read, so the centroid float matrix is never touched (the manifest
+    * lines sit between the stamp/occ header and the matrix rows). */
   private def readManifest(spark: org.apache.spark.sql.SparkSession,
       path: String): CellManifest = {
     val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readMeta(fs, metaPath).map(_.manifest).getOrElse(CellManifest.Ungated)
+    if (!fs.exists(metaPath)) CellManifest.Ungated
+    else {
+      val in = fs.open(metaPath)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      if (lines.isEmpty) CellManifest.Ungated
+      else CellManifest.parse(lines.tail.dropWhile(_.startsWith("occ:")))._1
+    }
   }
 
   /** Read a persisted index back (cell_id is the partition column),
@@ -402,15 +426,24 @@ object IvfIndex {
       s":fp${BigInt(fp.drop(2)) + bfp}"
     ArtifactMeta.write(spark, path, Journal, next)
     val built = build(batch, idCol, embCol, meta.centroids).cache()
-    built.write.mode("append").partitionBy("cell_id").parquet(path)
-    // the batch's rows land in ROOT cell dirs (possibly recreating dirs
-    // a physical apply moved to a parent) — the manifest's base list
-    // grows by the batch's own cells (never a root listing: a listing
-    // could re-adopt a crashed cleanup's disowned dirs) in the same
-    // meta write that advances the stamp
     val batchCells = built.select("cell_id").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // a root cell dir that exists but is NOT in base is a crashed
+    // cleanup's leftover (its survivors live in an apply parent):
+    // adopting it wholesale would duplicate them, so it dies BEFORE the
+    // batch writes into that cell (invisible to probes, safe under the
+    // lock)
+    meta.manifest.base.foreach { b =>
+      batchCells.filterNot(b.contains).foreach { c =>
+        val d = new org.apache.hadoop.fs.Path(path, s"cell_id=$c")
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+    }
+    built.write.mode("append").partitionBy("cell_id").parquet(path)
     built.unpersist()
+    // the manifest's base list grows by the batch's own cells (never a
+    // root listing, which could re-adopt disowned dirs) in the same
+    // meta write that advances the stamp
     val grownManifest = meta.manifest.copy(base = meta.manifest.base.map(b =>
       (b ++ batchCells).distinct.sorted))
     // stamp advances additively in O(batch); occupancy is re-read from the
@@ -461,8 +494,15 @@ object IvfIndex {
     ArtifactMeta.write(spark, path, Journal, next)
     batch.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(tombDir(path))
+    // legacy (pre-manifest) artifacts get their manifest PINNED here,
+    // one maintenance cycle before any physical apply: probes then
+    // resolve explicit dirs by the time applyDeletes first runs, so
+    // even the migration apply has no silent-listing window
+    val gated =
+      if (meta.manifest.gated) meta.manifest
+      else freshManifest(spark, path)
     writeMeta(fs, metaPath,
-      Meta(next, meta.occupancy, meta.centroids, meta.manifest))
+      Meta(next, meta.occupancy, meta.centroids, gated))
     ArtifactMeta.delete(spark, path, Journal)
   }
 
@@ -494,13 +534,17 @@ object IvfIndex {
     readTombstones(spark, path) match {
       case None => false
       case Some(tomb) =>
-        swapAffectedCells(spark, path, tomb, meta.manifest,
+        // the published manifest comes back BY VALUE — re-reading the
+        // meta here could, on a transient misread, fall back to the
+        // pre-swap manifest and republish paths the cleanup just
+        // deleted, bricking every later probe
+        val published = swapAffectedCells(spark, path, tomb, meta.manifest,
           publish = m => writeMeta(fs, metaPath, meta.copy(manifest = m)))
+          .getOrElse(meta.manifest)
         fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
         val nlist = meta.stamp.split(":", 5)(1).toInt
-        val m2 = readMeta(fs, metaPath).getOrElse(meta)
-        writeMeta(fs, metaPath,
-          m2.copy(occupancy = Some(cellOccupancy(spark, path, nlist))))
+        writeMeta(fs, metaPath, meta.copy(manifest = published,
+          occupancy = Some(cellOccupancyOf(spark, path, published, nlist))))
         true
     }
   }
@@ -521,15 +565,18 @@ object IvfIndex {
   private[ops] def swapAffectedCells(
       spark: org.apache.spark.sql.SparkSession, path: String,
       tomb: DataFrame, manifest0: CellManifest,
-      publish: CellManifest => Unit): Unit = {
+      publish: CellManifest => Unit): Option[CellManifest] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def cellsIn(dir: org.apache.hadoop.fs.Path) = listCellDirs(fs, dir)
     // materialize the base list (pre-manifest artifacts pin it here)
     val base0 = manifest0.base.getOrElse(cellsIn(hp))
-    // sweep crash orphans: apply parents no manifest references, and —
-    // once gated — root cell dirs the base list disowns (both invisible
-    // to probes by construction; safe under the lock)
+    // sweep crash orphans: apply parents no manifest references, root
+    // cell dirs the base list disowns (once gated), and cell dirs
+    // INSIDE live parents that the parent's manifest entry disowns (a
+    // crash between publish and cleanup leaves all three classes; every
+    // one is invisible to probes by construction, so deleting under the
+    // lock is safe)
     val liveTags = manifest0.parents.map(_._1).toSet
     fs.listStatus(hp).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
@@ -538,6 +585,11 @@ object IvfIndex {
       else if (manifest0.gated && n.startsWith("cell_id=") &&
           !base0.contains(n.drop(8).toInt))
         fs.delete(p, true)
+    }
+    manifest0.parents.foreach { case (t, cs) =>
+      val pdir = new org.apache.hadoop.fs.Path(applyParentDir(path, t))
+      cellsIn(pdir).filterNot(cs.contains).foreach(c =>
+        fs.delete(new org.apache.hadoop.fs.Path(pdir, s"cell_id=$c"), true))
     }
     val live = resolveCellData(spark, path,
       CellManifest(Some(base0), manifest0.parents, manifest0.dataSchema))
@@ -549,7 +601,8 @@ object IvfIndex {
     // value only); bounded by nlist, so the collect is tiny
     val affected = live.join(broadcast(tomb), Seq("id"), "left_semi")
       .select("cell_id").distinct().collect().map(_.getInt(0)).toSet
-    if (affected.nonEmpty) {
+    if (affected.isEmpty) None
+    else {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val staging = new org.apache.hadoop.fs.Path(applyParentDir(path, tag))
       live.filter(col("cell_id").isin(affected.toSeq: _*))
@@ -579,6 +632,7 @@ object IvfIndex {
           fs.delete(new org.apache.hadoop.fs.Path(pdir, s"cell_id=$c"), true))
       }
       if (staged.isEmpty) fs.delete(staging, true)
+      Some(next)
     }
   }
 

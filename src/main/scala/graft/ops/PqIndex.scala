@@ -218,7 +218,6 @@ object PqIndex {
     ArtifactMeta.writeAtomicFs(fs, p, lines.mkString("", "\n", "\n"))
   }
 
-
   private def hconf(df: DataFrame) =
     df.sparkSession.sparkContext.hadoopConfiguration
 
@@ -284,18 +283,24 @@ object PqIndex {
     else None
   }
 
-  /** Read a persisted codes table back (flat or IVF-PQ), excluding any
-    * docs retracted by [[delete]]/[[deleteIvfPq]]
-    * ([[ArtifactMeta.excludeTombstones]]). */
   /** The IVF-PQ artifact's manifest — ungated for flat-codes artifacts
     * (no `_ivfpq_meta`, no cell partitions, no physical apply) and for
-    * pre-manifest layouts. */
+    * pre-manifest layouts. HEADER-ONLY parse: every [[loadCodes]] calls
+    * this, so the centroid/codebook float matrices are never touched. */
   private def readIvfPqManifest(spark: SparkSession,
       path: String): IvfIndex.CellManifest =
     readMetaFileLines(spark.sparkContext.hadoopConfiguration, path,
-      IvfPqMetaName).flatMap(parseIvfPqMetaLines).map(_.manifest)
-      .getOrElse(IvfIndex.CellManifest.Ungated)
+      IvfPqMetaName) match {
+      case Some(lines) if lines.nonEmpty =>
+        IvfIndex.CellManifest.parse(
+          lines.tail.dropWhile(_.startsWith("occ:")))._1
+      case _ => IvfIndex.CellManifest.Ungated
+    }
 
+  /** Read a persisted codes table back (flat or IVF-PQ) — resolved
+    * through the cell manifest for IVF-PQ layouts — excluding any docs
+    * retracted by [[delete]]/[[deleteIvfPq]]
+    * ([[ArtifactMeta.excludeTombstones]]). */
   def loadCodes(spark: SparkSession, path: String): DataFrame =
     ArtifactMeta.excludeTombstones(
       IvfIndex.resolveCellData(spark, path, readIvfPqManifest(spark, path)),
@@ -343,24 +348,24 @@ object PqIndex {
         case None => false
         case Some(tomb) =>
           // df-less meta write (applyDeletes has no corpus DataFrame):
-          // serialize through the same renderer the df path uses
+          // same shared renderer as the df path — no second serializer
+          // to drift from the parser
           def publishMeta(m: IvfPqMeta): Unit =
-            writeMetaFileLines(conf, path, IvfPqMetaName,
-              m.stamp +:
-                (m.occupancy.map("occ:" + _.mkString(",")).toSeq ++
-                  IvfIndex.CellManifest.render(m.manifest) ++
-                  m.centroids.toSeq.map(_.mkString(",")) ++
-                  m.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(","))))
-          IvfIndex.swapAffectedCells(spark, path, tomb, meta.manifest,
-            publish = mf => publishMeta(meta.copy(manifest = mf)))
+            writeMetaFileLines(conf, path, IvfPqMetaName, renderIvfPqMeta(m))
+          // the published manifest comes back BY VALUE — a transient
+          // meta re-read falling back to the pre-swap manifest would
+          // republish just-deleted paths ([[IvfIndex.applyDeletes]])
+          val published = IvfIndex.swapAffectedCells(spark, path, tomb,
+              meta.manifest,
+              publish = mf => publishMeta(meta.copy(manifest = mf)))
+            .getOrElse(meta.manifest)
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(conf)
           fs.delete(new org.apache.hadoop.fs.Path(tombDir(path)), true)
           val nlist = meta.stamp.split(":", 6)(1).toInt
-          val m2 = readMetaFileLines(conf, path, IvfPqMetaName)
-            .flatMap(parseIvfPqMetaLines).getOrElse(meta)
-          publishMeta(m2.copy(occupancy = Some(IvfIndex.cellOccupancyOf(
-            spark, path, m2.manifest, nlist))))
+          publishMeta(meta.copy(manifest = published,
+            occupancy = Some(IvfIndex.cellOccupancyOf(
+              spark, path, published, nlist))))
           true
       }
     }
@@ -389,7 +394,19 @@ object PqIndex {
     ArtifactMeta.write(spark, path, journal, next)
     batch.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(tombDir(path))
-    writeMetaFileLines(hconf(batch), path, metaName, next +: lines.tail)
+    // legacy (pre-manifest) IVF-PQ artifacts get their cell manifest
+    // PINNED here, one maintenance cycle before any physical apply
+    // ([[IvfIndex.delete]]'s migration contract); flat codes have no
+    // cell layout to manifest
+    val body =
+      if (metaName != IvfPqMetaName || lines.exists(_.startsWith("base:")))
+        lines.tail
+      else {
+        val (occ, rest) = lines.tail.span(_.startsWith("occ:"))
+        occ ++ IvfIndex.CellManifest.render(
+          IvfIndex.freshManifest(spark, path)) ++ rest
+      }
+    writeMetaFileLines(hconf(batch), path, metaName, next +: body)
     ArtifactMeta.delete(spark, path, journal)
   }
 
@@ -436,14 +453,18 @@ object PqIndex {
   private def readIvfPqMeta(df: DataFrame, path: String): Option[IvfPqMeta] =
     readMetaFileLines(hconf(df), path, IvfPqMetaName).flatMap(parseIvfPqMetaLines)
 
+  /** The one renderer both meta-write paths share — a second copy could
+    * drift from the parser. */
+  private def renderIvfPqMeta(meta: IvfPqMeta): Seq[String] =
+    meta.stamp +:
+      (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
+        IvfIndex.CellManifest.render(meta.manifest) ++
+        meta.centroids.toSeq.map(_.mkString(",")) ++
+        meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(",")))
+
   private def writeIvfPqMeta(df: DataFrame, path: String,
       meta: IvfPqMeta): Unit =
-    writeMetaFileLines(hconf(df), path, IvfPqMetaName,
-      meta.stamp +:
-        (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
-          IvfIndex.CellManifest.render(meta.manifest) ++
-          meta.centroids.toSeq.map(_.mkString(",")) ++
-          meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(","))))
+    writeMetaFileLines(hconf(df), path, IvfPqMetaName, renderIvfPqMeta(meta))
 
   /** Ensure a persisted IVF-PQ index exists at `path`: a
     * `partitionBy(cell_id)` parquet of (id, code) — the two scale levers
@@ -577,12 +598,24 @@ object PqIndex {
     ArtifactMeta.write(batch.sparkSession, path, IvfPqJournal, next)
     val encoded = encodeIvfPq(batch, idCol, embCol, meta.centroids,
       meta.codebooks).cache()
-    encoded.write.mode("append").partitionBy("cell_id").parquet(path)
-    // base grows by the batch's own cells in the same meta write that
-    // advances the stamp ([[IvfIndex.append]]'s manifest contract)
     val batchCells = encoded.select("cell_id").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // disowned root cell dirs (a crashed cleanup's leftovers) die before
+    // the batch writes into them — adopting one would duplicate the
+    // survivors already living in an apply parent ([[IvfIndex.append]]'s
+    // manifest contract)
+    val rootFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    meta.manifest.base.foreach { b =>
+      batchCells.filterNot(b.contains).foreach { c =>
+        val d = new org.apache.hadoop.fs.Path(path, s"cell_id=$c")
+        if (rootFs.exists(d)) rootFs.delete(d, true)
+      }
+    }
+    encoded.write.mode("append").partitionBy("cell_id").parquet(path)
     encoded.unpersist()
+    // base grows by the batch's own cells in the same meta write that
+    // advances the stamp
     val grown = meta.manifest.copy(base = meta.manifest.base.map(b =>
       (b ++ batchCells).distinct.sorted))
     writeIvfPqMeta(batch, path, IvfPqMeta(next,
