@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The 10×-committed-store maintenance measurement (BENCH_NOTES): does
+  * the `ensure*` version-watermark catch-up stay O(new segment) — flat
+  * as the store's version-chain history grows 10× — and what do
+  * `reindex`/`vacuum` cost against that history?
+  *
+  * Shape: build a store by looping `save` (one commit = one segment; the
+  * segment cap is raised so the chain never auto-folds), warm all four
+  * maintained artifact families (postings / IVF / IVF-PQ / minhash
+  * signatures) to the live version, then repeatedly commit ONE more
+  * segment and time each family's first post-commit serving call — that
+  * call pays exactly one segment of catch-up. If the catch-up were
+  * secretly a function of store size (a re-scan of the corpus, a
+  * re-read of the whole artifact), the 10×-history store would show it;
+  * the design claim is that only the new segment's rows are touched.
+  * `reindex` (O(corpus) by design) and `vacuum` (O(superseded dirs))
+  * are timed after, as the linear-by-design reference points.
+  *
+  * Usage: `runMain graft.MaintProfile [segsList] [docsPerSeg]`
+  * (defaults "12,120" and 25 — the 1× vs 10× chain-history pair).
+  */
+object MaintProfile {
+  def main(args: Array[String]): Unit = {
+    val segsList = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(12, 120))
+    val docsPerSeg = args.lift(1).map(_.toInt).getOrElse(25)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosFlag, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    segsList.foreach(run(spark, _, docsPerSeg))
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, nSegs: Int, docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_maint")
+    // cap far above nSegs: the measurement wants a LONG committed chain,
+    // not the folded one maxSegments maintenance would produce
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString,
+      maxSegments = 1000000)
+    def batchYaml(seg: Int) = (0 until docsPerSeg).map(d =>
+      s"---\nbody: maintenance corpus segment $seg doc $d keeps writing " +
+        s"about concern${(seg * docsPerSeg + d) % 97} in " +
+        s"style${d % 11}\n").mkString
+    val t0 = System.nanoTime()
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+    def probeBatch(tag: String) = Seq(
+      (9000L, s"an admission probe $tag with its own fresh vocabulary"),
+      (9001L, s"another admission probe $tag nothing like the corpus"))
+      .toDF("id", "body")
+    def touchAll(tag: String): Map[String, Double] = {
+      def timed(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      // each family's ensure* fires inside its own serving call
+      scala.collection.immutable.ListMap(
+        "lexical" -> timed(
+          engine.hybridRecall("maintenance corpus concern1", k = 3).collect()),
+        "ivf" -> timed(engine.annRecall("maintenance corpus", k = 3).collect()),
+        "ivfpq" -> timed(engine.pqRecall("maintenance corpus", k = 3).collect()),
+        "signatures" -> timed { engine.admitNew(probeBatch(tag)).collect(); () })
+    }
+    touchAll("warm") // initial builds — every family pays its full build here
+    // three one-segment catch-up cycles per family, report the min (the
+    // number a steady-state ingest pipeline pays per commit)
+    val cycles = (0 until 3).map { c =>
+      engine.save(batchYaml(nSegs + c))
+      touchAll(s"c$c")
+    }
+    val warm = touchAll("idle") // watermark current: serve-only floor
+    val catchUp = cycles.head.keys.map(k =>
+      k -> cycles.map(_(k)).min).toMap
+    val tReindex = { val t = System.nanoTime(); engine.reindex()
+      (System.nanoTime() - t) / 1e9 }
+    val tVacuum = { val t = System.nanoTime(); val n = engine.vacuum(0)
+      ((System.nanoTime() - t) / 1e9, n) }
+    println(f"[maint] segs=$nSegs%4d docs=${engine.records.count()}%6d " +
+      f"build=${buildSec}%7.1fs " +
+      catchUp.toSeq.sortBy(_._1).map { case (k, v) =>
+        f"$k=${v}%6.2fs(warm ${warm(k)}%5.2fs)" }.mkString(" ") +
+      f" reindex=${tReindex}%6.2fs vacuum=${tVacuum._1}%5.2fs" +
+      f"(${tVacuum._2}%d dirs)")
+    engine.clean()
+    ()
+  }
+}

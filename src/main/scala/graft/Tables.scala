@@ -14,7 +14,17 @@ object Tables {
     * for ordinary µs layouts; our own session builders (Bench / Verify /
     * Smoke / specs) set it at construction so reads never mutate a live
     * session. [[apply]] falls back to setting it only on the legacy-nanos
-    * error path, for driver-owned sessions we don't construct. */
+    * error path, for driver-owned sessions we don't construct.
+    *
+    * Why the fallback can't be scoped with set/restore: the flag is
+    * consulted again at ACTION time (physical planning snapshots the
+    * session conf into the scan's hadoop conf when the job runs, not when
+    * the DataFrame is built), so restoring it after a schema probe would
+    * make the very frame this loader returns throw Illegal-Parquet-type
+    * on first use. The flag must outlive the frame, and the frame's
+    * lifetime is the caller's — hence flag-for-the-session, documented
+    * here, with the narrow trigger (only a footer that actually contains
+    * TIMESTAMP(NANOS) on a session that hasn't opted in). */
   val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -42,19 +42,23 @@ object IvfIndex {
     * file or cell dir, and `basePath`-option validation failure when an
     * entire superseded parent died.
     *
-    * Bound (stated exactly): the contract holds unless a probe's single
-    * load call is outrun by TWO complete locked maintenance ops — an
-    * apply moving cell c out of base AND an append recreating root
-    * `cell_id=c` — between its manifest read and its eager file
-    * listing, in which case the recreated dir satisfies the old
-    * manifest's path and serves only the batch's rows for c. Closing
-    * that last window needs a manifest-version re-check after listing
-    * or generation-named dirs; at the maintenance cadences these ops
-    * run at, the two-ops-inside-one-plan-construction race is not a
-    * practical surface. */
+    * `gen` is the manifest GENERATION nonce: every meta write mints a
+    * fresh one ([[newGen]], stamped by the low-level writers), and the
+    * serving reads ([[stableRead]]) re-read it after constructing their
+    * plan — DataFrame construction performs the eager file listing, so
+    * "gen unchanged across the construction" proves no maintenance op
+    * published between the manifest read and the listing. That closes
+    * the one formerly-documented silent window (an apply moving cell c
+    * out of base AND an append recreating root `cell_id=c`, both
+    * completing inside a single probe's resolution — the recreated dir
+    * would have satisfied the stale manifest's path with only the
+    * batch's rows): any such pair bumps gen, the probe detects the
+    * movement and re-resolves. Every race outcome is now correct,
+    * retried, or loud — never silently short. */
   private[ops] final case class CellManifest(base: Option[Seq[Int]],
       parents: Seq[(String, Seq[Int])],
-      dataSchema: Option[org.apache.spark.sql.types.StructType] = None) {
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      gen: String = "") {
     def gated: Boolean = base.isDefined
   }
 
@@ -67,7 +71,7 @@ object IvfIndex {
     def parse(lines: Seq[String]): (CellManifest, Seq[String]) = {
       val (mfLines, rest) = lines.span(l =>
         l.startsWith("base:") || l.startsWith("par:") ||
-          l.startsWith("schema:"))
+          l.startsWith("schema:") || l.startsWith("gen:"))
       val base = mfLines.find(_.startsWith("base:"))
         .map(_.drop(5).split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
       val parents = mfLines.filter(_.startsWith("par:")).map { l =>
@@ -77,14 +81,21 @@ object IvfIndex {
       val schema = mfLines.find(_.startsWith("schema:")).map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.drop(7))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      (CellManifest(base, parents, schema), rest)
+      val gen = mfLines.find(_.startsWith("gen:")).map(_.drop(4)).getOrElse("")
+      (CellManifest(base, parents, schema, gen), rest)
     }
 
     def render(m: CellManifest): Seq[String] =
       m.base.map(b => "base:" + b.mkString(",")).toSeq ++
         m.parents.map { case (t, cs) => s"par:$t=" + cs.mkString(",") } ++
-        m.dataSchema.map(s => "schema:" + s.json).toSeq
+        m.dataSchema.map(s => "schema:" + s.json).toSeq ++
+        (if (m.gen.nonEmpty) Seq("gen:" + m.gen) else Nil)
   }
+
+  /** A fresh manifest-generation nonce — minted by every meta write (the
+    * low-level writers stamp it, so no call site can forget), compared by
+    * [[stableRead]] to detect maintenance completing mid-resolution. */
+  private[ops] def newGen(): String = java.util.UUID.randomUUID().toString
 
   private[ops] def applyParentDir(path: String, tag: String): String =
     s"$path/_apply_$tag"
@@ -299,34 +310,82 @@ object IvfIndex {
     else None
   }
 
-  /** The artifact's manifest — ungated when no meta exists (a bare
-    * [[persist]]ed layout). HEADER-ONLY parse: probes call this on every
-    * read, so the centroid float matrix is never touched (the manifest
-    * lines sit between the stamp/occ header and the matrix rows). */
-  private def readManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String): CellManifest = {
-    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** A cell-partitioned artifact's manifest — ungated when no meta exists
+    * (a bare [[persist]]ed layout). HEADER-ONLY: probes call this on
+    * every read, so the stream stops at the first matrix row — the
+    * centroid/codebook floats (the bulk of the file) are never read, let
+    * alone materialized. Shared with [[PqIndex]]'s `_ivfpq_meta` (same
+    * header layout: stamp line, optional `occ:`, manifest lines, matrix
+    * rows). */
+  private[graft] def readHeaderManifest(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String, metaName: String): CellManifest = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, metaName)
+    val fs = metaPath.getFileSystem(conf)
     if (!fs.exists(metaPath)) CellManifest.Ungated
     else {
       val in = fs.open(metaPath)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
-      if (lines.isEmpty) CellManifest.Ungated
-      else CellManifest.parse(lines.tail.dropWhile(_.startsWith("occ:")))._1
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        br.readLine() // stamp line — not part of the manifest
+        val hdr = Vector.newBuilder[String]
+        var line = br.readLine()
+        var done = false
+        while (line != null && !done) {
+          if (line.startsWith("occ:") || line.startsWith("base:") ||
+              line.startsWith("par:") || line.startsWith("schema:") ||
+              line.startsWith("gen:")) {
+            if (!line.startsWith("occ:")) hdr += line
+            line = br.readLine()
+          } else done = true
+        }
+        CellManifest.parse(hdr.result())._1
+      } finally in.close()
     }
   }
 
+  /** Construct a probe frame under a STABLE manifest generation: read the
+    * manifest, build the frame (DataFrame construction performs the eager
+    * file listing), then re-read the generation nonce — if it moved, a
+    * maintenance op completed mid-resolution and the listing may not
+    * match the manifest that guided it, so re-resolve from the fresh
+    * manifest. This is what makes the visibility contract total: a probe
+    * serves the complete state some single manifest described, retries,
+    * or fails loudly — the formerly-documented two-ops silent window
+    * (apply + append recreating a root cell inside one resolution) is
+    * detected by the gen bump and retried. Bounded attempts: churn so
+    * relentless that five successive resolutions each overlap a complete
+    * maintenance op surfaces as a loud, retriable error, never a wrong
+    * answer. */
+  private[ops] def stableRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, metaName: String,
+      construct: CellManifest => DataFrame): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var attempts = 0
+    while (attempts < 5) {
+      val m = readHeaderManifest(conf, path, metaName)
+      val df = construct(m)
+      if (readHeaderManifest(conf, path, metaName).gen == m.gen) return df
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"manifest generation at $path kept changing across $attempts " +
+        "resolution attempts — maintenance churn outpaced this probe; retry")
+  }
+
+  private[graft] val MetaName = "_ivf_centroids"
+
   /** Read a persisted index back (cell_id is the partition column),
-    * resolved through the cell manifest (complete-old-or-complete-new
-    * visibility under a concurrent [[applyDeletes]]), excluding any docs
-    * retracted by [[delete]] that the apply has not yet folded away
-    * ([[ArtifactMeta.excludeTombstones]]). */
+    * resolved through the cell manifest under a STABLE generation
+    * ([[stableRead]]: complete-old-or-complete-new visibility even
+    * against back-to-back [[applyDeletes]]/[[append]] pairs), excluding
+    * any docs retracted by [[delete]] that the apply has not yet folded
+    * away ([[ArtifactMeta.excludeTombstones]]). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    ArtifactMeta.excludeTombstones(
-      resolveCellData(spark, path, readManifest(spark, path)),
-      tombDir(path), "id")
+    stableRead(spark, path, MetaName, m =>
+      ArtifactMeta.excludeTombstones(resolveCellData(spark, path, m),
+        tombDir(path), "id"))
 
   /** Ensure a persisted index exists at `path` for this corpus and return
     * its centroids — the build-once / probe-many lifecycle of a real ANN
@@ -578,6 +637,11 @@ object IvfIndex {
     // one is invisible to probes by construction, so deleting under the
     // lock is safe)
     val liveTags = manifest0.parents.map(_._1).toSet
+    // the pre-manifest apply protocol staged survivors at the SIBLING
+    // path `<path>_apply` (outside the artifact dir, so the in-dir sweep
+    // below never sees it); a crash from before that upgrade left it
+    // orphaned forever — reap it here, once, under the lock
+    fs.delete(new org.apache.hadoop.fs.Path(path + "_apply"), true)
     fs.listStatus(hp).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("_apply_") && !liveTags.contains(n.drop(7)))
@@ -642,7 +706,9 @@ object IvfIndex {
     * index. */
   def cellOccupancy(spark: org.apache.spark.sql.SparkSession, path: String,
       nlist: Int): Array[Long] =
-    cellOccupancyOf(spark, path, readManifest(spark, path), nlist)
+    cellOccupancyOf(spark, path,
+      readHeaderManifest(spark.sparkContext.hadoopConfiguration, path,
+        MetaName), nlist)
 
   /** [[cellOccupancy]] against an explicit manifest (callers mid-meta-
     * write that know the layout better than the file does). */
@@ -768,12 +834,16 @@ object IvfIndex {
 
   /** Meta writes are ATOMIC (temp + rename): the stamp file doubles as
     * the cell manifest, so a reader racing a swap must see the complete
-    * old or complete new content, never a torn file. */
+    * old or complete new content, never a torn file. Every write mints a
+    * fresh generation nonce ([[newGen]]) — minted HERE, not at call
+    * sites, so no maintenance path can forget to bump it; [[stableRead]]
+    * relies on "any meta write changes gen". */
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
       metaPath: org.apache.hadoop.fs.Path, meta: Meta): Unit = {
+    val stamped = meta.manifest.copy(gen = newGen())
     val body = (meta.stamp +:
         (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
-          CellManifest.render(meta.manifest) ++
+          CellManifest.render(stamped) ++
           meta.centroids.toSeq.map(_.mkString(","))))
       .mkString("", "\n", "\n")
     ArtifactMeta.writeAtomicFs(fs, metaPath, body)

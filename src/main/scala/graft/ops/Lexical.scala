@@ -389,7 +389,17 @@ object Lexical {
     * one without the lock) — and the one residual race is a probe that
     * resolved the OLD manifest and lists files after the fold deleted
     * the superseded directories: it fails LOUDLY (FileNotFound — retry),
-    * never silently wrong. */
+    * never silently wrong.
+    *
+    * Why this table needs no [[IvfIndex.stableRead]] generation
+    * re-check: every directory a lexical maintenance op publishes
+    * carries a FRESH unique name (`ingest=<uuid-tag>`, `t1_<uuid>`,
+    * `base_<uuid>`) — directory names here are already
+    * generation-names, so a path in a stale manifest can never be
+    * re-satisfied by newer data the way a recreated `cell_id=<c>` dir
+    * could in the IVF layout (whose names are fixed by the partition
+    * scheme); a stale path is either still the data the manifest
+    * described or ABSENT, and absence is the loud transient above. */
   def appendOnce(batch: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long, lineage: String = "stream",
       maxIngestDirs: Int = MaxIngestDirs): Unit = {

@@ -283,28 +283,18 @@ object PqIndex {
     else None
   }
 
-  /** The IVF-PQ artifact's manifest — ungated for flat-codes artifacts
-    * (no `_ivfpq_meta`, no cell partitions, no physical apply) and for
-    * pre-manifest layouts. HEADER-ONLY parse: every [[loadCodes]] calls
-    * this, so the centroid/codebook float matrices are never touched. */
-  private def readIvfPqManifest(spark: SparkSession,
-      path: String): IvfIndex.CellManifest =
-    readMetaFileLines(spark.sparkContext.hadoopConfiguration, path,
-      IvfPqMetaName) match {
-      case Some(lines) if lines.nonEmpty =>
-        IvfIndex.CellManifest.parse(
-          lines.tail.dropWhile(_.startsWith("occ:")))._1
-      case _ => IvfIndex.CellManifest.Ungated
-    }
-
   /** Read a persisted codes table back (flat or IVF-PQ) — resolved
-    * through the cell manifest for IVF-PQ layouts — excluding any docs
-    * retracted by [[delete]]/[[deleteIvfPq]]
+    * through the cell manifest for IVF-PQ layouts (flat artifacts have no
+    * `_ivfpq_meta` and read ungated) under a STABLE manifest generation
+    * ([[IvfIndex.stableRead]]'s contract: complete-old-or-complete-new
+    * even against back-to-back apply/append pairs; the manifest read is
+    * HEADER-ONLY, the codebook matrices are never touched) — excluding
+    * any docs retracted by [[delete]]/[[deleteIvfPq]]
     * ([[ArtifactMeta.excludeTombstones]]). */
   def loadCodes(spark: SparkSession, path: String): DataFrame =
-    ArtifactMeta.excludeTombstones(
-      IvfIndex.resolveCellData(spark, path, readIvfPqManifest(spark, path)),
-      tombDir(path), "id")
+    IvfIndex.stableRead(spark, path, IvfPqMetaName, m =>
+      ArtifactMeta.excludeTombstones(
+        IvfIndex.resolveCellData(spark, path, m), tombDir(path), "id"))
 
   /** Retract documents from a codes artifact WITHOUT a rebuild —
     * [[IvfIndex.delete]]'s contract on the PQ artifacts: tombstone the
@@ -454,11 +444,15 @@ object PqIndex {
     readMetaFileLines(hconf(df), path, IvfPqMetaName).flatMap(parseIvfPqMetaLines)
 
   /** The one renderer both meta-write paths share — a second copy could
-    * drift from the parser. */
+    * drift from the parser. Mints a fresh manifest generation nonce on
+    * every render-for-write ([[IvfIndex.newGen]]'s contract: any meta
+    * write changes gen, so [[IvfIndex.stableRead]] detects maintenance
+    * completing mid-resolution). */
   private def renderIvfPqMeta(meta: IvfPqMeta): Seq[String] =
     meta.stamp +:
       (meta.occupancy.map("occ:" + _.mkString(",")).toSeq ++
-        IvfIndex.CellManifest.render(meta.manifest) ++
+        IvfIndex.CellManifest.render(
+          meta.manifest.copy(gen = IvfIndex.newGen())) ++
         meta.centroids.toSeq.map(_.mkString(",")) ++
         meta.codebooks.toSeq.flatMap(_.toSeq).map(_.mkString(",")))
 

@@ -26,8 +26,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 object StreamProfile {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(100000)
-    val partList = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+    val lexMode = args.headOption.contains("lex")
+    val rest = if (lexMode) args.drop(1) else args
+    val n = rest.headOption.map(_.toInt)
+      .getOrElse(if (lexMode) 20000 else 100000)
+    val partList = rest.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(32, 16, 8, 4))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -36,12 +39,28 @@ object StreamProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val events = StreamBench.syntheticEvents(n)
-    for (parts <- partList) {
-      profile(spark, s"s93_join parts=$parts", events, parts)(df =>
-        EventStreams.errorThenPurchase(df))
-      profile(spark, s"s90_tumbling parts=$parts", events, parts)(df =>
-        EventStreams.tumblingCounts(df))
+    if (lexMode) {
+      // s95 sweep: the foreachBatch sink runs ordinary BATCH jobs, so
+      // spark.sql.shuffle.partitions applies per job (no query-start
+      // latch) — pin it for the whole run and watch eps move. A
+      // commit-overhead-dominated entry lifts as partitions drop (the
+      // s93 diagnosis shape: per-batch fixed cost, not row work).
+      for (parts <- partList) {
+        val prior = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try {
+          val eps = StreamBench.lexicalIngestEps(spark, n)
+          println(f"[profile] s95_lex_ingest parts=$parts%-3d eps=$eps%9.0f")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+      }
+    } else {
+      val events = StreamBench.syntheticEvents(n)
+      for (parts <- partList) {
+        profile(spark, s"s93_join parts=$parts", events, parts)(df =>
+          EventStreams.errorThenPurchase(df))
+        profile(spark, s"s90_tumbling parts=$parts", events, parts)(df =>
+          EventStreams.tumblingCounts(df))
+      }
     }
     spark.stop()
   }

@@ -504,20 +504,25 @@ class IvfIndexSpec extends SparkTestBase {
 
   test("adversarial apply churn: probes never silently lose a cell") {
     // The manifest-gated visibility contract under PHYSICAL apply churn
-    // (the IVF twin of LexicalSpec's fold churn): between a delete and
-    // its apply, tombstones mask the victims, so every SUCCESSFUL
-    // load().count() must sit exactly on the delete ladder — the
-    // pre-manifest per-cell delete-then-rename swap instead produced
-    // counts missing a whole cell's survivors (~60 rows here), silently.
-    // Loud failures are allowed only in the two documented transient
-    // classes (old-manifest probe racing the post-swap deletes).
+    // (the IVF twin of LexicalSpec's fold churn), now including the
+    // nastiest interleaving: each cycle deletes 5 rows, applies the
+    // tombstones physically (rewriting their cells out of base), then
+    // APPENDS the same 5 rows back — recreating root `cell_id=` dirs an
+    // apply just moved out of base, the exact sequence that could once
+    // satisfy a stale manifest's path with only the batch's rows
+    // (serving ~a whole cell short, silently). With the generation
+    // re-check every successful load().count() must sit inside
+    // [n-5, n]: victims masked/removed (n-5), fully restored (n), or a
+    // mid-append partial batch (between) — a silently lost cell would
+    // read ~60 rows short of the floor here. Loud failures are allowed
+    // only in the documented transient classes (old-manifest probe
+    // racing the post-swap deletes, or the gen re-check exhausting its
+    // attempts under churn).
     val emb = Tables(spark, sfDir, "embeddings").cache()
     val n = emb.count()
     val path = java.nio.file.Files.createTempDirectory("ivf_churn")
       .resolve("idx").toString
     IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
-    val validCounts = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    validCounts.add(n)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val probeErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val probeOk = new java.util.concurrent.atomic.AtomicLong(0)
@@ -525,9 +530,9 @@ class IvfIndexSpec extends SparkTestBase {
       while (!stop.get()) {
         try {
           val c = IvfIndex.load(spark, path).count()
-          if (!validCounts.contains(c))
-            probeErrors.add(s"probe saw count $c, not on the delete " +
-              s"ladder $validCounts — a cell went silently missing")
+          if (c < n - 5 || c > n)
+            probeErrors.add(s"probe saw count $c outside [${n - 5}, $n] " +
+              "— a cell went silently missing")
           probeOk.incrementAndGet()
         } catch {
           case e: Throwable =>
@@ -540,25 +545,28 @@ class IvfIndexSpec extends SparkTestBase {
             // racing its post-apply clear — loud is CORRECT there; an
             // old-manifest probe silently skipping the mask would serve
             // the victims instead)
+            // ("manifest generation": stableRead exhausted its bounded
+            // re-resolutions under relentless churn — loud and
+            // retriable, the designed alternative to a silent miss)
             if (!s.contains("FileNotFound") && !s.contains("does not exist") &&
                 !s.contains("FILE_NOT_EXIST") && !s.contains("PATH_NOT_FOUND") &&
-                !s.contains("basePath") && !s.contains("Invalid directory"))
+                !s.contains("basePath") && !s.contains("Invalid directory") &&
+                !s.contains("manifest generation"))
               probeErrors.add(s"unexpected probe failure: $s")
         }
       }
     })
-    val liveIds = scala.collection.mutable.Queue(
-      emb.select("vec_id").collect().map(_.getLong(0)).sorted: _*)
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted
     prober.start()
     try {
-      for (_ <- 1 to 12) {
-        val victims = (0 until 5).map(_ => liveIds.dequeue())
-        // the new live count becomes valid BEFORE the delete publishes
-        // it (the probe may see old or new, both on the ladder)
-        validCounts.add(liveIds.size.toLong)
-        IvfIndex.delete(emb.filter(col("vec_id").isin(victims: _*)),
-          "vec_id", "embedding", path)
+      for (i <- 0 until 12) {
+        val victims = allIds.slice(i * 5, i * 5 + 5).toSeq
+        val batch = emb.filter(col("vec_id").isin(victims: _*))
+        IvfIndex.delete(batch, "vec_id", "embedding", path)
         assert(IvfIndex.applyDeletes(spark, path))
+        // recreate the just-applied cells from the batch — the stale-
+        // manifest trap the generation re-check exists to detect
+        IvfIndex.append(batch, "vec_id", "embedding", path)
       }
       // quiescent tail: on a loaded box every mid-churn probe can land
       // in a transient window — give the prober a post-churn interval
@@ -573,10 +581,40 @@ class IvfIndexSpec extends SparkTestBase {
     }
     assert(probeErrors.isEmpty, probeErrors.toArray.mkString("\n"))
     assert(probeOk.get() > 10, s"only ${probeOk.get()} probes completed")
-    // end state: victims physically gone, survivors all present
+    // end state: every delete was appended back — full contents restored
     val finalIds = IvfIndex.load(spark, path)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(finalIds == liveIds.toSet, "post-churn contents diverged")
+    assert(finalIds == allIds.toSet, "post-churn contents diverged")
+    emb.unpersist()
+    ()
+  }
+
+  test("every meta write bumps the manifest generation nonce") {
+    // The stableRead contract rests on one invariant: any maintenance
+    // completion changes `gen:` in the meta header, so a probe that
+    // resolved under a manifest and re-reads an UNCHANGED gen knows no
+    // op published mid-resolution. Pin the bump across the lifecycle
+    // (build → delete → apply → append → compact), each write distinct.
+    val emb = Tables(spark, sfDir, "embeddings").cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_gen")
+      .resolve("idx").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def gen() = IvfIndex.readHeaderManifest(conf, path, IvfIndex.MetaName).gen
+    IvfIndex.buildIfAbsent(emb, "vec_id", "embedding", 8, path)
+    val g0 = gen()
+    assert(g0.nonEmpty, "build wrote no generation nonce")
+    val batch = emb.filter(col("vec_id") < 5)
+    IvfIndex.delete(batch, "vec_id", "embedding", path)
+    val g1 = gen()
+    IvfIndex.applyDeletes(spark, path)
+    val g2 = gen()
+    IvfIndex.append(batch, "vec_id", "embedding", path)
+    val g3 = gen()
+    IvfIndex.compact(emb, "vec_id", "embedding", path, maxSkew = 0.0)
+    val g4 = gen()
+    val gens = Seq(g0, g1, g2, g3, g4)
+    assert(gens.distinct.size == gens.size,
+      s"meta writes reused a generation nonce: $gens")
     emb.unpersist()
     ()
   }

@@ -709,4 +709,134 @@ class MemoEngineSpec extends SparkTestBase {
     empty.clean()
     engine.clean()
   }
+
+  test("delete lifecycle: one reindex converges ALL FOUR maintained artifacts") {
+    // The cross-family convergence path the per-family specs don't walk:
+    // soft-delete → reindex (a chain REWRITE, so every ensure* must take
+    // its rebuild-from-CAPTURED-version arm, not the append catch-up) →
+    // every maintained artifact family (postings / IVF / IVF-PQ /
+    // signatures) serves the compacted corpus: the victim's text is
+    // unfindable on all three recall paths and its signature no longer
+    // blocks admission, while a live doc still gates.
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    engine.save((0 until 30).map(i =>
+      s"---\nbody: archive note $i keeps talking about area${i % 6} and " +
+        s"facet${i % 4} matters\n").mkString)
+    val victimBody = "the doomed quokka memorandum rambles about zirconium " +
+      "gaskets and marzipan logistics"
+    engine.save(s"---\nbody: $victimBody\n") // id 30
+    // warm all four families at the pre-delete version
+    assert(engine.annRecall(victimBody, k = 1).collect()
+      .headOption.exists(_.getAs[String]("body") == victimBody),
+      "pre-delete ANN must find the victim (exact-text query, cosine 1)")
+    assert(engine.pqRecall(victimBody, k = 3).collect()
+      .map(_.getAs[String]("body")).contains(victimBody))
+    assert(engine.hybridRecall("quokka zirconium marzipan", k = 3).collect()
+      .map(_.getAs[String]("body")).contains(victimBody))
+    assert(engine.admitNew(Seq((500L, victimBody)).toDF("id", "body"))
+      .count() == 0, "pre-delete: the victim's signature must gate its dup")
+    // soft-delete the victim, compact the chain
+    engine.save(s"---\nid: 30\nbody: $victimBody\nmetadata: {deleted: true}\n")
+    assert(engine.reindex() == 1)
+    val liveBodies = engine.records.select("body").collect()
+      .map(_.getString(0)).toSet
+    assert(!liveBodies.contains(victimBody))
+    // every family converged through its rebuild arm: the victim is gone
+    // from all three recall paths and every served row is a live doc
+    val ann = engine.annRecall(victimBody, k = 5).collect()
+    assert(ann.nonEmpty && ann.forall(r => liveBodies.contains(r.getAs[String]("body"))),
+      "post-reindex ANN served a compacted-away doc")
+    val pq = engine.pqRecall(victimBody, k = 5).collect()
+    assert(pq.nonEmpty && pq.forall(r => liveBodies.contains(r.getAs[String]("body"))),
+      "post-reindex PQ ANN served a compacted-away doc")
+    val hyb = engine.hybridRecall("quokka zirconium marzipan", k = 5).collect()
+    assert(hyb.nonEmpty && hyb.forall(r => liveBodies.contains(r.getAs[String]("body"))),
+      "post-reindex hybrid recall served a compacted-away doc")
+    // signatures rebuilt without the victim: its exact text is admissible
+    // again, while a surviving doc's dup still gates
+    val readmit = engine.admitNew(Seq(
+      (600L, victimBody),
+      (601L, "archive note 7 keeps talking about area1 and facet3 matters"))
+      .toDF("id", "body")).collect().map(_.getLong(0)).toSet
+    assert(readmit == Set(600L),
+      s"post-reindex admission wrong: $readmit (victim must re-admit, " +
+        "survivor dup must still gate)")
+    engine.clean()
+  }
+
+  test("engine churn: ensure* never serves an artifact missing committed docs") {
+    // The duplicate-append / missing-doc race argued in the ensureArtifact
+    // scaladoc (rebuild from the CAPTURED version, watermark advance under
+    // the lock), pinned adversarially at the ENGINE layer for the two
+    // vector families: concurrent savers commit versions while probers
+    // drive annRecall/pqRecall catch-ups; any body whose save RETURNED
+    // before a probe started must be served by that probe (the artifact
+    // may run ahead of a probe's captured version, never behind), and no
+    // probe may surface a duplicated id (the re-append symptom).
+    val (engine, db) = freshEngine()
+    engine.save((0 until 8).map(i =>
+      s"---\nbody: churn seed $i speaking of matter${i} in register${i % 3}\n")
+      .mkString)
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 6 if !stop.get()) {
+            val body = s"churn writer $w round $i discusses " +
+              s"topic${w}x$i alongside nuance${(w + i) % 5}"
+            engine.save(s"---\nbody: $body\n")
+            committed.add(body)
+          }
+        } catch { case e: Throwable => errors.add(s"writer $w: $e") }
+      })
+    }
+    val probers = Seq("ann", "pq").map { kind =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val snapshot = committed.toArray(Array.empty[String])
+            if (snapshot.nonEmpty) {
+              val body = snapshot(
+                java.util.concurrent.ThreadLocalRandom.current()
+                  .nextInt(snapshot.length))
+              val rows =
+                if (kind == "ann") engine.annRecall(body, k = 8).collect()
+                else engine.pqRecall(body, k = 8, nprobe = 8, refine = 8)
+                  .collect()
+              val ids = rows.map(_.getAs[Long]("id"))
+              if (ids.distinct.length != ids.length)
+                errors.add(s"$kind probe surfaced duplicate ids " +
+                  s"(re-append symptom): ${ids.mkString(",")}")
+              if (!rows.map(_.getAs[String]("body")).contains(body))
+                errors.add(s"$kind probe missing committed doc '$body' — " +
+                  "artifact served behind a completed commit")
+            } else Thread.sleep(20)
+          }
+        } catch { case e: Throwable => errors.add(s"$kind prober: $e") }
+      })
+    }
+    writers.foreach(_.start()); probers.foreach(_.start())
+    writers.foreach(_.join())
+    // let the probers observe the fully-committed tail, then stop
+    Thread.sleep(1500)
+    stop.set(true); probers.foreach(_.join())
+    assert(errors.isEmpty, errors.toArray.mkString("\n"))
+    // quiesced: one more catch-up, then both artifacts hold exactly the
+    // store's rows — nothing missing, nothing duplicated
+    engine.annRecall("churn", k = 1).collect()
+    engine.pqRecall("churn", k = 1).collect()
+    val n = engine.index.count()
+    val ivfIds = graft.ops.IvfIndex.load(spark, s"$db/_ivf")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ivfIds.length.toLong == n && ivfIds.distinct.length.toLong == n,
+      s"IVF artifact holds ${ivfIds.length} rows for a $n-row store")
+    val pqIds = graft.ops.PqIndex.loadCodes(spark, s"$db/_ivfpq")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(pqIds.length.toLong == n && pqIds.distinct.length.toLong == n,
+      s"IVF-PQ artifact holds ${pqIds.length} rows for a $n-row store")
+    engine.clean()
+  }
 }
