@@ -119,10 +119,13 @@ object Bench {
         graft.streaming.StreamBench.joinEps(spark, n)),
       ("s94_stream_ingest", StreamEvents, (n: Int) =>
         graft.streaming.StreamBench.ingestEps(spark, n)),
-      // per-batch journaled commit work dominates, not event volume — a
-      // fifth of the noop-sink event count keeps the entry's runtime in
-      // line with the others (see lexicalIngestEps scaladoc)
-      ("s95_stream_lex_ingest", StreamEvents / 5, (n: Int) =>
+      // full event volume since round 11: the entry used to feed n/5
+      // "because per-batch commit work dominates" — which made its eps
+      // INCOMPARABLE to s94's (same ~0.7-1.0 s/batch commit cost divided
+      // by a 5× smaller batch reads as a 3-7× throughput deficit; the
+      // r11 profile table in BENCH_NOTES has the numbers). Same volume,
+      // same batch count as s94 = comparable eps.
+      ("s95_stream_lex_ingest", StreamEvents, (n: Int) =>
         graft.streaming.StreamBench.lexicalIngestEps(spark, n)))
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, events, eps) =>

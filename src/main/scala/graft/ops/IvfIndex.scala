@@ -357,21 +357,51 @@ object IvfIndex {
     * detected by the gen bump and retried. Bounded attempts: churn so
     * relentless that five successive resolutions each overlap a complete
     * maintenance op surfaces as a loud, retriable error, never a wrong
-    * answer. */
+    * answer.
+    *
+    * CONSTRUCTION-TIME loud transients (an old-manifest listing reaching
+    * a dir a completed apply already deleted: FileNotFound-family /
+    * basePath validation) are absorbed by the same loop — superseded
+    * dirs die only AFTER the new manifest publishes, so the re-read
+    * resolves the fresh state immediately; a transient that persists
+    * through every attempt (a genuinely missing artifact) rethrows
+    * as-is. EXECUTION-time races (files deleted between this return and
+    * the caller's action) remain the caller-visible transient class the
+    * churn specs pin. */
   private[ops] def stableRead(spark: org.apache.spark.sql.SparkSession,
       path: String, metaName: String,
       construct: CellManifest => DataFrame): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     var attempts = 0
+    var lastTransient: Throwable = null
     while (attempts < 5) {
       val m = readHeaderManifest(conf, path, metaName)
-      val df = construct(m)
-      if (readHeaderManifest(conf, path, metaName).gen == m.gen) return df
-      attempts += 1
+      val df =
+        try Some(construct(m))
+        catch { case e: Throwable if isLoudTransient(e) =>
+          lastTransient = e; None }
+      df match {
+        case Some(d)
+            if readHeaderManifest(conf, path, metaName).gen == m.gen =>
+          return d
+        case _ => attempts += 1
+      }
     }
+    if (lastTransient != null) throw lastTransient
     throw new IllegalStateException(
       s"manifest generation at $path kept changing across $attempts " +
         "resolution attempts — maintenance churn outpaced this probe; retry")
+  }
+
+  /** The documented loud-transient class of a probe racing maintenance
+    * cleanup — missing file/dir, or the `basePath` option failing
+    * validation because an entire superseded parent died (the same list
+    * the adversarial churn specs allow). */
+  private def isLoudTransient(e: Throwable): Boolean = {
+    val s = e.toString + Option(e.getCause).fold("")(_.toString)
+    s.contains("FileNotFound") || s.contains("does not exist") ||
+      s.contains("FILE_NOT_EXIST") || s.contains("PATH_NOT_FOUND") ||
+      s.contains("basePath")
   }
 
   private[graft] val MetaName = "_ivf_centroids"

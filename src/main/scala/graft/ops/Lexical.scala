@@ -281,6 +281,26 @@ object Lexical {
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", "doc_id")
 
+  /** Output-partition count for an append DELTA: ~one file per
+    * [[TokensPerDeltaPart]] tokens of batch text, capped at the session's
+    * shuffle parallelism. The s95 profile found streaming lexical ingest
+    * dominated by PER-BATCH fixed cost, part of it `repartitionByRange`
+    * inheriting `spark.sql.shuffle.partitions` — a 2.5k-doc micro-batch
+    * paid a range-sampling job plus ~32 near-empty sorted files and ~32
+    * more for the stats delta, per commit. Deltas are transient (the
+    * tiered folds re-sort them into base with full parallelism), so they
+    * trade the base layout's global range contiguity for hash-by-term +
+    * in-partition sort: no sampling pass, each term's postings land in
+    * exactly ONE sorted file (min/max row-group skipping intact), and a
+    * micro-batch writes one file instead of a spray. Corpus-scale ad-hoc
+    * appends still fan out by token volume. */
+  private val TokensPerDeltaPart = 1L << 19
+
+  private def deltaParts(spark: SparkSession, tokens: Long): Int = {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1L, math.min(cap.toLong, tokens / TokensPerDeltaPart + 1)).toInt
+  }
+
   private def writeStamped(docs: DataFrame, idCol: String, textCol: String,
       path: String, stamp: LexStamp): Unit = {
     val spark = docs.sparkSession
@@ -519,12 +539,22 @@ object Lexical {
       val next = LexStamp(prior.n + b.n, prior.sumDl + b.sumDl,
         prior.fp + b.fp, mark.orElse(prior.mark))
       ArtifactMeta.write(spark, path, Journal, s"$tag|${next.render}")
-      writeDelta(sortedPostings(batch, idCol, textCol), postingsPath(path), tag)
+      // delta layout: token-volume-sized hash-by-term + in-partition sort
+      // ([[deltaParts]] — the stamp pass already counted the tokens, so
+      // the sizing is free), not the base's range partitioning: no
+      // sampling job, no per-batch file spray
+      val parts = deltaParts(spark, b.sumDl)
+      writeDelta(postings(batch, idCol, textCol)
+          .repartition(parts, col("term"))
+          .sortWithinPartitions("term", "doc_id"),
+        postingsPath(path), tag)
       // df delta derived from the just-written postings directory — no
-      // second tokenize pass over the batch
+      // second tokenize pass over the batch; coalesced to the same bounded
+      // file count (the agg inherits the session shuffle width)
       writeDelta(
         spark.read.parquet(s"${postingsPath(path)}/ingest=$tag")
-          .groupBy("term").agg(count(lit(1)).as("df")),
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .coalesce(parts),
         statsPath(path), tag)
       // one atomic swap publishes the stamp AND the batch's directories
       val dirs = dirs0.copy(post = dirs0.post :+ s"ingest=$tag",

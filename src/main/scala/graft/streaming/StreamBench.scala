@@ -177,9 +177,13 @@ object StreamBench {
     * (intent marker, tokenize + postings delta, stats delta derived from
     * the written files, stamp advance). A regression in the append
     * protocol (e.g. an accidental full-corpus rescan in the stamp math)
-    * shows up only here. Fed as documents (one per event); the cost is
-    * per-batch commit work, so the entry runs with a smaller event count
-    * than the noop-sink entries. */
+    * shows up only here. Fed as documents (one per event), at the SAME
+    * volume as [[ingestEps]] since round 11: the cost is per-batch
+    * commit work (~0.7-1.0 s/batch, same band as the store ingest), so
+    * an entry fed fewer events through the same batch count reports a
+    * proportionally lower eps that reads as a deficit when it is only a
+    * smaller divisor — the r10 "s95 is 3-7× slow" finding was exactly
+    * that (BENCH_NOTES r11 profile table). */
   def lexicalIngestEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

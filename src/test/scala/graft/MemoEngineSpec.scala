@@ -787,7 +787,17 @@ class MemoEngineSpec extends SparkTestBase {
           for (i <- 0 until 6 if !stop.get()) {
             val body = s"churn writer $w round $i discusses " +
               s"topic${w}x$i alongside nuance${(w + i) % 5}"
-            engine.save(s"---\nbody: $body\n")
+            // a drained optimistic-commit budget is the DOCUMENTED
+            // loser outcome under sustained contention (the engine
+            // retries 5 times internally) — the caller's move is to
+            // retry the save, which is what a real ingest loop does;
+            // only the serving invariants below are under test here
+            var done = false
+            while (!done) {
+              try { engine.save(s"---\nbody: $body\n"); done = true }
+              catch { case _: MemoEngine.ConcurrentCommitException =>
+                Thread.sleep(50) }
+            }
             committed.add(body)
           }
         } catch { case e: Throwable => errors.add(s"writer $w: $e") }
