@@ -510,6 +510,92 @@ class PqIndexSpec extends SparkTestBase {
     assert(e3.getMessage.contains("buildIfAbsentIvfPq"))
   }
 
+  test("adversarial ivf-pq apply churn: probes never silently lose a cell") {
+    // The IVF churn spec's twin on the COMPOSED artifact: each cycle
+    // deletes 5 rows, applies tombstones physically (cells rewritten out
+    // of base into _apply parents), then appends the same rows back —
+    // recreating root `cell_id=` dirs, the stale-manifest trap
+    // IvfIndex.stableRead's generation re-check closes (the IVF-PQ meta
+    // mints its gen through renderIvfPqMeta; this pins the wiring for
+    // the second meta file). Every successful loadCodes().count() must
+    // sit inside [n-5, n]; a silently lost cell would read ~60 short.
+    val corpus = emb.cache()
+    val n = corpus.count()
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_churn")
+      .resolve("idx").toString
+    PqIndex.buildIfAbsentIvfPq(corpus, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, path)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probeErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probeOk = new java.util.concurrent.atomic.AtomicLong(0)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val c = PqIndex.loadCodes(spark, path).count()
+          if (c < n - 5 || c > n)
+            probeErrors.add(s"probe saw count $c outside [${n - 5}, $n] " +
+              "— a cell went silently missing")
+          probeOk.incrementAndGet()
+        } catch {
+          case e: Throwable =>
+            val s = e.toString + Option(e.getCause).fold("")(_.toString)
+            if (!s.contains("FileNotFound") && !s.contains("does not exist") &&
+                !s.contains("FILE_NOT_EXIST") && !s.contains("PATH_NOT_FOUND") &&
+                !s.contains("basePath") && !s.contains("Invalid directory") &&
+                !s.contains("manifest generation"))
+              probeErrors.add(s"unexpected probe failure: $s")
+        }
+      }
+    })
+    val allIds = corpus.select("vec_id").collect().map(_.getLong(0)).sorted
+    prober.start()
+    try {
+      for (i <- 0 until 8) {
+        val victims = allIds.slice(i * 5, i * 5 + 5).toSeq
+        val batch = corpus.filter(col("vec_id").isin(victims: _*))
+        PqIndex.deleteIvfPq(batch, "vec_id", "embedding", path)
+        assert(PqIndex.applyDeletesIvfPq(spark, path))
+        PqIndex.appendIvfPq(batch, "vec_id", "embedding", path)
+      }
+      val tailDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (probeOk.get() <= 10 && System.nanoTime() < tailDeadline)
+        Thread.sleep(100)
+    } finally {
+      stop.set(true)
+      prober.join()
+    }
+    assert(probeErrors.isEmpty, probeErrors.toArray.mkString("\n"))
+    assert(probeOk.get() > 10, s"only ${probeOk.get()} probes completed")
+    val finalIds = PqIndex.loadCodes(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == allIds.toSet, "post-churn contents diverged")
+    corpus.unpersist()
+    ()
+  }
+
+  test("every ivf-pq meta write bumps the manifest generation nonce") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_gen")
+      .resolve("idx").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def gen() = graft.ops.IvfIndex
+      .readHeaderManifest(conf, path, "_ivfpq_meta").gen
+    PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, path)
+    val g0 = gen()
+    assert(g0.nonEmpty, "build wrote no generation nonce")
+    val batch = emb.filter(col("vec_id") < 5)
+    PqIndex.deleteIvfPq(batch, "vec_id", "embedding", path)
+    PqIndex.applyDeletesIvfPq(spark, path)
+    val g2 = gen()
+    PqIndex.appendIvfPq(batch, "vec_id", "embedding", path)
+    val g3 = gen()
+    // delete passes raw meta lines through (no dir mutation — gen may
+    // hold); every dir-mutating op (build/apply/append) must bump
+    val gens = Seq(g0, g2, g3)
+    assert(gens.distinct.size == gens.size,
+      s"dir-mutating meta writes reused a generation nonce: $gens")
+  }
+
   private def dataFilesWithMtime(path: String): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
