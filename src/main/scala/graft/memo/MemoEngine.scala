@@ -138,6 +138,156 @@ class MemoEngine(spark: SparkSession, basePath: String,
     case None => records.select(col("id"), embedText(col("body")).as("embedding"))
   }
 
+  // ---- time travel --------------------------------------------------------
+  //
+  // Every commit already leaves a self-describing version directory
+  // (manifest = the exact segment set that version read), so historical
+  // reads are a pure MANIFEST-RESOLUTION feature: no extra write-path work,
+  // no copied data — an append version's snapshot is its delta dir plus
+  // references into prior versions' dirs. What bounds history is vacuum:
+  // by default it retains only the live chain (storage never grows beyond
+  // the reference's semantics), and `vacuum(retainVersions = k)` keeps the
+  // newest k committed versions RESOLVABLE — retention is computed over the
+  // union of the retained manifests, so an old append version can never be
+  // gutted by reclaiming a prior dir it references. For a training-data
+  // store this is the reproducibility primitive: pin the version a dataset
+  // was exported at, and `recordsAt(v)` re-reads byte-identical rows later.
+
+  /** Committed versions (oldest first) that are still fully resolvable —
+    * every segment their manifests reference exists. Superseded versions
+    * drop out once [[vacuum]] reclaims them; a `v<N>` dir beyond CURRENT
+    * (the corpse of a crashed writer that never published) is not listed.
+    * Lock-free like [[records]]: racing a concurrent vacuum can at worst
+    * omit a version that was being reclaimed. */
+  def versions: Seq[Long] = currentVersion match {
+    case None => Seq.empty
+    case Some(cur) =>
+      listDir(base)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d+"))
+        .map(_.getFileName.toString.drop(1).toLong)
+        .filter(_ <= cur)
+        .filter(v => (segments(v, "records") ++ segments(v, "index"))
+          .forall(s => Files.exists(Paths.get(s))))
+        .sorted
+  }
+
+  /** The records table exactly as version `v` served it. Fails loudly
+    * (never a silently partial read) when `v` was never committed or has
+    * been vacuumed past — [[versions]] lists what is readable. */
+  def recordsAt(v: Long): DataFrame = readAt(v, "records")
+
+  /** The embedding index exactly as version `v` served it. */
+  def indexAt(v: Long): DataFrame = readAt(v, "index")
+
+  private def readAt(v: Long, kind: String): DataFrame = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalArgumentException(s"no store at $basePath"))
+    if (v > cur || !Files.isDirectory(versionDir(v)))
+      throw new IllegalArgumentException(
+        s"version v$v does not exist (live is v$cur; vacuumed history is " +
+        s"listed by versions — re-run vacuum with retainVersions to keep it)")
+    val segs = segments(v, kind)
+    val missing = segs.filterNot(s => Files.exists(Paths.get(s)))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"version v$v is no longer resolvable: vacuum reclaimed " +
+        s"${missing.mkString(", ")}")
+    spark.read.parquet(segs: _*)
+  }
+
+  /** One row per resolvable version, newest last — the DESCRIBE HISTORY
+    * analog: commit shape (snapshot vs append delta), segment fan-in, and
+    * the streaming watermark the version carried. Driver work is
+    * O(retained versions) manifest reads — never a data scan. */
+  def history: DataFrame = {
+    import spark.implicits._
+    versions.map { v =>
+      val segs = segments(v, "records")
+      val kind =
+        if (segs == Seq(versionDir(v).resolve("records").toString)) "snapshot"
+        else "append"
+      val mark = {
+        val p = streamMarker(v)
+        if (Files.exists(p)) Files.readString(p).trim else null
+      }
+      (v, kind, segs.size, mark)
+    }.toDF("version", "kind", "segments", "stream_mark")
+  }
+
+  /** [[recall]] reproduced against a retained historical version — the
+    * ranking a query WOULD have returned at version `v`, re-derivable
+    * exactly for as long as retention keeps `v` resolvable. Deliberately
+    * the brute-force scored-scan shape ([[MemoOps.recall]]), not the
+    * maintained-artifact path: artifacts track the LIVE version only, and
+    * historical recalls are one-off audits, not a serving workload. */
+  def recallAt(v: Long, query: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None): DataFrame = {
+    val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
+    val recs = recordsAt(v).join(indexAt(v), Seq("id"))
+    MemoOps.recall(recs, lit(qv), k, filterExpr)
+  }
+
+  /** Row-level changefeed between two committed versions (`fromV` exclusive
+    * base, `toV` inclusive target): one row per id whose state differs,
+    * `change` ∈ added | removed | updated, with the `toV`-side body/metadata
+    * (the `fromV` side for removed rows).
+    *
+    * Cost is shaped by how the versions relate, decided from the MANIFESTS
+    * alone (driver-side, before any job runs):
+    *   - `toV` extends `fromV`'s chain (pure appends in between): only the
+    *     delta segments are scanned — O(changed rows), no join, the shape an
+    *     incremental downstream consumer needs at 100 TB.
+    *   - otherwise (an overwrite/reindex/compaction intervened): a full-outer
+    *     join on id classifies the diff — O(both versions), one hash shuffle,
+    *     still never a driver materialization. Metadata maps compare by
+    *     sorted-entry canonical form, so entry ORDER never fabricates an
+    *     "updated" row.
+    * Note [[reindex]] re-sequences ids; a changefeed spanning one reports
+    * that id remapping honestly (same caveat as any CDC over rewritten keys). */
+  def changesBetween(fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got v$fromV..v$toV")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalArgumentException(s"no store at $basePath"))
+    // ≤ CURRENT: a v<N> dir beyond the pointer is the corpse of a crashed
+    // writer that never published — it must not feed a changefeed.
+    Seq(fromV, toV).foreach { v =>
+      if (v > cur || !Files.isDirectory(versionDir(v)))
+        throw new IllegalArgumentException(
+          s"version v$v does not exist (live is v$cur)")
+    }
+    val fromSegs = segments(fromV, "records")
+    val toSegs = segments(toV, "records")
+    if (toSegs.startsWith(fromSegs)) {
+      val delta = toSegs.drop(fromSegs.size)
+      val missing = delta.filterNot(s => Files.exists(Paths.get(s)))
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"changefeed v$fromV..v$toV is no longer resolvable: vacuum " +
+        s"reclaimed ${missing.mkString(", ")}")
+      spark.read.parquet(delta: _*)
+        .select(col("id"), lit("added").as("change"), col("body"),
+          col("metadata"))
+    } else {
+      val canonMeta = (c: Column) => to_json(array_sort(map_entries(c)))
+      val f = recordsAt(fromV).select(col("id"),
+        col("body").as("_f_body"), col("metadata").as("_f_meta"))
+      val t = recordsAt(toV).select(col("id"),
+        col("body").as("_t_body"), col("metadata").as("_t_meta"))
+      f.join(t, Seq("id"), "full_outer")
+        .withColumn("change",
+          when(col("_f_body").isNull, "added")
+            .when(col("_t_body").isNull, "removed")
+            .when(col("_f_body") =!= col("_t_body") ||
+              !(canonMeta(col("_f_meta")) <=> canonMeta(col("_t_meta"))),
+              "updated"))
+        .filter(col("change").isNotNull)
+        .select(col("id"), col("change"),
+          coalesce(col("_t_body"), col("_f_body")).as("body"),
+          when(col("_t_body").isNull, col("_f_meta"))
+            .otherwise(col("_t_meta")).as("metadata"))
+    }
+  }
+
   /** Write records (+ derived index) as the next version and publish via
     * [[finalizeCommit]]. Index is written first (reference write order,
     * memo_cli.py:448-449), but the promoting rename + pointer swap make
@@ -915,8 +1065,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     before - after
   }
 
-  /** Garbage-collect version directories not reachable from the live
-    * version's manifests (superseded snapshots and compacted-away deltas).
+  /** Garbage-collect version directories not reachable from the RETAINED
+    * versions' manifests (superseded snapshots and compacted-away deltas).
+    * `retainVersions` = how many of the newest committed versions stay
+    * time-travel-readable (default 1 = live only, the minimal-storage
+    * setting; see the time-travel section above [[versions]]).
     * Safe any time: it runs under the commit lock, so it cannot observe
     * (or gut) a version mid-publication — the live version and every
     * segment dir it references are kept, and the CURRENT pointer is
@@ -935,7 +1088,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * just-touched probe file's mtime), not the caller's wall clock, so
     * clock skew between vacuum's host and the shared filesystem can
     * never eat into a live writer's TTL budget. */
-  def vacuum(stagingTtlMs: Long = MemoEngine.DefaultStagingTtlMs): Int =
+  def vacuum(stagingTtlMs: Long = MemoEngine.DefaultStagingTtlMs,
+      retainVersions: Int = 1): Int =
     MemoEngine.withCommitLock(base) {
       if (Files.isDirectory(stagingRoot)) {
         // "now" in the same clock newestMtime reads — see TTL ASSUMPTION
@@ -949,9 +1103,21 @@ class MemoEngine(spark: SparkSession, basePath: String,
       currentVersion match {
         case None => 0
         case Some(v) =>
-          val live = (segments(v, "records") ++ segments(v, "index"))
+          // Retained = the newest `retainVersions` committed version dirs
+          // (always including live). Liveness is the UNION of their
+          // manifests, so a retained append version keeps every prior dir
+          // it references resolvable — [[recordsAt]] on anything retained
+          // can never hit a reclaimed segment.
+          val retained = listDir(base)
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.matches("v\\d+"))
+            .map(_.getFileName.toString.drop(1).toLong)
+            .filter(_ < v)
+            .sorted.takeRight(math.max(1, retainVersions) - 1) :+ v
+          val live = retained.flatMap(r =>
+              segments(r, "records") ++ segments(r, "index"))
             .map(p => Paths.get(p).getParent.getFileName.toString)
-            .toSet + s"v$v"
+            .toSet ++ retained.map(r => s"v$r")
           val stale = listDir(base)
             .filter(p => Files.isDirectory(p) &&
               p.getFileName.toString.matches("v\\d+") &&

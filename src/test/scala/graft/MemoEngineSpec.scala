@@ -849,4 +849,79 @@ class MemoEngineSpec extends SparkTestBase {
       s"IVF-PQ artifact holds ${pqIds.length} rows for a $n-row store")
     engine.clean()
   }
+
+  test("time travel: versions / recordsAt, retention-gated vacuum") {
+    val (engine, _) = freshEngine()
+    engine.save("---\nbody: first note\n") // v0 snapshot
+    engine.save("---\nbody: second note\n") // v1 append delta (references v0)
+    engine.save("---\nid: 0\nbody: replaced\n") // v2 overwrite → snapshot
+    assert(engine.versions == Seq(0L, 1L, 2L))
+    assert(engine.recordsAt(0).collect().map(_.getString(1)).toSeq ==
+      Seq("first note"))
+    assert(engine.recordsAt(1).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("first note", "second note"))
+    assert(engine.recordsAt(2).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("replaced", "second note"))
+    assert(engine.indexAt(1).count() == 2)
+    // history: v0 snapshot, v1 append delta (fan-in 2), v2 overwrite snapshot
+    val hist = engine.history.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(hist == Seq((0L, "snapshot", 1), (1L, "append", 2),
+      (2L, "snapshot", 1)), s"got $hist")
+    // a pinned-version recall reproduces the PAST ranking: "first note"
+    // was overwritten in v2, but at v1 it is still the top hit
+    val at1 = engine.recallAt(1, "first note", k = 1).collect()
+    assert(at1.head.getAs[String]("body") == "first note")
+    assert(engine.recall("first note", k = 2).collect()
+      .map(_.getAs[String]("body")).forall(_ != "first note"))
+    // never-committed version: loud, not empty
+    intercept[IllegalArgumentException](engine.recordsAt(7))
+    // retaining {v1, v2} must ALSO keep v0's dir: v1's manifest references
+    // its segment — retention is manifest-reachability, not a dir count
+    assert(engine.vacuum(retainVersions = 2) == 0)
+    assert(engine.versions == Seq(0L, 1L, 2L))
+    assert(engine.recordsAt(1).count() == 2)
+    // shrink to live-only (the default): history goes, reads fail LOUDLY
+    assert(engine.vacuum() == 2)
+    assert(engine.versions == Seq(2L))
+    intercept[IllegalArgumentException](engine.recordsAt(1))
+    assert(engine.records.count() == 2)
+    engine.clean()
+  }
+
+  test("changefeed: append fast path is delta-scan-only; rewrites classify") {
+    val (engine, _) = freshEngine()
+    engine.save("---\nbody: first note\n") // v0
+    engine.save("---\nbody: second note\n---\nbody: third note\n") // v1 append
+    // pure-append window: decided from the manifests alone — no join in the
+    // plan, and ONLY the delta segment's files are scanned
+    val feed = engine.changesBetween(0, 1)
+    assert(feed.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "append-window changefeed must not join")
+    assert(feed.inputFiles.forall(_.contains("/v1/")),
+      s"fast path must scan only v1's delta: ${feed.inputFiles.toSeq}")
+    assert(feed.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "added", "second note"), (2L, "added", "third note")))
+    // a rewrite (overwrite snapshot) breaks the chain → join classification;
+    // unchanged rows must NOT surface
+    engine.save("---\nid: 0\nbody: replaced\n") // v2
+    val upd = engine.changesBetween(1, 2).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(upd == Seq((0L, "updated", "replaced")), s"got $upd")
+    // removal via the real path: soft-delete + reindex (re-sequences ids;
+    // the feed reports the id-space honestly)
+    engine.save("---\nid: 1\nbody: second note\nmetadata: {deleted: true}\n")
+    val v3 = engine.versions.max
+    assert(engine.reindex() == 1)
+    val v4 = engine.versions.max
+    val post = engine.changesBetween(v3, v4).orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+    // id 0 ("replaced") is untouched and must NOT surface; id 1 was the
+    // tombstoned row and now holds the re-sequenced survivor (updated);
+    // id 2 vanished in the dense re-sequence (removed)
+    assert(post == Seq((1L, "updated"), (2L, "removed")), s"got $post")
+    engine.clean()
+  }
 }
