@@ -5,7 +5,7 @@ import java.util.Comparator
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filter.FilterAlgebra
@@ -268,23 +268,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         .select(col("id"), lit("added").as("change"), col("body"),
           col("metadata"))
     } else {
-      val canonMeta = (c: Column) => to_json(array_sort(map_entries(c)))
-      val f = recordsAt(fromV).select(col("id"),
-        col("body").as("_f_body"), col("metadata").as("_f_meta"))
-      val t = recordsAt(toV).select(col("id"),
-        col("body").as("_t_body"), col("metadata").as("_t_meta"))
-      f.join(t, Seq("id"), "full_outer")
-        .withColumn("change",
-          when(col("_f_body").isNull, "added")
-            .when(col("_t_body").isNull, "removed")
-            .when(col("_f_body") =!= col("_t_body") ||
-              !(canonMeta(col("_f_meta")) <=> canonMeta(col("_t_meta"))),
-              "updated"))
-        .filter(col("change").isNotNull)
-        .select(col("id"), col("change"),
-          coalesce(col("_t_body"), col("_f_body")).as("body"),
-          when(col("_t_body").isNull, col("_f_meta"))
-            .otherwise(col("_t_meta")).as("metadata"))
+      MemoOps.changeFeed(recordsAt(fromV), recordsAt(toV))
     }
   }
 

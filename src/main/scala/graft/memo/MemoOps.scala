@@ -233,4 +233,33 @@ object MemoOps {
     existing.join(replacements.select(col("id")), Seq("id"), "left_anti")
       .unionByName(replacements)
   }
+
+  /** Row-level diff of two record tables keyed by id: one row per id whose
+    * state differs, `change` ∈ added | removed | updated, carrying the
+    * `to`-side body/metadata (the `from` side for removed rows). One
+    * full-outer hash join on id — O(both sides), never a driver
+    * materialization. Metadata maps compare by sorted-entry canonical
+    * form, so map entry ORDER never fabricates an "updated" row. This is
+    * the classification arm of [[MemoEngine.changesBetween]]'s changefeed;
+    * the engine skips it entirely across pure-append windows (manifest
+    * fast path — delta segments only, no join). */
+  def changeFeed(from: DataFrame, to: DataFrame): DataFrame = {
+    val canonMeta = (c: Column) => to_json(array_sort(map_entries(c)))
+    val f = from.select(col("id"),
+      col("body").as("_f_body"), col("metadata").as("_f_meta"))
+    val t = to.select(col("id"),
+      col("body").as("_t_body"), col("metadata").as("_t_meta"))
+    f.join(t, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("_f_body").isNull, "added")
+          .when(col("_t_body").isNull, "removed")
+          .when(col("_f_body") =!= col("_t_body") ||
+            !(canonMeta(col("_f_meta")) <=> canonMeta(col("_t_meta"))),
+            "updated"))
+      .filter(col("change").isNotNull)
+      .select(col("id"), col("change"),
+        coalesce(col("_t_body"), col("_f_body")).as("body"),
+        when(col("_t_body").isNull, col("_f_meta"))
+          .otherwise(col("_t_meta")).as("metadata"))
+  }
 }

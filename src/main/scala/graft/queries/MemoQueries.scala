@@ -142,6 +142,32 @@ object MemoQueries {
       .orderBy(col("old_id"))
   }
 
+  /** Row-level changefeed classification (beyond the reference — the
+    * general arm of [[graft.memo.MemoEngine.changesBetween]]): removals,
+    * body updates, metadata-ONLY updates (sorted-entry canonical map
+    * compare — the flag is INJECTED into an existing map, so entry order
+    * alone must never fabricate a diff), and re-keyed appends, all in one
+    * full-outer id join; untouched rows must not surface. */
+  private val q95Changefeed: Q = (s, dir) => {
+    val from = memoRecords(s, dir)
+    val appended = from.filter(col("id") % 17 === 0)
+      .withColumn("id", col("id") + lit(100000000L))
+    val to = from
+      .filter(col("id") % 13 =!= 0) // removed
+      .withColumn("body",
+        when(col("id") % 7 === 0,
+          concat(lit("redacted "), col("id").cast("string")))
+          .otherwise(col("body"))) // updated (body)
+      .withColumn("metadata",
+        when(col("id") % 11 === 0,
+          map_concat(col("metadata"), map(lit("flag"), lit("bTrue"))))
+          .otherwise(col("metadata"))) // updated (metadata only)
+      .unionByName(appended) // added
+    MemoOps.changeFeed(from, to)
+      .select(col("id"), col("change"), col("body"))
+      .orderBy("id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -156,6 +182,7 @@ object MemoQueries {
     "q72_reindex" -> q72Reindex,
     "q73_append_ids" -> q73AppendIds,
     "q78_delete_truthiness" -> q78DeleteTruthiness,
+    "q95_changefeed" -> q95Changefeed,
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +258,25 @@ object MemoQueries {
         |FROM documents
         |WHERE NOT ((doc_id % 4 < 3 AND doc_id % 3 = 0) OR doc_id % 10 = 7)
         |ORDER BY old_id""".stripMargin,
+    // q95 truth table, by construction of the derived `to` state:
+    //   %13==0 → dropped (removed, original body)
+    //   else %7==0 → body rewritten (updated, "redacted <id>")
+    //   else %11==0 → metadata-only flag injected (updated, original body)
+    //   %17==0 → re-keyed copy appended at id+1e8 (added, original body)
+    //   anything else → must NOT surface
+    "q95_changefeed" ->
+      """WITH changed AS (
+        |  SELECT doc_id AS id, 'removed' AS change, text AS body
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS id, 'updated' AS change,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'redacted ' || doc_id
+        |         ELSE text END AS body
+        |  FROM documents
+        |  WHERE doc_id % 13 <> 0 AND (doc_id % 7 = 0 OR doc_id % 11 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 100000000 AS id, 'added' AS change, text AS body
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT id, change, body FROM changed ORDER BY id""".stripMargin,
   )
 }
