@@ -1159,8 +1159,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
     try MemoEngine.retryOnConflict { commit(df, currentVersion) }
     finally df.unpersist()
   }
-  def exportYamlPath(path: String, shards: Int = 0): Unit =
-    YamlIO.exportPath(records, path, shards)
+  /** `atVersion` exports a retained historical version instead of the live
+    * table — the "materialize the exact dataset release X trained on"
+    * path; fails loudly past retention ([[recordsAt]]). */
+  def exportYamlPath(path: String, shards: Int = 0,
+      atVersion: Option[Long] = None): Unit =
+    YamlIO.exportPath(atVersion.fold(records)(recordsAt), path, shards)
 
   /** JSONL interchange (training-data format) — distributed both ways. */
   def importJsonlPath(path: String): Long = {
@@ -1169,8 +1173,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
     try MemoEngine.retryOnConflict { commit(df, currentVersion) }
     finally df.unpersist()
   }
-  def exportJsonlPath(path: String, shards: Int = 0): Unit =
-    JsonlIO.exportPath(records, path, shards)
+  def exportJsonlPath(path: String, shards: Int = 0,
+      atVersion: Option[Long] = None): Unit =
+    JsonlIO.exportPath(atVersion.fold(records)(recordsAt), path, shards)
 }
 
 object MemoEngine {

@@ -881,10 +881,21 @@ class MemoEngineSpec extends SparkTestBase {
     assert(engine.vacuum(retainVersions = 2) == 0)
     assert(engine.versions == Seq(0L, 1L, 2L))
     assert(engine.recordsAt(1).count() == 2)
+    // pinned-version export materializes the PAST dataset, not the live one
+    val expDir = Files.createTempDirectory("tt_export").toString + "/v1"
+    engine.exportJsonlPath(expDir, atVersion = Some(1L))
+    val exported = spark.read.json(expDir).collect()
+      .map(_.getAs[String]("body")).toSet
+    assert(exported == Set("first note", "second note"), s"got $exported")
+    // a snapshot read RESOLVED before a vacuum that reclaims it fails
+    // LOUDLY at execution — never a silently short result (version dirs
+    // are never recreated: CURRENT is monotone, so no ABA path exists)
+    val held = engine.recordsAt(1)
     // shrink to live-only (the default): history goes, reads fail LOUDLY
     assert(engine.vacuum() == 2)
     assert(engine.versions == Seq(2L))
     intercept[IllegalArgumentException](engine.recordsAt(1))
+    intercept[org.apache.spark.SparkException](held.count())
     assert(engine.records.count() == 2)
     engine.clean()
   }

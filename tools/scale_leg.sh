@@ -16,5 +16,6 @@ SPARK_GRAFT_SF_DIR=$SRC sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '^\[info\] {' > /tmp/scale_leg_base.jsonl
 SPARK_GRAFT_SF_DIR=$PWD/$DEST sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '^\[info\] {' > /tmp/scale_leg_big.jsonl
+# threshold via python (bc is not installed on every box)
 python3 tools/scale_ratios.py /tmp/scale_leg_base.jsonl \
-  /tmp/scale_leg_big.jsonl "$(echo "$FACTOR * 1.5" | bc)"
+  /tmp/scale_leg_big.jsonl "$(python3 -c "print($FACTOR * 1.5)")"
