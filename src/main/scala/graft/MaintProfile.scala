@@ -57,10 +57,10 @@ object MaintProfile {
       (9000L, s"an admission probe $tag with its own fresh vocabulary"),
       (9001L, s"another admission probe $tag nothing like the corpus"))
       .toDF("id", "body")
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
     def touchAll(tag: String): Map[String, Double] = {
-      def timed(f: => Unit): Double = {
-        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
-      }
       // each family's ensure* fires inside its own serving call
       scala.collection.immutable.ListMap(
         "lexical" -> timed(
@@ -79,6 +79,14 @@ object MaintProfile {
     val warm = touchAll("idle") // watermark current: serve-only floor
     val catchUp = cycles.head.keys.map(k =>
       k -> cycles.map(_(k)).min).toMap
+    // time-travel leg (before reindex/vacuum mutate or reclaim history):
+    // a ONE-segment changefeed window must be flat vs chain length (the
+    // manifest fast path reads only the delta dir); the full-history feed
+    // and restore are O(deltas)/O(corpus) linear-by-design references
+    val cur = engine.versions.max
+    val tFeed1 = timed(engine.changesBetween(cur - 1, cur).count())
+    val tFeedAll = timed(engine.changesBetween(0, cur).count())
+    val tRestore = timed(engine.restore(cur - 1))
     val tReindex = { val t = System.nanoTime(); engine.reindex()
       (System.nanoTime() - t) / 1e9 }
     val tVacuum = { val t = System.nanoTime(); val n = engine.vacuum(0)
@@ -87,6 +95,8 @@ object MaintProfile {
       f"build=${buildSec}%7.1fs " +
       catchUp.toSeq.sortBy(_._1).map { case (k, v) =>
         f"$k=${v}%6.2fs(warm ${warm(k)}%5.2fs)" }.mkString(" ") +
+      f" feed1=${tFeed1}%5.2fs feedAll=${tFeedAll}%5.2fs " +
+      f"restore=${tRestore}%5.2fs" +
       f" reindex=${tReindex}%6.2fs vacuum=${tVacuum._1}%5.2fs" +
       f"(${tVacuum._2}%d dirs)")
     engine.clean()

@@ -1049,6 +1049,38 @@ class MemoEngine(spark: SparkSession, basePath: String,
     before - after
   }
 
+  /** Roll the live table back to retained version `v` by COMMITTING its
+    * state as a new version (the Delta RESTORE shape): history stays
+    * intact — the rollback is itself a versioned, CAS-protected commit, so
+    * it composes with concurrent writers, and a changefeed across it
+    * reports exactly what it undid. The historical records AND index copy
+    * forward as a fresh snapshot — ZERO re-embedding (the index at `v` is
+    * definitionally correct for the records at `v`; spec-pinned by the
+    * embed-call counter). Maintained artifacts see an ordinary chain
+    * rewrite and converge through their captured-version rebuild arms.
+    * Fails loudly if `v` was vacuumed past ([[recordsAt]]). Returns the
+    * new live version. */
+  def restore(v: Long): Long = MemoEngine.retryOnConflict {
+    val v0 = currentVersion
+    val recs = recordsAt(v)
+    val idx = indexAt(v)
+    val nv = v0.getOrElse(-1L) + 1
+    val staging = newStaging()
+    try {
+      idx.write.mode("overwrite").parquet(staging.resolve("index").toString)
+      recs.write.mode("overwrite")
+        .parquet(staging.resolve("records").toString)
+      writeManifest(staging, nv, "records",
+        Seq(versionDir(nv).resolve("records").toString))
+      writeManifest(staging, nv, "index",
+        Seq(versionDir(nv).resolve("index").toString))
+      carryStreamMarker(staging, None)
+      finalizeCommit(staging, nv, v0)
+      nv
+    } catch reclassifyRaceCollateral(nv, v0)
+    finally deleteTree(staging) // no-op when promoted
+  }
+
   /** Garbage-collect version directories not reachable from the RETAINED
     * versions' manifests (superseded snapshots and compacted-away deltas).
     * `retainVersions` = how many of the newest committed versions stay

@@ -20,10 +20,15 @@ private[graft] case class MediaFrame(media_id: Long, kind: String,
   * amortizes codec setup over its whole batch (the Scala analogue of a
   * batched `mapInPandas`).
   *
-  * The actual codecs are NOT in this container, so [[FakeCodec]] is a
-  * clearly-marked deterministic stand-in — the Spark-side contract (schema,
-  * batching, partitioning, null handling) is real and tested; swapping in a
-  * real decoder is a one-function change.
+  * Codec reality, by modality: IMAGE payloads that carry a genuine
+  * container (PNG/JPEG/GIF/BMP, magic-byte-detected) decode, measure, and
+  * resize through [[JdkImageCodec]] — real pixels via pure-JDK
+  * `javax.imageio`, no external libraries. Audio/video codecs are NOT in
+  * this container (and not in the JDK), so [[FakeCodec]] remains the
+  * clearly-marked deterministic stand-in for them and for opaque/synthetic
+  * payloads (q64's byte-exact oracle replays it) — the Spark-side contract
+  * (schema, batching, partitioning, null handling) is identical on both
+  * paths, so swapping in an ffmpeg-style decoder is a one-function change.
   */
 object Multimodal {
 
@@ -76,6 +81,63 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec — pure-JDK `javax.imageio` (PNG / JPEG / GIF / BMP),
+    * no external libraries. Payloads that carry a genuine image container
+    * (detected by MAGIC BYTES) decode, measure, and resize through this
+    * path; everything else — including the synthetic payloads q64's
+    * byte-exact DuckDB oracle replays — keeps the deterministic
+    * [[FakeCodec]] contract. Audio/video stay stubbed (the JDK ships no
+    * codec for them). Decode failures on a magic-matched payload fall
+    * back to the stub rather than failing the batch (a corrupt image in
+    * 100 TB of scraped media must not kill the stage). */
+  object JdkImageCodec {
+    def looksLikeImage(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 &&
+        ((p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+         (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+         (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+         (p(0) == 'B' && p(1) == 'M'))
+
+    private def read(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      // no /tmp spill per call on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Decode → (width, height, mean intensity): mean of per-pixel RGB
+      * averages over the full raster. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+      read(payload).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var s = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, s / (w.toLong * h))
+      }
+
+    /** Resize to size×size and re-encode as PNG (lossless, so a resized
+      * payload round-trips through [[decodeImage]] exactly). */
+    def resize(payload: Array[Byte], size: Int): Option[Array[Byte]] =
+      read(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(size, size,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, size, size, null) finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+  }
+
   /** Synthesize a deterministic media table over doc ids (payload bytes are
     * a hash-seeded function of the id, so tests are reproducible). */
   def syntheticMedia(docs: DataFrame, idCol: String): DataFrame = {
@@ -101,8 +163,14 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[MediaIn]
-      .mapPartitions(_.map(m =>
-        MediaIn(m.media_id, m.kind, FakeCodec.resize(m.payload, size))))
+      .mapPartitions(_.map { m =>
+        val real =
+          if (m.kind == "image" && JdkImageCodec.looksLikeImage(m.payload))
+            JdkImageCodec.resize(m.payload, size)
+          else None
+        MediaIn(m.media_id, m.kind,
+          real.getOrElse(FakeCodec.resize(m.payload, size)))
+      })
       .toDF()
   }
 
@@ -136,13 +204,27 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[MediaIn]
       .mapPartitions { rows =>
-        // per-partition codec setup would go here (expensive init amortized)
+        // per-partition codec setup is amortized here (ImageIO reader
+        // registry warm-up happens once per JVM; the stub needs none)
         rows.map { m =>
-          val (w, h, mean) = FakeCodec.decodeImage(m.payload)
-          val frames = FakeCodec.sampleFrames(m.payload, 64, 4)
-          MediaDecoded(m.media_id, m.kind, w, h,
-            math.round(mean * 10000.0) / 10000.0,
-            frames.length, FakeCodec.features(m.payload))
+          val real =
+            if (m.kind == "image" && JdkImageCodec.looksLikeImage(m.payload))
+              JdkImageCodec.decodeImage(m.payload)
+            else None
+          real match {
+            case Some((w, h, mean)) =>
+              // a decoded still image IS its one frame; features stay the
+              // payload-level histogram (same embedding space as the stub)
+              MediaDecoded(m.media_id, m.kind, w, h,
+                math.round(mean * 10000.0) / 10000.0,
+                1, FakeCodec.features(m.payload))
+            case None =>
+              val (w, h, mean) = FakeCodec.decodeImage(m.payload)
+              val frames = FakeCodec.sampleFrames(m.payload, 64, 4)
+              MediaDecoded(m.media_id, m.kind, w, h,
+                math.round(mean * 10000.0) / 10000.0,
+                frames.length, FakeCodec.features(m.payload))
+          }
         }
       }.toDF()
   }

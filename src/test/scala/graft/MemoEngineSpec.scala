@@ -900,6 +900,32 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("restore rolls the live table back as a NEW commit; history intact") {
+    val (engine, _) = freshEngine()
+    engine.save("---\nbody: first note\n") // v0
+    engine.save("---\nbody: second note\n") // v1
+    engine.save("---\nid: 0\nbody: replaced\n") // v2
+    val before = graft.functions.VectorKernels.embedCalls.get()
+    assert(engine.restore(1) == 3)
+    // zero re-embedding: the index at v1 is copied forward verbatim
+    assert(graft.functions.VectorKernels.embedCalls.get() == before,
+      "restore must reuse the historical index, not re-embed")
+    assert(engine.records.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("first note", "second note"))
+    assert(engine.index.count() == 2)
+    // the rollback is itself history: a changefeed across it reports the
+    // undo, and the rolled-PAST version stays readable
+    val feed = engine.changesBetween(2, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(feed == Seq((0L, "updated", "first note")), s"got $feed")
+    assert(engine.recordsAt(2).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("replaced", "second note"))
+    // recall serves the restored corpus off the copied index
+    assert(engine.recall("first note", k = 1).collect()
+      .head.getAs[String]("body") == "first note")
+    engine.clean()
+  }
+
   test("changefeed: append fast path is delta-scan-only; rewrites classify") {
     val (engine, _) = freshEngine()
     engine.save("---\nbody: first note\n") // v0

@@ -63,6 +63,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(one.map(_.getInt(2)).toSeq == (0 until expected))
   }
 
+  test("genuine image payloads decode through the REAL JDK codec") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val gray = png(3, 2, (_, _) => 0x646464) // all rgb(100,100,100)
+    val checker = png(2, 2,
+      (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF)
+    val media = Seq(
+      (0L, "image", gray),
+      (1L, "image", checker),
+      (2L, "image", "not an image at all".getBytes("UTF-8")), // → stub
+      (3L, "audio", gray)) // image bytes but wrong kind: stub path
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeAndFeaturize(media).orderBy("media_id").collect()
+    // real pixels: true dimensions and exact mean intensity
+    assert((out(0).getInt(2), out(0).getInt(3), out(0).getDouble(4)) ==
+      ((3, 2, 100.0)), s"gray decoded as ${out(0)}")
+    assert(out(0).getInt(5) == 1) // a still image is its one frame
+    assert((out(1).getInt(2), out(1).getInt(3), out(1).getDouble(4)) ==
+      ((2, 2, 127.5)), s"checker decoded as ${out(1)}")
+    // non-image bytes and non-image kinds keep the stub contract exactly
+    val stubBytes = Multimodal.FakeCodec
+      .decodeImage("not an image at all".getBytes("UTF-8"))
+    assert(out(2).getInt(2) == stubBytes._1)
+    assert(out(3).getInt(2) == Multimodal.FakeCodec.decodeImage(gray)._1)
+    // resize routes images through the real codec: an 8×8 PNG that decodes
+    // back, mean preserved exactly for a solid color
+    val resized = Multimodal.resizePayloads(media, size = 8)
+      .orderBy("media_id").collect()
+    val dec = Multimodal.JdkImageCodec
+      .decodeImage(resized(0).getAs[Array[Byte]]("payload"))
+    assert(dec.exists { case (w, h, m) => w == 8 && h == 8 && m == 100.0 },
+      s"resized gray decoded as $dec")
+    // the non-image payload still gets the byte-crop stub resize
+    assert(resized(2).getAs[Array[Byte]]("payload").length == 64)
+  }
+
   test("decode handles null/empty payloads without failing") {
     import spark.implicits._
     val media = Seq(
