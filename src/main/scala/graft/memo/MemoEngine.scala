@@ -1081,6 +1081,85 @@ class MemoEngine(spark: SparkSession, basePath: String,
     finally deleteTree(staging) // no-op when promoted
   }
 
+  /** Branch this store: materialize version `v` (default live) as a brand
+    * new store at `targetBase` — the experiment-branch primitive for a
+    * training-data store (try a cleanup recipe on a branch, diff it with
+    * the changefeed, throw it away; the source never sees it).
+    *
+    * `deep = false` (default) is the Delta SHALLOW CLONE shape — ZERO data
+    * copy at any corpus size: the clone's v0 manifests reference the
+    * source version's segment directories in place, so creating it is a
+    * few metadata writes whether the corpus is 60k rows or 100 TB. The
+    * clone is immediately writable; its own commits land under its own
+    * base, and the first rewrite commit (overwrite-save / reindex /
+    * restore) naturally localizes it completely. CAVEAT (same as Delta's):
+    * a source-side `vacuum` that reclaims a referenced segment, or
+    * `clean()`, breaks the clone's remaining references — LOUDLY
+    * (FileNotFound / versions drops v0), never a partial read; pin the
+    * source with `vacuum(retainVersions = …)` for as long as shallow
+    * clones of it live.
+    *
+    * `deep = true` copies the resolved records AND index into the clone
+    * (one distributed read+write, still ZERO re-embedding) — fully
+    * independent of the source's retention at O(corpus) cost.
+    *
+    * The streaming watermark deliberately does NOT carry over: the clone
+    * is a new lineage, and inheriting the source's batch-id high-water
+    * mark would silently drop the first batches of any stream pointed at
+    * it. Maintained artifacts (_ivf/_ivfpq/postings/signatures) are not
+    * cloned; the clone's `ensure*` rebuild them lazily off the copied
+    * index — no re-embedding there either.
+    *
+    * Publication rides the standard commit protocol ON THE TARGET (staged
+    * privately, CAS-verified "still no store here", atomic rename), so a
+    * concurrent clone to the same path loses loudly with
+    * [[MemoEngine.ConcurrentCommitException]] and a crashed attempt is an
+    * invisible staging corpse the target's vacuum TTL-sweeps. Fails loudly
+    * if `v` is vacuumed/torn, or if `targetBase` already holds a store.
+    * Returns the clone's engine. */
+  def cloneTo(targetBase: String, version: Option[Long] = None,
+      deep: Boolean = false): MemoEngine = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalArgumentException(s"no store at $basePath to clone"))
+    val v = version.getOrElse(cur)
+    // resolve NOW, loudly (vacuumed/torn history throws here) — and read
+    // through the validated historical view, not the live pointer
+    val recs = recordsAt(v)
+    val idx = indexAt(v)
+    val clone = new MemoEngine(spark, targetBase, maxSegments)
+    if (clone.exists)
+      throw new IllegalArgumentException(
+        s"target $targetBase already holds a store (version " +
+        s"${clone.currentVersion.get}) — clone refuses to overwrite")
+    val staging = clone.newStaging()
+    try {
+      if (deep) {
+        recs.write.mode("overwrite")
+          .parquet(staging.resolve("records").toString)
+        idx.write.mode("overwrite").parquet(staging.resolve("index").toString)
+        clone.writeManifest(staging, 0, "records",
+          Seq(clone.versionDir(0).resolve("records").toString))
+        clone.writeManifest(staging, 0, "index",
+          Seq(clone.versionDir(0).resolve("index").toString))
+      } else {
+        clone.writeManifest(staging, 0, "records", segments(v, "records"))
+        clone.writeManifest(staging, 0, "index", segments(v, "index"))
+      }
+      Files.writeString(staging.resolve("cloned_from"),
+        s"$basePath@v$v${if (deep) " deep" else ""}\n")
+      clone.finalizeCommit(staging, 0, None)
+      clone
+    } finally deleteTree(staging) // no-op when promoted
+  }
+
+  /** Provenance of a cloned store: `source@vN [deep]`, as long as the v0
+    * commit survives the clone's own vacuum — once retention reclaims it,
+    * the store has been fully rewritten and is no longer a derived view. */
+  def clonedFrom: Option[String] = {
+    val p = versionDir(0).resolve("cloned_from")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
   /** Garbage-collect version directories not reachable from the RETAINED
     * versions' manifests (superseded snapshots and compacted-away deltas).
     * `retainVersions` = how many of the newest committed versions stay

@@ -926,6 +926,163 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("restore: all four maintained artifacts converge through the rewrite arm") {
+    // restore is the THIRD chain-rewrite path (after overwrite-save and
+    // reindex): the restored version's records manifest is a fresh
+    // snapshot, so every ensure* must take its rebuild-from-CAPTURED-
+    // version arm. A doc the restore rolled PAST must vanish from ANN,
+    // compressed-ANN, and hybrid serving, and its signature must stop
+    // gating admission — while the restored corpus still gates its dups.
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    engine.save((0 until 24).map(i =>
+      s"---\nbody: ledger entry $i cares about sector${i % 5} and " +
+        s"metric${i % 3} throughput\n").mkString) // v0
+    val undone = "the retracted xylophone appendix enumerates vermilion " +
+      "flanges and nougat provisioning"
+    engine.save(s"---\nbody: $undone\n") // v1, id 24
+    // warm all four families at v1 (artifact watermark = v1)
+    assert(engine.annRecall(undone, k = 1).collect()
+      .headOption.exists(_.getAs[String]("body") == undone))
+    assert(engine.pqRecall(undone, k = 3).collect()
+      .map(_.getAs[String]("body")).contains(undone))
+    assert(engine.hybridRecall("xylophone vermilion nougat", k = 3).collect()
+      .map(_.getAs[String]("body")).contains(undone))
+    assert(engine.admitNew(Seq((700L, undone)).toDF("id", "body")).count() == 0)
+    // roll back past the doc: a rewrite commit, not an append
+    engine.restore(0)
+    val liveBodies = engine.records.select("body").collect()
+      .map(_.getString(0)).toSet
+    assert(!liveBodies.contains(undone))
+    val ann = engine.annRecall(undone, k = 5).collect()
+    assert(ann.nonEmpty && ann.forall(r =>
+      liveBodies.contains(r.getAs[String]("body"))),
+      "post-restore ANN served a rolled-back doc")
+    val pq = engine.pqRecall(undone, k = 5).collect()
+    assert(pq.nonEmpty && pq.forall(r =>
+      liveBodies.contains(r.getAs[String]("body"))),
+      "post-restore PQ ANN served a rolled-back doc")
+    val hyb = engine.hybridRecall("xylophone vermilion nougat", k = 5).collect()
+    assert(hyb.nonEmpty && hyb.forall(r =>
+      liveBodies.contains(r.getAs[String]("body"))),
+      "post-restore hybrid recall served a rolled-back doc")
+    val readmit = engine.admitNew(Seq(
+      (800L, undone),
+      (801L, "ledger entry 7 cares about sector2 and metric1 throughput"))
+      .toDF("id", "body")).collect().map(_.getLong(0)).toSet
+    assert(readmit == Set(800L),
+      s"post-restore admission wrong: $readmit (rolled-back doc must " +
+        "re-admit, restored-corpus dup must still gate)")
+    engine.clean()
+  }
+
+  test("restore races concurrent savers: every commit lands, chain stays dense") {
+    // restore's CAS loop must compose with live writers exactly like any
+    // other commit: losers retry from fresh state, nobody's version is
+    // overwritten, and the final chain is dense (every version 0..max
+    // resolvable). The restored CONTENT always equals the target
+    // version's records regardless of which racer won each CAS.
+    val (engine, _) = freshEngine()
+    engine.save("---\nbody: base alpha fact\n") // v0
+    engine.save("---\nbody: base beta fact\n") // v1
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def retrying(f: => Unit): Unit = {
+      var done = false
+      while (!done) {
+        try { f; done = true }
+        catch { case _: MemoEngine.ConcurrentCommitException =>
+          Thread.sleep(30) }
+      }
+    }
+    val saver = new Thread(() => {
+      try for (i <- 0 until 6) {
+        retrying(engine.save(s"---\nbody: racer note $i about topic$i\n"))
+      } catch { case e: Throwable => errors.add(s"saver: $e") }
+    })
+    val restorer = new Thread(() => {
+      try for (_ <- 0 until 3) {
+        // a drained internal retry budget is the documented loser
+        // outcome under sustained contention — the caller retries,
+        // same as the saver loop
+        var nv = -1L
+        while (nv < 0) {
+          try nv = engine.restore(1)
+          catch { case _: MemoEngine.ConcurrentCommitException =>
+            Thread.sleep(30) }
+        }
+        // the committed rollback must hold exactly v1's records
+        val got = engine.recordsAt(nv).select("body").collect()
+          .map(_.getString(0)).toSet
+        if (got != Set("base alpha fact", "base beta fact"))
+          errors.add(s"restore@v$nv holds $got")
+      } catch { case e: Throwable => errors.add(s"restorer: $e") }
+    })
+    saver.start(); restorer.start(); saver.join(); restorer.join()
+    assert(errors.isEmpty, errors.toArray.mkString("\n"))
+    val vs = engine.versions
+    assert(vs == (0L to vs.max).toSeq,
+      s"version chain not dense: $vs") // 2 seeds + 6 saves + 3 restores
+    assert(vs.max == 10, s"expected 11 commits, chain is $vs")
+    engine.clean()
+  }
+
+  test("shallow clone: zero-copy branch — writable, isolated, loud when source vacuums") {
+    val (engine, db) = freshEngine()
+    engine.save("---\nbody: shared corpus alpha\n---\nbody: shared corpus beta\n")
+    engine.save("---\nbody: shared corpus gamma\n") // v1 live
+    val target = Files.createTempDirectory("memo_clone").toString + "/branch"
+    val before = graft.functions.VectorKernels.embedCalls.get()
+    val branch = engine.cloneTo(target)
+    // zero copy, zero re-embedding: no records/index data lives under the
+    // clone — its v0 manifests reference the source's segment dirs
+    assert(graft.functions.VectorKernels.embedCalls.get() == before)
+    val v0 = java.nio.file.Paths.get(target, "v0")
+    assert(!Files.exists(v0.resolve("records")) &&
+      !Files.exists(v0.resolve("index")),
+      "shallow clone must not copy data dirs")
+    assert(branch.records.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("shared corpus alpha", "shared corpus beta", "shared corpus gamma"))
+    assert(branch.clonedFrom.contains(s"$db@v1"))
+    // new lineage: the stream watermark must NOT carry over
+    assert(!Files.exists(v0.resolve("stream_batch")))
+    // the branch is writable and the source never sees its commits
+    branch.save("---\nbody: branch-only experiment note\n")
+    assert(branch.records.count() == 4 && engine.records.count() == 3)
+    // a second clone to the same path refuses
+    intercept[IllegalArgumentException](engine.cloneTo(target))
+    // a rewrite commit localizes the branch; after that the source can
+    // vacuum its history away and the branch keeps serving
+    branch.reindex()
+    engine.save("---\nid: 0\nbody: source rewrote itself\n") // snapshot v2
+    engine.vacuum(retainVersions = 1)
+    assert(branch.records.count() == 4, "localized branch lost rows")
+    // an UN-localized clone of vacuumed history fails loudly, not partially
+    val stale = engine.cloneTo(target + "2", version = Some(2))
+    engine.save("---\nid: 0\nbody: source rewrote again\n")
+    engine.vacuum(retainVersions = 1) // reclaims v2, which stale references
+    intercept[Exception](stale.records.count())
+    assert(stale.versions.isEmpty, "broken clone must drop from versions")
+    branch.clean(); engine.clean()
+  }
+
+  test("deep clone: independent copy, still zero re-embedding") {
+    val (engine, db) = freshEngine()
+    engine.save("---\nbody: durable fact one\n---\nbody: durable fact two\n")
+    val target = Files.createTempDirectory("memo_clone").toString + "/copy"
+    val before = graft.functions.VectorKernels.embedCalls.get()
+    val copy = engine.cloneTo(target, deep = true)
+    assert(graft.functions.VectorKernels.embedCalls.get() == before,
+      "deep clone must copy the index, not re-embed")
+    assert(copy.clonedFrom.contains(s"$db@v0 deep"))
+    // fully independent: destroy the source, the copy still serves
+    engine.clean()
+    assert(copy.records.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("durable fact one", "durable fact two"))
+    assert(copy.recall("durable fact one", k = 1).collect()
+      .head.getAs[String]("body") == "durable fact one")
+    copy.clean()
+  }
+
   test("changefeed: append fast path is delta-scan-only; rewrites classify") {
     val (engine, _) = freshEngine()
     engine.save("---\nbody: first note\n") // v0
