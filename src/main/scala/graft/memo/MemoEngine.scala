@@ -1160,6 +1160,77 @@ class MemoEngine(spark: SparkSession, basePath: String,
     if (Files.exists(p)) Some(Files.readString(p).trim) else None
   }
 
+  /** Materialize the row-level changefeed into an append-only CDC LOG at
+    * `logDir` — one `commit-<v>` directory per store version, each holding
+    * that commit's [[changesBetween]] rows plus a `commit_version` column
+    * (`commit-0` is the bootstrap: every v0 row as `added`). This is the
+    * outbox pattern that turns the store into a STREAMING SOURCE with
+    * nothing but public Spark APIs: downstream pipelines consume the log
+    * with the battle-tested file stream source ([[changeLogStream]]) and
+    * get incremental, exactly-once delivery from its checkpointed file
+    * tracking — no custom Source implementation to trust.
+    *
+    * Exactly-once is BY CONSTRUCTION, crash-safe, and multi-emitter-safe:
+    * the log itself is the cursor (a version is emitted iff its
+    * `commit-<v>` dir exists), each emission stages privately under a
+    * dot-prefixed dir (invisible to Spark's file listings) and publishes
+    * by one atomic rename, a lost publish race is benign (the winner
+    * wrote the same deterministic content), and a crashed staging attempt
+    * is TTL-swept on the next call. Cost per append commit is
+    * delta-scan-only (O(changed rows) — the [[changesBetween]] fast
+    * path); a rewrite commit pays its one classification join. Catch-up
+    * after N commits is N such jobs, independent of corpus size.
+    *
+    * Fails loudly (never an incomplete log) if an unemitted version's
+    * feed is no longer resolvable — vacuum outran emission and the
+    * consumer must re-bootstrap; run `emitChanges` at least as often as
+    * `vacuum` to keep the log gapless. Returns the versions emitted. */
+  def emitChanges(logDir: String): Seq[Long] = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalArgumentException(s"no store at $basePath"))
+    val log = Paths.get(logDir)
+    Files.createDirectories(log)
+    // TTL-sweep crashed staging attempts (same clock discipline as vacuum)
+    listDir(log).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(".emit-"))
+      .filter(newestMtime(_) <
+        System.currentTimeMillis() - MemoEngine.DefaultStagingTtlMs)
+      .foreach(deleteTree)
+    val done = listDir(log)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.matches("commit-\\d+"))
+      .map(_.getFileName.toString.drop(7).toLong).toSet
+    val todo = (0L to cur).filterNot(done.contains)
+    todo.foreach { v =>
+      val feed =
+        (if (v == 0)
+          recordsAt(0).select(col("id"), lit("added").as("change"),
+            col("body"), col("metadata"))
+        else changesBetween(v - 1, v))
+          .withColumn("commit_version", lit(v))
+      val staging = Files.createTempDirectory(log, ".emit-")
+      try {
+        val staged = staging.resolve("data")
+        feed.write.mode("overwrite").parquet(staged.toString)
+        try Files.move(staged, log.resolve(s"commit-$v"),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent emitter published identical content first
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
+      } finally deleteTree(staging)
+    }
+    todo
+  }
+
+  /** The CDC log at `logDir` as an UNBOUNDED streaming DataFrame (schema
+    * [[MemoEngine.ChangeLogSchema]]) — plain `readStream` over the
+    * emitted `commit-*` dirs, so every file-source lever (triggers,
+    * maxFilesPerTrigger, checkpointed exactly-once) applies unchanged.
+    * Pair with [[emitChanges]] on the producer side. */
+  def changeLogStream(logDir: String): DataFrame =
+    spark.readStream.schema(MemoEngine.ChangeLogSchema)
+      .parquet(s"$logDir/commit-*")
+
   /** Garbage-collect version directories not reachable from the RETAINED
     * versions' manifests (superseded snapshots and compacted-away deltas).
     * `retainVersions` = how many of the newest committed versions stay
@@ -1310,6 +1381,20 @@ object MemoEngine {
     * [[MemoEngine.vacuum]] — generous so a slow in-flight writer (a big
     * import's parquet write) is never swept mid-commit. */
   val DefaultStagingTtlMs: Long = 60L * 60 * 1000
+
+  /** Schema of the CDC log [[MemoEngine.emitChanges]] writes and
+    * [[MemoEngine.changeLogStream]] reads: the [[changesBetween]] feed
+    * plus the emitting commit's version. */
+  val ChangeLogSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("change", StringType, nullable = false),
+      StructField("body", StringType, nullable = true),
+      StructField("metadata", MapType(StringType, StringType),
+        nullable = true),
+      StructField("commit_version", LongType, nullable = false)))
+  }
 
   /** Mutation attempts before an optimistic-concurrency loser gives up —
     * each retry re-runs the full mutation from the new live version, so

@@ -1083,6 +1083,52 @@ class MemoEngineSpec extends SparkTestBase {
     copy.clean()
   }
 
+  test("CDC outbox: emitChanges + changeLogStream deliver the feed exactly once") {
+    val (engine, _) = freshEngine()
+    engine.save("---\nbody: cdc alpha\n---\nbody: cdc beta\n") // v0
+    engine.save("---\nbody: cdc gamma\n") // v1 append
+    engine.save("---\nid: 0\nbody: cdc alpha amended\n") // v2 rewrite
+    val log = Files.createTempDirectory("memo_cdc").toString
+    assert(engine.emitChanges(log) == Seq(0L, 1L, 2L))
+    // the log IS the cursor: a re-run emits nothing (crash-safe resume)
+    assert(engine.emitChanges(log).isEmpty)
+    // batch audit over the whole log: bootstrap adds, append add, update
+    val all = spark.read.schema(MemoEngine.ChangeLogSchema)
+      .parquet(s"$log/commit-*")
+      .orderBy("commit_version", "id").collect()
+      .map(r => (r.getLong(4), r.getLong(0), r.getString(1))).toSeq
+    assert(all == Seq((0L, 0L, "added"), (0L, 1L, "added"),
+      (1L, 2L, "added"), (2L, 0L, "updated")), s"got $all")
+    // streaming consumption off the standard file source: checkpointed
+    // file tracking makes incremental delivery exactly-once
+    val ckpt = Files.createTempDirectory("memo_cdc_ckpt").toString
+    val sink = Files.createTempDirectory("memo_cdc_sink").toString
+    def drain(): Unit = {
+      val q = engine.changeLogStream(log).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(sink).count() == 4)
+    engine.save("---\nbody: cdc delta arrives later\n") // v3
+    assert(engine.emitChanges(log) == Seq(3L))
+    drain() // second run ships ONLY the new commit's rows
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 5)
+    assert(after.filter("commit_version = 3").count() == 1)
+    // vacuum outrunning emission: the log refuses to go gappy, loudly
+    val (e2, _) = freshEngine()
+    e2.save("---\nbody: gap one\n")
+    e2.save("---\nid: 0\nbody: gap one rewritten\n") // v1 snapshot
+    e2.vacuum(retainVersions = 1)
+    val log2 = Files.createTempDirectory("memo_cdc2").toString
+    intercept[IllegalArgumentException](e2.emitChanges(log2))
+    e2.clean(); engine.clean()
+  }
+
   test("changefeed: append fast path is delta-scan-only; rewrites classify") {
     val (engine, _) = freshEngine()
     engine.save("---\nbody: first note\n") // v0
