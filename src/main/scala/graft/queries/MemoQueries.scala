@@ -168,6 +168,40 @@ object MemoQueries {
       .orderBy("id")
   }
 
+  /** CDC outbox end-to-end (the [[graft.memo.MemoEngine.emitChanges]]
+    * materialization, beyond the reference): a three-commit store built
+    * from the documents table — bootstrap (first ~2/3 by doc_id), append
+    * (the rest), overwrite (every 9th id redacted) — emitted to a log and
+    * read back as (commit_version, id, change, body). The oracle replays
+    * the whole construction: dense ids = row_number over doc_id order, the
+    * 2/3 integer cut decides which commit each add lands in, and the
+    * rewrite commit surfaces ONLY the redacted rows (the classification
+    * join must not leak untouched rows into commit 2). Store and log live
+    * in a fresh temp dir per run — content is a pure function of the
+    * table, so the materialized feed is deterministic. */
+  private val q96CdcOutbox: Q = (s, dir) => {
+    // bounded by construction: ≤300 rows reach the driver at any SF
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+      .collect()
+    val n = docs.length
+    val cut = (n * 2) / 3
+    def yamlOf(texts: Seq[String]) =
+      texts.map(t => s"---\nbody: $t\n").mkString
+    val base = java.nio.file.Files.createTempDirectory("graft_q96")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    engine.save(yamlOf(docs.take(cut).map(_.getString(1)).toSeq)) // v0
+    engine.save(yamlOf(docs.drop(cut).map(_.getString(1)).toSeq)) // v1
+    engine.save((0 until n).filter(_ % 9 == 0)
+      .map(i => s"---\nid: $i\nbody: redacted $i\n").mkString) // v2 rewrite
+    val log = base.resolve("cdc").toString
+    engine.emitChanges(log)
+    s.read.schema(graft.memo.MemoEngine.ChangeLogSchema)
+      .parquet(s"$log/commit-*")
+      .select(col("commit_version"), col("id"), col("change"), col("body"))
+      .orderBy("commit_version", "id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -183,6 +217,7 @@ object MemoQueries {
     "q73_append_ids" -> q73AppendIds,
     "q78_delete_truthiness" -> q78DeleteTruthiness,
     "q95_changefeed" -> q95Changefeed,
+    "q96_cdc_outbox" -> q96CdcOutbox,
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +313,19 @@ object MemoQueries {
         |  SELECT doc_id + 100000000 AS id, 'added' AS change, text AS body
         |  FROM documents WHERE doc_id % 17 = 0)
         |SELECT id, change, body FROM changed ORDER BY id""".stripMargin,
+    "q96_cdc_outbox" ->
+      """WITH lim AS (
+        |  SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 300)),
+        |cut AS (SELECT (count(*) * 2) // 3 AS c FROM lim),
+        |feed AS (
+        |  SELECT CAST(0 AS BIGINT) AS commit_version, id, 'added' AS change,
+        |    text AS body FROM lim, cut WHERE id < c
+        |  UNION ALL
+        |  SELECT 1, id, 'added', text FROM lim, cut WHERE id >= c
+        |  UNION ALL
+        |  SELECT 2, id, 'updated', 'redacted ' || id FROM lim WHERE id % 9 = 0)
+        |SELECT commit_version, id, change, body FROM feed
+        |ORDER BY commit_version, id""".stripMargin,
   )
 }
