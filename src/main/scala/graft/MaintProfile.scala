@@ -86,6 +86,18 @@ object MaintProfile {
     val cur = engine.versions.max
     val tFeed1 = timed(engine.changesBetween(cur - 1, cur).count())
     val tFeedAll = timed(engine.changesBetween(0, cur).count())
+    // shallow clone must be FLAT vs history AND corpus (metadata-only);
+    // CDC emit catch-up is per-commit jobs: O(chain) total, so the
+    // per-commit quotient is the flat-by-design number to watch
+    var branch: graft.memo.MemoEngine = null
+    val tClone = timed {
+      branch = engine.cloneTo(base.resolve("branch").toString)
+    }
+    branch.clean()
+    val cdcLog = base.resolve("cdc").toString
+    val tEmitAll = timed(engine.emitChanges(cdcLog))
+    engine.save(batchYaml(nSegs + 100))
+    val tEmit1 = timed(engine.emitChanges(cdcLog))
     val tRestore = timed(engine.restore(cur - 1))
     val tReindex = { val t = System.nanoTime(); engine.reindex()
       (System.nanoTime() - t) / 1e9 }
@@ -96,7 +108,8 @@ object MaintProfile {
       catchUp.toSeq.sortBy(_._1).map { case (k, v) =>
         f"$k=${v}%6.2fs(warm ${warm(k)}%5.2fs)" }.mkString(" ") +
       f" feed1=${tFeed1}%5.2fs feedAll=${tFeedAll}%5.2fs " +
-      f"restore=${tRestore}%5.2fs" +
+      f"clone=${tClone}%5.2fs emitAll=${tEmitAll}%6.2fs " +
+      f"emit1=${tEmit1}%5.2fs restore=${tRestore}%5.2fs" +
       f" reindex=${tReindex}%6.2fs vacuum=${tVacuum._1}%5.2fs" +
       f"(${tVacuum._2}%d dirs)")
     engine.clean()

@@ -1122,10 +1122,21 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val cur = currentVersion.getOrElse(
       throw new IllegalArgumentException(s"no store at $basePath to clone"))
     val v = version.getOrElse(cur)
-    // resolve NOW, loudly (vacuumed/torn history throws here) — and read
-    // through the validated historical view, not the live pointer
-    val recs = recordsAt(v)
-    val idx = indexAt(v)
+    // resolve NOW, loudly (vacuumed/torn history throws here). The
+    // shallow path validates segment EXISTENCE directly — file stats,
+    // no DataFrame construction (whose eager listing walks every
+    // segment's files and would make a metadata-only clone pay an
+    // O(corpus-files) listing); the deep path reads through the
+    // validated historical view anyway.
+    if (v > cur || !Files.isDirectory(versionDir(v)))
+      throw new IllegalArgumentException(
+        s"version v$v does not exist (live is v$cur)")
+    val missing = (segments(v, "records") ++ segments(v, "index"))
+      .filterNot(s => Files.exists(Paths.get(s)))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"version v$v is no longer resolvable: vacuum reclaimed " +
+        s"${missing.mkString(", ")}")
     val clone = new MemoEngine(spark, targetBase, maxSegments)
     if (clone.exists)
       throw new IllegalArgumentException(
@@ -1134,9 +1145,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val staging = clone.newStaging()
     try {
       if (deep) {
-        recs.write.mode("overwrite")
+        recordsAt(v).write.mode("overwrite")
           .parquet(staging.resolve("records").toString)
-        idx.write.mode("overwrite").parquet(staging.resolve("index").toString)
+        indexAt(v).write.mode("overwrite")
+          .parquet(staging.resolve("index").toString)
         clone.writeManifest(staging, 0, "records",
           Seq(clone.versionDir(0).resolve("records").toString))
         clone.writeManifest(staging, 0, "index",
@@ -1230,6 +1242,62 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def changeLogStream(logDir: String): DataFrame =
     spark.readStream.schema(MemoEngine.ChangeLogSchema)
       .parquet(s"$logDir/commit-*")
+
+  /** MERGE one changefeed batch into THIS store — the consumer half of
+    * log-shipping replication: `added`/`updated` upsert BY ID (the
+    * source's ids are preserved — a follower is apply-only; mixing local
+    * id-minting saves with applied changes would collide id spaces),
+    * `removed` deletes. A batch spanning several source commits is
+    * collapsed to the last change per id first (`commit_version` order),
+    * so add→update→remove chains apply as their net effect. The index
+    * updates INCREMENTALLY through the standard commit path: untouched
+    * ids keep their embeddings, only upserted bodies embed.
+    *
+    * Idempotent at two levels: a replayed `(lineage, batchId)` is
+    * version-watermark-skipped exactly like [[streamAppend]]'s
+    * micro-batches, and even a replay under a DIFFERENT lineage (a
+    * follower rebuilt with a fresh checkpoint) converges — the merge is
+    * content-idempotent, so re-applying an old batch leaves the records
+    * byte-identical. */
+  def applyChanges(feed: DataFrame, batchId: Long = -1L,
+      lineage: String = "cdc-apply"): Unit = MemoEngine.retryOnConflict {
+    if (batchId >= 0 && lastStreamMark.exists { case (l, b) =>
+        l == lineage && b >= batchId })
+      return
+    val v0 = currentVersion
+    import org.apache.spark.sql.expressions.Window
+    val latest = feed
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("commit_version").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val upserts = latest.filter(col("change") =!= "removed")
+      .select(col("id"), col("body"), col("metadata"))
+    val merged = records
+      .join(latest.select("id"), Seq("id"), "left_anti")
+      .unionByName(upserts)
+    commit(merged, v0, changedIds = Some(latest.select("id")),
+      markBatch = if (batchId >= 0) Some((lineage, batchId)) else None)
+    ()
+  }
+
+  /** Catch this store up to a CDC log — the one-call follower:
+    * [[changeLogStream]] → `foreachBatch` → [[applyChanges]] under an
+    * `AvailableNow` trigger, so each call drains everything emitted so
+    * far and returns. Exactly-once rides the file source's checkpointed
+    * tracking; the apply lineage is the CHECKPOINT location (the
+    * `txnAppId` idiom — a rebuilt follower with a fresh checkpoint gets
+    * fresh batch ids under a fresh lineage, and the content-idempotent
+    * merge absorbs the replay). Call after each producer-side
+    * [[emitChanges]], or on a schedule. */
+  def replicateFrom(logDir: String, checkpointDir: String): Unit = {
+    val q = changeLogStream(logDir).writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        applyChanges(batch, batchId, lineage = checkpointDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** Garbage-collect version directories not reachable from the RETAINED
     * versions' manifests (superseded snapshots and compacted-away deltas).

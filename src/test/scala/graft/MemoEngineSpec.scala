@@ -1129,6 +1129,41 @@ class MemoEngineSpec extends SparkTestBase {
     e2.clean(); engine.clean()
   }
 
+  test("log-shipping replication: a follower converges through the CDC log") {
+    val (leader, _) = freshEngine()
+    leader.save("---\nbody: repl alpha\n---\nbody: repl beta\n") // v0
+    leader.save("---\nbody: repl gamma\n") // v1
+    leader.save("---\nid: 1\nbody: repl beta revised\n") // v2 update
+    val log = Files.createTempDirectory("memo_repl_log").toString
+    leader.emitChanges(log)
+    val (follower, _) = freshEngine()
+    val ckpt = Files.createTempDirectory("memo_repl_ckpt").toString
+    follower.replicateFrom(log, ckpt)
+    def state(e: MemoEngine) = e.records.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state(follower) == state(leader), "follower diverged after catch-up")
+    // the replicated index serves recall (embeddings were derived on apply)
+    assert(follower.recall("repl beta revised", k = 1).collect()
+      .head.getAs[String]("body") == "repl beta revised")
+    // a drained log is a no-op: no new files → no new follower commit
+    val vBefore = follower.versions.max
+    follower.replicateFrom(log, ckpt)
+    assert(follower.versions.max == vBefore)
+    // deletes + re-sequencing replicate too: soft-delete a leader row,
+    // compact (ids renumber — the feed carries the net updates+remove),
+    // emit, catch up, and the follower matches the leader exactly
+    leader.save(
+      "---\nid: 0\nbody: repl alpha\nmetadata: {deleted: true}\n") // v3
+    leader.reindex() // v4: drops id 0, re-sequences survivors
+    leader.emitChanges(log)
+    follower.replicateFrom(log, ckpt)
+    assert(state(follower) == state(leader),
+      "follower diverged across a delete+compaction cycle")
+    assert(state(follower).map(_._2) ==
+      Seq("repl beta revised", "repl gamma"))
+    follower.clean(); leader.clean()
+  }
+
   test("changefeed: append fast path is delta-scan-only; rewrites classify") {
     val (engine, _) = freshEngine()
     engine.save("---\nbody: first note\n") // v0
