@@ -25,11 +25,12 @@ import org.apache.spark.sql.SparkSession
   * regression — instead their events/sec ride the contract line as the
   * integer `streams` map, machine-comparable across rounds.
   *
-  * Six streaming throughput entries (s90/s91/s92/s93: events/sec through
+  * Seven streaming throughput entries (s90/s91/s92/s93: events/sec through
   * the tumbling agg, flatMapGroupsWithState sessionization, watermarked
   * dedup, and the stream-stream interval join over a MemoryStream, noop
   * sink; s94/s95: ingestion INTO the versioned store and INTO the BM25
-  * postings artifact through their exactly-once foreachBatch sinks) ride
+  * postings artifact through their exactly-once foreachBatch sinks;
+  * s96: the full leader→CDC-log→follower replication pipeline) ride
   * beside the batch queries — the state-store and commit-path cost the
   * batch twins can't see. They are reported on their own
   * `"metric":"streaming"` line (sec + events/sec per entry). Stream
@@ -126,7 +127,12 @@ object Bench {
       // r11 profile table in BENCH_NOTES has the numbers). Same volume,
       // same batch count as s94 = comparable eps.
       ("s95_stream_lex_ingest", StreamEvents, (n: Int) =>
-        graft.streaming.StreamBench.lexicalIngestEps(spark, n)))
+        graft.streaming.StreamBench.lexicalIngestEps(spark, n)),
+      // full leader→CDC-log→follower pipeline: s96/s94 is the
+      // replication overhead factor (emission + follower merge on top
+      // of the same leader commit)
+      ("s96_stream_replicate", StreamEvents, (n: Int) =>
+        graft.streaming.StreamBench.replicationEps(spark, n)))
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, events, eps) =>
         // one TIMED run per entry (see scaladoc: the event volume already

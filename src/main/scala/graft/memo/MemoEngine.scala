@@ -1258,7 +1258,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * micro-batches, and even a replay under a DIFFERENT lineage (a
     * follower rebuilt with a fresh checkpoint) converges — the merge is
     * content-idempotent, so re-applying an old batch leaves the records
-    * byte-identical. */
+    * byte-identical.
+    *
+    * SCALE SHAPE: a batch of pure `added` rows whose ids are all new to
+    * this store — the steady state of replicating an append-mostly
+    * leader — commits as an APPEND DELTA, O(batch) like [[streamAppend]]
+    * (one aggregated overlap probe over the column-pruned id chain
+    * decides the arm); anything else (updates, removes, or a replayed
+    * add whose id already landed) takes the full-outer MERGE rewrite,
+    * the same cost class as a Delta MERGE touching most files. */
   def applyChanges(feed: DataFrame, batchId: Long = -1L,
       lineage: String = "cdc-apply"): Unit = MemoEngine.retryOnConflict {
     if (batchId >= 0 && lastStreamMark.exists { case (l, b) =>
@@ -1270,14 +1278,26 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("commit_version").desc)))
       .filter(col("_rn") === 1).drop("_rn")
-    val upserts = latest.filter(col("change") =!= "removed")
-      .select(col("id"), col("body"), col("metadata"))
-    val merged = records
-      .join(latest.select("id"), Seq("id"), "left_anti")
-      .unionByName(upserts)
-    commit(merged, v0, changedIds = Some(latest.select("id")),
-      markBatch = if (batchId >= 0) Some((lineage, batchId)) else None)
-    ()
+      .cache() // evaluated by the arm probe AND the commit's two writes
+    try {
+      val mark = if (batchId >= 0) Some((lineage, batchId)) else None
+      val upserts = latest.filter(col("change") =!= "removed")
+        .select(col("id"), col("body"), col("metadata"))
+      val addsOnly = latest.filter(col("change") === "removed").isEmpty &&
+        (v0.isEmpty ||
+          upserts.join(records.select("id"), Seq("id"), "left_semi").isEmpty)
+      v0 match {
+        case Some(prior) if addsOnly =>
+          commitAppend(upserts, upserts.select("id"), prior, mark)
+        case _ =>
+          val merged = records
+            .join(latest.select("id"), Seq("id"), "left_anti")
+            .unionByName(upserts)
+          commit(merged, v0, changedIds = Some(latest.select("id")),
+            markBatch = mark)
+      }
+      ()
+    } finally latest.unpersist()
   }
 
   /** Catch this store up to a CDC log — the one-call follower:

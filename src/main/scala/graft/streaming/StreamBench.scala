@@ -214,6 +214,64 @@ object StreamBench {
     n / elapsed
   }
 
+  /** Events/sec through the FULL log-shipping replication pipeline:
+    * leader `streamAppend` commit → `emitChanges` CDC materialization →
+    * follower `applyChanges` MERGE off the file-source log. Per round
+    * this pays everything [[ingestEps]] pays PLUS one emission job and
+    * one follower merge commit, so s96/s94 is the replication overhead
+    * factor — a regression in the outbox (e.g. re-reading emitted
+    * history) or in the apply path (e.g. a full re-embed instead of the
+    * incremental changed-ids arm) shows up only here. The follower
+    * stream stays up across rounds (one long-lived query, the steady
+    * state of a real follower), driven by `processAllAvailable` after
+    * each emission. */
+  def replicationEps(spark: SparkSession, n: Int, nBatches: Int = 8): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_repl")
+    val leader = new graft.memo.MemoEngine(spark,
+      base.resolve("leader").toString)
+    val follower = new graft.memo.MemoEngine(spark,
+      base.resolve("follower").toString)
+    val log = base.resolve("log").toString
+    java.nio.file.Files.createDirectories(base.resolve("log"))
+    val input = MemoryStream[BenchEvent]
+    val lq = input.toDF()
+      .select(concat_ws(" ", lit("event"), col("event_id"),
+        col("event_type")).as("body"))
+      .writeStream.foreachBatch(leader.streamAppend _)
+      .option("checkpointLocation", base.resolve("lckpt").toString)
+      .outputMode("append")
+      .start()
+    val fq = follower.changeLogStream(log).writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        follower.applyChanges(b, id, lineage = "bench"))
+      .option("checkpointLocation", base.resolve("fckpt").toString)
+      .start()
+    val events = syntheticEvents(n)
+    val per = math.max(1, n / math.max(1, nBatches))
+    val elapsed =
+      try {
+        val t0 = System.nanoTime()
+        events.grouped(per).foreach { chunk =>
+          input.addData(chunk: _*)
+          lq.processAllAvailable()
+          leader.emitChanges(log)
+          fq.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (l, f) = (leader.records.count(), follower.records.count())
+        require(l == f && l > 0,
+          s"follower diverged: leader=$l follower=$f")
+        dt
+      } finally {
+        lq.stop(); fq.stop()
+        deleteTree(base)
+      }
+    n / elapsed
+  }
+
   /** Best-effort recursive delete of a throwaway directory: per-file
     * failures are ignored individually, and traversal failures must not
     * fail a measurement that already completed. */

@@ -142,6 +142,24 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("auto-fold commits emit an EMPTY changefeed (no spurious CDC churn)") {
+    // a fold rewrites the chain's LAYOUT, not its content — a CDC
+    // consumer downstream of emitChanges must see nothing for it, or
+    // every maintenance compaction would fan out as a phantom full-table
+    // update to every follower
+    val dir = Files.createTempDirectory("memo_engine").toString
+    val engine = new graft.memo.MemoEngine(spark, s"$dir/db", maxSegments = 3)
+    (0 until 5).foreach(i => engine.save(s"---\nbody: fold note $i\n"))
+    val log = Files.createTempDirectory("memo_fold_cdc").toString
+    engine.emitChanges(log)
+    val feed = spark.read
+      .schema(graft.memo.MemoEngine.ChangeLogSchema).parquet(s"$log/commit-*")
+    // exactly the five genuine adds across the whole chain, fold included
+    assert(feed.count() == 5, "fold commit leaked phantom changes")
+    assert(feed.filter("change <> 'added'").count() == 0)
+    engine.clean()
+  }
+
   test("streamed micro-batches compact at maxSegments; watermark survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("memo_engine").toString
@@ -1161,6 +1179,17 @@ class MemoEngineSpec extends SparkTestBase {
       "follower diverged across a delete+compaction cycle")
     assert(state(follower).map(_._2) ==
       Seq("repl beta revised", "repl gamma"))
+    // the steady state — replicating a pure append — must land as an
+    // APPEND DELTA on the follower (O(batch), not an O(corpus) rewrite)
+    leader.save("---\nbody: repl epsilon appended later\n")
+    leader.emitChanges(log)
+    follower.replicateFrom(log, ckpt)
+    assert(state(follower) == state(leader))
+    val lastKind = follower.history
+      .orderBy(org.apache.spark.sql.functions.desc("version"))
+      .select("kind").collect().head.getString(0)
+    assert(lastKind == "append",
+      s"append-only batch applied as $lastKind — the O(batch) arm regressed")
     follower.clean(); leader.clean()
   }
 
