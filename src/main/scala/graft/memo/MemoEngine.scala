@@ -1212,7 +1212,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.matches("commit-\\d+"))
       .map(_.getFileName.toString.drop(7).toLong).toSet
-    val todo = (0L to cur).filterNot(done.contains)
+    // a pruned prefix ([[pruneChangeLog]]) must never be re-emitted —
+    // the retention decision would silently un-happen on the next call
+    val todo = (earliestChange(logDir) to cur).filterNot(done.contains)
     todo.foreach { v =>
       val feed =
         (if (v == 0)
@@ -1298,6 +1300,43 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
       ()
     } finally latest.unpersist()
+  }
+
+  /** First commit version still present in the CDC log at `logDir` —
+    * 0 until [[pruneChangeLog]] raises it. A log whose earliest is > 0
+    * no longer serves the full-state bootstrap: point NEW consumers at a
+    * [[cloneTo]] of the store and have them tail from here. */
+  def earliestChange(logDir: String): Long = {
+    val p = Paths.get(logDir).resolve("_earliest")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  /** Retire emitted commits below `keepFrom` from the CDC log — the
+    * retention half of the outbox lifecycle (without it the log IS the
+    * unbounded storage cost at 100 TB). Crash-safe order: the
+    * `_earliest` marker advances FIRST (atomic tmp+rename), then the
+    * retired `commit-<v>` dirs die — a crash in between leaves dirs
+    * below the marker that consumers and [[emitChanges]] alike ignore,
+    * and the next prune call reaps. Same contract as any log retention
+    * (Kafka, bin-logs): prune only below every consumer's checkpointed
+    * progress — a consumer that lags past the horizon fails loudly on
+    * its next read, never silently skips. Returns dirs removed. */
+  def pruneChangeLog(logDir: String, keepFrom: Long): Int = {
+    require(keepFrom >= 0, s"keepFrom must be >= 0, got $keepFrom")
+    val log = Paths.get(logDir)
+    if (keepFrom > earliestChange(logDir)) {
+      val tmp = log.resolve("_earliest.tmp")
+      Files.writeString(tmp, keepFrom.toString)
+      Files.move(tmp, log.resolve("_earliest"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stale = listDir(log).filter { p =>
+      val n = p.getFileName.toString
+      Files.isDirectory(p) && n.matches("commit-\\d+") &&
+        n.drop(7).toLong < keepFrom
+    }
+    stale.foreach(deleteTree)
+    stale.size
   }
 
   /** Catch this store up to a CDC log — the one-call follower:

@@ -1137,6 +1137,19 @@ class MemoEngineSpec extends SparkTestBase {
     val after = spark.read.parquet(sink)
     assert(after.count() == 5)
     assert(after.filter("commit_version = 3").count() == 1)
+    // retention: prune the bootstrap prefix — the marker advances, the
+    // retired dirs die, and a re-emit does NOT resurrect them (the
+    // pruned prefix would otherwise silently un-prune on the next call)
+    assert(engine.pruneChangeLog(log, keepFrom = 2) == 2) // commit-0, -1
+    assert(engine.earliestChange(log) == 2)
+    assert(engine.emitChanges(log).isEmpty,
+      "emit resurrected a pruned prefix")
+    assert(spark.read.schema(MemoEngine.ChangeLogSchema)
+      .parquet(s"$log/commit-*").select("commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // emission continues above the horizon
+    engine.save("---\nbody: cdc epsilon after prune\n") // v4
+    assert(engine.emitChanges(log) == Seq(4L))
     // vacuum outrunning emission: the log refuses to go gappy, loudly
     val (e2, _) = freshEngine()
     e2.save("---\nbody: gap one\n")
