@@ -1083,6 +1083,38 @@ class MemoEngineSpec extends SparkTestBase {
     branch.clean(); engine.clean()
   }
 
+  test("shallow clone: maintained artifacts build under the BRANCH, source untouched") {
+    // ensure* on a branch must lay its IVF/postings/signature artifacts
+    // under the branch's own base — a clone that wrote into the source's
+    // artifact dirs would corrupt the source's version watermarks
+    val (engine, db) = freshEngine()
+    engine.save((0 until 12).map(i =>
+      s"---\nbody: branch corpus item $i about theme${i % 4}\n").mkString)
+    // warm the SOURCE artifact first so both stores have one
+    engine.annRecall("branch corpus theme1", k = 2).collect()
+    val srcIvf = java.nio.file.Paths.get(db, "_ivf")
+    def mtimes(p: java.nio.file.Path): Map[String, Long] = {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(q =>
+          q.toString -> java.nio.file.Files.getLastModifiedTime(q).toMillis)
+          .toMap
+      } finally walk.close()
+    }
+    val before = mtimes(srcIvf)
+    val target = Files.createTempDirectory("memo_clone").toString + "/b"
+    val branch = engine.cloneTo(target)
+    val got = branch.annRecall("branch corpus theme1", k = 2).collect()
+    assert(got.nonEmpty)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(target, "_ivf")),
+      "branch ANN artifact must live under the branch base")
+    assert(mtimes(srcIvf) == before,
+      "branch ensureIvf touched the SOURCE artifact")
+    branch.clean(); engine.clean()
+  }
+
   test("deep clone: independent copy, still zero re-embedding") {
     val (engine, db) = freshEngine()
     engine.save("---\nbody: durable fact one\n---\nbody: durable fact two\n")
