@@ -192,8 +192,18 @@ object MemoQueries {
         .collect()
       val n = docs.length
       val cut = (n * 2) / 3
-      def yamlOf(texts: Seq[String]) =
+      def yamlOf(texts: Seq[String]) = {
+        // Each text is interpolated into a single `body: <text>` line, so
+        // the ONLY way the batch could mis-split is an embedded newline
+        // (which could open a fresh line reading as `---` or a new key).
+        // The oracle sees the raw text, so we must not rewrite it —
+        // assert the fixture invariant loudly instead of sanitizing.
+        texts.find(t => t.exists(c => c == '\n' || c == '\r')).foreach(t =>
+          throw new IllegalStateException(
+            s"q96 fixture text contains a newline (would corrupt the " +
+            s"YAML batch and diverge from the oracle): ${t.take(80)}"))
         texts.map(t => s"---\nbody: $t\n").mkString
+      }
       val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
       if (engine.exists) engine.clean() // torn prior build: start over
       // a torn prior LOG restarts too (dirs are re-emitted identically,
