@@ -94,8 +94,16 @@ object MaintProfile {
       branch = engine.cloneTo(base.resolve("branch").toString)
     }
     branch.clean()
+    // bulk CDC backfill: the same unemitted chain, emitted at pool sizes
+    // 1/4/8 into fresh logs — distinct-version emissions are independent
+    // (staged in parallel, published in order), so catch-up should drop
+    // roughly with the pool while per-commit emit1 stays flat
     val cdcLog = base.resolve("cdc").toString
-    val tEmitAll = timed(engine.emitChanges(cdcLog))
+    val tEmitSeq = timed(
+      engine.emitChanges(base.resolve("cdc_p1").toString, parallelism = 1))
+    val tEmitAll = timed(engine.emitChanges(cdcLog)) // default pool (4)
+    val tEmitP8 = timed(
+      engine.emitChanges(base.resolve("cdc_p8").toString, parallelism = 8))
     engine.save(batchYaml(nSegs + 100))
     val tEmit1 = timed(engine.emitChanges(cdcLog))
     val tRestore = timed(engine.restore(cur - 1))
@@ -108,7 +116,8 @@ object MaintProfile {
       catchUp.toSeq.sortBy(_._1).map { case (k, v) =>
         f"$k=${v}%6.2fs(warm ${warm(k)}%5.2fs)" }.mkString(" ") +
       f" feed1=${tFeed1}%5.2fs feedAll=${tFeedAll}%5.2fs " +
-      f"clone=${tClone}%5.2fs emitAll=${tEmitAll}%6.2fs " +
+      f"clone=${tClone}%5.2fs emitAll p1=${tEmitSeq}%6.2fs " +
+      f"p4=${tEmitAll}%6.2fs p8=${tEmitP8}%6.2fs " +
       f"emit1=${tEmit1}%5.2fs restore=${tRestore}%5.2fs" +
       f" reindex=${tReindex}%6.2fs vacuum=${tVacuum._1}%5.2fs" +
       f"(${tVacuum._2}%d dirs)")

@@ -202,11 +202,22 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * O(retained versions) manifest reads — never a data scan. */
   def history: DataFrame = {
     import spark.implicits._
-    versions.map { v =>
+    val vs = versions
+    vs.zipWithIndex.map { case (v, i) =>
       val segs = segments(v, "records")
+      // Kind is RELATIONAL, not structural: a version is an "append" iff
+      // its manifest extends the previous resolvable version's (the same
+      // startsWith test changesBetween's fast path uses). A first version
+      // is a snapshot by definition — including a shallow clone's v0,
+      // whose manifest references the SOURCE's segment dirs (fan-in > 1)
+      // yet is semantically a full snapshot of the cloned state.
       val kind =
-        if (segs == Seq(versionDir(v).resolve("records").toString)) "snapshot"
-        else "append"
+        if (i == 0) "snapshot"
+        else {
+          val prev = segments(vs(i - 1), "records")
+          if (segs.startsWith(prev) && segs.size > prev.size) "append"
+          else "snapshot"
+        }
       val mark = {
         val p = streamMarker(v)
         if (Files.exists(p)) Files.readString(p).trim else null
@@ -1196,8 +1207,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * Fails loudly (never an incomplete log) if an unemitted version's
     * feed is no longer resolvable — vacuum outran emission and the
     * consumer must re-bootstrap; run `emitChanges` at least as often as
-    * `vacuum` to keep the log gapless. Returns the versions emitted. */
-  def emitChanges(logDir: String): Seq[Long] = {
+    * `vacuum` to keep the log gapless. Returns the versions emitted.
+    *
+    * BULK CATCH-UP runs `parallelism` emissions concurrently (default 4):
+    * emissions of distinct versions are fully independent — each version's
+    * content is a deterministic pure function of the store's manifests,
+    * each stages under its own private dot-dir, and publication is one
+    * atomic rename that already tolerates concurrent emitters of the SAME
+    * version — so a consumer onboarding onto a long unemitted history
+    * pays ~N/parallelism sequential jobs instead of N. The steady state
+    * (one new commit per call) is unaffected: a single-element todo never
+    * touches the pool. Spark schedules the concurrent write jobs from
+    * their own threads; per-job work is unchanged.
+    *
+    * BRANCH CONTRACT: on a [[cloneTo]] clone this emits a NEW CDC lineage
+    * — `commit-0` is the clone's full-state bootstrap (every v0 row as
+    * `added`), not a reference to the source's log. A branch is a new
+    * stream: its consumers must not need the source log's retention to
+    * outlive the branch, and the source's consumers must never see branch
+    * commits. Followers of the source that switch to a branch re-bootstrap
+    * from the branch's own `commit-0` (pinned by MemoEngineSpec). */
+  def emitChanges(logDir: String, parallelism: Int = 4): Seq[Long] = {
     val cur = currentVersion.getOrElse(
       throw new IllegalArgumentException(s"no store at $basePath"))
     val log = Paths.get(logDir)
@@ -1215,7 +1245,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
     // a pruned prefix ([[pruneChangeLog]]) must never be re-emitted —
     // the retention decision would silently un-happen on the next call
     val todo = (earliestChange(logDir) to cur).filterNot(done.contains)
-    todo.foreach { v =>
+    // Stage version v's feed under a private dot-dir; returns the staged
+    // data dir, ready for the publishing rename.
+    def stageOne(v: Long): (Path, Path) = {
       val feed =
         (if (v == 0)
           recordsAt(0).select(col("id"), lit("added").as("change"),
@@ -1223,15 +1255,62 @@ class MemoEngine(spark: SparkSession, basePath: String,
         else changesBetween(v - 1, v))
           .withColumn("commit_version", lit(v))
       val staging = Files.createTempDirectory(log, ".emit-")
+      val staged = staging.resolve("data")
+      try feed.write.mode("overwrite").parquet(staged.toString)
+      catch { case e: Throwable => deleteTree(staging); throw e }
+      (staging, staged)
+    }
+    def publishOne(v: Long, staging: Path, staged: Path): Unit =
       try {
-        val staged = staging.resolve("data")
-        feed.write.mode("overwrite").parquet(staged.toString)
         try Files.move(staged, log.resolve(s"commit-$v"),
           StandardCopyOption.ATOMIC_MOVE)
-        catch { // a concurrent emitter published identical content first
+        catch { // a concurrent emitter published identical content first.
+          // Linux surfaces that race as FileSystemException
+          // (DirectoryNotEmptyException: the target dir exists non-empty),
+          // not FileAlreadyExistsException — accept it ONLY when the
+          // commit dir is verifiably there; anything else is a real
+          // filesystem failure and must stay loud.
           case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: java.nio.file.FileSystemException
+              if Files.isDirectory(log.resolve(s"commit-$v")) => ()
         }
       } finally deleteTree(staging)
+    if (todo.size <= 1 || parallelism <= 1)
+      todo.foreach { v =>
+        val (staging, staged) = stageOne(v); publishOne(v, staging, staged)
+      }
+    else {
+      // Parallelize the EXPENSIVE half (each version's Spark write job)
+      // but publish the cheap renames SEQUENTIALLY in ascending version
+      // order — a concurrently tailing consumer must only ever observe a
+      // PREFIX of the log (commit-6 appearing before commit-5 exists
+      // would let a follower apply changes out of order). A failed
+      // staging therefore also stops publication at the gap: versions
+      // above it stay staged-and-swept rather than published over a hole.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, todo.size))
+      val staged = new java.util.concurrent.ConcurrentHashMap[Long,
+        Either[Throwable, (Path, Path)]]()
+      try {
+        pool.invokeAll(
+          todo.map(v => new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = staged.put(v,
+              try Right(stageOne(v))
+              catch { case scala.util.control.NonFatal(e) => Left(e) })
+          }).asJava).asScala.foreach(_.get())
+        todo.foreach { v =>
+          staged.remove(v) match {
+            case Right((stg, dat)) => publishOne(v, stg, dat)
+            case Left(e) => throw e
+          }
+        }
+      } finally {
+        pool.shutdown()
+        staged.values().asScala.foreach {
+          case Right((stg, _)) => deleteTree(stg)
+          case _ => ()
+        }
+      }
     }
     todo
   }
@@ -1264,11 +1343,21 @@ class MemoEngine(spark: SparkSession, basePath: String,
     *
     * SCALE SHAPE: a batch of pure `added` rows whose ids are all new to
     * this store — the steady state of replicating an append-mostly
-    * leader — commits as an APPEND DELTA, O(batch) like [[streamAppend]]
-    * (one aggregated overlap probe over the column-pruned id chain
-    * decides the arm); anything else (updates, removes, or a replayed
-    * add whose id already landed) takes the full-outer MERGE rewrite,
-    * the same cost class as a Delta MERGE touching most files. */
+    * leader — commits as an APPEND DELTA, O(batch) like [[streamAppend]].
+    * The arm decision itself is O(batch) in that steady state: one
+    * aggregation over the (cached) collapsed batch yields its remove
+    * count and upsert id range, and the DENSE-ID INVARIANT (the leader
+    * mints ascending ids, a follower is apply-only and preserves them)
+    * makes `min upsert id > this store's max id` a sound proof that no
+    * upsert can collide — no join against the id chain at all. The max
+    * id is memoized on the driver keyed by the version it was read at
+    * (self-invalidating: any foreign commit changes the version), so a
+    * long-lived follower pays the one column-pruned max(id) scan once
+    * and never again while it is the only writer. Batches that fail the
+    * watermark test fall back to the aggregated overlap probe; anything
+    * with updates/removes (or a replayed add whose id already landed)
+    * takes the full-outer MERGE rewrite, the same cost class as a Delta
+    * MERGE touching most files. */
   def applyChanges(feed: DataFrame, batchId: Long = -1L,
       lineage: String = "cdc-apply"): Unit = MemoEngine.retryOnConflict {
     if (batchId >= 0 && lastStreamMark.exists { case (l, b) =>
@@ -1280,27 +1369,79 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("commit_version").desc)))
       .filter(col("_rn") === 1).drop("_rn")
-      .cache() // evaluated by the arm probe AND the commit's two writes
+      .cache() // evaluated by the arm stats AND the commit's two writes
     try {
       val mark = if (batchId >= 0) Some((lineage, batchId)) else None
       val upserts = latest.filter(col("change") =!= "removed")
         .select(col("id"), col("body"), col("metadata"))
-      val addsOnly = latest.filter(col("change") === "removed").isEmpty &&
-        (v0.isEmpty ||
-          upserts.join(records.select("id"), Seq("id"), "left_semi").isEmpty)
-      v0 match {
-        case Some(prior) if addsOnly =>
-          commitAppend(upserts, upserts.select("id"), prior, mark)
-        case _ =>
-          val merged = records
-            .join(latest.select("id"), Seq("id"), "left_anti")
-            .unionByName(upserts)
-          commit(merged, v0, changedIds = Some(latest.select("id")),
-            markBatch = mark)
+      // One aggregation both materializes the cache and yields everything
+      // the arm decision needs: row count, remove count, upsert id range.
+      val stats = timedPhase("collapse") {
+        latest.agg(count(lit(1)).as("n"),
+          sum(when(col("change") === "removed", 1L).otherwise(0L))
+            .as("removed"),
+          min(when(col("change") =!= "removed", col("id"))).as("min_up"),
+          max(when(col("change") =!= "removed", col("id"))).as("max_up"))
+          .collect()(0)
+      }
+      if (stats.getLong(0) == 0L) return // empty batch (all-null range)
+      val nRemoved = stats.getLong(1)
+      val minUp = if (stats.isNullAt(2)) Long.MaxValue else stats.getLong(2)
+      val maxUp = if (stats.isNullAt(3)) Long.MinValue else stats.getLong(3)
+      val addsOnly = nRemoved == 0L && v0.exists { prior =>
+        minUp > storeMaxId(prior) || timedPhase("probe") {
+          upserts.join(records.select("id"), Seq("id"), "left_semi").isEmpty
+        }
+      }
+      timedPhase("commit") {
+        v0 match {
+          case Some(prior) if addsOnly =>
+            val nv = commitAppend(upserts, upserts.select("id"), prior, mark)
+            // advance the memo through our own commit when the prior max
+            // is known; otherwise drop it and let the next batch re-prime
+            maxIdMemo = maxIdMemo match {
+              case Some((`prior`, m)) => Some((nv, math.max(m, maxUp)))
+              case _ => None
+            }
+          case _ =>
+            val merged = records
+              .join(latest.select("id"), Seq("id"), "left_anti")
+              .unionByName(upserts)
+            commit(merged, v0, changedIds = Some(latest.select("id")),
+              markBatch = mark)
+            maxIdMemo = None // a rewrite can move the max either way
+        }
       }
       ()
     } finally latest.unpersist()
   }
+
+  /** Driver-memoized max id of the records chain, keyed by the store
+    * version it was read at — a foreign commit moves the version and the
+    * memo self-invalidates. Read cost on miss is one column-pruned
+    * max(id) aggregation over the chain; every hit is free. */
+  @volatile private var maxIdMemo: Option[(Long, Long)] = None
+  private def storeMaxId(atVersion: Long): Long = maxIdMemo match {
+    case Some((v, m)) if v == atVersion => m
+    case _ =>
+      val r = timedPhase("probe") { records.agg(max(col("id"))).collect()(0) }
+      val m = if (r.isNullAt(0)) -1L else r.getLong(0)
+      maxIdMemo = Some((atVersion, m))
+      m
+  }
+
+  /** Profiling seam for [[applyChanges]]: when set, called with
+    * (phase, seconds) for each timed phase — collapse (feed read +
+    * window + arm stats), probe (id-chain work when the watermark can't
+    * prove disjointness), commit (the chosen arm's write path). Null in
+    * production: the timing wrapper is a straight pass-through. */
+  private[graft] var cdcPhaseHook: (String, Double) => Unit = null
+  @inline private def timedPhase[A](phase: String)(f: => A): A =
+    if (cdcPhaseHook == null) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally cdcPhaseHook(phase, (System.nanoTime() - t0) / 1e9)
+    }
 
   /** First commit version still present in the CDC log at `logDir` —
     * 0 until [[pruneChangeLog]] raises it. A log whose earliest is > 0
@@ -1309,6 +1450,104 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def earliestChange(logDir: String): Long = {
     val p = Paths.get(logDir).resolve("_earliest")
     if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  /** The highest `keepFrom` that [[pruneChangeLog]] can take WITHOUT
+    * retiring a commit some registered consumer still needs — computed
+    * from the consumers' own streaming CHECKPOINTS, so the producer never
+    * has to know follower progress by out-of-band arithmetic. Each
+    * checkpoint dir is one [[replicateFrom]]/[[changeLogStream]]
+    * consumer; the horizon is the min over consumers of the first commit
+    * version that consumer has not durably finished.
+    *
+    * "Durably finished" is read from the file source's own public
+    * checkpoint layout (no private Spark APIs — these files ARE the
+    * documented recovery contract): `commits/<b>` names the last batch
+    * whose outputs are committed, `offsets/<b>` records the file-source
+    * `logOffset` that batch read through, and `sources/0/<i>` (i ≤ that
+    * offset; `.compact` entries fold the full history) lists every data
+    * file those batches consumed. A commit dir is finished iff ALL of its
+    * data files appear in that processed set — a batch boundary that
+    * split a commit's files (maxFilesPerTrigger) correctly holds the
+    * horizon at that commit. Files named by PLANNED-but-uncommitted
+    * batches are excluded: on restart the source re-reads them from its
+    * metadata log, so pruning them would break recovery.
+    *
+    * A checkpoint that has not committed anything yet (or does not exist
+    * yet — a consumer registered before first start) pins the horizon at
+    * [[earliestChange]]: nothing can be pruned out from under it. */
+  def safePruneHorizon(logDir: String, checkpointDirs: Seq[String]): Long = {
+    require(checkpointDirs.nonEmpty,
+      "safePruneHorizon needs at least one consumer checkpoint — with " +
+      "none registered there is no one to protect and no safe answer")
+    val log = Paths.get(logDir)
+    val emitted =
+      (if (Files.isDirectory(log)) listDir(log) else Seq.empty).collect {
+        case p if Files.isDirectory(p) &&
+            p.getFileName.toString.matches("commit-\\d+") =>
+          p.getFileName.toString.drop(7).toLong
+      }.sorted
+    def horizonOf(ckptDir: String): Long = {
+      val ckpt = Paths.get(ckptDir)
+      val commits = ckpt.resolve("commits")
+      val lastCommitted: Option[Long] =
+        if (!Files.isDirectory(commits)) None
+        else listDir(commits).map(_.getFileName.toString)
+          .filter(_.matches("\\d+")).map(_.toLong).maxOption
+      lastCommitted match {
+        case None => earliestChange(logDir) // nothing durable yet
+        case Some(b) =>
+          // offsets/<b> → the file-source logOffset batch b read through
+          val off = Files.readString(ckpt.resolve("offsets").resolve(b.toString))
+          val logOffset = "\"logOffset\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(off).map(_.group(1).toLong)
+            .getOrElse(throw new IllegalStateException(
+              s"checkpoint $ckptDir offsets/$b has no file-source " +
+              s"logOffset — not a file-stream consumer of this log?"))
+          // sources/0/<i> for i ≤ logOffset = every data file durably
+          // processed (a `.compact` entry folds all prior history, so
+          // reading every retained index ≤ logOffset is sufficient even
+          // after compaction has reclaimed early plain entries)
+          val srcLog = ckpt.resolve("sources").resolve("0")
+          val pathRe = "\"path\"\\s*:\\s*\"([^\"]+)\"".r
+          val srcEntries =
+            if (Files.isDirectory(srcLog)) listDir(srcLog) else Seq.empty
+          val processed = srcEntries.flatMap { p =>
+            val n = p.getFileName.toString
+            val idx = n.stripSuffix(".compact")
+            if (!idx.matches("\\d+") || idx.toLong > logOffset) Nil
+            else pathRe.findAllMatchIn(Files.readString(p))
+              .map(m => Paths.get(java.net.URI.create(m.group(1)).getPath)
+                .toAbsolutePath.normalize.toString).toSeq
+          }.toSet
+          emitted.find { v =>
+            // a commit dir that vanished since the `emitted` listing was
+            // retired by a CONCURRENT pruner — a prior safe horizon
+            // already proved every consumer past it, so it reads as
+            // finished (empty file set) rather than crashing the scan
+            val dataFiles =
+              (try listDir(log.resolve(s"commit-$v"))
+              catch { case _: java.nio.file.NoSuchFileException => Nil })
+                .filter(f => Files.isRegularFile(f) &&
+                  !f.getFileName.toString.startsWith("_") &&
+                  !f.getFileName.toString.startsWith("."))
+                .map(_.toAbsolutePath.normalize.toString)
+            !dataFiles.forall(processed.contains)
+          }.getOrElse(emitted.lastOption.map(_ + 1)
+            .getOrElse(earliestChange(logDir)))
+      }
+    }
+    checkpointDirs.map(horizonOf).min
+  }
+
+  /** [[pruneChangeLog]] with the horizon DERIVED from the registered
+    * consumers' checkpoints instead of trusted from the caller — through
+    * this API, retiring a commit a registered consumer still needs is
+    * impossible by construction. Returns (keepFrom used, dirs removed). */
+  def pruneChangeLogSafe(logDir: String,
+      checkpointDirs: Seq[String]): (Long, Int) = {
+    val h = safePruneHorizon(logDir, checkpointDirs)
+    (h, pruneChangeLog(logDir, h))
   }
 
   /** Retire emitted commits below `keepFrom` from the CDC log — the
@@ -1324,6 +1563,26 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def pruneChangeLog(logDir: String, keepFrom: Long): Int = {
     require(keepFrom >= 0, s"keepFrom must be >= 0, got $keepFrom")
     val log = Paths.get(logDir)
+    if (!Files.isDirectory(log)) {
+      require(keepFrom == 0,
+        s"keepFrom $keepFrom on a log that does not exist yet")
+      return 0
+    }
+    // The marker must never outrun EMISSION: emitChanges starts its todo
+    // at the marker, so advancing it past never-emitted versions would
+    // silently skip them forever — the one way this log could develop an
+    // invisible gap. Bound keepFrom by the furthest the log has actually
+    // reached (live commit dirs, or the marker itself when a prior prune
+    // retired everything).
+    val maxEmitted = (listDir(log).collect {
+      case p if Files.isDirectory(p) &&
+          p.getFileName.toString.matches("commit-\\d+") =>
+        p.getFileName.toString.drop(7).toLong
+    } :+ (earliestChange(logDir) - 1)).max
+    require(keepFrom <= maxEmitted + 1,
+      s"keepFrom $keepFrom is beyond the log's emission frontier " +
+      s"(max emitted commit is $maxEmitted): pruning unemitted versions " +
+      s"would create a silent gap — run emitChanges first")
     if (keepFrom > earliestChange(logDir)) {
       val tmp = log.resolve("_earliest.tmp")
       Files.writeString(tmp, keepFrom.toString)

@@ -27,9 +27,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 object StreamProfile {
   def main(args: Array[String]): Unit = {
     val lexMode = args.headOption.contains("lex")
-    val rest = if (lexMode) args.drop(1) else args
+    val cdcMode = args.headOption.contains("cdc")
+    val rest = if (lexMode || cdcMode) args.drop(1) else args
     val n = rest.headOption.map(_.toInt)
-      .getOrElse(if (lexMode) 20000 else 100000)
+      .getOrElse(if (lexMode || cdcMode) 20000 else 100000)
     val partList = rest.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(32, 16, 8, 4))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,7 +40,9 @@ object StreamProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (lexMode) {
+    if (cdcMode) {
+      cdcProfile(spark, n)
+    } else if (lexMode) {
       // s95 sweep: the foreachBatch sink runs ordinary BATCH jobs, so
       // spark.sql.shuffle.partitions applies per job (no query-start
       // latch) — pin it for the whole run and watch eps move. A
@@ -63,6 +66,80 @@ object StreamProfile {
       }
     }
     spark.stop()
+  }
+
+  /** Where does the s96 replication overhead go? Runs the exact
+    * [[StreamBench.replicationEps]] pipeline (leader `streamAppend` →
+    * `emitChanges` → follower `applyChanges` off the file-source log)
+    * with wall-clock split into leader / emit / follower legs, and the
+    * follower leg further split by the engine's `cdcPhaseHook` into
+    * collapse (feed read + window + arm stats), probe (id-chain work —
+    * ~0 when the id-watermark shortcut proves disjointness), and commit
+    * (the append/merge write). The residual (follower − phases) is the
+    * file source's own listing/offset bookkeeping. s94's raw-ingest
+    * number at the same volume is printed alongside as the overhead
+    * denominator. */
+  def cdcProfile(spark: SparkSession, n: Int, nBatches: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rawEps = StreamBench.ingestEps(spark, n, nBatches)
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_prof")
+    val leader = new graft.memo.MemoEngine(spark,
+      base.resolve("leader").toString)
+    val follower = new graft.memo.MemoEngine(spark,
+      base.resolve("follower").toString)
+    val phases = new java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.Double]()
+    follower.cdcPhaseHook = (ph, s) =>
+      phases.merge(ph, s, (a, b) => a + b)
+    val log = base.resolve("log").toString
+    java.nio.file.Files.createDirectories(base.resolve("log"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BenchEvent]
+    val lq = input.toDF()
+      .select(concat_ws(" ", lit("event"), col("event_id"),
+        col("event_type")).as("body"))
+      .writeStream.foreachBatch(leader.streamAppend _)
+      .option("checkpointLocation", base.resolve("lckpt").toString)
+      .outputMode("append")
+      .start()
+    val fq = follower.changeLogStream(log).writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        follower.applyChanges(b, id, lineage = "profile"))
+      .option("checkpointLocation", base.resolve("fckpt").toString)
+      .start()
+    val events = StreamBench.syntheticEvents(n)
+    val per = math.max(1, n / math.max(1, nBatches))
+    var (tLeader, tEmit, tFollower) = (0.0, 0.0, 0.0)
+    def clock(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      events.grouped(per).foreach { chunk =>
+        tLeader += clock { input.addData(chunk: _*)
+          lq.processAllAvailable() }
+        tEmit += clock(leader.emitChanges(log))
+        tFollower += clock(fq.processAllAvailable())
+      }
+      val (l, f) = (leader.records.count(), follower.records.count())
+      require(l == f && l > 0, s"follower diverged: leader=$l follower=$f")
+      val total = tLeader + tEmit + tFollower
+      import scala.jdk.CollectionConverters._
+      val ph = phases.asScala.toMap.map { case (k, v) => k -> v.toDouble }
+      val residual = tFollower - ph.values.sum
+      println(f"[profile] s96_cdc n=$n eps=${n / total}%9.0f " +
+        f"(raw s94 eps=$rawEps%9.0f overhead=${rawEps * total / n}%4.2fx) " +
+        f"leader=$tLeader%6.2fs emit=$tEmit%6.2fs follower=$tFollower%6.2fs")
+      println(f"[profile] s96_cdc follower breakdown: " +
+        ph.toSeq.sortBy(_._1).map { case (k, v) =>
+          f"$k=$v%6.2fs" }.mkString(" ") +
+        f" source-overhead=$residual%6.2fs")
+    } finally {
+      lq.stop(); fq.stop()
+      follower.cdcPhaseHook = null
+      deleteTree(base)
+    }
   }
 
   /** Run one entry at an explicit state-partition count and print the

@@ -1273,4 +1273,248 @@ class MemoEngineSpec extends SparkTestBase {
     assert(post == Seq((1L, "updated"), (2L, "removed")), s"got $post")
     engine.clean()
   }
+
+  test("retention guard: pruneChangeLog cannot outrun emission") {
+    val (engine, _) = freshEngine()
+    engine.save("---\nbody: frontier one\n") // v0
+    engine.save("---\nbody: frontier two\n") // v1
+    val log = Files.createTempDirectory("memo_cdc_frontier").toString
+    assert(engine.emitChanges(log) == Seq(0L, 1L))
+    // keepFrom == maxEmitted+1 retires everything emitted — legal
+    assert(engine.pruneChangeLog(log, keepFrom = 2) == 2)
+    // …but past the emission frontier the marker would skip versions
+    // emitChanges never wrote: the silent-gap class, refused loudly
+    engine.save("---\nbody: frontier three unemitted\n") // v2, NOT emitted
+    val e = intercept[IllegalArgumentException](
+      engine.pruneChangeLog(log, keepFrom = 3))
+    assert(e.getMessage.contains("emission frontier"), e.getMessage)
+    // emitting first makes the same keepFrom legal
+    assert(engine.emitChanges(log) == Seq(2L))
+    assert(engine.pruneChangeLog(log, keepFrom = 3) == 1)
+    engine.clean()
+  }
+
+  test("safePruneHorizon: follower checkpoints gate retention") {
+    val (leader, _) = freshEngine()
+    leader.save("---\nbody: horizon alpha\n") // v0
+    leader.save("---\nbody: horizon beta\n") // v1
+    val log = Files.createTempDirectory("memo_cdc_horizon").toString
+    leader.emitChanges(log)
+    // follower A catches up on commits 0..1; follower B never starts
+    val (fa, _) = freshEngine()
+    val ckptA = Files.createTempDirectory("memo_cdc_ckpt_a").toString
+    val ckptB = Files.createTempDirectory("memo_cdc_ckpt_b").toString
+    fa.replicateFrom(log, ckptA)
+    // more commits land and are emitted; A does NOT re-run yet
+    leader.save("---\nbody: horizon gamma\n") // v2
+    leader.emitChanges(log)
+    // A's durable progress is commits 0..1 → its horizon is 2; B has no
+    // committed batch at all → it pins the horizon at earliest (0)
+    assert(leader.safePruneHorizon(log, Seq(ckptA)) == 2L)
+    assert(leader.safePruneHorizon(log, Seq(ckptA, ckptB)) == 0L)
+    // the safe API derives keepFrom — through it, pruning a commit a
+    // registered consumer still needs is impossible by construction
+    assert(leader.pruneChangeLogSafe(log, Seq(ckptA, ckptB)) == (0L, 0))
+    assert(leader.earliestChange(log) == 0L)
+    val (h, removed) = leader.pruneChangeLogSafe(log, Seq(ckptA))
+    assert(h == 2L && removed == 2, s"got ($h, $removed)")
+    // A resumes against the pruned log and still converges: everything
+    // at/above its horizon survived
+    fa.replicateFrom(log, ckptA)
+    def state(e: MemoEngine) = e.records.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state(fa) == state(leader), "follower lost rows to a safe prune")
+    // fully-caught-up consumer: horizon = emission frontier
+    assert(leader.safePruneHorizon(log, Seq(ckptA)) == 3L)
+    // no registered consumers is not "prune everything" — it is an error
+    intercept[IllegalArgumentException](
+      leader.safePruneHorizon(log, Seq.empty))
+    fa.clean(); leader.clean()
+  }
+
+  test("bulk CDC backfill: parallel emission produces the sequential log") {
+    val (engine, _) = freshEngine()
+    (0 until 7).foreach(i =>
+      engine.save(s"---\nbody: backfill note $i\n")) // v0..v6
+    engine.save("---\nid: 2\nbody: backfill note 2 amended\n") // v7 rewrite
+    val seqLog = Files.createTempDirectory("memo_cdc_seq").toString
+    val parLog = Files.createTempDirectory("memo_cdc_par").toString
+    assert(engine.emitChanges(seqLog, parallelism = 1) == (0L to 7L))
+    assert(engine.emitChanges(parLog, parallelism = 4) == (0L to 7L))
+    // same commits, same rows, commit by commit
+    def logRows(dir: String) = spark.read
+      .schema(MemoEngine.ChangeLogSchema).parquet(s"$dir/commit-*")
+      .orderBy("commit_version", "id").collect()
+      .map(r => (r.getLong(4), r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(logRows(parLog) == logRows(seqLog))
+    // idempotent: a re-run of the parallel path emits nothing
+    assert(engine.emitChanges(parLog, parallelism = 4).isEmpty)
+    // no staging corpses survive the pool
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(parLog))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(".emit-")).toSeq
+    assert(leftovers.isEmpty, s"staging corpses: $leftovers")
+    engine.clean()
+  }
+
+  test("applyChanges: id-watermark shortcut proves disjointness without a join") {
+    import spark.implicits._
+    val (follower, _) = freshEngine()
+    val phases = scala.collection.mutable.Map[String, Int]()
+    follower.cdcPhaseHook =
+      (ph, _) => phases.synchronized { phases(ph) = phases.getOrElse(ph, 0) + 1 }
+    def feed(rows: Seq[(Long, String, String)]) = rows
+      .toDF("id", "change", "body")
+      .withColumn("metadata", org.apache.spark.sql.functions
+        .map(org.apache.spark.sql.functions.lit("k"),
+          org.apache.spark.sql.functions.lit("v")))
+      .withColumn("commit_version", org.apache.spark.sql.functions.lit(0L))
+    try {
+      follower.applyChanges(feed(Seq((0L, "added", "wm zero"))))
+      phases.clear()
+      // batch 2: pure adds, min id (1) > store max (0) — the first batch
+      // pays ONE priming max(id) probe, then the watermark decides alone
+      follower.applyChanges(feed(Seq((1L, "added", "wm one"),
+        (2L, "added", "wm two"))))
+      assert(phases.getOrElse("probe", 0) == 1,
+        s"expected exactly the priming max-id scan, got $phases")
+      assert(follower.history.orderBy(
+        org.apache.spark.sql.functions.desc("version"))
+        .select("kind").collect().head.getString(0) == "append")
+      phases.clear()
+      // batch 3: memo is warm from our own commit — ZERO probe jobs
+      follower.applyChanges(feed(Seq((3L, "added", "wm three"))))
+      assert(phases.getOrElse("probe", 0) == 0,
+        s"warm watermark still probed the chain: $phases")
+      // a REPLAYED add (id collides) fails the watermark, takes the
+      // overlap probe, and lands as the content-idempotent merge
+      phases.clear()
+      follower.applyChanges(feed(Seq((3L, "added", "wm three"))))
+      assert(phases.getOrElse("probe", 0) >= 1,
+        s"colliding batch skipped the probe: $phases")
+      val st = follower.records.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(st == Seq((0L, "wm zero"), (1L, "wm one"), (2L, "wm two"),
+        (3L, "wm three")), s"got $st")
+      // removes always take the merge arm and converge
+      follower.applyChanges(feed(Seq((1L, "removed", "wm one"))))
+      assert(follower.records.orderBy("id").collect().map(_.getLong(0))
+        .toSeq == Seq(0L, 2L, 3L))
+    } finally follower.cdcPhaseHook = null
+    follower.clean()
+  }
+
+  test("branch CDC contract: a clone emits a NEW lineage with a full bootstrap") {
+    val (engine, base) = freshEngine()
+    engine.save("---\nbody: branch cdc one\n") // v0
+    engine.save("---\nbody: branch cdc two\n") // v1 append
+    val srcLog = Files.createTempDirectory("memo_cdc_src").toString
+    engine.emitChanges(srcLog)
+    val branch = engine.cloneTo(s"$base-branch")
+    val brLog = Files.createTempDirectory("memo_cdc_branch").toString
+    // the branch's log starts at ITS commit-0: a full-state bootstrap of
+    // the cloned state (every row as `added`), not a pointer into the
+    // source's log — a branch is a new CDC lineage, so branch consumers
+    // never depend on the source log's retention and source consumers
+    // never see branch commits
+    assert(branch.emitChanges(brLog) == Seq(0L))
+    val boot = spark.read.schema(MemoEngine.ChangeLogSchema)
+      .parquet(s"$brLog/commit-0").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(boot == Seq((0L, "added", "branch cdc one"),
+      (1L, "added", "branch cdc two")), s"got $boot")
+    // a follower bootstrapped purely from the branch log matches the branch
+    val (fb, _) = freshEngine()
+    val ckpt = Files.createTempDirectory("memo_cdc_branch_ckpt").toString
+    fb.replicateFrom(brLog, ckpt)
+    assert(fb.records.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("branch cdc one", "branch cdc two"))
+    // divergence after the branch point stays in its own lineage
+    branch.save("---\nbody: branch-only note\n")
+    branch.emitChanges(brLog)
+    assert(engine.emitChanges(srcLog).isEmpty,
+      "branch commit leaked into the source lineage")
+    fb.replicateFrom(brLog, ckpt)
+    assert(fb.records.count() == 3)
+    fb.clean(); branch.clean(); engine.clean()
+  }
+
+  test("history: a shallow clone's v0 is a snapshot, not an inflated append") {
+    val (engine, base) = freshEngine()
+    engine.save("---\nbody: kind one\n") // v0
+    engine.save("---\nbody: kind two\n") // v1 append (fan-in 2)
+    val branch = engine.cloneTo(s"$base-kindbranch")
+    // v0 of the clone references the SOURCE's two segment dirs in place —
+    // structurally multi-segment, semantically a full snapshot
+    val kinds = branch.history.orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(kinds == Seq((0L, "snapshot", 2)), s"got $kinds")
+    branch.save("---\nbody: kind three on branch\n")
+    assert(branch.history.orderBy("version").collect()
+      .map(_.getString(1)).toSeq == Seq("snapshot", "append"))
+    // restore writes a non-extending manifest (a prefix of the live
+    // chain) — that is a snapshot commit too, not an "append"
+    engine.restore(0)
+    assert(engine.history.orderBy("version").collect()
+      .map(_.getString(1)).toSeq == Seq("snapshot", "append", "snapshot"))
+    branch.clean(); engine.clean()
+  }
+
+  // NOTE on log noise: this test legitimately prints FileNotFoundException
+  // lines — the follower's file source re-lists `commit-*` paths that the
+  // concurrent pruner retired AFTER the checkpoint marked them processed.
+  // Those are the documented loud-transient class: the listing shrugs them
+  // off, and `spark.sql.files.ignoreMissingFiles` stays false, so a file
+  // lost while still UNPROCESSED would fail the query (and this test) loudly
+  // instead of silently skipping rows.
+  test("CDC churn: concurrent save/emit/prune/replicate converge gaplessly") {
+    val (leader, _) = freshEngine()
+    leader.save("---\nbody: churn seed\n")
+    val log = Files.createTempDirectory("memo_cdc_churn").toString
+    val ckpt = Files.createTempDirectory("memo_cdc_churn_ckpt").toString
+    val (follower, _) = freshEngine()
+    leader.emitChanges(log)
+    follower.replicateFrom(log, ckpt) // register the consumer's checkpoint
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def loop(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try while (!stop.get()) { body }
+        catch { case e: Throwable => errors.add(e); stop.set(true) },
+        name)
+      t.start(); t
+    }
+    val nSaves = 12
+    val saver = new Thread(() =>
+      try (0 until nSaves).foreach(i =>
+        leader.save(s"---\nbody: churn note $i\n"))
+      catch { case e: Throwable => errors.add(e) }
+      finally stop.set(true), "churn-saver")
+    saver.start()
+    val threads = Seq(
+      loop("churn-emit-1")(leader.emitChanges(log)),
+      loop("churn-emit-2")(leader.emitChanges(log)),
+      loop("churn-prune") {
+        leader.pruneChangeLogSafe(log, Seq(ckpt)); Thread.sleep(20)
+      },
+      loop("churn-follow")(follower.replicateFrom(log, ckpt)))
+    saver.join()
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty,
+      s"churn surfaced: ${errors.asScala.map(_.toString).mkString("; ")}")
+    // quiesce: emit the tail, drain the follower, compare exactly
+    leader.emitChanges(log)
+    follower.replicateFrom(log, ckpt)
+    def state(e: MemoEngine) = e.records.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state(follower) == state(leader),
+      "follower diverged under churn")
+    assert(follower.records.count() == nSaves + 1)
+    assert(follower.records.select("id").distinct().count() ==
+      follower.records.count(), "duplicate ids on the follower")
+    follower.clean(); leader.clean()
+  }
 }
