@@ -1345,8 +1345,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * this store — the steady state of replicating an append-mostly
     * leader — commits as an APPEND DELTA, O(batch) like [[streamAppend]].
     * The arm decision itself is O(batch) in that steady state: one
-    * aggregation over the (cached) collapsed batch yields its remove
-    * count and upsert id range, and the DENSE-ID INVARIANT (the leader
+    * aggregation over the (cached) raw batch yields its remove count,
+    * distinct-id count, and upsert id range — and when the ids are
+    * already unique (every well-formed batch that does not fold an
+    * update CHAIN into one trigger) the batch IS its own
+    * last-change-per-id collapse, so the row_number window and its
+    * id-shuffle are skipped outright. The DENSE-ID INVARIANT (the leader
     * mints ascending ids, a follower is apply-only and preserves them)
     * makes `min upsert id > this store's max id` a sound proof that no
     * upsert can collide — no join against the id chain at all. The max
@@ -1365,29 +1369,48 @@ class MemoEngine(spark: SparkSession, basePath: String,
       return
     val v0 = currentVersion
     import org.apache.spark.sql.expressions.Window
-    val latest = feed
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("commit_version").desc)))
-      .filter(col("_rn") === 1).drop("_rn")
-      .cache() // evaluated by the arm stats AND the commit's two writes
+    def armStats(df: DataFrame) =
+      df.agg(count(lit(1)).as("n"),
+        count_distinct(col("id")).as("ids"),
+        sum(when(col("change") === "removed", 1L).otherwise(0L))
+          .as("removed"),
+        min(when(col("change") =!= "removed", col("id"))).as("min_up"),
+        max(when(col("change") =!= "removed", col("id"))).as("max_up"))
+        .collect()(0)
+    val raw = feed.cache() // arm stats + (usually) the commit's two writes
+    var windowed: DataFrame = null
     try {
       val mark = if (batchId >= 0) Some((lineage, batchId)) else None
+      // One aggregation over the RAW feed materializes the cache and
+      // yields everything the arm decision needs — row count, distinct
+      // ids, remove count, upsert id range — INCLUDING whether the
+      // last-change-per-id collapse is an identity: a batch whose ids
+      // are already unique (the steady state — each commit touches an
+      // id at most once, and pure-append commits never revisit one) IS
+      // its own collapse, so the row_number window and its per-batch
+      // id-shuffle are skipped entirely. Only a batch that revisits an
+      // id (an update chain folded into one trigger) pays the window,
+      // and its stats are recomputed post-collapse because per-id
+      // history folding changes them.
+      var stats = timedPhase("collapse") { armStats(raw) }
+      val latest =
+        if (stats.getLong(0) == stats.getLong(1)) raw
+        else timedPhase("collapse") {
+          windowed = raw
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("id"))
+                .orderBy(col("commit_version").desc)))
+            .filter(col("_rn") === 1).drop("_rn")
+            .cache()
+          stats = armStats(windowed)
+          windowed
+        }
       val upserts = latest.filter(col("change") =!= "removed")
         .select(col("id"), col("body"), col("metadata"))
-      // One aggregation both materializes the cache and yields everything
-      // the arm decision needs: row count, remove count, upsert id range.
-      val stats = timedPhase("collapse") {
-        latest.agg(count(lit(1)).as("n"),
-          sum(when(col("change") === "removed", 1L).otherwise(0L))
-            .as("removed"),
-          min(when(col("change") =!= "removed", col("id"))).as("min_up"),
-          max(when(col("change") =!= "removed", col("id"))).as("max_up"))
-          .collect()(0)
-      }
       if (stats.getLong(0) == 0L) return // empty batch (all-null range)
-      val nRemoved = stats.getLong(1)
-      val minUp = if (stats.isNullAt(2)) Long.MaxValue else stats.getLong(2)
-      val maxUp = if (stats.isNullAt(3)) Long.MinValue else stats.getLong(3)
+      val nRemoved = stats.getLong(2)
+      val minUp = if (stats.isNullAt(3)) Long.MaxValue else stats.getLong(3)
+      val maxUp = if (stats.isNullAt(4)) Long.MinValue else stats.getLong(4)
       val addsOnly = nRemoved == 0L && v0.exists { prior =>
         minUp > storeMaxId(prior) || timedPhase("probe") {
           upserts.join(records.select("id"), Seq("id"), "left_semi").isEmpty
@@ -1413,7 +1436,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
         }
       }
       ()
-    } finally latest.unpersist()
+    } finally {
+      raw.unpersist()
+      if (windowed != null) windowed.unpersist()
+    }
   }
 
   /** Driver-memoized max id of the records chain, keyed by the store
@@ -1431,9 +1457,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
   }
 
   /** Profiling seam for [[applyChanges]]: when set, called with
-    * (phase, seconds) for each timed phase — collapse (feed read +
-    * window + arm stats), probe (id-chain work when the watermark can't
-    * prove disjointness), commit (the chosen arm's write path). Null in
+    * (phase, seconds) for each timed phase — collapse (feed read + arm
+    * stats, plus the row_number window only when the batch revisits an
+    * id), probe (id-chain work when the watermark can't prove
+    * disjointness), commit (the chosen arm's write path). Null in
     * production: the timing wrapper is a straight pass-through. */
   private[graft] var cdcPhaseHook: (String, Double) => Unit = null
   @inline private def timedPhase[A](phase: String)(f: => A): A =
