@@ -106,6 +106,21 @@ object MaintProfile {
       engine.emitChanges(base.resolve("cdc_p8").toString, parallelism = 8))
     engine.save(batchYaml(nSegs + 100))
     val tEmit1 = timed(engine.emitChanges(cdcLog))
+    // segment-pruned CDC merge: an update batch confined to ONE segment's
+    // id range must cost O(touched segment) — FLAT vs chain length (the
+    // pre-patch full rewrite paid O(corpus) here). The spread batch (one
+    // id per original segment) forces the full-rewrite fallback and is
+    // the linear-by-design reference alongside it.
+    def updFeed(ids: Seq[Long], tag: String) = {
+      import org.apache.spark.sql.functions.{lit, map => fmap}
+      ids.map(i => (i, "updated", s"patched $tag body for row $i"))
+        .toDF("id", "change", "body")
+        .withColumn("metadata", fmap(lit("patched"), lit(tag)))
+        .withColumn("commit_version", lit(0L))
+    }
+    val tPatch = timed(engine.applyChanges(updFeed(0L until 5L, "narrow")))
+    val tSpread = timed(engine.applyChanges(
+      updFeed((0 until nSegs).map(_.toLong * docsPerSeg), "spread")))
     val tRestore = timed(engine.restore(cur - 1))
     val tReindex = { val t = System.nanoTime(); engine.reindex()
       (System.nanoTime() - t) / 1e9 }
@@ -118,7 +133,8 @@ object MaintProfile {
       f" feed1=${tFeed1}%5.2fs feedAll=${tFeedAll}%5.2fs " +
       f"clone=${tClone}%5.2fs emitAll p1=${tEmitSeq}%6.2fs " +
       f"p4=${tEmitAll}%6.2fs p8=${tEmitP8}%6.2fs " +
-      f"emit1=${tEmit1}%5.2fs restore=${tRestore}%5.2fs" +
+      f"emit1=${tEmit1}%5.2fs patch=${tPatch}%5.2fs " +
+      f"spread=${tSpread}%5.2fs restore=${tRestore}%5.2fs" +
       f" reindex=${tReindex}%6.2fs vacuum=${tVacuum._1}%5.2fs" +
       f"(${tVacuum._2}%d dirs)")
     engine.clean()

@@ -90,6 +90,37 @@ class MemoEngine(spark: SparkSession, basePath: String,
     Files.writeString(staging.resolve(s"$kind.manifest"),
       segs.mkString("", "\n", "\n"))
 
+  /** Sidecar recording the id RANGE of a freshly written records segment
+    * (`_idrange` — the underscore keeps it invisible to Spark's parquet
+    * listings). Dense ascending id minting means live segments hold
+    * DISJOINT id sets, so a recorded [min,max] per segment lets
+    * [[patchMerge]] prove "this batch cannot touch that segment" from
+    * two longs — the file-pruning a Delta MERGE gets from file stats.
+    * Ranges may OVERLAP after a patch folds non-adjacent segments (the
+    * id sets stay disjoint); intersection tests stay sound, just
+    * over-approximate — a false positive only rewrites an extra segment.
+    * Cost: one column-pruned min/max scan of the just-written segment,
+    * O(segment) against a commit that just wrote O(segment × row width).
+    * A segment without the sidecar (pre-existing stores) reads as
+    * "unknown — intersects everything" and the patch arm stands down. */
+  private def writeIdRange(segDir: Path): Unit = {
+    val r = spark.read.schema(YamlIO.recordSchema)
+      .parquet(segDir.toString).agg(min(col("id")), max(col("id")))
+      .collect()(0)
+    Files.writeString(segDir.resolve("_idrange"),
+      if (r.isNullAt(0)) "empty" else s"${r.getLong(0)},${r.getLong(1)}")
+  }
+
+  private def readIdRange(segDir: String): Option[(Long, Long)] = {
+    val p = Paths.get(segDir).resolve("_idrange")
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim match {
+      // an empty segment intersects nothing: min > max by construction
+      case "empty" => Some((Long.MaxValue, Long.MinValue))
+      case s => val a = s.split(","); Some((a(0).toLong, a(1).toLong))
+    }
+  }
+
   /** The streaming exactly-once watermark: (checkpoint lineage, highest
     * micro-batch id) committed into the live chain ([[streamSink]]'s
     * dedup key). The marker lives INSIDE the version directory — written
@@ -327,6 +358,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
       embedded.write.mode("overwrite")
         .parquet(staging.resolve("index").toString)
       recs.write.mode("overwrite").parquet(staging.resolve("records").toString)
+      writeIdRange(staging.resolve("records"))
       writeManifest(staging, v, "records",
         Seq(versionDir(v).resolve("records").toString))
       writeManifest(staging, v, "index",
@@ -375,6 +407,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         .select(col("id"), embedText(col("body")).as("embedding"))
         .write.mode("overwrite").parquet(staging.resolve("index").toString)
       recs.write.mode("overwrite").parquet(staging.resolve("records").toString)
+      writeIdRange(staging.resolve("records"))
       writeManifest(staging, v, "records",
         segments(expectedPrior, "records") :+
           versionDir(v).resolve("records").toString)
@@ -1427,11 +1460,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
               case _ => None
             }
           case _ =>
-            val merged = records
-              .join(latest.select("id"), Seq("id"), "left_anti")
-              .unionByName(upserts)
-            commit(merged, v0, changedIds = Some(latest.select("id")),
-              markBatch = mark)
+            val patched = v0.exists(prior =>
+              patchMerge(prior, latest, upserts, mark))
+            if (!patched) {
+              val merged = records
+                .join(latest.select("id"), Seq("id"), "left_anti")
+                .unionByName(upserts)
+              commit(merged, v0, changedIds = Some(latest.select("id")),
+                markBatch = mark)
+            }
             maxIdMemo = None // a rewrite can move the max either way
         }
       }
@@ -1440,6 +1477,80 @@ class MemoEngine(spark: SparkSession, basePath: String,
       raw.unpersist()
       if (windowed != null) windowed.unpersist()
     }
+  }
+
+  /** SEGMENT-PRUNED merge — the Delta file-pruned-MERGE cost class for
+    * the CDC rewrite arm. Dense ascending id minting keeps live
+    * segments' id SETS disjoint, and every segment written since the
+    * `_idrange` sidecar landed records its [min,max]; a batch of
+    * updates/removes therefore rewrites ONLY the segments whose range
+    * intersects a batch id (plus one new segment holding the survivors
+    * and the batch's upserts), while every other segment — including the
+    * bulk base snapshot — is carried into the new manifest BY REFERENCE.
+    * An update batch touching k recent rows against a 100-TB chain costs
+    * O(segments containing those rows), not O(corpus).
+    *
+    * The index is patched with the SAME scope: the touched segments'
+    * index rows (positionally paired with the records manifest) minus
+    * the batch's ids, plus fresh embeddings for the non-blank upserts —
+    * untouched index segments ride along by reference, so no unchanged
+    * row re-embeds and no unchanged embedding rewrites.
+    *
+    * Returns false — caller falls back to the full-rewrite commit — when
+    * the pruning can't be proven or wouldn't pay: a segment without a
+    * range sidecar (pre-sidecar store), records/index manifests that
+    * don't pair positionally, every segment touched anyway, or a chain
+    * at the maxSegments fold point (the full rewrite doubles as the
+    * compaction, same as [[commitAppend]]'s fold). Ranges may overlap
+    * after patches fold non-adjacent segments (id sets stay disjoint),
+    * so the intersection test is over-approximate — sound, at worst an
+    * extra segment rewritten. */
+  private def patchMerge(prior: Long, latest: DataFrame, upserts: DataFrame,
+      mark: Option[(String, Long)]): Boolean = {
+    val segsR = segments(prior, "records")
+    val segsI = segments(prior, "index")
+    if (segsR.size != segsI.size || segsR.size <= 1) return false
+    if (segsR.size >= maxSegments) return false // fold via full rewrite
+    val ranges = segsR.map(readIdRange)
+    if (ranges.exists(_.isEmpty)) return false
+    // one small aggregation over the cached batch: per-segment touch
+    // counts (≤ maxSegments sum columns, each a range test on id)
+    val touchRow = latest.agg(
+      count(lit(1)).as("_n"), // anchor so agg is never empty-columned
+      ranges.zipWithIndex.map { case (Some((lo, hi)), i) =>
+        sum(when(col("id").between(lo, hi), 1L).otherwise(0L)).as(s"_t$i")
+      case (None, _) => throw new IllegalStateException("unreachable")
+      }: _*).collect()(0)
+    val touched = ranges.indices.filter(i => touchRow.getLong(i + 1) > 0L)
+    if (touched.isEmpty || touched.size == segsR.size) return false
+    val touchedSet = touched.toSet
+    val keep = segsR.indices.filterNot(touchedSet.contains)
+    val v = prior + 1
+    val staging = newStaging()
+    try {
+      val batchIds = latest.select("id")
+      spark.read.schema(YamlIO.recordSchema)
+        .parquet(touched.map(segsR): _*)
+        .join(batchIds, Seq("id"), "left_anti")
+        .unionByName(upserts)
+        .write.mode("overwrite")
+        .parquet(staging.resolve("records").toString)
+      writeIdRange(staging.resolve("records"))
+      spark.read.parquet(touched.map(segsI): _*)
+        .join(batchIds, Seq("id"), "left_anti")
+        .unionByName(upserts.filter(!isBlank(col("body")))
+          .select(col("id"), embedText(col("body")).as("embedding")))
+        .write.mode("overwrite")
+        .parquet(staging.resolve("index").toString)
+      writeManifest(staging, v, "records",
+        keep.map(segsR) :+ versionDir(v).resolve("records").toString)
+      writeManifest(staging, v, "index",
+        keep.map(segsI) :+ versionDir(v).resolve("index").toString)
+      carryStreamMarker(staging, mark)
+      finalizeCommit(staging, v, Some(prior))
+      true
+    } catch reclassifyRaceCollateral(v, Some(prior))
+    finally deleteTree(staging) // no-op when promoted
   }
 
   /** Driver-memoized max id of the records chain, keyed by the store

@@ -1462,6 +1462,68 @@ class MemoEngineSpec extends SparkTestBase {
     branch.clean(); engine.clean()
   }
 
+  test("segment-pruned merge: an update rewrites ONLY the touched segments") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val (engine, base) = freshEngine()
+    // four append segments with disjoint id ranges: {0,1} {2,3} {4,5} {6,7}
+    (0 until 4).foreach(i => engine.save(
+      s"---\nbody: patchseg $i row a\n---\nbody: patchseg $i row b\n"))
+    def manifest(v: Long) = Files.readAllLines(java.nio.file.Paths
+      .get(base, s"v$v", "records.manifest")).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val m3 = manifest(3)
+    assert(m3.size == 4, s"expected a 4-segment chain, got $m3")
+    def feed(rows: Seq[(Long, String, String)]) = rows
+      .toDF("id", "change", "body")
+      .withColumn("metadata", org.apache.spark.sql.functions
+        .map(org.apache.spark.sql.functions.lit("k"),
+          org.apache.spark.sql.functions.lit("v")))
+      .withColumn("commit_version", org.apache.spark.sql.functions.lit(0L))
+    // update id 5 — lives in the third segment; every other segment must
+    // survive into v4's manifest BY REFERENCE, with one new patch dir
+    val before = graft.functions.VectorKernels.embedCalls.get()
+    engine.applyChanges(feed(Seq((5L, "updated", "patchseg 2 row b amended"))))
+    val embeds = graft.functions.VectorKernels.embedCalls.get() - before
+    assert(embeds >= 1 && embeds <= 2,
+      s"patch should embed ONLY the updated row, measured $embeds")
+    val m4 = manifest(4)
+    assert(m4.size == 4, s"got $m4")
+    assert(m4.containsSlice(Seq(m3(0), m3(1))) && m4.contains(m3(3)),
+      s"untouched segments not carried by reference: $m4 vs $m3")
+    assert(!m4.contains(m3(2)), s"touched segment still referenced: $m4")
+    assert(m4.last.endsWith("v4/records"), s"no fresh patch segment: $m4")
+    val st = engine.records.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(st.size == 8 && st(5) == (5L, "patchseg 2 row b amended"),
+      s"got $st")
+    // the patched index serves recall and carries NO stale embedding:
+    // the amended body ranks for its new words
+    assert(engine.recall("amended", k = 1).collect()
+      .head.getAs[String]("body").contains("amended"))
+    // a REMOVE patches the same way: {2,3}'s segment rewritten, id 2 gone
+    engine.applyChanges(feed(Seq((2L, "removed", "patchseg 1 row a"))))
+    val m5 = manifest(5)
+    assert(m5.size == 4 && !m5.contains(m4.find(_.endsWith("v1/records"))
+      .getOrElse("<gone>")), s"got $m5")
+    assert(engine.records.count() == 7 &&
+      engine.records.filter(org.apache.spark.sql.functions
+        .col("id") === 2L).isEmpty)
+    // the changefeed classifies ACROSS a patch commit exactly
+    val diff = engine.changesBetween(3, 4).select("id", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(diff == Seq((5L, "updated")), s"got $diff")
+    // a batch touching EVERY segment falls back to the full rewrite
+    engine.applyChanges(feed(Seq((0L, "updated", "patchseg 0 row a v2"),
+      (3L, "updated", "patchseg 1 row b v2"),
+      (4L, "updated", "patchseg 2 row a v2"),
+      (7L, "updated", "patchseg 3 row b v2"))))
+    assert(manifest(6) == Seq(java.nio.file.Paths.get(base, "v6", "records")
+      .toString), s"all-segments batch should compact: ${manifest(6)}")
+    assert(engine.records.count() == 7)
+    engine.clean()
+  }
+
   // NOTE on log noise: this test legitimately prints FileNotFoundException
   // lines — the follower's file source re-lists `commit-*` paths that the
   // concurrent pruner retired AFTER the checkpoint marked them processed.
