@@ -1405,8 +1405,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     def armStats(df: DataFrame) =
       df.agg(count(lit(1)).as("n"),
         count_distinct(col("id")).as("ids"),
-        sum(when(col("change") === "removed", 1L).otherwise(0L))
-          .as("removed"),
+        sum(when(col("change") === "added", 0L).otherwise(1L))
+          .as("non_added"),
         min(when(col("change") =!= "removed", col("id"))).as("min_up"),
         max(when(col("change") =!= "removed", col("id"))).as("max_up"))
         .collect()(0)
@@ -1441,10 +1441,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
       val upserts = latest.filter(col("change") =!= "removed")
         .select(col("id"), col("body"), col("metadata"))
       if (stats.getLong(0) == 0L) return // empty batch (all-null range)
-      val nRemoved = stats.getLong(2)
+      val nNonAdded = stats.getLong(2)
       val minUp = if (stats.isNullAt(3)) Long.MaxValue else stats.getLong(3)
       val maxUp = if (stats.isNullAt(4)) Long.MinValue else stats.getLong(4)
-      val addsOnly = nRemoved == 0L && v0.exists { prior =>
+      // the feed's own change labels pre-decide the arm: an `updated` or
+      // `removed` row by definition names an existing id, so only an
+      // all-`added` batch can be adds-only — update/remove batches go
+      // straight to the merge arm without paying the id-chain probe (or
+      // even the max-id priming scan) the watermark test would cost
+      val addsOnly = nNonAdded == 0L && v0.exists { prior =>
         minUp > storeMaxId(prior) || timedPhase("probe") {
           upserts.join(records.select("id"), Seq("id"), "left_semi").isEmpty
         }
