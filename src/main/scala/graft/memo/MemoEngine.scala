@@ -524,11 +524,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
             // pure append: new segment + manifest extension, O(batch) write
             commitAppend(batchDf, idsDf, expectedPrior = prior)
           case _ =>
-            // overwrite (or first save): fresh records snapshot for
-            // latest-wins reads; the index is still derived incrementally
-            val merged = existing.join(idsDf, Seq("id"), "left_anti")
-              .unionByName(batchDf)
-            commit(merged, v0, changedIds = Some(idsDf))
+            // overwrite (or first save). A chain whose segments carry id
+            // ranges takes the SEGMENT-PRUNED patch — only the segments
+            // holding overwritten ids rewrite, everything else rides by
+            // reference ([[patchMerge]]); otherwise a fresh compacting
+            // snapshot for latest-wins reads. The index is derived
+            // incrementally either way (batch rows embed, nothing else).
+            val patched = v0.exists(prior =>
+              patchMerge(prior, idsDf, batchDf, mark = None))
+            if (!patched) {
+              val merged = existing.join(idsDf, Seq("id"), "left_anti")
+                .unionByName(batchDf)
+              commit(merged, v0, changedIds = Some(idsDf))
+            }
         }
         // the reference echoes the FULL body, newlines and all
         // (memo_cli.py:430, 440: f"Memorized: '{note}' ...")
@@ -578,9 +586,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
         (v0, hasOverrides) match {
           case (Some(prior), false) =>
             commitAppend(batchDf, idsDf, expectedPrior = prior)
-          case _ => commit(
-            records.join(idsDf, Seq("id"), "left_anti").unionByName(batchDf),
-            v0, changedIds = Some(idsDf))
+          case _ => // segment-pruned when ranges prove the scope (see save)
+            val patched = v0.exists(prior =>
+              patchMerge(prior, idsDf, batchDf, mark = None))
+            if (!patched) commit(
+              records.join(idsDf, Seq("id"), "left_anti").unionByName(batchDf),
+              v0, changedIds = Some(idsDf))
         }
         val echo = resolved.orderBy(col("file"), col("off"), col("seq"))
           .select(col("id"), col("body")).as[(Long, String)]
@@ -1466,7 +1477,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             }
           case _ =>
             val patched = v0.exists(prior =>
-              patchMerge(prior, latest, upserts, mark))
+              patchMerge(prior, latest.select("id"), upserts, mark))
             if (!patched) {
               val merged = records
                 .join(latest.select("id"), Seq("id"), "left_anti")
@@ -1485,7 +1496,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
   }
 
   /** SEGMENT-PRUNED merge — the Delta file-pruned-MERGE cost class for
-    * the CDC rewrite arm. Dense ascending id minting keeps live
+    * the CDC rewrite arm and [[save]]'s overwrite arm (which also
+    * carries the CLI's soft-delete shape: a delete is a metadata
+    * overwrite). Dense ascending id minting keeps live
     * segments' id SETS disjoint, and every segment written since the
     * `_idrange` sidecar landed records its [min,max]; a batch of
     * updates/removes therefore rewrites ONLY the segments whose range
@@ -1510,7 +1523,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * after patches fold non-adjacent segments (id sets stay disjoint),
     * so the intersection test is over-approximate — sound, at worst an
     * extra segment rewritten. */
-  private def patchMerge(prior: Long, latest: DataFrame, upserts: DataFrame,
+  private def patchMerge(prior: Long, batchIds: DataFrame, upserts: DataFrame,
       mark: Option[(String, Long)]): Boolean = {
     val segsR = segments(prior, "records")
     val segsI = segments(prior, "index")
@@ -1518,9 +1531,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
     if (segsR.size >= maxSegments) return false // fold via full rewrite
     val ranges = segsR.map(readIdRange)
     if (ranges.exists(_.isEmpty)) return false
-    // one small aggregation over the cached batch: per-segment touch
+    // one small aggregation over the batch ids: per-segment touch
     // counts (≤ maxSegments sum columns, each a range test on id)
-    val touchRow = latest.agg(
+    val touchRow = batchIds.agg(
       count(lit(1)).as("_n"), // anchor so agg is never empty-columned
       ranges.zipWithIndex.map { case (Some((lo, hi)), i) =>
         sum(when(col("id").between(lo, hi), 1L).otherwise(0L)).as(s"_t$i")
@@ -1533,7 +1546,6 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val v = prior + 1
     val staging = newStaging()
     try {
-      val batchIds = latest.select("id")
       spark.read.schema(YamlIO.recordSchema)
         .parquet(touched.map(segsR): _*)
         .join(batchIds, Seq("id"), "left_anti")

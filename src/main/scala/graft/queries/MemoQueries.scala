@@ -228,6 +228,59 @@ object MemoQueries {
       .orderBy("commit_version", "id")
   }
 
+  /** Segment-pruned merge end-to-end (the r12 `patchMerge` path, beyond
+    * the reference): a three-segment store built from the documents table
+    * (three equal `save` commits in doc_id order), then ONE CDC batch
+    * ([[graft.memo.MemoEngine.applyChanges]]) that updates every 10th id
+    * in the MIDDLE third and removes every 25th id in the LAST third —
+    * so the middle and last segments rewrite while the first rides into
+    * the new manifest BY REFERENCE (asserted loudly at build time; the
+    * oracle pins the SEMANTICS: DuckDB replays dense minting in doc_id
+    * order, the thirds cut, the update rule, and the remove rule).
+    * BUILD-ONCE per sf-dir; a bench repeat measures reading the patched
+    * store. */
+  private val q97PatchMerge: Q = (s, dir) => {
+    import s.implicits._
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q97patch", dir))
+    val done = base.resolve("_done")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = n / 3
+      def yamlOf(texts: Seq[String]) = {
+        texts.find(t => t.exists(c => c == '\n' || c == '\r')).foreach(t =>
+          throw new IllegalStateException(
+            s"q97 fixture text contains a newline: ${t.take(80)}"))
+        texts.map(t => s"---\nbody: $t\n").mkString
+      }
+      val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.grouped(third.max(1)).foreach(g =>
+        engine.save(yamlOf(g.map(_.getString(1)).toSeq)))
+      val updates = (third until 2 * third).filter(_ % 10 == 0)
+        .map(i => (i.toLong, "updated", s"patched $i"))
+      val removes = (2 * third until n).filter(_ % 25 == 0)
+        .map(i => (i.toLong, "removed", ""))
+      val feed = (updates ++ removes).toDF("id", "change", "body")
+        .withColumn("metadata", map(lit("patched"), lit("bTrue")))
+        .withColumn("commit_version", lit(0L))
+      engine.applyChanges(feed)
+      // the point of the exercise, pinned loudly: first segment kept BY
+      // REFERENCE (manifest = [v0's dir, the patch dir]) — if this ever
+      // reads 1 the patch silently degraded to a full rewrite
+      val mf = java.nio.file.Files.readAllLines(base.resolve("db")
+        .resolve(s"v${engine.versions.max}").resolve("records.manifest"))
+      require(mf.size == 2 && mf.get(0).contains("/v0/"),
+        s"q97 expected a segment-pruned manifest [v0, patch], got $mf")
+      java.nio.file.Files.createFile(done)
+    }
+    new graft.memo.MemoEngine(s, base.resolve("db").toString)
+      .records.select(col("id"), col("body")).orderBy("id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -244,6 +297,7 @@ object MemoQueries {
     "q78_delete_truthiness" -> q78DeleteTruthiness,
     "q95_changefeed" -> q95Changefeed,
     "q96_cdc_outbox" -> q96CdcOutbox,
+    "q97_patch_merge" -> q97PatchMerge,
   )
 
   val oracles: Map[String, String] = Map(
@@ -353,5 +407,16 @@ object MemoQueries {
         |  SELECT 2, id, 'updated', 'redacted ' || id FROM lim WHERE id % 9 = 0)
         |SELECT commit_version, id, change, body FROM feed
         |ORDER BY commit_version, id""".stripMargin,
+    "q97_patch_merge" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id, text
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d)
+        |SELECT d.id,
+        |  CASE WHEN d.id >= p.third AND d.id < 2 * p.third AND d.id % 10 = 0
+        |    THEN 'patched ' || CAST(d.id AS VARCHAR) ELSE d.text END AS body
+        |FROM d, p
+        |WHERE NOT (d.id >= 2 * p.third AND d.id % 25 = 0)
+        |ORDER BY d.id""".stripMargin,
   )
 }

@@ -118,10 +118,14 @@ class MemoEngineSpec extends SparkTestBase {
     val want = VectorKernels.hashEmbedFloats("replacement text",
       VectorKernels.DefaultDim).toSeq
     assert(vec == want)
-    // the overwrite compacted records back to a single snapshot
+    // the overwrite patches ONLY the touched segment (r12): id 3 lives in
+    // the v0 snapshot, so v0 is replaced by the v2 patch segment while the
+    // untouched v1 delta rides into v2's manifest BY REFERENCE
     val segs2 = engine.records.inputFiles
       .map(_.replaceFirst("/[^/]+$", "")).distinct
-    assert(segs2.length == 1, s"overwrite should snapshot, got: ${segs2.toSeq}")
+    assert(segs2.length == 2 && segs2.exists(_.contains("/v1/")) &&
+      segs2.exists(_.contains("/v2/")) && !segs2.exists(_.contains("/v0/")),
+      s"overwrite should patch-merge, got: ${segs2.toSeq}")
     engine.clean()
   }
 
@@ -209,9 +213,13 @@ class MemoEngineSpec extends SparkTestBase {
     engine.save("---\nbody: second note\n") // v1 delta (references v0)
     // both versions are live (v1's manifest references v0's segment)
     assert(engine.vacuum() == 0)
-    engine.save("---\nid: 0\nbody: replaced\n") // v2 overwrite → snapshot
-    val removed = engine.vacuum() // v0 + v1 now unreachable
-    assert(removed == 2, s"expected 2 stale versions, removed $removed")
+    // v2 overwrite PATCHES (r12): id 0 lives in v0's segment, so v2
+    // rewrites it while v1's delta dir stays referenced by v2's manifest
+    engine.save("---\nid: 0\nbody: replaced\n")
+    val removed = engine.vacuum() // only v0 is unreachable; v1 is live
+    assert(removed == 1, s"expected 1 stale version, removed $removed")
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/db", "v1")),
+      "vacuum reclaimed a segment dir the patch manifest references")
     val bodies = engine.records.orderBy("id").collect().map(_.getString(1)).toSeq
     assert(bodies == Seq("replaced", "second note"))
     assert(engine.index.count() == 2)
@@ -872,7 +880,7 @@ class MemoEngineSpec extends SparkTestBase {
     val (engine, _) = freshEngine()
     engine.save("---\nbody: first note\n") // v0 snapshot
     engine.save("---\nbody: second note\n") // v1 append delta (references v0)
-    engine.save("---\nid: 0\nbody: replaced\n") // v2 overwrite → snapshot
+    engine.save("---\nid: 0\nbody: replaced\n") // v2 overwrite → patch (r12)
     assert(engine.versions == Seq(0L, 1L, 2L))
     assert(engine.recordsAt(0).collect().map(_.getString(1)).toSeq ==
       Seq("first note"))
@@ -881,11 +889,13 @@ class MemoEngineSpec extends SparkTestBase {
     assert(engine.recordsAt(2).orderBy("id").collect()
       .map(_.getString(1)).toSeq == Seq("replaced", "second note"))
     assert(engine.indexAt(1).count() == 2)
-    // history: v0 snapshot, v1 append delta (fan-in 2), v2 overwrite snapshot
+    // history: v0 snapshot, v1 append delta (fan-in 2), v2 overwrite —
+    // a PATCH commit since r12 (v1's untouched delta rides by reference,
+    // fan-in stays 2), classified snapshot (non-extending manifest)
     val hist = engine.history.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(hist == Seq((0L, "snapshot", 1), (1L, "append", 2),
-      (2L, "snapshot", 1)), s"got $hist")
+      (2L, "snapshot", 2)), s"got $hist")
     // a pinned-version recall reproduces the PAST ranking: "first note"
     // was overwritten in v2, but at v1 it is still the top hit
     val at1 = engine.recallAt(1, "first note", k = 1).collect()
@@ -909,8 +919,11 @@ class MemoEngineSpec extends SparkTestBase {
     // LOUDLY at execution — never a silently short result (version dirs
     // are never recreated: CURRENT is monotone, so no ABA path exists)
     val held = engine.recordsAt(1)
-    // shrink to live-only (the default): history goes, reads fail LOUDLY
-    assert(engine.vacuum() == 2)
+    // shrink to live-only (the default): v0 is reclaimed outright; v1's
+    // DIR survives because the live patch manifest references its delta
+    // segment, but v1 the VERSION is no longer resolvable (its own
+    // manifest needs v0's segment) and drops out of `versions`
+    assert(engine.vacuum() == 1)
     assert(engine.versions == Seq(2L))
     intercept[IllegalArgumentException](engine.recordsAt(1))
     intercept[org.apache.spark.SparkException](held.count())
@@ -1521,6 +1534,20 @@ class MemoEngineSpec extends SparkTestBase {
     assert(manifest(6) == Seq(java.nio.file.Paths.get(base, "v6", "records")
       .toString), s"all-segments batch should compact: ${manifest(6)}")
     assert(engine.records.count() == 7)
+    // the CLI-shaped save OVERWRITE rides the same pruning: rebuild a
+    // 3-segment chain, overwrite an id confined to the middle segment —
+    // the other two survive into the new manifest by reference
+    engine.save("---\nbody: patchseg extra one\n") // v7 append: id 8
+    engine.save("---\nbody: patchseg extra two\n") // v8 append: id 9
+    val m8 = manifest(8)
+    assert(m8.size == 3, s"got $m8")
+    engine.save("---\nid: 8\nbody: patchseg extra one amended\n")
+    val m9 = manifest(9)
+    assert(m9.size == 3 && m9.contains(m8(0)) && m9.contains(m8(2)) &&
+      !m9.contains(m8(1)), s"save overwrite did not patch: $m9 vs $m8")
+    assert(engine.records.filter(org.apache.spark.sql.functions
+      .col("id") === 8L).collect().head.getString(1)
+      == "patchseg extra one amended")
     engine.clean()
   }
 
