@@ -96,8 +96,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * DISJOINT id sets, so a recorded [min,max] per segment lets
     * [[patchMerge]] prove "this batch cannot touch that segment" from
     * two longs — the file-pruning a Delta MERGE gets from file stats.
-    * Ranges may OVERLAP after a patch folds non-adjacent segments (the
-    * id sets stay disjoint); intersection tests stay sound, just
+    * Patch segments record MULTI-intervals (`lo,hi;lo,hi;…` via
+    * [[writeIdRanges]]) so folding non-adjacent segments keeps the gap
+    * between them out of the recorded set; tests stay sound and
     * over-approximate — a false positive only rewrites an extra segment.
     * Cost: one column-pruned min/max scan of the just-written segment,
     * O(segment) against a commit that just wrote O(segment × row width).
@@ -111,14 +112,49 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (r.isNullAt(0)) "empty" else s"${r.getLong(0)},${r.getLong(1)}")
   }
 
-  private def readIdRange(segDir: String): Option[(Long, Long)] = {
+  /** Sidecar write for a PATCH segment, whose id set is inherently
+    * multi-interval (survivors of the folded segments + the batch):
+    * `lo,hi;lo,hi;…` — coalesced and capped so precision never decays
+    * into one wide interval that swallows the untouched segments'
+    * ranges between the folded ones. */
+  private def writeIdRanges(segDir: Path, ranges: Seq[(Long, Long)]): Unit =
+    Files.writeString(segDir.resolve("_idrange"),
+      if (ranges.isEmpty) "empty"
+      else ranges.map { case (lo, hi) => s"$lo,$hi" }.mkString(";"))
+
+  /** The recorded id intervals of a records segment: None = no sidecar
+    * (unknown — intersects everything, the patch arm stands down);
+    * Some(Nil) = provably empty (intersects nothing). */
+  private def readIdRanges(segDir: String): Option[Seq[(Long, Long)]] = {
     val p = Paths.get(segDir).resolve("_idrange")
     if (!Files.exists(p)) None
     else Files.readString(p).trim match {
-      // an empty segment intersects nothing: min > max by construction
-      case "empty" => Some((Long.MaxValue, Long.MinValue))
-      case s => val a = s.split(","); Some((a(0).toLong, a(1).toLong))
+      case "empty" => Some(Seq.empty)
+      case s => Some(s.split(";").toSeq.map { pair =>
+        val a = pair.split(","); (a(0).toLong, a(1).toLong)
+      })
     }
+  }
+
+  /** Coalesce overlapping/adjacent intervals, then merge the SMALLEST
+    * gaps until at most `cap` remain — the bounded over-approximation a
+    * patch segment records. Driver arithmetic over ≤ maxSegments+1
+    * intervals. */
+  private def mergeRanges(rs: Seq[(Long, Long)],
+      cap: Int = 8): Seq[(Long, Long)] = {
+    val sorted = rs.filter(r => r._1 <= r._2).sortBy(_._1)
+    if (sorted.isEmpty) return Seq.empty
+    var v = sorted.tail.foldLeft(Vector(sorted.head)) {
+      case (acc, (lo, hi)) =>
+        val (plo, phi) = acc.last
+        if (lo <= phi + 1) acc.init :+ ((plo, math.max(phi, hi)))
+        else acc :+ ((lo, hi))
+    }
+    while (v.size > cap) {
+      val gi = v.indices.init.minBy(i => v(i + 1)._1 - v(i)._2)
+      v = (v.take(gi) :+ ((v(gi)._1, v(gi + 1)._2))) ++ v.drop(gi + 2)
+    }
+    v
   }
 
   /** The streaming exactly-once watermark: (checkpoint lineage, highest
@@ -1202,6 +1238,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (deep) {
         recordsAt(v).write.mode("overwrite")
           .parquet(staging.resolve("records").toString)
+        // the copy is a fresh segment: record its id range so the clone's
+        // future overwrite/CDC merges can segment-prune from day one
+        clone.writeIdRange(staging.resolve("records"))
         indexAt(v).write.mode("overwrite")
           .parquet(staging.resolve("index").toString)
         clone.writeManifest(staging, 0, "records",
@@ -1519,30 +1558,48 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * range sidecar (pre-sidecar store), records/index manifests that
     * don't pair positionally, every segment touched anyway, or a chain
     * at the maxSegments fold point (the full rewrite doubles as the
-    * compaction, same as [[commitAppend]]'s fold). Ranges may overlap
-    * after patches fold non-adjacent segments (id sets stay disjoint),
-    * so the intersection test is over-approximate — sound, at worst an
-    * extra segment rewritten. */
+    * compaction, same as [[commitAppend]]'s fold). A patch segment
+    * records its id set as MULTI-INTERVALS (the touched segments'
+    * intervals plus the batch's range, coalesced and capped at 8), so
+    * folding non-adjacent segments does not swallow the gap between
+    * them; the test stays over-approximate — sound, at worst an extra
+    * segment rewritten. */
   private def patchMerge(prior: Long, batchIds: DataFrame, upserts: DataFrame,
       mark: Option[(String, Long)]): Boolean = {
     val segsR = segments(prior, "records")
     val segsI = segments(prior, "index")
     if (segsR.size != segsI.size || segsR.size <= 1) return false
     if (segsR.size >= maxSegments) return false // fold via full rewrite
-    val ranges = segsR.map(readIdRange)
+    val ranges = segsR.map(readIdRanges)
     if (ranges.exists(_.isEmpty)) return false
-    // one small aggregation over the batch ids: per-segment touch
-    // counts (≤ maxSegments sum columns, each a range test on id)
+    val segRanges = ranges.map(_.get)
+    def inSeg(rs: Seq[(Long, Long)]) =
+      if (rs.isEmpty) lit(false)
+      else rs.map { case (lo, hi) => col("id").between(lo, hi) }
+        .reduce(_ || _)
+    // one small aggregation over the batch ids: per-segment touch counts
+    // (≤ maxSegments interval-test sum columns) + the range of the
+    // batch's NEW ids (outside every segment's intervals — any other
+    // batch id makes its segment touched), needed for the patch sidecar
+    val isNew = !inSeg(segRanges.flatten)
     val touchRow = batchIds.agg(
-      count(lit(1)).as("_n"), // anchor so agg is never empty-columned
-      ranges.zipWithIndex.map { case (Some((lo, hi)), i) =>
-        sum(when(col("id").between(lo, hi), 1L).otherwise(0L)).as(s"_t$i")
-      case (None, _) => throw new IllegalStateException("unreachable")
-      }: _*).collect()(0)
-    val touched = ranges.indices.filter(i => touchRow.getLong(i + 1) > 0L)
+      min(when(isNew, col("id"))).as("_nlo"),
+      (max(when(isNew, col("id"))).as("_nhi") +:
+        segRanges.zipWithIndex.map { case (rs, i) =>
+          sum(when(inSeg(rs), 1L).otherwise(0L)).as(s"_t$i")
+        }): _*).collect()(0)
+    val touched = segRanges.indices.filter(i => touchRow.getLong(i + 2) > 0L)
     if (touched.isEmpty || touched.size == segsR.size) return false
     val touchedSet = touched.toSet
     val keep = segsR.indices.filterNot(touchedSet.contains)
+    // the patch segment's id set ⊆ (touched segments' intervals) ∪ (the
+    // batch's NEW ids) — record that union, coalesced and capped. The
+    // new-id range (not the whole batch's) matters: a batch updating two
+    // far-apart segments must not bridge the gap between them, or the
+    // untouched segments in between would false-positive forever after
+    val patchRanges = mergeRanges(touched.flatMap(segRanges) ++
+      (if (touchRow.isNullAt(0)) Nil
+       else Seq((touchRow.getLong(0), touchRow.getLong(1)))))
     val v = prior + 1
     val staging = newStaging()
     try {
@@ -1552,7 +1609,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         .unionByName(upserts)
         .write.mode("overwrite")
         .parquet(staging.resolve("records").toString)
-      writeIdRange(staging.resolve("records"))
+      writeIdRanges(staging.resolve("records"), patchRanges)
       spark.read.parquet(touched.map(segsI): _*)
         .join(batchIds, Seq("id"), "left_anti")
         .unionByName(upserts.filter(!isBlank(col("body")))

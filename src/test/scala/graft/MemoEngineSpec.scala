@@ -1548,6 +1548,24 @@ class MemoEngineSpec extends SparkTestBase {
     assert(engine.records.filter(org.apache.spark.sql.functions
       .col("id") === 8L).collect().head.getString(1)
       == "patchseg extra one amended")
+    // MULTI-INTERVAL precision: fold the two OUTER segments in one batch
+    // (the patch then records two intervals, not one wide [lo,hi]); a
+    // later update confined to the id range BETWEEN them must not drag
+    // the patch segment back into a rewrite
+    engine.applyChanges(feed(Seq((1L, "updated", "patchseg fold lo"),
+      (9L, "updated", "patchseg fold hi"))))
+    val m10 = manifest(10)
+    val patchDir = m10.find(_.endsWith("v10/records")).get
+    assert(m10.size == 2, s"got $m10") // [v9's middle segment, the fold]
+    engine.applyChanges(feed(Seq((8L, "updated", "patchseg mid again"))))
+    val m11 = manifest(11)
+    assert(m11.contains(patchDir),
+      s"update between the folded intervals rewrote the fold: $m11")
+    val fin = engine.records.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fin.filter(t => Set(1L, 8L, 9L)(t._1)) == Seq(
+      (1L, "patchseg fold lo"), (8L, "patchseg mid again"),
+      (9L, "patchseg fold hi")), s"got $fin")
     engine.clean()
   }
 
