@@ -346,7 +346,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
         .select(col("id"), lit("added").as("change"), col("body"),
           col("metadata"))
     } else {
-      MemoOps.changeFeed(recordsAt(fromV), recordsAt(toV))
+      // a PATCH commit materialized its own feed at commit time
+      // ([[patchMerge]]): a single-step window reads it directly —
+      // O(touched rows) — instead of paying the full-outer
+      // classification join over both snapshots. Multi-step or
+      // rewrite/restore windows keep the join (always correct).
+      val feedDir = versionDir(toV).resolve("changefeed")
+      if (toV == fromV + 1 && Files.isDirectory(feedDir))
+        spark.read.schema(MemoEngine.FeedSchema).parquet(feedDir.toString)
+      else MemoOps.changeFeed(recordsAt(fromV), recordsAt(toV))
     }
   }
 
@@ -1602,14 +1610,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
        else Seq((touchRow.getLong(0), touchRow.getLong(1)))))
     val v = prior + 1
     val staging = newStaging()
+    val oldTouched = spark.read.schema(YamlIO.recordSchema)
+      .parquet(touched.map(segsR): _*)
+      .cache() // read by the survivors write AND the feed materialization
     try {
-      spark.read.schema(YamlIO.recordSchema)
-        .parquet(touched.map(segsR): _*)
+      oldTouched
         .join(batchIds, Seq("id"), "left_anti")
         .unionByName(upserts)
         .write.mode("overwrite")
         .parquet(staging.resolve("records").toString)
       writeIdRanges(staging.resolve("records"), patchRanges)
+      // materialize THIS COMMIT'S changefeed while the patch scope is in
+      // hand: rows outside the touched segments are untouched by
+      // construction, so diffing old-touched vs the just-written patch
+      // rows equals the full-snapshot classification join — at O(touched)
+      // instead of O(corpus). [[changesBetween]] single-step windows (and
+      // therefore [[emitChanges]]) read it directly.
+      MemoOps.changeFeed(oldTouched,
+        spark.read.schema(YamlIO.recordSchema)
+          .parquet(staging.resolve("records").toString))
+        .write.mode("overwrite")
+        .parquet(staging.resolve("changefeed").toString)
       spark.read.parquet(touched.map(segsI): _*)
         .join(batchIds, Seq("id"), "left_anti")
         .unionByName(upserts.filter(!isBlank(col("body")))
@@ -1624,7 +1645,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
       finalizeCommit(staging, v, Some(prior))
       true
     } catch reclassifyRaceCollateral(v, Some(prior))
-    finally deleteTree(staging) // no-op when promoted
+    finally {
+      oldTouched.unpersist()
+      deleteTree(staging) // no-op when promoted
+    }
   }
 
   /** Driver-memoized max id of the records chain, keyed by the store
@@ -1993,6 +2017,12 @@ object MemoEngine {
         nullable = true),
       StructField("commit_version", LongType, nullable = false)))
   }
+
+  /** Schema of a PATCH commit's materialized per-commit changefeed
+    * sidecar ([[ChangeLogSchema]] without the log-level commit_version —
+    * the version is the directory it lives in). */
+  val FeedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(ChangeLogSchema.fields.init)
 
   /** Mutation attempts before an optimistic-concurrency loser gives up —
     * each retry re-runs the full mutation from the new live version, so

@@ -1522,10 +1522,22 @@ class MemoEngineSpec extends SparkTestBase {
     assert(engine.records.count() == 7 &&
       engine.records.filter(org.apache.spark.sql.functions
         .col("id") === 2L).isEmpty)
-    // the changefeed classifies ACROSS a patch commit exactly
-    val diff = engine.changesBetween(3, 4).select("id", "change").collect()
+    // the changefeed classifies ACROSS a patch commit exactly — and a
+    // single-step window is served from the feed the patch MATERIALIZED
+    // at commit time (O(touched), no full-outer join over the snapshots)
+    val feed34 = engine.changesBetween(3, 4)
+    assert(feed34.inputFiles.nonEmpty &&
+      feed34.inputFiles.forall(_.contains("/v4/changefeed")),
+      s"single-step patch window not served from the stored feed: " +
+        s"${feed34.inputFiles.take(3).mkString(", ")}")
+    val diff = feed34.select("id", "change").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(diff == Seq((5L, "updated")), s"got $diff")
+    // stored feed ≡ the classification join it replaces, column for column
+    val joined = graft.memo.MemoOps.changeFeed(
+      engine.recordsAt(3), engine.recordsAt(4)).orderBy("id").collect()
+    assert(feed34.orderBy("id").collect().toSeq == joined.toSeq,
+      "stored feed diverged from the classification join")
     // a batch touching EVERY segment falls back to the full rewrite
     engine.applyChanges(feed(Seq((0L, "updated", "patchseg 0 row a v2"),
       (3L, "updated", "patchseg 1 row b v2"),
@@ -1566,6 +1578,18 @@ class MemoEngineSpec extends SparkTestBase {
     assert(fin.filter(t => Set(1L, 8L, 9L)(t._1)) == Seq(
       (1L, "patchseg fold lo"), (8L, "patchseg mid again"),
       (9L, "patchseg fold hi")), s"got $fin")
+    // an IDENTICAL-content overwrite patches but changes nothing — the
+    // stored feed must be EMPTY (same as the equality-checked join), so
+    // no-op saves never pollute the CDC log. Save twice: the first save
+    // legitimately differs (YAML metadata is stored type-encoded, the
+    // CDC fixture rows were raw), the second is the true no-op.
+    val noop = "---\nid: 8\nbody: patchseg mid again\nmetadata: {k: v}\n"
+    engine.save(noop)
+    engine.save(noop)
+    val top = engine.versions.max
+    assert(engine.changesBetween(top - 1, top).isEmpty,
+      s"no-op overwrite leaked rows into the changefeed: " +
+        s"${engine.changesBetween(top - 1, top).collect().toSeq}")
     engine.clean()
   }
 
