@@ -1137,6 +1137,245 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def analyzeStats(filterExpr: String, key: String): DataFrame =
     MemoOps.statsTopK(records, filterExpr, key)
 
+  // ---- incremental materialized views -------------------------------------
+  //
+  // A VIEW is a persisted group-by aggregate over the records table —
+  // `group_key` (any row-level SQL expression, e.g. `metadata['lang']`),
+  // `doc_count`, and named long-SUM measures — maintained O(delta) from
+  // the store's own changefeed instead of recomputed O(corpus) per
+  // refresh. Counts and sums are the RETRACTABLE aggregate class: an
+  // update subtracts the old row's contribution and adds the new one, so
+  // the view needs only the changed rows and their prev-side state (which
+  // [[patchMerge]]'s materialized feed carries for free). MIN/MAX are not
+  // retractable and deliberately not offered — supporting them would
+  // reintroduce the O(corpus) re-scan this feature exists to avoid.
+  //
+  // Maintenance walks the committed version steps between the view's
+  // recorded watermark and the live version:
+  //  - an APPEND step (manifest extends) contributes +rows from ONLY its
+  //    delta segments — no join, no old state read;
+  //  - a PATCH step reads ONLY its materialized `changefeed` dir: adds and
+  //    new-side updates contribute +, removed rows and prev-side updates
+  //    contribute − (the `_prev` marker gates on the extended schema);
+  //  - a REWRITE step (reindex/restore/import/fold — or any step whose
+  //    version dirs were vacuumed) aborts the walk and the view recomputes
+  //    from the captured live version's segments. Honest O(corpus), the
+  //    same arm every maintained artifact family has.
+  // All step contributions land in ONE Spark job (a union aggregated per
+  // group), then merge into the stored state with a NULL-SAFE group join
+  // (the null group — rows where the key expression is null — must merge,
+  // not multiply). Groups whose doc_count reaches 0 drop out; a NEGATIVE
+  // doc_count can only mean a maintenance bug and fails loudly before the
+  // new state is published. Measure values that are null or fail the cast
+  // to BIGINT count as 0 (try_cast) on both the incremental and recompute
+  // paths, so the two can never diverge on missing or malformed metadata.
+
+  private def viewDir(name: String): Path = base.resolve(s"_view_$name")
+  private val ViewMetaFile = "_view_meta"
+
+  /** Test seam: (mode, files the refresh actually scanned) — "fresh" |
+    * "incremental" | "rebuild". Lets specs pin that an append refresh
+    * read ONLY delta segments and a patch refresh ONLY the materialized
+    * feed. Production reads it never. */
+  private[graft] var lastViewRefresh: Option[(String, Seq[String])] = None
+
+  /** Test seam, [[beforeLexicalBuildHook]]'s twin for the view family. */
+  private[graft] var beforeViewBuildHook: () => Unit = () => ()
+
+  private def viewSchema(measures: Seq[(String, String)])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("group_key", StringType) +:
+      StructField("doc_count", LongType) +:
+      measures.map { case (n, _) => StructField(n, LongType) })
+  }
+
+  /** Per-row contribution frame: every row of `df` (id, body, metadata)
+    * becomes (group_key, ±1, ±measure…). `sign` = −1 retracts. */
+  private def viewContribOf(df: DataFrame, sign: Int, groupKey: String,
+      measures: Seq[(String, String)]): DataFrame =
+    df.select(
+      expr(groupKey).cast("string").as("group_key") +:
+      lit(sign.toLong).as("doc_count") +:
+      measures.map { case (n, e) =>
+        (coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L)) * sign).as(n)
+      }: _*)
+
+  /** The incremental maintenance walk: one contribution frame per version
+    * step in (v0, v1], or None when any step can't be proven O(delta)
+    * (rewrite commit without a feed, pre-`_prev` feed, vacuumed dirs) —
+    * the caller recomputes. Driver cost is O(steps) manifest reads; the
+    * returned frame is lazy (one job when aggregated). */
+  private def viewContribs(v0: Long, v1: Long, groupKey: String,
+      measures: Seq[(String, String)]): Option[DataFrame] = {
+    def stepContrib(a: Long): Option[DataFrame] = {
+      val b = a + 1
+      if (!Files.isDirectory(versionDir(a)) ||
+          !Files.isDirectory(versionDir(b))) return None
+      val segsA = segments(a, "records")
+      val segsB = segments(b, "records")
+      if (segsB.startsWith(segsA)) {
+        val delta = segsB.drop(segsA.size)
+        if (!delta.forall(s => Files.exists(Paths.get(s)))) None
+        else Some(viewContribOf(
+          spark.read.schema(YamlIO.recordSchema).parquet(delta: _*),
+          1, groupKey, measures))
+      } else {
+        val feedDir = versionDir(b).resolve("changefeed")
+        if (!Files.isDirectory(feedDir) ||
+            !Files.exists(feedDir.resolve("_prev"))) None
+        else {
+          val feed = spark.read.schema(MemoEngine.FeedWithPrevSchema)
+            .parquet(feedDir.toString)
+          val plus = viewContribOf(
+            feed.filter(col("change") =!= "removed")
+              .select(col("id"), col("body"), col("metadata")),
+            1, groupKey, measures)
+          val minus = viewContribOf(
+            feed.filter(col("change") =!= "added")
+              .select(col("id"), col("prev_body").as("body"),
+                col("prev_metadata").as("metadata")),
+            -1, groupKey, measures)
+          Some(plus.unionByName(minus))
+        }
+      }
+    }
+    val frames = (v0 until v1).map(stepContrib)
+    if (frames.exists(_.isEmpty)) None
+    else Some(frames.flatten.reduce(_.unionByName(_)))
+  }
+
+  /** The view's persisted state brought to the live store version and
+    * served as a DataFrame (`group_key` STRING, `doc_count` LONG, one
+    * LONG column per measure). `groupKey` and each measure are row-level
+    * SQL expressions over `id`/`body`/`metadata`; measures aggregate by
+    * SUM (a null or non-BIGINT-castable value evaluates as 0). The state is an engine-maintained
+    * artifact under `_view_<name>` with the version-watermark idiom:
+    * fresh → serve lock-free (two metadata reads, no job); behind →
+    * catch up O(changed rows) through [[viewContribs]] under the build
+    * lock, or recompute from the CAPTURED version when a step can't be
+    * proven incremental. Changing `groupKey`/`measures` for an existing
+    * name is detected (the spec is recorded verbatim in the meta) and
+    * rebuilds. A 100-TB corpus pays the full group-by once; every
+    * subsequent refresh costs the rows that actually changed. */
+  def viewState(name: String, groupKey: String,
+      measures: Seq[(String, String)] = Seq.empty): DataFrame = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_\\-]*"),
+      s"view name must be [A-Za-z0-9_-]+, got '$name'")
+    measures.foreach { case (n, _) =>
+      require(n.matches("[a-z][a-z0-9_]*") && n != "group_key" &&
+        n != "doc_count", s"measure name '$n' is reserved or not snake_case")
+    }
+    val dirS = viewDir(name).toString
+    val spec = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      (groupKey +: measures.map { case (n, e) => s"$n=$e" })
+        .mkString(" ").getBytes("UTF-8"))
+    def readMeta: Option[(Long, String, String)] =
+      ArtifactMeta.read(spark, dirS, ViewMetaFile).flatMap {
+        _.split('|') match {
+          case Array(v, h, st) => v.toLongOption.map((_, h, st))
+          case _ => None
+        }
+      }
+    def serve(stateDir: String): DataFrame =
+      spark.read.schema(viewSchema(measures))
+        .parquet(viewDir(name).resolve(stateDir).toString)
+    currentVersion match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        viewSchema(measures))
+      case Some(_) =>
+        readMeta match {
+          case Some((v, h, st)) if currentVersion.contains(v) && h == spec =>
+            lastViewRefresh = Some(("fresh", Nil)); serve(st)
+          case _ => ArtifactMeta.withBuildLock(spark, dirS) {
+            val live = currentVersion.get // re-read under the lock
+            readMeta match {
+              case Some((v, h, st)) if v == live && h == spec =>
+                lastViewRefresh = Some(("fresh", Nil)); serve(st)
+              case recorded =>
+                beforeViewBuildHook()
+                refreshView(name, groupKey, measures, spec, live,
+                  recorded, serve)
+            }
+          }
+        }
+    }
+  }
+
+  /** The locked refresh arm of [[viewState]]: merge-or-recompute, write
+    * the new state under a fresh unique dir, loud negative-count check,
+    * THEN advance the meta (a crash leaves the old state live), then
+    * sweep state dirs no longer referenced (keeping the one the old meta
+    * named — a lock-free reader may still be scanning it). */
+  private def refreshView(name: String, groupKey: String,
+      measures: Seq[(String, String)], spec: String, live: Long,
+      recorded: Option[(Long, String, String)],
+      serve: String => DataFrame): DataFrame = {
+    val dir = viewDir(name)
+    val prior = recorded.collect {
+      case (v, h, st) if h == spec && v <= live &&
+          Files.isDirectory(dir.resolve(st)) => (v, st)
+    }
+    val contribs = prior.flatMap { case (v0, _) =>
+      if (v0 == live) None // spec matched but dir raced away: recompute
+      else viewContribs(v0, live, groupKey, measures)
+    }
+    val aggCols = sum(col("doc_count")).as("doc_count") +:
+      measures.map { case (n, _) => sum(col(n)).as(n) }
+    val (mode, scanned, newState) = contribs match {
+      case Some(delta) =>
+        val d = delta.groupBy(col("group_key"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val o = serve(prior.get._2)
+        val merged = o.as("o")
+          .join(d.as("d"), col("o.group_key") <=> col("d.group_key"),
+            "full_outer")
+          .select(
+            coalesce(col("o.group_key"), col("d.group_key")).as("group_key") +:
+            (coalesce(col("o.doc_count"), lit(0L)) +
+              coalesce(col("d.doc_count"), lit(0L))).as("doc_count") +:
+            measures.map { case (n, _) =>
+              (coalesce(col(s"o.$n"), lit(0L)) +
+                coalesce(col(s"d.$n"), lit(0L))).as(n)
+            }: _*)
+          .filter(col("doc_count") =!= 0L) // keep negatives visible below
+        ("incremental", delta.inputFiles.toSeq, merged)
+      case None =>
+        val full = spark.read.schema(YamlIO.recordSchema)
+          .parquet(segments(live, "records"): _*)
+          .groupBy(expr(groupKey).cast("string").as("group_key"))
+          .agg(count(lit(1)).as("doc_count"),
+            measures.map { case (n, e) =>
+              sum(coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L))).as(n)
+            }: _*)
+        ("rebuild", segments(live, "records"), full)
+    }
+    val stateDir =
+      s"state-v$live-${java.util.UUID.randomUUID.toString.take(8)}"
+    val statePath = dir.resolve(stateDir)
+    newState.write.mode("overwrite").parquet(statePath.toString)
+    val negatives = spark.read.parquet(statePath.toString)
+      .filter(col("doc_count") < 0L).count()
+    if (negatives > 0) {
+      deleteTree(statePath)
+      throw new IllegalStateException(
+        s"view '$name' refresh produced $negatives negative-count groups " +
+        s"— a retraction without a matching prior contribution (feed and " +
+        s"state disagree); old state left live")
+    }
+    ArtifactMeta.write(spark, dir.toString, ViewMetaFile,
+      s"$live|$spec|$stateDir")
+    val keep = Set(stateDir) ++ recorded.map(_._3)
+    listDir(dir).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("state-"))
+      .filterNot(p => keep.contains(p.getFileName.toString))
+      .foreach(deleteTree)
+    lastViewRefresh = Some((mode, scanned))
+    serve(stateDir)
+  }
+
   /** Reindex/compaction (memo_cli.py:334-366): drop blank/deleted, dense
     * re-sequence, rebuild the index. Returns number of dropped records. */
   def reindex(): Long = MemoEngine.retryOnConflict {
@@ -1625,12 +1864,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
       // construction, so diffing old-touched vs the just-written patch
       // rows equals the full-snapshot classification join — at O(touched)
       // instead of O(corpus). [[changesBetween]] single-step windows (and
-      // therefore [[emitChanges]]) read it directly.
-      MemoOps.changeFeed(oldTouched,
+      // therefore [[emitChanges]]) read it directly with the narrower
+      // public schema; the persisted shape additionally carries the
+      // FROM-side prev_body/prev_metadata (free here — the old rows are
+      // already cached) so retractable consumers ([[viewState]]) can
+      // subtract old contributions without re-reading the base snapshot.
+      // The `_prev` marker is the feature gate: a feed dir without it
+      // predates the extension and retractable readers must not trust it.
+      MemoOps.changeFeedWithPrev(oldTouched,
         spark.read.schema(YamlIO.recordSchema)
           .parquet(staging.resolve("records").toString))
         .write.mode("overwrite")
         .parquet(staging.resolve("changefeed").toString)
+      Files.write(staging.resolve("changefeed").resolve("_prev"),
+        Array.emptyByteArray)
       spark.read.parquet(touched.map(segsI): _*)
         .join(batchIds, Seq("id"), "left_anti")
         .unionByName(upserts.filter(!isBlank(col("body")))
@@ -2023,6 +2270,19 @@ object MemoEngine {
     * the version is the directory it lives in). */
   val FeedSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(ChangeLogSchema.fields.init)
+
+  /** [[FeedSchema]] plus the FROM-side row state
+    * ([[MemoOps.changeFeedWithPrev]]) — what a feed dir carrying the
+    * `_prev` marker actually persists. Readers that only need the public
+    * feed keep reading with [[FeedSchema]]; parquet projects the extra
+    * columns away. */
+  val FeedWithPrevSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(FeedSchema.fields ++ Seq(
+      StructField("prev_body", StringType, nullable = true),
+      StructField("prev_metadata", MapType(StringType, StringType),
+        nullable = true)))
+  }
 
   /** Mutation attempts before an optimistic-concurrency loser gives up —
     * each retry re-runs the full mutation from the new live version, so

@@ -243,7 +243,21 @@ object MemoOps {
     * the classification arm of [[MemoEngine.changesBetween]]'s changefeed;
     * the engine skips it entirely across pure-append windows (manifest
     * fast path — delta segments only, no join). */
-  def changeFeed(from: DataFrame, to: DataFrame): DataFrame = {
+  def changeFeed(from: DataFrame, to: DataFrame): DataFrame =
+    changeFeedWithPrev(from, to)
+      .select(col("id"), col("change"), col("body"), col("metadata"))
+
+  /** [[changeFeed]] plus the FROM-side row state as `prev_body` /
+    * `prev_metadata` (null for added rows; for removed rows they repeat
+    * the `body`/`metadata` columns, which already carry the from side).
+    * The prev columns are what makes a downstream consumer RETRACTABLE —
+    * an incremental aggregate ([[MemoEngine.viewState]]) subtracts the
+    * old row's contribution and adds the new one without re-reading the
+    * base snapshot. [[MemoEngine.patchMerge]] persists this extended
+    * shape (the old rows are already in hand there, so prev costs
+    * nothing); readers that only need the public feed project the extra
+    * columns away by reading with the narrower schema. */
+  def changeFeedWithPrev(from: DataFrame, to: DataFrame): DataFrame = {
     val canonMeta = (c: Column) => to_json(array_sort(map_entries(c)))
     val f = from.select(col("id"),
       col("body").as("_f_body"), col("metadata").as("_f_meta"))
@@ -260,6 +274,7 @@ object MemoOps {
       .select(col("id"), col("change"),
         coalesce(col("_t_body"), col("_f_body")).as("body"),
         when(col("_t_body").isNull, col("_f_meta"))
-          .otherwise(col("_t_meta")).as("metadata"))
+          .otherwise(col("_t_meta")).as("metadata"),
+        col("_f_body").as("prev_body"), col("_f_meta").as("prev_metadata"))
   }
 }
