@@ -313,7 +313,11 @@ object MemoQueries {
       if (engine.exists) engine.clean() // torn prior build: start over
       docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
         .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
-      engine.viewState("bytag", "metadata['tag']",
+      // metadata values are stored in MetaCodec's typed encoding ('s'+str
+      // for strings — the feed below carries pre-encoded "st9" for the
+      // same reason); the group key strips the sigil for display, which
+      // also exercises an expression-valued (not column-valued) group key
+      engine.viewState("bytag", "substring(metadata['tag'], 2)",
         Seq("chars" -> "length(body)", "toks" -> "size(split(body, ' '))"))
       import s.implicits._
       val updates = (third until 2 * third).filter(_ % 10 == 0)
@@ -325,7 +329,7 @@ object MemoQueries {
       engine.applyChanges(feed)
       java.nio.file.Files.createFile(done)
     }
-    val out = engine.viewState("bytag", "metadata['tag']",
+    val out = engine.viewState("bytag", "substring(metadata['tag'], 2)",
       Seq("chars" -> "length(body)", "toks" -> "size(split(body, ' '))"))
     // the point of the exercise, pinned loudly: on the build pass the
     // post-patch refresh must have been INCREMENTAL (feed retractions) —
@@ -355,6 +359,7 @@ object MemoQueries {
     "q95_changefeed" -> q95Changefeed,
     "q96_cdc_outbox" -> q96CdcOutbox,
     "q97_patch_merge" -> q97PatchMerge,
+    "q98_view_incremental" -> q98IncrView,
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,5 +480,28 @@ object MemoQueries {
         |FROM d, p
         |WHERE NOT (d.id >= 2 * p.third AND d.id % 25 = 0)
         |ORDER BY d.id""".stripMargin,
+    // q98 replay: dense minting over the first 300 docs (id = rank−1),
+    // initial tag t{id%4}; the patch batch rewrites body + moves tag→t9
+    // for id∈[third,2·third) with id%10=0 and drops id≥2·third with
+    // id%25=0; the view is the group-by over the surviving state.
+    // size(split(body,' ')) ≡ len(string_split(...)): both keep empty
+    // parts between consecutive separators and at the ends.
+    "q98_view_incremental" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id, text
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d),
+        |state AS (
+        |  SELECT
+        |    CASE WHEN d.id >= p.third AND d.id < 2 * p.third AND d.id % 10 = 0
+        |      THEN 't9' ELSE 't' || CAST(d.id % 4 AS VARCHAR) END AS group_key,
+        |    CASE WHEN d.id >= p.third AND d.id < 2 * p.third AND d.id % 10 = 0
+        |      THEN 'patched ' || CAST(d.id AS VARCHAR) ELSE d.text END AS body
+        |  FROM d, p
+        |  WHERE NOT (d.id >= 2 * p.third AND d.id % 25 = 0))
+        |SELECT group_key, count(*) AS doc_count,
+        |  CAST(sum(length(body)) AS BIGINT) AS chars,
+        |  CAST(sum(len(string_split(body, ' '))) AS BIGINT) AS toks
+        |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
   )
 }
