@@ -1141,14 +1141,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
   //
   // A VIEW is a persisted group-by aggregate over the records table —
   // `group_key` (any row-level SQL expression, e.g. `metadata['lang']`),
-  // `doc_count`, and named long-SUM measures — maintained O(delta) from
-  // the store's own changefeed instead of recomputed O(corpus) per
-  // refresh. Counts and sums are the RETRACTABLE aggregate class: an
-  // update subtracts the old row's contribution and adds the new one, so
-  // the view needs only the changed rows and their prev-side state (which
-  // [[patchMerge]]'s materialized feed carries for free). MIN/MAX are not
-  // retractable and deliberately not offered — supporting them would
-  // reintroduce the O(corpus) re-scan this feature exists to avoid.
+  // `doc_count`, and named long measures aggregated by SUM (default),
+  // MIN, or MAX — maintained O(delta) from the store's own changefeed
+  // instead of recomputed O(corpus) per refresh. Counts and sums are the
+  // RETRACTABLE aggregate class: an update subtracts the old row's
+  // contribution and adds the new one, so the view needs only the changed
+  // rows and their prev-side state (which [[patchMerge]]'s materialized
+  // feed carries for free). MIN/MAX have no additive inverse; they
+  // maintain incrementally on every add (extremes are insert-monotone)
+  // and on every retraction that misses the stored champion or is
+  // re-covered by a same-batch add — ONLY a group whose champion was
+  // retracted uncovered pays a recompute, and that recompute is scoped to
+  // exactly the broken groups (one corpus scan semi-joined down to their
+  // keys), never the whole view. Aggregates that can't be maintained this
+  // way (count-distinct, percentiles) are rejected at the API boundary.
   //
   // Maintenance walks the committed version steps between the view's
   // recorded watermark and the live version:
@@ -1192,14 +1198,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
   }
 
   /** Per-row contribution frame: every row of `df` (id, body, metadata)
-    * becomes (group_key, ±1, ±measure…). `sign` = −1 retracts. */
+    * becomes (group_key, sign, raw measure values). `sign` = −1 retracts.
+    * Values are UNSIGNED here — the caller's aggregation decides how a
+    * retraction applies (negate for SUM; extreme-vs-stored test for
+    * MIN/MAX, which have no additive inverse). */
   private def viewContribOf(df: DataFrame, sign: Int, groupKey: String,
       measures: Seq[(String, String)]): DataFrame =
     df.select(
       expr(groupKey).cast("string").as("group_key") +:
-      lit(sign.toLong).as("doc_count") +:
+      lit(sign.toLong).as("sign") +:
       measures.map { case (n, e) =>
-        (coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L)) * sign).as(n)
+        coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L)).as(n)
       }: _*)
 
   /** The incremental maintenance walk: one contribution frame per version
@@ -1250,7 +1259,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * served as a DataFrame (`group_key` STRING, `doc_count` LONG, one
     * LONG column per measure). `groupKey` and each measure are row-level
     * SQL expressions over `id`/`body`/`metadata`; measures aggregate by
-    * SUM (a null or non-BIGINT-castable value evaluates as 0). The state is an engine-maintained
+    * SUM unless `aggOf` names "min" or "max" for them (a null or
+    * non-BIGINT-castable value evaluates as 0 under every aggregator, so
+    * the incremental and recompute arms can never diverge on malformed
+    * metadata; aggregators outside [[MemoEngine.ViewAggs]] are rejected
+    * loudly). The state is an engine-maintained
     * artifact under `_view_<name>` with the version-watermark idiom:
     * fresh → serve lock-free (two metadata reads, no job); behind →
     * catch up O(changed rows) through [[viewContribs]] under the build
@@ -1260,17 +1273,35 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * rebuilds. A 100-TB corpus pays the full group-by once; every
     * subsequent refresh costs the rows that actually changed. */
   def viewState(name: String, groupKey: String,
-      measures: Seq[(String, String)] = Seq.empty): DataFrame = {
+      measures: Seq[(String, String)] = Seq.empty,
+      aggOf: Map[String, String] = Map.empty): DataFrame = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_\\-]*"),
       s"view name must be [A-Za-z0-9_-]+, got '$name'")
     measures.foreach { case (n, _) =>
       require(n.matches("[a-z][a-z0-9_]*") && n != "group_key" &&
         n != "doc_count", s"measure name '$n' is reserved or not snake_case")
     }
+    val measureNames = measures.map(_._1).toSet
+    aggOf.foreach { case (n, a) =>
+      require(measureNames.contains(n),
+        s"aggOf names unknown measure '$n' (measures: " +
+        s"${measureNames.mkString(",")})")
+      require(MemoEngine.ViewAggs.contains(a),
+        s"measure '$n' aggregator '$a' unsupported \u2014 one of " +
+        s"${MemoEngine.ViewAggs.mkString("/")}; other aggregates (e.g. " +
+        "count-distinct) are not retractable from the changefeed and are " +
+        "rejected loudly rather than served stale")
+    }
     val dirS = viewDir(name).toString
-    val spec = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
-      (groupKey +: measures.map { case (n, e) => s"$n=$e" })
-        .mkString(" ").getBytes("UTF-8"))
+    // spec identity: every component base64url'd SEPARATELY and joined on
+    // ':' (outside the base64url alphabet, and distinct from the meta
+    // file's '|' field separator) — concatenation ambiguity (a measure
+    // expr containing the join character) can never make two distinct
+    // specs collide, so a spec change is always detected and rebuilt
+    def b64(s: String) = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes("UTF-8"))
+    val spec = (b64(groupKey) +: measures.map { case (n, e) =>
+      s"${b64(n)}:${aggOf.getOrElse(n, "sum")}:${b64(e)}" }).mkString(":")
     def readMeta: Option[(Long, String, String)] =
       ArtifactMeta.read(spark, dirS, ViewMetaFile).flatMap {
         _.split('|') match {
@@ -1296,7 +1327,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
                 lastViewRefresh = Some(("fresh", Nil)); serve(st)
               case recorded =>
                 beforeViewBuildHook()
-                refreshView(name, groupKey, measures, spec, live,
+                refreshView(name, groupKey, measures, aggOf, spec, live,
                   recorded, serve)
             }
           }
@@ -1307,13 +1338,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
   /** The locked refresh arm of [[viewState]]: merge-or-recompute, write
     * the new state under a fresh unique dir, loud negative-count check,
     * THEN advance the meta (a crash leaves the old state live), then
-    * sweep state dirs no longer referenced (keeping the one the old meta
-    * named — a lock-free reader may still be scanning it). */
+    * sweep state dirs no longer referenced. The sweep keeps the new dir
+    * and the one the old meta named unconditionally, and everything else
+    * only falls once OLDER than the staging TTL — so a lock-free reader
+    * holding a served DataFrame survives any number of refreshes
+    * completing underneath it within that window (same clock discipline
+    * as [[vacuum]]'s staging sweep). */
   private def refreshView(name: String, groupKey: String,
-      measures: Seq[(String, String)], spec: String, live: Long,
+      measures: Seq[(String, String)], aggOf: Map[String, String],
+      spec: String, live: Long,
       recorded: Option[(Long, String, String)],
       serve: String => DataFrame): DataFrame = {
     val dir = viewDir(name)
+    val aggKind = measures.map { case (n, _) => n -> aggOf.getOrElse(n, "sum") }
     val prior = recorded.collect {
       case (v, h, st) if h == spec && v <= live &&
           Files.isDirectory(dir.resolve(st)) => (v, st)
@@ -1322,58 +1359,124 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (v0 == live) None // spec matched but dir raced away: recompute
       else viewContribs(v0, live, groupKey, measures)
     }
-    val aggCols = sum(col("doc_count")).as("doc_count") +:
-      measures.map { case (n, _) => sum(col(n)).as(n) }
-    val (mode, scanned, newState) = contribs match {
-      case Some(delta) =>
-        val d = delta.groupBy(col("group_key"))
-          .agg(aggCols.head, aggCols.tail: _*)
-        val o = serve(prior.get._2)
-        val merged = o.as("o")
-          .join(d.as("d"), col("o.group_key") <=> col("d.group_key"),
-            "full_outer")
-          .select(
-            coalesce(col("o.group_key"), col("d.group_key")).as("group_key") +:
-            (coalesce(col("o.doc_count"), lit(0L)) +
-              coalesce(col("d.doc_count"), lit(0L))).as("doc_count") +:
-            measures.map { case (n, _) =>
-              (coalesce(col(s"o.$n"), lit(0L)) +
-                coalesce(col(s"d.$n"), lit(0L))).as(n)
-            }: _*)
-          .filter(col("doc_count") =!= 0L) // keep negatives visible below
-        ("incremental", delta.inputFiles.toSeq, merged)
-      case None =>
-        val full = spark.read.schema(YamlIO.recordSchema)
-          .parquet(segments(live, "records"): _*)
-          .groupBy(expr(groupKey).cast("string").as("group_key"))
-          .agg(count(lit(1)).as("doc_count"),
-            measures.map { case (n, e) =>
-              sum(coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L))).as(n)
-            }: _*)
-        ("rebuild", segments(live, "records"), full)
-    }
-    val stateDir =
-      s"state-v$live-${java.util.UUID.randomUUID.toString.take(8)}"
-    val statePath = dir.resolve(stateDir)
-    newState.write.mode("overwrite").parquet(statePath.toString)
-    val negatives = spark.read.parquet(statePath.toString)
-      .filter(col("doc_count") < 0L).count()
-    if (negatives > 0) {
-      deleteTree(statePath)
-      throw new IllegalStateException(
-        s"view '$name' refresh produced $negatives negative-count groups " +
-        s"— a retraction without a matching prior contribution (feed and " +
-        s"state disagree); old state left live")
-    }
-    ArtifactMeta.write(spark, dir.toString, ViewMetaFile,
-      s"$live|$spec|$stateDir")
-    val keep = Set(stateDir) ++ recorded.map(_._3)
-    listDir(dir).filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("state-"))
-      .filterNot(p => keep.contains(p.getFileName.toString))
-      .foreach(deleteTree)
-    lastViewRefresh = Some((mode, scanned))
-    serve(stateDir)
+    // full aggregation of a sign=+1 contribution frame — the rebuild arm
+    // and the group-scoped extreme rescan SHARE it, so the two can never
+    // diverge on null/cast handling
+    def fullAgg(frame: DataFrame): DataFrame =
+      frame.groupBy(col("group_key")).agg(
+        sum(col("sign")).as("doc_count"),
+        aggKind.map {
+          case (n, "min") => min(col(n)).as(n)
+          case (n, "max") => max(col(n)).as(n)
+          case (n, _)     => sum(col(n)).as(n)
+        }: _*)
+    var cached: Option[DataFrame] = None
+    try {
+      val (mode, scanned, newState) = contribs match {
+        case Some(delta) =>
+          // SUM measures retract by negation. MIN/MAX have no additive
+          // inverse, so the delta aggregation carries the added-side and
+          // retracted-side extremes separately ("_add_"/"_ret_" prefixes
+          // cannot collide with measure names, which must start [a-z])
+          // and the merge tests them against the stored extreme: a
+          // retraction that misses the stored champion — or one re-covered
+          // by a same-batch add — merges in place, O(delta); ONLY groups
+          // whose champion was retracted uncovered are recomputed, from a
+          // corpus scan semi-joined down to exactly those group keys.
+          val deltaAggs =
+            sum(col("sign")).as("doc_count") +:
+            aggKind.flatMap {
+              case (n, "min") => Seq(
+                min(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
+                min(when(col("sign") === -1L, col(n))).as(s"_ret_$n"))
+              case (n, "max") => Seq(
+                max(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
+                max(when(col("sign") === -1L, col(n))).as(s"_ret_$n"))
+              case (n, _) => Seq(sum(col("sign") * col(n)).as(n))
+            }
+          val d = delta.groupBy(col("group_key"))
+            .agg(deltaAggs.head, deltaAggs.tail: _*)
+          val o = serve(prior.get._2)
+          val newCount = coalesce(col("o.doc_count"), lit(0L)) +
+            coalesce(col("d.doc_count"), lit(0L))
+          val brokenTests = aggKind.collect {
+            case (n, "max") =>
+              col(s"d._ret_$n").isNotNull && col(s"o.$n").isNotNull &&
+              col(s"d._ret_$n") >= col(s"o.$n") &&
+              (col(s"d._add_$n").isNull || col(s"d._add_$n") < col(s"o.$n"))
+            case (n, "min") =>
+              col(s"d._ret_$n").isNotNull && col(s"o.$n").isNotNull &&
+              col(s"d._ret_$n") <= col(s"o.$n") &&
+              (col(s"d._add_$n").isNull || col(s"d._add_$n") > col(s"o.$n"))
+          }
+          val broken =
+            if (brokenTests.isEmpty) lit(false)
+            else newCount > 0L && brokenTests.reduce(_ || _)
+          val merged = o.as("o")
+            .join(d.as("d"), col("o.group_key") <=> col("d.group_key"),
+              "full_outer")
+            .select(
+              coalesce(col("o.group_key"), col("d.group_key"))
+                .as("group_key") +:
+              newCount.as("doc_count") +:
+              (aggKind.map {
+                // greatest/least skip nulls: absent stored state (new
+                // group) or an add-free delta fall through to the other
+                case (n, "max") => greatest(col(s"o.$n"), col(s"d._add_$n")).as(n)
+                case (n, "min") => least(col(s"o.$n"), col(s"d._add_$n")).as(n)
+                case (n, _) =>
+                  (coalesce(col(s"o.$n"), lit(0L)) +
+                    coalesce(col(s"d.$n"), lit(0L))).as(n)
+              } :+ broken.as("_broken")): _*)
+            .filter(col("doc_count") =!= 0L) // keep negatives visible below
+          val m = merged.cache(); cached = Some(m)
+          val brokenKeys = m.filter(col("_broken")).select(col("group_key"))
+          if (brokenKeys.isEmpty)
+            ("incremental", delta.inputFiles.toSeq, m.drop("_broken"))
+          else {
+            val segs = segments(live, "records")
+            val corpus = viewContribOf(
+              spark.read.schema(YamlIO.recordSchema).parquet(segs: _*),
+              1, groupKey, measures)
+            val rescanned = fullAgg(
+              corpus.join(brokenKeys.as("bk"),
+                corpus("group_key") <=> col("bk.group_key"), "left_semi"))
+            ("incremental_rescan", delta.inputFiles.toSeq ++ segs,
+              m.filter(!col("_broken")).drop("_broken")
+                .unionByName(rescanned))
+          }
+        case None =>
+          val segs = segments(live, "records")
+          val full = fullAgg(viewContribOf(
+            spark.read.schema(YamlIO.recordSchema).parquet(segs: _*),
+            1, groupKey, measures))
+          ("rebuild", segs, full)
+      }
+      val stateDir =
+        s"state-v$live-${java.util.UUID.randomUUID.toString.take(8)}"
+      val statePath = dir.resolve(stateDir)
+      newState.write.mode("overwrite").parquet(statePath.toString)
+      val negatives = spark.read.parquet(statePath.toString)
+        .filter(col("doc_count") < 0L).count()
+      if (negatives > 0) {
+        deleteTree(statePath)
+        throw new IllegalStateException(
+          s"view '$name' refresh produced $negatives negative-count groups " +
+          s"— a retraction without a matching prior contribution (feed and " +
+          s"state disagree); old state left live")
+      }
+      ArtifactMeta.write(spark, dir.toString, ViewMetaFile,
+        s"$live|$spec|$stateDir")
+      val keep = Set(stateDir) ++ recorded.map(_._3)
+      val cutoff = System.currentTimeMillis() - MemoEngine.DefaultStagingTtlMs
+      listDir(dir).filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("state-"))
+        .filterNot(p => keep.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(deleteTree)
+      lastViewRefresh = Some((mode, scanned))
+      serve(stateDir)
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Reindex/compaction (memo_cli.py:334-366): drop blank/deleted, dense
@@ -2250,6 +2353,13 @@ object MemoEngine {
     * [[MemoEngine.vacuum]] — generous so a slow in-flight writer (a big
     * import's parquet write) is never swept mid-commit. */
   val DefaultStagingTtlMs: Long = 60L * 60 * 1000
+
+  /** The [[MemoEngine.viewState]] measure aggregators: SUM retracts by
+    * negation, MIN/MAX by the stored-extreme test with a group-scoped
+    * rescan when the champion is retracted uncovered. Anything outside
+    * this set is rejected at the API boundary — better loud than a view
+    * silently served stale. */
+  val ViewAggs: Set[String] = Set("sum", "min", "max")
 
   /** Schema of the CDC log [[MemoEngine.emitChanges]] writes and
     * [[MemoEngine.changeLogStream]] reads: the [[changesBetween]] feed

@@ -198,6 +198,227 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  // ---- MIN/MAX measures (the non-additive aggregate class) ---------------
+
+  /** Weight as a BIGINT-castable expression: metadata ints are stored in
+    * the typed encoding ("i7"), so the digits are regexp-extracted. */
+  private val W = "regexp_extract(metadata['weight'], '^i?(-?\\\\d+)$', 1)"
+
+  private def yamlW(body: String, cat: String, w: Int): String =
+    s"---\nbody: $body\nmetadata: {category: $cat, weight: $w}\n"
+
+  private val MM = Seq("hi" -> W, "lo" -> W)
+  private val MMAggs = Map("hi" -> "max", "lo" -> "min")
+
+  /** Direct oracle for the min/max view, same null-as-zero coercion. */
+  private def directW(engine: MemoEngine, key: String): Set[(String, Long, Long, Long)] =
+    engine.records
+      .groupBy(expr(key).cast("string").as("group_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        max(coalesce(expr(s"try_cast(($W) AS BIGINT)"), lit(0L))).as("hi"),
+        min(coalesce(expr(s"try_cast(($W) AS BIGINT)"), lit(0L))).as("lo"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def collectedW(df: DataFrame): Set[(String, Long, Long, Long)] =
+    df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("min/max measures: adds and covered retractions stay O(delta); " +
+      "an uncovered champion retraction rescans ONLY the broken group") {
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    // three segments so later updates land as segment-pruned patches
+    engine.save(yamlW("a zero", "a", 5) + yamlW("a one", "a", 9) +
+      yamlW("a two", "a", 3) + yamlW("b zero", "b", 4)) // v0: ids 0-3
+    engine.save(yamlW("a three", "a", 7) + yamlW("b one", "b", 6)) // v1: 4,5
+    engine.save(yamlW("b two", "b", 2)) // v2: id 6
+    val v = engine.viewState("mm", key, MM, MMAggs)
+    assert(mode(engine) == "rebuild")
+    assert(collectedW(v) == directW(engine, key))
+    // append: extremes are insert-monotone — incremental, delta scan only
+    engine.save(yamlW("a four", "a", 11)) // v3: id 7, new champion for a.hi
+    val v2 = engine.viewState("mm", key, MM, MMAggs)
+    assert(mode(engine) == "incremental")
+    assert(scanned(engine).nonEmpty && scanned(engine).forall(_.contains("/v3/")),
+      s"append refresh must read only v3's delta: ${scanned(engine)}")
+    assert(collectedW(v2) == directW(engine, key))
+    assert(collectedW(v2).find(_._1 == "sa").get._3 == 11L)
+    // patch retracting a NON-champion (a-one's 9 drops to 1 while 11
+    // reigns): the stored-extreme test proves the merge safe — no rescan.
+    // The add side lowers the group min in place (1 < 3).
+    import spark.implicits._
+    val feed1 = Seq((1L, "updated", "a one lowered",
+        Map("category" -> "sa", "weight" -> "i1")))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L))
+    engine.applyChanges(feed1)
+    val v3 = engine.viewState("mm", key, MM, MMAggs)
+    assert(mode(engine) == "incremental",
+      "a retraction missing the stored champion must not rescan")
+    assert(scanned(engine).nonEmpty &&
+      scanned(engine).forall(_.contains("/changefeed/")),
+      s"covered retraction must read only the feed: ${scanned(engine)}")
+    assert(collectedW(v3) == directW(engine, key))
+    assert(collectedW(v3).find(_._1 == "sa").get._4 == 1L)
+    // remove the champion (id 7, weight 11) with no covering add: the
+    // group's max is unrecoverable from delta+state, so the refresh takes
+    // the group-scoped rescan arm and lands on the runner-up (7)
+    val feed2 = Seq((7L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L))
+    engine.applyChanges(feed2)
+    val v4 = engine.viewState("mm", key, MM, MMAggs)
+    assert(mode(engine) == "incremental_rescan",
+      "an uncovered champion retraction must take the rescan arm")
+    assert(scanned(engine).exists(_.contains("/changefeed/")) &&
+      scanned(engine).exists(_.contains("/records")),
+      s"rescan arm reads the feed AND the corpus: ${scanned(engine)}")
+    assert(collectedW(v4) == directW(engine, key))
+    assert(collectedW(v4).find(_._1 == "sa").get._3 == 7L)
+    // group b's extremes were never broken and still agree
+    assert(collectedW(v4).find(_._1 == "sb").get._3 == 6L)
+    engine.clean()
+  }
+
+  test("unsupported aggregators and unknown measure names are rejected") {
+    val (engine, _) = freshEngine()
+    engine.save(yamlDoc("one note", Some("a")))
+    // count-distinct-class aggregates are NOT retractable from the feed:
+    // loud rejection at the boundary beats a silently stale view
+    intercept[IllegalArgumentException] {
+      engine.viewState("bad", "metadata['category']", Chars,
+        Map("chars" -> "avg"))
+    }
+    intercept[IllegalArgumentException] {
+      engine.viewState("bad", "metadata['category']", Chars,
+        Map("nope" -> "sum"))
+    }
+    engine.clean()
+  }
+
+  test("changing ONLY a measure's aggregator is a detected spec change") {
+    val (engine, _) = freshEngine()
+    engine.save(yamlW("x zero", "x", 4) + yamlW("x one", "x", 6))
+    val m = Seq("w" -> W)
+    val s1 = engine.viewState("agg", "metadata['category']", m) // sum
+    assert(mode(engine) == "rebuild")
+    assert(s1.collect()(0).getLong(2) == 10L)
+    // same name, same exprs, different aggregator: the spec encodes the
+    // aggregator per component, so this rebuilds instead of serving sums
+    val s2 = engine.viewState("agg", "metadata['category']", m,
+      Map("w" -> "max"))
+    assert(mode(engine) == "rebuild",
+      "agg-kind change must be detected as a spec change")
+    assert(s2.collect()(0).getLong(2) == 6L)
+    engine.clean()
+  }
+
+  test("a lock-free reader survives multiple refresh generations") {
+    val (engine, base) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlDoc("gen zero note", Some("a")))
+    val held = engine.viewState("gen", key, Chars) // generation 0
+    engine.save(yamlDoc("gen one note", Some("b")))
+    engine.viewState("gen", key, Chars) // generation 1
+    engine.save(yamlDoc("gen two note", Some("c")))
+    engine.viewState("gen", key, Chars) // generation 2
+    // two refreshes completed under the held frame; the sweep is TTL-aged
+    // (not keep-last-one), so the generation-0 dir is still on disk and
+    // the held DataFrame still serves
+    assert(held.count() == 1L,
+      "a served DataFrame must survive >1 refresh generation")
+    val stateDirs = Files.list(java.nio.file.Paths.get(base)
+        .resolve("_view_gen")).iterator()
+    var n = 0
+    while (stateDirs.hasNext) {
+      if (stateDirs.next().getFileName.toString.startsWith("state-")) n += 1
+    }
+    assert(n >= 3, s"young state dirs must not be swept (found $n)")
+    engine.clean()
+  }
+
+  test("view refreshes stay consistent under concurrent commit churn") {
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    val cats = Seq("a", "b", "c")
+    engine.save(yamlDoc("seed note", Some("a")))
+    engine.viewState("churn", key, Chars)
+    import spark.implicits._
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        for (i <- 0 until 6) {
+          engine.save(yamlDoc(s"churn note $i", Some(cats(i % 3))))
+          if (i % 2 == 1) { // a patch commit mid-churn: move a row to 'z'
+            val maxId =
+              engine.records.agg(max("id")).collect()(0).getLong(0)
+            val feed = Seq((maxId, "updated", s"churned $i",
+                Map("category" -> "sz")))
+              .toDF("id", "change", "body", "metadata")
+              .withColumn("commit_version", lit(0L))
+            engine.applyChanges(feed)
+          }
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    writer.start()
+    try {
+      // adversarial loop: every observation mid-churn must be a coherent
+      // committed state — no exceptions, no zero/negative counts
+      while (writer.isAlive) {
+        val rows = engine.viewState("churn", key, Chars).collect()
+        assert(rows.forall(_.getLong(1) > 0L),
+          s"incoherent view served mid-churn: ${rows.mkString(";")}")
+        Thread.sleep(25)
+      }
+    } finally writer.join()
+    assert(errs.isEmpty, s"writer failed mid-churn: ${errs.peek()}")
+    val fin = engine.viewState("churn", key, Chars)
+    assert(collected(fin) == direct(engine, key),
+      "post-churn view must converge with the direct group-by")
+    engine.clean()
+  }
+
+  test("a follower maintains the view from applied CDC batches alone") {
+    val (leader, _) = freshEngine()
+    val key = "metadata['category']"
+    leader.save(yamlDoc("f alpha", Some("a")) + yamlDoc("f beta", Some("b")))
+    leader.save(yamlDoc("f gamma", Some("a")))
+    val log = Files.createTempDirectory("memo_view_log").toString
+    leader.emitChanges(log)
+    val (follower, _) = freshEngine()
+    val ckpt = Files.createTempDirectory("memo_view_ckpt").toString
+    follower.replicateFrom(log, ckpt)
+    // the read-scaling shape: leader writes, follower serves the aggregate
+    val v1 = follower.viewState("fv", key, Chars)
+    assert(collectedFrom(v1) == direct(leader, key),
+      "follower view must match the leader's direct group-by")
+    // append ships: the follower's catch-up refresh is O(delta)
+    leader.save(yamlDoc("f delta", Some("c")))
+    leader.emitChanges(log)
+    follower.replicateFrom(log, ckpt)
+    val v2 = follower.viewState("fv", key, Chars)
+    assert(mode(follower) == "incremental",
+      "a replicated append must refresh the follower view incrementally")
+    assert(collectedFrom(v2) == direct(leader, key))
+    // update + soft-delete + reindex cycle ships and the view follows
+    leader.save("---\nid: 0\nbody: f alpha moved\nmetadata: {category: c}\n")
+    leader.save("---\nid: 1\nbody: gone\nmetadata: {deleted: true}\n")
+    leader.reindex()
+    leader.emitChanges(log)
+    follower.replicateFrom(log, ckpt)
+    val v3 = follower.viewState("fv", key, Chars)
+    assert(collectedFrom(v3) == direct(leader, key),
+      "follower view must converge across update/remove/reindex")
+    leader.clean(); follower.clean()
+  }
+
+  private def collectedFrom(df: DataFrame): Set[(String, Long, Long)] =
+    collected(df)
+
   test("measures referencing metadata sum with nulls counted as zero") {
     val (engine, _) = freshEngine()
     engine.save(
