@@ -119,6 +119,44 @@ object MaintProfile {
         .withColumn("commit_version", lit(0L))
     }
     val tPatch = timed(engine.applyChanges(updFeed(0L until 5L, "narrow")))
+    // incremental materialized views (AFTER the narrow-patch leg so that
+    // leg keeps its round-over-round comparability, BEFORE the spread
+    // leg whose full-rewrite fallback folds the chain): the first materialization is the
+    // O(corpus) linear reference; an append catch-up and a patch-commit
+    // retraction must be FLAT vs chain+corpus (delta segments / feed
+    // only); for the MIN/MAX class, a retraction that misses the group's
+    // champion stays flat while removing the champion uncovered pays the
+    // group-scoped rescan — corpus-scan-bounded, the honest linear
+    // reference within the otherwise-flat family
+    def rmFeed(ids: Seq[Long]) = {
+      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.types.{MapType, StringType}
+      ids.map(i => (i, "removed", ""))
+        .toDF("id", "change", "body")
+        .withColumn("metadata",
+          lit(null).cast(MapType(StringType, StringType)))
+        .withColumn("commit_version", lit(0L))
+    }
+    val vSum = Seq("chars" -> "length(body)")
+    def refreshSumView() =
+      engine.viewState("maintsum", "CAST(id % 11 AS STRING)", vSum).collect()
+    val tViewBuild = timed(refreshSumView())
+    engine.save(batchYaml(nSegs + 200))
+    val tViewAppend = timed(refreshSumView())
+    engine.applyChanges(updFeed(10L until 15L, "vpatch"))
+    val tViewPatch = timed(refreshSumView())
+    val vMax = Seq("hi" -> "id")
+    val vMaxAggs = Map("hi" -> "max")
+    def refreshMaxView() =
+      engine.viewState("maintmm", "CAST(id % 11 AS STRING)", vMax, vMaxAggs)
+        .collect()
+    refreshMaxView() // warm build
+    val championId = engine.records
+      .agg(org.apache.spark.sql.functions.max("id")).collect()(0).getLong(0)
+    engine.applyChanges(rmFeed(Seq(20L))) // group 9's champion is far above
+    val tViewCover = timed(refreshMaxView())
+    engine.applyChanges(rmFeed(Seq(championId))) // its group must rescan
+    val tViewRescan = timed(refreshMaxView())
     val tSpread = timed(engine.applyChanges(
       updFeed((0 until nSegs).map(_.toLong * docsPerSeg), "spread")))
     val tRestore = timed(engine.restore(cur - 1))
@@ -134,7 +172,10 @@ object MaintProfile {
       f"clone=${tClone}%5.2fs emitAll p1=${tEmitSeq}%6.2fs " +
       f"p4=${tEmitAll}%6.2fs p8=${tEmitP8}%6.2fs " +
       f"emit1=${tEmit1}%5.2fs patch=${tPatch}%5.2fs " +
-      f"spread=${tSpread}%5.2fs restore=${tRestore}%5.2fs" +
+      f"spread=${tSpread}%5.2fs " +
+      f"viewBuild=${tViewBuild}%5.2fs viewAppend1=${tViewAppend}%5.2fs " +
+      f"viewPatch=${tViewPatch}%5.2fs viewCover=${tViewCover}%5.2fs " +
+      f"viewRescan=${tViewRescan}%5.2fs restore=${tRestore}%5.2fs" +
       f" reindex=${tReindex}%6.2fs vacuum=${tVacuum._1}%5.2fs" +
       f"(${tVacuum._2}%d dirs)")
     engine.clean()
