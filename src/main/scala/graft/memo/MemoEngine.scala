@@ -1479,6 +1479,63 @@ class MemoEngine(spark: SparkSession, basePath: String,
     } finally cached.foreach(_.unpersist())
   }
 
+  /** Registered view names (the `_view_<name>` artifacts under the store
+    * root), fresh or behind. */
+  def views: Seq[String] =
+    if (!Files.isDirectory(base)) Nil
+    else listDir(base).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("_view_")).map(_.stripPrefix("_view_")).sorted
+
+  /** Decode a recorded view spec back to (groupKey, measures, aggOf) —
+    * the inverse of [[viewState]]'s component-wise encoding. None for a
+    * legacy or corrupt spec: the next direct [[viewState]] call with the
+    * caller's arguments re-registers the view from scratch. */
+  private def decodeViewSpec(spec: String)
+      : Option[(String, Seq[(String, String)], Map[String, String])] = {
+    def un(s: String) =
+      new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
+    val parts = spec.split(':')
+    if (parts.isEmpty || (parts.length - 1) % 3 != 0) None
+    else scala.util.Try {
+      val ms = parts.tail.grouped(3).map {
+        case Array(n, a, e) => (un(n), a, un(e))
+      }.toSeq
+      (un(parts.head), ms.map(t => (t._1, t._3)),
+        ms.collect { case (n, a, _) if a != "sum" => (n, a) }.toMap)
+    }.toOption
+  }
+
+  /** Bring EVERY registered view to the live store version in one call —
+    * the post-batch maintenance hook (run after a bulk ingest instead of
+    * letting each view's next reader pay its catch-up). Each view's
+    * recorded spec is decoded from its own meta, so callers don't
+    * restate groupKey/measures; refreshes ride the standard locked path,
+    * each step's delta/feed read O(changed rows). Returns name → refresh
+    * mode ("fresh" / "incremental" / "incremental_rescan" / "rebuild";
+    * "skipped" for a meta this build can't decode). */
+  def refreshViews(): Map[String, String] =
+    views.map { name =>
+      val decoded = ArtifactMeta
+        .read(spark, viewDir(name).toString, ViewMetaFile)
+        .flatMap(_.split('|') match {
+          case Array(_, spec, _) => decodeViewSpec(spec)
+          case _ => None
+        })
+      name -> decoded.map { case (gk, ms, aggs) =>
+        viewState(name, gk, ms, aggs)
+        lastViewRefresh.map(_._1).getOrElse("unknown")
+      }.getOrElse("skipped")
+    }.toMap
+
+  /** Drop a view artifact (state + meta) under its build lock; false if
+    * absent. The store itself is untouched. */
+  def dropView(name: String): Boolean =
+    ArtifactMeta.withBuildLock(spark, viewDir(name).toString) {
+      if (!Files.isDirectory(viewDir(name))) false
+      else { deleteTree(viewDir(name)); true }
+    }
+
   /** Reindex/compaction (memo_cli.py:334-366): drop blank/deleted, dense
     * re-sequence, rebuild the index. Returns number of dropped records. */
   def reindex(): Long = MemoEngine.retryOnConflict {
@@ -2216,7 +2273,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * also swept, uncounted — newest-in-tree, because an in-flight parquet
     * write keeps deep files fresh while the staging dir's own mtime
     * stagnates). Run after compactions/overwrites to reclaim space —
-    * without it, storage grows O(versions × corpus).
+    * without it, storage grows O(versions × corpus). `protectViews`
+    * additionally retains every version from the oldest registered
+    * view's watermark forward, so behind views keep their O(delta)
+    * catch-up path instead of falling back to an O(corpus) rebuild.
     *
     * TTL ASSUMPTION: a live writer touches its staging tree at least once
     * per `stagingTtlMs` (the default hour is generous for any real
@@ -2227,7 +2287,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * clock skew between vacuum's host and the shared filesystem can
     * never eat into a live writer's TTL budget. */
   def vacuum(stagingTtlMs: Long = MemoEngine.DefaultStagingTtlMs,
-      retainVersions: Int = 1): Int =
+      retainVersions: Int = 1, protectViews: Boolean = false): Int =
     MemoEngine.withCommitLock(base) {
       if (Files.isDirectory(stagingRoot)) {
         // "now" in the same clock newestMtime reads — see TTL ASSUMPTION
@@ -2246,12 +2306,28 @@ class MemoEngine(spark: SparkSession, basePath: String,
           // manifests, so a retained append version keeps every prior dir
           // it references resolvable — [[recordsAt]] on anything retained
           // can never hit a reclaimed segment.
-          val retained = listDir(base)
+          val committed = listDir(base)
             .filter(p => Files.isDirectory(p) &&
               p.getFileName.toString.matches("v\\d+"))
             .map(_.getFileName.toString.drop(1).toLong)
-            .filter(_ < v)
-            .sorted.takeRight(math.max(1, retainVersions) - 1) :+ v
+            .filter(_ < v).sorted
+          // a view at watermark w catches up by walking (w, live], so it
+          // needs every version dir in that range resolvable. protectViews
+          // extends retention down to the OLDEST recorded watermark — the
+          // view-family analog of pruneChangeLogSafe: an aggressive vacuum
+          // can't silently convert a behind view's O(delta) catch-up into
+          // an O(corpus) rebuild. (Without it the view still converges —
+          // through the honest rebuild arm.)
+          val viewFloor =
+            if (!protectViews) None
+            else views.flatMap(n =>
+              ArtifactMeta.read(spark, viewDir(n).toString, ViewMetaFile)
+                .flatMap(_.split('|').headOption.flatMap(_.toLongOption)))
+              .minOption
+          val retained =
+            (committed.takeRight(math.max(1, retainVersions) - 1) ++
+              viewFloor.map(f => committed.filter(_ >= f)).getOrElse(Nil))
+              .distinct :+ v
           val live = retained.flatMap(r =>
               segments(r, "records") ++ segments(r, "index"))
             .map(p => Paths.get(p).getParent.getFileName.toString)

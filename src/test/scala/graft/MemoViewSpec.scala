@@ -419,6 +419,67 @@ class MemoViewSpec extends SparkTestBase {
   private def collectedFrom(df: DataFrame): Set[(String, Long, Long)] =
     collected(df)
 
+  test("refreshViews brings every registered view current from its " +
+      "recorded spec; dropView removes the artifact") {
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlW("r zero", "a", 4) + yamlW("r one", "b", 9))
+    engine.viewState("vsum", key, Chars)
+    engine.viewState("vmax", key, MM, MMAggs)
+    assert(engine.views == Seq("vmax", "vsum"))
+    engine.save(yamlW("r two", "a", 6))
+    // one maintenance call, no restated specs: both views catch up
+    val modes = engine.refreshViews()
+    assert(modes == Map("vsum" -> "incremental", "vmax" -> "incremental"),
+      s"unexpected refresh modes: $modes")
+    val vs = engine.viewState("vsum", key, Chars)
+    assert(mode(engine) == "fresh", "refreshViews must have caught vsum up")
+    assert(collected(vs) == direct(engine, key))
+    val vm = engine.viewState("vmax", key, MM, MMAggs)
+    assert(mode(engine) == "fresh", "refreshViews must have caught vmax up")
+    assert(collectedW(vm) == directW(engine, key))
+    assert(engine.dropView("vmax"))
+    assert(!engine.dropView("vmax"), "second drop must report absence")
+    assert(engine.views == Seq("vsum"))
+    engine.clean()
+  }
+
+  test("vacuum(protectViews) preserves a behind view's O(delta) catch-up " +
+      "across superseded patch-chain dirs") {
+    import spark.implicits._
+    def upd(engine: MemoEngine, body: String): Unit =
+      engine.applyChanges(Seq((0L, "updated", body,
+          Map("category" -> "sa")))
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+    def build(): MemoEngine = {
+      val (engine, _) = freshEngine()
+      engine.save(yamlDoc("pv zero", Some("a")) + yamlDoc("pv one", Some("b")))
+      engine.save(yamlDoc("pv two", Some("c"))) // 2 segments: patches prune
+      engine.viewState("pv", "metadata['category']", Chars) // watermark 1
+      upd(engine, "pv zero patched once")  // v2: patch rewrites segment 0
+      upd(engine, "pv zero patched twice") // v3: supersedes v2's patch seg
+      engine
+    }
+    // unprotected, retain=1: v2's dir holds no live segment and dies, so
+    // the view's walk aborts at the missing step — honest rebuild
+    val bare = build()
+    bare.vacuum(retainVersions = 1)
+    val vBare = bare.viewState("pv", "metadata['category']", Chars)
+    assert(mode(bare) == "rebuild",
+      "vacuumed walk window must fall back to rebuild")
+    assert(collected(vBare) == direct(bare, "metadata['category']"))
+    // protected: retention extends to the oldest view watermark, the
+    // walk's dirs (and their materialized feeds) survive — O(delta)
+    val prot = build()
+    prot.vacuum(retainVersions = 1, protectViews = true)
+    val vProt = prot.viewState("pv", "metadata['category']", Chars)
+    assert(mode(prot) == "incremental",
+      "protected vacuum must keep the behind view incremental")
+    assert(collected(vProt) == direct(prot, "metadata['category']"))
+    bare.clean(); prot.clean()
+  }
+
   test("measures referencing metadata sum with nulls counted as zero") {
     val (engine, _) = freshEngine()
     engine.save(
