@@ -57,7 +57,8 @@ import graft.ops.ArtifactMeta
   * coordinator — the same boundary Delta draws with its LogStore.
   */
 class MemoEngine(spark: SparkSession, basePath: String,
-    maxSegments: Int = MemoEngine.DefaultMaxSegments) {
+    maxSegments: Int = MemoEngine.DefaultMaxSegments,
+    materializeFeeds: Boolean = true) {
   import MemoEngine.ConcurrentCommitException
   graft.plans.GraftOptimizations.install(spark)
   private val base = Paths.get(basePath)
@@ -2031,13 +2032,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
       // subtract old contributions without re-reading the base snapshot.
       // The `_prev` marker is the feature gate: a feed dir without it
       // predates the extension and retractable readers must not trust it.
-      MemoOps.changeFeedWithPrev(oldTouched,
-        spark.read.schema(YamlIO.recordSchema)
-          .parquet(staging.resolve("records").toString))
-        .write.mode("overwrite")
-        .parquet(staging.resolve("changefeed").toString)
-      Files.write(staging.resolve("changefeed").resolve("_prev"),
-        Array.emptyByteArray)
+      // `materializeFeeds = false` is the write-heavy / no-consumer
+      // escape hatch (the sidecar costs ~0.5-1.5 s per patch commit,
+      // BENCH_NOTES r13): consumers then fall back to their honest
+      // paths — changesBetween to the classification join, viewState
+      // to the captured-version rebuild. Spec-pinned.
+      if (materializeFeeds) {
+        MemoOps.changeFeedWithPrev(oldTouched,
+          spark.read.schema(YamlIO.recordSchema)
+            .parquet(staging.resolve("records").toString))
+          .write.mode("overwrite")
+          .parquet(staging.resolve("changefeed").toString)
+        Files.write(staging.resolve("changefeed").resolve("_prev"),
+          Array.emptyByteArray)
+      }
       spark.read.parquet(touched.map(segsI): _*)
         .join(batchIds, Seq("id"), "left_anti")
         .unionByName(upserts.filter(!isBlank(col("body")))

@@ -480,6 +480,34 @@ class MemoViewSpec extends SparkTestBase {
     bare.clean(); prot.clean()
   }
 
+  test("materializeFeeds=false skips the patch sidecar; consumers fall " +
+      "back to their honest paths") {
+    val dir = Files.createTempDirectory("memo_view_nofeed").toString
+    val engine = new MemoEngine(spark, s"$dir/db", materializeFeeds = false)
+    engine.save(yamlDoc("nf zero", Some("a")) + yamlDoc("nf one", Some("b")))
+    engine.save(yamlDoc("nf two", Some("c"))) // 2 segments: patches prune
+    engine.viewState("nf", "metadata['category']", Chars)
+    import spark.implicits._
+    engine.applyChanges(Seq(
+        (0L, "updated", "nf zero patched", Map("category" -> "sa")))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val live = engine.versions.max
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$dir/db")
+        .resolve(s"v$live").resolve("changefeed")),
+      "the write-heavy escape hatch must skip the sidecar write")
+    // the single-step window still classifies — via the join fallback
+    val ch = engine.changesBetween(live - 1, live).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((0L, "updated")), s"fallback classification: $ch")
+    // the view can't prove the patch step retractable: honest rebuild
+    val v = engine.viewState("nf", "metadata['category']", Chars)
+    assert(mode(engine) == "rebuild",
+      "without the sidecar a patch step must recompute, never serve stale")
+    assert(collected(v) == direct(engine, "metadata['category']"))
+    engine.clean()
+  }
+
   test("measures referencing metadata sum with nulls counted as zero") {
     val (engine, _) = freshEngine()
     engine.save(
