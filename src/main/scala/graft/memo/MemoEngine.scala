@@ -1279,8 +1279,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_\\-]*"),
       s"view name must be [A-Za-z0-9_-]+, got '$name'")
     measures.foreach { case (n, _) =>
+      // "sign" is the contribution frame's retraction column — a measure
+      // with that name would alias it inside the maintenance aggregation
       require(n.matches("[a-z][a-z0-9_]*") && n != "group_key" &&
-        n != "doc_count", s"measure name '$n' is reserved or not snake_case")
+        n != "doc_count" && n != "sign",
+        s"measure name '$n' is reserved or not snake_case")
     }
     val measureNames = measures.map(_._1).toSet
     aggOf.foreach { case (n, a) =>

@@ -296,6 +296,11 @@ class MemoViewSpec extends SparkTestBase {
       engine.viewState("bad", "metadata['category']", Chars,
         Map("nope" -> "sum"))
     }
+    // "sign" would alias the contribution frame's retraction column
+    intercept[IllegalArgumentException] {
+      engine.viewState("bad", "metadata['category']",
+        Seq("sign" -> "length(body)"))
+    }
     engine.clean()
   }
 
