@@ -342,6 +342,76 @@ object MemoQueries {
     out.orderBy("group_key")
   }
 
+  /** MIN/MAX view measures end-to-end (the r13 non-additive aggregator
+    * class): a three-segment store with numeric `w` metadata
+    * (deterministic (id·37) mod 101), a min/max view over it, then one
+    * CDC patch batch that (a) lowers some weights to 0 — retractions the
+    * stored-extreme test proves COVERED or merges in place — and (b)
+    * removes group t0's pre-batch champion with nothing covering it, so
+    * the refresh is asserted to have taken the GROUP-SCOPED RESCAN arm;
+    * the oracle replays the minting, the weight rule, the update rule,
+    * and the champion removal down to each group's count/max/min.
+    * BUILD-ONCE per sf-dir; a bench repeat measures a fresh-serve read. */
+  private val q99ViewExtremes: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q99view", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    val buildPass = !java.nio.file.Files.exists(done)
+    val wExpr = "regexp_extract(metadata['w'], '^i?(-?\\\\d+)$', 1)"
+    val measures = Seq("wmax" -> wExpr, "wmin" -> wExpr)
+    val aggs = Map("wmax" -> "max", "wmin" -> "min")
+    def view() = engine.viewState("extremes",
+      "substring(metadata['tag'], 2)", measures, aggs)
+    if (buildPass) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def w(i: Int) = (i * 37) % 101
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q99 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {tag: t${i % 4}, w: ${w(i)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      view()
+      import s.implicits._
+      // pre-batch champion of group t0: smallest id among its max-weight
+      // rows (the oracle computes the same argmax)
+      val g0 = (0 until n).filter(_ % 4 == 0)
+      val champion = g0.filter(i => w(i) == g0.map(w).max).min
+      val updates = (third until 2 * third)
+        .filter(i => i % 10 == 0 && i != champion)
+        .map(i => (i.toLong, "updated", s"patched $i",
+          Map("tag" -> s"st${i % 4}", "w" -> "i0")))
+      val removes = Seq((champion.toLong, "removed", "",
+        Map.empty[String, String]))
+      val feed = (updates ++ removes)
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L))
+      engine.applyChanges(feed)
+      java.nio.file.Files.createFile(done)
+    }
+    val out = view()
+    // pinned loudly: the champion removal had no covering add, so the
+    // build-pass refresh must have taken the group-scoped rescan arm —
+    // "rebuild" here means the O(delta) maintenance silently degraded,
+    // "incremental" means the broken-extreme test silently missed
+    if (buildPass) {
+      val mode = engine.lastViewRefresh.map(_._1).getOrElse("none")
+      require(mode == "incremental_rescan",
+        s"q99 expected a group-scoped rescan refresh, got $mode")
+    }
+    out.orderBy("group_key")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -360,6 +430,7 @@ object MemoQueries {
     "q96_cdc_outbox" -> q96CdcOutbox,
     "q97_patch_merge" -> q97PatchMerge,
     "q98_view_incremental" -> q98IncrView,
+    "q99_view_extremes" -> q99ViewExtremes,
   )
 
   val oracles: Map[String, String] = Map(
@@ -502,6 +573,30 @@ object MemoQueries {
         |SELECT group_key, count(*) AS doc_count,
         |  CAST(sum(length(body)) AS BIGINT) AS chars,
         |  CAST(sum(len(string_split(body, ' '))) AS BIGINT) AS toks
+        |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
+    // q99 replay: weights are (id·37) mod 101 with tag t{id%4}; the batch
+    // zeroes the %10 ids in the middle third (except the champion) and
+    // removes group t0's champion — the smallest id holding that group's
+    // max weight, the same argmax the Spark fixture computes.
+    "q99_view_extremes" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d),
+        |w0 AS (SELECT id, (id * 37) % 101 AS w, id % 4 AS g FROM d),
+        |champ AS (
+        |  SELECT min(id) AS cid FROM w0
+        |  WHERE g = 0 AND w = (SELECT max(w) FROM w0 WHERE g = 0)),
+        |state AS (
+        |  SELECT 't' || CAST(w0.g AS VARCHAR) AS group_key,
+        |    CASE WHEN w0.id >= p.third AND w0.id < 2 * p.third
+        |          AND w0.id % 10 = 0
+        |      THEN 0 ELSE w0.w END AS w
+        |  FROM w0, p, champ
+        |  WHERE w0.id <> champ.cid)
+        |SELECT group_key, count(*) AS doc_count,
+        |  CAST(max(w) AS BIGINT) AS wmax,
+        |  CAST(min(w) AS BIGINT) AS wmin
         |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
   )
 }
