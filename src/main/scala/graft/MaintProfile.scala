@@ -155,7 +155,15 @@ object MaintProfile {
       .agg(org.apache.spark.sql.functions.max("id")).collect()(0).getLong(0)
     engine.applyChanges(rmFeed(Seq(20L))) // group 9's champion is far above
     val tViewCover = timed(refreshMaxView())
-    engine.applyChanges(rmFeed(Seq(championId))) // its group must rescan
+    // removing a group's CHAMPION is absorbed by the stored reserve
+    // (runner-up already known) — must stay flat, feed-only
+    engine.applyChanges(rmFeed(Seq(championId)))
+    val tViewChamp = timed(refreshMaxView())
+    // retracting a group's top reserve-depth+1 values in one batch
+    // EXHAUSTS the reserve — the one case that pays the group-scoped
+    // corpus rescan, the honest linear reference within the family
+    val exhaustIds = (1 to 9).map(j => championId - 11L * j)
+    engine.applyChanges(rmFeed(exhaustIds))
     val tViewRescan = timed(refreshMaxView())
     val tSpread = timed(engine.applyChanges(
       updFeed((0 until nSegs).map(_.toLong * docsPerSeg), "spread")))
@@ -175,6 +183,7 @@ object MaintProfile {
       f"spread=${tSpread}%5.2fs " +
       f"viewBuild=${tViewBuild}%5.2fs viewAppend1=${tViewAppend}%5.2fs " +
       f"viewPatch=${tViewPatch}%5.2fs viewCover=${tViewCover}%5.2fs " +
+      f"viewChamp=${tViewChamp}%5.2fs " +
       f"viewRescan=${tViewRescan}%5.2fs restore=${tRestore}%5.2fs" +
       f" reindex=${tReindex}%6.2fs vacuum=${tVacuum._1}%5.2fs" +
       f"(${tVacuum._2}%d dirs)")

@@ -5,7 +5,7 @@ import java.util.Comparator
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filter.FilterAlgebra
@@ -58,7 +58,8 @@ import graft.ops.ArtifactMeta
   */
 class MemoEngine(spark: SparkSession, basePath: String,
     maxSegments: Int = MemoEngine.DefaultMaxSegments,
-    materializeFeeds: Boolean = true) {
+    materializeFeeds: Boolean = true,
+    viewReserveK: Int = MemoEngine.DefaultViewReserveK) {
   import MemoEngine.ConcurrentCommitException
   graft.plans.GraftOptimizations.install(spark)
   private val base = Paths.get(basePath)
@@ -1198,6 +1199,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
       measures.map { case (n, _) => StructField(n, LongType) })
   }
 
+  /** The PERSISTED state schema: [[viewSchema]] plus, per MIN/MAX
+    * measure, its `_res_<n>` reserve (the group's top-k value multiset,
+    * champion-first) — internal maintenance columns a served frame never
+    * sees. */
+  private def viewStateSchema(measures: Seq[(String, String)],
+      aggOf: Map[String, String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(viewSchema(measures).fields ++
+      measures.collect {
+        case (n, _) if aggOf.get(n).exists(a => a == "min" || a == "max") =>
+          StructField(s"_res_$n", ArrayType(LongType))
+      })
+  }
+
   /** Per-row contribution frame: every row of `df` (id, body, metadata)
     * becomes (group_key, sign, raw measure values). `sign` = −1 retracts.
     * Values are UNSIGNED here — the caller's aggregation decides how a
@@ -1304,8 +1319,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     // specs collide, so a spec change is always detected and rebuilt
     def b64(s: String) = java.util.Base64.getUrlEncoder.withoutPadding
       .encodeToString(s.getBytes("UTF-8"))
-    val spec = (b64(groupKey) +: measures.map { case (n, e) =>
-      s"${b64(n)}:${aggOf.getOrElse(n, "sum")}:${b64(e)}" }).mkString(":")
+    // the reserve depth participates in spec identity: a k change means
+    // the stored reserves no longer bound the rescan contract — rebuild
+    val spec = (s"k$viewReserveK" +: b64(groupKey) +:
+      measures.map { case (n, e) =>
+        s"${b64(n)}:${aggOf.getOrElse(n, "sum")}:${b64(e)}" }).mkString(":")
     def readMeta: Option[(Long, String, String)] =
       ArtifactMeta.read(spark, dirS, ViewMetaFile).flatMap {
         _.split('|') match {
@@ -1355,6 +1373,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
       serve: String => DataFrame): DataFrame = {
     val dir = viewDir(name)
     val aggKind = measures.map { case (n, _) => n -> aggOf.getOrElse(n, "sum") }
+    // the merge needs the reserve columns; the RETURNED frame never does
+    // (serve's explicit schema prunes them at the parquet scan)
+    def serveFull(stateDir: String): DataFrame =
+      spark.read.schema(viewStateSchema(measures, aggOf))
+        .parquet(dir.resolve(stateDir).toString)
     val prior = recorded.collect {
       case (v, h, st) if h == spec && v <= live &&
           Files.isDirectory(dir.resolve(st)) => (v, st)
@@ -1363,59 +1386,103 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (v0 == live) None // spec matched but dir raced away: recompute
       else viewContribs(v0, live, groupKey, measures)
     }
+    val resMax = udaf(graft.functions.ReserveAggregator
+      .reserve(viewReserveK, 1), org.apache.spark.sql.Encoders.LONG)
+    val resMin = udaf(graft.functions.ReserveAggregator
+      .reserve(viewReserveK, -1), org.apache.spark.sql.Encoders.LONG)
+    val emptyArr = typedLit(Seq.empty[Long])
     // full aggregation of a sign=+1 contribution frame — the rebuild arm
     // and the group-scoped extreme rescan SHARE it, so the two can never
-    // diverge on null/cast handling
-    def fullAgg(frame: DataFrame): DataFrame =
-      frame.groupBy(col("group_key")).agg(
-        sum(col("sign")).as("doc_count"),
-        aggKind.map {
-          case (n, "min") => min(col(n)).as(n)
-          case (n, "max") => max(col(n)).as(n)
-          case (n, _)     => sum(col(n)).as(n)
-        }: _*)
+    // diverge on null/cast handling. MIN/MAX measures also store their
+    // RESERVE: the group's true top-k value multiset, champion-first
+    // (map-side combined — the shuffle carries ≤ k values per group per
+    // partition, never the group's rows).
+    def fullAgg(frame: DataFrame): DataFrame = {
+      val aggs =
+        sum(col("sign")).as("doc_count") +:
+        aggKind.flatMap {
+          case (n, "min") => Seq(min(col(n)).as(n),
+            resMin(col(n)).as(s"_res_$n"))
+          case (n, "max") => Seq(max(col(n)).as(n),
+            resMax(col(n)).as(s"_res_$n"))
+          case (n, _) => Seq(sum(col(n)).as(n))
+        }
+      frame.groupBy(col("group_key")).agg(aggs.head, aggs.tail: _*)
+    }
     var cached: Option[DataFrame] = None
     try {
       val (mode, scanned, newState) = contribs match {
         case Some(delta) =>
           // SUM measures retract by negation. MIN/MAX have no additive
-          // inverse, so the delta aggregation carries the added-side and
-          // retracted-side extremes separately ("_add_"/"_ret_" prefixes
-          // cannot collide with measure names, which must start [a-z])
-          // and the merge tests them against the stored extreme: a
-          // retraction that misses the stored champion — or one re-covered
-          // by a same-batch add — merges in place, O(delta); ONLY groups
-          // whose champion was retracted uncovered are recomputed, from a
-          // corpus scan semi-joined down to exactly those group keys.
+          // inverse; instead each group stores a RESERVE — its top-k
+          // value multiset — which stays a PREFIX of the group's true
+          // sorted values under this merge: retractions remove one
+          // matching instance each (a value below the reserve floor was
+          // never in it and is a no-op), adds merge in sorted position
+          // but are DROPPED below the floor (beneath it the reserve may
+          // have forgotten values, so their rank is unknowable), and the
+          // champion is always the reserve's head. A champion retraction
+          // is therefore O(delta) — the runner-up is already stored —
+          // and ONLY a group whose whole reserve is exhausted recomputes,
+          // from a corpus scan semi-joined down to exactly those keys.
+          // ("_add_"/"_ret_"/"_res_" prefixes cannot collide with
+          // measure names, which must start [a-z].)
           val deltaAggs =
             sum(col("sign")).as("doc_count") +:
             aggKind.flatMap {
               case (n, "min") => Seq(
-                min(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
-                min(when(col("sign") === -1L, col(n))).as(s"_ret_$n"))
+                resMin(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
+                collect_list(when(col("sign") === -1L, col(n)))
+                  .as(s"_ret_$n"))
               case (n, "max") => Seq(
-                max(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
-                max(when(col("sign") === -1L, col(n))).as(s"_ret_$n"))
+                resMax(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
+                collect_list(when(col("sign") === -1L, col(n)))
+                  .as(s"_ret_$n"))
               case (n, _) => Seq(sum(col("sign") * col(n)).as(n))
             }
           val d = delta.groupBy(col("group_key"))
             .agg(deltaAggs.head, deltaAggs.tail: _*)
-          val o = serve(prior.get._2)
+          val o = serveFull(prior.get._2)
+          val oEx = col("o.doc_count").isNotNull // group_key can be null
           val newCount = coalesce(col("o.doc_count"), lit(0L)) +
             coalesce(col("d.doc_count"), lit(0L))
-          val brokenTests = aggKind.collect {
-            case (n, "max") =>
-              col(s"d._ret_$n").isNotNull && col(s"o.$n").isNotNull &&
-              col(s"d._ret_$n") >= col(s"o.$n") &&
-              (col(s"d._add_$n").isNull || col(s"d._add_$n") < col(s"o.$n"))
-            case (n, "min") =>
-              col(s"d._ret_$n").isNotNull && col(s"o.$n").isNotNull &&
-              col(s"d._ret_$n") <= col(s"o.$n") &&
-              (col(s"d._add_$n").isNull || col(s"d._add_$n") > col(s"o.$n"))
+          // per min/max measure: (exhausted?, final reserve, final scalar)
+          def resMerge(n: String, dirSign: Int)
+              : (Column, Column, Column) = {
+            val rets = coalesce(col(s"d._ret_$n"), emptyArr)
+            val adds = coalesce(col(s"d._add_$n"), emptyArr)
+            // remove ONE instance per retracted value (array_remove would
+            // take all); values absent from the reserve are below its
+            // floor — retracting them can't move the stored prefix
+            val removed = aggregate(rets,
+              coalesce(col(s"o._res_$n"), emptyArr),
+              (acc, r) => {
+                val pos = array_position(acc, r).cast("int")
+                when(pos > 0,
+                  concat(slice(acc, lit(1), pos - 1),
+                    slice(acc, pos + 1, size(acc) - pos)))
+                  .otherwise(acc)
+              })
+            val exhausted = oEx && size(removed) === 0 && newCount > 0L
+            val floor = element_at(removed, size(removed))
+            val sorted = sort_array(concat(removed, adds), asc = dirSign < 0)
+            val kept = filter(sorted,
+              x => if (dirSign > 0) x >= floor else x <= floor)
+            val resFinal =
+              when(!oEx, adds).otherwise(
+                when(size(removed) === 0, emptyArr)
+                  .otherwise(slice(kept, lit(1), lit(viewReserveK))))
+            val scalar = when(size(resFinal) > 0, element_at(resFinal, 1))
+              .otherwise(lit(null).cast("long"))
+            (exhausted, resFinal, scalar)
           }
+          val mergedMM = aggKind.collect {
+            case (n, "max") => n -> resMerge(n, 1)
+            case (n, "min") => n -> resMerge(n, -1)
+          }.toMap
           val broken =
-            if (brokenTests.isEmpty) lit(false)
-            else newCount > 0L && brokenTests.reduce(_ || _)
+            if (mergedMM.isEmpty) lit(false)
+            else mergedMM.values.map(_._1).reduce(_ || _)
           val merged = o.as("o")
             .join(d.as("d"), col("o.group_key") <=> col("d.group_key"),
               "full_outer")
@@ -1423,14 +1490,14 @@ class MemoEngine(spark: SparkSession, basePath: String,
               coalesce(col("o.group_key"), col("d.group_key"))
                 .as("group_key") +:
               newCount.as("doc_count") +:
-              (aggKind.map {
-                // greatest/least skip nulls: absent stored state (new
-                // group) or an add-free delta fall through to the other
-                case (n, "max") => greatest(col(s"o.$n"), col(s"d._add_$n")).as(n)
-                case (n, "min") => least(col(s"o.$n"), col(s"d._add_$n")).as(n)
-                case (n, _) =>
+              (aggKind.flatMap {
+                case (n, "max") => Seq(mergedMM(n)._3.as(n),
+                  mergedMM(n)._2.as(s"_res_$n"))
+                case (n, "min") => Seq(mergedMM(n)._3.as(n),
+                  mergedMM(n)._2.as(s"_res_$n"))
+                case (n, _) => Seq(
                   (coalesce(col(s"o.$n"), lit(0L)) +
-                    coalesce(col(s"d.$n"), lit(0L))).as(n)
+                    coalesce(col(s"d.$n"), lit(0L))).as(n))
               } :+ broken.as("_broken")): _*)
             .filter(col("doc_count") =!= 0L) // keep negatives visible below
           val m = merged.cache(); cached = Some(m)
@@ -1500,12 +1567,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     def un(s: String) =
       new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
     val parts = spec.split(':')
-    if (parts.isEmpty || (parts.length - 1) % 3 != 0) None
+    if (parts.length < 2 || !parts(0).matches("k\\d+") ||
+      (parts.length - 2) % 3 != 0) None
     else scala.util.Try {
-      val ms = parts.tail.grouped(3).map {
+      val ms = parts.drop(2).grouped(3).map {
         case Array(n, a, e) => (un(n), a, un(e))
       }.toSeq
-      (un(parts.head), ms.map(t => (t._1, t._3)),
+      (un(parts(1)), ms.map(t => (t._1, t._3)),
         ms.collect { case (n, a, _) if a != "sum" => (n, a) }.toMap)
     }.toOption
   }
@@ -2442,11 +2510,18 @@ object MemoEngine {
   val DefaultStagingTtlMs: Long = 60L * 60 * 1000
 
   /** The [[MemoEngine.viewState]] measure aggregators: SUM retracts by
-    * negation, MIN/MAX by the stored-extreme test with a group-scoped
-    * rescan when the champion is retracted uncovered. Anything outside
-    * this set is rejected at the API boundary — better loud than a view
-    * silently served stale. */
+    * negation, MIN/MAX through the per-group reserve with a group-scoped
+    * rescan only when a reserve is exhausted. Anything outside this set
+    * is rejected at the API boundary — better loud than a view silently
+    * served stale. */
   val ViewAggs: Set[String] = Set("sum", "min", "max")
+
+  /** Default MIN/MAX reserve depth: a champion retraction is O(delta)
+    * until k of a group's top values are retracted without replacement —
+    * only then does that group pay a rescan. Small enough that the state
+    * stays a few longs per group, deep enough that champion churn
+    * doesn't thrash. */
+  val DefaultViewReserveK: Int = 8
 
   /** Schema of the CDC log [[MemoEngine.emitChanges]] writes and
     * [[MemoEngine.changeLogStream]] reads: the [[changesBetween]] feed

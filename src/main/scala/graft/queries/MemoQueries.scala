@@ -347,10 +347,12 @@ object MemoQueries {
     * (deterministic (id·37) mod 101), a min/max view over it, then one
     * CDC patch batch that (a) lowers some weights to 0 — retractions the
     * stored-extreme test proves COVERED or merges in place — and (b)
-    * removes group t0's pre-batch champion with nothing covering it, so
-    * the refresh is asserted to have taken the GROUP-SCOPED RESCAN arm;
-    * the oracle replays the minting, the weight rule, the update rule,
-    * and the champion removal down to each group's count/max/min.
+    * removes group t0's pre-batch champion with nothing covering it —
+    * which the PER-GROUP RESERVE absorbs: the refresh is asserted to have
+    * stayed on the INCREMENTAL arm (the runner-up was already stored; no
+    * corpus rescan). The oracle replays the minting, the weight rule, the
+    * update rule, and the champion removal down to each group's
+    * count/max/min.
     * BUILD-ONCE per sf-dir; a bench repeat measures a fresh-serve read. */
   private val q99ViewExtremes: Q = (s, dir) => {
     val base = java.nio.file.Paths.get(
@@ -400,14 +402,15 @@ object MemoQueries {
       java.nio.file.Files.createFile(done)
     }
     val out = view()
-    // pinned loudly: the champion removal had no covering add, so the
-    // build-pass refresh must have taken the group-scoped rescan arm —
-    // "rebuild" here means the O(delta) maintenance silently degraded,
-    // "incremental" means the broken-extreme test silently missed
+    // pinned loudly: the champion removal had no covering add, yet the
+    // reserve holds the runner-up — the build-pass refresh must have
+    // stayed INCREMENTAL. "rebuild" means the O(delta) maintenance
+    // silently degraded; "incremental_rescan" means the reserve failed
+    // to absorb a single champion retraction
     if (buildPass) {
       val mode = engine.lastViewRefresh.map(_._1).getOrElse("none")
-      require(mode == "incremental_rescan",
-        s"q99 expected a group-scoped rescan refresh, got $mode")
+      require(mode == "incremental",
+        s"q99 expected a reserve-covered incremental refresh, got $mode")
     }
     out.orderBy("group_key")
   }

@@ -226,8 +226,8 @@ class MemoViewSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
 
-  test("min/max measures: adds and covered retractions stay O(delta); " +
-      "an uncovered champion retraction rescans ONLY the broken group") {
+  test("min/max measures: adds, covered retractions, AND reserve-covered " +
+      "champion retractions all stay O(delta)") {
     val (engine, _) = freshEngine()
     val key = "metadata['category']"
     // three segments so later updates land as segment-pruned patches
@@ -264,22 +264,64 @@ class MemoViewSpec extends SparkTestBase {
     assert(collectedW(v3) == directW(engine, key))
     assert(collectedW(v3).find(_._1 == "sa").get._4 == 1L)
     // remove the champion (id 7, weight 11) with no covering add: the
-    // group's max is unrecoverable from delta+state, so the refresh takes
-    // the group-scoped rescan arm and lands on the runner-up (7)
+    // RESERVE already holds the runner-up, so even this stays O(delta) —
+    // feed-only scan, champion falls to 7
     val feed2 = Seq((7L, "removed", "", Map.empty[String, String]))
       .toDF("id", "change", "body", "metadata")
       .withColumn("commit_version", lit(0L))
     engine.applyChanges(feed2)
     val v4 = engine.viewState("mm", key, MM, MMAggs)
+    assert(mode(engine) == "incremental",
+      "a reserve-covered champion retraction must stay O(delta)")
+    assert(scanned(engine).nonEmpty &&
+      scanned(engine).forall(_.contains("/changefeed/")),
+      s"champion retraction must read only the feed: ${scanned(engine)}")
+    assert(collectedW(v4) == directW(engine, key))
+    assert(collectedW(v4).find(_._1 == "sa").get._3 == 7L)
+    // group b's extremes were never touched and still agree
+    assert(collectedW(v4).find(_._1 == "sb").get._3 == 6L)
+    engine.clean()
+  }
+
+  test("an exhausted reserve takes the group-scoped rescan arm — and " +
+      "ONLY for the broken group") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_view_res").toString
+    // k=2: two uncovered top-value retractions empty a group's reserve
+    val engine = new MemoEngine(spark, s"$dir/db", viewReserveK = 2)
+    val key = "metadata['category']"
+    engine.save(yamlW("x zero", "x", 10) + yamlW("x one", "x", 9) +
+      yamlW("x two", "x", 8) + yamlW("x three", "x", 7) +
+      yamlW("y zero", "y", 5))
+    engine.save(yamlW("y one", "y", 6)) // second segment: patches prune
+    engine.viewState("res", key, MM, MMAggs)
+    // retract the top TWO of group x in one batch (ids 0 and 1): the k=2
+    // reserve [10, 9] empties — max 8 is unrecoverable from state+delta
+    val feed = Seq(
+      (0L, "removed", "", Map.empty[String, String]),
+      (1L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L))
+    engine.applyChanges(feed)
+    val v = engine.viewState("res", key, MM, MMAggs)
     assert(mode(engine) == "incremental_rescan",
-      "an uncovered champion retraction must take the rescan arm")
+      "an exhausted reserve must take the rescan arm")
     assert(scanned(engine).exists(_.contains("/changefeed/")) &&
       scanned(engine).exists(_.contains("/records")),
       s"rescan arm reads the feed AND the corpus: ${scanned(engine)}")
-    assert(collectedW(v4) == directW(engine, key))
-    assert(collectedW(v4).find(_._1 == "sa").get._3 == 7L)
-    // group b's extremes were never broken and still agree
-    assert(collectedW(v4).find(_._1 == "sb").get._3 == 6L)
+    assert(collectedW(v) == directW(engine, key))
+    assert(collectedW(v).find(_._1 == "sx").get._3 == 8L,
+      "the rescan must land on the true post-retraction max")
+    // one more covered cycle proves the rescan REFILLED the reserve:
+    // retracting the new champion (8) is again O(delta)
+    engine.applyChanges(Seq((2L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v2 = engine.viewState("res", key, MM, MMAggs)
+    assert(mode(engine) == "incremental",
+      "a rescan must refill the reserve for the next champion retraction")
+    assert(collectedW(v2).find(_._1 == "sx").get._3 == 7L)
+    assert(collectedW(v2) == directW(engine, key))
     engine.clean()
   }
 
