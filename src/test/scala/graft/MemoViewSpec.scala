@@ -411,6 +411,12 @@ class MemoViewSpec extends SparkTestBase {
         }
       } catch { case t: Throwable => errs.add(t) }
     })
+    // a MAX view rides the same churn: its reserve merge must stay
+    // coherent under interleaved patch retractions (the rows moved to
+    // 'z' retract from the source group's reserve mid-loop)
+    val maxMeasure = Seq("hi" -> "length(body)")
+    val maxAggs = Map("hi" -> "max")
+    engine.viewState("churnmax", key, maxMeasure, maxAggs)
     writer.start()
     try {
       // adversarial loop: every observation mid-churn must be a coherent
@@ -419,6 +425,10 @@ class MemoViewSpec extends SparkTestBase {
         val rows = engine.viewState("churn", key, Chars).collect()
         assert(rows.forall(_.getLong(1) > 0L),
           s"incoherent view served mid-churn: ${rows.mkString(";")}")
+        val mrows = engine.viewState("churnmax", key, maxMeasure, maxAggs)
+          .collect()
+        assert(mrows.forall(r => r.getLong(1) > 0L && !r.isNullAt(2)),
+          s"incoherent max view served mid-churn: ${mrows.mkString(";")}")
         Thread.sleep(25)
       }
     } finally writer.join()
@@ -426,6 +436,15 @@ class MemoViewSpec extends SparkTestBase {
     val fin = engine.viewState("churn", key, Chars)
     assert(collected(fin) == direct(engine, key),
       "post-churn view must converge with the direct group-by")
+    val finMax = engine.viewState("churnmax", key, maxMeasure, maxAggs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val directMax = engine.records
+      .groupBy(expr(key).cast("string").as("group_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        max(coalesce(expr("length(body)").cast("long"), lit(0L))).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(finMax == directMax,
+      "post-churn max view must converge with the direct group-by")
     engine.clean()
   }
 
