@@ -448,6 +448,61 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("differential walk: a mixed op sequence never diverges from the " +
+      "direct group-by (sum AND min/max, every refresh)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_view_diff").toString
+    // k=2 so the walk actually crosses the exhaustion boundary
+    val engine = new MemoEngine(spark, s"$dir/db", viewReserveK = 2)
+    val key = "metadata['category']"
+    // deterministic LCG — the sequence is fixed, reruns are identical
+    var seed = 0x5eed5eedL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    def checkBoth(step: String): Unit = {
+      val s = engine.viewState("dsum", key, MM) // sum over the weight expr
+      assert(collectedW(s).map(t => (t._1, t._2)) ==
+        directW(engine, key).map(t => (t._1, t._2)), s"counts diverged: $step")
+      val m = engine.viewState("dmm", key, MM, MMAggs)
+      assert(collectedW(m) == directW(engine, key),
+        s"min/max diverged after $step (mode ${mode(engine)})")
+    }
+    engine.save((0 until 6).map(i =>
+      yamlW(s"seed doc $i", s"g${i % 3}", next(50))).mkString)
+    checkBoth("seed")
+    for (step <- 0 until 14) {
+      val ids = engine.records.select("id").collect().map(_.getLong(0)).sorted
+      next(6) match {
+        case 0 | 1 => // append a small batch (new groups allowed)
+          engine.save((0 until 1 + next(3)).map(i =>
+            yamlW(s"step $step add $i", s"g${next(4)}", next(50))).mkString)
+        case 2 | 3 => // patch: update 1-2 rows (group move + weight change)
+          val targets = (0 until 1 + next(2)).map(_ => ids(next(ids.length)))
+            .distinct
+          engine.applyChanges(targets.map(id =>
+            (id, "updated", s"step $step upd $id",
+              Map("category" -> s"sg${next(4)}", "w" -> s"i${next(50)}")))
+            .toDF("id", "change", "body", "metadata")
+            .withColumn("commit_version", lit(0L)))
+        case 4 => // remove 1-2 rows (champions included, by chance)
+          if (ids.length > 3) {
+            val targets = (0 until 1 + next(2)).map(_ => ids(next(ids.length)))
+              .distinct
+            engine.applyChanges(targets.map(id =>
+              (id, "removed", "", Map.empty[String, String]))
+              .toDF("id", "change", "body", "metadata")
+              .withColumn("commit_version", lit(0L)))
+          }
+        case 5 => // rewrite: the honest-rebuild path
+          engine.reindex()
+      }
+      checkBoth(s"step $step (op done)")
+    }
+    engine.clean()
+  }
+
   test("a follower maintains the view from applied CDC batches alone") {
     val (leader, _) = freshEngine()
     val key = "metadata['category']"
