@@ -1149,14 +1149,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
   // RETRACTABLE aggregate class: an update subtracts the old row's
   // contribution and adds the new one, so the view needs only the changed
   // rows and their prev-side state (which [[patchMerge]]'s materialized
-  // feed carries for free). MIN/MAX have no additive inverse; they
-  // maintain incrementally on every add (extremes are insert-monotone)
-  // and on every retraction that misses the stored champion or is
-  // re-covered by a same-batch add — ONLY a group whose champion was
-  // retracted uncovered pays a recompute, and that recompute is scoped to
-  // exactly the broken groups (one corpus scan semi-joined down to their
-  // keys), never the whole view. Aggregates that can't be maintained this
-  // way (count-distinct, percentiles) are rejected at the API boundary.
+  // feed carries for free). MIN/MAX have no additive inverse; each group
+  // stores a RESERVE instead — its top-k value multiset (champion-first,
+  // a bounded typed Aggregator, a few longs per group) kept a PREFIX of
+  // the group's true sorted values by the merge — so adds AND champion
+  // retractions are both O(delta) (the runner-up is already stored), and
+  // ONLY a group whose entire reserve is exhausted by retractions pays a
+  // recompute, scoped to exactly the broken groups (one corpus scan
+  // semi-joined down to their keys, which also refills their reserves),
+  // never the whole view. Aggregates that can't be maintained this way
+  // (count-distinct, percentiles) are rejected at the API boundary.
   //
   // Maintenance walks the committed version steps between the view's
   // recorded watermark and the live version:
@@ -1182,9 +1184,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private val ViewMetaFile = "_view_meta"
 
   /** Test seam: (mode, files the refresh actually scanned) — "fresh" |
-    * "incremental" | "rebuild". Lets specs pin that an append refresh
-    * read ONLY delta segments and a patch refresh ONLY the materialized
-    * feed. Production reads it never. */
+    * "incremental" | "incremental_rescan" | "rebuild". Lets specs pin
+    * that an append refresh read ONLY delta segments, a patch refresh
+    * ONLY the materialized feed, and that the rescan arm fires only on
+    * reserve exhaustion. Production reads it never. */
   private[graft] var lastViewRefresh: Option[(String, Seq[String])] = None
 
   /** Test seam, [[beforeLexicalBuildHook]]'s twin for the view family. */
