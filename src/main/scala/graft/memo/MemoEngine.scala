@@ -1452,20 +1452,38 @@ class MemoEngine(spark: SparkSession, basePath: String,
           // per min/max measure: (exhausted?, final reserve, final scalar)
           def resMerge(n: String, dirSign: Int)
               : (Column, Column, Column) = {
-            val rets = coalesce(col(s"d._ret_$n"), emptyArr)
-            val adds = coalesce(col(s"d._add_$n"), emptyArr)
-            // remove ONE instance per retracted value (array_remove would
-            // take all); values absent from the reserve are below its
-            // floor — retracting them can't move the stored prefix
+            val retsRaw = coalesce(col(s"d._ret_$n"), emptyArr)
+            val addsRaw = coalesce(col(s"d._add_$n"), emptyArr)
+            // FIRST cancel window-internal add/retract pairs at the value
+            // level: a multi-step window can add a value in one step and
+            // retract it in a later one (row updated twice, row added
+            // then removed). Such a value must never reach the old
+            // reserve as either side — the sum path cancels by sign, the
+            // reserve path cancels here. Values are a multiset, so which
+            // equal-valued instance cancels is immaterial.
+            def drop1(arr: Column, v: Column): Column = {
+              val pos = array_position(arr, v).cast("int")
+              when(pos > 0,
+                concat(slice(arr, lit(1), pos - 1),
+                  slice(arr, pos + 1, size(arr) - pos)))
+                .otherwise(arr)
+            }
+            val netted = aggregate(retsRaw,
+              struct(addsRaw.as("adds"), emptyArr.as("rets")),
+              (acc, r) => when(array_position(acc("adds"), r) > 0,
+                  struct(drop1(acc("adds"), r).as("adds"),
+                    acc("rets").as("rets")))
+                .otherwise(struct(acc("adds").as("adds"),
+                  concat(acc("rets"), array(r)).as("rets"))))
+            val rets = netted("rets")
+            val adds = netted("adds")
+            // remove ONE instance per surviving retracted value
+            // (array_remove would take all); values absent from the
+            // reserve are below its floor — retracting them can't move
+            // the stored prefix
             val removed = aggregate(rets,
               coalesce(col(s"o._res_$n"), emptyArr),
-              (acc, r) => {
-                val pos = array_position(acc, r).cast("int")
-                when(pos > 0,
-                  concat(slice(acc, lit(1), pos - 1),
-                    slice(acc, pos + 1, size(acc) - pos)))
-                  .otherwise(acc)
-              })
+              (acc, r) => drop1(acc, r))
             val exhausted = oEx && size(removed) === 0 && newCount > 0L
             val floor = element_at(removed, size(removed))
             val sorted = sort_array(concat(removed, adds), asc = dirSign < 0)

@@ -283,6 +283,47 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("a value added and retracted across steps of ONE refresh window " +
+      "leaves no phantom in the reserve") {
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlW("p zero", "p", 10) + yamlW("p one", "p", 9))
+    engine.save(yamlW("p two", "p", 8)) // 2 segments: patches prune
+    engine.viewState("ph", key, MM, MMAggs) // watermark here
+    def upd(id: Long, cat: String, w: Int): Unit =
+      engine.applyChanges(Seq((id, "updated", s"ph upd $id $w",
+          Map("category" -> s"s$cat", "weight" -> s"i$w")))
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+    // TWO patch commits, NO refresh between them: the window's delta
+    // contains +50 (step 1) and -50 (step 2) for the same row — they
+    // must cancel at the VALUE level, not slip past the stored reserve
+    upd(0L, "p", 50) // row 0: 10 -> 50 (would-be champion)
+    upd(0L, "p", 7)  // row 0: 50 -> 7 (the 50 never survives the window)
+    val v = engine.viewState("ph", key, MM, MMAggs)
+    assert(mode(engine) == "incremental", s"got ${mode(engine)}")
+    assert(collectedW(v) == directW(engine, key),
+      "cross-step add+retract must cancel in the reserve")
+    assert(collectedW(v).find(_._1 == "sp").get._3 == 9L,
+      "the transient 50 must not be served as the group max")
+    // same shape for a brand-NEW group appearing and dying in-window:
+    // q gains 40 then loses its only row — the group must vanish, and
+    // p's retraction of 9 must still land against the refilled reserve
+    upd(1L, "q", 40) // row 1: group p -> q, weight 9 -> 40
+    engine.applyChanges(Seq((1L, "removed", "",
+        Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v2 = engine.viewState("ph", key, MM, MMAggs)
+    assert(collectedW(v2) == directW(engine, key),
+      "an in-window add+remove of the same row must cancel")
+    assert(!collectedW(v2).exists(_._1 == "sq"),
+      "a group born and emptied inside one window must not be served")
+    assert(collectedW(v2).find(_._1 == "sp").get._3 == 8L)
+    engine.clean()
+  }
+
   test("an exhausted reserve takes the group-scoped rescan arm — and " +
       "ONLY for the broken group") {
     import spark.implicits._
@@ -483,7 +524,7 @@ class MemoViewSpec extends SparkTestBase {
             .distinct
           engine.applyChanges(targets.map(id =>
             (id, "updated", s"step $step upd $id",
-              Map("category" -> s"sg${next(4)}", "w" -> s"i${next(50)}")))
+              Map("category" -> s"sg${next(4)}", "weight" -> s"i${next(50)}")))
             .toDF("id", "change", "body", "metadata")
             .withColumn("commit_version", lit(0L)))
         case 4 => // remove 1-2 rows (champions included, by chance)
@@ -498,8 +539,11 @@ class MemoViewSpec extends SparkTestBase {
         case 5 => // rewrite: the honest-rebuild path
           engine.reindex()
       }
-      checkBoth(s"step $step (op done)")
+      // skipping ~1/3 of refreshes makes MULTI-step windows — the shape
+      // where in-window add+retract pairs must cancel in the reserve
+      if (next(3) != 0) checkBoth(s"step $step (op done)")
     }
+    checkBoth("final")
     engine.clean()
   }
 
