@@ -399,7 +399,12 @@ object IvfIndex {
     * the adversarial churn specs allow). */
   private def isLoudTransient(e: Throwable): Boolean = {
     val s = e.toString + Option(e.getCause).fold("")(_.toString)
-    s.contains("FileNotFound") || s.contains("does not exist") ||
+    // "NoSuchFile": the java.nio shape of a vanished file on a local
+    // Linux FS — Spark's parquet reader surfaces a mid-scan delete of a
+    // superseded dir's data (or its .crc sidecar) as FAILED_READ_FILE
+    // wrapping NoSuchFileException, not as FileNotFoundException
+    s.contains("FileNotFound") || s.contains("NoSuchFile") ||
+      s.contains("does not exist") ||
       s.contains("FILE_NOT_EXIST") || s.contains("PATH_NOT_FOUND") ||
       s.contains("basePath")
   }

@@ -548,7 +548,12 @@ class IvfIndexSpec extends SparkTestBase {
             // ("manifest generation": stableRead exhausted its bounded
             // re-resolutions under relentless churn — loud and
             // retriable, the designed alternative to a silent miss)
-            if (!s.contains("FileNotFound") && !s.contains("does not exist") &&
+            // ("NoSuchFile": the java.nio shape of the same mid-scan
+            // delete on a Linux local FS — Spark wraps it in
+            // FAILED_READ_FILE when a superseded dir's parquet or .crc
+            // vanishes between the probe's listing and its read)
+            if (!s.contains("FileNotFound") && !s.contains("NoSuchFile") &&
+                !s.contains("does not exist") &&
                 !s.contains("FILE_NOT_EXIST") && !s.contains("PATH_NOT_FOUND") &&
                 !s.contains("basePath") && !s.contains("Invalid directory") &&
                 !s.contains("manifest generation"))

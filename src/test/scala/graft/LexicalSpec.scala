@@ -358,7 +358,7 @@ class LexicalSpec extends SparkTestBase {
           case e: Throwable =>
             val s = e.toString + Option(e.getCause).fold("")(_.toString)
             if (!s.contains("PendingAppend") && !s.contains("FileNotFound") &&
-                !s.contains("does not exist"))
+                !s.contains("NoSuchFile") && !s.contains("does not exist"))
               probeErrors.add(s"unexpected probe failure: $s")
         }
       }

@@ -539,7 +539,11 @@ class PqIndexSpec extends SparkTestBase {
         } catch {
           case e: Throwable =>
             val s = e.toString + Option(e.getCause).fold("")(_.toString)
-            if (!s.contains("FileNotFound") && !s.contains("does not exist") &&
+            // "NoSuchFile": the java.nio shape of the same mid-scan
+            // delete on a Linux local FS (FAILED_READ_FILE wrapping a
+            // vanished parquet or .crc in a superseded dir)
+            if (!s.contains("FileNotFound") && !s.contains("NoSuchFile") &&
+                !s.contains("does not exist") &&
                 !s.contains("FILE_NOT_EXIST") && !s.contains("PATH_NOT_FOUND") &&
                 !s.contains("basePath") && !s.contains("Invalid directory") &&
                 !s.contains("manifest generation"))
