@@ -352,7 +352,7 @@ object MemoCli {
   private def printStats(engine: MemoEngine, filterExpr: String, key: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions.metaDisplay
-    val recs = engine.records
+    val recs = engine.recordsForFilter(filterExpr)
       .filter(graft.filter.FilterAlgebra.compile(filterExpr, col("metadata")))
     val values = recs
       .select(MemoOps.rawField(key).as("raw"))

@@ -107,22 +107,42 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * A segment without the sidecar (pre-existing stores) reads as
     * "unknown — intersects everything" and the patch arm stands down. */
   private def writeIdRange(segDir: Path): Unit = {
-    val r = spark.read.schema(YamlIO.recordSchema)
-      .parquet(segDir.toString).agg(min(col("id")), max(col("id")))
-      .collect()(0)
+    val df = spark.read.schema(YamlIO.recordSchema).parquet(segDir.toString)
+    val (idRange, stats) = graft.filter.SegmentStats.compute(df)
     Files.writeString(segDir.resolve("_idrange"),
-      if (r.isNullAt(0)) "empty" else s"${r.getLong(0)},${r.getLong(1)}")
+      idRange.fold("empty") { case (lo, hi) => s"$lo,$hi" })
+    writeMetaStats(segDir, stats)
   }
+
+  /** Stats sidecar for segment-level DATA SKIPPING on filtered reads
+    * (`_metastats` — underscore-invisible to Spark listings, like
+    * `_idrange`): per-metadata-key value bounds in exactly the
+    * orderings the compiled filter predicate evaluates, so
+    * [[graft.filter.SegmentStats.canMatch]] can prove "no row of this
+    * segment can satisfy this filter" from a few strings — the
+    * zone-map pruning Delta gets from file stats, over the TYPED
+    * metadata domain. Pruning is an over-approximation: a false
+    * positive only reads an extra segment; a missing/undecodable
+    * sidecar (pre-existing stores) reads as "unprunable". Cost: one
+    * per-key aggregation over the just-written segment, riding the
+    * same (id, metadata)-pruned read as the id-range scan. */
+  private def writeMetaStats(segDir: Path,
+      stats: graft.filter.SegmentStats): Unit =
+    Files.writeString(segDir.resolve("_metastats"),
+      graft.filter.SegmentStats.encode(stats))
 
   /** Sidecar write for a PATCH segment, whose id set is inherently
     * multi-interval (survivors of the folded segments + the batch):
     * `lo,hi;lo,hi;…` — coalesced and capped so precision never decays
     * into one wide interval that swallows the untouched segments'
     * ranges between the folded ones. */
-  private def writeIdRanges(segDir: Path, ranges: Seq[(Long, Long)]): Unit =
+  private def writeIdRanges(segDir: Path, ranges: Seq[(Long, Long)]): Unit = {
     Files.writeString(segDir.resolve("_idrange"),
       if (ranges.isEmpty) "empty"
       else ranges.map { case (lo, hi) => s"$lo,$hi" }.mkString(";"))
+    val df = spark.read.schema(YamlIO.recordSchema).parquet(segDir.toString)
+    writeMetaStats(segDir, graft.filter.SegmentStats.compute(df)._2)
+  }
 
   /** The recorded id intervals of a records segment: None = no sidecar
     * (unknown — intersects everything, the patch arm stands down);
@@ -1059,7 +1079,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
       filterExpr: Option[String] = None): DataFrame = {
     val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
     val qvCol = lit(qv) // broadcast literal — no shuffle of the corpus
-    val recs = records.join(index, Seq("id"))
+    // a metadata filter prunes record segments before the score scan —
+    // the join then bounds the index side to the surviving ids
+    val base = filterExpr.fold(records)(recordsForFilter)
+    val recs = base.join(index, Seq("id"))
     MemoOps.recall(recs, qvCol, k, filterExpr)
   }
 
@@ -1125,19 +1148,76 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .orderBy(desc("rrf_score"), col("id"))
   }
 
-  /** Analyze projection/count/stats — see [[MemoOps]]. */
+  // ---- segment-level data skipping -----------------------------------
+
+  /** The live manifest's records segments split by
+    * [[graft.filter.SegmentStats.canMatch]] under a parsed filter:
+    * (kept, total). A segment is dropped ONLY when its stats sidecar
+    * proves no row can satisfy the filter; a missing/undecodable
+    * sidecar keeps the segment. A filter expression the algebra cannot
+    * parse keeps everything — the downstream compile throws the
+    * identical error the unpruned path would. */
+  private def prunedSegmentLists(filterExpr: String)
+      : Option[(Seq[String], Seq[String])] = currentVersion.map { v =>
+    val segs = segments(v, "records")
+    val parsed =
+      try Some(graft.filter.FilterAlgebra.parse(filterExpr))
+      catch { case scala.util.control.NonFatal(_) => None }
+    parsed match {
+      case None => (segs, segs)
+      case Some(fm) =>
+        val kept = segs.filter { dir =>
+          readMetaStats(dir)
+            .forall(graft.filter.SegmentStats.canMatch(fm, _))
+        }
+        (kept, segs)
+    }
+  }
+
+  private def readMetaStats(segDir: String)
+      : Option[graft.filter.SegmentStats] = {
+    val p = Paths.get(segDir).resolve("_metastats")
+    if (!Files.exists(p)) None
+    else graft.filter.SegmentStats.decode(Files.readString(p))
+  }
+
+  /** [[records]] with provably-unmatchable segments dropped for
+    * `filterExpr` — same rows out of every filtered read (the
+    * predicate still runs on the survivors), strictly fewer segment
+    * files in. On an append-chained store a selective filter reads
+    * O(matching segments), not O(chain). */
+  def recordsForFilter(filterExpr: String): DataFrame =
+    prunedSegmentLists(filterExpr) match {
+      case None => records // undefined-store error path stays identical
+      case Some((kept, _)) if kept.isEmpty =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          YamlIO.recordSchema)
+      case Some((kept, _)) => spark.read.parquet(kept: _*)
+    }
+
+  /** Observability for specs and oracle builders: (kept, total)
+    * segment counts under `filterExpr`'s pruning. */
+  def segmentPrune(filterExpr: String): (Int, Int) =
+    prunedSegmentLists(filterExpr)
+      .map { case (kept, all) => (kept.size, all.size) }
+      .getOrElse((0, 0))
+
+  /** Analyze projection/count/stats — see [[MemoOps]]; all three read
+    * through the segment-pruned frame. */
   def analyzeCount(filterExpr: String): Long =
-    MemoOps.analyzeCount(records, filterExpr).collect()(0).getLong(0)
+    MemoOps.analyzeCount(recordsForFilter(filterExpr), filterExpr)
+      .collect()(0).getLong(0)
 
   def analyzeProject(filterExpr: String, fields: Seq[String],
       limit: Int = 100, offset: Int = 0): DataFrame = {
+    val recs = recordsForFilter(filterExpr)
     val fs = if (fields.nonEmpty) fields
-             else MemoOps.defaultFields(records, filterExpr)
-    MemoOps.analyzeProject(records, filterExpr, fs, limit, offset)
+             else MemoOps.defaultFields(recs, filterExpr)
+    MemoOps.analyzeProject(recs, filterExpr, fs, limit, offset)
   }
 
   def analyzeStats(filterExpr: String, key: String): DataFrame =
-    MemoOps.statsTopK(records, filterExpr, key)
+    MemoOps.statsTopK(recordsForFilter(filterExpr), filterExpr, key)
 
   // ---- incremental materialized views -------------------------------------
   //

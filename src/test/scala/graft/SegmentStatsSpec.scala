@@ -1,0 +1,269 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.filter.{FilterAlgebra, SegmentStats}
+import graft.memo.{MemoEngine, MetaCodec}
+
+/** Segment-level data skipping ([[SegmentStats]]): per-segment metadata
+  * stats sidecars + a driver-side sound over-approximation of the filter
+  * algebra. The load-bearing property is SOUNDNESS — canMatch may only
+  * say false when NO row of the segment can satisfy the compiled
+  * predicate — pinned differentially over the same randomized typed
+  * (metadata, filter) domain the filter-algebra suites use, plus the
+  * ordering edge cases where an unsound mirror would diverge from
+  * Spark's UTF8String comparisons. */
+class SegmentStatsSpec extends SparkTestBase {
+
+  // ------------------------------------------------------ pure unit pins
+
+  test("cpCompare is code-point (UTF-8 byte) order, not UTF-16 order") {
+    // U+10000 (surrogate pair in UTF-16) sorts ABOVE U+E000 by code
+    // point — Java's String.compareTo says the opposite
+    val supp = new String(Character.toChars(0x10000))
+    assert(SegmentStats.cpCompare(supp, "") > 0)
+    assert("".compareTo(supp) > 0) // the trap the mirror avoids
+    assert(SegmentStats.cpCompare("a", "ab") < 0)
+    assert(SegmentStats.cpCompare("", "") == 0)
+    assert(SegmentStats.cpCompare("b", "a") > 0)
+  }
+
+  test("prefixSuccessor bounds the prefix interval") {
+    assert(SegmentStats.prefixSuccessor("ab") == Some("ac"))
+    assert(SegmentStats.prefixSuccessor("") == None)
+    val maxCp = new String(Character.toChars(Character.MAX_CODE_POINT))
+    assert(SegmentStats.prefixSuccessor(maxCp) == None)
+    assert(SegmentStats.prefixSuccessor("a" + maxCp) == Some("b"))
+    // BMP max char is NOT the max code point — it has a successor
+    assert(SegmentStats.prefixSuccessor("a\uFFFF") ==
+      Some("a" + new String(Character.toChars(0x10000))))
+  }
+
+  test("codec round-trips hostile strings") {
+    val nasty = Seq("", " ", "a b", "line\nbreak", "tab\there", "ключ",
+      new String(Character.toChars(0x10000)), "с пробелом и =",
+      "\"quoted\"", "-._~")
+    def ks(lo: String, hi: String) = graft.filter.KeyStats(
+      3L, 0L, 1L, 2L, lo, hi, Some(1.0), Some(2.0),
+      Some(lo), Some(hi), None, Some(hi))
+    val st = SegmentStats(42L, 40L, keysComplete = false,
+      nasty.map(s => s -> ks(s, s + "z")).toMap)
+    assert(SegmentStats.decode(SegmentStats.encode(st)) == Some(st))
+    assert(SegmentStats.decode("garbage") == None)
+    assert(SegmentStats.decode("meta9 1 1 1") == None) // future version
+  }
+
+  // -------------------------------------------- randomized soundness
+
+  /** The core property: over randomized typed metadata segments and
+    * randomized filters, every segment containing a row the COMPILED
+    * predicate matches must survive canMatch. (Completeness is not
+    * required — pruning is an over-approximation — but the run records
+    * how often it fires so the feature provably does something.) */
+  test("differential soundness: canMatch never prunes a matching segment") {
+    import spark.implicits._
+    val gen = new FilterCaseGen(20260814L)
+    val nSegs = 10
+    val rowsPerSeg = 40
+    val rows = for {
+      seg <- 0 until nSegs
+      i <- 0 until rowsPerSeg
+    } yield {
+      val meta = gen.randomMeta().map { case (k, v) =>
+        k -> MetaCodec.encode(v)
+      }
+      (seg.toLong * rowsPerSeg + i, seg, meta)
+    }
+    val df = rows.toDF("id", "seg", "metadata").cache()
+    df.count()
+    val stats = (0 until nSegs).map { s =>
+      s -> SegmentStats.compute(df.filter(col("seg") === s))._2
+    }.toMap
+    var pruned = 0
+    var total = 0
+    for (round <- 0 until 120) {
+      val fm = gen.randomFilter()
+      val matched = df
+        .filter(FilterAlgebra.compile(fm, col("metadata")))
+        .select("seg").distinct().collect().map(_.getInt(0)).toSet
+      for (s <- 0 until nSegs) {
+        val keep = SegmentStats.canMatch(fm, stats(s))
+        total += 1
+        if (!keep) {
+          pruned += 1
+          assert(!matched.contains(s),
+            s"round $round UNSOUND: segment $s pruned under $fm but " +
+              "contains a matching row")
+        }
+      }
+    }
+    df.unpersist()
+    // effectiveness floor: the generator produces plenty of provably
+    // unmatchable (segment, filter) pairs — absent keys, $bogus ops,
+    // out-of-range operands. A mirror that never prunes is useless.
+    assert(pruned > total / 10,
+      s"pruned only $pruned of $total segment decisions")
+  }
+
+  // ------------------------------------------------- targeted semantics
+
+  private def statsOf(metas: Seq[Map[String, Any]]): SegmentStats = {
+    import spark.implicits._
+    val df = metas.zipWithIndex.map { case (m, i) =>
+      (i.toLong, m.map { case (k, v) => k -> MetaCodec.encode(v) })
+    }.toDF("id", "metadata")
+    SegmentStats.compute(df)._2
+  }
+
+  test("numeric-operand compare keeps the string-valued side (P4)") {
+    // value "9" is a STRING: $gte 10 compares str-lexicographically
+    // ("9" >= "10" is true) — a mirror that only checked numeric bounds
+    // would prune a matching segment
+    val st = statsOf(Seq(Map("k" -> "9")))
+    assert(SegmentStats.canMatch(Map("k" -> Map("$gte" -> 10)), st))
+    // and the numeric side prunes when BOTH sides are out of range
+    val st2 = statsOf(Seq(Map("k" -> 5)))
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$gte" -> 10)), st2))
+    assert(SegmentStats.canMatch(Map("k" -> Map("$lte" -> 10)), st2))
+  }
+
+  test("missing key prunes only when the key set is complete") {
+    val st = statsOf(Seq(Map("a" -> 1)))
+    assert(!SegmentStats.canMatch(Map("zz" -> 1), st))
+    assert(SegmentStats.canMatch(Map("zz" -> 1),
+      st.copy(keysComplete = false)))
+  }
+
+  test("$contains prunes list-free segments; lists disable range pruning") {
+    val noLists = statsOf(Seq(Map("k" -> "x")))
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$contains" -> "x")), noLists))
+    val withList = statsOf(Seq(Map("k" -> List("x", "y"))))
+    assert(SegmentStats.canMatch(Map("k" -> Map("$contains" -> "q")), withList))
+    // bare equality out of the whole-value str() range still matches a
+    // list ELEMENT — list presence must keep the segment
+    assert(SegmentStats.canMatch(Map("k" -> "x"), withList))
+  }
+
+  test("$ne prunes only a degenerate all-equal scalar segment") {
+    val allSame = statsOf(Seq(Map("k" -> "v"), Map("k" -> "v")))
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$ne" -> "v")), allSame))
+    val mixed = statsOf(Seq(Map("k" -> "v"), Map("k" -> "w")))
+    assert(SegmentStats.canMatch(Map("k" -> Map("$ne" -> "v")), mixed))
+    // typed coercion: int 2 str()-equals operand "2"
+    val coerced = statsOf(Seq(Map("k" -> 2)))
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$ne" -> "2")), coerced))
+  }
+
+  test("$prefix uses the string-typed class and the successor bound") {
+    val st = statsOf(Seq(Map("k" -> "banana")))
+    assert(SegmentStats.canMatch(Map("k" -> Map("$prefix" -> "ban")), st))
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$prefix" -> "bb")), st))
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$prefix" -> "az")), st))
+    // an int 25 is not a str — no prefix match ever (P5)
+    val numeric = statsOf(Seq(Map("k" -> 25)))
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$prefix" -> "2")), numeric))
+    // empty prefix matches every string-typed value
+    assert(SegmentStats.canMatch(Map("k" -> Map("$prefix" -> "")), st))
+  }
+
+  test("supplementary-plane values survive the ordering mirror") {
+    // pysMax is U+10000; a UTF-16 mirror would call it < U+E000 and
+    // prune — Spark's UTF8 compare matches it
+    val supp = new String(Character.toChars(0x10000))
+    val st = statsOf(Seq(Map("k" -> supp)))
+    val fm = Map("k" -> Map("$gte" -> ""))
+    assert(SegmentStats.canMatch(fm, st))
+    import spark.implicits._
+    val df = Seq((0L, Map("k" -> MetaCodec.encode(supp))))
+      .toDF("id", "metadata")
+    assert(df.filter(FilterAlgebra.compile(fm, col("metadata"))).count() == 1)
+  }
+
+  test("the P11 gate prunes a metadata-less segment for ANY filter") {
+    val st = statsOf(Seq(Map.empty[String, Any], Map.empty[String, Any]))
+    assert(st.nMeta == 0)
+    assert(!SegmentStats.canMatch(Map.empty[String, Any], st))
+    assert(!SegmentStats.canMatch(Map("$or" -> List(Map("a" -> 1))), st))
+  }
+
+  test("key-set overflow marks incomplete; recorded keys still prune") {
+    val wide = (0 until SegmentStats.MaxKeys + 8)
+      .map(i => s"key$i" -> (i: Any)).toMap
+    val st = statsOf(Seq(wide))
+    assert(!st.keysComplete)
+    assert(st.keys.size == SegmentStats.MaxKeys)
+    // unknown key: cannot prune
+    assert(SegmentStats.canMatch(Map("never-seen" -> 1), st))
+    // a RECORDED key's stats are exact — value-range pruning still works
+    val known = st.keys.keys.head
+    assert(!SegmentStats.canMatch(
+      Map(known -> "no-such-value-anywhere"), st))
+  }
+
+  // --------------------------------------------------- engine integration
+
+  private def freshEngine(): MemoEngine = {
+    val dir = Files.createTempDirectory("memo_skip").toString
+    new MemoEngine(spark, s"$dir/db")
+  }
+
+  private def doc(body: String, cat: String): String =
+    s"---\nbody: $body\nmetadata: {category: $cat, n: ${body.length}}\n"
+
+  test("filtered analyze reads only the segments that can match") {
+    val engine = freshEngine()
+    engine.save(doc("alpha one", "a") + doc("alpha two", "a"))
+    engine.save(doc("beta one", "b") + doc("beta two", "b"))
+    engine.save(doc("gamma one", "c"))
+    assert(engine.segmentPrune("category: b") == (1, 3))
+    assert(engine.segmentPrune("category: zz") == (0, 3))
+    assert(engine.segmentPrune("category: {$ne: zz}") == (3, 3))
+    assert(engine.analyzeCount("category: b") == 2)
+    assert(engine.analyzeCount("category: zz") == 0)
+    // projection through the pruned path matches the unpruned frame
+    val viaPruned = engine.analyzeProject("category: b", Seq("body"))
+      .collect().map(_.toSeq).toSet
+    val unpruned = graft.memo.MemoOps.analyzeProject(
+      engine.records, "category: b", Seq("body")).collect()
+      .map(_.toSeq).toSet
+    assert(viaPruned == unpruned && viaPruned.nonEmpty)
+    // recall with a filter returns the same rows pruned or not
+    val r = engine.recall("beta", 5, Some("category: b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(r == Set(2L, 3L))
+    engine.clean()
+  }
+
+  test("a missing stats sidecar keeps the segment (pre-stats stores)") {
+    val engine = freshEngine()
+    engine.save(doc("alpha", "a"))
+    engine.save(doc("beta", "b"))
+    // simulate a pre-stats segment: drop one sidecar
+    val segDir = Paths
+      .get(engine.records.inputFiles.head.stripPrefix("file:")).getParent
+    Files.delete(segDir.resolve("_metastats"))
+    val (kept, total) = engine.segmentPrune("category: zz")
+    assert(total == 2 && kept == 1, s"got ($kept, $total)")
+    assert(engine.analyzeCount("category: a") == 1)
+    engine.clean()
+  }
+
+  test("patch commits write stats; pruning tracks the patched values") {
+    import spark.implicits._
+    val engine = freshEngine()
+    engine.save(doc("one", "a") + doc("two", "a"))
+    engine.save(doc("three", "b"))
+    // move doc 0 into category "moved" via a CDC patch commit
+    engine.applyChanges(Seq((0L, "updated", "one moved",
+        Map("category" -> "smoved")))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    assert(engine.analyzeCount("category: moved") == 1)
+    val (kept, total) = engine.segmentPrune("category: moved")
+    assert(kept < total, s"patch segment stats should prune: ($kept, $total)")
+    assert(engine.analyzeCount("category: a") == 1) // survivor stayed
+    engine.clean()
+  }
+}
