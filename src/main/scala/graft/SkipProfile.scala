@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The data-skipping scale measurement (BENCH_NOTES): does a SELECTIVE
+  * filtered analyze stay O(matching segments) — flat as the committed
+  * chain grows 10× — while the unpruned scan it replaces grows with the
+  * chain?
+  *
+  * Shape: build an append chain of `nSegs` one-commit segments whose
+  * `part` metadata equals the segment ordinal (the correlated layout a
+  * real ingest-by-source or ingest-by-day store has), then time the same
+  * filtered count through [[graft.memo.MemoEngine.analyzeCount]] (reads
+  * through `recordsForFilter` — `_metastats` pruning) and through the
+  * unpruned frame (the pre-r13 path). The design claim: the pruned read
+  * touches ONE segment's files at any chain length; the reference scan
+  * touches all of them.
+  *
+  * Usage: `runMain graft.SkipProfile [segsList] [docsPerSeg]`
+  * (defaults "12,120" and 50 — the 1× vs 10× chain pair).
+  */
+object SkipProfile {
+  def main(args: Array[String]): Unit = {
+    val segsList = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(12, 120))
+    val docsPerSeg = args.lift(1).map(_.toInt).getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosFlag, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    segsList.foreach(run(spark, _, docsPerSeg))
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, nSegs: Int, docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_skip")
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString,
+      maxSegments = 1000000) // long chain, no auto-fold
+    def batchYaml(seg: Int) = (0 until docsPerSeg).map(d =>
+      s"---\nbody: skip corpus segment $seg doc $d\n" +
+        s"metadata: {part: p$seg, n: ${d % 7}}\n").mkString
+    val t0 = System.nanoTime()
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val filter = "part: p7"
+    val expect = docsPerSeg.toLong
+    def prunedCount(): Unit =
+      require(engine.analyzeCount(filter) == expect)
+    def fullCount(): Unit =
+      require(graft.memo.MemoOps.analyzeCount(engine.records, filter)
+        .collect()(0).getLong(0) == expect)
+    prunedCount(); fullCount() // warm (plans, footers, page cache)
+    val pruned = (0 until 3).map(_ => timed(prunedCount())).min
+    val full = (0 until 3).map(_ => timed(fullCount())).min
+    val (kept, total) = engine.segmentPrune(filter)
+    println(f"[skip] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
+      f"build=$buildSec%.1fs kept=$kept/$total " +
+      f"prunedCount=$pruned%.3fs fullScanCount=$full%.3fs")
+    engine.clean()
+    ()
+  }
+}

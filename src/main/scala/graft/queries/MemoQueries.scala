@@ -415,6 +415,48 @@ object MemoQueries {
     out.orderBy("group_key")
   }
 
+  /** Segment-level data skipping end-to-end (the r13 `_metastats`
+    * sidecars): a three-segment store whose `part` metadata correlates
+    * with the save order, then a filtered analyze projection on one
+    * part — the build asserts [[graft.memo.MemoEngine.segmentPrune]]
+    * proved exactly ONE segment can match (the stats pruned the scan,
+    * not just the predicate), and the oracle replays the minting, the
+    * thirds cut, and the projection. BUILD-ONCE per sf-dir; a bench
+    * repeat measures the pruned filtered read. */
+  private val q100MetaSkip: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q100skip", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q100 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {part: p${math.min(i / third, 2)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      // the point of the exercise, pinned loudly: the stats sidecars
+      // must PROVE only one segment can hold part p1 — if kept ever
+      // equals total the filtered read degraded to a full chain scan
+      val (kept, total) = engine.segmentPrune("part: p1")
+      require(total >= 3 && kept == 1,
+        s"q100 expected stats to prune to 1 of >=3 segments, " +
+          s"got ($kept, $total)")
+      java.nio.file.Files.createFile(done)
+    }
+    engine.analyzeProject("part: p1", Seq("id", "part"), limit = 200)
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -434,6 +476,7 @@ object MemoQueries {
     "q97_patch_merge" -> q97PatchMerge,
     "q98_view_incremental" -> q98IncrView,
     "q99_view_extremes" -> q99ViewExtremes,
+    "q100_meta_skip" -> q100MetaSkip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -601,5 +644,17 @@ object MemoQueries {
         |  CAST(max(w) AS BIGINT) AS wmax,
         |  CAST(min(w) AS BIGINT) AS wmin
         |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
+    // q100 replay: dense minting (id = rank−1) over the first 300 docs,
+    // part = min(id // third, 2) — the filtered projection keeps the
+    // middle third. The LIMIT mirrors the Spark-side pagination bound
+    // (never binding at n ≤ 300).
+    "q100_meta_skip" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d)
+        |SELECT d.id, 'p1' AS part FROM d, p
+        |WHERE least(d.id // p.third, 2) = 1
+        |ORDER BY d.id LIMIT 200""".stripMargin,
   )
 }
