@@ -21,9 +21,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SkipProfile {
   def main(args: Array[String]): Unit = {
-    val segsList = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+    val cluster = args.headOption.contains("cluster")
+    val rest = if (cluster) args.drop(1) else args
+    val segsList = rest.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(12, 120))
-    val docsPerSeg = args.lift(1).map(_.toInt).getOrElse(50)
+    val docsPerSeg = rest.lift(1).map(_.toInt).getOrElse(50)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +34,8 @@ object SkipProfile {
       .config(Tables.NanosFlag, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    segsList.foreach(run(spark, _, docsPerSeg))
+    if (cluster) segsList.foreach(runCluster(spark, _, docsPerSeg))
+    else segsList.foreach(run(spark, _, docsPerSeg))
     spark.stop()
   }
 
@@ -63,6 +66,42 @@ object SkipProfile {
     println(f"[skip] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
       f"build=$buildSec%.1fs kept=$kept/$total " +
       f"prunedCount=$pruned%.3fs fullScanCount=$full%.3fs")
+    engine.clean()
+    ()
+  }
+
+  /** The layout-fix leg: an UNCORRELATED chain (every segment holds
+    * every part, so stats prune nothing), then [[graft.memo.MemoEngine
+    * .clusterBy]] on the filter key — same filtered count before and
+    * after, with prune counts and times for both layouts plus the
+    * rewrite's own cost. Run via
+    * `runMain graft.SkipProfile cluster [nSegs] [docsPerSeg]`. */
+  private[graft] def runCluster(spark: SparkSession, nSegs: Int,
+      docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_skipc")
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString,
+      maxSegments = 1000000)
+    val nParts = 16
+    def batchYaml(seg: Int) = (0 until docsPerSeg).map(d =>
+      s"---\nbody: cluster corpus segment $seg doc $d\n" +
+        s"metadata: {part: p${d % nParts}}\n").mkString // every part, every seg
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val filter = "part: p7"
+    val expect = nSegs.toLong * (docsPerSeg / nParts)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def count(): Unit = require(engine.analyzeCount(filter) == expect)
+    count() // warm
+    val beforeT = (0 until 3).map(_ => timed(count())).min
+    val (k0, t0) = engine.segmentPrune(filter)
+    val clusterSec = timed(engine.clusterBy("part", nClusters = nParts))
+    count() // warm the new layout
+    val afterT = (0 until 3).map(_ => timed(count())).min
+    val (k1, t1) = engine.segmentPrune(filter)
+    println(f"[skip-cluster] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
+      f"uncorrelated=$k0/$t0 ${beforeT}%.3fs -> clusterBy=$clusterSec%.1fs " +
+      f"-> clustered=$k1/$t1 ${afterT}%.3fs")
     engine.clean()
     ()
   }

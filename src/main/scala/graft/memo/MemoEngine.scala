@@ -1720,6 +1720,88 @@ class MemoEngine(spark: SparkSession, basePath: String,
     before - after
   }
 
+  /** Metadata-clustered compaction — the OPTIMIZE … CLUSTER BY shape
+    * for the store: rewrite the live corpus as ONE versioned commit
+    * whose segments are RANGE-CLUSTERED on a metadata key's
+    * Python-str() order, so `_metastats` data skipping
+    * ([[recordsForFilter]]) prunes filters on that key to O(matching
+    * segments) even when ingest order never correlated with it. The
+    * skipping is only as good as the layout; this is the maintenance
+    * op that FIXES the layout.
+    *
+    * One range-partitioning shuffle of (id, body, metadata) plus a
+    * broadcast-scale join to carry the index rows — ZERO re-embedding
+    * (the embeddings are keyed by id and ids don't change; spec-pinned
+    * by the embed-call counter). Rows missing the key (or metadata)
+    * cluster together at the low end. Cluster segments' id sets stay
+    * DISJOINT (each id lands in exactly one cluster) but their id
+    * RANGES overlap, which [[patchMerge]]'s interval tests treat
+    * soundly over-approximately — a later id-targeted patch may rewrite
+    * an extra cluster, never miss one. Concurrency, history, CDC, and
+    * artifact maintenance all see an ordinary rewrite commit (CAS
+    * publish, `history` kind "rewrite", changefeed empty by content,
+    * `ensure*`/views converge via their captured-version arms).
+    * Returns the new live version. */
+  def clusterBy(key: String, nClusters: Int = 8): Long =
+      MemoEngine.retryOnConflict {
+    require(nClusters >= 2 && nClusters <= 256,
+      s"nClusters must be in [2, 256], got $nClusters")
+    val v0 = currentVersion
+    val recs = records
+    val idx = index
+    val nv = v0.getOrElse(-1L) + 1
+    val staging = newStaging()
+    try {
+      val sortKey = metaPyStr(element_at(col("metadata"), key))
+      // the range partitioner makes each partition a contiguous key
+      // interval — the cluster ordinal IS the partition id; the id
+      // tiebreak keeps a single dominant value splittable
+      val bucketed = recs
+        .repartitionByRange(nClusters, sortKey.asc_nulls_first,
+          col("id").asc)
+        .withColumn("_cluster", spark_partition_id())
+        .cache()
+      try {
+        bucketed.write.mode("overwrite").partitionBy("_cluster")
+          .parquet(staging.resolve("rc").toString)
+        idx.join(bucketed.select(col("id"), col("_cluster")), Seq("id"))
+          .write.mode("overwrite").partitionBy("_cluster")
+          .parquet(staging.resolve("ic").toString)
+      } finally bucketed.unpersist()
+      // promote the partition dirs to positionally PAIRED segment dirs
+      // (records_cN ↔ index_cN — the pairing patchMerge scopes by); an
+      // all-blank-body cluster has no index partition dir, so its pair
+      // is created empty to keep the manifests aligned
+      val rcDir = staging.resolve("rc")
+      val listing = Files.list(rcDir)
+      val clusters =
+        try listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_cluster="))
+          .map(_.stripPrefix("_cluster=").toInt).toSeq.sorted
+        finally listing.close()
+      require(clusters.nonEmpty, "clusterBy on an empty store")
+      clusters.foreach { c =>
+        val rDst = staging.resolve(s"records_c$c")
+        Files.move(rcDir.resolve(s"_cluster=$c"), rDst)
+        writeIdRange(rDst) // id-range + metastats sidecars per cluster
+        val iSrc = staging.resolve("ic").resolve(s"_cluster=$c")
+        val iDst = staging.resolve(s"index_c$c")
+        if (Files.exists(iSrc)) Files.move(iSrc, iDst)
+        else Files.createDirectories(iDst)
+      }
+      deleteTree(rcDir)
+      deleteTree(staging.resolve("ic"))
+      writeManifest(staging, nv, "records",
+        clusters.map(c => versionDir(nv).resolve(s"records_c$c").toString))
+      writeManifest(staging, nv, "index",
+        clusters.map(c => versionDir(nv).resolve(s"index_c$c").toString))
+      carryStreamMarker(staging, None)
+      finalizeCommit(staging, nv, v0)
+      nv
+    } catch reclassifyRaceCollateral(nv, v0)
+    finally deleteTree(staging) // no-op when promoted
+  }
+
   /** Roll the live table back to retained version `v` by COMMITTING its
     * state as a new version (the Delta RESTORE shape): history stays
     * intact — the rollback is itself a versioned, CAS-protected commit, so
@@ -1741,6 +1823,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
       idx.write.mode("overwrite").parquet(staging.resolve("index").toString)
       recs.write.mode("overwrite")
         .parquet(staging.resolve("records").toString)
+      writeIdRange(staging.resolve("records")) // patch/skip sidecars
       writeManifest(staging, nv, "records",
         Seq(versionDir(nv).resolve("records").toString))
       writeManifest(staging, nv, "index",

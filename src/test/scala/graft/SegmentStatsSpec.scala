@@ -266,4 +266,61 @@ class SegmentStatsSpec extends SparkTestBase {
     assert(engine.analyzeCount("category: a") == 1) // survivor stayed
     engine.clean()
   }
+
+  test("clusterBy fixes an uncorrelated layout; content and index intact") {
+    val engine = freshEngine()
+    // three saves, each MIXING all three categories: ingest order never
+    // correlates with the filter key, so stats cannot prune anything
+    (0 until 3).foreach { s =>
+      engine.save(Seq("a", "b", "c").map(c =>
+        doc(s"batch $s about $c topic", c)).mkString)
+    }
+    assert(engine.segmentPrune("category: b") == (3, 3))
+    val before = engine.records
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val countB = engine.analyzeCount("category: b")
+    val recallB = engine.recall("topic", 9, Some("category: b"))
+      .collect().map(_.getLong(0)).toSet
+    val embeds0 = graft.functions.VectorKernels.embedCalls.get()
+    engine.clusterBy("category", nClusters = 3)
+    // zero re-embedding: the index rode the rewrite by id
+    assert(graft.functions.VectorKernels.embedCalls.get() == embeds0,
+      "clusterBy must not re-embed anything")
+    // the layout now correlates with the key — stats prune
+    val (kept, total) = engine.segmentPrune("category: b")
+    assert(total >= 2 && kept < total,
+      s"clustered layout should prune: ($kept, $total)")
+    // same rows, same filtered count, same filtered recall
+    assert(engine.records.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    assert(engine.analyzeCount("category: b") == countB)
+    assert(engine.recall("topic", 9, Some("category: b"))
+      .collect().map(_.getLong(0)).toSet == recallB)
+    // the clustered store remains a normal chain: appends extend it and
+    // a CDC patch against it converges
+    engine.save(doc("post-cluster append", "d"))
+    assert(engine.analyzeCount("category: d") == 1)
+    import spark.implicits._
+    engine.applyChanges(Seq((1L, "updated", "post-cluster update",
+        Map("category" -> "se")))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    assert(engine.analyzeCount("category: e") == 1)
+    assert(engine.analyzeCount("category: b") == countB - 1)
+    engine.clean()
+  }
+
+  test("restore writes sidecars: the restored snapshot stays prunable") {
+    val engine = freshEngine()
+    engine.save(doc("alpha", "a"))
+    engine.save(doc("beta", "b"))
+    val v = engine.versions.max
+    engine.save(doc("gamma", "c"))
+    engine.restore(v)
+    // one restored snapshot segment, with stats: an impossible filter
+    // prunes it
+    assert(engine.segmentPrune("category: zz") == (0, 1))
+    assert(engine.analyzeCount("category: b") == 1)
+    engine.clean()
+  }
 }
