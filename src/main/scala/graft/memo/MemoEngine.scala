@@ -1079,10 +1079,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
       filterExpr: Option[String] = None): DataFrame = {
     val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
     val qvCol = lit(qv) // broadcast literal — no shuffle of the corpus
-    // a metadata filter prunes record segments before the score scan —
-    // the join then bounds the index side to the surviving ids
-    val base = filterExpr.fold(records)(recordsForFilter)
-    val recs = base.join(index, Seq("id"))
+    // a metadata filter prunes BOTH sides of the score scan before any
+    // file reads: record segments by their stats sidecars, index
+    // segments through the positional manifest pairing
+    val (base, idx) = filterExpr.fold((records, index))(prunedPair)
+    val recs = base.join(idx, Seq("id"))
     MemoOps.recall(recs, qvCol, k, filterExpr)
   }
 
@@ -1126,9 +1127,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
           if (currentVersion.isDefined) {
             ensureLexical()
             // filter → candidate mask over the artifact probe (see
-            // scaladoc); unfiltered → plain probe. Both O(probe).
+            // scaladoc); unfiltered → plain probe. Both O(probe). The
+            // mask derivation reads the segment-pruned frame: deriving
+            // it is O(matching segments) too
             val allowed = filterExpr.map(f =>
-              records.filter(FilterAlgebra.compile(f, col("metadata")))
+              recordsForFilter(f)
+                .filter(FilterAlgebra.compile(f, col("metadata")))
                 .select(col("id")))
             searchBm25Retrying(terms, perList, allowed)
           } else // empty store: no artifact to probe, corpus is tiny
@@ -1152,34 +1156,62 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** The live manifest's records segments split by
     * [[graft.filter.SegmentStats.canMatch]] under a parsed filter:
-    * (kept, total). A segment is dropped ONLY when its stats sidecar
-    * proves no row can satisfy the filter; a missing/undecodable
-    * sidecar keeps the segment. A filter expression the algebra cannot
-    * parse keeps everything — the downstream compile throws the
-    * identical error the unpruned path would. */
+    * (kept ordinals, all segment dirs). A segment is dropped ONLY when
+    * its stats sidecar proves no row can satisfy the filter; a
+    * missing/undecodable sidecar keeps the segment. A filter expression
+    * the algebra cannot parse keeps everything — the downstream compile
+    * throws the identical error the unpruned path would. Ordinals (not
+    * paths) are the result so callers can prune POSITIONALLY PAIRED
+    * sibling manifests (the index, see [[recall]]) with the same
+    * decision. */
   private def prunedSegmentLists(filterExpr: String)
-      : Option[(Seq[String], Seq[String])] = currentVersion.map { v =>
+      : Option[(Seq[Int], Seq[String])] = currentVersion.map { v =>
     val segs = segments(v, "records")
     val parsed =
       try Some(graft.filter.FilterAlgebra.parse(filterExpr))
       catch { case scala.util.control.NonFatal(_) => None }
     parsed match {
-      case None => (segs, segs)
+      case None => (segs.indices.toSeq, segs)
       case Some(fm) =>
-        val kept = segs.filter { dir =>
-          readMetaStats(dir)
+        val kept = segs.indices.filter { i =>
+          readMetaStats(segs(i))
             .forall(graft.filter.SegmentStats.canMatch(fm, _))
         }
-        (kept, segs)
+        (kept.toSeq, segs)
     }
   }
 
+  /** A promoted segment dir is IMMUTABLE (commits prepare in private
+    * staging and publish by rename), so its decoded stats — including
+    * "has no sidecar", which a promoted dir can never gain — memoize
+    * per engine instance: a filtered read against a 100k-segment chain
+    * costs 100k sidecar file reads ONCE, not per query. Bounded with a
+    * full clear so an engine watching a churning store (vacuumed dirs
+    * never re-resolve, but their entries would linger) cannot grow
+    * without bound. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[graft.filter.SegmentStats]]()
+  private[graft] val statsSidecarReads =
+    new java.util.concurrent.atomic.AtomicLong(0) // spec observability
+
   private def readMetaStats(segDir: String)
       : Option[graft.filter.SegmentStats] = {
+    val cached = statsCache.get(segDir)
+    if (cached != null) return cached
+    statsSidecarReads.incrementAndGet()
     val p = Paths.get(segDir).resolve("_metastats")
-    if (!Files.exists(p)) None
-    else graft.filter.SegmentStats.decode(Files.readString(p))
+    val st =
+      if (!Files.exists(p)) None
+      else graft.filter.SegmentStats.decode(Files.readString(p))
+    if (statsCache.size > 8192) statsCache.clear()
+    statsCache.put(segDir, st)
+    st
   }
+
+  private def emptyFrame(schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
   /** [[records]] with provably-unmatchable segments dropped for
     * `filterExpr` — same rows out of every filtered read (the
@@ -1189,10 +1221,32 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def recordsForFilter(filterExpr: String): DataFrame =
     prunedSegmentLists(filterExpr) match {
       case None => records // undefined-store error path stays identical
-      case Some((kept, _)) if kept.isEmpty =>
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          YamlIO.recordSchema)
-      case Some((kept, _)) => spark.read.parquet(kept: _*)
+      case Some((kept, _)) if kept.isEmpty => emptyFrame(YamlIO.recordSchema)
+      case Some((kept, segs)) => spark.read.parquet(kept.map(segs): _*)
+    }
+
+  /** (records, index) both restricted to the filter's surviving
+    * segments. The index prunes through the POSITIONAL records↔index
+    * manifest pairing every commit path maintains (index segment i
+    * holds exactly the embeddings of records segment i's non-blank
+    * ids), so a selective filtered recall scores O(matching segments)
+    * on BOTH sides; manifests that don't pair (a hand-built store) fall
+    * back to the full index — the join still bounds it by id. */
+  private def prunedPair(filterExpr: String): (DataFrame, DataFrame) =
+    prunedSegmentLists(filterExpr) match {
+      case None => (records, index)
+      case Some((kept, segs)) =>
+        val segsI = currentVersion.map(segments(_, "index")).getOrElse(Nil)
+        val paired = segsI.size == segs.size
+        val recs =
+          if (kept.isEmpty) emptyFrame(YamlIO.recordSchema)
+          else spark.read.parquet(kept.map(segs): _*)
+        val idx =
+          if (!paired) index
+          else if (kept.isEmpty) emptyFrame(MemoEngine.IndexSchema)
+          else spark.read.schema(MemoEngine.IndexSchema)
+            .parquet(kept.map(segsI): _*)
+        (recs, idx)
     }
 
   /** Observability for specs and oracle builders: (kept, total)
@@ -2675,6 +2729,18 @@ object MemoEngine {
   /** Append-chain length that triggers compaction back to one snapshot —
     * bounds the scan fan-in (number of parquet dirs a read unions). */
   val DefaultMaxSegments = 64
+
+  /** The index segments' at-rest schema — needed to read a pruned
+    * subset that may be all-empty dirs (schema inference has no footer
+    * to see there). Element nullability is relaxed vs the writer's
+    * (parquet accepts a required column read as optional). */
+  val IndexSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)))
 
   /** Default cell count for the engine-maintained IVF artifact
     * ([[MemoEngine.annRecall]]); clamped to the corpus size on rebuild

@@ -310,6 +310,50 @@ class SegmentStatsSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("filtered recall prunes the INDEX side through manifest pairing") {
+    val engine = freshEngine()
+    engine.save(doc("alpha topic", "a"))
+    engine.save(doc("beta topic", "b"))
+    engine.save(doc("gamma topic", "c"))
+    // poison the index segment PAIRED with the 'c' records segment: an
+    // unfiltered recall must fail loudly reading it, while a recall
+    // filtered to 'a' never touches it — the sharp proof the pruned
+    // plan lists fewer index files, not just fewer matching rows
+    val v2recs = engine.records.inputFiles.map(_.stripPrefix("file:"))
+      .find(_.contains("/v2/")).get
+    val idxDir = Paths.get(v2recs).getParent.getParent.resolve("index")
+    Files.list(idxDir).forEach(p =>
+      if (p.getFileName.toString.endsWith(".parquet")) Files.delete(p))
+    Files.writeString(idxDir.resolve("part-poison.parquet"),
+      "not a parquet file")
+    val viaPruned = engine.recall("topic", 3, Some("category: a"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaPruned == Set(0L))
+    intercept[Exception] {
+      engine.recall("topic", 3, None).collect()
+    }
+    engine.clean()
+  }
+
+  test("stats sidecars are read once per segment, then served memoized") {
+    val engine = freshEngine()
+    (0 until 4).foreach(s => engine.save(doc(s"doc $s", s"c$s")))
+    val r0 = engine.statsSidecarReads.get()
+    assert(engine.segmentPrune("category: c2") == (1, 4))
+    val afterFirst = engine.statsSidecarReads.get()
+    assert(afterFirst - r0 == 4, s"expected 4 sidecar reads, " +
+      s"got ${afterFirst - r0}")
+    // different filters, same segments: zero further file reads
+    assert(engine.segmentPrune("category: c0") == (1, 4))
+    assert(engine.analyzeCount("category: c3") == 1)
+    assert(engine.statsSidecarReads.get() == afterFirst)
+    // a NEW segment pays exactly one more read
+    engine.save(doc("fresh", "c9"))
+    assert(engine.segmentPrune("category: c9") == (1, 5))
+    assert(engine.statsSidecarReads.get() == afterFirst + 1)
+    engine.clean()
+  }
+
   test("restore writes sidecars: the restored snapshot stays prunable") {
     val engine = freshEngine()
     engine.save(doc("alpha", "a"))
