@@ -102,6 +102,45 @@ class MemoConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("clusterBy racing an appender: no lost write, layout still prunes") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    // same determinism bound as the appender race: each side can lose at
+    // most as many races as the OTHER commits in total, and both totals
+    // sit below the attempt budget — no schedule can exhaust it
+    val appends = 4
+    val clusters = 3
+    assert(appends < MemoEngine.DefaultCommitAttempts &&
+      clusters < MemoEngine.DefaultCommitAttempts)
+    e1.save((0 until 8).map(i =>
+      s"---\nbody: seed $i\nmetadata: {part: p${i % 4}}\n").mkString)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val appender = Future {
+        (0 until appends).foreach(i =>
+          e1.save(s"---\nbody: late $i\nmetadata: {part: p${i % 4}}\n"))
+      }
+      val clusterer = Future {
+        (0 until clusters).foreach(_ => e2.clusterBy("part", nClusters = 4))
+      }
+      Await.result(Future.sequence(Seq(appender, clusterer)), 180.seconds)
+      val bodies = e1.records.collect().map(_.getString(1)).toSet
+      val expected = (0 until 8).map(i => s"seed $i").toSet ++
+        (0 until appends).map(i => s"late $i")
+      assert(bodies == expected,
+        s"lost write(s): missing ${expected -- bodies}")
+      // whatever interleaving won, a final cluster pass leaves a layout
+      // the stats provably prune
+      e2.clusterBy("part", nClusters = 4)
+      val (kept, total) = e1.segmentPrune("part: p2")
+      assert(kept < total, s"clustered layout should prune: ($kept, $total)")
+      assert(e1.analyzeCount("part: p2") == 3) // 2 seeds + 1 late
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
   test("vacuum sweeps stale staging corpses, spares fresh attempts") {
     val db = freshStore()
     val engine = new MemoEngine(spark, db)
