@@ -42,13 +42,26 @@ import graft.memo.MetaCodec
   *  - `nStr`/`strMin`/`strMax` — bounds of the payloads of
   *    string-TYPED scalars (raw value starts with 's', the exact
   *    isinstance(value, str) class `$prefix` accepts, P5)
+  *  - `vals`/`elems` — EXACT capped dictionaries: the distinct str()
+  *    renderings of the scalar values, and of the well-formed list
+  *    values' ELEMENTS (the unit bare equality and `$contains` compare
+  *    against, P1/P6). `Some(set)` means the set is complete for the
+  *    segment, so equality prunes by membership even when value RANGES
+  *    overlap across segments — the low-cardinality-dictionary case
+  *    (tags, langs, sources) where min/max alone prunes nothing; `None`
+  *    means the key's cardinality overflowed the cap — fall back to
+  *    the range tests. A malformed list payload contributes no
+  *    elements, which is exact: the compiled predicate can never match
+  *    through it either.
   */
 final case class KeyStats(
     n: Long, nList: Long, nNum: Long, nStr: Long,
     pysMin: String, pysMax: String,
     numMin: Option[Double], numMax: Option[Double],
     nnsMin: Option[String], nnsMax: Option[String],
-    strMin: Option[String], strMax: Option[String])
+    strMin: Option[String], strMax: Option[String],
+    vals: Option[Set[String]] = None,
+    elems: Option[Set[String]] = None)
 
 /** Stats sidecar of one segment: row count, rows with non-empty
   * metadata (the P11 gate — a segment with none can never match any
@@ -67,6 +80,13 @@ object SegmentStats {
     * keys' stats and marks the set incomplete rather than growing the
     * sidecar without bound. */
   val MaxKeys = 64
+
+  /** Per-key dictionary cap: up to this many distinct str() renderings
+    * are recorded exactly (scalars and list elements separately); past
+    * it the dictionary is dropped and the key falls back to range
+    * pruning — which is also the right tool for the high-cardinality
+    * keys that overflow it. */
+  val MaxVals = 64
 
   // ------------------------------------------------------------- ordering
 
@@ -144,13 +164,47 @@ object SegmentStats {
       .limit(MaxKeys + 1)
       .collect()
     val complete = collected.length <= MaxKeys
+    // exact capped dictionaries: the distinct str() renderings per key,
+    // of scalar VALUES and of well-formed list values' ELEMENTS. The
+    // per-key cap is enforced BEFORE any per-key collection (distinct →
+    // rank ≤ cap+1), so no aggregation state ever holds more than
+    // cap+1 strings per key, whatever the segment's cardinality.
+    def capped(pairs: DataFrame): Map[String, Option[Set[String]]] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy("v")
+      pairs.distinct()
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= MaxVals + 1)
+        .groupBy("k").agg(collect_list(col("v")).as("vs"))
+        .collect()
+        .map { r =>
+          val vs = r.getSeq[String](1)
+          r.getString(0) ->
+            (if (vs.length > MaxVals) None else Some(vs.toSet))
+        }.toMap
+    }
+    val valDicts = capped(kv.filter(!isList).select(col("k"), pys.as("v")))
+    val elemDicts = capped(
+      kv.filter(isList)
+        .select(col("k"), explode(from_json(payload,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))).as("e"))
+        .select(col("k"), metaPyStr(col("e")).as("v")))
     val keys = collected.take(MaxKeys).map { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
-      r.getString(0) -> KeyStats(
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      val k = r.getString(0)
+      val nList = r.getLong(2)
+      k -> KeyStats(
+        r.getLong(1), nList, r.getLong(3), r.getLong(4),
         r.getString(5), r.getString(6),
-        optD(7), optD(8), optS(9), optS(10), optS(11), optS(12))
+        optD(7), optD(8), optS(9), optS(10), optS(11), optS(12),
+        // a key with no scalar rows has a provably EMPTY scalar
+        // dictionary (and symmetrically for elements of a list-free
+        // key): membership tests on them prune every operand
+        vals = valDicts.getOrElse(k, Some(Set.empty)),
+        elems = elemDicts.getOrElse(k,
+          if (nList == 0) Some(Set.empty) else None))
     }.toMap
     (idRange, SegmentStats(rows, nMeta, complete, keys))
   }
@@ -201,7 +255,7 @@ object SegmentStats {
               case "$gte" => cmpCanMatch(ks, operand, gte = true)
               case "$lte" => cmpCanMatch(ks, operand, gte = false)
               case "$prefix" => prefixCanMatch(ks, operand)
-              case "$contains" => ks.nList > 0 // lists only (P6)
+              case "$contains" => containsCanMatch(ks, operand)
               case _ => false // unknown operator (P12)
             }
           }
@@ -209,13 +263,25 @@ object SegmentStats {
       }
     }
 
-  /** Bare equality: a list value matches on ANY element — unindexed
-    * here, so list presence keeps the segment; scalars need str(op)
-    * inside the str() bounds. */
+  /** Bare equality: scalars match by str() — EXACT membership when the
+    * dictionary survived the cap, the str() range otherwise; a list
+    * value matches on ANY element — exact membership in the element
+    * dictionary when known, unprunable otherwise. */
   private def eqCanMatch(ks: KeyStats, operand: Any): Boolean = {
     val op = FilterAlgebra.operandStr(operand)
-    ks.nList > 0 ||
-      (ks.n - ks.nList > 0 && cpLe(ks.pysMin, op) && cpGe(ks.pysMax, op))
+    val scalarSide = ks.n - ks.nList > 0 && (ks.vals match {
+      case Some(vs) => vs.contains(op)
+      case None => cpLe(ks.pysMin, op) && cpGe(ks.pysMax, op)
+    })
+    val listSide = ks.nList > 0 && ks.elems.forall(_.contains(op))
+    scalarSide || listSide
+  }
+
+  /** $contains: lists only (P6), any element str()-equal — exact when
+    * the element dictionary is known. */
+  private def containsCanMatch(ks: KeyStats, operand: Any): Boolean = {
+    val op = FilterAlgebra.operandStr(operand)
+    ks.nList > 0 && ks.elems.forall(_.contains(op))
   }
 
   /** $ne matches any present value that is NOT str()-equal — prunable
@@ -263,13 +329,16 @@ object SegmentStats {
   // ---------------------------------------------------------------- codec
 
   // Sidecar text format (one segment = one `_metastats` file):
-  //   meta1 <rows> <nMeta> <1|0 complete>
+  //   meta2 <rows> <nMeta> <1|0 complete>
   //   <key> <n> <nList> <nNum> <nStr> <pysMin> <pysMax> <numMin>
-  //         <numMax> <nnsMin> <nnsMax> <strMin> <strMax>
+  //         <numMax> <nnsMin> <nnsMax> <strMin> <strMax> <vals> <elems>
   // String fields are "b" + base64url(UTF-8) (so the empty string is
   // "b" and no delimiter can appear inside); absent optionals are ".".
-  // An unrecognized header version reads as "no sidecar" so the format
-  // can evolve without breaking old readers.
+  // Dictionary fields are "." (overflowed the cap) or "d" + the items'
+  // b-encodings joined by "," ("d" alone = provably empty set).
+  // meta1 (the pre-dictionary format) still decodes, with no
+  // dictionaries; an unrecognized header version reads as "no sidecar"
+  // so the format can keep evolving without breaking old readers.
 
   private def b64e(s: String): String =
     "b" + Base64.getUrlEncoder.withoutPadding
@@ -281,16 +350,27 @@ object SegmentStats {
 
   private def encOptS(o: Option[String]): String = o.fold(".")(b64e)
   private def encOptD(o: Option[Double]): String = o.fold(".")(_.toString)
+  private def encDict(o: Option[Set[String]]): String =
+    o.fold(".")(vs => "d" + vs.toSeq.sorted.map(b64e).mkString(","))
+  private def decDict(s: String): Option[Set[String]] =
+    if (s == ".") None
+    else {
+      require(s.startsWith("d"))
+      val rest = s.substring(1)
+      if (rest.isEmpty) Some(Set.empty)
+      else Some(rest.split(",", -1).map(b64d).toSet)
+    }
 
   def encode(st: SegmentStats): String = {
     val header =
-      s"meta1 ${st.rows} ${st.nMeta} ${if (st.keysComplete) 1 else 0}"
+      s"meta2 ${st.rows} ${st.nMeta} ${if (st.keysComplete) 1 else 0}"
     val lines = st.keys.toSeq.sortBy(_._1).map { case (k, s) =>
       Seq(b64e(k), s.n, s.nList, s.nNum, s.nStr,
         b64e(s.pysMin), b64e(s.pysMax),
         encOptD(s.numMin), encOptD(s.numMax),
         encOptS(s.nnsMin), encOptS(s.nnsMax),
-        encOptS(s.strMin), encOptS(s.strMax)).mkString(" ")
+        encOptS(s.strMin), encOptS(s.strMax),
+        encDict(s.vals), encDict(s.elems)).mkString(" ")
     }
     (header +: lines).mkString("\n")
   }
@@ -301,17 +381,20 @@ object SegmentStats {
     try {
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
       val h = lines.head.split(" ")
-      if (h.length != 4 || h(0) != "meta1") return None
+      if (h.length != 4 || (h(0) != "meta1" && h(0) != "meta2")) return None
+      val nFields = if (h(0) == "meta1") 13 else 15
       val keys = lines.tail.map { line =>
         val f = line.split(" ")
-        require(f.length == 13)
+        require(f.length == nFields)
         def optS(s: String) = if (s == ".") None else Some(b64d(s))
         def optD(s: String) = if (s == ".") None else Some(s.toDouble)
         b64d(f(0)) -> KeyStats(
           f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong,
           b64d(f(5)), b64d(f(6)),
           optD(f(7)), optD(f(8)), optS(f(9)), optS(f(10)),
-          optS(f(11)), optS(f(12)))
+          optS(f(11)), optS(f(12)),
+          vals = if (nFields > 13) decDict(f(13)) else None,
+          elems = if (nFields > 13) decDict(f(14)) else None)
       }.toMap
       Some(SegmentStats(h(1).toLong, h(2).toLong, h(3) == "1", keys))
     } catch { case scala.util.control.NonFatal(_) => None }

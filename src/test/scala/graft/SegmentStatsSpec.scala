@@ -47,9 +47,12 @@ class SegmentStatsSpec extends SparkTestBase {
       "\"quoted\"", "-._~")
     def ks(lo: String, hi: String) = graft.filter.KeyStats(
       3L, 0L, 1L, 2L, lo, hi, Some(1.0), Some(2.0),
-      Some(lo), Some(hi), None, Some(hi))
+      Some(lo), Some(hi), None, Some(hi),
+      vals = Some(Set(lo, hi, "")), elems = None)
     val st = SegmentStats(42L, 40L, keysComplete = false,
-      nasty.map(s => s -> ks(s, s + "z")).toMap)
+      nasty.map(s => s -> ks(s, s + "z")).toMap +
+        ("emptyDicts" -> ks("a", "b").copy(
+          vals = Some(Set.empty), elems = Some(Set.empty))))
     assert(SegmentStats.decode(SegmentStats.encode(st)) == Some(st))
     assert(SegmentStats.decode("garbage") == None)
     assert(SegmentStats.decode("meta9 1 1 1") == None) // future version
@@ -136,14 +139,47 @@ class SegmentStatsSpec extends SparkTestBase {
       st.copy(keysComplete = false)))
   }
 
-  test("$contains prunes list-free segments; lists disable range pruning") {
+  test("$contains prunes list-free segments and via the element dict") {
     val noLists = statsOf(Seq(Map("k" -> "x")))
     assert(!SegmentStats.canMatch(Map("k" -> Map("$contains" -> "x")), noLists))
     val withList = statsOf(Seq(Map("k" -> List("x", "y"))))
-    assert(SegmentStats.canMatch(Map("k" -> Map("$contains" -> "q")), withList))
-    // bare equality out of the whole-value str() range still matches a
-    // list ELEMENT — list presence must keep the segment
+    // the element dictionary knows the exact element universe: an
+    // absent operand prunes, a present one keeps
+    assert(!SegmentStats.canMatch(Map("k" -> Map("$contains" -> "q")), withList))
+    assert(SegmentStats.canMatch(Map("k" -> Map("$contains" -> "y")), withList))
+    // bare equality on a list matches ELEMENTS: dict-exact both ways
     assert(SegmentStats.canMatch(Map("k" -> "x"), withList))
+    assert(!SegmentStats.canMatch(Map("k" -> "zz"), withList))
+    // an unknown element dict (capped out) keeps everything
+    val blind = withList.copy(keys = withList.keys.map { case (k, s) =>
+      k -> s.copy(elems = None) })
+    assert(SegmentStats.canMatch(Map("k" -> Map("$contains" -> "q")), blind))
+    assert(SegmentStats.canMatch(Map("k" -> "zz"), blind))
+  }
+
+  test("value dictionaries prune equality inside overlapping ranges") {
+    // values {"apple", "zebra"}: the str() RANGE spans everything, the
+    // DICTIONARY still prunes the miss — the uncorrelated-layout case
+    // range bounds can never prune
+    val st = statsOf(Seq(Map("k" -> "apple"), Map("k" -> "zebra")))
+    assert(!SegmentStats.canMatch(Map("k" -> "mango"), st))
+    assert(SegmentStats.canMatch(Map("k" -> "zebra"), st))
+    // typed coercion rides the dictionary: int 5 stores str() "5"
+    val nums = statsOf(Seq(Map("k" -> 5)))
+    assert(SegmentStats.canMatch(Map("k" -> "5"), nums))
+    assert(!SegmentStats.canMatch(Map("k" -> "6"), nums))
+  }
+
+  test("a key past the dictionary cap falls back to range pruning") {
+    val many = (0 until SegmentStats.MaxVals + 10)
+      .map(i => Map[String, Any]("k" -> f"v$i%03d"))
+    val st = statsOf(many)
+    val ks = st.keys("k")
+    assert(ks.vals == None, "cap overflow must drop the dictionary")
+    // in-range miss: range can't prune it (sound, just weaker)
+    assert(SegmentStats.canMatch(Map("k" -> "v000x"), st))
+    // out-of-range still prunes
+    assert(!SegmentStats.canMatch(Map("k" -> "zzz"), st))
   }
 
   test("$ne prunes only a degenerate all-equal scalar segment") {
