@@ -21,8 +21,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SkipProfile {
   def main(args: Array[String]): Unit = {
-    val cluster = args.headOption.contains("cluster")
-    val rest = if (cluster) args.drop(1) else args
+    val mode = args.headOption.filter(Set("cluster", "dict")) match {
+      case Some(m) => m
+      case None => "range"
+    }
+    val rest = if (mode == "range") args else args.drop(1)
     val segsList = rest.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(12, 120))
     val docsPerSeg = rest.lift(1).map(_.toInt).getOrElse(50)
@@ -34,8 +37,11 @@ object SkipProfile {
       .config(Tables.NanosFlag, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (cluster) segsList.foreach(runCluster(spark, _, docsPerSeg))
-    else segsList.foreach(run(spark, _, docsPerSeg))
+    mode match {
+      case "cluster" => segsList.foreach(runCluster(spark, _, docsPerSeg))
+      case "dict" => segsList.foreach(runDict(spark, _, docsPerSeg))
+      case _ => segsList.foreach(run(spark, _, docsPerSeg))
+    }
     spark.stop()
   }
 
@@ -66,6 +72,46 @@ object SkipProfile {
     println(f"[skip] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
       f"build=$buildSec%.1fs kept=$kept/$total " +
       f"prunedCount=$pruned%.3fs fullScanCount=$full%.3fs")
+    engine.clean()
+    ()
+  }
+
+  /** The dictionary leg: every segment's `part` values SPAN the same
+    * str() range (p000…p039 interleaved), so min/max bounds can never
+    * prune — but each segment holds only a 3-value WINDOW of the
+    * domain, so the exact value dictionaries prune an equality filter
+    * to the few segments whose window covers it. Run via
+    * `runMain graft.SkipProfile dict [segsList] [docsPerSeg]`. */
+  private[graft] def runDict(spark: SparkSession, nSegs: Int,
+      docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_skipd")
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString,
+      maxSegments = 1000000)
+    val domain = 40
+    def batchYaml(seg: Int) = (0 until docsPerSeg).map { d =>
+      val p = (seg + d % 3) % domain // 3-value window per segment
+      f"---\nbody: dict corpus segment $seg doc $d\n" +
+        f"metadata: {part: p$p%03d}\n"
+    }.mkString
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val filter = "part: p007" // in segments 5, 6, 7 (mod domain)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val expect = graft.memo.MemoOps.analyzeCount(engine.records, filter)
+      .collect()(0).getLong(0)
+    require(expect > 0)
+    def prunedCount(): Unit =
+      require(engine.analyzeCount(filter) == expect)
+    def fullCount(): Unit =
+      require(graft.memo.MemoOps.analyzeCount(engine.records, filter)
+        .collect()(0).getLong(0) == expect)
+    prunedCount(); fullCount() // warm
+    val pruned = (0 until 3).map(_ => timed(prunedCount())).min
+    val full = (0 until 3).map(_ => timed(fullCount())).min
+    val (kept, total) = engine.segmentPrune(filter)
+    println(f"[skip-dict] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
+      f"kept=$kept/$total prunedCount=$pruned%.3fs fullScanCount=$full%.3fs")
     engine.clean()
     ()
   }
