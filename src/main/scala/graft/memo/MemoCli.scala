@@ -59,6 +59,17 @@ object MemoCli {
               System.err.println("Error: reindex does not accept extra arguments")
               1
             } else cmdReindex(engine, baseOpt.get, verbose)
+          case "cluster" :: clusterArgs =>
+            clusterArgs match {
+              case key :: rest if rest.length <= 1 &&
+                  rest.forall(_.toIntOption.exists(n => n >= 2 && n <= 256)) =>
+                cmdCluster(engine, baseOpt.get, key,
+                  rest.headOption.map(_.toInt), verbose)
+              case _ =>
+                System.err.println(
+                  "Error: cluster requires <key> [nClusters in 2..256]")
+                1
+            }
           case "save" :: saveArgs =>
             if (saveArgs.length != 1) {
               System.err.println("Error: save requires exactly one <yaml_file>")
@@ -109,6 +120,7 @@ object MemoCli {
     println("  reindex             Rebuild the index from records (full regenerate)")
     println("  import              Replace the store from a full-DB YAML/JSONL file or dir (migration)")
     println("  export              Write the store as sharded full-DB YAML/JSONL (migration)")
+    println("  cluster             Re-layout records by a metadata key <key> [nClusters] (filtered reads prune)")
     println()
     println("Options:")
     println("  -f <base>           REQUIRED DB base directory")
@@ -447,6 +459,24 @@ object MemoCli {
     println(s"Rebuilt index from $base")
     println(s"Wrote index: $base")
     if (dropped > 0) println(s"Compacted: dropped $dropped blank/deleted entries")
+    0
+  }
+
+  /** Maintenance verb for [[MemoEngine.clusterBy]] — beyond the
+    * reference (which has no layout concept), same stdout discipline as
+    * reindex: result lines only, diagnostics to stderr under -v. */
+  private def cmdCluster(engine: MemoEngine, base: String, key: String,
+      nClusters: Option[Int], verbose: Boolean): Int = {
+    if (!engine.exists) {
+      System.err.println(s"Error: no database at $base")
+      return 1
+    }
+    val v = nClusters match {
+      case Some(n) => engine.clusterBy(key, n)
+      case None => engine.clusterBy(key)
+    }
+    vlog(verbose, s"Clustered store now at v$v")
+    println(s"Clustered $base by $key")
     0
   }
 }

@@ -137,6 +137,24 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("cluster verb re-layouts the store; results and errors contract") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      run("-f", db, "save", batch) // two segments, mixed categories
+      val (c1, o1) = run("-f", db, "cluster", "category")
+      assert(c1 == 0 && o1 == s"Clustered $db by category\n")
+      // same analyze results through the clustered layout
+      val (c2, o2) = run("-f", db, "analyze", "--filter", "category: health")
+      assert(c2 == 0 && o2.startsWith("Matched: 2\n"))
+      // arity/arg errors exit 1, nothing on stdout
+      assert(run("-f", db, "cluster")._1 == 1)
+      assert(run("-f", db, "cluster", "category", "1")._1 == 1)
+      assert(run("-f", db, "cluster", "category", "4", "x")._1 == 1)
+      run("-f", db, "clean")
+      assert(run("-f", db, "cluster", "category")._1 == 1) // no db
+    }
+  }
+
   test("golden lifecycle transcript replay (SKILL.md:96-143)") {
     // byte-identical to the reference transcript modulo two documented
     // drifts: (1) scores differ — deterministic murmur3 embedding replaces
