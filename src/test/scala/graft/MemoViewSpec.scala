@@ -94,6 +94,27 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("a clusterBy rewrite converges the view via the honest-rebuild arm") {
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlDoc("alpha one", Some("a")) + yamlDoc("beta one", Some("b")))
+    engine.save(yamlDoc("alpha two", Some("a")) + yamlDoc("gamma one", Some("c")))
+    engine.viewState("bycat", key, Chars)
+    // the re-layout is a rewrite commit: manifests don't extend, so the
+    // walk must take the captured-version recompute, never serve stale
+    engine.clusterBy("category", nClusters = 3)
+    val v = engine.viewState("bycat", key, Chars)
+    assert(mode(engine) == "rebuild",
+      s"a cluster rewrite must rebuild, got ${mode(engine)}")
+    assert(collected(v) == direct(engine, key))
+    // and the clustered chain maintains incrementally from there
+    engine.save(yamlDoc("delta one", Some("d")))
+    val v2 = engine.viewState("bycat", key, Chars)
+    assert(mode(engine) == "incremental")
+    assert(collected(v2) == direct(engine, key))
+    engine.clean()
+  }
+
   test("patch refresh retracts from the materialized feed, not the corpus") {
     val (engine, base) = freshEngine()
     val key = "metadata['category']"
