@@ -164,6 +164,12 @@ object SegmentStats {
       .limit(MaxKeys + 1)
       .collect()
     val complete = collected.length <= MaxKeys
+    // only the KEPT keys get dictionaries — keys beyond the MaxKeys cap
+    // are discarded from the sidecar anyway, so scoping the dictionary
+    // aggregation to this (≤ MaxKeys, driver-known) set bounds its
+    // driver collect to MaxKeys × (MaxVals + 1) strings BY CONSTRUCTION,
+    // whatever the segment's key cardinality
+    val keptKeys = collected.take(MaxKeys).map(_.getString(0)).toSeq
     // exact capped dictionaries: the distinct str() renderings per key,
     // of scalar VALUES and of well-formed list values' ELEMENTS. The
     // per-key cap is enforced BEFORE any per-key collection (distinct →
@@ -172,7 +178,8 @@ object SegmentStats {
     def capped(pairs: DataFrame): Map[String, Option[Set[String]]] = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("k").orderBy("v")
-      pairs.distinct()
+      pairs.filter(col("k").isin(keptKeys: _*))
+        .distinct()
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= MaxVals + 1)
         .groupBy("k").agg(collect_list(col("v")).as("vs"))
@@ -296,7 +303,13 @@ object SegmentStats {
     * numeric values and lexicographically (str()) against the rest; a
     * non-numeric operand compares str() against everything. NaN floats
     * sort ABOVE every number in Spark (both in these bounds and in the
-    * compiled compare), so a NaN bound is treated as +inf. */
+    * compiled compare), so a NaN segment BOUND is treated as +inf —
+    * and symmetrically a NaN OPERAND is +inf in Spark's ordering:
+    * `v <= NaN` matches every numeric value (numSide degenerates to
+    * "any numeric row"), while `v >= NaN` matches only NaN values
+    * (numMax.isNaN). Java double compares both sides false against
+    * NaN, so without the explicit cases the mirror would prune
+    * segments full of matching rows. */
   private def cmpCanMatch(ks: KeyStats, operand: Any, gte: Boolean)
       : Boolean = {
     val opStr = FilterAlgebra.operandStr(operand)
@@ -305,7 +318,7 @@ object SegmentStats {
       val d = MetaCodec.numValue(t)
       val numSide = ks.nNum > 0 && (
         if (gte) ks.numMax.exists(m => m.isNaN || m >= d)
-        else ks.numMin.exists(m => !m.isNaN && m <= d))
+        else d.isNaN || ks.numMin.exists(m => !m.isNaN && m <= d))
       val strSide = (ks.n - ks.nNum) > 0 && (
         if (gte) ks.nnsMax.exists(cpGe(_, opStr))
         else ks.nnsMin.exists(cpLe(_, opStr)))

@@ -1163,21 +1163,35 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * throws the identical error the unpruned path would. Ordinals (not
     * paths) are the result so callers can prune POSITIONALLY PAIRED
     * sibling manifests (the index, see [[recall]]) with the same
-    * decision. */
+    * decision — the RESOLVED VERSION rides along so a paired caller
+    * reads its sibling manifest from the SAME version (re-reading
+    * `currentVersion` could observe a concurrent rewrite commit and
+    * pair ordinals across two different manifests). */
   private def prunedSegmentLists(filterExpr: String)
-      : Option[(Seq[Int], Seq[String])] = currentVersion.map { v =>
+      : Option[(Seq[Int], Seq[String], Long)] = currentVersion.map { v =>
     val segs = segments(v, "records")
     val parsed =
       try Some(graft.filter.FilterAlgebra.parse(filterExpr))
       catch { case scala.util.control.NonFatal(_) => None }
     parsed match {
-      case None => (segs.indices.toSeq, segs)
+      case None => (segs.indices.toSeq, segs, v)
       case Some(fm) =>
+        // generation-scoped eviction: a filtered read SWEEPS the whole
+        // live chain, so the cache's true working set IS the live
+        // segment list — once over the threshold, drop only entries no
+        // longer in the live manifest (vacuumed/rewritten dirs, the one
+        // source of unbounded growth). A wholesale clear (or LRU, which
+        // a sequential over-cap sweep thrashes to 100% miss) would
+        // forfeit the "100k sidecars read ONCE" contract on long chains.
+        if (statsCache.size > statsCacheMax) {
+          val live = segs.toSet
+          statsCache.keySet.removeIf(k => !live.contains(k))
+        }
         val kept = segs.indices.filter { i =>
           readMetaStats(segs(i))
             .forall(graft.filter.SegmentStats.canMatch(fm, _))
         }
-        (kept.toSeq, segs)
+        (kept.toSeq, segs, v)
     }
   }
 
@@ -1185,12 +1199,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * staging and publish by rename), so its decoded stats — including
     * "has no sidecar", which a promoted dir can never gain — memoize
     * per engine instance: a filtered read against a 100k-segment chain
-    * costs 100k sidecar file reads ONCE, not per query. Bounded with a
-    * full clear so an engine watching a churning store (vacuumed dirs
-    * never re-resolve, but their entries would linger) cannot grow
-    * without bound. */
+    * costs 100k sidecar file reads ONCE, not per query. Growth is
+    * bounded GENERATION-scoped (see [[prunedSegmentLists]]): past the
+    * threshold, entries for dirs no longer in the live manifest are
+    * dropped — the cache tracks the live chain, never the churn
+    * history. */
+  private[graft] var statsCacheMax = 8192 // eviction threshold; spec seam
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[graft.filter.SegmentStats]]()
+  private[graft] def statsCacheSize: Int = statsCache.size
   private[graft] val statsSidecarReads =
     new java.util.concurrent.atomic.AtomicLong(0) // spec observability
 
@@ -1203,7 +1220,6 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val st =
       if (!Files.exists(p)) None
       else graft.filter.SegmentStats.decode(Files.readString(p))
-    if (statsCache.size > 8192) statsCache.clear()
     statsCache.put(segDir, st)
     st
   }
@@ -1221,8 +1237,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def recordsForFilter(filterExpr: String): DataFrame =
     prunedSegmentLists(filterExpr) match {
       case None => records // undefined-store error path stays identical
-      case Some((kept, _)) if kept.isEmpty => emptyFrame(YamlIO.recordSchema)
-      case Some((kept, segs)) => spark.read.parquet(kept.map(segs): _*)
+      case Some((kept, _, _)) if kept.isEmpty =>
+        emptyFrame(YamlIO.recordSchema)
+      case Some((kept, segs, _)) => spark.read.parquet(kept.map(segs): _*)
     }
 
   /** (records, index) both restricted to the filter's surviving
@@ -1235,8 +1252,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private def prunedPair(filterExpr: String): (DataFrame, DataFrame) =
     prunedSegmentLists(filterExpr) match {
       case None => (records, index)
-      case Some((kept, segs)) =>
-        val segsI = currentVersion.map(segments(_, "index")).getOrElse(Nil)
+      case Some((kept, segs, v)) =>
+        // SAME captured version for both manifests — a rewrite commit
+        // landing between two currentVersion reads could otherwise pair
+        // records segs of v with index segs of v+1 (coincidentally equal
+        // counts) and silently prune the wrong index segments
+        val segsI = segments(v, "index")
         val paired = segsI.size == segs.size
         val recs =
           if (kept.isEmpty) emptyFrame(YamlIO.recordSchema)
@@ -1253,7 +1274,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * segment counts under `filterExpr`'s pruning. */
   def segmentPrune(filterExpr: String): (Int, Int) =
     prunedSegmentLists(filterExpr)
-      .map { case (kept, all) => (kept.size, all.size) }
+      .map { case (kept, all, _) => (kept.size, all.size) }
       .getOrElse((0, 0))
 
   /** Analyze projection/count/stats — see [[MemoOps]]; all three read
@@ -1564,15 +1585,25 @@ class MemoEngine(spark: SparkSession, basePath: String,
           // from a corpus scan semi-joined down to exactly those keys.
           // ("_add_"/"_ret_"/"_res_" prefixes cannot collide with
           // measure names, which must start [a-z].)
+          //
+          // BOTH sides of a min/max measure collect UNCAPPED within the
+          // window: capping the add side at k before netting is unsound —
+          // a window that adds more than k values and then retracts one
+          // of the kept top-k forgets the capped-out add, so the stored
+          // reserve silently stops being a prefix of the group's true
+          // sorted values and a later champion retraction serves a wrong
+          // extreme with no exhaustion to trigger the rescan. The k-cap
+          // is applied only at the final merge slice below, AFTER netting
+          // has cancelled every in-window add/retract pair exactly. Cost
+          // class is unchanged: the retract side was always an uncapped
+          // collect_list, and both are bounded by the refresh window's
+          // changed rows — which this arm scans in full regardless.
           val deltaAggs =
             sum(col("sign")).as("doc_count") +:
             aggKind.flatMap {
-              case (n, "min") => Seq(
-                resMin(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
-                collect_list(when(col("sign") === -1L, col(n)))
-                  .as(s"_ret_$n"))
-              case (n, "max") => Seq(
-                resMax(when(col("sign") === 1L, col(n))).as(s"_add_$n"),
+              case (n, "min" | "max") => Seq(
+                collect_list(when(col("sign") === 1L, col(n)))
+                  .as(s"_add_$n"),
                 collect_list(when(col("sign") === -1L, col(n)))
                   .as(s"_ret_$n"))
               case (n, _) => Seq(sum(col("sign") * col(n)).as(n))
@@ -1623,8 +1654,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
             val sorted = sort_array(concat(removed, adds), asc = dirSign < 0)
             val kept = filter(sorted,
               x => if (dirSign > 0) x >= floor else x <= floor)
+            // adds is raw collect_list order — a brand-new group's
+            // reserve must still be sorted champion-first and capped
+            val addsRes = slice(sort_array(adds, asc = dirSign < 0),
+              lit(1), lit(viewReserveK))
             val resFinal =
-              when(!oEx, adds).otherwise(
+              when(!oEx, addsRes).otherwise(
                 when(size(removed) === 0, emptyArr)
                   .otherwise(slice(kept, lit(1), lit(viewReserveK))))
             val scalar = when(size(resFinal) > 0, element_at(resFinal, 1))
@@ -1694,7 +1729,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
       ArtifactMeta.write(spark, dir.toString, ViewMetaFile,
         s"$live|$spec|$stateDir")
       val keep = Set(stateDir) ++ recorded.map(_._3)
-      val cutoff = System.currentTimeMillis() - MemoEngine.DefaultStagingTtlMs
+      // "now" in the FILESYSTEM's clock (vacuum's probe idiom) — the
+      // sweep compares against these dirs' mtimes, and on a shared
+      // filesystem whose clock lags the driver's a wall-clock cutoff
+      // could sweep a dir younger than the TTL out from under a
+      // lock-free reader
+      val probe = dir.resolve(".view_probe")
+      Files.writeString(probe, "")
+      val fsNow = Files.getLastModifiedTime(probe).toMillis
+      Files.deleteIfExists(probe)
+      val cutoff = fsNow - MemoEngine.DefaultStagingTtlMs
       listDir(dir).filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("state-"))
         .filterNot(p => keep.contains(p.getFileName.toString))

@@ -345,6 +345,57 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("a capped-out in-window add survives the merge: retracting a " +
+      "kept top add must not forget its runner-up") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_view_cap").toString
+    val engine = new MemoEngine(spark, s"$dir/db", viewReserveK = 2)
+    val key = "metadata['category']"
+    def rm(ids: Seq[Long]): Unit = engine.applyChanges(
+      ids.map(id => (id, "removed", "", Map.empty[String, String]))
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+    def idOf(w: Int): Long = engine.records
+      .filter(expr(s"try_cast(($W) AS BIGINT)") === w)
+      .agg(max("id")).collect()(0).getLong(0)
+    // group c: committed values 10, 9 -> k=2 reserve [10, 9]
+    engine.save(yamlW("c zero", "c", 10) + yamlW("c one", "c", 9))
+    engine.save(yamlW("d zero", "d", 28) + yamlW("d one", "d", 10))
+    engine.viewState("cap", key, MM, MMAggs) // watermark
+    // ONE window, two steps: append THREE c-values (30, 29, 28 — more
+    // than k, so an add side capped at k before netting would forget
+    // the 28) then retract the kept top add (30)
+    engine.save(yamlW("c two", "c", 30) + yamlW("c three", "c", 29) +
+      yamlW("c four", "c", 28))
+    rm(Seq(idOf(30)))
+    val v = engine.viewState("cap", key, MM, MMAggs)
+    assert(mode(engine) == "incremental", s"got ${mode(engine)}")
+    assert(collectedW(v) == directW(engine, key))
+    assert(collectedW(v).find(_._1 == "sc").get._3 == 29L)
+    // the probe: retract the NEW champion. The stored reserve must still
+    // know 28 — O(delta), served max 28, never the stale pre-window 10
+    rm(Seq(idOf(29)))
+    val v2 = engine.viewState("cap", key, MM, MMAggs)
+    assert(mode(engine) == "incremental",
+      "a retraction covered by the true top-k must stay O(delta)")
+    assert(collectedW(v2).find(_._1 == "sc").get._3 == 28L,
+      "the capped-out in-window add must survive as the runner-up")
+    assert(collectedW(v2) == directW(engine, key))
+    // net-zero window against group d (reserve [28, 10]): add 40/39/28
+    // and retract all three in the SAME window. A capped add side would
+    // fail to net the 28's retraction (capped out behind 40/39) and
+    // wrongly strike the OLD reserve's 28 instead.
+    engine.save(yamlW("d two", "d", 40) + yamlW("d three", "d", 39) +
+      yamlW("d four", "d", 28))
+    rm(Seq(idOf(40), idOf(39), idOf(28))) // idOf takes max id: the new 28
+    val v3 = engine.viewState("cap", key, MM, MMAggs)
+    assert(mode(engine) == "incremental", s"got ${mode(engine)}")
+    assert(collectedW(v3).find(_._1 == "sd").get._3 == 28L,
+      "a net-zero window must leave the old reserve untouched")
+    assert(collectedW(v3) == directW(engine, key))
+    engine.clean()
+  }
+
   test("an exhausted reserve takes the group-scoped rescan arm — and " +
       "ONLY for the broken group") {
     import spark.implicits._

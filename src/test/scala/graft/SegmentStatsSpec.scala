@@ -204,6 +204,51 @@ class SegmentStatsSpec extends SparkTestBase {
     assert(SegmentStats.canMatch(Map("k" -> Map("$prefix" -> "")), st))
   }
 
+  test("a NaN comparison operand mirrors Spark's NaN-largest ordering") {
+    import spark.implicits._
+    val st = statsOf(Seq(Map("k" -> 5)))             // numeric, no NaN
+    val stNaN = statsOf(Seq(Map("k" -> Double.NaN))) // contains NaN
+    val lteNaN = Map("k" -> Map("$lte" -> (Double.NaN: Any)))
+    val gteNaN = Map("k" -> Map("$gte" -> (Double.NaN: Any)))
+    // Spark orders NaN above every number: v <= NaN matches EVERY
+    // numeric value (Java double compare would say false and prune a
+    // segment full of matches); v >= NaN matches only NaN values
+    assert(SegmentStats.canMatch(lteNaN, st))
+    assert(!SegmentStats.canMatch(gteNaN, st))
+    assert(SegmentStats.canMatch(gteNaN, stNaN))
+    assert(SegmentStats.canMatch(lteNaN, stNaN))
+    // differential: the compiled predicate agrees with the mirror
+    val df = Seq(
+      (0L, Map("k" -> MetaCodec.encode(5))),
+      (1L, Map("k" -> MetaCodec.encode(Double.NaN)))).toDF("id", "metadata")
+    assert(df.filter(FilterAlgebra.compile(lteNaN, col("metadata")))
+      .select("id").as[Long].collect().toSet == Set(0L, 1L))
+    assert(df.filter(FilterAlgebra.compile(gteNaN, col("metadata")))
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("dictionary aggregation is scoped to the kept keys: driver " +
+      "traffic stays MaxKeys-bounded under adversarial key fan-out") {
+    // more distinct keys than the cap, each with a value: the dicts are
+    // computed ONLY for the kept keys (the collect is ≤ MaxKeys ×
+    // (MaxVals+1) strings by construction), and the kept keys' pruning
+    // behavior is unchanged by the scoping
+    val wide = (0 until SegmentStats.MaxKeys + 40)
+      .map(i => Map[String, Any](f"key$i%03d" -> f"val$i%03d"))
+    val st = statsOf(wide)
+    assert(!st.keysComplete)
+    assert(st.keys.size == SegmentStats.MaxKeys)
+    st.keys.foreach { case (k, ks) =>
+      val i = k.stripPrefix("key").toInt
+      assert(ks.vals == Some(Set(f"val$i%03d")),
+        s"kept key $k must still carry its exact dictionary")
+    }
+    val known = st.keys.keys.head
+    val i = known.stripPrefix("key").toInt
+    assert(SegmentStats.canMatch(Map(known -> f"val$i%03d"), st))
+    assert(!SegmentStats.canMatch(Map(known -> "absent"), st))
+  }
+
   test("supplementary-plane values survive the ordering mirror") {
     // pysMax is U+10000; a UTF-16 mirror would call it < U+E000 and
     // prune — Spark's UTF8 compare matches it
@@ -387,6 +432,31 @@ class SegmentStatsSpec extends SparkTestBase {
     engine.save(doc("fresh", "c9"))
     assert(engine.segmentPrune("category: c9") == (1, 5))
     assert(engine.statsSidecarReads.get() == afterFirst + 1)
+    engine.clean()
+  }
+
+  test("statsCache eviction is generation-scoped: an over-threshold " +
+      "chain keeps its live working set, churn history is dropped") {
+    val engine = freshEngine()
+    engine.statsCacheMax = 3
+    (0 until 5).foreach(s => engine.save(doc(s"doc $s", s"c$s")))
+    assert(engine.segmentPrune("category: c0") == (1, 5))
+    val afterSweep = engine.statsSidecarReads.get()
+    // the cache is over the threshold but every entry is LIVE: nothing
+    // evicts, the next sweep is fully memoized (a wholesale clear — or
+    // an LRU sequentially thrashed by the sweep — would re-pay all 5)
+    assert(engine.segmentPrune("category: c4") == (1, 5))
+    assert(engine.statsSidecarReads.get() == afterSweep,
+      "a live over-threshold chain must stay fully memoized")
+    assert(engine.statsCacheSize == 5)
+    // a rewrite makes the old dirs stale: the next over-threshold sweep
+    // drops exactly them, so the cache tracks the live chain's size
+    engine.reindex()
+    assert(engine.segmentPrune("category: c1") == (1, 1))
+    assert(engine.statsSidecarReads.get() == afterSweep + 1,
+      "the rewritten chain costs one new sidecar read")
+    assert(engine.statsCacheSize == 1,
+      "stale pre-rewrite entries must be evicted, not retained forever")
     engine.clean()
   }
 
