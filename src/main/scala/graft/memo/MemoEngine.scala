@@ -926,6 +926,48 @@ class MemoEngine(spark: SparkSession, basePath: String,
       math.min(MemoEngine.AnnNlist.toLong, n).toInt, ivfDir))
   }
 
+  /** Test seam for the FILTERED ANN serving paths ([[annRecall]]/
+    * [[pqRecall]] with a filter): (final nprobe, widening retries) of the
+    * last filtered query — lets specs pin that an under-filled first
+    * probe widened (and a well-filled one didn't). Production never
+    * reads it. */
+  private[graft] var lastFilteredAnnProbe: Option[(Int, Int)] = None
+
+  /** The filter-as-mask candidate set for the ANN serving paths: ids of
+    * live records matching `filterExpr` — derived O(matching segments)
+    * (the frame under the compile is already segment-pruned, the
+    * [[hybridRecall]] idiom). The mask carries ONLY ids; blank-bodied
+    * rows need no special arm because the vector index never held them. */
+  private def annMask(filterExpr: String): DataFrame =
+    recordsForFilter(filterExpr)
+      .filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+      .select(col("id"))
+
+  /** The probe-WIDENING retry shared by [[annRecall]] and [[pqRecall]]'s
+    * filtered arms: run `pass` at the requested nprobe; while the result
+    * under-fills k and unprobed cells remain, double nprobe and retry.
+    * The fill contract this buys: the result has min(k, total matching
+    * survivors) rows — a selective filter can never silently under-fill
+    * the way a post-filter of k unfiltered hits would. Each retry
+    * re-scans only probed cells, and the doubling makes the total work a
+    * geometric series bounded by ~2× the final pass; at nprobe = nlist
+    * the IVF arm IS the exact filtered ranking (every cell probed).
+    * Collecting is bounded: a pass returns ≤ k rows by construction. */
+  private def widenToFill(k: Int, nprobe: Int, nlist: Int)(
+      pass: Int => Array[org.apache.spark.sql.Row])
+      : Array[org.apache.spark.sql.Row] = {
+    var np = math.min(math.max(nprobe, 1), nlist)
+    var hits = pass(np)
+    var retries = 0
+    while (hits.length < k && np < nlist) {
+      np = math.min(np * 2, nlist)
+      retries += 1
+      hits = pass(np)
+    }
+    lastFilteredAnnProbe = Some((np, retries))
+    hits
+  }
+
   /** Approximate semantic recall over the engine-MAINTAINED IVF artifact
     * ([[ensureIvf]]): the query embeds driver-side, its `nprobe` nearest
     * cells prune at FILE-LISTING time (the index is cell-partitioned
@@ -936,21 +978,53 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * unprobed cell is missed (recall quality vs nprobe is pinned in
     * IvfIndexSpec). Falls back to the exact [[recall]] ranking when the
     * store is empty/uncommitted (nothing to probe). Returns
-    * (id, score, body). */
+    * (id, score, body).
+    *
+    * A `filterExpr` (the reference's filter-determines-candidates
+    * contract, memo_cli.py:489-521, on the serving path that exists for
+    * stores too big to brute-force) rides in as a candidate MASK: the
+    * filter-surviving id set — derived O(matching segments) via the
+    * stats-pruned frame — semi-joins the probed cells' rows before
+    * scoring ([[graft.ops.IvfIndex.search]]'s `allowed`), so scores are
+    * unchanged and cost stays O(probed cells ∩ survivors). An
+    * under-filled k triggers the probe-WIDENING retry ([[widenToFill]]):
+    * the filtered result is exact-fill — min(k, matching survivors) rows
+    * — never a silently short post-filtered list. */
   def annRecall(query: String, k: Int = MemoOps.DefaultK,
-      nprobe: Int = 4): DataFrame =
+      nprobe: Int = 4, filterExpr: Option[String] = None): DataFrame =
     ensureIvf() match {
       case Some(centroids) =>
         val qv = graft.functions.VectorKernels.hashEmbedFloats(
           query, graft.functions.VectorKernels.DefaultDim)
-        graft.ops.IvfIndex.search(
-            graft.ops.IvfIndex.load(spark, ivfDir), centroids, qv, k,
-            math.min(nprobe, centroids.length))
-          .select(col("id"), col("score"))
-          .join(records.select(col("id"), col("body")), Seq("id"))
-          .orderBy(desc("score"), col("id"))
+        val idx = graft.ops.IvfIndex.load(spark, ivfDir)
+        filterExpr match {
+          case None =>
+            graft.ops.IvfIndex.search(idx, centroids, qv, k,
+                math.min(nprobe, centroids.length))
+              .select(col("id"), col("score"))
+              .join(records.select(col("id"), col("body")), Seq("id"))
+              .orderBy(desc("score"), col("id"))
+          case Some(f) =>
+            // cache the mask: every widening pass (and the body join)
+            // reuses it without re-scanning the matching segments
+            val mask = annMask(f).cache()
+            try {
+              val hits = widenToFill(k, nprobe, centroids.length) { np =>
+                graft.ops.IvfIndex.search(idx, centroids, qv, k, np,
+                  Some(mask)).collect()
+              }
+              import spark.implicits._
+              spark.createDataset(hits.toSeq
+                  .map(r => (r.getLong(0), r.getDouble(2))))
+                .toDF("id", "score")
+                .join(recordsForFilter(f).select(col("id"), col("body")),
+                  Seq("id"))
+                .orderBy(desc("score"), col("id"))
+            } finally mask.unpersist()
+        }
       case None =>
-        recall(query, k).select(col("id"), col("score"), col("body"))
+        recall(query, k, filterExpr)
+          .select(col("id"), col("score"), col("body"))
     }
 
   private def pqDir: String = base.resolve("_ivfpq").toString
@@ -995,20 +1069,50 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * quantization error (absorbed by the refine re-rank at these data
     * scales; recall-vs-refine is pinned in PqIndexSpec). Falls back to
     * the exact [[recall]] ranking on an empty/uncommitted store.
-    * Returns (id, score, body). */
+    * Returns (id, score, body).
+    *
+    * A `filterExpr` rides in exactly as [[annRecall]]'s: the O(matching
+    * segments) id mask semi-joins the probed cells' CODES before the ADC
+    * cut ([[graft.ops.PqIndex.searchIvfPq]]'s `allowed` — every
+    * candidate is a filter survivor, so the cut can never starve the
+    * fill), and an under-filled k widens nprobe ([[widenToFill]]).
+    * Because the ADC stage keeps k×refine ≥ k candidates, under-fill
+    * only ever means the probed cells lack survivors — widening, not
+    * refine, is the fill knob; refine stays the QUALITY knob (which k
+    * when survivors exceed k×refine), PQ's standard approximation. */
   def pqRecall(query: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
-      refine: Int = 4): DataFrame =
+      refine: Int = 4, filterExpr: Option[String] = None): DataFrame =
     ensurePq() match {
       case Some((centroids, codebooks)) =>
         val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
-        graft.ops.PqIndex.searchIvfPq(
-            graft.ops.PqIndex.loadCodes(spark, pqDir), index, "id",
-            "embedding", centroids, codebooks, qv, k,
-            math.min(nprobe, centroids.length), refine)
-          .join(records.select(col("id"), col("body")), Seq("id"))
-          .orderBy(desc("score"), col("id"))
+        val codes = graft.ops.PqIndex.loadCodes(spark, pqDir)
+        filterExpr match {
+          case None =>
+            graft.ops.PqIndex.searchIvfPq(codes, index, "id",
+                "embedding", centroids, codebooks, qv, k,
+                math.min(nprobe, centroids.length), refine)
+              .join(records.select(col("id"), col("body")), Seq("id"))
+              .orderBy(desc("score"), col("id"))
+          case Some(f) =>
+            val mask = annMask(f).cache()
+            try {
+              val hits = widenToFill(k, nprobe, centroids.length) { np =>
+                graft.ops.PqIndex.searchIvfPq(codes, index, "id",
+                  "embedding", centroids, codebooks, qv, k, np, refine,
+                  Some(mask)).collect()
+              }
+              import spark.implicits._
+              spark.createDataset(hits.toSeq
+                  .map(r => (r.getLong(0), r.getDouble(1))))
+                .toDF("id", "score")
+                .join(recordsForFilter(f).select(col("id"), col("body")),
+                  Seq("id"))
+                .orderBy(desc("score"), col("id"))
+            } finally mask.unpersist()
+        }
       case None =>
-        recall(query, k).select(col("id"), col("score"), col("body"))
+        recall(query, k, filterExpr)
+          .select(col("id"), col("score"), col("body"))
     }
 
   private def sigDir: String = base.resolve("_minhash").toString

@@ -902,11 +902,24 @@ object IvfIndex {
     * (id, cell_id, score) — the cell is free to carry and makes the
     * deterministic re-rank replayable by an external oracle given the
     * centroid matrix. Scores use the cross-engine floor-form rounding
-    * ([[graft.functions.GraftFunctions.round4]]). */
+    * ([[graft.functions.GraftFunctions.round4]]).
+    *
+    * `allowed` is a candidate MASK (one `id` column): when present, only
+    * probed-cell rows whose id survives the mask are scored — the
+    * filter-as-mask convention ([[Lexical.searchBm25]]'s `allowedIds` on
+    * the vector family). The semi-join runs INSIDE the cell-pruned scan,
+    * so cost stays O(probed cells); scores are unchanged by the mask (a
+    * doc scores the same filtered or not). No broadcast hint: the mask's
+    * size is the filter's selectivity, unknowable here — AQE downgrades
+    * the shuffle join to broadcast when the mask turns out small. */
   def search(index: DataFrame, centroids: Array[Array[Float]],
-      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      query: Array[Float], k: Int, nprobe: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cells = probeCells(centroids, query, nprobe)
-    index.filter(col("cell_id").isin(cells: _*))
+    val probed = index.filter(col("cell_id").isin(cells: _*))
+    val cand = allowed.fold(probed)(m =>
+      probed.join(m.select(col("id")), Seq("id"), "left_semi"))
+    cand
       .withColumn("score", round4(vecCosine(col("embedding"), lit(query))))
       .orderBy(desc("score"), col("id"))
       .limit(k)

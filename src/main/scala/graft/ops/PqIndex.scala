@@ -671,13 +671,26 @@ object PqIndex {
   /** IVF-PQ search: partition-pruned cells → ADC top k×refine over the
     * m-byte codes → exact cosine re-rank of just those candidates against
     * the raw vectors. Probe-cell choice is [[IvfIndex.probeCells]]'s
-    * (squared-L2, ties → smaller cell — the replayable contract). */
+    * (squared-L2, ties → smaller cell — the replayable contract).
+    *
+    * `allowed` is a candidate MASK (one `id` column, the
+    * [[IvfIndex.search]] convention): it semi-joins the probed cells'
+    * CODES before the ADC cut, so the k×refine candidates are all filter
+    * survivors — a post-refine filter would instead silently under-fill
+    * whenever fewer than k of the unfiltered candidates survive. Because
+    * the cut keeps k×refine ≥ k candidates, a masked search under-fills
+    * ONLY when the probed cells genuinely hold fewer than k survivors
+    * (callers widen nprobe, never refine, to fill). */
   def searchIvfPq(codes: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], query: Array[Float],
-      k: Int, nprobe: Int, refine: Int = 4): DataFrame = {
+      k: Int, nprobe: Int, refine: Int = 4,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cells = IvfIndex.probeCells(centroids, query, nprobe)
-    val cand = codes.filter(col("cell_id").isin(cells: _*))
+    val probed = codes.filter(col("cell_id").isin(cells: _*))
+    val masked = allowed.fold(probed)(m =>
+      probed.join(m.select(col("id")), Seq("id"), "left_semi"))
+    val cand = masked
       .withColumn("adc_score",
         round4(pqAdcScore(col("code"), adcLut(codebooks, query))))
       .orderBy(desc("adc_score"), col("id"))

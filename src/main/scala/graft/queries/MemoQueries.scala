@@ -457,6 +457,64 @@ object MemoQueries {
     engine.analyzeProject("part: p1", Seq("id", "part"), limit = 200)
   }
 
+  /** Filtered ANN serving end-to-end (the r14 `annRecall(filterExpr)`
+    * path — the reference's filter-determines-candidates contract,
+    * memo_cli.py:489-521, on the probe-pruned serving path): the q100
+    * store shape (three segments, `part` correlated with save order),
+    * an engine-maintained IVF artifact, and a filtered ANN query whose k
+    * exceeds the survivor count — so the probe-WIDENING retry must walk
+    * nprobe out to the full cell set and the result is EXACTLY the
+    * filter's non-blank survivor id set (which DuckDB replays from the
+    * minting + thirds-cut + blank rules; scores are hash-embed cosines,
+    * not SQL-expressible — score parity vs filtered brute force is
+    * MemoEngineSpec's filtered-ANN pins). Build asserts the mask
+    * derivation segment-pruned AND the widening fired. BUILD-ONCE per
+    * sf-dir; a bench repeat measures the filtered probe serving path. */
+  private val q101FilteredAnn: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q101fann", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q101 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {part: p${math.min(i / third, 2)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      // pinned loudly: the candidate mask must derive off the PRUNED
+      // frame (one of ≥3 segments can hold p1) …
+      val (kept, total) = engine.segmentPrune("part: p1")
+      require(total >= 3 && kept == 1,
+        s"q101 expected stats to prune to 1 of >=3 segments, " +
+          s"got ($kept, $total)")
+      java.nio.file.Files.createFile(done)
+    }
+    val out = engine.annRecall("shared topic language", k = 200,
+      nprobe = 1, filterExpr = Some("part: p1"))
+      .select(col("id")).orderBy(col("id"))
+    val ids = out // force the widening before reading the seam
+    ids.count()
+    // … and the under-filled first probe must have WIDENED to fill
+    // (k=200 exceeds the ~third survivors, so the loop must end at the
+    // full cell set — if this reads (1, 0) the fill contract degraded
+    // to a silently short post-filtered list)
+    val probe = engine.lastFilteredAnnProbe.getOrElse((0, 0))
+    require(probe._2 >= 1 && probe._1 > 1,
+      s"q101 expected a probe-widening retry, got $probe")
+    out
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -477,6 +535,7 @@ object MemoQueries {
     "q98_view_incremental" -> q98IncrView,
     "q99_view_extremes" -> q99ViewExtremes,
     "q100_meta_skip" -> q100MetaSkip,
+    "q101_filtered_ann" -> q101FilteredAnn,
   )
 
   val oracles: Map[String, String] = Map(
@@ -656,5 +715,20 @@ object MemoQueries {
         |SELECT d.id, 'p1' AS part FROM d, p
         |WHERE least(d.id // p.third, 2) = 1
         |ORDER BY d.id LIMIT 200""".stripMargin,
+    // q101 replay: the filtered ANN fill contract — k exceeds the
+    // survivor count and widening probes every cell, so the result is
+    // exactly the p1 third's NON-BLANK rows (blank bodies are never
+    // indexed; the blank rule is q34's). Scores are engine hash-embed
+    // cosines (not SQL-expressible) and deliberately not emitted.
+    "q101_filtered_ann" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id, text
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d)
+        |SELECT d.id FROM d, p
+        |WHERE least(d.id // p.third, 2) = 1
+        |  AND d.text IS NOT NULL
+        |  AND trim(regexp_replace(d.text, '\s+', ' ', 'g')) <> ''
+        |ORDER BY d.id""".stripMargin,
   )
 }

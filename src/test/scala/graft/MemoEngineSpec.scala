@@ -688,6 +688,92 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  /** Shared fixture for the FILTERED ANN specs: three 20-doc commits
+    * (three segments) whose `part` metadata correlates with the save
+    * order — so the filter mask derivation itself is provably
+    * segment-pruned — plus a 5-doc `flag: hot` needle set scattered
+    * across all three parts (ids 0, 12, 24, 36, 48). */
+  private def filteredAnnStore(): MemoEngine = {
+    val (engine, _) = freshEngine()
+    (0 until 3).foreach { p =>
+      engine.save((0 until 20).map { j =>
+        val i = p * 20 + j
+        val hot = if (i % 12 == 0) "h1" else "h0"
+        s"---\nbody: corpus note $i about topic${i % 5} and theme${i % 3}\n" +
+          s"metadata: {part: p$p, hot: $hot}\n"
+      }.mkString)
+    }
+    engine
+  }
+
+  test("filtered annRecall: mask semi-join parity + probe-widening fill") {
+    val engine = filteredAnnStore()
+    // the mask derivation MUST ride the stats-pruned frame: part
+    // correlates with the save order, so exactly one of three segments
+    // can hold p1
+    assert(engine.segmentPrune("{part: p1}") == (1, 3),
+      "filter mask derivation did not segment-prune")
+    // full probe, well-filled filter (20 survivors ≥ k): the filtered
+    // ANN ranking IS the filtered exact ranking — ids AND scores — and
+    // no widening retry fires
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val annP1 = rows(engine.annRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist, filterExpr = Some("{part: p1}")))
+    val exactP1 = rows(engine.recall("topic1 theme2", k = 5,
+      filterExpr = Some("{part: p1}")))
+    assert(annP1 == exactP1,
+      s"full-probe filtered ANN diverged from filtered exact: $annP1 vs $exactP1")
+    assert(engine.lastFilteredAnnProbe == Some((16, 0)),
+      "a well-filled full-probe query must not widen")
+    // selective filter (5 survivors), k = 10 > survivors, nprobe = 1:
+    // the widening loop must double 1→2→4→8→16 (4 retries, ending at
+    // full probe) and the result must be the ENTIRE survivor set with
+    // exact-ranking scores — a post-filtered k would under-fill here
+    val annHot = rows(engine.annRecall("topic1 theme2", k = 10,
+      nprobe = 1, filterExpr = Some("{hot: h1}")))
+    val exactHot = rows(engine.recall("topic1 theme2", k = 10,
+      filterExpr = Some("{hot: h1}")))
+    assert(annHot.map(_._1).toSet == Set(0L, 12L, 24L, 36L, 48L),
+      s"filtered ANN missed survivors: $annHot")
+    assert(annHot == exactHot,
+      s"widened filtered ANN diverged from filtered exact: $annHot vs $exactHot")
+    assert(engine.lastFilteredAnnProbe == Some((16, 4)),
+      s"expected widening 1→16 in 4 retries, got ${engine.lastFilteredAnnProbe}")
+    engine.clean()
+  }
+
+  test("filtered pqRecall: ADC-stage mask parity + probe-widening fill") {
+    val engine = filteredAnnStore()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // full probe, well-filled: masked ADC candidates cover all top-k
+    // survivors (k×refine ≥ k), exact re-rank ⇒ parity with the exact
+    // filtered ranking
+    val pqP1 = rows(engine.pqRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist, refine = 8,
+      filterExpr = Some("{part: p1}")))
+    val exactP1 = rows(engine.recall("topic1 theme2", k = 5,
+      filterExpr = Some("{part: p1}")))
+    assert(pqP1 == exactP1,
+      s"full-probe filtered PQ diverged from filtered exact: $pqP1 vs $exactP1")
+    assert(engine.lastFilteredAnnProbe == Some((16, 0)))
+    // selective filter: because the mask applies BEFORE the ADC cut,
+    // every survivor is a candidate — widening fills the whole 5-doc
+    // survivor set with exact scores (a post-refine filter would return
+    // only the survivors that happened to crack the unfiltered top-k×refine)
+    val pqHot = rows(engine.pqRecall("topic1 theme2", k = 10,
+      nprobe = 1, refine = 4, filterExpr = Some("{hot: h1}")))
+    val exactHot = rows(engine.recall("topic1 theme2", k = 10,
+      filterExpr = Some("{hot: h1}")))
+    assert(pqHot.map(_._1).toSet == Set(0L, 12L, 24L, 36L, 48L),
+      s"filtered PQ missed survivors: $pqHot")
+    assert(pqHot == exactHot,
+      s"widened filtered PQ diverged from filtered exact: $pqHot vs $exactHot")
+    assert(engine.lastFilteredAnnProbe == Some((16, 4)))
+    engine.clean()
+  }
+
   test("admitNew gates a batch against engine-MAINTAINED signatures, O(batch)") {
     import spark.implicits._
     val (engine, db) = freshEngine()
