@@ -1403,7 +1403,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
   // A VIEW is a persisted group-by aggregate over the records table —
   // `group_key` (any row-level SQL expression, e.g. `metadata['lang']`),
   // `doc_count`, and named long measures aggregated by SUM (default),
-  // MIN, or MAX — maintained O(delta) from the store's own changefeed
+  // MIN, MAX, or AVG (served as DOUBLE sum/doc_count off SUM-maintained
+  // state) — maintained O(delta) from the store's own changefeed
   // instead of recomputed O(corpus) per refresh. Counts and sums are the
   // RETRACTABLE aggregate class: an update subtracts the old row's
   // contribution and adds the new one, so the view needs only the changed
@@ -1537,7 +1538,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * served as a DataFrame (`group_key` STRING, `doc_count` LONG, one
     * LONG column per measure). `groupKey` and each measure are row-level
     * SQL expressions over `id`/`body`/`metadata`; measures aggregate by
-    * SUM unless `aggOf` names "min" or "max" for them (a null or
+    * SUM unless `aggOf` names "min", "max", or "avg" for them — an AVG
+    * measure is served as DOUBLE sum/doc_count, maintained through the
+    * SUM machinery (a null or
     * non-BIGINT-castable value evaluates as 0 under every aggregator, so
     * the incremental and recompute arms can never diverge on malformed
     * metadata; aggregators outside [[MemoEngine.ViewAggs]] are rejected
@@ -1593,13 +1596,30 @@ class MemoEngine(spark: SparkSession, basePath: String,
           case _ => None
         }
       }
+    // AVG is DERIVED, not maintained: the state stores the measure's SUM
+    // (the exact retractable machinery SUM measures use — adds add,
+    // retractions negate, nothing new to exhaust) and the division by
+    // doc_count happens here at serve time, as DOUBLE. Denominator is the
+    // group's row count: a null/non-castable value averages as 0, the
+    // same 0-coercion every other aggregator applies, so the incremental
+    // and recompute arms still can't diverge on malformed metadata.
+    // Groups only exist with doc_count > 0, so the division is total.
+    def asServed(df: DataFrame): DataFrame =
+      if (!aggOf.values.exists(_ == "avg")) df
+      else df.select(
+        col("group_key") +: col("doc_count") +:
+        measures.map { case (n, _) =>
+          if (aggOf.get(n).contains("avg"))
+            (col(n).cast("double") / col("doc_count")).as(n)
+          else col(n)
+        }: _*)
     def serve(stateDir: String): DataFrame =
-      spark.read.schema(viewSchema(measures))
-        .parquet(viewDir(name).resolve(stateDir).toString)
+      asServed(spark.read.schema(viewSchema(measures))
+        .parquet(viewDir(name).resolve(stateDir).toString))
     currentVersion match {
-      case None => spark.createDataFrame(
+      case None => asServed(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        viewSchema(measures))
+        viewSchema(measures)))
       case Some(_) =>
         readMeta match {
           case Some((v, h, st)) if currentVersion.contains(v) && h == spec =>
@@ -2912,7 +2932,7 @@ object MemoEngine {
     * rescan only when a reserve is exhausted. Anything outside this set
     * is rejected at the API boundary — better loud than a view silently
     * served stale. */
-  val ViewAggs: Set[String] = Set("sum", "min", "max")
+  val ViewAggs: Set[String] = Set("sum", "min", "max", "avg")
 
   /** Default MIN/MAX reserve depth: a champion retraction is O(delta)
     * until k of a group's top values are retracted without replacement —

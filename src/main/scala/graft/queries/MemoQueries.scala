@@ -457,6 +457,68 @@ object MemoQueries {
     engine.analyzeProject("part: p1", Seq("id", "part"), limit = 200)
   }
 
+  /** AVG view measures end-to-end (the r14 derived-aggregate arm): the
+    * q99 weight fixture ((id·37) mod 101, tag t{id%4}, three segments),
+    * a view carrying the SAME weight expression under SUM and AVG, a CDC
+    * patch that zeroes the middle third's %10 weights and removes the
+    * last third's %25 ids, and a refresh asserted INCREMENTAL — AVG
+    * retracts through the SUM machinery (state stores the sum; the
+    * DOUBLE division by doc_count happens only at serve). The oracle
+    * replays minting, weights, both patch rules, and the division. */
+  private val q102ViewAvg: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q102avg", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    val buildPass = !java.nio.file.Files.exists(done)
+    val wExpr = "regexp_extract(metadata['w'], '^i?(-?\\\\d+)$', 1)"
+    val measures = Seq("w_sum" -> wExpr, "w_avg" -> wExpr)
+    val aggs = Map("w_avg" -> "avg")
+    def view() = engine.viewState("avgw",
+      "substring(metadata['tag'], 2)", measures, aggs)
+    if (buildPass) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def w(i: Int) = (i * 37) % 101
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q102 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {tag: t${i % 4}, w: ${w(i)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      view()
+      import s.implicits._
+      val updates = (third until 2 * third).filter(_ % 10 == 0)
+        .map(i => (i.toLong, "updated", s"patched $i",
+          Map("tag" -> s"st${i % 4}", "w" -> "i0")))
+      val removes = (2 * third until n).filter(_ % 25 == 0)
+        .map(i => (i.toLong, "removed", "", Map.empty[String, String]))
+      val feed = (updates ++ removes)
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L))
+      engine.applyChanges(feed)
+      java.nio.file.Files.createFile(done)
+    }
+    val out = view()
+    // pinned loudly: AVG maintenance must ride the O(delta) SUM arm —
+    // "rebuild" means the derived aggregate silently degraded the view
+    // family's cost class
+    if (buildPass) {
+      val mode = engine.lastViewRefresh.map(_._1).getOrElse("none")
+      require(mode == "incremental",
+        s"q102 expected an incremental avg refresh, got $mode")
+    }
+    out.orderBy("group_key")
+  }
+
   /** Filtered ANN serving end-to-end (the r14 `annRecall(filterExpr)`
     * path — the reference's filter-determines-candidates contract,
     * memo_cli.py:489-521, on the probe-pruned serving path): the q100
@@ -536,6 +598,7 @@ object MemoQueries {
     "q99_view_extremes" -> q99ViewExtremes,
     "q100_meta_skip" -> q100MetaSkip,
     "q101_filtered_ann" -> q101FilteredAnn,
+    "q102_view_avg" -> q102ViewAvg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -730,5 +793,27 @@ object MemoQueries {
         |  AND d.text IS NOT NULL
         |  AND trim(regexp_replace(d.text, '\s+', ' ', 'g')) <> ''
         |ORDER BY d.id""".stripMargin,
+    // q102 replay: q99's weights with q98's patch rules — zero the
+    // middle third's %10 weights, drop the last third's %25 ids — then
+    // the group-by with the served DOUBLE division (one IEEE divide of
+    // the exact BIGINT sum by the exact count, bit-identical in both
+    // engines).
+    "q102_view_avg" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d),
+        |w0 AS (SELECT id, (id * 37) % 101 AS w, id % 4 AS g FROM d),
+        |state AS (
+        |  SELECT 't' || CAST(w0.g AS VARCHAR) AS group_key,
+        |    CASE WHEN w0.id >= p.third AND w0.id < 2 * p.third
+        |          AND w0.id % 10 = 0
+        |      THEN 0 ELSE w0.w END AS w
+        |  FROM w0, p
+        |  WHERE NOT (w0.id >= 2 * p.third AND w0.id % 25 = 0))
+        |SELECT group_key, count(*) AS doc_count,
+        |  CAST(sum(w) AS BIGINT) AS w_sum,
+        |  CAST(sum(w) AS DOUBLE) / count(*) AS w_avg
+        |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
   )
 }

@@ -445,7 +445,7 @@ class MemoViewSpec extends SparkTestBase {
     // loud rejection at the boundary beats a silently stale view
     intercept[IllegalArgumentException] {
       engine.viewState("bad", "metadata['category']", Chars,
-        Map("chars" -> "avg"))
+        Map("chars" -> "count_distinct"))
     }
     intercept[IllegalArgumentException] {
       engine.viewState("bad", "metadata['category']", Chars,
@@ -742,6 +742,71 @@ class MemoViewSpec extends SparkTestBase {
     assert(mode(engine) == "rebuild",
       "without the sidecar a patch step must recompute, never serve stale")
     assert(collected(v) == direct(engine, "metadata['category']"))
+    engine.clean()
+  }
+
+  test("avg measures: served as DOUBLE sum/doc_count, retractable through " +
+      "the SUM machinery") {
+    import org.apache.spark.sql.types.DoubleType
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(
+      yamlW("a zero", "a", 3) + yamlW("a one", "a", 5) +
+      "---\nbody: a unweighted\nmetadata: {category: a}\n" +
+      yamlW("b zero", "b", 10))
+    // the same expression under two aggregators: the stored state keeps
+    // ONE sum per measure name; only the served projection differs
+    val m = Seq("w_sum" -> W, "w_avg" -> W)
+    val aggs = Map("w_avg" -> "avg")
+    def rows(df: DataFrame): Map[String, (Long, Long, Double)] =
+      df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val v1 = engine.viewState("av", key, m, aggs)
+    assert(v1.schema("w_avg").dataType == DoubleType,
+      "avg measures must serve as DOUBLE")
+    assert(v1.schema("w_sum").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // the unweighted row averages as ZERO (the universal 0-coercion),
+    // denominated by the group's row count
+    assert(rows(v1) == Map("sa" -> ((3L, 8L, 8.0 / 3)),
+      "sb" -> ((1L, 10L, 10.0))), s"rebuild-arm avg wrong: ${rows(v1)}")
+    // incremental append moves the average
+    engine.save(yamlW("b one", "b", 4))
+    val v2 = engine.viewState("av", key, m, aggs)
+    assert(mode(engine) == "incremental")
+    assert(rows(v2)("sb") == ((2L, 14L, 7.0)), s"append avg: ${rows(v2)}")
+    // patch retraction: an update re-weights an 'a' row (3 → 9), a
+    // remove drops the heavy 'b' row — both ride the SUM retraction,
+    // nothing to exhaust, and the served division follows
+    import spark.implicits._
+    val feed = Seq(
+      (0L, "updated", "a zero reweighted",
+        Map("category" -> "sa", "weight" -> "i9")),
+      (3L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L))
+    engine.applyChanges(feed)
+    val v3 = engine.viewState("av", key, m, aggs)
+    assert(mode(engine) == "incremental")
+    assert(rows(v3) == Map("sa" -> ((3L, 14L, 14.0 / 3)),
+      "sb" -> ((1L, 4L, 4.0))), s"patched avg wrong: ${rows(v3)}")
+    // the incremental state equals a direct recompute, division included
+    val directAvg = engine.records
+      .groupBy(expr(key).cast("string").as("group_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(coalesce(expr(s"try_cast(($W) AS BIGINT)"), lit(0L)))
+          .as("w_sum"))
+      .withColumn("w_avg", col("w_sum").cast("double") / col("doc_count"))
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(v3) == directAvg)
+    // sum→avg on the same name is a detected spec change (aggregator
+    // participates in spec identity), not a silently re-served sum
+    val v4 = engine.viewState("av", key, m,
+      Map("w_avg" -> "avg", "w_sum" -> "avg"))
+    assert(mode(engine) == "rebuild")
+    assert(v4.schema("w_sum").dataType == DoubleType)
     engine.clean()
   }
 
