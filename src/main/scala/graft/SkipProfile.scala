@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   */
 object SkipProfile {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("cluster", "dict")) match {
+    val mode = args.headOption.filter(Set("cluster", "dict", "zorder")) match {
       case Some(m) => m
       case None => "range"
     }
@@ -40,6 +40,7 @@ object SkipProfile {
     mode match {
       case "cluster" => segsList.foreach(runCluster(spark, _, docsPerSeg))
       case "dict" => segsList.foreach(runDict(spark, _, docsPerSeg))
+      case "zorder" => segsList.foreach(runZorder(spark, _, docsPerSeg))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
@@ -112,6 +113,54 @@ object SkipProfile {
     val (kept, total) = engine.segmentPrune(filter)
     println(f"[skip-dict] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
       f"kept=$kept/$total prunedCount=$pruned%.3fs fullScanCount=$full%.3fs")
+    engine.clean()
+    ()
+  }
+
+  /** The multi-key (Z-order) leg: TWO uncorrelated keys, every segment
+    * holding the full 8×8 value grid — no layout can be built by
+    * sorting on one key that prunes the other, which is exactly what
+    * this measures: after `clusterBy(Seq("ka"))` filters on ka prune
+    * but kb stays unprunable; after `clusterBy(Seq("ka","kb"))` ONE
+    * z-ordered layout prunes selective equality filters on EITHER key
+    * (and their conjunction harder still). Run via
+    * `runMain graft.SkipProfile zorder [segsList] [docsPerSeg]`. */
+  private[graft] def runZorder(spark: SparkSession, nSegs: Int,
+      docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_skipz")
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString,
+      maxSegments = 1000000)
+    val dps = math.max(docsPerSeg, 64) // cover the full 8×8 grid per seg
+    def batchYaml(seg: Int) = (0 until dps).map(d =>
+      s"---\nbody: zorder corpus segment $seg doc $d\n" +
+        s"metadata: {ka: a${d % 8}, kb: b${(d / 8) % 8}}\n").mkString
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val (fa, fb, fab) = ("ka: a3", "kb: b5", "{ka: a3, kb: b5}")
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def expect(f: String) = graft.memo.MemoOps
+      .analyzeCount(engine.records, f).collect()(0).getLong(0)
+    val (ea, eb, eab) = (expect(fa), expect(fb), expect(fab))
+    require(ea > 0 && eb > 0 && eab > 0)
+    def count(f: String, e: Long): Unit =
+      require(engine.analyzeCount(f) == e)
+    def leg(tag: String): String = {
+      count(fa, ea); count(fb, eb); count(fab, eab) // warm
+      val ta = (0 until 3).map(_ => timed(count(fa, ea))).min
+      val tb = (0 until 3).map(_ => timed(count(fb, eb))).min
+      val (ka, t0) = engine.segmentPrune(fa)
+      val (kb, _) = engine.segmentPrune(fb)
+      val (kab, _) = engine.segmentPrune(fab)
+      f"$tag ka=$ka/$t0 ${ta}%.3fs kb=$kb/$t0 ${tb}%.3fs both=$kab/$t0"
+    }
+    val flat = leg("uncorrelated:")
+    val oneKeySec = timed(engine.clusterBy(Seq("ka"), nClusters = 16))
+    val oneKey = leg("clusterBy(ka):")
+    val zSec = timed(engine.clusterBy(Seq("ka", "kb"), nClusters = 16))
+    val z = leg("clusterBy(ka,kb):")
+    println(f"[skip-zorder] segs=$nSegs%4d docsPerSeg=$dps " +
+      f"$flat | $oneKey (rewrite $oneKeySec%.1fs) | $z (rewrite $zSec%.1fs)")
     engine.clean()
     ()
   }

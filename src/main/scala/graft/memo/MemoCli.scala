@@ -120,7 +120,7 @@ object MemoCli {
     println("  reindex             Rebuild the index from records (full regenerate)")
     println("  import              Replace the store from a full-DB YAML/JSONL file or dir (migration)")
     println("  export              Write the store as sharded full-DB YAML/JSONL (migration)")
-    println("  cluster             Re-layout records by a metadata key <key> [nClusters] (filtered reads prune)")
+    println("  cluster             Re-layout records by metadata key(s) <key[,key2,..]> [nClusters] (filtered reads prune; multi-key = Z-order)")
     println()
     println("Options:")
     println("  -f <base>           REQUIRED DB base directory")
@@ -464,19 +464,23 @@ object MemoCli {
 
   /** Maintenance verb for [[MemoEngine.clusterBy]] — beyond the
     * reference (which has no layout concept), same stdout discipline as
-    * reindex: result lines only, diagnostics to stderr under -v. */
+    * reindex: result lines only, diagnostics to stderr under -v. A
+    * comma-separated key list takes the multi-key (Z-order) arm. */
   private def cmdCluster(engine: MemoEngine, base: String, key: String,
       nClusters: Option[Int], verbose: Boolean): Int = {
     if (!engine.exists) {
       System.err.println(s"Error: no database at $base")
       return 1
     }
-    val v = nClusters match {
-      case Some(n) => engine.clusterBy(key, n)
-      case None => engine.clusterBy(key)
+    val keys = key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (keys.isEmpty || keys.distinct != keys) {
+      System.err.println(
+        "Error: cluster requires distinct non-empty key names")
+      return 1
     }
+    val v = engine.clusterBy(keys, nClusters.getOrElse(8))
     vlog(verbose, s"Clustered store now at v$v")
-    println(s"Clustered $base by $key")
+    println(s"Clustered $base by ${keys.mkString(",")}")
     0
   }
 }

@@ -1942,6 +1942,31 @@ class MemoEngine(spark: SparkSession, basePath: String,
     before - after
   }
 
+  /** ≤ cells−1 evenly spaced range boundaries over a bounded uniform
+    * sample of one cluster key's distinct values ([[clusterBy]]'s
+    * multi-key gridding). The sample is the top-4096 distinct values by
+    * xxhash64 — a deterministic uniform subset gathered with a
+    * bounded-heap TopK (no full sort; one narrow distinct shuffle over
+    * just the key column) — and boundaries are quantile picks over the
+    * sample in code-point order, the same order the grid expression's
+    * binary string comparison (and the stats sidecars) use. Driver
+    * traffic is ≤ 4096 strings per key by construction. */
+  private def clusterBoundaries(recs: DataFrame, keyCol: Column,
+      cells: Int): Seq[String] = {
+    val sampleCap = 4096
+    val sample = recs.select(keyCol.as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .orderBy(xxhash64(col("v")), col("v"))
+      .limit(sampleCap)
+      .collect().map(_.getString(0))
+    val sorted = sample.sortWith(
+      (a, b) => graft.filter.SegmentStats.cpCompare(a, b) < 0)
+    if (sorted.isEmpty) Seq.empty
+    else (1 until cells).map(i =>
+        sorted(((i.toLong * sorted.length) / cells).toInt))
+      .distinct
+  }
+
   /** Metadata-clustered compaction — the OPTIMIZE … CLUSTER BY shape
     * for the store: rewrite the live corpus as ONE versioned commit
     * whose segments are RANGE-CLUSTERED on a metadata key's
@@ -1965,22 +1990,56 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * `ensure*`/views converge via their captured-version arms).
     * Returns the new live version. */
   def clusterBy(key: String, nClusters: Int = 8): Long =
+    clusterBy(Seq(key), nClusters)
+
+  /** Multi-key form: segments cluster on the Z-ORDER (Morton) curve
+    * over the keys, so `_metastats` prunes selective filters on EVERY
+    * listed key from one layout — the OPTIMIZE … ZORDER BY shape. Each
+    * key's Python-str() values map onto a 64-cell grid through ≤ 63
+    * range boundaries estimated from a bounded uniform sample of the
+    * key's DISTINCT values (top-4096 by value hash — deterministic, no
+    * full sort; one narrow distinct shuffle per key), then the per-key
+    * cells interleave bit-by-bit ([[graft.ops.Layout.mortonN]] — plain
+    * codegen shift/mask arithmetic) and the range partitioner splits
+    * the z values into `nClusters` contiguous intervals. Boundary
+    * quality only shapes the LAYOUT; `canMatch` decisions always come
+    * from each segment's recorded stats, so a skewed sample can cost
+    * pruning effectiveness, never correctness. Rows missing a key grid
+    * to cell 0 on that dimension (nulls low, the single-key contract).
+    * A single key skips the gridding entirely — ranges partition the
+    * raw value order, strictly finer than any grid. */
+  def clusterBy(keys: Seq[String], nClusters: Int): Long =
       MemoEngine.retryOnConflict {
     require(nClusters >= 2 && nClusters <= 256,
       s"nClusters must be in [2, 256], got $nClusters")
+    require(keys.nonEmpty && keys.size <= 8 && keys.distinct == keys,
+      s"clusterBy takes 1..8 distinct keys, got $keys")
     val v0 = currentVersion
     val recs = records
     val idx = index
     val nv = v0.getOrElse(-1L) + 1
     val staging = newStaging()
     try {
-      val sortKey = metaPyStr(element_at(col("metadata"), key))
-      // the range partitioner makes each partition a contiguous key
-      // interval — the cluster ordinal IS the partition id; the id
-      // tiebreak keeps a single dominant value splittable
+      def keyCol(k: String) = metaPyStr(element_at(col("metadata"), k))
+      // the range partitioner makes each partition a contiguous
+      // interval of the sort value — the cluster ordinal IS the
+      // partition id; the id tiebreak keeps a single dominant value
+      // splittable
+      val sortHead: Column =
+        if (keys.size == 1) keyCol(keys.head).asc_nulls_first
+        else {
+          val bits = math.min(6, graft.ops.Layout.bitsPerDim(keys.size))
+          val cells = keys.map { k =>
+            val bs = clusterBoundaries(recs, keyCol(k), 1 << bits)
+            // grid cell = #boundaries strictly below the value; a null
+            // (missing key) fails every comparison and lands in cell 0
+            bs.foldLeft(lit(0L))((acc, b) =>
+              acc + when(keyCol(k) > lit(b), 1L).otherwise(0L))
+          }
+          graft.ops.Layout.mortonN(cells, bits).asc
+        }
       val bucketed = recs
-        .repartitionByRange(nClusters, sortKey.asc_nulls_first,
-          col("id").asc)
+        .repartitionByRange(nClusters, sortHead, col("id").asc)
         .withColumn("_cluster", spark_partition_id())
         .cache()
       try {

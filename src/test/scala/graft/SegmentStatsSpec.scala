@@ -391,6 +391,48 @@ class SegmentStatsSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("multi-key clusterBy: one Z-order layout prunes filters on BOTH keys") {
+    val engine = freshEngine()
+    // 128 docs over a 4×4 uncorrelated key grid (ka = i%4 strides, kb
+    // walks i/4 — no functional relation between the two), saved in id
+    // order so NEITHER key correlates with the ingest layout
+    val n = 128
+    (0 until 4).foreach { s =>
+      engine.save((s * 32 until (s + 1) * 32).map { i =>
+        s"---\nbody: grid note $i text\n" +
+          s"metadata: {ka: a${i % 4}, kb: b${(i / 4) % 4}}\n"
+      }.mkString)
+    }
+    assert(engine.segmentPrune("ka: a1") == (4, 4))
+    assert(engine.segmentPrune("kb: b2") == (4, 4))
+    val before = engine.records
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val countA = engine.analyzeCount("ka: a1")
+    val countB = engine.analyzeCount("kb: b2")
+    assert(countA == n / 4 && countB == n / 4)
+    engine.clusterBy(Seq("ka", "kb"), nClusters = 16)
+    // the single layout prunes selective filters on EITHER key — the
+    // thing no 1-key range clustering can do (clustering on ka alone
+    // leaves kb uncorrelated and unprunable)
+    val (keptA, totalA) = engine.segmentPrune("ka: a1")
+    val (keptB, totalB) = engine.segmentPrune("kb: b2")
+    assert(totalA >= 8 && keptA * 2 <= totalA,
+      s"z-layout should prune ka: ($keptA, $totalA)")
+    assert(totalB >= 8 && keptB * 2 <= totalB,
+      s"z-layout should prune kb: ($keptB, $totalB)")
+    // semantics untouched: same rows, same filtered counts, and a
+    // conjunction of both keys still answers correctly off the z layout
+    assert(engine.records.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    assert(engine.analyzeCount("ka: a1") == countA)
+    assert(engine.analyzeCount("kb: b2") == countB)
+    assert(engine.analyzeCount("{ka: a1, kb: b2}") == n / 16)
+    val (keptAB, _) = engine.segmentPrune("{ka: a1, kb: b2}")
+    assert(keptAB <= keptA && keptAB <= keptB,
+      s"conjunction must prune at least as hard: $keptAB vs $keptA/$keptB")
+    engine.clean()
+  }
+
   test("filtered recall prunes the INDEX side through manifest pairing") {
     val engine = freshEngine()
     engine.save(doc("alpha topic", "a"))
