@@ -131,8 +131,20 @@ object SegmentStats {
     * header counts (+ the id range, so the caller can write both
     * sidecars from one read) and the per-key stats. Cost is
     * O(segment), column-pruned to (id, metadata) — the same class as
-    * the `_idrange` scan it rides along with. */
-  def compute(df: DataFrame): (Option[(Long, Long)], SegmentStats) = {
+    * the `_idrange` scan it rides along with. The frame is CACHED for
+    * the duration: the header, key-stats, and two dictionary passes
+    * are four driver actions, and on the streaming-ingest path (one
+    * compute per micro-batch commit) re-scanning the just-written
+    * parquet four times was measurable — the r14 pairs leg
+    * (BENCH_NOTES) priced the whole sidecar at ~14% of s94 before
+    * this. */
+  def compute(dfIn: DataFrame): (Option[(Long, Long)], SegmentStats) = {
+    val df = dfIn.cache()
+    try computeCached(df) finally df.unpersist()
+  }
+
+  private def computeCached(df: DataFrame)
+      : (Option[(Long, Long)], SegmentStats) = {
     val header = df.agg(
       count(lit(1)), count(when(size(col("metadata")) > 0, 1)),
       min(col("id")), max(col("id"))).collect()(0)
@@ -175,28 +187,37 @@ object SegmentStats {
     // per-key cap is enforced BEFORE any per-key collection (distinct →
     // rank ≤ cap+1), so no aggregation state ever holds more than
     // cap+1 strings per key, whatever the segment's cardinality.
-    def capped(pairs: DataFrame): Map[String, Option[Set[String]]] = {
+    // BOTH dictionary families (scalar values, list elements) in ONE
+    // job: the two pair frames union under a side tag and share the
+    // distinct → rank-cap → collect pass. On the streaming-ingest path
+    // this runs once per micro-batch commit, where each extra driver
+    // action is pure scheduler overhead (the segments are small) — the
+    // r14 pairs leg priced the sidecar write at ~14% of s94.
+    def capped(pairs: DataFrame): Map[(String, String), Option[Set[String]]] = {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("k").orderBy("v")
+      val w = Window.partitionBy("side", "k").orderBy("v")
       pairs.filter(col("k").isin(keptKeys: _*))
         .distinct()
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= MaxVals + 1)
-        .groupBy("k").agg(collect_list(col("v")).as("vs"))
+        .groupBy("side", "k").agg(collect_list(col("v")).as("vs"))
         .collect()
         .map { r =>
-          val vs = r.getSeq[String](1)
-          r.getString(0) ->
+          val vs = r.getSeq[String](2)
+          (r.getString(0), r.getString(1)) ->
             (if (vs.length > MaxVals) None else Some(vs.toSet))
         }.toMap
     }
-    val valDicts = capped(kv.filter(!isList).select(col("k"), pys.as("v")))
-    val elemDicts = capped(
-      kv.filter(isList)
-        .select(col("k"), explode(from_json(payload,
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType))).as("e"))
-        .select(col("k"), metaPyStr(col("e")).as("v")))
+    val dicts = capped(
+      kv.filter(!isList).select(lit("v").as("side"), col("k"), pys.as("v"))
+        .unionByName(kv.filter(isList)
+          .select(col("k"), explode(from_json(payload,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))).as("e"))
+          .select(lit("e").as("side"), col("k"),
+            metaPyStr(col("e")).as("v"))))
+    val valDicts = dicts.collect { case (("v", k), d) => k -> d }
+    val elemDicts = dicts.collect { case (("e", k), d) => k -> d }
     val keys = collected.take(MaxKeys).map { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))

@@ -59,7 +59,8 @@ import graft.ops.ArtifactMeta
 class MemoEngine(spark: SparkSession, basePath: String,
     maxSegments: Int = MemoEngine.DefaultMaxSegments,
     materializeFeeds: Boolean = true,
-    viewReserveK: Int = MemoEngine.DefaultViewReserveK) {
+    viewReserveK: Int = MemoEngine.DefaultViewReserveK,
+    metaStatsSidecars: Boolean = true) {
   import MemoEngine.ConcurrentCommitException
   graft.plans.GraftOptimizations.install(spark)
   private val base = Paths.get(basePath)
@@ -108,10 +109,22 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * "unknown — intersects everything" and the patch arm stands down. */
   private def writeIdRange(segDir: Path): Unit = {
     val df = spark.read.schema(YamlIO.recordSchema).parquet(segDir.toString)
-    val (idRange, stats) = graft.filter.SegmentStats.compute(df)
-    Files.writeString(segDir.resolve("_idrange"),
-      idRange.fold("empty") { case (lo, hi) => s"$lo,$hi" })
-    writeMetaStats(segDir, stats)
+    if (metaStatsSidecars) {
+      val (idRange, stats) = graft.filter.SegmentStats.compute(df)
+      Files.writeString(segDir.resolve("_idrange"),
+        idRange.fold("empty") { case (lo, hi) => s"$lo,$hi" })
+      writeMetaStats(segDir, stats)
+    } else {
+      // metaStatsSidecars=false (materializeFeeds' write-heavy twin —
+      // a store that never runs filtered reads skips the per-commit
+      // stats aggregation entirely; its segments read as "unprunable",
+      // sound by the missing-sidecar rule): only the two-long id range
+      // the patch arm needs, one min/max aggregation
+      val r = df.agg(org.apache.spark.sql.functions.min(col("id")),
+        org.apache.spark.sql.functions.max(col("id"))).collect()(0)
+      Files.writeString(segDir.resolve("_idrange"),
+        if (r.isNullAt(0)) "empty" else s"${r.getLong(0)},${r.getLong(1)}")
+    }
   }
 
   /** Stats sidecar for segment-level DATA SKIPPING on filtered reads
@@ -140,8 +153,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
     Files.writeString(segDir.resolve("_idrange"),
       if (ranges.isEmpty) "empty"
       else ranges.map { case (lo, hi) => s"$lo,$hi" }.mkString(";"))
-    val df = spark.read.schema(YamlIO.recordSchema).parquet(segDir.toString)
-    writeMetaStats(segDir, graft.filter.SegmentStats.compute(df)._2)
+    if (metaStatsSidecars) {
+      val df = spark.read.schema(YamlIO.recordSchema).parquet(segDir.toString)
+      writeMetaStats(segDir, graft.filter.SegmentStats.compute(df)._2)
+    }
   }
 
   /** The recorded id intervals of a records segment: None = no sidecar

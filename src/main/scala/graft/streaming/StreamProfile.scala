@@ -28,9 +28,10 @@ object StreamProfile {
   def main(args: Array[String]): Unit = {
     val lexMode = args.headOption.contains("lex")
     val cdcMode = args.headOption.contains("cdc")
-    val rest = if (lexMode || cdcMode) args.drop(1) else args
+    val pairsMode = args.headOption.contains("pairs")
+    val rest = if (lexMode || cdcMode || pairsMode) args.drop(1) else args
     val n = rest.headOption.map(_.toInt)
-      .getOrElse(if (lexMode || cdcMode) 20000 else 100000)
+      .getOrElse(if (lexMode || cdcMode || pairsMode) 20000 else 100000)
     val partList = rest.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(32, 16, 8, 4))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,7 +41,32 @@ object StreamProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (cdcMode) {
+    if (pairsMode) {
+      // the s94 sidecar-cost PAIRS measurement: the same ingest with and
+      // without the per-commit `_metastats` aggregation (and, for
+      // completeness, with materializeFeeds=false — append-only commits
+      // never write a feed, so that leg SHOULD read flat). Legs
+      // interleave A/B/C per round so load drift hits all three alike;
+      // report per-leg eps and the median.
+      val reps = 3
+      val legs = Seq[(String, () => Double)](
+        ("base        ", () => StreamBench.ingestEps(spark, n)),
+        ("noMetaStats ", () => StreamBench.ingestEps(spark, n,
+          metaStats = false)),
+        ("noFeeds     ", () => StreamBench.ingestEps(spark, n,
+          feeds = false)))
+      val acc = scala.collection.mutable.Map[String, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      for (r <- 0 until reps; (tag, f) <- legs) {
+        val eps = f()
+        acc(tag) = acc(tag) :+ eps
+        println(f"[pairs] s94_ingest rep=$r $tag eps=$eps%9.0f")
+      }
+      for ((tag, _) <- legs) {
+        val v = acc(tag).sorted
+        println(f"[pairs] s94_ingest MEDIAN $tag eps=${v(v.size / 2)}%9.0f")
+      }
+    } else if (cdcMode) {
       cdcProfile(spark, n)
     } else if (lexMode) {
       // s95 sweep: the foreachBatch sink runs ordinary BATCH jobs, so

@@ -391,6 +391,30 @@ class SegmentStatsSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("metaStatsSidecars=false: no stats write, segments soundly unprunable") {
+    val dir = Files.createTempDirectory("memo_nostats").toString
+    val engine = new MemoEngine(spark, s"$dir/db",
+      metaStatsSidecars = false)
+    engine.save(doc("alpha one", "a"))
+    engine.save(doc("beta two", "b"))
+    // the id-range sidecar (the patch arm's pruning) still writes; the
+    // stats sidecar (filtered-read skipping) does not
+    val segs = engine.records.inputFiles
+      .map(f => Paths.get(f.stripPrefix("file:")).getParent).distinct
+    assert(segs.nonEmpty)
+    segs.foreach { s =>
+      assert(Files.exists(s.resolve("_idrange")), s"missing _idrange in $s")
+      assert(!Files.exists(s.resolve("_metastats")),
+        s"escape hatch still wrote _metastats in $s")
+    }
+    // missing sidecars read as "unprunable" — every segment kept, and
+    // the filtered read stays CORRECT (predicate still runs)
+    assert(engine.segmentPrune("category: b") == (2, 2))
+    assert(engine.analyzeCount("category: b") == 1)
+    assert(engine.analyzeCount("category: a") == 1)
+    engine.clean()
+  }
+
   test("multi-key clusterBy: one Z-order layout prunes filters on BOTH keys") {
     val engine = freshEngine()
     // 128 docs over a 4×4 uncorrelated key grid (ka = i%4 strides, kb
