@@ -982,23 +982,34 @@ object IvfIndex {
     *
     * `queries` columns: (queryIdCol: castable to long, qvCol: array of
     * float). Returns (query_id, id, score), unordered (top-k set per
-    * query; order downstream). */
+    * query; order downstream).
+    *
+    * `allowed` is a candidate MASK (one `id` column, [[search]]'s
+    * convention): one semi-join restricts the scanned index rows for
+    * EVERY query in the batch — per-query results are the top-k among
+    * filter survivors of that query's probed cells. The batch contract
+    * stays approximate (no probe-widening retry here — a pipeline
+    * consumes whatever fills; the fill-guaranteed path is the serving
+    * side's widening loop). */
   def searchBatch(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, queryIdCol: String, qvCol: String,
-      k: Int, nprobe: Int, maxBatch: Int = 8192): DataFrame = {
+      k: Int, nprobe: Int, maxBatch: Int = 8192,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val idx = allowed.fold(index)(m =>
+      index.join(m.select(col("id")), Seq("id"), "left_semi"))
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(qvCol).as("qv"))
     // size guard on the id column only: the bound check must not pay a
     // scan of the (wide) query vectors
     val ids = q.select("query_id")
     if (ids.limit(maxBatch + 1).count() <= maxBatch)
-      searchBatchSlice(index, centroids, q, k, nprobe)
+      searchBatchSlice(idx, centroids, q, k, nprobe)
     else {
       val slices = ((ids.count() - 1) / maxBatch + 1).toInt
       // hash-sliced: ~maxBatch queries per slice in expectation (ids are
       // opaque, so uniform xxhash64 beats assuming a dense id range)
       (0 until slices).map { i =>
-        searchBatchSlice(index, centroids,
+        searchBatchSlice(idx, centroids,
           q.filter(pmod(xxhash64(col("query_id")), lit(slices)) === i),
           k, nprobe)
       }.reduce(_.unionAll(_))

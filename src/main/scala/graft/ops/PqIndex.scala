@@ -728,17 +728,23 @@ object PqIndex {
   def searchBatchAdc(codes: DataFrame, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
       queryIdCol: String, qvCol: String, k: Int, nprobe: Int,
-      maxBatch: Int = 8192): DataFrame = {
+      maxBatch: Int = 8192,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    // candidate mask ([[IvfIndex.searchBatch]]'s convention): one
+    // semi-join restricts the scanned CODES for every query — the
+    // per-query top-k is computed among filter survivors only
+    val cds = allowed.fold(codes)(m =>
+      codes.join(m.select(col("id")), Seq("id"), "left_semi"))
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(qvCol).as("qv"))
     // size guard on the id column only (no scan of the wide vectors)
     val ids = q.select("query_id")
     if (ids.limit(maxBatch + 1).count() <= maxBatch)
-      searchBatchAdcSlice(codes, centroids, codebooks, q, k, nprobe)
+      searchBatchAdcSlice(cds, centroids, codebooks, q, k, nprobe)
     else {
       val slices = ((ids.count() - 1) / maxBatch + 1).toInt
       (0 until slices).map { i =>
-        searchBatchAdcSlice(codes, centroids, codebooks,
+        searchBatchAdcSlice(cds, centroids, codebooks,
           q.filter(pmod(xxhash64(col("query_id")), lit(slices)) === i),
           k, nprobe)
       }.reduce(_.unionAll(_))

@@ -210,6 +210,24 @@ object ScaleQueries {
       .orderBy(col("query_id"), desc("score"), col("vec_id"))
   }
 
+  /** Filtered BATCH ANN (the r14 pipeline twin of the engine's filtered
+    * serving paths): q37's one-scan probe-join shape with a candidate
+    * MASK — English documents' ids semi-join the index once, so every
+    * query's top-k is computed among filter survivors of its probed
+    * cells. The oracle replays assignment + probe + the survivor join +
+    * cosine + per-query top-k off the exported centroid matrix. */
+  private val q103FilteredBatch: Q = (s, dir) => {
+    val (index, centroids) = ivfIndex(s, dir)
+    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val mask = Tables(s, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("id"))
+    IvfIndex.searchBatch(index, centroids, queries, "query_id", "qv",
+        k = 3, nprobe = 4, allowed = Some(mask))
+      .select(col("query_id"), col("id").as("vec_id"), col("score"))
+      .orderBy(col("query_id"), desc("score"), col("vec_id"))
+  }
+
   /** Build-once/register-per-session lifecycle for an at-rest bucketed
     * table: first run writes the bucketed layout (stamped), later sessions
     * re-attach the existing files to their catalog without rewriting —
@@ -432,6 +450,7 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "q36_ivf_ann" -> q36IvfAnn,
     "q37_ivf_batch" -> q37IvfBatch,
+    "q103_filtered_batch" -> q103FilteredBatch,
     "q86_semdedup" -> q86SemDedup,
     "q39_pq_adc" -> q39PqAdc,
     "q67_pq_refine" -> q67PqRefine,
@@ -551,6 +570,38 @@ object ScaleQueries {
            |          WHERE rn <= 4),
            |cand AS (SELECT p.query_id, a.vec_id
            |         FROM asg a JOIN probe p USING (cell_id)),
+           |sp AS (SELECT c.query_id, c.vec_id, unnest(e.embedding) AS x,
+           |         unnest(q.qe) AS qx
+           |       FROM cand c JOIN embeddings e USING (vec_id)
+           |            JOIN queries q USING (query_id)),
+           |sc AS (SELECT query_id, vec_id,
+           |         floor(sum(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) /
+           |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+           |            sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))))
+           |           * 10000.0 + 0.5) / 10000.0 AS score
+           |       FROM sp GROUP BY query_id, vec_id)
+           |SELECT query_id, vec_id, score FROM (
+           |  SELECT query_id, vec_id, score, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM sc)
+           |WHERE rn <= 3
+           |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+      // q103: q37's replay with the candidate mask — only vectors whose
+      // document is English survive into each query's probed-cell
+      // candidates; the per-query top-k ranks survivors only
+      "q103_filtered_batch" ->
+        s"""WITH ${ivfAssignCtes(cs)},
+           |queries AS (SELECT vec_id AS query_id, embedding AS qe
+           |            FROM embeddings WHERE vec_id < 5),
+           |probe AS (SELECT vec_id AS query_id, cell_id FROM (
+           |           SELECT vec_id, cell_id, row_number() OVER (
+           |             PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+           |           FROM ad WHERE vec_id < 5)
+           |          WHERE rn <= 4),
+           |cand AS (SELECT p.query_id, a.vec_id
+           |         FROM asg a JOIN probe p USING (cell_id)
+           |         JOIN documents dd ON dd.doc_id = a.vec_id
+           |         WHERE dd.lang = 'en'),
            |sp AS (SELECT c.query_id, c.vec_id, unnest(e.embedding) AS x,
            |         unnest(q.qe) AS qx
            |       FROM cand c JOIN embeddings e USING (vec_id)

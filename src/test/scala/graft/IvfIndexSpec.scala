@@ -133,6 +133,34 @@ class IvfIndexSpec extends SparkTestBase {
     assert(full == exact, "nprobe=nlist must equal exact top-k")
   }
 
+  test("searchBatch with a candidate mask: survivors only, exact filtered " +
+      "top-k at full probe") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", centroids)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // the mask: even vector ids only
+    val mask = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, hits) => q -> hits.map(_._2).toSet }
+    val masked = sets(IvfIndex.searchBatch(idx, centroids, queries,
+      "query_id", "qv", k = 10, nprobe = 4, allowed = Some(mask)))
+    // every hit satisfies the mask
+    masked.values.flatten.foreach(id =>
+      assert(id % 2 == 0, s"mask leaked id $id"))
+    // full probe = exact brute-force top-k over the masked corpus
+    val exact = sets(graft.ops.Similarity.bruteForceTopKBatch(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", queries,
+      "query_id", 10, graft.functions.GraftFunctions.vecCosine(_, _)))
+    val full = sets(IvfIndex.searchBatch(idx, centroids, queries,
+      "query_id", "qv", k = 10, nprobe = 16, allowed = Some(mask)))
+    assert(full == exact,
+      "masked full-probe batch must equal filtered brute force")
+  }
+
   test("searchBatch job count does not grow with the query batch") {
     val emb = Tables(spark, sfDir, "embeddings")
     val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
