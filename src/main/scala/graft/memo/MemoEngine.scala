@@ -1230,12 +1230,25 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * scorer. A probe that lands in an in-flight append's journal window
     * retries briefly before surfacing the error (the window is a normal
     * micro-batch commit, not a torn artifact). A query with no tokens
-    * degrades to the semantic ranking alone. */
+    * degrades to the semantic ranking alone.
+    *
+    * `ann = true` swaps the semantic leg's exact corpus ranking for the
+    * engine-maintained IVF probe ([[annRecall]] at `annNprobe` cells,
+    * filter mask and widening fill included) — with it BOTH hybrid legs
+    * serve O(probe) from maintained artifacts, the shape a store that
+    * outgrew brute force needs. The default stays exact: rank fusion
+    * amplifies candidate-list differences, so the approximate leg is
+    * opt-in (at `annNprobe` = nlist the two arms are identical —
+    * spec-pinned). */
   def hybridRecall(query: String, k: Int = MemoOps.DefaultK,
-      filterExpr: Option[String] = None, perList: Int = 50): DataFrame = {
+      filterExpr: Option[String] = None, perList: Int = 50,
+      ann: Boolean = false, annNprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(desc("score"), col("id"))
-    val vec = recall(query, perList, filterExpr)
+    val vecBase =
+      if (ann) annRecall(query, perList, annNprobe, filterExpr)
+      else recall(query, perList, filterExpr)
+    val vec = vecBase
       .select(col("id"), col("score"))
       .withColumn("rank", row_number().over(w))
     val terms = VectorKernels.tokenize(query).toSeq.distinct

@@ -774,6 +774,39 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("hybridRecall ann=true rides the IVF artifact; full probe = exact arm") {
+    import org.apache.spark.sql.functions.col
+    val engine = filteredAnnStore()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // at full probe the ANN semantic leg IS the exact ranking, so the
+    // fused output matches the exact arm row for row — filtered too
+    // (the vec leg's mask + widening and the BM25 leg's allowedIds both
+    // derive from the same filter)
+    val exact = rows(engine.hybridRecall("topic1 theme2", k = 8,
+      filterExpr = Some("{part: p1}")).select(col("id"), col("rrf_score")))
+    val viaAnn = rows(engine.hybridRecall("topic1 theme2", k = 8,
+      filterExpr = Some("{part: p1}"), ann = true,
+      annNprobe = MemoEngine.AnnNlist)
+      .select(col("id"), col("rrf_score")))
+    assert(viaAnn == exact,
+      s"full-probe ANN hybrid diverged from exact hybrid: $viaAnn vs $exact")
+    // and the unfiltered arms agree too
+    val exactU = rows(engine.hybridRecall("topic1 theme2", k = 8)
+      .select(col("id"), col("rrf_score")))
+    val viaAnnU = rows(engine.hybridRecall("topic1 theme2", k = 8,
+      ann = true, annNprobe = MemoEngine.AnnNlist)
+      .select(col("id"), col("rrf_score")))
+    assert(viaAnnU == exactU)
+    // the semantic leg really served off the maintained artifact
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(engine.records.inputFiles.head
+        .stripPrefix("file:")).getParent.getParent.getParent
+        .resolve("_ivf")),
+      "ann=true hybrid never built/served the IVF artifact")
+    engine.clean()
+  }
+
   test("admitNew gates a batch against engine-MAINTAINED signatures, O(batch)") {
     import spark.implicits._
     val (engine, db) = freshEngine()
