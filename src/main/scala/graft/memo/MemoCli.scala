@@ -10,7 +10,7 @@ import graft.filter.FilterAlgebra
   * (/root/reference/SKILL.md:96-151, memo_cli.py:727-949):
   *
   *   memo-cli -f <base> save <file.yaml>
-  *   memo-cli -f <base> recall [-k N] [--filter EXPR] [--yaml] <query...>
+  *   memo-cli -f <base> recall [-k N] [--filter EXPR] [--yaml] [--ann|--pq [--nprobe N]] <query...>
   *   memo-cli -f <base> analyze --filter EXPR [--fields a,b] [--stats KEY]
   *                      [--limit N] [--offset N]
   *   memo-cli -f <base> clean
@@ -106,7 +106,7 @@ object MemoCli {
     println("Usage:")
     println("  memo --help")
     println("  memo -f <base> [-v] save <yaml_file>")
-    println("  memo -f <base> [-v] recall [-k <N>] [--filter <expr>] [--yaml] <query>")
+    println("  memo -f <base> [-v] recall [-k <N>] [--filter <expr>] [--yaml] [--ann|--pq [--nprobe <N>]] <query>")
     println("  memo -f <base> [-v] analyze --filter <expr> [--fields <list>] " +
       "[--stats <key>] [--limit <N>] [--offset <N>]")
     println("  memo -f <base> [-v] clean")
@@ -128,6 +128,8 @@ object MemoCli {
     println("  <yaml_file>        YAML file for save input (single or multi-doc using ---)")
     println("  --filter <expr>    Filter recall results by metadata")
     println("  --yaml             recall only: emit YAML results with id, score, body")
+    println("  --ann | --pq       recall only: serve from the maintained IVF / IVF-PQ artifact")
+    println("  --nprobe <N>       with --ann/--pq: probe cells (widened to fill under --filter)")
     println("  --fields <list>    analyze only: comma-separated columns (e.g. id,source,metadata)")
     println("  --stats <key>      analyze only: cardinality + numeric/date-like range for key")
     println("  --limit <N>        analyze only: max rows to print (default: 100)")
@@ -221,11 +223,18 @@ object MemoCli {
   }
 
   /** recall arg grammar (memo_cli.py:758-803): -k N (clamped), --filter,
-    * --yaml; remaining words are the query, which must be non-empty. */
+    * --yaml; remaining words are the query, which must be non-empty.
+    * Beyond the reference: `--ann [--nprobe N]` / `--pq` switch the
+    * ranking to the engine-maintained IVF / IVF-PQ serving paths
+    * (filter mask + widening fill included) — same output contract,
+    * approximate ranking, the switch a store flips when it outgrows
+    * the brute-force scan. */
   private def cmdRecall(engine: MemoEngine, args: List[String]): Int = {
     var k = MemoOps.DefaultK
     var filter: Option[String] = None
     var yaml = false
+    var mode = "exact"
+    var nprobe = 4
     val queryParts = List.newBuilder[String]
     var it = args
     while (it.nonEmpty) it match {
@@ -241,6 +250,25 @@ object MemoCli {
         return 1
       case "--filter" :: f :: rest => filter = Some(f); it = rest
       case "--yaml" :: rest => yaml = true; it = rest
+      case "--ann" :: rest =>
+        if (mode == "pq") {
+          System.err.println("Error: --ann and --pq are mutually exclusive")
+          return 1
+        }
+        mode = "ann"; it = rest
+      case "--pq" :: rest =>
+        if (mode == "ann") {
+          System.err.println("Error: --ann and --pq are mutually exclusive")
+          return 1
+        }
+        mode = "pq"; it = rest
+      case "--nprobe" :: rest =>
+        val v = rest.headOption.flatMap(_.toIntOption).filter(_ >= 1)
+        if (v.isEmpty) {
+          System.err.println("Error: --nprobe requires a positive integer")
+          return 1
+        }
+        nprobe = v.get; it = rest.tail
       case w :: rest => queryParts += w; it = rest
       case Nil => ()
     }
@@ -259,7 +287,11 @@ object MemoCli {
           return 1
       }
     }
-    val rows = engine.recall(query, k, filter).collect()
+    val rows = (mode match {
+      case "ann" => engine.annRecall(query, k, nprobe, filter)
+      case "pq" => engine.pqRecall(query, k, nprobe, filterExpr = filter)
+      case _ => engine.recall(query, k, filter)
+    }).collect()
     if (yaml) {
       if (rows.isEmpty) println("results: []")
       else {

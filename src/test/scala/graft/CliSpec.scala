@@ -93,6 +93,35 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("recall --ann/--pq serve from the maintained artifacts; same contract") {
+    withDb { db =>
+      run("-f", db, "save", batch)
+      val (code0, exact) = run("-f", db, "recall", "-k", "2", "peanuts", "info")
+      assert(code0 == 0)
+      // full probe (tiny store): the ANN and PQ tables are byte-identical
+      // to the exact ranking's — same banner, same rows
+      val (code1, ann) = run("-f", db, "recall", "-k", "2",
+        "--ann", "--nprobe", "16", "peanuts", "info")
+      assert(code1 == 0 && ann == exact,
+        s"--ann full-probe table diverged:\n$ann\nvs\n$exact")
+      val (code2, pq) = run("-f", db, "recall", "-k", "2",
+        "--pq", "--nprobe", "16", "peanuts", "info")
+      assert(code2 == 0 && pq == exact,
+        s"--pq full-probe table diverged:\n$pq\nvs\n$exact")
+      // filter rides into the serving path (mask + widening fill)
+      val (code3, filtered) = run("-f", db, "recall", "-k", "2", "--ann",
+        "--filter", "{source: user}", "peanuts", "info")
+      assert(code3 == 0 && filtered.startsWith("Top 2 results:"))
+      // error contract: the two serving modes are mutually exclusive,
+      // and --nprobe validates
+      val (code4, _) = run("-f", db, "recall", "--ann", "--pq", "q")
+      assert(code4 == 1)
+      val (code5, _) = run("-f", db, "recall", "--ann", "--nprobe", "zero", "q")
+      assert(code5 == 1)
+      run("-f", db, "clean")
+    }
+  }
+
   test("analyze prints Matched + aligned table with ID header") {
     withDb { db =>
       run("-f", db, "save", batch)
