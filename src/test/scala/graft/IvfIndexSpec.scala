@@ -161,6 +161,44 @@ class IvfIndexSpec extends SparkTestBase {
       "masked full-probe batch must equal filtered brute force")
   }
 
+  test("the candidate mask does not defeat the cell_id partition prune") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)
+    val path = java.nio.file.Files.createTempDirectory("ivf_mask")
+      .resolve("idx").toString
+    IvfIndex.persist(
+      IvfIndex.build(emb, "vec_id", "embedding", centroids), path)
+    val idx = IvfIndex.load(spark, path)
+    val query = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val mask = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"))
+    val res = IvfIndex.search(idx, centroids, query, k = 10, nprobe = 4,
+      allowed = Some(mask))
+    // the semi-join must ride ABOVE the pruned scan: the probed-cell
+    // filter still reaches the index scan as a PARTITION filter, so a
+    // filtered ANN query reads the same ≤ nprobe partition dirs the
+    // unfiltered one does — the mask narrows rows, never widens I/O
+    val scan = (res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }).collect { case f: FileSourceScanExec => f }
+      .find(_.output.exists(_.name == "embedding")).get
+    assert(scan.partitionFilters.exists(
+        _.references.exists(_.name == "cell_id")),
+      s"mask join lost the partition filter: ${scan.partitionFilters}")
+    val pruned = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(pruned.length <= 4,
+      s"masked probe read ${pruned.length} partitions")
+    // and the result equals filtering the unmasked ranking's source
+    val expect = IvfIndex.search(
+        IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+          "embedding", centroids), centroids, query, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(res.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
   test("searchBatch job count does not grow with the query batch") {
     val emb = Tables(spark, sfDir, "embeddings")
     val centroids = IvfIndex.trainCentroids(emb, "embedding", nlist = 16)

@@ -141,6 +141,66 @@ class MemoConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("filtered ANN racing an appender: sound results, exact once quiet") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    def hotOf(i: Int) = if (i % 5 == 0) "h1" else "h0"
+    e1.save((0 until 40).map(i =>
+      s"---\nbody: race note $i topic${i % 4}\nmetadata: {hot: ${hotOf(i)}}\n")
+      .mkString)
+    val appends = 6
+    val everHot = (0 until 40 + appends).filter(_ % 5 == 0).map(_.toLong).toSet
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // the known mid-scan churn transients (the IVF/PQ churn allow-list):
+    // a segment listed before a concurrent commit promotes can vanish
+    // under the scan on Linux
+    def transient(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("") + " " +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      m.contains("NoSuchFile") || m.contains("FILE_NOT_EXIST") ||
+        m.contains("does not exist")
+    }
+    try {
+      val appender = Future {
+        (40 until 40 + appends).foreach(i =>
+          e1.save(s"---\nbody: race note $i topic${i % 4}\n" +
+            s"metadata: {hot: ${hotOf(i)}}\n"))
+      }
+      val reader = Future {
+        var reads = 0
+        while (!appender.isCompleted && reads < 40) {
+          try {
+            // every returned id must be a filter survivor of SOME
+            // committed version — the append-only chain never un-hots
+            // an id, so the union bound is exact
+            val ids = e2.annRecall("topic1 race", k = 20, nprobe = 2,
+              filterExpr = Some("{hot: h1}"))
+              .collect().map(_.getLong(0)).toSet
+            assert(ids.subsetOf(everHot),
+              s"filtered ANN leaked non-survivors: ${ids -- everHot}")
+          } catch { case e: Throwable if transient(e) => () }
+          reads += 1
+        }
+        reads
+      }
+      Await.result(Future.sequence(Seq(appender, reader)), 180.seconds)
+      // quiet store: the filtered serving path is EXACT-FILL and agrees
+      // with filtered brute force, ids and scores
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ann = rows(e1.annRecall("topic1 race", k = 20, nprobe = 1,
+        filterExpr = Some("{hot: h1}")))
+      val exact = rows(e1.recall("topic1 race", k = 20,
+        filterExpr = Some("{hot: h1}")))
+      assert(ann == exact, s"post-churn filtered ANN diverged: $ann vs $exact")
+      assert(ann.map(_._1).toSet == everHot,
+        s"post-churn fill incomplete: ${ann.map(_._1).toSet} vs $everHot")
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
   test("vacuum sweeps stale staging corpses, spares fresh attempts") {
     val db = freshStore()
     val engine = new MemoEngine(spark, db)
