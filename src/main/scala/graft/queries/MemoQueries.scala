@@ -577,6 +577,58 @@ object MemoQueries {
     out
   }
 
+  /** Multi-key Z-order layout end-to-end (the r14 `clusterBy(keys)`
+    * arm): a store whose TWO metadata keys are mutually uncorrelated
+    * AND uncorrelated with the save order — no single-key layout can
+    * prune both — rewritten once by the z-order clusterBy, then a
+    * filtered projection on the SECOND key. The build asserts the
+    * z layout prunes selective filters on EITHER key (and that before
+    * the rewrite neither pruned); the oracle replays minting, the two
+    * key rules, and the projection. BUILD-ONCE per sf-dir; a bench
+    * repeat measures the pruned filtered read off the z layout. */
+  private val q104ZorderSkip: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q104z", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q104 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {ka: a${i % 4}, kb: b${(i / 4) % 4}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      // pinned loudly, both directions: the uncorrelated layout prunes
+      // NOTHING on either key …
+      val (k0a, t0a) = engine.segmentPrune("ka: a1")
+      val (k0b, t0b) = engine.segmentPrune("kb: b2")
+      require(k0a == t0a && k0b == t0b,
+        s"q104 expected an unprunable pre-layout, got ($k0a/$t0a, $k0b/$t0b)")
+      engine.clusterBy(Seq("ka", "kb"), nClusters = 16)
+      // … and ONE z-ordered rewrite prunes selective filters on BOTH
+      val (ka, ta) = engine.segmentPrune("ka: a1")
+      val (kb, tb) = engine.segmentPrune("kb: b2")
+      // ≤ half on each key: the range partitioner's sampled boundaries
+      // may straddle adjacent z values, so exact 4/16 is not guaranteed —
+      // the CLAIM is selective pruning on BOTH keys from one layout
+      require(ta >= 8 && ka * 2 <= ta && kb * 2 <= tb,
+        s"q104 expected the z layout to prune both keys, " +
+          s"got ($ka/$ta, $kb/$tb)")
+      java.nio.file.Files.createFile(done)
+    }
+    engine.analyzeProject("kb: b2", Seq("id", "kb"), limit = 300)
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -599,6 +651,7 @@ object MemoQueries {
     "q100_meta_skip" -> q100MetaSkip,
     "q101_filtered_ann" -> q101FilteredAnn,
     "q102_view_avg" -> q102ViewAvg,
+    "q104_zorder_skip" -> q104ZorderSkip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -815,5 +868,15 @@ object MemoQueries {
         |  CAST(sum(w) AS BIGINT) AS w_sum,
         |  CAST(sum(w) AS DOUBLE) / count(*) AS w_avg
         |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
+    // q104 replay: dense minting, kb = b{(id // 4) mod 4} — the filtered
+    // projection keeps kb = b2. The LIMIT mirrors the Spark-side
+    // pagination bound (never binding at n ≤ 300).
+    "q104_zorder_skip" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300))
+        |SELECT d.id, 'b2' AS kb FROM d
+        |WHERE (d.id // 4) % 4 = 2
+        |ORDER BY d.id LIMIT 300""".stripMargin,
   )
 }

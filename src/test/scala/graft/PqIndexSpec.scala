@@ -246,6 +246,37 @@ class PqIndexSpec extends SparkTestBase {
     }
   }
 
+  test("batch ADC with a candidate mask: survivors only, equals masked flat") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_mask")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val codes = PqIndex.loadCodes(spark, path)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val mask = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"))
+    val batch = PqIndex.searchBatchAdc(codes, cents, cbs, queries,
+        "query_id", "qv", k = 5, nprobe = 16, allowed = Some(mask))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    batch.foreach { case (_, id, _) =>
+      assert(id % 2 == 0, s"mask leaked id $id") }
+    val grouped = batch.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq)
+      .toMap
+    (0L until 4L).foreach { qid =>
+      val q = queryVec(qid)
+      // flat ADC over the pre-filtered codes: identical arithmetic, so
+      // the masked batch must reproduce it exactly at full probe
+      val flat = PqIndex.searchAdc(
+          codes.filter(col("id") % 2 === 0).select("id", "code"), cbs, q,
+          k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(grouped(qid) == flat,
+        s"masked batch ADC for query $qid diverges from masked flat ADC")
+    }
+  }
+
   test("batch ADC range-splits above maxBatch with identical results") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq")
       .resolve("idx").toString
