@@ -967,13 +967,28 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * re-scans only probed cells, and the doubling makes the total work a
     * geometric series bounded by ~2× the final pass; at nprobe = nlist
     * the IVF arm IS the exact filtered ranking (every cell probed).
-    * Collecting is bounded: a pass returns ≤ k rows by construction. */
-  private def widenToFill(k: Int, nprobe: Int, nlist: Int)(
+    * Collecting is bounded: a pass returns ≤ k rows by construction.
+    *
+    * `survivors` (the CACHED mask's row count — one job over an
+    * in-memory frame) short-circuits the ladder: with ≤ k survivors no
+    * intermediate probe can ever fill k, so the loop would walk every
+    * rung to full probe regardless — jump there in ONE pass (reported
+    * as a single retry; zero survivors skips the scan entirely). This
+    * is the SELECTIVE-filter fast path, which is exactly when users
+    * filter ANN: the result is the exact ranking of the few survivors
+    * at the cost of one probe-all pass instead of log₂(nlist) + 1. */
+  private def widenToFill(k: Int, nprobe: Int, nlist: Int,
+      survivors: Long)(
       pass: Int => Array[org.apache.spark.sql.Row])
       : Array[org.apache.spark.sql.Row] = {
+    if (survivors == 0) {
+      lastFilteredAnnProbe = Some((0, 0))
+      return Array.empty
+    }
     var np = math.min(math.max(nprobe, 1), nlist)
-    var hits = pass(np)
     var retries = 0
+    if (survivors <= k && np < nlist) { np = nlist; retries = 1 }
+    var hits = pass(np)
     while (hits.length < k && np < nlist) {
       np = math.min(np * 2, nlist)
       retries += 1
@@ -1024,7 +1039,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
             // reuses it without re-scanning the matching segments
             val mask = annMask(f).cache()
             try {
-              val hits = widenToFill(k, nprobe, centroids.length) { np =>
+              val hits = widenToFill(k, nprobe, centroids.length,
+                  mask.count()) { np =>
                 graft.ops.IvfIndex.search(idx, centroids, qv, k, np,
                   Some(mask)).collect()
               }
@@ -1111,7 +1127,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
           case Some(f) =>
             val mask = annMask(f).cache()
             try {
-              val hits = widenToFill(k, nprobe, centroids.length) { np =>
+              val hits = widenToFill(k, nprobe, centroids.length,
+                  mask.count()) { np =>
                 graft.ops.PqIndex.searchIvfPq(codes, index, "id",
                   "embedding", centroids, codebooks, qv, k, np, refine,
                   Some(mask)).collect()

@@ -726,9 +726,10 @@ class MemoEngineSpec extends SparkTestBase {
       s"full-probe filtered ANN diverged from filtered exact: $annP1 vs $exactP1")
     assert(engine.lastFilteredAnnProbe == Some((16, 0)),
       "a well-filled full-probe query must not widen")
-    // selective filter (5 survivors), k = 10 > survivors, nprobe = 1:
-    // the widening loop must double 1→2→4→8→16 (4 retries, ending at
-    // full probe) and the result must be the ENTIRE survivor set with
+    // selective filter (5 survivors ≤ k = 10), nprobe = 1: the cached
+    // mask's count proves no intermediate probe can fill k, so the
+    // ladder SHORT-CIRCUITS to one full-probe pass (reported as a
+    // single retry) and the result is the ENTIRE survivor set with
     // exact-ranking scores — a post-filtered k would under-fill here
     val annHot = rows(engine.annRecall("topic1 theme2", k = 10,
       nprobe = 1, filterExpr = Some("{hot: h1}")))
@@ -738,8 +739,25 @@ class MemoEngineSpec extends SparkTestBase {
       s"filtered ANN missed survivors: $annHot")
     assert(annHot == exactHot,
       s"widened filtered ANN diverged from filtered exact: $annHot vs $exactHot")
-    assert(engine.lastFilteredAnnProbe == Some((16, 4)),
-      s"expected widening 1→16 in 4 retries, got ${engine.lastFilteredAnnProbe}")
+    assert(engine.lastFilteredAnnProbe == Some((16, 1)),
+      s"expected the ≤k shortcut's single full-probe jump, " +
+        s"got ${engine.lastFilteredAnnProbe}")
+    // the LADDER arm (survivors > k): p1 has 20 survivors spread over
+    // 16 cells, so a 1-cell probe under-fills k=16 and the loop doubles
+    // until filled — the result is k filter survivors (approximate
+    // ranking below full probe, the standard ANN contract), never short
+    val ladder = rows(engine.annRecall("topic1 theme2", k = 16,
+      nprobe = 1, filterExpr = Some("{part: p1}")))
+    assert(ladder.size == 16, s"ladder under-filled: ${ladder.size}")
+    assert(ladder.map(_._1).forall(id => id >= 20 && id < 40),
+      s"ladder leaked non-survivors: $ladder")
+    val (np, retries) = engine.lastFilteredAnnProbe.get
+    assert(retries >= 1 && np > 1,
+      s"expected the doubling loop to fire, got ($np, $retries)")
+    // empty filter result: no scan, no rows, seam reports (0, 0)
+    assert(engine.annRecall("topic1 theme2", k = 5,
+      filterExpr = Some("{part: nope}")).count() == 0)
+    assert(engine.lastFilteredAnnProbe == Some((0, 0)))
     engine.clean()
   }
 
@@ -759,9 +777,10 @@ class MemoEngineSpec extends SparkTestBase {
       s"full-probe filtered PQ diverged from filtered exact: $pqP1 vs $exactP1")
     assert(engine.lastFilteredAnnProbe == Some((16, 0)))
     // selective filter: because the mask applies BEFORE the ADC cut,
-    // every survivor is a candidate — widening fills the whole 5-doc
-    // survivor set with exact scores (a post-refine filter would return
-    // only the survivors that happened to crack the unfiltered top-k×refine)
+    // every survivor is a candidate — the ≤k shortcut jumps to full
+    // probe and fills the whole 5-doc survivor set with exact scores
+    // (a post-refine filter would return only the survivors that
+    // happened to crack the unfiltered top-k×refine)
     val pqHot = rows(engine.pqRecall("topic1 theme2", k = 10,
       nprobe = 1, refine = 4, filterExpr = Some("{hot: h1}")))
     val exactHot = rows(engine.recall("topic1 theme2", k = 10,
@@ -770,7 +789,7 @@ class MemoEngineSpec extends SparkTestBase {
       s"filtered PQ missed survivors: $pqHot")
     assert(pqHot == exactHot,
       s"widened filtered PQ diverged from filtered exact: $pqHot vs $exactHot")
-    assert(engine.lastFilteredAnnProbe == Some((16, 4)))
+    assert(engine.lastFilteredAnnProbe == Some((16, 1)))
     engine.clean()
   }
 
