@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   */
 object SkipProfile {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("cluster", "dict", "zorder")) match {
+    val mode = args.headOption.filter(Set("cluster", "dict", "zorder", "fann")) match {
       case Some(m) => m
       case None => "range"
     }
@@ -41,6 +41,7 @@ object SkipProfile {
       case "cluster" => segsList.foreach(runCluster(spark, _, docsPerSeg))
       case "dict" => segsList.foreach(runDict(spark, _, docsPerSeg))
       case "zorder" => segsList.foreach(runZorder(spark, _, docsPerSeg))
+      case "fann" => segsList.foreach(runFann(spark, _, docsPerSeg))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
@@ -161,6 +162,64 @@ object SkipProfile {
     val z = leg("clusterBy(ka,kb):")
     println(f"[skip-zorder] segs=$nSegs%4d docsPerSeg=$dps " +
       f"$flat | $oneKey (rewrite $oneKeySec%.1fs) | $z (rewrite $zSec%.1fs)")
+    engine.clean()
+    ()
+  }
+
+  /** The filtered-ANN selectivity leg: one ingest-correlated chain, one
+    * engine-maintained IVF artifact, and the SAME query served through
+    * `annRecall` under filters of stepped selectivity (one segment ≈1%,
+    * 10%, 50%, match-all, and unfiltered) plus the filtered brute-force
+    * `recall` at the extremes. The design claims this measures: a
+    * SELECTIVE filter costs O(matching segments) mask derivation + one
+    * shortcut probe pass (not a chain scan), a BROAD filter keeps the
+    * plain probe economics, and the brute-force alternative pays the
+    * corpus. Run via `runMain graft.SkipProfile fann [segsList] [docsPerSeg]`. */
+  private[graft] def runFann(spark: SparkSession, nSegs: Int,
+      docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fann")
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString,
+      maxSegments = 1000000)
+    def batchYaml(seg: Int) = (0 until docsPerSeg).map(d =>
+      f"---\nbody: fann corpus segment $seg doc $d topic${d % 5}\n" +
+        f"metadata: {part: p$seg%03d}\n").mkString
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val q = "fann topic2 corpus"
+    engine.annRecall(q, k = 10, nprobe = 4).collect() // build + warm IVF
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val legs: Seq[(String, Option[String])] = Seq(
+      ("unfiltered", None),
+      ("1seg", Some(f"part: p${nSegs - 3}%03d")),
+      ("10pct", Some(f"{part: {$$gte: p${nSegs - nSegs / 10}%03d}}")),
+      ("50pct", Some(f"{part: {$$gte: p${nSegs / 2}%03d}}")),
+      ("all", Some("{}")))
+    val parts = legs.map { case (label, f) =>
+      def serve(): Unit =
+        require(engine.annRecall(q, k = 10, nprobe = 4, filterExpr = f)
+          .collect().length == 10)
+      serve() // warm the mask derivation / plan
+      val t = (0 until 3).map(_ => timed(serve())).min
+      val prune = f.map(engine.segmentPrune).map(p => s"${p._1}/${p._2}")
+        .getOrElse("-")
+      val probe = if (f.isEmpty) "-"
+        else engine.lastFilteredAnnProbe
+          .map(p => s"np${p._1}r${p._2}").getOrElse("-")
+      f"$label=$t%.3fs(kept $prune, $probe)"
+    }
+    // the brute-force alternative at both extremes, for scale contrast
+    def brute(f: Option[String]): Double = {
+      def run(): Unit =
+        require(engine.recall(q, k = 10, filterExpr = f)
+          .collect().length == 10)
+      run(); (0 until 3).map(_ => timed(run())).min
+    }
+    val b1 = brute(Some(f"part: p${nSegs - 3}%03d"))
+    val bAll = brute(None)
+    println(f"[fann] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
+      parts.mkString(" ") +
+      f" | brute: 1seg=$b1%.3fs all=$bAll%.3fs")
     engine.clean()
     ()
   }
