@@ -1058,6 +1058,56 @@ class MemoEngine(spark: SparkSession, basePath: String,
           .select(col("id"), col("score"), col("body"))
     }
 
+  /** Test seam: which arm [[recallServe]] took ("brute" | "ann") and
+    * the survivor upper bound it decided on. Production never reads it. */
+  private[graft] var lastServeRoute: Option[(String, Long)] = None
+
+  /** The filter-aware serving FRONT DOOR — the BENCH_NOTES r14
+    * selectivity leg's finding as code. Cost shapes: the filtered
+    * brute path scans exactly the stats-surviving segments' rows (no
+    * artifact probe, no join); the filtered ANN path pays mask
+    * derivation + probed cells and wins once the corpus dwarfs them.
+    * Which is cheaper is decided by a BOUNDED number, not the corpus:
+    * the surviving segments' row counts off their (memoized) stats
+    * sidecars. When that upper bound is ≤ `bruteRows`, the pruned
+    * brute scan is O(bruteRows) whatever the chain or corpus size —
+    * take it, it is also EXACT; otherwise (many survivors, a missing
+    * sidecar making the bound unknowable, or no filter at all) serve
+    * from the ANN artifact. Unfiltered queries always probe: with no
+    * mask the brute arm would be the full corpus scan the artifact
+    * exists to avoid. */
+  def recallServe(query: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None, nprobe: Int = 4,
+      bruteRows: Long = 4096L): DataFrame =
+    filterExpr match {
+      case None =>
+        lastServeRoute = Some(("ann", -1L))
+        annRecall(query, k, nprobe)
+      case Some(f) =>
+        // upper bound on filter survivors: Σ row counts of the
+        // stats-surviving segments (driver-side, memoized sidecars);
+        // a kept segment without a decodable sidecar makes the bound
+        // unknowable → Long.MaxValue → the ANN arm
+        val bound = prunedSegmentLists(f) match {
+          case None => 0L // undefined store: either arm is empty
+          case Some((kept, segs, _)) =>
+            kept.foldLeft(0L) { (acc, i) =>
+              if (acc == Long.MaxValue) acc
+              else readMetaStats(segs(i)) match {
+                case Some(st) => acc + st.rows
+                case None => Long.MaxValue
+              }
+            }
+        }
+        if (bound <= bruteRows) {
+          lastServeRoute = Some(("brute", bound))
+          recall(query, k, filterExpr)
+        } else {
+          lastServeRoute = Some(("ann", bound))
+          annRecall(query, k, nprobe, filterExpr)
+        }
+    }
+
   private def pqDir: String = base.resolve("_ivfpq").toString
 
   /** [[ensureIvf]]'s idiom on the COMPRESSED vector family: keep a

@@ -793,6 +793,42 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("recallServe routes by the sidecar row bound: brute when bounded, " +
+      "ann when broad or unknowable") {
+    import org.apache.spark.sql.functions.col
+    val engine = filteredAnnStore()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // selective filter, default budget: the surviving segment's 20 rows
+    // bound the brute scan — take the exact pruned-frame arm
+    val served = rows(engine.recallServe("topic1 theme2", k = 5,
+      filterExpr = Some("{part: p1}")))
+    assert(engine.lastServeRoute == Some(("brute", 20L)),
+      s"expected the bounded brute route, got ${engine.lastServeRoute}")
+    assert(served == rows(engine.recall("topic1 theme2", k = 5,
+      filterExpr = Some("{part: p1}"))))
+    // same filter under a tiny budget: the bound exceeds it — probe
+    val servedAnn = rows(engine.recallServe("topic1 theme2", k = 5,
+      filterExpr = Some("{part: p1}"), nprobe = MemoEngine.AnnNlist,
+      bruteRows = 10L))
+    assert(engine.lastServeRoute == Some(("ann", 20L)))
+    assert(servedAnn == rows(engine.annRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist, filterExpr = Some("{part: p1}"))))
+    // unfiltered always probes (the brute arm would be the corpus scan
+    // the artifact exists to avoid)
+    engine.recallServe("topic1 theme2", k = 5).collect()
+    assert(engine.lastServeRoute.exists(_._1 == "ann"))
+    engine.clean()
+    // a store without stats sidecars: the bound is unknowable — probe
+    val dir = Files.createTempDirectory("serve_nostats").toString
+    val e2 = new MemoEngine(spark, s"$dir/db", metaStatsSidecars = false)
+    e2.save("---\nbody: only note here\nmetadata: {part: p0}\n")
+    e2.recallServe("note", k = 1, filterExpr = Some("{part: p0}")).collect()
+    assert(e2.lastServeRoute == Some(("ann", Long.MaxValue)),
+      s"missing sidecars must route to ann, got ${e2.lastServeRoute}")
+    e2.clean()
+  }
+
   test("hybridRecall ann=true rides the IVF artifact; full probe = exact arm") {
     import org.apache.spark.sql.functions.col
     val engine = filteredAnnStore()
