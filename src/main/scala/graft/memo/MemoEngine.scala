@@ -1108,6 +1108,46 @@ class MemoEngine(spark: SparkSession, basePath: String,
         }
     }
 
+  /** The BATCH twin of [[annRecall]] over the SAME maintained IVF
+    * artifact — the pipeline serving shape (thousands of queries, ONE
+    * pass over the probed cells) that per-query [[annRecall]] calls
+    * would turn into per-query jobs. Queries arrive as a DataFrame of
+    * (id castable to long, query text); the text embeds IN THE PLAN
+    * through the codegen hash-embed kernel (the same murmur3-seed-42
+    * arithmetic the driver-side single-query path uses, so batch and
+    * single serving rank identically), probe-cell choice and the
+    * bounded-heap per-query top-k are [[graft.ops.IvfIndex.searchBatch]]
+    * (auto range-split above its maxBatch — the broadcast stays
+    * bounded at any batch size). A `filterExpr` rides in as the same
+    * O(matching segments) candidate mask the single-query path derives;
+    * the batch contract stays approximate (no probe-widening — a
+    * pipeline consumes what fills; the fill-guaranteed path is
+    * [[annRecall]]). Returns (query_id, id, score, body), top-k SET per
+    * query, unordered. An empty/uncommitted store returns no rows. */
+  def annRecallBatch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
+      filterExpr: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    ensureIvf() match {
+      case Some(centroids) =>
+        val q = queries.select(
+          col(queryIdCol).cast("long").as("query_id"),
+          graft.functions.GraftFunctions.embedText(col(queryTextCol))
+            .as("qv"))
+        val mask = filterExpr.map(annMask)
+        graft.ops.IvfIndex.searchBatch(
+            graft.ops.IvfIndex.load(spark, ivfDir), centroids, q,
+            "query_id", "qv", k, math.min(nprobe, centroids.length),
+            allowed = mask)
+          .join(filterExpr.fold(records)(recordsForFilter)
+            .select(col("id"), col("body")), Seq("id"))
+          .select(col("query_id"), col("id"), col("score"), col("body"))
+      case None => emptyFrame(StructType(Seq(
+        StructField("query_id", LongType), StructField("id", LongType),
+        StructField("score", DoubleType), StructField("body", StringType))))
+    }
+  }
+
   private def pqDir: String = base.resolve("_ivfpq").toString
 
   /** [[ensureIvf]]'s idiom on the COMPRESSED vector family: keep a

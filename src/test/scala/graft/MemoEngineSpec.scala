@@ -793,6 +793,42 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("annRecallBatch: one pass serves a query batch; per-query parity " +
+      "with the single path, filter mask included") {
+    import spark.implicits._
+    val engine = filteredAnnStore()
+    val queries = Seq((0L, "topic1 theme2"), (1L, "topic3 theme0"),
+      (2L, "corpus note 7")).toDF("qid", "qtext")
+    def batchSets(filter: Option[String]) =
+      engine.annRecallBatch(queries, "qid", "qtext", k = 5,
+          nprobe = MemoEngine.AnnNlist, filterExpr = filter)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def singleSet(q: String, filter: Option[String]) =
+      engine.annRecall(q, k = 5, nprobe = MemoEngine.AnnNlist,
+          filterExpr = filter)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // the in-plan hash-embed must rank exactly like the driver-side
+    // single-query embed — per query, ids AND scores
+    val unfiltered = batchSets(None)
+    queries.collect().foreach { r =>
+      assert(unfiltered(r.getLong(0)) == singleSet(r.getString(1), None),
+        s"batch diverged from single for '${r.getString(1)}'")
+    }
+    // the filter mask applies to every query in the batch; the single
+    // path widens to the same full probe, so the sets agree here too
+    val filtered = batchSets(Some("{part: p1}"))
+    queries.collect().foreach { r =>
+      assert(filtered(r.getLong(0)) ==
+        singleSet(r.getString(1), Some("{part: p1}")),
+        s"filtered batch diverged for '${r.getString(1)}'")
+      filtered(r.getLong(0)).foreach { case (id, _) =>
+        assert(id >= 20 && id < 40, s"mask leaked id $id") }
+    }
+    engine.clean()
+  }
+
   test("recallServe routes by the sidecar row bound: brute when bounded, " +
       "ann when broad or unknowable") {
     import org.apache.spark.sql.functions.col
