@@ -235,6 +235,7 @@ object MemoCli {
     var yaml = false
     var mode = "exact"
     var nprobe = 4
+    var nprobeSet = false
     val queryParts = List.newBuilder[String]
     var it = args
     while (it.nonEmpty) it match {
@@ -268,9 +269,16 @@ object MemoCli {
           System.err.println("Error: --nprobe requires a positive integer")
           return 1
         }
-        nprobe = v.get; it = rest.tail
+        nprobe = v.get; nprobeSet = true; it = rest.tail
       case w :: rest => queryParts += w; it = rest
       case Nil => ()
+    }
+    // --nprobe only means something on a probe path; silently serving
+    // the exact ranking would hide the typo (`--ann` forgotten), so the
+    // combination errors like the --ann/--pq mutual exclusion does
+    if (nprobeSet && mode == "exact") {
+      System.err.println("Error: --nprobe requires --ann or --pq")
+      return 1
     }
     val query = queryParts.result().mkString(" ").trim
     if (query.isEmpty) {

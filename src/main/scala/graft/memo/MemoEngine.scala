@@ -60,6 +60,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     maxSegments: Int = MemoEngine.DefaultMaxSegments,
     materializeFeeds: Boolean = true,
     viewReserveK: Int = MemoEngine.DefaultViewReserveK,
+    viewDistinctCap: Int = MemoEngine.DefaultViewDistinctCap,
     metaStatsSidecars: Boolean = true) {
   import MemoEngine.ConcurrentCommitException
   graft.plans.GraftOptimizations.install(spark)
@@ -1075,38 +1076,73 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * sidecar making the bound unknowable, or no filter at all) serve
     * from the ANN artifact. Unfiltered queries always probe: with no
     * mask the brute arm would be the full corpus scan the artifact
-    * exists to avoid. */
+    * exists to avoid.
+    *
+    * CONTRACT PARITY across arms: every arm applies [[MemoOps.recall]]'s
+    * −0.9 score floor (the reference's, memo_cli.py:294), so the same
+    * query returns the same result SET whichever arm the row-count bound
+    * picks — the probe arms are [[annRecall]]/[[pqRecall]] (no floor,
+    * exact-fill contract) WITH the floor re-applied here. The residual
+    * divergence is ANN approximation itself, never the floor.
+    *
+    * A second bound picks WHICH probe arm: when the survivors' raw
+    * vectors (bound × dim × 4 bytes — what the probed cells' re-rank
+    * would read in the worst case) exceed `pqBytes`, serve the
+    * COMPRESSED path ([[pqRecall]]: m-byte ADC codes, ~32× narrower,
+    * only k×refine survivors touch raw vectors); under it, the plain
+    * IVF probe reads the raw vectors directly. Unfiltered queries price
+    * the whole live chain's row count the same way (Σ all sidecars).
+    * Both numbers are driver-side sums of memoized sidecar longs —
+    * never a job. */
   def recallServe(query: String, k: Int = MemoOps.DefaultK,
       filterExpr: Option[String] = None, nprobe: Int = 4,
-      bruteRows: Long = 4096L): DataFrame =
+      bruteRows: Long = 4096L,
+      pqBytes: Long = MemoEngine.DefaultServePqBytes): DataFrame = {
+    // Σ sidecar row counts over the given segment ordinals; one missing/
+    // undecodable sidecar makes the bound unknowable → Long.MaxValue
+    def rowBound(kept: Seq[Int], segs: Seq[String]): Long =
+      kept.foldLeft(0L) { (acc, i) =>
+        if (acc == Long.MaxValue) acc
+        else readMetaStats(segs(i)) match {
+          case Some(st) => acc + st.rows
+          case None => Long.MaxValue
+        }
+      }
+    def vecBytes(rows: Long): Long =
+      if (rows == Long.MaxValue) Long.MaxValue
+      else rows * graft.functions.VectorKernels.DefaultDim * 4L
+    def probeArm(bound: Long): DataFrame =
+      if (vecBytes(bound) > pqBytes) {
+        lastServeRoute = Some(("pq", bound))
+        pqRecall(query, k, nprobe, filterExpr = filterExpr)
+          .filter(col("score") >= MemoOps.ScoreFloor)
+      } else {
+        lastServeRoute = Some(("ann", bound))
+        annRecall(query, k, nprobe, filterExpr)
+          .filter(col("score") >= MemoOps.ScoreFloor)
+      }
     filterExpr match {
       case None =>
-        lastServeRoute = Some(("ann", -1L))
-        annRecall(query, k, nprobe)
+        val bound = currentVersion match {
+          case None => 0L
+          case Some(v) =>
+            val segs = segments(v, "records")
+            rowBound(segs.indices, segs)
+        }
+        probeArm(bound)
       case Some(f) =>
         // upper bound on filter survivors: Σ row counts of the
-        // stats-surviving segments (driver-side, memoized sidecars);
-        // a kept segment without a decodable sidecar makes the bound
-        // unknowable → Long.MaxValue → the ANN arm
+        // stats-surviving segments (driver-side, memoized sidecars)
         val bound = prunedSegmentLists(f) match {
           case None => 0L // undefined store: either arm is empty
-          case Some((kept, segs, _)) =>
-            kept.foldLeft(0L) { (acc, i) =>
-              if (acc == Long.MaxValue) acc
-              else readMetaStats(segs(i)) match {
-                case Some(st) => acc + st.rows
-                case None => Long.MaxValue
-              }
-            }
+          case Some((kept, segs, _)) => rowBound(kept, segs)
         }
         if (bound <= bruteRows) {
           lastServeRoute = Some(("brute", bound))
           recall(query, k, filterExpr)
-        } else {
-          lastServeRoute = Some(("ann", bound))
-          annRecall(query, k, nprobe, filterExpr)
-        }
+        } else probeArm(bound)
     }
+  }
 
   /** The BATCH twin of [[annRecall]] over the SAME maintained IVF
     * artifact — the pipeline serving shape (thousands of queries, ONE
@@ -1599,8 +1635,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** The PERSISTED state schema: [[viewSchema]] plus, per MIN/MAX
     * measure, its `_res_<n>` reserve (the group's top-k value multiset,
-    * champion-first) — internal maintenance columns a served frame never
-    * sees. */
+    * champion-first), and per COUNT DISTINCT measure its `_dict_<n>`
+    * value→multiplicity dictionary (NULL = overflowed past
+    * `viewDistinctCap`) — internal maintenance columns a served frame
+    * never sees. */
   private def viewStateSchema(measures: Seq[(String, String)],
       aggOf: Map[String, String]): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -1608,6 +1646,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
       measures.collect {
         case (n, _) if aggOf.get(n).exists(a => a == "min" || a == "max") =>
           StructField(s"_res_$n", ArrayType(LongType))
+        case (n, _) if aggOf.get(n).contains("count_distinct") =>
+          StructField(s"_dict_$n", MapType(StringType, LongType))
       })
   }
 
@@ -1615,14 +1655,21 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * becomes (group_key, sign, raw measure values). `sign` = −1 retracts.
     * Values are UNSIGNED here — the caller's aggregation decides how a
     * retraction applies (negate for SUM; extreme-vs-stored test for
-    * MIN/MAX, which have no additive inverse). */
+    * MIN/MAX, which have no additive inverse; one-instance dictionary
+    * decrement for COUNT DISTINCT). Numeric measures 0-coerce nulls and
+    * failed casts; COUNT DISTINCT measures keep the raw STRING value and
+    * keep NULL AS NULL — SQL's COUNT(DISTINCT) ignores nulls, and both
+    * the incremental and recompute arms ignore them identically. */
   private def viewContribOf(df: DataFrame, sign: Int, groupKey: String,
-      measures: Seq[(String, String)]): DataFrame =
+      measures: Seq[(String, String)],
+      aggOf: Map[String, String]): DataFrame =
     df.select(
       expr(groupKey).cast("string").as("group_key") +:
       lit(sign.toLong).as("sign") +:
       measures.map { case (n, e) =>
-        coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L)).as(n)
+        if (aggOf.get(n).contains("count_distinct"))
+          expr(s"($e)").cast("string").as(n)
+        else coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L)).as(n)
       }: _*)
 
   /** The incremental maintenance walk: one contribution frame per version
@@ -1631,7 +1678,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the caller recomputes. Driver cost is O(steps) manifest reads; the
     * returned frame is lazy (one job when aggregated). */
   private def viewContribs(v0: Long, v1: Long, groupKey: String,
-      measures: Seq[(String, String)]): Option[DataFrame] = {
+      measures: Seq[(String, String)],
+      aggOf: Map[String, String]): Option[DataFrame] = {
     def stepContrib(a: Long): Option[DataFrame] = {
       val b = a + 1
       if (!Files.isDirectory(versionDir(a)) ||
@@ -1643,7 +1691,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         if (!delta.forall(s => Files.exists(Paths.get(s)))) None
         else Some(viewContribOf(
           spark.read.schema(YamlIO.recordSchema).parquet(delta: _*),
-          1, groupKey, measures))
+          1, groupKey, measures, aggOf))
       } else {
         val feedDir = versionDir(b).resolve("changefeed")
         if (!Files.isDirectory(feedDir) ||
@@ -1654,12 +1702,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
           val plus = viewContribOf(
             feed.filter(col("change") =!= "removed")
               .select(col("id"), col("body"), col("metadata")),
-            1, groupKey, measures)
+            1, groupKey, measures, aggOf)
           val minus = viewContribOf(
             feed.filter(col("change") =!= "added")
               .select(col("id"), col("prev_body").as("body"),
                 col("prev_metadata").as("metadata")),
-            -1, groupKey, measures)
+            -1, groupKey, measures, aggOf)
           Some(plus.unionByName(minus))
         }
       }
@@ -1673,13 +1721,26 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * served as a DataFrame (`group_key` STRING, `doc_count` LONG, one
     * LONG column per measure). `groupKey` and each measure are row-level
     * SQL expressions over `id`/`body`/`metadata`; measures aggregate by
-    * SUM unless `aggOf` names "min", "max", or "avg" for them — an AVG
+    * SUM unless `aggOf` names "min", "max", "avg", or "count_distinct"
+    * for them — an AVG
     * measure is served as DOUBLE sum/doc_count, maintained through the
     * SUM machinery (a null or
-    * non-BIGINT-castable value evaluates as 0 under every aggregator, so
+    * non-BIGINT-castable value evaluates as 0 under every NUMERIC
+    * aggregator, so
     * the incremental and recompute arms can never diverge on malformed
     * metadata; aggregators outside [[MemoEngine.ViewAggs]] are rejected
-    * loudly). The state is an engine-maintained
+    * loudly). A COUNT DISTINCT measure is the group's exact distinct
+    * count of the expression's STRING value (nulls ignored — SQL
+    * semantics, both arms identically), maintained through a bounded
+    * per-group value→multiplicity dictionary (`viewDistinctCap`,
+    * default 64): adds insert, retractions remove one instance, and the
+    * scalar is the key count — O(delta), the reserve idiom without
+    * order structure. A group whose distinct cardinality exceeds the
+    * cap drops its dictionary (the scalar stays exact through that
+    * merge); the group's NEXT value-touching refresh recomputes it via
+    * the group-scoped rescan arm — the same cost class as MIN/MAX
+    * reserve exhaustion, and the documented trade for exact retractable
+    * distinct counts at bounded state. The state is an engine-maintained
     * artifact under `_view_<name>` with the version-watermark idiom:
     * fresh → serve lock-free (two metadata reads, no job); behind →
     * catch up O(changed rows) through [[viewContribs]] under the build
@@ -1708,7 +1769,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
       require(MemoEngine.ViewAggs.contains(a),
         s"measure '$n' aggregator '$a' unsupported \u2014 one of " +
         s"${MemoEngine.ViewAggs.mkString("/")}; other aggregates (e.g. " +
-        "count-distinct) are not retractable from the changefeed and are " +
+        "percentiles) are not retractable from the changefeed and are " +
         "rejected loudly rather than served stale")
     }
     val dirS = viewDir(name).toString
@@ -1720,10 +1781,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
     def b64(s: String) = java.util.Base64.getUrlEncoder.withoutPadding
       .encodeToString(s.getBytes("UTF-8"))
     // the reserve depth participates in spec identity: a k change means
-    // the stored reserves no longer bound the rescan contract — rebuild
-    val spec = (s"k$viewReserveK" +: b64(groupKey) +:
+    // the stored reserves no longer bound the rescan contract — rebuild.
+    // The distinct cap participates the same way, but ONLY when a
+    // count_distinct measure exists (so pre-existing views keep their
+    // recorded specs verbatim — no spurious rebuild on upgrade). The
+    // d-part is unambiguous: with it the part count is 3+3m (≡0 mod 3),
+    // without it 2+3m (≡2 mod 3) — no base64url groupKey can shift one
+    // form into the other.
+    val hasDistinct = aggOf.values.exists(_ == "count_distinct")
+    val spec = ((s"k$viewReserveK" +:
+      (if (hasDistinct) Seq(s"d$viewDistinctCap") else Nil)) ++
+      (b64(groupKey) +:
       measures.map { case (n, e) =>
-        s"${b64(n)}:${aggOf.getOrElse(n, "sum")}:${b64(e)}" }).mkString(":")
+        s"${b64(n)}:${aggOf.getOrElse(n, "sum")}:${b64(e)}" })).mkString(":")
     def readMeta: Option[(Long, String, String)] =
       ArtifactMeta.read(spark, dirS, ViewMetaFile).flatMap {
         _.split('|') match {
@@ -1801,19 +1871,24 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }
     val contribs = prior.flatMap { case (v0, _) =>
       if (v0 == live) None // spec matched but dir raced away: recompute
-      else viewContribs(v0, live, groupKey, measures)
+      else viewContribs(v0, live, groupKey, measures, aggOf)
     }
     val resMax = udaf(graft.functions.ReserveAggregator
       .reserve(viewReserveK, 1), org.apache.spark.sql.Encoders.LONG)
     val resMin = udaf(graft.functions.ReserveAggregator
       .reserve(viewReserveK, -1), org.apache.spark.sql.Encoders.LONG)
+    val dictAgg = udaf(graft.functions.DictAggregator
+      .dict(viewDistinctCap), org.apache.spark.sql.Encoders.STRING)
     val emptyArr = typedLit(Seq.empty[Long])
     // full aggregation of a sign=+1 contribution frame — the rebuild arm
     // and the group-scoped extreme rescan SHARE it, so the two can never
     // diverge on null/cast handling. MIN/MAX measures also store their
     // RESERVE: the group's true top-k value multiset, champion-first
     // (map-side combined — the shuffle carries ≤ k values per group per
-    // partition, never the group's rows).
+    // partition, never the group's rows). COUNT DISTINCT measures store
+    // the scalar (Spark's exact distinct agg) AND their bounded
+    // dictionary (map-side combined, ≤ cap+1 entries per group per
+    // partition; NULL = overflowed — the scalar stays exact).
     def fullAgg(frame: DataFrame): DataFrame = {
       val aggs =
         sum(col("sign")).as("doc_count") +:
@@ -1822,6 +1897,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
             resMin(col(n)).as(s"_res_$n"))
           case (n, "max") => Seq(max(col(n)).as(n),
             resMax(col(n)).as(s"_res_$n"))
+          case (n, "count_distinct") => Seq(
+            countDistinct(col(n)).as(n),
+            dictAgg(col(n)).as(s"_dict_$n"))
           case (n, _) => Seq(sum(col(n)).as(n))
         }
       frame.groupBy(col("group_key")).agg(aggs.head, aggs.tail: _*)
@@ -1860,7 +1938,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
           val deltaAggs =
             sum(col("sign")).as("doc_count") +:
             aggKind.flatMap {
-              case (n, "min" | "max") => Seq(
+              case (n, "min" | "max" | "count_distinct") => Seq(
                 collect_list(when(col("sign") === 1L, col(n)))
                   .as(s"_add_$n"),
                 collect_list(when(col("sign") === -1L, col(n)))
@@ -1929,9 +2007,66 @@ class MemoEngine(spark: SparkSession, basePath: String,
             case (n, "max") => n -> resMerge(n, 1)
             case (n, "min") => n -> resMerge(n, -1)
           }.toMap
+          // per COUNT DISTINCT measure: (broken?, final dict, final
+          // scalar). The stored dictionary is EXACT (every live value
+          // with its multiplicity) or NULL (overflowed past the cap) —
+          // unlike a reserve there is no partial prefix, so a covered
+          // merge is total: fold the window's signed value events into
+          // the map (add +1, retract −1, drop keys at 0) and the scalar
+          // is the key count. Broken ⇔ the dictionary can't answer:
+          // the group is in overflow AND the window touches its values
+          // (stale-scalar risk), or a retraction misses the map / drives
+          // a count negative (feed and state disagree — the rescan
+          // restores truth rather than serving it silently wrong). A
+          // merge that pushes the group PAST the cap is still exact this
+          // once (the fold saw every value): the scalar serves, the
+          // dictionary drops, and only the group's next value-touching
+          // window pays the rescan.
+          val emptyStrArr = typedLit(Seq.empty[String])
+          val emptyDict = typedLit(Map.empty[String, Long])
+          def dictMerge(n: String): (Column, Column, Column) = {
+            val adds = coalesce(col(s"d._add_$n"), emptyStrArr)
+            val rets = coalesce(col(s"d._ret_$n"), emptyStrArr)
+            val touched = (size(adds) + size(rets)) > 0
+            val oldDict = col(s"o._dict_$n")
+            val events = concat(
+              transform(adds, v => struct(v.as("v"), lit(1L).as("dc"))),
+              transform(rets, v => struct(v.as("v"), lit(-1L).as("dc"))))
+            val folded = aggregate(events,
+              struct(coalesce(oldDict, emptyDict).as("m"),
+                lit(false).as("bad")),
+              (acc, e) => {
+                val cnt = coalesce(element_at(acc("m"), e("v")), lit(0L)) +
+                  e("dc")
+                val rest = map_filter(acc("m"), (kk, _) => kk =!= e("v"))
+                struct(
+                  when(cnt === 0L, rest)
+                    .otherwise(map_concat(rest,
+                      org.apache.spark.sql.functions.map(e("v"), cnt)))
+                    .as("m"),
+                  (acc("bad") || cnt < 0L).as("bad"))
+              })
+            val f = folded("m")
+            val overflowTouch = oEx && oldDict.isNull && touched
+            val brokenD = overflowTouch || (touched && folded("bad"))
+            val scalar = when(!touched, coalesce(col(s"o.$n"), lit(0L)))
+              .otherwise(size(f).cast("long"))
+            val dictFinal = when(!touched, oldDict)
+              .otherwise(when(size(f) > viewDistinctCap,
+                lit(null).cast(org.apache.spark.sql.types.MapType(
+                  org.apache.spark.sql.types.StringType,
+                  org.apache.spark.sql.types.LongType)))
+                .otherwise(f))
+            (brokenD, dictFinal, scalar)
+          }
+          val mergedDD = aggKind.collect {
+            case (n, "count_distinct") => n -> dictMerge(n)
+          }.toMap
+          val brokenCols = mergedMM.values.map(_._1) ++
+            mergedDD.values.map(_._1)
           val broken =
-            if (mergedMM.isEmpty) lit(false)
-            else mergedMM.values.map(_._1).reduce(_ || _)
+            if (brokenCols.isEmpty) lit(false)
+            else brokenCols.reduce(_ || _)
           val merged = o.as("o")
             .join(d.as("d"), col("o.group_key") <=> col("d.group_key"),
               "full_outer")
@@ -1944,6 +2079,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
                   mergedMM(n)._2.as(s"_res_$n"))
                 case (n, "min") => Seq(mergedMM(n)._3.as(n),
                   mergedMM(n)._2.as(s"_res_$n"))
+                case (n, "count_distinct") => Seq(mergedDD(n)._3.as(n),
+                  mergedDD(n)._2.as(s"_dict_$n"))
                 case (n, _) => Seq(
                   (coalesce(col(s"o.$n"), lit(0L)) +
                     coalesce(col(s"d.$n"), lit(0L))).as(n))
@@ -1957,7 +2094,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             val segs = segments(live, "records")
             val corpus = viewContribOf(
               spark.read.schema(YamlIO.recordSchema).parquet(segs: _*),
-              1, groupKey, measures)
+              1, groupKey, measures, aggOf)
             val rescanned = fullAgg(
               corpus.join(brokenKeys.as("bk"),
                 corpus("group_key") <=> col("bk.group_key"), "left_semi"))
@@ -1969,7 +2106,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
           val segs = segments(live, "records")
           val full = fullAgg(viewContribOf(
             spark.read.schema(YamlIO.recordSchema).parquet(segs: _*),
-            1, groupKey, measures))
+            1, groupKey, measures, aggOf))
           ("rebuild", segs, full)
       }
       val stateDir =
@@ -2025,15 +2162,26 @@ class MemoEngine(spark: SparkSession, basePath: String,
     def un(s: String) =
       new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
     val parts = spec.split(':')
-    if (parts.length < 2 || !parts(0).matches("k\\d+") ||
-      (parts.length - 2) % 3 != 0) None
-    else scala.util.Try {
-      val ms = parts.drop(2).grouped(3).map {
-        case Array(n, a, e) => (un(n), a, un(e))
-      }.toSeq
-      (un(parts(1)), ms.map(t => (t._1, t._3)),
-        ms.collect { case (n, a, _) if a != "sum" => (n, a) }.toMap)
-    }.toOption
+    if (parts.length < 2 || !parts(0).matches("k\\d+")) None
+    else {
+      // optional distinct-cap part (`d<cap>`, present iff the view has a
+      // count_distinct measure): part counts 3+3m vs 2+3m disambiguate —
+      // see the spec-identity comment in [[viewState]]
+      val body =
+        if ((parts.length - 2) % 3 == 0) Some(parts.drop(1))
+        else if ((parts.length - 3) % 3 == 0 && parts(1).matches("d\\d+"))
+          Some(parts.drop(2))
+        else None
+      body.flatMap { b =>
+        scala.util.Try {
+          val ms = b.drop(1).grouped(3).map {
+            case Array(n, a, e) => (un(n), a, un(e))
+          }.toSeq
+          (un(b(0)), ms.map(t => (t._1, t._3)),
+            ms.collect { case (n, a, _) if a != "sum" => (n, a) }.toMap)
+        }.toOption
+      }
+    }
   }
 
   /** Bring EVERY registered view to the live store version in one call —
@@ -3126,7 +3274,16 @@ object MemoEngine {
     * rescan only when a reserve is exhausted. Anything outside this set
     * is rejected at the API boundary — better loud than a view silently
     * served stale. */
-  val ViewAggs: Set[String] = Set("sum", "min", "max", "avg")
+  val ViewAggs: Set[String] = Set("sum", "min", "max", "avg",
+    "count_distinct")
+
+  /** [[recallServe]]'s compressed-arm threshold: once the candidate
+    * rows' raw vectors (rows × dim × 4 B) exceed this, the probe serves
+    * IVF-PQ instead of plain IVF — 256 MiB ≈ one executor's comfortable
+    * scan budget; the PQ codes for the same rows are ~32× smaller. An
+    * UNKNOWABLE row bound (a store without stats sidecars) also takes
+    * the compressed arm: pricing blind, assume big. */
+  val DefaultServePqBytes: Long = 256L << 20
 
   /** Default MIN/MAX reserve depth: a champion retraction is O(delta)
     * until k of a group's top values are retracted without replacement —
@@ -3134,6 +3291,15 @@ object MemoEngine {
     * stays a few longs per group, deep enough that champion churn
     * doesn't thrash. */
   val DefaultViewReserveK: Int = 8
+
+  /** Per-group distinct-value dictionary bound for COUNT DISTINCT view
+    * measures ([[MemoEngine.viewState]]): a group whose distinct
+    * cardinality stays ≤ this keeps its exact value→count dictionary and
+    * retracts in O(delta); past it the dictionary drops (the scalar
+    * stays exact) and the group's next touching refresh rescans it.
+    * An engine option (`viewDistinctCap`) — it participates in the view
+    * spec identity, so changing it rebuilds. */
+  val DefaultViewDistinctCap: Int = 64
 
   /** Schema of the CDC log [[MemoEngine.emitChanges]] writes and
     * [[MemoEngine.changeLogStream]] reads: the [[changesBetween]] feed

@@ -519,6 +519,70 @@ object MemoQueries {
     out.orderBy("group_key")
   }
 
+  /** COUNT DISTINCT view measures end-to-end (the r15 dictionary-backed
+    * retractable aggregate): the q102 store shape (dense ids over the
+    * first 300 docs, three segments, tag t{id%4}) with a second metadata
+    * key src = c{(id·13)%7} — ≤ 8 distinct sources per group, well under
+    * the dictionary cap, so every maintenance step is covered. A CDC
+    * patch moves the middle third's %10 rows onto a NEW source (c9 —
+    * a dictionary insert) and removes the last third's %25 ids
+    * (multiplicity-covered retractions), and the refresh is asserted
+    * INCREMENTAL — the exact distinct count retracts through the
+    * bounded per-group dictionary, never a rescan. The oracle replays
+    * minting, both patch rules, and COUNT(DISTINCT src). */
+  private val q105ViewDistinct: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q105dd", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    val buildPass = !java.nio.file.Files.exists(done)
+    val measures = Seq("n_src" -> "substring(metadata['src'], 2)")
+    val aggs = Map("n_src" -> "count_distinct")
+    def view() = engine.viewState("ddsrc",
+      "substring(metadata['tag'], 2)", measures, aggs)
+    if (buildPass) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def src(i: Int) = s"c${(i * 13) % 7}"
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q105 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {tag: t${i % 4}, src: ${src(i)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      view()
+      import s.implicits._
+      val updates = (third until 2 * third).filter(_ % 10 == 0)
+        .map(i => (i.toLong, "updated", s"moved $i",
+          Map("tag" -> s"st${i % 4}", "src" -> "sc9")))
+      val removes = (2 * third until n).filter(_ % 25 == 0)
+        .map(i => (i.toLong, "removed", "", Map.empty[String, String]))
+      val feed = (updates ++ removes)
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L))
+      engine.applyChanges(feed)
+      java.nio.file.Files.createFile(done)
+    }
+    val out = view()
+    // pinned loudly: the distinct maintenance must ride the O(delta)
+    // dictionary arm — "rebuild"/"incremental_rescan" would mean the
+    // covered retractions silently degraded the view family's cost class
+    if (buildPass) {
+      val mode = engine.lastViewRefresh.map(_._1).getOrElse("none")
+      require(mode == "incremental",
+        s"q105 expected an incremental distinct refresh, got $mode")
+    }
+    out.orderBy("group_key")
+  }
+
   /** Filtered ANN serving end-to-end (the r14 `annRecall(filterExpr)`
     * path — the reference's filter-determines-candidates contract,
     * memo_cli.py:489-521, on the probe-pruned serving path): the q100
@@ -652,6 +716,7 @@ object MemoQueries {
     "q101_filtered_ann" -> q101FilteredAnn,
     "q102_view_avg" -> q102ViewAvg,
     "q104_zorder_skip" -> q104ZorderSkip,
+    "q105_view_distinct" -> q105ViewDistinct,
   )
 
   val oracles: Map[String, String] = Map(
@@ -867,6 +932,27 @@ object MemoQueries {
         |SELECT group_key, count(*) AS doc_count,
         |  CAST(sum(w) AS BIGINT) AS w_sum,
         |  CAST(sum(w) AS DOUBLE) / count(*) AS w_avg
+        |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
+    // q105 replay: q102's minting and patch-rule shape on the src key —
+    // the middle third's %10 rows move to source c9, the last third's
+    // %25 ids drop — then the group-by with the exact distinct count
+    // (nulls can't occur by construction; both engines count the same
+    // string values).
+    "q105_view_distinct" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d),
+        |state AS (
+        |  SELECT 't' || CAST(d.id % 4 AS VARCHAR) AS group_key,
+        |    CASE WHEN d.id >= p.third AND d.id < 2 * p.third
+        |          AND d.id % 10 = 0
+        |      THEN 'c9' ELSE 'c' || CAST((d.id * 13) % 7 AS VARCHAR)
+        |    END AS src
+        |  FROM d, p
+        |  WHERE NOT (d.id >= 2 * p.third AND d.id % 25 = 0))
+        |SELECT group_key, count(*) AS doc_count,
+        |  CAST(count(DISTINCT src) AS BIGINT) AS n_src
         |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
     // q104 replay: dense minting, kb = b{(id // 4) mod 4} — the filtered
     // projection keeps kb = b2. The LIMIT mirrors the Spark-side

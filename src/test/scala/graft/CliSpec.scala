@@ -118,6 +118,10 @@ class CliSpec extends SparkTestBase {
       assert(code4 == 1)
       val (code5, _) = run("-f", db, "recall", "--ann", "--nprobe", "zero", "q")
       assert(code5 == 1)
+      // --nprobe without a probe mode is a typo (the exact path has no
+      // probes) — error, never a silent exact serve
+      val (code6, _) = run("-f", db, "recall", "--nprobe", "8", "q")
+      assert(code6 == 1)
       run("-f", db, "clean")
     }
   }

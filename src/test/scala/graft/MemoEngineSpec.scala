@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.memo.{MemoEngine, YamlIO}
+import graft.memo.{MemoEngine, MemoOps, YamlIO}
 
 /** Golden lifecycle replay (reference SKILL.md:96-143): save → recall →
   * filtered recall → analyze → reindex → clean against a versioned Parquet
@@ -829,8 +829,9 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
-  test("recallServe routes by the sidecar row bound: brute when bounded, " +
-      "ann when broad or unknowable") {
+  test("recallServe routes three ways by the sidecar bounds: brute when " +
+      "row-bounded, ivf when vector-byte-bounded, pq past the byte budget " +
+      "or blind") {
     import org.apache.spark.sql.functions.col
     val engine = filteredAnnStore()
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -843,25 +844,42 @@ class MemoEngineSpec extends SparkTestBase {
       s"expected the bounded brute route, got ${engine.lastServeRoute}")
     assert(served == rows(engine.recall("topic1 theme2", k = 5,
       filterExpr = Some("{part: p1}"))))
-    // same filter under a tiny budget: the bound exceeds it — probe
+    // same filter under a tiny row budget: the bound exceeds it — probe
+    // raw vectors (20 rows × dim × 4 B is far under the byte budget)
     val servedAnn = rows(engine.recallServe("topic1 theme2", k = 5,
       filterExpr = Some("{part: p1}"), nprobe = MemoEngine.AnnNlist,
       bruteRows = 10L))
     assert(engine.lastServeRoute == Some(("ann", 20L)))
     assert(servedAnn == rows(engine.annRecall("topic1 theme2", k = 5,
-      nprobe = MemoEngine.AnnNlist, filterExpr = Some("{part: p1}"))))
+      nprobe = MemoEngine.AnnNlist, filterExpr = Some("{part: p1}"))
+      .filter(col("score") >= MemoOps.ScoreFloor)))
+    // …and under a tiny BYTE budget too: the survivors' raw vectors
+    // outweigh it — the probe must swap to the compressed (PQ) path
+    val servedPq = rows(engine.recallServe("topic1 theme2", k = 5,
+      filterExpr = Some("{part: p1}"), nprobe = MemoEngine.AnnNlist,
+      bruteRows = 10L, pqBytes = 64L))
+    assert(engine.lastServeRoute == Some(("pq", 20L)),
+      s"expected the byte-bounded pq route, got ${engine.lastServeRoute}")
+    assert(servedPq == rows(engine.pqRecall("topic1 theme2", k = 5,
+      nprobe = MemoEngine.AnnNlist, filterExpr = Some("{part: p1}"))
+      .filter(col("score") >= MemoOps.ScoreFloor)))
     // unfiltered always probes (the brute arm would be the corpus scan
-    // the artifact exists to avoid)
+    // the artifact exists to avoid); the byte bound prices the CHAIN
     engine.recallServe("topic1 theme2", k = 5).collect()
     assert(engine.lastServeRoute.exists(_._1 == "ann"))
+    engine.recallServe("topic1 theme2", k = 5, pqBytes = 64L).collect()
+    assert(engine.lastServeRoute.exists(_._1 == "pq"),
+      s"unfiltered past the byte budget must compress, got " +
+        s"${engine.lastServeRoute}")
     engine.clean()
-    // a store without stats sidecars: the bound is unknowable — probe
+    // a store without stats sidecars: the bound is unknowable — pricing
+    // blind assumes big, which is the compressed arm
     val dir = Files.createTempDirectory("serve_nostats").toString
     val e2 = new MemoEngine(spark, s"$dir/db", metaStatsSidecars = false)
     e2.save("---\nbody: only note here\nmetadata: {part: p0}\n")
     e2.recallServe("note", k = 1, filterExpr = Some("{part: p0}")).collect()
-    assert(e2.lastServeRoute == Some(("ann", Long.MaxValue)),
-      s"missing sidecars must route to ann, got ${e2.lastServeRoute}")
+    assert(e2.lastServeRoute == Some(("pq", Long.MaxValue)),
+      s"missing sidecars must route to pq, got ${e2.lastServeRoute}")
     e2.clean()
   }
 

@@ -438,14 +438,179 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  // ---- COUNT DISTINCT measures (the dictionary-backed class) -------------
+
+  private def yamlS(body: String, cat: String, src: String): String =
+    s"---\nbody: $body\nmetadata: {category: $cat, src: $src}\n"
+
+  private val DD = Seq("srcs" -> "metadata['src']")
+  private val DDAggs = Map("srcs" -> "count_distinct")
+
+  /** Direct oracle for the distinct view: exact COUNT(DISTINCT) with SQL
+    * null handling (nulls ignored), the same contract the view serves. */
+  private def directD(engine: MemoEngine, key: String): Set[(String, Long, Long)] =
+    engine.records
+      .groupBy(expr(key).cast("string").as("group_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(expr("metadata['src']").cast("string")).as("srcs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("count_distinct measures: adds, covered retractions, and value " +
+      "moves all stay O(delta) against the exact dictionary") {
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    // group a: sources s1, s2, s2 (distinct 2); group b: s1 (distinct 1)
+    engine.save(yamlS("a zero", "a", "s1") + yamlS("a one", "a", "s2") +
+      yamlS("a two", "a", "s2") + yamlS("b zero", "b", "s1"))
+    engine.save(yamlS("a three", "a", "s3")) // second segment: patches prune
+    val v = engine.viewState("dd", key, DD, DDAggs)
+    assert(mode(engine) == "rebuild")
+    assert(collected(v) == directD(engine, key))
+    assert(collected(v).find(_._1 == "sa").get._3 == 3L)
+    // append with one NEW and one KNOWN source: incremental, delta only
+    engine.save(yamlS("a four", "a", "s4") + yamlS("b one", "b", "s1"))
+    val v2 = engine.viewState("dd", key, DD, DDAggs)
+    assert(mode(engine) == "incremental")
+    assert(scanned(engine).nonEmpty && scanned(engine).forall(_.contains("/v2/")),
+      s"append refresh must read only v2's delta: ${scanned(engine)}")
+    assert(collected(v2) == directD(engine, key))
+    assert(collected(v2).find(_._1 == "sa").get._3 == 4L)
+    assert(collected(v2).find(_._1 == "sb").get._3 == 1L)
+    def patch(rows: Seq[(Long, String, String, Map[String, String])]): Unit =
+      engine.applyChanges(rows.toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+    // retract ONE of group a's two s2 instances: multiplicity covers it —
+    // distinct count unchanged, no rescan, feed-only scan
+    patch(Seq((2L, "removed", "", Map.empty[String, String])))
+    val v3 = engine.viewState("dd", key, DD, DDAggs)
+    assert(mode(engine) == "incremental",
+      "a multiplicity-covered retraction must not rescan")
+    assert(scanned(engine).nonEmpty &&
+      scanned(engine).forall(_.contains("/changefeed/")),
+      s"covered retraction must read only the feed: ${scanned(engine)}")
+    assert(collected(v3) == directD(engine, key))
+    assert(collected(v3).find(_._1 == "sa").get._3 == 4L,
+      "one surviving s2 instance must keep the value counted")
+    // retract the LAST instance of a value (a's s1): the dictionary drops
+    // the key — the distinct count falls, still O(delta)
+    patch(Seq((0L, "removed", "", Map.empty[String, String])))
+    val v4 = engine.viewState("dd", key, DD, DDAggs)
+    assert(mode(engine) == "incremental",
+      "a last-instance retraction is covered by the exact dictionary")
+    assert(collected(v4) == directD(engine, key))
+    assert(collected(v4).find(_._1 == "sa").get._3 == 3L)
+    // move a row BETWEEN groups (a's s3 row becomes b's s3 row): one
+    // retraction + one add in the same window, both groups exact
+    patch(Seq((4L, "updated", "moved to b",
+      Map("category" -> "sb", "src" -> "ss3"))))
+    val v5 = engine.viewState("dd", key, DD, DDAggs)
+    assert(mode(engine) == "incremental")
+    assert(collected(v5) == directD(engine, key))
+    assert(collected(v5).find(_._1 == "sa").get._3 == 2L)
+    assert(collected(v5).find(_._1 == "sb").get._3 == 2L)
+    engine.clean()
+  }
+
+  test("count_distinct overflow: the cap-crossing merge stays exact, the " +
+      "next value touch rescans ONLY that group, and shrinking back under " +
+      "the cap refills the dictionary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_view_dcap").toString
+    // non-default cap = 2 (the configurability pin): overflow is cheap to
+    // stage and both sides of the cap get exercised
+    val engine = new MemoEngine(spark, s"$dir/db", viewDistinctCap = 2)
+    val key = "metadata['category']"
+    engine.save(yamlS("x zero", "x", "s1") + yamlS("x one", "x", "s2") +
+      yamlS("y zero", "y", "s1"))
+    engine.save(yamlS("y one", "y", "s2")) // second segment: patches prune
+    engine.viewState("dover", key, DD, DDAggs)
+    assert(mode(engine) == "rebuild")
+    // the cap-CROSSING merge: a third distinct source for x. The fold saw
+    // every value, so the scalar is exact and the mode stays incremental —
+    // only the dictionary drops
+    engine.save(yamlS("x two", "x", "s3"))
+    val v = engine.viewState("dover", key, DD, DDAggs)
+    assert(mode(engine) == "incremental",
+      "the cap-crossing merge itself must not rescan")
+    assert(collected(v) == directD(engine, key))
+    assert(collected(v).find(_._1 == "sx").get._3 == 3L,
+      "the scalar must stay exact through the overflow merge")
+    // a window touching ONLY group y: x's overflow must not tax it
+    engine.save(yamlS("y two", "y", "s3"))
+    val v2 = engine.viewState("dover", key, DD, DDAggs)
+    assert(mode(engine) == "incremental",
+      "an untouched overflowed group must not force a rescan")
+    assert(collected(v2) == directD(engine, key))
+    // now TOUCH x's values: the dropped dictionary can't answer — the
+    // group-scoped rescan arm fires and restores truth
+    engine.save(yamlS("x three", "x", "s4"))
+    val v3 = engine.viewState("dover", key, DD, DDAggs)
+    assert(mode(engine) == "incremental_rescan",
+      "a value touch on an overflowed group must rescan it")
+    assert(scanned(engine).exists(_.contains("/records")),
+      s"rescan arm reads the corpus: ${scanned(engine)}")
+    assert(collected(v3) == directD(engine, key))
+    assert(collected(v3).find(_._1 == "sx").get._3 == 4L)
+    // retract back UNDER the cap (drop x's s3 row — id 4 — and s4 row —
+    // id 6): this touch still rescans (the group is in overflow), but the
+    // rescan now sees ≤ cap distinct values and REFILLS the dictionary …
+    engine.applyChanges(Seq(
+        (4L, "removed", "", Map.empty[String, String]),
+        (6L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v4 = engine.viewState("dover", key, DD, DDAggs)
+    assert(mode(engine) == "incremental_rescan")
+    assert(collected(v4) == directD(engine, key))
+    assert(collected(v4).find(_._1 == "sx").get._3 == 2L)
+    // … so the NEXT covered retraction is O(delta) again — full recovery
+    engine.applyChanges(Seq((0L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v5 = engine.viewState("dover", key, DD, DDAggs)
+    assert(mode(engine) == "incremental",
+      "a refilled dictionary must cover retractions again")
+    assert(collected(v5) == directD(engine, key))
+    assert(collected(v5).find(_._1 == "sx").get._3 == 1L)
+    engine.clean()
+  }
+
+  test("a distinct value added and retracted across steps of ONE refresh " +
+      "window cancels in the dictionary") {
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlS("p zero", "p", "s1") + yamlS("p one", "p", "s2"))
+    engine.save(yamlS("p two", "p", "s2")) // 2 segments: patches prune
+    engine.viewState("dph", key, DD, DDAggs) // watermark here
+    def upd(id: Long, src: String): Unit =
+      engine.applyChanges(Seq((id, "updated", s"dph upd $id",
+          Map("category" -> "sp", "src" -> src)))
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+    // TWO patch commits, NO refresh between: row 0 visits s9 then returns
+    // to s1 — the transient s9 must not survive the window's fold
+    upd(0L, "ss9")
+    upd(0L, "ss1")
+    val v = engine.viewState("dph", key, DD, DDAggs)
+    assert(mode(engine) == "incremental", s"got ${mode(engine)}")
+    assert(collected(v) == directD(engine, key),
+      "a cross-step add+retract must cancel in the dictionary")
+    assert(collected(v).find(_._1 == "sp").get._3 == 2L,
+      "the transient s9 must not be served in the distinct count")
+    engine.clean()
+  }
+
   test("unsupported aggregators and unknown measure names are rejected") {
     val (engine, _) = freshEngine()
     engine.save(yamlDoc("one note", Some("a")))
-    // count-distinct-class aggregates are NOT retractable from the feed:
+    // percentile-class aggregates are NOT retractable from the feed:
     // loud rejection at the boundary beats a silently stale view
     intercept[IllegalArgumentException] {
       engine.viewState("bad", "metadata['category']", Chars,
-        Map("chars" -> "count_distinct"))
+        Map("chars" -> "percentile"))
     }
     intercept[IllegalArgumentException] {
       engine.viewState("bad", "metadata['category']", Chars,
