@@ -1144,6 +1144,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }
   }
 
+  /** Test seam for the FILTERED batch serving path: (final nprobe,
+    * widening rungs) of the last [[annRecallBatch]] ladder — the batch
+    * twin of [[lastFilteredAnnProbe]]. Production never reads it. */
+  private[graft] var lastBatchAnnWiden: Option[(Int, Int)] = None
+
   /** The BATCH twin of [[annRecall]] over the SAME maintained IVF
     * artifact — the pipeline serving shape (thousands of queries, ONE
     * pass over the probed cells) that per-query [[annRecall]] calls
@@ -1154,33 +1159,76 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * single serving rank identically), probe-cell choice and the
     * bounded-heap per-query top-k are [[graft.ops.IvfIndex.searchBatch]]
     * (auto range-split above its maxBatch — the broadcast stays
-    * bounded at any batch size). A `filterExpr` rides in as the same
-    * O(matching segments) candidate mask the single-query path derives;
-    * the batch contract stays approximate (no probe-widening — a
-    * pipeline consumes what fills; the fill-guaranteed path is
-    * [[annRecall]]). Returns (query_id, id, score, body), top-k SET per
-    * query, unordered. An empty/uncommitted store returns no rows. */
+    * bounded at any batch size).
+    *
+    * A `filterExpr` rides in as the same O(matching segments) candidate
+    * mask the single-query path derives — CACHED across every pass and
+    * slice (one matching-segments scan per call, not per slice) — and
+    * the filtered batch now carries [[annRecall]]'s EXACT-FILL contract:
+    * queries the first probe under-fills re-run at doubled nprobe
+    * ([[graft.ops.IvfIndex.searchBatchFill]]'s per-query-id ladder), so
+    * every query returns min(k, its matching survivors) rows while
+    * filled queries keep their one-pass cost. The single-query
+    * shortcuts port too: ≤ k mask survivors jumps every query straight
+    * to the full probe (no intermediate rung can fill anyone), and an
+    * empty mask returns no rows with zero scans. The unfiltered batch
+    * stays single-pass approximate — the same contract as unfiltered
+    * [[annRecall]], where an under-filled k means the probed cells
+    * genuinely lack rows and widening is a quality (nprobe) choice, not
+    * a correctness one. Returns (query_id, id, score, body), top-k SET
+    * per query, unordered. An empty/uncommitted store returns no rows. */
   def annRecallBatch(queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
       filterExpr: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("id", LongType),
+      StructField("score", DoubleType), StructField("body", StringType)))
     ensureIvf() match {
       case Some(centroids) =>
         val q = queries.select(
           col(queryIdCol).cast("long").as("query_id"),
           graft.functions.GraftFunctions.embedText(col(queryTextCol))
             .as("qv"))
-        val mask = filterExpr.map(annMask)
-        graft.ops.IvfIndex.searchBatch(
-            graft.ops.IvfIndex.load(spark, ivfDir), centroids, q,
-            "query_id", "qv", k, math.min(nprobe, centroids.length),
-            allowed = mask)
-          .join(filterExpr.fold(records)(recordsForFilter)
-            .select(col("id"), col("body")), Seq("id"))
-          .select(col("query_id"), col("id"), col("score"), col("body"))
-      case None => emptyFrame(StructType(Seq(
-        StructField("query_id", LongType), StructField("id", LongType),
-        StructField("score", DoubleType), StructField("body", StringType))))
+        val idx = graft.ops.IvfIndex.load(spark, ivfDir)
+        val nlist = centroids.length
+        filterExpr match {
+          case None =>
+            graft.ops.IvfIndex.searchBatch(idx, centroids, q,
+                "query_id", "qv", k, math.min(nprobe, nlist))
+              .join(records.select(col("id"), col("body")), Seq("id"))
+              .select(col("query_id"), col("id"), col("score"),
+                col("body"))
+          case Some(f) =>
+            val mask = annMask(f).cache()
+            val survivors = mask.count()
+            if (survivors == 0) {
+              mask.unpersist()
+              lastBatchAnnWiden = Some((0, 0))
+              emptyFrame(outSchema)
+            } else {
+              val np0 =
+                if (survivors <= k) nlist
+                else math.min(math.max(nprobe, 1), nlist)
+              val (hits, widen) = graft.ops.IvfIndex.searchBatchFill(
+                idx, centroids, q, "query_id", "qv", k, np0,
+                allowed = Some(mask))
+              lastBatchAnnWiden =
+                Some(if (survivors <= k && np0 > nprobe)
+                  (widen._1, widen._2 + 1) else widen)
+              // the ladder's fill counts already materialized every
+              // rung's cache; the body join reads the pruned records
+              // frame, not the mask — safe to release it here (an
+              // evicted rung block recomputes from lineage)
+              mask.unpersist()
+              hits
+                .join(recordsForFilter(f).select(col("id"), col("body")),
+                  Seq("id"))
+                .select(col("query_id"), col("id"), col("score"),
+                  col("body"))
+            }
+        }
+      case None => emptyFrame(outSchema)
     }
   }
 

@@ -987,10 +987,11 @@ object IvfIndex {
     * `allowed` is a candidate MASK (one `id` column, [[search]]'s
     * convention): one semi-join restricts the scanned index rows for
     * EVERY query in the batch — per-query results are the top-k among
-    * filter survivors of that query's probed cells. The batch contract
-    * stays approximate (no probe-widening retry here — a pipeline
-    * consumes whatever fills; the fill-guaranteed path is the serving
-    * side's widening loop). */
+    * filter survivors of that query's probed cells. THIS entry point is
+    * single-pass approximate (a pipeline that consumes whatever fills);
+    * the exact-fill contract — min(k, matching survivors) rows per
+    * query — is [[searchBatchFill]]'s per-query widening ladder on top
+    * of it. */
   def searchBatch(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, queryIdCol: String, qvCol: String,
       k: Int, nprobe: Int, maxBatch: Int = 8192,
@@ -1014,6 +1015,83 @@ object IvfIndex {
           k, nprobe)
       }.reduce(_.unionAll(_))
     }
+  }
+
+  /** [[searchBatch]] with the exact-fill contract — the single-query
+    * widening ladder ([[graft.memo.MemoEngine]]'s `widenToFill`) lifted
+    * to QUERY-ID SETS: run the batch at `nprobe`; queries that filled k
+    * keep their one-pass cost and their rows are FINAL (wider probes of
+    * a filled query could only re-rank rows it already ranked among —
+    * scores are exact cosines, so its top-k is already correct for the
+    * probed set and a pipeline consuming fills never waits on the
+    * stragglers' rungs); only the STARVED query ids (< k rows — a
+    * selective mask can empty a query's probed cells) re-run at doubled
+    * nprobe, and the doubling makes total work a geometric series
+    * bounded by ~2× the final pass over the starved subset. At
+    * nprobe = nlist a query's result IS its exact filtered ranking, so
+    * the returned frame has min(k, matching survivors) rows per query —
+    * never a silently short list.
+    *
+    * Bounded bookkeeping, one job per rung: the rung's per-query fill
+    * counts collect to the driver (≤ Q (query_id, n) pairs — the batch
+    * is broadcast-scale BY CONSTRUCTION, [[searchBatch]] ships every
+    * query vector to every probed-cell task, so an id list is strictly
+    * smaller than what the operator already broadcasts), and the
+    * starved ids re-enter the plan as a broadcast literal frame. The
+    * mask semi-join and the slice-size guard are hoisted OUT of the
+    * ladder (one masked-index frame reused by every rung's plan; the
+    * guard count runs once, not per rung). Each rung's result is
+    * cached — its fill-count job materializes it — so consuming the
+    * returned union reads cached blocks (an evicted block recomputes
+    * from lineage; correctness never depends on the cache).
+    *
+    * Returns (frame, (final nprobe, widening rungs)) — the probe
+    * telemetry the serving layer's seams and oracle builds assert on.
+    * Rungs = 0 means every query filled in one pass. */
+  def searchBatchFill(index: DataFrame, centroids: Array[Array[Float]],
+      queries: DataFrame, queryIdCol: String, qvCol: String,
+      k: Int, nprobe: Int, maxBatch: Int = 8192,
+      allowed: Option[DataFrame] = None): (DataFrame, (Int, Int)) = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val nlist = centroids.length
+    val idx = allowed.fold(index)(m =>
+      index.join(m.select(col("id")), Seq("id"), "left_semi"))
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(qvCol).as("qv"))
+    // ONE id collect sizes the batch (the per-rung guard searchBatch
+    // would re-pay) and seeds the starved bookkeeping
+    val allIds = q.select("query_id").collect().map(_.getLong(0))
+    val small = allIds.length <= maxBatch
+    def runPass(qf: DataFrame, np: Int): DataFrame =
+      if (small) searchBatchSlice(idx, centroids, qf, k, np)
+      else searchBatch(idx, centroids, qf, "query_id", "qv", k, np,
+        maxBatch)
+    // per-query fill counts: one collect materializes the rung's cache
+    def fills(p: DataFrame): Map[Long, Long] =
+      p.groupBy("query_id").agg(count(lit(1)).as("_n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    var np = math.min(math.max(nprobe, 1), nlist)
+    var rungs = 0
+    var pass = runPass(q, np).cache()
+    var cnt = fills(pass)
+    // zero-hit queries never reach `pass` — starved derives from the id
+    // set, not from the counts
+    var starved = allIds.filter(id => cnt.getOrElse(id, 0L) < k)
+    val parts = scala.collection.mutable.Buffer.empty[DataFrame]
+    while (starved.nonEmpty && np < nlist) {
+      val sdf = broadcast(
+        spark.createDataset(starved.toSeq).toDF("query_id"))
+      parts += pass.join(sdf, Seq("query_id"), "left_anti")
+      np = math.min(np * 2, nlist)
+      rungs += 1
+      pass = runPass(q.join(sdf, Seq("query_id"), "left_semi"), np)
+        .cache()
+      cnt = fills(pass)
+      starved = starved.filter(id => cnt.getOrElse(id, 0L) < k)
+    }
+    parts += pass // final rung: filled, or exact at full probe
+    (parts.reduce(_.unionAll(_)), (np, rungs))
   }
 
   /** One bounded slice of [[searchBatch]] (queries already projected to

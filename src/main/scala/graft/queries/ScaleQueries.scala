@@ -228,6 +228,37 @@ object ScaleQueries {
       .orderBy(col("query_id"), desc("score"), col("vec_id"))
   }
 
+  /** Batch filtered ANN with the EXACT-FILL contract (the r15 per-query
+    * widening ladder, [[IvfIndex.searchBatchFill]]): a mask of EIGHT
+    * survivors (vec_id < 8 — constant at every SF) against k = 10 can
+    * never fill, so every query must starve through the whole ladder to
+    * the full probe, where the batch result IS the exact filtered
+    * ranking — which makes the oracle a STATIC cosine replay,
+    * independent of the trained centroids. The build asserts the
+    * widening fired and reached the full cell set (rungs ≥ 1 alone
+    * would pass a ladder that stopped early); the engine-level parity —
+    * widened batch == per-query widening, ids and scores, at a
+    * selective-but-fillable mask — is MemoEngineSpec's batch pins.
+    * nprobe starts at nlist/2 so the measured ladder is ONE rung (the
+    * bench prices the widening mechanism, not log₂(nlist) sequential
+    * job rounds; the deep ladder is spec territory). */
+  private val q106BatchFill: Q = (s, dir) => {
+    val (index, centroids) = ivfIndex(s, dir)
+    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val mask = Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("id"))
+    val (hits, (np, rungs)) = IvfIndex.searchBatchFill(index, centroids,
+      queries, "query_id", "qv", k = 10,
+      nprobe = math.max(centroids.length / 2, 1),
+      allowed = Some(mask))
+    require(rungs >= 1 && np == centroids.length,
+      s"q106 expected the batch ladder to widen to the full probe, " +
+        s"got (np=$np, rungs=$rungs)")
+    hits.select(col("query_id"), col("id").as("vec_id"), col("score"))
+      .orderBy(col("query_id"), desc("score"), col("vec_id"))
+  }
+
   /** Build-once/register-per-session lifecycle for an at-rest bucketed
     * table: first run writes the bucketed layout (stamped), later sessions
     * re-attach the existing files to their catalog without rewriting —
@@ -451,6 +482,7 @@ object ScaleQueries {
     "q36_ivf_ann" -> q36IvfAnn,
     "q37_ivf_batch" -> q37IvfBatch,
     "q103_filtered_batch" -> q103FilteredBatch,
+    "q106_batch_fill" -> q106BatchFill,
     "q86_semdedup" -> q86SemDedup,
     "q39_pq_adc" -> q39PqAdc,
     "q67_pq_refine" -> q67PqRefine,
@@ -818,6 +850,25 @@ object ScaleQueries {
     staticOracles ++ ivfOracles ++ pqOracles ++ ivfPqOracles
 
   private val staticOracles: Map[String, String] = Map(
+    // q106: eight survivors < k means the ladder provably ends at the
+    // full probe, where the batch fill result is the exact filtered
+    // ranking — so the replay needs NO centroid export: per query, every
+    // masked vector scored by exact cosine with the floor-form round
+    "q106_batch_fill" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |sp AS (SELECT q.query_id, c.vec_id, unnest(c.embedding) AS x,
+        |         unnest(q.qe) AS qx
+        |       FROM c CROSS JOIN q),
+        |sc AS (SELECT query_id, vec_id,
+        |         floor(sum(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) /
+        |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+        |            sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))))
+        |           * 10000.0 + 0.5) / 10000.0 AS score
+        |       FROM sp GROUP BY query_id, vec_id)
+        |SELECT query_id, vec_id, score FROM sc
+        |ORDER BY query_id, score DESC, vec_id""".stripMargin,
     // the bucketed copies hold exactly the source tables' rows, so the
     // oracle replays the join from the original parquet
     "q38_bucketed_join" ->

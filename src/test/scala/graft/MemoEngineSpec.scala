@@ -826,6 +826,39 @@ class MemoEngineSpec extends SparkTestBase {
       filtered(r.getLong(0)).foreach { case (id, _) =>
         assert(id >= 20 && id < 40, s"mask leaked id $id") }
     }
+    // the EXACT-FILL contract at a deliberately starving nprobe: one
+    // probed cell holds ~1-2 of p1's 20 survivors, so the per-query-id
+    // ladder must widen — and the widened batch must equal the
+    // single-query widening path per query, ids AND scores
+    val starving = engine.annRecallBatch(queries, "qid", "qtext", k = 5,
+        nprobe = 1, filterExpr = Some("{part: p1}"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val widen = engine.lastBatchAnnWiden.getOrElse((0, 0))
+    assert(widen._2 >= 1 && widen._1 > 1,
+      s"expected the batch ladder to widen from nprobe=1, got $widen")
+    queries.collect().foreach { r =>
+      val single = engine.annRecall(r.getString(1), k = 5, nprobe = 1,
+          filterExpr = Some("{part: p1}"))
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+      assert(starving(r.getLong(0)) == single,
+        s"widened batch diverged from single widening for " +
+          s"'${r.getString(1)}'")
+      assert(starving(r.getLong(0)).size == 5,
+        s"fill contract broken for '${r.getString(1)}': " +
+          s"${starving(r.getLong(0)).size} rows")
+    }
+    // ≤ k survivors: the batch jumps straight to the full probe in ONE
+    // extra-rung report, exactly like the single path's shortcut
+    val fewSurvivors = engine.annRecallBatch(queries, "qid", "qtext",
+        k = 5, nprobe = 1, filterExpr = Some("{hot: h1}"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(engine.lastBatchAnnWiden ==
+        Some((MemoEngine.AnnNlist, 1)),
+      s"expected the <=k shortcut report, got ${engine.lastBatchAnnWiden}")
+    assert(fewSurvivors.map(_._2).toSet == Set(0L, 12L, 24L, 36L, 48L),
+      "shortcut full probe must return exactly the h1 survivors")
     engine.clean()
   }
 
