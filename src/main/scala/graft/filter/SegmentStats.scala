@@ -75,17 +75,22 @@ final case class SegmentStats(rows: Long, nMeta: Long,
 
 object SegmentStats {
 
-  /** Key-set cap. Metadata domains are small in practice; a segment
-    * whose rows fan out past this many distinct keys keeps the largest
-    * keys' stats and marks the set incomplete rather than growing the
-    * sidecar without bound. */
+  /** Key-set cap DEFAULT. Metadata domains are small in practice; a
+    * segment whose rows fan out past this many distinct keys keeps the
+    * largest keys' stats and marks the set incomplete rather than
+    * growing the sidecar without bound. [[compute]] takes the effective
+    * cap per call (an engine option — `statsMaxKeys`); the DECODE side
+    * is cap-agnostic, so segments written under different caps coexist
+    * soundly in one chain (a smaller cap only drops dictionaries/keys,
+    * both of which read as "can't prove — keep the segment"). */
   val MaxKeys = 64
 
-  /** Per-key dictionary cap: up to this many distinct str() renderings
-    * are recorded exactly (scalars and list elements separately); past
-    * it the dictionary is dropped and the key falls back to range
-    * pruning — which is also the right tool for the high-cardinality
-    * keys that overflow it. */
+  /** Per-key dictionary cap DEFAULT: up to this many distinct str()
+    * renderings are recorded exactly (scalars and list elements
+    * separately); past it the dictionary is dropped and the key falls
+    * back to range pruning — which is also the right tool for the
+    * high-cardinality keys that overflow it. Per-call like [[MaxKeys]]
+    * (engine option `statsMaxVals`). */
   val MaxVals = 64
 
   // ------------------------------------------------------------- ordering
@@ -138,12 +143,15 @@ object SegmentStats {
     * parquet four times was measurable — the r14 pairs leg
     * (BENCH_NOTES) priced the whole sidecar at ~14% of s94 before
     * this. */
-  def compute(dfIn: DataFrame): (Option[(Long, Long)], SegmentStats) = {
+  def compute(dfIn: DataFrame, maxKeys: Int = MaxKeys,
+      maxVals: Int = MaxVals): (Option[(Long, Long)], SegmentStats) = {
+    require(maxKeys >= 1 && maxVals >= 1,
+      s"stats caps must be >= 1, got (maxKeys=$maxKeys, maxVals=$maxVals)")
     val df = dfIn.cache()
-    try computeCached(df) finally df.unpersist()
+    try computeCached(df, maxKeys, maxVals) finally df.unpersist()
   }
 
-  private def computeCached(df: DataFrame)
+  private def computeCached(df: DataFrame, maxKeys: Int, maxVals: Int)
       : (Option[(Long, Long)], SegmentStats) = {
     val header = df.agg(
       count(lit(1)), count(when(size(col("metadata")) > 0, 1)),
@@ -173,15 +181,15 @@ object SegmentStats {
       min(when(isStr, payload)).as("strMin"),
       max(when(isStr, payload)).as("strMax"))
       .orderBy(desc("n"), col("k")) // deterministic under the cap
-      .limit(MaxKeys + 1)
+      .limit(maxKeys + 1)
       .collect()
-    val complete = collected.length <= MaxKeys
+    val complete = collected.length <= maxKeys
     // only the KEPT keys get dictionaries — keys beyond the MaxKeys cap
     // are discarded from the sidecar anyway, so scoping the dictionary
     // aggregation to this (≤ MaxKeys, driver-known) set bounds its
-    // driver collect to MaxKeys × (MaxVals + 1) strings BY CONSTRUCTION,
+    // driver collect to MaxKeys × (maxVals + 1) strings BY CONSTRUCTION,
     // whatever the segment's key cardinality
-    val keptKeys = collected.take(MaxKeys).map(_.getString(0)).toSeq
+    val keptKeys = collected.take(maxKeys).map(_.getString(0)).toSeq
     // exact capped dictionaries: the distinct str() renderings per key,
     // of scalar VALUES and of well-formed list values' ELEMENTS. The
     // per-key cap is enforced BEFORE any per-key collection (distinct →
@@ -199,13 +207,13 @@ object SegmentStats {
       pairs.filter(col("k").isin(keptKeys: _*))
         .distinct()
         .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= MaxVals + 1)
+        .filter(col("_rn") <= maxVals + 1)
         .groupBy("side", "k").agg(collect_list(col("v")).as("vs"))
         .collect()
         .map { r =>
           val vs = r.getSeq[String](2)
           (r.getString(0), r.getString(1)) ->
-            (if (vs.length > MaxVals) None else Some(vs.toSet))
+            (if (vs.length > maxVals) None else Some(vs.toSet))
         }.toMap
     }
     val dicts = capped(
@@ -218,7 +226,7 @@ object SegmentStats {
             metaPyStr(col("e")).as("v"))))
     val valDicts = dicts.collect { case (("v", k), d) => k -> d }
     val elemDicts = dicts.collect { case (("e", k), d) => k -> d }
-    val keys = collected.take(MaxKeys).map { r =>
+    val keys = collected.take(maxKeys).map { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
       val k = r.getString(0)

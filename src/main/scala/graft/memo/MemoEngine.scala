@@ -61,7 +61,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
     materializeFeeds: Boolean = true,
     viewReserveK: Int = MemoEngine.DefaultViewReserveK,
     viewDistinctCap: Int = MemoEngine.DefaultViewDistinctCap,
-    metaStatsSidecars: Boolean = true) {
+    metaStatsSidecars: Boolean = true,
+    statsMaxKeys: Int = graft.filter.SegmentStats.MaxKeys,
+    statsMaxVals: Int = graft.filter.SegmentStats.MaxVals) {
   import MemoEngine.ConcurrentCommitException
   graft.plans.GraftOptimizations.install(spark)
   private val base = Paths.get(basePath)
@@ -111,7 +113,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private def writeIdRange(segDir: Path): Unit = {
     val df = spark.read.schema(YamlIO.recordSchema).parquet(segDir.toString)
     if (metaStatsSidecars) {
-      val (idRange, stats) = graft.filter.SegmentStats.compute(df)
+      val (idRange, stats) = graft.filter.SegmentStats.compute(df,
+        statsMaxKeys, statsMaxVals)
       Files.writeString(segDir.resolve("_idrange"),
         idRange.fold("empty") { case (lo, hi) => s"$lo,$hi" })
       writeMetaStats(segDir, stats)
@@ -156,7 +159,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
       else ranges.map { case (lo, hi) => s"$lo,$hi" }.mkString(";"))
     if (metaStatsSidecars) {
       val df = spark.read.schema(YamlIO.recordSchema).parquet(segDir.toString)
-      writeMetaStats(segDir, graft.filter.SegmentStats.compute(df)._2)
+      writeMetaStats(segDir, graft.filter.SegmentStats.compute(df,
+        statsMaxKeys, statsMaxVals)._2)
     }
   }
 
@@ -1710,8 +1714,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the incremental and recompute arms ignore them identically. */
   private def viewContribOf(df: DataFrame, sign: Int, groupKey: String,
       measures: Seq[(String, String)],
-      aggOf: Map[String, String]): DataFrame =
-    df.select(
+      aggOf: Map[String, String],
+      where: Option[String] = None): DataFrame = {
+    // WHERE-scoped views: the predicate evaluates against THIS frame's
+    // metadata — the new row state on a plus frame, the previous state
+    // on a minus frame (the caller renames prev_metadata in) — which is
+    // exactly what makes a predicate-boundary crossing retract-then-add
+    val scoped = where.fold(df)(w =>
+      df.filter(graft.filter.FilterAlgebra.compile(w, col("metadata"))))
+    scoped.select(
       expr(groupKey).cast("string").as("group_key") +:
       lit(sign.toLong).as("sign") +:
       measures.map { case (n, e) =>
@@ -1719,6 +1730,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
           expr(s"($e)").cast("string").as(n)
         else coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L)).as(n)
       }: _*)
+  }
+
+  /** `segs` minus the segments whose stats sidecars PROVE no row can
+    * match `where` — the skipping family composed onto the view family's
+    * corpus-shaped scans. No filter (or an unparsable one, which the
+    * compile will reject loudly downstream) keeps everything. */
+  private def whereSurviving(segs: Seq[String],
+      where: Option[String]): Seq[String] =
+    where.flatMap(w =>
+        scala.util.Try(graft.filter.FilterAlgebra.parse(w)).toOption)
+      .fold(segs) { fm =>
+        segs.filter(s => readMetaStats(s)
+          .forall(graft.filter.SegmentStats.canMatch(fm, _)))
+      }
 
   /** The incremental maintenance walk: one contribution frame per version
     * step in (v0, v1], or None when any step can't be proven O(delta)
@@ -1727,7 +1752,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * returned frame is lazy (one job when aggregated). */
   private def viewContribs(v0: Long, v1: Long, groupKey: String,
       measures: Seq[(String, String)],
-      aggOf: Map[String, String]): Option[DataFrame] = {
+      aggOf: Map[String, String],
+      where: Option[String]): Option[DataFrame] = {
     def stepContrib(a: Long): Option[DataFrame] = {
       val b = a + 1
       if (!Files.isDirectory(versionDir(a)) ||
@@ -1737,9 +1763,18 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (segsB.startsWith(segsA)) {
         val delta = segsB.drop(segsA.size)
         if (!delta.forall(s => Files.exists(Paths.get(s)))) None
-        else Some(viewContribOf(
-          spark.read.schema(YamlIO.recordSchema).parquet(delta: _*),
-          1, groupKey, measures, aggOf))
+        else {
+          // WHERE-scoped: an append step reads delta ∩ stats-surviving —
+          // a delta segment whose sidecar proves no match contributes
+          // nothing and is never opened
+          val kept = whereSurviving(delta, where)
+          if (kept.isEmpty)
+            Some(viewContribOf(emptyFrame(YamlIO.recordSchema),
+              1, groupKey, measures, aggOf, where))
+          else Some(viewContribOf(
+            spark.read.schema(YamlIO.recordSchema).parquet(kept: _*),
+            1, groupKey, measures, aggOf, where))
+        }
       } else {
         val feedDir = versionDir(b).resolve("changefeed")
         if (!Files.isDirectory(feedDir) ||
@@ -1750,12 +1785,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
           val plus = viewContribOf(
             feed.filter(col("change") =!= "removed")
               .select(col("id"), col("body"), col("metadata")),
-            1, groupKey, measures, aggOf)
+            1, groupKey, measures, aggOf, where)
           val minus = viewContribOf(
             feed.filter(col("change") =!= "added")
               .select(col("id"), col("prev_body").as("body"),
                 col("prev_metadata").as("metadata")),
-            -1, groupKey, measures, aggOf)
+            -1, groupKey, measures, aggOf, where)
           Some(plus.unionByName(minus))
         }
       }
@@ -1788,7 +1823,23 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * merge); the group's NEXT value-touching refresh recomputes it via
     * the group-scoped rescan arm — the same cost class as MIN/MAX
     * reserve exhaustion, and the documented trade for exact retractable
-    * distinct counts at bounded state. The state is an engine-maintained
+    * distinct counts at bounded state.
+    *
+    * `where` scopes the view to the rows matching a METADATA FILTER
+    * (the reference's filter algebra, the same language every filtered
+    * read takes — not row SQL, deliberately: the algebra is what the
+    * segment stats can prune on). Maintenance applies the compiled
+    * predicate to each contribution frame — an update that moves a row
+    * ACROSS the predicate boundary retracts on the side it left and
+    * adds on the side it entered, because the plus frame evaluates the
+    * NEW metadata and the minus frame the PREVIOUS — and every
+    * corpus-shaped scan (rebuild, group rescan, append steps) reads
+    * only delta ∩ stats-surviving segments, so a selective filtered
+    * view costs O(matching segments) to build and O(matching changed
+    * rows) to maintain. The predicate participates in spec identity:
+    * same name + different `where` is a detected spec change. A
+    * malformed filter throws at the call boundary (the parse runs
+    * before any state is touched). The state is an engine-maintained
     * artifact under `_view_<name>` with the version-watermark idiom:
     * fresh → serve lock-free (two metadata reads, no job); behind →
     * catch up O(changed rows) through [[viewContribs]] under the build
@@ -1799,9 +1850,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * subsequent refresh costs the rows that actually changed. */
   def viewState(name: String, groupKey: String,
       measures: Seq[(String, String)] = Seq.empty,
-      aggOf: Map[String, String] = Map.empty): DataFrame = {
+      aggOf: Map[String, String] = Map.empty,
+      where: Option[String] = None): DataFrame = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_\\-]*"),
       s"view name must be [A-Za-z0-9_-]+, got '$name'")
+    // malformed filters fail HERE, before any lock or state dir exists —
+    // the same loud-boundary rule the aggregator check enforces
+    where.foreach(graft.filter.FilterAlgebra.parse)
     measures.foreach { case (n, _) =>
       // "sign" is the contribution frame's retraction column — a measure
       // with that name would alias it inside the maintenance aggregation
@@ -1837,7 +1892,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
     // without it 2+3m (≡2 mod 3) — no base64url groupKey can shift one
     // form into the other.
     val hasDistinct = aggOf.values.exists(_ == "count_distinct")
-    val spec = ((s"k$viewReserveK" +:
+    // a WHERE predicate rides INSIDE part 0 (`k8w<b64url>`): the b64url
+    // alphabet has no ':', so part counts — and therefore the d-part
+    // disambiguation — are untouched, and where-less specs stay verbatim
+    val spec = ((s"k$viewReserveK${where.fold("")(w => s"w${b64(w)}")}" +:
       (if (hasDistinct) Seq(s"d$viewDistinctCap") else Nil)) ++
       (b64(groupKey) +:
       measures.map { case (n, e) =>
@@ -1884,8 +1942,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
                 lastViewRefresh = Some(("fresh", Nil)); serve(st)
               case recorded =>
                 beforeViewBuildHook()
-                refreshView(name, groupKey, measures, aggOf, spec, live,
-                  recorded, serve)
+                refreshView(name, groupKey, measures, aggOf, where, spec,
+                  live, recorded, serve)
             }
           }
         }
@@ -1903,7 +1961,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * as [[vacuum]]'s staging sweep). */
   private def refreshView(name: String, groupKey: String,
       measures: Seq[(String, String)], aggOf: Map[String, String],
-      spec: String, live: Long,
+      where: Option[String], spec: String, live: Long,
       recorded: Option[(Long, String, String)],
       serve: String => DataFrame): DataFrame = {
     val dir = viewDir(name)
@@ -1919,7 +1977,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }
     val contribs = prior.flatMap { case (v0, _) =>
       if (v0 == live) None // spec matched but dir raced away: recompute
-      else viewContribs(v0, live, groupKey, measures, aggOf)
+      else viewContribs(v0, live, groupKey, measures, aggOf, where)
     }
     val resMax = udaf(graft.functions.ReserveAggregator
       .reserve(viewReserveK, 1), org.apache.spark.sql.Encoders.LONG)
@@ -2139,10 +2197,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
           if (brokenKeys.isEmpty)
             ("incremental", delta.inputFiles.toSeq, m.drop("_broken"))
           else {
-            val segs = segments(live, "records")
+            val segs = whereSurviving(segments(live, "records"), where)
             val corpus = viewContribOf(
-              spark.read.schema(YamlIO.recordSchema).parquet(segs: _*),
-              1, groupKey, measures, aggOf)
+              if (segs.isEmpty) emptyFrame(YamlIO.recordSchema)
+              else spark.read.schema(YamlIO.recordSchema)
+                .parquet(segs: _*),
+              1, groupKey, measures, aggOf, where)
             val rescanned = fullAgg(
               corpus.join(brokenKeys.as("bk"),
                 corpus("group_key") <=> col("bk.group_key"), "left_semi"))
@@ -2151,10 +2211,14 @@ class MemoEngine(spark: SparkSession, basePath: String,
                 .unionByName(rescanned))
           }
         case None =>
-          val segs = segments(live, "records")
-          val full = fullAgg(viewContribOf(
-            spark.read.schema(YamlIO.recordSchema).parquet(segs: _*),
-            1, groupKey, measures, aggOf))
+          val segs = whereSurviving(segments(live, "records"), where)
+          val full = fullAgg(
+            if (segs.isEmpty)
+              viewContribOf(emptyFrame(YamlIO.recordSchema),
+                1, groupKey, measures, aggOf, where)
+            else viewContribOf(
+              spark.read.schema(YamlIO.recordSchema).parquet(segs: _*),
+              1, groupKey, measures, aggOf, where))
           ("rebuild", segs, full)
       }
       val stateDir =
@@ -2201,34 +2265,40 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .map(_.getFileName.toString)
       .filter(_.startsWith("_view_")).map(_.stripPrefix("_view_")).sorted
 
-  /** Decode a recorded view spec back to (groupKey, measures, aggOf) —
-    * the inverse of [[viewState]]'s component-wise encoding. None for a
-    * legacy or corrupt spec: the next direct [[viewState]] call with the
-    * caller's arguments re-registers the view from scratch. */
-  private def decodeViewSpec(spec: String)
-      : Option[(String, Seq[(String, String)], Map[String, String])] = {
+  /** Decode a recorded view spec back to (groupKey, measures, aggOf,
+    * where) — the inverse of [[viewState]]'s component-wise encoding.
+    * None for a legacy or corrupt spec: the next direct [[viewState]]
+    * call with the caller's arguments re-registers the view from
+    * scratch. */
+  private def decodeViewSpec(spec: String): Option[(String,
+      Seq[(String, String)], Map[String, String], Option[String])] = {
     def un(s: String) =
       new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
     val parts = spec.split(':')
-    if (parts.length < 2 || !parts(0).matches("k\\d+")) None
-    else {
-      // optional distinct-cap part (`d<cap>`, present iff the view has a
-      // count_distinct measure): part counts 3+3m vs 2+3m disambiguate —
-      // see the spec-identity comment in [[viewState]]
-      val body =
-        if ((parts.length - 2) % 3 == 0) Some(parts.drop(1))
-        else if ((parts.length - 3) % 3 == 0 && parts(1).matches("d\\d+"))
-          Some(parts.drop(2))
-        else None
-      body.flatMap { b =>
-        scala.util.Try {
-          val ms = b.drop(1).grouped(3).map {
-            case Array(n, a, e) => (un(n), a, un(e))
-          }.toSeq
-          (un(b(0)), ms.map(t => (t._1, t._3)),
-            ms.collect { case (n, a, _) if a != "sum" => (n, a) }.toMap)
-        }.toOption
-      }
+    val head = "^k(\\d+)(?:w([A-Za-z0-9_\\-]*))?$".r
+    parts.headOption.collect { case head(_, w) => Option(w) } match {
+      case None => None
+      case Some(whereB64) =>
+        // optional distinct-cap part (`d<cap>`, present iff the view has
+        // a count_distinct measure): part counts 3+3m vs 2+3m
+        // disambiguate — see the spec-identity comment in [[viewState]]
+        val body =
+          if (parts.length >= 2 && (parts.length - 2) % 3 == 0)
+            Some(parts.drop(1))
+          else if (parts.length >= 3 && (parts.length - 3) % 3 == 0 &&
+              parts(1).matches("d\\d+"))
+            Some(parts.drop(2))
+          else None
+        body.flatMap { b =>
+          scala.util.Try {
+            val ms = b.drop(1).grouped(3).map {
+              case Array(n, a, e) => (un(n), a, un(e))
+            }.toSeq
+            (un(b(0)), ms.map(t => (t._1, t._3)),
+              ms.collect { case (n, a, _) if a != "sum" => (n, a) }.toMap,
+              whereB64.map(un))
+          }.toOption
+        }
     }
   }
 
@@ -2248,8 +2318,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
           case Array(_, spec, _) => decodeViewSpec(spec)
           case _ => None
         })
-      name -> decoded.map { case (gk, ms, aggs) =>
-        viewState(name, gk, ms, aggs)
+      name -> decoded.map { case (gk, ms, aggs, where) =>
+        viewState(name, gk, ms, aggs, where)
         lastViewRefresh.map(_._1).getOrElse("unknown")
       }.getOrElse("skipped")
     }.toMap

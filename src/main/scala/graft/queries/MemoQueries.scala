@@ -583,6 +583,75 @@ object MemoQueries {
     out.orderBy("group_key")
   }
 
+  /** WHERE-scoped materialized view end-to-end (the r15 filtered-view
+    * composition): the q100 store shape (dense ids, three segments, grp
+    * correlated with the save order so the stats sidecars PROVE only
+    * one segment can match `{grp: g1}` — asserted at build), a view
+    * scoped to that predicate, and a CDC patch that moves rows ACROSS
+    * the predicate boundary in BOTH directions (middle-third %10 rows
+    * leave g1; first-third %7 rows enter it, with new bodies) — the
+    * refresh is asserted INCREMENTAL: boundary crossings retract on the
+    * side they left and add on the side they entered, through the feed
+    * alone. The oracle replays minting, the thirds rule, both crossing
+    * rules, and the filtered group-by. */
+  private val q107ViewFiltered: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q107fv", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    val buildPass = !java.nio.file.Files.exists(done)
+    val measures = Seq("chars" -> "length(body)")
+    def view() = engine.viewState("fv1",
+      "substring(metadata['tag'], 2)", measures,
+      where = Some("{grp: g1}"))
+    if (buildPass) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q107 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {tag: t${i % 4}, " +
+            s"grp: g${math.min(i / third, 2)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      // pinned loudly: the predicate must be stats-prunable — the
+      // filtered view's corpus scans read 1 of >=3 segments
+      val (kept, total) = engine.segmentPrune("{grp: g1}")
+      require(total >= 3 && kept == 1,
+        s"q107 expected stats to prune to 1 of >=3 segments, " +
+          s"got ($kept, $total)")
+      view()
+      import s.implicits._
+      val outs = (third until 2 * third).filter(_ % 10 == 0)
+        .map(i => (i.toLong, "updated", s"out $i",
+          Map("tag" -> s"st${i % 4}", "grp" -> "sg9")))
+      val ins = (0 until third).filter(_ % 7 == 0)
+        .map(i => (i.toLong, "updated", s"in $i",
+          Map("tag" -> s"st${i % 4}", "grp" -> "sg1")))
+      val feed = (outs ++ ins)
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L))
+      engine.applyChanges(feed)
+      java.nio.file.Files.createFile(done)
+    }
+    val out = view()
+    // pinned loudly: boundary crossings must ride the O(delta) feed arm
+    if (buildPass) {
+      val mode = engine.lastViewRefresh.map(_._1).getOrElse("none")
+      require(mode == "incremental",
+        s"q107 expected an incremental filtered refresh, got $mode")
+    }
+    out.orderBy("group_key")
+  }
+
   /** Filtered ANN serving end-to-end (the r14 `annRecall(filterExpr)`
     * path — the reference's filter-determines-candidates contract,
     * memo_cli.py:489-521, on the probe-pruned serving path): the q100
@@ -717,6 +786,7 @@ object MemoQueries {
     "q102_view_avg" -> q102ViewAvg,
     "q104_zorder_skip" -> q104ZorderSkip,
     "q105_view_distinct" -> q105ViewDistinct,
+    "q107_view_filtered" -> q107ViewFiltered,
   )
 
   val oracles: Map[String, String] = Map(
@@ -954,6 +1024,30 @@ object MemoQueries {
         |SELECT group_key, count(*) AS doc_count,
         |  CAST(count(DISTINCT src) AS BIGINT) AS n_src
         |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
+    // q107 replay: dense minting, grp by thirds, then both crossing
+    // rules — middle-third %10 rows left g1, first-third %7 rows
+    // entered it with body 'in ' || id — and the PREDICATE-scoped
+    // group-by over the final state.
+    "q107_view_filtered" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id, text
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d),
+        |state AS (
+        |  SELECT 't' || CAST(d.id % 4 AS VARCHAR) AS group_key,
+        |    CASE WHEN d.id < p.third AND d.id % 7 = 0
+        |      THEN 'in ' || CAST(d.id AS VARCHAR) ELSE d.text END AS body,
+        |    CASE
+        |      WHEN d.id < p.third THEN
+        |        (CASE WHEN d.id % 7 = 0 THEN 'g1' ELSE 'g0' END)
+        |      WHEN d.id < 2 * p.third THEN
+        |        (CASE WHEN d.id % 10 = 0 THEN 'g9' ELSE 'g1' END)
+        |      ELSE 'g2' END AS grp
+        |  FROM d, p)
+        |SELECT group_key, count(*) AS doc_count,
+        |  CAST(sum(length(body)) AS BIGINT) AS chars
+        |FROM state WHERE grp = 'g1'
+        |GROUP BY group_key ORDER BY group_key""".stripMargin,
     // q104 replay: dense minting, kb = b{(id // 4) mod 4} — the filtered
     // projection keeps kb = b2. The LIMIT mirrors the Spark-side
     // pagination bound (never binding at n ≤ 300).

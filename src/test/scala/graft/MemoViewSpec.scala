@@ -603,6 +603,137 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  // ---- WHERE-scoped (filtered) views --------------------------------------
+
+  private def yamlG(body: String, cat: String, grp: String): String =
+    s"---\nbody: $body\nmetadata: {category: $cat, grp: $grp}\n"
+
+  /** Direct oracle for the filtered view: group-by over records that
+    * match the predicate NOW (stored string encoding: 's' + value). */
+  private def directG(engine: MemoEngine, key: String,
+      grp: String): Set[(String, Long, Long)] =
+    engine.records
+      .filter(expr(s"metadata['grp'] = 's$grp'"))
+      .groupBy(expr(key).cast("string").as("group_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(coalesce(expr("length(body)").cast("long"), lit(0L)))
+          .as("chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("a WHERE-scoped view maintains only the matching rows; predicate " +
+      "boundary crossings retract and add through the feed") {
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlG("a in one", "a", "g1") + yamlG("a out zero", "a", "g0") +
+      yamlG("b in one", "b", "g1"))
+    engine.save(yamlG("b in two", "b", "g1") + yamlG("c out zero", "c", "g0"))
+    // a third, never-touched segment keeps every patch below
+    // segment-pruned (all-segment patches degrade to rewrite commits)
+    engine.save(yamlG("d in one", "d", "g1"))
+    val w = Some("{grp: g1}")
+    val v = engine.viewState("fg", key, Chars, where = w)
+    assert(mode(engine) == "rebuild")
+    assert(collected(v) == directG(engine, key, "g1"))
+    assert(!collected(v).exists(_._1 == "sc"),
+      "non-matching groups must not exist in a filtered view")
+    def patch(rows: Seq[(Long, String, String, Map[String, String])]): Unit =
+      engine.applyChanges(rows.toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+    // ONE window, three boundary moves: id 0 LEAVES the predicate
+    // (g1→g2: must retract from 'a'), id 1 ENTERS it (g0→g1: must add
+    // to 'a'), id 4 stays outside (g0→g3: must do nothing)
+    patch(Seq(
+      (0L, "updated", "a moved out", Map("category" -> "sa", "grp" -> "sg2")),
+      (1L, "updated", "a moved in!", Map("category" -> "sa", "grp" -> "sg1")),
+      (4L, "updated", "c still out", Map("category" -> "sc", "grp" -> "sg3"))))
+    val v2 = engine.viewState("fg", key, Chars, where = w)
+    assert(mode(engine) == "incremental",
+      s"boundary crossings must stay O(delta), got ${mode(engine)}")
+    assert(scanned(engine).nonEmpty &&
+      scanned(engine).forall(_.contains("/changefeed/")),
+      s"patch refresh must read only the feed: ${scanned(engine)}")
+    assert(collected(v2) == directG(engine, key, "g1"))
+    assert(collected(v2).find(_._1 == "sa").get._2 == 1L,
+      "the out-crossing must retract and the in-crossing must add")
+    // update WITHIN the predicate (body change on a matching row) and a
+    // removal of a matching row: plain retract+add / retract
+    patch(Seq(
+      (2L, "updated", "b longer body now", Map("category" -> "sb", "grp" -> "sg1")),
+      (3L, "removed", "", Map.empty[String, String])))
+    val v3 = engine.viewState("fg", key, Chars, where = w)
+    assert(mode(engine) == "incremental")
+    assert(collected(v3) == directG(engine, key, "g1"))
+    engine.clean()
+  }
+
+  test("a WHERE-scoped view's corpus scans read only stats-surviving " +
+      "segments; the predicate participates in spec identity") {
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    // grp correlates with the save order: stats can PROVE g0-only
+    // segments unmatchable for {grp: g1}
+    engine.save(yamlG("seed zero", "a", "g0") + yamlG("seed one", "b", "g0"))
+    engine.save(yamlG("in one", "a", "g1") + yamlG("in two", "b", "g1"))
+    val w = Some("{grp: g1}")
+    val v = engine.viewState("fs", key, Chars, where = w)
+    assert(mode(engine) == "rebuild")
+    // the REBUILD must already skip the provably-unmatchable segment
+    assert(scanned(engine).nonEmpty && scanned(engine).forall(_.contains("/v1/")),
+      s"filtered rebuild must scan only surviving segments: ${scanned(engine)}")
+    assert(collected(v) == directG(engine, key, "g1"))
+    // append a provably-unmatchable delta: the refresh is incremental
+    // and scans NOTHING (delta ∩ surviving = ∅)
+    engine.save(yamlG("out three", "c", "g0"))
+    val v2 = engine.viewState("fs", key, Chars, where = w)
+    assert(mode(engine) == "incremental")
+    assert(scanned(engine).isEmpty,
+      s"an unmatchable delta segment must never be opened: ${scanned(engine)}")
+    assert(collected(v2) == directG(engine, key, "g1"))
+    // append a matching delta: scanned is exactly that segment
+    engine.save(yamlG("in three", "c", "g1"))
+    val v3 = engine.viewState("fs", key, Chars, where = w)
+    assert(mode(engine) == "incremental")
+    assert(scanned(engine).nonEmpty && scanned(engine).forall(_.contains("/v3/")),
+      s"matching delta only: ${scanned(engine)}")
+    assert(collected(v3) == directG(engine, key, "g1"))
+    // same name, different predicate: a detected spec change — rebuild,
+    // and the new predicate's rows serve
+    val v4 = engine.viewState("fs", key, Chars, where = Some("{grp: g0}"))
+    assert(mode(engine) == "rebuild",
+      "a WHERE change must be detected as a spec change")
+    assert(collected(v4) == directG(engine, key, "g0"))
+    // …and dropping the predicate is a spec change too (None ≠ match-all)
+    val v5 = engine.viewState("fs", key, Chars)
+    assert(mode(engine) == "rebuild")
+    assert(collected(v5) == direct(engine, key))
+    // malformed predicates fail loudly at the boundary
+    intercept[IllegalArgumentException] {
+      engine.viewState("fs", key, Chars, where = Some("{unclosed: "))
+    }
+    engine.clean()
+  }
+
+  test("refreshViews re-derives a WHERE-scoped view's predicate from its " +
+      "recorded spec") {
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlG("one in", "a", "g1") + yamlG("one out", "a", "g0"))
+    engine.viewState("fr", key, Chars, where = Some("{grp: g1}"))
+    engine.save(yamlG("two in", "b", "g1") + yamlG("two out", "b", "g0"))
+    val modes = engine.refreshViews()
+    // "rebuild" here would mean the decoded spec LOST the predicate and
+    // re-registered a different view
+    assert(modes.get("fr").contains("incremental"),
+      s"decoded filtered view must refresh incrementally: $modes")
+    val v = engine.viewState("fr", key, Chars, where = Some("{grp: g1}"))
+    assert(mode(engine) == "fresh",
+      "the refreshViews pass must have left the view watermark-current")
+    assert(collected(v) == directG(engine, key, "g1"))
+    engine.clean()
+  }
+
   test("unsupported aggregators and unknown measure names are rejected") {
     val (engine, _) = freshEngine()
     engine.save(yamlDoc("one note", Some("a")))

@@ -120,6 +120,52 @@ class SegmentStatsSpec extends SparkTestBase {
     SegmentStats.compute(df)._2
   }
 
+  test("non-default caps: key overflow marks the set incomplete, value " +
+      "overflow drops only that key's dictionary — both sides stay sound") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Map("ka" -> "sv1", "kb" -> "sw1")),
+      (1L, Map("ka" -> "sv2", "kb" -> "sw1")),
+      (2L, Map("ka" -> "sv3", "kb" -> "sw2")))
+      .toDF("id", "metadata")
+    // maxKeys=1: only the largest key survives (ties break by key name,
+    // so 'ka'); the set reads INCOMPLETE — a filter on the dropped key
+    // must keep the segment (unknown, not provably absent)
+    val st = SegmentStats.compute(df, maxKeys = 1, maxVals = 2)._2
+    assert(!st.keysComplete && st.keys.keySet == Set("ka"),
+      s"expected one kept key and an incomplete set, got ${st.keys.keySet}")
+    assert(SegmentStats.canMatch(Map("kb" -> "w9"), st),
+      "a dropped key must read as unknown, never as provably absent")
+    // maxVals=2: ka's 3 distinct values overflow — dictionary None,
+    // range pruning still works off the (exact) bounds
+    assert(st.keys("ka").vals.isEmpty,
+      "an over-cap dictionary must drop, not truncate")
+    assert(SegmentStats.canMatch(Map("ka" -> "v2"), st),
+      "range-covered equality must keep without the dictionary")
+    assert(!SegmentStats.canMatch(Map("ka" -> "z9"), st),
+      "out-of-range equality must still prune via the bounds")
+    // same data at the defaults: complete keys, exact dictionaries, and
+    // the dictionary DOES prune what the range alone could not
+    val full = SegmentStats.compute(df)._2
+    assert(full.keysComplete && full.keys("ka").vals.map(_.size) == Some(3))
+    assert(!SegmentStats.canMatch(Map("ka" -> "v2x"), full),
+      "the exact dictionary must prune an in-range non-member")
+    assert(SegmentStats.canMatch(Map("ka" -> "v2x"), st),
+      "without the dictionary the in-range non-member keeps (sound)")
+    // the engine option threads the caps to every sidecar write
+    val dir = java.nio.file.Files.createTempDirectory("stats_caps").toString
+    val eng = new graft.memo.MemoEngine(spark, s"$dir/db",
+      statsMaxKeys = 1, statsMaxVals = 2)
+    eng.save("---\nbody: one\nmetadata: {ka: v1, kb: w1}\n" +
+      "---\nbody: two\nmetadata: {ka: v2, kb: w1}\n" +
+      "---\nbody: three\nmetadata: {ka: v3, kb: w2}\n")
+    // the dropped key can't prune (incomplete set ⇒ sound keep) …
+    assert(eng.segmentPrune("{kb: w9}") == (1, 1))
+    // … while the kept key's exact bounds still do
+    assert(eng.segmentPrune("{ka: z9}") == (0, 1))
+    eng.clean()
+  }
+
   test("numeric-operand compare keeps the string-valued side (P4)") {
     // value "9" is a STRING: $gte 10 compares str-lexicographically
     // ("9" >= "10" is true) — a mirror that only checked numeric bounds
