@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
   */
 object SkipProfile {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("cluster", "dict", "zorder", "fann")) match {
+    val mode = args.headOption.filter(
+        Set("cluster", "dict", "zorder", "fann", "phases")) match {
       case Some(m) => m
       case None => "range"
     }
@@ -42,6 +43,7 @@ object SkipProfile {
       case "dict" => segsList.foreach(runDict(spark, _, docsPerSeg))
       case "zorder" => segsList.foreach(runZorder(spark, _, docsPerSeg))
       case "fann" => segsList.foreach(runFann(spark, _, docsPerSeg))
+      case "phases" => segsList.foreach(runPhases(spark, _, docsPerSeg))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
@@ -220,6 +222,69 @@ object SkipProfile {
     println(f"[fann] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
       parts.mkString(" ") +
       f" | brute: 1seg=$b1%.3fs all=$bAll%.3fs")
+    engine.clean()
+    ()
+  }
+
+  /** The q101 PHASE-TIMING leg (the r14 verdict's ask #5): the fann
+    * table conflates mask derivation and widening — this leg holds the
+    * layout FIXED and times each phase of the filtered ANN serving path
+    * separately: mask derivation (the segment-pruned scan + the cached
+    * count that buys the ≤k shortcut), then ONE probe pass per ladder
+    * rung (nprobe = 1, 2, 4, …, nlist) against the SAME cached mask —
+    * the numbers the serving router's thresholds should be set from,
+    * instead of end-to-end totals. The filter is mid-selective
+    * (~25% of segments, survivors ≫ k) so every rung does real work.
+    * Run via `runMain graft.SkipProfile phases [segsList] [docsPerSeg]`. */
+  private[graft] def runPhases(spark: SparkSession, nSegs: Int,
+      docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fannp")
+    val engine = new graft.memo.MemoEngine(spark, base.resolve("db").toString,
+      maxSegments = 1000000)
+    def batchYaml(seg: Int) = (0 until docsPerSeg).map(d =>
+      f"---\nbody: phase corpus segment $seg doc $d topic${d % 5}\n" +
+        f"metadata: {part: p$seg%03d}\n").mkString
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val q = "phase topic2 corpus"
+    val filter = f"{part: {$$gte: p${nSegs - nSegs / 4 - 1}%03d}}" // ~25%
+    engine.annRecall(q, k = 10, nprobe = 4).collect() // build + warm IVF
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def best(f: => Unit): Double = { f; (0 until 3).map(_ => timed(f)).min }
+    // phase 1: mask derivation + the count that buys the ≤k shortcut
+    // (cold per serve call — annRecall re-derives it each time)
+    val tMask = best {
+      val m = engine.annMask(filter).cache()
+      try require(m.count() > 10) finally m.unpersist()
+    }
+    // phases 2..n: one probe pass per rung against a pre-cached mask
+    val mask = engine.annMask(filter).cache()
+    val survivors = mask.count()
+    val centroids = graft.ops.IvfIndex.readCentroids(spark, engine.ivfDir)
+      .getOrElse(sys.error("no IVF artifact"))
+    val idx = graft.ops.IvfIndex.load(spark, engine.ivfDir)
+    val qv = graft.functions.VectorKernels.hashEmbedFloats(
+      q, graft.functions.VectorKernels.DefaultDim)
+    val ladder = Iterator.iterate(1)(_ * 2)
+      .takeWhile(_ < centroids.length).toSeq :+ centroids.length
+    val rungs = ladder.map { np =>
+      val t = best {
+        require(graft.ops.IvfIndex.search(idx, centroids, qv, 10, np,
+          Some(mask)).collect().length == 10)
+      }
+      f"np$np=$t%.3fs"
+    }
+    mask.unpersist()
+    // contrast: the end-to-end serve total these phases compose into
+    val tServe = best {
+      require(engine.annRecall(q, k = 10, nprobe = 1,
+        filterExpr = Some(filter)).collect().length == 10)
+    }
+    val (kept, total) = engine.segmentPrune(filter)
+    println(f"[fann-phases] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
+      f"kept=$kept/$total survivors=$survivors mask=$tMask%.3fs " +
+      rungs.mkString(" ") + f" | annRecall(np1,widening)=$tServe%.3fs")
     engine.clean()
     ()
   }

@@ -905,7 +905,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     ()
   }
 
-  private def ivfDir: String = base.resolve("_ivf").toString
+  private[graft] def ivfDir: String = base.resolve("_ivf").toString
 
   /** [[ensureLexical]]'s version-watermark idiom generalized to the
     * vector-artifact family: keep a persisted IVF index
@@ -958,7 +958,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * (the frame under the compile is already segment-pruned, the
     * [[hybridRecall]] idiom). The mask carries ONLY ids; blank-bodied
     * rows need no special arm because the vector index never held them. */
-  private def annMask(filterExpr: String): DataFrame =
+  private[graft] def annMask(filterExpr: String): DataFrame =
     recordsForFilter(filterExpr)
       .filter(FilterAlgebra.compile(filterExpr, col("metadata")))
       .select(col("id"))

@@ -59,6 +59,25 @@ class FilteredAnnDifferentialSpec extends SparkTestBase {
         assert(pq == exact,
           s"case $i filter $filter: pq=$pq\nexact=$exact")
       }
+      if (i % 5 == 0) {
+        // the BATCH fill ladder under the same random filter: per query,
+        // the widened batch set must equal the single-query widening
+        // path — which this loop just proved equals brute force
+        val queries = Seq((0L, "corpus topic"), (1L, "batch corpus doc"))
+          .toDF("qid", "qtext")
+        val batch = engine.annRecallBatch(queries, "qid", "qtext",
+            k = n, nprobe = 1, filterExpr = Some(filter))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        Seq(0L -> "corpus topic", 1L -> "batch corpus doc").foreach {
+          case (qid, qt) =>
+            val single = rows(engine.annRecall(qt, k = n, nprobe = 1,
+              filterExpr = Some(filter))).toSet
+            assert(batch.getOrElse(qid, Set.empty) == single,
+              s"case $i filter $filter qid=$qid: batch diverged")
+        }
+      }
     }
     // effectiveness floor: the generator must produce a healthy share of
     // filters that are neither match-all nor match-none, or the
