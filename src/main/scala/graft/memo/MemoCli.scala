@@ -228,7 +228,11 @@ object MemoCli {
     * ranking to the engine-maintained IVF / IVF-PQ serving paths
     * (filter mask + widening fill included) — same output contract,
     * approximate ranking, the switch a store flips when it outgrows
-    * the brute-force scan. */
+    * the brute-force scan; `--serve` takes the filter-aware ROUTER
+    * ([[MemoEngine.recallServe]]) instead of naming an arm — brute
+    * under the sidecar row bound, IVF under the byte budget, PQ past
+    * it — the front door a caller who doesn't know the store's size
+    * should use. The three mode flags are mutually exclusive. */
   private def cmdRecall(engine: MemoEngine, args: List[String]): Int = {
     var k = MemoOps.DefaultK
     var filter: Option[String] = None
@@ -252,17 +256,26 @@ object MemoCli {
       case "--filter" :: f :: rest => filter = Some(f); it = rest
       case "--yaml" :: rest => yaml = true; it = rest
       case "--ann" :: rest =>
-        if (mode == "pq") {
-          System.err.println("Error: --ann and --pq are mutually exclusive")
+        if (mode != "exact" && mode != "ann") {
+          System.err.println(
+            "Error: --ann, --pq, and --serve are mutually exclusive")
           return 1
         }
         mode = "ann"; it = rest
       case "--pq" :: rest =>
-        if (mode == "ann") {
-          System.err.println("Error: --ann and --pq are mutually exclusive")
+        if (mode != "exact" && mode != "pq") {
+          System.err.println(
+            "Error: --ann, --pq, and --serve are mutually exclusive")
           return 1
         }
         mode = "pq"; it = rest
+      case "--serve" :: rest =>
+        if (mode != "exact" && mode != "serve") {
+          System.err.println(
+            "Error: --ann, --pq, and --serve are mutually exclusive")
+          return 1
+        }
+        mode = "serve"; it = rest
       case "--nprobe" :: rest =>
         val v = rest.headOption.flatMap(_.toIntOption).filter(_ >= 1)
         if (v.isEmpty) {
@@ -275,9 +288,9 @@ object MemoCli {
     }
     // --nprobe only means something on a probe path; silently serving
     // the exact ranking would hide the typo (`--ann` forgotten), so the
-    // combination errors like the --ann/--pq mutual exclusion does
+    // combination errors like the mode mutual exclusion does
     if (nprobeSet && mode == "exact") {
-      System.err.println("Error: --nprobe requires --ann or --pq")
+      System.err.println("Error: --nprobe requires --ann, --pq, or --serve")
       return 1
     }
     val query = queryParts.result().mkString(" ").trim
@@ -298,6 +311,7 @@ object MemoCli {
     val rows = (mode match {
       case "ann" => engine.annRecall(query, k, nprobe, filter)
       case "pq" => engine.pqRecall(query, k, nprobe, filterExpr = filter)
+      case "serve" => engine.recallServe(query, k, filter, nprobe)
       case _ => engine.recall(query, k, filter)
     }).collect()
     if (yaml) {

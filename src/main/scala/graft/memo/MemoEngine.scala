@@ -1102,21 +1102,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
       filterExpr: Option[String] = None, nprobe: Int = 4,
       bruteRows: Long = 4096L,
       pqBytes: Long = MemoEngine.DefaultServePqBytes): DataFrame = {
-    // Σ sidecar row counts over the given segment ordinals; one missing/
-    // undecodable sidecar makes the bound unknowable → Long.MaxValue
-    def rowBound(kept: Seq[Int], segs: Seq[String]): Long =
-      kept.foldLeft(0L) { (acc, i) =>
-        if (acc == Long.MaxValue) acc
-        else readMetaStats(segs(i)) match {
-          case Some(st) => acc + st.rows
-          case None => Long.MaxValue
-        }
-      }
-    def vecBytes(rows: Long): Long =
-      if (rows == Long.MaxValue) Long.MaxValue
-      else rows * graft.functions.VectorKernels.DefaultDim * 4L
-    def probeArm(bound: Long): DataFrame =
-      if (vecBytes(bound) > pqBytes) {
+    val bound = serveBound(filterExpr)
+    def probeArm(): DataFrame =
+      if (serveVecBytes(bound) > pqBytes) {
         lastServeRoute = Some(("pq", bound))
         pqRecall(query, k, nprobe, filterExpr = filterExpr)
           .filter(col("score") >= MemoOps.ScoreFloor)
@@ -1125,26 +1113,84 @@ class MemoEngine(spark: SparkSession, basePath: String,
         annRecall(query, k, nprobe, filterExpr)
           .filter(col("score") >= MemoOps.ScoreFloor)
       }
+    if (filterExpr.isDefined && bound <= bruteRows) {
+      lastServeRoute = Some(("brute", bound))
+      recall(query, k, filterExpr)
+    } else probeArm() // unfiltered never brutes: that IS the corpus scan
+  }
+
+  /** [[recallServe]]'s routing bound: Σ sidecar row counts of the
+    * filter's stats-surviving segments (all live segments when
+    * unfiltered) — driver-side memoized longs, never a job. One
+    * missing/undecodable sidecar makes the bound unknowable →
+    * Long.MaxValue (price blind as big). */
+  private def serveBound(filterExpr: Option[String]): Long = {
+    def rowBound(kept: Seq[Int], segs: Seq[String]): Long =
+      kept.foldLeft(0L) { (acc, i) =>
+        if (acc == Long.MaxValue) acc
+        else readMetaStats(segs(i)) match {
+          case Some(st) => acc + st.rows
+          case None => Long.MaxValue
+        }
+      }
     filterExpr match {
-      case None =>
-        val bound = currentVersion match {
-          case None => 0L
-          case Some(v) =>
-            val segs = segments(v, "records")
-            rowBound(segs.indices, segs)
-        }
-        probeArm(bound)
-      case Some(f) =>
-        // upper bound on filter survivors: Σ row counts of the
-        // stats-surviving segments (driver-side, memoized sidecars)
-        val bound = prunedSegmentLists(f) match {
-          case None => 0L // undefined store: either arm is empty
-          case Some((kept, segs, _)) => rowBound(kept, segs)
-        }
-        if (bound <= bruteRows) {
-          lastServeRoute = Some(("brute", bound))
-          recall(query, k, filterExpr)
-        } else probeArm(bound)
+      case None => currentVersion match {
+        case None => 0L
+        case Some(v) =>
+          val segs = segments(v, "records")
+          rowBound(segs.indices, segs)
+      }
+      case Some(f) => prunedSegmentLists(f) match {
+        case None => 0L // undefined store: either arm is empty
+        case Some((kept, segs, _)) => rowBound(kept, segs)
+      }
+    }
+  }
+
+  /** The candidate rows' raw-vector footprint — what the probed cells'
+    * re-rank would read in the worst case. */
+  private def serveVecBytes(rows: Long): Long =
+    if (rows == Long.MaxValue) Long.MaxValue
+    else rows * graft.functions.VectorKernels.DefaultDim * 4L
+
+  /** The BATCH front door — [[recallServe]]'s three-way routing for a
+    * query batch, decided ONCE from the same driver-side sidecar bounds
+    * (never per query: the bounds depend on the filter, not the query
+    * text). The brute arm is [[MemoOps.recallBatch]] over the
+    * stats-pruned (records ⨝ index) frame — [[recall]]'s exact contract
+    * (metadata filter, −0.9 raw floor, blank skip, HALF_UP round) per
+    * query in one pass; the probe arms are [[annRecallBatch]] /
+    * [[pqRecallBatch]] (exact-fill ladder included) with the floor
+    * re-applied, so the route choice never changes the result set
+    * beyond ANN approximation. Returns (query_id, id, score, body),
+    * top-k SET per query, unordered. */
+  def recallServeBatch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None, nprobe: Int = 4,
+      bruteRows: Long = 4096L,
+      pqBytes: Long = MemoEngine.DefaultServePqBytes): DataFrame = {
+    val bound = serveBound(filterExpr)
+    if (filterExpr.isDefined && bound <= bruteRows) {
+      lastServeRoute = Some(("brute", bound))
+      val q = queries.select(
+        col(queryIdCol).cast("long").as("query_id"),
+        graft.functions.GraftFunctions.embedText(col(queryTextCol))
+          .as("qv"))
+      val (baseR, idx) = filterExpr.fold((records, index))(prunedPair)
+      MemoOps.recallBatch(baseR.join(idx, Seq("id")), q, k, filterExpr)
+        .join(filterExpr.fold(records)(recordsForFilter)
+          .select(col("id"), col("body")), Seq("id"))
+        .select(col("query_id"), col("id"), col("score"), col("body"))
+    } else if (serveVecBytes(bound) > pqBytes) {
+      lastServeRoute = Some(("pq", bound))
+      pqRecallBatch(queries, queryIdCol, queryTextCol, k, nprobe,
+          filterExpr = filterExpr)
+        .filter(col("score") >= MemoOps.ScoreFloor)
+    } else {
+      lastServeRoute = Some(("ann", bound))
+      annRecallBatch(queries, queryIdCol, queryTextCol, k, nprobe,
+          filterExpr)
+        .filter(col("score") >= MemoOps.ScoreFloor)
     }
   }
 
@@ -1224,6 +1270,76 @@ class MemoEngine(spark: SparkSession, basePath: String,
               // rung's cache; the body join reads the pruned records
               // frame, not the mask — safe to release it here (an
               // evicted rung block recomputes from lineage)
+              mask.unpersist()
+              hits
+                .join(recordsForFilter(f).select(col("id"), col("body")),
+                  Seq("id"))
+                .select(col("query_id"), col("id"), col("score"),
+                  col("body"))
+            }
+        }
+      case None => emptyFrame(outSchema)
+    }
+  }
+
+  /** [[lastBatchAnnWiden]]'s twin for the compressed batch path. */
+  private[graft] var lastBatchPqWiden: Option[(Int, Int)] = None
+
+  /** The BATCH twin of [[pqRecall]] — [[annRecallBatch]]'s contract on
+    * the engine-maintained IVF-PQ artifact: queries embed IN THE PLAN,
+    * the probed cells' m-byte codes pay the ADC candidate stage (~32×
+    * narrower than the raw vectors), and only the ≤ k×refine survivors
+    * per query touch raw vectors for the exact re-rank
+    * ([[graft.ops.PqIndex.searchBatchIvfPq]]). The filtered arm carries
+    * the EXACT-FILL contract through the shared per-query-id widening
+    * ladder (mask BEFORE the ADC cut, so the cut can never starve the
+    * fill; ≤ k survivors jump to full probe; empty mask returns no rows
+    * with zero scans; the mask is cached across every pass and slice).
+    * The unfiltered batch stays single-pass approximate, matching
+    * unfiltered [[pqRecall]]. Returns (query_id, id, score, body),
+    * top-k SET per query, unordered. Empty/uncommitted store → no
+    * rows. */
+  def pqRecallBatch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
+      refine: Int = 4, filterExpr: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("id", LongType),
+      StructField("score", DoubleType), StructField("body", StringType)))
+    ensurePq() match {
+      case Some((centroids, codebooks)) =>
+        val q = queries.select(
+          col(queryIdCol).cast("long").as("query_id"),
+          graft.functions.GraftFunctions.embedText(col(queryTextCol))
+            .as("qv"))
+        val codes = graft.ops.PqIndex.loadCodes(spark, pqDir)
+        val nlist = centroids.length
+        filterExpr match {
+          case None =>
+            graft.ops.PqIndex.searchBatchIvfPq(codes, index, "id",
+                "embedding", centroids, codebooks, q, "query_id", "qv",
+                k, math.min(nprobe, nlist), refine)
+              .join(records.select(col("id"), col("body")), Seq("id"))
+              .select(col("query_id"), col("id"), col("score"),
+                col("body"))
+          case Some(f) =>
+            val mask = annMask(f).cache()
+            val survivors = mask.count()
+            if (survivors == 0) {
+              mask.unpersist()
+              lastBatchPqWiden = Some((0, 0))
+              emptyFrame(outSchema)
+            } else {
+              val np0 =
+                if (survivors <= k) nlist
+                else math.min(math.max(nprobe, 1), nlist)
+              val (hits, widen) = graft.ops.PqIndex.searchBatchFillIvfPq(
+                codes, index, "id", "embedding", centroids, codebooks,
+                q, "query_id", "qv", k, np0, refine,
+                allowed = Some(mask))
+              lastBatchPqWiden =
+                Some(if (survivors <= k && np0 > nprobe)
+                  (widen._1, widen._2 + 1) else widen)
               mask.unpersist()
               hits
                 .join(recordsForFilter(f).select(col("id"), col("body")),

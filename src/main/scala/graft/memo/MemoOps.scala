@@ -57,6 +57,45 @@ object MemoOps {
       .select(col("id"), col("score"), col("body"))
   }
 
+  /** [[recall]]'s BATCH twin: the same contract per query — metadata
+    * filter, RAW-score floor, blank-body skip, HALF_UP 4-decimal round,
+    * (score desc, id asc) ties — over a (query_id, qv) frame in ONE
+    * pass: the corpus survivors cross the broadcast query batch (a
+    * Q-bounded nested loop, the brute shape), and the bounded-heap
+    * [[graft.functions.TopKAggregator]] keeps k rows per query per
+    * partition before the only shuffle. Returns (query_id, id, score),
+    * top-k SET per query, unordered (order downstream). */
+  def recallBatch(
+      records: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      filterExpr: Option[String] = None): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val kk = clampK(k)
+    val withFilter = filterExpr match {
+      case Some(f) =>
+        records.filter(FilterAlgebra.compile(f, col("metadata")))
+      case None => records
+    }
+    val agg = graft.functions.TopKAggregator.topK(kk).toColumn
+    withFilter
+      .filter(!isBlank(col("body")))
+      .select(col("id"), col("embedding"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
+      .withColumn("raw_score", vecCosine(col("embedding"), col("qv")))
+      .filter(col("raw_score") >= ScoreFloor)
+      .withColumn("score", round(col("raw_score"), 4))
+      .select(col("query_id").as[Long],
+        struct(col("id").cast("long").as("_1"), col("score").as("_2"))
+          .as[(Long, Double)])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
+      .toDF("query_id", "id", "score")
+  }
+
   /** Analyze match count (A1/A2): records without metadata never match. */
   def analyzeCount(records: DataFrame, filterExpr: String): DataFrame =
     records.filter(FilterAlgebra.compile(filterExpr, col("metadata")))

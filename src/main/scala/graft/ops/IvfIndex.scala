@@ -1052,45 +1052,61 @@ object IvfIndex {
       queries: DataFrame, queryIdCol: String, qvCol: String,
       k: Int, nprobe: Int, maxBatch: Int = 8192,
       allowed: Option[DataFrame] = None): (DataFrame, (Int, Int)) = {
-    val spark = index.sparkSession
-    import spark.implicits._
-    val nlist = centroids.length
     val idx = allowed.fold(index)(m =>
       index.join(m.select(col("id")), Seq("id"), "left_semi"))
-    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
-      col(qvCol).as("qv"))
-    // ONE id collect sizes the batch (the per-rung guard searchBatch
-    // would re-pay) and seeds the starved bookkeeping
-    val allIds = q.select("query_id").collect().map(_.getLong(0))
-    val small = allIds.length <= maxBatch
-    def runPass(qf: DataFrame, np: Int): DataFrame =
+    fillLadder(queries, queryIdCol, qvCol, k, nprobe, centroids.length,
+      maxBatch) { (qf, np, small) =>
       if (small) searchBatchSlice(idx, centroids, qf, k, np)
       else searchBatch(idx, centroids, qf, "query_id", "qv", k, np,
         maxBatch)
+    }
+  }
+
+  /** The per-query-id widening ladder itself, family-agnostic — the
+    * machinery [[searchBatchFill]] documents, shared with the
+    * compressed family ([[PqIndex.searchBatchFillIvfPq]]). `pass(qf,
+    * np, small)` runs one rung over the query subset `qf` (already
+    * projected to (query_id, qv)) at probe width `np`; `small` says the
+    * WHOLE batch fit under `maxBatch` (one id collect, paid once here,
+    * never per rung), so the pass may skip its own slice guard. The
+    * pass's output must carry a `query_id` column with ≤ k rows per
+    * query. */
+  private[ops] def fillLadder(queries: DataFrame, queryIdCol: String,
+      qvCol: String, k: Int, nprobe: Int, nlist: Int, maxBatch: Int)(
+      pass: (DataFrame, Int, Boolean) => DataFrame)
+      : (DataFrame, (Int, Int)) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(qvCol).as("qv"))
+    // ONE id collect sizes the batch (the per-rung guard a raw batch
+    // call would re-pay) and seeds the starved bookkeeping
+    val allIds = q.select("query_id").collect().map(_.getLong(0))
+    val small = allIds.length <= maxBatch
     // per-query fill counts: one collect materializes the rung's cache
     def fills(p: DataFrame): Map[Long, Long] =
       p.groupBy("query_id").agg(count(lit(1)).as("_n")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
     var np = math.min(math.max(nprobe, 1), nlist)
     var rungs = 0
-    var pass = runPass(q, np).cache()
-    var cnt = fills(pass)
-    // zero-hit queries never reach `pass` — starved derives from the id
-    // set, not from the counts
+    var cur = pass(q, np, small).cache()
+    var cnt = fills(cur)
+    // zero-hit queries never reach the pass output — starved derives
+    // from the id set, not from the counts
     var starved = allIds.filter(id => cnt.getOrElse(id, 0L) < k)
     val parts = scala.collection.mutable.Buffer.empty[DataFrame]
     while (starved.nonEmpty && np < nlist) {
       val sdf = broadcast(
         spark.createDataset(starved.toSeq).toDF("query_id"))
-      parts += pass.join(sdf, Seq("query_id"), "left_anti")
+      parts += cur.join(sdf, Seq("query_id"), "left_anti")
       np = math.min(np * 2, nlist)
       rungs += 1
-      pass = runPass(q.join(sdf, Seq("query_id"), "left_semi"), np)
+      cur = pass(q.join(sdf, Seq("query_id"), "left_semi"), np, small)
         .cache()
-      cnt = fills(pass)
+      cnt = fills(cur)
       starved = starved.filter(id => cnt.getOrElse(id, 0L) < k)
     }
-    parts += pass // final rung: filled, or exact at full probe
+    parts += cur // final rung: filled, or exact at full probe
     (parts.reduce(_.unionAll(_)), (np, rungs))
   }
 

@@ -751,6 +751,80 @@ object PqIndex {
     }
   }
 
+  /** The batch twin of [[searchIvfPq]] — the FULL compressed serving
+    * recipe per query in one pass: [[searchBatchAdc]]'s probe-pruned
+    * codegen ADC keeps k×refine candidates per query (mask inside the
+    * cut, so candidates are all survivors), then ONLY those ≤
+    * Q×k×refine rows join back to the raw vectors and re-rank by exact
+    * cosine against their own query (the per-(candidate, query) pairing
+    * rides the query_id — no cross-query mixing), bounded-heap top-k
+    * per query before the only shuffle. Same tie contract as the single
+    * path (score desc, id asc). Returns (query_id, id, score),
+    * unordered top-k set per query. */
+  def searchBatchIvfPq(codes: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      queryIdCol: String, qvCol: String, k: Int, nprobe: Int,
+      refine: Int = 4, maxBatch: Int = 8192,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(qvCol).as("qv"))
+    val cand = searchBatchAdc(codes, centroids, codebooks, q,
+      "query_id", "qv", k * refine, nprobe, maxBatch, allowed)
+    refineBatch(cand, corpus, idCol, embCol, q, k)
+  }
+
+  /** The exact-cosine re-rank stage of [[searchBatchIvfPq]], shared
+    * with the fill ladder: join the ADC candidates back to their raw
+    * vectors, score each against its own query, keep k per query. */
+  private def refineBatch(cand: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, q: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val agg = graft.functions.TopKAggregator.topK(k).toColumn
+    cand.select(col("query_id"), col("id"))
+      .join(corpus.select(col(idCol).cast("long").as("id"),
+        col(embCol).as("_emb")), Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", round4(vecCosine(col("_emb"), col("qv"))))
+      .select(col("query_id").as[Long],
+        struct(col("id").cast("long").as("_1"), col("score").as("_2"))
+          .as[(Long, Double)])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
+      .toDF("query_id", "id", "score")
+  }
+
+  /** [[searchBatchIvfPq]] with the EXACT-FILL contract —
+    * [[IvfIndex.searchBatchFill]]'s per-query-id widening ladder on the
+    * compressed family: starved queries re-run at doubled nprobe, and
+    * because the mask applies BEFORE the ADC cut, under-fill only ever
+    * means the probed cells lack survivors — widening (never refine) is
+    * the fill knob, exactly the single-path contract. At full probe
+    * with ≤ k×refine survivors the ADC cut passes every survivor, so
+    * the result is the exact filtered ranking. Returns (frame, (final
+    * nprobe, rungs)). */
+  def searchBatchFillIvfPq(codes: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      queryIdCol: String, qvCol: String, k: Int, nprobe: Int,
+      refine: Int = 4, maxBatch: Int = 8192,
+      allowed: Option[DataFrame] = None): (DataFrame, (Int, Int)) = {
+    val cds = allowed.fold(codes)(m =>
+      codes.join(m.select(col("id")), Seq("id"), "left_semi"))
+    IvfIndex.fillLadder(queries, queryIdCol, qvCol, k, nprobe,
+      centroids.length, maxBatch) { (qf, np, small) =>
+      val cand =
+        if (small) searchBatchAdcSlice(cds, centroids, codebooks, qf,
+          k * refine, np)
+        else searchBatchAdc(cds, centroids, codebooks, qf, "query_id",
+          "qv", k * refine, np, maxBatch)
+      refineBatch(cand, corpus, idCol, embCol, qf, k)
+    }
+  }
+
   /** One bounded slice of [[searchBatchAdc]] (queries already projected to
     * (query_id, qv)). */
   private def searchBatchAdcSlice(codes: DataFrame,

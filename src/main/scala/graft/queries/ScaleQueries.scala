@@ -259,6 +259,33 @@ object ScaleQueries {
       .orderBy(col("query_id"), desc("score"), col("vec_id"))
   }
 
+  /** q106's contract on the COMPRESSED family (the r15 batch refine +
+    * fill ladder, [[PqIndex.searchBatchFillIvfPq]]): the same
+    * eight-survivor mask against k = 10 walks the ladder to the full
+    * probe, where the ADC cut (k×refine = 40 ≥ 8 survivors) passes
+    * every survivor and the refine re-rank is the EXACT filtered cosine
+    * ranking — the identical static oracle, now reached through m-byte
+    * codes + per-query refine instead of raw-vector scoring; PQ
+    * quantization affects only which candidates the cut keeps, and with
+    * every survivor kept it cannot affect the result at all. */
+  private val q108PqBatchFill: Q = (s, dir) => {
+    val (codes, cents, cbs) = ivfPqIndex(s, dir)
+    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val mask = Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("id"))
+    val (hits, (np, rungs)) = PqIndex.searchBatchFillIvfPq(codes,
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", cents, cbs,
+      queries, "query_id", "qv", k = 10,
+      nprobe = math.max(cents.length / 2, 1), refine = 4,
+      allowed = Some(mask))
+    require(rungs >= 1 && np == cents.length,
+      s"q108 expected the pq batch ladder to widen to the full probe, " +
+        s"got (np=$np, rungs=$rungs)")
+    hits.select(col("query_id"), col("id").as("vec_id"), col("score"))
+      .orderBy(col("query_id"), desc("score"), col("vec_id"))
+  }
+
   /** Build-once/register-per-session lifecycle for an at-rest bucketed
     * table: first run writes the bucketed layout (stamped), later sessions
     * re-attach the existing files to their catalog without rewriting —
@@ -483,6 +510,7 @@ object ScaleQueries {
     "q37_ivf_batch" -> q37IvfBatch,
     "q103_filtered_batch" -> q103FilteredBatch,
     "q106_batch_fill" -> q106BatchFill,
+    "q108_pq_batch_fill" -> q108PqBatchFill,
     "q86_semdedup" -> q86SemDedup,
     "q39_pq_adc" -> q39PqAdc,
     "q67_pq_refine" -> q67PqRefine,
@@ -855,6 +883,25 @@ object ScaleQueries {
     // ranking — so the replay needs NO centroid export: per query, every
     // masked vector scored by exact cosine with the floor-form round
     "q106_batch_fill" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |sp AS (SELECT q.query_id, c.vec_id, unnest(c.embedding) AS x,
+        |         unnest(q.qe) AS qx
+        |       FROM c CROSS JOIN q),
+        |sc AS (SELECT query_id, vec_id,
+        |         floor(sum(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) /
+        |           (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+        |            sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))))
+        |           * 10000.0 + 0.5) / 10000.0 AS score
+        |       FROM sp GROUP BY query_id, vec_id)
+        |SELECT query_id, vec_id, score FROM sc
+        |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+    // q108: the same provable-full-probe argument as q106 on the
+    // COMPRESSED path — with every survivor past the ADC cut, the
+    // refine re-rank is the exact filtered ranking, so the replay is
+    // the identical static cosine (quantization provably can't bite)
+    "q108_pq_batch_fill" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

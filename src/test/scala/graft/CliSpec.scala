@@ -122,6 +122,21 @@ class CliSpec extends SparkTestBase {
       // probes) — error, never a silent exact serve
       val (code6, _) = run("-f", db, "recall", "--nprobe", "8", "q")
       assert(code6 == 1)
+      // --serve routes through the filter-aware front door; on a tiny
+      // filtered store the row bound picks the brute arm, so the table
+      // is byte-identical to the exact path's
+      val (code7, served) = run("-f", db, "recall", "-k", "2", "--serve",
+        "--filter", "{source: user}", "peanuts", "info")
+      val (_, exactF) = run("-f", db, "recall", "-k", "2",
+        "--filter", "{source: user}", "peanuts", "info")
+      assert(code7 == 0 && served == exactF,
+        s"--serve brute route diverged:\n$served\nvs\n$exactF")
+      // mode flags are mutually exclusive, --serve included
+      val (code8, _) = run("-f", db, "recall", "--serve", "--ann", "q")
+      assert(code8 == 1)
+      // --nprobe is legal with --serve (the probe arms take it)
+      val (code9, _) = run("-f", db, "recall", "--serve", "--nprobe", "8", "q")
+      assert(code9 == 0)
       run("-f", db, "clean")
     }
   }

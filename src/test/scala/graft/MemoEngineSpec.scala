@@ -862,6 +862,100 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("recallServeBatch routes the whole batch once and matches the " +
+      "single front door per query on every arm") {
+    val engine = filteredAnnStore()
+    import spark.implicits._
+    val queries = Seq((0L, "topic1 theme2"), (1L, "topic3 theme0"))
+      .toDF("qid", "qtext")
+    def served(filter: Option[String], bruteRows: Long = 4096L,
+        pqBytes: Long = MemoEngine.DefaultServePqBytes) =
+      engine.recallServeBatch(queries, "qid", "qtext", k = 5,
+          filterExpr = filter, nprobe = MemoEngine.AnnNlist,
+          bruteRows = bruteRows, pqBytes = pqBytes)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def single(q: String, filter: Option[String], bruteRows: Long = 4096L,
+        pqBytes: Long = MemoEngine.DefaultServePqBytes) =
+      engine.recallServe(q, k = 5, filterExpr = filter,
+          nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+          pqBytes = pqBytes)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val cases = Seq(
+      // (label, filter, bruteRows, pqBytes, expected route)
+      ("brute", Some("{part: p1}"), 4096L,
+        MemoEngine.DefaultServePqBytes, "brute"),
+      ("ivf", Some("{part: p1}"), 10L,
+        MemoEngine.DefaultServePqBytes, "ann"),
+      ("pq", Some("{part: p1}"), 10L, 64L, "pq"),
+      ("unfiltered-ivf", None, 4096L,
+        MemoEngine.DefaultServePqBytes, "ann"))
+    cases.foreach { case (label, f, br, pb, route) =>
+      val batch = served(f, br, pb)
+      assert(engine.lastServeRoute.exists(_._1 == route),
+        s"$label: expected route $route, got ${engine.lastServeRoute}")
+      queries.collect().foreach { r =>
+        val s = single(r.getString(1), f, br, pb)
+        assert(batch.getOrElse(r.getLong(0), Set.empty) == s,
+          s"$label: batch diverged from single front door for " +
+            s"'${r.getString(1)}'")
+      }
+    }
+    engine.clean()
+  }
+
+  test("pqRecallBatch: compressed batch serving with per-query parity, " +
+      "filter mask, and the exact-fill ladder") {
+    val engine = filteredAnnStore()
+    import spark.implicits._
+    val queries = Seq((0L, "topic1 theme2"), (1L, "topic3 theme0"),
+      (2L, "corpus note 7")).toDF("qid", "qtext")
+    def batchSets(filter: Option[String], k: Int, nprobe: Int) =
+      engine.pqRecallBatch(queries, "qid", "qtext", k = k,
+          nprobe = nprobe, filterExpr = filter)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def singleSet(q: String, filter: Option[String], k: Int, nprobe: Int) =
+      engine.pqRecall(q, k = k, nprobe = nprobe, filterExpr = filter)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // full probe, unfiltered AND filtered: the in-plan hash-embed must
+    // rank exactly like the driver-side single-query pqRecall
+    val unfiltered = batchSets(None, 5, MemoEngine.AnnNlist)
+    val filtered = batchSets(Some("{part: p1}"), 5, MemoEngine.AnnNlist)
+    queries.collect().foreach { r =>
+      assert(unfiltered(r.getLong(0)) ==
+        singleSet(r.getString(1), None, 5, MemoEngine.AnnNlist),
+        s"pq batch diverged from single for '${r.getString(1)}'")
+      assert(filtered(r.getLong(0)) ==
+        singleSet(r.getString(1), Some("{part: p1}"), 5,
+          MemoEngine.AnnNlist),
+        s"filtered pq batch diverged for '${r.getString(1)}'")
+      filtered(r.getLong(0)).foreach { case (id, _) =>
+        assert(id >= 20 && id < 40, s"mask leaked id $id") }
+    }
+    // the exact-fill ladder at a starving nprobe equals the single-query
+    // widening path per query, and fills exactly k
+    val starving = batchSets(Some("{part: p1}"), 5, 1)
+    val widen = engine.lastBatchPqWiden.getOrElse((0, 0))
+    assert(widen._2 >= 1 && widen._1 > 1,
+      s"expected the pq batch ladder to widen from nprobe=1, got $widen")
+    queries.collect().foreach { r =>
+      val single = singleSet(r.getString(1), Some("{part: p1}"), 5, 1)
+      assert(starving(r.getLong(0)) == single,
+        s"widened pq batch diverged from single widening for " +
+          s"'${r.getString(1)}'")
+      assert(starving(r.getLong(0)).size == 5,
+        s"pq fill contract broken for '${r.getString(1)}'")
+    }
+    // ≤ k survivors: the shortcut report matches the ann batch's shape
+    batchSets(Some("{hot: h1}"), 5, 1)
+    assert(engine.lastBatchPqWiden == Some((MemoEngine.AnnNlist, 1)),
+      s"expected the <=k shortcut report, got ${engine.lastBatchPqWiden}")
+    engine.clean()
+  }
+
   test("recallServe routes three ways by the sidecar bounds: brute when " +
       "row-bounded, ivf when vector-byte-bounded, pq past the byte budget " +
       "or blind") {

@@ -277,6 +277,57 @@ class PqIndexSpec extends SparkTestBase {
     }
   }
 
+  test("batch refine (searchBatchIvfPq) equals per-query searchIvfPq; " +
+      "the fill ladder widens a starving mask to the exact filtered " +
+      "ranking") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_bref")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, path)
+    val codes = PqIndex.loadCodes(spark, path)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def grouped(rows: Array[(Long, Long, Double)]) = rows
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq)
+      .toMap
+    // full probe, unmasked: the batch refine must equal the single-path
+    // ADC→refine recipe per query — ids AND exact-cosine scores
+    val batch = grouped(PqIndex.searchBatchIvfPq(codes, emb, "vec_id",
+        "embedding", cents, cbs, queries, "query_id", "qv", k = 5,
+        nprobe = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    (0L until 4L).foreach { qid =>
+      val single = PqIndex.searchIvfPq(codes, emb, "vec_id", "embedding",
+          cents, cbs, queryVec(qid), k = 5, nprobe = 16, refine = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"batch refine for query $qid diverges from searchIvfPq")
+    }
+    // a 7-survivor mask against k = 10 can never fill: the ladder must
+    // walk to the full probe, where the ADC cut passes every survivor
+    // and the result is the EXACT filtered cosine ranking per query
+    val mask = emb.filter(col("vec_id") < 7).select(col("vec_id").as("id"))
+    val (hits, (np, rungs)) = PqIndex.searchBatchFillIvfPq(codes, emb,
+      "vec_id", "embedding", cents, cbs, queries, "query_id", "qv",
+      k = 10, nprobe = 1, refine = 4, allowed = Some(mask))
+    assert(rungs >= 1 && np == 16,
+      s"expected the ladder to reach the full probe, got ($np, $rungs)")
+    val filled = grouped(hits.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    (0L until 4L).foreach { qid =>
+      val exact = PqIndex.searchIvfPq(codes, emb, "vec_id", "embedding",
+          cents, cbs, queryVec(qid), k = 10, nprobe = 16, refine = 4,
+          allowed = Some(mask))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(filled(qid) == exact,
+        s"fill ladder for query $qid diverges from the full-probe " +
+          "filtered single path")
+      assert(filled(qid).size == 7,
+        s"fill contract: expected all 7 survivors, got ${filled(qid).size}")
+    }
+  }
+
   test("batch ADC range-splits above maxBatch with identical results") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq")
       .resolve("idx").toString
