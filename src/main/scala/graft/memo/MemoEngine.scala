@@ -1844,6 +1844,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
       measures.map { case (n, e) =>
         if (aggOf.get(n).contains("count_distinct"))
           expr(s"($e)").cast("string").as(n)
+        else if (aggOf.get(n).contains("count"))
+          // COUNT(expr): 1 per NON-NULL evaluation (SQL semantics) —
+          // presence is additive, so the measure rides the SUM
+          // machinery whole (retract by negation, nothing to exhaust)
+          when(expr(s"($e)").isNull, lit(0L)).otherwise(lit(1L)).as(n)
         else coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L)).as(n)
       }: _*)
   }
@@ -1920,10 +1925,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * served as a DataFrame (`group_key` STRING, `doc_count` LONG, one
     * LONG column per measure). `groupKey` and each measure are row-level
     * SQL expressions over `id`/`body`/`metadata`; measures aggregate by
-    * SUM unless `aggOf` names "min", "max", "avg", or "count_distinct"
+    * SUM unless `aggOf` names "min", "max", "avg", "count", or
+    * "count_distinct"
     * for them — an AVG
     * measure is served as DOUBLE sum/doc_count, maintained through the
-    * SUM machinery (a null or
+    * SUM machinery, and a COUNT measure is SQL COUNT(expr) — 1 per
+    * non-null evaluation — maintained the same way (presence is
+    * additive; retract by negation) (a null or
     * non-BIGINT-castable value evaluates as 0 under every NUMERIC
     * aggregator, so
     * the incremental and recompute arms can never diverge on malformed
@@ -3508,7 +3516,7 @@ object MemoEngine {
     * rescan only when a reserve is exhausted. Anything outside this set
     * is rejected at the API boundary — better loud than a view silently
     * served stale. */
-  val ViewAggs: Set[String] = Set("sum", "min", "max", "avg",
+  val ViewAggs: Set[String] = Set("sum", "min", "max", "avg", "count",
     "count_distinct")
 
   /** [[recallServe]]'s compressed-arm threshold: once the candidate

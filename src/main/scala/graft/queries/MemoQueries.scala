@@ -652,6 +652,70 @@ object MemoQueries {
     out.orderBy("group_key")
   }
 
+  /** COUNT (non-null) view measures end-to-end (the r15 presence
+    * aggregate): dense ids, tag t{id%4}, and an OPTIONAL metadata key
+    * `opt` present only on id%3==0 rows — so COUNT(metadata['opt'])
+    * diverges from doc_count and actually exercises the null-skip. A
+    * CDC patch moves middle-third rows across the PRESENCE boundary in
+    * both directions (id%6==0 rows drop the key, id%6==1 rows gain it)
+    * and removes first-third %25 ids; the refresh is asserted
+    * INCREMENTAL (presence is additive — the SUM machinery retracts it
+    * by negation). The oracle replays minting, the presence rule, both
+    * patch rules, and COUNT(opt). */
+  private val q109ViewCount: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q109vc", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    val buildPass = !java.nio.file.Files.exists(done)
+    val measures = Seq("n_opt" -> "metadata['opt']")
+    val aggs = Map("n_opt" -> "count")
+    def view() = engine.viewState("vcnt",
+      "substring(metadata['tag'], 2)", measures, aggs)
+    if (buildPass) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q109 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          val opt = if (i % 3 == 0) s", opt: v$i" else ""
+          s"---\nbody: $t\nmetadata: {tag: t${i % 4}$opt}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      view()
+      import s.implicits._
+      val drops = (third until 2 * third).filter(_ % 6 == 0)
+        .map(i => (i.toLong, "updated", s"opt dropped $i",
+          Map("tag" -> s"st${i % 4}")))
+      val gains = (third until 2 * third).filter(_ % 6 == 1)
+        .map(i => (i.toLong, "updated", s"opt gained $i",
+          Map("tag" -> s"st${i % 4}", "opt" -> s"sw$i")))
+      val removes = (0 until third).filter(_ % 25 == 0)
+        .map(i => (i.toLong, "removed", "", Map.empty[String, String]))
+      val feed = (drops ++ gains ++ removes)
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L))
+      engine.applyChanges(feed)
+      java.nio.file.Files.createFile(done)
+    }
+    val out = view()
+    // pinned loudly: presence retraction must ride the O(delta) SUM arm
+    if (buildPass) {
+      val mode = engine.lastViewRefresh.map(_._1).getOrElse("none")
+      require(mode == "incremental",
+        s"q109 expected an incremental count refresh, got $mode")
+    }
+    out.orderBy("group_key")
+  }
+
   /** Filtered ANN serving end-to-end (the r14 `annRecall(filterExpr)`
     * path — the reference's filter-determines-candidates contract,
     * memo_cli.py:489-521, on the probe-pruned serving path): the q100
@@ -787,6 +851,7 @@ object MemoQueries {
     "q104_zorder_skip" -> q104ZorderSkip,
     "q105_view_distinct" -> q105ViewDistinct,
     "q107_view_filtered" -> q107ViewFiltered,
+    "q109_view_count" -> q109ViewCount,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1048,6 +1113,28 @@ object MemoQueries {
         |  CAST(sum(length(body)) AS BIGINT) AS chars
         |FROM state WHERE grp = 'g1'
         |GROUP BY group_key ORDER BY group_key""".stripMargin,
+    // q109 replay: dense minting; opt present iff id%3==0, EXCEPT the
+    // middle third's patch rules (id%6==0 dropped it, id%6==1 gained
+    // it); first-third %25 ids removed — then the group-by with SQL
+    // COUNT(opt) null-skip semantics.
+    "q109_view_count" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d),
+        |state AS (
+        |  SELECT 't' || CAST(d.id % 4 AS VARCHAR) AS group_key,
+        |    CASE
+        |      WHEN d.id >= p.third AND d.id < 2 * p.third
+        |        AND d.id % 6 = 0 THEN 0
+        |      WHEN d.id >= p.third AND d.id < 2 * p.third
+        |        AND d.id % 6 = 1 THEN 1
+        |      WHEN d.id % 3 = 0 THEN 1 ELSE 0 END AS has_opt
+        |  FROM d, p
+        |  WHERE NOT (d.id < p.third AND d.id % 25 = 0))
+        |SELECT group_key, count(*) AS doc_count,
+        |  CAST(sum(has_opt) AS BIGINT) AS n_opt
+        |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
     // q104 replay: dense minting, kb = b{(id // 4) mod 4} — the filtered
     // projection keeps kb = b2. The LIMIT mirrors the Spark-side
     // pagination bound (never binding at n ≤ 300).

@@ -201,6 +201,77 @@ class MemoConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("batch fill ladders racing an appender: every rung's results are " +
+      "survivors, exact fill once quiet") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    def hotOf(i: Int) = if (i % 5 == 0) "h1" else "h0"
+    e1.save((0 until 40).map(i =>
+      s"---\nbody: race note $i topic${i % 4}\nmetadata: {hot: ${hotOf(i)}}\n")
+      .mkString)
+    val appends = 6
+    val everHot = (0 until 40 + appends).filter(_ % 5 == 0).map(_.toLong).toSet
+    import spark.implicits._
+    val queries = Seq((0L, "topic1 race"), (1L, "topic3 note"))
+      .toDF("qid", "qtext")
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def transient(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("") + " " +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      m.contains("NoSuchFile") || m.contains("FILE_NOT_EXIST") ||
+        m.contains("does not exist")
+    }
+    try {
+      val appender = Future {
+        (40 until 40 + appends).foreach(i =>
+          e1.save(s"---\nbody: race note $i topic${i % 4}\n" +
+            s"metadata: {hot: ${hotOf(i)}}\n"))
+      }
+      val reader = Future {
+        var reads = 0
+        while (!appender.isCompleted && reads < 20) {
+          try {
+            // a MULTI-RUNG read under churn: every id any rung returns
+            // must be a filter survivor of SOME committed version —
+            // alternate the IVF and PQ ladders
+            val df =
+              if (reads % 2 == 0)
+                e2.annRecallBatch(queries, "qid", "qtext", k = 20,
+                  nprobe = 1, filterExpr = Some("{hot: h1}"))
+              else
+                e2.pqRecallBatch(queries, "qid", "qtext", k = 20,
+                  nprobe = 1, filterExpr = Some("{hot: h1}"))
+            val ids = df.collect().map(_.getLong(1)).toSet
+            assert(ids.subsetOf(everHot),
+              s"batch ladder leaked non-survivors: ${ids -- everHot}")
+          } catch { case e: Throwable if transient(e) => () }
+          reads += 1
+        }
+        reads
+      }
+      Await.result(Future.sequence(Seq(appender, reader)), 180.seconds)
+      // quiet store: the widened batch equals the single-query widening
+      // path per query (exact fill, union bound complete)
+      val batch = e1.annRecallBatch(queries, "qid", "qtext", k = 20,
+          nprobe = 1, filterExpr = Some("{hot: h1}"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      queries.collect().foreach { r =>
+        val single = e1.annRecall(r.getString(1), k = 20, nprobe = 1,
+            filterExpr = Some("{hot: h1}"))
+          .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+        assert(batch(r.getLong(0)) == single,
+          s"post-churn batch diverged for '${r.getString(1)}'")
+        assert(batch(r.getLong(0)).map(_._1) == everHot,
+          s"post-churn batch fill incomplete for '${r.getString(1)}'")
+      }
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
   test("vacuum sweeps stale staging corpses, spares fresh attempts") {
     val db = freshStore()
     val engine = new MemoEngine(spark, db)

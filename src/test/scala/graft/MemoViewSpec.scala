@@ -603,6 +603,51 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("count measures skip nulls (SQL COUNT(expr)) and retract by " +
+      "negation through the feed") {
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    def yamlO(body: String, cat: String, opt: Option[String]): String =
+      opt match {
+        case Some(o) =>
+          s"---\nbody: $body\nmetadata: {category: $cat, opt: $o}\n"
+        case None => s"---\nbody: $body\nmetadata: {category: $cat}\n"
+      }
+    engine.save(yamlO("a one", "a", Some("x")) + yamlO("a two", "a", None) +
+      yamlO("b one", "b", Some("y")))
+    engine.save(yamlO("b two", "b", None) + yamlO("c one", "c", None))
+    val m = Seq("n_opt" -> "metadata['opt']")
+    val aggs = Map("n_opt" -> "count")
+    def directC(): Set[(String, Long, Long)] = engine.records
+      .groupBy(expr(key).cast("string").as("group_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        count(expr("metadata['opt']")).as("n_opt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val v = engine.viewState("cnt", key, m, aggs)
+    assert(mode(engine) == "rebuild")
+    assert(collected(v) == directC())
+    assert(collected(v).find(_._1 == "sc").get._3 == 0L,
+      "a group of all-null evaluations must count 0, not its rows")
+    // presence-boundary patch: a's opt-carrier drops the key (retract
+    // presence), a's null row gains it (add), b's carrier is removed
+    engine.applyChanges(Seq(
+        (0L, "updated", "a one no opt", Map("category" -> "sa")),
+        (1L, "updated", "a two gained", Map("category" -> "sa",
+          "opt" -> "sz")),
+        (2L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v2 = engine.viewState("cnt", key, m, aggs)
+    assert(mode(engine) == "incremental",
+      s"presence retraction must stay O(delta), got ${mode(engine)}")
+    assert(collected(v2) == directC())
+    assert(collected(v2).find(_._1 == "sa").get._3 == 1L)
+    assert(collected(v2).find(_._1 == "sb").get._3 == 0L)
+    engine.clean()
+  }
+
   // ---- WHERE-scoped (filtered) views --------------------------------------
 
   private def yamlG(body: String, cat: String, grp: String): String =
