@@ -1595,6 +1595,100 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .orderBy(desc("rrf_score"), col("id"))
   }
 
+  /** The BATCH twin of [[hybridRecall]] — both legs batch, one probe
+    * each: queries tokenize IN THE PLAN (the same kernel the single
+    * path's driver-side tokenize uses) into (query_id, term) pairs and
+    * the postings artifact answers every query in ONE term-pruned probe
+    * ([[graft.ops.Lexical.searchBm25Batch]] — df/N/avgdl global, the
+    * filter mask semi-joined exactly as the single path's); the
+    * semantic leg is the exact batch ranking ([[MemoOps.recallBatch]]
+    * over the stats-pruned frame) or, with `ann = true`, the
+    * maintained-IVF batch probe ([[annRecallBatch]], exact-fill ladder
+    * included). Per-(query, list) dense ranks fuse by reciprocal rank
+    * ([[graft.ops.Lexical.rrfFuseBatch]] — the identical floor-8
+    * DECIMAL arithmetic, so batch and single fusion agree bit-exactly,
+    * spec-pinned per query). A query whose text yields no tokens simply
+    * contributes no lexical pairs and degrades to its semantic ranking
+    * alone — the single path's contract, per query. Returns (query_id,
+    * id, rrf_score, r_bm25, r_vec, body), top-k SET per query,
+    * unordered. An empty/uncommitted store returns no rows. */
+  def hybridRecallBatch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None, perList: Int = 50,
+      ann: Boolean = false, annNprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("id", LongType),
+      StructField("rrf_score", DoubleType),
+      StructField("r_bm25", IntegerType), StructField("r_vec", IntegerType),
+      StructField("body", StringType)))
+    if (currentVersion.isEmpty) return emptyFrame(outSchema)
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(queryTextCol).as("_qtext"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("id"))
+    val vecBase =
+      if (ann) annRecallBatch(queries, queryIdCol, queryTextCol, perList,
+        annNprobe, filterExpr)
+      else {
+        val qe = q.select(col("query_id"),
+          graft.functions.GraftFunctions.embedText(col("_qtext")).as("qv"))
+        val (baseR, idx) = filterExpr.fold((records, index))(prunedPair)
+        MemoOps.recallBatch(baseR.join(idx, Seq("id")), qe, perList,
+          filterExpr)
+      }
+    val vec = vecBase.select(col("query_id"), col("id"), col("score"))
+      .withColumn("rank", row_number().over(wq))
+    ensureLexical()
+    val qterms = q.select(col("query_id"),
+      explode(graft.functions.GraftFunctions.tokensKernel(col("_qtext")))
+        .as("term"))
+    val allowed = filterExpr.map(f =>
+      recordsForFilter(f)
+        .filter(FilterAlgebra.compile(f, col("metadata")))
+        .select(col("id")))
+    // the whole BATCH may be token-free (every query text empty): the
+    // lexical leg needs ≥1 term, so degrade to the semantic ranking
+    // alone — per-query degradation inside a mixed batch is automatic
+    // (a token-free query just has no (query_id, term) pairs)
+    val lists =
+      if (qterms.limit(1).isEmpty) Seq("vec" -> vec)
+      else {
+        val bm = searchBm25BatchRetrying(qterms, perList, allowed)
+          .select(col("query_id"), col("doc_id").as("id"), col("score"))
+          .withColumn("rank", row_number().over(wq))
+        Seq("bm25" -> bm, "vec" -> vec)
+      }
+    val fused0 = graft.ops.Lexical.rrfFuseBatch(lists, k)
+    val fused = // a token-free BATCH fuses the vec list alone
+      if (lists.size == 1)
+        fused0.withColumn("r_bm25", lit(null).cast("int"))
+      else fused0
+    fused
+      .join(records.select(col("id"), col("body")), Seq("id"))
+      .select(col("query_id"), col("id"), col("rrf_score"),
+        col("r_bm25"), col("r_vec"), col("body"))
+  }
+
+  /** [[searchBm25Retrying]]'s batch twin — same journal-window backoff. */
+  private def searchBm25BatchRetrying(queryTerms: DataFrame, k: Int,
+      allowed: Option[DataFrame]): DataFrame = {
+    val maxAttempts = 6
+    var attempt = 1
+    while (true) {
+      try return graft.ops.Lexical.searchBm25Batch(spark, lexDir,
+        queryTerms, k, allowed)
+      catch { case e: graft.ops.Lexical.PendingAppendException =>
+        if (attempt >= maxAttempts) throw e
+        Thread.sleep(100L * attempt)
+        attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---- segment-level data skipping -----------------------------------
 
   /** The live manifest's records segments split by

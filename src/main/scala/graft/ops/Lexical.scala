@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.tokensKernel
@@ -860,11 +860,11 @@ object Lexical {
     score(post, df, n, if (n == 0) 0.0 else sumDl.toDouble / n.toDouble, k)
   }
 
-  /** Shared scoring tail: (term, doc_id, tf, dl) postings ⋈ broadcast
-    * (term, df) → per-term contribution → DECIMAL sum → top-k. */
-  private def score(post: DataFrame, df: DataFrame, n: Long, avgDl: Double,
-      k: Int): DataFrame = {
-    // identical operand order to the oracle SQL: see LexicalQueries
+  /** The per-(doc, term) BM25 contribution as a fixed-decimal DECIMAL
+    * column — identical operand order to the oracle SQL (see
+    * LexicalQueries); shared by the single and batch scoring tails so
+    * the two can never drift arithmetically. */
+  private def bm25Contrib(n: Long, avgDl: Double): Column = {
     val idf4 = floor(
       log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))) * 10000.0 + 0.5) / 10000.0
@@ -875,14 +875,83 @@ object Lexical {
     val denom = col("tf").cast("double") +
       lit(K1) * (lit(0.25) + lit(B) * (col("dl").cast("double") / lit(avgDl)))
     val contrib = idf4 * ((col("tf").cast("double") * lit(2.2)) / denom)
+    (floor(contrib * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)")
+  }
+
+  /** Shared scoring tail: (term, doc_id, tf, dl) postings ⋈ broadcast
+    * (term, df) → per-term contribution → DECIMAL sum → top-k. */
+  private def score(post: DataFrame, df: DataFrame, n: Long, avgDl: Double,
+      k: Int): DataFrame =
     post.join(broadcast(df), Seq("term"))
-      .select(col("doc_id"),
-        (floor(contrib * 1000000.0 + 0.5) / 1000000.0)
-          .cast("decimal(18,6)").as("s"))
+      .select(col("doc_id"), bm25Contrib(n, avgDl).as("s"))
       .groupBy("doc_id")
       .agg(sum(col("s")).cast("double").as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
+
+  /** [[searchBm25]]'s BATCH twin: per-query BM25 top-k for a
+    * (query_id, term) frame in ONE probe of the artifact. The UNION of
+    * the batch's distinct terms prunes the postings scan exactly as the
+    * single path's `IN` list does (one driver collect, bounded by the
+    * batch's query vocabulary — strictly smaller than the query texts a
+    * batch caller already holds), each surviving (term, doc) posting
+    * fans out to the queries that asked for that term via a broadcast
+    * join with the (query_id, term) pairs, contributions sum as DECIMAL
+    * per (query, doc) — order-independent, the single path's
+    * determinism recipe on the widened key — and the bounded-heap
+    * [[graft.functions.TopKAggregator]] keeps k per query. df/N/avgdl
+    * stay GLOBAL (filter-as-mask semantics ride `allowedIds` exactly as
+    * the single path), so a doc scores identically under both entry
+    * points — spec-pinned per query. Duplicate (query_id, term) pairs
+    * dedup first: a repeated query term contributes once, the single
+    * path's bag-of-DISTINCT-terms contract. Returns (query_id, doc_id,
+    * score), top-k set per query, unordered. */
+  def searchBm25Batch(spark: SparkSession, path: String,
+      queryTerms: DataFrame, k: Int,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
+    val qt = queryTerms.select(
+      col(queryTerms.columns.head).cast("long").as("query_id"),
+      col(queryTerms.columns(1)).cast("string").as("term")).distinct()
+    val terms = qt.select("term").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "searchBm25Batch needs at least one query term")
+    val m = serveMeta(spark, path)
+    val st = m.stamp
+    val dirs = resolveDirs(spark, path, m)
+    val avgDl = if (st.n == 0) 0.0 else st.sumDl.toDouble / st.n.toDouble
+    val postRaw = spark.read.schema(PostingsSchema)
+      .parquet(dirs.post.map(n => s"${postingsPath(path)}/$n"): _*)
+      .filter(col("term").isin(terms: _*))
+    val post0 =
+      if (dirs.tombs.isEmpty) postRaw
+      else postRaw.join(broadcast(spark.read.schema(TombstonesSchema)
+          .parquet(dirs.tombs.map(n => s"${tombstonesPath(path)}/$n"): _*)
+          .select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val post = allowedIds.fold(post0)(ids => post0.join(
+      ids.select(ids.columns.head).toDF("doc_id")
+        .select(col("doc_id").cast("long").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"))
+    val df = spark.read.schema(StatsSchema)
+      .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").cast("double").as("df"))
+    import spark.implicits._
+    val agg = graft.functions.TopKAggregator.topK(k).toColumn
+    post.join(broadcast(df), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        bm25Contrib(st.n, avgDl).as("s"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).cast("double").as("score"))
+      .select(col("query_id").as[Long],
+        struct(col("doc_id").cast("long").as("_1"), col("score").as("_2"))
+          .as[(Long, Double)])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
+      .toDF("query_id", "doc_id", "score")
   }
 
   /** Reciprocal-rank fusion of ranked candidate lists (Cormack et al.
@@ -899,6 +968,36 @@ object Lexical {
     * of Spark's union/aggregation order and replayable bit-exactly by
     * the oracle. Output: (id, rrf_score, r_1, …, r_n) with each list's
     * rank carried through (null where a list missed the id). */
+  /** [[rrfFuse]] per QUERY: inputs are (query_id, id, rank) frames,
+    * ranks 1-based and dense WITHIN each (query, list); fusion and the
+    * floor-8 DECIMAL determinism are identical, grouped on
+    * (query_id, id), and the top-k cut is a per-query window (each
+    * query's fused candidate set is ≤ Σ per-list k rows — the window
+    * partitions never see the corpus). Output: (query_id, id,
+    * rrf_score, r_1, …, r_n), top-k per query. */
+  def rrfFuseBatch(lists: Seq[(String, DataFrame)], k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseBatch needs at least one ranked list")
+    val tagged = lists.map { case (name, df) =>
+      df.select(col("query_id").cast("long").as("query_id"), col("id"),
+        col("rank").cast("int").as("rank"), lit(name).as("src"))
+    }.reduce(_ unionByName _)
+    val contrib = (floor(
+      lit(1.0) / (lit(c.toDouble) + col("rank").cast("double"))
+        * 100000000.0 + 0.5) / 100000000.0).cast("decimal(18,8)")
+    val rankCols = lists.map { case (name, _) =>
+      min(when(col("src") === name, col("rank"))).as(s"r_$name")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("rrf_score"), col("id"))
+    tagged
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(contrib).cast("double").as("rrf_score"), rankCols: _*)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   def rrfFuse(lists: Seq[(String, DataFrame)], k: Int,
       c: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")

@@ -42,6 +42,44 @@ class LexicalSpec extends SparkTestBase {
     assert(math.abs(got(1)._2 - score(1, 2)) < 1e-9)
   }
 
+  test("searchBm25Batch equals per-query searchBm25 — ids and scores, " +
+      "mask and duplicate terms included") {
+    val docs = corpus.toDF("doc_id", "text")
+    val path = tmp("graft_lex_batch")
+    Lexical.writeIndex(docs, "doc_id", "text", path)
+    // query 1 carries a DUPLICATE term: the batch must dedup to the
+    // single path's bag-of-distinct-terms contract
+    val qsets = Map(0L -> Seq("apple", "banana"),
+      1L -> Seq("cherry", "date", "cherry"))
+    val qt = qsets.toSeq.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    def groupedOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val batch = groupedOf(Lexical.searchBm25Batch(spark, path, qt, k = 10))
+    qsets.foreach { case (qid, ts) =>
+      val single = Lexical.searchBm25(spark, path, ts.distinct, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single,
+        s"batch BM25 diverged from single for query $qid")
+    }
+    // the candidate mask applies to every query; df/N stay global, so
+    // surviving docs keep their UNMASKED scores (filter-as-mask)
+    val mask = Seq(0L, 2L, 3L).toDF("id")
+    val masked = groupedOf(
+      Lexical.searchBm25Batch(spark, path, qt, k = 10,
+        allowedIds = Some(mask)))
+    qsets.foreach { case (qid, ts) =>
+      val single = Lexical.searchBm25(spark, path, ts.distinct, k = 10,
+          allowedIds = Some(mask))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(masked(qid) == single,
+        s"masked batch BM25 diverged for query $qid")
+      masked(qid).foreach { case (id, _) =>
+        assert(Set(0L, 2L, 3L).contains(id), s"mask leaked id $id") }
+    }
+  }
+
   test("multi-term scores sum per doc; absent terms contribute nothing") {
     val docs = corpus.toDF("doc_id", "text")
     val path = tmp("graft_lex_multi")

@@ -1010,6 +1010,50 @@ class MemoEngineSpec extends SparkTestBase {
     e2.clean()
   }
 
+  test("hybridRecallBatch: both legs batch, per-query parity with the " +
+      "single hybrid path on every variant") {
+    val engine = filteredAnnStore()
+    import spark.implicits._
+    val queries = Seq((0L, "topic1 theme2"), (1L, "topic3 note"),
+      (2L, "")).toDF("qid", "qtext") // query 2: token-free, vec-only leg
+    def key(r: org.apache.spark.sql.Row, off: Int) =
+      (r.getLong(off), r.getDouble(off + 1),
+        if (r.isNullAt(off + 2)) -1 else r.getInt(off + 2),
+        if (r.isNullAt(off + 3)) -1 else r.getInt(off + 3))
+    def batchSets(filter: Option[String], ann: Boolean) =
+      engine.hybridRecallBatch(queries, "qid", "qtext", k = 10,
+          filterExpr = filter, perList = 20, ann = ann,
+          annNprobe = MemoEngine.AnnNlist)
+        .collect().map(r => (r.getLong(0), key(r, 1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def singleSet(q: String, filter: Option[String], ann: Boolean) = {
+      val df = engine.hybridRecall(q, k = 10, filterExpr = filter,
+        perList = 20, ann = ann, annNprobe = MemoEngine.AnnNlist)
+      // a token-free single query fuses vec alone and emits no r_bm25 —
+      // normalize to the batch's fixed schema (null rank)
+      val hasBm = df.columns.contains("r_bm25")
+      df.collect().map { r =>
+        val id = r.getLong(0); val s = r.getDouble(1)
+        if (hasBm) (id, s,
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))
+        else (id, s, -1, if (r.isNullAt(2)) -1 else r.getInt(2))
+      }.toSet
+    }
+    Seq((None, false), (Some("{part: p1}"), false),
+        (Some("{part: p1}"), true)).foreach { case (f, ann) =>
+      val batch = batchSets(f, ann)
+      queries.collect().foreach { r =>
+        val single = singleSet(r.getString(1), f, ann)
+        assert(batch.getOrElse(r.getLong(0), Set.empty) == single,
+          s"hybrid batch (filter=$f ann=$ann) diverged for " +
+            s"'${r.getString(1)}': ${batch.getOrElse(r.getLong(0),
+              Set.empty)} vs $single")
+      }
+    }
+    engine.clean()
+  }
+
   test("hybridRecall ann=true rides the IVF artifact; full probe = exact arm") {
     import org.apache.spark.sql.functions.col
     val engine = filteredAnnStore()
