@@ -246,7 +246,7 @@ object SkipProfile {
         f"metadata: {part: p$seg%03d}\n").mkString
     (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
     val q = "phase topic2 corpus"
-    val filter = f"{part: {$$gte: p${nSegs - nSegs / 4 - 1}%03d}}" // ~25%
+    val filter = f"{part: {$$gte: p${nSegs - nSegs / 4}%03d}}" // ~25%
     engine.annRecall(q, k = 10, nprobe = 4).collect() // build + warm IVF
     def timed(f: => Unit): Double = {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
@@ -270,8 +270,12 @@ object SkipProfile {
       .takeWhile(_ < centroids.length).toSeq :+ centroids.length
     val rungs = ladder.map { np =>
       val t = best {
-        require(graft.ops.IvfIndex.search(idx, centroids, qv, 10, np,
-          Some(mask)).collect().length == 10)
+        // raw search has no widening: a narrow rung may legitimately
+        // under-fill under an unlucky centroid layout — only the full
+        // probe (survivors ≫ k there) must return exactly k
+        val n = graft.ops.IvfIndex.search(idx, centroids, qv, 10, np,
+          Some(mask)).collect().length
+        require(n <= 10 && (np < centroids.length || n == 10))
       }
       f"np$np=$t%.3fs"
     }

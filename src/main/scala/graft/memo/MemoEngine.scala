@@ -1026,7 +1026,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the filtered result is exact-fill — min(k, matching survivors) rows
     * — never a silently short post-filtered list. */
   def annRecall(query: String, k: Int = MemoOps.DefaultK,
-      nprobe: Int = 4, filterExpr: Option[String] = None): DataFrame =
+      nprobe: Int = 4, filterExpr: Option[String] = None,
+      floor: Option[Double] = None): DataFrame =
     ensureIvf() match {
       case Some(centroids) =>
         val qv = graft.functions.VectorKernels.hashEmbedFloats(
@@ -1035,7 +1036,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         filterExpr match {
           case None =>
             graft.ops.IvfIndex.search(idx, centroids, qv, k,
-                math.min(nprobe, centroids.length))
+                math.min(nprobe, centroids.length), rawFloor = floor)
               .select(col("id"), col("score"))
               .join(records.select(col("id"), col("body")), Seq("id"))
               .orderBy(desc("score"), col("id"))
@@ -1047,7 +1048,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
               val hits = widenToFill(k, nprobe, centroids.length,
                   mask.count()) { np =>
                 graft.ops.IvfIndex.search(idx, centroids, qv, k, np,
-                  Some(mask)).collect()
+                  Some(mask), rawFloor = floor).collect()
               }
               import spark.implicits._
               spark.createDataset(hits.toSeq
@@ -1067,6 +1068,33 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the survivor upper bound it decided on. Production never reads it. */
   private[graft] var lastServeRoute: Option[(String, Long)] = None
 
+  /** The LAST batch serving call's widening-rung caches. A fill ladder
+    * caches each rung (its fill-count job materializes it, so consuming
+    * the returned union reads cached blocks), and the union is LAZY —
+    * the rungs must stay pinned until the caller has consumed the
+    * result, so the ladder can't unpersist them itself. Unbounded
+    * accumulation across calls is the failure mode this registry kills:
+    * each batch serving entry point drains the PREVIOUS call's rungs on
+    * entry, so a long-running serving process pins at most one call's
+    * ladder (≤ log₂(nlist)+1 frames). [[releaseServingCaches]] releases
+    * eagerly; unpersisting a frame a slow reader still holds is safe —
+    * its blocks recompute from lineage, correctness never depended on
+    * the cache. */
+  private[graft] val servingCaches =
+    scala.collection.mutable.Buffer.empty[DataFrame]
+
+  private def registerServingCache(df: DataFrame): Unit =
+    servingCaches.synchronized { servingCaches += df; () }
+
+  /** Unpersist the widening-rung caches pinned by the last batch
+    * serving call (see [[servingCaches]]). Automatic on the next batch
+    * serving call; call directly after consuming a batch result to
+    * release executor memory immediately. */
+  def releaseServingCaches(): Unit = servingCaches.synchronized {
+    servingCaches.foreach(_.unpersist())
+    servingCaches.clear()
+  }
+
   /** The filter-aware serving FRONT DOOR — the BENCH_NOTES r14
     * selectivity leg's finding as code. Cost shapes: the filtered
     * brute path scans exactly the stats-surviving segments' rows (no
@@ -1083,10 +1111,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * exists to avoid.
     *
     * CONTRACT PARITY across arms: every arm applies [[MemoOps.recall]]'s
-    * −0.9 score floor (the reference's, memo_cli.py:294), so the same
-    * query returns the same result SET whichever arm the row-count bound
-    * picks — the probe arms are [[annRecall]]/[[pqRecall]] (no floor,
-    * exact-fill contract) WITH the floor re-applied here. The residual
+    * −0.9 score floor (the reference's, memo_cli.py:294) to the RAW
+    * cosine before rounding and before the top-k, so the same query
+    * returns the same result SET whichever arm the row-count bound
+    * picks — the probe arms are [[annRecall]]/[[pqRecall]] (no floor by
+    * default, exact-fill contract) with `floor` threaded into the index
+    * kernels' refine stage, identical floor semantics to the brute
+    * scan's (a raw score in [−0.90005, −0.9) rounds to −0.9000 but is
+    * excluded by EVERY arm, and above-floor rows fill top-k slots
+    * sub-floor rows would have wasted). The residual
     * divergence is ANN approximation itself, never the floor.
     *
     * A second bound picks WHICH probe arm: when the survivors' raw
@@ -1103,15 +1136,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
       bruteRows: Long = 4096L,
       pqBytes: Long = MemoEngine.DefaultServePqBytes): DataFrame = {
     val bound = serveBound(filterExpr)
+    // floor parity: the probe arms floor the RAW cosine inside the
+    // kernels (before rounding AND before the top-k), exactly where the
+    // brute arm ([[MemoOps.recall]]) floors — a raw score in
+    // [−0.90005, −0.9) can't round up past the cut, and above-floor
+    // rows fill slots sub-floor rows would have wasted
     def probeArm(): DataFrame =
       if (serveVecBytes(bound) > pqBytes) {
         lastServeRoute = Some(("pq", bound))
-        pqRecall(query, k, nprobe, filterExpr = filterExpr)
-          .filter(col("score") >= MemoOps.ScoreFloor)
+        pqRecall(query, k, nprobe, filterExpr = filterExpr,
+          floor = Some(MemoOps.ScoreFloor))
       } else {
         lastServeRoute = Some(("ann", bound))
-        annRecall(query, k, nprobe, filterExpr)
-          .filter(col("score") >= MemoOps.ScoreFloor)
+        annRecall(query, k, nprobe, filterExpr,
+          floor = Some(MemoOps.ScoreFloor))
       }
     if (filterExpr.isDefined && bound <= bruteRows) {
       lastServeRoute = Some(("brute", bound))
@@ -1184,13 +1222,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     } else if (serveVecBytes(bound) > pqBytes) {
       lastServeRoute = Some(("pq", bound))
       pqRecallBatch(queries, queryIdCol, queryTextCol, k, nprobe,
-          filterExpr = filterExpr)
-        .filter(col("score") >= MemoOps.ScoreFloor)
+        filterExpr = filterExpr, floor = Some(MemoOps.ScoreFloor))
     } else {
       lastServeRoute = Some(("ann", bound))
       annRecallBatch(queries, queryIdCol, queryTextCol, k, nprobe,
-          filterExpr)
-        .filter(col("score") >= MemoOps.ScoreFloor)
+        filterExpr, floor = Some(MemoOps.ScoreFloor))
     }
   }
 
@@ -1229,11 +1265,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * per query, unordered. An empty/uncommitted store returns no rows. */
   def annRecallBatch(queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
-      filterExpr: Option[String] = None): DataFrame = {
+      filterExpr: Option[String] = None,
+      floor: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("id", LongType),
       StructField("score", DoubleType), StructField("body", StringType)))
+    releaseServingCaches()
     ensureIvf() match {
       case Some(centroids) =>
         val q = queries.select(
@@ -1245,7 +1283,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
         filterExpr match {
           case None =>
             graft.ops.IvfIndex.searchBatch(idx, centroids, q,
-                "query_id", "qv", k, math.min(nprobe, nlist))
+                "query_id", "qv", k, math.min(nprobe, nlist),
+                rawFloor = floor)
               .join(records.select(col("id"), col("body")), Seq("id"))
               .select(col("query_id"), col("id"), col("score"),
                 col("body"))
@@ -1262,7 +1301,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
                 else math.min(math.max(nprobe, 1), nlist)
               val (hits, widen) = graft.ops.IvfIndex.searchBatchFill(
                 idx, centroids, q, "query_id", "qv", k, np0,
-                allowed = Some(mask))
+                allowed = Some(mask), rawFloor = floor,
+                track = registerServingCache)
               lastBatchAnnWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
@@ -1301,11 +1341,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * rows. */
   def pqRecallBatch(queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
-      refine: Int = 4, filterExpr: Option[String] = None): DataFrame = {
+      refine: Int = 4, filterExpr: Option[String] = None,
+      floor: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("id", LongType),
       StructField("score", DoubleType), StructField("body", StringType)))
+    releaseServingCaches()
     ensurePq() match {
       case Some((centroids, codebooks)) =>
         val q = queries.select(
@@ -1318,7 +1360,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
           case None =>
             graft.ops.PqIndex.searchBatchIvfPq(codes, index, "id",
                 "embedding", centroids, codebooks, q, "query_id", "qv",
-                k, math.min(nprobe, nlist), refine)
+                k, math.min(nprobe, nlist), refine, rawFloor = floor)
               .join(records.select(col("id"), col("body")), Seq("id"))
               .select(col("query_id"), col("id"), col("score"),
                 col("body"))
@@ -1336,7 +1378,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
               val (hits, widen) = graft.ops.PqIndex.searchBatchFillIvfPq(
                 codes, index, "id", "embedding", centroids, codebooks,
                 q, "query_id", "qv", k, np0, refine,
-                allowed = Some(mask))
+                allowed = Some(mask), rawFloor = floor,
+                track = registerServingCache)
               lastBatchPqWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
@@ -1406,7 +1449,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * refine, is the fill knob; refine stays the QUALITY knob (which k
     * when survivors exceed k×refine), PQ's standard approximation. */
   def pqRecall(query: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
-      refine: Int = 4, filterExpr: Option[String] = None): DataFrame =
+      refine: Int = 4, filterExpr: Option[String] = None,
+      floor: Option[Double] = None): DataFrame =
     ensurePq() match {
       case Some((centroids, codebooks)) =>
         val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
@@ -1415,7 +1459,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
           case None =>
             graft.ops.PqIndex.searchIvfPq(codes, index, "id",
                 "embedding", centroids, codebooks, qv, k,
-                math.min(nprobe, centroids.length), refine)
+                math.min(nprobe, centroids.length), refine,
+                rawFloor = floor)
               .join(records.select(col("id"), col("body")), Seq("id"))
               .orderBy(desc("score"), col("id"))
           case Some(f) =>
@@ -1425,7 +1470,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
                   mask.count()) { np =>
                 graft.ops.PqIndex.searchIvfPq(codes, index, "id",
                   "embedding", centroids, codebooks, qv, k, np, refine,
-                  Some(mask)).collect()
+                  Some(mask), rawFloor = floor).collect()
               }
               import spark.implicits._
               spark.createDataset(hits.toSeq
@@ -2375,7 +2420,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
             val brokenD = overflowTouch || (touched && folded("bad"))
             val scalar = when(!touched, coalesce(col(s"o.$n"), lit(0L)))
               .otherwise(size(f).cast("long"))
-            val dictFinal = when(!touched, oldDict)
+            // a NEW group (no old row) whose window carried only NULL
+            // values is untouched with no oldDict — store the EMPTY map,
+            // not NULL: NULL is the overflow sentinel, and propagating it
+            // here would make the group's first real value pay a rescan
+            // instead of an O(delta) insert
+            val dictFinal = when(!touched,
+                when(oEx, oldDict).otherwise(emptyDict))
               .otherwise(when(size(f) > viewDistinctCap,
                 lit(null).cast(org.apache.spark.sql.types.MapType(
                   org.apache.spark.sql.types.StringType,

@@ -914,13 +914,19 @@ object IvfIndex {
     * the shuffle join to broadcast when the mask turns out small. */
   def search(index: DataFrame, centroids: Array[Array[Float]],
       query: Array[Float], k: Int, nprobe: Int,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      rawFloor: Option[Double] = None): DataFrame = {
     val cells = probeCells(centroids, query, nprobe)
     val probed = index.filter(col("cell_id").isin(cells: _*))
     val cand = allowed.fold(probed)(m =>
       probed.join(m.select(col("id")), Seq("id"), "left_semi"))
-    cand
-      .withColumn("score", round4(vecCosine(col("embedding"), lit(query))))
+    // rawFloor cuts on the RAW cosine BEFORE rounding and before the
+    // top-k (the serving front doors' brute-arm parity: a raw score in
+    // [floor−ε, floor) must not round up past the cut)
+    val scored = cand
+      .withColumn("_raw", vecCosine(col("embedding"), lit(query)))
+    rawFloor.fold(scored)(f => scored.filter(col("_raw") >= f))
+      .withColumn("score", round4(col("_raw")))
       .orderBy(desc("score"), col("id"))
       .limit(k)
       .select(col("id"), col("cell_id"), col("score"))
@@ -995,7 +1001,8 @@ object IvfIndex {
   def searchBatch(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, queryIdCol: String, qvCol: String,
       k: Int, nprobe: Int, maxBatch: Int = 8192,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      rawFloor: Option[Double] = None): DataFrame = {
     val idx = allowed.fold(index)(m =>
       index.join(m.select(col("id")), Seq("id"), "left_semi"))
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
@@ -1004,7 +1011,7 @@ object IvfIndex {
     // scan of the (wide) query vectors
     val ids = q.select("query_id")
     if (ids.limit(maxBatch + 1).count() <= maxBatch)
-      searchBatchSlice(idx, centroids, q, k, nprobe)
+      searchBatchSlice(idx, centroids, q, k, nprobe, rawFloor)
     else {
       val slices = ((ids.count() - 1) / maxBatch + 1).toInt
       // hash-sliced: ~maxBatch queries per slice in expectation (ids are
@@ -1012,7 +1019,7 @@ object IvfIndex {
       (0 until slices).map { i =>
         searchBatchSlice(idx, centroids,
           q.filter(pmod(xxhash64(col("query_id")), lit(slices)) === i),
-          k, nprobe)
+          k, nprobe, rawFloor)
       }.reduce(_.unionAll(_))
     }
   }
@@ -1051,14 +1058,16 @@ object IvfIndex {
   def searchBatchFill(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, queryIdCol: String, qvCol: String,
       k: Int, nprobe: Int, maxBatch: Int = 8192,
-      allowed: Option[DataFrame] = None): (DataFrame, (Int, Int)) = {
+      allowed: Option[DataFrame] = None,
+      rawFloor: Option[Double] = None,
+      track: DataFrame => Unit = _ => ()): (DataFrame, (Int, Int)) = {
     val idx = allowed.fold(index)(m =>
       index.join(m.select(col("id")), Seq("id"), "left_semi"))
     fillLadder(queries, queryIdCol, qvCol, k, nprobe, centroids.length,
-      maxBatch) { (qf, np, small) =>
-      if (small) searchBatchSlice(idx, centroids, qf, k, np)
+      maxBatch, track) { (qf, np, small) =>
+      if (small) searchBatchSlice(idx, centroids, qf, k, np, rawFloor)
       else searchBatch(idx, centroids, qf, "query_id", "qv", k, np,
-        maxBatch)
+        maxBatch, rawFloor = rawFloor)
     }
   }
 
@@ -1070,9 +1079,21 @@ object IvfIndex {
     * WHOLE batch fit under `maxBatch` (one id collect, paid once here,
     * never per rung), so the pass may skip its own slice guard. The
     * pass's output must carry a `query_id` column with ≤ k rows per
-    * query. */
+    * query.
+    *
+    * `track` receives every rung frame this ladder caches (the rung's
+    * fill-count job materializes it, so consuming the returned union
+    * reads cached blocks). The caches must OUTLIVE this call — the
+    * union is lazy — so the ladder cannot unpersist them itself;
+    * callers register them and release when the result has been
+    * consumed (the engine drains the previous serving call's rungs at
+    * the next call, bounding a long-running server's cache to one
+    * call's ladder — see `MemoEngine.releaseServingCaches`). An
+    * unpersisted rung recomputes from lineage; correctness never
+    * depends on the cache. */
   private[ops] def fillLadder(queries: DataFrame, queryIdCol: String,
-      qvCol: String, k: Int, nprobe: Int, nlist: Int, maxBatch: Int)(
+      qvCol: String, k: Int, nprobe: Int, nlist: Int, maxBatch: Int,
+      track: DataFrame => Unit = _ => ())(
       pass: (DataFrame, Int, Boolean) => DataFrame)
       : (DataFrame, (Int, Int)) = {
     val spark = queries.sparkSession
@@ -1090,6 +1111,7 @@ object IvfIndex {
     var np = math.min(math.max(nprobe, 1), nlist)
     var rungs = 0
     var cur = pass(q, np, small).cache()
+    track(cur)
     var cnt = fills(cur)
     // zero-hit queries never reach the pass output — starved derives
     // from the id set, not from the counts
@@ -1103,6 +1125,7 @@ object IvfIndex {
       rungs += 1
       cur = pass(q.join(sdf, Seq("query_id"), "left_semi"), np, small)
         .cache()
+      track(cur)
       cnt = fills(cur)
       starved = starved.filter(id => cnt.getOrElse(id, 0L) < k)
     }
@@ -1114,7 +1137,7 @@ object IvfIndex {
     * (query_id, qv)). */
   private def searchBatchSlice(index: DataFrame,
       centroids: Array[Array[Float]], q: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, rawFloor: Option[Double] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     // per-query probe cells as one narrow projection (nearestCells keeps
@@ -1123,8 +1146,11 @@ object IvfIndex {
     val probes = q.select(col("query_id"), col("qv"),
       explode(nearestCells(col("qv"), centroids, nprobe)).as("cell_id"))
     val agg = graft.functions.TopKAggregator.topK(k).toColumn
-    index.join(broadcast(probes), Seq("cell_id"))
-      .withColumn("score", round4(vecCosine(col("embedding"), col("qv"))))
+    val scored0 = index.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("_raw", vecCosine(col("embedding"), col("qv")))
+    // floor on the RAW cosine before rounding/top-k (see [[search]])
+    rawFloor.fold(scored0)(f => scored0.filter(col("_raw") >= f))
+      .withColumn("score", round4(col("_raw")))
       .select(col("query_id").as[Long],
         struct(col("id").cast("long").as("_1"), col("score").as("_2"))
           .as[(Long, Double)])

@@ -685,7 +685,8 @@ object PqIndex {
       embCol: String, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], query: Array[Float],
       k: Int, nprobe: Int, refine: Int = 4,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      rawFloor: Option[Double] = None): DataFrame = {
     val cells = IvfIndex.probeCells(centroids, query, nprobe)
     val probed = codes.filter(col("cell_id").isin(cells: _*))
     val masked = allowed.fold(probed)(m =>
@@ -698,10 +699,15 @@ object PqIndex {
       .select("id")
     // drop the candidate side's id right after the join: with idCol ==
     // "id" the two would otherwise collide and every later col(idCol)
-    // reference is ambiguous
-    corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
+    // reference is ambiguous. rawFloor cuts on the refine stage's RAW
+    // cosine (the only exact score this family computes) BEFORE rounding
+    // and the final top-k — the serving front doors' brute-arm parity;
+    // the approximate ADC candidate stage is never floored.
+    val refined = corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
       .drop(cand("id"))
-      .withColumn("score", round4(vecCosine(col(embCol), lit(query))))
+      .withColumn("_raw", vecCosine(col(embCol), lit(query)))
+    rawFloor.fold(refined)(f => refined.filter(col("_raw") >= f))
+      .withColumn("score", round4(col("_raw")))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
       .select(col(idCol), col("score"))
@@ -766,27 +772,32 @@ object PqIndex {
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
       queryIdCol: String, qvCol: String, k: Int, nprobe: Int,
       refine: Int = 4, maxBatch: Int = 8192,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      rawFloor: Option[Double] = None): DataFrame = {
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(qvCol).as("qv"))
     val cand = searchBatchAdc(codes, centroids, codebooks, q,
       "query_id", "qv", k * refine, nprobe, maxBatch, allowed)
-    refineBatch(cand, corpus, idCol, embCol, q, k)
+    refineBatch(cand, corpus, idCol, embCol, q, k, rawFloor)
   }
 
   /** The exact-cosine re-rank stage of [[searchBatchIvfPq]], shared
     * with the fill ladder: join the ADC candidates back to their raw
     * vectors, score each against its own query, keep k per query. */
   private def refineBatch(cand: DataFrame, corpus: DataFrame,
-      idCol: String, embCol: String, q: DataFrame, k: Int): DataFrame = {
+      idCol: String, embCol: String, q: DataFrame, k: Int,
+      rawFloor: Option[Double] = None): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
     val agg = graft.functions.TopKAggregator.topK(k).toColumn
-    cand.select(col("query_id"), col("id"))
+    val scored0 = cand.select(col("query_id"), col("id"))
       .join(corpus.select(col(idCol).cast("long").as("id"),
         col(embCol).as("_emb")), Seq("id"))
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("score", round4(vecCosine(col("_emb"), col("qv"))))
+      .withColumn("_raw", vecCosine(col("_emb"), col("qv")))
+    // floor on the refine stage's RAW cosine (see [[searchIvfPq]])
+    rawFloor.fold(scored0)(f => scored0.filter(col("_raw") >= f))
+      .withColumn("score", round4(col("_raw")))
       .select(col("query_id").as[Long],
         struct(col("id").cast("long").as("_1"), col("score").as("_2"))
           .as[(Long, Double)])
@@ -811,17 +822,19 @@ object PqIndex {
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
       queryIdCol: String, qvCol: String, k: Int, nprobe: Int,
       refine: Int = 4, maxBatch: Int = 8192,
-      allowed: Option[DataFrame] = None): (DataFrame, (Int, Int)) = {
+      allowed: Option[DataFrame] = None,
+      rawFloor: Option[Double] = None,
+      track: DataFrame => Unit = _ => ()): (DataFrame, (Int, Int)) = {
     val cds = allowed.fold(codes)(m =>
       codes.join(m.select(col("id")), Seq("id"), "left_semi"))
     IvfIndex.fillLadder(queries, queryIdCol, qvCol, k, nprobe,
-      centroids.length, maxBatch) { (qf, np, small) =>
+      centroids.length, maxBatch, track) { (qf, np, small) =>
       val cand =
         if (small) searchBatchAdcSlice(cds, centroids, codebooks, qf,
           k * refine, np)
         else searchBatchAdc(cds, centroids, codebooks, qf, "query_id",
           "qv", k * refine, np, maxBatch)
-      refineBatch(cand, corpus, idCol, embCol, qf, k)
+      refineBatch(cand, corpus, idCol, embCol, qf, k, rawFloor)
     }
   }
 

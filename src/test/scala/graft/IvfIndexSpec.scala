@@ -689,4 +689,37 @@ class IvfIndexSpec extends SparkTestBase {
     emb.unpersist()
     ()
   }
+
+  test("rawFloor cuts on the RAW cosine before rounding AND before the " +
+      "top-k — the serving front doors' brute-arm floor parity") {
+    import spark.implicits._
+    // unit 2-d vectors: the cosine against q=(1,0) IS the x component,
+    // so the floor boundary is exactly controllable. id 1's raw −0.90004
+    // ROUNDS to −0.9000 (it would pass a post-round `score >= −0.9`
+    // filter — the bug this pins against) but sits BELOW the raw floor;
+    // id 2's −0.89996 rounds to the same −0.9000 and sits above it.
+    def v(x: Double) =
+      Seq(x.toFloat, math.sqrt(math.max(0.0, 1 - x * x)).toFloat)
+    val emb = Seq((1L, v(-0.90004)), (2L, v(-0.89996)), (3L, v(0.5)))
+      .toDF("id", "embedding")
+    val centroids = Array(Array(1f, 0f), Array(-1f, 0f))
+    val idx = IvfIndex.build(emb, "id", "embedding", centroids)
+    val q = Array(1f, 0f)
+    val unfloored = IvfIndex.search(idx, centroids, q, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(unfloored == Set(1L, 2L, 3L))
+    val floored = IvfIndex.search(idx, centroids, q, k = 10, nprobe = 2,
+        rawFloor = Some(-0.9))
+      .collect().map(_.getLong(0)).toSet
+    assert(floored == Set(2L, 3L),
+      "raw −0.90004 rounds to −0.9000 but must not pass the raw floor")
+    // the floor runs BEFORE the top-k: with k=2 the sub-floor row must
+    // not occupy a slot (a post-top-k filter would return only {3})
+    val batchQ = Seq((7L, q.toSeq)).toDF("query_id", "qv")
+    val batch = IvfIndex.searchBatch(idx, centroids, batchQ,
+        "query_id", "qv", k = 2, nprobe = 2, rawFloor = Some(-0.9))
+      .collect().map(_.getLong(1)).toSet
+    assert(batch == Set(2L, 3L),
+      s"sub-floor row wasted a top-k slot: $batch")
+  }
 }

@@ -905,6 +905,36 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("batch ladder rung caches: registered per call, drained on the " +
+      "NEXT serving call — a long-running server pins one ladder, not " +
+      "every call's") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val engine = filteredAnnStore()
+    val queries = Seq((0L, "topic1 theme2")).toDF("qid", "qtext")
+    def serveOnce(): Unit =
+      engine.annRecallBatch(queries, "qid", "qtext", k = 5, nprobe = 1,
+        filterExpr = Some("{part: p1}")).collect()
+    serveOnce() // nprobe=1 on p1 widens: >= 2 rungs cached
+    val first = engine.servingCaches.toList
+    assert(first.size >= 2,
+      s"widening ladder must register its rung caches, got ${first.size}")
+    assert(first.forall(_.storageLevel != StorageLevel.NONE),
+      "rung frames must be cached while the result is live")
+    serveOnce() // entry drains the PREVIOUS call's rungs
+    assert(first.forall(_.storageLevel == StorageLevel.NONE),
+      "previous call's rung caches must be unpersisted by the next call")
+    val second = engine.servingCaches.toList
+    assert(second.nonEmpty && second.forall(d => !first.exists(_ eq d)),
+      "registry must hold only the live call's rungs")
+    // explicit release: registry empties, frames unpersist (consuming a
+    // released frame recomputes from lineage — correctness is unaffected)
+    engine.releaseServingCaches()
+    assert(engine.servingCaches.isEmpty)
+    assert(second.forall(_.storageLevel == StorageLevel.NONE))
+    engine.clean()
+  }
+
   test("pqRecallBatch: compressed batch serving with per-query parity, " +
       "filter mask, and the exact-fill ladder") {
     val engine = filteredAnnStore()

@@ -577,6 +577,45 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("a group born with only NULL distinct values gets the EMPTY " +
+      "dictionary, not the overflow sentinel — its first real value is " +
+      "an O(delta) insert, never a rescan") {
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlS("seed a", "a", "s1"))
+    engine.viewState("dnull", key, DD, DDAggs)
+    assert(mode(engine) == "rebuild")
+    // group c arrives with NO src key at all: doc_count moves, but the
+    // distinct measure sees only NULLs — touched=false, no old row
+    engine.save(yamlDoc("c zero no src", Some("c")))
+    val v = engine.viewState("dnull", key, DD, DDAggs)
+    assert(mode(engine) == "incremental")
+    assert(collected(v) == directD(engine, key))
+    assert(collected(v).find(_._1 == "sc").get._3 == 0L)
+    // the group's FIRST real value: an empty dictionary answers it
+    // O(delta); a NULL-poisoned one would fire the group-scoped rescan
+    engine.save(yamlS("c one", "c", "s9"))
+    val v2 = engine.viewState("dnull", key, DD, DDAggs)
+    assert(mode(engine) == "incremental",
+      s"empty dictionary must not masquerade as overflow, " +
+        s"got ${mode(engine)}")
+    assert(scanned(engine).nonEmpty &&
+      scanned(engine).forall(_.contains("/v2/")),
+      s"first value add must read only v2's delta: ${scanned(engine)}")
+    assert(collected(v2) == directD(engine, key))
+    assert(collected(v2).find(_._1 == "sc").get._3 == 1L)
+    // and the dictionary really is live: retracting that value is covered
+    import spark.implicits._
+    engine.applyChanges(Seq((2L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v3 = engine.viewState("dnull", key, DD, DDAggs)
+    assert(mode(engine) == "incremental")
+    assert(collected(v3) == directD(engine, key))
+    assert(collected(v3).find(_._1 == "sc").get._3 == 0L)
+    engine.clean()
+  }
+
   test("a distinct value added and retracted across steps of ONE refresh " +
       "window cancels in the dictionary") {
     import spark.implicits._

@@ -697,4 +697,41 @@ class PqIndexSpec extends SparkTestBase {
     val d = new java.io.File(path)
     d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
   }
+
+  test("rawFloor cuts on the refine stage's RAW cosine — the IVF family's " +
+      "boundary semantics on the compressed path") {
+    import spark.implicits._
+    // same boundary construction as IvfIndexSpec's raw-floor pin: id 1's
+    // raw cosine −0.90004 rounds to −0.9000 (passes a post-round floor)
+    // but must fall to the raw cut; refine=4 keeps every candidate past
+    // the ADC stage, so membership is exact regardless of quantization
+    def v(x: Double) =
+      Seq(x.toFloat, math.sqrt(math.max(0.0, 1 - x * x)).toFloat)
+    val tiny = Seq((1L, v(-0.90004)), (2L, v(-0.89996)), (3L, v(0.5)))
+      .toDF("id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_floor")
+      .resolve("idx").toString
+    val (cents, cbs) = PqIndex.buildIfAbsentIvfPq(tiny, "id", "embedding",
+      nlist = 2, m = 2, ksub = 2, path)
+    val codes = PqIndex.loadCodes(spark, path)
+    val q = Array(1f, 0f)
+    val unfloored = PqIndex.searchIvfPq(codes, tiny, "id", "embedding",
+        cents, cbs, q, k = 10, nprobe = 2, refine = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(unfloored == Set(1L, 2L, 3L))
+    val floored = PqIndex.searchIvfPq(codes, tiny, "id", "embedding",
+        cents, cbs, q, k = 10, nprobe = 2, refine = 4,
+        rawFloor = Some(-0.9))
+      .collect().map(_.getLong(0)).toSet
+    assert(floored == Set(2L, 3L),
+      "raw −0.90004 rounds to −0.9000 but must not pass the raw floor")
+    // batch twin, floor before the per-query top-k: the sub-floor row
+    // must not occupy a k=2 slot
+    val batchQ = Seq((9L, q.toSeq)).toDF("query_id", "qv")
+    val batch = PqIndex.searchBatchIvfPq(codes, tiny, "id", "embedding",
+        cents, cbs, batchQ, "query_id", "qv", k = 2, nprobe = 2,
+        refine = 4, rawFloor = Some(-0.9))
+      .collect().map(_.getLong(1)).toSet
+    assert(batch == Set(2L, 3L), s"sub-floor row wasted a top-k slot: $batch")
+  }
 }
