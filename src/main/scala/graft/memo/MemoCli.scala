@@ -3,6 +3,7 @@ package graft.memo
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.filter.FilterAlgebra
 
@@ -10,7 +11,7 @@ import graft.filter.FilterAlgebra
   * (/root/reference/SKILL.md:96-151, memo_cli.py:727-949):
   *
   *   memo-cli -f <base> save <file.yaml>
-  *   memo-cli -f <base> recall [-k N] [--filter EXPR] [--yaml] [--ann|--pq [--nprobe N]] <query...>
+  *   memo-cli -f <base> recall [-k N] [--filter EXPR] [--yaml] [--ann|--pq|--serve [--nprobe N]] [--hybrid] <query...>
   *   memo-cli -f <base> analyze --filter EXPR [--fields a,b] [--stats KEY]
   *                      [--limit N] [--offset N]
   *   memo-cli -f <base> clean
@@ -106,7 +107,7 @@ object MemoCli {
     println("Usage:")
     println("  memo --help")
     println("  memo -f <base> [-v] save <yaml_file>")
-    println("  memo -f <base> [-v] recall [-k <N>] [--filter <expr>] [--yaml] [--ann|--pq [--nprobe <N>]] <query>")
+    println("  memo -f <base> [-v] recall [-k <N>] [--filter <expr>] [--yaml] [--ann|--pq|--serve [--nprobe <N>]] [--hybrid] <query>")
     println("  memo -f <base> [-v] analyze --filter <expr> [--fields <list>] " +
       "[--stats <key>] [--limit <N>] [--offset <N>]")
     println("  memo -f <base> [-v] clean")
@@ -129,7 +130,9 @@ object MemoCli {
     println("  --filter <expr>    Filter recall results by metadata")
     println("  --yaml             recall only: emit YAML results with id, score, body")
     println("  --ann | --pq       recall only: serve from the maintained IVF / IVF-PQ artifact")
-    println("  --nprobe <N>       with --ann/--pq: probe cells (widened to fill under --filter)")
+    println("  --serve            recall only: route brute/IVF/PQ by the store's stats sidecars")
+    println("  --hybrid           recall only: BM25+semantic reciprocal-rank fusion (with --ann/--serve)")
+    println("  --nprobe <N>       with --ann/--pq/--serve: probe cells (widened to fill under --filter)")
     println("  --fields <list>    analyze only: comma-separated columns (e.g. id,source,metadata)")
     println("  --stats <key>      analyze only: cardinality + numeric/date-like range for key")
     println("  --limit <N>        analyze only: max rows to print (default: 100)")
@@ -232,12 +235,19 @@ object MemoCli {
     * ([[MemoEngine.recallServe]]) instead of naming an arm — brute
     * under the sidecar row bound, IVF under the byte budget, PQ past
     * it — the front door a caller who doesn't know the store's size
-    * should use. The three mode flags are mutually exclusive. */
+    * should use. The three mode flags are mutually exclusive.
+    * `--hybrid` reranks by reciprocal-rank fusion of the lexical
+    * (BM25) and semantic lists ([[MemoEngine.hybridRecall]]); it
+    * composes with `--ann` (IVF semantic leg) and with `--serve`
+    * ([[MemoEngine.hybridServe]] — the routed semantic leg), but not
+    * with `--pq` (naming the compressed arm by hand is what `--serve`
+    * replaces; the router picks it when the byte budget says so). */
   private def cmdRecall(engine: MemoEngine, args: List[String]): Int = {
     var k = MemoOps.DefaultK
     var filter: Option[String] = None
     var yaml = false
     var mode = "exact"
+    var hybrid = false
     var nprobe = 4
     var nprobeSet = false
     val queryParts = List.newBuilder[String]
@@ -276,6 +286,7 @@ object MemoCli {
           return 1
         }
         mode = "serve"; it = rest
+      case "--hybrid" :: rest => hybrid = true; it = rest
       case "--nprobe" :: rest =>
         val v = rest.headOption.flatMap(_.toIntOption).filter(_ >= 1)
         if (v.isEmpty) {
@@ -293,6 +304,11 @@ object MemoCli {
       System.err.println("Error: --nprobe requires --ann, --pq, or --serve")
       return 1
     }
+    if (hybrid && mode == "pq") {
+      System.err.println(
+        "Error: --hybrid composes with --ann or --serve, not --pq")
+      return 1
+    }
     val query = queryParts.result().mkString(" ").trim
     if (query.isEmpty) {
       System.err.println("Error: recall requires <query>")
@@ -308,7 +324,18 @@ object MemoCli {
           return 1
       }
     }
-    val rows = (mode match {
+    val rows = (if (hybrid) {
+      // hybrid frames carry (id, rrf_score, per-list ranks, body) —
+      // project to the printer's (id, score, body) contract, the fused
+      // score in the score slot
+      (mode match {
+        case "ann" => engine.hybridRecall(query, k, filter, ann = true,
+          annNprobe = nprobe)
+        case "serve" => engine.hybridServe(query, k, filter,
+          nprobe = nprobe)
+        case _ => engine.hybridRecall(query, k, filter)
+      }).select(col("id"), col("rrf_score"), col("body"))
+    } else mode match {
       case "ann" => engine.annRecall(query, k, nprobe, filter)
       case "pq" => engine.pqRecall(query, k, nprobe, filterExpr = filter)
       case "serve" => engine.recallServe(query, k, filter, nprobe)

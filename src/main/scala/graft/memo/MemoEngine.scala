@@ -1599,11 +1599,63 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def hybridRecall(query: String, k: Int = MemoOps.DefaultK,
       filterExpr: Option[String] = None, perList: Int = 50,
       ann: Boolean = false, annNprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(desc("score"), col("id"))
     val vecBase =
       if (ann) annRecall(query, perList, annNprobe, filterExpr)
       else recall(query, perList, filterExpr)
+    hybridFuse(query, k, filterExpr, perList, vecBase)
+  }
+
+  /** The SERVING front door for hybrid retrieval — [[recallServe]]'s
+    * selectivity-aware routing applied to [[hybridRecall]]'s SEMANTIC
+    * leg, replacing the manual `ann` knob with the same driver-side
+    * sidecar bounds every other serving surface routes on (the lexical
+    * leg always serves O(probe) from the postings artifact — it has no
+    * arm to choose). Filtered and under `bruteRows` stats-surviving
+    * rows → the exact pruned brute ranking; over the `pqBytes`
+    * raw-vector footprint → the compressed IVF-PQ probe; between → the
+    * plain IVF probe. Unfiltered never brutes (that IS the corpus scan
+    * the artifacts exist to avoid).
+    *
+    * ROUTE PARITY: the probe arms floor the RAW cosine inside the
+    * kernels exactly as the brute leg ([[MemoOps.recall]]) does, so at
+    * full probe all three semantic legs produce the identical candidate
+    * list and therefore the identical fused ranking (rank fusion
+    * amplifies list differences — which is why the floor parity matters
+    * MORE here than on [[recallServe]]); at serving nprobe the residual
+    * divergence is ANN approximation itself, never the floor and never
+    * the route. Reports its decision through the [[lastServeRoute]]
+    * seam. */
+  def hybridServe(query: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None, perList: Int = 50,
+      nprobe: Int = 4, bruteRows: Long = 4096L,
+      pqBytes: Long = MemoEngine.DefaultServePqBytes): DataFrame = {
+    val bound = serveBound(filterExpr)
+    val vecBase =
+      if (filterExpr.isDefined && bound <= bruteRows) {
+        lastServeRoute = Some(("brute", bound))
+        recall(query, perList, filterExpr)
+      } else if (serveVecBytes(bound) > pqBytes) {
+        lastServeRoute = Some(("pq", bound))
+        pqRecall(query, perList, nprobe, filterExpr = filterExpr,
+          floor = Some(MemoOps.ScoreFloor))
+      } else {
+        lastServeRoute = Some(("ann", bound))
+        annRecall(query, perList, nprobe, filterExpr,
+          floor = Some(MemoOps.ScoreFloor))
+      }
+    hybridFuse(query, k, filterExpr, perList, vecBase)
+  }
+
+  /** [[hybridRecall]]'s fusion tail, shared with [[hybridServe]]: rank
+    * the semantic leg, probe the postings artifact for the lexical leg,
+    * fuse by reciprocal rank, join bodies. `vecBase` is the semantic
+    * leg's (id, score, …) frame — the ONLY part the entry points
+    * choose. */
+  private def hybridFuse(query: String, k: Int,
+      filterExpr: Option[String], perList: Int,
+      vecBase: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("score"), col("id"))
     val vec = vecBase
       .select(col("id"), col("score"))
       .withColumn("rank", row_number().over(w))
@@ -1661,29 +1713,91 @@ class MemoEngine(spark: SparkSession, basePath: String,
       queryTextCol: String, k: Int = MemoOps.DefaultK,
       filterExpr: Option[String] = None, perList: Int = 50,
       ann: Boolean = false, annNprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    if (currentVersion.isEmpty) return emptyFrame(hybridBatchSchema)
+    val vecBase =
+      if (ann) annRecallBatch(queries, queryIdCol, queryTextCol, perList,
+        annNprobe, filterExpr)
+      else bruteVecBatch(queries, queryIdCol, queryTextCol, perList,
+        filterExpr)
+    hybridFuseBatch(queries, queryIdCol, queryTextCol, k, filterExpr,
+      perList, vecBase)
+  }
+
+  /** [[hybridServe]]'s BATCH twin — ONE route decision for the whole
+    * batch's semantic leg off the same sidecar bounds (the bounds
+    * depend on the filter, not the query texts), then
+    * [[hybridRecallBatch]]'s one-probe-per-leg machinery: one postings
+    * probe answers every query's lexical leg, the routed semantic leg
+    * is one brute pass / one IVF batch probe (exact-fill ladder
+    * included) / one compressed batch probe, and fusion is the
+    * identical floor-8 DECIMAL arithmetic per (query, id). Probe arms
+    * floor the RAW cosine (see [[hybridServe]]'s route-parity note).
+    * Returns (query_id, id, rrf_score, r_bm25, r_vec, body), top-k SET
+    * per query, unordered. */
+  def hybridServeBatch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = MemoOps.DefaultK,
+      filterExpr: Option[String] = None, perList: Int = 50,
+      nprobe: Int = 4, bruteRows: Long = 4096L,
+      pqBytes: Long = MemoEngine.DefaultServePqBytes): DataFrame = {
+    if (currentVersion.isEmpty) return emptyFrame(hybridBatchSchema)
+    val bound = serveBound(filterExpr)
+    val vecBase =
+      if (filterExpr.isDefined && bound <= bruteRows) {
+        lastServeRoute = Some(("brute", bound))
+        bruteVecBatch(queries, queryIdCol, queryTextCol, perList,
+          filterExpr)
+      } else if (serveVecBytes(bound) > pqBytes) {
+        lastServeRoute = Some(("pq", bound))
+        pqRecallBatch(queries, queryIdCol, queryTextCol, perList, nprobe,
+          filterExpr = filterExpr, floor = Some(MemoOps.ScoreFloor))
+      } else {
+        lastServeRoute = Some(("ann", bound))
+        annRecallBatch(queries, queryIdCol, queryTextCol, perList, nprobe,
+          filterExpr, floor = Some(MemoOps.ScoreFloor))
+      }
+    hybridFuseBatch(queries, queryIdCol, queryTextCol, k, filterExpr,
+      perList, vecBase)
+  }
+
+  private def hybridBatchSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val outSchema = StructType(Seq(
+    StructType(Seq(
       StructField("query_id", LongType), StructField("id", LongType),
       StructField("rrf_score", DoubleType),
       StructField("r_bm25", IntegerType), StructField("r_vec", IntegerType),
       StructField("body", StringType)))
-    if (currentVersion.isEmpty) return emptyFrame(outSchema)
+  }
+
+  /** The EXACT batch semantic leg ([[MemoOps.recallBatch]] over the
+    * stats-pruned frame) — [[hybridRecallBatch]]'s default arm and
+    * [[hybridServeBatch]]'s brute route. */
+  private def bruteVecBatch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, perList: Int,
+      filterExpr: Option[String]): DataFrame = {
+    val qe = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      graft.functions.GraftFunctions.embedText(col(queryTextCol))
+        .as("qv"))
+    val (baseR, idx) = filterExpr.fold((records, index))(prunedPair)
+    MemoOps.recallBatch(baseR.join(idx, Seq("id")), qe, perList,
+      filterExpr)
+  }
+
+  /** [[hybridRecallBatch]]'s fusion tail, shared with
+    * [[hybridServeBatch]]: per-query ranks on the semantic leg, ONE
+    * term-pruned postings probe for the lexical leg (token-free queries
+    * degrade per query), floor-8 DECIMAL reciprocal-rank fusion, body
+    * join. `vecBase` is the semantic leg's (query_id, id, score, …)
+    * frame — the only part the entry points choose. */
+  private def hybridFuseBatch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int, filterExpr: Option[String],
+      perList: Int, vecBase: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       col(queryTextCol).as("_qtext"))
     val wq = Window.partitionBy("query_id")
       .orderBy(desc("score"), col("id"))
-    val vecBase =
-      if (ann) annRecallBatch(queries, queryIdCol, queryTextCol, perList,
-        annNprobe, filterExpr)
-      else {
-        val qe = q.select(col("query_id"),
-          graft.functions.GraftFunctions.embedText(col("_qtext")).as("qv"))
-        val (baseR, idx) = filterExpr.fold((records, index))(prunedPair)
-        MemoOps.recallBatch(baseR.join(idx, Seq("id")), qe, perList,
-          filterExpr)
-      }
     val vec = vecBase.select(col("query_id"), col("id"), col("score"))
       .withColumn("rank", row_number().over(wq))
     ensureLexical()

@@ -826,6 +826,90 @@ object MemoQueries {
     engine.analyzeProject("kb: b2", Seq("id", "kb"), limit = 300)
   }
 
+  /** The hybrid SERVING front door end-to-end (the r16
+    * `hybridServe` router: semantic leg brute/IVF/PQ off the stats
+    * sidecars, lexical leg always the postings probe): the q101 store
+    * shape, a filtered hybrid query with perList ≥ survivors at full
+    * probe — so each semantic arm returns EXACTLY the non-blank
+    * survivor ranking and the fused id set is the survivor set
+    * (replayed by DuckDB from the minting + thirds-cut + blank rules;
+    * rrf scores ride hash-embed cosine ranks, not SQL-expressible).
+    * The build REQUIRES (a) the floor bit no survivor — the id-set
+    * claim's soundness guard — and every serve call REQUIRES (b) all
+    * THREE routes return the identical fused ranking (ids, scores,
+    * per-list ranks): the router's whole contract, exercised at sf
+    * scale on every run. BUILD-ONCE per sf-dir; a bench repeat prices
+    * three routed hybrid serves. */
+  private val q111HybridServe: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q111hserve", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(240)
+        .collect() // bounded by construction: ≤240 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q111 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {part: p${math.min(i / third, 2)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      java.nio.file.Files.createFile(done)
+    }
+    val f = Some("part: p1")
+    val q = "shared topic language"
+    // soundness guard for the id-set oracle: every non-blank survivor
+    // scores above the −0.9 floor (recall floors the raw cosine), so
+    // the vec leg alone already carries the whole survivor set
+    val survivors = engine.records
+      .filter(graft.filter.FilterAlgebra.compile("part: p1",
+        col("metadata")))
+      .filter(!graft.functions.GraftFunctions.isBlank(col("body")))
+      .count()
+    require(survivors >= 1 && survivors <= 100,
+      s"q111 expected 1..100 survivors, got $survivors")
+    val bruteN = engine.recall(q, k = 120, filterExpr = f).count()
+    require(bruteN == survivors,
+      s"q111 floor guard failed: recall filled $bruteN of $survivors " +
+        "survivors — the id-set oracle would be unsound")
+    // ROUTE PARITY, loud on every run: at full probe with perList ≥
+    // survivors the three semantic arms are provably equal, so the
+    // fused rankings must match bit-for-bit (ids, rrf scores, ranks)
+    def route(bruteRows: Long, pqBytes: Long, expect: String) = {
+      val out = engine.hybridServe(q, k = 120, filterExpr = f,
+          perList = 120, nprobe = graft.memo.MemoEngine.AnnNlist,
+          bruteRows = bruteRows, pqBytes = pqBytes)
+        .select(col("id"), col("rrf_score"), col("r_bm25"), col("r_vec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq
+      val got = engine.lastServeRoute.map(_._1).getOrElse("?")
+      require(got == expect, s"q111 expected route $expect, got $got")
+      out
+    }
+    val viaBrute = route(4096L, Long.MaxValue, "brute")
+    val viaAnn = route(0L, Long.MaxValue, "ann")
+    val viaPq = route(0L, 0L, "pq")
+    require(viaAnn == viaBrute,
+      "q111 ann-routed fused ranking diverged from the brute route")
+    require(viaPq == viaBrute,
+      "q111 pq-routed fused ranking diverged from the brute route")
+    require(viaBrute.length.toLong == survivors,
+      s"q111 fused ranking has ${viaBrute.length} rows, " +
+        s"expected $survivors")
+    import s.implicits._
+    viaBrute.map(_._1).sorted.toDF("id").orderBy("id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -852,6 +936,7 @@ object MemoQueries {
     "q105_view_distinct" -> q105ViewDistinct,
     "q107_view_filtered" -> q107ViewFiltered,
     "q109_view_count" -> q109ViewCount,
+    "q111_hybrid_serve" -> q111HybridServe,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1031,6 +1116,21 @@ object MemoQueries {
         |SELECT d.id, 'p1' AS part FROM d, p
         |WHERE least(d.id // p.third, 2) = 1
         |ORDER BY d.id LIMIT 200""".stripMargin,
+    // q111 replay: q101's argument lifted to the hybrid front door —
+    // perList ≥ survivors at full probe makes every semantic arm the
+    // exact survivor ranking (floor guarded non-binding at build), the
+    // fused id set is the survivor set whatever the route, and the
+    // route-parity requires run INSIDE the query. 240-doc fixture.
+    "q111_hybrid_serve" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id, text
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 240)),
+        |p AS (SELECT count(*) // 3 AS third FROM d)
+        |SELECT d.id FROM d, p
+        |WHERE least(d.id // p.third, 2) = 1
+        |  AND d.text IS NOT NULL
+        |  AND trim(regexp_replace(d.text, '\s+', ' ', 'g')) <> ''
+        |ORDER BY d.id""".stripMargin,
     // q101 replay: the filtered ANN fill contract — k exceeds the
     // survivor count and widening probes every cell, so the result is
     // exactly the p1 third's NON-BLANK rows (blank bodies are never

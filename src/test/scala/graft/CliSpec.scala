@@ -137,6 +137,28 @@ class CliSpec extends SparkTestBase {
       // --nprobe is legal with --serve (the probe arms take it)
       val (code9, _) = run("-f", db, "recall", "--serve", "--nprobe", "8", "q")
       assert(code9 == 0)
+      // --hybrid: fused ranking in the same block format — the fused
+      // score sits in the score slot, body lines unchanged
+      val (codeH, hyb) = run("-f", db, "recall", "-k", "2", "--hybrid",
+        "peanuts", "info")
+      assert(codeH == 0)
+      val hl = hyb.split("\n")
+      assert(hl(0) == "Top 2 results:")
+      assert(hl(1).matches("""  \[\d+\] Score: \d\.\d{4} \|"""),
+        s"hybrid row format diverged: ${hl(1)}")
+      // --hybrid --serve routes the semantic leg; tiny filtered store →
+      // brute arm → byte-identical to plain --hybrid under the filter
+      val (codeHS, hybServed) = run("-f", db, "recall", "-k", "2",
+        "--hybrid", "--serve", "--filter", "{source: user}",
+        "peanuts", "info")
+      val (_, hybF) = run("-f", db, "recall", "-k", "2", "--hybrid",
+        "--filter", "{source: user}", "peanuts", "info")
+      assert(codeHS == 0 && hybServed == hybF,
+        s"--hybrid --serve brute route diverged:\n$hybServed\nvs\n$hybF")
+      // --hybrid composes with --ann/--serve, not --pq (the router owns
+      // the compressed arm)
+      val (codeHP, _) = run("-f", db, "recall", "--hybrid", "--pq", "q")
+      assert(codeHP == 1)
       run("-f", db, "clean")
     }
   }

@@ -1117,6 +1117,87 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("hybridServe routes the semantic leg brute/IVF/PQ off the sidecar " +
+      "bounds; at full probe ALL THREE arms return the identical fused " +
+      "ranking") {
+    import org.apache.spark.sql.functions.col
+    val engine = filteredAnnStore()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("rrf_score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val f = Some("{part: p1}")
+    def serve(bruteRows: Long, pqBytes: Long) = {
+      val r = rows(engine.hybridServe("topic1 theme2", k = 8,
+        filterExpr = f, nprobe = MemoEngine.AnnNlist,
+        bruteRows = bruteRows, pqBytes = pqBytes))
+      (r, engine.lastServeRoute.map(_._1).getOrElse("?"))
+    }
+    // route decisions mirror recallServe's: row bound, then byte budget
+    val (viaBrute, r1) = serve(4096L, MemoEngine.DefaultServePqBytes)
+    assert(r1 == "brute", s"expected brute route, got $r1")
+    val (viaAnn, r2) = serve(10L, MemoEngine.DefaultServePqBytes)
+    assert(r2 == "ann", s"expected ann route, got $r2")
+    val (viaPq, r3) = serve(10L, 64L)
+    assert(r3 == "pq", s"expected pq route, got $r3")
+    // the brute route IS hybridRecall's default arm
+    val manual = rows(engine.hybridRecall("topic1 theme2", k = 8,
+      filterExpr = f))
+    assert(viaBrute == manual,
+      "brute-routed hybridServe diverged from hybridRecall")
+    // ARM EQUALITY at full probe: the semantic legs are provably equal
+    // there (exact filtered ranking, raw floor identical), and rank
+    // fusion of equal lists is equal — so the route cannot change the
+    // fused ranking
+    assert(viaAnn == viaBrute,
+      s"ann-routed fused ranking diverged: $viaAnn vs $viaBrute")
+    assert(viaPq == viaBrute,
+      s"pq-routed fused ranking diverged: $viaPq vs $viaBrute")
+    // unfiltered never brutes — the probe arm serves
+    rows(engine.hybridServe("topic1 theme2", k = 8,
+      nprobe = MemoEngine.AnnNlist))
+    assert(engine.lastServeRoute.exists(r => r._1 == "ann"),
+      s"unfiltered hybridServe must probe, got ${engine.lastServeRoute}")
+    engine.clean()
+  }
+
+  test("hybridServeBatch: one route decision per batch, per-query parity " +
+      "with hybridServe on every route, token-free degradation included") {
+    val engine = filteredAnnStore()
+    import spark.implicits._
+    val queries = Seq((0L, "topic1 theme2"), (1L, "topic3 note"),
+      (2L, "")).toDF("qid", "qtext") // query 2: token-free, vec-only leg
+    def batchSets(filter: Option[String], bruteRows: Long, pqBytes: Long) =
+      engine.hybridServeBatch(queries, "qid", "qtext", k = 10,
+          filterExpr = filter, perList = 20,
+          nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+          pqBytes = pqBytes)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def singleSet(q: String, filter: Option[String], bruteRows: Long,
+        pqBytes: Long) =
+      engine.hybridServe(q, k = 10, filterExpr = filter, perList = 20,
+          nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+          pqBytes = pqBytes)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val cases = Seq(
+      ("brute", Some("{part: p1}"), 4096L, MemoEngine.DefaultServePqBytes),
+      ("ann", Some("{part: p1}"), 10L, MemoEngine.DefaultServePqBytes),
+      ("pq", Some("{part: p1}"), 10L, 64L),
+      ("ann", None, 4096L, MemoEngine.DefaultServePqBytes))
+    cases.foreach { case (route, f, br, pb) =>
+      val batch = batchSets(f, br, pb)
+      assert(engine.lastServeRoute.exists(_._1 == route),
+        s"expected route $route, got ${engine.lastServeRoute}")
+      queries.collect().foreach { r =>
+        val single = singleSet(r.getString(1), f, br, pb)
+        assert(batch.getOrElse(r.getLong(0), Set.empty) == single,
+          s"hybrid serve batch (route=$route filter=$f) diverged for " +
+            s"'${r.getString(1)}'")
+      }
+    }
+    engine.clean()
+  }
+
   test("admitNew gates a batch against engine-MAINTAINED signatures, O(batch)") {
     import spark.implicits._
     val (engine, db) = freshEngine()
