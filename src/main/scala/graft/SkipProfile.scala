@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
 object SkipProfile {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(
-        Set("cluster", "dict", "zorder", "fann", "phases")) match {
+        Set("cluster", "dict", "zorder", "fann", "phases",
+          "bm25batch")) match {
       case Some(m) => m
       case None => "range"
     }
@@ -44,6 +45,8 @@ object SkipProfile {
       case "zorder" => segsList.foreach(runZorder(spark, _, docsPerSeg))
       case "fann" => segsList.foreach(runFann(spark, _, docsPerSeg))
       case "phases" => segsList.foreach(runPhases(spark, _, docsPerSeg))
+      case "bm25batch" =>
+        segsList.foreach(runBm25Batch(spark, _, docsPerSeg))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
@@ -290,6 +293,53 @@ object SkipProfile {
       f"kept=$kept/$total survivors=$survivors mask=$tMask%.3fs " +
       rungs.mkString(" ") + f" | annRecall(np1,widening)=$tServe%.3fs")
     engine.clean()
+    ()
+  }
+
+  /** The batch-vocabulary pruning leg ([[graft.ops.Lexical
+    * .searchBm25Batch]]'s threshold switch, BENCH_NOTES r16): at a
+    * pipeline-scale union vocabulary (`nTerms` distinct batch terms over
+    * a `docs`-doc corpus), compare the collected-`isin` arm against the
+    * broadcast semi-join arm — identical per-query results (asserted),
+    * with the LITERAL arm's optimized plan growing with the vocabulary
+    * (the IN list embeds every term — the driver-memory-and-plan-size
+    * growth the switch kills) while the semi-join arm's plan stays flat.
+    * Run via `runMain graft.SkipProfile bm25batch [termsList] [docs]`. */
+  private[graft] def runBm25Batch(spark: SparkSession, nTerms: Int,
+      docs: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_lexb")
+    val path = base.resolve("idx").toString
+    // 12 terms per doc, ids striped so the corpus vocabulary covers the
+    // whole term space once docs*12 >= nTerms
+    val corpus = spark.range(docs.toLong).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), ((col("id") * 12 + j) % nTerms).cast("string"))
+      ): _*).as("text"))
+    graft.ops.Lexical.writeIndex(corpus, "doc_id", "text", path)
+    // 64 queries sharing the union vocabulary of nTerms distinct terms
+    val qt = spark.range(nTerms.toLong).select(
+      (col("id") % 64).as("query_id"),
+      concat(lit("w"), col("id").cast("string")).as("term"))
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def best(f: => Unit): Double = { f; (0 until 3).map(_ => timed(f)).min }
+    def leg(label: String, limit: Int): (Double, Int, Long) = {
+      def frame() = graft.ops.Lexical.searchBm25Batch(spark, path, qt,
+        k = 10, isinTermLimit = limit)
+      val planChars = frame().queryExecution.optimizedPlan.toString.length
+      var rows = 0L
+      val t = best { rows = frame().count() }
+      (t, planChars, rows)
+    }
+    val (tIsin, planIsin, rowsIsin) = leg("isin", nTerms + 1)
+    val (tSemi, planSemi, rowsSemi) = leg("semijoin", 1)
+    require(rowsIsin == rowsSemi,
+      s"arm row counts diverged: $rowsIsin vs $rowsSemi")
+    println(f"[bm25-batch] terms=$nTerms%6d docs=$docs rows=$rowsIsin " +
+      f"isin=$tIsin%.3fs planChars=$planIsin " +
+      f"semijoin=$tSemi%.3fs planChars=$planSemi")
     ()
   }
 

@@ -62,6 +62,14 @@ object Lexical {
   val K1 = 1.2
   val B = 0.75
 
+  /** [[searchBm25Batch]]'s term-prune switch point: at or below this many
+    * distinct batch terms the prune is a collected `isin` literal (parquet
+    * row-group pushdown on the term-sorted postings); above it, a
+    * broadcast semi-join on the distinct-terms frame (flat driver memory
+    * and plan size at pipeline-scale vocabularies). ~1k keeps the literal
+    * comfortably inside filter-pushdown territory. */
+  val DefaultIsinTermLimit = 1024
+
   private val Meta = "_lex_meta"
 
   private def postingsPath(path: String) = s"$path/postings"
@@ -891,10 +899,14 @@ object Lexical {
 
   /** [[searchBm25]]'s BATCH twin: per-query BM25 top-k for a
     * (query_id, term) frame in ONE probe of the artifact. The UNION of
-    * the batch's distinct terms prunes the postings scan exactly as the
-    * single path's `IN` list does (one driver collect, bounded by the
-    * batch's query vocabulary — strictly smaller than the query texts a
-    * batch caller already holds), each surviving (term, doc) posting
+    * the batch's distinct terms prunes the postings scan — as a
+    * collected `isin` literal up to `isinTermLimit` distinct terms (the
+    * single path's pushdown-friendly shape; the sizing collect is capped
+    * at limit+1 rows whatever the batch), and as a broadcast semi-join
+    * on the distinct-terms frame past it (a 10⁴-query pipeline batch's
+    * union vocabulary would otherwise grow the plan and the driver heap
+    * with it; both arms keep identical survivors — spec-pinned). Each
+    * surviving (term, doc) posting
     * fans out to the queries that asked for that term via a broadcast
     * join with the (query_id, term) pairs, contributions sum as DECIMAL
     * per (query, doc) — order-independent, the single path's
@@ -908,20 +920,35 @@ object Lexical {
     * score), top-k set per query, unordered. */
   def searchBm25Batch(spark: SparkSession, path: String,
       queryTerms: DataFrame, k: Int,
-      allowedIds: Option[DataFrame] = None): DataFrame = {
+      allowedIds: Option[DataFrame] = None,
+      isinTermLimit: Int = DefaultIsinTermLimit): DataFrame = {
     val qt = queryTerms.select(
       col(queryTerms.columns.head).cast("long").as("query_id"),
       col(queryTerms.columns(1)).cast("string").as("term")).distinct()
-    val terms = qt.select("term").distinct().collect()
+    val qterms = qt.select("term").distinct()
+    // THRESHOLD-SWITCHED term pruning: a serving-scale batch's union
+    // vocabulary collects into an `isin` literal (parquet row-group
+    // pushdown on the term-sorted postings); a pipeline-scale batch
+    // (10⁴+ queries) would grow that literal — plan size and driver
+    // memory proportional to the vocabulary — so past `isinTermLimit`
+    // the prune becomes a broadcast LEFT SEMI join on the distinct
+    // terms frame instead: same survivors, flat driver cost, no
+    // vocabulary-proportional plan. The ONE bounded job below sizes the
+    // vocabulary (limit+1 rows cap the collect whatever the batch), and
+    // under the limit the sample IS the full distinct term set.
+    val sample = qterms.limit(isinTermLimit + 1).collect()
       .map(_.getString(0)).toSeq
-    require(terms.nonEmpty, "searchBm25Batch needs at least one query term")
+    require(sample.nonEmpty, "searchBm25Batch needs at least one query term")
+    val small = sample.length <= isinTermLimit
+    def pruneTerms(df: DataFrame): DataFrame =
+      if (small) df.filter(col("term").isin(sample: _*))
+      else df.join(broadcast(qterms), Seq("term"), "left_semi")
     val m = serveMeta(spark, path)
     val st = m.stamp
     val dirs = resolveDirs(spark, path, m)
     val avgDl = if (st.n == 0) 0.0 else st.sumDl.toDouble / st.n.toDouble
-    val postRaw = spark.read.schema(PostingsSchema)
-      .parquet(dirs.post.map(n => s"${postingsPath(path)}/$n"): _*)
-      .filter(col("term").isin(terms: _*))
+    val postRaw = pruneTerms(spark.read.schema(PostingsSchema)
+      .parquet(dirs.post.map(n => s"${postingsPath(path)}/$n"): _*))
     val post0 =
       if (dirs.tombs.isEmpty) postRaw
       else postRaw.join(broadcast(spark.read.schema(TombstonesSchema)
@@ -932,9 +959,8 @@ object Lexical {
       ids.select(ids.columns.head).toDF("doc_id")
         .select(col("doc_id").cast("long").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi"))
-    val df = spark.read.schema(StatsSchema)
-      .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*)
-      .filter(col("term").isin(terms: _*))
+    val df = pruneTerms(spark.read.schema(StatsSchema)
+        .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))
     import spark.implicits._
     val agg = graft.functions.TopKAggregator.topK(k).toColumn

@@ -78,6 +78,27 @@ class LexicalSpec extends SparkTestBase {
       masked(qid).foreach { case (id, _) =>
         assert(Set(0L, 2L, 3L).contains(id), s"mask leaked id $id") }
     }
+    // THRESHOLD SWITCH: past isinTermLimit distinct terms the prune is a
+    // broadcast semi-join, not a collected literal — identical results
+    // (ids AND scores), and the scan plan carries no giant IN list. The
+    // batch has 4 distinct terms; limit=2 forces the semi-join arm.
+    val semiDf = Lexical.searchBm25Batch(spark, path, qt, k = 10,
+      isinTermLimit = 2)
+    assert(groupedOf(semiDf) == batch,
+      "semi-join term pruning diverged from the isin arm")
+    val inSets = semiDf.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+        case i: org.apache.spark.sql.catalyst.expressions.In => i
+      })
+    }.flatten
+    assert(inSets.isEmpty,
+      s"semi-join arm still plans a literal IN list: $inSets")
+    // masked variant exercises both prunes together on the semi-join arm
+    val semiMasked = groupedOf(Lexical.searchBm25Batch(spark, path, qt,
+      k = 10, allowedIds = Some(mask), isinTermLimit = 2))
+    assert(semiMasked == masked,
+      "masked semi-join pruning diverged from the masked isin arm")
   }
 
   test("multi-term scores sum per doc; absent terms contribute nothing") {
