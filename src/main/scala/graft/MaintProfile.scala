@@ -24,9 +24,14 @@ import org.apache.spark.sql.SparkSession
   */
 object MaintProfile {
   def main(args: Array[String]): Unit = {
-    val segsList = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+    val mode = args.headOption.filter(Set("wdview")) match {
+      case Some(m) => m
+      case None => "families"
+    }
+    val rest = if (mode == "families") args else args.drop(1)
+    val segsList = rest.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(12, 120))
-    val docsPerSeg = args.lift(1).map(_.toInt).getOrElse(25)
+    val docsPerSeg = rest.lift(1).map(_.toInt).getOrElse(25)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,8 +40,88 @@ object MaintProfile {
       .config(Tables.NanosFlag, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    segsList.foreach(run(spark, _, docsPerSeg))
+    mode match {
+      case "wdview" => segsList.foreach(runWdView(spark, _, docsPerSeg))
+      case _ => segsList.foreach(run(spark, _, docsPerSeg))
+    }
     spark.stop()
+  }
+
+  /** The state-heaviest VIEW combination at 10× history (BENCH_NOTES
+    * r16): a WHERE-scoped COUNT DISTINCT view — dictionary merges,
+    * predicate-boundary retract+add pairs, and stats-pruned delta scans
+    * composing in one refresh — over a chain grown 10×. Times the first
+    * post-commit refresh after (a) an append the WHERE matches, (b) an
+    * append it provably prunes, and (c) a patch window carrying a
+    * boundary crossing in EACH direction plus a covered retraction. The
+    * O(delta) claim: every leg flat across the 1× vs 10× chains, every
+    * mode `incremental` (never rescan/rebuild).
+    * Run via `runMain graft.MaintProfile wdview [segsList] [docsPerSeg]`. */
+  private[graft] def runWdView(spark: SparkSession, nSegs: Int,
+      docsPerSeg: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_wdv")
+    val engine = new graft.memo.MemoEngine(spark,
+      base.resolve("db").toString, maxSegments = 1000000)
+    def docYaml(part: String, g: Int, src: Int, tag: String) =
+      s"---\nbody: wd corpus $tag\n" +
+        s"metadata: {part: $part, g: g$g, src: s$src}\n"
+    def batchYaml(seg: Int) = (0 until docsPerSeg).map { d =>
+      val i = seg * docsPerSeg + d
+      docYaml(s"p${seg % 8}", i % 4, i % 24, s"segment $seg doc $d")
+    }.mkString
+    (0 until nSegs).foreach(s => engine.save(batchYaml(s)))
+    val key = "metadata['g']"
+    val ms = Seq("srcs" -> "metadata['src']")
+    val aggs = Map("srcs" -> "count_distinct")
+    def view() = engine.viewState("wd", key, ms, aggs,
+      where = Some("part: p3"), distinctCap = Some(64))
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def mode() = engine.lastViewRefresh.map(_._1).getOrElse("none")
+    val tBuild = timed { view().collect() }
+    val mBuild = mode()
+    // (a) appended segment the WHERE matches: delta rows contribute
+    engine.save((0 until docsPerSeg).map(d =>
+      docYaml("p3", d % 4, d % 24, s"match append doc $d")).mkString)
+    val tMatch = timed { view().collect() }
+    val mMatch = mode()
+    // (b) appended segment the WHERE prunes: the refresh must not even
+    // open its files (stats-surviving delta scan)
+    engine.save((0 until docsPerSeg).map(d =>
+      docYaml("p0", d % 4, d % 24, s"nonmatch append doc $d")).mkString)
+    val tNon = timed { view().collect() }
+    val mNon = mode()
+    // (c) patch: one row leaves p3 (retract), one enters (add), one p3
+    // row is removed (covered dictionary retraction) — the three
+    // maintenance arms in one window
+    def idsOf(part: String, n: Int): Seq[Long] = engine.records
+      .filter(graft.filter.FilterAlgebra.compile(s"part: $part",
+        col("metadata")))
+      .orderBy(col("id")).limit(n).collect().map(_.getLong(0)).toSeq
+    val p3 = idsOf("p3", 2)
+    val p0 = idsOf("p0", 1)
+    val feed = Seq(
+      (p3(0), "updated", "moved out of scope",
+        Map("part" -> "sp0", "g" -> "sg0", "src" -> "ss0")),
+      (p0(0), "updated", "moved into scope",
+        Map("part" -> "sp3", "g" -> "sg1", "src" -> "ss1")),
+      (p3(1), "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L))
+    engine.applyChanges(feed)
+    val tPatch = timed { view().collect() }
+    val mPatch = mode()
+    require(Seq(mMatch, mNon, mPatch).forall(_ == "incremental"),
+      s"wdview expected incremental refreshes, got " +
+        s"($mMatch, $mNon, $mPatch)")
+    println(f"[wdview] segs=$nSegs%4d docs/seg=$docsPerSeg " +
+      f"build=$tBuild%.3fs($mBuild) matchAppend=$tMatch%.3fs " +
+      f"pruneAppend=$tNon%.3fs patch=$tPatch%.3fs all-incremental")
+    engine.clean()
+    ()
   }
 
   private def run(spark: SparkSession, nSegs: Int, docsPerSeg: Int): Unit = {

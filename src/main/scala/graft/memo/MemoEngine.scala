@@ -2228,9 +2228,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def viewState(name: String, groupKey: String,
       measures: Seq[(String, String)] = Seq.empty,
       aggOf: Map[String, String] = Map.empty,
-      where: Option[String] = None): DataFrame = {
+      where: Option[String] = None,
+      distinctCap: Option[Int] = None): DataFrame = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_\\-]*"),
       s"view name must be [A-Za-z0-9_-]+, got '$name'")
+    // PER-VIEW distinct cap: a dashboard mixing a coarse distinct view
+    // (~30 langs) with a fine one (~10k shards) should not size the
+    // ENGINE cap for the worst case and pay dictionary state on every
+    // view — the cap is a property of the view's cardinality, so it
+    // overrides per view and rides the existing `d<cap>` spec slot
+    // (already per-spec in identity; a cap change rebuilds, as any spec
+    // change does). The engine option stays the default.
+    distinctCap.foreach(c => require(c >= 1,
+      s"distinctCap must be >= 1, got $c"))
+    val dCap = distinctCap.getOrElse(viewDistinctCap)
     // malformed filters fail HERE, before any lock or state dir exists —
     // the same loud-boundary rule the aggregator check enforces
     where.foreach(graft.filter.FilterAlgebra.parse)
@@ -2273,7 +2284,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     // alphabet has no ':', so part counts — and therefore the d-part
     // disambiguation — are untouched, and where-less specs stay verbatim
     val spec = ((s"k$viewReserveK${where.fold("")(w => s"w${b64(w)}")}" +:
-      (if (hasDistinct) Seq(s"d$viewDistinctCap") else Nil)) ++
+      (if (hasDistinct) Seq(s"d$dCap") else Nil)) ++
       (b64(groupKey) +:
       measures.map { case (n, e) =>
         s"${b64(n)}:${aggOf.getOrElse(n, "sum")}:${b64(e)}" })).mkString(":")
@@ -2319,8 +2330,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
                 lastViewRefresh = Some(("fresh", Nil)); serve(st)
               case recorded =>
                 beforeViewBuildHook()
-                refreshView(name, groupKey, measures, aggOf, where, spec,
-                  live, recorded, serve)
+                refreshView(name, groupKey, measures, aggOf, where, dCap,
+                  spec, live, recorded, serve)
             }
           }
         }
@@ -2338,7 +2349,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * as [[vacuum]]'s staging sweep). */
   private def refreshView(name: String, groupKey: String,
       measures: Seq[(String, String)], aggOf: Map[String, String],
-      where: Option[String], spec: String, live: Long,
+      where: Option[String], dCap: Int, spec: String, live: Long,
       recorded: Option[(Long, String, String)],
       serve: String => DataFrame): DataFrame = {
     val dir = viewDir(name)
@@ -2361,7 +2372,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val resMin = udaf(graft.functions.ReserveAggregator
       .reserve(viewReserveK, -1), org.apache.spark.sql.Encoders.LONG)
     val dictAgg = udaf(graft.functions.DictAggregator
-      .dict(viewDistinctCap), org.apache.spark.sql.Encoders.STRING)
+      .dict(dCap), org.apache.spark.sql.Encoders.STRING)
     val emptyArr = typedLit(Seq.empty[Long])
     // full aggregation of a sign=+1 contribution frame — the rebuild arm
     // and the group-scoped extreme rescan SHARE it, so the two can never
@@ -2541,7 +2552,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             // instead of an O(delta) insert
             val dictFinal = when(!touched,
                 when(oEx, oldDict).otherwise(emptyDict))
-              .otherwise(when(size(f) > viewDistinctCap,
+              .otherwise(when(size(f) > dCap,
                 lit(null).cast(org.apache.spark.sql.types.MapType(
                   org.apache.spark.sql.types.StringType,
                   org.apache.spark.sql.types.LongType)))
@@ -2649,12 +2660,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .filter(_.startsWith("_view_")).map(_.stripPrefix("_view_")).sorted
 
   /** Decode a recorded view spec back to (groupKey, measures, aggOf,
-    * where) — the inverse of [[viewState]]'s component-wise encoding.
-    * None for a legacy or corrupt spec: the next direct [[viewState]]
-    * call with the caller's arguments re-registers the view from
-    * scratch. */
+    * where, distinctCap) — the inverse of [[viewState]]'s
+    * component-wise encoding (the cap is None when the spec carries no
+    * d-part, i.e. no distinct measure — [[refreshViews]] then passes
+    * None and the engine default governs, vacuously). None overall for
+    * a legacy or corrupt spec: the next direct [[viewState]] call with
+    * the caller's arguments re-registers the view from scratch. */
   private def decodeViewSpec(spec: String): Option[(String,
-      Seq[(String, String)], Map[String, String], Option[String])] = {
+      Seq[(String, String)], Map[String, String], Option[String],
+      Option[Int])] = {
     def un(s: String) =
       new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
     val parts = spec.split(':')
@@ -2667,19 +2681,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // disambiguate — see the spec-identity comment in [[viewState]]
         val body =
           if (parts.length >= 2 && (parts.length - 2) % 3 == 0)
-            Some(parts.drop(1))
+            Some((parts.drop(1), Option.empty[Int]))
           else if (parts.length >= 3 && (parts.length - 3) % 3 == 0 &&
               parts(1).matches("d\\d+"))
-            Some(parts.drop(2))
+            Some((parts.drop(2), parts(1).drop(1).toIntOption))
           else None
-        body.flatMap { b =>
+        body.flatMap { case (b, cap) =>
           scala.util.Try {
             val ms = b.drop(1).grouped(3).map {
               case Array(n, a, e) => (un(n), a, un(e))
             }.toSeq
             (un(b(0)), ms.map(t => (t._1, t._3)),
               ms.collect { case (n, a, _) if a != "sum" => (n, a) }.toMap,
-              whereB64.map(un))
+              whereB64.map(un), cap)
           }.toOption
         }
     }
@@ -2701,8 +2715,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
           case Array(_, spec, _) => decodeViewSpec(spec)
           case _ => None
         })
-      name -> decoded.map { case (gk, ms, aggs, where) =>
-        viewState(name, gk, ms, aggs, where)
+      name -> decoded.map { case (gk, ms, aggs, where, cap) =>
+        viewState(name, gk, ms, aggs, where, cap)
         lastViewRefresh.map(_._1).getOrElse("unknown")
       }.getOrElse("skipped")
     }.toMap

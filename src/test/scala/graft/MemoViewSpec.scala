@@ -577,6 +577,54 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("per-view distinctCap: two views at different caps in ONE store — " +
+      "overflow isolated to the tight view, refreshViews re-decodes each " +
+      "view's own cap, a cap change is a spec change") {
+    val (engine, _) = freshEngine() // engine default cap stays 64
+    val key = "metadata['category']"
+    engine.save(yamlS("x zero", "x", "s1") + yamlS("x one", "x", "s2"))
+    engine.save(yamlS("x two", "x", "s3")) // second segment: patches prune
+    // tight view (cap 2 — already overflowed at 3 distinct sources) and
+    // default-cap view over the SAME store
+    val a0 = engine.viewState("dcap2", key, DD, DDAggs,
+      distinctCap = Some(2))
+    assert(mode(engine) == "rebuild")
+    assert(collected(a0) == directD(engine, key))
+    val b0 = engine.viewState("dcap64", key, DD, DDAggs)
+    assert(mode(engine) == "rebuild")
+    assert(collected(b0) == directD(engine, key))
+    // a value touch: the overflowed tight view pays its group rescan,
+    // the roomy view does an O(delta) dictionary insert — same window
+    engine.save(yamlS("x three", "x", "s4"))
+    val a1 = engine.viewState("dcap2", key, DD, DDAggs,
+      distinctCap = Some(2))
+    assert(mode(engine) == "incremental_rescan",
+      "cap-2 view must rescan its overflowed group")
+    assert(collected(a1) == directD(engine, key))
+    val b1 = engine.viewState("dcap64", key, DD, DDAggs)
+    assert(mode(engine) == "incremental",
+      "the default-cap view must not pay the tight view's overflow")
+    assert(collected(b1) == directD(engine, key))
+    // refreshViews decodes each view's OWN cap from its recorded spec:
+    // a dropped/garbled cap would recompute a different spec and show
+    // up here as a spurious rebuild
+    engine.save(yamlS("x four", "x", "s5"))
+    val modes = engine.refreshViews()
+    assert(modes("dcap2") == "incremental_rescan",
+      s"refreshViews lost the per-view cap: ${modes("dcap2")}")
+    assert(modes("dcap64") == "incremental",
+      s"refreshViews changed the default view's path: ${modes("dcap64")}")
+    assert(collected(engine.viewState("dcap2", key, DD, DDAggs,
+      distinctCap = Some(2))) == directD(engine, key))
+    // changing the cap IS a spec change — detected, rebuilt
+    val a2 = engine.viewState("dcap2", key, DD, DDAggs,
+      distinctCap = Some(8))
+    assert(mode(engine) == "rebuild",
+      "a distinctCap change must rebuild like any spec change")
+    assert(collected(a2) == directD(engine, key))
+    engine.clean()
+  }
+
   test("a group born with only NULL distinct values gets the EMPTY " +
       "dictionary, not the overflow sentinel — its first real value is " +
       "an O(delta) insert, never a rescan") {
