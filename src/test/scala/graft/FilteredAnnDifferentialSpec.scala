@@ -21,17 +21,21 @@ import graft.memo.{MemoEngine, MetaCodec}
   * paths' contracts (ANN has no floor) coincide by construction. */
 class FilteredAnnDifferentialSpec extends SparkTestBase {
 
-  test("filtered annRecall/pqRecall == filtered brute force on random " +
-      "typed metadata × random filters") {
+  /** Sweep seed: committed default, overridable for the round-close
+    * multi-seed re-sweep (`GRAFT_DIFF_SEED=7 sbt "testOnly …"`). */
+  private def sweepSeed: Long =
+    sys.env.get("GRAFT_DIFF_SEED").flatMap(_.toLongOption)
+      .getOrElse(20260815L)
+
+  /** The shared store: `n` docs of generator metadata across three CDC
+    * batches (three segments — the mask derivation's segment pruning is
+    * live), metadata pre-encoded, every body carrying the query token so
+    * cosines stay positive and the −0.9 floor never binds. */
+  private def buildStore(gen: FilterCaseGen, n: Int): MemoEngine = {
     import spark.implicits._
-    val gen = new FilterCaseGen(20260815L)
-    val n = 60
     val metas = (0 until n).map(i => (i.toLong, gen.randomMeta()))
     val dir = java.nio.file.Files.createTempDirectory("fann_diff").toString
     val engine = new MemoEngine(spark, s"$dir/db")
-    // three CDC batches → three segments, so the mask derivation's
-    // segment pruning is live too; metadata arrives pre-encoded (the
-    // store's typed encoding), bodies all carry the query token
     metas.grouped(n / 3).zipWithIndex.foreach { case (g, b) =>
       val feed = g.map { case (id, m) =>
         (id, "added", s"corpus doc $id batch $b topic${id % 7}",
@@ -41,8 +45,18 @@ class FilteredAnnDifferentialSpec extends SparkTestBase {
           org.apache.spark.sql.functions.lit(0L))
       engine.applyChanges(feed)
     }
-    def rows(df: DataFrame): Seq[(Long, Double)] =
-      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    engine
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("filtered annRecall/pqRecall == filtered brute force on random " +
+      "typed metadata × random filters") {
+    import spark.implicits._
+    val gen = new FilterCaseGen(sweepSeed)
+    val n = 60
+    val engine = buildStore(gen, n)
     var nonTrivial = 0
     (0 until 30).foreach { i =>
       val filter = FilterCaseGen.toJson(gen.randomFilter())
@@ -83,6 +97,69 @@ class FilteredAnnDifferentialSpec extends SparkTestBase {
     // filters that are neither match-all nor match-none, or the
     // differential is vacuous
     assert(nonTrivial >= 8, s"only $nonTrivial non-trivial filters of 30")
+    engine.clean()
+  }
+
+  test("serve routers: NO threshold choice changes the result set — " +
+      "randomized (bruteRows, pqBytes) routes vs filtered brute force") {
+    import spark.implicits._
+    val gen = new FilterCaseGen(sweepSeed + 1)
+    val rnd = new scala.util.Random(sweepSeed + 1)
+    val n = 60
+    val engine = buildStore(gen, n)
+    // the route space: row bounds around the survivor counts, byte
+    // budgets around the survivors' vector footprint — so the SAME
+    // filter lands on different arms across cases. The fixed-threshold
+    // route specs pin WHICH arm; this pins that the arm can't matter.
+    val rowBounds = Seq(0L, 1L, 10L, 30L, 4096L, Long.MaxValue)
+    val byteBudgets = Seq(0L, 64L, 4096L, 1L << 20, Long.MaxValue)
+    val routesSeen = scala.collection.mutable.Set.empty[String]
+    var nonTrivial = 0
+    (0 until 30).foreach { i =>
+      val filter = FilterCaseGen.toJson(gen.randomFilter())
+      val bruteRows = rowBounds(rnd.nextInt(rowBounds.length))
+      val pqBytes = byteBudgets(rnd.nextInt(byteBudgets.length))
+      // full probe: the probe arms are provably exact there, so ANY
+      // route must return the brute ranking — ids AND scores
+      val exact = rows(engine.recall("corpus topic", k = n,
+        filterExpr = Some(filter)))
+      if (exact.nonEmpty && exact.size < n) nonTrivial += 1
+      val served = rows(engine.recallServe("corpus topic", k = n,
+        filterExpr = Some(filter), nprobe = MemoEngine.AnnNlist,
+        bruteRows = bruteRows, pqBytes = pqBytes))
+      val route = engine.lastServeRoute.map(_._1).getOrElse("?")
+      routesSeen += route
+      assert(served == exact,
+        s"case $i filter $filter route=$route bruteRows=$bruteRows " +
+          s"pqBytes=$pqBytes:\nserved=$served\nexact=$exact")
+      if (i % 4 == 0) {
+        // the batch front door under the same randomized thresholds:
+        // per-query set equality with the single door (just proven
+        // equal to brute force)
+        val queries = Seq((0L, "corpus topic"), (1L, "batch corpus doc"))
+          .toDF("qid", "qtext")
+        val batch = engine.recallServeBatch(queries, "qid", "qtext",
+            k = n, filterExpr = Some(filter),
+            nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+            pqBytes = pqBytes)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        Seq(0L -> "corpus topic", 1L -> "batch corpus doc").foreach {
+          case (qid, qt) =>
+            val single = rows(engine.recallServe(qt, k = n,
+              filterExpr = Some(filter), nprobe = MemoEngine.AnnNlist,
+              bruteRows = bruteRows, pqBytes = pqBytes)).toSet
+            assert(batch.getOrElse(qid, Set.empty) == single,
+              s"case $i filter $filter qid=$qid: served batch diverged")
+        }
+      }
+    }
+    // vacuity guards: the threshold randomization must actually exercise
+    // ≥2 distinct arms, over a healthy share of non-trivial filters
+    assert(routesSeen.size >= 2,
+      s"threshold randomization exercised only $routesSeen")
+    assert(nonTrivial >= 6, s"only $nonTrivial non-trivial filters of 30")
     engine.clean()
   }
 }
