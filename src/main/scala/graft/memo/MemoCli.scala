@@ -441,26 +441,31 @@ object MemoCli {
   /** Stats block (memo_cli.py:581-633): cardinality over format_cell
     * renderings, top-4 + other rollup, then numeric min/max/avg if ALL
     * values coerce numerically (typed numbers directly, strings via
-    * float(str(v))), else date range if ALL values ISO-parse. */
+    * float(str(v))), else date range if ALL values ISO-parse.
+    *
+    * Computed over [[MemoEngine.statsPairs]]'s (raw value, count)
+    * pairs — every line is a cnt-weighted function of them — so a
+    * registered view covering the (key, filter) ask serves the whole
+    * block O(state) with byte-identical output, and everything else
+    * takes the segment-pruned corpus scan. */
   private def printStats(engine: MemoEngine, filterExpr: String, key: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions.metaDisplay
-    val recs = engine.recordsForFilter(filterExpr)
-      .filter(graft.filter.FilterAlgebra.compile(filterExpr, col("metadata")))
-    val values = recs
-      .select(MemoOps.rawField(key).as("raw"))
-      .filter(col("raw").isNotNull && col("raw") =!= "z") // None = missing
-      .select(col("raw"), metaDisplay(col("raw")).as("v"),
+    val values = engine.statsPairs(filterExpr, key)
+      .select(col("cnt"), metaDisplay(col("raw")).as("v"),
         MemoOps.statsNumericValue(col("raw")).as("num"),
         MemoOps.statsDateValue(col("raw")).as("dt"))
     println(s"Key: $key")
     // bounded driver-side state: top-4 rows + two scalars — never the full
-    // histogram (the value cardinality is unbounded at scale)
-    val top = values.groupBy("v").count()
+    // histogram (the value cardinality is unbounded at scale). Two raw
+    // encodings can share a rendering (i42 and s42 both print "42"), so
+    // the display rollup re-groups the pairs.
+    val top = values.groupBy("v").agg(sum(col("cnt")).as("count"))
       .orderBy(desc("count"), col("v")).limit(4).collect()
-    val totals = values.agg(count(lit(1)).as("n"),
+    val totals = values.agg(sum(col("cnt")).as("n"),
       countDistinct(col("v")).as("d")).collect()(0)
-    val (total, distinct) = (totals.getLong(0), totals.getLong(1))
+    val (total, distinct) =
+      (if (totals.isNullAt(0)) 0L else totals.getLong(0), totals.getLong(1))
     println(s"Cardinality (distinct values): $distinct")
     println("Cardinality by value:")
     top.foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
@@ -470,12 +475,14 @@ object MemoCli {
     }
     if (total == 0) return
     val stats = values.agg(
-      count(lit(1)).as("n"),
-      count(col("num")).as("n_num"),
+      sum(col("cnt")).as("n"),
+      sum(when(col("num").isNotNull, col("cnt")).otherwise(0L)).as("n_num"),
       min(col("num")).as("nmin"),
       max(col("num")).as("nmax"),
-      avg(col("num")).as("navg"),
-      count(col("dt")).as("n_date"),
+      (sum(col("num") * col("cnt")) /
+        sum(when(col("num").isNotNull, col("cnt")).otherwise(0L)))
+        .as("navg"),
+      sum(when(col("dt").isNotNull, col("cnt")).otherwise(0L)).as("n_date"),
       date_format(min(col("dt")), "yyyy-MM-dd").as("dmin"),
       date_format(max(col("dt")), "yyyy-MM-dd").as("dmax")
     ).collect()(0)

@@ -1990,6 +1990,67 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def analyzeStats(filterExpr: String, key: String): DataFrame =
     MemoOps.statsTopK(recordsForFilter(filterExpr), filterExpr, key)
 
+  /** Test seam: how the last [[statsPairs]] ask was served
+    * ("view:<name>" | "scan"). Production never reads it. */
+  private[graft] var lastStatsSource: Option[String] = None
+
+  /** The (raw typed value, row count) pairs of a stats key under a
+    * filter — the SUFFICIENT STATISTIC for the whole `analyze --stats`
+    * block: cardinality (A7), the top-4+other rollup (A8), and the
+    * numeric/date ranges (A9/A10) are all functions of it (weighted by
+    * `cnt`; min/max/distinct over values are count-blind).
+    *
+    * SERVED FROM A REGISTERED VIEW when one covers the ask: a view
+    * whose `groupKey` is exactly `metadata['<key>']` and whose `where`
+    * is exactly this filter expression has the pairs AS ITS STATE
+    * (group_key = the raw value, doc_count = the row count) — views
+    * maintain them O(delta), so the stats block costs a state read
+    * instead of the corpus scan. Coverage is syntactic (expression and
+    * filter strings match verbatim) and the view refreshes to the live
+    * version through the standard [[viewState]] walk first, so a
+    * view-served block is never stale. Anything else — no covering
+    * view, dotted/special keys, a different filter — falls back to the
+    * segment-pruned corpus scan (the reference path). Missing values
+    * (NULL) and explicit YAML nulls ("z") are excluded on both arms
+    * (memo_cli.py:582-586). */
+  def statsPairs(filterExpr: String, key: String): DataFrame = {
+    val canonical = s"metadata['$key']"
+    val covering = views.iterator.map { name =>
+      name -> ArtifactMeta
+        .read(spark, viewDir(name).toString, ViewMetaFile)
+        .flatMap(_.split('|') match {
+          case Array(_, spec, _) => decodeViewSpec(spec)
+          case _ => None
+        })
+    }.collectFirst {
+      case (name, Some((gk, ms, aggs, where, cap)))
+          if gk == canonical && where.contains(filterExpr) =>
+        (name, ms, aggs, where, cap)
+    }
+    covering match {
+      case Some((name, ms, aggs, where, cap)) =>
+        lastStatsSource = Some(s"view:$name")
+        viewState(name, canonical, ms, aggs, where, cap)
+          .select(col("group_key").as("raw"), col("doc_count").as("cnt"))
+          .filter(col("raw").isNotNull && col("raw") =!= "z")
+      case None =>
+        lastStatsSource = Some("scan")
+        recordsForFilter(filterExpr)
+          .filter(FilterAlgebra.compile(filterExpr, col("metadata")))
+          .select(MemoOps.rawField(key).as("raw"))
+          .filter(col("raw").isNotNull && col("raw") =!= "z")
+          .groupBy("raw").agg(count(lit(1)).as("cnt"))
+    }
+  }
+
+  /** A7 cardinality (distinct non-missing format_cell renderings of
+    * `key` under `filterExpr`) over [[statsPairs]] — view-served when a
+    * registered view covers the ask, the corpus scan otherwise. */
+  def cardinality(filterExpr: String, key: String): Long =
+    statsPairs(filterExpr, key)
+      .select(graft.functions.GraftFunctions.metaDisplay(col("raw")))
+      .distinct().count()
+
   // ---- incremental materialized views -------------------------------------
   //
   // A VIEW is a persisted group-by aggregate over the records table —

@@ -3,7 +3,7 @@ package graft
 import java.io.ByteArrayOutputStream
 import java.nio.file.Files
 
-import graft.memo.MemoCli
+import graft.memo.{MemoCli, MemoEngine}
 
 /** Golden transcript replay of the CLI lifecycle (reference
   * SKILL.md:96-151): exact stdout contract for save / recall / filtered
@@ -387,6 +387,32 @@ class CliSpec extends SparkTestBase {
           |0   user
           |1   user
           |""".stripMargin)
+      run("-f", db, "clean")
+    }
+  }
+
+  test("analyze --stats output is byte-identical whether the block is " +
+      "scan-served or served from a covering view") {
+    withDb { db =>
+      run("-f", db, "save", writeTemp(
+        "---\nbody: a\nmetadata: {lang: en, src: s1}\n" +
+          "---\nbody: b\nmetadata: {lang: en, src: s2}\n" +
+          "---\nbody: c\nmetadata: {lang: sw, src: s1}\n" +
+          "---\nbody: d\nmetadata: {lang: en, src: s1}\n"))
+      val ask = Seq("-f", db, "analyze", "--filter", "{lang: en}",
+        "--stats", "src")
+      val (c1, viaScan) = run(ask: _*)
+      assert(c1 == 0 && viaScan.contains("Cardinality (distinct values): 2\n"))
+      // register a covering view directly against the same store: the
+      // CLI's next --stats must serve from its state with the SAME bytes
+      val engine = new MemoEngine(spark, db)
+      engine.viewState("cardsrc", "metadata['src']",
+        where = Some("{lang: en}"))
+      assert(engine.statsPairs("{lang: en}", "src").collect().nonEmpty)
+      assert(engine.lastStatsSource.contains("view:cardsrc"))
+      val (c2, viaView) = run(ask: _*)
+      assert(c2 == 0 && viaView == viaScan,
+        s"view-served stats block diverged:\n$viaView\nvs\n$viaScan")
       run("-f", db, "clean")
     }
   }

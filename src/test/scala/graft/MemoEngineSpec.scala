@@ -1198,6 +1198,56 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("analyze stats serve from a covering VIEW; uncovered asks fall " +
+      "back to the scan; the view route stays fresh across commits") {
+    import org.apache.spark.sql.functions.col
+    val (engine, _) = freshEngine()
+    def doc(lang: String, src: String, i: Int) =
+      s"---\nbody: stats corpus doc $i\n" +
+        s"metadata: {lang: $lang, src: $src}\n"
+    engine.save((0 until 12).map(i =>
+      doc(if (i % 3 == 0) "sw" else "en", s"s${i % 5}", i)).mkString)
+    val filter = "{lang: en}"
+    def pairs() = engine.statsPairs(filter, "src").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def expected() = engine.records
+      .filter(graft.filter.FilterAlgebra.compile(filter, col("metadata")))
+      .select(graft.memo.MemoOps.rawField("src").as("raw"))
+      .filter(col("raw").isNotNull && col("raw") =!= "z")
+      .groupBy("raw").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // no covering view yet: the corpus scan serves
+    val viaScan = pairs()
+    assert(engine.lastStatsSource.contains("scan"))
+    assert(viaScan == expected())
+    // a view whose groupKey/where match the ask verbatim COVERS it: the
+    // pairs come from its state, byte-identical
+    engine.viewState("cardsrc", "metadata['src']",
+      where = Some(filter))
+    val viaView = pairs()
+    assert(engine.lastStatsSource.contains("view:cardsrc"),
+      s"expected the view route, got ${engine.lastStatsSource}")
+    assert(viaView == viaScan,
+      s"view-served pairs diverged: $viaView vs $viaScan")
+    assert(engine.cardinality(filter, "src") ==
+      viaScan.map(_._1).size.toLong)
+    // uncovered asks: different filter, different key → scan fallback
+    engine.statsPairs("{lang: sw}", "src").collect()
+    assert(engine.lastStatsSource.contains("scan"),
+      "a different filter must not be served from the view")
+    engine.statsPairs(filter, "lang").collect()
+    assert(engine.lastStatsSource.contains("scan"),
+      "a different key must not be served from the view")
+    // freshness: the view route walks viewState's refresh first, so a
+    // commit after registration is visible — never a stale block
+    engine.save(doc("en", "s9", 99))
+    val afterAppend = pairs()
+    assert(engine.lastStatsSource.contains("view:cardsrc"))
+    assert(afterAppend == expected(),
+      s"view-served stats went stale: $afterAppend vs ${expected()}")
+    engine.clean()
+  }
+
   test("admitNew gates a batch against engine-MAINTAINED signatures, O(batch)") {
     import spark.implicits._
     val (engine, db) = freshEngine()
