@@ -910,6 +910,59 @@ object MemoQueries {
     viaBrute.map(_._1).sorted.toDF("id").orderBy("id")
   }
 
+  /** Stats served from a covering VIEW end-to-end (the r16
+    * `statsPairs` route): a store whose docs carry (lang, src)
+    * metadata minted from the doc ordinal, a registered view grouped
+    * by `metadata['src']` and WHERE-scoped to `{lang: en}`, and the
+    * stats pairs ask that view covers. The build REQUIRES the route
+    * seam reads `view:` and that the view-served pairs equal the
+    * corpus-scan pairs exactly (the CLI stats block is a pure function
+    * of them); the oracle replays the minting rules in DuckDB — so the
+    * state-backed rollup, not just its row count, is hash-verified.
+    * BUILD-ONCE per sf-dir; a bench repeat prices the view-served
+    * stats read plus the scan it replaces. */
+  private val q112StatsView: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q112stats", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    if (!java.nio.file.Files.exists(done)) {
+      val n = 240
+      def yamlOf(ids: Range) = ids.map { i =>
+        val lang = if (i % 3 == 0) "sw" else "en"
+        s"---\nbody: stats corpus doc $i\n" +
+          s"metadata: {lang: $lang, src: s${i % 7}}\n"
+      }.mkString
+      if (engine.exists) engine.clean() // torn prior build: start over
+      engine.save(yamlOf(0 until n / 2))
+      engine.save(yamlOf(n / 2 until n))
+      java.nio.file.Files.createFile(done)
+    }
+    val filter = "{lang: en}"
+    engine.viewState("cardsrc", "metadata['src']", where = Some(filter))
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val served = engine.statsPairs(filter, "src")
+    val servedRows = collect(served)
+    require(engine.lastStatsSource.exists(_.startsWith("view:")),
+      s"q112 expected the view route, got ${engine.lastStatsSource}")
+    // the view-served pairs must equal a direct corpus computation of
+    // the same ask (the scan arm's exact frame, bypassing the router)
+    val direct = collect(engine.records
+      .filter(graft.filter.FilterAlgebra.compile(filter, col("metadata")))
+      .select(graft.memo.MemoOps.rawField("src").as("raw"))
+      .filter(col("raw").isNotNull && col("raw") =!= "z")
+      .groupBy("raw").agg(count(lit(1)).as("cnt")))
+    require(servedRows == direct,
+      s"q112 view-served pairs diverged from the scan: " +
+        s"$servedRows vs $direct")
+    // an uncovered ask (different key) exercises the scan fallback
+    engine.statsPairs(filter, "lang").collect()
+    require(engine.lastStatsSource.contains("scan"),
+      s"q112 expected the scan fallback, got ${engine.lastStatsSource}")
+    served.orderBy(col("raw"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -937,6 +990,7 @@ object MemoQueries {
     "q107_view_filtered" -> q107ViewFiltered,
     "q109_view_count" -> q109ViewCount,
     "q111_hybrid_serve" -> q111HybridServe,
+    "q112_stats_view" -> q112StatsView,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1116,6 +1170,16 @@ object MemoQueries {
         |SELECT d.id, 'p1' AS part FROM d, p
         |WHERE least(d.id // p.third, 2) = 1
         |ORDER BY d.id LIMIT 200""".stripMargin,
+    // q112 replay: the stats-pairs minting rules — doc ordinal mints
+    // (lang, src), the en rows group by src, raw values are the typed
+    // 's'-prefixed encodings. The query REQUIRES the pairs came from
+    // the registered view's state (route seam) and equal the direct
+    // scan, so this hash pins the O(delta)-maintained rollup itself.
+    "q112_stats_view" ->
+      """WITH d AS (SELECT CAST(range AS BIGINT) AS i FROM range(240))
+        |SELECT 'ss' || CAST(i % 7 AS VARCHAR) AS raw, count(*) AS cnt
+        |FROM d WHERE i % 3 <> 0
+        |GROUP BY 1 ORDER BY raw""".stripMargin,
     // q111 replay: q101's argument lifted to the hybrid front door —
     // perList ≥ survivors at full probe makes every semantic arm the
     // exact survivor ranking (floor guarded non-binding at build), the
