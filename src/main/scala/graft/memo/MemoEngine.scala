@@ -983,7 +983,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * filter ANN: the result is the exact ranking of the few survivors
     * at the cost of one probe-all pass instead of log₂(nlist) + 1. */
   private def widenToFill(k: Int, nprobe: Int, nlist: Int,
-      survivors: Long)(
+      survivors: Long, adaptive: Boolean = false)(
       pass: Int => Array[org.apache.spark.sql.Row])
       : Array[org.apache.spark.sql.Row] = {
     if (survivors == 0) {
@@ -991,6 +991,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
       return Array.empty
     }
     var np = math.min(math.max(nprobe, 1), nlist)
+    if (adaptive && survivors > k)
+      np = math.min(nlist,
+        math.max(np, MemoEngine.adaptiveNprobe(k, nlist, survivors)))
     var retries = 0
     if (survivors <= k && np < nlist) { np = nlist; retries = 1 }
     var hits = pass(np)
@@ -1027,7 +1030,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * — never a silently short post-filtered list. */
   def annRecall(query: String, k: Int = MemoOps.DefaultK,
       nprobe: Int = 4, filterExpr: Option[String] = None,
-      floor: Option[Double] = None): DataFrame =
+      floor: Option[Double] = None,
+      adaptiveProbe: Boolean = false): DataFrame =
     ensureIvf() match {
       case Some(centroids) =>
         val qv = graft.functions.VectorKernels.hashEmbedFloats(
@@ -1046,7 +1050,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             val mask = annMask(f).cache()
             try {
               val hits = widenToFill(k, nprobe, centroids.length,
-                  mask.count()) { np =>
+                  mask.count(), adaptiveProbe) { np =>
                 graft.ops.IvfIndex.search(idx, centroids, qv, k, np,
                   Some(mask), rawFloor = floor).collect()
               }
@@ -1145,11 +1149,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (serveVecBytes(bound) > pqBytes) {
         lastServeRoute = Some(("pq", bound))
         pqRecall(query, k, nprobe, filterExpr = filterExpr,
-          floor = Some(MemoOps.ScoreFloor))
+          floor = Some(MemoOps.ScoreFloor), adaptiveProbe = true)
       } else {
         lastServeRoute = Some(("ann", bound))
         annRecall(query, k, nprobe, filterExpr,
-          floor = Some(MemoOps.ScoreFloor))
+          floor = Some(MemoOps.ScoreFloor), adaptiveProbe = true)
       }
     if (filterExpr.isDefined && bound <= bruteRows) {
       lastServeRoute = Some(("brute", bound))
@@ -1222,11 +1226,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     } else if (serveVecBytes(bound) > pqBytes) {
       lastServeRoute = Some(("pq", bound))
       pqRecallBatch(queries, queryIdCol, queryTextCol, k, nprobe,
-        filterExpr = filterExpr, floor = Some(MemoOps.ScoreFloor))
+        filterExpr = filterExpr, floor = Some(MemoOps.ScoreFloor),
+        adaptiveProbe = true)
     } else {
       lastServeRoute = Some(("ann", bound))
       annRecallBatch(queries, queryIdCol, queryTextCol, k, nprobe,
-        filterExpr, floor = Some(MemoOps.ScoreFloor))
+        filterExpr, floor = Some(MemoOps.ScoreFloor),
+        adaptiveProbe = true)
     }
   }
 
@@ -1266,7 +1272,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def annRecallBatch(queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
       filterExpr: Option[String] = None,
-      floor: Option[Double] = None): DataFrame = {
+      floor: Option[Double] = None,
+      adaptiveProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("id", LongType),
@@ -1298,7 +1305,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
             } else {
               val np0 =
                 if (survivors <= k) nlist
-                else math.min(math.max(nprobe, 1), nlist)
+                else {
+                  val base = math.min(math.max(nprobe, 1), nlist)
+                  if (adaptiveProbe) math.min(nlist, math.max(base,
+                    MemoEngine.adaptiveNprobe(k, nlist, survivors)))
+                  else base
+                }
               val (hits, widen) = graft.ops.IvfIndex.searchBatchFill(
                 idx, centroids, q, "query_id", "qv", k, np0,
                 allowed = Some(mask), rawFloor = floor,
@@ -1342,7 +1354,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def pqRecallBatch(queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
       refine: Int = 4, filterExpr: Option[String] = None,
-      floor: Option[Double] = None): DataFrame = {
+      floor: Option[Double] = None,
+      adaptiveProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("id", LongType),
@@ -1374,7 +1387,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
             } else {
               val np0 =
                 if (survivors <= k) nlist
-                else math.min(math.max(nprobe, 1), nlist)
+                else {
+                  val base = math.min(math.max(nprobe, 1), nlist)
+                  if (adaptiveProbe) math.min(nlist, math.max(base,
+                    MemoEngine.adaptiveNprobe(k, nlist, survivors)))
+                  else base
+                }
               val (hits, widen) = graft.ops.PqIndex.searchBatchFillIvfPq(
                 codes, index, "id", "embedding", centroids, codebooks,
                 q, "query_id", "qv", k, np0, refine,
@@ -1450,7 +1468,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * when survivors exceed k×refine), PQ's standard approximation. */
   def pqRecall(query: String, k: Int = MemoOps.DefaultK, nprobe: Int = 4,
       refine: Int = 4, filterExpr: Option[String] = None,
-      floor: Option[Double] = None): DataFrame =
+      floor: Option[Double] = None,
+      adaptiveProbe: Boolean = false): DataFrame =
     ensurePq() match {
       case Some((centroids, codebooks)) =>
         val qv = VectorKernels.hashEmbedFloats(query, VectorKernels.DefaultDim)
@@ -1467,7 +1486,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             val mask = annMask(f).cache()
             try {
               val hits = widenToFill(k, nprobe, centroids.length,
-                  mask.count()) { np =>
+                  mask.count(), adaptiveProbe) { np =>
                 graft.ops.PqIndex.searchIvfPq(codes, index, "id",
                   "embedding", centroids, codebooks, qv, k, np, refine,
                   Some(mask), rawFloor = floor).collect()
@@ -1637,11 +1656,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
       } else if (serveVecBytes(bound) > pqBytes) {
         lastServeRoute = Some(("pq", bound))
         pqRecall(query, perList, nprobe, filterExpr = filterExpr,
-          floor = Some(MemoOps.ScoreFloor))
+          floor = Some(MemoOps.ScoreFloor), adaptiveProbe = true)
       } else {
         lastServeRoute = Some(("ann", bound))
         annRecall(query, perList, nprobe, filterExpr,
-          floor = Some(MemoOps.ScoreFloor))
+          floor = Some(MemoOps.ScoreFloor), adaptiveProbe = true)
       }
     hybridFuse(query, k, filterExpr, perList, vecBase)
   }
@@ -1749,11 +1768,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
       } else if (serveVecBytes(bound) > pqBytes) {
         lastServeRoute = Some(("pq", bound))
         pqRecallBatch(queries, queryIdCol, queryTextCol, perList, nprobe,
-          filterExpr = filterExpr, floor = Some(MemoOps.ScoreFloor))
+          filterExpr = filterExpr, floor = Some(MemoOps.ScoreFloor),
+          adaptiveProbe = true)
       } else {
         lastServeRoute = Some(("ann", bound))
         annRecallBatch(queries, queryIdCol, queryTextCol, perList, nprobe,
-          filterExpr, floor = Some(MemoOps.ScoreFloor))
+          filterExpr, floor = Some(MemoOps.ScoreFloor),
+          adaptiveProbe = true)
       }
     hybridFuseBatch(queries, queryIdCol, queryTextCol, k, filterExpr,
       perList, vecBase)
@@ -3860,6 +3881,21 @@ object MemoEngine {
     * UNKNOWABLE row bound (a store without stats sidecars) also takes
     * the compressed arm: pricing blind, assume big. */
   val DefaultServePqBytes: Long = 256L << 20
+
+  /** Bound-aware initial probe width for the SERVE front doors'
+    * filtered widening ladders: under a uniform-cell model, np probed
+    * cells hold ≈ survivors × np / nlist mask survivors, so asking for
+    * ≥ 2k expected fills (safety factor 2) means np ≥ 2k·nlist/
+    * survivors — the common selective case then fills in ONE pass
+    * instead of paying log₂(nlist) widening rungs of pure job overhead
+    * (the r15 lesson: job COUNT, not data volume, dominates serving
+    * latency). Callers clamp to [caller's nprobe, nlist]; the ladder
+    * still guarantees exact fill when the model misses, so this is a
+    * cost heuristic, never a correctness knob. Only the front doors
+    * apply it — the explicit annRecall/pqRecall arms obey the caller's
+    * nprobe so their widening seams and oracle builds stay exact. */
+  def adaptiveNprobe(k: Int, nlist: Int, survivors: Long): Int =
+    ((2L * k * nlist + survivors - 1) / survivors).toInt
 
   /** Default MIN/MAX reserve depth: a champion retraction is O(delta)
     * until k of a group's top values are retracted without replacement —

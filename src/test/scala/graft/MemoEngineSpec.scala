@@ -905,6 +905,53 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("serve front doors start the ladder bound-aware: a selective " +
+      "filter fills in one pass where the explicit arm pays widening " +
+      "rungs from the caller's nprobe") {
+    import spark.implicits._
+    val engine = filteredAnnStore()
+    val f = Some("{part: p1}")
+    // the EXPLICIT arm obeys the caller: nprobe=1 on p1 (20 survivors,
+    // nlist=16) pays the widening ladder
+    engine.annRecall("topic1 theme2", k = 5, nprobe = 1,
+      filterExpr = f).collect()
+    val naive = engine.lastFilteredAnnProbe.getOrElse((0, 0))
+    assert(naive._2 >= 1,
+      s"explicit arm should widen from nprobe=1, got $naive")
+    // the FRONT DOOR at the same nominal nprobe starts at the width the
+    // survivor count implies (2k·nlist/survivors = 2·5·16/20 = 8)
+    val served = engine.recallServe("topic1 theme2", k = 5,
+        filterExpr = f, nprobe = 1, bruteRows = 10L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(engine.lastServeRoute.exists(_._1 == "ann"))
+    val adaptive = engine.lastFilteredAnnProbe.getOrElse((0, 0))
+    assert(adaptive._1 >= 8,
+      s"front door should start bound-aware, got $adaptive")
+    assert(adaptive._2 < naive._2,
+      s"front door should pay fewer rungs: $adaptive vs $naive")
+    assert(served.size == 5, "exact-fill must hold at the adaptive start")
+    // the heuristic is a COST knob, not a results knob: the explicit arm
+    // asked for the same width returns the identical set
+    val explicitAtWidth = engine.annRecall("topic1 theme2", k = 5,
+        nprobe = adaptive._1, filterExpr = f,
+        floor = Some(graft.memo.MemoOps.ScoreFloor))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(served == explicitAtWidth,
+      s"adaptive start changed results: $served vs $explicitAtWidth")
+    // the batch front door lands on the SAME width and rungs, and
+    // matches per query
+    val queries = Seq((0L, "topic1 theme2")).toDF("qid", "qtext")
+    val batch = engine.recallServeBatch(queries, "qid", "qtext", k = 5,
+        filterExpr = f, nprobe = 1, bruteRows = 10L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(batch == served,
+      s"batch front door diverged at the adaptive width: $batch")
+    assert(engine.lastBatchAnnWiden.contains(adaptive),
+      s"batch ladder telemetry diverged: ${engine.lastBatchAnnWiden} " +
+        s"vs $adaptive")
+    engine.clean()
+  }
+
   test("batch ladder rung caches: registered per call, drained on the " +
       "NEXT serving call — a long-running server pins one ladder, not " +
       "every call's") {
