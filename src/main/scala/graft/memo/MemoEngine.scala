@@ -1829,24 +1829,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
       recordsForFilter(f)
         .filter(FilterAlgebra.compile(f, col("metadata")))
         .select(col("id")))
-    // the whole BATCH may be token-free (every query text empty): the
-    // lexical leg needs ≥1 term, so degrade to the semantic ranking
-    // alone — per-query degradation inside a mixed batch is automatic
-    // (a token-free query just has no (query_id, term) pairs)
-    val lists =
-      if (qterms.limit(1).isEmpty) Seq("vec" -> vec)
-      else {
-        val bm = searchBm25BatchRetrying(qterms, perList, allowed)
-          .select(col("query_id"), col("doc_id").as("id"), col("score"))
-          .withColumn("rank", row_number().over(wq))
-        Seq("bm25" -> bm, "vec" -> vec)
-      }
-    val fused0 = graft.ops.Lexical.rrfFuseBatch(lists, k)
-    val fused = // a token-free BATCH fuses the vec list alone
-      if (lists.size == 1)
-        fused0.withColumn("r_bm25", lit(null).cast("int"))
-      else fused0
-    fused
+    // the lexical leg ALWAYS joins the fusion: an all-token-free batch
+    // yields an empty vocabulary, which searchBm25Batch(emptyOk)
+    // answers with the empty frame off its own sizing collect — no
+    // separate emptiness-probe job (the r15 job-count floor, lowered),
+    // and per-query token-free degradation stays automatic (a query
+    // with no (query_id, term) pairs contributes nothing lexically →
+    // null r_bm25, semantic ranking alone)
+    val bm = searchBm25BatchRetrying(qterms, perList, allowed)
+      .select(col("query_id"), col("doc_id").as("id"), col("score"))
+      .withColumn("rank", row_number().over(wq))
+    graft.ops.Lexical.rrfFuseBatch(Seq("bm25" -> bm, "vec" -> vec), k)
       .join(records.select(col("id"), col("body")), Seq("id"))
       .select(col("query_id"), col("id"), col("rrf_score"),
         col("r_bm25"), col("r_vec"), col("body"))
@@ -1859,7 +1852,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     var attempt = 1
     while (true) {
       try return graft.ops.Lexical.searchBm25Batch(spark, lexDir,
-        queryTerms, k, allowed)
+        queryTerms, k, allowed, emptyOk = true)
       catch { case e: graft.ops.Lexical.PendingAppendException =>
         if (attempt >= maxAttempts) throw e
         Thread.sleep(100L * attempt)

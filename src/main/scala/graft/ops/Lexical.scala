@@ -921,7 +921,8 @@ object Lexical {
   def searchBm25Batch(spark: SparkSession, path: String,
       queryTerms: DataFrame, k: Int,
       allowedIds: Option[DataFrame] = None,
-      isinTermLimit: Int = DefaultIsinTermLimit): DataFrame = {
+      isinTermLimit: Int = DefaultIsinTermLimit,
+      emptyOk: Boolean = false): DataFrame = {
     val qt = queryTerms.select(
       col(queryTerms.columns.head).cast("long").as("query_id"),
       col(queryTerms.columns(1)).cast("string").as("term")).distinct()
@@ -938,6 +939,18 @@ object Lexical {
     // under the limit the sample IS the full distinct term set.
     val sample = qterms.limit(isinTermLimit + 1).collect()
       .map(_.getString(0)).toSeq
+    // an all-token-free batch has no vocabulary: loud by default (the
+    // single-path contract at the ops layer), or — with `emptyOk` — the
+    // empty result frame, which lets a hybrid caller skip its own
+    // emptiness probe job (this sizing collect already knows)
+    if (sample.isEmpty && emptyOk) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("doc_id", LongType),
+          StructField("score", DoubleType))))
+    }
     require(sample.nonEmpty, "searchBm25Batch needs at least one query term")
     val small = sample.length <= isinTermLimit
     def pruneTerms(df: DataFrame): DataFrame =

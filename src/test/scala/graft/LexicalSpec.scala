@@ -99,6 +99,14 @@ class LexicalSpec extends SparkTestBase {
       k = 10, allowedIds = Some(mask), isinTermLimit = 2))
     assert(semiMasked == masked,
       "masked semi-join pruning diverged from the masked isin arm")
+    // emptyOk: an empty vocabulary answers with the EMPTY frame instead
+    // of throwing — the hybrid batch caller's no-extra-probe-job contract
+    val noTerms = Seq.empty[(Long, String)].toDF("query_id", "term")
+    assertThrows[IllegalArgumentException](
+      Lexical.searchBm25Batch(spark, path, noTerms, k = 10).collect())
+    assert(Lexical.searchBm25Batch(spark, path, noTerms, k = 10,
+      emptyOk = true).isEmpty,
+      "emptyOk must answer an empty vocabulary with the empty frame")
   }
 
   test("multi-term scores sum per doc; absent terms contribute nothing") {

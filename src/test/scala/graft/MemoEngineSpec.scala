@@ -1128,6 +1128,19 @@ class MemoEngineSpec extends SparkTestBase {
               Set.empty)} vs $single")
       }
     }
+    // an ALL-token-free batch: the lexical leg is the EMPTY frame off
+    // searchBm25Batch's own sizing collect (no separate emptiness probe
+    // job) — per query it still equals the single path's vec-only fusion
+    val allFree = Seq((0L, ""), (1L, "???")).toDF("qid", "qtext")
+    val freeBatch = engine.hybridRecallBatch(allFree, "qid", "qtext",
+        k = 10, perList = 20)
+      .collect().map(r => (r.getLong(0), key(r, 1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(0L -> "", 1L -> "???").foreach { case (qid, qt) =>
+      assert(freeBatch.getOrElse(qid, Set.empty) ==
+        singleSet(qt, None, ann = false),
+        s"all-token-free batch diverged for '$qt'")
+    }
     engine.clean()
   }
 
