@@ -834,18 +834,21 @@ object MemoQueries {
     * survivor ranking and the fused id set is the survivor set
     * (replayed by DuckDB from the minting + thirds-cut + blank rules;
     * rrf scores ride hash-embed cosine ranks, not SQL-expressible).
-    * The build REQUIRES (a) the floor bit no survivor — the id-set
-    * claim's soundness guard — and every serve call REQUIRES (b) all
-    * THREE routes return the identical fused ranking (ids, scores,
-    * per-list ranks): the router's whole contract, exercised at sf
-    * scale on every run. BUILD-ONCE per sf-dir; a bench repeat prices
-    * three routed hybrid serves. */
+    * The BUILD PASS requires (a) the floor bit no survivor — the
+    * id-set claim's soundness guard — and (b) all THREE routes return
+    * the identical fused ranking (ids, scores, per-list ranks): the
+    * router's whole contract, exercised at sf scale once per fixture
+    * build (the q109 buildPass idiom). BUILD-ONCE per sf-dir; a bench
+    * repeat prices ONE routed hybrid serve (the artifact-backed ann
+    * arm), and the emitted id set is oracle-hashed on every run
+    * whatever the route. */
   private val q111HybridServe: Q = (s, dir) => {
     val base = java.nio.file.Paths.get(
       SessionHandles.tmpArtifactPath("q111hserve", dir))
     val done = base.resolve("_done")
     val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
-    if (!java.nio.file.Files.exists(done)) {
+    val buildPass = !java.nio.file.Files.exists(done)
+    if (buildPass) {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).orderBy("doc_id").limit(240)
         .collect() // bounded by construction: ≤240 rows at any SF
@@ -866,23 +869,6 @@ object MemoQueries {
     }
     val f = Some("part: p1")
     val q = "shared topic language"
-    // soundness guard for the id-set oracle: every non-blank survivor
-    // scores above the −0.9 floor (recall floors the raw cosine), so
-    // the vec leg alone already carries the whole survivor set
-    val survivors = engine.records
-      .filter(graft.filter.FilterAlgebra.compile("part: p1",
-        col("metadata")))
-      .filter(!graft.functions.GraftFunctions.isBlank(col("body")))
-      .count()
-    require(survivors >= 1 && survivors <= 100,
-      s"q111 expected 1..100 survivors, got $survivors")
-    val bruteN = engine.recall(q, k = 120, filterExpr = f).count()
-    require(bruteN == survivors,
-      s"q111 floor guard failed: recall filled $bruteN of $survivors " +
-        "survivors — the id-set oracle would be unsound")
-    // ROUTE PARITY, loud on every run: at full probe with perList ≥
-    // survivors the three semantic arms are provably equal, so the
-    // fused rankings must match bit-for-bit (ids, rrf scores, ranks)
     def route(bruteRows: Long, pqBytes: Long, expect: String) = {
       val out = engine.hybridServe(q, k = 120, filterExpr = f,
           perList = 120, nprobe = graft.memo.MemoEngine.AnnNlist,
@@ -896,18 +882,41 @@ object MemoQueries {
       require(got == expect, s"q111 expected route $expect, got $got")
       out
     }
-    val viaBrute = route(4096L, Long.MaxValue, "brute")
+    // the SERVED ranking every run: the ann route (the artifact-backed
+    // arm a big store would take), full probe, perList ≥ survivors
     val viaAnn = route(0L, Long.MaxValue, "ann")
-    val viaPq = route(0L, 0L, "pq")
-    require(viaAnn == viaBrute,
-      "q111 ann-routed fused ranking diverged from the brute route")
-    require(viaPq == viaBrute,
-      "q111 pq-routed fused ranking diverged from the brute route")
-    require(viaBrute.length.toLong == survivors,
-      s"q111 fused ranking has ${viaBrute.length} rows, " +
-        s"expected $survivors")
+    // the expensive cross-checks run once per session (the q109-style
+    // buildPass idiom): the bench repeats price ONE routed hybrid serve
+    if (buildPass) {
+      // soundness guard for the id-set oracle: every non-blank survivor
+      // scores above the −0.9 floor (recall floors the raw cosine), so
+      // the vec leg alone already carries the whole survivor set
+      val survivors = engine.records
+        .filter(graft.filter.FilterAlgebra.compile("part: p1",
+          col("metadata")))
+        .filter(!graft.functions.GraftFunctions.isBlank(col("body")))
+        .count()
+      require(survivors >= 1 && survivors <= 100,
+        s"q111 expected 1..100 survivors, got $survivors")
+      val bruteN = engine.recall(q, k = 120, filterExpr = f).count()
+      require(bruteN == survivors,
+        s"q111 floor guard failed: recall filled $bruteN of $survivors " +
+          "survivors — the id-set oracle would be unsound")
+      require(viaAnn.length.toLong == survivors,
+        s"q111 fused ranking has ${viaAnn.length} rows, " +
+          s"expected $survivors")
+      // ROUTE PARITY: at full probe with perList ≥ survivors the three
+      // semantic arms are provably equal, so the fused rankings must
+      // match bit-for-bit (ids, rrf scores, per-list ranks)
+      val viaBrute = route(4096L, Long.MaxValue, "brute")
+      val viaPq = route(0L, 0L, "pq")
+      require(viaAnn == viaBrute,
+        "q111 ann-routed fused ranking diverged from the brute route")
+      require(viaPq == viaBrute,
+        "q111 pq-routed fused ranking diverged from the brute route")
+    }
     import s.implicits._
-    viaBrute.map(_._1).sorted.toDF("id").orderBy("id")
+    viaAnn.map(_._1).sorted.toDF("id").orderBy("id")
   }
 
   /** Stats served from a covering VIEW end-to-end (the r16
