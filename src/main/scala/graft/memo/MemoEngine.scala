@@ -2026,9 +2026,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * view, dotted/special keys, a different filter — falls back to the
     * segment-pruned corpus scan (the reference path). Missing values
     * (NULL) and explicit YAML nulls ("z") are excluded on both arms
-    * (memo_cli.py:582-586). */
+    * (memo_cli.py:582-586).
+    *
+    * Filter coverage compares PARSE-LEVEL canonical forms (the Python
+    * str() rendering of the parsed map — order-SENSITIVE, since
+    * operand-dict insertion order is semantic in the algebra), not raw
+    * strings: `lang: en` and `{lang: en}` cover each other, while any
+    * structural difference — including dict-operand order — stays
+    * uncovered and scans. */
   def statsPairs(filterExpr: String, key: String): DataFrame = {
     val canonical = s"metadata['$key']"
+    def canon(f: String): Option[String] =
+      scala.util.Try(
+        FilterAlgebra.operandStr(FilterAlgebra.parse(f))).toOption
+    val ask = canon(filterExpr)
     val covering = views.iterator.map { name =>
       name -> ArtifactMeta
         .read(spark, viewDir(name).toString, ViewMetaFile)
@@ -2038,7 +2049,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
         })
     }.collectFirst {
       case (name, Some((gk, ms, aggs, where, cap)))
-          if gk == canonical && where.contains(filterExpr) =>
+          if gk == canonical && ask.isDefined &&
+            where.exists(w => canon(w) == ask) =>
         (name, ms, aggs, where, cap)
     }
     covering match {

@@ -1291,6 +1291,11 @@ class MemoEngineSpec extends SparkTestBase {
       s"view-served pairs diverged: $viaView vs $viaScan")
     assert(engine.cardinality(filter, "src") ==
       viaScan.map(_._1).size.toLong)
+    // coverage is PARSE-level, not string-level: the brace-less spelling
+    // of the same filter still routes to the view
+    engine.statsPairs("lang: en", "src").collect()
+    assert(engine.lastStatsSource.contains("view:cardsrc"),
+      "a parse-equivalent filter spelling must still cover")
     // uncovered asks: different filter, different key → scan fallback
     engine.statsPairs("{lang: sw}", "src").collect()
     assert(engine.lastStatsSource.contains("scan"),
