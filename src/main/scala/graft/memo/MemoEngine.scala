@@ -2829,27 +2829,38 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   /** ≤ cells−1 evenly spaced range boundaries over a bounded uniform
     * sample of one cluster key's distinct values ([[clusterBy]]'s
-    * multi-key gridding). The sample is the top-4096 distinct values by
-    * xxhash64 — a deterministic uniform subset gathered with a
-    * bounded-heap TopK (no full sort; one narrow distinct shuffle over
-    * just the key column) — and boundaries are quantile picks over the
-    * sample in code-point order, the same order the grid expression's
-    * binary string comparison (and the stats sidecars) use. Driver
-    * traffic is ≤ 4096 strings per key by construction. */
+    * gridding), plus whether the key read as ALL-NUMERIC. The sample is
+    * the top-4096 distinct values by xxhash64 — a deterministic uniform
+    * subset gathered with a bounded-heap TopK (no full sort; one narrow
+    * distinct shuffle over just the key column). When every sampled
+    * value parses numerically the boundaries sort NUMERICALLY and the
+    * caller compares numerically — code-point order scatters a numeric
+    * key's adjacent values ("10" < "9"), which leaves a numeric-range
+    * filter's sidecar bounds wide in every segment; otherwise
+    * boundaries stay in code-point order, the order the grid
+    * expression's string comparison (and the stats sidecars) use.
+    * NUMERIC DETECTION IS LAYOUT-ONLY: a value the sample missed (or a
+    * skewed sample) can cost pruning effectiveness, never correctness —
+    * `canMatch` always decides from each segment's recorded stats.
+    * Driver traffic is ≤ 4096 strings per key by construction. */
   private def clusterBoundaries(recs: DataFrame, keyCol: Column,
-      cells: Int): Seq[String] = {
+      cells: Int): (Seq[String], Boolean) = {
     val sampleCap = 4096
     val sample = recs.select(keyCol.as("v"))
       .filter(col("v").isNotNull).distinct()
       .orderBy(xxhash64(col("v")), col("v"))
       .limit(sampleCap)
       .collect().map(_.getString(0))
-    val sorted = sample.sortWith(
-      (a, b) => graft.filter.SegmentStats.cpCompare(a, b) < 0)
-    if (sorted.isEmpty) Seq.empty
-    else (1 until cells).map(i =>
-        sorted(((i.toLong * sorted.length) / cells).toInt))
-      .distinct
+    val numeric = sample.nonEmpty && sample.forall(_.toDoubleOption.isDefined)
+    val sorted =
+      if (numeric) sample.sortBy(_.toDouble)
+      else sample.sortWith(
+        (a, b) => graft.filter.SegmentStats.cpCompare(a, b) < 0)
+    val bs = if (sorted.isEmpty) Seq.empty[String]
+      else (1 until cells).map(i =>
+          sorted(((i.toLong * sorted.length) / cells).toInt))
+        .distinct
+    (bs, numeric)
   }
 
   /** Metadata-clustered compaction — the OPTIMIZE … CLUSTER BY shape
@@ -2911,15 +2922,31 @@ class MemoEngine(spark: SparkSession, basePath: String,
       // partition id; the id tiebreak keeps a single dominant value
       // splittable
       val sortHead: Column =
-        if (keys.size == 1) keyCol(keys.head).asc_nulls_first
-        else {
+        if (keys.size == 1) {
+          // numeric-aware single-key order: an all-numeric key range-
+          // partitions on its NUMERIC order (code-point order scatters
+          // "9" away from "10"); non-numeric rows cast to null and
+          // cluster low with the missing-key rows. Detection rides the
+          // same bounded sample as the grid — layout-only, see
+          // [[clusterBoundaries]]
+          val kc = keyCol(keys.head)
+          val (_, numeric) = clusterBoundaries(recs, kc, 2)
+          if (numeric) kc.try_cast("double").asc_nulls_first
+          else kc.asc_nulls_first
+        } else {
           val bits = math.min(6, graft.ops.Layout.bitsPerDim(keys.size))
           val cells = keys.map { k =>
-            val bs = clusterBoundaries(recs, keyCol(k), 1 << bits)
+            val (bs, numeric) = clusterBoundaries(recs, keyCol(k), 1 << bits)
             // grid cell = #boundaries strictly below the value; a null
-            // (missing key) fails every comparison and lands in cell 0
-            bs.foldLeft(lit(0L))((acc, b) =>
-              acc + when(keyCol(k) > lit(b), 1L).otherwise(0L))
+            // (missing key, or non-numeric under a numeric grid) fails
+            // every comparison and lands in cell 0
+            if (numeric)
+              bs.foldLeft(lit(0L))((acc, b) =>
+                acc + when(keyCol(k).try_cast("double") > lit(b.toDouble),
+                  1L).otherwise(0L))
+            else
+              bs.foldLeft(lit(0L))((acc, b) =>
+                acc + when(keyCol(k) > lit(b), 1L).otherwise(0L))
           }
           graft.ops.Layout.mortonN(cells, bits).asc
         }

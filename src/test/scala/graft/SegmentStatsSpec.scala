@@ -461,6 +461,45 @@ class SegmentStatsSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("clusterBy on an all-numeric key lays out in NUMERIC order, so " +
+      "numeric-range filters prune to contiguous segments") {
+    val engine = freshEngine()
+    val n = 120
+    // a hash-shuffled permutation of 0..119 saved across four segments:
+    // ingest never correlates with the key, and every value is a YAML
+    // INT so the key is numeric-typed end to end (code-point order
+    // would scatter 90..119 into two regions — "90".."99" sort after
+    // "9" but "100".."119" sort before "2")
+    val order = (0 until n).sortBy(i => (i * 37) % n)
+    (0 until 4).foreach { s =>
+      engine.save(order.slice(s * 30, (s + 1) * 30).map(i =>
+        s"---\nbody: numeric note $i\nmetadata: {num: $i}\n").mkString)
+    }
+    assert(engine.segmentPrune("num: {$gte: 90}") == (4, 4),
+      "uncorrelated ingest should be unprunable")
+    val count = engine.analyzeCount("num: {$gte: 90}")
+    assert(count == 30)
+    // the algebra takes ranges as $and of single-operator maps (a
+    // multi-op map is malformed → matches nothing, P12)
+    val band = "$and: [{num: {$gte: 30}}, {num: {$lte: 59}}]"
+    assert(engine.analyzeCount(band) == 30)
+    engine.clusterBy("num", nClusters = 4)
+    // the top numeric quarter is ~one contiguous cluster (the range
+    // partitioner's sampled quartiles can straddle one boundary)
+    val (kept, total) = engine.segmentPrune("num: {$gte: 90}")
+    assert(total == 4 && kept >= 1 && kept <= 2,
+      s"numeric layout should prune the top quarter: ($kept, $total)")
+    // a MID-range band prunes too — code-point order would scatter
+    // 30..59 among 3,30,…,4,40,…: most clusters would hold a piece
+    val (keptMid, _) = engine.segmentPrune(band)
+    assert(keptMid >= 1 && keptMid <= 2,
+      s"numeric layout should prune a mid band: got $keptMid of $total")
+    // semantics untouched on the new layout
+    assert(engine.analyzeCount("num: {$gte: 90}") == count)
+    assert(engine.analyzeCount(band) == 30)
+    engine.clean()
+  }
+
   test("multi-key clusterBy: one Z-order layout prunes filters on BOTH keys") {
     val engine = freshEngine()
     // 128 docs over a 4×4 uncorrelated key grid (ka = i%4 strides, kb
