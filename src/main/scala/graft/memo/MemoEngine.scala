@@ -2935,18 +2935,33 @@ class MemoEngine(spark: SparkSession, basePath: String,
           else kc.asc_nulls_first
         } else {
           val bits = math.min(6, graft.ops.Layout.bitsPerDim(keys.size))
+          val slots = 1L << bits
           val cells = keys.map { k =>
             val (bs, numeric) = clusterBoundaries(recs, keyCol(k), 1 << bits)
             // grid cell = #boundaries strictly below the value; a null
             // (missing key, or non-numeric under a numeric grid) fails
             // every comparison and lands in cell 0
-            if (numeric)
-              bs.foldLeft(lit(0L))((acc, b) =>
-                acc + when(keyCol(k).try_cast("double") > lit(b.toDouble),
-                  1L).otherwise(0L))
-            else
-              bs.foldLeft(lit(0L))((acc, b) =>
-                acc + when(keyCol(k) > lit(b), 1L).otherwise(0L))
+            val raw =
+              if (numeric)
+                bs.foldLeft(lit(0L))((acc, b) =>
+                  acc + when(keyCol(k).try_cast("double") > lit(b.toDouble),
+                    1L).otherwise(0L))
+              else
+                bs.foldLeft(lit(0L))((acc, b) =>
+                  acc + when(keyCol(k) > lit(b), 1L).otherwise(0L))
+            // SCALE low-cardinality dims across the full bit range: a
+            // 4-value key's raw cells 0..3 occupy only the two LOWEST
+            // bits, which interleave at the z value's least-significant
+            // positions — the range partitioner would then split almost
+            // entirely by the higher-cardinality keys and leave this key
+            // scattered through every cluster. Spreading the cells to
+            // 0, 16, 32, 48 (integer-uniform over [0, 2^bits)) puts
+            // every dim's variation at comparable significance, so
+            // mixed-cardinality key sets still prune on EVERY key.
+            // (Column./ is double division; magnitudes ≤ 2^12 are exact
+            // in double, so floor IS the integer quotient.)
+            floor(raw * lit(slots) / lit((bs.length + 1).toLong))
+              .cast("long")
           }
           graft.ops.Layout.mortonN(cells, bits).asc
         }

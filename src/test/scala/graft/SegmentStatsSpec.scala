@@ -500,6 +500,44 @@ class SegmentStatsSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("multi-key clusterBy grids a numeric dimension numerically") {
+    val engine = freshEngine()
+    // ka: 4 string values striding; num: ints 0..31 hash-spread (7 is
+    // coprime to 128, so every segment of 32 consecutive ids sees the
+    // whole numeric range and neither key correlates with save order)
+    val n = 128
+    (0 until 4).foreach { s =>
+      engine.save((s * 32 until (s + 1) * 32).map { i =>
+        s"---\nbody: zgrid note $i text\n" +
+          s"metadata: {ka: a${i % 4}, num: ${(i * 7 % 128) / 4}}\n"
+      }.mkString)
+    }
+    val band = "$and: [{num: {$gte: 24}}, {num: {$lte: 31}}]"
+    assert(engine.segmentPrune(band) == (4, 4))
+    val countBand = engine.analyzeCount(band)
+    assert(countBand == n / 4)
+    engine.clusterBy(Seq("ka", "num"), nClusters = 16)
+    // the z layout's numeric grid keeps the top numeric band contiguous
+    // on its dimension: a band filter prunes to at most half — under a
+    // code-point grid 24..31 share cells with nothing (3,30,31 vs 24)
+    // but 8..9 would interleave with 30..31's cells
+    val (keptB, totalB) = engine.segmentPrune(band)
+    assert(totalB >= 8 && keptB * 2 <= totalB,
+      s"z numeric grid should prune the band: ($keptB, $totalB)")
+    // the COARSE key prunes from the SAME layout — the cell-scaling
+    // claim: without spreading ka's 4 cells across the bit range, its
+    // variation sits at the z value's least-significant bits and the
+    // 32-value num dim absorbs every partition split (measured 16/16
+    // kept). Against a dim 8× finer the split is still num-dominated,
+    // so the pin is strict pruning, not a ratio.
+    val (keptA, totalA) = engine.segmentPrune("ka: a1")
+    assert(keptA < totalA,
+      s"z layout should still prune the string key: ($keptA, $totalA)")
+    assert(engine.analyzeCount(band) == countBand)
+    assert(engine.analyzeCount("ka: a1") == n / 4)
+    engine.clean()
+  }
+
   test("multi-key clusterBy: one Z-order layout prunes filters on BOTH keys") {
     val engine = freshEngine()
     // 128 docs over a 4×4 uncorrelated key grid (ka = i%4 strides, kb
