@@ -272,6 +272,76 @@ class MemoConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("hybridServe racing an appender: fused ids are survivors under " +
+      "churn, all three routes equal once quiet") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    def hotOf(i: Int) = if (i % 5 == 0) "h1" else "h0"
+    e1.save((0 until 40).map(i =>
+      s"---\nbody: race note $i topic${i % 4}\nmetadata: {hot: ${hotOf(i)}}\n")
+      .mkString)
+    val appends = 6
+    val everHot = (0 until 40 + appends).filter(_ % 5 == 0).map(_.toLong).toSet
+    import spark.implicits._
+    val queries = Seq((0L, "topic1 race"), (1L, "topic3 note"))
+      .toDF("qid", "qtext")
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def transient(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("") + " " +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      m.contains("NoSuchFile") || m.contains("FILE_NOT_EXIST") ||
+        m.contains("does not exist")
+    }
+    try {
+      val appender = Future {
+        (40 until 40 + appends).foreach(i =>
+          e1.save(s"---\nbody: race note $i topic${i % 4}\n" +
+            s"metadata: {hot: ${hotOf(i)}}\n"))
+      }
+      val reader = Future {
+        var reads = 0
+        while (!appender.isCompleted && reads < 20) {
+          try {
+            // alternate the single and batch hybrid front doors, forcing
+            // the probe routes (bruteRows=0): BOTH legs ride maintained
+            // artifacts mid-churn, and every fused id must be a filter
+            // survivor of SOME committed version
+            val ids =
+              if (reads % 2 == 0)
+                e2.hybridServe("topic1 race", k = 20,
+                    filterExpr = Some("{hot: h1}"), bruteRows = 0L)
+                  .collect().map(_.getLong(0)).toSet
+              else
+                e2.hybridServeBatch(queries, "qid", "qtext", k = 20,
+                    filterExpr = Some("{hot: h1}"), bruteRows = 0L)
+                  .collect().map(_.getLong(1)).toSet
+            assert(ids.subsetOf(everHot),
+              s"hybrid serve leaked non-survivors: ${ids -- everHot}")
+          } catch { case e: Throwable if transient(e) => () }
+          reads += 1
+        }
+        reads
+      }
+      Await.result(Future.sequence(Seq(appender, reader)), 180.seconds)
+      // quiet store: the q111 argument post-churn — at full probe every
+      // route returns the identical fused ranking
+      def route(bruteRows: Long, pqBytes: Long) =
+        e1.hybridServe("topic1 race", k = 10,
+            filterExpr = Some("{hot: h1}"), perList = 50,
+            nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+            pqBytes = pqBytes)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaBrute = route(4096L, Long.MaxValue)
+      val viaAnn = route(0L, Long.MaxValue)
+      val viaPq = route(0L, 0L)
+      assert(viaBrute.nonEmpty && viaAnn == viaBrute && viaPq == viaBrute,
+        s"post-churn routes diverged: $viaBrute vs $viaAnn vs $viaPq")
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
   test("vacuum sweeps stale staging corpses, spares fresh attempts") {
     val db = freshStore()
     val engine = new MemoEngine(spark, db)
