@@ -283,15 +283,44 @@ object SkipProfile {
       f"np$np=$t%.3fs"
     }
     mask.unpersist()
-    // contrast: the end-to-end serve total these phases compose into
+    // contrast: the end-to-end serve total these phases compose into —
+    // the EXPLICIT arm pays the widening ladder from nprobe=1…
     val tServe = best {
       require(engine.annRecall(q, k = 10, nprobe = 1,
         filterExpr = Some(filter)).collect().length == 10)
     }
+    val ladderRungs = engine.lastFilteredAnnProbe.getOrElse((0, 0))
+    // …while the FRONT DOOR at the same nominal nprobe starts
+    // bound-aware (r16 adaptiveProbe — bruteRows=0 forces the probe
+    // route so the two numbers compare the ladders, not the routes)
+    val tDoor = best {
+      require(engine.recallServe(q, k = 10, nprobe = 1,
+        filterExpr = Some(filter), bruteRows = 0L)
+        .collect().length == 10)
+    }
+    val doorRungs = engine.lastFilteredAnnProbe.getOrElse((0, 0))
+    // TIGHT filter (one segment's survivors): np1 probes ~1/nlist of
+    // them and must widen — the case the bound-aware start collapses
+    // to one pass (each avoided rung is a pass + its fill collect)
+    val tight = f"{part: p${nSegs - 1}%03d}"
+    val tTightLadder = best {
+      engine.annRecall(q, k = 10, nprobe = 1,
+        filterExpr = Some(tight)).collect()
+    }
+    val tightLadderRungs = engine.lastFilteredAnnProbe.getOrElse((0, 0))
+    val tTightDoor = best {
+      engine.recallServe(q, k = 10, nprobe = 1,
+        filterExpr = Some(tight), bruteRows = 0L).collect()
+    }
+    val tightDoorRungs = engine.lastFilteredAnnProbe.getOrElse((0, 0))
     val (kept, total) = engine.segmentPrune(filter)
     println(f"[fann-phases] segs=$nSegs%4d docsPerSeg=$docsPerSeg " +
       f"kept=$kept/$total survivors=$survivors mask=$tMask%.3fs " +
-      rungs.mkString(" ") + f" | annRecall(np1,widening)=$tServe%.3fs")
+      rungs.mkString(" ") +
+      f" | annRecall(np1)=$tServe%.3fs rungs=$ladderRungs" +
+      f" | recallServe(np1,adaptive)=$tDoor%.3fs rungs=$doorRungs" +
+      f" | tight: ladder=$tTightLadder%.3fs rungs=$tightLadderRungs" +
+      f" door=$tTightDoor%.3fs rungs=$tightDoorRungs")
     engine.clean()
     ()
   }
