@@ -2001,8 +2001,24 @@ class MemoEngine(spark: SparkSession, basePath: String,
     MemoOps.analyzeProject(recs, filterExpr, fs, limit, offset)
   }
 
-  def analyzeStats(filterExpr: String, key: String): DataFrame =
-    MemoOps.statsTopK(recordsForFilter(filterExpr), filterExpr, key)
+  /** A8 top-4+other rollup off [[statsPairs]]: display-grouped cnt
+    * sums with [[MemoOps.statsTopK]]'s exact formulas (two raw
+    * encodings can share a rendering), so a registered covering view
+    * serves this API O(state) exactly like the CLI stats block;
+    * uncovered asks scan as before. */
+  def analyzeStats(filterExpr: String, key: String): DataFrame = {
+    val counts = statsPairs(filterExpr, key)
+      .select(graft.functions.GraftFunctions.metaDisplay(col("raw"))
+        .as("value"), col("cnt"))
+      .groupBy(col("value")).agg(sum(col("cnt")).as("cnt"))
+    val top = counts.orderBy(desc("cnt"), col("value")).limit(4)
+    val other = counts
+      .join(top.select(col("value")), Seq("value"), "left_anti")
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt").isNotNull)
+      .select(lit("other").as("value"), col("cnt"))
+    top.unionByName(other).orderBy(desc("cnt"), col("value"))
+  }
 
   /** Test seam: how the last [[statsPairs]] ask was served
     * ("view:<name>" | "scan"). Production never reads it. */

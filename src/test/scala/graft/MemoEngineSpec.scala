@@ -1310,6 +1310,16 @@ class MemoEngineSpec extends SparkTestBase {
     assert(engine.lastStatsSource.contains("view:cardsrc"))
     assert(afterAppend == expected(),
       s"view-served stats went stale: $afterAppend vs ${expected()}")
+    // the A8 rollup API rides the same pairs: view-served, equal to the
+    // MemoOps scan formulas
+    val rollup = engine.analyzeStats(filter, "src").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(engine.lastStatsSource.contains("view:cardsrc"))
+    val viaOps = graft.memo.MemoOps.statsTopK(
+        engine.records, filter, "src").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rollup == viaOps,
+      s"view-served rollup diverged from the scan: $rollup vs $viaOps")
     engine.clean()
   }
 
