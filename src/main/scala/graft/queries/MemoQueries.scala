@@ -972,6 +972,49 @@ object MemoQueries {
     served.orderBy(col("raw"))
   }
 
+  /** Numeric-ordered clusterBy end-to-end (the r16 layout arm): a
+    * store whose INT-typed `num` key is a hash permutation of 0..239
+    * (uncorrelated with save order, so nothing prunes pre-layout),
+    * rewritten once by `clusterBy("num")` — which detects the
+    * all-numeric key off its boundary sample and range-partitions on
+    * NUMERIC order (code-point order scatters "9" from "10") — then a
+    * numeric band projection. The build asserts the pre-layout is
+    * unprunable and the numeric band prunes to ≤ half post-rewrite;
+    * the oracle replays the minting rule and the band in DuckDB.
+    * BUILD-ONCE per sf-dir; a bench repeat prices the pruned numeric
+    * filtered read off the numeric layout. */
+  private val q113NumericCluster: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q113ncl", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    if (!java.nio.file.Files.exists(done)) {
+      val n = 240
+      def yamlOf(ids: Range) = ids.map { i =>
+        s"---\nbody: numeric cluster doc $i\n" +
+          s"metadata: {num: ${(i * 37) % n}}\n" // 37 ⟂ 240: a permutation
+      }.mkString
+      if (engine.exists) engine.clean() // torn prior build: start over
+      engine.save(yamlOf(0 until n / 2))
+      engine.save(yamlOf(n / 2 until n))
+      // pinned loudly: the shuffled layout is unprunable on the band …
+      val band = "$and: [{num: {$gte: 180}}, {num: {$lte: 239}}]"
+      val (k0, t0) = engine.segmentPrune(band)
+      require(k0 == t0 && t0 == 2,
+        s"q113 expected an unprunable 2-segment pre-layout, got ($k0, $t0)")
+      engine.clusterBy("num", nClusters = 8)
+      // … and ONE numeric-ordered rewrite prunes the top quarter
+      val (k1, t1) = engine.segmentPrune(band)
+      require(t1 >= 4 && k1 * 2 <= t1,
+        s"q113 expected the numeric layout to prune the band, " +
+          s"got ($k1, $t1)")
+      java.nio.file.Files.createFile(done)
+    }
+    engine.analyzeProject(
+      "$and: [{num: {$gte: 180}}, {num: {$lte: 239}}]",
+      Seq("id", "num"), limit = 300)
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -1000,6 +1043,7 @@ object MemoQueries {
     "q109_view_count" -> q109ViewCount,
     "q111_hybrid_serve" -> q111HybridServe,
     "q112_stats_view" -> q112StatsView,
+    "q113_numeric_cluster" -> q113NumericCluster,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1179,6 +1223,16 @@ object MemoQueries {
         |SELECT d.id, 'p1' AS part FROM d, p
         |WHERE least(d.id // p.third, 2) = 1
         |ORDER BY d.id LIMIT 200""".stripMargin,
+    // q113 replay: the numeric-cluster minting rule (num = i·37 mod 240,
+    // a permutation) and the band projection; the numeric-order layout
+    // and its pruning are build-time requires (layout never changes
+    // results), so the hash pins the band's exact (id, num) rows.
+    "q113_numeric_cluster" ->
+      """WITH d AS (SELECT CAST(range AS BIGINT) AS i FROM range(240)),
+        |m AS (SELECT i AS id, (i * 37) % 240 AS num FROM d)
+        |SELECT id, CAST(num AS VARCHAR) AS num FROM m
+        |WHERE num >= 180 AND num <= 239
+        |ORDER BY id LIMIT 300""".stripMargin,
     // q112 replay: the stats-pairs minting rules — doc ordinal mints
     // (lang, src), the en rows group by src, raw values are the typed
     // 's'-prefixed encodings. The query REQUIRES the pairs came from
