@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   */
 object MaintProfile {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("wdview")) match {
+    val mode = args.headOption.filter(Set("wdview", "shardview")) match {
       case Some(m) => m
       case None => "families"
     }
@@ -42,9 +42,75 @@ object MaintProfile {
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "wdview" => segsList.foreach(runWdView(spark, _, docsPerSeg))
+      case "shardview" =>
+        (if (rest.isEmpty) Seq(3000, 30000) else segsList)
+          .foreach(runShardView(spark, _))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
+  }
+
+  /** The sharded-view-state scaling claim (round 17): a 1-row refresh
+    * publish is O(touched shard + delta), FLAT as the view's GROUP COUNT
+    * grows 10× — where the pre-shard publish rewrote every group. Builds
+    * a store whose view has `nGroups` distinct groups (one doc per
+    * group), registers a per-group view (the covering-stats-view shape —
+    * exactly the high-cardinality case the statsPairs route encourages),
+    * then times the refresh after a ONE-doc append and after a ONE-row
+    * patch, reporting the publish seam (shards written vs carried).
+    * The build leg is the honest O(groups) linear reference.
+    * Run via `runMain graft.MaintProfile shardview [groupsList]`
+    * (default "3000,30000"). */
+  private[graft] def runShardView(spark: SparkSession, nGroups: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_shv")
+    // shard target 512 so BOTH legs shard (3000 groups → ~8 shards,
+    // 30000 → ~64): the flat claim is about rewriting ≤ one shard's
+    // groups per 1-row refresh, whatever the total group count
+    val engine = new graft.memo.MemoEngine(spark,
+      base.resolve("db").toString, maxSegments = 1000000,
+      viewShardRows = 512)
+    def docYaml(g: Int, tag: String) =
+      s"---\nbody: shard profile $tag\nmetadata: {g: g$g}\n"
+    // a handful of segments, nGroups distinct groups
+    val perSeg = math.max(1, nGroups / 4)
+    (0 until nGroups).grouped(perSeg).foreach(batch =>
+      engine.save(batch.map(g => docYaml(g, s"doc $g")).mkString))
+    val key = "metadata['g']"
+    val ms = Seq("chars" -> "length(body)")
+    def view() = engine.viewState("shv", key, ms)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def publish() = engine.lastViewPublish.getOrElse((-1, -1))
+    val tBuild = timed { view().collect() }
+    val pBuild = publish()
+    // ONE-doc append into one existing group
+    engine.save(docYaml(7, "append probe"))
+    val tAppend = timed { view().collect() }
+    val pAppend = publish()
+    val mAppend = engine.lastViewRefresh.map(_._1).getOrElse("none")
+    // ONE-row patch (update moves a row's measure)
+    val feed = Seq((3L, "updated", "patched longer body for the row",
+        Map("g" -> "sg3")))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L))
+    engine.applyChanges(feed)
+    val tPatch = timed { view().collect() }
+    val pPatch = publish()
+    val mPatch = engine.lastViewRefresh.map(_._1).getOrElse("none")
+    require(mAppend == "incremental" && mPatch == "incremental",
+      s"shardview expected incremental refreshes, got ($mAppend, $mPatch)")
+    require(pAppend._2 > 0 && pPatch._2 > 0,
+      s"shardview expected carried shards, got ($pAppend, $pPatch)")
+    println(f"[shardview] groups=$nGroups%6d " +
+      f"build=$tBuild%.3fs(shards=${pBuild._1}) " +
+      f"append1=$tAppend%.3fs(wrote=${pAppend._1} carried=${pAppend._2}) " +
+      f"patch1=$tPatch%.3fs(wrote=${pPatch._1} carried=${pPatch._2}) " +
+      "all-incremental")
+    engine.clean()
+    ()
   }
 
   /** The state-heaviest VIEW combination at 10× history (BENCH_NOTES

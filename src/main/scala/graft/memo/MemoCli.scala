@@ -492,7 +492,7 @@ object MemoCli {
       println("Range (numeric):")
       println(s"  min: ${g(stats.getDouble(2))}")
       println(s"  max: ${g(stats.getDouble(3))}")
-      println(f"  avg: ${stats.getDouble(4)}%.2f")
+      println(s"  avg: ${MemoCli.py2f(stats.getDouble(4))}")
     } else if (stats.getLong(5) == n) {
       println("Range (date-like):")
       println(s"  start: ${stats.getString(6)}")
@@ -519,6 +519,21 @@ object MemoCli {
         else mant
       m + exp
     }
+  }
+
+  /** Python `.2f` rendering (the reference's stats avg line,
+    * memo_cli.py:617): correctly-rounded to 2 decimals with ROUND
+    * HALF-EVEN on the EXACT binary value of the double — Java's %.2f
+    * rounds HALF-UP, so an exactly-representable boundary value
+    * diverges (0.125 → Python "0.12", Java "0.13"). Negative values
+    * that round to zero keep their sign ("-0.00"), as Python does. */
+  def py2f(x: Double): String = {
+    if (x.isNaN) return "nan"
+    if (x.isInfinite) return if (x > 0) "inf" else "-inf"
+    val r = new java.math.BigDecimal(x)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN)
+    val s = r.toPlainString
+    if ((x < 0 || 1.0 / x < 0) && !s.startsWith("-")) "-" + s else s
   }
 
   /** Aligned two-space table (memo_cli.py:568-578). */

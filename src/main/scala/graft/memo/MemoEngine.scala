@@ -61,6 +61,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     materializeFeeds: Boolean = true,
     viewReserveK: Int = MemoEngine.DefaultViewReserveK,
     viewDistinctCap: Int = MemoEngine.DefaultViewDistinctCap,
+    viewShardRows: Int = MemoEngine.DefaultViewShardRows,
     metaStatsSidecars: Boolean = true,
     statsMaxKeys: Int = graft.filter.SegmentStats.MaxKeys,
     statsMaxVals: Int = graft.filter.SegmentStats.MaxVals) {
@@ -1072,31 +1073,73 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the survivor upper bound it decided on. Production never reads it. */
   private[graft] var lastServeRoute: Option[(String, Long)] = None
 
-  /** The LAST batch serving call's widening-rung caches. A fill ladder
+  /** Widening-rung caches, keyed by SERVING-CALL TOKEN. A fill ladder
     * caches each rung (its fill-count job materializes it, so consuming
     * the returned union reads cached blocks), and the union is LAZY —
     * the rungs must stay pinned until the caller has consumed the
     * result, so the ladder can't unpersist them itself. Unbounded
-    * accumulation across calls is the failure mode this registry kills:
-    * each batch serving entry point drains the PREVIOUS call's rungs on
-    * entry, so a long-running serving process pins at most one call's
-    * ladder (≤ log₂(nlist)+1 frames). [[releaseServingCaches]] releases
-    * eagerly; unpersisting a frame a slow reader still holds is safe —
-    * its blocks recompute from lineage, correctness never depended on
-    * the cache. */
+    * accumulation across calls is the failure mode this registry kills,
+    * WITHOUT letting concurrent servers thrash each other: every batch
+    * serving entry point takes a token ([[beginServingCall]]), registers
+    * its rungs under it, and retires it on return — a new call drains
+    * only rungs whose call is neither IN FLIGHT nor the MOST RECENTLY
+    * RETIRED one (kept pinned for its caller's lazy consumption, the
+    * single-caller semantics generalized). A long-running serving
+    * process therefore pins at most (in-flight calls + 1) ladders
+    * (≤ log₂(nlist)+1 frames each), and a concurrent server's entry can
+    * never unpersist another call's still-in-flight rungs.
+    * [[releaseServingCaches]] releases retired ladders eagerly;
+    * unpersisting a frame a slow reader still holds is safe — its
+    * blocks recompute from lineage, correctness never depended on the
+    * cache. */
   private[graft] val servingCaches =
-    scala.collection.mutable.Buffer.empty[DataFrame]
+    scala.collection.mutable.Buffer.empty[(Long, DataFrame)]
+  private val servingCallSeq =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val activeServingCalls =
+    scala.collection.mutable.Set.empty[Long]
+  private[graft] var lastRetiredServingCall: Option[Long] = None
 
-  private def registerServingCache(df: DataFrame): Unit =
-    servingCaches.synchronized { servingCaches += df; () }
+  /** Open a serving-call scope: allocate its token and drain rungs of
+    * calls that are done AND superseded (not in flight, not the most
+    * recently retired). */
+  private def beginServingCall(): Long = servingCaches.synchronized {
+    val tok = servingCallSeq.incrementAndGet()
+    val keep: Set[Long] =
+      activeServingCalls.toSet ++ lastRetiredServingCall
+    val (kept, drop) = servingCaches.partition(e => keep.contains(e._1))
+    drop.foreach(_._2.unpersist())
+    servingCaches.clear(); servingCaches ++= kept
+    activeServingCalls += tok
+    tok
+  }
 
-  /** Unpersist the widening-rung caches pinned by the last batch
-    * serving call (see [[servingCaches]]). Automatic on the next batch
-    * serving call; call directly after consuming a batch result to
-    * release executor memory immediately. */
+  private def endServingCall(tok: Long): Unit =
+    servingCaches.synchronized {
+      activeServingCalls -= tok
+      lastRetiredServingCall = Some(tok)
+    }
+
+  private def registerServingCache(tok: Long)(df: DataFrame): Unit =
+    servingCaches.synchronized { servingCaches += ((tok, df)); () }
+
+  /** Test seam: invoked after a batch ladder registered its rungs,
+    * BEFORE the call's token retires — lets a concurrency spec hold one
+    * serve open while another thread enters. Production never sets it. */
+  private[graft] var afterServingLadderHook: Long => Unit = _ => ()
+
+  /** Unpersist the widening-rung caches of COMPLETED batch serving
+    * calls (see [[servingCaches]]); in-flight calls' rungs are never
+    * touched, so this is safe to call from any thread at any time.
+    * Superseded ladders drain automatically on the next batch serving
+    * call; call this directly after consuming a batch result to release
+    * executor memory immediately. */
   def releaseServingCaches(): Unit = servingCaches.synchronized {
-    servingCaches.foreach(_.unpersist())
-    servingCaches.clear()
+    val (kept, drop) =
+      servingCaches.partition(e => activeServingCalls.contains(e._1))
+    drop.foreach(_._2.unpersist())
+    servingCaches.clear(); servingCaches ++= kept
+    lastRetiredServingCall = None
   }
 
   /** The filter-aware serving FRONT DOOR — the BENCH_NOTES r14
@@ -1278,8 +1321,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("id", LongType),
       StructField("score", DoubleType), StructField("body", StringType)))
-    releaseServingCaches()
-    ensureIvf() match {
+    val srvTok = beginServingCall()
+    try ensureIvf() match {
       case Some(centroids) =>
         val q = queries.select(
           col(queryIdCol).cast("long").as("query_id"),
@@ -1314,10 +1357,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
               val (hits, widen) = graft.ops.IvfIndex.searchBatchFill(
                 idx, centroids, q, "query_id", "qv", k, np0,
                 allowed = Some(mask), rawFloor = floor,
-                track = registerServingCache)
+                track = registerServingCache(srvTok))
               lastBatchAnnWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
+              afterServingLadderHook(srvTok)
               // the ladder's fill counts already materialized every
               // rung's cache; the body join reads the pruned records
               // frame, not the mask — safe to release it here (an
@@ -1331,7 +1375,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             }
         }
       case None => emptyFrame(outSchema)
-    }
+    } finally endServingCall(srvTok)
   }
 
   /** [[lastBatchAnnWiden]]'s twin for the compressed batch path. */
@@ -1360,8 +1404,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("id", LongType),
       StructField("score", DoubleType), StructField("body", StringType)))
-    releaseServingCaches()
-    ensurePq() match {
+    val srvTok = beginServingCall()
+    try ensurePq() match {
       case Some((centroids, codebooks)) =>
         val q = queries.select(
           col(queryIdCol).cast("long").as("query_id"),
@@ -1397,10 +1441,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
                 codes, index, "id", "embedding", centroids, codebooks,
                 q, "query_id", "qv", k, np0, refine,
                 allowed = Some(mask), rawFloor = floor,
-                track = registerServingCache)
+                track = registerServingCache(srvTok))
               lastBatchPqWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
+              afterServingLadderHook(srvTok)
               mask.unpersist()
               hits
                 .join(recordsForFilter(f).select(col("id"), col("body")),
@@ -1410,7 +1455,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             }
         }
       case None => emptyFrame(outSchema)
-    }
+    } finally endServingCall(srvTok)
   }
 
   private def pqDir: String = base.resolve("_ivfpq").toString
@@ -2056,7 +2101,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
       scala.util.Try(
         FilterAlgebra.operandStr(FilterAlgebra.parse(f))).toOption
     val ask = canon(filterExpr)
-    val covering = views.iterator.map { name =>
+    // SPECIAL KEYS never consult views: [[MemoOps.rawField]] resolves
+    // 'id' to the record id (not element_at(metadata,'id')), 'metadata'
+    // to the whole-map rendering, and 'metadata.x' strips the prefix to
+    // element_at(metadata,'x') — so the canonical form above would match
+    // a view over a METADATA FIELD that merely shares the name (a field
+    // literally called 'id') and silently serve the wrong pairs. Those
+    // asks always take the scan arm, as the fallback contract promises.
+    val viewServable = key != "id" && key != "metadata" &&
+      !key.startsWith("metadata.")
+    val covering = if (!viewServable) None else views.iterator.map { name =>
       name -> ArtifactMeta
         .read(spark, viewDir(name).toString, ViewMetaFile)
         .flatMap(_.split('|') match {
@@ -2137,6 +2191,62 @@ class MemoEngine(spark: SparkSession, basePath: String,
 
   private def viewDir(name: String): Path = base.resolve(s"_view_$name")
   private val ViewMetaFile = "_view_meta"
+  private val ViewShardManifest = "_shards"
+
+  /** One live view-state shard: the parquet dir at `path` (RELATIVE to
+    * the view dir, so a shard carried by reference keeps reading from
+    * the older state dir that wrote it) holding every group whose hash
+    * CELL falls in [lo, hi). Shard group sets are disjoint; intervals
+    * may overlap across entries (an older wide shard next to newer
+    * fine-grained ones) — a key's live row is in exactly ONE shard, and
+    * a refresh treats EVERY entry intersecting the delta's cells as
+    * touched. */
+  private[graft] case class ViewShard(lo: Int, hi: Int, path: String)
+
+  /** group_key → hash cell in [0, [[MemoEngine.ViewShardCells]]): the
+    * top 16 bits of the key's xxhash64 (null keys pin to cell 0). The
+    * same expression addresses shards on the write and lookup sides. */
+  private def viewCellCol(key: Column): Column =
+    when(key.isNull, lit(0)).otherwise(
+      shiftrightunsigned(xxhash64(key),
+        64 - MemoEngine.ViewShardCellBits).cast("int"))
+
+  /** The shard manifest of a state dir — None for a LEGACY (pre-shard,
+    * single parquet dir) state, which callers treat as one shard
+    * covering the whole cell space. The manifest file starts with '_'
+    * so Spark's hidden-file filter never reads it as parquet. */
+  private[graft] def readShardManifest(stateDir: Path)
+      : Option[Seq[ViewShard]] = {
+    val f = stateDir.resolve(ViewShardManifest)
+    if (!Files.exists(f)) None
+    else Some(Files.readAllLines(f).asScala.toSeq.drop(1)
+      .filter(_.nonEmpty).map { line =>
+        val parts = line.split('|')
+        ViewShard(parts(0).toInt, parts(1).toInt, parts(2))
+      })
+  }
+
+  private def writeShardManifest(stateDir: Path,
+      shards: Seq[ViewShard]): Unit = {
+    val body = (s"v1 cells=${MemoEngine.ViewShardCells}" +:
+      shards.sortBy(s => (s.lo, s.hi, s.path))
+        .map(s => s"${s.lo}|${s.hi}|${s.path}")).mkString("\n")
+    Files.writeString(stateDir.resolve(ViewShardManifest), body)
+    ()
+  }
+
+  /** Parquet paths of a state's live shards, resolved against the view
+    * dir (carried shards read in place from older state dirs); a legacy
+    * state reads as the whole dir. */
+  private def shardPaths(dir: Path, stateDir: String): Seq[String] =
+    readShardManifest(dir.resolve(stateDir)) match {
+      case Some(shards) => shards.map(s => dir.resolve(s.path).toString)
+      case None => Seq(dir.resolve(stateDir).toString)
+    }
+
+  /** Test seam: the last refresh's publish shape — (shards written,
+    * shards carried by reference). Production never reads it. */
+  private[graft] var lastViewPublish: Option[(Int, Int)] = None
 
   /** Test seam: (mode, files the refresh actually scanned) — "fresh" |
     * "incremental" | "incremental_rescan" | "rebuild". Lets specs pin
@@ -2415,9 +2525,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
             (col(n).cast("double") / col("doc_count")).as(n)
           else col(n)
         }: _*)
-    def serve(stateDir: String): DataFrame =
-      asServed(spark.read.schema(viewSchema(measures))
-        .parquet(viewDir(name).resolve(stateDir).toString))
+    def serve(stateDir: String): DataFrame = {
+      val paths = shardPaths(viewDir(name), stateDir)
+      if (paths.isEmpty) asServed(emptyFrame(viewSchema(measures)))
+      else asServed(spark.read.schema(viewSchema(measures))
+        .parquet(paths: _*))
+    }
     currentVersion match {
       case None => asServed(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -2444,12 +2557,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
   /** The locked refresh arm of [[viewState]]: merge-or-recompute, write
     * the new state under a fresh unique dir, loud negative-count check,
     * THEN advance the meta (a crash leaves the old state live), then
-    * sweep state dirs no longer referenced. The sweep keeps the new dir
-    * and the one the old meta named unconditionally, and everything else
-    * only falls once OLDER than the staging TTL — so a lock-free reader
-    * holding a served DataFrame survives any number of refreshes
-    * completing underneath it within that window (same clock discipline
-    * as [[vacuum]]'s staging sweep). */
+    * sweep state dirs no longer referenced.
+    *
+    * THE STATE IS SHARDED ON group_key's HASH CELL ([[viewCellCol]]):
+    * each state's manifest maps cell intervals to shard parquet dirs,
+    * an incremental refresh reads and rewrites ONLY the shards whose
+    * interval intersects the delta's cells, and every untouched shard
+    * carries into the new manifest BY REFERENCE — its files in the older
+    * state dir are neither read nor rewritten, so a 1-row refresh of a
+    * million-group view costs O(viewShardRows + delta), not O(groups).
+    * Written shards land at a grid pitch sized so each holds ≤
+    * [[viewShardRows]] groups (split-on-rewrite: a shard that grew past
+    * the target is replaced by finer grid dirs the next time its region
+    * is touched); a rebuild re-grids the whole space uniformly. The
+    * negative-count tripwire checks exactly the written shards (carried
+    * shards passed it when they were written). The sweep keeps every
+    * state dir REFERENCED by the new or the previously recorded
+    * manifest, and everything else only falls once OLDER than the
+    * staging TTL — so a lock-free reader holding a served DataFrame
+    * survives any number of refreshes completing underneath it within
+    * that window (same clock discipline as [[vacuum]]'s staging
+    * sweep). */
   private def refreshView(name: String, groupKey: String,
       measures: Seq[(String, String)], aggOf: Map[String, String],
       where: Option[String], dCap: Int, spec: String, live: Long,
@@ -2459,9 +2587,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val aggKind = measures.map { case (n, _) => n -> aggOf.getOrElse(n, "sum") }
     // the merge needs the reserve columns; the RETURNED frame never does
     // (serve's explicit schema prunes them at the parquet scan)
-    def serveFull(stateDir: String): DataFrame =
-      spark.read.schema(viewStateSchema(measures, aggOf))
-        .parquet(dir.resolve(stateDir).toString)
+    def readState(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) emptyFrame(viewStateSchema(measures, aggOf))
+      else spark.read.schema(viewStateSchema(measures, aggOf))
+        .parquet(paths: _*)
     val prior = recorded.collect {
       case (v, h, st) if h == spec && v <= live &&
           Files.isDirectory(dir.resolve(st)) => (v, st)
@@ -2501,7 +2630,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
         }
       frame.groupBy(col("group_key")).agg(aggs.head, aggs.tail: _*)
     }
-    var cached: Option[DataFrame] = None
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    var carriedShards: Seq[ViewShard] = Nil
+    var touchedWidthMin: Int = MemoEngine.ViewShardCells
     try {
       val (mode, scanned, newState) = contribs match {
         case Some(delta) =>
@@ -2543,8 +2674,31 @@ class MemoEngine(spark: SparkSession, basePath: String,
               case (n, _) => Seq(sum(col("sign") * col(n)).as(n))
             }
           val d = delta.groupBy(col("group_key"))
-            .agg(deltaAggs.head, deltaAggs.tail: _*)
-          val o = serveFull(prior.get._2)
+            .agg(deltaAggs.head, deltaAggs.tail: _*).cache()
+          cached += d
+          // the delta's hash cells decide which shards the merge must
+          // read and rewrite — one bounded job over the cached delta
+          // aggregate (≤ ViewShardCells ints on the driver, whatever
+          // the delta size)
+          val cellsArr = d
+            .select(viewCellCol(col("group_key")).as("c"))
+            .distinct().collect().map(_.getInt(0)).sorted
+          def touchedIn(lo: Int, hi: Int): Boolean = {
+            var a = java.util.Arrays.binarySearch(cellsArr, lo)
+            if (a < 0) a = -a - 1
+            a < cellsArr.length && cellsArr(a) < hi
+          }
+          val priorShards = readShardManifest(dir.resolve(prior.get._2))
+            .getOrElse(Seq(ViewShard(0, MemoEngine.ViewShardCells,
+              prior.get._2))) // legacy whole-dir state: one wide shard
+          val (touchedShards, untouched) =
+            priorShards.partition(s => touchedIn(s.lo, s.hi))
+          carriedShards = untouched
+          touchedWidthMin = touchedShards
+            .map(s => s.hi - s.lo)
+            .minOption.getOrElse(MemoEngine.ViewShardCells)
+          val o = readState(touchedShards
+            .map(s => dir.resolve(s.path).toString))
           val oEx = col("o.doc_count").isNotNull // group_key can be null
           val newCount = coalesce(col("o.doc_count"), lit(0L)) +
             coalesce(col("d.doc_count"), lit(0L))
@@ -2689,7 +2843,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
                     coalesce(col(s"d.$n"), lit(0L))).as(n))
               } :+ broken.as("_broken")): _*)
             .filter(col("doc_count") =!= 0L) // keep negatives visible below
-          val m = merged.cache(); cached = Some(m)
+          val m = merged.cache(); cached += m
           val brokenKeys = m.filter(col("_broken")).select(col("group_key"))
           if (brokenKeys.isEmpty)
             ("incremental", delta.inputFiles.toSeq, m.drop("_broken"))
@@ -2721,9 +2875,46 @@ class MemoEngine(spark: SparkSession, basePath: String,
       val stateDir =
         s"state-v$live-${java.util.UUID.randomUUID.toString.take(8)}"
       val statePath = dir.resolve(stateDir)
-      newState.write.mode("overwrite").parquet(statePath.toString)
-      val negatives = spark.read.parquet(statePath.toString)
-        .filter(col("doc_count") < 0L).count()
+      val ns = newState.cache(); cached += ns
+      val written = ns.count()
+      // publish O(touched): only rewritten groups land in this state
+      // dir, partitioned at a grid pitch sized so each shard holds ≤
+      // viewShardRows groups (hash-uniform over keys) — a shard that
+      // grew past the target splits into finer grid dirs HERE, the next
+      // time its region is rewritten; untouched shards carry by
+      // reference below, never read, never rewritten
+      // pitch: the hash-uniform global estimate, CAPPED at the narrowest
+      // touched shard's width so a narrow refresh never publishes a
+      // wider interval than the region it rewrote (a space-wide entry
+      // would intersect every future delta and erode the carry). A
+      // single hash-skewed hot shard can exceed the target without
+      // splitting under this estimate — its rewrites stay O(its rows),
+      // a bounded degradation uniform hashing makes unlikely.
+      val grid = {
+        var parts = 1
+        while (parts < MemoEngine.ViewShardCells &&
+            written / parts > viewShardRows) parts <<= 1
+        math.min(MemoEngine.ViewShardCells / parts, touchedWidthMin)
+      }
+      // Column./ is double division; magnitudes ≤ 2^16 are exact in
+      // double, so the int cast IS the integer quotient
+      ns.withColumn("_shard",
+          (viewCellCol(col("group_key")) / lit(grid)).cast("int"))
+        .write.mode("overwrite").partitionBy("_shard")
+        .parquet(statePath.toString)
+      val newShards = listDir(statePath)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("_shard="))
+        .map { p =>
+          val q = p.getFileName.toString.stripPrefix("_shard=").toInt
+          ViewShard(q * grid, (q + 1) * grid,
+            s"$stateDir/${p.getFileName}")
+        }
+      writeShardManifest(statePath, carriedShards ++ newShards)
+      val negatives =
+        if (written == 0) 0L
+        else spark.read.parquet(statePath.toString)
+          .filter(col("doc_count") < 0L).count()
       if (negatives > 0) {
         deleteTree(statePath)
         throw new IllegalStateException(
@@ -2733,7 +2924,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
       ArtifactMeta.write(spark, dir.toString, ViewMetaFile,
         s"$live|$spec|$stateDir")
-      val keep = Set(stateDir) ++ recorded.map(_._3)
+      // a state dir stays while ANY live manifest references a shard in
+      // it: the new manifest's carried shards keep reading older dirs in
+      // place, and a lock-free reader of the PREVIOUS state needs that
+      // manifest's references too
+      def refDirs(st: String): Set[String] =
+        readShardManifest(dir.resolve(st))
+          .map(_.map(_.path.split('/').head).toSet)
+          .getOrElse(Set.empty[String]) + st
+      val keep = refDirs(stateDir) ++
+        recorded.map(_._3).map(refDirs).getOrElse(Set.empty[String])
       // "now" in the FILESYSTEM's clock (vacuum's probe idiom) — the
       // sweep compares against these dirs' mtimes, and on a shared
       // filesystem whose clock lags the driver's a wall-clock cutoff
@@ -2750,6 +2950,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .foreach(deleteTree)
       lastViewRefresh = Some((mode, scanned))
+      lastViewPublish = Some((newShards.size, carriedShards.size))
       serve(stateDir)
     } finally cached.foreach(_.unpersist())
   }
@@ -2859,7 +3060,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * skewed sample) can cost pruning effectiveness, never correctness —
     * `canMatch` always decides from each segment's recorded stats.
     * Driver traffic is ≤ 4096 strings per key by construction. */
-  private def clusterBoundaries(recs: DataFrame, keyCol: Column,
+  private[graft] def clusterBoundaries(recs: DataFrame, keyCol: Column,
       cells: Int): (Seq[String], Boolean) = {
     val sampleCap = 4096
     val sample = recs.select(keyCol.as("v"))
@@ -2868,9 +3069,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .limit(sampleCap)
       .collect().map(_.getString(0))
     val numeric = sample.nonEmpty && sample.forall(_.toDoubleOption.isDefined)
+    // under the numeric order, dedup by PARSED value before picking
+    // quantiles: two renderings that parse equal ("1" and "1.0") are one
+    // numeric boundary — string-distinct would keep both and the
+    // duplicate boundary makes an empty grid cell, skewing the
+    // low-cardinality cell-scaling denominator. Layout-only, as ever.
     val sorted =
-      if (numeric) sample.sortBy(_.toDouble)
-      else sample.sortWith(
+      if (numeric) {
+        val seen = scala.collection.mutable.Set.empty[Double]
+        sample.sortBy(_.toDouble).filter(v => seen.add(v.toDouble))
+      } else sample.sortWith(
         (a, b) => graft.filter.SegmentStats.cpCompare(a, b) < 0)
     val bs = if (sorted.isEmpty) Seq.empty[String]
       else (1 until cells).map(i =>
@@ -3975,6 +4183,21 @@ object MemoEngine {
     * An engine option (`viewDistinctCap`) — it participates in the view
     * spec identity, so changing it rebuilds. */
   val DefaultViewDistinctCap: Int = 64
+
+  /** View-state shard sizing: a refresh publish targets at most this
+    * many GROUPS per shard file, so rewriting one touched shard is
+    * O(DefaultViewShardRows + delta) whatever the view's total group
+    * count. 4096 groups × (a few longs + reserves) ≈ single-digit MB
+    * parquet — small enough that a 1-row refresh stays cheap, large
+    * enough that a dashboard view is one file. */
+  val DefaultViewShardRows: Int = 4096
+
+  /** The hash-cell resolution view-state shards are addressed in: a
+    * group's CELL is the top [[ViewShardCellBits]] bits of its key's
+    * xxhash64, a shard covers a cell interval, and the finest possible
+    * shard is one cell — [[ViewShardCells]] caps the shard count. */
+  val ViewShardCellBits: Int = 16
+  val ViewShardCells: Int = 1 << ViewShardCellBits
 
   /** Schema of the CDC log [[MemoEngine.emitChanges]] writes and
     * [[MemoEngine.changeLogStream]] reads: the [[changesBetween]] feed

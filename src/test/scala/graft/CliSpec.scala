@@ -192,6 +192,37 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("stats avg differential: the pair-weighted mean renders identically " +
+      "to the reference's per-row mean at .2f rounding boundaries " +
+      "(py2f half-even on the exact double, memo_cli.py:613,617)") {
+    // value multisets chosen to sit AT or within ulps of a .2f rounding
+    // boundary, with repeats so the weighted sum(v*cnt)/sum(cnt) and the
+    // reference's per-row left-fold associate differently
+    val cases: Seq[Seq[Double]] = Seq(
+      Seq(0.125, 0.125),               // exact binary boundary: half-even → 0.12
+      Seq(0.375, 0.375, 0.375),        // exact binary boundary → 0.38
+      Seq(0.115, 0.135),               // inexact operands landing near 0.125
+      Seq(0.1, 0.1, 0.1, 0.35),        // repeats: weighted association differs
+      Seq(2.005, 2.005, 2.005, 2.005), // 2.005 is just below its boundary
+      Seq(0.005, 0.015, 0.025, 0.035))
+    cases.zipWithIndex.foreach { case (vs, i) =>
+      withDb { db =>
+        val yaml = vs.map(v => s"---\nbody: r\nmetadata: {p: $v}\n").mkString
+        run("-f", db, "save", writeTemp(yaml))
+        val (code, out) = run("-f", db, "analyze", "--filter", "{}",
+          "--stats", "p")
+        assert(code == 0, s"case $i failed:\n$out")
+        // the reference's formula verbatim: per-row floats in row order,
+        // summed left-to-right, / n (memo_cli.py:613), rendered .2f
+        val refAvg = graft.memo.MemoCli.py2f(
+          vs.foldLeft(0.0)(_ + _) / vs.length)
+        assert(out.contains(s"  avg: $refAvg\n"),
+          s"case $i (${vs.mkString(",")}): expected avg $refAvg in:\n$out")
+        run("-f", db, "clean")
+      }
+    }
+  }
+
   test("clean and reindex messages; analyze without --filter errors") {
     withDb { db =>
       run("-f", db, "save", batch)

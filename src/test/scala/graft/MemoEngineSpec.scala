@@ -952,9 +952,10 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
-  test("batch ladder rung caches: registered per call, drained on the " +
-      "NEXT serving call — a long-running server pins one ladder, not " +
-      "every call's") {
+  test("batch ladder rung caches: registered per call token, the most " +
+      "recently retired ladder stays pinned for lazy consumption, and a " +
+      "SUPERSEDED call's rungs drain on a later entry — a long-running " +
+      "server pins at most (in-flight + 1) ladders") {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     val engine = filteredAnnStore()
@@ -963,23 +964,94 @@ class MemoEngineSpec extends SparkTestBase {
       engine.annRecallBatch(queries, "qid", "qtext", k = 5, nprobe = 1,
         filterExpr = Some("{part: p1}")).collect()
     serveOnce() // nprobe=1 on p1 widens: >= 2 rungs cached
-    val first = engine.servingCaches.toList
+    val first = engine.servingCaches.toList.map(_._2)
     assert(first.size >= 2,
       s"widening ladder must register its rung caches, got ${first.size}")
     assert(first.forall(_.storageLevel != StorageLevel.NONE),
       "rung frames must be cached while the result is live")
-    serveOnce() // entry drains the PREVIOUS call's rungs
+    serveOnce() // call 1 is the most recently retired — still pinned
+    assert(first.forall(_.storageLevel != StorageLevel.NONE),
+      "the most recently retired call's rungs stay pinned until a later " +
+        "call supersedes it (its caller may still be consuming)")
+    val second = engine.servingCaches.toList.map(_._2)
+      .filterNot(d => first.exists(_ eq d))
+    assert(second.nonEmpty,
+      "second call must register its own rungs under its own token")
+    serveOnce() // call 3's entry supersedes call 1 — its rungs drain
     assert(first.forall(_.storageLevel == StorageLevel.NONE),
-      "previous call's rung caches must be unpersisted by the next call")
-    val second = engine.servingCaches.toList
-    assert(second.nonEmpty && second.forall(d => !first.exists(_ eq d)),
-      "registry must hold only the live call's rungs")
-    // explicit release: registry empties, frames unpersist (consuming a
-    // released frame recomputes from lineage — correctness is unaffected)
+      "a superseded call's rung caches must be unpersisted by a later " +
+        "call's entry")
+    // explicit release: retired ladders drain, frames unpersist
+    // (consuming a released frame recomputes from lineage — correctness
+    // is unaffected)
     engine.releaseServingCaches()
     assert(engine.servingCaches.isEmpty)
     assert(second.forall(_.storageLevel == StorageLevel.NONE))
     engine.clean()
+  }
+
+  test("concurrent batch serves: a second serving call entering while " +
+      "the first is IN FLIGHT never drains its rung caches — neither " +
+      "call's ladder recomputes") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val engine = filteredAnnStore()
+    val queries = Seq((0L, "topic1 theme2")).toDF("qid", "qtext")
+    // sequential baseline for result parity
+    val baseline = engine.annRecallBatch(queries, "qid", "qtext", k = 5,
+        nprobe = 1, filterExpr = Some("{part: p1}"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    engine.releaseServingCaches()
+    val ladderOpen = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aTok = -1L
+    @volatile var aRungsDuringB: List[StorageLevel] = Nil
+    engine.afterServingLadderHook = tok => {
+      // only thread A (the first token to arrive) holds the door open
+      if (aTok == -1L || aTok == tok) {
+        aTok = tok
+        ladderOpen.countDown()
+        bDone.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Set[(Long, Double)]] {
+        def call() = engine.annRecallBatch(queries, "qid", "qtext",
+            k = 5, nprobe = 1, filterExpr = Some("{part: p1}"))
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      })
+      assert(ladderOpen.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "thread A never reached its ladder hook")
+      val fb = pool.submit(new java.util.concurrent.Callable[Set[(Long, Double)]] {
+        def call() = {
+          val r = engine.annRecallBatch(queries, "qid", "qtext",
+              k = 5, nprobe = 1, filterExpr = Some("{part: p1}"))
+            .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+          // B ran begin/end WHILE A's token was active: A's registered
+          // rungs must still be cached (storage-level proof that B's
+          // entry did not drain an in-flight ladder)
+          aRungsDuringB = engine.servingCaches.synchronized {
+            engine.servingCaches.toList.collect {
+              case (t, d) if t == aTok => d.storageLevel } }
+          bDone.countDown()
+          r
+        }
+      })
+      val rb = fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      val ra = fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      assert(aRungsDuringB.nonEmpty,
+        "thread A's ladder registered no rungs — vacuous")
+      assert(aRungsDuringB.forall(_ != StorageLevel.NONE),
+        "thread B's entry drained thread A's IN-FLIGHT rung caches")
+      assert(ra == baseline, s"thread A diverged: $ra vs $baseline")
+      assert(rb == baseline, s"thread B diverged: $rb vs $baseline")
+    } finally {
+      engine.afterServingLadderHook = _ => ()
+      pool.shutdownNow()
+      engine.releaseServingCaches()
+      engine.clean()
+    }
   }
 
   test("pqRecallBatch: compressed batch serving with per-query parity, " +
@@ -1320,6 +1392,52 @@ class MemoEngineSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rollup == viaOps,
       s"view-served rollup diverged from the scan: $rollup vs $viaOps")
+    engine.clean()
+  }
+
+  test("statsPairs special keys ('id', 'metadata', 'metadata.x') never " +
+      "consult views — a metadata FIELD literally named 'id' must not " +
+      "cover a record-id ask") {
+    import org.apache.spark.sql.functions.col
+    val (engine, _) = freshEngine()
+    engine.save((0 until 6).map(i =>
+      s"---\nbody: special key doc $i\n" +
+        s"metadata: {id: grp${i % 2}, x: v${i % 3}, lang: en}\n").mkString)
+    val filter = "{lang: en}"
+    // views that would LOOK covering for each special form: rawField
+    // resolves these keys differently from element_at(metadata, key),
+    // so serving them from a view would silently swap the data source
+    engine.viewState("vid", "metadata['id']", where = Some(filter))
+    engine.viewState("vmeta", "metadata['metadata']", where = Some(filter))
+    engine.viewState("vdot", "metadata['metadata.x']", where = Some(filter))
+    for (key <- Seq("id", "metadata", "metadata.x")) {
+      val got = engine.statsPairs(filter, key).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(engine.lastStatsSource.contains("scan"),
+        s"special key '$key' must take the scan arm, got " +
+          s"${engine.lastStatsSource}")
+      val want = engine.records
+        .filter(graft.filter.FilterAlgebra.compile(filter, col("metadata")))
+        .select(graft.memo.MemoOps.rawField(key).as("raw"))
+        .filter(col("raw").isNotNull && col("raw") =!= "z")
+        .groupBy("raw").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"key '$key': $got vs $want")
+    }
+    // the id ask specifically serves RECORD ids (i-prefixed raw), never
+    // the look-alike metadata field's values
+    val idRaws = engine.statsPairs(filter, "id").collect()
+      .map(_.getString(0))
+    assert(idRaws.nonEmpty && idRaws.forall(_.startsWith("i")),
+      s"id ask must serve record ids, got ${idRaws.toSeq}")
+    assert(!idRaws.exists(_.contains("grp")),
+      "id ask served the metadata field named 'id'")
+    // a NON-special key still rides a covering view (the guard must not
+    // over-shoot)
+    engine.viewState("vx", "metadata['x']", where = Some(filter))
+    engine.statsPairs(filter, "x").collect()
+    assert(engine.lastStatsSource.contains("view:vx"),
+      s"plain key lost view coverage: ${engine.lastStatsSource}")
     engine.clean()
   }
 

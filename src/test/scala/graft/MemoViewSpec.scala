@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -1257,6 +1259,159 @@ class MemoViewSpec extends SparkTestBase {
     assert(mode(engine) == "incremental")
     val row2 = v2.collect()(0)
     assert(row2.getLong(1) == 3 && row2.getLong(2) == 3)
+    engine.clean()
+  }
+
+  // ---- sharded state publish -----------------------------------------
+
+  /** The live state dir name recorded in a view's meta. */
+  private def liveStateDir(db: String, view: String): String =
+    graft.ops.ArtifactMeta.read(spark,
+        java.nio.file.Paths.get(db).resolve(s"_view_$view").toString,
+        "_view_meta")
+      .map(_.split('|')(2)).get
+
+  /** Every shard parquet file under a state dir's `_shard=*` dirs,
+    * with its mtime. */
+  private def shardFiles(db: String, view: String,
+      stateDir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(db)
+      .resolve(s"_view_$view").resolve(stateDir)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.contains("_shard=") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => out(p.toString) =
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    out.toMap
+  }
+
+  private def manifestLines(db: String, view: String,
+      stateDir: String): Seq[String] =
+    java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(db).resolve(s"_view_$view")
+          .resolve(stateDir).resolve("_shards"))
+      .asScala.toSeq.drop(1).filter(_.nonEmpty)
+
+  test("sharded publish: a 1-group refresh rewrites only the touched " +
+      "shard — untouched shards carry by REFERENCE, files untouched " +
+      "(mtime-pinned), and the served frame stays exact") {
+    val dir = Files.createTempDirectory("memo_view_shard").toString
+    // tiny shard target so 64 groups spread over MANY shards
+    val engine = new MemoEngine(spark, s"$dir/db", viewShardRows = 8)
+    val key = "metadata['g']"
+    engine.save((0 until 64).map(i =>
+      s"---\nbody: shard corpus doc $i\nmetadata: {g: g$i}\n").mkString)
+    engine.viewState("sh", key, Chars).collect()
+    assert(mode(engine) == "rebuild")
+    val (w0, c0) = engine.lastViewPublish.get
+    assert(w0 >= 4 && c0 == 0,
+      s"64 groups at shardRows=8 must split into several shards: ($w0, $c0)")
+    val st0 = liveStateDir(s"$dir/db", "sh")
+    val files0 = shardFiles(s"$dir/db", "sh", st0)
+    assert(files0.nonEmpty)
+    // ONE group changes: the refresh must rewrite one shard and carry
+    // the rest by reference into the new manifest
+    engine.save("---\nbody: appended into one group\nmetadata: {g: g7}\n")
+    val served = engine.viewState("sh", key, Chars)
+    assert(mode(engine) == "incremental")
+    val (w1, c1) = engine.lastViewPublish.get
+    assert(w1 >= 1 && w1 <= 2 && c1 == w0 - w1,
+      s"1-group delta must touch one shard of $w0: wrote $w1, carried $c1")
+    val st1 = liveStateDir(s"$dir/db", "sh")
+    assert(st1 != st0)
+    // the new manifest references the OLD state dir for carried shards
+    val lines = manifestLines(s"$dir/db", "sh", st1)
+    assert(lines.count(_.contains(st0)) == c1,
+      s"carried entries must point into $st0:\n${lines.mkString("\n")}")
+    assert(lines.count(_.contains(st1)) == w1)
+    // carried shard FILES were not rewritten: same mtimes
+    val files1 = shardFiles(s"$dir/db", "sh", st0)
+    val carriedSame = files0.filter { case (p, t) => files1.get(p).contains(t) }
+    assert(carriedSame.size == files0.size,
+      s"carried shard files must keep their mtimes: " +
+        s"${files0.size - carriedSame.size} changed")
+    // correctness across the carried+written union
+    assert(collected(served) == direct(engine, key))
+    engine.clean()
+  }
+
+  test("sharded publish: split-on-rewrite — a shard that grows past the " +
+      "target splits into finer shards the next time its region is " +
+      "touched; a superseded shard drops out of the manifest") {
+    val dir = Files.createTempDirectory("memo_view_split").toString
+    val engine = new MemoEngine(spark, s"$dir/db", viewShardRows = 4)
+    val key = "metadata['g']"
+    engine.save((0 until 4).map(i =>
+      s"---\nbody: seed doc $i\nmetadata: {g: g$i}\n").mkString)
+    engine.viewState("sp", key, Chars).collect()
+    val (w0, _) = engine.lastViewPublish.get
+    assert(w0 == 1, s"4 groups at shardRows=4 is ONE shard, got $w0")
+    val st0 = liveStateDir(s"$dir/db", "sp")
+    // 28 new groups land in the single shard's region (it covers the
+    // whole cell space): the rewrite must split
+    engine.save((4 until 32).map(i =>
+      s"---\nbody: growth doc $i\nmetadata: {g: g$i}\n").mkString)
+    val served = engine.viewState("sp", key, Chars)
+    assert(mode(engine) == "incremental")
+    val (w1, c1) = engine.lastViewPublish.get
+    assert(w1 >= 4 && c1 == 0,
+      s"32 groups through one wide shard must split on rewrite: ($w1, $c1)")
+    val st1 = liveStateDir(s"$dir/db", "sp")
+    val lines = manifestLines(s"$dir/db", "sp", st1)
+    assert(!lines.exists(_.contains(st0)),
+      s"the superseded wide shard must not be referenced:\n" +
+        lines.mkString("\n"))
+    assert(collected(served) == direct(engine, key))
+    // and the NEXT 1-group refresh only touches one of the new shards
+    engine.save("---\nbody: post split append\nmetadata: {g: g9}\n")
+    engine.viewState("sp", key, Chars).collect()
+    val (w2, c2) = engine.lastViewPublish.get
+    assert(w2 <= 2 && c2 >= w1 - 2,
+      s"post-split 1-group refresh must be narrow: ($w2, $c2)")
+    engine.clean()
+  }
+
+  test("legacy (pre-shard) state upgrades in place: served as one wide " +
+      "shard, fully rewritten ONCE on the first refresh, sharded " +
+      "thereafter") {
+    val dir = Files.createTempDirectory("memo_view_legacy").toString
+    val engine = new MemoEngine(spark, s"$dir/db", viewShardRows = 8)
+    val key = "metadata['g']"
+    engine.save((0 until 32).map(i =>
+      s"---\nbody: legacy doc $i\nmetadata: {g: g$i}\n").mkString)
+    engine.viewState("lg", key, Chars).collect()
+    val viewDirS = java.nio.file.Paths.get(s"$dir/db").resolve("_view_lg")
+    val st0 = liveStateDir(s"$dir/db", "lg")
+    // fabricate the legacy layout: the same state as ONE flat parquet
+    // dir with no manifest, meta re-pointed at it
+    val legacy = viewDirS.resolve("state-legacy").toString
+    spark.read.parquet(viewDirS.resolve(st0).toString)
+      .drop("_shard")
+      .write.parquet(legacy)
+    val meta = graft.ops.ArtifactMeta
+      .read(spark, viewDirS.toString, "_view_meta").get.split('|')
+    graft.ops.ArtifactMeta.write(spark, viewDirS.toString, "_view_meta",
+      s"${meta(0)}|${meta(1)}|state-legacy")
+    // fresh serve reads the legacy dir whole
+    val servedLegacy = engine.viewState("lg", key, Chars)
+    assert(mode(engine) == "fresh")
+    assert(collected(servedLegacy) == direct(engine, key))
+    // first refresh: the legacy state is one wide shard — rewritten
+    // whole (carried 0), published SHARDED
+    engine.save("---\nbody: upgrade append\nmetadata: {g: g3}\n")
+    val servedUp = engine.viewState("lg", key, Chars)
+    assert(mode(engine) == "incremental")
+    val (w1, c1) = engine.lastViewPublish.get
+    assert(c1 == 0 && w1 >= 2,
+      s"legacy upgrade is one full rewrite into shards: ($w1, $c1)")
+    assert(collected(servedUp) == direct(engine, key))
+    // thereafter: narrow refreshes carry
+    engine.save("---\nbody: post upgrade append\nmetadata: {g: g5}\n")
+    engine.viewState("lg", key, Chars).collect()
+    val (w2, c2) = engine.lastViewPublish.get
+    assert(w2 <= 2 && c2 > 0,
+      s"post-upgrade refresh must carry untouched shards: ($w2, $c2)")
     engine.clean()
   }
 }

@@ -437,6 +437,32 @@ class SegmentStatsSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("clusterBoundaries under the numeric order dedups by PARSED value " +
+      "— '1' and '1.0' are ONE boundary, no empty grid cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val engine = freshEngine()
+    // distinct STRINGS, duplicate NUMBERS: every value has two renderings
+    val vals = Seq("1", "1.0", "2", "2.0", "3", "3.0", "4", "4.0")
+    val recs = vals.toDF("v")
+    val (bs, numeric) = engine.clusterBoundaries(recs, col("v"), 4)
+    assert(numeric, "all-parsable sample must read as numeric")
+    assert(bs.map(_.toDouble).distinct.size == bs.size,
+      s"numeric boundaries must be value-distinct, got $bs")
+    // the degenerate case: one numeric value in two renderings yields at
+    // most ONE boundary, never a duplicated pair
+    val (bs1, _) = engine.clusterBoundaries(
+      Seq("1", "1.0").toDF("v"), col("v"), 4)
+    assert(bs1.map(_.toDouble).distinct.size == bs1.size &&
+      bs1.size <= 1,
+      s"duplicate renderings must collapse to one boundary, got $bs1")
+    // non-numeric samples keep the code-point order and string dedup
+    val (bsS, numS) = engine.clusterBoundaries(
+      Seq("a", "b", "c", "d").toDF("v"), col("v"), 2)
+    assert(!numS && bsS.nonEmpty)
+    engine.clean()
+  }
+
   test("metaStatsSidecars=false: no stats write, segments soundly unprunable") {
     val dir = Files.createTempDirectory("memo_nostats").toString
     val engine = new MemoEngine(spark, s"$dir/db",
