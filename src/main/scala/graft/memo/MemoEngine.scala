@@ -2032,11 +2032,52 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .map { case (kept, all, _) => (kept.size, all.size) }
       .getOrElse((0, 0))
 
+  /** Test seam: how the last [[analyzeCount]] ask was served
+    * ("view:<name>" | "scan"). Production never reads it. */
+  private[graft] var lastCountSource: Option[String] = None
+
   /** Analyze projection/count/stats — see [[MemoOps]]; all three read
-    * through the segment-pruned frame. */
-  def analyzeCount(filterExpr: String): Long =
-    MemoOps.analyzeCount(recordsForFilter(filterExpr), filterExpr)
-      .collect()(0).getLong(0)
+    * through the segment-pruned frame.
+    *
+    * The COUNT is additionally SERVED FROM A REGISTERED VIEW when one's
+    * WHERE covers the filter at parse level (the [[statsPairs]] canon —
+    * order-sensitive canonical-form compare): a view's `doc_count` is
+    * maintained by the same compiled predicate every filtered read
+    * takes, so `sum(doc_count)` over its (refreshed-first, never stale)
+    * state IS the matched count, O(state) instead of the corpus scan.
+    * The view's group key is immaterial — every matching row lands in
+    * exactly one group (the null group included). A WHERE-less view
+    * covers the match-all ask the same way. Anything else scans. */
+  def analyzeCount(filterExpr: String): Long = {
+    def canon(f: String): Option[String] =
+      scala.util.Try(
+        FilterAlgebra.operandStr(FilterAlgebra.parse(f))).toOption
+    val ask = canon(filterExpr)
+    val matchAll = canon("{}")
+    val viaView =
+      if (ask.isEmpty) None
+      else views.iterator.map { name =>
+        name -> ArtifactMeta
+          .read(spark, viewDir(name).toString, ViewMetaFile)
+          .flatMap(_.split('|') match {
+            case Array(_, spec, _) => decodeViewSpec(spec)
+            case _ => None
+          })
+      }.collectFirst {
+        case (name, Some((gk, ms, aggs, where, cap)))
+            if where.map(w => canon(w) == ask)
+              .getOrElse(matchAll.isDefined && ask == matchAll) =>
+          lastCountSource = Some(s"view:$name")
+          val r = viewState(name, gk, ms, aggs, where, cap)
+            .agg(sum(col("doc_count"))).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    viaView.getOrElse {
+      lastCountSource = Some("scan")
+      MemoOps.analyzeCount(recordsForFilter(filterExpr), filterExpr)
+        .collect()(0).getLong(0)
+    }
+  }
 
   def analyzeProject(filterExpr: String, fields: Seq[String],
       limit: Int = 100, offset: Int = 0): DataFrame = {

@@ -930,7 +930,13 @@ object MemoQueries {
     * state-backed rollup, not just its row count, is hash-verified.
     * BUILD-ONCE per sf-dir; a bench repeat prices the view-served
     * stats read plus the scan it replaces. */
-  private val q112StatsView: Q = (s, dir) => {
+  /** BUILD-ONCE 240-doc (lang, src) stats fixture shared by q112 and
+    * q114: the doc ordinal mints lang (sw when i%3=0, else en) and src
+    * (s{i%7}); the covering view `cardsrc` groups `metadata['src']`
+    * WHERE `{lang: en}` (registered idempotently — whichever query runs
+    * first). */
+  private def statsFixture(s: SparkSession, dir: String)
+      : graft.memo.MemoEngine = {
     val base = java.nio.file.Paths.get(
       SessionHandles.tmpArtifactPath("q112stats", dir))
     val done = base.resolve("_done")
@@ -947,8 +953,14 @@ object MemoQueries {
       engine.save(yamlOf(n / 2 until n))
       java.nio.file.Files.createFile(done)
     }
+    engine.viewState("cardsrc", "metadata['src']",
+      where = Some("{lang: en}"))
+    engine
+  }
+
+  private val q112StatsView: Q = (s, dir) => {
+    val engine = statsFixture(s, dir)
     val filter = "{lang: en}"
-    engine.viewState("cardsrc", "metadata['src']", where = Some(filter))
     def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     val served = engine.statsPairs(filter, "src")
@@ -1015,6 +1027,88 @@ object MemoQueries {
       Seq("id", "num"), limit = 300)
   }
 
+  /** The analyze Matched count served from a covering view (the r17
+    * extension of the `statsPairs` route): over q112's shared fixture,
+    * `analyzeCount({lang: en})` must take the `view:` route — the
+    * registered view's `doc_count` is maintained by the same compiled
+    * predicate every filtered read takes, so `sum(doc_count)` IS the
+    * matched count, O(state) — and must equal the direct corpus count
+    * computed with the router bypassed; an uncovered filter must take
+    * the scan arm. The oracle replays the lang minting rule in DuckDB,
+    * hash-verifying the count itself. */
+  private val q114CountFromView: Q = (s, dir) => {
+    val engine = statsFixture(s, dir)
+    val filter = "{lang: en}"
+    val matched = engine.analyzeCount(filter)
+    require(engine.lastCountSource.exists(_.startsWith("view:")),
+      s"q114 expected the view route, got ${engine.lastCountSource}")
+    val direct = engine.records
+      .filter(graft.filter.FilterAlgebra.compile(filter, col("metadata")))
+      .count()
+    require(matched == direct,
+      s"q114 view-served count diverged: $matched vs $direct")
+    engine.analyzeCount("{src: s1}") // no view covers this filter
+    require(engine.lastCountSource.contains("scan"),
+      s"q114 expected the scan fallback, got ${engine.lastCountSource}")
+    import s.implicits._
+    Seq(matched).toDF("matched")
+  }
+
+  /** Sharded view-state publish end-to-end (the r17 refresh cost-class
+    * fix): a 60-group view over a 240-doc store at a deliberately tiny
+    * shard target (8 rows), refreshed by a ONE-doc append inside the
+    * build pass. The build REQUIRES the refresh was incremental AND the
+    * publish seam shows untouched shards carried by REFERENCE (written ≤
+    * 2 of ≥ 4 shards) — the O(touched shards) claim — and that the
+    * sharded state equals a direct group-by with the view machinery
+    * bypassed. The oracle replays the minting rules over all 241 docs in
+    * DuckDB, so the carried+written shard UNION is hash-verified.
+    * BUILD-ONCE per sf-dir; a bench repeat prices the manifest-resolved
+    * sharded state read. */
+  private val q115ShardedView: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q115shard", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s,
+      base.resolve("db").toString, viewShardRows = 8)
+    val measures = Seq("wsum" -> "substring(metadata['w'], 2)")
+    def view() = engine.viewState("bigv", "metadata['g']", measures)
+    def yamlOf(ids: Range) = ids.map { i =>
+      s"---\nbody: sharded view doc $i\n" +
+        s"metadata: {g: g${i % 60}, w: ${(i * 37) % 101}}\n"
+    }.mkString
+    if (!java.nio.file.Files.exists(done)) {
+      if (engine.exists) engine.clean() // torn prior build: start over
+      engine.save(yamlOf(0 until 120))
+      engine.save(yamlOf(120 until 240))
+      view().collect()
+      val (w0, _) = engine.lastViewPublish.get
+      require(w0 >= 4,
+        s"q115 expected ≥ 4 shards from 60 groups at target 8, got $w0")
+      engine.save(yamlOf(240 until 241)) // ONE doc, one touched group
+      val served = view().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      require(engine.lastViewRefresh.exists(_._1 == "incremental"),
+        s"q115 expected an incremental refresh, " +
+          s"got ${engine.lastViewRefresh.map(_._1)}")
+      val (w1, c1) = engine.lastViewPublish.get
+      require(w1 <= 2 && c1 >= w0 - 2,
+        s"q115 expected a narrow publish with carried shards, " +
+          s"got (wrote=$w1, carried=$c1)")
+      val direct = engine.records
+        .groupBy(expr("metadata['g']").cast("string").as("group_key"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(coalesce(expr("try_cast(substring(metadata['w'], 2) " +
+            "AS BIGINT)"), lit(0L))).as("wsum"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      require(served == direct,
+        s"q115 sharded state diverged from the direct group-by")
+      java.nio.file.Files.createFile(done)
+    }
+    view().orderBy(col("group_key"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -1044,6 +1138,8 @@ object MemoQueries {
     "q111_hybrid_serve" -> q111HybridServe,
     "q112_stats_view" -> q112StatsView,
     "q113_numeric_cluster" -> q113NumericCluster,
+    "q114_count_from_view" -> q114CountFromView,
+    "q115_sharded_view" -> q115ShardedView,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1233,6 +1329,24 @@ object MemoQueries {
         |SELECT id, CAST(num AS VARCHAR) AS num FROM m
         |WHERE num >= 180 AND num <= 239
         |ORDER BY id LIMIT 300""".stripMargin,
+    // q114 replay: the lang minting rule — the Matched count under
+    // {lang: en} is the non-sw ordinals. The query REQUIRES the count
+    // came from the covering view's doc_count (route seam) and equals
+    // the router-bypassed scan, so this hash pins the view-served count.
+    "q114_count_from_view" ->
+      """WITH d AS (SELECT CAST(range AS BIGINT) AS i FROM range(240))
+        |SELECT count(*) AS matched FROM d WHERE i % 3 <> 0""".stripMargin,
+    // q115 replay: the sharded-view minting rules over all 241 docs
+    // (240 built + the one-doc append the build pass refreshes through).
+    // The build REQUIRES the refresh publish wrote ≤ 2 shards and
+    // carried the rest by reference, so this hash pins the
+    // carried+written shard UNION the manifest serves.
+    "q115_sharded_view" ->
+      """WITH d AS (SELECT CAST(range AS BIGINT) AS i FROM range(241))
+        |SELECT 'sg' || CAST(i % 60 AS VARCHAR) AS group_key,
+        |  count(*) AS doc_count,
+        |  CAST(sum((i * 37) % 101) AS BIGINT) AS wsum
+        |FROM d GROUP BY 1 ORDER BY group_key""".stripMargin,
     // q112 replay: the stats-pairs minting rules — doc ordinal mints
     // (lang, src), the en rows group by src, raw values are the typed
     // 's'-prefixed encodings. The query REQUIRES the pairs came from

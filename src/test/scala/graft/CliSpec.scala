@@ -448,6 +448,34 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("analyze Matched count is byte-identical whether scan-served or " +
+      "served from a covering view's doc_count") {
+    withDb { db =>
+      run("-f", db, "save", writeTemp(
+        "---\nbody: a\nmetadata: {lang: en, src: s1}\n" +
+          "---\nbody: b\nmetadata: {lang: en, src: s2}\n" +
+          "---\nbody: c\nmetadata: {lang: sw, src: s1}\n" +
+          "---\nbody: d\nmetadata: {lang: en, src: s1}\n"))
+      val ask = Seq("-f", db, "analyze", "--filter", "{lang: en}",
+        "--fields", "id,src")
+      val (c1, viaScan) = run(ask: _*)
+      assert(c1 == 0 && viaScan.startsWith("Matched: 3\n"), viaScan)
+      val engine = new MemoEngine(spark, db)
+      engine.viewState("cnt", "metadata['src']",
+        where = Some("{lang: en}"))
+      assert(engine.analyzeCount("{lang: en}") == 3)
+      assert(engine.lastCountSource.contains("view:cnt"),
+        s"expected the view route, got ${engine.lastCountSource}")
+      // uncovered filter falls back to the scan
+      assert(engine.analyzeCount("{lang: sw}") == 1)
+      assert(engine.lastCountSource.contains("scan"))
+      val (c2, viaView) = run(ask: _*)
+      assert(c2 == 0 && viaView == viaScan,
+        s"view-served Matched diverged:\n$viaView\nvs\n$viaScan")
+      run("-f", db, "clean")
+    }
+  }
+
   test("--stats id and --stats metadata resolve like resolve_field_value") {
     withDb { db =>
       run("-f", db, "save", batch)

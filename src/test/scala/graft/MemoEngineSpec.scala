@@ -1395,6 +1395,44 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("analyze Matched count served from a covering view: any group " +
+      "key's doc_count sums to the matched count; WHERE-less views " +
+      "cover the match-all ask; the route stays fresh across commits") {
+    val (engine, _) = freshEngine()
+    engine.save(
+      "---\nbody: one\nmetadata: {lang: en, src: s1}\n" +
+        "---\nbody: two\nmetadata: {lang: sw, src: s2}\n" +
+        "---\nbody: three\nmetadata: {lang: en, src: s1}\n" +
+        "---\nbody: four with no metadata at all\n")
+    // no covering view yet: scan
+    assert(engine.analyzeCount("{lang: en}") == 2)
+    assert(engine.lastCountSource.contains("scan"))
+    engine.viewState("c1", "metadata['src']",
+      where = Some("{lang: en}"))
+    assert(engine.analyzeCount("{lang: en}") == 2)
+    assert(engine.lastCountSource.contains("view:c1"),
+      s"expected the view route, got ${engine.lastCountSource}")
+    // coverage is PARSE-level: the brace-less spelling still covers
+    assert(engine.analyzeCount("lang: en") == 2)
+    assert(engine.lastCountSource.contains("view:c1"))
+    // match-all: a WHERE-less view covers — the null group (the
+    // no-metadata row) counts too
+    engine.viewState("call", "metadata['lang']")
+    assert(engine.analyzeCount("{}") == 4,
+      s"match-all count must include the no-metadata row")
+    assert(engine.lastCountSource.contains("view:call"),
+      s"expected the where-less view, got ${engine.lastCountSource}")
+    // freshness: the route walks viewState's refresh first
+    engine.save("---\nbody: five\nmetadata: {lang: en, src: s9}\n")
+    assert(engine.analyzeCount("{lang: en}") == 3)
+    assert(engine.lastCountSource.contains("view:c1"))
+    assert(engine.analyzeCount("{}") == 5)
+    // uncovered filter: scan fallback
+    assert(engine.analyzeCount("{lang: sw}") == 1)
+    assert(engine.lastCountSource.contains("scan"))
+    engine.clean()
+  }
+
   test("statsPairs special keys ('id', 'metadata', 'metadata.x') never " +
       "consult views — a metadata FIELD literally named 'id' must not " +
       "cover a record-id ask") {
