@@ -23,7 +23,7 @@ object SkipProfile {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(
         Set("cluster", "dict", "zorder", "fann", "phases",
-          "bm25batch")) match {
+          "bm25batch", "drift")) match {
       case Some(m) => m
       case None => "range"
     }
@@ -47,9 +47,80 @@ object SkipProfile {
       case "phases" => segsList.foreach(runPhases(spark, _, docsPerSeg))
       case "bm25batch" =>
         segsList.foreach(runBm25Batch(spark, _, docsPerSeg))
+      case "drift" => segsList.foreach(runDrift(spark, _, docsPerSeg))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
+  }
+
+  /** The IVF occupancy-drift leg (round 17): probe cost degraded by a
+    * drifting ingest distribution, recovered by [[MemoEngine.retrainIvf]].
+    * A diverse seed corpus trains the quantizer; `nSegs` appended
+    * segments of near-identical docs then pile into a few hot cells
+    * (the append arm reuses centroids — correct per increment, drifting
+    * in aggregate), so a fixed-nprobe probe of the drifted region scans
+    * most of the appended corpus. After the metadata-triggered retrain
+    * the same probe scans ~nprobe/nlist of it. Reports the stored-skew
+    * statistic (no job) before/after, the probe latency before/after,
+    * and the retrain cost (the honest O(corpus) rebuild reference).
+    * Run via `runMain graft.SkipProfile drift [segsList] [docsPerSeg]`
+    * (e.g. "40" and 200 → 8000 drifted rows). */
+  private[graft] def runDrift(spark: SparkSession, nSegs: Int,
+      docsPerSeg: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_drift")
+    val engine = new graft.memo.MemoEngine(spark,
+      base.resolve("db").toString, maxSegments = 1000000)
+    engine.save((0 until 256).map(i =>
+      s"---\nbody: seed topic$i theme${i % 13} subject${i % 29} " +
+        s"angle${i % 7} facet$i\n").mkString)
+    engine.annRecall("seed topic1 theme1", k = 3).collect() // train
+    val skewSeed = engine.ivfSkew().getOrElse(-1.0)
+    // the drifted distribution has INTERNAL structure (16 subtopics
+    // sharing a common phrase): the stale quantizer maps the whole
+    // family into its few nearest seed cells, while a retrained one
+    // gives the subtopics their own cells — exactly the recoverable
+    // degradation the skew statistic is for
+    (0 until nSegs).foreach(s => engine.save((0 until docsPerSeg).map(i =>
+      s"---\nbody: drifted corpus subtopic${i % 16} marker${i % 16} " +
+        s"recurring phrase detail$s$i\n").mkString))
+    engine.annRecall("seed topic1 theme1", k = 3).collect() // catch-up
+    val skewBefore = engine.ivfSkew().getOrElse(-1.0)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def probe(): Double = (0 until 3).map(_ => timed {
+      engine.annRecall("drifted corpus subtopic7 marker7", k = 10,
+        nprobe = 2).collect()
+    }).min
+    // the cost that matters at scale: ROWS the fixed-nprobe probe scans
+    // (probed cells' occupancy) — latency at this corpus size is mostly
+    // fixed job overhead, row counts are the 100× signal
+    val ivfPath = base.resolve("db").resolve("_ivf").toString
+    def probedRows(): Long = {
+      val ctr = graft.ops.IvfIndex.readCentroids(spark, ivfPath).get
+      val occ = graft.ops.IvfIndex.readOccupancy(spark, ivfPath).get
+      val qv = graft.functions.VectorKernels.hashEmbedFloats(
+        "drifted corpus subtopic7 marker7",
+        ctr.headOption.map(_.length).getOrElse(64))
+      graft.ops.IvfIndex.probeCells(ctr, qv, 2).map(occ(_)).sum
+    }
+    val rowsBefore = probedRows()
+    val probeBefore = probe()
+    val tRetrain = timed {
+      require(engine.retrainIvf(maxSkew = 4.0),
+        s"drift leg expected the retrain to fire at skew $skewBefore")
+    }
+    val skewAfter = engine.ivfSkew().getOrElse(-1.0)
+    val rowsAfter = probedRows()
+    val probeAfter = probe()
+    println(f"[drift] segs=$nSegs%4d docs/seg=$docsPerSeg " +
+      f"rows=${engine.records.count()}%6d skewSeed=$skewSeed%.1f " +
+      f"skewDrifted=$skewBefore%.1f probedRowsBefore=$rowsBefore%6d " +
+      f"probeBefore=$probeBefore%.3fs retrain=$tRetrain%.2fs " +
+      f"skewAfter=$skewAfter%.1f probedRowsAfter=$rowsAfter%6d " +
+      f"probeAfter=$probeAfter%.3fs")
+    engine.clean()
+    ()
   }
 
   private def run(spark: SparkSession, nSegs: Int, docsPerSeg: Int): Unit = {

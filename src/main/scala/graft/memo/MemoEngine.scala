@@ -947,6 +947,69 @@ class MemoEngine(spark: SparkSession, basePath: String,
       math.min(MemoEngine.AnnNlist.toLong, n).toInt, ivfDir))
   }
 
+  /** Occupancy-drift statistic of the maintained IVF artifact:
+    * max/median occupancy over non-empty cells (1.0 = perfectly
+    * balanced), read straight off the artifact's stamp file — driver
+    * metadata, NO Spark job (build, append, and apply each refresh the
+    * stored occupancy). [[ensureIvf]]'s append arm deliberately reuses
+    * the trained quantizer forever (the right call per ingest
+    * increment), so a DRIFTING data distribution piles rows into hot
+    * cells and probe cost quietly degrades toward O(hot cell); this is
+    * the cheap signal an operator (or [[retrainIvf]]) watches. None
+    * when no artifact exists. */
+  def ivfSkew(): Option[Double] =
+    graft.ops.IvfIndex.readOccupancy(spark, ivfDir)
+      .map(o => graft.ops.IvfIndex.occupancySkew(o.toSeq))
+
+  /** [[ivfSkew]] on the compressed (IVF-PQ) artifact. */
+  def pqSkew(): Option[Double] =
+    graft.ops.PqIndex.readOccupancy(spark, pqDir)
+      .map(o => graft.ops.IvfIndex.occupancySkew(o.toSeq))
+
+  /** Retrain-on-drift maintenance for the IVF family: bring the
+    * artifact current (the standard [[ensureIvf]] walk), then — ONLY if
+    * its stored occupancy skew exceeds `maxSkew` (the metadata-only
+    * check; a no-drift call never touches data) — retrain the coarse
+    * quantizer and rewrite through [[graft.ops.IvfIndex.compact]]. The
+    * corpus is the artifact's RECORDED watermark version's index chain,
+    * re-read under the artifact build lock (reentrant), never the live
+    * version: retraining against a newer corpus would race a concurrent
+    * catch-up into double-counting appended rows. Probe parity: the
+    * retrain runs the same fixed-seed bounded-sample k-means a fresh
+    * build over the same corpus runs, so the post-retrain index serves
+    * identically to a from-scratch build (spec-pinned). The reference
+    * retrains implicitly on every rebuild (memo_cli.py:272-285); this is
+    * that policy made incremental — appends stay O(batch), the retrain
+    * fires only on measured drift. Returns true iff a rewrite
+    * happened. */
+  def retrainIvf(maxSkew: Double = 4.0): Boolean = {
+    if (ensureIvf().isEmpty) return false
+    ArtifactMeta.withBuildLock(spark, ivfDir) {
+      ArtifactMeta.read(spark, ivfDir, LexVersionFile)
+        .flatMap(_.toLongOption).exists { v0 =>
+          graft.ops.IvfIndex.compact(
+            spark.read.parquet(segments(v0, "index"): _*),
+            "id", "embedding", ivfDir, maxSkew)
+        }
+    }
+  }
+
+  /** [[retrainIvf]] on the compressed artifact ([[ensurePq]] +
+    * [[graft.ops.PqIndex.compactIvfPq]] — coarse quantizer AND
+    * codebooks retrain together; ADC codes are meaningless under new
+    * centroids). */
+  def retrainPq(maxSkew: Double = 4.0): Boolean = {
+    if (ensurePq().isEmpty) return false
+    ArtifactMeta.withBuildLock(spark, pqDir) {
+      ArtifactMeta.read(spark, pqDir, LexVersionFile)
+        .flatMap(_.toLongOption).exists { v0 =>
+          graft.ops.PqIndex.compactIvfPq(
+            spark.read.parquet(segments(v0, "index"): _*),
+            "id", "embedding", pqDir, maxSkew)
+        }
+    }
+  }
+
   /** Test seam for the FILTERED ANN serving paths ([[annRecall]]/
     * [[pqRecall]] with a filter): (final nprobe, widening retries) of the
     * last filtered query — lets specs pin that an under-filled first

@@ -857,6 +857,18 @@ object IvfIndex {
     readMeta(fs, metaPath).map(_.centroids).filter(_.nonEmpty)
   }
 
+  /** Per-cell occupancy straight off the stamp file's `occ:` line —
+    * [[readCentroids]]'s contract for the drift signal: driver-side
+    * metadata, NO Spark job (build, append, and apply all refresh the
+    * stored occupancy). None when no artifact exists or a pre-occupancy
+    * artifact never recorded it. */
+  private[graft] def readOccupancy(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Array[Long]] = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_ivf_centroids")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMeta(fs, metaPath).flatMap(_.occupancy)
+  }
+
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
       metaPath: org.apache.hadoop.fs.Path): Option[Meta] = {
     if (!fs.exists(metaPath)) return None

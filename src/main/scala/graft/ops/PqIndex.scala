@@ -443,6 +443,15 @@ object PqIndex {
   private def readIvfPqMeta(df: DataFrame, path: String): Option[IvfPqMeta] =
     readMetaFileLines(hconf(df), path, IvfPqMetaName).flatMap(parseIvfPqMetaLines)
 
+  /** Per-cell occupancy straight off the stamp file's `occ:` line —
+    * [[IvfIndex.readOccupancy]]'s contract on the composed artifact:
+    * driver-side metadata, NO Spark job. None when no artifact exists or
+    * a pre-occupancy artifact never recorded it. */
+  private[graft] def readOccupancy(spark: SparkSession,
+      path: String): Option[Array[Long]] =
+    readMetaFileLines(spark.sparkContext.hadoopConfiguration, path,
+      IvfPqMetaName).flatMap(parseIvfPqMetaLines).flatMap(_.occupancy)
+
   /** The one renderer both meta-write paths share — a second copy could
     * drift from the parser. Mints a fresh manifest generation nonce on
     * every render-for-write ([[IvfIndex.newGen]]'s contract: any meta

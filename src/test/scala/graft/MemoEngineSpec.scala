@@ -1395,6 +1395,121 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("ivfSkew / retrainIvf: drift read off the stamp metadata alone, " +
+      "no-op below threshold (files untouched), retrain above it — " +
+      "post-retrain centroids IDENTICAL to a fresh build, serving exact") {
+    import scala.jdk.CollectionConverters._
+    val (engine, db) = freshEngine()
+    // diverse seed corpus trains the quantizer across many cells
+    engine.save((0 until 48).map(i =>
+      s"---\nbody: seed topic$i theme${i % 7} subject${i % 11} " +
+        s"angle${i % 5} facet$i\n").mkString)
+    engine.annRecall("seed topic1 theme1", k = 3).collect() // build
+    val skew0 = engine.ivfSkew()
+    assert(skew0.isDefined, "built artifact must expose its occupancy")
+    // DRIFTED appends: near-identical docs pile into a few hot cells
+    // while the quantizer is reused (the ensure append arm's contract)
+    // unique trailing token per doc: clustered embeddings (shared
+    // phrase dominates) without EXACT score ties at the top-k cut
+    (0 until 3).foreach(b => engine.save((0 until 40).map(i =>
+      s"---\nbody: drifted repeated narrow phrase cluster " +
+        s"variant${i % 2} nuance$b$i\n").mkString))
+    engine.annRecall("seed topic1 theme1", k = 3).collect() // catch-up
+    val skew1 = engine.ivfSkew().get
+    assert(skew1 > skew0.get && skew1 > 2.0,
+      s"drifted appends must raise the skew: ${skew0.get} -> $skew1")
+    // METADATA-ONLY: the statistic answers with the cell DATA gone —
+    // it reads the stamp file, never the parquet (stronger than a
+    // job-count pin; restored below)
+    val ivfPath = java.nio.file.Paths.get(db).resolve("_ivf")
+    val hidden = java.nio.file.Files.createTempDirectory("ivf_hide")
+    val cellDirs = java.nio.file.Files.list(ivfPath).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell_id=")).toList
+    cellDirs.foreach(d => java.nio.file.Files.move(d,
+      hidden.resolve(d.getFileName)))
+    val skewHidden =
+      try engine.ivfSkew().get
+      finally java.nio.file.Files.list(hidden).iterator().asScala.toList
+        .foreach(d => java.nio.file.Files.move(d,
+          ivfPath.resolve(d.getFileName)))
+    assert(skewHidden == skew1,
+      "ivfSkew must read only the stamp metadata")
+    // below-threshold retrain is a NO-OP: every artifact file untouched
+    def mtimes(): Map[String, Long] =
+      java.nio.file.Files.walk(ivfPath).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    val before = mtimes()
+    assert(!engine.retrainIvf(maxSkew = skew1 + 1.0),
+      "retrain below the measured skew must not fire")
+    assert(mtimes() == before,
+      "a no-drift retrain call must not touch artifact files")
+    // above-threshold: retrain fires and rebalances
+    assert(engine.retrainIvf(maxSkew = math.max(1.1, skew1 - 0.5)),
+      "retrain above the measured skew must fire")
+    val skew2 = engine.ivfSkew().get
+    assert(skew2 < skew1, s"retrain must reduce skew: $skew1 -> $skew2")
+    // PARITY: the retrained quantizer is bit-identical to a fresh
+    // fixed-seed build over the same corpus (hash-ordered sample —
+    // content-deterministic, partition-layout-independent)
+    val retrained = graft.ops.IvfIndex
+      .readCentroids(spark, ivfPath.toString).get
+    val freshPath = java.nio.file.Files
+      .createTempDirectory("ivf_fresh").resolve("idx").toString
+    val fresh = graft.ops.IvfIndex.buildIfAbsent(engine.index,
+      "id", "embedding", retrained.length, freshPath)
+    assert(retrained.length == fresh.length &&
+      retrained.zip(fresh).forall { case (a, b) => a.sameElements(b) },
+      "post-retrain centroids must equal a fresh build's")
+    // and the maintained artifact still serves exactly at full probe
+    val nlist = retrained.length
+    val viaAnn = engine.annRecall("drifted repeated narrow", k = 5,
+        nprobe = nlist).collect().map(_.getLong(0)).toSet
+    val viaBrute = engine.recall("drifted repeated narrow", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaAnn == viaBrute,
+      s"full-probe ANN diverged from brute after retrain")
+    // the watermark survives the retrain: a following append catches up
+    // without double-counting (occupancy total == corpus size)
+    engine.save("---\nbody: post retrain append probe doc\n")
+    engine.annRecall("post retrain append", k = 2).collect()
+    val occ = graft.ops.IvfIndex
+      .readOccupancy(spark, ivfPath.toString).get
+    assert(occ.sum == engine.index.count(),
+      s"occupancy ${occ.sum} != corpus after post-retrain append")
+    engine.clean()
+  }
+
+  test("pqSkew / retrainPq: the drift policy on the compressed artifact " +
+      "— retrain rebalances and full-probe serving stays exact") {
+    val (engine, db) = freshEngine()
+    engine.save((0 until 48).map(i =>
+      s"---\nbody: pq seed topic$i theme${i % 7} subject${i % 11} " +
+        s"angle${i % 5} facet$i\n").mkString)
+    engine.pqRecall("pq seed topic1 theme1", k = 3).collect()
+    val skew0 = engine.pqSkew()
+    assert(skew0.isDefined)
+    (0 until 3).foreach(b => engine.save((0 until 40).map(i =>
+      s"---\nbody: drifted pq narrow phrase cluster " +
+        s"variant${i % 2} nuance$b$i\n").mkString))
+    engine.pqRecall("pq seed topic1 theme1", k = 3).collect()
+    val skew1 = engine.pqSkew().get
+    assert(skew1 > 2.0, s"drift must raise pq skew, got $skew1")
+    assert(!engine.retrainPq(maxSkew = skew1 + 1.0))
+    assert(engine.retrainPq(maxSkew = math.max(1.1, skew1 - 0.5)))
+    assert(engine.pqSkew().get < skew1)
+    // full-probe refine serving stays exact vs brute
+    val viaPq = engine.pqRecall("drifted pq narrow", k = 5,
+        nprobe = 1024, refine = 64).collect()
+      .map(_.getLong(0)).toSet
+    val viaBrute = engine.recall("drifted pq narrow", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaPq == viaBrute,
+      "full-probe PQ diverged from brute after retrain")
+    engine.clean()
+  }
+
   test("analyze Matched count served from a covering view: any group " +
       "key's doc_count sums to the matched count; WHERE-less views " +
       "cover the match-all ask; the route stays fresh across commits") {
