@@ -86,6 +86,20 @@ object MemoCli {
               System.err.println("Error: export requires exactly one <out_dir>")
               1
             } else cmdExport(engine, exportArgs.head, verbose)
+          case "retrain" :: retrainArgs =>
+            retrainArgs match {
+              case opts if opts.forall(a => a == "--pq" ||
+                    a.toDoubleOption.exists(_ >= 1.0)) &&
+                  opts.count(_ != "--pq") <= 1 =>
+                cmdRetrain(engine, baseOpt.get,
+                  pq = opts.contains("--pq"),
+                  maxSkew = opts.find(_ != "--pq")
+                    .map(_.toDouble).getOrElse(4.0))
+              case _ =>
+                System.err.println(
+                  "Error: retrain takes [--pq] [maxSkew >= 1.0]")
+                1
+            }
           case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
           case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
           case other :: _ =>
@@ -122,6 +136,7 @@ object MemoCli {
     println("  import              Replace the store from a full-DB YAML/JSONL file or dir (migration)")
     println("  export              Write the store as sharded full-DB YAML/JSONL (migration)")
     println("  cluster             Re-layout records by metadata key(s) <key[,key2,..]> [nClusters] (filtered reads prune; multi-key = Z-order)")
+    println("  retrain             Rebalance the maintained ANN index if cell occupancy drifted past [maxSkew] (default 4.0); --pq targets the compressed index")
     println()
     println("Options:")
     println("  -f <base>           REQUIRED DB base directory")
@@ -569,6 +584,26 @@ object MemoCli {
     * reference (which has no layout concept), same stdout discipline as
     * reindex: result lines only, diagnostics to stderr under -v. A
     * comma-separated key list takes the multi-key (Z-order) arm. */
+  /** `retrain [--pq] [maxSkew]` — the drift maintenance op
+    * ([[MemoEngine.retrainIvf]]/[[MemoEngine.retrainPq]]): report the
+    * stored occupancy skew (a driver-side metadata read), rebalance
+    * only if it exceeds the threshold. */
+  private def cmdRetrain(engine: MemoEngine, base: String,
+      pq: Boolean, maxSkew: Double): Int = {
+    if (!engine.exists) {
+      System.err.println(s"Error: no database at $base")
+      return 1
+    }
+    val which = if (pq) "pq" else "ann"
+    val fired =
+      if (pq) engine.retrainPq(maxSkew) else engine.retrainIvf(maxSkew)
+    val skew = if (pq) engine.pqSkew() else engine.ivfSkew()
+    val s = skew.map(v => f"$v%.1f").getOrElse("n/a")
+    if (fired) println(s"Retrained $which index (skew now $s)")
+    else println(s"No retrain needed for $which index (skew $s <= $maxSkew)")
+    0
+  }
+
   private def cmdCluster(engine: MemoEngine, base: String, key: String,
       nClusters: Option[Int], verbose: Boolean): Int = {
     if (!engine.exists) {

@@ -2109,14 +2109,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * takes, so `sum(doc_count)` over its (refreshed-first, never stale)
     * state IS the matched count, O(state) instead of the corpus scan.
     * The view's group key is immaterial — every matching row lands in
-    * exactly one group (the null group included). A WHERE-less view
-    * covers the match-all ask the same way. Anything else scans. */
+    * exactly one group (the null group included). ONLY views WITH a
+    * where cover: a where-less view counts rows the filter algebra's
+    * no-metadata gate excludes (the reference skips metadata-less
+    * records before evaluating ANY filter, memo_cli.py:670-672 —
+    * `where = Some("{}")` carries that gate through compile; no where
+    * means no gate). Anything else scans. */
   def analyzeCount(filterExpr: String): Long = {
     def canon(f: String): Option[String] =
       scala.util.Try(
         FilterAlgebra.operandStr(FilterAlgebra.parse(f))).toOption
     val ask = canon(filterExpr)
-    val matchAll = canon("{}")
     val viaView =
       if (ask.isEmpty) None
       else views.iterator.map { name =>
@@ -2128,8 +2131,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
           })
       }.collectFirst {
         case (name, Some((gk, ms, aggs, where, cap)))
-            if where.map(w => canon(w) == ask)
-              .getOrElse(matchAll.isDefined && ask == matchAll) =>
+            if where.exists(w => canon(w) == ask) =>
           lastCountSource = Some(s"view:$name")
           val r = viewState(name, gk, ms, aggs, where, cap)
             .agg(sum(col("doc_count"))).collect()(0)

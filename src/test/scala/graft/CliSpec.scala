@@ -476,6 +476,27 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("retrain verb: reports the stored skew, fires only past the " +
+      "threshold, --pq targets the compressed index, errors on bad args") {
+    withDb { db =>
+      // no database yet
+      val (c0, _) = run("-f", db, "retrain")
+      assert(c0 == 1)
+      run("-f", db, "save", batch)
+      // fresh build: balanced — no retrain, skew reported
+      val (c1, o1) = run("-f", db, "retrain")
+      assert(c1 == 0 && o1.startsWith("No retrain needed for ann index " +
+        "(skew "), o1)
+      val (c2, o2) = run("-f", db, "retrain", "--pq", "2.0")
+      assert(c2 == 0 && o2.contains("pq index"), o2)
+      // arity/arg errors
+      assert(run("-f", db, "retrain", "nope")._1 == 1)
+      assert(run("-f", db, "retrain", "0.5")._1 == 1)
+      assert(run("-f", db, "retrain", "2.0", "3.0")._1 == 1)
+      run("-f", db, "clean")
+    }
+  }
+
   test("--stats id and --stats metadata resolve like resolve_field_value") {
     withDb { db =>
       run("-f", db, "save", batch)

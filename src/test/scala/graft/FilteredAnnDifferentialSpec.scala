@@ -162,4 +162,72 @@ class FilteredAnnDifferentialSpec extends SparkTestBase {
     assert(nonTrivial >= 6, s"only $nonTrivial non-trivial filters of 30")
     engine.clean()
   }
+
+  test("hybrid doors: NO threshold choice changes the FUSED ranking — " +
+      "randomized (bruteRows, pqBytes) routes vs the brute-leg fusion") {
+    import spark.implicits._
+    val gen = new FilterCaseGen(sweepSeed + 2)
+    val rnd = new scala.util.Random(sweepSeed + 2)
+    val n = 60
+    val engine = buildStore(gen, n)
+    def fused(df: DataFrame): Seq[(Long, Double, Int, Int)] =
+      df.select("id", "rrf_score", "r_bm25", "r_vec").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+        .toSeq
+    val rowBounds = Seq(0L, 1L, 10L, 30L, 4096L, Long.MaxValue)
+    val byteBudgets = Seq(0L, 64L, 4096L, 1L << 20, Long.MaxValue)
+    val routesSeen = scala.collection.mutable.Set.empty[String]
+    var nonTrivial = 0
+    (0 until 24).foreach { i =>
+      val filter = FilterCaseGen.toJson(gen.randomFilter())
+      val bruteRows = rowBounds(rnd.nextInt(rowBounds.length))
+      val pqBytes = byteBudgets(rnd.nextInt(byteBudgets.length))
+      // reference: the brute-semantic-leg fusion (q111's argument — at
+      // full probe with perList ≥ survivors every semantic arm is the
+      // exact survivor ranking, so the fusion is route-independent:
+      // ids, rrf scores, AND per-list ranks)
+      val exact = fused(engine.hybridRecall("corpus topic", k = n,
+        filterExpr = Some(filter), perList = n))
+      val survivors = engine.recall("corpus topic", k = n,
+        filterExpr = Some(filter)).count()
+      if (survivors > 0 && survivors < n) nonTrivial += 1
+      val served = fused(engine.hybridServe("corpus topic", k = n,
+        filterExpr = Some(filter), perList = n,
+        nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+        pqBytes = pqBytes))
+      val route = engine.lastServeRoute.map(_._1).getOrElse("?")
+      routesSeen += route
+      assert(served == exact,
+        s"case $i filter $filter route=$route bruteRows=$bruteRows " +
+          s"pqBytes=$pqBytes:\nserved=$served\nexact=$exact")
+      if (i % 4 == 0) {
+        // the batch hybrid door under the same randomized thresholds:
+        // per-query fused-set equality with the single door
+        val queries = Seq((0L, "corpus topic"), (1L, "batch corpus doc"))
+          .toDF("qid", "qtext")
+        val batch = engine.hybridServeBatch(queries, "qid", "qtext",
+            k = n, filterExpr = Some(filter), perList = n,
+            nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+            pqBytes = pqBytes)
+          .select("query_id", "id", "rrf_score", "r_bm25", "r_vec")
+          .collect()
+          .map(r => (r.getLong(0),
+            (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        Seq(0L -> "corpus topic", 1L -> "batch corpus doc").foreach {
+          case (qid, qt) =>
+            val single = fused(engine.hybridServe(qt, k = n,
+              filterExpr = Some(filter), perList = n,
+              nprobe = MemoEngine.AnnNlist, bruteRows = bruteRows,
+              pqBytes = pqBytes)).toSet
+            assert(batch.getOrElse(qid, Set.empty) == single,
+              s"case $i filter $filter qid=$qid: hybrid batch diverged")
+        }
+      }
+    }
+    assert(routesSeen.size >= 2,
+      s"threshold randomization exercised only $routesSeen")
+    assert(nonTrivial >= 5, s"only $nonTrivial non-trivial filters of 24")
+    engine.clean()
+  }
 }

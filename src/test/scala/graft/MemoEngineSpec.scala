@@ -1530,18 +1530,30 @@ class MemoEngineSpec extends SparkTestBase {
     // coverage is PARSE-level: the brace-less spelling still covers
     assert(engine.analyzeCount("lang: en") == 2)
     assert(engine.lastCountSource.contains("view:c1"))
-    // match-all: a WHERE-less view covers — the null group (the
-    // no-metadata row) counts too
-    engine.viewState("call", "metadata['lang']")
-    assert(engine.analyzeCount("{}") == 4,
-      s"match-all count must include the no-metadata row")
+    // the match-all ask: the reference SKIPS metadata-less records
+    // before evaluating any filter (memo_cli.py:670-672), so the scan
+    // counts 3 of 4 — and a WHERE-LESS view (which counts every row,
+    // no-metadata included) must therefore NEVER cover it...
+    assert(engine.analyzeCount("{}") == 3)
+    assert(engine.lastCountSource.contains("scan"))
+    engine.viewState("vnowhere", "metadata['lang']")
+    assert(engine.analyzeCount("{}") == 3,
+      "a where-less view must not cover (it counts no-metadata rows " +
+        "the filter gate excludes)")
+    assert(engine.lastCountSource.contains("scan"),
+      s"expected the scan, got ${engine.lastCountSource}")
+    // ...while a view WHERE-scoped to {} carries the gate through
+    // compile and covers exactly
+    engine.viewState("call", "metadata['lang']", where = Some("{}"))
+    assert(engine.analyzeCount("{}") == 3)
     assert(engine.lastCountSource.contains("view:call"),
-      s"expected the where-less view, got ${engine.lastCountSource}")
+      s"expected the {}-scoped view, got ${engine.lastCountSource}")
     // freshness: the route walks viewState's refresh first
     engine.save("---\nbody: five\nmetadata: {lang: en, src: s9}\n")
     assert(engine.analyzeCount("{lang: en}") == 3)
     assert(engine.lastCountSource.contains("view:c1"))
-    assert(engine.analyzeCount("{}") == 5)
+    assert(engine.analyzeCount("{}") == 4)
+    assert(engine.lastCountSource.contains("view:call"))
     // uncovered filter: scan fallback
     assert(engine.analyzeCount("{lang: sw}") == 1)
     assert(engine.lastCountSource.contains("scan"))
