@@ -3055,6 +3055,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
         .filterNot(p => keep.contains(p.getFileName.toString))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .foreach(deleteTree)
+      // SHARD-level sweep inside kept dirs: a state dir stays alive as
+      // long as ONE of its shards is carried, so its superseded sibling
+      // shards (rewritten or split away generations ago) would otherwise
+      // accumulate as dead files forever. Any `_shard=*` dir referenced
+      // by NEITHER live manifest falls under the same TTL discipline —
+      // a lock-free reader of the current or previous state never reads
+      // an unreferenced shard, and older-generation readers get the
+      // dir-level sweep's window.
+      val refShardPaths: Set[String] =
+        (Seq(stateDir) ++ recorded.map(_._3)).flatMap(st =>
+          readShardManifest(dir.resolve(st)).toSeq.flatten
+            .map(s => dir.resolve(s.path).toString)).toSet
+      listDir(dir).filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("state-"))
+        .foreach { sd =>
+          listDir(sd).filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("_shard="))
+            .filterNot(p => refShardPaths.contains(p.toString))
+            .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+            .foreach(deleteTree)
+        }
       lastViewRefresh = Some((mode, scanned))
       lastViewPublish = Some((newShards.size, carriedShards.size))
       serve(stateDir)

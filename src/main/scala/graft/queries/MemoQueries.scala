@@ -1109,6 +1109,71 @@ object MemoQueries {
     view().orderBy(col("group_key"))
   }
 
+  /** Drift → retrain → exact serving, end-to-end (the r17 maintenance
+    * family): 120 diverse seed docs train the quantizer, 120 appended
+    * docs from a 16-subtopic drifted distribution pile into its nearest
+    * cells, and the build pass REQUIRES the whole policy — the stored
+    * skew statistic rose, `retrainIvf` fired at the threshold and
+    * lowered it, the post-retrain occupancy sums to the corpus (the
+    * double-count detector), and full-probe `annRecall` equals filtered
+    * brute force. The served id set at full probe with k ≥ corpus is
+    * every indexed doc (floor guarded non-binding at build — all bodies
+    * share no strongly-negative direction), so DuckDB replays it as the
+    * full ordinal range. BUILD-ONCE per sf-dir; a bench repeat prices
+    * one full-probe serve off the retrained artifact. */
+  private val q116RetrainServe: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q116retrain", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    def yamlSeed(ids: Range) = ids.map(i =>
+      s"---\nbody: seed topic$i theme${i % 13} subject${i % 29} " +
+        s"facet$i\n").mkString
+    def yamlDrift(ids: Range) = ids.map(i =>
+      s"---\nbody: drifted corpus subtopic${i % 16} marker${i % 16} " +
+        s"recurring phrase detail$i\n").mkString
+    if (!java.nio.file.Files.exists(done)) {
+      if (engine.exists) engine.clean() // torn prior build: start over
+      engine.save(yamlSeed(0 until 24))
+      engine.save(yamlSeed(24 until 48))
+      engine.annRecall("seed topic1 theme1", k = 3).collect() // train
+      engine.save(yamlDrift(48 until 72))
+      engine.save(yamlDrift(72 until 96))
+      engine.annRecall("seed topic1 theme1", k = 3).collect() // catch-up
+      val skew1 = engine.ivfSkew().getOrElse(0.0)
+      require(skew1 > 2.0,
+        s"q116 expected the drifted appends to raise the skew, got $skew1")
+      require(!engine.retrainIvf(maxSkew = skew1 + 1.0),
+        "q116 below-threshold retrain must not fire")
+      require(engine.retrainIvf(maxSkew = 2.0),
+        "q116 retrain must fire past the threshold")
+      val skew2 = engine.ivfSkew().getOrElse(Double.MaxValue)
+      require(skew2 < skew1,
+        s"q116 retrain must lower the skew: $skew1 -> $skew2")
+      val occ = graft.ops.IvfIndex.readOccupancy(s,
+        base.resolve("db").resolve("_ivf").toString).get
+      require(occ.sum == 96L,
+        s"q116 occupancy ${occ.sum} != corpus 96 after retrain")
+      // floor guard + route parity: full-probe ANN == filtered brute
+      // force, and brute fills the whole corpus (the id-set oracle is
+      // sound only then)
+      val viaBrute = engine.recall("drifted corpus subtopic3 marker3",
+        k = 100).collect().map(_.getLong(0)).toSet
+      require(viaBrute.size == 96,
+        s"q116 floor guard failed: brute filled ${viaBrute.size} of 96")
+      val viaAnn = engine.annRecall("drifted corpus subtopic3 marker3",
+        k = 100, nprobe = 4096).collect()
+        .map(_.getLong(0)).toSet
+      require(viaAnn == viaBrute,
+        "q116 full-probe ANN diverged from brute after retrain")
+      java.nio.file.Files.createFile(done)
+    }
+    import s.implicits._
+    engine.annRecall("drifted corpus subtopic3 marker3", k = 100,
+        nprobe = 4096)
+      .select(col("id")).orderBy(col("id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -1140,6 +1205,7 @@ object MemoQueries {
     "q113_numeric_cluster" -> q113NumericCluster,
     "q114_count_from_view" -> q114CountFromView,
     "q115_sharded_view" -> q115ShardedView,
+    "q116_retrain_serve" -> q116RetrainServe,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1347,6 +1413,15 @@ object MemoQueries {
         |  count(*) AS doc_count,
         |  CAST(sum((i * 37) % 101) AS BIGINT) AS wsum
         |FROM d GROUP BY 1 ORDER BY group_key""".stripMargin,
+    // q116 replay: at full probe with k ≥ corpus the retrained index
+    // serves every indexed doc (floor guarded non-binding at build; the
+    // drift/retrain/occupancy/parity requires run IN the query), so the
+    // id set is the full ordinal range (96 docs — recall's MaxK=100
+    // keeps the brute floor guard fillable) — the q101/q111 id-set
+    // argument on the maintenance family.
+    "q116_retrain_serve" ->
+      """SELECT CAST(range AS BIGINT) AS id FROM range(96)
+        |ORDER BY id""".stripMargin,
     // q112 replay: the stats-pairs minting rules — doc ordinal mints
     // (lang, src), the en rows group by src, raw values are the typed
     // 's'-prefixed encodings. The query REQUIRES the pairs came from

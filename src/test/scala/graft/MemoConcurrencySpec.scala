@@ -342,6 +342,74 @@ class MemoConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("retrainIvf racing an appender: no double-counted rows — " +
+      "post-quiesce occupancy equals the corpus and full-probe serving " +
+      "is exact") {
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    // diverse seed trains the quantizer; drifted appends raise the skew
+    // so the racing retrain genuinely fires at least once
+    e1.save((0 until 48).map(i =>
+      s"---\nbody: seed topic$i theme${i % 7} subject${i % 11} " +
+        s"facet$i\n").mkString)
+    e1.annRecall("seed topic1 theme1", k = 3).collect() // build
+    (0 until 2).foreach(b => e1.save((0 until 30).map(i =>
+      s"---\nbody: drifted narrow cluster phrase nuance$b$i\n").mkString))
+    e1.annRecall("seed topic1 theme1", k = 3).collect() // catch-up
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def transient(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("") + " " +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      m.contains("NoSuchFile") || m.contains("FILE_NOT_EXIST") ||
+        m.contains("does not exist")
+    }
+    try {
+      val appender = Future {
+        (0 until 6).foreach(i =>
+          e1.save(s"---\nbody: racing append doc $i topic${i % 4}\n"))
+      }
+      val maintainer = Future {
+        var fired = 0
+        var rounds = 0
+        while (!appender.isCompleted && rounds < 20) {
+          try { if (e2.retrainIvf(maxSkew = 1.5)) fired += 1 }
+          catch { case e: Throwable if transient(e) => () }
+          rounds += 1
+        }
+        // one quiet retrain attempt after the churn so at least one
+        // fires even if every in-flight round saw a transient
+        try { if (e2.retrainIvf(maxSkew = 1.5)) fired += 1 }
+        catch { case e: Throwable if transient(e) => () }
+        fired
+      }
+      val fired = Await.result(
+        appender.flatMap(_ => maintainer), 300.seconds)
+      assert(fired >= 1, "the racing retrain never fired — vacuous")
+      // quiesce: bring the artifact current, then the DOUBLE-COUNT
+      // detector — the retrain rebuilt from the artifact's recorded
+      // watermark under the lock, so no appended row may be in the
+      // index twice (or missing): stored occupancy == live corpus
+      e1.annRecall("racing append doc", k = 3).collect()
+      val ivfPath = Paths.get(db).resolve("_ivf").toString
+      val occ = graft.ops.IvfIndex.readOccupancy(spark, ivfPath).get
+      assert(occ.sum == e1.index.count(),
+        s"occupancy ${occ.sum} != corpus ${e1.index.count()} — a " +
+          "retrain/append race double-counted or dropped rows")
+      // and full-probe serving is the exact ranking
+      val nlist = graft.ops.IvfIndex.readCentroids(spark, ivfPath)
+        .get.length
+      val viaAnn = e1.annRecall("racing append doc topic1", k = 6,
+        nprobe = nlist).collect().map(_.getLong(0)).toSet
+      val viaBrute = e1.recall("racing append doc topic1", k = 6)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaAnn == viaBrute,
+        s"post-race full-probe ANN diverged: $viaAnn vs $viaBrute")
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
   test("vacuum sweeps stale staging corpses, spares fresh attempts") {
     val db = freshStore()
     val engine = new MemoEngine(spark, db)

@@ -1372,6 +1372,56 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("shard-level sweep: a superseded shard dir inside a KEPT state " +
+      "dir falls once past the TTL, while referenced shards survive " +
+      "and the served frame stays exact") {
+    val dir = Files.createTempDirectory("memo_view_swp").toString
+    val engine = new MemoEngine(spark, s"$dir/db", viewShardRows = 8)
+    val key = "metadata['g']"
+    def doc(g: Int, tag: String) =
+      s"---\nbody: sweep doc $tag\nmetadata: {g: g$g}\n"
+    engine.save((0 until 64).map(i => doc(i, s"seed $i")).mkString)
+    engine.viewState("sw", key, Chars).collect()
+    val st0 = liveStateDir(s"$dir/db", "sw")
+    // refresh 2 supersedes ONE shard of st0 (rewritten into st1)
+    engine.save(doc(7, "touch g7"))
+    engine.viewState("sw", key, Chars).collect()
+    val st1 = liveStateDir(s"$dir/db", "sw")
+    val viewRoot = java.nio.file.Paths.get(s"$dir/db").resolve("_view_sw")
+    val lines1 = manifestLines(s"$dir/db", "sw", st1)
+    val superseded = java.nio.file.Files.list(viewRoot.resolve(st0))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_shard="))
+      .filterNot(d => lines1.exists(
+        _.endsWith(s"$st0/${d.getFileName}")))
+      .toList
+    assert(superseded.size == 1,
+      s"expected exactly one superseded shard in $st0, got $superseded")
+    // young superseded dirs survive the next refresh (TTL guard) —
+    // then age it past the TTL and refresh again: it must fall, while
+    // every shard the live manifests reference stays
+    engine.save(doc(9, "touch g9"))
+    engine.viewState("sw", key, Chars).collect()
+    assert(java.nio.file.Files.exists(superseded.head),
+      "a young superseded shard must survive (TTL window)")
+    java.nio.file.Files.setLastModifiedTime(superseded.head,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3L * 60 * 60 * 1000))
+    engine.save(doc(11, "touch g11"))
+    val served = engine.viewState("sw", key, Chars)
+    assert(!java.nio.file.Files.exists(superseded.head),
+      "an aged superseded shard must be swept")
+    val stLive = liveStateDir(s"$dir/db", "sw")
+    val refd = manifestLines(s"$dir/db", "sw", stLive)
+    refd.foreach { l =>
+      val rel = l.split('|')(2)
+      assert(java.nio.file.Files.isDirectory(viewRoot.resolve(rel)),
+        s"referenced shard $rel must survive the sweep")
+    }
+    assert(collected(served) == direct(engine, key))
+    engine.clean()
+  }
+
   test("legacy (pre-shard) state upgrades in place: served as one wide " +
       "shard, fully rewritten ONCE on the first refresh, sharded " +
       "thereafter") {
