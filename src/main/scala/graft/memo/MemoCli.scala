@@ -86,6 +86,17 @@ object MemoCli {
               System.err.println("Error: export requires exactly one <out_dir>")
               1
             } else cmdExport(engine, exportArgs.head, verbose)
+          case "maintain" :: maintainArgs =>
+            maintainArgs match {
+              case opts if opts.length <= 1 &&
+                  opts.forall(_.toDoubleOption.exists(_ >= 1.0)) =>
+                cmdMaintain(engine, baseOpt.get,
+                  opts.headOption.map(_.toDouble))
+              case _ =>
+                System.err.println(
+                  "Error: maintain takes [retrainSkew >= 1.0]")
+                1
+            }
           case "retrain" :: retrainArgs =>
             retrainArgs match {
               case opts if opts.forall(a => a == "--pq" ||
@@ -137,6 +148,7 @@ object MemoCli {
     println("  export              Write the store as sharded full-DB YAML/JSONL (migration)")
     println("  cluster             Re-layout records by metadata key(s) <key[,key2,..]> [nClusters] (filtered reads prune; multi-key = Z-order)")
     println("  retrain             Rebalance the maintained ANN index if cell occupancy drifted past [maxSkew] (default 4.0); --pq targets the compressed index")
+    println("  maintain            Bring every maintained artifact current (postings/IVF/IVF-PQ/signatures/views); [retrainSkew] also retrains drifted quantizers")
     println()
     println("Options:")
     println("  -f <base>           REQUIRED DB base directory")
@@ -584,6 +596,22 @@ object MemoCli {
     * reference (which has no layout concept), same stdout discipline as
     * reindex: result lines only, diagnostics to stderr under -v. A
     * comma-separated key list takes the multi-key (Z-order) arm. */
+  /** `maintain [retrainSkew]` — [[MemoEngine.maintain]]: one call
+    * brings every maintained artifact family current (and optionally
+    * retrains drifted quantizers), printing one `family: status` line
+    * each. */
+  private def cmdMaintain(engine: MemoEngine, base: String,
+      retrainSkew: Option[Double]): Int = {
+    if (!engine.exists) {
+      System.err.println(s"Error: no database at $base")
+      return 1
+    }
+    engine.maintain(retrainSkew).foreach { case (f, st) =>
+      println(s"$f: $st")
+    }
+    0
+  }
+
   /** `retrain [--pq] [maxSkew]` — the drift maintenance op
     * ([[MemoEngine.retrainIvf]]/[[MemoEngine.retrainPq]]): report the
     * stored occupancy skew (a driver-side metadata read), rebalance

@@ -3138,6 +3138,41 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * each step's delta/feed read O(changed rows). Returns name → refresh
     * mode ("fresh" / "incremental" / "incremental_rescan" / "rebuild";
     * "skipped" for a meta this build can't decode). */
+  /** One-call POST-INGEST maintenance — the nightly-maintenance shape
+    * at scale: bring EVERY engine-maintained artifact current against
+    * the live committed version (BM25 postings, IVF, IVF-PQ, admission
+    * signatures, every registered view), so subsequent serving calls
+    * pay ZERO catch-up, and optionally retrain the vector quantizers
+    * when their stored occupancy skew exceeds `retrainSkew` (the drift
+    * policy — a metadata-only check when balanced, see [[retrainIvf]]).
+    * Each family runs its own documented watermark walk: a fresh family
+    * costs two metadata reads, a behind family exactly its catch-up
+    * arm — this op adds no machinery, it sequences the machinery so an
+    * ingest pipeline can pay maintenance at a chosen time instead of on
+    * the first post-commit read. Returns a per-family status report. */
+  def maintain(retrainSkew: Option[Double] = None): Map[String, String] = {
+    if (currentVersion.isEmpty) return Map("store" -> "empty")
+    val b = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    ensureLexical(); b += "lexical" -> "current"
+    val ivf = ensureIvf()
+    b += ("ivf" -> ivf.map(c => s"current (nlist ${c.length})")
+      .getOrElse("empty"))
+    val pq = ensurePq()
+    b += ("ivfpq" -> pq.map(c => s"current (nlist ${c._1.length})")
+      .getOrElse("empty"))
+    ensureSignatures(); b += "signatures" -> "current"
+    retrainSkew.foreach { t =>
+      def skewStr(s: Option[Double]) =
+        s.map(v => f"$v%.1f").getOrElse("n/a")
+      b += ("ivf_retrain" -> (if (retrainIvf(t)) "fired"
+        else s"skipped (skew ${skewStr(ivfSkew())})"))
+      b += ("ivfpq_retrain" -> (if (retrainPq(t)) "fired"
+        else s"skipped (skew ${skewStr(pqSkew())})"))
+    }
+    refreshViews().foreach { case (n, st) => b += (s"view:$n" -> st) }
+    b.toMap
+  }
+
   def refreshViews(): Map[String, String] =
     views.map { name =>
       val decoded = ArtifactMeta

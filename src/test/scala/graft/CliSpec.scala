@@ -497,6 +497,27 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("maintain verb: one family-status line each, optional retrain " +
+      "threshold, errors on bad args") {
+    withDb { db =>
+      val (c0, _) = run("-f", db, "maintain")
+      assert(c0 == 1) // no database yet
+      run("-f", db, "save", batch)
+      val (c1, o1) = run("-f", db, "maintain")
+      assert(c1 == 0, o1)
+      Seq("lexical: current", "ivf: current", "ivfpq: current",
+        "signatures: current").foreach(l =>
+        assert(o1.contains(l), s"missing '$l' in:\n$o1"))
+      assert(!o1.contains("retrain"), "no threshold → no retrain lines")
+      val (c2, o2) = run("-f", db, "maintain", "1000000.0")
+      assert(c2 == 0 && o2.contains("ivf_retrain: skipped") &&
+        o2.contains("ivfpq_retrain: skipped"), o2)
+      assert(run("-f", db, "maintain", "0.5")._1 == 1)
+      assert(run("-f", db, "maintain", "2.0", "3.0")._1 == 1)
+      run("-f", db, "clean")
+    }
+  }
+
   test("--stats id and --stats metadata resolve like resolve_field_value") {
     withDb { db =>
       run("-f", db, "save", batch)

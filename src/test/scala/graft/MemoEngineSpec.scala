@@ -1395,6 +1395,68 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("maintain: ONE call brings every artifact family current — " +
+      "watermarks advance to the live version, the next serves pay " +
+      "zero catch-up, and the drift retrain rides the same call") {
+    import org.apache.spark.sql.functions.col
+    val (engine, db) = freshEngine()
+    engine.save((0 until 24).map(i =>
+      s"---\nbody: maintain corpus doc $i topic${i % 5}\n" +
+        s"metadata: {part: p${i % 3}}\n").mkString)
+    engine.viewState("mview", "metadata['part']",
+      where = Some("{part: p1}"))
+    val r1 = engine.maintain()
+    assert(Seq("lexical", "ivf", "ivfpq", "signatures")
+      .forall(r1.contains), s"families missing from report: $r1")
+    assert(r1("view:mview") == "fresh" || r1("view:mview") == "incremental")
+    // every artifact watermark is the live version
+    def watermark(art: String): Option[String] = graft.ops.ArtifactMeta
+      .read(spark, java.nio.file.Paths.get(db).resolve(art).toString,
+        "_store_version")
+    val live = engine.versions.max.toString
+    Seq("_lexical", "_ivf", "_ivfpq", "_minhash").foreach { art =>
+      assert(watermark(art).contains(live),
+        s"$art watermark ${watermark(art)} != live $live after maintain")
+    }
+    // append → maintain → watermarks current again, view incremental
+    engine.save("---\nbody: maintain append doc topic1\n" +
+      "metadata: {part: p1}\n")
+    val r2 = engine.maintain()
+    val live2 = engine.versions.max.toString
+    assert(live2 != live)
+    Seq("_lexical", "_ivf", "_ivfpq", "_minhash").foreach { art =>
+      assert(watermark(art).contains(live2),
+        s"$art not caught up by maintain: ${watermark(art)} vs $live2")
+    }
+    assert(r2("view:mview") == "incremental", s"got ${r2("view:mview")}")
+    // the next VIEW serve is fresh (zero catch-up, the lock-free arm)
+    engine.viewState("mview", "metadata['part']",
+      where = Some("{part: p1}")).collect()
+    assert(engine.lastViewRefresh.exists(_._1 == "fresh"))
+    // drift arm: a sky-high threshold skips and touches NO artifact file
+    def mtimes(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(db)
+          .resolve("_ivf")).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = mtimes()
+    val r3 = engine.maintain(retrainSkew = Some(1e9))
+    assert(r3("ivf_retrain").startsWith("skipped") &&
+      r3("ivfpq_retrain").startsWith("skipped"), s"got $r3")
+    assert(mtimes() == before,
+      "a skipped retrain must not touch artifact files")
+    // serving correctness is unchanged by the maintenance call
+    val viaAnn = engine.annRecall("maintain corpus topic1", k = 5,
+      nprobe = 4096).collect().map(_.getLong(0)).toSet
+    val viaBrute = engine.recall("maintain corpus topic1", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaAnn == viaBrute)
+    engine.clean()
+  }
+
   test("ivfSkew / retrainIvf: drift read off the stamp metadata alone, " +
       "no-op below threshold (files untouched), retrain above it — " +
       "post-retrain centroids IDENTICAL to a fresh build, serving exact") {
