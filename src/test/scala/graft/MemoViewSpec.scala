@@ -931,7 +931,10 @@ class MemoViewSpec extends SparkTestBase {
   }
 
   test("view refreshes stay consistent under concurrent commit churn") {
-    val (engine, _) = freshEngine()
+    // tiny shard target: the churn loop's refreshes take the SHARDED
+    // publish paths (carry + rewrite racing commits), not a single shard
+    val dir0 = Files.createTempDirectory("memo_view_churn").toString
+    val engine = new MemoEngine(spark, s"$dir0/db", viewShardRows = 2)
     val key = "metadata['category']"
     val cats = Seq("a", "b", "c")
     engine.save(yamlDoc("seed note", Some("a")))
@@ -995,8 +998,13 @@ class MemoViewSpec extends SparkTestBase {
       "direct group-by (sum AND min/max, every refresh)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("memo_view_diff").toString
-    // k=2 so the walk actually crosses the exhaustion boundary
-    val engine = new MemoEngine(spark, s"$dir/db", viewReserveK = 2)
+    // k=2 so the walk actually crosses the exhaustion boundary;
+    // shardRows=2 so EVERY refresh exercises the multi-shard publish —
+    // touched-shard selection, carried references, split-on-rewrite —
+    // against the direct group-by oracle (at the default target the
+    // fixture is one shard and the sharded paths would go untested here)
+    val engine = new MemoEngine(spark, s"$dir/db", viewReserveK = 2,
+      viewShardRows = 2)
     val key = "metadata['category']"
     // deterministic LCG — the sequence is fixed, reruns are identical
     var seed = 0x5eed5eedL
