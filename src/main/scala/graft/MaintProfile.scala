@@ -84,11 +84,16 @@ object MaintProfile {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
     }
     def publish() = engine.lastViewPublish.getOrElse((-1, -1))
-    val tBuild = timed { view().collect() }
+    // viewState() runs the locked refresh EAGERLY (merge + write +
+    // meta swing) and returns a lazy served frame — timing the call
+    // alone isolates the REFRESH cost from the O(groups) full-state
+    // read a consumer may or may not do afterwards
+    val tBuild = timed { view(); () }
     val pBuild = publish()
+    val tReadAll = timed { view().collect() } // linear-by-design reference
     // ONE-doc append into one existing group
     engine.save(docYaml(7, "append probe"))
-    val tAppend = timed { view().collect() }
+    val tAppend = timed { view(); () }
     val pAppend = publish()
     val mAppend = engine.lastViewRefresh.map(_._1).getOrElse("none")
     // ONE-row patch (update moves a row's measure)
@@ -97,7 +102,7 @@ object MaintProfile {
       .toDF("id", "change", "body", "metadata")
       .withColumn("commit_version", lit(0L))
     engine.applyChanges(feed)
-    val tPatch = timed { view().collect() }
+    val tPatch = timed { view(); () }
     val pPatch = publish()
     val mPatch = engine.lastViewRefresh.map(_._1).getOrElse("none")
     require(mAppend == "incremental" && mPatch == "incremental",
@@ -106,6 +111,7 @@ object MaintProfile {
       s"shardview expected carried shards, got ($pAppend, $pPatch)")
     println(f"[shardview] groups=$nGroups%6d " +
       f"build=$tBuild%.3fs(shards=${pBuild._1}) " +
+      f"readAll=$tReadAll%.3fs " +
       f"append1=$tAppend%.3fs(wrote=${pAppend._1} carried=${pAppend._2}) " +
       f"patch1=$tPatch%.3fs(wrote=${pPatch._1} carried=${pPatch._2}) " +
       "all-incremental")
