@@ -327,7 +327,12 @@ object Dedup {
   /** Near-dup REMOVAL: keep the smallest id of every duplicate pair chain
     * (drop any row that appears as the larger side of a candidate pair).
     * One anti-join — the standard corpus-cleaning step after candidate
-    * generation. */
+    * generation. NOTE this is the PAIRWISE rule: an id is kept iff it is
+    * the smaller side of every pair it appears in, so a star a-c, b-c
+    * (a<b<c, no a-b pair) keeps BOTH a and b — they were never judged
+    * similar to each other. Pipelines that want ONE survivor per
+    * TRANSITIVE duplicate group use [[components]] /
+    * [[nearDupClusters]] instead. */
   def removeNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8,
       bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
@@ -336,5 +341,88 @@ object Dedup {
       .select(col("b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** CONNECTED COMPONENTS over an undirected edge list — the transitive
+    * step pair-based dedup needs: candidate generators emit PAIRS, but a
+    * duplicate GROUP is a component of the pair graph (a~b and b~c put
+    * a and c in one group even when the LSH bands never paired them
+    * directly), and keep-best-per-group curation needs the group ids.
+    *
+    * Iterative MIN-LABEL propagation with POINTER JUMPING: each round
+    * every node takes the min of its own label, its neighbors' labels,
+    * and its label's label (label(x) ← label(label(x)) — path doubling,
+    * so rounds grow with log(diameter), not diameter; a 2^20-diameter
+    * chain converges inside the default budget). Each round is two
+    * bounded shuffles over (id, lbl); every round's frame is EAGERLY
+    * localCheckpoint-ed — the iterative-algorithm discipline: without
+    * truncation the logical plan doubles per round (the label frame
+    * appears twice in its own next round) and the driver OOMs on plan
+    * analysis long before data size matters. Convergence is CHECKED
+    * (one count per round) and failure to converge THROWS rather than
+    * returning partial labels.
+    *
+    * Returns (id, component) for every id incident to an edge —
+    * component = the smallest id in its component. Ids with no edges
+    * are their own singletons by definition and are not emitted
+    * (callers coalesce on join). Self-loops are ignored. */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = und
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"components did not converge in $maxIters rounds — " +
+            "diameter past 2^maxIters or a non-deterministic edge frame")
+      val nbrMin = sym.as("e")
+        .join(labels.as("l"), col("e.b") === col("l.id"))
+        .groupBy(col("e.a").as("id")).agg(min(col("l.lbl")).as("nlbl"))
+      // stepped stays LAZY: its plan references only the (checkpointed)
+      // previous round, so the self-join below doubles a bounded plan
+      // within the round — only the round boundary needs truncation
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val next = stepped.as("s")
+        .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
+          .as("j"), col("s.lbl") === col("j.jid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.lbl"), coalesce(col("j.jlbl"), col("s.lbl")))
+            .as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("lbl").as("old")).as("o"),
+          Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Transitive duplicate groups of a corpus: [[minHashPairs]] candidate
+    * generation → [[components]]. Returns (id, component) for every id
+    * in a duplicate group of size ≥ 2 (component = the group's smallest
+    * id); rows absent from the result are singletons. The keep-one-per-
+    * GROUP cleaning step is then one anti-join on `id != component` —
+    * strictly stronger than [[removeNearDups]]'s pairwise rule, the
+    * conventional choice for aggressive corpus dedup. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8,
+      bucketCap: Int = BucketCap.DefaultCap,
+      maxIters: Int = 20): DataFrame =
+    components(
+      minHashPairs(df, idCol, textCol, minJaccard = minJaccard,
+        bucketCap = bucketCap),
+      "a", "b", maxIters)
 
 }

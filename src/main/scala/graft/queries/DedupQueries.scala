@@ -93,6 +93,23 @@ object DedupQueries {
   // even at threshold 1.0 the synthetic small-vocabulary corpus produces
   // natural pairs whose 64 minhashes all collide (measured: 23 at sf0.01),
   // so the drop set is not expressible in SQL without replaying minhash.
+  /** Connected components over a DETERMINISTIC minted edge set (chains
+    * broken by one ordinal rule, re-merged by a second) — the transitive
+    * duplicate-group operator ([[Dedup.components]]) hash-verified
+    * against DuckDB's recursive-CTE reachability on the same edges. The
+    * pair graph is what every LSH candidate generator emits; this pins
+    * the component labels (min reachable id), not just their count. */
+  private val q117Components: Q = (s, dir) => {
+    import s.implicits._
+    val n = 240
+    val chain = (0L until (n - 1).toLong)
+      .filter(i => (i * 37) % 7 < 3).map(i => (i, i + 1))
+    val merge = (0L until (n - 5).toLong)
+      .filter(i => (i * 91) % 11 == 0).map(i => (i, i + 5))
+    Dedup.components((chain ++ merge).toDF("a", "b"), "a", "b")
+      .orderBy(col("id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact_text" -> q40ExactText,
     "q41_dedup_exact_key" -> q41ExactKey,
@@ -100,9 +117,29 @@ object DedupQueries {
     "q43_dedup_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
     "q45_winnow_pairs" -> q45Winnow,
+    "q117_components" -> q117Components,
   )
 
   val oracles: Map[String, String] = Map(
+    // q117 replay: the same minted edges, components via recursive-CTE
+    // reachability (UNION dedups, so the recursion terminates), label =
+    // min reachable id per incident node — singletons never appear
+    // because `nodes` only holds edge endpoints, matching the operator.
+    "q117_components" ->
+      """WITH RECURSIVE d AS (SELECT CAST(range AS BIGINT) AS i FROM range(239)),
+        |e0 AS (
+        |  SELECT i AS a, i + 1 AS b FROM d WHERE (i * 37) % 7 < 3
+        |  UNION ALL
+        |  SELECT i AS a, i + 5 AS b FROM d
+        |  WHERE (i * 91) % 11 = 0 AND i < 235),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+        |SELECT id, MIN(lbl) AS component FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin,
     "q40_dedup_exact_text" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -191,4 +191,93 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.forall(r => r.getLong(0) < cap && r.getLong(1) < cap),
       "cap must keep the smallest ids")
   }
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.components(edges.toDF("a", "b"), "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side union-find oracle for the differential. */
+  private def ufOracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("components: chains, stars, cycles, and disjoint pieces label by " +
+      "component MIN; a long path converges inside the log-diameter " +
+      "budget; randomized graphs match a union-find oracle") {
+    // a 64-node path (diameter 63): pointer jumping must converge well
+    // under the 20-round budget (plain propagation would need 63)
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val pc = comps(path)
+    assert(pc.size == 64 && pc.values.forall(_ == 0L),
+      s"path must collapse to component 0: $pc")
+    // star with high-id hub + cycle + disjoint pair, one frame
+    val mixed = Seq((100L, 7L), (100L, 9L), (100L, 8L), // star, min 7
+      (20L, 21L), (21L, 22L), (22L, 20L),               // cycle, min 20
+      (40L, 41L))                                       // pair
+    val mc = comps(mixed)
+    assert(Seq(100L, 7L, 8L, 9L).forall(mc(_) == 7L), s"star: $mc")
+    assert(Seq(20L, 21L, 22L).forall(mc(_) == 20L), s"cycle: $mc")
+    assert(mc(40L) == 40L && mc(41L) == 40L, s"pair: $mc")
+    assert(mc.size == 9, "singletons must not be emitted")
+    // self-loops ignored; duplicate/reversed edges harmless
+    assert(comps(Seq((5L, 5L))).isEmpty)
+    assert(comps(Seq((1L, 2L), (2L, 1L), (1L, 2L))) ==
+      Map(1L -> 1L, 2L -> 1L))
+    // randomized differential vs union-find, three seeds
+    Seq(11L, 23L, 47L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(150)(
+        (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter(e => e._1 != e._2)
+      assert(comps(edges) == ufOracle(edges),
+        s"seed $seed diverged from union-find")
+    }
+  }
+
+  test("nearDupClusters groups TRANSITIVE duplicates — one component " +
+      "per group, the keep-one anti-join is strictly stronger than the " +
+      "pairwise removeNearDups rule") {
+    import spark.implicits._
+    // three mutual near-dups + a distinct pair + unrelated docs, with
+    // unique filler so the distinct docs never collide
+    val grp = "the quick brown fox jumps over the lazy dog again and again"
+    def mut(tag: String) = s"$grp $tag"
+    val docs = Seq(
+      (0L, mut("alpha")), (1L, mut("beta")), (2L, mut("gamma")),
+      (10L, "completely different subject matter concerning the price " +
+        "of tea and shipping routes variant one"),
+      (11L, "completely different subject matter concerning the price " +
+        "of tea and shipping routes variant two"),
+      (20L, "a third standalone document about winter gardening " +
+        "practices in cold climates with frost covers")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+        minJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(clusters.get(_).contains(0L)),
+      s"mutant group must share component 0: $clusters")
+    assert(clusters.get(10L) == clusters.get(11L) &&
+      clusters.get(10L).forall(_ == 10L), s"pair group: $clusters")
+    assert(!clusters.contains(20L), "singletons are not emitted")
+    // keep-one-per-group: anti-join on id != component
+    val keep = docs.join(
+      Dedup.nearDupClusters(docs, "doc_id", "text", minJaccard = 0.5)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == Set(0L, 10L, 20L), s"kept $keep")
+  }
 }
