@@ -342,6 +342,27 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** The round-boundary truncation iterative DataFrame algorithms need,
+    * BOTH halves: `localCheckpoint(true)` cuts the LINEAGE (without it
+    * the plan doubles per round and the driver dies on analysis), but
+    * the resulting LogicalRDD INHERITS its origin's computed
+    * STATISTICS — and a round built from self-joins makes sizeInBytes a
+    * product of its inputs' sizes, so the inherited number's BIT-length
+    * roughly quadruples per round and by ~round 12 Catalyst spends
+    * minutes per round in BigInteger multiplication before hanging
+    * outright (measured: 2M-bit stats after one upstream components
+    * call, 44M bits three rounds later). Rebuilding the frame from the
+    * checkpointed RDD resets the statistic to the default leaf estimate
+    * — planning stays O(1) per round, and since the inflated stats were
+    * astronomically past every broadcast threshold anyway, no join
+    * strategy changes. (The public-API shape of GraphFrames'
+    * AggregateMessages.getCachedDataFrame, which exists for exactly
+    * this failure mode.) */
+  private def roundCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** CONNECTED COMPONENTS over an undirected edge list — the transitive
     * step pair-based dedup needs: candidate generators emit PAIRS, but a
     * duplicate GROUP is a component of the pair graph (a~b and b~c put
@@ -354,12 +375,11 @@ object Dedup {
     * so rounds grow with log(diameter), not diameter; a 2^20-diameter
     * chain converges inside the default budget). Each round is two
     * bounded shuffles over (id, lbl); every round's frame is EAGERLY
-    * localCheckpoint-ed — the iterative-algorithm discipline: without
-    * truncation the logical plan doubles per round (the label frame
-    * appears twice in its own next round) and the driver OOMs on plan
-    * analysis long before data size matters. Convergence is CHECKED
-    * (one count per round) and failure to converge THROWS rather than
-    * returning partial labels.
+    * truncated at BOTH levels ([[roundCheckpoint]]: lineage AND
+    * inherited statistics — either one left growing kills the driver
+    * long before data size matters). Convergence is CHECKED (one count
+    * per round) and failure to converge THROWS rather than returning
+    * partial labels.
     *
     * Returns (id, component) for every id incident to an edge —
     * component = the smallest id in its component. Ids with no edges
@@ -373,8 +393,8 @@ object Dedup {
     val sym = und
       .union(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var labels = roundCheckpoint(sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var iters = 0
     var converged = false
     while (!converged) {
@@ -391,13 +411,12 @@ object Dedup {
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val next = stepped.as("s")
+      val next = roundCheckpoint(stepped.as("s")
         .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
           .as("j"), col("s.lbl") === col("j.jid"), "left")
         .select(col("s.id").as("id"),
           least(col("s.lbl"), coalesce(col("j.jlbl"), col("s.lbl")))
-            .as("lbl"))
-        .localCheckpoint(true)
+            .as("lbl")))
       val changed = next.as("n")
         .join(labels.select(col("id"), col("lbl").as("old")).as("o"),
           Seq("id"))
@@ -407,6 +426,78 @@ object Dedup {
       iters += 1
     }
     labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** INCREMENTAL [[components]]: fold a batch of NEW edges into an
+    * existing labeling WITHOUT revisiting the old edge set — the ingest
+    * shape of transitive dedup at pipeline scale, where the accumulated
+    * pair graph of the corpus is enormous but each ingest batch's new
+    * candidate pairs are bounded. `prior` is an (id, component) labeling
+    * as [[components]] returns it (component = the smallest member id —
+    * in particular every component id labels itself, so (c, c) is always
+    * a prior row); `newEdges` is the batch's pair frame.
+    *
+    * The algebra: collapse every labeled endpoint of a new edge to its
+    * component id (its REPRESENTATIVE — old members need not be
+    * revisited because min is associative: the min of a merged component
+    * is the min over {old component ids} ∪ {new raw ids}), run the full
+    * operator on the collapsed delta graph (O(batch) nodes whatever the
+    * corpus size), and map the resulting relabels back over the prior
+    * labeling. PLAN SHAPE: the corpus-scale prior frame is scanned
+    * exactly twice and never shuffled — a broadcast LEFT-SEMI restricts
+    * it to the delta's endpoints (≤ 2·|batch| rows survive), and the
+    * final relabel is a map-side broadcast join of the delta-scale
+    * relabel map — vs a full recompute's log-diameter rounds of
+    * corpus-wide shuffles over the retained edge set. The output
+    * satisfies the same self-labeling invariant as [[components]], so it
+    * feeds the NEXT batch's `prior` — ingest maintains the labeling by
+    * folding forever, O(batch + touched components) per step. */
+  def componentsIncremental(prior: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val p = prior.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    val und = newEdges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nodes = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n"))).distinct()
+    // the ONE restriction scan of the corpus-scale labeling: broadcast
+    // the delta's endpoint set, keep only their prior rows; eagerly
+    // truncated ([[roundCheckpoint]] — lineage AND inherited stats,
+    // which otherwise carry the prior plan's product into every round
+    // of the reduced fold below) because it is read twice (endpoint
+    // mapping + the representative set) and is delta-bounded by
+    // construction
+    val touched = roundCheckpoint(
+      p.join(broadcast(nodes), col("id") === col("n"), "left_semi"))
+    val mapped = und
+      .join(touched.select(col("id").as("a"), col("component").as("ca")),
+        Seq("a"), "left")
+      .join(touched.select(col("id").as("b"), col("component").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+    // delta-scale: nodes are old component REPRESENTATIVES and brand-new
+    // ids; an edge inside one old component collapses to a self-loop and
+    // vanishes inside [[components]]
+    val reduced = components(mapped, "a", "b", maxIters)
+    // reduced ids split two ways: an old component id (some endpoint
+    // mapped to it — relabel its whole component) vs a previously
+    // unlabeled id (label it directly). A raw id can never collide with
+    // an old component id: component ids label themselves in prior, so a
+    // prior-id endpoint is always mapped, never raw.
+    val reps = touched.select(col("component").as("rep")).distinct()
+    val newIds = reduced.join(reps, col("id") === col("rep"), "left_anti")
+      .select(col("id"), col("component"))
+    val relabel = reduced
+      .select(col("id").as("oldc"), col("component").as("newc"))
+    // the SECOND and last corpus-scale scan: map-side relabel, the
+    // delta-bounded map broadcast — untouched components pass through
+    val relabeled = p.join(broadcast(relabel),
+        col("component") === col("oldc"), "left")
+      .select(col("id"),
+        coalesce(col("newc"), col("component")).as("component"))
+    relabeled.unionByName(newIds)
   }
 
   /** Transitive duplicate groups of a corpus: [[minHashPairs]] candidate

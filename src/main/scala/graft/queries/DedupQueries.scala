@@ -110,6 +110,27 @@ object DedupQueries {
       .orderBy(col("id"))
   }
 
+  /** [[q117Components]]'s minted graph folded INCREMENTALLY: the chain
+    * edges go through the full operator (the "accumulated corpus"
+    * labeling of the broken chain segments) and the re-merging (i, i+5)
+    * edges fold in as an ingest batch via
+    * [[Dedup.componentsIncremental]] — a delta with 10 cross-component
+    * merges and 12 previously-unlabeled endpoints (verified offline),
+    * so both fold arms carry weight. The oracle is reachability over
+    * the FULL edge set: the hash check proves the fold is
+    * indistinguishable from a from-scratch recompute. */
+  private val q118ComponentsIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val n = 240
+    val chain = (0L until (n - 1).toLong)
+      .filter(i => (i * 37) % 7 < 3).map(i => (i, i + 1))
+    val merge = (0L until (n - 5).toLong)
+      .filter(i => (i * 91) % 11 == 0).map(i => (i, i + 5))
+    val prior = Dedup.components(chain.toDF("a", "b"), "a", "b")
+    Dedup.componentsIncremental(prior, merge.toDF("a", "b"), "a", "b")
+      .orderBy(col("id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact_text" -> q40ExactText,
     "q41_dedup_exact_key" -> q41ExactKey,
@@ -118,28 +139,34 @@ object DedupQueries {
     "q44_ngram_jaccard" -> q44NgramJaccard,
     "q45_winnow_pairs" -> q45Winnow,
     "q117_components" -> q117Components,
+    "q118_components_incremental" -> q118ComponentsIncremental,
   )
 
+  // q117/q118 replay: the same minted edges, components via recursive-CTE
+  // reachability (UNION dedups, so the recursion terminates), label = min
+  // reachable id per incident node — singletons never appear because
+  // `nodes` only holds edge endpoints, matching the operator. q118 runs
+  // the SAME oracle over the FULL edge set: an incremental fold that
+  // matches it is hash-indistinguishable from the from-scratch labeling.
+  private val componentsOracle: String =
+    """WITH RECURSIVE d AS (SELECT CAST(range AS BIGINT) AS i FROM range(239)),
+      |e0 AS (
+      |  SELECT i AS a, i + 1 AS b FROM d WHERE (i * 37) % 7 < 3
+      |  UNION ALL
+      |  SELECT i AS a, i + 5 AS b FROM d
+      |  WHERE (i * 91) % 11 = 0 AND i < 235),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+      |SELECT id, MIN(lbl) AS component FROM reach
+      |GROUP BY id ORDER BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // q117 replay: the same minted edges, components via recursive-CTE
-    // reachability (UNION dedups, so the recursion terminates), label =
-    // min reachable id per incident node — singletons never appear
-    // because `nodes` only holds edge endpoints, matching the operator.
-    "q117_components" ->
-      """WITH RECURSIVE d AS (SELECT CAST(range AS BIGINT) AS i FROM range(239)),
-        |e0 AS (
-        |  SELECT i AS a, i + 1 AS b FROM d WHERE (i * 37) % 7 < 3
-        |  UNION ALL
-        |  SELECT i AS a, i + 5 AS b FROM d
-        |  WHERE (i * 91) % 11 = 0 AND i < 235),
-        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |reach(id, lbl) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
-        |SELECT id, MIN(lbl) AS component FROM reach
-        |GROUP BY id ORDER BY id""".stripMargin,
+    "q117_components" -> componentsOracle,
+    "q118_components_incremental" -> componentsOracle,
     "q40_dedup_exact_text" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

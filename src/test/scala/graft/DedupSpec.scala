@@ -246,6 +246,96 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  private def compsInc(prior: Seq[(Long, Long)],
+      delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.componentsIncremental(prior.toDF("id", "component"),
+        delta.toDF("a", "b"), "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("componentsIncremental: a delta batch folds into a prior " +
+      "labeling — cross-component merges, a NEW global-min id " +
+      "relabeling a whole merged group, untouched components verbatim, " +
+      "and the corpus-scale relabel is a broadcast join") {
+    import spark.implicits._
+    // prior: {0,1,2} -> 0, {10,11,12} -> 10, {40,41} -> 40
+    val base = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L), (40L, 41L))
+    val prior = ufOracle(base).toSeq
+    // one new edge merges two old components transitively
+    val m1 = compsInc(prior, Seq((2L, 10L)))
+    assert(Seq(0L, 1L, 2L, 10L, 11L, 12L).forall(m1(_) == 0L),
+      s"merged group must relabel to the global min: $m1")
+    assert(m1(40L) == 40L && m1(41L) == 40L,
+      s"untouched component must pass through verbatim: $m1")
+    assert(m1.size == 8)
+    // a NEW id SMALLER than every old min bridges two components: the
+    // whole merged group — old members included — takes the new min
+    val m2 = compsInc(Seq((5L, 5L), (6L, 5L), (8L, 8L), (9L, 8L)),
+      Seq((3L, 5L), (3L, 8L)))
+    assert(Seq(3L, 5L, 6L, 8L, 9L).forall(m2(_) == 3L),
+      s"new-node bridge must relabel both components to 3: $m2")
+    // delta edges INSIDE one component collapse to self-loops: no-op
+    val m3 = compsInc(prior, Seq((0L, 2L), (11L, 12L)))
+    assert(m3 == prior.toMap, s"intra-component delta must be a no-op: $m3")
+    // an empty delta returns the prior labeling unchanged
+    assert(compsInc(prior, Seq.empty) == prior.toMap)
+    // two previously-UNLABELED ids joined by a delta edge get labels
+    val m4 = compsInc(prior, Seq((90L, 91L)))
+    assert(m4(90L) == 90L && m4(91L) == 90L && m4.size == 10)
+    // plan pin: the prior-side relabel must be a map-side BROADCAST
+    // join, never a corpus shuffle
+    val planned = Dedup.componentsIncremental(
+      prior.toDF("id", "component"), Seq((2L, 10L)).toDF("a", "b"),
+      "a", "b")
+    assert(planned.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "prior relabel must broadcast the delta-scale map")
+  }
+
+  test("componentsIncremental: randomized differential vs a full " +
+      "recompute over base ∪ delta, and CHAINED folds stay exact " +
+      "(the output is a valid prior for the next batch)") {
+    // regression coverage for the round-boundary stats explosion: before
+    // roundCheckpoint reset inherited LogicalRDD statistics, this exact
+    // chained fold drove Catalyst's sizeInBytes product past 2M bits and
+    // hung the driver in BigInteger multiplication — if this test slows
+    // from seconds to minutes, that truncation broke
+    import spark.implicits._
+    var sawMerge = false
+    Seq(11L, 23L, 47L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2)
+      val (base, rest) = edges.splitAt(edges.length / 2)
+      val (d1, d2) = rest.splitAt(rest.length / 2)
+      val full = ufOracle(edges)
+      val prior = Dedup.components(base.toDF("a", "b"), "a", "b")
+      // non-vacuity: the deltas must merge prior components somewhere
+      val priorMap = prior.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sawMerge ||= rest.exists { case (a, b) =>
+        priorMap.contains(a) && priorMap.contains(b) &&
+          priorMap(a) != priorMap(b)
+      }
+      // one fold
+      val once = Dedup.componentsIncremental(prior,
+          rest.toDF("a", "b"), "a", "b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(once == full, s"seed $seed single fold diverged")
+      // two chained folds — the first fold's OUTPUT is the next prior
+      val step1 = Dedup.componentsIncremental(prior,
+        d1.toDF("a", "b"), "a", "b")
+      val twice = Dedup.componentsIncremental(step1,
+          d2.toDF("a", "b"), "a", "b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twice == full, s"seed $seed chained fold diverged")
+    }
+    assert(sawMerge, "differential never exercised a cross-component " +
+      "merge — fixture too sparse to mean anything")
+  }
+
   test("nearDupClusters groups TRANSITIVE duplicates — one component " +
       "per group, the keep-one anti-join is strictly stronger than the " +
       "pairwise removeNearDups rule") {
