@@ -24,7 +24,8 @@ import org.apache.spark.sql.SparkSession
   */
 object MaintProfile {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("wdview", "shardview")) match {
+    val mode = args.headOption
+      .filter(Set("wdview", "shardview", "compactview")) match {
       case Some(m) => m
       case None => "families"
     }
@@ -45,6 +46,9 @@ object MaintProfile {
       case "shardview" =>
         (if (rest.isEmpty) Seq(3000, 30000) else segsList)
           .foreach(runShardView(spark, _))
+      case "compactview" =>
+        (if (rest.isEmpty) Seq(3000, 30000) else segsList)
+          .foreach(runCompactView(spark, _))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
@@ -117,6 +121,90 @@ object MaintProfile {
       "all-incremental")
     engine.clean()
     ()
+  }
+
+  /** The view-shard COMPACTION claim (round 17 late): churn-then-shrink
+    * leaves a state fragmented (shards split on growth, never re-widen
+    * on shrink), `viewFragmentation` prices it off the manifest with NO
+    * job, and `compactView` restores the uniform grid in one O(state)
+    * rewrite. Builds `nGroups` one-doc groups, retracts 15/16 of them
+    * in one patch window (survivors stay spread over the full fine
+    * grid), then reports: fragmentation before/after, shard count
+    * before/after, the no-job price of the fragmentation read, the
+    * compact rewrite cost (vs the build as the O(groups) reference),
+    * and the full-state read before/after (many tiny dirs vs few).
+    * Run via `runMain graft.MaintProfile compactview [groupsList]`. */
+  private[graft] def runCompactView(spark: SparkSession,
+      nGroups: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_cpv")
+    val engine = new graft.memo.MemoEngine(spark,
+      base.resolve("db").toString, maxSegments = 1000000,
+      viewShardRows = 512)
+    def docYaml(g: Int, tag: String) =
+      s"---\nbody: compact profile $tag\nmetadata: {g: g$g}\n"
+    val perSeg = math.max(1, nGroups / 4)
+    (0 until nGroups).grouped(perSeg).foreach(batch =>
+      engine.save(batch.map(g => docYaml(g, s"doc $g")).mkString))
+    val key = "metadata['g']"
+    val ms = Seq("chars" -> "length(body)")
+    def view() = engine.viewState("cpv", key, ms)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val tBuild = timed { view(); () }
+    val shards0 = engine.lastViewPublish.map(_._1).getOrElse(-1)
+    // churn-then-shrink in two INCREMENTAL patch windows (a patch
+    // covering every segment would be an unprovable rewrite — the view
+    // would REBUILD, re-gridding uniformly and erasing the
+    // fragmentation this leg measures): first the three leading
+    // segments' groups, then all but every 16th of the last segment
+    def remove(ids: Seq[Long]): Unit = {
+      engine.applyChanges(ids
+        .map(i => (i, "removed", "", Map.empty[String, String]))
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+      view()
+      val m = engine.lastViewRefresh.map(_._1).getOrElse("none")
+      require(m.startsWith("incremental"),
+        s"compactview shrink expected incremental, got $m")
+    }
+    val lastSeg = (3 * perSeg).toLong
+    val tShrink = timed {
+      remove(0L until lastSeg)
+      remove((lastSeg until nGroups.toLong).filter(_ % 16 != 0))
+    }
+    var frag0 = 0.0
+    val tFrag = timed { frag0 = engine.viewFragmentation("cpv").get }
+    val db = base.resolve("db").toString
+    val shardsFrag = readManifestSize(spark, db, "cpv")
+    val tReadFrag = timed { view().collect() }
+    val tCompact = timed {
+      require(engine.compactView("cpv"), "compactview expected a rewrite")
+    }
+    val frag1 = engine.viewFragmentation("cpv").get
+    val shards1 = readManifestSize(spark, db, "cpv")
+    val tReadCompact = timed { view().collect() }
+    require(frag0 > graft.memo.MemoEngine.DefaultViewCompactFrag &&
+      frag1 <= 1.0 + 1e-9,
+      s"compactview expected frag past-threshold -> 1.0, got $frag0 -> $frag1")
+    println(f"[compactview] groups=$nGroups%6d build=$tBuild%.3fs" +
+      f"(shards=$shards0) shrink=$tShrink%.3fs " +
+      f"frag=$frag0%.1f->(read $tFrag%.4fs, no job) " +
+      f"compact=$tCompact%.3fs(shards $shardsFrag->$shards1) " +
+      f"readAll=$tReadFrag%.3fs->$tReadCompact%.3fs frag1=$frag1%.1f")
+    engine.clean()
+    ()
+  }
+
+  private def readManifestSize(spark: SparkSession, db: String,
+      name: String): Int = {
+    val dir = java.nio.file.Paths.get(db).resolve(s"_view_$name")
+    val meta = graft.ops.ArtifactMeta.read(spark,
+      dir.toString, "_view_meta").get.split('|')(2)
+    java.nio.file.Files.readAllLines(dir.resolve(meta).resolve("_shards"))
+      .size - 1
   }
 
   /** The state-heaviest VIEW combination at 10× history (BENCH_NOTES

@@ -88,13 +88,15 @@ object MemoCli {
             } else cmdExport(engine, exportArgs.head, verbose)
           case "maintain" :: maintainArgs =>
             maintainArgs match {
-              case opts if opts.length <= 1 &&
-                  opts.forall(_.toDoubleOption.exists(_ >= 1.0)) =>
+              case opts if opts.forall(a => a == "--compact" ||
+                    a.toDoubleOption.exists(_ >= 1.0)) &&
+                  opts.count(_ != "--compact") <= 1 =>
                 cmdMaintain(engine, baseOpt.get,
-                  opts.headOption.map(_.toDouble))
+                  opts.find(_ != "--compact").map(_.toDouble),
+                  opts.contains("--compact"))
               case _ =>
                 System.err.println(
-                  "Error: maintain takes [retrainSkew >= 1.0]")
+                  "Error: maintain takes [retrainSkew >= 1.0] [--compact]")
                 1
             }
           case "retrain" :: retrainArgs =>
@@ -148,7 +150,7 @@ object MemoCli {
     println("  export              Write the store as sharded full-DB YAML/JSONL (migration)")
     println("  cluster             Re-layout records by metadata key(s) <key[,key2,..]> [nClusters] (filtered reads prune; multi-key = Z-order)")
     println("  retrain             Rebalance the maintained ANN index if cell occupancy drifted past [maxSkew] (default 4.0); --pq targets the compressed index")
-    println("  maintain            Bring every maintained artifact current (postings/IVF/IVF-PQ/signatures/views); [retrainSkew] also retrains drifted quantizers")
+    println("  maintain            Bring every maintained artifact current (postings/IVF/IVF-PQ/signatures/views); [retrainSkew] also retrains drifted quantizers; --compact re-grids fragmented view state")
     println()
     println("Options:")
     println("  -f <base>           REQUIRED DB base directory")
@@ -596,19 +598,20 @@ object MemoCli {
     * reference (which has no layout concept), same stdout discipline as
     * reindex: result lines only, diagnostics to stderr under -v. A
     * comma-separated key list takes the multi-key (Z-order) arm. */
-  /** `maintain [retrainSkew]` — [[MemoEngine.maintain]]: one call
-    * brings every maintained artifact family current (and optionally
-    * retrains drifted quantizers), printing one `family: status` line
-    * each. */
+  /** `maintain [retrainSkew] [--compact]` — [[MemoEngine.maintain]]:
+    * one call brings every maintained artifact family current (and
+    * optionally retrains drifted quantizers / re-grids fragmented view
+    * state at the engine-default threshold), printing one
+    * `family: status` line each. */
   private def cmdMaintain(engine: MemoEngine, base: String,
-      retrainSkew: Option[Double]): Int = {
+      retrainSkew: Option[Double], compact: Boolean): Int = {
     if (!engine.exists) {
       System.err.println(s"Error: no database at $base")
       return 1
     }
-    engine.maintain(retrainSkew).foreach { case (f, st) =>
-      println(s"$f: $st")
-    }
+    engine.maintain(retrainSkew,
+      if (compact) Some(MemoEngine.DefaultViewCompactFrag) else None)
+      .foreach { case (f, st) => println(s"$f: $st") }
     0
   }
 

@@ -2306,8 +2306,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * may overlap across entries (an older wide shard next to newer
     * fine-grained ones) — a key's live row is in exactly ONE shard, and
     * a refresh treats EVERY entry intersecting the delta's cells as
-    * touched. */
-  private[graft] case class ViewShard(lo: Int, hi: Int, path: String)
+    * touched. `rows` is the shard's group count AS WRITTEN (−1 for a
+    * manifest recorded before counts existed): a carried shard is by
+    * definition untouched, so the recorded count stays exact across any
+    * number of carries — which is what lets [[viewFragmentation]] price
+    * the state from the manifest alone, no job. */
+  private[graft] case class ViewShard(lo: Int, hi: Int, path: String,
+      rows: Long = -1L)
 
   /** group_key → hash cell in [0, [[MemoEngine.ViewShardCells]]): the
     * top 16 bits of the key's xxhash64 (null keys pin to cell 0). The
@@ -2328,7 +2333,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     else Some(Files.readAllLines(f).asScala.toSeq.drop(1)
       .filter(_.nonEmpty).map { line =>
         val parts = line.split('|')
-        ViewShard(parts(0).toInt, parts(1).toInt, parts(2))
+        ViewShard(parts(0).toInt, parts(1).toInt, parts(2),
+          if (parts.length >= 4) parts(3).toLong else -1L)
       })
   }
 
@@ -2336,7 +2342,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
       shards: Seq[ViewShard]): Unit = {
     val body = (s"v1 cells=${MemoEngine.ViewShardCells}" +:
       shards.sortBy(s => (s.lo, s.hi, s.path))
-        .map(s => s"${s.lo}|${s.hi}|${s.path}")).mkString("\n")
+        .map(s => s"${s.lo}|${s.hi}|${s.path}|${s.rows}")).mkString("\n")
     Files.writeString(stateDir.resolve(ViewShardManifest), body)
     ()
   }
@@ -3004,17 +3010,25 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
       // Column./ is double division; magnitudes ≤ 2^16 are exact in
       // double, so the int cast IS the integer quotient
-      ns.withColumn("_shard",
-          (viewCellCol(col("group_key")) / lit(grid)).cast("int"))
-        .write.mode("overwrite").partitionBy("_shard")
+      val nsSharded = ns.withColumn("_shard",
+        (viewCellCol(col("group_key")) / lit(grid)).cast("int"))
+      nsSharded.write.mode("overwrite").partitionBy("_shard")
         .parquet(statePath.toString)
+      // per-shard group counts for the manifest (one job over the CACHED
+      // frame, ≤ shard-count rows collected): carried entries keep their
+      // recorded counts — they are untouched by definition — so
+      // [[viewFragmentation]] prices the whole state driver-side
+      val rowsByShard: Map[Int, Long] =
+        if (written == 0) Map.empty
+        else nsSharded.groupBy(col("_shard")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val newShards = listDir(statePath)
         .filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("_shard="))
         .map { p =>
           val q = p.getFileName.toString.stripPrefix("_shard=").toInt
           ViewShard(q * grid, (q + 1) * grid,
-            s"$stateDir/${p.getFileName}")
+            s"$stateDir/${p.getFileName}", rowsByShard.getOrElse(q, -1L))
         }
       writeShardManifest(statePath, carriedShards ++ newShards)
       val negatives =
@@ -3030,56 +3044,154 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
       ArtifactMeta.write(spark, dir.toString, ViewMetaFile,
         s"$live|$spec|$stateDir")
-      // a state dir stays while ANY live manifest references a shard in
-      // it: the new manifest's carried shards keep reading older dirs in
-      // place, and a lock-free reader of the PREVIOUS state needs that
-      // manifest's references too
-      def refDirs(st: String): Set[String] =
-        readShardManifest(dir.resolve(st))
-          .map(_.map(_.path.split('/').head).toSet)
-          .getOrElse(Set.empty[String]) + st
-      val keep = refDirs(stateDir) ++
-        recorded.map(_._3).map(refDirs).getOrElse(Set.empty[String])
-      // "now" in the FILESYSTEM's clock (vacuum's probe idiom) — the
-      // sweep compares against these dirs' mtimes, and on a shared
-      // filesystem whose clock lags the driver's a wall-clock cutoff
-      // could sweep a dir younger than the TTL out from under a
-      // lock-free reader
-      val probe = dir.resolve(".view_probe")
-      Files.writeString(probe, "")
-      val fsNow = Files.getLastModifiedTime(probe).toMillis
-      Files.deleteIfExists(probe)
-      val cutoff = fsNow - MemoEngine.DefaultStagingTtlMs
-      listDir(dir).filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("state-"))
-        .filterNot(p => keep.contains(p.getFileName.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .foreach(deleteTree)
-      // SHARD-level sweep inside kept dirs: a state dir stays alive as
-      // long as ONE of its shards is carried, so its superseded sibling
-      // shards (rewritten or split away generations ago) would otherwise
-      // accumulate as dead files forever. Any `_shard=*` dir referenced
-      // by NEITHER live manifest falls under the same TTL discipline —
-      // a lock-free reader of the current or previous state never reads
-      // an unreferenced shard, and older-generation readers get the
-      // dir-level sweep's window.
-      val refShardPaths: Set[String] =
-        (Seq(stateDir) ++ recorded.map(_._3)).flatMap(st =>
-          readShardManifest(dir.resolve(st)).toSeq.flatten
-            .map(s => dir.resolve(s.path).toString)).toSet
-      listDir(dir).filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("state-"))
-        .foreach { sd =>
-          listDir(sd).filter(p => Files.isDirectory(p) &&
-              p.getFileName.toString.startsWith("_shard="))
-            .filterNot(p => refShardPaths.contains(p.toString))
-            .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-            .foreach(deleteTree)
-        }
+      sweepViewStates(dir, Seq(stateDir) ++ recorded.map(_._3))
       lastViewRefresh = Some((mode, scanned))
       lastViewPublish = Some((newShards.size, carriedShards.size))
       serve(stateDir)
     } finally cached.foreach(_.unpersist())
+  }
+
+  /** TTL sweep of a view dir's retired state: a state dir stays while
+    * ANY manifest in `keepStates` references a shard in it (carried
+    * shards keep reading older dirs in place, and a lock-free reader of
+    * the previous state needs that manifest's references too); anything
+    * else falls once older than the staging TTL. "Now" is the
+    * FILESYSTEM's clock (vacuum's probe idiom) — on a shared filesystem
+    * whose clock lags the driver's, a wall-clock cutoff could sweep a
+    * dir younger than the TTL out from under a lock-free reader.
+    *
+    * SHARD-level sweep inside kept dirs: a state dir stays alive as
+    * long as ONE of its shards is carried, so its superseded sibling
+    * shards (rewritten or split away generations ago) would otherwise
+    * accumulate as dead files forever. Any `_shard=*` dir referenced by
+    * NO kept manifest falls under the same TTL discipline — a lock-free
+    * reader of a kept state never reads an unreferenced shard, and
+    * older-generation readers get the dir-level sweep's window. */
+  private def sweepViewStates(dir: Path, keepStates: Seq[String]): Unit = {
+    def refDirs(st: String): Set[String] =
+      readShardManifest(dir.resolve(st))
+        .map(_.map(_.path.split('/').head).toSet)
+        .getOrElse(Set.empty[String]) + st
+    val keep = keepStates.flatMap(refDirs).toSet
+    val probe = dir.resolve(".view_probe")
+    Files.writeString(probe, "")
+    val fsNow = Files.getLastModifiedTime(probe).toMillis
+    Files.deleteIfExists(probe)
+    val cutoff = fsNow - MemoEngine.DefaultStagingTtlMs
+    listDir(dir).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("state-"))
+      .filterNot(p => keep.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach(deleteTree)
+    val refShardPaths: Set[String] =
+      keepStates.flatMap(st =>
+        readShardManifest(dir.resolve(st)).toSeq.flatten
+          .map(s => dir.resolve(s.path).toString)).toSet
+    listDir(dir).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("state-"))
+      .foreach { sd =>
+        listDir(sd).filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("_shard="))
+          .filterNot(p => refShardPaths.contains(p.toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach(deleteTree)
+      }
+  }
+
+  /** Fragmentation statistic of a view's sharded state: live shard
+    * count over the IDEAL count for its recorded group total — 1.0 is a
+    * uniform grid at [[viewShardRows]] groups per shard; split-on-
+    * rewrite plus churn (groups added fine, then retracted away) drives
+    * it up, because shards SPLIT when a region grows but never re-widen
+    * when it shrinks. Priced ENTIRELY from the manifest (shard counts
+    * are recorded at write time and carried entries are untouched by
+    * definition) — driver metadata, NO Spark job, the same discipline
+    * as [[ivfSkew]]. Entries predating recorded counts price as one
+    * full shard each (conservative: understates fragmentation, never
+    * triggers an over-eager compact). None for an absent view or a
+    * legacy unsharded state. */
+  def viewFragmentation(name: String): Option[Double] = {
+    val dir = viewDir(name)
+    ArtifactMeta.read(spark, dir.toString, ViewMetaFile)
+      .map(_.split('|')).collect { case Array(_, _, st) => st }
+      .flatMap(st => readShardManifest(dir.resolve(st)))
+      .filter(_.nonEmpty)
+      .map { shards =>
+        val total = shards
+          .map(s => if (s.rows >= 0) s.rows else viewShardRows.toLong).sum
+        val ideal = math.max(1L,
+          (total + viewShardRows - 1) / viewShardRows)
+        shards.size.toDouble / ideal
+      }
+  }
+
+  /** COMPACTION of a view's sharded state — the inverse maintenance op
+    * to split-on-rewrite: one locked rewrite of the state at a fresh
+    * UNIFORM grid pitch sized for its CURRENT group count. Fires only
+    * past `maxFragmentation` (the [[viewFragmentation]] check — driver
+    * metadata, a no-drift call never touches data), the [[retrainIvf]]
+    * discipline applied to the view family. The rewrite is O(state) —
+    * a pure re-layout off the live shards, never a corpus scan — and
+    * publishes with the refresh arm's exact crash discipline: new state
+    * dir, manifest, THEN the meta swing (same version, same spec, so
+    * the next [[viewState]] serves the compacted layout via the
+    * lock-free fresh arm and the next refresh merges into it
+    * incrementally), then the TTL sweep. Returns true iff a rewrite
+    * happened. */
+  def compactView(name: String,
+      maxFragmentation: Double = MemoEngine.DefaultViewCompactFrag)
+      : Boolean = {
+    require(maxFragmentation >= 1.0,
+      s"maxFragmentation must be >= 1.0, got $maxFragmentation")
+    val dir = viewDir(name)
+    // racy pre-check to keep the no-op path lock-free; re-checked under
+    // the lock below before any data is touched
+    if (viewFragmentation(name).forall(_ <= maxFragmentation)) return false
+    ArtifactMeta.withBuildLock(spark, dir.toString) {
+      val meta = ArtifactMeta.read(spark, dir.toString, ViewMetaFile)
+        .map(_.split('|'))
+      meta match {
+        case Some(Array(v, spec, st))
+            if viewFragmentation(name).exists(_ > maxFragmentation) =>
+          // shards of one spec share one schema; the plain parquet read
+          // carries reserve/dictionary state columns through verbatim
+          val state = spark.read
+            .parquet(shardPaths(dir, st): _*).cache()
+          try {
+            val rows = state.count()
+            var parts = 1
+            while (parts < MemoEngine.ViewShardCells &&
+                rows / parts > viewShardRows) parts <<= 1
+            val grid = MemoEngine.ViewShardCells / parts
+            val newDir =
+              s"state-v$v-${java.util.UUID.randomUUID.toString.take(8)}"
+            val statePath = dir.resolve(newDir)
+            val sharded = state.withColumn("_shard",
+              (viewCellCol(col("group_key")) / lit(grid)).cast("int"))
+            sharded.write.mode("overwrite").partitionBy("_shard")
+              .parquet(statePath.toString)
+            val rowsByShard: Map[Int, Long] =
+              if (rows == 0) Map.empty
+              else sharded.groupBy(col("_shard")).count().collect()
+                .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val newShards = listDir(statePath)
+              .filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString.startsWith("_shard="))
+              .map { p =>
+                val q = p.getFileName.toString.stripPrefix("_shard=").toInt
+                ViewShard(q * grid, (q + 1) * grid,
+                  s"$newDir/${p.getFileName}", rowsByShard.getOrElse(q, -1L))
+              }
+            writeShardManifest(statePath, newShards)
+            ArtifactMeta.write(spark, dir.toString, ViewMetaFile,
+              s"$v|$spec|$newDir")
+            sweepViewStates(dir, Seq(newDir, st))
+            lastViewPublish = Some((newShards.size, 0))
+            true
+          } finally { state.unpersist(); () }
+        case _ => false
+      }
+    }
   }
 
   /** Registered view names (the `_view_<name>` artifacts under the store
@@ -3150,7 +3262,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * arm — this op adds no machinery, it sequences the machinery so an
     * ingest pipeline can pay maintenance at a chosen time instead of on
     * the first post-commit read. Returns a per-family status report. */
-  def maintain(retrainSkew: Option[Double] = None): Map[String, String] = {
+  def maintain(retrainSkew: Option[Double] = None,
+      compactFragmentation: Option[Double] = None): Map[String, String] = {
     if (currentVersion.isEmpty) return Map("store" -> "empty")
     val b = scala.collection.mutable.LinkedHashMap.empty[String, String]
     ensureLexical(); b += "lexical" -> "current"
@@ -3170,6 +3283,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
         else s"skipped (skew ${skewStr(pqSkew())})"))
     }
     refreshViews().foreach { case (n, st) => b += (s"view:$n" -> st) }
+    // compaction AFTER the refresh walk: fragmentation is a property of
+    // the just-published layout, and a compact before the refresh would
+    // re-grid a stale state only for the refresh to split it again
+    compactFragmentation.foreach { t =>
+      views.foreach { n =>
+        b += (s"compact:$n" -> (if (compactView(n, t)) "fired"
+          else s"skipped (frag ${viewFragmentation(n)
+            .map(v => f"$v%.1f").getOrElse("n/a")})"))
+      }
+    }
     b.toMap
   }
 
@@ -4360,6 +4483,14 @@ object MemoEngine {
     * shard is one cell — [[ViewShardCells]] caps the shard count. */
   val ViewShardCellBits: Int = 16
   val ViewShardCells: Int = 1 << ViewShardCellBits
+
+  /** [[MemoEngine.compactView]]'s default trigger: compact once the
+    * state holds more than this many times the ideal shard count for
+    * its group total — loose enough that ordinary split-on-rewrite
+    * never trips it (a freshly split region sits near 1), tight enough
+    * that churn-then-shrink fragmentation (many near-empty fine shards)
+    * does. */
+  val DefaultViewCompactFrag: Double = 4.0
 
   /** Schema of the CDC log [[MemoEngine.emitChanges]] writes and
     * [[MemoEngine.changeLogStream]] reads: the [[changesBetween]] feed

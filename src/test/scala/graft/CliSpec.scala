@@ -514,6 +514,14 @@ class CliSpec extends SparkTestBase {
         o2.contains("ivfpq_retrain: skipped"), o2)
       assert(run("-f", db, "maintain", "0.5")._1 == 1)
       assert(run("-f", db, "maintain", "2.0", "3.0")._1 == 1)
+      // --compact composes with the retrain threshold in either order
+      // and adds one compact:<view> line per registered view (none
+      // registered here → no lines, exit 0); a stray flag still errors
+      val (c3, o3) = run("-f", db, "maintain", "--compact")
+      assert(c3 == 0 && !o3.contains("compact:"), o3)
+      assert(run("-f", db, "maintain", "1000000.0", "--compact")._1 == 0)
+      assert(run("-f", db, "maintain", "--compact", "1000000.0")._1 == 0)
+      assert(run("-f", db, "maintain", "--compactt")._1 == 1)
       run("-f", db, "clean")
     }
   }

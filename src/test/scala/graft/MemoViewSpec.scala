@@ -1401,7 +1401,7 @@ class MemoViewSpec extends SparkTestBase {
       .iterator().asScala
       .filter(_.getFileName.toString.startsWith("_shard="))
       .filterNot(d => lines1.exists(
-        _.endsWith(s"$st0/${d.getFileName}")))
+        _.split('|')(2) == s"$st0/${d.getFileName}"))
       .toList
     assert(superseded.size == 1,
       s"expected exactly one superseded shard in $st0, got $superseded")
@@ -1470,6 +1470,111 @@ class MemoViewSpec extends SparkTestBase {
     val (w2, c2) = engine.lastViewPublish.get
     assert(w2 <= 2 && c2 > 0,
       s"post-upgrade refresh must carry untouched shards: ($w2, $c2)")
+    engine.clean()
+  }
+
+  test("the shard manifest records per-shard group counts at write " +
+      "time; carried entries keep theirs verbatim across a refresh") {
+    val dir = Files.createTempDirectory("memo_view_rows").toString
+    val engine = new MemoEngine(spark, s"$dir/db", viewShardRows = 8)
+    val key = "metadata['g']"
+    engine.save((0 until 64).map(i =>
+      s"---\nbody: rows corpus doc $i\nmetadata: {g: g$i}\n").mkString)
+    engine.viewState("rw", key, Chars).collect()
+    val st0 = liveStateDir(s"$dir/db", "rw")
+    val lines0 = manifestLines(s"$dir/db", "rw", st0)
+    val counts0 = lines0.map(_.split('|')).map(p => p(2) -> p(3).toLong)
+    assert(counts0.forall(_._2 >= 1),
+      s"every written shard must record its count:\n${lines0.mkString("\n")}")
+    assert(counts0.map(_._2).sum == 64L,
+      s"counts must sum to the group total:\n${lines0.mkString("\n")}")
+    // 1-group refresh: the carried entries' lines survive VERBATIM
+    // (path AND recorded count), only the touched shard re-counts
+    engine.save("---\nbody: rows touch\nmetadata: {g: g7}\n")
+    engine.viewState("rw", key, Chars).collect()
+    val st1 = liveStateDir(s"$dir/db", "rw")
+    val lines1 = manifestLines(s"$dir/db", "rw", st1)
+    val carried = lines1.filter(_.contains(st0))
+    assert(carried.nonEmpty && carried.forall(lines0.contains),
+      s"carried entries must keep their recorded counts:\n" +
+        s"before:\n${lines0.mkString("\n")}\nafter:\n${lines1.mkString("\n")}")
+    assert(lines1.map(_.split('|')(3).toLong).sum == 64L)
+    engine.clean()
+  }
+
+  test("viewFragmentation prices the state off the manifest (no job); " +
+      "compactView re-grids a churned-then-shrunk state in ONE locked " +
+      "rewrite — serve parity, fragmentation back to 1, and the next " +
+      "refresh merges into the compacted layout incrementally") {
+    val dir = Files.createTempDirectory("memo_view_compact").toString
+    val engine = new MemoEngine(spark, s"$dir/db", viewShardRows = 8)
+    val key = "metadata['g']"
+    // FOUR segments so the shrink patches below stay segment-pruned —
+    // a patch touching every segment is an unprovable rewrite and the
+    // view would take the honest REBUILD arm, which re-grids uniformly
+    // and erases the very fragmentation this test exists to create
+    (0 until 64).grouped(16).foreach(b => engine.save(b.map(i =>
+      s"---\nbody: compact corpus doc $i\nmetadata: {g: g$i}\n").mkString))
+    engine.viewState("cp", key, Chars).collect()
+    val frag0 = engine.viewFragmentation("cp").get
+    assert(frag0 <= 1.5, s"a fresh rebuild is near-uniform: $frag0")
+    // a uniform state must NOT compact, and the skip touches no files
+    val st0 = liveStateDir(s"$dir/db", "cp")
+    val files0 = shardFiles(s"$dir/db", "cp", st0)
+    assert(!engine.compactView("cp"))
+    assert(liveStateDir(s"$dir/db", "cp") == st0)
+    assert(shardFiles(s"$dir/db", "cp", st0) == files0,
+      "a skipped compact must not rewrite any shard file")
+    // churn-then-shrink in two INCREMENTAL patch windows: retract the
+    // first three segments' 48 groups, then half of the last segment —
+    // the 8 survivors stay spread across the FINE grid the 64-group
+    // state split into, so shard count dwarfs the ideal for 8 groups
+    import spark.implicits._
+    def removeIds(ids: Seq[Long]): Unit = {
+      engine.applyChanges(ids
+        .map(i => (i, "removed", "", Map.empty[String, String]))
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+      engine.viewState("cp", key, Chars).collect()
+      assert(mode(engine).startsWith("incremental"),
+        s"shrink patch must refresh incrementally, got ${mode(engine)}")
+    }
+    removeIds(0L to 47L)
+    removeIds(48L to 55L)
+    val servedBefore = collected(engine.viewState("cp", key, Chars))
+    assert(servedBefore.size == 8)
+    val frag1 = engine.viewFragmentation("cp").get
+    assert(frag1 > 2.0,
+      s"8 survivors over the 64-group grid must fragment: $frag1")
+    val stBefore = liveStateDir(s"$dir/db", "cp")
+    val shardsBefore =
+      manifestLines(s"$dir/db", "cp", stBefore).size
+    assert(engine.compactView("cp", maxFragmentation = 2.0),
+      "past-threshold fragmentation must fire the rewrite")
+    val stAfter = liveStateDir(s"$dir/db", "cp")
+    assert(stAfter != stBefore, "compact publishes a NEW state dir")
+    val linesAfter = manifestLines(s"$dir/db", "cp", stAfter)
+    assert(linesAfter.size < shardsBefore,
+      s"compact must reduce the shard count: $shardsBefore -> " +
+        s"${linesAfter.size}")
+    assert(linesAfter.forall(_.contains(stAfter)),
+      "a compacted manifest carries nothing by reference")
+    assert(engine.viewFragmentation("cp").get <= 1.0 + 1e-9)
+    // serve parity through the lock-free fresh arm (same version, same
+    // spec — compact is pure re-layout)
+    val served = engine.viewState("cp", key, Chars)
+    assert(mode(engine) == "fresh")
+    assert(collected(served) == servedBefore)
+    assert(collected(served) == direct(engine, key))
+    // the next refresh merges INTO the compacted state incrementally
+    engine.save("---\nbody: post compact append\nmetadata: {g: g0}\n")
+    val v2 = engine.viewState("cp", key, Chars)
+    assert(mode(engine) == "incremental")
+    assert(collected(v2) == direct(engine, key))
+    // compacted-and-current: the maintenance walk reports the skip
+    val report = engine.maintain(compactFragmentation = Some(2.0))
+    assert(report.get("compact:cp").exists(_.startsWith("skipped")),
+      s"uniform post-compact state must skip: $report")
     engine.clean()
   }
 }
