@@ -394,7 +394,21 @@ object VectorKernels {
     * member token hashes (two independent mix streams) instead of building
     * and re-hashing a shingle string — ~2.5× faster on the per-row scan
     * stage with the same estimator quality (still a seeded double-hashing
-    * family, k-th hash = a·(2k+1) + b·(k+1) + k). */
+    * family, k-th hash = a·(2k+1) + b·(k+1) + k).
+    *
+    * ESTIMATOR CAVEAT (the standard Kirsch–Mitzenmacher tradeoff): the
+    * k-th hash is LINEAR in k, so for a fixed pair of shingles the
+    * ordering g_k(x) < g_k(y) flips at most once across the whole k
+    * range — per-k agreements are rank-correlated, not independent. For
+    * real documents (tens of shingles) the estimate is fine, but for
+    * TINY shingle sets a single SHARED shingle whose (a, b) slope
+    * happens to be the smallest in both sets dominates the min for most
+    * k and inflates est_jaccard toward 1.0 (measured: 6-shingle docs
+    * sharing ONE shingle — true J = 1/11 — estimated ≥ 0.95 for ~5% of
+    * pairs). Verification-stage consumers that need exactness on short
+    * texts should use [[ngramJaccard]] (exact) instead; fixtures that
+    * mint disjoint near-dup clusters must keep the clusters
+    * shingle-disjoint (see q119). */
   /** MinHash invocations in THIS JVM — the [[embedCalls]] twin for pinning
     * that artifact-backed dedup never recomputes corpus signatures. */
   val minhashCalls = new java.util.concurrent.atomic.AtomicLong(0)

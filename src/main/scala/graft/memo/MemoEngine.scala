@@ -1652,6 +1652,113 @@ class MemoEngine(spark: SparkSession, basePath: String,
       case None => batch
     }
 
+  private def dupDir: String = base.resolve("_dupgroups").toString
+  private val DupLabelsPtr = "_labels_ptr"
+  private val DupSpecFile = "_dup_spec"
+
+  /** Test seam: which arm the last [[dupGroups]] walk took — "fresh" |
+    * "append" | "rebuild". Production never reads it. */
+  private[graft] var lastDupMode: Option[String] = None
+
+  private def dupLabelsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("component",
+      org.apache.spark.sql.types.LongType)))
+
+  private def serveDupLabels(): DataFrame =
+    ArtifactMeta.read(spark, dupDir, DupLabelsPtr) match {
+      case Some(ptr)
+          if Files.isDirectory(Paths.get(dupDir).resolve(ptr)) =>
+        spark.read.schema(dupLabelsSchema)
+          .parquet(Paths.get(dupDir).resolve(ptr).toString)
+      case _ => emptyFrame(dupLabelsSchema)
+    }
+
+  /** Publish a new labeling generation: fresh uuid dir, THEN the pointer
+    * swing (a crash leaves the old labeling live), then the staging-TTL
+    * sweep — the previous generation stays whole for lock-free readers
+    * inside the window, older generations fall ([[refreshView]]'s
+    * discipline on a single-table artifact). */
+  private def publishDupLabels(labels: DataFrame): Unit = {
+    val dirP = Paths.get(dupDir)
+    Files.createDirectories(dirP)
+    val name = s"labels-${java.util.UUID.randomUUID.toString.take(8)}"
+    labels.select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("component"))
+      .write.parquet(dirP.resolve(name).toString)
+    val prev = ArtifactMeta.read(spark, dupDir, DupLabelsPtr)
+    ArtifactMeta.write(spark, dupDir, DupLabelsPtr, name)
+    val probe = dirP.resolve(".dup_probe")
+    Files.writeString(probe, "")
+    val fsNow = Files.getLastModifiedTime(probe).toMillis
+    Files.deleteIfExists(probe)
+    val cutoff = fsNow - MemoEngine.DefaultStagingTtlMs
+    listDir(dirP).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("labels-"))
+      .filterNot(p => p.getFileName.toString == name ||
+        prev.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach(deleteTree)
+  }
+
+  /** The engine-maintained TRANSITIVE duplicate-group labeling:
+    * (id, component) for every live doc in a near-dup group of size ≥ 2
+    * (component = the group's smallest member id), kept in lockstep with
+    * the records chain by the version-watermark idiom. This is
+    * [[graft.ops.Dedup.nearDupClusters]] turned into a STORE artifact:
+    * fresh → two metadata reads and a lock-free parquet serve; an
+    * append-only step folds O(batch): the batch's candidate pairs come
+    * from the maintained signature artifact ([[ensureSignatures]] — 64
+    * longs/doc, the corpus text is never read) restricted to
+    * at-least-one-new-endpoint ([[graft.ops.Dedup.signaturePairs]]'
+    * `newIds` semi-join, so the bucket join's left side is O(batch)),
+    * and [[graft.ops.Dedup.componentsIncremental]] folds them into the
+    * stored labeling — the corpus-scale label table is scanned twice,
+    * never shuffled; rewrites/patches rebuild honestly from the
+    * signature artifact ([[graft.ops.Dedup.components]] over the full
+    * pair set). Each fold republishes pointer-swung generations
+    * ([[publishDupLabels]]); a crash between the pointer swing and the
+    * version stamp refolds the delta on the next walk — edges are
+    * idempotent under min-label components, so the refold converges to
+    * the same labeling. The threshold participates in artifact identity
+    * (a different `minJaccard` invalidates the stamp under the lock and
+    * rebuilds, the view spec-change discipline). Empty/uncommitted
+    * stores serve the empty labeling. */
+  def dupGroups(minJaccard: Double = 0.8): DataFrame = {
+    if (currentVersion.isEmpty) return emptyFrame(dupLabelsSchema)
+    val spec = s"j$minJaccard"
+    if (!ArtifactMeta.read(spark, dupDir, DupSpecFile).contains(spec))
+      ArtifactMeta.withBuildLock(spark, dupDir) {
+        if (!ArtifactMeta.read(spark, dupDir, DupSpecFile).contains(spec)) {
+          ArtifactMeta.write(spark, dupDir, LexVersionFile, "-1")
+          ArtifactMeta.write(spark, dupDir, DupSpecFile, spec)
+        }
+      }
+    lastDupMode = Some("fresh")
+    ensureArtifact[Unit](dupDir, "records",
+        beforeLocked = () => ensureSignatures())(
+      appendSeg = (seg, _) => {
+        lastDupMode = Some("append")
+        val pairs = graft.ops.Dedup.signaturePairs(
+          graft.ops.Dedup.loadSignatures(spark, sigDir),
+          minJaccard = minJaccard,
+          newIds = Some(bodyCorpus(Seq(seg)).select(col("id"))))
+        publishDupLabels(graft.ops.Dedup.componentsIncremental(
+          serveDupLabels(), pairs, "a", "b"))
+      },
+      rebuild = v => {
+        lastDupMode = Some("rebuild")
+        val pairs = graft.ops.Dedup.signaturePairs(
+          graft.ops.Dedup.loadSignatures(spark, sigDir),
+          minJaccard = minJaccard)
+        publishDupLabels(graft.ops.Dedup.components(pairs, "a", "b"))
+        Some(())
+      },
+      serve = () => Some(()))
+    serveDupLabels()
+  }
+
   /** Probe the maintained postings artifact, absorbing the transient
     * refusal window of an in-flight append: a pending journal makes the
     * lock-free [[graft.ops.Lexical.searchBm25]] throw for the duration
@@ -3274,6 +3381,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     b += ("ivfpq" -> pq.map(c => s"current (nlist ${c._1.length})")
       .getOrElse("empty"))
     ensureSignatures(); b += "signatures" -> "current"
+    // the dup-group labeling is maintained only for stores that asked
+    // for it (its spec file records the registered threshold) — maintain
+    // never CREATES the artifact, it brings an existing one current
+    ArtifactMeta.read(spark, dupDir, DupSpecFile)
+      .flatMap(_.stripPrefix("j").toDoubleOption).foreach { j =>
+        dupGroups(j); b += "dupgroups" -> s"current (j $j)"
+      }
     retrainSkew.foreach { t =>
       def skewStr(s: Option[Double]) =
         s.map(v => f"$v%.1f").getOrElse("n/a")

@@ -42,17 +42,39 @@ object Dedup {
     * bump both for thresholds below ~0.4. */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
-      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame =
+    // Signatures are computed once and shared across the three consumers
+    // inside signaturePairs (band join left/right + verification joins);
+    // without the persist the fat 64-long arrays would be recomputed per
+    // branch AND shuffled through the candidate join. At 100 TB this is
+    // the PERSISTED artifact instead ([[writeSignatures]]), and
+    // [[signaturePairs]] is called on it directly.
+    signaturePairs(
+      computeSignatures(df, idCol, textCol, numHashes).persist(),
+      numHashes, bands, minJaccard, bucketCap)
+
+  /** Near-dup candidate pairs from an (id, sig) signature table — the
+    * banding + verification core of [[minHashPairs]], callable directly
+    * on the PERSISTED signature artifact so incremental consumers never
+    * re-minhash the corpus. `numHashes` must match the table's signature
+    * width (the engine's artifact records it in its stamp).
+    *
+    * `newIds` restricts candidate generation to pairs with at least one
+    * endpoint in the given id set — the INCREMENTAL-FOLD feed: an ingest
+    * batch's new edges are exactly the (new × all) bucket collisions,
+    * and old×old pairs were already folded into the labeling by earlier
+    * batches. The restriction is applied to the banded frame BEFORE the
+    * bucket join (a left-semi on the batch ids), so the join's left side
+    * is O(batch), not O(corpus). Pairs are normalized a < b either way. */
+  def signaturePairs(sigTable: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.5,
+      bucketCap: Int = BucketCap.DefaultCap,
+      newIds: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) " +
         "(bands > numHashes would hash empty slices into one degenerate bucket)")
     val rows = numHashes / bands
-    // Signatures are computed once and shared across the three consumers
-    // below (band join left/right + verification joins); without the persist
-    // the fat 128-long arrays would be recomputed per branch AND shuffled
-    // through the candidate join. At 100 TB this would be a checkpointed
-    // table instead.
-    val sig = computeSignatures(df, idCol, textCol, numHashes).persist()
+    val sig = sigTable.select(col("id"), col("sig"))
     // Candidate generation carries only (id, band_id, band_hash) — the
     // narrow columns — through the shuffle.
     val banded = BucketCap.cap(
@@ -63,11 +85,20 @@ object Dedup {
             .as("band"))
         .select(col("id"), col("band.band_id"), col("band.band_hash")),
       Seq("band_id", "band_hash"), "id", bucketCap)
-    val candidates = banded.select(col("id").as("a"), col("band_id"), col("band_hash"))
+    val left = newIds match {
+      case Some(ids) => banded.join(
+        ids.select(col(ids.columns.head).cast("long").as("id")),
+        Seq("id"), "left_semi")
+      case None => banded
+    }
+    val candidates = left
+      .select(col("id").as("a"), col("band_id"), col("band_hash"))
       .join(banded.select(col("id").as("b"), col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
     // Verification: re-attach signatures to the (deduplicated, much smaller)
     // candidate set and estimate Jaccard from full-signature agreement.
     candidates

@@ -1174,6 +1174,55 @@ object MemoQueries {
       .select(col("id")).orderBy(col("id"))
   }
 
+  /** The engine-maintained duplicate-group labeling end-to-end (the r17
+    * late dedup family): 90 docs in 30 identical-text triplets, saved as
+    * 58 + 32 so cluster 19 SPANS the append boundary (ids 57 old, 58-59
+    * new — the fold must label an old-new edge, new-new edges, and a
+    * previously single-member group). The build REQUIRES the first walk
+    * rebuilt, the second FOLDED (append arm), and that the fold equals
+    * `nearDupClusters` recomputed from scratch over the live corpus.
+    * Distinct clusters share no shingle (every 3-word window carries a
+    * cluster-numbered token), so the group set is exactly the minted
+    * triplets and DuckDB replays it as (id, id/3*3). BUILD-ONCE per
+    * sf-dir; a bench repeat prices one fresh labeling serve (two
+    * metadata reads + the parquet scan). */
+  private val q119DupGroups: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q119dups", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    def yamlOf(ids: Range) = ids.map { i =>
+      val k = i / 3
+      // every token carries k, so every 3-token shingle does too —
+      // cluster shingle sets are DISJOINT and no cross-cluster pair can
+      // pass the signature check (a SHARED shingle in a tiny shingle set
+      // can dominate the min for most k under the linear double-hashing
+      // family and inflate est_jaccard — see minHashSignature's caveat)
+      s"---\nbody: item$k alpha$k beta$k gamma$k delta$k epsilon$k\n"
+    }.mkString
+    if (!java.nio.file.Files.exists(done)) {
+      if (engine.exists) engine.clean() // torn prior build: start over
+      engine.save(yamlOf(0 until 58))
+      engine.dupGroups().collect()
+      require(engine.lastDupMode.contains("rebuild"),
+        s"q119 expected the first walk to rebuild, got ${engine.lastDupMode}")
+      engine.save(yamlOf(58 until 90))
+      val folded = engine.dupGroups().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(engine.lastDupMode.contains("append"),
+        s"q119 expected the append fold, got ${engine.lastDupMode}")
+      val scratch = graft.ops.Dedup.nearDupClusters(
+          engine.records.select(col("id"), col("body")), "id", "body")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(folded == scratch,
+        "q119 fold diverged from the from-scratch labeling")
+      require(folded == (0L until 90L).map(i => i -> (i / 3) * 3).toMap,
+        "q119 labeling is not the minted triplet set")
+      java.nio.file.Files.createFile(done)
+    }
+    engine.dupGroups().orderBy(col("id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -1206,6 +1255,7 @@ object MemoQueries {
     "q114_count_from_view" -> q114CountFromView,
     "q115_sharded_view" -> q115ShardedView,
     "q116_retrain_serve" -> q116RetrainServe,
+    "q119_dup_groups" -> q119DupGroups,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1422,6 +1472,13 @@ object MemoQueries {
     "q116_retrain_serve" ->
       """SELECT CAST(range AS BIGINT) AS id FROM range(96)
         |ORDER BY id""".stripMargin,
+    // q119 replay: the minted triplet clusters — the build pass REQUIRED
+    // the labeling to come from an incremental FOLD equal to the
+    // from-scratch recompute, so this hash pins the maintained artifact.
+    "q119_dup_groups" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        | CAST((range // 3) * 3 AS BIGINT) AS component
+        |FROM range(90) ORDER BY id""".stripMargin,
     // q112 replay: the stats-pairs minting rules — doc ordinal mints
     // (lang, src), the en rows group by src, raw values are the typed
     // 's'-prefixed encodings. The query REQUIRES the pairs came from

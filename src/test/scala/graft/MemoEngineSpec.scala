@@ -1716,6 +1716,70 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("dupGroups: the engine maintains the transitive duplicate-group " +
+      "labeling — one rebuild, O(batch) incremental folds on append " +
+      "(prior signature files untouched), honest rebuild on a patch, " +
+      "threshold in artifact identity, always equal to nearDupClusters " +
+      "over the live corpus") {
+    import spark.implicits._
+    val (engine, db) = freshEngine()
+    def clusterBody(k: Int) =
+      s"duplicate cluster $k with alpha$k beta$k gamma$k delta$k epsilon$k"
+    // 8 triplets of identical bodies: cluster k = ids 3k, 3k+1, 3k+2
+    engine.save((0 until 24).map(i =>
+      s"---\nbody: ${clusterBody(i / 3)}\n").mkString)
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions.{col, lit}
+    def oracle(): Map[Long, Long] = labelsOf(
+      graft.ops.Dedup.nearDupClusters(
+        engine.records.select(col("id"), col("body")), "id", "body"))
+    val l1 = labelsOf(engine.dupGroups())
+    assert(engine.lastDupMode.contains("rebuild"), engine.lastDupMode)
+    assert(l1 == (0L until 24L).map(i => i -> (i / 3) * 3).toMap, l1)
+    // fresh serve: metadata reads only, nothing rewritten
+    val dupFiles = artifactFiles(db, "_dupgroups")
+    val sigFiles = artifactFiles(db, "_minhash")
+    engine.dupGroups().collect()
+    assert(engine.lastDupMode.contains("fresh"))
+    assert(artifactFiles(db, "_dupgroups") == dupFiles,
+      "a fresh dupGroups serve rewrote the labeling")
+    // append: one doc joins cluster 2, two docs mint a NEW pair — the
+    // fold must label the old-new edge AND the new-new edge, and the
+    // signature catch-up must not rewrite prior files (O(batch) pin)
+    engine.save(
+      s"---\nbody: ${clusterBody(2)}\n" +
+        s"---\nbody: ${clusterBody(100)}\n" +
+        s"---\nbody: ${clusterBody(100)}\n")
+    val l2 = labelsOf(engine.dupGroups())
+    assert(engine.lastDupMode.contains("append"), engine.lastDupMode)
+    assert(l2(24L) == 6L && l2(25L) == 25L && l2(26L) == 25L, l2)
+    assert(l2 == oracle(), "fold diverged from the from-scratch labeling")
+    val sigFiles2 = artifactFiles(db, "_minhash")
+    sigFiles.foreach { case (f, mtime) =>
+      assert(sigFiles2.get(f).contains(mtime),
+        s"dup fold rewrote prior signature file $f — not O(batch)")
+    }
+    // a patch (removal of one cluster-0 member) is not provably
+    // append-only → honest rebuild; the removed id leaves the labeling
+    engine.applyChanges(Seq(
+        (1L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val l3 = labelsOf(engine.dupGroups())
+    assert(engine.lastDupMode.contains("rebuild"), engine.lastDupMode)
+    assert(!l3.contains(1L) && l3(2L) == 0L, l3)
+    assert(l3 == oracle())
+    // threshold participates in identity: a different minJaccard
+    // rebuilds under the new spec rather than serving the old labeling
+    engine.dupGroups(0.5).collect()
+    assert(engine.lastDupMode.contains("rebuild"))
+    // maintain walks the REGISTERED threshold (the recorded spec)
+    val report = engine.maintain()
+    assert(report.get("dupgroups").exists(_.contains("0.5")), report)
+    engine.clean()
+  }
+
   test("delete lifecycle: one reindex converges ALL FOUR maintained artifacts") {
     // The cross-family convergence path the per-family specs don't walk:
     // soft-delete → reindex (a chain REWRITE, so every ensure* must take
