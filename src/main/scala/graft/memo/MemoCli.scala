@@ -113,6 +113,17 @@ object MemoCli {
                   "Error: retrain takes [--pq] [maxSkew >= 1.0]")
                 1
             }
+          case "dups" :: dupsArgs =>
+            dupsArgs match {
+              case opts if opts.length <= 1 && opts.forall(
+                    _.toDoubleOption.exists(j => j > 0.0 && j <= 1.0)) =>
+                cmdDups(engine, baseOpt.get,
+                  opts.headOption.map(_.toDouble).getOrElse(0.8))
+              case _ =>
+                System.err.println(
+                  "Error: dups takes [minJaccard in (0, 1]]")
+                1
+            }
           case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
           case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
           case other :: _ =>
@@ -150,6 +161,7 @@ object MemoCli {
     println("  export              Write the store as sharded full-DB YAML/JSONL (migration)")
     println("  cluster             Re-layout records by metadata key(s) <key[,key2,..]> [nClusters] (filtered reads prune; multi-key = Z-order)")
     println("  retrain             Rebalance the maintained ANN index if cell occupancy drifted past [maxSkew] (default 4.0); --pq targets the compressed index")
+    println("  dups                Print the maintained transitive duplicate groups ([minJaccard] default 0.8): one 'component: id id ...' line per group")
     println("  maintain            Bring every maintained artifact current (postings/IVF/IVF-PQ/signatures/views); [retrainSkew] also retrains drifted quantizers; --compact re-grids fragmented view state")
     println()
     println("Options:")
@@ -632,6 +644,28 @@ object MemoCli {
     val s = skew.map(v => f"$v%.1f").getOrElse("n/a")
     if (fired) println(s"Retrained $which index (skew now $s)")
     else println(s"No retrain needed for $which index (skew $s <= $maxSkew)")
+    0
+  }
+
+  /** `dups [minJaccard]` — the engine-maintained transitive duplicate-
+    * group labeling ([[MemoEngine.dupGroups]]): one `component: id id …`
+    * line per group (members ascending, groups by component id), then a
+    * `Groups: N (M docs)` summary. Beyond the reference (which has no
+    * dedup surface); bounded output — the labeling only holds docs in
+    * groups of size ≥ 2. */
+  private def cmdDups(engine: MemoEngine, base: String,
+      minJaccard: Double): Int = {
+    if (!engine.exists) {
+      System.err.println(s"Error: no database at $base")
+      return 1
+    }
+    val labels = engine.dupGroups(minJaccard).collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    labels.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (c, rows) =>
+      println(s"$c: ${rows.map(_._2).sorted.mkString(" ")}")
+    }
+    println(s"Groups: ${labels.map(_._1).distinct.length} " +
+      s"(${labels.length} docs)")
     0
   }
 

@@ -526,6 +526,36 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("dups verb: prints the maintained duplicate groups, folds on a " +
+      "later append, errors on bad args") {
+    withDb { db =>
+      assert(run("-f", db, "dups")._1 == 1) // no database yet
+      // two identical triplet-style docs + one distinct
+      val dupsBatch = writeTemp(
+        """---
+          |body: repeated0 alpha0 beta0 gamma0 delta0
+          |---
+          |body: repeated0 alpha0 beta0 gamma0 delta0
+          |---
+          |body: unique9 alpha9 beta9 gamma9 delta9
+          |""".stripMargin)
+      run("-f", db, "save", dupsBatch)
+      val (c1, o1) = run("-f", db, "dups")
+      assert(c1 == 0 && o1.contains("0: 0 1") &&
+        o1.contains("Groups: 1 (2 docs)"), o1)
+      // a later append of another copy FOLDS into the group
+      val more = writeTemp(
+        "---\nbody: repeated0 alpha0 beta0 gamma0 delta0\n")
+      run("-f", db, "save", more)
+      val (c2, o2) = run("-f", db, "dups")
+      assert(c2 == 0 && o2.contains("0: 0 1 3") &&
+        o2.contains("Groups: 1 (3 docs)"), o2)
+      assert(run("-f", db, "dups", "1.5")._1 == 1)
+      assert(run("-f", db, "dups", "0.8", "0.5")._1 == 1)
+      run("-f", db, "clean")
+    }
+  }
+
   test("--stats id and --stats metadata resolve like resolve_field_value") {
     withDb { db =>
       run("-f", db, "save", batch)

@@ -410,6 +410,69 @@ class MemoConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("dupGroups racing an appender: folds and saves interleave " +
+      "without corrupting the labeling — post-quiesce it equals " +
+      "nearDupClusters recomputed from the live corpus") {
+    import org.apache.spark.sql.functions.col
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    // identical-text triplets; every token carries the cluster number so
+    // cluster shingle sets are disjoint (the minHashSignature caveat)
+    def body(k: Int) = s"clusterdoc$k alpha$k beta$k gamma$k delta$k"
+    e1.save((0 until 24).map(i => s"---\nbody: ${body(i / 3)}\n").mkString)
+    e1.dupGroups().collect() // initial rebuild
+    assert(e1.lastDupMode.contains("rebuild"))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def transient(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("") + " " +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      m.contains("NoSuchFile") || m.contains("FILE_NOT_EXIST") ||
+        m.contains("does not exist")
+    }
+    try {
+      val appender = Future {
+        (0 until 6).foreach { b =>
+          e1.save((0 until 3).map(_ =>
+            s"---\nbody: ${body(8 + b)}\n").mkString)
+        }
+      }
+      val maintainer = Future {
+        var folds = 0
+        var rounds = 0
+        while (!appender.isCompleted && rounds < 30) {
+          try {
+            e2.dupGroups().collect()
+            if (e2.lastDupMode.contains("append")) folds += 1
+          } catch { case e: Throwable if transient(e) => () }
+          rounds += 1
+        }
+        folds
+      }
+      val folds = Await.result(
+        appender.flatMap(_ => maintainer), 300.seconds)
+      // quiesce: bring the labeling current, then the convergence
+      // oracle — racing folds and the final catch-up must together
+      // produce EXACTLY the from-scratch labeling of the live corpus
+      val served = e1.dupGroups().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // non-vacuity: SOMETHING folded incrementally (a racing walk or
+      // the final catch-up) — all-rebuild would not exercise the race
+      assert(folds >= 1 || e1.lastDupMode.contains("append"),
+        s"no incremental fold ever ran (folds=$folds, " +
+          s"final=${e1.lastDupMode})")
+      val scratch = graft.ops.Dedup.nearDupClusters(
+          e1.records.select(col("id"), col("body")), "id", "body")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served == scratch,
+        "post-race labeling diverged from the from-scratch recompute")
+      assert(served.size == 42, s"expected all 42 docs labeled: " +
+        s"${served.size}")
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
   test("vacuum sweeps stale staging corpses, spares fresh attempts") {
     val db = freshStore()
     val engine = new MemoEngine(spark, db)
