@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
 object MaintProfile {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption
-      .filter(Set("wdview", "shardview", "compactview")) match {
+      .filter(Set("wdview", "shardview", "compactview", "dupfold")) match {
       case Some(m) => m
       case None => "families"
     }
@@ -49,6 +49,9 @@ object MaintProfile {
       case "compactview" =>
         (if (rest.isEmpty) Seq(3000, 30000) else segsList)
           .foreach(runCompactView(spark, _))
+      case "dupfold" =>
+        (if (rest.isEmpty) Seq(3000, 30000) else segsList)
+          .foreach(runDupFold(spark, _))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
@@ -194,6 +197,46 @@ object MaintProfile {
       f"frag=$frag0%.1f->(read $tFrag%.4fs, no job) " +
       f"compact=$tCompact%.3fs(shards $shardsFrag->$shards1) " +
       f"readAll=$tReadFrag%.3fs->$tReadCompact%.3fs frag1=$frag1%.1f")
+    engine.clean()
+    ()
+  }
+
+  /** The dup-group fold cost-class claim (round 17 late): an ingest
+    * batch folds into the maintained labeling with O(batch) shuffle
+    * work plus NARROW corpus-scale scans (the 64-longs/doc signature
+    * artifact as the bucket join's build side, the label table twice) —
+    * so a fixed 30-doc batch's fold should grow far slower than the
+    * corpus across a 10× (narrow scan growth only), while the rebuild
+    * reference grows with the corpus-wide iterative labeling. Corpus:
+    * `nGroups` identical-text triplets (3·nGroups docs), batch: 10 more
+    * triplets. Run via `runMain graft.MaintProfile dupfold
+    * [groupsList]` (default "3000,30000" → 9k / 90k docs). */
+  private[graft] def runDupFold(spark: SparkSession, nGroups: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_dup")
+    val engine = new graft.memo.MemoEngine(spark,
+      base.resolve("db").toString, maxSegments = 1000000)
+    def docYaml(g: Int, copy: Int) =
+      s"---\nbody: dupfold$g alpha$g beta$g gamma$g delta$g\n"
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val perSeg = math.max(1, (3 * nGroups) / 4)
+    (0 until 3 * nGroups).grouped(perSeg).foreach(batch =>
+      engine.save(batch.map(i => docYaml(i / 3, i % 3)).mkString))
+    val tBuild = timed { engine.dupGroups().collect(); () }
+    require(engine.lastDupMode.contains("rebuild"),
+      s"dupfold expected a rebuild, got ${engine.lastDupMode}")
+    // fixed-size batch: 10 new triplets (30 docs)
+    engine.save((0 until 30).map(i =>
+      docYaml(nGroups + i / 3, i % 3)).mkString)
+    val tFold = timed { engine.dupGroups().collect(); () }
+    require(engine.lastDupMode.contains("append"),
+      s"dupfold expected the fold arm, got ${engine.lastDupMode}")
+    val n = engine.dupGroups().count()
+    require(n == 3L * (nGroups + 10),
+      s"dupfold labeling incomplete: $n of ${3 * (nGroups + 10)}")
+    println(f"[dupfold] groups=$nGroups%6d docs=${3 * nGroups}%6d " +
+      f"rebuild=$tBuild%.3fs fold30=$tFold%.3fs")
     engine.clean()
     ()
   }

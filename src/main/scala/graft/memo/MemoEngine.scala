@@ -1708,16 +1708,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the records chain by the version-watermark idiom. This is
     * [[graft.ops.Dedup.nearDupClusters]] turned into a STORE artifact:
     * fresh → two metadata reads and a lock-free parquet serve; an
-    * append-only step folds O(batch): the batch's candidate pairs come
-    * from the maintained signature artifact ([[ensureSignatures]] — 64
-    * longs/doc, the corpus text is never read) restricted to
-    * at-least-one-new-endpoint ([[graft.ops.Dedup.signaturePairs]]'
-    * `newIds` semi-join, so the bucket join's left side is O(batch)),
-    * and [[graft.ops.Dedup.componentsIncremental]] folds them into the
-    * stored labeling — the corpus-scale label table is scanned twice,
-    * never shuffled; rewrites/patches rebuild honestly from the
-    * signature artifact ([[graft.ops.Dedup.components]] over the full
-    * pair set). Each fold republishes pointer-swung generations
+    * append-only step folds with the [[admitNew]] cost shape — O(batch)
+    * minhash/shuffle work plus NARROW corpus-scale scans, never the
+    * text: the batch's candidate pairs come from the maintained
+    * signature artifact ([[ensureSignatures]] — 64 longs/doc, one scan
+    * as the bucket join's build side, the probe side semi-joined to the
+    * batch ids by [[graft.ops.Dedup.signaturePairs]]' `newIds` so only
+    * O(batch) rows cross the shuffle), and
+    * [[graft.ops.Dedup.componentsIncremental]] folds them into the
+    * stored labeling — the label table (two longs/group, only
+    * duplicate-group members) is scanned twice, never shuffled, and the
+    * iterative rounds run on the O(batch) collapsed graph;
+    * rewrites/patches rebuild honestly from the signature artifact
+    * ([[graft.ops.Dedup.components]] over the full pair set — the
+    * corpus-wide iterative labeling the fold exists to avoid). Each fold republishes pointer-swung generations
     * ([[publishDupLabels]]); a crash between the pointer swing and the
     * version stamp refolds the delta on the next walk — edges are
     * idempotent under min-label components, so the refold converges to

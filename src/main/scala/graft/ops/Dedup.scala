@@ -479,12 +479,18 @@ object Dedup {
     * it to the delta's endpoints (≤ 2·|batch| rows survive), and the
     * final relabel is a map-side broadcast join of the delta-scale
     * relabel map — vs a full recompute's log-diameter rounds of
-    * corpus-wide shuffles over the retained edge set. The output
-    * satisfies the same self-labeling invariant as [[components]], so it
-    * feeds the NEXT batch's `prior` — ingest maintains the labeling by
-    * folding forever, O(batch + touched components) per step. */
+    * corpus-wide shuffles over the retained edge set. Collapsed graphs
+    * at or under `driverFoldEdges` (default 2^16) are labeled
+    * DRIVER-SIDE by exact min-union union-find instead of the iterative
+    * operator — same semantics, none of the per-round job overhead (the
+    * common ingest-batch case); larger folds run distributed. The
+    * output satisfies the same self-labeling invariant as
+    * [[components]], so it feeds the NEXT batch's `prior` — ingest
+    * maintains the labeling by folding forever, O(batch + touched
+    * components) per step. */
   def componentsIncremental(prior: DataFrame, newEdges: DataFrame,
-      aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+      aCol: String, bCol: String, maxIters: Int = 20,
+      driverFoldEdges: Int = 1 << 16): DataFrame = {
     val p = prior.select(col("id").cast("long").as("id"),
       col("component").cast("long").as("component"))
     val und = newEdges
@@ -510,8 +516,51 @@ object Dedup {
         coalesce(col("cb"), col("b")).as("b"))
     // delta-scale: nodes are old component REPRESENTATIVES and brand-new
     // ids; an edge inside one old component collapses to a self-loop and
-    // vanishes inside [[components]]
-    val reduced = components(mapped, "a", "b", maxIters)
+    // vanishes in either labeling arm below.
+    //
+    // THRESHOLD SWITCH on the collapsed graph's size (the
+    // searchBm25Batch isinTermLimit discipline): the collapsed graph is
+    // delta-BOUNDED by construction, and for ingest-batch folds it is
+    // tiny — but the iterative operator still pays log-diameter rounds
+    // of fixed per-job overhead on it (measured ~8 s for a 30-doc batch
+    // whatever the corpus). A bounded probe collect decides: at or
+    // under `driverFoldEdges` edges the driver labels the collapsed
+    // graph EXACTLY with min-union union-find (microseconds, same
+    // min-label semantics — union-by-min keeps every root the min of
+    // its merged set); past it the distributed operator runs as before
+    // (one wasted bounded collect, the price of deciding). Both arms
+    // return (id, min-reachable-id) for edge-incident nodes, so the
+    // fold downstream cannot tell them apart — spec-pinned by running
+    // the randomized differential through BOTH arms.
+    val probe = mapped.limit(driverFoldEdges + 1).collect()
+    val reduced: DataFrame =
+      if (probe.length <= driverFoldEdges) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        val nodes0 = scala.collection.mutable.ArrayBuffer.empty[Long]
+        probe.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (a != b) {
+            if (!parent.contains(a)) { parent(a) = a; nodes0 += a }
+            if (!parent.contains(b)) { parent(b) = b; nodes0 += b }
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+        }
+        val ss = prior.sparkSession
+        import ss.implicits._
+        nodes0.toSeq.map(n => (n, find(n))).toDF("id", "component")
+      } else components(mapped, "a", "b", maxIters)
     // reduced ids split two ways: an old component id (some endpoint
     // mapped to it — relabel its whole component) vs a previously
     // unlabeled id (label it directly). A raw id can never collide with

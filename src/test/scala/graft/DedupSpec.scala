@@ -300,7 +300,10 @@ class DedupSpec extends SparkTestBase {
     // roundCheckpoint reset inherited LogicalRDD statistics, this exact
     // chained fold drove Catalyst's sizeInBytes product past 2M bits and
     // hung the driver in BigInteger multiplication — if this test slows
-    // from seconds to minutes, that truncation broke
+    // from seconds to minutes, that truncation broke (the distributed
+    // arm below, forced via driverFoldEdges = 0, keeps the iterative
+    // operator on the canary path now that small folds default to the
+    // driver union-find)
     import spark.implicits._
     var sawMerge = false
     Seq(11L, 23L, 47L).foreach { seed =>
@@ -319,11 +322,18 @@ class DedupSpec extends SparkTestBase {
         priorMap.contains(a) && priorMap.contains(b) &&
           priorMap(a) != priorMap(b)
       }
-      // one fold
+      // one fold — BOTH labeling arms of the collapsed graph: the
+      // driver union-find (default threshold covers these sizes) and
+      // the distributed operator (threshold 0 forces it)
       val once = Dedup.componentsIncremental(prior,
           rest.toDF("a", "b"), "a", "b").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(once == full, s"seed $seed single fold diverged")
+      assert(once == full, s"seed $seed single fold diverged (driver arm)")
+      val onceDist = Dedup.componentsIncremental(prior,
+          rest.toDF("a", "b"), "a", "b", driverFoldEdges = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(onceDist == full,
+        s"seed $seed single fold diverged (distributed arm)")
       // two chained folds — the first fold's OUTPUT is the next prior
       val step1 = Dedup.componentsIncremental(prior,
         d1.toDF("a", "b"), "a", "b")
