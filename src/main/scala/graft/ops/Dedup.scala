@@ -85,20 +85,31 @@ object Dedup {
             .as("band"))
         .select(col("id"), col("band.band_id"), col("band.band_hash")),
       Seq("band_id", "band_hash"), "id", bucketCap)
-    val left = newIds match {
-      case Some(ids) => banded.join(
-        ids.select(col(ids.columns.head).cast("long").as("id")),
-        Seq("id"), "left_semi")
-      case None => banded
-    }
-    val candidates = left
-      .select(col("id").as("a"), col("band_id"), col("band_hash"))
-      .join(banded.select(col("id").as("b"), col("band_id"), col("band_hash")),
-        Seq("band_id", "band_hash"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // unrestricted: a < b inside the bucket join halves the candidate
+    // volume before the distinct; restricted: the left side is only the
+    // batch, so both orders must survive the join and pairs normalize
+    // afterwards (an old<new pair only appears as (new, old) from the
+    // batch side)
+    val candidates = (newIds match {
+      case Some(ids) =>
+        val left = banded.join(
+          ids.select(col(ids.columns.head).cast("long").as("id")),
+          Seq("id"), "left_semi")
+        left.select(col("id").as("a"), col("band_id"), col("band_hash"))
+          .join(banded.select(col("id").as("b"),
+            col("band_id"), col("band_hash")),
+            Seq("band_id", "band_hash"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+      case None =>
+        banded.select(col("id").as("a"), col("band_id"), col("band_hash"))
+          .join(banded.select(col("id").as("b"),
+            col("band_id"), col("band_hash")),
+            Seq("band_id", "band_hash"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+    }).distinct()
     // Verification: re-attach signatures to the (deduplicated, much smaller)
     // candidate set and estimate Jaccard from full-signature agreement.
     candidates
