@@ -235,8 +235,24 @@ object MaintProfile {
     val n = engine.dupGroups().count()
     require(n == 3L * (nGroups + 10),
       s"dupfold labeling incomplete: $n of ${3 * (nGroups + 10)}")
+    // fixed-size RETRACT: delete one member from each of 10 groups via
+    // a patch (a chain REWRITE — pre-r18 this arm paid the corpus-wide
+    // components() rebuild; the retract fold relabels only the touched
+    // components, so this leg too must stay ~flat across the 10×)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    engine.applyChanges((0 until 10).map(g =>
+        (3L * g, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val tRetract = timed { engine.dupGroups().collect(); () }
+    require(engine.lastDupMode.contains("retract"),
+      s"dupfold expected the retract arm, got ${engine.lastDupMode}")
+    val n2 = engine.dupGroups().count()
+    require(n2 == 3L * (nGroups + 10) - 10,
+      s"dupfold post-retract labeling incomplete: $n2")
     println(f"[dupfold] groups=$nGroups%6d docs=${3 * nGroups}%6d " +
-      f"rebuild=$tBuild%.3fs fold30=$tFold%.3fs")
+      f"rebuild=$tBuild%.3fs fold30=$tFold%.3fs retract10=$tRetract%.3fs")
     engine.clean()
     ()
   }

@@ -70,6 +70,48 @@ object FilterAlgebra {
   /** Python str() of a parsed filter operand. */
   def operandStr(v: Any): String = MetaCodec.pyStr(MetaCodec.encode(v))
 
+  /** Semantics-preserving canonical form of a PARSED filter map, for the
+    * parse-level coverage compare view-serving does ([[graft.memo
+    * .MemoEngine]]'s statsPairs / analyzeCount): logically identical
+    * asks written differently should not fall to the scan arm. Three
+    * rewrites, each sound by the algebra's own laws:
+    *
+    *  - single-element `$and`/`$or` unwraps (all([x]) ≡ any([x]) ≡ x),
+    *    splicing into the parent when no key collides (a collision
+    *    keeps the wrapper — merging would drop a conjunct);
+    *  - empty `$and` drops (vacuously TRUE, the AND identity; empty
+    *    `$or` is FALSE and stays);
+    *  - sibling order sorts — implicit-AND top-level keys and
+    *    `$and`/`$or` list elements are commutative conjuncts/disjuncts.
+    *
+    * CONDITION VALUES ARE NEVER TOUCHED: dict-shaped operands compare by
+    * Python str() where insertion order is identity, so only structure
+    * ABOVE the key-condition level rewrites — two different predicates
+    * can never collapse to one form, the wrongness-free direction.
+    * Malformed combinator payloads (non-map list elements) pass through
+    * verbatim. Evaluation always consumes the RAW parse; this form
+    * exists only to be compared. */
+  def canonicalize(m: Map[String, Any]): Map[String, Any] = {
+    val entries = m.toSeq.flatMap {
+      case (op @ ("$and" | "$or"), l: List[_])
+          if l.forall(_.isInstanceOf[Map[_, _]]) =>
+        val subs = l.map(e =>
+          canonicalize(e.asInstanceOf[Map[String, Any]]))
+        subs match {
+          case Nil if op == "$and" => Nil // all([]) is TRUE: AND identity
+          case single :: Nil => single.toSeq // unwrap, splice below
+          case _ => Seq(op -> subs.sortBy(operandStr))
+        }
+      case other => Seq(other)
+    }
+    // a splice that collides with a sibling key cannot merge (both
+    // conjuncts must hold; a map holds one) — fall back to the raw map's
+    // canonical ORDER only (sorted), structure untouched
+    if (entries.map(_._1).distinct.length != entries.length)
+      VectorMap.from(m.toSeq.sortBy(_._1))
+    else VectorMap.from(entries.sortBy(_._1))
+  }
+
   /** Numeric value of the operand iff it is a Python number (incl. bool). */
   private def operandNum(v: Any): Option[Double] = {
     val t = MetaCodec.encode(v)

@@ -124,6 +124,17 @@ object MemoCli {
                   "Error: dups takes [minJaccard in (0, 1]]")
                 1
             }
+          case "dedup" :: dedupArgs =>
+            dedupArgs match {
+              case opts if opts.length <= 1 && opts.forall(
+                    _.toDoubleOption.exists(j => j > 0.0 && j <= 1.0)) =>
+                cmdDedup(engine, baseOpt.get,
+                  opts.headOption.map(_.toDouble).getOrElse(0.8))
+              case _ =>
+                System.err.println(
+                  "Error: dedup takes [minJaccard in (0, 1]]")
+                1
+            }
           case "recall" :: recallArgs => cmdRecall(engine, recallArgs)
           case "analyze" :: analyzeArgs => cmdAnalyze(engine, analyzeArgs)
           case other :: _ =>
@@ -162,6 +173,7 @@ object MemoCli {
     println("  cluster             Re-layout records by metadata key(s) <key[,key2,..]> [nClusters] (filtered reads prune; multi-key = Z-order)")
     println("  retrain             Rebalance the maintained ANN index if cell occupancy drifted past [maxSkew] (default 4.0); --pq targets the compressed index")
     println("  dups                Print the maintained transitive duplicate groups ([minJaccard] default 0.8): one 'component: id id ...' line per group")
+    println("  dedup               Keep-one-per-duplicate-group compaction ([minJaccard] default 0.8): reindex that also drops non-representative group members")
     println("  maintain            Bring every maintained artifact current (postings/IVF/IVF-PQ/signatures/views); [retrainSkew] also retrains drifted quantizers; --compact re-grids fragmented view state")
     println()
     println("Options:")
@@ -666,6 +678,24 @@ object MemoCli {
     }
     println(s"Groups: ${labels.map(_._1).distinct.length} " +
       s"(${labels.length} docs)")
+    0
+  }
+
+  /** `dedup [minJaccard]` — keep-one-per-duplicate-group compaction
+    * ([[MemoEngine.dedupCompact]]): reindex's compaction generalized to
+    * near-duplicate rows. Mirrors reindex's stdout shape: the rebuild
+    * lines, then the dropped count. */
+  private def cmdDedup(engine: MemoEngine, base: String,
+      minJaccard: Double): Int = {
+    if (!engine.exists) {
+      System.err.println(s"Error: no database at $base")
+      return 1
+    }
+    val dropped = engine.dedupCompact(minJaccard)
+    println(s"Rebuilt index from $base")
+    println(s"Wrote index: $base")
+    println(s"Compacted: dropped $dropped duplicate/blank entries " +
+      s"(kept one per group, minJaccard $minJaccard)")
     0
   }
 

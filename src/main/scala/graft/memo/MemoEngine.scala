@@ -1137,10 +1137,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private[graft] var lastServeRoute: Option[(String, Long)] = None
 
   /** Widening-rung caches, keyed by SERVING-CALL TOKEN. A fill ladder
-    * caches each rung (its fill-count job materializes it, so consuming
-    * the returned union reads cached blocks), and the union is LAZY —
-    * the rungs must stay pinned until the caller has consumed the
-    * result, so the ladder can't unpersist them itself. Unbounded
+    * caches each rung (a widening rung's fill-count job materializes
+    * it; the final full-probe rung skips that job and materializes at
+    * first consumption — which is why the filter MASK registers here
+    * too), and the union is LAZY — the rungs must stay pinned until
+    * the caller has consumed the result, so the ladder can't unpersist
+    * them itself. Unbounded
     * accumulation across calls is the failure mode this registry kills,
     * WITHOUT letting concurrent servers thrash each other: every batch
     * serving entry point takes a token ([[beginServingCall]]), registers
@@ -1424,12 +1426,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
               lastBatchAnnWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
+              // the final full-probe rung stays LAZY (its fill-count
+              // job decides nothing and is skipped), so the mask must
+              // outlive this call for its first consumption — it rides
+              // the serving-cache registry with the rungs and drains on
+              // the same schedule
+              registerServingCache(srvTok)(mask)
               afterServingLadderHook(srvTok)
-              // the ladder's fill counts already materialized every
-              // rung's cache; the body join reads the pruned records
-              // frame, not the mask — safe to release it here (an
-              // evicted rung block recomputes from lineage)
-              mask.unpersist()
               hits
                 .join(recordsForFilter(f).select(col("id"), col("body")),
                   Seq("id"))
@@ -1508,8 +1511,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
               lastBatchPqWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
+              // see annRecallBatch: the lazy final rung needs the mask
+              // at consumption — it drains with the rung caches
+              registerServingCache(srvTok)(mask)
               afterServingLadderHook(srvTok)
-              mask.unpersist()
               hits
                 .join(recordsForFilter(f).select(col("id"), col("body")),
                   Seq("id"))
@@ -1657,7 +1662,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private val DupSpecFile = "_dup_spec"
 
   /** Test seam: which arm the last [[dupGroups]] walk took — "fresh" |
-    * "append" | "rebuild". Production never reads it. */
+    * "append" | "retract" | "rebuild". Production never reads it. */
   private[graft] var lastDupMode: Option[String] = None
 
   private def dupLabelsSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -1702,6 +1707,84 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .foreach(deleteTree)
   }
 
+  /** RETRACT/PATCH fold of the dup-group labeling — the incremental arm
+    * for chain REWRITES, where the append fold cannot run but a full
+    * corpus-wide [[graft.ops.Dedup.components]] recompute is almost
+    * always overkill: a patch only perturbs the components that CONTAIN
+    * a touched id. Deletes can only SPLIT such components, edits/adds
+    * can split them or MERGE them with others — and a merge shows up as
+    * a candidate pair with a touched endpoint, which
+    * [[graft.ops.Dedup.componentsIncremental]]'s collapse step relabels
+    * through the untouched side's representative. So the fold is:
+    *
+    *  1. classify the v0→v diff ([[changesBetween]] — O(touched rows)
+    *     on a single-step patch window, one narrow classification join
+    *     otherwise);
+    *  2. drop every prior component containing a touched id
+    *     (components are dropped WHOLE — the self-labeling invariant
+    *     the incremental fold requires survives the prune);
+    *  3. regenerate candidate pairs restricted to {touched components'
+    *     surviving members} ∪ {added/edited live ids} from the
+    *     maintained signature artifact ([[ensureSignatures]] already
+    *     brought it to v in this walk) — O(touched) rows cross the
+    *     bucket-join shuffle, the corpus is the build side;
+    *  4. fold those pairs over the pruned labeling.
+    *
+    * Pairs between two UNtouched docs need no regeneration: unchanged
+    * bodies mean unchanged signatures, so any such pair was already in
+    * the prior labeling's edge set (the same hot-bucket-cap caveat as
+    * the append fold: a cap-evicted pair resurfacing after corpus churn
+    * is accepted drift in every incremental arm, and the honest rebuild
+    * re-grounds it). The fold is IDEMPOTENT — a crash between the label
+    * publish and the watermark stamp re-runs it against the already-
+    * folded labeling and recomputes the same touched components from
+    * the same signatures — so the append arm's crash-window argument
+    * carries over verbatim.
+    *
+    * Falls back (returns false → caller takes the honest rebuild) when
+    * the prior version is gone (vacuumed), the diff is corpus-scale
+    * (a reindex re-sequenced every id — retract would relabel
+    * everything the slow way), or there is no prior watermark. A diff
+    * that is EMPTY BY CONTENT (layout-only rewrites: [[clusterBy]],
+    * [[compact]]) folds to zero work — the prior labeling is already
+    * correct and only the watermark advances. */
+  private def tryDupRetract(v0: Long, v: Long, minJaccard: Double): Boolean = {
+    if (v0 >= v || !Files.isDirectory(versionDir(v0))) return false
+    val diff =
+      try changesBetween(v0, v).persist()
+      catch { case _: IllegalArgumentException => return false }
+    try {
+      val nDiff = diff.count()
+      if (nDiff == 0) return true // layout-only rewrite: labels already true
+      // corpus-scale diffs (reindex re-sequences EVERY id) relabel
+      // everything either way — the from-scratch operator does it
+      // without the retract arm's extra classification joins
+      if (nDiff * 2 > math.max(maxRecordId + 1, 1L)) return false
+      val labels = serveDupLabels()
+      val touchedIds = diff.select(col("id")).distinct()
+      val touchedComps = labels.join(touchedIds, Seq("id"), "left_semi")
+        .select(col("component")).distinct()
+      val pruned = labels.join(touchedComps, Seq("component"), "left_anti")
+      // dead = removed rows and edits that blanked the body (the corpus
+      // rule [[ensureSignatures]] signs under — blank bodies have no
+      // signature, so they can emit no pairs; they just must not
+      // survive via a stale label row)
+      val dead = diff.filter(col("change") === "removed" ||
+        isBlank(col("body"))).select(col("id"))
+      val survivors = labels.join(touchedComps, Seq("component"), "left_semi")
+        .select(col("id")).join(dead, Seq("id"), "left_anti")
+      val fresh = diff.filter(col("change") =!= "removed" &&
+        !isBlank(col("body"))).select(col("id"))
+      val pairs = graft.ops.Dedup.signaturePairs(
+        graft.ops.Dedup.loadSignatures(spark, sigDir),
+        minJaccard = minJaccard,
+        newIds = Some(survivors.unionByName(fresh).distinct()))
+      publishDupLabels(graft.ops.Dedup.componentsIncremental(
+        pruned, pairs, "a", "b"))
+      true
+    } finally diff.unpersist()
+  }
+
   /** The engine-maintained TRANSITIVE duplicate-group labeling:
     * (id, component) for every live doc in a near-dup group of size ≥ 2
     * (component = the group's smallest member id), kept in lockstep with
@@ -1719,9 +1802,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * stored labeling — the label table (two longs/group, only
     * duplicate-group members) is scanned twice, never shuffled, and the
     * iterative rounds run on the O(batch) collapsed graph;
-    * rewrites/patches rebuild honestly from the signature artifact
-    * ([[graft.ops.Dedup.components]] over the full pair set — the
-    * corpus-wide iterative labeling the fold exists to avoid). Each fold republishes pointer-swung generations
+    * rewrites/patches with a resolvable prior fold INCREMENTALLY too
+    * ([[tryDupRetract]] — only components containing a touched id are
+    * relabeled, O(touched), so steady soft-deletes never pay a
+    * corpus-wide recompute), and only corpus-scale rewrites (reindex's
+    * id re-sequencing) or a vacuumed prior rebuild honestly from the
+    * signature artifact ([[graft.ops.Dedup.components]] over the full
+    * pair set). Each fold republishes pointer-swung generations
     * ([[publishDupLabels]]); a crash between the pointer swing and the
     * version stamp refolds the delta on the next walk — edges are
     * idempotent under min-label components, so the refold converges to
@@ -1732,6 +1819,50 @@ class MemoEngine(spark: SparkSession, basePath: String,
   def dupGroups(minJaccard: Double = 0.8): DataFrame = {
     if (currentVersion.isEmpty) return emptyFrame(dupLabelsSchema)
     val spec = s"j$minJaccard"
+    // Validated serve under concurrent SPEC churn: a caller with a
+    // different threshold can restamp the spec and republish between
+    // this walk and the serve below, handing this caller a labeling
+    // built at the OTHER threshold with no indication. The walk runs in
+    // a bounded retry loop; an attempt's result only escapes when the
+    // post-serve re-reads prove it is OURS:
+    //  - the spec still reads `spec` — a foreign threshold's walk
+    //    always restamps first, so a completed foreign walk shows here;
+    //  - the watermark is non-negative — every restamp writes -1 BEFORE
+    //    the spec, so a foreign spec stamped but not yet rebuilt cannot
+    //    masquerade as ours;
+    //  - the labels pointer did not move across the validation reads —
+    //    each publish mints a fresh generation name, and every
+    //    post-restamp walk publishes, so (spec ours ∧ watermark ≥ 0 ∧
+    //    pointer unmoved) proves the resolved generation was published
+    //    by a walk stamped with OUR spec.
+    // Staleness against concurrent APPENDS is not an error (the
+    // watermark semantic is "labels as of the recorded version"), so
+    // the live version is deliberately not part of the check — an
+    // appender racing this serve never forces a retry.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      dupGroupsWalk(spec, minJaccard)
+      val ptrBefore = ArtifactMeta.read(spark, dupDir, DupLabelsPtr)
+      val out = serveDupLabels()
+      val specOk = ArtifactMeta.read(spark, dupDir, DupSpecFile)
+        .contains(spec)
+      val markOk = ArtifactMeta.read(spark, dupDir, LexVersionFile)
+        .flatMap(_.toLongOption).exists(_ >= 0)
+      val ptrOk = ArtifactMeta.read(spark, dupDir, DupLabelsPtr) == ptrBefore
+      if (specOk && markOk && ptrOk) return out
+      if (attempt >= 5) throw new IllegalStateException(
+        s"dupGroups($minJaccard) could not serve a threshold-consistent " +
+          s"labeling after $attempt attempts — concurrent callers are " +
+          "thrashing the spec with different thresholds")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One maintenance walk of the dup-labeling artifact at a stamped
+    * spec — [[dupGroups]]' body, factored out of its validated-serve
+    * retry loop. */
+  private def dupGroupsWalk(spec: String, minJaccard: Double): Unit = {
     if (!ArtifactMeta.read(spark, dupDir, DupSpecFile).contains(spec))
       ArtifactMeta.withBuildLock(spark, dupDir) {
         if (!ArtifactMeta.read(spark, dupDir, DupSpecFile).contains(spec)) {
@@ -1752,15 +1883,26 @@ class MemoEngine(spark: SparkSession, basePath: String,
           serveDupLabels(), pairs, "a", "b"))
       },
       rebuild = v => {
-        lastDupMode = Some("rebuild")
-        val pairs = graft.ops.Dedup.signaturePairs(
-          graft.ops.Dedup.loadSignatures(spark, sigDir),
-          minJaccard = minJaccard)
-        publishDupLabels(graft.ops.Dedup.components(pairs, "a", "b"))
+        // the recorded watermark is still the PRE-walk version here
+        // (ensureArtifact stamps it only after this arm returns): with
+        // a resolvable prior, fold the patch incrementally
+        // ([[tryDupRetract]] — touched components only) before paying
+        // the corpus-wide from-scratch labeling
+        val v0 = ArtifactMeta.read(spark, dupDir, LexVersionFile)
+          .flatMap(_.toLongOption).filter(_ >= 0)
+        if (v0.exists(tryDupRetract(_, v, minJaccard)))
+          lastDupMode = Some("retract")
+        else {
+          lastDupMode = Some("rebuild")
+          val pairs = graft.ops.Dedup.signaturePairs(
+            graft.ops.Dedup.loadSignatures(spark, sigDir),
+            minJaccard = minJaccard)
+          publishDupLabels(graft.ops.Dedup.components(pairs, "a", "b"))
+        }
         Some(())
       },
       serve = () => Some(()))
-    serveDupLabels()
+    ()
   }
 
   /** Probe the maintained postings artifact, absorbing the transient
@@ -2210,6 +2352,18 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * ("view:<name>" | "scan"). Production never reads it. */
   private[graft] var lastCountSource: Option[String] = None
 
+  /** Parse-level canonical form of a filter ask, for view-coverage
+    * comparison ([[analyzeCount]] / [[statsPairs]]): the Python str()
+    * rendering of the parsed map AFTER
+    * [[FilterAlgebra.canonicalize]]'s semantics-preserving rewrites
+    * (single-element `$and`/`$or` unwrap, commutative sibling sort) —
+    * so `$and: [{lang: en}]` and `{lang: en}` cover each other while
+    * any genuinely different predicate still scans. None = unparseable
+    * (never covers). */
+  private def canonFilter(f: String): Option[String] =
+    scala.util.Try(FilterAlgebra.operandStr(
+      FilterAlgebra.canonicalize(FilterAlgebra.parse(f)))).toOption
+
   /** Analyze projection/count/stats — see [[MemoOps]]; all three read
     * through the segment-pruned frame.
     *
@@ -2227,10 +2381,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * `where = Some("{}")` carries that gate through compile; no where
     * means no gate). Anything else scans. */
   def analyzeCount(filterExpr: String): Long = {
-    def canon(f: String): Option[String] =
-      scala.util.Try(
-        FilterAlgebra.operandStr(FilterAlgebra.parse(f))).toOption
-    val ask = canon(filterExpr)
+    val ask = canonFilter(filterExpr)
     val viaView =
       if (ask.isEmpty) None
       else views.iterator.map { name =>
@@ -2242,7 +2393,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
           })
       }.collectFirst {
         case (name, Some((gk, ms, aggs, where, cap)))
-            if where.exists(w => canon(w) == ask) =>
+            if where.exists(w => canonFilter(w) == ask) =>
           lastCountSource = Some(s"view:$name")
           val r = viewState(name, gk, ms, aggs, where, cap)
             .agg(sum(col("doc_count"))).collect()(0)
@@ -2306,18 +2457,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * (NULL) and explicit YAML nulls ("z") are excluded on both arms
     * (memo_cli.py:582-586).
     *
-    * Filter coverage compares PARSE-LEVEL canonical forms (the Python
-    * str() rendering of the parsed map — order-SENSITIVE, since
-    * operand-dict insertion order is semantic in the algebra), not raw
-    * strings: `lang: en` and `{lang: en}` cover each other, while any
-    * structural difference — including dict-operand order — stays
+    * Filter coverage compares PARSE-LEVEL canonical forms
+    * ([[canonFilter]] — the Python str() rendering after
+    * [[FilterAlgebra.canonicalize]]'s semantics-preserving rewrites),
+    * not raw strings: `lang: en`, `{lang: en}`, `$and: [{lang: en}]`,
+    * and key-order permutations all cover each other, while any
+    * genuinely different predicate — including operand-DICT insertion
+    * order, which is semantic in the algebra's str() equality — stays
     * uncovered and scans. */
   def statsPairs(filterExpr: String, key: String): DataFrame = {
     val canonical = s"metadata['$key']"
-    def canon(f: String): Option[String] =
-      scala.util.Try(
-        FilterAlgebra.operandStr(FilterAlgebra.parse(f))).toOption
-    val ask = canon(filterExpr)
+    val ask = canonFilter(filterExpr)
     // SPECIAL KEYS never consult views: [[MemoOps.rawField]] resolves
     // 'id' to the record id (not element_at(metadata,'id')), 'metadata'
     // to the whole-map rendering, and 'metadata.x' strips the prefix to
@@ -2337,7 +2487,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }.collectFirst {
       case (name, Some((gk, ms, aggs, where, cap)))
           if gk == canonical && ask.isDefined &&
-            where.exists(w => canon(w) == ask) =>
+            where.exists(w => canonFilter(w) == ask) =>
         (name, ms, aggs, where, cap)
     }
     covering match {
@@ -3446,6 +3596,45 @@ class MemoEngine(spark: SparkSession, basePath: String,
     commit(compacted, v0)
     before - after
   }
+
+  /** Keep-one-per-duplicate-GROUP compaction — [[reindex]]'s drop set
+    * (memo_cli.py:334-366's blank/deleted rows) generalized to
+    * NEAR-DUPLICATE rows: every doc the maintained transitive labeling
+    * ([[dupGroups]]) marks a non-representative group member
+    * (`id != component` — the keep-one rule is one anti-join) drops in
+    * the SAME dense-resequencing versioned commit, alongside the
+    * blank/deleted rows reindex already drops. The group representative
+    * (smallest id, the doc [[graft.ops.Dedup.exactByKey]]-style keep
+    * rules also pick) survives.
+    *
+    * Cost shape: the labeling is served from the maintained artifact
+    * (brought current by the [[dupGroups]] walk — O(batch) on
+    * append-only chains), the drop is one anti-join on a labels frame
+    * that only holds duplicate-group members, and the rewrite is the
+    * reindex commit the store already prices. Concurrency rides the
+    * optimistic token: a racing writer fails this commit's CAS and
+    * [[MemoEngine.retryOnConflict]] re-derives the labeling from fresh
+    * state — a doc appended mid-compact is never silently dropped.
+    * Downstream, every maintained family (and the labeling itself) sees
+    * an ordinary rewrite commit and converges through its captured-
+    * version arm. Returns the number of dropped records (duplicates +
+    * blank/deleted). */
+  def dedupCompact(minJaccard: Double = 0.8): Long =
+    MemoEngine.retryOnConflict {
+      currentVersion match {
+        case None => 0L // uncommitted store: nothing to compact
+        case v0 @ Some(_) => // the optimistic-concurrency token
+          val losers = dupGroups(minJaccard)
+            .filter(col("id") =!= col("component")).select(col("id"))
+          val before = records.count()
+          val kept = records.join(losers, Seq("id"), "left_anti")
+          val compacted = MemoOps.reindex(kept)
+            .select("id", "body", "metadata")
+          val after = compacted.count()
+          commit(compacted, v0)
+          before - after
+      }
+    }
 
   /** ≤ cells−1 evenly spaced range boundaries over a bounded uniform
     * sample of one cluster key's distinct values ([[clusterBy]]'s

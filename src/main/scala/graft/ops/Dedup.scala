@@ -43,14 +43,17 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
       bucketCap: Int = BucketCap.DefaultCap): DataFrame =
-    // Signatures are computed once and shared across the three consumers
-    // inside signaturePairs (band join left/right + verification joins);
-    // without the persist the fat 64-long arrays would be recomputed per
-    // branch AND shuffled through the candidate join. At 100 TB this is
-    // the PERSISTED artifact instead ([[writeSignatures]]), and
+    // Signatures are recomputed per plan branch inside signaturePairs
+    // (band self-join + two verification joins — a bounded ~4× of the
+    // narrow per-row minhash map, paid ONCE because every consumer
+    // evaluates the pair frame once: [[components]] checkpoints its edge
+    // set before iterating). The previous shape persisted the signature
+    // frame here instead — but a caller-side persist can never be
+    // released after the lazy pair frame escapes, leaking one fat cached
+    // frame per call into the session-lifetime CacheManager. At 100 TB
+    // this is the PERSISTED artifact anyway ([[writeSignatures]]), and
     // [[signaturePairs]] is called on it directly.
-    signaturePairs(
-      computeSignatures(df, idCol, textCol, numHashes).persist(),
+    signaturePairs(computeSignatures(df, idCol, textCol, numHashes),
       numHashes, bands, minJaccard, bucketCap)
 
   /** Near-dup candidate pairs from an (id, sig) signature table — the
@@ -92,6 +95,11 @@ object Dedup {
     // batch side)
     val candidates = (newIds match {
       case Some(ids) =>
+        require(ids.columns.length == 1,
+          s"newIds must be a single-column id frame, got " +
+            s"[${ids.columns.mkString(", ")}] — a multi-column frame " +
+            "would silently semi-join on whatever column happens to be " +
+            "first and drop candidate pairs instead of failing")
         val left = banded.join(
           ids.select(col(ids.columns.head).cast("long").as("id")),
           Seq("id"), "left_semi")
@@ -405,19 +413,65 @@ object Dedup {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Exact min-union union-find labeling of a COLLECTED edge list — the
+    * driver arm of [[components]]' threshold switch. Union-by-min keeps
+    * every root the minimum of its merged set, so labels match the
+    * distributed min-label operator bit-for-bit (spec-pinned by running
+    * the randomized differentials through both arms). */
+  private def unionFindLabels(edges: Array[org.apache.spark.sql.Row],
+      ss: org.apache.spark.sql.SparkSession): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
+    }
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    edges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (a != b) {
+        if (!parent.contains(a)) { parent(a) = a; nodes += a }
+        if (!parent.contains(b)) { parent(b) = b; nodes += b }
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+    }
+    import ss.implicits._
+    nodes.toSeq.map(n => (n, find(n))).toDF("id", "component")
+  }
+
   /** CONNECTED COMPONENTS over an undirected edge list — the transitive
     * step pair-based dedup needs: candidate generators emit PAIRS, but a
     * duplicate GROUP is a component of the pair graph (a~b and b~c put
     * a and c in one group even when the LSH bands never paired them
     * directly), and keep-best-per-group curation needs the group ids.
     *
-    * Iterative MIN-LABEL propagation with POINTER JUMPING: each round
-    * every node takes the min of its own label, its neighbors' labels,
-    * and its label's label (label(x) ← label(label(x)) — path doubling,
-    * so rounds grow with log(diameter), not diameter; a 2^20-diameter
-    * chain converges inside the default budget). Each round is two
-    * bounded shuffles over (id, lbl); every round's frame is EAGERLY
-    * truncated at BOTH levels ([[roundCheckpoint]]: lineage AND
+    * THRESHOLD SWITCH on the edge-set size (the searchBm25Batch
+    * isinTermLimit discipline, shared with [[componentsIncremental]]'s
+    * fold): a bounded probe collect decides — at or under
+    * `driverFoldEdges` distinct edges the driver labels the graph
+    * EXACTLY with min-union union-find ([[unionFindLabels]] —
+    * microseconds, none of the per-round job overhead the iterative
+    * operator pays on graphs this size); past it the distributed
+    * operator runs (one wasted bounded collect, the price of deciding).
+    *
+    * The distributed arm is iterative MIN-LABEL propagation with
+    * POINTER JUMPING: each round every node takes the min of its own
+    * label, its neighbors' labels, and its label's label (label(x) ←
+    * label(label(x)) — path doubling, so rounds grow with
+    * log(diameter), not diameter; a 2^20-diameter chain converges
+    * inside the default budget). The symmetrized edge set is
+    * checkpointed ONCE before the loop (the rounds re-read a
+    * materialized frame instead of re-deriving the upstream candidate
+    * pipeline — an LSH bucket join — every round); each round is two
+    * bounded shuffles over (id, lbl), and every round's frame is
+    * EAGERLY truncated at BOTH levels ([[roundCheckpoint]]: lineage AND
     * inherited statistics — either one left growing kills the driver
     * long before data size matters). Convergence is CHECKED (one count
     * per round) and failure to converge THROWS rather than returning
@@ -428,13 +482,16 @@ object Dedup {
     * are their own singletons by definition and are not emitted
     * (callers coalesce on join). Self-loops are ignored. */
   def components(edges: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverFoldEdges: Int = 1 << 16): DataFrame = {
     val und = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-    val sym = und
+      .filter(col("a") =!= col("b")).distinct()
+    val probe = und.limit(driverFoldEdges + 1).collect()
+    if (probe.length <= driverFoldEdges)
+      return unionFindLabels(probe, edges.sparkSession)
+    val sym = roundCheckpoint(und
       .union(und.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .distinct())
     var labels = roundCheckpoint(sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")))
     var iters = 0
@@ -527,51 +584,14 @@ object Dedup {
         coalesce(col("cb"), col("b")).as("b"))
     // delta-scale: nodes are old component REPRESENTATIVES and brand-new
     // ids; an edge inside one old component collapses to a self-loop and
-    // vanishes in either labeling arm below.
-    //
-    // THRESHOLD SWITCH on the collapsed graph's size (the
-    // searchBm25Batch isinTermLimit discipline): the collapsed graph is
-    // delta-BOUNDED by construction, and for ingest-batch folds it is
-    // tiny — but the iterative operator still pays log-diameter rounds
-    // of fixed per-job overhead on it (measured ~8 s for a 30-doc batch
-    // whatever the corpus). A bounded probe collect decides: at or
-    // under `driverFoldEdges` edges the driver labels the collapsed
-    // graph EXACTLY with min-union union-find (microseconds, same
-    // min-label semantics — union-by-min keeps every root the min of
-    // its merged set); past it the distributed operator runs as before
-    // (one wasted bounded collect, the price of deciding). Both arms
-    // return (id, min-reachable-id) for edge-incident nodes, so the
-    // fold downstream cannot tell them apart — spec-pinned by running
-    // the randomized differential through BOTH arms.
-    val probe = mapped.limit(driverFoldEdges + 1).collect()
-    val reduced: DataFrame =
-      if (probe.length <= driverFoldEdges) {
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val nx = parent(c); parent(c) = r; c = nx
-          }
-          r
-        }
-        val nodes0 = scala.collection.mutable.ArrayBuffer.empty[Long]
-        probe.foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
-          if (a != b) {
-            if (!parent.contains(a)) { parent(a) = a; nodes0 += a }
-            if (!parent.contains(b)) { parent(b) = b; nodes0 += b }
-            val ra = find(a); val rb = find(b)
-            if (ra != rb) {
-              if (ra < rb) parent(rb) = ra else parent(ra) = rb
-            }
-          }
-        }
-        val ss = prior.sparkSession
-        import ss.implicits._
-        nodes0.toSeq.map(n => (n, find(n))).toDF("id", "component")
-      } else components(mapped, "a", "b", maxIters)
+    // vanishes inside the operator. The collapsed graph is delta-BOUNDED
+    // by construction, so for ingest-batch folds [[components]]'
+    // threshold switch takes its driver union-find arm (the iterative
+    // operator would pay log-diameter rounds of fixed per-job overhead —
+    // measured ~8 s for a 30-doc batch whatever the corpus size); the
+    // switch lives in the operator itself since r18, so the fold and a
+    // from-scratch labeling share one decision rule.
+    val reduced = components(mapped, "a", "b", maxIters, driverFoldEdges)
     // reduced ids split two ways: an old component id (some endpoint
     // mapped to it — relabel its whole component) vs a previously
     // unlabeled id (label it directly). A raw id can never collide with

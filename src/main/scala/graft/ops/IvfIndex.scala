@@ -1093,10 +1093,11 @@ object IvfIndex {
     * pass's output must carry a `query_id` column with ≤ k rows per
     * query.
     *
-    * `track` receives every rung frame this ladder caches (the rung's
-    * fill-count job materializes it, so consuming the returned union
-    * reads cached blocks). The caches must OUTLIVE this call — the
-    * union is lazy — so the ladder cannot unpersist them itself;
+    * `track` receives every rung frame this ladder caches (a widening
+    * rung's fill-count job materializes it; the FINAL full-probe rung
+    * skips that job and materializes at first consumption). The caches
+    * must OUTLIVE this call — the union is lazy — so the ladder cannot
+    * unpersist them itself;
     * callers register them and release when the result has been
     * consumed (the engine drains the previous serving call's rungs at
     * the next call, bounding a long-running server's cache to one
@@ -1124,6 +1125,14 @@ object IvfIndex {
     var rungs = 0
     var cur = pass(q, np, small).cache()
     track(cur)
+    // a rung at FULL probe can never widen further, so its per-query
+    // fill-count job would decide NOTHING — skip it and leave the rung
+    // lazy (it materializes when the caller consumes the union; the
+    // engine's serving-cache registry pins whatever that consumption
+    // needs, the mask included). This cuts one job from every ladder
+    // that reaches the full probe — and from the selective-filter fast
+    // path, which STARTS there.
+    if (np >= nlist) return (cur, (np, 0))
     var cnt = fills(cur)
     // zero-hit queries never reach the pass output — starved derives
     // from the id set, not from the counts
@@ -1138,8 +1147,10 @@ object IvfIndex {
       cur = pass(q.join(sdf, Seq("query_id"), "left_semi"), np, small)
         .cache()
       track(cur)
-      cnt = fills(cur)
-      starved = starved.filter(id => cnt.getOrElse(id, 0L) < k)
+      if (np < nlist) {
+        cnt = fills(cur)
+        starved = starved.filter(id => cnt.getOrElse(id, 0L) < k)
+      } else starved = Array.empty[Long] // full probe: the rung is final
     }
     parts += cur // final rung: filled, or exact at full probe
     (parts.reduce(_.unionAll(_)), (np, rungs))

@@ -1223,6 +1223,41 @@ object MemoQueries {
     engine.dupGroups().orderBy(col("id"))
   }
 
+  /** Keep-one-per-duplicate-group compaction ([[graft.memo.MemoEngine
+    * .dedupCompact]]): q119's minted triplet clusters (ids 3k..3k+2
+    * share a shingle-disjoint body) plus one soft-DELETED unique doc
+    * compact in ONE versioned commit — every group keeps its smallest
+    * member, the deleted row drops with them (reindex's drop set,
+    * generalized), and ids re-sequence dense. The build REQUIRES the
+    * drop count (60 duplicates + 1 deleted), an EMPTY post-compact
+    * labeling (the artifact families converge through the rewrite),
+    * and a survivor count of 30; the oracle replays the survivor set —
+    * body of old id 3k at new id k — so the hash pins both the keep
+    * rule and the re-sequencing. BUILD-ONCE per sf-dir. */
+  private val q120DedupCompact: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q120dedup", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    if (!java.nio.file.Files.exists(done)) {
+      if (engine.exists) engine.clean() // torn prior build: start over
+      engine.save((0 until 90).map { i =>
+        val k = i / 3
+        s"---\nbody: item$k alpha$k beta$k gamma$k delta$k epsilon$k\n"
+      }.mkString +
+        "---\nbody: soon gone unique filler\nmetadata: {deleted: true}\n")
+      val dropped = engine.dedupCompact()
+      require(dropped == 61,
+        s"q120 expected 60 duplicates + 1 deleted dropped, got $dropped")
+      require(engine.dupGroups().isEmpty,
+        "q120 post-compact labeling must be empty — every group is one doc")
+      require(engine.records.count() == 30,
+        "q120 expected 30 surviving docs")
+      java.nio.file.Files.createFile(done)
+    }
+    engine.records.select(col("id"), col("body")).orderBy(col("id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -1256,6 +1291,7 @@ object MemoQueries {
     "q115_sharded_view" -> q115ShardedView,
     "q116_retrain_serve" -> q116RetrainServe,
     "q119_dup_groups" -> q119DupGroups,
+    "q120_dedup_compact" -> q120DedupCompact,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1479,6 +1515,20 @@ object MemoQueries {
       """SELECT CAST(range AS BIGINT) AS id,
         | CAST((range // 3) * 3 AS BIGINT) AS component
         |FROM range(90) ORDER BY id""".stripMargin,
+    // q120 replay: the survivor set of the keep-one-per-group
+    // compaction — one doc per minted cluster, dense re-sequenced, so
+    // new id k carries old id 3k's body. The build pass REQUIRED the
+    // drop count and the empty post-compact labeling, so this hash
+    // pins the keep rule AND the re-sequencing.
+    "q120_dedup_compact" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        | 'item' || CAST(range AS VARCHAR) ||
+        | ' alpha' || CAST(range AS VARCHAR) ||
+        | ' beta' || CAST(range AS VARCHAR) ||
+        | ' gamma' || CAST(range AS VARCHAR) ||
+        | ' delta' || CAST(range AS VARCHAR) ||
+        | ' epsilon' || CAST(range AS VARCHAR) AS body
+        |FROM range(30) ORDER BY id""".stripMargin,
     // q112 replay: the stats-pairs minting rules — doc ordinal mints
     // (lang, src), the en rows group by src, raw values are the typed
     // 's'-prefixed encodings. The query REQUIRES the pairs came from

@@ -552,6 +552,18 @@ class CliSpec extends SparkTestBase {
         o2.contains("Groups: 1 (3 docs)"), o2)
       assert(run("-f", db, "dups", "1.5")._1 == 1)
       assert(run("-f", db, "dups", "0.8", "0.5")._1 == 1)
+      // dedup verb: keep-one-per-group compaction — the group's two
+      // non-representative members drop, the unique doc survives, the
+      // store re-sequences dense, and the labeling comes back empty
+      val (c3, o3) = run("-f", db, "dedup")
+      assert(c3 == 0 && o3.contains("dropped 2"), o3)
+      val (c4, o4) = run("-f", db, "dups")
+      assert(c4 == 0 && o4.contains("Groups: 0 (0 docs)"), o4)
+      // idempotent: a second compact finds nothing left to drop
+      val (c5, o5) = run("-f", db, "dedup")
+      assert(c5 == 0 && o5.contains("dropped 0"), o5)
+      assert(run("-f", db, "dedup", "1.5")._1 == 1)
+      assert(run("-f", db, "dedup", "0.8", "0.5")._1 == 1)
       run("-f", db, "clean")
     }
   }

@@ -192,9 +192,11 @@ class DedupSpec extends SparkTestBase {
       "cap must keep the smallest ids")
   }
 
-  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def comps(edges: Seq[(Long, Long)],
+      driverFoldEdges: Int = 1 << 16): Map[Long, Long] = {
     import spark.implicits._
-    Dedup.components(edges.toDF("a", "b"), "a", "b").collect()
+    Dedup.components(edges.toDF("a", "b"), "a", "b",
+        driverFoldEdges = driverFoldEdges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -215,13 +217,18 @@ class DedupSpec extends SparkTestBase {
 
   test("components: chains, stars, cycles, and disjoint pieces label by " +
       "component MIN; a long path converges inside the log-diameter " +
-      "budget; randomized graphs match a union-find oracle") {
+      "budget; randomized graphs match a union-find oracle — BOTH " +
+      "threshold arms (driver union-find and distributed)") {
     // a 64-node path (diameter 63): pointer jumping must converge well
-    // under the 20-round budget (plain propagation would need 63)
+    // under the 20-round budget (plain propagation would need 63) —
+    // driverFoldEdges = 0 forces the distributed arm, which the default
+    // threshold would otherwise never take on a graph this small
     val path = (0L until 63L).map(i => (i, i + 1))
-    val pc = comps(path)
+    val pc = comps(path, driverFoldEdges = 0)
     assert(pc.size == 64 && pc.values.forall(_ == 0L),
       s"path must collapse to component 0: $pc")
+    assert(comps(path) == pc,
+      "driver union-find arm diverged from the distributed arm on the path")
     // star with high-id hub + cycle + disjoint pair, one frame
     val mixed = Seq((100L, 7L), (100L, 9L), (100L, 8L), // star, min 7
       (20L, 21L), (21L, 22L), (22L, 20L),               // cycle, min 20
@@ -235,14 +242,16 @@ class DedupSpec extends SparkTestBase {
     assert(comps(Seq((5L, 5L))).isEmpty)
     assert(comps(Seq((1L, 2L), (2L, 1L), (1L, 2L))) ==
       Map(1L -> 1L, 2L -> 1L))
-    // randomized differential vs union-find, three seeds
+    // randomized differential vs union-find, three seeds, both arms
     Seq(11L, 23L, 47L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val edges = Seq.fill(150)(
         (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
         .filter(e => e._1 != e._2)
       assert(comps(edges) == ufOracle(edges),
-        s"seed $seed diverged from union-find")
+        s"seed $seed diverged from union-find (driver arm)")
+      assert(comps(edges, driverFoldEdges = 0) == ufOracle(edges),
+        s"seed $seed diverged from union-find (distributed arm)")
     }
   }
 

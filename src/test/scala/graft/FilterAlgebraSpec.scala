@@ -149,6 +149,35 @@ class FilterAlgebraSpec extends SparkTestBase {
     assert(matches(meta, "{n: {$gte: 0x7}}")) // hex int operand
   }
 
+  test("canonicalize: single-element $and/$or unwrap, commutative " +
+      "sibling sort, empty-$and drop — and NOTHING below the condition " +
+      "level rewrites (different predicates never collapse)") {
+    def c(s: String): String = FilterAlgebra.operandStr(
+      FilterAlgebra.canonicalize(FilterAlgebra.parse(s)))
+    // trivial wrappers collapse
+    assert(c("$and: [{lang: en}]") == c("lang: en"))
+    assert(c("$or: [{lang: en}]") == c("lang: en"))
+    assert(c("{$and: [], a: 1}") == c("a: 1")) // all([]) is TRUE
+    // commutative siblings sort: implicit-AND keys and combinator lists
+    assert(c("{b: 2, a: 1}") == c("{a: 1, b: 2}"))
+    assert(c("$and: [{b: 2}, {a: 1}]") == c("$and: [{a: 1}, {b: 2}]"))
+    assert(c("$or: [{b: 2}, {a: 1}]") == c("$or: [{a: 1}, {b: 2}]"))
+    // nested wrappers unwrap recursively inside list elements
+    assert(c("$or: [{$and: [{a: 1}]}, {b: 2}]") == c("$or: [{a: 1}, {b: 2}]"))
+    // genuinely different predicates stay different
+    assert(c("lang: en") != c("lang: fr"))
+    assert(c("$or: [{a: 1}, {b: 2}]") != c("$and: [{a: 1}, {b: 2}]"))
+    assert(c("$or: []") != c("{}")) // any([]) is FALSE, not the empty TRUE
+    // operand-dict insertion order is semantic (Python str() equality):
+    // never sorted
+    assert(c("k: \"{'a': 1, 'b': 2}\"") == c("k: \"{'a': 1, 'b': 2}\""))
+    assert(c("{k: {$gte: 1, $lte: 9}}") != c("{k: {$lte: 9, $gte: 1}}"))
+    // a splice that would collide with a sibling key keeps the wrapper
+    // (both conjuncts must hold; a map can carry only one)
+    assert(c("{lang: en, $and: [{lang: fr}]}") != c("lang: en"))
+    assert(c("{lang: en, $and: [{lang: fr}]}") != c("lang: fr"))
+  }
+
   test("filter keys are literal — no dotted traversal into nested maps") {
     // reference eval_condition: `key not in data` — "user.name" is a plain
     // (missing) key here, NOT a path into the nested map under "user"

@@ -473,6 +473,70 @@ class MemoConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("dedupCompact racing an appender: the keep-one-per-group rewrite " +
+      "and concurrent saves interleave on the optimistic token — no " +
+      "appended doc is ever silently dropped, and post-quiesce one " +
+      "final compact leaves exactly one doc per duplicate group") {
+    import org.apache.spark.sql.functions.col
+    val db = freshStore()
+    val e1 = new MemoEngine(spark, db)
+    val e2 = new MemoEngine(spark, db)
+    def body(k: Int) = s"compactdoc$k alpha$k beta$k gamma$k delta$k"
+    // 8 triplets: compaction has work from the start
+    e1.save((0 until 24).map(i => s"---\nbody: ${body(i / 3)}\n").mkString)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def transient(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("") + " " +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      m.contains("NoSuchFile") || m.contains("FILE_NOT_EXIST") ||
+        m.contains("does not exist")
+    }
+    try {
+      // appends land duplicates of clusters 8..13 (3 copies each) while
+      // the compactor repeatedly rewrites the store
+      val appender = Future {
+        (0 until 6).foreach { b =>
+          e1.save((0 until 3).map(_ =>
+            s"---\nbody: ${body(8 + b)}\n").mkString)
+        }
+      }
+      val compactor = Future {
+        var compacts = 0
+        var rounds = 0
+        // ≥ 1 completed compact even if the appender wins the start race
+        while ((compacts == 0 || !appender.isCompleted) && rounds < 12) {
+          try { e2.dedupCompact(); compacts += 1 }
+          catch { case e: Throwable if transient(e) => () }
+          rounds += 1
+        }
+        compacts
+      }
+      val compacts = Await.result(
+        appender.flatMap(_ => compactor), 300.seconds)
+      assert(compacts >= 1, "the compactor never completed a commit")
+      // quiesce: one final compact, then the invariants — every
+      // distinct body survives EXACTLY once (no appended doc was
+      // dropped by a racing rewrite; CAS + retry re-derived the
+      // labeling from fresh state each time), ids are dense, and the
+      // labeling is empty
+      e1.dedupCompact()
+      val bodies = e1.records.select(col("body")).collect()
+        .map(_.getString(0)).toSeq
+      assert(bodies.size == bodies.distinct.size,
+        s"duplicates survived the final compact: ${bodies.size} vs " +
+          s"${bodies.distinct.size}")
+      assert(bodies.toSet == (0 until 14).map(body).toSet,
+        s"a cluster's last survivor vanished: ${bodies.sorted}")
+      val ids = e1.records.select(col("id")).collect()
+        .map(_.getLong(0)).sorted
+      assert(ids.sameElements(0L until 14L),
+        s"post-compact ids not dense: ${ids.mkString(",")}")
+      assert(e1.dupGroups().isEmpty, "post-compact labeling not empty")
+      e1.clean()
+    } finally pool.shutdown()
+  }
+
   test("vacuum sweeps stale staging corpses, spares fresh attempts") {
     val db = freshStore()
     val engine = new MemoEngine(spark, db)

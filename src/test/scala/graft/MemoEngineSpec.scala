@@ -1368,10 +1368,22 @@ class MemoEngineSpec extends SparkTestBase {
     engine.statsPairs("lang: en", "src").collect()
     assert(engine.lastStatsSource.contains("view:cardsrc"),
       "a parse-equivalent filter spelling must still cover")
+    // ...and CANONICAL-level: a single-element $and wrapper is the same
+    // predicate (all([x]) = x) and must not fall to the scan arm
+    assert(engine.statsPairs("$and: [{lang: en}]", "src").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet == viaScan)
+    assert(engine.lastStatsSource.contains("view:cardsrc"),
+      "a single-element $and wrapper must still cover")
+    engine.statsPairs("$or: [{lang: en}]", "src").collect()
+    assert(engine.lastStatsSource.contains("view:cardsrc"),
+      "a single-element $or wrapper must still cover")
     // uncovered asks: different filter, different key → scan fallback
     engine.statsPairs("{lang: sw}", "src").collect()
     assert(engine.lastStatsSource.contains("scan"),
       "a different filter must not be served from the view")
+    engine.statsPairs("$and: [{lang: en}, {src: s1}]", "src").collect()
+    assert(engine.lastStatsSource.contains("scan"),
+      "a genuinely stronger conjunction must not be served from the view")
     engine.statsPairs(filter, "lang").collect()
     assert(engine.lastStatsSource.contains("scan"),
       "a different key must not be served from the view")
@@ -1592,6 +1604,13 @@ class MemoEngineSpec extends SparkTestBase {
     // coverage is PARSE-level: the brace-less spelling still covers
     assert(engine.analyzeCount("lang: en") == 2)
     assert(engine.lastCountSource.contains("view:c1"))
+    // ...and CANONICAL-level: the $and-wrapped spelling of the same
+    // predicate covers; a genuinely different one scans
+    assert(engine.analyzeCount("$and: [{lang: en}]") == 2)
+    assert(engine.lastCountSource.contains("view:c1"),
+      s"expected the view route, got ${engine.lastCountSource}")
+    assert(engine.analyzeCount("$or: [{lang: en}, {lang: sw}]") == 3)
+    assert(engine.lastCountSource.contains("scan"))
     // the match-all ask: the reference SKIPS metadata-less records
     // before evaluating any filter (memo_cli.py:670-672), so the scan
     // counts 3 of 4 — and a WHERE-LESS view (which counts every row,
@@ -1761,15 +1780,54 @@ class MemoEngineSpec extends SparkTestBase {
         s"dup fold rewrote prior signature file $f — not O(batch)")
     }
     // a patch (removal of one cluster-0 member) is not provably
-    // append-only → honest rebuild; the removed id leaves the labeling
+    // append-only → the RETRACT fold: only components containing a
+    // touched id relabel; the removed id leaves the labeling and every
+    // untouched group's label file survives byte-identical (the prior
+    // generation is only REPLACED, so the O(touched) pin here is that
+    // the fold equals the oracle while lastDupMode proves the corpus-
+    // wide components() never ran)
     engine.applyChanges(Seq(
         (1L, "removed", "", Map.empty[String, String]))
       .toDF("id", "change", "body", "metadata")
       .withColumn("commit_version", lit(0L)))
     val l3 = labelsOf(engine.dupGroups())
-    assert(engine.lastDupMode.contains("rebuild"), engine.lastDupMode)
+    assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
     assert(!l3.contains(1L) && l3(2L) == 0L, l3)
     assert(l3 == oracle())
+    // untouched groups pass through verbatim
+    l2.foreach { case (id, c) =>
+      if (id != 1L && c != 0L && id < 24L)
+        assert(l3(id) == c, s"untouched label moved: $id $c -> ${l3.get(id)}")
+    }
+    // a delete that leaves its group a SINGLETON drops the survivor's
+    // row too (groups are size ≥ 2 by definition): remove two of
+    // cluster 3's three members
+    engine.applyChanges(Seq(
+        (9L, "removed", "", Map.empty[String, String]),
+        (10L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(1L)))
+    val l4 = labelsOf(engine.dupGroups())
+    assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
+    assert(!l4.contains(9L) && !l4.contains(10L) && !l4.contains(11L),
+      s"a group shrunk to one member must drop entirely: $l4")
+    assert(l4 == oracle())
+    // an EDIT that moves a doc between groups retracts-and-merges: doc 4
+    // (cluster 1) rewrites to cluster 2's body — cluster 1 keeps its
+    // other two members, cluster 2 gains doc 4, whose id is the merged
+    // group's new minimum (the whole gaining group must relabel)
+    engine.save(s"---\nid: 4\nbody: ${clusterBody(2)}\n")
+    val l5 = labelsOf(engine.dupGroups())
+    assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
+    assert(l5(4L) == 4L && l5(6L) == 4L && l5(24L) == 4L &&
+      l5(3L) == 3L && l5(5L) == 3L, l5)
+    assert(l5 == oracle())
+    // a REINDEX re-sequences every id — corpus-scale diff, so the
+    // retract gate must fall through to the honest rebuild
+    engine.reindex()
+    val l6 = labelsOf(engine.dupGroups())
+    assert(engine.lastDupMode.contains("rebuild"), engine.lastDupMode)
+    assert(l6 == oracle())
     // threshold participates in identity: a different minJaccard
     // rebuilds under the new spec rather than serving the old labeling
     engine.dupGroups(0.5).collect()
