@@ -1139,10 +1139,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
   /** Widening-rung caches, keyed by SERVING-CALL TOKEN. A fill ladder
     * caches each rung (a widening rung's fill-count job materializes
     * it; the final full-probe rung skips that job and materializes at
-    * first consumption — which is why the filter MASK registers here
-    * too), and the union is LAZY — the rungs must stay pinned until
-    * the caller has consumed the result, so the ladder can't unpersist
-    * them itself. Unbounded
+    * first consumption, reading the batch entry points' eagerly
+    * checkpointed filter mask), and the union is LAZY — the rungs must
+    * stay pinned until the caller has consumed the result, so the
+    * ladder can't unpersist them itself. Unbounded
     * accumulation across calls is the failure mode this registry kills,
     * WITHOUT letting concurrent servers thrash each other: every batch
     * serving entry point takes a token ([[beginServingCall]]), registers
@@ -1404,10 +1404,18 @@ class MemoEngine(spark: SparkSession, basePath: String,
               .select(col("query_id"), col("id"), col("score"),
                 col("body"))
           case Some(f) =>
-            val mask = annMask(f).cache()
+            // eagerly MATERIALIZED (localCheckpoint), not cache()d: the
+            // ladder's final full-probe rung stays lazy (its fill-count
+            // job decides nothing and is skipped), so the mask must
+            // survive until the caller consumes the result — a
+            // CacheManager entry would need unpersist bookkeeping (and
+            // identical filter plans across calls SHARE one entry, so a
+            // drain could uncache an in-flight twin); checkpointed
+            // blocks are reclaimed by the ContextCleaner when the
+            // result frame becomes unreachable
+            val mask = annMask(f).localCheckpoint(true)
             val survivors = mask.count()
             if (survivors == 0) {
-              mask.unpersist()
               lastBatchAnnWiden = Some((0, 0))
               emptyFrame(outSchema)
             } else {
@@ -1426,12 +1434,6 @@ class MemoEngine(spark: SparkSession, basePath: String,
               lastBatchAnnWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
-              // the final full-probe rung stays LAZY (its fill-count
-              // job decides nothing and is skipped), so the mask must
-              // outlive this call for its first consumption — it rides
-              // the serving-cache registry with the rungs and drains on
-              // the same schedule
-              registerServingCache(srvTok)(mask)
               afterServingLadderHook(srvTok)
               hits
                 .join(recordsForFilter(f).select(col("id"), col("body")),
@@ -1488,10 +1490,12 @@ class MemoEngine(spark: SparkSession, basePath: String,
               .select(col("query_id"), col("id"), col("score"),
                 col("body"))
           case Some(f) =>
-            val mask = annMask(f).cache()
+            // see annRecallBatch: eagerly materialized, never cache()d —
+            // the lazy final rung reads checkpointed blocks at
+            // consumption, reclaimed by the ContextCleaner afterwards
+            val mask = annMask(f).localCheckpoint(true)
             val survivors = mask.count()
             if (survivors == 0) {
-              mask.unpersist()
               lastBatchPqWiden = Some((0, 0))
               emptyFrame(outSchema)
             } else {
@@ -1511,9 +1515,6 @@ class MemoEngine(spark: SparkSession, basePath: String,
               lastBatchPqWiden =
                 Some(if (survivors <= k && np0 > nprobe)
                   (widen._1, widen._2 + 1) else widen)
-              // see annRecallBatch: the lazy final rung needs the mask
-              // at consumption — it drains with the rung caches
-              registerServingCache(srvTok)(mask)
               afterServingLadderHook(srvTok)
               hits
                 .join(recordsForFilter(f).select(col("id"), col("body")),

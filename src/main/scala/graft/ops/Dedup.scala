@@ -43,17 +43,20 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
       bucketCap: Int = BucketCap.DefaultCap): DataFrame =
-    // Signatures are recomputed per plan branch inside signaturePairs
-    // (band self-join + two verification joins — a bounded ~4× of the
-    // narrow per-row minhash map, paid ONCE because every consumer
-    // evaluates the pair frame once: [[components]] checkpoints its edge
-    // set before iterating). The previous shape persisted the signature
-    // frame here instead — but a caller-side persist can never be
-    // released after the lazy pair frame escapes, leaking one fat cached
-    // frame per call into the session-lifetime CacheManager. At 100 TB
-    // this is the PERSISTED artifact anyway ([[writeSignatures]]), and
+    // The signature frame is EAGERLY TRUNCATED ([[roundCheckpoint]]),
+    // not persist()ed: signaturePairs reads it from four plan branches
+    // (band self-join + two verification joins), so it must materialize
+    // exactly once — but a caller-side persist can never be released
+    // after the lazy pair frame escapes, leaking one fat cached frame
+    // per call into the session-lifetime CacheManager. The checkpointed
+    // RDD lives in the block manager instead, unpinned by the
+    // ContextCleaner as soon as the pair frame is unreachable — and the
+    // pair PLAN above it stays visible (PlanSpec pins the bucket-cap
+    // WindowGroupLimit pushdown on exactly this frame). At 100 TB this
+    // is the PERSISTED artifact anyway ([[writeSignatures]]), and
     // [[signaturePairs]] is called on it directly.
-    signaturePairs(computeSignatures(df, idCol, textCol, numHashes),
+    signaturePairs(
+      roundCheckpoint(computeSignatures(df, idCol, textCol, numHashes)),
       numHashes, bands, minJaccard, bucketCap)
 
   /** Near-dup candidate pairs from an (id, sig) signature table — the

@@ -1838,7 +1838,9 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
-  test("delete lifecycle: one reindex converges ALL FOUR maintained artifacts") {
+  test("delete lifecycle: one reindex converges the maintained artifact " +
+      "families, and the post-compact chain (dedupCompact) converges " +
+      "them again") {
     // The cross-family convergence path the per-family specs don't walk:
     // soft-delete → reindex (a chain REWRITE, so every ensure* must take
     // its rebuild-from-CAPTURED-version arm, not the append catch-up) →
@@ -1890,6 +1892,34 @@ class MemoEngineSpec extends SparkTestBase {
     assert(readmit == Set(600L),
       s"post-reindex admission wrong: $readmit (victim must re-admit, " +
         "survivor dup must still gate)")
+    // THE POST-COMPACT CHAIN (r18): plant an identical-text triplet,
+    // dedupCompact (a chain rewrite triggered by the labeling's own
+    // consumer), and the families converge again — exactly one planted
+    // member survives, recall serves live docs only, admission still
+    // gates on the survivor's signature, and a second compact is a
+    // no-op (the labeling reflects the compacted corpus)
+    val planted = "compactable widget zephyr99 alpha99 beta99 gamma99 delta99"
+    engine.save((0 until 3).map(_ => s"---\nbody: $planted\n").mkString)
+    val dropped = engine.dedupCompact()
+    assert(dropped >= 2, s"the planted triplet must lose two members: $dropped")
+    val live2 = engine.records.select("body").collect()
+      .map(_.getString(0)).toSeq
+    assert(live2.count(_ == planted) == 1,
+      "exactly one planted member survives the compact")
+    assert(live2.size == live2.distinct.size,
+      "post-compact corpus still holds exact duplicates")
+    val ann2 = engine.annRecall(planted, k = 5).collect()
+    assert(ann2.nonEmpty &&
+      ann2.forall(r => live2.contains(r.getAs[String]("body"))),
+      "post-compact ANN served a compacted-away doc")
+    val hyb2 = engine.hybridRecall("zephyr99 alpha99 beta99", k = 5).collect()
+    assert(hyb2.nonEmpty &&
+      hyb2.forall(r => live2.contains(r.getAs[String]("body"))),
+      "post-compact hybrid recall served a compacted-away doc")
+    assert(engine.admitNew(Seq((700L, planted)).toDF("id", "body"))
+      .count() == 0,
+      "post-compact: the survivor's signature must still gate its dup")
+    assert(engine.dedupCompact() == 0, "second compact must be a no-op")
     engine.clean()
   }
 
