@@ -893,13 +893,31 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .filter(!isBlank(col("body"))).select(col("id"), col("body"))
 
   private def ensureLexical(): Unit = {
+    lastLexMode = Some("fresh")
     ensureArtifact[Unit](lexDir, "records", beforeLexicalBuildHook)(
-      appendSeg = (seg, ver) => graft.ops.Lexical.appendOnce(
-        bodyCorpus(Seq(seg)), "id", "body", lexDir,
-        batchId = ver, lineage = "storev"),
+      appendSeg = (seg, ver) => {
+        lastLexMode = Some("append")
+        graft.ops.Lexical.appendOnce(
+          bodyCorpus(Seq(seg)), "id", "body", lexDir,
+          batchId = ver, lineage = "storev")
+      },
       rebuild = v => {
-        graft.ops.Lexical.writeIndex(
-          bodyCorpus(segments(v, "records")), "id", "body", lexDir)
+        // RETRACT arm ([[familyRetract]]): a pure-delete/add patch
+        // tombstones dead docs (negative df deltas retreat the
+        // termstats, probes anti-join the tombstones) and appends added
+        // docs — O(touched) vs re-tokenizing the corpus. BM25 keeps the
+        // Lucene deleted-docs convention: idf/N/avgdl retreat exactly by
+        // the deleted docs' own stats.
+        if (familyWatermark(lexDir).exists(v0 =>
+            familyRetract(v0, v)(bodyCorpusAt)(
+              d => graft.ops.Lexical.delete(d, "id", "body", lexDir))(
+              a => graft.ops.Lexical.append(a, "id", "body", lexDir))))
+          lastLexMode = Some("retract")
+        else {
+          lastLexMode = Some("rebuild")
+          graft.ops.Lexical.writeIndex(
+            bodyCorpus(segments(v, "records")), "id", "body", lexDir)
+        }
         Some(())
       },
       serve = () => Some(()))
@@ -928,12 +946,38 @@ class MemoEngine(spark: SparkSession, basePath: String,
     *
     * Returns the centroid matrix, or None for an empty corpus (no cells
     * to probe — callers fall back to the exact ranking). */
-  private def ensureIvf(): Option[Array[Array[Float]]] =
+  private def ensureIvf(): Option[Array[Array[Float]]] = {
+    lastIvfMode = Some("fresh")
     ensureArtifact(ivfDir, "index")(
-      appendSeg = (seg, _) => graft.ops.IvfIndex.append(
-        spark.read.parquet(seg), "id", "embedding", ivfDir),
-      rebuild = rebuildIvf,
+      appendSeg = (seg, _) => {
+        lastIvfMode = Some("append")
+        graft.ops.IvfIndex.append(
+          spark.read.parquet(seg), "id", "embedding", ivfDir)
+        ()
+      },
+      rebuild = v => {
+        // RETRACT arm ([[familyRetract]]): a pure-delete/add patch
+        // tombstones dead vectors (probes anti-join them until
+        // [[graft.ops.IvfIndex.applyDeletes]] compacts the affected
+        // cells) and cell-appends added vectors — O(touched), centroids
+        // untouched (a delete perturbs the coarse quantizer no more than
+        // an ingest increment; occupancy drift is the retrain trigger's
+        // job either way)
+        if (familyWatermark(ivfDir).exists(v0 =>
+            familyRetract(v0, v)(
+              ver => indexAt(ver).select(col("id"), col("embedding")))(
+              d => graft.ops.IvfIndex.delete(d, "id", "embedding", ivfDir))(
+              a => { graft.ops.IvfIndex.append(a, "id", "embedding", ivfDir)
+                     () }))) {
+          lastIvfMode = Some("retract")
+          graft.ops.IvfIndex.readCentroids(spark, ivfDir)
+        } else {
+          lastIvfMode = Some("rebuild")
+          rebuildIvf(v)
+        }
+      },
       serve = () => graft.ops.IvfIndex.readCentroids(spark, ivfDir))
+  }
 
   /** Rebuild arm of [[ensureIvf]]: train + persist from the captured
     * version's index segments. nlist scales as min(default, corpus size)
@@ -1539,12 +1583,32 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * artifact rebuilds from the CAPTURED version's segments (the
     * [[ensureLexical]] race argument verbatim). nlist/ksub clamp to the
     * corpus size on rebuild so tiny stores still train. */
-  private def ensurePq(): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
+  private def ensurePq(): Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = {
+    lastPqMode = Some("fresh")
     ensureArtifact(pqDir, "index")(
-      appendSeg = (seg, _) => graft.ops.PqIndex.appendIvfPq(
-        spark.read.parquet(seg), "id", "embedding", pqDir),
-      rebuild = rebuildPq,
+      appendSeg = (seg, _) => {
+        lastPqMode = Some("append")
+        graft.ops.PqIndex.appendIvfPq(
+          spark.read.parquet(seg), "id", "embedding", pqDir)
+      },
+      rebuild = v => {
+        // RETRACT arm — [[ensureIvf]]'s argument on the compressed
+        // family: tombstone dead codes, encode-append added vectors,
+        // both quantizers untouched
+        if (familyWatermark(pqDir).exists(v0 =>
+            familyRetract(v0, v)(
+              ver => indexAt(ver).select(col("id"), col("embedding")))(
+              d => graft.ops.PqIndex.deleteIvfPq(d, "id", "embedding", pqDir))(
+              a => graft.ops.PqIndex.appendIvfPq(a, "id", "embedding", pqDir)))) {
+          lastPqMode = Some("retract")
+          graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
+        } else {
+          lastPqMode = Some("rebuild")
+          rebuildPq(v)
+        }
+      },
       serve = () => graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir))
+  }
 
   /** Rebuild arm of [[ensurePq]]: train + encode from the captured
     * version's index segments. */
@@ -1628,13 +1692,125 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * signs just the new segments ([[graft.ops.Dedup.appendSignatures]],
     * O(batch)); rewrites rebuild from the captured version. Corpus =
     * non-blank bodies (the [[ensureLexical]] corpus rule). */
+  /** Test seam: which arm the last [[ensureSignatures]] walk took —
+    * "fresh" | "append" | "retract" | "rebuild". Production never
+    * reads it. */
+  private[graft] var lastSigMode: Option[String] = None
+
+  /** [[lastSigMode]]'s twins for the other maintained families. */
+  private[graft] var lastLexMode: Option[String] = None
+  private[graft] var lastIvfMode: Option[String] = None
+  private[graft] var lastPqMode: Option[String] = None
+
+  /** Classify the v0→v records diff for a maintained family's RETRACT
+    * fold: Some((deadIds, addedIds)) — both eagerly truncated — when the
+    * window is PURE deletes-and-adds; None when the prior is
+    * unresolvable (vacuumed), the diff is corpus-scale (a reindex
+    * re-sequenced every id — relabeling everything incrementally is the
+    * slow way to a rebuild), or a body EDIT is present. Edits can never
+    * fold: every family's append contract refuses re-adding an id with
+    * a pending tombstone (the old rows are physically present, so the
+    * tombstone would mask the new ones while the stamp advanced), and
+    * that refusal is correct — so the steady-state patch shape (soft
+    * deletes, plus the occasional add) folds, and content rewrites pay
+    * the rebuild they genuinely need. `dead` = removed rows and edits
+    * that blanked the body (the corpus rule all families sign under);
+    * `added` = brand-new non-blank rows. */
+  private def retractableDiff(v0: Long, v: Long)
+      : Option[(DataFrame, DataFrame)] = {
+    if (v0 >= v || !Files.isDirectory(versionDir(v0))) return None
+    val diff =
+      // unresolvable priors surface as the checked refusal OR as an
+      // analysis error from a half-vacuumed chain's missing paths —
+      // both mean the same thing here: no incremental window, rebuild
+      try changesBetween(v0, v).persist()
+      catch {
+        case _: IllegalArgumentException => return None
+        case _: org.apache.spark.sql.AnalysisException => return None
+      }
+    try {
+      val nDiff = diff.count()
+      if (nDiff * 2 > math.max(maxRecordId + 1, 1L)) return None
+      // METADATA-ONLY updates are no-ops for every body-indexing family
+      // — only a genuine body change (or a blank→non-blank resurrection)
+      // refuses the fold, so the tag-and-retag patch shape stays free
+      val edited = diff.filter(col("change") === "updated" &&
+        !isBlank(col("body")))
+      val bodyChanged = edited
+        .join(recordsAt(v0).select(col("id"), col("body").as("body0")),
+          Seq("id"))
+        .filter(!(col("body") <=> col("body0"))).limit(1).count()
+      if (bodyChanged > 0) return None
+      Some((
+        diff.filter(col("change") === "removed" || isBlank(col("body")))
+          .select(col("id")).localCheckpoint(true),
+        diff.filter(col("change") === "added" && !isBlank(col("body")))
+          .select(col("id")).localCheckpoint(true)))
+    } finally diff.unpersist()
+  }
+
+  /** One family's retract fold over a classified diff — the
+    * delete-then-append application every maintained family shares:
+    * `rowsAt(version)` serves the family's indexed rows (text families:
+    * the non-blank (id, body) corpus; vector families: the (id,
+    * embedding) index chain), dead rows fetch their v0-side state (the
+    * additive stamp facts retreat against EXACTLY what was indexed),
+    * added rows their v-side state. False — a torn artifact or a
+    * tombstone-contract violation (a re-minted id colliding with a
+    * pending delete) — falls to the family's rebuild, which sweeps all
+    * tombstones. An empty diff (layout-only rewrite: [[clusterBy]],
+    * [[compact]]) runs neither arm and just advances the watermark. */
+  private def familyRetract(v0: Long, v: Long)(
+      rowsAt: Long => DataFrame)(
+      deleteRows: DataFrame => Unit)(appendRows: DataFrame => Unit)
+      : Boolean =
+    retractableDiff(v0, v).exists { case (dead, added) =>
+      try {
+        val deadRows = rowsAt(v0).join(dead, Seq("id"), "left_semi")
+        if (deadRows.limit(1).count() > 0) deleteRows(deadRows)
+        val addRows = rowsAt(v).join(added, Seq("id"), "left_semi")
+        if (addRows.limit(1).count() > 0) appendRows(addRows)
+        true
+      } catch {
+        case _: IllegalStateException => false // torn/contract: rebuild
+        case _: org.apache.spark.sql.AnalysisException => false // vacuumed
+      }
+    }
+
+  private def familyWatermark(artDir: String): Option[Long] =
+    ArtifactMeta.read(spark, artDir, LexVersionFile)
+      .flatMap(_.toLongOption).filter(_ >= 0)
+
+  /** The non-blank (id, body) corpus at a committed version — what the
+    * text families (postings, signatures) indexed there. */
+  private def bodyCorpusAt(ver: Long): DataFrame =
+    recordsAt(ver).filter(!isBlank(col("body")))
+      .select(col("id"), col("body"))
+
   private def ensureSignatures(): Unit = {
+    lastSigMode = Some("fresh")
     ensureArtifact[Unit](sigDir, "records")(
-      appendSeg = (seg, _) => graft.ops.Dedup.appendSignatures(
-        bodyCorpus(Seq(seg)), "id", "body", sigDir),
+      appendSeg = (seg, _) => {
+        lastSigMode = Some("append")
+        graft.ops.Dedup.appendSignatures(
+          bodyCorpus(Seq(seg)), "id", "body", sigDir)
+      },
       rebuild = v => {
-        graft.ops.Dedup.writeSignatures(
-          bodyCorpus(segments(v, "records")), "id", "body", sigDir)
+        // RETRACT arm ([[familyRetract]]): a pure-delete/add patch
+        // tombstones dead rows ([[graft.ops.Dedup.deleteSignatures]] —
+        // [[graft.ops.Dedup.loadSignatures]] anti-joins them, so every
+        // signature consumer sees the retraction immediately) and signs
+        // added rows, O(touched) instead of re-minhashing the corpus
+        if (familyWatermark(sigDir).exists(v0 =>
+            familyRetract(v0, v)(bodyCorpusAt)(
+              d => graft.ops.Dedup.deleteSignatures(d, "id", "body", sigDir))(
+              a => graft.ops.Dedup.appendSignatures(a, "id", "body", sigDir))))
+          lastSigMode = Some("retract")
+        else {
+          lastSigMode = Some("rebuild")
+          graft.ops.Dedup.writeSignatures(
+            bodyCorpus(segments(v, "records")), "id", "body", sigDir)
+        }
         Some(())
       },
       serve = () => Some(()))

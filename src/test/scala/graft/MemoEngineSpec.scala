@@ -1786,12 +1786,23 @@ class MemoEngineSpec extends SparkTestBase {
     // generation is only REPLACED, so the O(touched) pin here is that
     // the fold equals the oracle while lastDupMode proves the corpus-
     // wide components() never ran)
+    val sigFilesPrePatch = artifactFiles(db, "_minhash")
     engine.applyChanges(Seq(
         (1L, "removed", "", Map.empty[String, String]))
       .toDF("id", "change", "body", "metadata")
       .withColumn("commit_version", lit(0L)))
     val l3 = labelsOf(engine.dupGroups())
     assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
+    // ...and the SIGNATURE family retracted too (tombstone fold — a
+    // pure-delete patch must not re-minhash the corpus): every prior
+    // signature parquet file survives byte-identical
+    assert(engine.lastSigMode.contains("retract"), engine.lastSigMode)
+    artifactFiles(db, "_minhash").foreach { case (f, m) =>
+      if (!f.contains("_tombstones") && !f.contains("_minhash_meta") &&
+          sigFilesPrePatch.contains(f))
+        assert(sigFilesPrePatch(f) == m,
+          s"signature retract rewrote prior file $f — not O(touched)")
+    }
     assert(!l3.contains(1L) && l3(2L) == 0L, l3)
     assert(l3 == oracle())
     // untouched groups pass through verbatim
@@ -1819,6 +1830,10 @@ class MemoEngineSpec extends SparkTestBase {
     engine.save(s"---\nid: 4\nbody: ${clusterBody(2)}\n")
     val l5 = labelsOf(engine.dupGroups())
     assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
+    // a body EDIT cannot fold into the signature artifact (re-signing a
+    // tombstoned id violates the append contract) — signatures rebuild
+    // honestly while the LABELING still retracts O(touched)
+    assert(engine.lastSigMode.contains("rebuild"), engine.lastSigMode)
     assert(l5(4L) == 4L && l5(6L) == 4L && l5(24L) == 4L &&
       l5(3L) == 3L && l5(5L) == 3L, l5)
     assert(l5 == oracle())
@@ -1827,6 +1842,7 @@ class MemoEngineSpec extends SparkTestBase {
     engine.reindex()
     val l6 = labelsOf(engine.dupGroups())
     assert(engine.lastDupMode.contains("rebuild"), engine.lastDupMode)
+    assert(engine.lastSigMode.contains("rebuild"), engine.lastSigMode)
     assert(l6 == oracle())
     // threshold participates in identity: a different minJaccard
     // rebuilds under the new spec rather than serving the old labeling
@@ -1920,6 +1936,99 @@ class MemoEngineSpec extends SparkTestBase {
       .count() == 0,
       "post-compact: the survivor's signature must still gate its dup")
     assert(engine.dedupCompact() == 0, "second compact must be a no-op")
+    engine.clean()
+  }
+
+  test("patch retract across maintained families: a pure-delete patch " +
+      "folds O(touched) into postings/IVF/PQ/signatures — no family " +
+      "rebuilds, prior artifact data files survive byte-identical, " +
+      "every serving path converges on the survivors, and a " +
+      "metadata-only patch is free for all four") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val (engine, db) = freshEngine()
+    engine.save((0 until 24).map(i =>
+      s"---\nbody: retract corpus doc $i about concept${i % 6} and " +
+        s"aspect${i % 4}\n").mkString)
+    val victim = "the transient albatross dossier covers gravel " +
+      "telemetry and nougat forecasting"
+    engine.save(s"---\nbody: $victim\n") // id 24
+    // warm all four families at the pre-delete version
+    assert(engine.hybridRecall("albatross nougat", k = 3).collect()
+      .map(_.getAs[String]("body")).contains(victim))
+    assert(engine.annRecall(victim, k = 1).collect()
+      .map(_.getAs[String]("body")).contains(victim))
+    assert(engine.pqRecall(victim, k = 3).collect()
+      .map(_.getAs[String]("body")).contains(victim))
+    assert(engine.admitNew(Seq((900L, victim)).toDF("id", "body"))
+      .count() == 0)
+    val before = Seq("_lexical", "_ivf", "_ivfpq", "_minhash")
+      .map(f => f -> artifactFiles(db, f)).toMap
+    // pure-delete patch: the victim leaves via CDC apply
+    engine.applyChanges(Seq(
+        (24L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val hy = engine.hybridRecall("albatross nougat", k = 5).collect()
+    assert(engine.lastLexMode.contains("retract"), engine.lastLexMode)
+    assert(hy.nonEmpty &&
+      !hy.map(_.getAs[String]("body")).contains(victim),
+      "lexical retract left the victim findable")
+    val ann = engine.annRecall(victim, k = 5).collect()
+    assert(engine.lastIvfMode.contains("retract"), engine.lastIvfMode)
+    assert(ann.nonEmpty &&
+      !ann.map(_.getAs[String]("body")).contains(victim),
+      "IVF retract left the victim findable")
+    val pq = engine.pqRecall(victim, k = 5).collect()
+    assert(engine.lastPqMode.contains("retract"), engine.lastPqMode)
+    assert(pq.nonEmpty &&
+      !pq.map(_.getAs[String]("body")).contains(victim),
+      "PQ retract left the victim findable")
+    val admitted = engine.admitNew(Seq(
+        (901L, victim),
+        (902L, "retract corpus doc 3 about concept3 and aspect3"))
+      .toDF("id", "body")).collect().map(_.getLong(0)).toSet
+    assert(engine.lastSigMode.contains("retract"), engine.lastSigMode)
+    assert(admitted == Set(901L),
+      s"victim must readmit, survivor dup must still gate: $admitted")
+    // O(touched): every prior artifact DATA file survives byte-identical
+    // (tombstones/stats deltas/meta are new or small rewritten files)
+    before.foreach { case (fam, files) =>
+      val after = artifactFiles(db, fam)
+      files.foreach { case (f, m) =>
+        if (f.endsWith(".parquet") && after.contains(f))
+          assert(after(f) == m,
+            s"$fam retract rewrote prior data file $f — not O(touched)")
+      }
+    }
+    // a METADATA-ONLY patch (body unchanged) is a no-op fold for every
+    // body-indexing family: retract arms fire, nothing rewrites
+    engine.save("---\nid: 5\nbody: retract corpus doc 5 about concept5 " +
+      "and aspect1\nmetadata: {tag: retagged}\n")
+    val mid = Seq("_lexical", "_ivf", "_ivfpq", "_minhash")
+      .map(f => f -> artifactFiles(db, f)).toMap
+    engine.hybridRecall("concept5", k = 3).collect()
+    engine.annRecall("retract corpus doc 5", k = 3).collect()
+    engine.pqRecall("retract corpus doc 5", k = 3).collect()
+    engine.admitNew(Seq((903L, "fresh unrelated zebra paragraph"))
+      .toDF("id", "body")).collect()
+    assert(engine.lastLexMode.contains("retract") ||
+      engine.lastLexMode.contains("fresh"), engine.lastLexMode)
+    assert(!engine.lastLexMode.contains("rebuild") &&
+      !engine.lastIvfMode.contains("rebuild") &&
+      !engine.lastPqMode.contains("rebuild") &&
+      !engine.lastSigMode.contains("rebuild"),
+      s"metadata-only patch forced a rebuild: lex=${engine.lastLexMode} " +
+        s"ivf=${engine.lastIvfMode} pq=${engine.lastPqMode} " +
+        s"sig=${engine.lastSigMode}")
+    mid.foreach { case (fam, files) =>
+      val after = artifactFiles(db, fam)
+      files.foreach { case (f, m) =>
+        if (f.endsWith(".parquet") && after.contains(f))
+          assert(after(f) == m,
+            s"$fam rewrote $f on a metadata-only patch")
+      }
+    }
     engine.clean()
   }
 
