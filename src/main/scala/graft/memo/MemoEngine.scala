@@ -909,7 +909,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // Lucene deleted-docs convention: idf/N/avgdl retreat exactly by
         // the deleted docs' own stats.
         if (familyWatermark(lexDir).exists(v0 =>
-            familyRetract(v0, v)(bodyCorpusAt)(
+            familyRetract(v0, v, vector = false)(
               d => graft.ops.Lexical.delete(d, "id", "body", lexDir))(
               a => graft.ops.Lexical.append(a, "id", "body", lexDir))))
           lastLexMode = Some("retract")
@@ -964,8 +964,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // an ingest increment; occupancy drift is the retrain trigger's
         // job either way)
         if (familyWatermark(ivfDir).exists(v0 =>
-            familyRetract(v0, v)(
-              ver => indexAt(ver).select(col("id"), col("embedding")))(
+            familyRetract(v0, v, vector = true)(
               d => graft.ops.IvfIndex.delete(d, "id", "embedding", ivfDir))(
               a => { graft.ops.IvfIndex.append(a, "id", "embedding", ivfDir)
                      () }))) {
@@ -1596,8 +1595,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // family: tombstone dead codes, encode-append added vectors,
         // both quantizers untouched
         if (familyWatermark(pqDir).exists(v0 =>
-            familyRetract(v0, v)(
-              ver => indexAt(ver).select(col("id"), col("embedding")))(
+            familyRetract(v0, v, vector = true)(
               d => graft.ops.PqIndex.deleteIvfPq(d, "id", "embedding", pqDir))(
               a => graft.ops.PqIndex.appendIvfPq(a, "id", "embedding", pqDir)))) {
           lastPqMode = Some("retract")
@@ -1733,14 +1731,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (nDiff * 2 > math.max(maxRecordId + 1, 1L)) return None
       // METADATA-ONLY updates are no-ops for every body-indexing family
       // — only a genuine body change (or a blank→non-blank resurrection)
-      // refuses the fold, so the tag-and-retag patch shape stays free
+      // refuses the fold, so the tag-and-retag patch shape stays free.
+      // The v0-side compare join runs ONLY when updates exist at all
+      // (the pure-delete common case must not pay a prior-chain scan
+      // just to prove a vacuous condition).
       val edited = diff.filter(col("change") === "updated" &&
         !isBlank(col("body")))
-      val bodyChanged = edited
-        .join(recordsAt(v0).select(col("id"), col("body").as("body0")),
-          Seq("id"))
-        .filter(!(col("body") <=> col("body0"))).limit(1).count()
-      if (bodyChanged > 0) return None
+      if (edited.limit(1).count() > 0) {
+        val bodyChanged = edited
+          .join(recordsAt(v0).select(col("id"), col("body").as("body0")),
+            Seq("id"))
+          .filter(!(col("body") <=> col("body0"))).limit(1).count()
+        if (bodyChanged > 0) return None
+      }
       Some((
         diff.filter(col("change") === "removed" || isBlank(col("body")))
           .select(col("id")).localCheckpoint(true),
@@ -1749,27 +1752,71 @@ class MemoEngine(spark: SparkSession, basePath: String,
     } finally diff.unpersist()
   }
 
+  /** One chain at `ver`, restricted to segments whose `_idrange`
+    * sidecar can intersect [lo, hi] — the retract folds' row fetch,
+    * priced at file-listing time so a patch's dead/added rows read
+    * O(touched segments) of the prior snapshot, not the chain.
+    * Sidecar-less segments stay (sound over-approximation, the
+    * [[graft.filter.SegmentStats]] rule); the index chain prunes by
+    * positional pairing only when the manifests pair. */
+  private def chainAtForIdSpan(ver: Long, lo: Long, hi: Long,
+      vector: Boolean): DataFrame = {
+    val segs = segments(ver, "records")
+    val kept = segs.indices.filter { i =>
+      readIdRanges(segs(i)) match {
+        case Some(rs) => rs.exists { case (a, b) => a <= hi && b >= lo }
+        case None => true
+      }
+    }
+    if (!vector) {
+      if (kept.isEmpty) emptyFrame(YamlIO.recordSchema)
+      else spark.read.schema(YamlIO.recordSchema)
+        .parquet(kept.map(segs): _*)
+    } else {
+      val segsI = segments(ver, "index")
+      if (segsI.size != segs.size) indexAt(ver) // unpaired: sound fallback
+      else if (kept.isEmpty) emptyFrame(MemoEngine.IndexSchema)
+      else spark.read.schema(MemoEngine.IndexSchema)
+        .parquet(kept.map(segsI): _*)
+    }
+  }
+
   /** One family's retract fold over a classified diff — the
     * delete-then-append application every maintained family shares:
-    * `rowsAt(version)` serves the family's indexed rows (text families:
-    * the non-blank (id, body) corpus; vector families: the (id,
-    * embedding) index chain), dead rows fetch their v0-side state (the
-    * additive stamp facts retreat against EXACTLY what was indexed),
-    * added rows their v-side state. False — a torn artifact or a
-    * tombstone-contract violation (a re-minted id colliding with a
-    * pending delete) — falls to the family's rebuild, which sweeps all
-    * tombstones. An empty diff (layout-only rewrite: [[clusterBy]],
-    * [[compact]]) runs neither arm and just advances the watermark. */
-  private def familyRetract(v0: Long, v: Long)(
-      rowsAt: Long => DataFrame)(
+    * text families (vector = false) fetch the non-blank (id, body)
+    * corpus rows, vector families the (id, embedding) index rows. Dead
+    * rows fetch their v0-side state (the additive stamp facts retreat
+    * against EXACTLY what was indexed), added rows their v-side state;
+    * both fetches prune the chain by the batch's id SPAN (one bounded
+    * min/max agg over the already-truncated id frame prices it), and an
+    * EMPTY side skips its fetch entirely — so a pure-delete patch never
+    * scans the live chain and a metadata-only patch scans nothing at
+    * all. False — a torn artifact or a tombstone-contract violation
+    * (a re-minted id colliding with a pending delete) — falls to the
+    * family's rebuild, which sweeps all tombstones. */
+  private def familyRetract(v0: Long, v: Long, vector: Boolean)(
       deleteRows: DataFrame => Unit)(appendRows: DataFrame => Unit)
       : Boolean =
     retractableDiff(v0, v).exists { case (dead, added) =>
+      def rowsFor(ver: Long, ids: DataFrame): Option[DataFrame] = {
+        val r = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+          .collect()(0)
+        if (r.isNullAt(0)) None // empty side: no fetch, no job
+        else {
+          val base = chainAtForIdSpan(ver, r.getLong(0), r.getLong(1),
+            vector)
+          val rows =
+            if (vector) base.select(col("id"), col("embedding"))
+            else base.filter(!isBlank(col("body")))
+              .select(col("id"), col("body"))
+          Some(rows.join(ids, Seq("id"), "left_semi"))
+        }
+      }
       try {
-        val deadRows = rowsAt(v0).join(dead, Seq("id"), "left_semi")
-        if (deadRows.limit(1).count() > 0) deleteRows(deadRows)
-        val addRows = rowsAt(v).join(added, Seq("id"), "left_semi")
-        if (addRows.limit(1).count() > 0) appendRows(addRows)
+        rowsFor(v0, dead).foreach(d =>
+          if (d.limit(1).count() > 0) deleteRows(d))
+        rowsFor(v, added).foreach(a =>
+          if (a.limit(1).count() > 0) appendRows(a))
         true
       } catch {
         case _: IllegalStateException => false // torn/contract: rebuild
@@ -1780,12 +1827,6 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private def familyWatermark(artDir: String): Option[Long] =
     ArtifactMeta.read(spark, artDir, LexVersionFile)
       .flatMap(_.toLongOption).filter(_ >= 0)
-
-  /** The non-blank (id, body) corpus at a committed version — what the
-    * text families (postings, signatures) indexed there. */
-  private def bodyCorpusAt(ver: Long): DataFrame =
-    recordsAt(ver).filter(!isBlank(col("body")))
-      .select(col("id"), col("body"))
 
   private def ensureSignatures(): Unit = {
     lastSigMode = Some("fresh")
@@ -1802,7 +1843,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // signature consumer sees the retraction immediately) and signs
         // added rows, O(touched) instead of re-minhashing the corpus
         if (familyWatermark(sigDir).exists(v0 =>
-            familyRetract(v0, v)(bodyCorpusAt)(
+            familyRetract(v0, v, vector = false)(
               d => graft.ops.Dedup.deleteSignatures(d, "id", "body", sigDir))(
               a => graft.ops.Dedup.appendSignatures(a, "id", "body", sigDir))))
           lastSigMode = Some("retract")
