@@ -909,7 +909,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // Lucene deleted-docs convention: idf/N/avgdl retreat exactly by
         // the deleted docs' own stats.
         if (familyWatermark(lexDir).exists(v0 =>
-            familyRetract(v0, v, vector = false)(
+            familyRetract(lexDir, v0, v, vector = false)(
               d => graft.ops.Lexical.delete(d, "id", "body", lexDir))(
               a => graft.ops.Lexical.append(a, "id", "body", lexDir))))
           lastLexMode = Some("retract")
@@ -917,6 +917,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
           lastLexMode = Some("rebuild")
           graft.ops.Lexical.writeIndex(
             bodyCorpus(segments(v, "records")), "id", "body", lexDir)
+          ArtifactMeta.delete(spark, lexDir, RetractJournal)
         }
         Some(())
       },
@@ -964,7 +965,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // an ingest increment; occupancy drift is the retrain trigger's
         // job either way)
         if (familyWatermark(ivfDir).exists(v0 =>
-            familyRetract(v0, v, vector = true)(
+            familyRetract(ivfDir, v0, v, vector = true)(
               d => graft.ops.IvfIndex.delete(d, "id", "embedding", ivfDir))(
               a => { graft.ops.IvfIndex.append(a, "id", "embedding", ivfDir)
                      () }))) {
@@ -972,7 +973,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
           graft.ops.IvfIndex.readCentroids(spark, ivfDir)
         } else {
           lastIvfMode = Some("rebuild")
-          rebuildIvf(v)
+          val out = rebuildIvf(v)
+          if (out.isDefined)
+            ArtifactMeta.delete(spark, ivfDir, RetractJournal)
+          out
         }
       },
       serve = () => graft.ops.IvfIndex.readCentroids(spark, ivfDir))
@@ -1595,14 +1599,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // family: tombstone dead codes, encode-append added vectors,
         // both quantizers untouched
         if (familyWatermark(pqDir).exists(v0 =>
-            familyRetract(v0, v, vector = true)(
+            familyRetract(pqDir, v0, v, vector = true)(
               d => graft.ops.PqIndex.deleteIvfPq(d, "id", "embedding", pqDir))(
               a => graft.ops.PqIndex.appendIvfPq(a, "id", "embedding", pqDir)))) {
           lastPqMode = Some("retract")
           graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir)
         } else {
           lastPqMode = Some("rebuild")
-          rebuildPq(v)
+          val out = rebuildPq(v)
+          if (out.isDefined)
+            ArtifactMeta.delete(spark, pqDir, RetractJournal)
+          out
         }
       },
       serve = () => graft.ops.PqIndex.ivfPqMetaAt(spark, pqDir))
@@ -1781,6 +1788,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }
   }
 
+  /** The retract fold's intent journal: its delete+append ops are NOT
+    * idempotent (stamp facts retreat additively — a replay would retreat
+    * them twice, silently corrupting BM25 stats and fingerprints), so a
+    * crash window must be DETECTED, never refolded. Written before the
+    * first mutating op, cleared after the family watermark advances; a
+    * live journal on entry refuses the retract and the honest rebuild —
+    * which rewrites the artifact wholesale and sweeps tombstones —
+    * clears it. The dup-labeling fold needs none of this: min-label
+    * edges are idempotent and its publish is a pointer swing. */
+  private val RetractJournal = "_retract_journal"
+
   /** One family's retract fold over a classified diff — the
     * delete-then-append application every maintained family shares:
     * text families (vector = false) fetch the non-blank (id, body)
@@ -1791,12 +1809,18 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * min/max agg over the already-truncated id frame prices it), and an
     * EMPTY side skips its fetch entirely — so a pure-delete patch never
     * scans the live chain and a metadata-only patch scans nothing at
-    * all. False — a torn artifact or a tombstone-contract violation
-    * (a re-minted id colliding with a pending delete) — falls to the
-    * family's rebuild, which sweeps all tombstones. */
-  private def familyRetract(v0: Long, v: Long, vector: Boolean)(
+    * all. Mutating folds run under the [[RetractJournal]] crash guard
+    * and advance the family watermark themselves before clearing it.
+    * False — a live journal (crashed prior fold), a torn artifact, or a
+    * tombstone-contract violation (a re-minted id colliding with a
+    * pending delete) — falls to the family's rebuild, which sweeps
+    * tombstones and the journal. */
+  private def familyRetract(artDir: String, v0: Long, v: Long,
+      vector: Boolean)(
       deleteRows: DataFrame => Unit)(appendRows: DataFrame => Unit)
-      : Boolean =
+      : Boolean = {
+    if (ArtifactMeta.read(spark, artDir, RetractJournal).isDefined)
+      return false // crashed prior fold: only the rebuild may repair
     retractableDiff(v0, v).exists { case (dead, added) =>
       def rowsFor(ver: Long, ids: DataFrame): Option[DataFrame] = {
         val r = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
@@ -1813,16 +1837,27 @@ class MemoEngine(spark: SparkSession, basePath: String,
         }
       }
       try {
-        rowsFor(v0, dead).foreach(d =>
-          if (d.limit(1).count() > 0) deleteRows(d))
-        rowsFor(v, added).foreach(a =>
-          if (a.limit(1).count() > 0) appendRows(a))
-        true
+        val del = rowsFor(v0, dead).filter(_.limit(1).count() > 0)
+        val add = rowsFor(v, added).filter(_.limit(1).count() > 0)
+        if (del.isEmpty && add.isEmpty) true // nothing mutates: free fold
+        else {
+          ArtifactMeta.write(spark, artDir, RetractJournal, v.toString)
+          del.foreach(deleteRows)
+          add.foreach(appendRows)
+          // advance the watermark OURSELVES before clearing the journal:
+          // the caller's write (ensureArtifact) lands after this arm
+          // returns, and a crash between the two would otherwise replay
+          // the fold against an already-folded artifact
+          ArtifactMeta.write(spark, artDir, LexVersionFile, v.toString)
+          ArtifactMeta.delete(spark, artDir, RetractJournal)
+          true
+        }
       } catch {
         case _: IllegalStateException => false // torn/contract: rebuild
         case _: org.apache.spark.sql.AnalysisException => false // vacuumed
       }
     }
+  }
 
   private def familyWatermark(artDir: String): Option[Long] =
     ArtifactMeta.read(spark, artDir, LexVersionFile)
@@ -1843,7 +1878,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         // signature consumer sees the retraction immediately) and signs
         // added rows, O(touched) instead of re-minhashing the corpus
         if (familyWatermark(sigDir).exists(v0 =>
-            familyRetract(v0, v, vector = false)(
+            familyRetract(sigDir, v0, v, vector = false)(
               d => graft.ops.Dedup.deleteSignatures(d, "id", "body", sigDir))(
               a => graft.ops.Dedup.appendSignatures(a, "id", "body", sigDir))))
           lastSigMode = Some("retract")
@@ -1851,6 +1886,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
           lastSigMode = Some("rebuild")
           graft.ops.Dedup.writeSignatures(
             bodyCorpus(segments(v, "records")), "id", "body", sigDir)
+          ArtifactMeta.delete(spark, sigDir, RetractJournal)
         }
         Some(())
       },

@@ -2029,6 +2029,30 @@ class MemoEngineSpec extends SparkTestBase {
             s"$fam rewrote $f on a metadata-only patch")
       }
     }
+    // a crashed prior fold (live retract journal) refuses the
+    // incremental arm — the fold's stamp retreats are not idempotent,
+    // so a replay must be impossible by construction: the next patch
+    // walk takes the honest rebuild, which sweeps the journal, and the
+    // patch after that retracts again
+    graft.ops.ArtifactMeta.write(spark, s"$db/_minhash",
+      "_retract_journal", "99")
+    engine.applyChanges(Seq(
+        (7L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(1L)))
+    engine.admitNew(Seq((904L, "zebra paragraph one of a kind"))
+      .toDF("id", "body")).collect()
+    assert(engine.lastSigMode.contains("rebuild"), engine.lastSigMode)
+    assert(graft.ops.ArtifactMeta.read(spark, s"$db/_minhash",
+        "_retract_journal").isEmpty,
+      "the rebuild must sweep the crashed fold's journal")
+    engine.applyChanges(Seq(
+        (8L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(2L)))
+    engine.admitNew(Seq((905L, "gryphon memo equally unique"))
+      .toDF("id", "body")).collect()
+    assert(engine.lastSigMode.contains("retract"), engine.lastSigMode)
     engine.clean()
   }
 
