@@ -1721,7 +1721,31 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * the rebuild they genuinely need. `dead` = removed rows and edits
     * that blanked the body (the corpus rule all families sign under);
     * `added` = brand-new non-blank rows. */
+  /** Memo of ONE classified retract diff per (v0, v) window, shared
+    * across the family walks of a maintenance pass — five walks over
+    * the same patch would otherwise re-run the same changefeed
+    * classification jobs. Version pairs are immutable once committed,
+    * so an entry can never go stale; the newest window evicts the
+    * previous one (the id frames are localCheckpointed, reclaimed by
+    * the ContextCleaner once unreferenced). Computation holds the lock:
+    * a concurrent family walk on the same window would only re-run the
+    * identical jobs it is waiting to skip. */
+  private var retractDiffMemo
+      : Option[(Long, Long, Option[(DataFrame, DataFrame)])] = None
+  private val retractDiffLock = new Object
+
   private def retractableDiff(v0: Long, v: Long)
+      : Option[(DataFrame, DataFrame)] = retractDiffLock.synchronized {
+    retractDiffMemo match {
+      case Some((m0, m1, out)) if m0 == v0 && m1 == v => out
+      case _ =>
+        val out = classifyRetractDiff(v0, v)
+        retractDiffMemo = Some((v0, v, out))
+        out
+    }
+  }
+
+  private def classifyRetractDiff(v0: Long, v: Long)
       : Option[(DataFrame, DataFrame)] = {
     if (v0 >= v || !Files.isDirectory(versionDir(v0))) return None
     val diff =
@@ -3796,6 +3820,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .flatMap(_.stripPrefix("j").toDoubleOption).foreach { j =>
         dupGroups(j); b += "dupgroups" -> s"current (j $j)"
       }
+    // physical tombstone apply on the cell-partitioned families: a
+    // retract fold (or an explicit artifact delete) leaves pending
+    // tombstones the probes anti-join; applying them rewrites ONLY the
+    // affected cells, and is a metadata read when nothing is pending
+    if (ivf.isDefined)
+      b += ("ivf_apply" -> (if (graft.ops.IvfIndex
+          .applyDeletes(spark, ivfDir)) "applied" else "none pending"))
+    if (pq.isDefined)
+      b += ("ivfpq_apply" -> (if (graft.ops.PqIndex
+          .applyDeletesIvfPq(spark, pqDir)) "applied" else "none pending"))
     retrainSkew.foreach { t =>
       def skewStr(s: Option[Double]) =
         s.map(v => f"$v%.1f").getOrElse("n/a")

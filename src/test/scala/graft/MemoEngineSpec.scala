@@ -2053,6 +2053,25 @@ class MemoEngineSpec extends SparkTestBase {
     engine.admitNew(Seq((905L, "gryphon memo equally unique"))
       .toDF("id", "body")).collect()
     assert(engine.lastSigMode.contains("retract"), engine.lastSigMode)
+    // maintain() applies the pending VECTOR tombstones physically:
+    // ensureIvf/ensurePq first retract-fold the two delete patches the
+    // vector families haven't walked yet, then the apply pass rewrites
+    // only the affected cells and drops the tombstone dirs — and a
+    // second maintain has nothing pending
+    val rep = engine.maintain()
+    assert(engine.lastIvfMode.contains("retract"), engine.lastIvfMode)
+    assert(rep.get("ivf_apply").contains("applied"), rep)
+    assert(rep.get("ivfpq_apply").contains("applied"), rep)
+    assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$db/_ivf/_tombstones")),
+      "ivf tombstones must be swept by the apply")
+    val rep2 = engine.maintain()
+    assert(rep2.get("ivf_apply").contains("none pending"), rep2)
+    assert(rep2.get("ivfpq_apply").contains("none pending"), rep2)
+    // the applied index still serves exactly the survivors
+    val post = engine.annRecall("retract corpus doc 6", k = 5).collect()
+    assert(post.nonEmpty && post.forall(r =>
+      r.getLong(0) != 7L && r.getLong(0) != 8L && r.getLong(0) != 24L))
     engine.clean()
   }
 
