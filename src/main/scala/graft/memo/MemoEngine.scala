@@ -3830,6 +3830,14 @@ class MemoEngine(spark: SparkSession, basePath: String,
     if (pq.isDefined)
       b += ("ivfpq_apply" -> (if (graft.ops.PqIndex
           .applyDeletesIvfPq(spark, pqDir)) "applied" else "none pending"))
+    // the postings family's apply is the LSM fold itself
+    // ([[graft.ops.Lexical.compact]] — it rewrites the whole postings
+    // table, not just affected partitions), so it runs only when a
+    // driver-side metadata probe says tombstones are actually pending
+    if (graft.ops.Lexical.pendingTombstones(spark, lexDir)) {
+      graft.ops.Lexical.compact(spark, lexDir)
+      b += ("lexical_apply" -> "applied")
+    } else b += ("lexical_apply" -> "none pending")
     retrainSkew.foreach { t =>
       def skewStr(s: Option[Double]) =
         s.map(v => f"$v%.1f").getOrElse("n/a")

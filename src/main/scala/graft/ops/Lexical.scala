@@ -748,6 +748,13 @@ object Lexical {
     * retreated it); tombstoned docs are dropped and the tombstone table
     * cleared in the same swap. Run both compactions together via
     * [[compact]]. */
+  /** Whether the artifact carries PENDING delete tombstones — the
+    * driver-side probe a maintenance pass uses to decide if a
+    * [[compact]] has tombstones to consume (two metadata reads, no
+    * job). False for a missing/unstamped artifact. */
+  def pendingTombstones(spark: SparkSession, path: String): Boolean =
+    readMetaFull(spark, path).exists(_.dirs.exists(_.tombs.nonEmpty))
+
   def compactPostings(spark: SparkSession, path: String): Unit =
     ArtifactMeta.withBuildLock(spark, path) {
       val m = serveMeta(spark, path)

@@ -2062,15 +2062,20 @@ class MemoEngineSpec extends SparkTestBase {
     assert(engine.lastIvfMode.contains("retract"), engine.lastIvfMode)
     assert(rep.get("ivf_apply").contains("applied"), rep)
     assert(rep.get("ivfpq_apply").contains("applied"), rep)
+    assert(rep.get("lexical_apply").contains("applied"), rep)
     assert(!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(s"$db/_ivf/_tombstones")),
       "ivf tombstones must be swept by the apply")
     val rep2 = engine.maintain()
     assert(rep2.get("ivf_apply").contains("none pending"), rep2)
     assert(rep2.get("ivfpq_apply").contains("none pending"), rep2)
-    // the applied index still serves exactly the survivors
+    assert(rep2.get("lexical_apply").contains("none pending"), rep2)
+    // the applied artifacts still serve exactly the survivors
     val post = engine.annRecall("retract corpus doc 6", k = 5).collect()
     assert(post.nonEmpty && post.forall(r =>
+      r.getLong(0) != 7L && r.getLong(0) != 8L && r.getLong(0) != 24L))
+    val postHy = engine.hybridRecall("concept1 aspect3", k = 5).collect()
+    assert(postHy.nonEmpty && postHy.forall(r =>
       r.getLong(0) != 7L && r.getLong(0) != 8L && r.getLong(0) != 24L))
     engine.clean()
   }
