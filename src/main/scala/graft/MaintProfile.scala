@@ -245,14 +245,23 @@ object MaintProfile {
         (3L * g, "removed", "", Map.empty[String, String]))
       .toDF("id", "change", "body", "metadata")
       .withColumn("commit_version", lit(0L)))
+    // measure the FOLD cost (knob 0 forces it) — the r19 cost route
+    // would otherwise pick the arm itself; what it WOULD pick at the
+    // production default rides the printout so the crossover is
+    // calibratable from this table (BENCH_NOTES)
+    val routeDefault = graft.memo.MemoEngine.DefaultRetractRouteMinRows
+    engine.retractRouteMinRows = 0
     val tRetract = timed { engine.dupGroups().collect(); () }
     require(engine.lastDupMode.contains("retract"),
       s"dupfold expected the retract arm, got ${engine.lastDupMode}")
     val n2 = engine.dupGroups().count()
     require(n2 == 3L * (nGroups + 10) - 10,
       s"dupfold post-retract labeling incomplete: $n2")
+    val routed = if (3L * nGroups >= routeDefault + 10 * 4) "retract"
+      else "rebuild"
     println(f"[dupfold] groups=$nGroups%6d docs=${3 * nGroups}%6d " +
-      f"rebuild=$tBuild%.3fs fold30=$tFold%.3fs retract10=$tRetract%.3fs")
+      f"rebuild=$tBuild%.3fs fold30=$tFold%.3fs retract10=$tRetract%.3fs " +
+      s"route_default=$routed")
     engine.clean()
     ()
   }

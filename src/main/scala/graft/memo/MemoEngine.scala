@@ -749,48 +749,87 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * them; the stream's [[mintCache]] just takes an O(corpus) max-id
     * rescan on the next batch after a foreign commit. */
   def streamSink(lineage: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => streamIngest(batch, batchId, lineage)
+    (batch, batchId) => { streamIngest(batch, batchId, lineage); () }
+
+  /** [[streamSink]] with AMORTIZED MAINTENANCE: every `maintainEvery`-th
+    * COMMITTED micro-batch runs the one-call [[maintain]] walk after its
+    * commit, so a continuous ingest pipeline keeps the engine-maintained
+    * artifacts (postings / IVF / IVF-PQ / signatures / labeling / views)
+    * near-current instead of leaving the first post-ingest read to pay
+    * the whole catch-up. Exactly-once semantics are UNCHANGED: the
+    * maintenance runs outside the commit (each family's watermark walk
+    * is idempotent — a crash mid-maintenance just leaves some families
+    * behind for the next trigger), and a REPLAYED batch (watermark-
+    * skipped, nothing committed) never counts toward the cadence and
+    * never pays maintenance. Skipped/empty batches don't advance the
+    * counter either — "every n-th" means n-th batch that actually
+    * landed rows. Measured in StreamProfile's `maintainevery` leg. */
+  def streamSink(lineage: String, maintainEvery: Int)
+      : (DataFrame, Long) => Unit = {
+    require(maintainEvery >= 1,
+      s"maintainEvery must be >= 1, got $maintainEvery")
+    var committed = 0L // per-sink-instance cadence (resets with the query)
+    (batch, batchId) => {
+      if (streamIngest(batch, batchId, lineage)) {
+        committed += 1
+        if (committed % maintainEvery == 0) { maintain(); () }
+      }
+    }
+  }
 
   /** [[streamSink]] bound to the default lineage — for single-checkpoint
     * deployments: `foreachBatch(engine.streamAppend _)`. */
-  def streamAppend(batch: DataFrame, batchId: Long): Unit =
+  def streamAppend(batch: DataFrame, batchId: Long): Unit = {
     streamIngest(batch, batchId, DefaultLineage)
+    ()
+  }
 
+  /** True iff the batch COMMITTED (false: watermark replay or all-blank
+    * batch) — the [[streamSink]] maintenance cadence's signal. */
   private def streamIngest(batch: DataFrame, batchId: Long,
-      lineage: String): Unit = MemoEngine.retryOnConflict {
+      lineage: String): Boolean = MemoEngine.retryOnConflict {
     // re-checked per attempt: a replay racing another writer must still
     // be detected against the freshest committed watermark
     if (lastStreamMark.exists { case (l, b) => l == lineage && b >= batchId })
-      return
-    val v0 = currentVersion // the optimistic-concurrency token
-    val withMeta =
-      if (batch.columns.contains("metadata")) batch
-      else batch.withColumn("metadata", lit(null).cast("map<string,string>"))
-    val cleaned = withMeta.filter(!isBlank(col("body")))
-      .select(col("body"), col("metadata"))
-    val maxId = mintCache match {
-      case Some((ver, m)) if v0.contains(ver) => m
-      case _ => maxRecordId
+      false
+    else {
+      val v0 = currentVersion // the optimistic-concurrency token
+      val withMeta =
+        if (batch.columns.contains("metadata")) batch
+        else batch.withColumn("metadata",
+          lit(null).cast("map<string,string>"))
+      val cleaned = withMeta.filter(!isBlank(col("body")))
+        .select(col("body"), col("metadata"))
+      val maxId = mintCache match {
+        case Some((ver, m)) if v0.contains(ver) => m
+        case _ => maxRecordId
+      }
+      val minted = cleaned.sort(col("body")).rdd.zipWithIndex()
+        .map { case (r, i) =>
+          org.apache.spark.sql.Row(maxId + 1 + i, r.getString(0),
+            r.getMap[String, String](1))
+        }
+      // persist: the commit evaluates the mint pipeline for the index
+      // write, the records write, and (on compaction commits) the id
+      // joins — without a pin each one re-runs the global sort over the
+      // source micro-batch
+      val batchDf = spark.createDataFrame(minted, YamlIO.recordSchema)
+        .cache()
+      try {
+        val n = batchDf.count()
+        if (n == 0) false
+        else {
+          val v = v0 match {
+            case Some(prior) => commitAppend(batchDf, batchDf.select("id"),
+              expectedPrior = prior, markBatch = Some((lineage, batchId)))
+            case None => commit(batchDf, v0,
+              markBatch = Some((lineage, batchId)))
+          }
+          mintCache = Some((v, maxId + n))
+          true
+        }
+      } finally batchDf.unpersist()
     }
-    val minted = cleaned.sort(col("body")).rdd.zipWithIndex()
-      .map { case (r, i) =>
-        org.apache.spark.sql.Row(maxId + 1 + i, r.getString(0),
-          r.getMap[String, String](1))
-      }
-    // persist: the commit evaluates the mint pipeline for the index write,
-    // the records write, and (on compaction commits) the id joins — without
-    // a pin each one re-runs the global sort over the source micro-batch
-    val batchDf = spark.createDataFrame(minted, YamlIO.recordSchema).cache()
-    try {
-      val n = batchDf.count()
-      if (n == 0) return
-      val v = v0 match {
-        case Some(prior) => commitAppend(batchDf, batchDf.select("id"),
-          expectedPrior = prior, markBatch = Some((lineage, batchId)))
-        case None => commit(batchDf, v0, markBatch = Some((lineage, batchId)))
-      }
-      mintCache = Some((v, maxId + n))
-    } finally batchDf.unpersist()
   }
 
   /** The store's maintained BM25 postings artifact ([[graft.ops.Lexical]]
@@ -1707,20 +1746,35 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private[graft] var lastIvfMode: Option[String] = None
   private[graft] var lastPqMode: Option[String] = None
 
-  /** Classify the v0→v records diff for a maintained family's RETRACT
-    * fold: Some((deadIds, addedIds)) — both eagerly truncated — when the
-    * window is PURE deletes-and-adds; None when the prior is
-    * unresolvable (vacuumed), the diff is corpus-scale (a reindex
-    * re-sequenced every id — relabeling everything incrementally is the
-    * slow way to a rebuild), or a body EDIT is present. Edits can never
-    * fold: every family's append contract refuses re-adding an id with
-    * a pending tombstone (the old rows are physically present, so the
-    * tombstone would mask the new ones while the stamp advanced), and
-    * that refusal is correct — so the steady-state patch shape (soft
-    * deletes, plus the occasional add) folds, and content rewrites pay
-    * the rebuild they genuinely need. `dead` = removed rows and edits
-    * that blanked the body (the corpus rule all families sign under);
-    * `added` = brand-new non-blank rows. */
+  /** One classified v0→v records diff, shared by every maintenance
+    * consumer of the window — the four [[familyRetract]] walks AND the
+    * dup-labeling fold ([[tryDupRetract]]) ride the same object, so a
+    * patch pays its changefeed classification jobs exactly ONCE per
+    * maintenance pass (pre-r19 the dup walk re-ran its own
+    * `changesBetween`, and every family re-derived the batch's id spans
+    * and emptiness probes — ~3 jobs per family of pure overhead).
+    *
+    * `dead` = removed rows and edits that blanked the body (the corpus
+    * rule every body-indexing family signs under); `added` = brand-new
+    * non-blank rows; `edited` = updates whose BODY actually changed
+    * (including blank→non-blank resurrections) — metadata-only retags
+    * appear in NONE of the three, so the tag-and-retag patch shape is
+    * free in every family. Counts and id spans are computed once on the
+    * persisted diff (one conditional aggregate) so consumers never pay
+    * a per-family count/min/max job; the frames are eagerly truncated
+    * (localCheckpoint). `corpusIds` is max(id)+1 at v — the route's
+    * denominator, an over-approximation of live rows that includes
+    * tombstoned ids (documented bias: a heavily-deleted store prices
+    * its rebuild slightly high and keeps the retract arm a little past
+    * the true crossover). */
+  private case class RetractDiff(
+      dead: DataFrame, nDead: Long, deadLo: Long, deadHi: Long,
+      added: DataFrame, nAdded: Long, addedLo: Long, addedHi: Long,
+      edited: DataFrame, nEdited: Long, corpusIds: Long) {
+    /** Rows whose change can perturb any body-derived artifact. */
+    def touched: Long = nDead + nAdded + nEdited
+  }
+
   /** Memo of ONE classified retract diff per (v0, v) window, shared
     * across the family walks of a maintenance pass — five walks over
     * the same patch would otherwise re-run the same changefeed
@@ -1731,11 +1785,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * a concurrent family walk on the same window would only re-run the
     * identical jobs it is waiting to skip. */
   private var retractDiffMemo
-      : Option[(Long, Long, Option[(DataFrame, DataFrame)])] = None
+      : Option[(Long, Long, Option[RetractDiff])] = None
   private val retractDiffLock = new Object
 
   private def retractableDiff(v0: Long, v: Long)
-      : Option[(DataFrame, DataFrame)] = retractDiffLock.synchronized {
+      : Option[RetractDiff] = retractDiffLock.synchronized {
     retractDiffMemo match {
       case Some((m0, m1, out)) if m0 == v0 && m1 == v => out
       case _ =>
@@ -1745,8 +1799,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }
   }
 
+  private def emptyIdFrame: DataFrame = emptyFrame(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+
   private def classifyRetractDiff(v0: Long, v: Long)
-      : Option[(DataFrame, DataFrame)] = {
+      : Option[RetractDiff] = {
     if (v0 >= v || !Files.isDirectory(versionDir(v0))) return None
     val diff =
       // unresolvable priors surface as the checked refusal OR as an
@@ -1758,29 +1817,83 @@ class MemoEngine(spark: SparkSession, basePath: String,
         case _: org.apache.spark.sql.AnalysisException => return None
       }
     try {
-      val nDiff = diff.count()
-      if (nDiff * 2 > math.max(maxRecordId + 1, 1L)) return None
-      // METADATA-ONLY updates are no-ops for every body-indexing family
-      // — only a genuine body change (or a blank→non-blank resurrection)
-      // refuses the fold, so the tag-and-retag patch shape stays free.
-      // The v0-side compare join runs ONLY when updates exist at all
-      // (the pure-delete common case must not pay a prior-chain scan
-      // just to prove a vacuous condition).
-      val edited = diff.filter(col("change") === "updated" &&
-        !isBlank(col("body")))
-      if (edited.limit(1).count() > 0) {
-        val bodyChanged = edited
-          .join(recordsAt(v0).select(col("id"), col("body").as("body0")),
-            Seq("id"))
-          .filter(!(col("body") <=> col("body0"))).limit(1).count()
-        if (bodyChanged > 0) return None
-      }
-      Some((
-        diff.filter(col("change") === "removed" || isBlank(col("body")))
-          .select(col("id")).localCheckpoint(true),
-        diff.filter(col("change") === "added" && !isBlank(col("body")))
-          .select(col("id")).localCheckpoint(true)))
+      val corpusIds = math.max(maxRecordId + 1, 1L)
+      val deadCond = col("change") === "removed" || isBlank(col("body"))
+      val addCond = col("change") === "added" && !isBlank(col("body"))
+      val updCond = col("change") === "updated" && !isBlank(col("body"))
+      // ONE aggregate prices the whole window: total size (the
+      // corpus-scale gate), both sides' counts AND id spans (so no
+      // family re-runs a count/min/max job), and whether any non-blank
+      // update exists at all (the v0-side body-compare join below runs
+      // ONLY then — a pure-delete patch must not pay a prior-chain scan
+      // to prove a vacuous condition)
+      val s = diff.agg(
+        count(lit(1)).as("n"),
+        count(when(deadCond, 1)).as("nd"),
+        min(when(deadCond, col("id"))).as("dlo"),
+        max(when(deadCond, col("id"))).as("dhi"),
+        count(when(addCond, 1)).as("na"),
+        min(when(addCond, col("id"))).as("alo"),
+        max(when(addCond, col("id"))).as("ahi"),
+        count(when(updCond, 1)).as("nu")).collect()(0)
+      if (s.getLong(0) * 2 > corpusIds) return None
+      val nDead = s.getLong(1)
+      val nAdded = s.getLong(4)
+      val dead =
+        if (nDead == 0) emptyIdFrame
+        else diff.filter(deadCond).select(col("id")).localCheckpoint(true)
+      val added =
+        if (nAdded == 0) emptyIdFrame
+        else diff.filter(addCond).select(col("id")).localCheckpoint(true)
+      // METADATA-ONLY updates are no-ops for every body-derived
+      // artifact — only a genuine body change survives into `edited`
+      val (edited, nEdited) =
+        if (s.getLong(7) == 0) (emptyIdFrame, 0L)
+        else {
+          val e = diff.filter(updCond)
+            .join(recordsAt(v0).select(col("id"), col("body").as("body0")),
+              Seq("id"))
+            .filter(!(col("body") <=> col("body0")))
+            .select(col("id")).localCheckpoint(true)
+          (e, e.count())
+        }
+      Some(RetractDiff(
+        dead, nDead, if (s.isNullAt(2)) 0L else s.getLong(2),
+        if (s.isNullAt(3)) -1L else s.getLong(3),
+        added, nAdded, if (s.isNullAt(5)) 0L else s.getLong(5),
+        if (s.isNullAt(6)) -1L else s.getLong(6),
+        edited, nEdited, corpusIds))
     } finally diff.unpersist()
+  }
+
+  /** COST ROUTE between a classified window's incremental retract fold
+    * and the family's honest rebuild — the `recallServe` arm-routing
+    * discipline applied to maintenance. The retract arm's cost is a
+    * FIXED job count (classification + per-family tombstone/journal
+    * writes) plus O(touched); the rebuild's is O(corpus) re-derivation.
+    * Below a corpus size the fixed jobs dominate and the rebuild is
+    * genuinely cheaper — measured crossover in BENCH_NOTES (MaintProfile
+    * dupfold, r19) — so the route takes the fold only when
+    * `corpusIds >= retractRouteMinRows + touched * 4` (both sides priced
+    * from driver metadata already in the memoized diff: zero extra
+    * jobs). A zero-touch window (layout-only rewrite, metadata retags)
+    * is FREE either way and never consults the route. The threshold is
+    * a test seam (`retractRouteMinRows = 0` forces the fold) and the
+    * decision lands in [[lastRetractRoute]]. */
+  private[graft] var retractRouteMinRows: Long =
+    MemoEngine.DefaultRetractRouteMinRows
+
+  /** Test seam: the last consulted route decision —
+    * "retract(corpus=N touched=K)" or "rebuild(corpus=N touched=K)".
+    * Production never reads it. */
+  private[graft] var lastRetractRoute: Option[String] = None
+
+  private def routeRetract(d: RetractDiff): Boolean = {
+    val take = d.corpusIds >= retractRouteMinRows + d.touched * 4
+    lastRetractRoute = Some(
+      s"${if (take) "retract" else "rebuild"}" +
+        s"(corpus=${d.corpusIds} touched=${d.touched})")
+    take
   }
 
   /** One chain at `ver`, restricted to segments whose `_idrange`
@@ -1829,14 +1942,21 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * corpus rows, vector families the (id, embedding) index rows. Dead
     * rows fetch their v0-side state (the additive stamp facts retreat
     * against EXACTLY what was indexed), added rows their v-side state;
-    * both fetches prune the chain by the batch's id SPAN (one bounded
-    * min/max agg over the already-truncated id frame prices it), and an
-    * EMPTY side skips its fetch entirely — so a pure-delete patch never
-    * scans the live chain and a metadata-only patch scans nothing at
-    * all. Mutating folds run under the [[RetractJournal]] crash guard
-    * and advance the family watermark themselves before clearing it.
-    * False — a live journal (crashed prior fold), a torn artifact, or a
-    * tombstone-contract violation (a re-minted id colliding with a
+    * both fetches prune the chain by the batch's id SPAN (already in
+    * the memoized diff — no per-family min/max job), and an EMPTY side
+    * skips its fetch entirely — so a pure-delete patch never scans the
+    * live chain and a metadata-only patch scans nothing at all. A
+    * window with a body EDIT never folds here: every family's append
+    * contract refuses re-adding an id with a pending tombstone (the old
+    * rows are physically present, so the tombstone would mask the new
+    * ones while the stamp advanced) — so content rewrites pay the
+    * rebuild they genuinely need. Mutating folds consult the COST ROUTE
+    * first ([[routeRetract]] — below the measured crossover the honest
+    * rebuild is cheaper than the fold's fixed job count), run under the
+    * [[RetractJournal]] crash guard, and advance the family watermark
+    * themselves before clearing it. False — an edit, a route-to-rebuild
+    * decision, a live journal (crashed prior fold), a torn artifact, or
+    * a tombstone-contract violation (a re-minted id colliding with a
     * pending delete) — falls to the family's rebuild, which sweeps
     * tombstones and the journal. */
   private def familyRetract(artDir: String, v0: Long, v: Long,
@@ -1845,26 +1965,25 @@ class MemoEngine(spark: SparkSession, basePath: String,
       : Boolean = {
     if (ArtifactMeta.read(spark, artDir, RetractJournal).isDefined)
       return false // crashed prior fold: only the rebuild may repair
-    retractableDiff(v0, v).exists { case (dead, added) =>
-      def rowsFor(ver: Long, ids: DataFrame): Option[DataFrame] = {
-        val r = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
-          .collect()(0)
-        if (r.isNullAt(0)) None // empty side: no fetch, no job
+    retractableDiff(v0, v).exists { d =>
+      def rowsFor(ver: Long, ids: DataFrame, n: Long, lo: Long,
+          hi: Long): Option[DataFrame] =
+        if (n == 0) None // empty side: no fetch, no job
         else {
-          val base = chainAtForIdSpan(ver, r.getLong(0), r.getLong(1),
-            vector)
+          val base = chainAtForIdSpan(ver, lo, hi, vector)
           val rows =
             if (vector) base.select(col("id"), col("embedding"))
             else base.filter(!isBlank(col("body")))
               .select(col("id"), col("body"))
           Some(rows.join(ids, Seq("id"), "left_semi"))
         }
-      }
       try {
-        val del = rowsFor(v0, dead).filter(_.limit(1).count() > 0)
-        val add = rowsFor(v, added).filter(_.limit(1).count() > 0)
-        if (del.isEmpty && add.isEmpty) true // nothing mutates: free fold
+        if (d.nEdited > 0) false // edits can't fold (append contract)
+        else if (d.touched == 0) true // nothing mutates: free fold
+        else if (!routeRetract(d)) false // rebuild priced cheaper
         else {
+          val del = rowsFor(v0, d.dead, d.nDead, d.deadLo, d.deadHi)
+          val add = rowsFor(v, d.added, d.nAdded, d.addedLo, d.addedHi)
           ArtifactMeta.write(spark, artDir, RetractJournal, v.toString)
           del.foreach(deleteRows)
           add.foreach(appendRows)
@@ -1953,25 +2072,139 @@ class MemoEngine(spark: SparkSession, basePath: String,
     ArtifactMeta.read(spark, dupDir, DupLabelsPtr) match {
       case Some(ptr)
           if Files.isDirectory(Paths.get(dupDir).resolve(ptr)) =>
-        spark.read.schema(dupLabelsSchema)
-          .parquet(Paths.get(dupDir).resolve(ptr).toString)
+        // manifest-sharded generation: read the live shards, which may
+        // live in OLDER generation dirs (carry-by-reference); a legacy
+        // (pre-shard) generation reads as one whole dir
+        val paths = shardPaths(Paths.get(dupDir), ptr)
+        if (paths.isEmpty) emptyFrame(dupLabelsSchema)
+        else spark.read.schema(dupLabelsSchema).parquet(paths: _*)
       case _ => emptyFrame(dupLabelsSchema)
     }
 
-  /** Publish a new labeling generation: fresh uuid dir, THEN the pointer
-    * swing (a crash leaves the old labeling live), then the staging-TTL
-    * sweep — the previous generation stays whole for lock-free readers
-    * inside the window, older generations fall ([[refreshView]]'s
-    * discipline on a single-table artifact). */
-  private def publishDupLabels(labels: DataFrame): Unit = {
+  /** Test seam: the last labeling publish's shape — (shards written,
+    * shards carried by reference). Production never reads it. */
+  private[graft] var lastDupPublish: Option[(Int, Int)] = None
+
+  /** Publish a FULL labeling generation (rebuild arm / first build):
+    * grid-sharded on the component's hash cell ([[viewCellCol]] — the
+    * view-state shard idiom on the labeling artifact), manifest written
+    * into the generation dir, THEN the pointer swing (a crash leaves the
+    * old labeling live), then the reference-aware TTL sweep. */
+  private def publishDupLabels(labels: DataFrame): Unit =
+    publishDupShards(labels, Nil, MemoEngine.ViewShardCells)
+
+  /** O(touched) publish of a fold's labeling DELTA — the [[refreshView]]
+    * carry-by-reference idiom on the labeling artifact: `dropComps` is
+    * the set of component ids whose rows must leave the stored labeling
+    * (pruned touched components + components the fold relabeled),
+    * `upserts` the (id, component) rows landing in their place. Only
+    * shards whose cell interval intersects the delta's cells are read
+    * and rewritten; every untouched shard carries into the new
+    * generation's manifest BY REFERENCE — its files are neither read nor
+    * rewritten, so a fold's publish costs O(touched components + batch),
+    * not O(labels) (pre-r19 every fold rewrote the full labels table).
+    * Both delta frames are delta-bounded by construction and broadcast
+    * into the survivor scan. A missing prior generation publishes the
+    * delta as the full labeling (nothing to carry). */
+  private def publishDupLabelsDelta(dropComps: DataFrame,
+      upserts: DataFrame): Unit = {
+    val dirP = Paths.get(dupDir)
+    val prior = ArtifactMeta.read(spark, dupDir, DupLabelsPtr)
+      .filter(ptr => Files.isDirectory(dirP.resolve(ptr)))
+    prior match {
+      case None => publishDupShards(upserts, Nil, MemoEngine.ViewShardCells)
+      case Some(ptr) =>
+        val drops = dropComps
+          .select(col("component").cast("long").as("component")).persist()
+        val ups = upserts.select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("component")).persist()
+        try {
+          // the delta's hash cells decide which shards the publish must
+          // read and rewrite — one bounded job (≤ ViewShardCells ints on
+          // the driver, whatever the delta size)
+          val cellsArr = drops
+            .select(viewCellCol(col("component")).as("c"))
+            .unionByName(ups.select(viewCellCol(col("component")).as("c")))
+            .distinct().collect().map(_.getInt(0)).sorted
+          def touchedIn(lo: Int, hi: Int): Boolean = {
+            var a = java.util.Arrays.binarySearch(cellsArr, lo)
+            if (a < 0) a = -a - 1
+            a < cellsArr.length && cellsArr(a) < hi
+          }
+          val priorShards = readShardManifest(dirP.resolve(ptr))
+            .getOrElse(Seq(ViewShard(0, MemoEngine.ViewShardCells, ptr)))
+          val (touchedShards, carried) =
+            priorShards.partition(s => touchedIn(s.lo, s.hi))
+          val touchedWidthMin = touchedShards.map(s => s.hi - s.lo)
+            .minOption.getOrElse(MemoEngine.ViewShardCells)
+          val old =
+            if (touchedShards.isEmpty) emptyFrame(dupLabelsSchema)
+            else spark.read.schema(dupLabelsSchema).parquet(
+              touchedShards.map(s => dirP.resolve(s.path).toString): _*)
+          // survivors: drop whole changed/pruned components. The
+          // upsert-id anti-join is belt-and-braces against a fold
+          // violating the delta invariant (every upserted id's prior
+          // component must be in dropComps) — same write job, and a
+          // doubled label row can then never serve
+          val survivors = old
+            .join(broadcast(drops), Seq("component"), "left_anti")
+            .join(broadcast(ups.select(col("id"))), Seq("id"), "left_anti")
+          publishDupShards(survivors.unionByName(ups), carried,
+            touchedWidthMin)
+        } finally { drops.unpersist(); ups.unpersist() }
+    }
+  }
+
+  /** Shared publish tail of the labeling artifact: write `content`
+    * grid-sharded under a fresh generation dir (split-on-rewrite pitch,
+    * capped at the narrowest touched interval — [[refreshView]]'s grid
+    * rule verbatim), manifest it together with the carried shards, swing
+    * the pointer, sweep unreferenced generations past the staging TTL. */
+  private def publishDupShards(content: DataFrame,
+      carried: Seq[ViewShard], touchedWidthMin: Int): Unit = {
     val dirP = Paths.get(dupDir)
     Files.createDirectories(dirP)
     val name = s"labels-${java.util.UUID.randomUUID.toString.take(8)}"
-    labels.select(col("id").cast("long").as("id"),
-        col("component").cast("long").as("component"))
-      .write.parquet(dirP.resolve(name).toString)
-    val prev = ArtifactMeta.read(spark, dupDir, DupLabelsPtr)
-    ArtifactMeta.write(spark, dupDir, DupLabelsPtr, name)
+    val statePath = dirP.resolve(name)
+    val typed = content.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component")).persist()
+    try {
+      val written = typed.count()
+      val grid = {
+        var parts = 1
+        while (parts < MemoEngine.ViewShardCells &&
+            written / parts > viewShardRows) parts <<= 1
+        math.min(MemoEngine.ViewShardCells / parts, touchedWidthMin)
+      }
+      typed.withColumn("_shard",
+          (viewCellCol(col("component")) / lit(grid)).cast("int"))
+        .write.mode("overwrite").partitionBy("_shard")
+        .parquet(statePath.toString)
+      val newShards = listDir(statePath)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("_shard="))
+        .map { p =>
+          val q = p.getFileName.toString.stripPrefix("_shard=").toInt
+          ViewShard(q * grid, (q + 1) * grid, s"$name/${p.getFileName}")
+        }
+      writeShardManifest(statePath, carried ++ newShards)
+      val prev = ArtifactMeta.read(spark, dupDir, DupLabelsPtr)
+      ArtifactMeta.write(spark, dupDir, DupLabelsPtr, name)
+      lastDupPublish = Some((newShards.size, carried.size))
+      sweepDupGenerations(dirP, Seq(name) ++ prev)
+    } finally typed.unpersist()
+  }
+
+  /** TTL sweep of retired labeling generations: a generation dir stays
+    * while ANY keep-manifest references a shard inside it (carried
+    * shards keep reading older dirs in place, and a lock-free reader of
+    * the previous generation needs its references too) — the
+    * [[sweepViewStates]] discipline on the labeling artifact; "now" is
+    * the filesystem's clock (vacuum's probe idiom). */
+  private def sweepDupGenerations(dirP: Path, keep: Seq[String]): Unit = {
+    val referenced: Set[String] = keep.toSet ++
+      keep.flatMap(st => readShardManifest(dirP.resolve(st)).toSeq.flatten
+        .map(_.path.split('/').head))
     val probe = dirP.resolve(".dup_probe")
     Files.writeString(probe, "")
     val fsNow = Files.getLastModifiedTime(probe).toMillis
@@ -1979,8 +2212,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     val cutoff = fsNow - MemoEngine.DefaultStagingTtlMs
     listDir(dirP).filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("labels-"))
-      .filterNot(p => p.getFileName.toString == name ||
-        prev.contains(p.getFileName.toString))
+      .filterNot(p => referenced.contains(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach(deleteTree)
   }
@@ -1995,9 +2227,10 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * [[graft.ops.Dedup.componentsIncremental]]'s collapse step relabels
     * through the untouched side's representative. So the fold is:
     *
-    *  1. classify the v0→v diff ([[changesBetween]] — O(touched rows)
-    *     on a single-step patch window, one narrow classification join
-    *     otherwise);
+    *  1. classify the v0→v diff — via the SHARED memo
+    *     ([[retractableDiff]]): the family walks of the same maintenance
+    *     pass already paid the changefeed classification, this fold
+    *     re-uses their frames and counts;
     *  2. drop every prior component containing a touched id
     *     (components are dropped WHOLE — the self-labeling invariant
     *     the incremental fold requires survives the prune);
@@ -2022,46 +2255,57 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * Falls back (returns false → caller takes the honest rebuild) when
     * the prior version is gone (vacuumed), the diff is corpus-scale
     * (a reindex re-sequenced every id — retract would relabel
-    * everything the slow way), or there is no prior watermark. A diff
-    * that is EMPTY BY CONTENT (layout-only rewrites: [[clusterBy]],
-    * [[compact]]) folds to zero work — the prior labeling is already
-    * correct and only the watermark advances. */
-  private def tryDupRetract(v0: Long, v: Long, minJaccard: Double): Boolean = {
-    if (v0 >= v || !Files.isDirectory(versionDir(v0))) return false
-    val diff =
-      try changesBetween(v0, v).persist()
-      catch { case _: IllegalArgumentException => return false }
-    try {
-      val nDiff = diff.count()
-      if (nDiff == 0) return true // layout-only rewrite: labels already true
-      // corpus-scale diffs (reindex re-sequences EVERY id) relabel
-      // everything either way — the from-scratch operator does it
-      // without the retract arm's extra classification joins
-      if (nDiff * 2 > math.max(maxRecordId + 1, 1L)) return false
-      val labels = serveDupLabels()
-      val touchedIds = diff.select(col("id")).distinct()
-      val touchedComps = labels.join(touchedIds, Seq("id"), "left_semi")
-        .select(col("component")).distinct()
-      val pruned = labels.join(touchedComps, Seq("component"), "left_anti")
-      // dead = removed rows and edits that blanked the body (the corpus
-      // rule [[ensureSignatures]] signs under — blank bodies have no
-      // signature, so they can emit no pairs; they just must not
-      // survive via a stale label row)
-      val dead = diff.filter(col("change") === "removed" ||
-        isBlank(col("body"))).select(col("id"))
-      val survivors = labels.join(touchedComps, Seq("component"), "left_semi")
-        .select(col("id")).join(dead, Seq("id"), "left_anti")
-      val fresh = diff.filter(col("change") =!= "removed" &&
-        !isBlank(col("body"))).select(col("id"))
-      val pairs = graft.ops.Dedup.signaturePairs(
-        graft.ops.Dedup.loadSignatures(spark, sigDir),
-        minJaccard = minJaccard,
-        newIds = Some(survivors.unionByName(fresh).distinct()))
-      publishDupLabels(graft.ops.Dedup.componentsIncremental(
-        pruned, pairs, "a", "b"))
-      true
-    } finally diff.unpersist()
-  }
+    * everything the slow way), there is no prior watermark, or the COST
+    * ROUTE prices the rebuild cheaper ([[routeRetract]] — below the
+    * measured crossover the fold's fixed job count loses to relabeling
+    * a small corpus outright). A diff that is EMPTY BY CONTENT
+    * (layout-only rewrites: [[clusterBy]], [[compact]]; metadata-only
+    * retags) folds to zero work — the prior labeling is already correct
+    * and only the watermark advances. The publish is the SHARDED delta
+    * ([[publishDupLabelsDelta]]): dropped/changed components rewrite
+    * only the shards they live in, everything else carries by
+    * reference. */
+  private def tryDupRetract(v0: Long, v: Long, minJaccard: Double): Boolean =
+    // the classified window is the SHARED memo ([[retractableDiff]]) —
+    // the family walks of the same maintenance pass already paid the
+    // changefeed classification, this fold re-uses their frames/counts
+    // (pre-r19 it re-ran its own changesBetween + count, ~3 jobs)
+    retractableDiff(v0, v).exists { d =>
+      // layout-only rewrites AND metadata-only retags fold to zero
+      // work: an unchanged body means an unchanged signature, so the
+      // pair set — and therefore the labeling — cannot have moved
+      if (d.touched == 0) true
+      else if (!routeRetract(d)) false // rebuild priced cheaper
+      else {
+        val labels = serveDupLabels()
+        // touched = rows whose change can perturb the pair graph: dead
+        // (removed/blanked — their stale label rows must go), added,
+        // and body-edited (their old pairs are stale, their new body
+        // pairs fresh). Metadata-only updates are in NONE of the three.
+        val touchedIds = d.dead.unionByName(d.added)
+          .unionByName(d.edited).distinct()
+        val touchedComps = labels.join(touchedIds, Seq("id"), "left_semi")
+          .select(col("component")).distinct()
+        val pruned = labels.join(touchedComps, Seq("component"),
+          "left_anti")
+        val survivors = labels
+          .join(touchedComps, Seq("component"), "left_semi")
+          .select(col("id")).join(d.dead, Seq("id"), "left_anti")
+        val fresh = d.added.unionByName(d.edited)
+        val pairs = graft.ops.Dedup.signaturePairs(
+          graft.ops.Dedup.loadSignatures(spark, sigDir),
+          minJaccard = minJaccard,
+          newIds = Some(survivors.unionByName(fresh).distinct()))
+        // the fold's delta (changed components + replacement rows)
+        // applies to only the shards it touches — untouched label
+        // shards carry by reference ([[publishDupLabelsDelta]])
+        val (chg, ups) = graft.ops.Dedup.componentsIncrementalDelta(
+          pruned, pairs, "a", "b")
+        publishDupLabelsDelta(
+          touchedComps.unionByName(chg).distinct(), ups)
+        true
+      }
+    }
 
   /** The engine-maintained TRANSITIVE duplicate-group labeling:
     * (id, component) for every live doc in a near-dup group of size ≥ 2
@@ -2157,8 +2401,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
           graft.ops.Dedup.loadSignatures(spark, sigDir),
           minJaccard = minJaccard,
           newIds = Some(bodyCorpus(Seq(seg)).select(col("id"))))
-        publishDupLabels(graft.ops.Dedup.componentsIncremental(
-          serveDupLabels(), pairs, "a", "b"))
+        // O(touched) publish: the fold's delta rewrites only the label
+        // shards it touches ([[publishDupLabelsDelta]])
+        val (chg, ups) = graft.ops.Dedup.componentsIncrementalDelta(
+          serveDupLabels(), pairs, "a", "b")
+        publishDupLabelsDelta(chg, ups)
       },
       rebuild = v => {
         // the recorded watermark is still the PRE-walk version here
@@ -4833,10 +5080,23 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * fresh batch ids under a fresh lineage, and the content-idempotent
     * merge absorbs the replay). Call after each producer-side
     * [[emitChanges]], or on a schedule. */
-  def replicateFrom(logDir: String, checkpointDir: String): Unit = {
+  def replicateFrom(logDir: String, checkpointDir: String,
+      maintainEvery: Int = 0): Unit = {
+    require(maintainEvery >= 0,
+      s"maintainEvery must be >= 0 (0 = off), got $maintainEvery")
+    var applied = 0L
     val q = changeLogStream(logDir).writeStream
-      .foreachBatch((batch: DataFrame, batchId: Long) =>
-        applyChanges(batch, batchId, lineage = checkpointDir))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyChanges(batch, batchId, lineage = checkpointDir)
+        // amortized follower maintenance ([[streamSink]]'s cadence): the
+        // walk runs AFTER the batch's idempotent merge, so exactly-once
+        // apply semantics are untouched and a crash mid-walk just leaves
+        // families behind for the next trigger
+        if (maintainEvery > 0) {
+          applied += 1
+          if (applied % maintainEvery == 0) { maintain(); () }
+        }
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -4995,6 +5255,19 @@ object MemoEngine {
   /** Append-chain length that triggers compaction back to one snapshot —
     * bounds the scan fan-in (number of parquet dirs a read unions). */
   val DefaultMaxSegments = 64
+
+  /** Cost-route floor for the maintenance retract arms: a store with
+    * fewer than this many ids rebuilds its artifacts instead of paying
+    * the retract fold's fixed job count (classification + per-family
+    * tombstone/journal writes), which below this scale costs more wall
+    * time than the O(corpus) rebuild it avoids. Calibrated from the
+    * MaintProfile dupfold table (BENCH_NOTES r19): post-trim, the fold
+    * beats the rebuild from roughly this corpus size up on a 32-thread
+    * local box; at cluster scale the fold only gets relatively cheaper
+    * (rebuilds grow with data, the fold's job count doesn't), so a
+    * too-low floor degrades gracefully. Test seam: engines set
+    * `retractRouteMinRows = 0` to force the fold on tiny fixtures. */
+  val DefaultRetractRouteMinRows = 4096L
 
   /** The index segments' at-rest schema — needed to read a pruned
     * subset that may be all-empty dirs (schema inference has no footer

@@ -492,11 +492,17 @@ object Dedup {
     val probe = und.limit(driverFoldEdges + 1).collect()
     if (probe.length <= driverFoldEdges)
       return unionFindLabels(probe, edges.sparkSession)
+    val ss = edges.sparkSession
     val sym = roundCheckpoint(und
       .union(und.select(col("b").as("a"), col("a").as("b")))
       .distinct())
     var labels = roundCheckpoint(sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")))
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lbl",
+        org.apache.spark.sql.types.LongType)))
     var iters = 0
     var converged = false
     while (!converged) {
@@ -511,20 +517,35 @@ object Dedup {
       // previous round, so the self-join below doubles a bounded plan
       // within the round — only the round boundary needs truncation
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val next = roundCheckpoint(stepped.as("s")
+      val jumped = stepped.as("s")
         .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
           .as("j"), col("s.lbl") === col("j.jid"), "left")
-        .select(col("s.id").as("id"),
+        .select(col("s.id").as("id"), col("s.old").as("old"),
           least(col("s.lbl"), coalesce(col("j.jlbl"), col("s.lbl")))
-            .as("lbl")))
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("lbl").as("old")).as("o"),
-          Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+            .as("lbl"))
+      // CONVERGENCE RIDES THE ROUND'S OWN MATERIALIZATION: the previous
+      // label is carried through the round and an accumulator counts
+      // rows whose label moved while the checkpointed RDD computes — so
+      // a round is ONE job, not materialize + a separate join/count
+      // probe. Accumulator semantics are safe here because only
+      // `changed == 0` is consumed: a retried task can inflate the
+      // count (another round runs — rounds are idempotent), but a
+      // successful complete pass with any change always reports > 0.
+      // Rebuilding the frame from the RDD also resets inherited stats
+      // ([[roundCheckpoint]]'s second half) — same BigInteger-stats
+      // protection, same leaf estimate.
+      val acc = ss.sparkContext.longAccumulator("componentsChanged")
+      val rdd = jumped.rdd.map { r =>
+        val lbl = r.getLong(2)
+        if (lbl != r.getLong(1)) acc.add(1L)
+        org.apache.spark.sql.Row(r.getLong(0), lbl)
+      }
+      rdd.localCheckpoint()
+      rdd.count() // the round's one action: materializes + fills acc
+      labels = ss.createDataFrame(rdd, labelSchema)
+      converged = acc.value == 0
       iters += 1
     }
     labels.select(col("id"), col("lbl").as("component"))
@@ -562,6 +583,59 @@ object Dedup {
   def componentsIncremental(prior: DataFrame, newEdges: DataFrame,
       aCol: String, bCol: String, maxIters: Int = 20,
       driverFoldEdges: Int = 1 << 16): DataFrame = {
+    val (p, relabel, newIds) =
+      incrementalFoldParts(prior, newEdges, aCol, bCol, maxIters,
+        driverFoldEdges)
+    // the SECOND and last corpus-scale scan: map-side relabel, the
+    // delta-bounded map broadcast — untouched components pass through
+    val relabeled = p.join(broadcast(relabel),
+        col("component") === col("oldc"), "left")
+      .select(col("id"),
+        coalesce(col("newc"), col("component")).as("component"))
+    relabeled.unionByName(newIds)
+  }
+
+  /** DELTA form of [[componentsIncremental]] — same fold, but instead
+    * of the full folded labeling it returns exactly WHAT CHANGED:
+    * (changedComponents, upserts) where `changedComponents` is the
+    * single-column set of prior component ids whose label moved (every
+    * row of such a component must be dropped from wherever it is
+    * stored) and `upserts` is the (id, component) rows to store in
+    * their place — the relabeled members of changed components plus
+    * previously-unlabeled ids that joined a group. A SHARDED labeling
+    * store applies the pair to only the shards it touches and carries
+    * every other shard by reference, so a fold's publish is O(changed
+    * components + batch), not O(labels) — the full-table operator above
+    * stays for consumers that want the complete frame in one plan.
+    * Invariant (what makes blind shard application sound): every
+    * upserted id either had no prior label row or its prior component
+    * is in `changedComponents`. Cost shape matches the full fold: the
+    * corpus-scale prior is scanned twice (endpoint restriction +
+    * changed-row fetch), never shuffled. */
+  def componentsIncrementalDelta(prior: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 20,
+      driverFoldEdges: Int = 1 << 16): (DataFrame, DataFrame) = {
+    val (p, relabel, newIds) =
+      incrementalFoldParts(prior, newEdges, aCol, bCol, maxIters,
+        driverFoldEdges)
+    // identity relabels (a component that kept its id — e.g. its
+    // minimum gained members but stayed minimal) are NOT changes: their
+    // existing rows are already correct wherever they are stored
+    val changed = relabel.filter(col("oldc") =!= col("newc"))
+    val changedRows = p.join(broadcast(changed),
+        col("component") === col("oldc"))
+      .select(col("id"), col("newc").as("component"))
+    (changed.select(col("oldc").as("component")),
+      changedRows.unionByName(newIds.select(col("id"), col("component"))))
+  }
+
+  /** The shared body of the incremental fold: restrict the prior to the
+    * delta's endpoints, collapse endpoints to representatives, label the
+    * collapsed graph, split the result into the relabel map vs brand-new
+    * ids. Returns (typed prior, relabel (oldc, newc), newIds rows). */
+  private def incrementalFoldParts(prior: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String, maxIters: Int,
+      driverFoldEdges: Int): (DataFrame, DataFrame, DataFrame) = {
     val p = prior.select(col("id").cast("long").as("id"),
       col("component").cast("long").as("component"))
     val und = newEdges
@@ -605,13 +679,7 @@ object Dedup {
       .select(col("id"), col("component"))
     val relabel = reduced
       .select(col("id").as("oldc"), col("component").as("newc"))
-    // the SECOND and last corpus-scale scan: map-side relabel, the
-    // delta-bounded map broadcast — untouched components pass through
-    val relabeled = p.join(broadcast(relabel),
-        col("component") === col("oldc"), "left")
-      .select(col("id"),
-        coalesce(col("newc"), col("component")).as("component"))
-    relabeled.unionByName(newIds)
+    (p, relabel, newIds)
   }
 
   /** Transitive duplicate groups of a corpus: [[minHashPairs]] candidate

@@ -49,7 +49,7 @@ object StreamBench {
     * harness cost, not transform/state/commit cost — including them
     * (cleanup file count grows with batches × partitions) would bias
     * events/sec downward by a run-dependent amount. */
-  private def feedSeconds(input: MemoryStream[BenchEvent],
+  private[streaming] def feedSeconds(input: MemoryStream[BenchEvent],
       q: org.apache.spark.sql.streaming.StreamingQuery,
       events: IndexedSeq[BenchEvent], nBatches: Int): Double = {
     val per = math.max(1, events.length / math.max(1, nBatches))
@@ -277,7 +277,7 @@ object StreamBench {
   /** Best-effort recursive delete of a throwaway directory: per-file
     * failures are ignored individually, and traversal failures must not
     * fail a measurement that already completed. */
-  private def deleteTree(root: java.nio.file.Path): Unit =
+  private[streaming] def deleteTree(root: java.nio.file.Path): Unit =
     try {
       val walk = java.nio.file.Files.walk(root)
       try {

@@ -29,9 +29,13 @@ object StreamProfile {
     val lexMode = args.headOption.contains("lex")
     val cdcMode = args.headOption.contains("cdc")
     val pairsMode = args.headOption.contains("pairs")
-    val rest = if (lexMode || cdcMode || pairsMode) args.drop(1) else args
+    val maintMode = args.headOption.contains("maint")
+    val rest = if (lexMode || cdcMode || pairsMode || maintMode) args.drop(1)
+      else args
     val n = rest.headOption.map(_.toInt)
-      .getOrElse(if (lexMode || cdcMode || pairsMode) 20000 else 100000)
+      .getOrElse(
+        if (lexMode || cdcMode || pairsMode) 20000
+        else if (maintMode) 4000 else 100000)
     val partList = rest.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(32, 16, 8, 4))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,6 +70,8 @@ object StreamProfile {
         val v = acc(tag).sorted
         println(f"[pairs] s94_ingest MEDIAN $tag eps=${v(v.size / 2)}%9.0f")
       }
+    } else if (maintMode) {
+      maintainEveryProfile(spark, n)
     } else if (cdcMode) {
       cdcProfile(spark, n)
     } else if (lexMode) {
@@ -92,6 +98,56 @@ object StreamProfile {
       }
     }
     spark.stop()
+  }
+
+  /** The `streamSink(maintainEvery)` amortization measurement (r19): a
+    * foreachBatch ingest pipeline with NO in-stream maintenance leaves
+    * every engine-maintained artifact stale, so the first post-ingest
+    * read pays the whole catch-up at once; `maintainEvery = k` runs the
+    * one-call [[graft.memo.MemoEngine.maintain]] every k-th committed
+    * micro-batch INSIDE the stream, amortizing the terminal catch-up to
+    * ~one cadence window of work. Measures both shapes at the same
+    * volume/batch count: ingest wall (for the cadenced runs this
+    * INCLUDES the in-stream walks) and the terminal `maintain()` wall
+    * (the deferred catch-up a first read would pay). Run via
+    * `runMain graft.streaming.StreamProfile maint [nEvents]`. */
+  def maintainEveryProfile(spark: SparkSession, n: Int,
+      nBatches: Int = 8): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(every: Int): (Double, Double) = {
+      val base = java.nio.file.Files.createTempDirectory("graft_maint_ev")
+      val engine = new graft.memo.MemoEngine(spark,
+        base.resolve("db").toString)
+      val ckpt = base.resolve("ckpt").toString
+      val sink: (DataFrame, Long) => Unit =
+        if (every > 0) engine.streamSink(ckpt, every)
+        else engine.streamSink(ckpt)
+      val input = MemoryStream[BenchEvent]
+      val q = input.toDF()
+        .select(concat_ws(" ", lit("event"), col("event_id"),
+          col("event_type")).as("body"))
+        .writeStream.foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      val elapsed =
+        try StreamBench.feedSeconds(input, q,
+          StreamBench.syntheticEvents(n), nBatches)
+        finally q.stop()
+      val t0 = System.nanoTime()
+      engine.maintain()
+      val catchUp = (System.nanoTime() - t0) / 1e9
+      StreamBench.deleteTree(base)
+      (elapsed, catchUp)
+    }
+    for ((tag, every) <- Seq(("off", 0), ("k=4", 4), ("k=2", 2))) {
+      val (ing, catchUp) = run(every)
+      println(f"[maint] n=$n%6d batches=$nBatches maintainEvery=$tag%-4s " +
+        f"ingest=$ing%7.2fs terminal_maintain=$catchUp%6.2fs " +
+        f"total=${ing + catchUp}%7.2fs")
+    }
   }
 
   /** Where does the s96 replication overhead go? Runs the exact

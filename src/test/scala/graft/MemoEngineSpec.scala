@@ -12,7 +12,13 @@ class MemoEngineSpec extends SparkTestBase {
 
   private def freshEngine(): (MemoEngine, String) = {
     val dir = Files.createTempDirectory("memo_engine").toString
-    (new MemoEngine(spark, s"$dir/db"), s"$dir/db")
+    val e = new MemoEngine(spark, s"$dir/db")
+    // fixtures here are tens of rows — the production cost route would
+    // (correctly) send every retract window to the rebuild arm at this
+    // scale, and these specs exist to pin the FOLD semantics. The route
+    // itself is pinned by its own spec below.
+    e.retractRouteMinRows = 0
+    (e, s"$dir/db")
   }
 
   private val saveBatch =
@@ -1851,6 +1857,161 @@ class MemoEngineSpec extends SparkTestBase {
     // maintain walks the REGISTERED threshold (the recorded spec)
     val report = engine.maintain()
     assert(report.get("dupgroups").exists(_.contains("0.5")), report)
+    engine.clean()
+  }
+
+  test("maintenance cost route: below the floor a delete patch rebuilds, " +
+      "above it folds, zero-touch windows stay free either way") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val (engine, _) = freshEngine()
+    // shingle-disjoint triplet clusters (every 3-token window carries
+    // the cluster token — the minhash small-set-bias rule)
+    def body(g: Int) = s"route$g alpha$g beta$g gamma$g delta$g"
+    engine.save((0 until 18).map(i => s"---\nbody: ${body(i / 3)}\n")
+      .mkString)
+    def oracle(): Map[Long, Long] =
+      graft.ops.Dedup.nearDupClusters(
+          engine.records.select(col("id"), col("body")), "id", "body")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    engine.dupGroups().collect()
+    engine.maintain()
+    // a tiny store under the PRODUCTION floor: the walk must ROUTE the
+    // delete patch to the rebuild arm (the fold's fixed job count costs
+    // more than re-deriving 18 rows) and still serve the right labeling.
+    // Modes are asserted right after the walk that owns them — maintain()
+    // ends with the dup walk, whose beforeLocked signature re-walk would
+    // read "fresh" and mask the mode under test.
+    engine.retractRouteMinRows = 1000000L
+    engine.applyChanges(Seq((0L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    assert(engine.dupGroups().collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap == oracle())
+    assert(engine.lastSigMode.contains("rebuild"), engine.lastSigMode)
+    assert(engine.lastDupMode.contains("rebuild"), engine.lastDupMode)
+    assert(engine.lastRetractRoute.exists(_.startsWith("rebuild(")),
+      engine.lastRetractRoute)
+    engine.maintain()
+    assert(engine.lastLexMode.contains("rebuild"), engine.lastLexMode)
+    // a METADATA-ONLY patch under the same floor is a zero-touch window:
+    // free fold in every family, never a rebuild, route never consulted
+    engine.lastRetractRoute = None
+    engine.applyChanges(Seq((2L, "updated", body(0),
+        Map("tag" -> "route-spec")))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(1L)))
+    assert(engine.dupGroups().collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap == oracle())
+    assert(engine.lastSigMode.contains("retract"), engine.lastSigMode)
+    assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
+    engine.maintain()
+    assert(engine.lastLexMode.contains("retract"), engine.lastLexMode)
+    assert(engine.lastRetractRoute.isEmpty, engine.lastRetractRoute)
+    // floor dropped: the next delete patch takes the fold and the route
+    // seam says so
+    engine.retractRouteMinRows = 0
+    engine.applyChanges(Seq((4L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(2L)))
+    assert(engine.dupGroups().collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap == oracle())
+    assert(engine.lastSigMode.contains("retract"), engine.lastSigMode)
+    assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
+    assert(engine.lastRetractRoute.exists(_.startsWith("retract(")),
+      engine.lastRetractRoute)
+    engine.clean()
+  }
+
+  test("dupGroups labels publish is SHARDED: folds rewrite only touched " +
+      "shards, untouched shards carry by reference, serve spans " +
+      "generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("memo_shardlbl").toString
+    val db = s"$dir/db"
+    // shard target 4 labels/shard → 48 label rows grid into many shards
+    val engine = new MemoEngine(spark, db, viewShardRows = 4)
+    engine.retractRouteMinRows = 0
+    def body(g: Int) = s"shardlbl$g alpha$g beta$g gamma$g delta$g"
+    engine.save((0 until 48).map(i => s"---\nbody: ${body(i / 3)}\n")
+      .mkString)
+    def labelsOf(): Map[Long, Long] = engine.dupGroups().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def oracle(): Map[Long, Long] =
+      graft.ops.Dedup.nearDupClusters(
+          engine.records.select(col("id"), col("body")), "id", "body")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf() == oracle())
+    val (wFull, cFull) = engine.lastDupPublish.get
+    assert(wFull > 1 && cFull == 0,
+      s"full publish expected many written shards, got ($wFull, $cFull)")
+    val filesFull = artifactFiles(db, "_dupgroups")
+    // APPEND fold: one new triplet — the publish must rewrite only the
+    // shards its delta touches and carry the rest by reference
+    engine.save((0 until 3).map(_ => s"---\nbody: ${body(100)}\n")
+      .mkString)
+    assert(labelsOf() == oracle())
+    assert(engine.lastDupMode.contains("append"), engine.lastDupMode)
+    val (wApp, cApp) = engine.lastDupPublish.get
+    assert(cApp > 0, s"append fold carried no shards: ($wApp, $cApp)")
+    assert(wApp < wFull, s"append fold rewrote the grid: ($wApp vs $wFull)")
+    // every carried shard's files are byte-untouched (mtime pin)
+    val filesApp = artifactFiles(db, "_dupgroups")
+    filesFull.foreach { case (f, m) =>
+      if (filesApp.contains(f))
+        assert(filesApp(f) == m, s"fold rewrote prior shard file $f")
+    }
+    // the served labeling reads shards from MORE THAN ONE generation dir
+    // (carry-by-reference is real, not a copy)
+    val ptr = graft.ops.ArtifactMeta.read(spark, s"$db/_dupgroups",
+      "_labels_ptr").get
+    val gens = engine.readShardManifest(
+        java.nio.file.Paths.get(s"$db/_dupgroups").resolve(ptr))
+      .get.map(_.path.split('/').head).distinct
+    assert(gens.length > 1, s"append fold publish spans one generation: $gens")
+    // RETRACT fold: delete one member of one cluster — same carry pins
+    engine.applyChanges(Seq((0L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    assert(labelsOf() == oracle())
+    assert(engine.lastDupMode.contains("retract"), engine.lastDupMode)
+    assert(engine.lastDupPublish.exists(_._2 > 0),
+      s"retract fold carried no shards: ${engine.lastDupPublish}")
+    val filesRet = artifactFiles(db, "_dupgroups")
+    filesApp.foreach { case (f, m) =>
+      if (filesRet.contains(f))
+        assert(filesRet(f) == m, s"retract fold rewrote prior file $f")
+    }
+    engine.clean()
+  }
+
+  test("streamSink(maintainEvery) runs maintenance on the commit cadence " +
+      "and never on a watermark-skipped replay") {
+    import spark.implicits._
+    val (engine, db) = freshEngine()
+    val sink = engine.streamSink("cadence-ckpt", 2)
+    def lexMark: Option[String] =
+      graft.ops.ArtifactMeta.read(spark, s"$db/_lexical", "_store_version")
+    def curVer: String = Files.readString(
+      java.nio.file.Paths.get(db, "CURRENT")).trim
+    def batch(s: String) = Seq(s).toDF("body")
+    sink(batch("cadence doc one about maintenance"), 0L)
+    assert(lexMark.isEmpty, "maintenance ran before the cadence") // 1st
+    sink(batch("cadence doc two about postings"), 1L) // 2nd: fires
+    assert(lexMark.contains(curVer),
+      s"maintain() did not fire on the 2nd commit: $lexMark vs $curVer")
+    sink(batch("cadence doc three about vectors"), 2L) // 3rd: no fire
+    assert(!lexMark.contains(curVer),
+      "maintenance fired off-cadence on the 3rd commit")
+    val vBefore = curVer
+    sink(batch("cadence doc three about vectors"), 2L) // REPLAY
+    assert(curVer == vBefore, "a replayed batch committed")
+    assert(!lexMark.contains(curVer),
+      "a watermark-skipped replay advanced the maintenance cadence")
+    sink(batch("cadence doc four about signatures"), 3L) // 4th: fires
+    assert(lexMark.contains(curVer),
+      "maintain() did not fire on the 4th commit")
     engine.clean()
   }
 
