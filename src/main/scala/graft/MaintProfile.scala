@@ -241,27 +241,39 @@ object MaintProfile {
     // components, so this leg too must stay ~flat across the 10×)
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
+    // FIRST delete patch walks under the PRODUCTION route: below the
+    // floor it pays the rebuild it priced cheaper, above it the fold —
+    // this is the number a real store pays ("retract leg ≤ rebuild
+    // reference" is the r18 verdict's done-bar, satisfied by routing)
     engine.applyChanges((0 until 10).map(g =>
         (3L * g, "removed", "", Map.empty[String, String]))
       .toDF("id", "change", "body", "metadata")
       .withColumn("commit_version", lit(0L)))
-    // measure the FOLD cost (knob 0 forces it) — the r19 cost route
-    // would otherwise pick the arm itself; what it WOULD pick at the
-    // production default rides the printout so the crossover is
-    // calibratable from this table (BENCH_NOTES)
-    val routeDefault = graft.memo.MemoEngine.DefaultRetractRouteMinRows
-    engine.retractRouteMinRows = 0
-    val tRetract = timed { engine.dupGroups().collect(); () }
-    require(engine.lastDupMode.contains("retract"),
-      s"dupfold expected the retract arm, got ${engine.lastDupMode}")
+    val tRouted = timed { engine.dupGroups().collect(); () }
+    val routedMode = engine.lastDupMode.getOrElse("?")
     val n2 = engine.dupGroups().count()
     require(n2 == 3L * (nGroups + 10) - 10,
-      s"dupfold post-retract labeling incomplete: $n2")
-    val routed = if (3L * nGroups >= routeDefault + 10 * 4) "retract"
-      else "rebuild"
+      s"dupfold post-patch labeling incomplete: $n2")
+    // SECOND delete patch with the route floor at 0: the forced fold —
+    // the calibration row (fold cost at this scale, whatever the route
+    // would have picked)
+    engine.retractRouteMinRows = 0
+    engine.applyChanges((0 until 10).map(g =>
+        (3L * g + 1, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(1L)))
+    val tRetract = timed { engine.dupGroups().collect(); () }
+    require(engine.lastDupMode.contains("retract"),
+      s"dupfold expected the forced retract arm, got ${engine.lastDupMode}")
+    // the 10 doubly-hit groups are singletons now (one survivor each),
+    // so they leave the labeling entirely (groups are size ≥ 2)
+    val n3 = engine.dupGroups().count()
+    require(n3 == 3L * (nGroups + 10) - 30,
+      s"dupfold post-retract labeling incomplete: $n3")
     println(f"[dupfold] groups=$nGroups%6d docs=${3 * nGroups}%6d " +
-      f"rebuild=$tBuild%.3fs fold30=$tFold%.3fs retract10=$tRetract%.3fs " +
-      s"route_default=$routed")
+      f"rebuild=$tBuild%.3fs fold30=$tFold%.3fs " +
+      f"patch10_routed=$tRouted%.3fs(mode=$routedMode) " +
+      f"retract10_forced=$tRetract%.3fs")
     engine.clean()
     ()
   }

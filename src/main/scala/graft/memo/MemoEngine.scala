@@ -5261,13 +5261,17 @@ object MemoEngine {
     * the retract fold's fixed job count (classification + per-family
     * tombstone/journal writes), which below this scale costs more wall
     * time than the O(corpus) rebuild it avoids. Calibrated from the
-    * MaintProfile dupfold table (BENCH_NOTES r19): post-trim, the fold
-    * beats the rebuild from roughly this corpus size up on a 32-thread
-    * local box; at cluster scale the fold only gets relatively cheaper
-    * (rebuilds grow with data, the fold's job count doesn't), so a
-    * too-low floor degrades gracefully. Test seam: engines set
+    * MaintProfile dupfold table (BENCH_NOTES r19): after the r19 trims
+    * (shared classified diff, no per-family probe jobs, the fold's
+    * edge set materialized once) a 10-delete fold costs ~3.7-4.4 s FLAT
+    * across 9k→90k docs on a 32-thread local box while the rebuild
+    * grows 5.6→10.2 s — the fold ties the rebuild by ~9k docs, so the
+    * floor sits at 2^13. At cluster scale the fold only gets relatively
+    * cheaper (rebuild cost grows with data, the fold's job count
+    * doesn't), so a floor erring low degrades gracefully — and an
+    * 8k-doc rebuild is trivial everywhere. Test seam: engines set
     * `retractRouteMinRows = 0` to force the fold on tiny fixtures. */
-  val DefaultRetractRouteMinRows = 4096L
+  val DefaultRetractRouteMinRows = 8192L
 
   /** The index segments' at-rest schema — needed to read a pruned
     * subset that may be all-empty dirs (schema inference has no footer

@@ -638,9 +638,18 @@ object Dedup {
       driverFoldEdges: Int): (DataFrame, DataFrame, DataFrame) = {
     val p = prior.select(col("id").cast("long").as("id"),
       col("component").cast("long").as("component"))
-    val und = newEdges
+    // The batch's edge set is MATERIALIZED once ([[roundCheckpoint]]):
+    // it is delta-bounded by the fold contract, but its PLAN is the
+    // candidate pipeline (an LSH bucket join over the corpus-scale
+    // signature table), and the fold below reads it from four places
+    // (endpoint set ×2, the endpoint mapping, and [[components]]'
+    // threshold probe) — without the truncation each read re-ran the
+    // whole candidate pipeline, which the r19 dupfold profile showed as
+    // the dominant FIXED cost of a small fold (~3-4 re-evaluations of
+    // the heaviest narrow scan per fold).
+    val und = roundCheckpoint(newEdges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val nodes = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n"))).distinct()
     // the ONE restriction scan of the corpus-scale labeling: broadcast
