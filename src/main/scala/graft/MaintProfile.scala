@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
 object MaintProfile {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption
-      .filter(Set("wdview", "shardview", "compactview", "dupfold")) match {
+      .filter(Set("wdview", "shardview", "compactview", "dupfold",
+        "ccjobs")) match {
       case Some(m) => m
       case None => "families"
     }
@@ -52,6 +53,9 @@ object MaintProfile {
       case "dupfold" =>
         (if (rest.isEmpty) Seq(3000, 30000) else segsList)
           .foreach(runDupFold(spark, _))
+      case "ccjobs" =>
+        (if (rest.isEmpty) Seq(4096) else segsList)
+          .foreach(runCcJobs(spark, _))
       case _ => segsList.foreach(run(spark, _, docsPerSeg))
     }
     spark.stop()
@@ -199,6 +203,44 @@ object MaintProfile {
       f"readAll=$tReadFrag%.3fs->$tReadCompact%.3fs frag1=$frag1%.1f")
     engine.clean()
     ()
+  }
+
+  /** Spark-JOB count of the forced-distributed [[graft.ops.Dedup
+    * .components]] arm (r19): convergence now rides each pointer-jump
+    * round's own materialization (an accumulator counts moved labels
+    * while the round's checkpoint computes), so a round is ONE action
+    * where it used to be two (materialize + a separate join/count
+    * probe). This leg runs a path graph (diameter = nodes, rounds ≈
+    * log2) through `driverFoldEdges = 0` with a job listener and prints
+    * jobs alongside the round count — the "job count per round measured
+    * down" record (BENCH_NOTES r19). Run via
+    * `runMain graft.MaintProfile ccjobs [nodesList]`. */
+  private[graft] def runCcJobs(spark: SparkSession, nNodes: Int): Unit = {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    try {
+      val edges = (0 until nNodes - 1).map(i => (i.toLong, i + 1L))
+        .toDF("a", "b")
+      val t = timed {
+        val n = graft.ops.Dedup.components(edges, "a", "b",
+          maxIters = 25, driverFoldEdges = 0).count()
+        require(n == nNodes.toLong, s"ccjobs labeling incomplete: $n")
+      }
+      Thread.sleep(500) // listener bus drains asynchronously
+      val rounds = math.ceil(math.log(nNodes.toDouble) / math.log(2)).toInt
+      println(f"[ccjobs] nodes=$nNodes%6d path-diameter rounds<=~$rounds " +
+        f"spark_jobs=${jobs.get}%3d wall=$t%.2fs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   /** The dup-group fold cost-class claim (round 17 late): an ingest

@@ -1846,16 +1846,23 @@ class MemoEngine(spark: SparkSession, basePath: String,
         if (nAdded == 0) emptyIdFrame
         else diff.filter(addCond).select(col("id")).localCheckpoint(true)
       // METADATA-ONLY updates are no-ops for every body-derived
-      // artifact — only a genuine body change survives into `edited`
+      // artifact — only a genuine body change survives into `edited`.
+      // The v0-side compare runs EAGERLY here (the memo's contract), so
+      // a prior chain vacuumed between the changefeed read and this
+      // join surfaces as an analysis error — that is the same
+      // "unresolvable window" every other arm classifies as
+      // fold-refused, not a crash.
       val (edited, nEdited) =
         if (s.getLong(7) == 0) (emptyIdFrame, 0L)
-        else {
+        else try {
           val e = diff.filter(updCond)
             .join(recordsAt(v0).select(col("id"), col("body").as("body0")),
               Seq("id"))
             .filter(!(col("body") <=> col("body0")))
             .select(col("id")).localCheckpoint(true)
           (e, e.count())
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => return None
         }
       Some(RetractDiff(
         dead, nDead, if (s.isNullAt(2)) 0L else s.getLong(2),
