@@ -2662,7 +2662,7 @@ class MemoEngineSpec extends SparkTestBase {
     leader.save("---\nid: 1\nbody: repl beta revised\n") // v2 update
     val log = Files.createTempDirectory("memo_repl_log").toString
     leader.emitChanges(log)
-    val (follower, _) = freshEngine()
+    val (follower, followerDb) = freshEngine()
     val ckpt = Files.createTempDirectory("memo_repl_ckpt").toString
     follower.replicateFrom(log, ckpt)
     def state(e: MemoEngine) = e.records.orderBy("id").collect()
@@ -2698,6 +2698,19 @@ class MemoEngineSpec extends SparkTestBase {
       .select("kind").collect().head.getString(0)
     assert(lastKind == "append",
       s"append-only batch applied as $lastKind — the O(batch) arm regressed")
+    // replicateFrom(maintainEvery = 1): the follower's maintained
+    // artifacts come current INSIDE the replication call (the
+    // streamSink cadence on the apply path) — no first-read catch-up
+    leader.save("---\nbody: repl zeta for the maintained follower\n")
+    leader.emitChanges(log)
+    follower.replicateFrom(log, ckpt, maintainEvery = 1)
+    assert(state(follower) == state(leader))
+    val mark = graft.ops.ArtifactMeta.read(spark,
+      s"$followerDb/_lexical", "_store_version")
+    assert(mark.flatMap(_.toLongOption)
+        .contains(follower.versions.max),
+      s"maintainEvery follower left the postings artifact stale: $mark " +
+        s"vs ${follower.versions.max}")
     follower.clean(); leader.clean()
   }
 
