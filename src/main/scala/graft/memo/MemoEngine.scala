@@ -2142,8 +2142,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
             .getOrElse(Seq(ViewShard(0, MemoEngine.ViewShardCells, ptr)))
           val (touchedShards, carried) =
             priorShards.partition(s => touchedIn(s.lo, s.hi))
+          // a GAP-CELL delta (every upsert hashed into cells no prior
+          // shard covers) publishes at the prior state's own pitch, not
+          // a whole-space interval — a space-wide entry would intersect
+          // every future delta and erode the carry until its next
+          // rewrite re-split it (ownership is row-level either way;
+          // intervals only drive touch detection)
           val touchedWidthMin = touchedShards.map(s => s.hi - s.lo)
-            .minOption.getOrElse(MemoEngine.ViewShardCells)
+            .minOption
+            .orElse(priorShards.map(s => s.hi - s.lo).minOption)
+            .getOrElse(MemoEngine.ViewShardCells)
           val old =
             if (touchedShards.isEmpty) emptyFrame(dupLabelsSchema)
             else spark.read.schema(dupLabelsSchema).parquet(
