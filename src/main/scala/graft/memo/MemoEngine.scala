@@ -1762,15 +1762,20 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * free in every family. Counts and id spans are computed once on the
     * persisted diff (one conditional aggregate) so consumers never pay
     * a per-family count/min/max job; the frames are eagerly truncated
-    * (localCheckpoint). `corpusIds` is max(id)+1 at v — the route's
-    * denominator, an over-approximation of live rows that includes
-    * tombstoned ids (documented bias: a heavily-deleted store prices
-    * its rebuild slightly high and keeps the retract arm a little past
-    * the true crossover). */
+    * (localCheckpoint). `corpusIds` is max(id)+1 at v (the window-size
+    * gate's denominator); `liveRows` is the chain's actual row count at
+    * v summed from the segments' own stats sidecars (recorded at write
+    * time — driver metadata, zero jobs) — the route's denominator, so a
+    * heavily-tombstoned store (id space full of holes from removes and
+    * compactions) prices its rebuild from what the rebuild would
+    * actually scan, not from ids ever minted. A chain with any
+    * sidecar-less segment falls back to `corpusIds` (sound: the old
+    * over-approximation, biased toward the retract arm). */
   private case class RetractDiff(
       dead: DataFrame, nDead: Long, deadLo: Long, deadHi: Long,
       added: DataFrame, nAdded: Long, addedLo: Long, addedHi: Long,
-      edited: DataFrame, nEdited: Long, corpusIds: Long) {
+      edited: DataFrame, nEdited: Long, corpusIds: Long,
+      liveRows: Long) {
     /** Rows whose change can perturb any body-derived artifact. */
     def touched: Long = nDead + nAdded + nEdited
   }
@@ -1799,6 +1804,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
     }
   }
 
+  /** The chain's ROW COUNT at `v`, summed from the segments' stats
+    * sidecars — recorded when each segment was written, so the route
+    * prices the rebuild from driver metadata with zero jobs. None when
+    * any segment lacks a decodable sidecar (pre-stats stores,
+    * `metaStatsSidecars = false`): the caller falls back to the
+    * max(id)+1 over-approximation. Counts rows physically present
+    * (blank-bodied soft deletes included — they are scanned either
+    * way), not ids ever minted. */
+  private def liveRowsAt(v: Long): Option[Long] = {
+    val counts = segments(v, "records").map(s => readMetaStats(s).map(_.rows))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   private def emptyIdFrame: DataFrame = emptyFrame(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
@@ -1818,6 +1836,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
     try {
       val corpusIds = math.max(maxRecordId + 1, 1L)
+      val liveRows = math.max(liveRowsAt(v).getOrElse(corpusIds), 1L)
       val deadCond = col("change") === "removed" || isBlank(col("body"))
       val addCond = col("change") === "added" && !isBlank(col("body"))
       val updCond = col("change") === "updated" && !isBlank(col("body"))
@@ -1839,6 +1858,23 @@ class MemoEngine(spark: SparkSession, basePath: String,
       if (s.getLong(0) * 2 > corpusIds) return None
       val nDead = s.getLong(1)
       val nAdded = s.getLong(4)
+      // SMALL-CORPUS PRE-GATE: a window that definitely mutates
+      // (dead/added rows — edits rebuild regardless) on a corpus the
+      // route will price below the rebuild crossover can never take the
+      // fold, whatever the edited-compare resolves to (touched >= nDead
+      // + nAdded, and the route's threshold is monotone in touched) —
+      // so skip the id-frame checkpoints and the v0 body-compare join
+      // outright: the floor exists to spare small stores exactly this
+      // classification cost. A zero-dead/zero-added window still pays
+      // the edited compare: if it resolves to zero the fold is FREE
+      // (watermark advance, no jobs) and must stay available at every
+      // corpus size.
+      if (retractRouteMinRows > 0 && nDead + nAdded > 0 &&
+          liveRows < retractRouteMinRows + (nDead + nAdded) * 4) {
+        lastRetractRoute = Some(
+          s"rebuild(pregate live=$liveRows touched>=${nDead + nAdded})")
+        return None
+      }
       val dead =
         if (nDead == 0) emptyIdFrame
         else diff.filter(deadCond).select(col("id")).localCheckpoint(true)
@@ -1869,7 +1905,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         if (s.isNullAt(3)) -1L else s.getLong(3),
         added, nAdded, if (s.isNullAt(5)) 0L else s.getLong(5),
         if (s.isNullAt(6)) -1L else s.getLong(6),
-        edited, nEdited, corpusIds))
+        edited, nEdited, corpusIds, liveRows))
     } finally diff.unpersist()
   }
 
@@ -1884,9 +1920,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * `corpusIds >= retractRouteMinRows + touched * 4` (both sides priced
     * from driver metadata already in the memoized diff: zero extra
     * jobs). A zero-touch window (layout-only rewrite, metadata retags)
-    * is FREE either way and never consults the route. The threshold is
-    * a test seam (`retractRouteMinRows = 0` forces the fold) and the
-    * decision lands in [[lastRetractRoute]]. */
+    * is FREE either way and never consults the route. The rebuild side
+    * is priced from the chain's RECORDED row count ([[liveRowsAt]] —
+    * sidecar metadata, zero jobs; max(id)+1 only as the sidecar-less
+    * fallback), so a heavily-tombstoned store flips to the rebuild at
+    * its true crossover instead of pricing ids that no longer exist.
+    * The threshold is a test seam (`retractRouteMinRows <= 0` forces
+    * the fold OUTRIGHT — the touched term is skipped too, so retract-arm
+    * fixtures of any delete ratio stay on the fold) and the decision
+    * lands in [[lastRetractRoute]]. */
   private[graft] var retractRouteMinRows: Long =
     MemoEngine.DefaultRetractRouteMinRows
 
@@ -1896,10 +1938,14 @@ class MemoEngine(spark: SparkSession, basePath: String,
   private[graft] var lastRetractRoute: Option[String] = None
 
   private def routeRetract(d: RetractDiff): Boolean = {
-    val take = d.corpusIds >= retractRouteMinRows + d.touched * 4
+    // floor <= 0 is the test seam's FORCE-FOLD setting (the touched
+    // term alone could still route an aggressive small-fixture delete
+    // to the rebuild and break every retract-mode pin)
+    val take = retractRouteMinRows <= 0 ||
+      d.liveRows >= retractRouteMinRows + d.touched * 4
     lastRetractRoute = Some(
       s"${if (take) "retract" else "rebuild"}" +
-        s"(corpus=${d.corpusIds} touched=${d.touched})")
+        s"(live=${d.liveRows} touched=${d.touched})")
     take
   }
 
@@ -1965,7 +2011,19 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * decision, a live journal (crashed prior fold), a torn artifact, or
     * a tombstone-contract violation (a re-minted id colliding with a
     * pending delete) — falls to the family's rebuild, which sweeps
-    * tombstones and the journal. */
+    * tombstones and the journal.
+    *
+    * EMPTY-INPUT CONTRACT: a side with a nonzero id set can still fetch
+    * ZERO chain rows (every dead id was already blank at v0, every added
+    * id blank at v) — emptiness is a runtime property this fold
+    * deliberately does not probe (the probe was a per-side count job,
+    * dropped r19). Every family's `deleteRows`/`appendRows` closure must
+    * therefore be a SAFE NO-OP on an empty frame: the four families
+    * satisfy it structurally (tombstone append of an empty set writes an
+    * empty delta, signature/postings/centroid appends of zero rows add
+    * nothing, and stamp facts retreat by the empty set's zero totals) —
+    * the journal write-then-clear around a vacuous fold is then just a
+    * watermark advance. */
   private def familyRetract(artDir: String, v0: Long, v: Long,
       vector: Boolean)(
       deleteRows: DataFrame => Unit)(appendRows: DataFrame => Unit)
@@ -2409,7 +2467,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
       }
     lastDupMode = Some("fresh")
     ensureArtifact[Unit](dupDir, "records",
-        beforeLocked = () => ensureSignatures())(
+        // skip the signature re-walk when its watermark is already at
+        // the live version: the walk would be two metadata reads and a
+        // no-op, but it stomps [[lastSigMode]] to "fresh" — a maintain()
+        // pass that just took the retract/rebuild arm must keep its
+        // recorded mode (seam hygiene; the TOCTOU here is the same
+        // lock-free fresh-serve race ensureSignatures itself runs)
+        beforeLocked = () =>
+          if (!currentVersion.exists(v =>
+              familyWatermark(sigDir).contains(v)))
+            ensureSignatures())(
       appendSeg = (seg, _) => {
         lastDupMode = Some("append")
         val pairs = graft.ops.Dedup.signaturePairs(
@@ -3193,7 +3260,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
       measures.collect {
         case (n, _) if aggOf.get(n).exists(a => a == "min" || a == "max") =>
           StructField(s"_res_$n", ArrayType(LongType))
-        case (n, _) if aggOf.get(n).contains("count_distinct") =>
+        case (n, _) if aggOf.get(n).exists(MemoEngine.dictBacked) =>
           StructField(s"_dict_$n", MapType(StringType, LongType))
       })
   }
@@ -3223,6 +3290,13 @@ class MemoEngine(spark: SparkSession, basePath: String,
       measures.map { case (n, e) =>
         if (aggOf.get(n).contains("count_distinct"))
           expr(s"($e)").cast("string").as(n)
+        else if (aggOf.get(n).exists(a =>
+            MemoEngine.percentileOf(a).isDefined))
+          // PERCENTILE measures 0-coerce like every numeric aggregator
+          // (both arms identically), then ride the dictionary machinery
+          // as the value's canonical string — the histogram's key
+          coalesce(expr(s"try_cast(($e) AS BIGINT)"), lit(0L))
+            .cast("string").as(n)
         else if (aggOf.get(n).contains("count"))
           // COUNT(expr): 1 per NON-NULL evaluation (SQL semantics) —
           // presence is additive, so the measure rides the SUM
@@ -3383,10 +3457,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
       require(measureNames.contains(n),
         s"aggOf names unknown measure '$n' (measures: " +
         s"${measureNames.mkString(",")})")
-      require(MemoEngine.ViewAggs.contains(a),
+      require(MemoEngine.ViewAggs.contains(a) ||
+        MemoEngine.percentileOf(a).isDefined,
         s"measure '$n' aggregator '$a' unsupported \u2014 one of " +
-        s"${MemoEngine.ViewAggs.mkString("/")}; other aggregates (e.g. " +
-        "percentiles) are not retractable from the changefeed and are " +
+        s"${MemoEngine.ViewAggs.mkString("/")}/median/pNN; aggregates " +
+        "outside these are not retractable from the changefeed and are " +
         "rejected loudly rather than served stale")
     }
     val dirS = viewDir(name).toString
@@ -3405,7 +3480,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
     // d-part is unambiguous: with it the part count is 3+3m (≡0 mod 3),
     // without it 2+3m (≡2 mod 3) — no base64url groupKey can shift one
     // form into the other.
-    val hasDistinct = aggOf.values.exists(_ == "count_distinct")
+    val hasDistinct = aggOf.values.exists(MemoEngine.dictBacked)
     // a WHERE predicate rides INSIDE part 0 (`k8w<b64url>`): the b64url
     // alphabet has no ':', so part counts — and therefore the d-part
     // disambiguation — are untouched, and where-less specs stay verbatim
@@ -3518,6 +3593,38 @@ class MemoEngine(spark: SparkSession, basePath: String,
       .reserve(viewReserveK, -1), org.apache.spark.sql.Encoders.LONG)
     val dictAgg = udaf(graft.functions.DictAggregator
       .dict(dCap), org.apache.spark.sql.Encoders.STRING)
+    // the percentile rebuild/rescan arm's EXACT histogram: uncapped, so
+    // the recomputed scalar is exact even for a group past the storage
+    // cap (the stored dict is post-capped to NULL below — overflow is a
+    // STORAGE state, never a wrong scalar). Per-group memory is
+    // O(distinct values), the same class as Spark's own exact
+    // percentile buffer; map-side combine still merges (value, count)
+    // pairs, never rows.
+    val dictAggU = udaf(graft.functions.DictAggregator
+      .dict(Int.MaxValue), org.apache.spark.sql.Encoders.STRING)
+    val nullDict = lit(null).cast(org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.LongType))
+    // exact percentile_disc over a value→multiplicity histogram: sort
+    // the (long value, weight) entries, walk the cumulative weight, and
+    // take the FIRST value whose cume_dist reaches pct/100 — all in
+    // integer arithmetic (cum*100 >= pct*total), so the incremental
+    // and recompute arms can never diverge on float rounding, and the
+    // result is exactly DuckDB's percentile_disc/quantile_disc
+    def pctFromMap(m: Column, pct: Int): Column = {
+      val entries = sort_array(transform(map_entries(m),
+        e => struct(e("key").cast("long").as("v"), e("value").as("w"))))
+      val total = aggregate(entries, lit(0L), (a, e) => a + e("w"))
+      val walked = aggregate(entries,
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+        (acc, e) => {
+          val cum = acc("cum") + e("w")
+          struct(cum.as("cum"),
+            coalesce(acc("ans"),
+              when(cum * 100 >= total * pct, e("v"))).as("ans"))
+        })
+      walked("ans")
+    }
     val emptyArr = typedLit(Seq.empty[Long])
     // full aggregation of a sign=+1 contribution frame — the rebuild arm
     // and the group-scoped extreme rescan SHARE it, so the two can never
@@ -3539,6 +3646,16 @@ class MemoEngine(spark: SparkSession, basePath: String,
           case (n, "count_distinct") => Seq(
             countDistinct(col(n)).as(n),
             dictAgg(col(n)).as(s"_dict_$n"))
+          case (n, a) if MemoEngine.percentileOf(a).isDefined =>
+            // ONE uncapped histogram feeds both outputs: the exact
+            // scalar (correct even past the cap) and the stored dict
+            // (NULL past the cap — the next value-touching window pays
+            // the group-scoped rescan, the documented trade)
+            val pct = MemoEngine.percentileOf(a).get
+            val u = dictAggU(col(n))
+            Seq(pctFromMap(u, pct).as(n),
+              when(size(map_keys(u)) > dCap, nullDict).otherwise(u)
+                .as(s"_dict_$n"))
           case (n, _) => Seq(sum(col(n)).as(n))
         }
       frame.groupBy(col("group_key")).agg(aggs.head, aggs.tail: _*)
@@ -3579,7 +3696,8 @@ class MemoEngine(spark: SparkSession, basePath: String,
           val deltaAggs =
             sum(col("sign")).as("doc_count") +:
             aggKind.flatMap {
-              case (n, "min" | "max" | "count_distinct") => Seq(
+              case (n, a) if a == "min" || a == "max" ||
+                  MemoEngine.dictBacked(a) => Seq(
                 collect_list(when(col("sign") === 1L, col(n)))
                   .as(s"_add_$n"),
                 collect_list(when(col("sign") === -1L, col(n)))
@@ -3607,9 +3725,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
           val (touchedShards, untouched) =
             priorShards.partition(s => touchedIn(s.lo, s.hi))
           carriedShards = untouched
+          // a GAP-CELL delta (every changed group hashed into cells no
+          // prior shard covers) publishes at the prior state's own pitch,
+          // not a whole-space interval — a space-wide entry would
+          // intersect every future delta and erode the carry until
+          // split-on-rewrite re-split it (the labels family's rule,
+          // [[publishDupLabelsDelta]], applied to its view-state origin)
           touchedWidthMin = touchedShards
             .map(s => s.hi - s.lo)
-            .minOption.getOrElse(MemoEngine.ViewShardCells)
+            .minOption
+            .orElse(priorShards.map(s => s.hi - s.lo).minOption)
+            .getOrElse(MemoEngine.ViewShardCells)
           val o = readState(touchedShards
             .map(s => dir.resolve(s.path).toString))
           val oEx = col("o.doc_count").isNotNull // group_key can be null
@@ -3688,7 +3814,14 @@ class MemoEngine(spark: SparkSession, basePath: String,
           // window pays the rescan.
           val emptyStrArr = typedLit(Seq.empty[String])
           val emptyDict = typedLit(Map.empty[String, Long])
-          def dictMerge(n: String): (Column, Column, Column) = {
+          // `scalarOf` turns the window's EXACT folded histogram into
+          // the measure's scalar — key count for COUNT DISTINCT, the
+          // cumulative percentile walk for median/pNN. The fold saw the
+          // old dict plus every window event, so the scalar is exact
+          // even on the merge that pushes the group PAST the cap (the
+          // dict drops, the scalar serves — same contract both kinds).
+          def dictMerge(n: String, scalarOf: Column => Column)
+              : (Column, Column, Column) = {
             val adds = coalesce(col(s"d._add_$n"), emptyStrArr)
             val rets = coalesce(col(s"d._ret_$n"), emptyStrArr)
             val touched = (size(adds) + size(rets)) > 0
@@ -3714,7 +3847,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             val overflowTouch = oEx && oldDict.isNull && touched
             val brokenD = overflowTouch || (touched && folded("bad"))
             val scalar = when(!touched, coalesce(col(s"o.$n"), lit(0L)))
-              .otherwise(size(f).cast("long"))
+              .otherwise(scalarOf(f))
             // a NEW group (no old row) whose window carried only NULL
             // values is untouched with no oldDict — store the EMPTY map,
             // not NULL: NULL is the overflow sentinel, and propagating it
@@ -3730,7 +3863,11 @@ class MemoEngine(spark: SparkSession, basePath: String,
             (brokenD, dictFinal, scalar)
           }
           val mergedDD = aggKind.collect {
-            case (n, "count_distinct") => n -> dictMerge(n)
+            case (n, "count_distinct") =>
+              n -> dictMerge(n, f => size(f).cast("long"))
+            case (n, a) if MemoEngine.percentileOf(a).isDefined =>
+              n -> dictMerge(n,
+                f => pctFromMap(f, MemoEngine.percentileOf(a).get))
           }.toMap
           val brokenCols = mergedMM.values.map(_._1) ++
             mergedDD.values.map(_._1)
@@ -3749,8 +3886,9 @@ class MemoEngine(spark: SparkSession, basePath: String,
                   mergedMM(n)._2.as(s"_res_$n"))
                 case (n, "min") => Seq(mergedMM(n)._3.as(n),
                   mergedMM(n)._2.as(s"_res_$n"))
-                case (n, "count_distinct") => Seq(mergedDD(n)._3.as(n),
-                  mergedDD(n)._2.as(s"_dict_$n"))
+                case (n, a) if MemoEngine.dictBacked(a) =>
+                  Seq(mergedDD(n)._3.as(n),
+                    mergedDD(n)._2.as(s"_dict_$n"))
                 case (n, _) => Seq(
                   (coalesce(col(s"o.$n"), lit(0L)) +
                     coalesce(col(s"d.$n"), lit(0L))).as(n))
@@ -4689,12 +4827,17 @@ class MemoEngine(spark: SparkSession, basePath: String,
     * watermark test fall back to the aggregated overlap probe; anything
     * with updates/removes (or a replayed add whose id already landed)
     * takes the full-outer MERGE rewrite, the same cost class as a Delta
-    * MERGE touching most files. */
+    * MERGE touching most files.
+    *
+    * Returns whether the batch actually COMMITTED a new version — false
+    * for a watermark-skipped replay or an empty batch — so callers with
+    * a maintenance cadence ([[replicateFrom]]) count committed batches
+    * only, the same committed-only contract [[streamSink]] documents. */
   def applyChanges(feed: DataFrame, batchId: Long = -1L,
-      lineage: String = "cdc-apply"): Unit = MemoEngine.retryOnConflict {
+      lineage: String = "cdc-apply"): Boolean = MemoEngine.retryOnConflict {
     if (batchId >= 0 && lastStreamMark.exists { case (l, b) =>
         l == lineage && b >= batchId })
-      return
+      return false
     val v0 = currentVersion
     import org.apache.spark.sql.expressions.Window
     def armStats(df: DataFrame) =
@@ -4735,7 +4878,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
         }
       val upserts = latest.filter(col("change") =!= "removed")
         .select(col("id"), col("body"), col("metadata"))
-      if (stats.getLong(0) == 0L) return // empty batch (all-null range)
+      if (stats.getLong(0) == 0L) return false // empty batch: no commit
       val nNonAdded = stats.getLong(2)
       val minUp = if (stats.isNullAt(3)) Long.MaxValue else stats.getLong(3)
       val maxUp = if (stats.isNullAt(4)) Long.MinValue else stats.getLong(4)
@@ -4772,7 +4915,7 @@ class MemoEngine(spark: SparkSession, basePath: String,
             maxIdMemo = None // a rewrite can move the max either way
         }
       }
-      ()
+      true
     } finally {
       raw.unpersist()
       if (windowed != null) windowed.unpersist()
@@ -5102,12 +5245,15 @@ class MemoEngine(spark: SparkSession, basePath: String,
     var applied = 0L
     val q = changeLogStream(logDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyChanges(batch, batchId, lineage = checkpointDir)
+        val committed = applyChanges(batch, batchId, lineage = checkpointDir)
         // amortized follower maintenance ([[streamSink]]'s cadence): the
         // walk runs AFTER the batch's idempotent merge, so exactly-once
         // apply semantics are untouched and a crash mid-walk just leaves
-        // families behind for the next trigger
-        if (maintainEvery > 0) {
+        // families behind for the next trigger. COMMITTED batches only
+        // (streamSink's documented contract): a checkpoint replay or an
+        // all-blank batch must not advance the cadence, or a restart
+        // fires maintain() off-cadence on no-op batches
+        if (maintainEvery > 0 && committed) {
           applied += 1
           if (applied % maintainEvery == 0) { maintain(); () }
         }
@@ -5324,6 +5470,29 @@ object MemoEngine {
     * served stale. */
   val ViewAggs: Set[String] = Set("sum", "min", "max", "avg", "count",
     "count_distinct")
+
+  /** [[MemoEngine.viewState]]'s PERCENTILE measure aggregators —
+    * "median" or "pNN" (NN = 1..99): the percent of an exact
+    * percentile_disc (SQL-standard inverse distribution: the smallest
+    * value whose cumulative distribution reaches NN/100 — what DuckDB's
+    * `percentile_disc`/`quantile_disc` computes), None for every other
+    * aggregator name. Maintained through the COUNT DISTINCT
+    * dictionary-reserve idiom: the bounded value→multiplicity dict IS
+    * an exact weighted histogram, so the scalar is a sorted cumulative
+    * walk over it — retractable at O(delta) under the cap, group-scoped
+    * rescan past it. */
+  private[graft] def percentileOf(a: String): Option[Int] = a match {
+    case "median" => Some(50)
+    case s if s.length >= 2 && s.length <= 3 && s.charAt(0) == 'p' &&
+        s.drop(1).forall(_.isDigit) && s.charAt(1) != '0' =>
+      Some(s.drop(1).toInt)
+    case _ => None
+  }
+
+  /** A measure aggregator that stores the `_dict_` histogram state —
+    * COUNT DISTINCT and the percentile family share the machinery. */
+  private[memo] def dictBacked(a: String): Boolean =
+    a == "count_distinct" || percentileOf(a).isDefined
 
   /** [[recallServe]]'s compressed-arm threshold: once the candidate
     * rows' raw vectors (rows × dim × 4 B) exceed this, the probe serves

@@ -1258,6 +1258,76 @@ object MemoQueries {
     engine.records.select(col("id"), col("body")).orderBy(col("id"))
   }
 
+  /** MAINTAINED PERCENTILE view measures end-to-end (the r20
+    * dictionary-reserve extension — the last loudly-rejected aggregate
+    * family in the view surface): the q102 store shape (dense ids over
+    * the first 300 docs, three segments, tag t{id%4}, integer metadata
+    * w = (id·37)%101) with exact MEDIAN and P90 measures riding the
+    * bounded per-group value→multiplicity histogram (per-view cap 128 —
+    * ~75 distinct values per group stays covered). A CDC patch moves
+    * the middle third's %10 rows onto a NEW value (999 — a histogram
+    * insert + a covered retraction of their old value) and removes the
+    * last third's %25 ids (multiplicity-covered retractions), and the
+    * refresh is asserted INCREMENTAL — the exact percentiles retract
+    * through the dictionary, never a rescan. The oracle replays
+    * minting, both patch rules, and DuckDB's own
+    * percentile_disc(0.5/0.9) — the integer cume_dist walk both
+    * engines share. */
+  private val q121ViewPercentile: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q121pct", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    val buildPass = !java.nio.file.Files.exists(done)
+    val wExpr = "regexp_extract(metadata['w'], '^i?(-?\\\\d+)$', 1)"
+    val measures = Seq("w_med" -> wExpr, "w_p90" -> wExpr)
+    val aggs = Map("w_med" -> "median", "w_p90" -> "p90")
+    def view() = engine.viewState("pctw",
+      "substring(metadata['tag'], 2)", measures, aggs,
+      distinctCap = Some(128))
+    if (buildPass) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      val n = docs.length
+      val third = (n / 3).max(1)
+      def w(i: Int) = (i * 37) % 101
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q121 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          s"---\nbody: $t\nmetadata: {tag: t${i % 4}, w: ${w(i)}}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(third).foreach(g => engine.save(yamlOf(g.toSeq)))
+      view()
+      import s.implicits._
+      val updates = (third until 2 * third).filter(_ % 10 == 0)
+        .map(i => (i.toLong, "updated", s"patched $i",
+          Map("tag" -> s"st${i % 4}", "w" -> "i999")))
+      val removes = (2 * third until n).filter(_ % 25 == 0)
+        .map(i => (i.toLong, "removed", "", Map.empty[String, String]))
+      val feed = (updates ++ removes)
+        .toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L))
+      engine.applyChanges(feed)
+      java.nio.file.Files.createFile(done)
+    }
+    val out = view()
+    // pinned loudly: percentile maintenance must ride the O(delta)
+    // dictionary arm — "rebuild"/"incremental_rescan" would mean the
+    // covered retractions silently degraded the view family's cost class
+    if (buildPass) {
+      val mode = engine.lastViewRefresh.map(_._1).getOrElse("none")
+      require(mode == "incremental",
+        s"q121 expected an incremental percentile refresh, got $mode")
+    }
+    out.orderBy("group_key")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -1292,6 +1362,7 @@ object MemoQueries {
     "q116_retrain_serve" -> q116RetrainServe,
     "q119_dup_groups" -> q119DupGroups,
     "q120_dedup_compact" -> q120DedupCompact,
+    "q121_view_percentile" -> q121ViewPercentile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1590,6 +1661,25 @@ object MemoQueries {
         |SELECT group_key, count(*) AS doc_count,
         |  CAST(sum(w) AS BIGINT) AS w_sum,
         |  CAST(sum(w) AS DOUBLE) / count(*) AS w_avg
+        |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
+    "q121_view_percentile" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)),
+        |p AS (SELECT count(*) // 3 AS third FROM d),
+        |w0 AS (SELECT id, (id * 37) % 101 AS w, id % 4 AS g FROM d),
+        |state AS (
+        |  SELECT 't' || CAST(w0.g AS VARCHAR) AS group_key,
+        |    CASE WHEN w0.id >= p.third AND w0.id < 2 * p.third
+        |          AND w0.id % 10 = 0
+        |      THEN 999 ELSE w0.w END AS w
+        |  FROM w0, p
+        |  WHERE NOT (w0.id >= 2 * p.third AND w0.id % 25 = 0))
+        |SELECT group_key, count(*) AS doc_count,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY w) AS BIGINT)
+        |    AS w_med,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY w) AS BIGINT)
+        |    AS w_p90
         |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
     // q105 replay: q102's minting and patch-rule shape on the src key —
     // the middle third's %10 rows move to source c9, the last third's

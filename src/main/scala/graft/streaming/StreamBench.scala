@@ -247,8 +247,9 @@ object StreamBench {
       .outputMode("append")
       .start()
     val fq = follower.changeLogStream(log).writeStream
-      .foreachBatch((b: DataFrame, id: Long) =>
-        follower.applyChanges(b, id, lineage = "bench"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        follower.applyChanges(b, id, lineage = "bench"); ()
+      }
       .option("checkpointLocation", base.resolve("fckpt").toString)
       .start()
     val events = syntheticEvents(n)

@@ -187,8 +187,9 @@ object StreamProfile {
       .outputMode("append")
       .start()
     val fq = follower.changeLogStream(log).writeStream
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
-        follower.applyChanges(b, id, lineage = "profile"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        follower.applyChanges(b, id, lineage = "profile"); ()
+      }
       .option("checkpointLocation", base.resolve("fckpt").toString)
       .start()
     val events = StreamBench.syntheticEvents(n)

@@ -1923,6 +1923,58 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("cost route prices the rebuild from LIVE rows, not minted ids: " +
+      "a half-tombstoned store flips to the rebuild where max(id)+1 " +
+      "pricing kept the fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val (engine, _) = freshEngine()
+    def body(g: Int) = s"tomb$g alpha$g beta$g gamma$g delta$g"
+    engine.save((0 until 60).map(i => s"---\nbody: ${body(i / 3)}\n")
+      .mkString)
+    def oracle(): Map[Long, Long] =
+      graft.ops.Dedup.nearDupClusters(
+          engine.records.select(col("id"), col("body")), "id", "body")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    engine.dupGroups().collect()
+    engine.maintain()
+    // tombstone half the id space: ids 30..59 are physically dropped by
+    // the merge, so max(id)+1 stays 60 while the chain holds 30 rows
+    engine.applyChanges((30L until 60L).map(i =>
+        (i, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    engine.maintain() // families current again (arm under floor 0: fold)
+    // floor chosen so the OLD pricing takes the fold (minted ids 60 >=
+    // 40 + 1*4) while live-row pricing must route to the rebuild
+    // (29 live rows < 44)
+    engine.retractRouteMinRows = 40L
+    engine.applyChanges(Seq((0L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(1L)))
+    assert(engine.dupGroups().collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap == oracle())
+    assert(engine.lastSigMode.contains("rebuild"), engine.lastSigMode)
+    assert(engine.lastDupMode.contains("rebuild"), engine.lastDupMode)
+    assert(engine.lastRetractRoute.exists(r =>
+        r.startsWith("rebuild(") && r.contains("live=29")),
+      engine.lastRetractRoute)
+    // same store, floor back under the live count: the next tombstone
+    // folds — live-row pricing only moves the crossover, the retract
+    // arm itself is intact on a holey id space
+    engine.retractRouteMinRows = 20L
+    engine.applyChanges(Seq((1L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(2L)))
+    assert(engine.dupGroups().collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap == oracle())
+    assert(engine.lastSigMode.contains("retract"), engine.lastSigMode)
+    assert(engine.lastRetractRoute.exists(r =>
+        r.startsWith("retract(") && r.contains("live=28")),
+      engine.lastRetractRoute)
+    engine.clean()
+  }
+
   test("dupGroups labels publish is SHARDED: folds rewrite only touched " +
       "shards, untouched shards carry by reference, serve spans " +
       "generations") {

@@ -692,6 +692,177 @@ class MemoViewSpec extends SparkTestBase {
     engine.clean()
   }
 
+  // ---- PERCENTILE measures (median/pNN on the dictionary machinery) ------
+
+  private def yamlP(body: String, cat: String, w: Int): String =
+    s"---\nbody: $body\nmetadata: {category: $cat, w: $w}\n"
+
+  private val WExpr = "regexp_extract(metadata['w'], '^i?(-?\\\\d+)$', 1)"
+  private val PC = Seq("w_med" -> WExpr, "w_p90" -> WExpr)
+  private val PCAggs = Map("w_med" -> "median", "w_p90" -> "p90")
+
+  /** SQL-standard percentile_disc over the group's exact multiset: the
+    * smallest value whose cumulative distribution reaches pct/100 — the
+    * same integer walk the view computes and DuckDB replays. */
+  private def pctDisc(values: Seq[Long], pct: Int): Long = {
+    val sorted = values.sorted
+    val total = sorted.size.toLong
+    var cum = 0L
+    sorted.find { _ => cum += 1; cum * 100 >= total * pct }.get
+  }
+
+  /** Direct oracle: group rows, 0-coerce w (the numeric-measure rule),
+    * walk both percentiles driver-side. */
+  private def directP(engine: MemoEngine, key: String)
+      : Set[(String, Long, Long, Long)] =
+    engine.records
+      .select(expr(key).cast("string").as("g"),
+        coalesce(expr(s"try_cast(($WExpr) AS BIGINT)"), lit(0L)).as("w"))
+      .collect().groupBy(_.getString(0)).map { case (g, rows) =>
+        val ws = rows.map(_.getLong(1)).toSeq
+        (g, ws.size.toLong, pctDisc(ws, 50), pctDisc(ws, 90))
+      }.toSet
+
+  private def collectedP(df: DataFrame): Set[(String, Long, Long, Long)] =
+    df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("percentile measures: adds, covered retractions, and value moves " +
+      "stay O(delta) against the exact histogram") {
+    import spark.implicits._
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    // group a: 10, 20, 20, 40 (median 20, p90 40); group b: 7
+    engine.save(yamlP("a zero", "a", 10) + yamlP("a one", "a", 20) +
+      yamlP("a two", "a", 20) + yamlP("b zero", "b", 7))
+    engine.save(yamlP("a three", "a", 40)) // second segment: patches prune
+    val v = engine.viewState("pct", key, PC, PCAggs)
+    assert(mode(engine) == "rebuild")
+    assert(collectedP(v) == directP(engine, key))
+    assert(collectedP(v).find(_._1 == "sa").get._3 == 20L)
+    // append with a new extreme: incremental, delta only
+    engine.save(yamlP("a four", "a", 5) + yamlP("b one", "b", 9))
+    val v2 = engine.viewState("pct", key, PC, PCAggs)
+    assert(mode(engine) == "incremental")
+    assert(scanned(engine).nonEmpty && scanned(engine).forall(_.contains("/v2/")),
+      s"append refresh must read only v2's delta: ${scanned(engine)}")
+    assert(collectedP(v2) == directP(engine, key))
+    def patch(rows: Seq[(Long, String, String, Map[String, String])]): Unit = {
+      engine.applyChanges(rows.toDF("id", "change", "body", "metadata")
+        .withColumn("commit_version", lit(0L)))
+      ()
+    }
+    // retract ONE of group a's two 20s: multiplicity-covered — the
+    // median stays 20 off the histogram, no rescan, feed-only scan
+    patch(Seq((2L, "removed", "", Map.empty[String, String])))
+    val v3 = engine.viewState("pct", key, PC, PCAggs)
+    assert(mode(engine) == "incremental",
+      "a multiplicity-covered retraction must not rescan")
+    assert(scanned(engine).nonEmpty &&
+      scanned(engine).forall(_.contains("/changefeed/")),
+      s"covered retraction must read only the feed: ${scanned(engine)}")
+    assert(collectedP(v3) == directP(engine, key))
+    // retract the MEDIAN's last instance: the histogram still answers —
+    // the walk lands on a neighbor, still O(delta)
+    patch(Seq((1L, "removed", "", Map.empty[String, String])))
+    val v4 = engine.viewState("pct", key, PC, PCAggs)
+    assert(mode(engine) == "incremental",
+      "a champion retraction is covered by the exact histogram")
+    assert(collectedP(v4) == directP(engine, key))
+    // move a value (b's 7 becomes 100): retract + add in one window
+    patch(Seq((3L, "updated", "b zero louder",
+      Map("category" -> "sb", "w" -> "i100"))))
+    val v5 = engine.viewState("pct", key, PC, PCAggs)
+    assert(mode(engine) == "incremental")
+    assert(collectedP(v5) == directP(engine, key))
+    assert(collectedP(v5).find(_._1 == "sb").get._4 == 100L)
+    engine.clean()
+  }
+
+  test("percentile overflow: the cap-crossing merge stays exact, the " +
+      "next value touch rescans ONLY that group, and shrinking back " +
+      "under the cap refills the histogram") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_view_pcap").toString
+    val engine = new MemoEngine(spark, s"$dir/db", viewDistinctCap = 2)
+    val key = "metadata['category']"
+    engine.save(yamlP("x zero", "x", 1) + yamlP("x one", "x", 2) +
+      yamlP("y zero", "y", 5))
+    engine.save(yamlP("y one", "y", 6)) // second segment: patches prune
+    engine.viewState("pover", key, PC, PCAggs)
+    assert(mode(engine) == "rebuild")
+    // the cap-CROSSING merge: a third distinct value for x — the fold
+    // saw every value, so the scalars stay exact while the dict drops
+    engine.save(yamlP("x two", "x", 9))
+    val v = engine.viewState("pover", key, PC, PCAggs)
+    assert(mode(engine) == "incremental",
+      "the cap-crossing merge itself must not rescan")
+    assert(collectedP(v) == directP(engine, key))
+    assert(collectedP(v).find(_._1 == "sx").get._3 == 2L,
+      "the median must stay exact through the overflow merge")
+    // a window touching ONLY group y: x's overflow must not tax it
+    engine.save(yamlP("y two", "y", 7))
+    val v2 = engine.viewState("pover", key, PC, PCAggs)
+    assert(mode(engine) == "incremental",
+      "an untouched overflowed group must not force a rescan")
+    assert(collectedP(v2) == directP(engine, key))
+    // TOUCH x's values: the dropped histogram can't answer — rescan
+    engine.save(yamlP("x three", "x", 4))
+    val v3 = engine.viewState("pover", key, PC, PCAggs)
+    assert(mode(engine) == "incremental_rescan",
+      "a value touch on an overflowed group must rescan it")
+    assert(collectedP(v3) == directP(engine, key))
+    // retract back UNDER the cap (drop 9 and 4): the rescan refills …
+    engine.applyChanges(Seq(
+        (4L, "removed", "", Map.empty[String, String]),
+        (6L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v4 = engine.viewState("pover", key, PC, PCAggs)
+    assert(mode(engine) == "incremental_rescan")
+    assert(collectedP(v4) == directP(engine, key))
+    // … so the NEXT retraction is O(delta) again — full recovery
+    engine.applyChanges(Seq((0L, "removed", "", Map.empty[String, String]))
+      .toDF("id", "change", "body", "metadata")
+      .withColumn("commit_version", lit(0L)))
+    val v5 = engine.viewState("pover", key, PC, PCAggs)
+    assert(mode(engine) == "incremental",
+      "a refilled histogram must cover retractions again")
+    assert(collectedP(v5) == directP(engine, key))
+    engine.clean()
+  }
+
+  test("median is p50; malformed percentile aggregators are rejected " +
+      "loudly; changing the percent is a detected spec change") {
+    import org.scalatest.Assertions.intercept
+    val (engine, _) = freshEngine()
+    val key = "metadata['category']"
+    engine.save(yamlP("m zero", "m", 3) + yamlP("m one", "m", 8) +
+      yamlP("m two", "m", 11))
+    val med = engine.viewState("pmed", key,
+      Seq("v" -> WExpr), Map("v" -> "median")).collect()
+    val p50 = engine.viewState("p50twin", key,
+      Seq("v" -> WExpr), Map("v" -> "p50")).collect()
+    assert(med.map(r => (r.getString(0), r.getLong(2))).toSet ==
+      p50.map(r => (r.getString(0), r.getLong(2))).toSet)
+    assert(med.head.getLong(2) == 8L)
+    // percent participates in spec identity through the aggregator name:
+    // same view name at p95 is a DETECTED change and rebuilds
+    val p95 = engine.viewState("pmed", key,
+      Seq("v" -> WExpr), Map("v" -> "p95"))
+    assert(mode(engine) == "rebuild",
+      "a percent change must rebuild, never serve the old percentile")
+    assert(p95.collect().head.getLong(2) == 11L)
+    // outside 1..99 (or not pNN at all) is rejected at the boundary
+    for (bad <- Seq("p0", "p100", "p05", "p9x", "percentile")) {
+      val e = intercept[IllegalArgumentException] {
+        engine.viewState("prej", key, Seq("v" -> WExpr), Map("v" -> bad))
+      }
+      assert(e.getMessage.contains("unsupported"), s"$bad: ${e.getMessage}")
+    }
+    engine.clean()
+  }
+
   test("count measures skip nulls (SQL COUNT(expr)) and retract by " +
       "negation through the feed") {
     import spark.implicits._
