@@ -3040,6 +3040,44 @@ class MemoEngine(spark: SparkSession, basePath: String,
     top.unionByName(other).orderBy(desc("cnt"), col("value"))
   }
 
+  /** Exact PERCENTILES of `key`'s numeric values under `filterExpr` —
+    * the maintained-quantiles ask on the reference's numeric rollup
+    * surface (A9, memo_cli.py:599-617, whose min/max/avg this
+    * completes): one row per requested percent, `(percent, value)`,
+    * value NULL when nothing numeric matches. Values are the A9 class —
+    * [[graft.functions.GraftFunctions.metaNum]], Python-number-typed
+    * only; non-numeric renderings are skipped on both arms identically.
+    *
+    * Rides [[statsPairs]], so a registered covering view serves the ask
+    * O(state) (the pairs are its maintained state) and anything else
+    * takes the segment-pruned corpus scan — either way ONE exact
+    * weighted percentile aggregate over (value, cnt) pairs: Spark's
+    * `percentile(v, percents, cnt)`, SQL-standard percentile_cont
+    * (position p×(N−1) over the value-sorted multiset, linear
+    * interpolation between brackets), whose buffer is O(distinct
+    * values) and map-side combined — never a global sort, never a
+    * single-partition window, and the shuffle carries (value, count)
+    * pairs, not rows. The VIEW-MEASURE twin (`median`/`pNN` in
+    * [[viewState]]) serves percentile_DISC — each flavor matches its
+    * DuckDB replay (percentile_cont here, percentile_disc there). */
+  def analyzePercentiles(filterExpr: String, key: String,
+      percents: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 1),
+      s"percents must be non-empty and within [0,1], got $percents")
+    val nums = statsPairs(filterExpr, key)
+      .select(graft.functions.GraftFunctions.metaNum(col("raw")).as("v"),
+        col("cnt"))
+      .filter(col("v").isNotNull)
+    val nullVals = array(percents.map(_ =>
+      lit(null).cast("double")): _*)
+    nums
+      .agg(percentile(col("v"), typedLit(percents), col("cnt")).as("vals"))
+      .select(explode(zip_with(typedLit(percents),
+        coalesce(col("vals"), nullVals),
+        (p, v) => struct(p.as("percent"), v.as("value")))).as("r"))
+      .select(col("r.percent").as("percent"), col("r.value").as("value"))
+  }
+
   /** Test seam: how the last [[statsPairs]] ask was served
     * ("view:<name>" | "scan"). Production never reads it. */
   private[graft] var lastStatsSource: Option[String] = None

@@ -1328,6 +1328,67 @@ object MemoQueries {
     out.orderBy("group_key")
   }
 
+  /** Exact percentiles on the ANALYZE/STATS surface (the r20 companion
+    * to q121's view measures — A9's numeric rollup, memo_cli.py:599-617,
+    * completed with maintained quantiles): 300 docs, the first 201
+    * carrying `{flt: f1, w: (id·53)%257}` (53 is invertible mod 257, so
+    * the 201 values are distinct and every percentile position
+    * p×(N−1) ∈ {50, 100, 180} lands EXACTLY on a data point — no
+    * interpolation, so the DOUBLE compare against DuckDB is
+    * bit-exact). The query runs the ask on BOTH serving arms — the
+    * segment-pruned scan, then again after registering a covering
+    * WHERE-scoped view (`metadata['w']` grouped, the statsPairs
+    * coverage rule) — requires the route seam took each arm and the
+    * results match, and returns the view-served frame. The oracle
+    * replays minting and DuckDB's quantile_cont. */
+  private val q122StatsPercentile: Q = (s, dir) => {
+    val base = java.nio.file.Paths.get(
+      SessionHandles.tmpArtifactPath("q122sp", dir))
+    val done = base.resolve("_done")
+    val engine = new graft.memo.MemoEngine(s, base.resolve("db").toString)
+    val ask = "{flt: f1}"
+    val percents = Seq(0.25, 0.5, 0.9)
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(300)
+        .collect() // bounded by construction: ≤300 rows at any SF
+      def yamlOf(rows: Seq[(String, Int)]) = {
+        rows.map(_._1).find(t => t.exists(c => c == '\n' || c == '\r'))
+          .foreach(t => throw new IllegalStateException(
+            s"q122 fixture text contains a newline: ${t.take(80)}"))
+        rows.map { case (t, i) =>
+          if (i < 201)
+            s"---\nbody: $t\nmetadata: {flt: f1, w: ${(i * 53) % 257}}\n"
+          else s"---\nbody: $t\nmetadata: {flt: f0}\n"
+        }.mkString
+      }
+      if (engine.exists) engine.clean() // torn prior build: start over
+      docs.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+        .grouped(100).foreach(g => engine.save(yamlOf(g.toSeq)))
+      java.nio.file.Files.createFile(done)
+    }
+    // scan arm first (no covering view yet on the build pass; on replay
+    // passes the view exists, so only pin the arm when it CAN be pinned)
+    val viewless = !engine.views.contains("spw")
+    val scanned = engine.analyzePercentiles(ask, "w", percents)
+      .orderBy("percent").collect()
+    if (viewless) require(
+      engine.lastStatsSource.contains("scan"),
+      s"q122 expected the scan arm, got ${engine.lastStatsSource}")
+    // covering view: same where, groupKey = metadata['w'] → the pairs
+    // ARE its state and the ask serves O(state)
+    engine.viewState("spw", "metadata['w']", Seq.empty, Map.empty,
+      where = Some(ask)).count()
+    val served = engine.analyzePercentiles(ask, "w", percents)
+    val viaView = served.orderBy("percent").collect()
+    require(engine.lastStatsSource.exists(_.startsWith("view:")),
+      s"q122 expected the view arm, got ${engine.lastStatsSource}")
+    require(viaView.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      scanned.map(r => (r.getDouble(0), r.getDouble(1))).toSeq,
+      "q122 view-served percentiles diverged from the scan arm")
+    served.orderBy("percent")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_analyze_count" -> q20AnalyzeCount,
     "q21_analyze_project" -> q21AnalyzeProject,
@@ -1363,6 +1424,7 @@ object MemoQueries {
     "q119_dup_groups" -> q119DupGroups,
     "q120_dedup_compact" -> q120DedupCompact,
     "q121_view_percentile" -> q121ViewPercentile,
+    "q122_stats_percentile" -> q122StatsPercentile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1662,6 +1724,18 @@ object MemoQueries {
         |  CAST(sum(w) AS BIGINT) AS w_sum,
         |  CAST(sum(w) AS DOUBLE) / count(*) AS w_avg
         |FROM state GROUP BY group_key ORDER BY group_key""".stripMargin,
+    "q122_stats_percentile" ->
+      """WITH d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)),
+        |w AS (SELECT (id * 53) % 257 AS w FROM d WHERE id < 201)
+        |SELECT CAST(0.25 AS DOUBLE) AS percent,
+        |  CAST(quantile_cont(w, 0.25) AS DOUBLE) AS value FROM w
+        |UNION ALL SELECT CAST(0.5 AS DOUBLE),
+        |  CAST(quantile_cont(w, 0.5) AS DOUBLE) FROM w
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE),
+        |  CAST(quantile_cont(w, 0.9) AS DOUBLE) FROM w
+        |ORDER BY percent""".stripMargin,
     "q121_view_percentile" ->
       """WITH d AS (
         |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id

@@ -1413,6 +1413,48 @@ class MemoEngineSpec extends SparkTestBase {
     engine.clean()
   }
 
+  test("analyzePercentiles: exact weighted percentile_cont over the " +
+      "stats pairs — view-served equals the scan, non-numeric values " +
+      "skipped, empty asks serve NULL") {
+    val (engine, _) = freshEngine()
+    // weights via duplicate values: w = 10×1, 20×2, 30×1 under the
+    // filter (N=4, positions p×3) plus one NON-numeric w and one
+    // filtered-out row that must not participate
+    engine.save(Seq(
+      "---\nbody: pct a\nmetadata: {flt: f1, w: 10}\n",
+      "---\nbody: pct b\nmetadata: {flt: f1, w: 20}\n",
+      "---\nbody: pct c\nmetadata: {flt: f1, w: 20}\n",
+      "---\nbody: pct d\nmetadata: {flt: f1, w: 30}\n",
+      "---\nbody: pct e\nmetadata: {flt: f1, w: notanumber}\n",
+      "---\nbody: pct f\nmetadata: {flt: f0, w: 999}\n").mkString)
+    def ask() = engine.analyzePercentiles("{flt: f1}", "w",
+        Seq(0.0, 0.5, 1.0)).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // sorted multiset [10, 20, 20, 30]: p0 → 10, p0.5 → position 1.5,
+    // both brackets 20 (the duplicate weight) → 20 exactly, p1 → 30
+    val expect = Seq((0.0, 10.0), (0.5, 20.0), (1.0, 30.0))
+    val scanned = ask()
+    assert(engine.lastStatsSource.contains("scan"), engine.lastStatsSource)
+    assert(scanned == expect, s"scan arm: $scanned")
+    // covering view: the SAME numbers must serve O(state)
+    engine.viewState("pctw", "metadata['w']", Seq.empty, Map.empty,
+      where = Some("{flt: f1}")).count()
+    val served = ask()
+    assert(engine.lastStatsSource.exists(_.startsWith("view:")),
+      engine.lastStatsSource)
+    assert(served == expect, s"view arm: $served")
+    // no numeric value under the ask → one NULL row per percent
+    val none = engine.analyzePercentiles("{flt: f2}", "w", Seq(0.5))
+      .collect()
+    assert(none.length == 1 && none(0).getDouble(0) == 0.5 &&
+      none(0).isNullAt(1), none.toSeq.toString)
+    // boundary: percents outside [0,1] rejected loudly
+    intercept[IllegalArgumentException] {
+      engine.analyzePercentiles("{flt: f1}", "w", Seq(1.5))
+    }
+    engine.clean()
+  }
+
   test("maintain: ONE call brings every artifact family current — " +
       "watermarks advance to the live version, the next serves pay " +
       "zero catch-up, and the drift retrain rides the same call") {
