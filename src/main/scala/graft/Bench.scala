@@ -222,9 +222,12 @@ object Bench {
       if (loads.isEmpty) -1.0
       else (loads((loads.size - 1) / 2) + loads(loads.size / 2)) / 2
     val rerunsTotal = results.map(_._4).sum
+    // capped at 8 entries, MOST EXPENSIVE first (post-rerun sec): when a
+    // round fires >8 reruns the visible subset is the worst offenders,
+    // not an arbitrary-by-name slice (the total stays exact via rrt)
     val rerunMap =
       if (rerunsTotal == 0) ""
-      else results.filter(_._4 > 0).take(8)
+      else results.filter(_._4 > 0).sortBy(-_._2).take(8)
         .map { case (n, _, _, r) => "\"" + contractKey(n) + "\":" + r }
         .mkString(""","reruns":{""", ",", "}")
     println(s"""{"metric":"loadsum","max_load":${

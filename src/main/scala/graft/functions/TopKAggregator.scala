@@ -19,7 +19,7 @@ object TopKAggregator {
     * so the kept set prefers smaller ids, matching orderBy(score desc, id)). */
   case class Heap(k: Int, ids: Array[Long], scores: Array[Double], var size: Int)
 
-  private def newHeap(k: Int) =
+  private[functions] def newHeap(k: Int) =
     Heap(k, new Array[Long](k), new Array[Double](k), 0)
 
   /** a is "worse" than b → a should be evicted first. */
@@ -53,7 +53,7 @@ object TopKAggregator {
     }
   }
 
-  private def push(h: Heap, id: Long, score: Double): Heap = {
+  private[functions] def push(h: Heap, id: Long, score: Double): Heap = {
     if (h.size < h.k) {
       h.ids(h.size) = id; h.scores(h.size) = score; h.size += 1
       siftUp(h, h.size - 1)

@@ -70,30 +70,21 @@ object MemoOps {
       queries: DataFrame,
       k: Int,
       filterExpr: Option[String] = None): DataFrame = {
-    val spark = records.sparkSession
-    import spark.implicits._
     val kk = clampK(k)
     val withFilter = filterExpr match {
       case Some(f) =>
         records.filter(FilterAlgebra.compile(f, col("metadata")))
       case None => records
     }
-    val agg = graft.functions.TopKAggregator.topK(kk).toColumn
-    withFilter
-      .filter(!isBlank(col("body")))
-      .select(col("id"), col("embedding"))
-      .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
-      .withColumn("raw_score", vecCosine(col("embedding"), col("qv")))
-      .filter(col("raw_score") >= ScoreFloor)
-      .withColumn("score", round(col("raw_score"), 4))
-      .select(col("query_id").as[Long],
-        struct(col("id").cast("long").as("_1"), col("score").as("_2"))
-          .as[(Long, Double)])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
-      .toDF("query_id", "id", "score")
+    graft.functions.TopKAgg.perQuery(
+      withFilter
+        .filter(!isBlank(col("body")))
+        .select(col("id"), col("embedding"))
+        .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
+        .withColumn("raw_score", vecCosine(col("embedding"), col("qv")))
+        .filter(col("raw_score") >= ScoreFloor)
+        .withColumn("score", round(col("raw_score"), 4)),
+      "query_id", col("id").cast("long"), col("score"), kk, outId = "id")
   }
 
   /** Analyze match count (A1/A2): records without metadata never match. */

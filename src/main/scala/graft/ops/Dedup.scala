@@ -535,16 +535,23 @@ object Dedup {
       // successful complete pass with any change always reports > 0.
       // Rebuilding the frame from the RDD also resets inherited stats
       // ([[roundCheckpoint]]'s second half) — same BigInteger-stats
-      // protection, same leaf estimate.
+      // protection, same leaf estimate. The pass stays in INTERNAL rows
+      // (`toRdd` + internalCreateDataFrame): the external-Row round trip
+      // the r19 advice flagged cost one encoder conversion each way on
+      // every label row every round — pure per-row overhead on a
+      // corpus-scale labeling.
       val acc = ss.sparkContext.longAccumulator("componentsChanged")
-      val rdd = jumped.rdd.map { r =>
+      val rdd = org.apache.spark.sql.graftshim.GraftShims
+        .toInternalRdd(jumped).map { r =>
         val lbl = r.getLong(2)
         if (lbl != r.getLong(1)) acc.add(1L)
-        org.apache.spark.sql.Row(r.getLong(0), lbl)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](r.getLong(0), lbl)): org.apache.spark.sql.catalyst.InternalRow
       }
       rdd.localCheckpoint()
       rdd.count() // the round's one action: materializes + fills acc
-      labels = ss.createDataFrame(rdd, labelSchema)
+      labels = org.apache.spark.sql.graftshim.GraftShims
+        .internalCreateDataFrame(ss, rdd, labelSchema)
       converged = acc.value == 0
       iters += 1
     }

@@ -1161,27 +1161,18 @@ object IvfIndex {
   private def searchBatchSlice(index: DataFrame,
       centroids: Array[Array[Float]], q: DataFrame,
       k: Int, nprobe: Int, rawFloor: Option[Double] = None): DataFrame = {
-    val spark = index.sparkSession
-    import spark.implicits._
     // per-query probe cells as one narrow projection (nearestCells keeps
     // the centroid matrix a codegen plan constant) — no centroid join, no
     // per-query rank window, no shuffle before the probe-set broadcast
     val probes = q.select(col("query_id"), col("qv"),
       explode(nearestCells(col("qv"), centroids, nprobe)).as("cell_id"))
-    val agg = graft.functions.TopKAggregator.topK(k).toColumn
     val scored0 = index.join(broadcast(probes), Seq("cell_id"))
       .withColumn("_raw", vecCosine(col("embedding"), col("qv")))
     // floor on the RAW cosine before rounding/top-k (see [[search]])
-    rawFloor.fold(scored0)(f => scored0.filter(col("_raw") >= f))
-      .withColumn("score", round4(col("_raw")))
-      .select(col("query_id").as[Long],
-        struct(col("id").cast("long").as("_1"), col("score").as("_2"))
-          .as[(Long, Double)])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
-      .toDF("query_id", "id", "score")
+    graft.functions.TopKAgg.perQuery(
+      rawFloor.fold(scored0)(f => scored0.filter(col("_raw") >= f))
+        .withColumn("score", round4(col("_raw"))),
+      "query_id", col("id").cast("long"), col("score"), k, outId = "id")
   }
 
   /** Recall@k of IVF against exact brute force for one query (the

@@ -982,22 +982,15 @@ object Lexical {
     val df = pruneTerms(spark.read.schema(StatsSchema)
         .parquet(dirs.stats.map(n => s"${statsPath(path)}/$n"): _*))
       .groupBy("term").agg(sum("df").cast("double").as("df"))
-    import spark.implicits._
-    val agg = graft.functions.TopKAggregator.topK(k).toColumn
-    post.join(broadcast(df), Seq("term"))
-      .join(broadcast(qt), Seq("term"))
-      .select(col("query_id"), col("doc_id"),
-        bm25Contrib(st.n, avgDl).as("s"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("s")).cast("double").as("score"))
-      .select(col("query_id").as[Long],
-        struct(col("doc_id").cast("long").as("_1"), col("score").as("_2"))
-          .as[(Long, Double)])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
-      .toDF("query_id", "doc_id", "score")
+    graft.functions.TopKAgg.perQuery(
+      post.join(broadcast(df), Seq("term"))
+        .join(broadcast(qt), Seq("term"))
+        .select(col("query_id"), col("doc_id"),
+          bm25Contrib(st.n, avgDl).as("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("s")).cast("double").as("score")),
+      "query_id", col("doc_id").cast("long"), col("score"), k,
+      outId = "doc_id")
   }
 
   /** Reciprocal-rank fusion of ranked candidate lists (Cormack et al.

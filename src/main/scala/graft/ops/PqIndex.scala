@@ -796,25 +796,16 @@ object PqIndex {
   private def refineBatch(cand: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, q: DataFrame, k: Int,
       rawFloor: Option[Double] = None): DataFrame = {
-    val spark = cand.sparkSession
-    import spark.implicits._
-    val agg = graft.functions.TopKAggregator.topK(k).toColumn
     val scored0 = cand.select(col("query_id"), col("id"))
       .join(corpus.select(col(idCol).cast("long").as("id"),
         col(embCol).as("_emb")), Seq("id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("_raw", vecCosine(col("_emb"), col("qv")))
     // floor on the refine stage's RAW cosine (see [[searchIvfPq]])
-    rawFloor.fold(scored0)(f => scored0.filter(col("_raw") >= f))
-      .withColumn("score", round4(col("_raw")))
-      .select(col("query_id").as[Long],
-        struct(col("id").cast("long").as("_1"), col("score").as("_2"))
-          .as[(Long, Double)])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
-      .toDF("query_id", "id", "score")
+    graft.functions.TopKAgg.perQuery(
+      rawFloor.fold(scored0)(f => scored0.filter(col("_raw") >= f))
+        .withColumn("score", round4(col("_raw"))),
+      "query_id", col("id").cast("long"), col("score"), k, outId = "id")
   }
 
   /** [[searchBatchIvfPq]] with the EXACT-FILL contract —
@@ -853,23 +844,15 @@ object PqIndex {
       centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
     val probes = queries
       .select(col("query_id"), col("qv"),
         explode(nearestCells(col("qv"), centroids, nprobe)).as("cell_id"))
-    val agg = graft.functions.TopKAggregator.topK(k).toColumn
-    codes.join(broadcast(probes), Seq("cell_id"))
-      .withColumn("adc_score",
-        round4(pqAdcDot(col("code"), col("qv"), codebooks)))
-      .select(col("query_id").as[Long],
-        struct(col("id").cast("long").as("_1"), col("adc_score").as("_2"))
-          .as[(Long, Double)])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
-      .toDF("query_id", "id", "adc_score")
+    graft.functions.TopKAgg.perQuery(
+      codes.join(broadcast(probes), Seq("cell_id"))
+        .withColumn("adc_score",
+          round4(pqAdcDot(col("code"), col("qv"), codebooks))),
+      "query_id", col("id").cast("long"), col("adc_score"), k,
+      outId = "id", outScore = "adc_score")
   }
 
   /** Recall@k of PQ+refine against exact brute force for one query — the

@@ -28,27 +28,17 @@ object Similarity {
 
   /** Exact top-k per query for a (small, broadcastable) query set:
     * broadcast-NL join, then a bounded-heap top-k aggregation
-    * ([[graft.functions.TopKAggregator]]) — each map partition reduces to
+    * ([[graft.functions.TopKAgg]]) — each map partition reduces to
     * ≤ k rows per query BEFORE the shuffle, so the exchange carries
     * queries×k×partitions rows instead of corpus×queries (the window
     * row_number formulation shuffles everything). */
   def bruteForceTopKBatch(corpus: DataFrame, idCol: String,
       queries: DataFrame, queryIdCol: String, k: Int,
-      scoreFn: (Column, Column) => Column = vecDot(_, _)): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val agg = graft.functions.TopKAggregator.topK(k).toColumn
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("score", round(scoreFn(col("embedding"), col("qv")), 4))
-      .select(col(queryIdCol).as[Long],
-        struct(col(idCol).cast("long").as("_1"), col("score").as("_2"))
-          .as[(Long, Double)])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, hits) => hits.map(h => (qid, h._1, h._2)) }
-      .toDF(queryIdCol, idCol, "score")
-  }
+      scoreFn: (Column, Column) => Column = vecDot(_, _)): DataFrame =
+    graft.functions.TopKAgg.perQuery(
+      corpus.crossJoin(broadcast(queries))
+        .withColumn("score", round(scoreFn(col("embedding"), col("qv")), 4)),
+      queryIdCol, col(idCol).cast("long"), col("score"), k, outId = idCol)
 
   /** Window-function formulation kept for differential testing. */
   private[graft] def topKBatchViaWindow(corpus: DataFrame, idCol: String,

@@ -31,4 +31,48 @@ class TopKAggregatorSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(got == Set(0L, 1L, 2L))
   }
+
+  // r20: the batch sites moved from the typed Aggregator to the
+  // TypedImperativeAggregate twin (TopKAgg — internal rows, no
+  // AppendColumns/Deserialize boundary); the two must stay interchangeable.
+  test("TopKAgg matches the typed Aggregator on random grouped data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 5000).map { i =>
+      (rnd.nextInt(7).toLong, i.toLong, math.rint(rnd.nextDouble() * 100) / 100)
+    }
+    // many partitions → partial buffers serialize + merge across the exchange
+    val df = rows.toDF("qid", "id", "score").repartition(13)
+    val viaAgg = graft.functions.TopKAgg.perQuery(
+        df, "qid", col("id"), col("score"), 9, outId = "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val typed = graft.functions.TopKAggregator.topK(9).toColumn
+    val viaTyped = df.select(col("qid").as[Long],
+        struct(col("id").as("_1"), col("score").as("_2")).as[(Long, Double)])
+      .groupByKey(_._1).mapValues(_._2).agg(typed.name("topk"))
+      .flatMap { case (q, hits) => hits.map(h => (q, h._1, h._2)) }
+      .collect().toSet
+    assert(viaAgg == viaTyped)
+  }
+
+  test("TopKAgg output rides sorted (score desc, id asc) within each group") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0.5), (1L, 3L, 0.9), (1L, 4L, 0.9), (1L, 8L, 0.7))
+      .toDF("qid", "id", "score")
+    val arr = df.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.column(col("id"), col("score"), 3).as("topk"))
+      .select(col("topk")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(arr == Seq((3L, 0.9), (4L, 0.9), (8L, 0.7)))
+  }
+
+  test("TopKAgg keeps fewer than k when the group is small") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 0.1)).toDF("qid", "id", "score")
+    val out = graft.functions.TopKAgg.perQuery(
+      df, "qid", col("id"), col("score"), 5, outId = "id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 0.1)))
+  }
 }
