@@ -295,14 +295,17 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
-    val chunked = BucketCap.cap(
+    // chunks materialize ONCE (see [[winnowPairs]]): both self-join sides
+    // read this frame, and a broadcast build would re-run the 64-bit
+    // text fingerprint over the corpus for the second side
+    val chunked = roundCheckpoint(BucketCap.cap(
       fp.withColumn("chunk",
           explode(array((0 until 4).map(i =>
             struct(lit(i).as("chunk_id"),
               shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))
                 .as("chunk_val"))): _*)))
         .select(col("id"), col("fp"), col("chunk.chunk_id"), col("chunk.chunk_val")),
-      Seq("chunk_id", "chunk_val"), "id", bucketCap)
+      Seq("chunk_id", "chunk_val"), "id", bucketCap))
     val l = chunked.select(col("id").as("a"), col("fp").as("fpa"),
       col("chunk_id"), col("chunk_val"))
     val r = chunked.select(col("id").as("b"), col("fp").as("fpb"),
@@ -334,10 +337,16 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 5,
       bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
-    val fp = BucketCap.cap(
+    // fingerprints materialize ONCE (the minHashPairs treatment, r20):
+    // the self-join reads the frame from both sides, and when the
+    // optimizer picks a broadcast build (post-filter inference can hand
+    // it an equi-key) the rolling-hash explode over the corpus text would
+    // otherwise run twice — the narrow (id, h) checkpoint is 16 bytes/row
+    // against re-fingerprinting every document
+    val fp = roundCheckpoint(BucketCap.cap(
       df.select(col(idCol).as("id"),
         explode(winnowFingerprint(col(textCol), k, w)).as("h")),
-      Seq("h"), "id", bucketCap)
+      Seq("h"), "id", bucketCap))
     fp.select(col("id").as("a"), col("h"))
       .join(fp.select(col("id").as("b"), col("h")), Seq("h"))
       .filter(col("a") < col("b"))
@@ -413,7 +422,16 @@ object Dedup {
     * this failure mode.) */
   private def roundCheckpoint(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    // rebuild in INTERNAL rows (r20): the external `ck.rdd` +
+    // `createDataFrame` round trip decoded every row to an external Row
+    // and re-encoded it on EVERY scan of the rebuilt frame — the minhash
+    // signature frame alone is read from four plan branches. The internal
+    // round trip keeps the checkpoint blocks' unsafe rows as-is while
+    // still resetting inherited stats (fresh LogicalRDD, same leaf
+    // estimate protection).
+    val shim = org.apache.spark.sql.graftshim.GraftShims
+    shim.internalCreateDataFrame(ck.sparkSession,
+      shim.toInternalRdd(ck), ck.schema)
   }
 
   /** Exact min-union union-find labeling of a COLLECTED edge list — the
